@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders for the driver test data (TESTDATA.md).
+  *
+  * All tables are parquet; schema comes from the files (the reference reads
+  * parquet the same way, `etl.py:49-59`). Loaders are thin on purpose so
+  * Catalyst sees a plain `LogicalRelation` and can push filters/projections
+  * into the vectorized parquet reader.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Multi-path scan (reference `readMultipleParquet`, etl.py:49-59): N
+    * parquet paths unioned at the file level into one DataFrame.
+    */
+  def loadMulti(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Determinism helpers for the DuckDB-oracle differential harness
+  * (SURVEY.md §5, §7.4). Floating-point SUM/AVG are order-dependent in
+  * IEEE double; at 1000 executors the combine order is nondeterministic,
+  * so every verified aggregate goes through exact decimal arithmetic and
+  * only converts to double at the very end. This is both the correctness
+  * fix for the oracle AND the right call at 100 TB — the result no longer
+  * depends on partitioning.
+  */
+object Det {
+  import org.apache.spark.sql.Column
+
+  /** Order-independent sum: per-row cast to decimal (exact), decimal sum
+    * (exact, associative), final cast to double. Oracle twin:
+    * `CAST(SUM(CAST(x AS DECIMAL(30,scale))) AS DOUBLE)`.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Order-independent average (sum/count in double at the end).
+    * Oracle twin: `CAST(SUM(CAST(x AS DECIMAL(30,scale))) AS DOUBLE) / COUNT(x)`.
+    */
+  def davg(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType) / count(c)
+
+  /** SQL-side twin of dsum, for building oracle strings. */
+  def sqlSum(x: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  def sqlAvg(x: String, scale: Int = 4): String =
+    s"(CAST(SUM(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE) / COUNT($x))"
+
+  /** IMPORTANT: dsum/davg are safe on RAW columns (clean decimal data).
+    * For COMPUTED doubles (e.g. price*(1-discount)) casting the product to
+    * decimal is NOT portable: Spark converts double→decimal via the
+    * shortest string representation (HALF_UP), DuckDB via the exact binary
+    * value — they can disagree by 1 ulp of the target scale. Instead cast
+    * each factor to its natural decimal scale first and multiply exactly
+    * in decimal: [[money]] / [[rate]].
+    */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Rates like l_discount / l_tax: 2-decimal values in [0,1). */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** 1 - rate, exact in decimal. */
+  def oneMinus(c: Column): Column =
+    lit(1).cast(DecimalType(3, 2)) - rate(c)
+
+  /** 1 + rate, exact in decimal. */
+  def onePlus(c: Column): Column =
+    lit(1).cast(DecimalType(3, 2)) + rate(c)
+}

@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface of the reference (SURVEY.md §2.1, §2.2, §2.6):
+  * scans, projection, filter, row-level cleaning, dedup, sorts, limits.
+  *
+  * Every query is a pure (SparkSession, sfDir) => DataFrame with a DuckDB
+  * oracle twin in [[oracle]]. Determinism rules (SURVEY.md §5): explicit
+  * ORDER BY ending in a unique key; decimal-exact aggregates via
+  * [[graft.Det]]; no monotonically_increasing_id.
+  */
+object CoreOps {
+
+  /** Flagship (A8 analog of reference `ipynb` cell 46): revenue + avg
+    * quantity per (month(o_orderdate), n_name) over the 4-way join
+    * lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation).
+    *
+    * Scale notes: nation (25 rows) is broadcast — no shuffle for that
+    * join; lineitem⋈orders is the only big-big shuffle (both sides hash
+    * on orderkey); aggregation is partial (map-side) + final, exact in
+    * decimal so the result is independent of partitioning.
+    */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(month(col("o_orderdate")).cast("int").as("o_month"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+          .cast("double").as("revenue"),
+        Det.davg(col("l_quantity")).as("avg_qty"))
+      .orderBy(desc("revenue"), col("o_month"), col("n_name"))
+  }
+
+  /** S1 — multi-path parquet scan (reference readMultipleParquet,
+    * etl.py:49-59): same file listed twice = implicit file-level UNION ALL.
+    */
+  def multiPathScan(s: SparkSession, d: String): DataFrame = {
+    val p = s"$d/lineitem.parquet"
+    Tables.loadMulti(s, Seq(p, p))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** S5 — temp-view + SQL entry (etl.py:171-177): register a DF as a view
+    * and run SQL text against it, mixing the DF and SQL APIs.
+    */
+  def sqlOverView(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM graft_orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** P1+P2 — projection with alias + equality filter (etl.py:112-113).
+    * Both the 3-column projection and the predicate reach the parquet scan
+    * (PushedFilters / ReadSchema).
+    */
+  def projectFilter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey"), col("c_name").as("customer_name"),
+        col("c_acctbal").as("balance"))
+      .orderBy(col("c_custkey"))
+
+  /** P3 — whitelist-or-other conditional rewrite (etl.py:20-25,108,159):
+    * `when(!isin(valid), 'other').otherwise(col)` on n_name.
+    */
+  def whitelistOther(s: SparkSession, d: String): DataFrame = {
+    val valid = Seq("FRANCE", "GERMANY", "JAPAN", "UNITED STATES", "CANADA")
+    Tables.nation(s, d)
+      .withColumn("nation_class",
+        when(!col("n_name").isin(valid: _*), lit("other")).otherwise(col("n_name")))
+      .groupBy(col("nation_class")).agg(count(lit(1)).as("n_nations"))
+      .orderBy(col("nation_class"))
+  }
+
+  /** P4 — null fill on a subset (etl.py:109-110). Testdata has no nulls, so
+    * nulls are synthesized with nullif first (the fill path is what's under
+    * test), then filled per-column like the reference's fillna(subset=...).
+    */
+  def nullFill(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("flag_n", nullif(col("l_returnflag"), lit("N")))
+      .na.fill(Map("flag_n" -> "unknown"))
+      .groupBy(col("flag_n")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("flag_n"))
+
+  /** P5 — null drop (etl.py:137): na.drop over a synthesized-null column. */
+  def nullDrop(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("status_o", nullif(col("o_orderstatus"), lit("O")))
+      .na.drop(Seq("status_o"))
+      .groupBy(col("status_o")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("status_o"))
+
+  /** P6 — full-row dedup via dropDuplicates (etl.py:111), over a projection
+    * that actually contains duplicate rows.
+    */
+  def dedupRows(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+      .dropDuplicates()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+
+  /** P7 — projection dedup via distinct() (etl.py:229,239,258,267). */
+  def distinctDim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment"))
+
+  /** P8 — derived columns via withColumn chain (etl.py:103-108,132-136). */
+  def derivedColumns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("disc_price",
+        Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+      .withColumn("charge", col("disc_price") * Det.onePlus(col("l_tax")))
+      .withColumn("ship_year", year(col("l_shipdate")).cast("int"))
+      .groupBy(col("ship_year"))
+      .agg(sum(col("disc_price")).cast("double").as("sum_disc_price"),
+        sum(col("charge")).cast("double").as("sum_charge"))
+      .orderBy(col("ship_year"))
+
+  /** P9 — column drop post-join (etl.py:204): join then drop the join-side
+    * working columns, keeping a clean output schema.
+    */
+  def dropColumns(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .drop("r_regionkey", "n_regionkey")
+      .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** O1+O3 — multi-key ORDER BY + limit top-k (etl.py:176; ipynb limit(10)).
+    * Sort + limit collapses to TakeOrderedAndProject — no global sort at
+    * scale, each partition keeps k rows and the driver merges.
+    */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a8_flagship" -> flagship,
+    "s1_multi_parquet" -> multiPathScan,
+    "s5_sql_view" -> sqlOverView,
+    "p1_project_filter" -> projectFilter,
+    "p3_whitelist_other" -> whitelistOther,
+    "p4_null_fill" -> nullFill,
+    "p5_null_drop" -> nullDrop,
+    "p6_dedup_rows" -> dedupRows,
+    "p7_distinct_dim" -> distinctDim,
+    "p8_derived_columns" -> derivedColumns,
+    "p9_drop_columns" -> dropColumns,
+    "o3_topk" -> topK
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a8_flagship" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month, n_name,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_month, n_name""".stripMargin,
+    "s1_multi_parquet" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "s5_sql_view" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "p1_project_filter" ->
+      """SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "p3_whitelist_other" ->
+      """SELECT CASE WHEN n_name NOT IN ('FRANCE','GERMANY','JAPAN','UNITED STATES','CANADA')
+        |            THEN 'other' ELSE n_name END AS nation_class,
+        |       COUNT(*) AS n_nations
+        |FROM nation GROUP BY 1 ORDER BY nation_class""".stripMargin,
+    "p4_null_fill" ->
+      """SELECT COALESCE(NULLIF(l_returnflag, 'N'), 'unknown') AS flag_n,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY flag_n""".stripMargin,
+    "p5_null_drop" ->
+      """SELECT NULLIF(o_orderstatus, 'O') AS status_o, COUNT(*) AS n_rows
+        |FROM orders WHERE NULLIF(o_orderstatus, 'O') IS NOT NULL
+        |GROUP BY 1 ORDER BY status_o""".stripMargin,
+    "p6_dedup_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, l_quantity""".stripMargin,
+    "p7_distinct_dim" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "p8_derived_columns" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge
+        |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin,
+    "p9_drop_columns" ->
+      """SELECT n_nationkey, n_name, r_name AS region_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "o3_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  )
+}
