@@ -16,11 +16,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CoreOps.queries
+    ops.CoreOps.queries ++ ops.ScalarOps.queries ++ ops.AggJoinOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.CoreOps.oracle
+    ops.CoreOps.oracle ++ ops.ScalarOps.oracle ++ ops.AggJoinOps.oracle
 }

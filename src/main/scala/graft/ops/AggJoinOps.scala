@@ -1,0 +1,455 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation + join surface of the reference (SURVEY.md §2.4, §2.5) plus
+  * the flagged "ext" operators (set ops, semi/anti/cross joins, rollup/cube,
+  * min/max/sum, approx-distinct).
+  *
+  * Scale notes baked into the shapes:
+  *  - dims (nation/region/supplier) are always broadcast — zero shuffle;
+  *  - big⋈big (lineitem⋈orders) shuffles both sides on the join key once;
+  *  - greatest-n-per-group is provided in BOTH the reference's self-join
+  *    form and the idiomatic window form (one shuffle instead of two);
+  *  - float sums that must be reproducible cluster-wide go through decimal
+  *    ([[graft.Det]]) or a sorted-fold (see [[avgOfAvgs]]).
+  */
+object AggJoinOps {
+
+  /** A1 — multi-key hash aggregate with avg (etl.py:172-177): 4 grouping
+    * keys, partial (map-side) + final agg split by Catalyst.
+    */
+  def multiKeyAvg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("int").as("ship_year"),
+        month(col("l_shipdate")).cast("int").as("ship_month"))
+      .agg(Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"),
+        col("ship_year"), col("ship_month"))
+
+  /** A2 — group-by + count(col) (etl.py:181-186): occurrence counts per
+    * (nation, segment) — the "how often does each state appear per
+    * coordinate" analog.
+    */
+  def countPerGroup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(col("c_custkey")).as("num"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** A3 — nested aggregation, max-of-count (etl.py:190-199): step 1 of
+    * greatest-n-per-group.
+    */
+  def maxOfCount(s: SparkSession, d: String): DataFrame =
+    countPerGroup(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(max(col("num")).as("max_num"))
+      .orderBy(col("c_nationkey"))
+
+  /** A4 — argmax via self-join (etl.py:201-204), the reference's form:
+    * join the counts against the per-key max and keep matching rows
+    * (ties preserved, exactly like the reference).
+    */
+  def argmaxSelfJoin(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(col("c_custkey")).as("num"))
+    val maxes = counts.groupBy(col("c_nationkey"))
+      .agg(max(col("num")).as("max_num"))
+      .withColumnRenamed("c_nationkey", "mk")
+    counts
+      .join(maxes, counts("c_nationkey") === maxes("mk")
+        && counts("num") === maxes("max_num"), "inner")
+      .select(col("c_nationkey"), col("c_mktsegment").as("modal_segment"),
+        col("num"))
+      .orderBy(col("c_nationkey"), col("modal_segment"))
+  }
+
+  /** A4b — argmax via window (the idiomatic Spark form, SURVEY.md §2.7):
+    * one shuffle instead of two; ties broken deterministically by segment
+    * name. A ScalaTest asserts row-identity with the self-join form under
+    * the same tie-break.
+    */
+  def argmaxWindow(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(col("c_custkey")).as("num"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(desc("num"), col("c_mktsegment"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("modal_segment"),
+        col("num"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** A5 — re-aggregation, avg-of-avgs (etl.py:210-215) — intentionally
+    * UNWEIGHTED, preserving the reference's quirk (SURVEY.md §7.4).
+    *
+    * The outer mean of computed doubles would be order-dependent on a
+    * cluster; both sides instead fold a SORTED list sequentially
+    * (sort_array + aggregate here, list_sort + list_reduce in DuckDB), so
+    * the result is bit-identical regardless of partitioning.
+    */
+  def avgOfAvgs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(Det.davg(col("c_acctbal")).as("seg_avg"))
+      .groupBy(col("c_nationkey"))
+      .agg(
+        (aggregate(sort_array(collect_list(col("seg_avg"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1))).as("avg_of_avgs"),
+        count(lit(1)).as("n_segments"))
+      .orderBy(col("c_nationkey"))
+
+  /** A6 — count(*) seasonality probe (ipynb cells 15/17). */
+  def seasonality(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_month"))
+
+  /** A7 — exact count(distinct) (etl.py:355-360). */
+  def countDistinctExact(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  /** A7b — approx_count_distinct (HLL), the scale-out variant: one pass, no
+    * distinct shuffle, mergeable sketches. Estimates are engine-specific →
+    * no oracle (rows-only check); a ScalaTest bounds the error vs exact.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** A9+Q1 — global count gates (etl.py:338-351), several tables at once. */
+  def countGates(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).agg(count(lit(1)).as("n_lineitem"))
+    val o = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
+    val c = Tables.customer(s, d).agg(count(lit(1)).as("n_customer"))
+    li.crossJoin(o).crossJoin(c)
+  }
+
+  /** ext — min/max/sum aggregates (not in reference; trivial builtins). */
+  def minMaxSum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_returnflag"))
+
+  /** ext — ROLLUP with grouping_id (subtotal rows; nulls ordered explicitly
+    * NULLS FIRST on both sides because Spark and DuckDB default opposite).
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(year(col("l_shipdate")).cast("int").as("ship_year"),
+        col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), Det.dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("ship_year").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first)
+
+  /** ext — CUBE over two keys. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** J1/J2-shape — dim-chain joins, all broadcast: customer ⋈ nation ⋈
+    * region rolled up to region grain. Zero shuffle on the join side.
+    */
+  def dimChainJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** J7-shape — 3-key composite LEFT join with genuine misses (the
+    * fact_imm ⋈ fact_temp analog, etl.py:291): right side only covers
+    * months 1-6, so id-bearing columns are null for the rest.
+    */
+  def leftCompositeJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val left = o.select(
+      year(col("o_orderdate")).cast("int").as("o_year"),
+      month(col("o_orderdate")).cast("int").as("o_month"),
+      col("o_orderstatus")).distinct()
+    val right = o.filter(month(col("o_orderdate")) <= 6)
+      .groupBy(year(col("o_orderdate")).cast("int").as("r_year"),
+        month(col("o_orderdate")).cast("int").as("r_month"),
+        col("o_orderstatus").as("r_status"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+    left.join(right,
+      left("o_year") === right("r_year")
+        && left("o_month") === right("r_month")
+        && left("o_orderstatus") === right("r_status"), "left")
+      .select(col("o_year"), col("o_month"), col("o_orderstatus"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("o_year"), col("o_month"), col("o_orderstatus"))
+  }
+
+  /** J8-shape — big ⋈ big equi-join (lineitem ⋈ orders): sort-merge/shuffled
+    * hash at scale, revenue per order priority.
+    */
+  def bigBigJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** ext — left-semi join (EXISTS): orders having at least one max-quantity
+    * line item. Semi joins ship only the key column of the right side.
+    */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** ext — left-anti join (NOT EXISTS): customers with no high-value
+    * (>400k) order. Unfiltered orders would cover every customer.
+    */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_silent"),
+        Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** ext — cross join of two small sides (region × market segments). */
+  def crossJoinSmall(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).select(col("r_name"))
+    val seg = Tables.customer(s, d).select(col("c_mktsegment")).distinct()
+    r.crossJoin(seg).orderBy(col("r_name"), col("c_mktsegment"))
+  }
+
+  /** ext — unionByName: same schema, different column order, aligned by
+    * name (the explicit form of the reference's multi-file UNION ALL).
+    */
+  def unionByNameOp(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_custkey").as("entity_key"), col("c_acctbal").as("balance"),
+      lit("customer").as("side"))
+    val sup = Tables.supplier(s, d).select(
+      lit("supplier").as("side"), col("s_acctbal").as("balance"),
+      col("s_suppkey").as("entity_key"))
+    c.unionByName(sup)
+      .orderBy(col("side"), col("entity_key"))
+  }
+
+  /** ext — INTERSECT (set semantics, deduplicated). */
+  def intersectOp(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** ext — EXCEPT (set difference, deduplicated): sizes that only occur on
+    * small parts — non-empty by construction at every scale factor.
+    */
+  def exceptOp(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.select(col("p_size").as("size"))
+      .except(p.filter(col("p_size") >= 10).select(col("p_size").as("size")))
+      .orderBy(col("size"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_multikey_avg" -> multiKeyAvg,
+    "a2_count_per_group" -> countPerGroup,
+    "a3_max_of_count" -> maxOfCount,
+    "a4_argmax_selfjoin" -> argmaxSelfJoin,
+    "a4_argmax_window" -> argmaxWindow,
+    "a5_avg_of_avgs" -> avgOfAvgs,
+    "a6_seasonality" -> seasonality,
+    "a7_count_distinct" -> countDistinctExact,
+    "a7_approx_distinct" -> approxDistinct,
+    "a9_count_gates" -> countGates,
+    "x_minmax_sum" -> minMaxSum,
+    "x_rollup" -> rollupAgg,
+    "x_cube" -> cubeAgg,
+    "j1_dim_chain" -> dimChainJoin,
+    "j7_left_composite" -> leftCompositeJoin,
+    "j8_bigbig_join" -> bigBigJoin,
+    "x_semi_join" -> semiJoin,
+    "x_anti_join" -> antiJoin,
+    "x_cross_join" -> crossJoinSmall,
+    "x_union_by_name" -> unionByNameOp,
+    "x_intersect" -> intersectOp,
+    "x_except" -> exceptOp
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_multikey_avg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(year(l_shipdate) AS INT) AS ship_year,
+        |       CAST(month(l_shipdate) AS INT) AS ship_month,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2,3,4
+        |ORDER BY l_returnflag, l_linestatus, ship_year, ship_month""".stripMargin,
+    "a2_count_per_group" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(c_custkey) AS num
+        |FROM customer GROUP BY 1,2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "a3_max_of_count" ->
+      """SELECT c_nationkey, MAX(num) AS max_num FROM (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(c_custkey) AS num
+        |  FROM customer GROUP BY 1,2)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "a4_argmax_selfjoin" ->
+      """WITH counts AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(c_custkey) AS num
+        |  FROM customer GROUP BY 1,2),
+        |maxes AS (SELECT c_nationkey AS mk, MAX(num) AS max_num FROM counts GROUP BY 1)
+        |SELECT c_nationkey, c_mktsegment AS modal_segment, num
+        |FROM counts JOIN maxes ON c_nationkey = mk AND num = max_num
+        |ORDER BY c_nationkey, modal_segment""".stripMargin,
+    "a4_argmax_window" ->
+      """WITH counts AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(c_custkey) AS num
+        |  FROM customer GROUP BY 1,2),
+        |ranked AS (
+        |  SELECT c_nationkey, c_mktsegment, num,
+        |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY num DESC, c_mktsegment) AS rn
+        |  FROM counts)
+        |SELECT c_nationkey, c_mktsegment AS modal_segment, num
+        |FROM ranked WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+    "a5_avg_of_avgs" ->
+      """WITH seg AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / COUNT(c_acctbal) AS seg_avg
+        |  FROM customer GROUP BY 1,2)
+        |SELECT c_nationkey,
+        |       CAST(list_reduce(list_sort(list(seg_avg)), (acc,x) -> acc + x) AS DOUBLE) / COUNT(*) AS avg_of_avgs,
+        |       COUNT(*) AS n_segments
+        |FROM seg GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "a6_seasonality" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_month""".stripMargin,
+    "a7_count_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "a9_count_gates" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+        |       (SELECT COUNT(*) FROM orders) AS n_orders,
+        |       (SELECT COUNT(*) FROM customer) AS n_customer""".stripMargin,
+    "x_minmax_sum" ->
+      """SELECT l_returnflag,
+        |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price,
+        |       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x_rollup" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(GROUPING(CAST(year(l_shipdate) AS INT), l_returnflag) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(1, 2)
+        |ORDER BY gid, ship_year ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin,
+    "x_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(1, 2)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "j1_dim_chain" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
+    "j7_left_composite" ->
+      """WITH lhs AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(month(o_orderdate) AS INT) AS o_month, o_orderstatus
+        |  FROM orders),
+        |rhs AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS r_year,
+        |         CAST(month(o_orderdate) AS INT) AS r_month,
+        |         o_orderstatus AS r_status, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE month(o_orderdate) <= 6 GROUP BY 1,2,3)
+        |SELECT o_year, o_month, o_orderstatus, n_orders, sum_price
+        |FROM lhs LEFT JOIN rhs
+        |  ON o_year = r_year AND o_month = r_month AND o_orderstatus = r_status
+        |ORDER BY o_year, o_month, o_orderstatus""".stripMargin,
+    "j8_bigbig_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "x_semi_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "x_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_silent,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "x_cross_join" ->
+      """SELECT r_name, c_mktsegment
+        |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+        |ORDER BY r_name, c_mktsegment""".stripMargin,
+    "x_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS entity_key, c_acctbal AS balance, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal, 'supplier' FROM supplier)
+        |ORDER BY side, entity_key""".stripMargin,
+    "x_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "x_except" ->
+      """SELECT p_size AS size FROM part
+        |EXCEPT
+        |SELECT p_size FROM part WHERE p_size >= 10
+        |ORDER BY size""".stripMargin
+  )
+}

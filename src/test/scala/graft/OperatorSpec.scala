@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one per JVM — suites reuse it). */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Edge-case semantics the DuckDB oracle can't express (SURVEY.md §5):
+  * tie behavior, nondeterministic ids, approx sketches, fill subsets,
+  * dedup ordering, dialect-divergent rounding.
+  */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("entry produces rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key exists in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("argmax window form agrees with self-join form on tie-free groups") {
+    val selfJoin = ops.AggJoinOps.argmaxSelfJoin(spark, sf).collect()
+      .groupBy(_.getInt(0))
+    val window = ops.AggJoinOps.argmaxWindow(spark, sf).collect()
+    window.foreach { w =>
+      val ties = selfJoin(w.getInt(0))
+      // window row must be one of the self-join ties (the lexicographically
+      // first by segment, per the declared tie-break)
+      val expected = ties.map(_.getString(1)).min
+      assert(w.getString(1) == expected,
+        s"nation ${w.getInt(0)}: window=${w.getString(1)} expected=$expected")
+    }
+    // and on tie-free groups the two forms are row-identical
+    selfJoin.filter(_._2.length == 1).foreach { case (k, rows) =>
+      val w = window.find(_.getInt(0) == k).get
+      assert(w.getString(1) == rows.head.getString(1))
+      assert(w.getLong(2) == rows.head.getLong(2))
+    }
+  }
+
+  test("monotonically_increasing_id yields unique ids") {
+    val r = ops.ScalarOps.miiDemo(spark, sf).collect().head
+    assert(r.getLong(0) == r.getLong(1), "ids must be unique")
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ops.AggJoinOps.approxDistinct(spark, sf).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(flag).toDouble
+      assert(math.abs(approx - e) / e < 0.10, s"$flag: approx=$approx exact=$e")
+    }
+  }
+
+  test("na.fill with subset only fills the named column") {
+    import spark.implicits._
+    val df = Seq((null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("a", "b")
+      .na.fill(Map("a" -> "filled"))
+    val row = df.collect().head
+    assert(row.getString(0) == "filled")
+    assert(row.isNullAt(1), "unnamed column must stay null")
+  }
+
+  test("dropDuplicates before vs after select differ (etl.py:111 ordering)") {
+    import spark.implicits._
+    // two rows identical on (a) but different on (b): dedup-after-select
+    // collapses them, dedup-before-select keeps both
+    val df = Seq(("x", 1), ("x", 2)).toDF("a", "b")
+    assert(df.dropDuplicates().select("a").count() == 2)
+    assert(df.select("a").dropDuplicates().count() == 1)
+  }
+
+  test("format_string %.0f is Java HALF_UP (dialect divergence documented)") {
+    import spark.implicits._
+    val out = Seq(28.5, 29.5).toDF("v")
+      .select(format_string("%.0f", col("v"))).as[String].collect()
+    // Java rounds half up (28.5→"29"); DuckDB printf is half-even ("28") —
+    // which is why verified queries never put a tie at the rounding digit.
+    assert(out.sameElements(Array("29", "30")))
+  }
+
+  test("dedup is idempotent") {
+    val once = ops.CoreOps.dedupRows(spark, sf)
+    assert(once.count() == once.dropDuplicates().count())
+  }
+
+  test("left joins preserve left row count (reference QC invariant)") {
+    val left = Tables.orders(spark, sf).select(
+      year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+      col("o_orderstatus")).distinct().count()
+    assert(ops.AggJoinOps.leftCompositeJoin(spark, sf).count() == left)
+  }
+}
