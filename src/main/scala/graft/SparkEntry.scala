@@ -16,11 +16,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CoreOps.queries ++ ops.ScalarOps.queries ++ ops.AggJoinOps.queries
+    ops.CoreOps.queries ++ ops.ScalarOps.queries ++ ops.AggJoinOps.queries ++
+      ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
+      ext.EventOps.queries ++ ext.Multimodal.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "st_tumbling_stream" -> streaming.StreamOps.tumblingStream)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.CoreOps.oracle ++ ops.ScalarOps.oracle ++ ops.AggJoinOps.oracle
+    ops.CoreOps.oracle ++ ops.ScalarOps.oracle ++ ops.AggJoinOps.oracle ++
+      ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
+      ext.EventOps.oracle ++ ext.Multimodal.oracle ++
+      // a real streaming query, verified against the same batch oracle
+      Map("st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"))
 }

@@ -1,0 +1,248 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), n-gram Jaccard (exact all-pairs), MinHash+LSH
+  * (shingle→minhash→band→bucket-join), SimHash (pigeonhole banding).
+  * Embedding-cosine near-dup lives in [[Similarity]].
+  *
+  * All thresholds are calibrated on the synthetic corpus: it contains 25
+  * planted near-dup pairs at Jaccard ≈ 0.97-0.99 with the next pair below
+  * 0.1, so t=0.5 separates cleanly.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups on md5(text), not text — shuffle keys are 16
+  *    bytes instead of whole documents;
+  *  - MinHash signatures are computed with array folds (no row explosion:
+  *    one row per doc throughout), then only 8 small band rows per doc
+  *    shuffle; candidate verification touches pairs, which LSH keeps tiny;
+  *  - SimHash banding is pigeonhole-exact: 5 chunks of 12 bits, hamming ≤ 4
+  *    guarantees ≥1 identical chunk, so the banded join finds exactly the
+  *    brute-force pairs at a fraction of the cost;
+  *  - the exact all-pairs form (dd_ngram_jaccard) is the oracle/baseline —
+  *    at scale you run the LSH form.
+  */
+object Dedup {
+  import Hashing.{duckHash, sparkHash}
+
+  private val K = 32 // minhash signature length
+  private val B = 8  // bands
+  private val R = 4  // rows per band (K = B*R)
+  private val JT = "0.5" // jaccard threshold
+  private val HAM = 4    // simhash hamming threshold
+  private val CHUNKS = 5 // simhash pigeonhole chunks (12 bits each)
+
+  /** (doc_id, ws, shingles): lowercase word-3-gram shingles, distinct. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3))))"
+      ).as("shingles"))
+
+  /** Exact dedup via hash-groupBy. The corpus has no exact dups, so dups
+    * are injected by unioning the table with itself; the dedup then picks
+    * the minimum doc_id per md5(text) group (deterministic representative).
+    */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(docs)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("text_md5"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Exact n-gram Jaccard near-dup: all pairs sharing ≥1 shingle, scored
+    * inter/(|A|+|B|-inter), kept at ≥ 0.5. The shingle-explode self-join is
+    * the exact baseline; LSH below reproduces it at scale.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = shingled(s, d).select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "ia_k").withColumnRenamed("n", "na"),
+        col("ia") === col("ia_k"))
+      .join(sizes.withColumnRenamed("doc_id", "ib_k").withColumnRenamed("n", "nb"),
+        col("ib") === col("ib_k"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= expr(JT))
+      .select(col("ia"), col("ib"), col("inter"), col("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** MinHash + LSH near-dup: K=32 salted hashes folded elementwise-min
+    * over shingles (one row per doc — no explosion), banded B=8 × R=4,
+    * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = shingled(s, d).withColumn("sig", expr(
+      s"""aggregate(
+         |  transform(shingles, sh -> transform(sequence(0, ${K - 1}),
+         |    i -> ${sparkHash("concat(cast(i as string), ':', sh)")})),
+         |  array_repeat(CAST(9223372036854775807 AS BIGINT), $K),
+         |  (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))""".stripMargin))
+    val bands = sig.select(col("doc_id"), col("shingles"),
+      explode(expr(
+        s"""transform(sequence(0, ${B - 1}), b -> struct(b as band,
+           |  ${sparkHash(s"concat(cast(b as string), '|', concat_ws(',', transform(slice(sig, b*$R+1, $R), v -> cast(v as string))))")} as bh))""".stripMargin
+      )).as("bb"))
+      .select(col("doc_id"), col("shingles"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band")
+        && col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+      .dropDuplicates("ia", "ib")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= expr(JT))
+      .select(col("ia"), col("ib"), col("inter"), col("jaccard"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** 60-bit SimHash over distinct words, near-dup at hamming ≤ 4, found
+    * via pigeonhole banding (5 × 12-bit chunks: any pair within hamming 4
+    * shares ≥1 exact chunk) — same result as brute force, join-scalable.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashValues(s, d)
+    // pigeonhole bands: 5 chunks of 12 bits
+    val banded = sim.select(col("doc_id"), col("sim"),
+      explode(expr(
+        s"""transform(sequence(0, ${CHUNKS - 1}), c -> struct(c as chunk,
+           |  (sim DIV CAST(pow(2, c*12) AS BIGINT)) % 4096 as cv))""".stripMargin
+      )).as("cb"))
+      .select(col("doc_id"), col("sim"), col("cb.chunk").as("chunk"), col("cb.cv").as("cv"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.chunk") === col("b.chunk")
+        && col("a.cv") === col("b.cv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
+      .dropDuplicates("ia", "ib")
+      .filter(col("hamming") <= HAM)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** (doc_id, sim): the 60-bit simhash values themselves (exposed for the
+    * pigeonhole-vs-brute-force equivalence test).
+    */
+  def simhashValues(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("array_distinct(split(lower(text), ' '))").as("ws"))
+      .withColumn("votes", expr(
+        s"""aggregate(
+           |  transform(ws, w -> ${sparkHash("w")}),
+           |  array_repeat(CAST(0 AS BIGINT), 60),
+           |  (acc, h) -> zip_with(acc,
+           |    transform(sequence(0, 59),
+           |      j -> CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1
+           |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+           |    (a, v) -> a + v))""".stripMargin))
+      .withColumn("sim", expr(
+        """aggregate(
+          |  zip_with(votes, sequence(0, 59),
+          |    (v, j) -> CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+          |              ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .select(col("doc_id"), col("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> exactDedup,
+    "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_minhash_lsh" -> minhashLsh,
+    "dd_simhash" -> simhash
+  )
+
+  private val shingCte =
+    """shing AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH $shingCte,
+         |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM shing),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ia, ib, inter,
+         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON ia = sa.doc_id
+         |JOIN sizes sb ON ib = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JT
+         |ORDER BY ia, ib""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""WITH $shingCte,
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |    [list_reduce(
+         |       list_prepend(9223372036854775807::BIGINT,
+         |         [${duckHash("CAST(i AS VARCHAR) || ':' || sh")} for sh in shingles]),
+         |       (a, x) -> least(a, x)) for i in range(0, $K)] AS sig
+         |  FROM shing),
+         |bands AS (
+         |  SELECT doc_id, shingles, b,
+         |    ${duckHash(s"CAST(b AS VARCHAR) || '|' || array_to_string([CAST(v AS VARCHAR) for v in sig[b*$R+1:b*$R+$R]], ',')")} AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+         |  FROM cand JOIN shing sa ON ia = sa.doc_id JOIN shing sb ON ib = sb.doc_id)
+         |SELECT ia, ib, inter, jaccard FROM scored
+         |WHERE jaccard >= $JT ORDER BY ia, ib""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    [${duckHash("w")} for w in list_distinct(string_split(lower(text), ' '))] AS hs
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id,
+         |    [list_reduce(list_prepend(0::BIGINT,
+         |       [CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+         |             THEN 1::BIGINT ELSE (-1)::BIGINT END for h in hs]),
+         |       (a, x) -> a + x) for j in range(0, 60)] AS v
+         |  FROM hashed),
+         |sims AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN v[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT)
+         |            ELSE 0::BIGINT END for j in range(0, 60)]),
+         |      (a, x) -> a + x) AS sim
+         |  FROM votes)
+         |SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= $HAM
+         |ORDER BY ia, ib""".stripMargin
+  )
+}

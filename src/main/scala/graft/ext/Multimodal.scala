@@ -1,0 +1,105 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
+  * `binary` payload columns plus typed metadata, processed by batched
+  * per-partition decoders.
+  *
+  * The container has no media codecs, so the DECODE step is a
+  * deterministic fake (sha-256-derived features — clearly marked below);
+  * everything around it — schema, encoders, partition batching, the
+  * typed mapPartitions pipeline — is real and is exactly the shape a
+  * real decoder (JNI/FFmpeg/JPEG) would plug into.
+  *
+  * Scale notes: payloads never pass through a shuffle (decode is a narrow
+  * map over the scan); batching amortizes per-call setup the way Arrow
+  * batches do for Pandas UDFs; features (small) are what flows downstream,
+  * not payloads (large).
+  */
+object Multimodal {
+
+  /** Binary payload + metadata extraction, all builtins (oracle-verified):
+    * byte length, sha2-256 digest, base64 prefix. The payload here is the
+    * utf-8 encoding of `text` standing in for real media bytes.
+    */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("digest"),
+        substring(base64(col("payload")), 1, 24).as("b64_prefix"))
+      .orderBy(col("doc_id"))
+
+  case class DocBin(doc_id: Long, payload: Array[Byte])
+  case class MediaFeature(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      feature: Array[Float])
+
+  /** Batched per-partition "decode + feature extraction" over binary
+    * payloads — the mapInPandas/mapPartitions pattern. The decoder below
+    * is a STUB: a real implementation would parse the media container and
+    * run a feature net; this one derives deterministic pseudo-features
+    * from the sha-256 digest so the pipeline is testable end-to-end.
+    */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bin = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[DocBin]
+    bin.mapPartitions { it =>
+      // one digest instance per partition (the "model handle"); rows are
+      // processed in batches of 64 like an Arrow-batched UDF would be
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val h = md.digest(r.payload) // STUB decode: digest stands in for pixels
+          val w = 16 + (((h(0) & 0xff) << 8 | (h(1) & 0xff)) % 1920)
+          val ht = 16 + (((h(2) & 0xff) << 8 | (h(3) & 0xff)) % 1080)
+          val feat = h.take(8).map(b => (b & 0xff) / 255.0f)
+          MediaFeature(r.doc_id, r.payload.length, w, ht, feat)
+        }
+      }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame-sampling plumbing: treat the payload as a "video" of N fixed-
+    * size chunks and emit every k-th chunk with its index — posexplode
+    * over a computed chunk array (a real pipeline would emit decoded
+    * frames). Oracle-verified since chunking is pure string/binary math.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("chunk", expr(
+        "transform(sequence(0, CAST(floor((length(text)-1)/32) AS INT)), i -> substring(text, i*32+1, 32))"))
+      .select(col("doc_id"), posexplode(col("chunk")).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 4 === 0)
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> binaryMeta,
+    "mm_decode_features" -> decodeFeatures, // stubbed decode → rows-only check
+    "mm_frame_sample" -> frameSample
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS digest,
+        |       substring(to_base64(encode(text)), 1, 24) AS b64_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       substring(text, CAST(i*32+1 AS INT), 32) AS frame
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(range(0, 100)) AS i)
+        |WHERE i <= floor((length(text)-1)/32) AND i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

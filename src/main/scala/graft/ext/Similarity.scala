@@ -1,0 +1,151 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (64-dim float vectors).
+  *
+  * Float determinism: every dot product / norm is a SEQUENTIAL left fold
+  * over the array (Spark `aggregate` HOF ↔ DuckDB `list_reduce` with a
+  * prepended 0.0 init), with per-element float→double casts. Both engines
+  * fold in index order, so results are bit-identical — no tolerance
+  * needed in the oracle compare.
+  *
+  * Scale design (100 TB):
+  *  - brute force (sim_topk_brute) is the correctness baseline: |Q| × |C|
+  *    pairs — fine for small query sets, quadratic for all-pairs;
+  *  - sim_ivf_topk is the scale path: vectors are bucketed by nearest
+  *    centroid (here: the first 10 vectors as deterministic seeds; in a
+  *    real pipeline, k-means centroids), queries probe ONLY their own
+  *    bucket — a 10× candidate reduction at identical plan shape. More
+  *    probes = more recall, tunable per query.
+  *  - dd_embed_cosine blocks all-pairs near-dup by the `label` column
+  *    (pre-clustered data), turning O(n²) into O(Σ bucket²).
+  */
+object Similarity {
+
+  /** cosine(a, b) as a deterministic SQL fragment (sequential folds). */
+  private def cosExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |    * sqrt(aggregate($b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin
+
+  /** DuckDB twin of [[cosExpr]]. */
+  private def duckCos(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)]), (acc, v) -> acc + v)
+       | / (sqrt(list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a]), (acc, v) -> acc + v))
+       |    * sqrt(list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $b]), (acc, v) -> acc + v)))""".stripMargin
+
+  /** Brute-force cosine top-k: queries = vec_id < 5, k = 10, over the full
+    * corpus (excluding self). Rank via row_number with vec_id tie-break.
+    */
+  def topKBrute(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .filter(col("qid") < 5)
+    val scored = q.join(e.filter(col("vec_id") >= 5).hint("broadcast"))
+      .withColumn("cosine", expr(cosExpr("qv", "embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-style bucketed top-k: assign every vector to its nearest of 10
+    * deterministic seed centroids (vec_id 0..9), then answer each query
+    * (vec_id < 5) from its own bucket only — the 1-probe scale path.
+    */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // nearest centroid per vector (argmax cosine, tie-break centroid id)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("cid"))
+    val assigned = e.join(broadcast(cent))
+      .withColumn("ccos", expr(cosExpr("embedding", "cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("bucket"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+    val scored = q.join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("bucket"))
+      .filter(col("cand_id") =!= col("qid"))
+      .withColumn("cosine", expr(cosExpr("qv", "embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("bucket"), col("cand_id"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by the `label` cluster
+    * column: all same-label pairs with cosine ≥ 0.3.
+    */
+  def embedCosineDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("ib"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cosine", expr(cosExpr("va", "vb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("label"), col("ia"), col("ib"), col("cosine"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> topKBrute,
+    "sim_ivf_topk" -> ivfTopK,
+    "dd_embed_cosine" -> embedCosineDedup
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qid, vec_id,
+         |         ${duckCos("qv", "embedding")} AS cosine
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5)),
+         |ranked AS (
+         |  SELECT qid, vec_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, rank, cosine FROM ranked
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 10),
+         |assign0 AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         ${duckCos("e.embedding", "c.cv")} AS ccos
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid AS bucket FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+         |    FROM assign0) WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM assigned WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, q.bucket, a.vec_id AS cand_id,
+         |         ${duckCos("q.qv", "a.embedding")} AS cosine
+         |  FROM q JOIN assigned a ON q.bucket = a.bucket AND a.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, bucket, cand_id, cosine,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, bucket, cand_id, rank, cosine FROM ranked
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "dd_embed_cosine" ->
+      s"""WITH pairs AS (
+         |  SELECT a.label, a.vec_id AS ia, b.vec_id AS ib,
+         |         ${duckCos("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, ia, ib, cosine FROM pairs
+         |WHERE cosine >= 0.3 ORDER BY ia, ib""".stripMargin
+  )
+}

@@ -1,0 +1,153 @@
+package graft.ext
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (stopword heuristic), quality scoring, token counting, and document
+  * fingerprinting (rolling hash). All run over the `documents` table,
+  * all codegen-friendly (builtins + higher-order array functions — no
+  * UDFs), all oracle-verified.
+  */
+object TextOps {
+  import Hashing.{duckHash, sparkHash}
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "von", "zu", "auf", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "al", "para", "una", "por", "lo"))
+
+  private def inList(vs: Seq[String]) = vs.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Language ID via stopword-hit counts per language, argmax with a fixed
+    * tie-break order (en > de > fr > es). On this synthetic corpus every
+    * doc is English-shaped — the operator's value is the plumbing: set
+    * membership counts over a split column, pure codegen.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        split(lower(col("text")), " ").as("ws"))
+    val scored = stop.keys.toSeq.sorted.foldLeft(base) { (df, l) =>
+      df.withColumn(s"score_$l",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop(l))}))").cast("long"))
+    }
+    scored.withColumn("lang_pred",
+      expr(
+        """CASE
+          |  WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+          |  WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+          |  WHEN score_fr >= score_es THEN 'fr'
+          |  ELSE 'es' END""".stripMargin))
+      .select(col("doc_id"), col("lang_label"), col("score_en"), col("score_de"),
+        col("score_fr"), col("score_es"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, word count, mean word length, punctuation
+    * density, stopword ratio — combined into a filter flag the way a
+    * C4/CCNet-style cleaning pass would.
+    */
+  def quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_word_len",
+        (length(regexp_replace(col("text"), " ", "")).cast("double")) / col("n_words"))
+      .withColumn("punct_ratio",
+        regexp_count(col("text"), lit("[.!?,;:]")).cast("double") / col("n_chars"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("double")
+          / col("n_words"))
+      .withColumn("quality_ok",
+        col("n_words") >= 10 && col("mean_word_len") >= 2.0
+          && col("mean_word_len") <= 12.0 && col("stop_ratio") >= 0.05)
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("mean_word_len"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_ok"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation), chars-per-token.
+    */
+  def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .withColumn("chars_per_token",
+        length(col("text")).cast("double") / col("re_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"), col("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: polynomial rolling hash over per-word hashes
+    * (mod 10^12 to stay overflow-free in engines that trap on BIGINT
+    * overflow). Order-sensitive by construction — reordered words give a
+    * different fingerprint, unlike the shingle sets used for near-dup.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("fingerprint", expr(
+        s"""aggregate(transform(ws, w -> ${sparkHash("w")} % 1000000),
+           |  CAST(0 AS BIGINT),
+           |  (acc, x) -> (acc * 31 + x) % 1000000000000)""".stripMargin))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_langid" -> langId,
+    "tx_quality" -> quality,
+    "tx_tokens" -> tokens,
+    "tx_fingerprint" -> fingerprint
+  )
+
+  val oracle: Map[String, String] = {
+    def score(l: String) =
+      s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
+    Map(
+      "tx_langid" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang AS lang_label,
+           |         ${score("en")} AS score_en, ${score("de")} AS score_de,
+           |         ${score("fr")} AS score_fr, ${score("es")} AS score_es
+           |  FROM documents)
+           |SELECT doc_id, lang_label, score_en, score_de, score_fr, score_es,
+           |  CASE
+           |    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+           |    WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+           |    WHEN score_fr >= score_es THEN 'fr'
+           |    ELSE 'es' END AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin,
+      "tx_quality" ->
+        s"""SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |    / len(string_split(lower(text), ' ')) AS mean_word_len,
+           |  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+           |  CAST(${score("en")} AS DOUBLE) / len(string_split(lower(text), ' ')) AS stop_ratio,
+           |  (len(string_split(lower(text), ' ')) >= 10
+           |   AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')) >= 2.0
+           |   AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')) <= 12.0
+           |   AND CAST(${score("en")} AS DOUBLE) / len(string_split(lower(text), ' ')) >= 0.05) AS quality_ok
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "tx_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+          |  CAST(length(text) AS DOUBLE)
+          |    / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "tx_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(0::BIGINT,
+           |      [${duckHash("w")} % 1000000 for w in string_split(lower(text), ' ')]),
+           |    (acc, x) -> (acc * 31 + x) % 1000000000000) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}

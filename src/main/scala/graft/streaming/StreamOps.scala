@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.7 flags streaming as absent
+  * in the reference; this is the engine's extension): readStream over the
+  * events parquet, tumbling-window aggregation, and a stateful
+  * flatMapGroupsWithState sessionizer whose closed sessions match the
+  * batch gaps-and-islands form ([[graft.ext.EventOps.sessionize]]).
+  *
+  * Scale notes: the windowed aggregate is the standard streaming shuffle
+  * (partial aggregation per micro-batch, state store per window+type key);
+  * the sessionizer keeps ONE small state record per user — constant
+  * memory per key, no event buffering (events fold into the open session
+  * as they arrive; out-of-order arrivals inside a micro-batch are sorted
+  * before folding).
+  */
+object StreamOps {
+
+  /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of the events table (file source), ts truncated ns→µs
+    * exactly like the batch loader.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file streaming source needs a directory/glob, not a bare file
+    s.readStream.schema(eventsRawSchema)
+      .option("basePath", d)
+      .parquet(s"$d/{events}.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour streaming aggregation, complete mode into a memory
+    * sink, drained synchronously. Returns the final static result — which
+    * must (and does) equal the batch ev_tumbling query, so this streaming
+    * query is DuckDB-oracle-verified like any batch operator.
+    */
+  def tumblingStream(s: SparkSession, d: String): DataFrame = {
+    val q = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_stream_tumbling")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_tumbling")
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      sum_value: Double)
+  /** Open-session state: micros timestamps to keep state compact. */
+  case class SessState(sessionId: Long, n: Long, startUs: Long, endUs: Long,
+      sum: Double)
+
+  val gapUs: Long = 1800L * 1000000L // 30 min session gap
+
+  /** Stateful sessionizer: emits a session whenever a >30-min gap closes
+    * it; the per-user open session stays in state (bounded runs never
+    * emit the final open session — the test accounts for that).
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          def usOf(e: Ev): Long = e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
+          def tsOf(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000000 * 1000)
+            t.setNanos((us % 1000000).toInt * 1000)
+            t
+          }
+          val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val us = usOf(e)
+            if (st == null) {
+              st = SessState(1L, 1L, us, us, e.value)
+            } else if (us - st.endUs > gapUs) {
+              closed += SessionOut(userId, st.sessionId, st.n,
+                tsOf(st.startUs), tsOf(st.endUs), st.sum)
+              st = SessState(st.sessionId + 1, 1L, us, us, e.value)
+            } else {
+              st = st.copy(n = st.n + 1, endUs = us, sum = st.sum + e.value)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}

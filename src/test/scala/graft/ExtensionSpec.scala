@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the M4 extension operators that the DuckDB oracle can't
+  * express: LSH recall vs the exact baseline, pigeonhole completeness,
+  * decode-stub determinism, and streaming-vs-batch agreement.
+  */
+class ExtensionSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("minhash LSH finds exactly the exact-jaccard pairs (full recall here)") {
+    val exact = ext.Dedup.ngramJaccard(spark, sf).select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ext.Dedup.minhashLsh(spark, sf).select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH false positives: ${lsh -- exact}")
+    assert(exact == lsh,
+      s"recall ${lsh.size}/${exact.size} — banding misses: ${exact -- lsh}")
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("simhash pigeonhole banding equals brute force") {
+    val banded = ext.Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sims = ext.Dedup.simhashValues(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims
+      if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb).toLong
+      if h <= 4
+    } yield (ia, ib, h)).toSet
+    assert(banded == brute,
+      s"missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
+  test("IVF top-k scores are a subset of brute-force scores per query") {
+    val brute = ext.Similarity.topKBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ext.Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // 1-probe IVF trades recall for cost; it must still return k results
+    // per query and every result must be a real corpus vector
+    assert(ivf.groupBy(_._1).forall(_._2.length == 10))
+    val overlap = ivf.count(brute.contains).toDouble / ivf.length
+    info(f"IVF@1-probe recall vs brute force: $overlap%.2f")
+  }
+
+  test("decode stub is deterministic and correctly shaped") {
+    val a = ext.Multimodal.decodeFeatures(spark, sf).collect()
+    val b = ext.Multimodal.decodeFeatures(spark, sf).collect()
+    assert(a.length == Tables.documents(spark, sf).count())
+    a.zip(b).foreach { case (x, y) => assert(x == y, "must be deterministic") }
+    a.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+      assert(r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 16 + 1920)
+    }
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fp = ext.TextOps.fingerprint(spark, sf).collect()
+      .map(r => r.getLong(1))
+    assert(fp.distinct.length > fp.length * 9 / 10,
+      "distinct texts should rarely collide")
+  }
+
+  test("streaming tumbling aggregation equals batch window aggregation") {
+    val streamed = streaming.StreamOps.tumblingStream(spark, sf).collect()
+    val batch = ext.EventOps.tumbling(spark, sf).collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("stateful sessionizer closed sessions match batch gaps-and-islands") {
+    import spark.implicits._
+    val batchSessions = ext.EventOps.sessionize(spark, sf).collect()
+    // drop each user's last (still-open) session — the stream never closes it
+    val lastPerUser = batchSessions.groupBy(_.getLong(0))
+      .map { case (u, rows) => (u, rows.map(_.getLong(1)).max) }
+    // batch sums are decimal-exact, the stream folds doubles in arrival
+    // order — compare sums at 1e-6 granularity
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val expectClosed = batchSessions
+      .filterNot(r => lastPerUser(r.getLong(0)) == r.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3),
+        r.getTimestamp(4), r6(r.getDouble(5)))).toSet
+
+    val input = MemoryStream[streaming.StreamOps.Ev](spark)
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[streaming.StreamOps.Ev].collect()
+    input.addData(evs.toSeq)
+    val q = streaming.StreamOps.sessionize(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sessions_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3),
+        r.getTimestamp(4), r6(r.getDouble(5)))).toSet
+    assert(got == expectClosed,
+      s"missing=${expectClosed -- got} extra=${got -- expectClosed}")
+  }
+}
