@@ -85,11 +85,19 @@ object Dedup {
     * over shingles (one row per doc — no explosion), banded B=8 × R=4,
     * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
     */
+  /** 2^40 modulus for the arithmetic hash family: one md5 per shingle,
+    * then h_i = ((2i+1)·base + i·2654435761) mod 2^40 — 32× fewer md5
+    * calls than salting the digest per function, and every intermediate
+    * stays < 2^47, safe for DuckDB's overflow-trapping BIGINT.
+    */
+  private val M40 = "1099511627776"
+
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = shingled(s, d).withColumn("sig", expr(
       s"""aggregate(
-         |  transform(shingles, sh -> transform(sequence(0, ${K - 1}),
-         |    i -> ${sparkHash("concat(cast(i as string), ':', sh)")})),
+         |  transform(transform(shingles, sh -> ${sparkHash("sh")} % $M40),
+         |    b -> transform(sequence(0, ${K - 1}),
+         |      i -> ((2*i + 1) * b + i * 2654435761) % $M40)),
          |  array_repeat(CAST(9223372036854775807 AS BIGINT), $K),
          |  (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))""".stripMargin))
     val bands = sig.select(col("doc_id"), col("shingles"),
@@ -124,7 +132,7 @@ object Dedup {
     val banded = sim.select(col("doc_id"), col("sim"),
       explode(expr(
         s"""transform(sequence(0, ${CHUNKS - 1}), c -> struct(c as chunk,
-           |  (sim DIV CAST(pow(2, c*12) AS BIGINT)) % 4096 as cv))""".stripMargin
+           |  shiftright(sim, c*12) % 4096 as cv))""".stripMargin
       )).as("cb"))
       .select(col("doc_id"), col("sim"), col("cb.chunk").as("chunk"), col("cb.cv").as("cv"))
     banded.as("a")
@@ -149,13 +157,13 @@ object Dedup {
            |  array_repeat(CAST(0 AS BIGINT), 60),
            |  (acc, h) -> zip_with(acc,
            |    transform(sequence(0, 59),
-           |      j -> CASE WHEN (h DIV CAST(pow(2, j) AS BIGINT)) % 2 = 1
+           |      j -> CASE WHEN shiftright(h, j) % 2 = 1
            |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
            |    (a, v) -> a + v))""".stripMargin))
       .withColumn("sim", expr(
         """aggregate(
           |  zip_with(votes, sequence(0, 59),
-          |    (v, j) -> CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+          |    (v, j) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
           |              ELSE CAST(0 AS BIGINT) END),
           |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
       .select(col("doc_id"), col("sim"))
@@ -201,7 +209,7 @@ object Dedup {
          |  SELECT doc_id, shingles,
          |    [list_reduce(
          |       list_prepend(9223372036854775807::BIGINT,
-         |         [${duckHash("CAST(i AS VARCHAR) || ':' || sh")} for sh in shingles]),
+         |         [((2*i + 1) * (${duckHash("sh")} % $M40) + i * 2654435761) % $M40 for sh in shingles]),
          |       (a, x) -> least(a, x)) for i in range(0, $K)] AS sig
          |  FROM shing),
          |bands AS (

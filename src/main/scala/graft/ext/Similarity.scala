@@ -27,8 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) as a deterministic SQL fragment (sequential folds). */
-  private def cosExpr(a: String, b: String): String =
+  /** cosine via the codegen'd [[graft.expr.CosineSim]] expression —
+    * registered per session; bit-identical to the HOF fold and DuckDB.
+    */
+  private def cos(s: SparkSession, a: String, b: String): String = {
+    graft.expr.VectorExprs.register(s)
+    s"graft_cosine($a, $b)"
+  }
+
+  /** cosine(a, b) as a pure higher-order-function SQL fragment (sequential
+    * folds) — the buildins-only form, kept for the equivalence test.
+    */
+  private[graft] def cosExpr(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
        | / (sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
@@ -48,7 +58,7 @@ object Similarity {
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .filter(col("qid") < 5)
     val scored = q.join(e.filter(col("vec_id") >= 5).hint("broadcast"))
-      .withColumn("cosine", expr(cosExpr("qv", "embedding")))
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
@@ -68,7 +78,7 @@ object Similarity {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), col("cid"))
     val assigned = e.join(broadcast(cent))
-      .withColumn("ccos", expr(cosExpr("embedding", "cv")))
+      .withColumn("ccos", expr(cos(s, "embedding", "cv")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("bucket"))
@@ -76,7 +86,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
     val scored = q.join(assigned.withColumnRenamed("vec_id", "cand_id"), Seq("bucket"))
       .filter(col("cand_id") =!= col("qid"))
-      .withColumn("cosine", expr(cosExpr("qv", "embedding")))
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
@@ -93,7 +103,7 @@ object Similarity {
     val b = e.select(col("label"), col("vec_id").as("ib"), col("embedding").as("vb"))
     a.join(b, Seq("label"))
       .filter(col("ia") < col("ib"))
-      .withColumn("cosine", expr(cosExpr("va", "vb")))
+      .withColumn("cosine", expr(cos(s, "va", "vb")))
       .filter(col("cosine") >= 0.3)
       .select(col("label"), col("ia"), col("ib"), col("cosine"))
       .orderBy(col("ia"), col("ib"))

@@ -49,6 +49,18 @@ class ExtensionSpec extends AnyFunSuite {
     info(f"IVF@1-probe recall vs brute force: $overlap%.2f")
   }
 
+  test("codegen CosineSim is bit-identical to the HOF fold") {
+    graft.expr.VectorExprs.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib")).limit(2000)
+      .withColumn("c_native", expr("graft_cosine(va, vb)"))
+      .withColumn("c_hof", expr(ext.Similarity.cosExpr("va", "vb")))
+    val diff = pairs.filter(col("c_native") =!= col("c_hof")).count()
+    assert(diff == 0, s"$diff pairs differ — fold order must match exactly")
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeatures(spark, sf).collect()
     val b = ext.Multimodal.decodeFeatures(spark, sf).collect()

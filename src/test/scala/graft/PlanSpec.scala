@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (the "would this survive a 100× scale-up" checks):
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for dims, sort-merge for big⋈big, TakeOrderedAndProject for
+  * sort+limit, and whole-stage codegen coverage.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Plan with AQE off and broadcast disabled — what the planner picks at
+    * real scale, where neither side fits in a broadcast (test data is so
+    * small AQE rightly broadcasts everything).
+    */
+  private def planAtScale(name: String): String = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
+  test("equality filter reaches the parquet scan (PushedFilters)") {
+    val p = plan("p1_project_filter")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "filter must be pushed into the scan:\n" + p.take(2000))
+  }
+
+  test("flagship prunes lineitem columns at the scan (ReadSchema)") {
+    val p = plan("a8_flagship")
+    // lineitem has 11 columns; the flagship needs 4 — the scan schema
+    // must not include unused ones like l_shipdate / l_returnflag
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("l_orderkey")).mkString("\n")
+    assert(scanLines.nonEmpty)
+    assert(!scanLines.contains("l_shipdate"), scanLines)
+    assert(!scanLines.contains("l_returnflag"), scanLines)
+  }
+
+  test("small dims broadcast; big-big joins sort-merge at scale") {
+    // explicit broadcast() hint survives even with auto-broadcast off
+    assert(planAtScale("a8_flagship").contains("BroadcastHashJoin"))
+    val big = planAtScale("j8_bigbig_join")
+    assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+      big.take(2000))
+  }
+
+  test("sort+limit collapses to TakeOrderedAndProject") {
+    assert(plan("o3_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship aggregates partially before the shuffle (partial HashAggregate)") {
+    val p = plan("a8_flagship")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expect map-side partial + final aggregate")
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    val p = planAtScale("p8_derived_columns")
+    // codegen spans render as "*(n) Operator" in plan toString
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(1000))
+  }
+
+  test("semi/anti joins plan as join, not subquery re-scan") {
+    assert(plan("x_semi_join").contains("LeftSemi"))
+    assert(plan("x_anti_join").contains("LeftAnti"))
+  }
+}
