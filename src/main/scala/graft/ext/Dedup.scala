@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - exact dedup groups on md5(text), not text — shuffle keys are 16
   *    bytes instead of whole documents;
+  *  - shingles are hashed to 60-bit longs ONCE, immediately after
+  *    shingling; every downstream op (self-join keys, set intersections,
+  *    minhash folds) works on 8-byte longs, never strings — smaller
+  *    shuffles and codegen-friendly comparisons;
   *  - MinHash signatures are computed with array folds (no row explosion:
   *    one row per doc throughout), then only 8 small band rows per doc
   *    shuffle; candidate verification touches pairs, which LSH keeps tiny;
@@ -35,7 +39,15 @@ object Dedup {
   private val HAM = 4    // simhash hamming threshold
   private val CHUNKS = 5 // simhash pigeonhole chunks (12 bits each)
 
-  /** (doc_id, ws, shingles): lowercase word-3-gram shingles, distinct. */
+  /** 2^40 modulus for the arithmetic minhash family: one md5 per shingle,
+    * then h_i = ((2i+1)·base + i·2654435761) mod 2^40 — every intermediate
+    * stays < 2^47, safe for DuckDB's overflow-trapping BIGINT.
+    */
+  private val M40 = "1099511627776"
+
+  /** (doc_id, shashes): lowercase word-3-gram shingles hashed to 60-bit
+    * longs, distinct per doc. All dedup set math runs on these longs.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
@@ -43,6 +55,9 @@ object Dedup {
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3))))"
       ).as("shingles"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(shingles, sh -> ${sparkHash("sh")}))"
+      ).as("shashes"))
 
   /** Exact dedup via hash-groupBy. The corpus has no exact dups, so dups
     * are injected by unioning the table with itself; the dedup then picks
@@ -57,15 +72,15 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
-  /** Exact n-gram Jaccard near-dup: all pairs sharing ≥1 shingle, scored
-    * inter/(|A|+|B|-inter), kept at ≥ 0.5. The shingle-explode self-join is
-    * the exact baseline; LSH below reproduces it at scale.
+  /** Exact n-gram Jaccard near-dup: all pairs sharing ≥1 shingle hash,
+    * scored inter/(|A|+|B|-inter), kept at ≥ 0.5. The explode self-join on
+    * long keys is the exact baseline; LSH below reproduces it at scale.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val sizes = shingled(s, d).select(col("doc_id"), size(col("shingles")).as("n"))
+    val sh = shingled(s, d).select(col("doc_id"), explode(col("shashes")).as("sh"))
+    val sizes = shingled(s, d).select(col("doc_id"), size(col("shashes")).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle")
+      .join(sh.as("b"), col("a.sh") === col("b.sh")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .agg(count(lit(1)).as("inter"))
@@ -81,36 +96,28 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** MinHash + LSH near-dup: K=32 salted hashes folded elementwise-min
-    * over shingles (one row per doc — no explosion), banded B=8 × R=4,
+  /** MinHash + LSH near-dup: K=32 arithmetic hashes folded elementwise-min
+    * over shingle hashes (one row per doc — no explosion), banded B=8 × R=4,
     * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
     */
-  /** 2^40 modulus for the arithmetic hash family: one md5 per shingle,
-    * then h_i = ((2i+1)·base + i·2654435761) mod 2^40 — 32× fewer md5
-    * calls than salting the digest per function, and every intermediate
-    * stays < 2^47, safe for DuckDB's overflow-trapping BIGINT.
-    */
-  private val M40 = "1099511627776"
-
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sig = shingled(s, d).withColumn("sig", expr(
       s"""aggregate(
-         |  transform(transform(shingles, sh -> ${sparkHash("sh")} % $M40),
-         |    b -> transform(sequence(0, ${K - 1}),
-         |      i -> ((2*i + 1) * b + i * 2654435761) % $M40)),
+         |  transform(shashes, h -> transform(sequence(0, ${K - 1}),
+         |    i -> ((2*i + 1) * (h % $M40) + i * 2654435761) % $M40)),
          |  array_repeat(CAST(9223372036854775807 AS BIGINT), $K),
          |  (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))""".stripMargin))
-    val bands = sig.select(col("doc_id"), col("shingles"),
+    val bands = sig.select(col("doc_id"), col("shashes"),
       explode(expr(
         s"""transform(sequence(0, ${B - 1}), b -> struct(b as band,
            |  ${sparkHash(s"concat(cast(b as string), '|', concat_ws(',', transform(slice(sig, b*$R+1, $R), v -> cast(v as string))))")} as bh))""".stripMargin
       )).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"), col("shashes"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band")
         && col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        col("a.shingles").as("sha"), col("b.shingles").as("shb"))
+        col("a.shashes").as("sha"), col("b.shashes").as("shb"))
       .dropDuplicates("ia", "ib")
     cand
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -145,28 +152,24 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** (doc_id, sim): the 60-bit simhash values themselves (exposed for the
-    * pigeonhole-vs-brute-force equivalence test).
+  /** (doc_id, sim): the 60-bit simhash values. Votes are computed as 60
+    * codegen'd bit-count sums over exploded word hashes (votes_j > 0 ⟺
+    * 2·ones_j − n_words > 0) rather than a per-word 60-wide interpreted
+    * fold — one small shuffle, whole-stage codegen throughout.
     */
   def simhashValues(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d)
-      .select(col("doc_id"), expr("array_distinct(split(lower(text), ' '))").as("ws"))
-      .withColumn("votes", expr(
-        s"""aggregate(
-           |  transform(ws, w -> ${sparkHash("w")}),
-           |  array_repeat(CAST(0 AS BIGINT), 60),
-           |  (acc, h) -> zip_with(acc,
-           |    transform(sequence(0, 59),
-           |      j -> CASE WHEN shiftright(h, j) % 2 = 1
-           |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
-           |    (a, v) -> a + v))""".stripMargin))
-      .withColumn("sim", expr(
-        """aggregate(
-          |  zip_with(votes, sequence(0, 59),
-          |    (v, j) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), j)
-          |              ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-      .select(col("doc_id"), col("sim"))
+    val wordHashes = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(lower(text), ' '))")).as("w"))
+      .select(col("doc_id"), expr(sparkHash("w")).as("h"))
+    val bitSums = (0 until 60).map(j =>
+      sum(expr(s"shiftright(h, $j) % 2")).as(s"b$j"))
+    val agg = wordHashes.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), bitSums: _*)
+    val simExpr = (0 until 60)
+      .map(j => s"(CASE WHEN 2*b$j - nw > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    agg.select(col("doc_id"), expr(simExpr).as("sim"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,11 +180,12 @@ object Dedup {
   )
 
   private val shingCte =
-    """shing AS (
-      |  SELECT doc_id,
-      |         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingles
-      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
-      |  WHERE len(ws) >= 3)""".stripMargin
+    s"""shing AS (
+       |  SELECT doc_id,
+       |         list_distinct([${duckHash("sh")} for sh in
+       |           list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])]) AS shashes
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+       |  WHERE len(ws) >= 3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
@@ -190,11 +194,11 @@ object Dedup {
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH $shingCte,
-         |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shing),
-         |sizes AS (SELECT doc_id, len(shingles) AS n FROM shing),
+         |sh AS (SELECT doc_id, unnest(shashes) AS sh FROM shing),
+         |sizes AS (SELECT doc_id, len(shashes) AS n FROM shing),
          |inter AS (
          |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT ia, ib, inter,
          |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
@@ -206,14 +210,14 @@ object Dedup {
     "dd_minhash_lsh" ->
       s"""WITH $shingCte,
          |sig AS (
-         |  SELECT doc_id, shingles,
+         |  SELECT doc_id, shashes,
          |    [list_reduce(
          |       list_prepend(9223372036854775807::BIGINT,
-         |         [((2*i + 1) * (${duckHash("sh")} % $M40) + i * 2654435761) % $M40 for sh in shingles]),
+         |         [((2*i + 1) * (h % $M40) + i * 2654435761) % $M40 for h in shashes]),
          |       (a, x) -> least(a, x)) for i in range(0, $K)] AS sig
          |  FROM shing),
          |bands AS (
-         |  SELECT doc_id, shingles, b,
+         |  SELECT doc_id, shashes, b,
          |    ${duckHash(s"CAST(b AS VARCHAR) || '|' || array_to_string([CAST(v AS VARCHAR) for v in sig[b*$R+1:b*$R+$R]], ',')")} AS bh
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
          |cand AS (
@@ -222,35 +226,34 @@ object Dedup {
          |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |scored AS (
          |  SELECT ia, ib,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+         |    CAST(len(list_intersect(sa.shashes, sb.shashes)) AS BIGINT) AS inter,
+         |    CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+         |      / (len(sa.shashes) + len(sb.shashes) - len(list_intersect(sa.shashes, sb.shashes))) AS jaccard
          |  FROM cand JOIN shing sa ON ia = sa.doc_id JOIN shing sb ON ib = sb.doc_id)
          |SELECT ia, ib, inter, jaccard FROM scored
          |WHERE jaccard >= $JT ORDER BY ia, ib""".stripMargin,
     "dd_simhash" ->
       s"""WITH hashed AS (
-         |  SELECT doc_id,
-         |    [${duckHash("w")} for w in list_distinct(string_split(lower(text), ' '))] AS hs
-         |  FROM documents),
-         |votes AS (
-         |  SELECT doc_id,
-         |    [list_reduce(list_prepend(0::BIGINT,
-         |       [CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
-         |             THEN 1::BIGINT ELSE (-1)::BIGINT END for h in hs]),
-         |       (a, x) -> a + x) for j in range(0, 60)] AS v
-         |  FROM hashed),
-         |sims AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      [CASE WHEN v[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT)
-         |            ELSE 0::BIGINT END for j in range(0, 60)]),
-         |      (a, x) -> a + x) AS sim
-         |  FROM votes)
-         |SELECT a.doc_id AS ia, b.doc_id AS ib,
-         |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sim, b.sim)) <= $HAM
-         |ORDER BY ia, ib""".stripMargin
-  )
+       |  SELECT doc_id,
+       |    [${duckHash("w")} for w in list_distinct(string_split(lower(text), ' '))] AS hs
+       |  FROM documents),
+       |votes AS (
+       |  SELECT doc_id,
+       |    [list_reduce(list_prepend(0::BIGINT,
+       |       [CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+       |             THEN 1::BIGINT ELSE (-1)::BIGINT END for h in hs]),
+       |       (a, x) -> a + x) for j in range(0, 60)] AS v
+       |  FROM hashed),
+       |sims AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [CASE WHEN v[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT)
+       |            ELSE 0::BIGINT END for j in range(0, 60)]),
+       |      (a, x) -> a + x) AS sim
+       |  FROM votes)
+       |SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $HAM
+       |ORDER BY ia, ib""".stripMargin)
 }

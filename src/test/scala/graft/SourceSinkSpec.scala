@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink surface (SURVEY.md §2.1): CSV with header and EXPLICIT
+  * schema (the engine's upgrade over the reference's all-string reads),
+  * parquet save modes (overwrite/append), and multi-path scans.
+  */
+class SourceSinkSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv sink + scan with header and explicit schema (S2)") {
+    val dir = tmp("graft_csv")
+    val nation = Tables.nation(spark, sf)
+    nation.write.mode(SaveMode.Overwrite).option("header", true).csv(dir)
+    // header=true without schema → all strings (the reference's behavior)
+    val allStrings = spark.read.option("header", true).csv(dir)
+    assert(allStrings.schema.fields.forall(_.dataType == StringType))
+    // explicit schema → typed columns, no inference pass over the data
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val typed = spark.read.option("header", true).schema(schema).csv(dir)
+    assert(typed.schema == schema)
+    assert(typed.count() == nation.count())
+    val got = typed.orderBy("n_nationkey").collect().map(_.getString(1))
+    val want = nation.orderBy("n_nationkey").collect().map(_.getString(1))
+    assert(got.sameElements(want))
+  }
+
+  test("parquet sink save modes: overwrite resets, append accumulates (S3)") {
+    val dir = tmp("graft_pq")
+    val region = Tables.region(spark, sf)
+    region.write.format("parquet").mode(SaveMode.Overwrite).save(dir)
+    assert(spark.read.parquet(dir).count() == 5)
+    region.write.format("parquet").mode(SaveMode.Append).save(dir)
+    assert(spark.read.parquet(dir).count() == 10)
+    region.write.format("parquet").mode(SaveMode.Overwrite).save(dir)
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("multi-path parquet scan unions files (S1)") {
+    val p = s"$sf/region.parquet"
+    assert(Tables.loadMulti(spark, Seq(p, p)).count() == 10)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp("graft_part")
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("o_year") === 1995)
+    val plan = one.queryExecution.executedPlan.toString
+    // partition filter must land in the scan, not a post-filter
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      plan.take(1500))
+    assert(one.count() ==
+      Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
+  }
+}
