@@ -19,7 +19,7 @@ object SparkEntry {
     ops.CoreOps.queries ++ ops.ScalarOps.queries ++ ops.AggJoinOps.queries ++
       ops.PipelineOps.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
-      ext.EventOps.queries ++ ext.Multimodal.queries ++
+      ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream)
 
@@ -30,7 +30,7 @@ object SparkEntry {
     ops.CoreOps.oracle ++ ops.ScalarOps.oracle ++ ops.AggJoinOps.oracle ++
       ops.PipelineOps.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
-      ext.EventOps.oracle ++ ext.Multimodal.oracle ++
+      ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       // a real streaming query, verified against the same batch oracle
       Map("st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"))
 }

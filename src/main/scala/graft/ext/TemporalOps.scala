@@ -1,0 +1,108 @@
+package graft.ext
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/skew operators Spark has no primitive for, composed from
+  * built-ins so they stay declarative and shuffle-minimal:
+  *
+  *  - AS-OF JOIN via the union-sort-carry pattern: tag both streams,
+  *    union, one sort per user, carry the last right-side timestamp
+  *    forward with last(ignoreNulls) — O(n log n) with ONE shuffle,
+  *    versus the naive user-level theta-join which is quadratic per key.
+  *    The DuckDB oracle uses its NATIVE `ASOF LEFT JOIN`, so the
+  *    composition is cross-validated against an independent
+  *    implementation of as-of semantics.
+  *  - RANGE JOIN (non-equi) against a small broadcast ranges dim —
+  *    planned as BroadcastNestedLoopJoin, which is exactly right when
+  *    the build side is tiny.
+  *  - SALTED AGGREGATION: two-stage aggregate (key, salt) → (key) that
+  *    breaks hot keys across 16 reducers. With decimal-exact partials the
+  *    result is bit-identical to the direct aggregate — the oracle runs
+  *    the UNSALTED form, proving the rewrite is semantics-preserving.
+  */
+object TemporalOps {
+
+  /** For every purchase event: the most recent click (same user, click.ts
+    * <= purchase.ts). Inclusive-tie semantics matched to DuckDB ASOF by
+    * sorting clicks before purchases at equal timestamps.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"),
+        col("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: lineitem quantities bucketed into per-brand [min,max]
+    * p_size ranges (a data-derived ranges dim), non-equi broadcast join.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ranges = Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(min(col("p_size")).as("lo"), max(col("p_size")).as("hi"))
+    Tables.lineitem(s, d)
+      .join(broadcast(ranges),
+        col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy(col("p_brand"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Salted two-stage aggregation: (event_type, salt=event_id%16) partials
+    * → final merge. Identical output to the direct groupBy (the oracle
+    * runs the unsalted form) because partials are decimal-exact; at scale
+    * this is the standard fix for a hot grouping key.
+    */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pc"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 4))).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n_events"),
+        sum(col("ps")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof_join" -> asofJoin,
+    "x_range_join" -> rangeJoin,
+    "x_salted_agg" -> saltedAgg
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_asof_join" ->
+      """SELECT p.user_id, p.event_id, p.ts AS purchase_ts, c.ts AS last_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "x_range_join" ->
+      """WITH ranges AS (
+        |  SELECT p_brand, MIN(p_size) AS lo, MAX(p_size) AS hi
+        |  FROM part GROUP BY 1)
+        |SELECT p_brand, lo, hi, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN ranges ON l_quantity BETWEEN lo AND hi
+        |GROUP BY 1, 2, 3 ORDER BY p_brand""".stripMargin,
+    "x_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based algebraic invariants (SURVEY.md §5): dedup idempotence,
+  * left-join row preservation, argmax-form equivalence, count-gate
+  * monotonicity — over ScalaCheck-generated data (fixed seeds, 15 cases
+  * per property), not just the fixtures.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(String, Int)]] =
+    Gen.listOfN(60, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0, 9)))
+
+  private def cases(n: Int): Seq[List[(String, Int)]] =
+    (0 until n).map(i => rowsGen.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("dropDuplicates is idempotent and never increases row count") {
+    cases(15).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val once = df.dropDuplicates()
+      assert(once.count() <= df.count())
+      assert(once.dropDuplicates().count() == once.count())
+    }
+  }
+
+  test("left join preserves left row count when right keys are unique") {
+    cases(15).foreach { rows =>
+      val left = rows.toDF("k", "v")
+      val right = rows.map(_._1).distinct.zipWithIndex.toDF("k", "id")
+      assert(left.join(right, Seq("k"), "left").count() == left.count())
+    }
+  }
+
+  test("argmax via self-join ⊇ argmax via window, window picks min tie") {
+    cases(10).foreach { rows =>
+      val counts = rows.toDF("k", "v").groupBy("k", "v").count()
+      val maxes = counts.groupBy("k").agg(max("count").as("mx"))
+      val self = counts.join(maxes, Seq("k"))
+        .filter(col("count") === col("mx"))
+        .select("k", "v").as[(String, Int)].collect().toSet
+      val win = counts.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(desc("count"), col("v"))))
+        .filter(col("rn") === 1)
+        .select("k", "v").as[(String, Int)].collect().toSet
+      assert(win.subsetOf(self))
+      win.foreach { case (k, v) =>
+        assert(v == self.filter(_._1 == k).map(_._2).min)
+      }
+    }
+  }
+
+  test("count gates are monotone under union") {
+    cases(15).zip(cases(15).reverse).foreach { case (r1, r2) =>
+      val a = r1.toDF("k", "v")
+      val b = r2.toDF("k", "v")
+      assert(a.unionByName(b).count() == a.count() + b.count())
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermark semantics: append-mode windowed aggregation emits a window
+  * only once the watermark passes its end, and drops events that arrive
+  * later than the watermark allows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import graft.streaming.StreamOps.Ev
+
+  private def ev(id: Long, t: String, user: Long = 1): Ev =
+    Ev(id, Timestamp.valueOf(t), user, "click", 1.0)
+
+  test("watermark finalizes closed windows and drops late data") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val agg = input.toDS()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("user_id"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_wm_test").start()
+    try {
+      // batch 1: two events in the 12:00 window, one at 14:00 that will
+      // push the watermark to 13:30 and close the 12:00 window
+      input.addData(ev(1, "2024-01-01 12:01:00"), ev(2, "2024-01-01 12:05:00"),
+        ev(3, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      // batch 2: a late event inside the already-finalized 12:00 window —
+      // older than the watermark, must be DROPPED
+      input.addData(ev(4, "2024-01-01 12:07:00"))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to flush the 14:00 window
+      input.addData(ev(5, "2024-01-01 16:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_wm_test").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      // the 12:00-12:10 window was emitted with the ON-TIME count only
+      assert(rows("2024-01-01 12:00:00.0") == 2L,
+        s"late event must not be counted: $rows")
+      assert(rows.contains("2024-01-01 14:00:00.0"))
+    } finally q.stop()
+  }
+}
