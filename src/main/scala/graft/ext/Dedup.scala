@@ -77,18 +77,18 @@ object Dedup {
     * long keys is the exact baseline; LSH below reproduces it at scale.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), explode(col("shashes")).as("sh"))
-    val sizes = shingled(s, d).select(col("doc_id"), size(col("shashes")).as("n"))
-    val inter = sh.as("a")
+    // set size rides along with every exploded row, so no extra sizes
+    // join is needed and the self-join's two sides are identical subplans
+    // (one scan+hash, exchange reused by Catalyst)
+    val sh = shingled(s, d)
+      .select(col("doc_id"), size(col("shashes")).as("n"),
+        explode(col("shashes")).as("sh"))
+    sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh")
         && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "ia_k").withColumnRenamed("n", "na"),
-        col("ia") === col("ia_k"))
-      .join(sizes.withColumnRenamed("doc_id", "ib_k").withColumnRenamed("n", "nb"),
-        col("ib") === col("ib_k"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= expr(JT))
@@ -194,18 +194,16 @@ object Dedup {
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH $shingCte,
-         |sh AS (SELECT doc_id, unnest(shashes) AS sh FROM shing),
-         |sizes AS (SELECT doc_id, len(shashes) AS n FROM shing),
+         |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),
          |inter AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb,
+         |         COUNT(*) AS inter
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2, 3, 4)
          |SELECT ia, ib, inter,
-         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM inter
-         |JOIN sizes sa ON ia = sa.doc_id
-         |JOIN sizes sb ON ib = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JT
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JT
          |ORDER BY ia, ib""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH $shingCte,

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional analyst-facing aggregates beyond the reference surface:
+  * pivot, ordered string aggregation, exact interpolated percentiles.
+  */
+object ExtraOps {
+
+  /** Pivot with an EXPLICIT value list (the scalable form — no extra pass
+    * to discover pivot values, and stable output schema).
+    */
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .orderBy(col("o_orderstatus"))
+
+  /** Ordered string aggregation: deterministic via sort-before-join
+    * (collect_set order is partition-dependent; array_sort fixes it).
+    */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+        .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact percentiles with linear interpolation (Spark `percentile` ↔
+    * DuckDB `quantile_cont`).
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p90_price"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pivot" -> pivotAgg,
+    "x_string_agg" -> stringAgg,
+    "x_percentile" -> percentiles
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "x_string_agg" ->
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |       COUNT(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+  )
+}
