@@ -59,6 +59,20 @@ object EventOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Native session_window (gap-close 30 min): Spark's built-in session
+    * assignment must produce exactly the sessions the gaps-and-islands
+    * window form derives — the oracle IS the gaps-and-islands SQL, so the
+    * two formulations cross-validate.
+    */
+  def sessionWindowNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** JSON property extraction (events.props is a JSON string): pull $.k,
     * cast, aggregate — get_json_object ↔ json_extract_string.
     */
@@ -76,6 +90,7 @@ object EventOps {
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
     "ev_sessionize" -> sessionize,
+    "ev_session_window" -> sessionWindowNative,
     "ev_json_props" -> jsonProps
   )
 
@@ -102,13 +117,31 @@ object EventOps {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM marked)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end,
         |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "ev_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         -- session_window semantics: a new session starts when the
+        |         -- gap is >= the timeout (the window is [start, last+gap))
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |              THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "ev_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

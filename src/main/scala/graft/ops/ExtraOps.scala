@@ -41,10 +41,24 @@ object ExtraOps {
         expr("percentile(l_extendedprice, 0.9D)").as("p90_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Higher-order array functions over the embeddings vectors: exists /
+    * forall / filter-count / flattened stats — the ArrayType surface a
+    * feature-store pipeline leans on.
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("exists(embedding, x -> x > CAST(2.0 AS FLOAT))").as("has_gt2"),
+        expr("forall(embedding, x -> abs(x) < CAST(10.0 AS FLOAT))").as("all_lt10"),
+        expr("size(filter(embedding, x -> x > CAST(0.0 AS FLOAT)))").cast("long").as("n_positive"),
+        expr("size(embedding)").cast("long").as("dim"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pivot" -> pivotAgg,
     "x_string_agg" -> stringAgg,
-    "x_percentile" -> percentiles
+    "x_percentile" -> percentiles,
+    "x_array_funcs" -> arrayFuncs
   )
 
   val oracle: Map[String, String] = Map(
@@ -65,6 +79,13 @@ object ExtraOps {
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS p50_qty,
         |       quantile_cont(l_extendedprice, 0.9) AS p90_price
-        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x_array_funcs" ->
+      """SELECT vec_id,
+        |       len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_gt2,
+        |       len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 AS all_lt10,
+        |       CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS n_positive,
+        |       CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 }
