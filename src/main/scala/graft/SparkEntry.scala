@@ -17,7 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreOps.queries ++ ops.ScalarOps.queries ++ ops.AggJoinOps.queries ++
-      ops.PipelineOps.queries ++ ops.ExtraOps.queries ++
+      ops.PipelineOps.queries ++ ops.ExtraOps.queries ++ ops.TpchOps.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       Map[String, (SparkSession, String) => DataFrame](
@@ -28,7 +28,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.CoreOps.oracle ++ ops.ScalarOps.oracle ++ ops.AggJoinOps.oracle ++
-      ops.PipelineOps.oracle ++ ops.ExtraOps.oracle ++
+      ops.PipelineOps.oracle ++ ops.ExtraOps.oracle ++ ops.TpchOps.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       // a real streaming query, verified against the same batch oracle

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H-shaped analytics over the test tables (the schema is
+  * TPC-H-ish, so the canonical queries express directly): pricing summary
+  * (Q1), shipping priority (Q3), local-supplier volume (Q5), revenue
+  * forecast (Q6). All aggregates decimal-exact per [[graft.Det]].
+  */
+object TpchOps {
+
+  /** Q1 — pricing summary report: full-scan aggregate with derived
+    * measures, the canonical columnar-scan + hash-agg stress test.
+    */
+  def q1Pricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
+          * Det.onePlus(col("l_tax"))).cast("double").as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        Det.davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q3 — shipping priority: selective filters on both join sides pushed
+    * to the scans, big⋈big join, top-10 by revenue.
+    */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(to_date(col("o_orderdate")) < lit("1995-03-15"))
+    val li = Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) > lit("1995-03-15"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5 — local-supplier volume: the 6-way join (region→nation→customer→
+    * orders→lineitem→supplier) with the nation-match condition, revenue
+    * per nation.
+    */
+  def q5LocalVolume(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey")
+        && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Q6 — revenue forecast: pure scan-filter-aggregate; every predicate
+    * must reach the parquet reader.
+    */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(to_date(col("l_shipdate")) >= lit("1995-01-01")
+        && to_date(col("l_shipdate")) < lit("1996-01-01")
+        && col("l_discount") >= 0.02 && col("l_discount") <= 0.04
+        && col("l_quantity") < 24)
+      .agg(sum(Det.money(col("l_extendedprice")) * Det.rate(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  case class Item(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+  case class FlagStats(l_returnflag: String, n_big: Long, max_qty: Double)
+
+  /** Typed Dataset pipeline: case-class encoder, typed filter/map,
+    * groupByKey + mapGroups — the compile-time-checked surface for logic
+    * that doesn't fit Column expressions. Output matches a plain SQL
+    * oracle, proving the typed path computes the same relation.
+    */
+  def typedPipeline(s: SparkSession, d: String): Dataset[FlagStats] = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .as[Item]
+      .filter((i: Item) => i.l_quantity >= 30.0)
+      .groupByKey(_.l_returnflag)
+      .mapGroups { (flag, items) =>
+        var n = 0L; var mx = Double.MinValue
+        items.foreach { i => n += 1; if (i.l_quantity > mx) mx = i.l_quantity }
+        FlagStats(flag, n, mx)
+      }
+  }
+
+  def typedQuery(s: SparkSession, d: String): DataFrame =
+    typedPipeline(s, d).toDF().orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1" -> q1Pricing,
+    "tpch_q3" -> q3Shipping,
+    "tpch_q5" -> q5LocalVolume,
+    "tpch_q6" -> q6Forecast,
+    "ds_typed_pipeline" -> typedQuery
+  )
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val oracle: Map[String, String] = Map(
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         |       o_orderpriority,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         |       CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "ds_typed_pipeline" ->
+      """SELECT l_returnflag, COUNT(*) AS n_big, MAX(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_quantity >= 30.0
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+  )
+}
