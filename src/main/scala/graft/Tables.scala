@@ -93,4 +93,14 @@ object Det {
   /** 1 + rate, exact in decimal. */
   def onePlus(c: Column): Column =
     lit(1).cast(DecimalType(3, 2)) + rate(c)
+
+  /** The ubiquitous discounted-price revenue measure, exact in decimal,
+    * cast to double at the very end. SQL twin: [[sqlRevenue]].
+    */
+  def revenue(price: Column, discount: Column): Column =
+    sum(money(price) * oneMinus(discount)).cast(DoubleType)
+
+  def sqlRevenue(price: String = "l_extendedprice",
+      discount: String = "l_discount"): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(12,2)) * (1 - CAST($discount AS DECIMAL(4,2)))) AS DOUBLE)"
 }

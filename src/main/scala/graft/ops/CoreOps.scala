@@ -34,8 +34,7 @@ object CoreOps {
       .groupBy(month(col("o_orderdate")).cast("int").as("o_month"), col("n_name"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
-          .cast("double").as("revenue"),
+        Det.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         Det.davg(col("l_quantity")).as("avg_qty"))
       .orderBy(desc("revenue"), col("o_month"), col("n_name"))
   }

@@ -21,13 +21,12 @@ object TpchOps {
       .agg(
         Det.dsum(col("l_quantity")).as("sum_qty"),
         Det.dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
-          .cast("double").as("sum_disc_price"),
+        Det.revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))
           * Det.onePlus(col("l_tax"))).cast("double").as("sum_charge"),
         Det.davg(col("l_quantity")).as("avg_qty"),
         Det.davg(col("l_extendedprice")).as("avg_price"),
-        Det.davg(col("l_discount"), 4).as("avg_disc"),
+        Det.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -44,8 +43,7 @@ object TpchOps {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_orderpriority"))
-      .agg(sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
-        .cast("double").as("revenue"))
+      .agg(Det.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -68,8 +66,7 @@ object TpchOps {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
-        .cast("double").as("revenue"),
+      .agg(Det.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(desc("revenue"), col("n_name"))
   }
@@ -122,17 +119,19 @@ object TpchOps {
 
   private val discPrice =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+  private val sumQty = graft.Det.sqlSum("l_quantity")
+  private val sumPrice = graft.Det.sqlSum("l_extendedprice")
 
   val oracle: Map[String, String] = Map(
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+         |  $sumQty AS sum_qty,
+         |  $sumPrice AS sum_base_price,
          |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
          |  CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-         |  CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  ${graft.Det.sqlAvg("l_quantity")} AS avg_qty,
+         |  ${graft.Det.sqlAvg("l_extendedprice")} AS avg_price,
+         |  ${graft.Det.sqlAvg("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
