@@ -129,6 +129,45 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph via iterative min-label propagation (each node adopts the
+    * smallest component id among itself and its neighbors until fixpoint).
+    * The loop is driver-steered but all data stays distributed;
+    * localCheckpoint truncates the growing lineage each round. At 100 TB
+    * scale swap the propagation for the alternating large-star/small-star
+    * algorithm — same join shapes, fewer rounds. Oracle: a DuckDB
+    * RECURSIVE CTE computing min-reachable-id — an entirely independent
+    * formulation of the same components.
+    */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("ia"), col("ib"))
+    val edges = pairs
+      .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("ia").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neigh = edges.join(labels, edges("ib") === labels("node"))
+        .groupBy(edges("ia").as("n2")).agg(min(col("component")).as("ncomp"))
+      val updated = labels.join(neigh, labels("node") === neigh("n2"), "left")
+        .select(col("node"), col("component").as("old"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = updated.filter(col("component") =!= col("old")).count()
+      labels = updated.select(col("node"), col("component"))
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("node").as("doc_id"), col("component"), col("comp_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 60-bit SimHash over distinct words, near-dup at hamming ≤ 4, found
     * via pigeonhole banding (5 × 12-bit chunks: any pair within hamming 4
     * shares ≥1 exact chunk) — same result as brute force, join-scalable.
@@ -176,7 +215,8 @@ object Dedup {
     "dd_exact" -> exactDedup,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_minhash_lsh" -> minhashLsh,
-    "dd_simhash" -> simhash
+    "dd_simhash" -> simhash,
+    "dd_components" -> components
   )
 
   private val shingCte =
@@ -230,6 +270,25 @@ object Dedup {
          |  FROM cand JOIN shing sa ON ia = sa.doc_id JOIN shing sb ON ib = sb.doc_id)
          |SELECT ia, ib, inter, jaccard FROM scored
          |WHERE jaccard >= $JT ORDER BY ia, ib""".stripMargin,
+    "dd_components" ->
+      s"""WITH RECURSIVE
+         |$shingCte,
+         |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |pairs AS (
+         |  SELECT ia, ib FROM inter WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JT),
+         |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+         |comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, component,
+         |       (SELECT COUNT(*) FROM comps c2 WHERE c2.component = comps.component) AS comp_size
+         |FROM comps ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH hashed AS (
        |  SELECT doc_id,

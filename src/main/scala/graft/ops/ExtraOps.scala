@@ -54,11 +54,33 @@ object ExtraOps {
         expr("size(embedding)").cast("long").as("dim"))
       .orderBy(col("vec_id"))
 
+  /** Running total over a monthly rollup: the cumulative sum stays in
+    * exact decimal THROUGH the window frame and converts to double only
+    * at the end, so the running values are partition-independent. The
+    * global ordered window runs on the tiny monthly rollup, not raw rows.
+    */
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+        month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+        .as("month_dec"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("o_year"), col("o_month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("running_total", sum(col("month_dec")).over(w).cast("double"))
+      .select(col("o_year"), col("o_month"), col("n_orders"),
+        col("month_dec").cast("double").as("month_total"), col("running_total"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pivot" -> pivotAgg,
     "x_string_agg" -> stringAgg,
     "x_percentile" -> percentiles,
-    "x_array_funcs" -> arrayFuncs
+    "x_array_funcs" -> arrayFuncs,
+    "x_running_total" -> runningTotal
   )
 
   val oracle: Map[String, String] = Map(
@@ -86,6 +108,18 @@ object ExtraOps {
         |       len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 AS all_lt10,
         |       CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS n_positive,
         |       CAST(len(embedding) AS BIGINT) AS dim
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x_running_total" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(month(o_orderdate) AS INT) AS o_month,
+        |         COUNT(*) AS n_orders,
+        |         SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS month_dec
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_year, o_month, n_orders,
+        |       CAST(month_dec AS DOUBLE) AS month_total,
+        |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
+        |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM monthly ORDER BY o_year, o_month""".stripMargin
   )
 }

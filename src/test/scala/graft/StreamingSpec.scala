@@ -48,4 +48,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains("2024-01-01 14:00:00.0"))
     } finally q.stop()
   }
+
+  test("checkpointed query restarts without reprocessing (exactly-once sink)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamOps.eventsStream(spark, TestSpark.sf)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+    // restart from the same checkpoint: the file source has no new data,
+    // so no batch runs and the sink is untouched
+    runOnce()
+    assert(spark.read.parquet(out).count() == afterFirst)
+  }
+
+  test("stream-static join enriches streaming rows against a batch dim") {
+    val dim = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type")).distinct()
+      .withColumn("category",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+    val q = graft.streaming.StreamOps.eventsStream(spark, TestSpark.sf)
+      .join(dim, Seq("event_type")) // stream ⋈ static
+      .groupBy(col("category")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_ss_join").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_ss_join").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, TestSpark.sf).join(dim, Seq("event_type"))
+      .groupBy(col("category")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }
