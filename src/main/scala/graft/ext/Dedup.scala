@@ -52,9 +52,16 @@ object Dedup {
     Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
+      // 3-grams via two shifted zip_with passes: O(n) per doc, vs the
+      // naive transform+slice which copies a subarray per position (O(n²)).
+      // The overhanging positions zip against null and concat propagates
+      // the null, so a trailing filter trims to exactly n-2 shingles.
       .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3))))"
-      ).as("shingles"))
+        """filter(
+          |  zip_with(
+          |    zip_with(ws, slice(ws, 2, size(ws) - 1), (x, y) -> concat(x, ' ', y)),
+          |    slice(ws, 3, size(ws) - 2), (x, y) -> concat(x, ' ', y)),
+          |  v -> v IS NOT NULL)""".stripMargin).as("shingles"))
       .select(col("doc_id"), expr(
         s"array_distinct(transform(shingles, sh -> ${sparkHash("sh")}))"
       ).as("shashes"))
@@ -135,12 +142,16 @@ object Dedup {
     * The loop is driver-steered but all data stays distributed;
     * localCheckpoint truncates the growing lineage each round. At 100 TB
     * scale swap the propagation for the alternating large-star/small-star
-    * algorithm — same join shapes, fewer rounds. Oracle: a DuckDB
-    * RECURSIVE CTE computing min-reachable-id — an entirely independent
-    * formulation of the same components.
+    * algorithm — same join shapes, fewer rounds.
+    *
+    * Pairs come from the LSH path (the production pipeline); the oracle is
+    * a DuckDB RECURSIVE CTE over the EXACT all-pairs graph — so this query
+    * simultaneously verifies the clustering AND that LSH recall is total
+    * on this corpus (a missed pair would change the components and fail
+    * the hash compare).
     */
   def components(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select(col("ia"), col("ib"))
+    val pairs = minhashLsh(s, d).select(col("ia"), col("ib"))
     val edges = pairs
       .unionByName(pairs.select(col("ib").as("ia"), col("ia").as("ib")))
       .distinct()
