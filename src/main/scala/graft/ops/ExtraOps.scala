@@ -75,7 +75,64 @@ object ExtraOps {
       .orderBy(col("o_year"), col("o_month"))
   }
 
+  /** Rank-family windows (rank / dense_rank / ntile / percent_rank /
+    * cume_dist) over a deterministic unique ordering.
+    */
+  def rankFamily(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** Month-over-month deltas via lag(): the monthly totals are
+    * decimal-exact doubles, so the double subtraction is deterministic.
+    */
+  def monthOverMonth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+        month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(Det.dsum(col("o_totalprice")).as("month_total"))
+    val w = Window.orderBy(col("o_year"), col("o_month"))
+    monthly
+      .withColumn("prev_total", lag(col("month_total"), 1).over(w))
+      .withColumn("delta", col("month_total") - col("prev_total"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
+  /** Moving 3-row window frame (current + 2 preceding months) — the sum
+    * stays decimal through the frame, double only at the end.
+    */
+  def movingWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+        month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+        .as("month_dec"))
+    val w = Window.orderBy(col("o_year"), col("o_month")).rowsBetween(-2, 0)
+    monthly
+      .withColumn("moving_3mo", sum(col("month_dec")).over(w).cast("double"))
+      .withColumn("n_in_frame", count(lit(1)).over(w).cast("long"))
+      .select(col("o_year"), col("o_month"),
+        col("month_dec").cast("double").as("month_total"),
+        col("moving_3mo"), col("n_in_frame"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rank_family" -> rankFamily,
+    "x_month_over_month" -> monthOverMonth,
+    "x_moving_window" -> movingWindow,
     "x_pivot" -> pivotAgg,
     "x_string_agg" -> stringAgg,
     "x_percentile" -> percentiles,
@@ -84,6 +141,41 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_rank_family" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |    PERCENT_RANK() OVER w AS pct_rank,
+        |    CUME_DIST() OVER w AS cume
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        |SELECT * FROM ranked WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    "x_month_over_month" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(month(o_orderdate) AS INT) AS o_month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS month_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_year, o_month, month_total,
+        |       LAG(month_total, 1) OVER (ORDER BY o_year, o_month) AS prev_total,
+        |       month_total - LAG(month_total, 1) OVER (ORDER BY o_year, o_month) AS delta
+        |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_moving_window" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |         CAST(month(o_orderdate) AS INT) AS o_month,
+        |         SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS month_dec
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_year, o_month,
+        |       CAST(month_dec AS DOUBLE) AS month_total,
+        |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
+        |                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_3mo,
+        |       CAST(COUNT(*) OVER (ORDER BY o_year, o_month
+        |                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_frame
+        |FROM monthly ORDER BY o_year, o_month""".stripMargin,
     "x_pivot" ->
       """SELECT o_orderstatus,
         |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
