@@ -129,7 +129,36 @@ object ExtraOps {
       .orderBy(col("o_year"), col("o_month"))
   }
 
+  /** Unpivot (wide→long melt), the inverse of pivot: lineitem measures to
+    * (measure, value) rows via the built-in unpivot.
+    */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  /** Generator source: spark.range as a synthetic input (the `range`
+    * relation), joined against real data — generate_series in the oracle.
+    */
+  def rangeSource(s: SparkSession, d: String): DataFrame = {
+    val buckets = s.range(0, 10).select(col("id").as("bucket"))
+    val o = Tables.orders(s, d)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(10)))
+    buckets.join(o, Seq("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_unpivot" -> unpivotMeasures,
+    "x_range_source" -> rangeSource,
     "x_rank_family" -> rankFamily,
     "x_month_over_month" -> monthOverMonth,
     "x_moving_window" -> movingWindow,
@@ -141,6 +170,23 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 100)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "x_range_source" ->
+      """SELECT r.bucket, COUNT(o_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM (SELECT unnest(range(0, 10)) AS bucket) r
+        |LEFT JOIN (SELECT *, o_orderkey % 10 AS bucket FROM orders) o USING (bucket)
+        |GROUP BY 1 ORDER BY r.bucket""".stripMargin,
     "x_rank_family" ->
       """WITH ranked AS (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
