@@ -26,15 +26,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+    // Materialize through toRdd.count(): a plain df.count() would let
+    // Catalyst prune every unreferenced projection and time a bare scan
+    // for expression-heavy queries; toRdd forces all output columns.
+    def materialize(name: String): Boolean =
+      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      materialize(name) // warmup
+      val t0 = System.nanoTime()
+      val ok = materialize(name)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -114,18 +114,26 @@ object Dedup {
          |    i -> ((2*i + 1) * (h % $M40) + i * 2654435761) % $M40)),
          |  array_repeat(CAST(9223372036854775807 AS BIGINT), $K),
          |  (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))""".stripMargin))
-    val bands = sig.select(col("doc_id"), col("shashes"),
+    // band rows are fixed-width (doc_id, band, bh) ONLY — the shingle
+    // sets never ride through the band shuffle; candidates join back to
+    // them by doc_id for verification (pairs are few, the join is cheap)
+    val bands = sig.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${B - 1}), b -> struct(b as band,
            |  ${sparkHash(s"concat(cast(b as string), '|', concat_ws(',', transform(slice(sig, b*$R+1, $R), v -> cast(v as string))))")} as bh))""".stripMargin
       )).as("bb"))
-      .select(col("doc_id"), col("shashes"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bands.as("a")
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candIds = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band")
         && col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        col("a.shashes").as("sha"), col("b.shashes").as("shb"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .dropDuplicates("ia", "ib")
+    val sets = shingled(s, d)
+    val cand = candIds
+      .join(sets.select(col("doc_id").as("ia_k"), col("shashes").as("sha")),
+        col("ia") === col("ia_k"))
+      .join(sets.select(col("doc_id").as("ib_k"), col("shashes").as("shb")),
+        col("ib") === col("ib_k"))
     cand
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jaccard",
@@ -173,6 +181,11 @@ object Dedup {
       labels = updated.select(col("node"), col("component"))
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"component propagation did not converge in $iter iterations " +
+          "(graph diameter exceeds the cap) — raise the cap or switch to " +
+          "large-star/small-star")
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, Seq("component"))
       .select(col("node").as("doc_id"), col("component"), col("comp_size"))

@@ -74,6 +74,8 @@ object Multimodal {
   def frameSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
+      // guard empty text: sequence(0,-1) would yield a descending [0,-1]
+      .filter(length(col("text")) >= 1)
       .withColumn("chunk", expr(
         "transform(sequence(0, CAST(floor((length(text)-1)/32) AS INT)), i -> substring(text, i*32+1, 32))"))
       .select(col("doc_id"), posexplode(col("chunk")).as(Seq("frame_idx", "frame")))
@@ -97,9 +99,9 @@ object Multimodal {
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |       substring(text, CAST(i*32+1 AS INT), 32) AS frame
-        |FROM documents
-        |CROSS JOIN (SELECT unnest(range(0, 100)) AS i)
-        |WHERE i <= floor((length(text)-1)/32) AND i % 4 = 0
+        |FROM documents,
+        |     unnest(range(0, CAST(floor((length(text)-1)/32) AS BIGINT) + 1)) AS t(i)
+        |WHERE length(text) >= 1 AND i % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

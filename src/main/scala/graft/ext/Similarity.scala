@@ -57,7 +57,8 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .filter(col("qid") < 5)
-    val scored = q.join(e.filter(col("vec_id") >= 5).hint("broadcast"))
+    // broadcast the SMALL query side; the corpus streams partitioned
+    val scored = q.hint("broadcast").join(e.filter(col("vec_id") >= 5))
       .withColumn("cosine", expr(cos(s, "qv", "embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -54,12 +54,22 @@ object TemporalOps {
     val ranges = Tables.part(s, d)
       .groupBy(col("p_brand"))
       .agg(min(col("p_size")).as("lo"), max(col("p_size")).as("hi"))
-    Tables.lineitem(s, d)
+    // reduce-before-join: quantity has ~50 distinct values, so aggregate
+    // lineitem per quantity FIRST and range-join 50 rows × |ranges| rather
+    // than pushing every row through the nested-loop join. Decimal partials
+    // re-aggregate exactly, so the result is identical to the naive form
+    // (which is what the oracle runs).
+    val byQty = Tables.lineitem(s, d)
+      .groupBy(col("l_quantity"))
+      .agg(count(lit(1)).as("qn"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+          .as("qsum"))
+    byQty
       .join(broadcast(ranges),
         col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
       .groupBy(col("p_brand"), col("lo"), col("hi"))
-      .agg(count(lit(1)).as("n_items"),
-        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .agg(sum(col("qn")).as("n_items"),
+        sum(col("qsum")).cast("double").as("sum_price"))
       .orderBy(col("p_brand"))
   }
 

@@ -12,13 +12,17 @@ object ExtraOps {
   /** Pivot with an EXPLICIT value list (the scalable form — no extra pass
     * to discover pivot values, and stable output schema).
     */
-  def pivotAgg(s: SparkSession, d: String): DataFrame =
+  def pivotAgg(s: SparkSession, d: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .pivot("o_orderpriority",
-        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .pivot("o_orderpriority", priorities)
       .agg(count(lit(1)))
+      // pivot emits NULL for absent combinations; the oracle's
+      // COUNT(*) FILTER emits 0 — align so absent cells can't diverge
+      .na.fill(0L, priorities)
       .orderBy(col("o_orderstatus"))
+  }
 
   /** Ordered string aggregation: deterministic via sort-before-join
     * (collect_set order is partition-dependent; array_sort fixes it).
