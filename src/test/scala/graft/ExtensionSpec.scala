@@ -61,6 +61,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff pairs differ — fold order must match exactly")
   }
 
+  test("CosineSim: ragged vectors yield null; wrong types fail analysis") {
+    import spark.implicits._
+    graft.expr.VectorExprs.register(spark)
+    val ragged = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c").collect()
+    assert(ragged.head.isNullAt(0), "length mismatch must null-propagate")
+    val equal = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b) AS c").collect()
+    assert(equal.head.getDouble(0) == 1.0)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b").selectExpr("graft_cosine(a, b)").collect()
+    }
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeatures(spark, sf).collect()
     val b = ext.Multimodal.decodeFeatures(spark, sf).collect()
