@@ -34,7 +34,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       materialize(name) // warmup
       val t0 = System.nanoTime()
@@ -44,7 +47,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON goes to a file AND stdout: the driver parses stdout's last
+    // line, but a truncated log must not lose the round's numbers (r01's
+    // BENCH had parsed:null for exactly that reason).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -55,16 +55,24 @@ object Det {
 
   /** Order-independent sum: per-row cast to decimal (exact), decimal sum
     * (exact, associative), final cast to double. Oracle twin:
-    * `CAST(SUM(CAST(x AS DECIMAL(30,scale))) AS DOUBLE)`.
+    * `CAST(SUM(CAST(x AS DECIMAL(30,scale))) AS DOUBLE)` — values are
+    * identical at any precision wide enough for the row values.
+    *
+    * Width policy: the per-row cast only needs to hold ONE row's value
+    * (≤ ~1e7 for every measure in the schema), so precision 18 (the
+    * widest long-compact decimal) is the default; Spark's SUM adds 10
+    * digits of headroom on top (→ 28,4), which holds ~10^24 — at 100 TB
+    * a measure summing to 1e18 still has 6 orders of margin. Precision 30
+    * forced every row through the BigDecimal slow path for nothing.
     */
-  def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+  def dsum(c: Column, scale: Int = 4, prec: Int = 18): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast(DoubleType)
 
   /** Order-independent average (sum/count in double at the end).
     * Oracle twin: `CAST(SUM(CAST(x AS DECIMAL(30,scale))) AS DOUBLE) / COUNT(x)`.
     */
-  def davg(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(30, scale))).cast(DoubleType) / count(c)
+  def davg(c: Column, scale: Int = 4, prec: Int = 18): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast(DoubleType) / count(c)
 
   /** SQL-side twin of dsum, for building oracle strings. */
   def sqlSum(x: String, scale: Int = 4): String =

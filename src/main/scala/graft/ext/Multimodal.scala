@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
@@ -43,8 +43,9 @@ object Multimodal {
     * is a STUB: a real implementation would parse the media container and
     * run a feature net; this one derives deterministic pseudo-features
     * from the sha-256 digest so the pipeline is testable end-to-end.
+    * Returns the typed `array<float>` feature form (spec-covered).
     */
-  def decodeFeatures(s: SparkSession, d: String): DataFrame = {
+  def decodeFeaturesRaw(s: SparkSession, d: String): Dataset[MediaFeature] = {
     import s.implicits._
     val bin = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -62,9 +63,23 @@ object Multimodal {
           MediaFeature(r.doc_id, r.payload.length, w, ht, feat)
         }
       }
-    }.toDF()
-      .orderBy(col("doc_id"))
+    }
   }
+
+  /** Declared form of [[decodeFeaturesRaw]]: scalar columns only — the
+    * driver's pandas compare can't sort an `array<float>` column, so the
+    * feature vector is flattened to its byte signature (exact: features
+    * are b/255f, so round(f*255) recovers b losslessly). Because the stub
+    * decode is sha-256-derived, this is fully oracle-verifiable, not just
+    * rows-only.
+    */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame =
+    decodeFeaturesRaw(s, d).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        concat_ws(",",
+          expr("transform(feature, f -> CAST(round(f * 255) AS INT))"))
+          .as("feat_sig"))
+      .orderBy(col("doc_id"))
 
   /** Frame-sampling plumbing: treat the payload as a "video" of N fixed-
     * size chunks and emit every k-th chunk with its index — posexplode
@@ -85,11 +100,24 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
-    "mm_decode_features" -> decodeFeatures, // stubbed decode → rows-only check
+    "mm_decode_features" -> decodeFeatures,
     "mm_frame_sample" -> frameSample
   )
 
+  /** DuckDB replay of the stub decode: byte i of sha256(text) is
+    * `CAST('0x'||substr(hex, 2i+1, 2) AS INT)`.
+    */
+  private def sqlByte(i: Int): String =
+    s"CAST('0x' || substr(sha256(text), ${2 * i + 1}, 2) AS INT)"
+
   val oracle: Map[String, String] = Map(
+    "mm_decode_features" ->
+      s"""SELECT doc_id,
+         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         |       16 + ((${sqlByte(0)} * 256 + ${sqlByte(1)}) % 1920) AS width,
+         |       16 + ((${sqlByte(2)} * 256 + ${sqlByte(3)}) % 1080) AS height,
+         |       concat_ws(',', ${(0 until 8).map(sqlByte).mkString(", ")}) AS feat_sig
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

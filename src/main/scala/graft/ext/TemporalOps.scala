@@ -62,7 +62,7 @@ object TemporalOps {
     val byQty = Tables.lineitem(s, d)
       .groupBy(col("l_quantity"))
       .agg(count(lit(1)).as("qn"),
-        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .as("qsum"))
     byQty
       .join(broadcast(ranges),
@@ -83,7 +83,7 @@ object TemporalOps {
       .withColumn("salt", pmod(col("event_id"), lit(16)))
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("pc"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 4))).as("ps"))
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("ps"))
       .groupBy(col("event_type"))
       .agg(sum(col("pc")).as("n_events"),
         sum(col("ps")).cast("double").as("sum_value"))

@@ -68,7 +68,7 @@ object ExtraOps {
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
         month(col("o_orderdate")).cast("int").as("o_month"))
-      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
         .as("month_dec"), count(lit(1)).as("n_orders"))
     val w = Window.orderBy(col("o_year"), col("o_month"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -121,7 +121,7 @@ object ExtraOps {
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
         month(col("o_orderdate")).cast("int").as("o_month"))
-      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
         .as("month_dec"))
     val w = Window.orderBy(col("o_year"), col("o_month")).rowsBetween(-2, 0)
     monthly

@@ -16,7 +16,11 @@ object TpchOps {
     */
   def q1Pricing(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      // date(ts) <= 1998-09-02  ⟺  ts < 1998-09-03 00:00 — comparing the
+      // raw timestamp column (no to_date() wrapper) lets the predicate
+      // reach the parquet reader, which prunes row groups on min/max
+      // stats; the to_date() form read every row group.
+      .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Det.dsum(col("l_quantity")).as("sum_qty"),
@@ -35,10 +39,12 @@ object TpchOps {
     */
   def q3Shipping(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    // raw-timestamp comparisons (pushdown-able); date(ts) < d ⟺ ts < d,
+    // date(ts) > d ⟺ ts >= d+1 day
     val o = Tables.orders(s, d)
-      .filter(to_date(col("o_orderdate")) < lit("1995-03-15"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
     val li = Tables.lineitem(s, d)
-      .filter(to_date(col("l_shipdate")) > lit("1995-03-15"))
+      .filter(col("l_shipdate") >= lit("1995-03-16").cast("timestamp"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
@@ -76,8 +82,8 @@ object TpchOps {
     */
   def q6Forecast(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .filter(to_date(col("l_shipdate")) >= lit("1995-01-01")
-        && to_date(col("l_shipdate")) < lit("1996-01-01")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
         && col("l_discount") >= 0.02 && col("l_discount") <= 0.04
         && col("l_quantity") < 24)
       .agg(sum(Det.money(col("l_extendedprice")) * Det.rate(col("l_discount")))

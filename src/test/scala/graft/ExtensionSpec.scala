@@ -77,8 +77,8 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("decode stub is deterministic and correctly shaped") {
-    val a = ext.Multimodal.decodeFeatures(spark, sf).collect()
-    val b = ext.Multimodal.decodeFeatures(spark, sf).collect()
+    val a = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
+    val b = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
     assert(a.length == Tables.documents(spark, sf).count())
     a.zip(b).foreach { case (x, y) => assert(x == y, "must be deterministic") }
     a.foreach { r =>

@@ -56,6 +56,22 @@ class PlanSpec extends AnyFunSuite {
       big.take(2000))
   }
 
+  test("tpch date predicates push to the parquet scan as raw timestamp bounds") {
+    // to_date(ts)-wrapped filters would block pushdown entirely; the raw
+    // comparisons must appear in PushedFilters so row groups prune on
+    // l_shipdate min/max at scale.
+    val q1 = plan("tpch_q1")
+    assert(q1.contains("LessThan(l_shipdate"), q1.take(2000))
+    // plan toString truncates long PushedFilters lists, so match on the
+    // un-truncated prefix of the pushed comparison
+    val q6 = plan("tpch_q6")
+    assert(q6.contains("GreaterThanOrEqual(l_shipda"), q6.take(2000))
+    assert(q6.contains("(l_shipdate#") && q6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      q6.take(2000))
+    val q3 = plan("tpch_q3")
+    assert(q3.contains("LessThan(o_orderdate"), q3.take(2000))
+  }
+
   test("sort+limit collapses to TakeOrderedAndProject") {
     assert(plan("o3_topk").contains("TakeOrderedAndProject"))
   }
