@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *  - MinHash signatures are computed with array folds (no row explosion:
   *    one row per doc throughout), then only 8 small band rows per doc
   *    shuffle; candidate verification touches pairs, which LSH keeps tiny;
-  *  - SimHash banding is pigeonhole-exact: 5 chunks of 12 bits, hamming ≤ 4
-  *    guarantees ≥1 identical chunk, so the banded join finds exactly the
-  *    brute-force pairs at a fraction of the cost;
+  *  - SimHash banding is pigeonhole-exact: 6 blocks of 10 bits banded on
+  *    every 2-block pair (15 bands of 20-bit keys) — hamming ≤ 4 leaves
+  *    ≥ 2 blocks untouched, so some band key matches exactly and the
+  *    banded join finds exactly the brute-force pairs, with ~10^6-way
+  *    bucket spread instead of the 4096-way a single 12-bit chunk gives;
   *  - the exact all-pairs form (dd_ngram_jaccard) is the oracle/baseline —
   *    at scale you run the LSH form.
   */
@@ -36,8 +38,9 @@ object Dedup {
   private val B = 8  // bands
   private val R = 4  // rows per band (K = B*R)
   private val JT = "0.5" // jaccard threshold
-  private val HAM = 4    // simhash hamming threshold
-  private val CHUNKS = 5 // simhash pigeonhole chunks (12 bits each)
+  private val HAM = 4     // simhash hamming threshold
+  private val BLOCKS = 6  // simhash pigeonhole blocks (10 bits each)
+  private val BBITS = 10  // bits per block (BLOCKS * BBITS = 60)
 
   /** 2^40 modulus for the arithmetic minhash family: one md5 per shingle,
     * then h_i = ((2i+1)·base + i·2654435761) mod 2^40 — every intermediate
@@ -193,21 +196,34 @@ object Dedup {
   }
 
   /** 60-bit SimHash over distinct words, near-dup at hamming ≤ 4, found
-    * via pigeonhole banding (5 × 12-bit chunks: any pair within hamming 4
-    * shares ≥1 exact chunk) — same result as brute force, join-scalable.
+    * via two-block pigeonhole banding: the 60 bits split into 6 blocks of
+    * 10; ≤ 4 flipped bits touch ≤ 4 blocks, so every qualifying pair has
+    * ≥ 2 untouched blocks and therefore matches exactly on at least one
+    * of the C(6,2)=15 block-pair band keys. Same result as brute force.
+    *
+    * Scale: each band key is 20 bits (2^20 ≈ 1M buckets per band) versus
+    * the single-chunk scheme's 2^12 = 4096 — at a billion docs that is
+    * ~10^3 docs per bucket instead of ~2.5×10^5, turning the
+    * within-bucket quadratic term from ~3×10^10 to ~5×10^5 pairs per
+    * bucket. 15 band rows per doc (vs 5) is the linear price for the
+    * 256× wider key space.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val sim = simhashValues(s, d)
-    // pigeonhole bands: 5 chunks of 12 bits
+    val mask = (1 << BBITS) - 1
+    val combos = for { i <- 0 until BLOCKS; j <- i + 1 until BLOCKS } yield (i, j)
+    val bandArr = combos.zipWithIndex.map { case ((i, j), c) =>
+      s"""struct($c as band,
+         |  (shiftright(sim, ${i * BBITS}) % ${mask + 1}) * ${mask + 1}
+         |    + shiftright(sim, ${j * BBITS}) % ${mask + 1} as bk)""".stripMargin
+    }.mkString("array(", ", ", ")")
     val banded = sim.select(col("doc_id"), col("sim"),
-      explode(expr(
-        s"""transform(sequence(0, ${CHUNKS - 1}), c -> struct(c as chunk,
-           |  shiftright(sim, c*12) % 4096 as cv))""".stripMargin
-      )).as("cb"))
-      .select(col("doc_id"), col("sim"), col("cb.chunk").as("chunk"), col("cb.cv").as("cv"))
+      explode(expr(bandArr)).as("cb"))
+      .select(col("doc_id"), col("sim"),
+        col("cb.band").as("band"), col("cb.bk").as("bk"))
     banded.as("a")
-      .join(banded.as("b"), col("a.chunk") === col("b.chunk")
-        && col("a.cv") === col("b.cv") && col("a.doc_id") < col("b.doc_id"))
+      .join(banded.as("b"), col("a.band") === col("b.band")
+        && col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
       .dropDuplicates("ia", "ib")
@@ -215,23 +231,35 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** (doc_id, sim): the 60-bit simhash values. Votes are computed as 60
-    * codegen'd bit-count sums over exploded word hashes (votes_j > 0 ⟺
-    * 2·ones_j − n_words > 0) rather than a per-word 60-wide interpreted
-    * fold — one small shuffle, whole-stage codegen throughout.
+  /** (doc_id, sim): the 60-bit simhash values. Votes are bit-count sums
+    * over exploded word hashes (votes_j > 0 ⟺ 2·ones_j − n_words > 0),
+    * PACKED 3-per-long into 20 accumulators: counter j (j = jj + 20·slot)
+    * lives in bits [21·slot, 21·slot+21) of packed column p_jj. 21-bit
+    * lanes cannot carry into each other while every doc has < 2^21
+    * (~2M) distinct words — far above any real document. 20 agg columns
+    * instead of 60 → a third of the aggregation-buffer width and shuffle
+    * bytes, still one small shuffle, whole-stage codegen throughout.
     */
   def simhashValues(s: SparkSession, d: String): DataFrame = {
     val wordHashes = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(expr("array_distinct(split(lower(text), ' '))")).as("w"))
       .select(col("doc_id"), expr(sparkHash("w")).as("h"))
-    val bitSums = (0 until 60).map(j =>
-      sum(expr(s"shiftright(h, $j) % 2")).as(s"b$j"))
+    val packedSums = (0 until 20).map { jj =>
+      sum(expr(
+        s"""shiftright(h, $jj) % 2
+           |  + shiftleft(shiftright(h, ${jj + 20}) % 2, 21)
+           |  + shiftleft(shiftright(h, ${jj + 40}) % 2, 42)""".stripMargin))
+        .as(s"p$jj")
+    }
     val agg = wordHashes.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nw"), bitSums: _*)
-    val simExpr = (0 until 60)
-      .map(j => s"(CASE WHEN 2*b$j - nw > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
+      .agg(count(lit(1)).as("nw"), packedSums: _*)
+    val simExpr = (0 until 60).map { j =>
+      val jj = j % 20
+      val slot = j / 20
+      s"""(CASE WHEN 2 * (shiftright(p$jj, ${21 * slot}) % 2097152) - nw > 0
+         | THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" + ")
     agg.select(col("doc_id"), expr(simExpr).as("sim"))
   }
 
