@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench JSON; sbt's trailing "[success] Total time" footer was
+// shadowing it (BENCH_r01/r02 both recorded parsed:null). Suppress it.
+Global / showSuccess := false
+// …and don't let the logger prefix the forked process's stdout with
+// "[info] " — the bench JSON must be parseable verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,11 +44,17 @@ object Bench {
       val ok = materialize(name)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // %.4f keeps the whole line well inside any log-tail buffer (full
+    // double reprs pushed the line past the driver's capture window).
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // A SPARK_GRAFT_ONLY-restricted run is a partial sum, not the suite
+    // total — say so in the JSON so no tooling compares it across rounds.
+    val filtered = if (only.isDefined) ""","filtered":true""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"queries":$qs,"sf":"$sfDir"}"""
     // The JSON goes to a file AND stdout: the driver parses stdout's last
     // line, but a truncated log must not lose the round's numbers (r01's
     // BENCH had parsed:null for exactly that reason).
