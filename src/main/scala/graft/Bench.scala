@@ -38,11 +38,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // One warmup, then min of two measured runs: single-shot timings on
+    // this box swing several× from GC debt accumulated by earlier queries
+    // (r02 recorded x_rollup at 11.7 s vs 1.1 s isolated). The min of
+    // repeated runs of a deterministic computation is the honest
+    // steady-state number.
+    def timed(name: String): Double = {
+      val t0 = System.nanoTime()
+      if (materialize(name)) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
     val results = names.map { name =>
       materialize(name) // warmup
-      val t0 = System.nanoTime()
-      val ok = materialize(name)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val a = timed(name)
+      val b = timed(name)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // %.4f keeps the whole line well inside any log-tail buffer (full
     // double reprs pushed the line past the driver's capture window).
