@@ -88,9 +88,10 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     // set size rides along with every exploded row, so no extra sizes
-    // join is needed and the self-join's two sides are identical subplans
-    // (one scan+hash, exchange reused by Catalyst)
-    val sh = shingled(s, d)
+    // join is needed; shingled is checkpointed (a few hundred bytes/doc)
+    // so the shingle+hash pass runs once, not once per join side + once
+    // for the final sort's range sampling
+    val sh = shingled(s, d).localCheckpoint()
       .select(col("doc_id"), size(col("shashes")).as("n"),
         explode(col("shashes")).as("sh"))
     sh.as("a")
@@ -111,12 +112,19 @@ object Dedup {
     * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: this frame (doc_id, shashes, sig — a few hundred
+    // bytes per doc) feeds FOUR consumers (two band-join sides + two
+    // verification joins) plus the final sort's range-sampling pass; a
+    // broadcast self-join defeats exchange reuse, so without the
+    // checkpoint the shingle+fold subplan executes up to 5×. Per-doc
+    // sketches are exactly what you'd persist on a real cluster too.
     val sig = shingled(s, d).withColumn("sig", expr(
       s"""aggregate(
          |  transform(shashes, h -> transform(sequence(0, ${K - 1}),
          |    i -> ((2*i + 1) * (h % $M40) + i * 2654435761) % $M40)),
          |  array_repeat(CAST(9223372036854775807 AS BIGINT), $K),
          |  (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))""".stripMargin))
+      .localCheckpoint()
     // band rows are fixed-width (doc_id, band, bh) ONLY — the shingle
     // sets never ride through the band shuffle; candidates join back to
     // them by doc_id for verification (pairs are few, the join is cheap)
@@ -131,7 +139,7 @@ object Dedup {
         && col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .dropDuplicates("ia", "ib")
-    val sets = shingled(s, d)
+    val sets = sig // checkpointed above — reuse, don't re-shingle
     val cand = candIds
       .join(sets.select(col("doc_id").as("ia_k"), col("shashes").as("sha")),
         col("ia") === col("ia_k"))
@@ -209,7 +217,10 @@ object Dedup {
     * 256× wider key space.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sim = simhashValues(s, d)
+    // localCheckpoint: 12 bytes per doc, feeds both self-join sides and
+    // the final sort's sampling pass — without it the word-explode
+    // aggregation runs 3×  (broadcast self-join defeats exchange reuse).
+    val sim = simhashValues(s, d).localCheckpoint()
     val mask = (1 << BBITS) - 1
     val combos = for { i <- 0 until BLOCKS; j <- i + 1 until BLOCKS } yield (i, j)
     val bandArr = combos.zipWithIndex.map { case ((i, j), c) =>
@@ -226,8 +237,10 @@ object Dedup {
         && col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
-      .dropDuplicates("ia", "ib")
+      // filter BEFORE the dedup shuffle: bit_count is free, and only
+      // qualifying pairs (tiny) pay the dropDuplicates exchange
       .filter(col("hamming") <= HAM)
+      .dropDuplicates("ia", "ib")
       .orderBy(col("ia"), col("ib"))
   }
 
