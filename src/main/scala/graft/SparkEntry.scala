@@ -20,6 +20,7 @@ object SparkEntry {
       ops.PipelineOps.queries ++ ops.ExtraOps.queries ++ ops.TpchOps.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
+      ext.MapOps.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream)
 
@@ -31,6 +32,7 @@ object SparkEntry {
       ops.PipelineOps.oracle ++ ops.ExtraOps.oracle ++ ops.TpchOps.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
+      ext.MapOps.oracle ++
       // a real streaming query, verified against the same batch oracle
       Map("st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"))
 }

@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MapType / nested-JSON operators: `from_json` with an explicit schema
+  * (struct and map), `explode` over map columns, and the map-algebra
+  * builtins (map_concat, map_filter, transform_values, map_keys/values).
+  *
+  * Scale notes: from_json parses each props string ONCE into a typed
+  * column — downstream field accesses are struct reads, not re-parses
+  * (the get_json_object form in [[EventOps.jsonProps]] re-parses per
+  * extraction and is kept as the single-key surface). Map construction
+  * and algebra are per-row, shuffle-free, whole-stage-codegen'd; the
+  * explode forms shuffle only the exploded key/value pairs.
+  */
+object MapOps {
+
+  /** from_json → typed struct, parsed once, then aggregated on the typed
+    * field. The parse happens in the scan projection; everything after
+    * works on a BIGINT column.
+    */
+  def propsStruct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"), "k BIGINT", Map.empty[String, String]))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("p.k")).as("sum_k"),
+        min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** from_json → MAP<STRING,BIGINT> and explode to (key, value) rows:
+    * the schema-free form for heterogeneous props bags.
+    */
+  def propsMapExplode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(explode(from_json(col("props"), "map<string,bigint>",
+        Map.empty[String, String])).as(Seq("pkey", "pval")))
+      .groupBy(col("pkey"))
+      .agg(count(lit(1)).as("n"), sum(col("pval")).as("sum_v"),
+        min(col("pval")).as("min_v"), max(col("pval")).as("max_v"))
+      .orderBy(col("pkey"))
+
+  /** Map algebra on a constructed column: map(), map_concat, map_filter,
+    * transform_values, map_keys/map_values, element_at — projected back
+    * to deterministic scalars (map iteration order is insertion order in
+    * Spark, but the verified output never depends on it: keys are sorted,
+    * values are summed).
+    */
+  def mapOps(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .withColumn("m", map_concat(
+        map(lit("nk"), col("n_nationkey").cast("long"),
+          lit("rk"), col("n_regionkey").cast("long")),
+        map(lit("len"), length(col("n_name")).cast("long"))))
+      .select(col("n_nationkey"),
+        size(col("m")).as("m_size"),
+        element_at(col("m"), "len").as("name_len"),
+        expr("size(map_filter(m, (k, v) -> v > 10))").as("n_big"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+        expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_vals"),
+        element_at(expr("transform_values(m, (k, v) -> v * 2)"), "nk")
+          .as("nk2"))
+      .orderBy(col("n_nationkey"))
+
+  /** Column pair → map → explode back to tall rows (the unpivot-via-map
+    * idiom), grouped to per-(key, value) counts.
+    */
+  def mapExplode(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(explode(map(
+        lit("prio"), col("o_orderpriority"),
+        lit("status"), col("o_orderstatus"))).as(Seq("k", "v")))
+      .groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"), col("v"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_props_struct" -> propsStruct,
+    "ev_props_map" -> propsMapExplode,
+    "x_map_ops" -> mapOps,
+    "x_map_explode" -> mapExplode
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_props_struct" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "ev_props_map" ->
+      """WITH kv AS (
+        |  SELECT e.key AS pkey, e.value AS pval
+        |  FROM (SELECT unnest(map_entries(CAST(props::JSON AS MAP(VARCHAR, BIGINT)))) AS e
+        |        FROM events))
+        |SELECT pkey, COUNT(*) AS n, CAST(SUM(pval) AS BIGINT) AS sum_v,
+        |       MIN(pval) AS min_v, MAX(pval) AS max_v
+        |FROM kv GROUP BY 1 ORDER BY pkey""".stripMargin,
+    "x_map_ops" ->
+      """SELECT n_nationkey,
+        |       3 AS m_size,
+        |       CAST(length(n_name) AS BIGINT) AS name_len,
+        |       CAST(CAST(n_nationkey > 10 AS INT) + CAST(n_regionkey > 10 AS INT)
+        |            + CAST(length(n_name) > 10 AS INT) AS INT) AS n_big,
+        |       'len,nk,rk' AS keys_csv,
+        |       CAST(n_nationkey + n_regionkey + length(n_name) AS BIGINT) AS sum_vals,
+        |       CAST(2 * n_nationkey AS BIGINT) AS nk2
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "x_map_explode" ->
+      """WITH kv AS (
+        |  SELECT 'prio' AS k, o_orderpriority AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'status' AS k, o_orderstatus AS v FROM orders)
+        |SELECT k, v, COUNT(*) AS n FROM kv GROUP BY 1, 2 ORDER BY k, v""".stripMargin
+  )
+}
