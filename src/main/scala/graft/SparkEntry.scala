@@ -22,7 +22,8 @@ object SparkEntry {
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       ext.MapOps.queries ++
       Map[String, (SparkSession, String) => DataFrame](
-        "st_tumbling_stream" -> streaming.StreamOps.tumblingStream)
+        "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
+        "st_interval_join" -> streaming.StreamOps.intervalJoinStream)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,6 +34,15 @@ object SparkEntry {
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       ext.MapOps.oracle ++
-      // a real streaming query, verified against the same batch oracle
-      Map("st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"))
+      // real streaming queries, verified against batch oracles
+      Map(
+        "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),
+        "st_interval_join" ->
+          """SELECT c.user_id AS user_id, c.event_id AS click_id,
+            |       p.event_id AS purchase_id,
+            |       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+            |FROM events c JOIN events p ON c.user_id = p.user_id
+            |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            |ORDER BY 1, 2, 3""".stripMargin)
 }

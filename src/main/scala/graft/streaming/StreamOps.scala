@@ -58,6 +58,46 @@ object StreamOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Watermarked stream-stream interval join: click and purchase streams
+    * (two readStream scans of the events source) joined on user within
+    * [click_ts, click_ts + 1 h]. Both sides carry a 1-hour watermark, so
+    * the join state store retains only one watermark-window of each side —
+    * bounded state at any scale, the whole point of the watermark
+    * contract. Inner interval joins emit rows as matches arrive, so the
+    * drained memory-sink table equals the batch twin and is
+    * DuckDB-oracle-verified like any batch operator.
+    */
+  /** The unstarted streaming interval-join plan (shared by the drained
+    * memory-sink query below and the checkpoint-restart spec).
+    */
+  def intervalJoinPlan(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= click_ts " +
+          "AND p_ts <= click_ts + INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+  }
+
+  def intervalJoinStream(s: SparkSession, d: String): DataFrame = {
+    val q = intervalJoinPlan(s, d)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_stream_interval_join")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("graft_stream_interval_join")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

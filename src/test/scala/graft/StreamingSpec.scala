@@ -74,6 +74,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == afterFirst)
   }
 
+  test("stream-stream interval join matches across micro-batches and bounds state") {
+    import spark.implicits._
+    val clicksIn = MemoryStream[Ev](spark)
+    val buysIn = MemoryStream[Ev](spark)
+    val clicks = clicksIn.toDS()
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val buys = buysIn.toDS()
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("buy_id"))
+      .withWatermark("b_ts", "30 minutes")
+    val joined = clicks.join(buys,
+      expr("user_id = b_user AND b_ts >= click_ts AND b_ts <= click_ts + INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_ssj_test").start()
+    try {
+      // batch 1: click only — no match yet, click parked in join state
+      clicksIn.addData(ev(1, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      assert(spark.table("graft_ssj_test").count() == 0)
+      // batch 2: purchase 20 min later on the same user → joins the
+      // parked click from the PREVIOUS micro-batch
+      buysIn.addData(ev(100, "2024-01-01 12:20:00"))
+      q.processAllAvailable()
+      assert(spark.table("graft_ssj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 100L)))
+      // batch 3: advance BOTH sides to 14:00 (the global watermark is the
+      // MIN over all inputs, so both streams must move). The co-timed
+      // click/purchase pair at 14:00 joins; the global watermark becomes
+      // 13:30, past click#1's join horizon (12:00 + 1 h), evicting it
+      // from the state store.
+      clicksIn.addData(ev(2, "2024-01-01 14:00:00"))
+      buysIn.addData(ev(101, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      assert(spark.table("graft_ssj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L), (2L, 101L)))
+      // batch 4: a purchase at 12:05 would match click#1's interval, but
+      // that state is gone and the row is older than the watermark → no
+      // new output, proving state really is bounded by the watermark
+      buysIn.addData(ev(102, "2024-01-01 12:05:00"))
+      q.processAllAvailable()
+      assert(spark.table("graft_ssj_test").count() == 2,
+        "late purchase must not join against evicted state")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join restarts from checkpoint without duplicates") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ssj_out").toString
+    def runOnce(): Unit = {
+      val df = graft.streaming.StreamOps.intervalJoinPlan(spark, TestSpark.sf)
+      val q = df.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0)
+    // restart from the same checkpoint: no new files → no new batch → no
+    // duplicate join output
+    runOnce()
+    assert(spark.read.parquet(out).count() == afterFirst)
+  }
+
   test("stream-static join enriches streaming rows against a batch dim") {
     val dim = Tables.events(spark, TestSpark.sf)
       .select(col("event_type")).distinct()
