@@ -95,6 +95,112 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- trained IVF (k-means + multi-probe) ------------------------------
+  //
+  // Cross-engine-deterministic k-means: embeddings are quantized ONCE to
+  // BIGINT (floor(x · 2^14) — the scaling is a power of two, so x·2^14 is
+  // exact in double and floor is unambiguous in both engines). Centroid
+  // updates are then EXACT integer sums (order-independent, shuffle-safe)
+  // divided once per component (identical IEEE double division on both
+  // engines), and every cosine is a sequential left fold — so DuckDB can
+  // replay training bit-for-bit and the trained query is hash-verified,
+  // not just recall-bounded. Final candidate scoring uses the ORIGINAL
+  // float vectors.
+
+  private val KC = 10      // centroids
+  private val ITERS = 3    // k-means iterations
+  private val NPROBE = 2   // buckets probed per query
+  private val QSCALE = 16384 // 2^14
+
+  /** cosine(iv: array<bigint>, cv: array<double>) — sequential fold. */
+  private def cosIntDouble(iv: String, cv: String): String =
+    s"""aggregate(zip_with($iv, $cv, (x, y) -> CAST(x AS DOUBLE) * y),
+       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($iv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+       |    * sqrt(aggregate($cv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""".stripMargin
+
+  /** Quantized vectors (vec_id, iv: array<bigint>), checkpointed — reused
+    * by every k-means iteration and the probe phase.
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
+      ).as("iv"))
+      .localCheckpoint()
+
+  /** argmin-distance (here: argmax-cosine) assignment of each vector to a
+    * centroid; tie-break on centroid id.
+    */
+  private def assign(qv: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    qv.join(broadcast(cent))
+      .withColumn("ccos", expr(cosIntDouble("iv", "cv")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("iv"), col("cid"))
+  }
+
+  /** KC centroids after ITERS Lloyd iterations over the quantized vectors.
+    * Each iteration: broadcast-assign (no shuffle of the corpus beyond the
+    * cosine projection), then per-(cid, pos) exact integer sums — the only
+    * shuffle, on KC×64 skinny keys. Centroids are 10 rows; checkpointing
+    * them keeps iteration plans flat.
+    */
+  private def trainedCentroids(s: SparkSession, qv: DataFrame): DataFrame = {
+    var cent = qv.filter(col("vec_id") < KC)
+      .select(col("vec_id").as("cid"),
+        expr("transform(iv, x -> CAST(x AS DOUBLE))").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to ITERS) {
+      val members = assign(qv, cent)
+      val sums = members
+        .select(col("cid"), posexplode(col("iv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      cent = sums.groupBy(col("cid"))
+        .agg(expr(
+          """transform(
+            |  array_sort(collect_list(struct(pos, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m))),
+            |  s -> s.m)""".stripMargin).as("cv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Trained-IVF multi-probe top-k: k-means buckets, each query (vec_id<5)
+    * probes its NPROBE nearest centroids, candidates are scored on the
+    * original float vectors. At scale: training touches quantized vectors
+    * only (8-byte components), assignment is a broadcast argmax, and each
+    * query reads NPROBE/KC of the corpus.
+    */
+  def ivfTrainedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val qv = quantized(s, d)
+    val cent = trainedCentroids(s, qv)
+    val assigned = assign(qv, cent)
+      .select(col("vec_id"), col("cid").as("bucket"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
+    val probes = qv.filter(col("vec_id") < 5)
+      .join(broadcast(cent))
+      .withColumn("ccos", expr(cosIntDouble("iv", "cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("bucket"))
+    val cand = probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv_f")), Seq("qid"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv_f")), Seq("cand_id"))
+      .withColumn("cosine", expr(cos(s, "qv_f", "cv_f")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the `label` cluster
     * column: all same-label pairs with cosine ≥ 0.3.
     */
@@ -113,10 +219,72 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> topKBrute,
     "sim_ivf_topk" -> ivfTopK,
+    "sim_ivf_trained" -> ivfTrainedTopK,
     "dd_embed_cosine" -> embedCosineDedup
   )
 
+  /** DuckDB twin of [[cosIntDouble]]. */
+  private def duckCosID(iv: String, cv: String): String =
+    s"""list_reduce(list_prepend(0.0, [CAST($iv[i] AS DOUBLE) * $cv[i] for i in range(1, len($iv)+1)]), (acc, v) -> acc + v)
+       | / (sqrt(list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $iv]), (acc, v) -> acc + v))
+       |    * sqrt(list_reduce(list_prepend(0.0, [x * x for x in $cv]), (acc, v) -> acc + v)))""".stripMargin
+
+  /** The trained-IVF oracle: DuckDB replays the SAME quantized k-means —
+    * exact integer sums, identical IEEE divisions, identical fold orders —
+    * so training converges to bit-identical centroids and the final
+    * ranking hash-matches. Iterations are unrolled as CTEs.
+    */
+  private def trainedIvfOracle: String = {
+    val iters = (1 to ITERS).map { k =>
+      s"""assign$k AS (SELECT vec_id, iv, cid FROM (
+         |  SELECT q.vec_id, q.iv, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCosID("q.iv", "c.cv")} DESC, c.cid) AS arn
+         |  FROM qv q CROSS JOIN cent${k - 1} c) WHERE arn = 1),
+         |cent$k AS (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+         |    FROM (SELECT cid, unnest(range(1, len(iv)+1)) AS pos, unnest(iv) AS v
+         |          FROM assign$k)
+         |    GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cid, [CAST(x AS DOUBLE) for x in iv] AS cv
+       |  FROM qv WHERE vec_id < $KC),
+       |$iters,
+       |assigned AS (SELECT vec_id, cid AS bucket FROM (
+       |  SELECT q.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosID("q.iv", "c.cv")} DESC, c.cid) AS arn
+       |  FROM qv q CROSS JOIN cent$ITERS c) WHERE arn = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS bucket FROM (
+       |  SELECT q.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosID("q.iv", "c.cv")} DESC, c.cid) AS prn
+       |  FROM qv q CROSS JOIN cent$ITERS c WHERE q.vec_id < 5) WHERE prn <= $NPROBE),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cand_id
+       |  FROM probes p JOIN assigned a ON p.bucket = a.bucket AND a.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.cand_id,
+       |         ${duckCos("eq.embedding", "ec.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = cand.qid
+       |  JOIN embeddings ec ON ec.vec_id = cand.cand_id),
+       |ranked AS (
+       |  SELECT qid, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT qid, cand_id, rank, cosine FROM ranked
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf_trained" -> trainedIvfOracle,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |scored AS (
