@@ -3,26 +3,36 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every declared query on
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR and reports per-query + total wall times.
+  *
+  * Output protocol: the per-query map is large (~3.3 KB at 95 queries) and
+  * the driver's log-tail window truncated it three rounds running, so the
+  * detail JSON goes to `bench.json` AND an EARLY stdout line, while the
+  * FINAL stdout line — the one the driver parses — is a short total-only
+  * JSON (<200 bytes) that can never be truncated.
   *
   * Each query gets one unmeasured warmup run (JIT + codegen + parquet
-  * footer cache) and one measured run — the measured numbers reflect
-  * steady-state plan execution, not JVM warmup, which is what a
-  * long-running cluster job looks like.
+  * footer cache) and two measured runs; we keep the min. The two measured
+  * passes run in OPPOSITE suite orders: single-shot timings on this box
+  * swing several× from GC/state debt accumulated by whatever ran just
+  * before (r02 recorded x_rollup at 11.7 s in-suite vs 1.1 s isolated;
+  * r03 saw tpch_q1 2.3× slower right after the streaming pair landed
+  * alphabetically before it). Reversing the second pass gives every query
+  * two different predecessors, so min-of-two sheds any one neighbor's
+  * debt; an explicit System.gc() between queries drains the rest.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Sessions.withObjectStoreConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,23 +48,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // One warmup, then min of two measured runs: single-shot timings on
-    // this box swing several× from GC debt accumulated by earlier queries
-    // (r02 recorded x_rollup at 11.7 s vs 1.1 s isolated). The min of
-    // repeated runs of a deterministic computation is the honest
-    // steady-state number.
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      if (materialize(name)) (System.nanoTime() - t0) / 1e9 else -1.0
+      val ok = materialize(name)
+      // Drain the predecessor's GC debt before the next measurement: the
+      // complete-mode streaming sinks and checkpointed dedup sketches
+      // leave tens of MB of driver-side garbage whose collection would
+      // otherwise land inside the NEXT query's wall time.
+      System.gc()
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = names.map { name =>
-      materialize(name) // warmup
-      val a = timed(name)
-      val b = timed(name)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    names.foreach(materialize) // warmup pass
+    System.gc()
+    val pass1 = names.map(n => n -> timed(n)).toMap
+    val pass2 = names.reverse.map(n => n -> timed(n)).toMap
+    val results = names.map { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // %.4f keeps the whole line well inside any log-tail buffer (full
-    // double reprs pushed the line past the driver's capture window).
     def fmt(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -62,14 +73,15 @@ object Bench {
     // A SPARK_GRAFT_ONLY-restricted run is a partial sum, not the suite
     // total — say so in the JSON so no tooling compares it across rounds.
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
-    val json =
+    val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"queries":$qs,"sf":"$sfDir"}"""
-    // The JSON goes to a file AND stdout: the driver parses stdout's last
-    // line, but a truncated log must not lose the round's numbers (r01's
-    // BENCH had parsed:null for exactly that reason).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
+    println(detail) // full detail early — safe to truncate, bench.json has it too
     spark.stop()
+    // Short total-only summary as the VERBATIM LAST stdout line (after
+    // spark.stop() so no shutdown logging can land below it) — this is
+    // what the driver's last-line parser reads.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Det
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.7 flags streaming as absent
@@ -20,6 +20,22 @@ import org.apache.spark.sql.types._
   * before folding).
   */
 object StreamOps {
+
+  /** Child session tuned for the drained-batch benchmark queries: a state
+    * store instance is created per shuffle partition per stateful
+    * operator, and at local[32] the 32-way store setup/commit machinery —
+    * not the data — dominated the wall time (r03: the st_* pair was 13.7 s
+    * of a 72.9 s suite). 4 partitions keeps the same keyed-state semantics
+    * at a fraction of the fixed cost; on a real cluster you would size
+    * this to the stream's key cardinality instead. A child session scopes
+    * the override (and the memory-sink registration) away from the
+    * caller's session.
+    */
+  private def tuned(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
 
   /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long). */
   val eventsRawSchema: StructType = StructType(Seq(
@@ -45,16 +61,20 @@ object StreamOps {
     * query is DuckDB-oracle-verified like any batch operator.
     */
   def tumblingStream(s: SparkSession, d: String): DataFrame = {
-    val q = eventsStream(s, d)
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .writeStream.outputMode(OutputMode.Complete())
+      // AvailableNow drains the whole source as one bounded run and stops
+      // the query itself — no idle micro-batch polling after the data.
+      .trigger(Trigger.AvailableNow())
       .format("memory").queryName("graft_stream_tumbling")
       .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table("graft_stream_tumbling")
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_tumbling")
       .orderBy(col("hour_start"), col("event_type"))
   }
 
@@ -89,12 +109,14 @@ object StreamOps {
   }
 
   def intervalJoinStream(s: SparkSession, d: String): DataFrame = {
-    val q = intervalJoinPlan(s, d)
+    val ss = tuned(s)
+    val q = intervalJoinPlan(ss, d)
       .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
       .format("memory").queryName("graft_stream_interval_join")
       .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table("graft_stream_interval_join")
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_interval_join")
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
