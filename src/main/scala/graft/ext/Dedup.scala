@@ -203,6 +203,69 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components via alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * public algorithm): each round rewires edges toward neighborhood
+    * minima, converging to one star per component centered at the
+    * component's minimum node in O(log n) rounds — versus graph-DIAMETER
+    * rounds for plain min-label propagation ([[components]], kept as the
+    * teaching form). One driver sync (the convergence count) per round,
+    * so a 100 TB pair graph costs ~log n cluster barriers, not
+    * ~longest-chain-length.
+    *
+    *  - large-star(u): every neighbor v > u is re-pointed at
+    *    m = min(N(u) ∪ u);
+    *  - small-star(u): every neighbor v < u (and u itself) is re-pointed
+    *    at m = min of u's smaller neighbors.
+    *
+    * Both emit canonical (hi, lo) edges, so the working set never holds
+    * duplicates of an undirected edge in both orientations. Same output
+    * and same recursive-CTE oracle as [[components]] — the two
+    * implementations cross-validate each other.
+    */
+  def componentsStars(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("ia"), col("ib"))
+    // canonical (u > v) undirected edges; pairs arrive as ia < ib
+    var edges = pairs.select(col("ib").as("u"), col("ia").as("v"))
+      .distinct().localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 12) {
+      val adj = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = adj.filter(col("v") > col("u"))
+        .join(minsL, "u")
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m → canonical
+        .distinct()
+      val adj2 = large.unionByName(large.select(col("v").as("u"), col("u").as("v")))
+      val smallN = adj2.filter(col("v") < col("u"))
+      val minsS = smallN.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = smallN.join(minsS, "u")
+        .select(col("v").as("node"), col("m"))
+        .filter(col("node") =!= col("m"))
+        .unionByName(minsS.select(col("u").as("node"), col("m")))
+        .distinct()
+        .select(col("node").as("u"), col("m").as("v")) // node > m by min-ness
+        .localCheckpoint()
+      // one action per round: symmetric difference empty ⟺ fixpoint
+      changed = small.except(edges).unionAll(edges.except(small)).count()
+      edges = small
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $iter rounds")
+    // fixpoint: edges = (member, center); centers label themselves
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("component"))
+        .distinct())
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("comp_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 60-bit SimHash over distinct words, near-dup at hamming ≤ 4, found
     * via two-block pigeonhole banding: the 60 bits split into 6 blocks of
     * 10; ≤ 4 flipped bits touch ≤ 4 blocks, so every qualifying pair has
@@ -281,7 +344,8 @@ object Dedup {
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
-    "dd_components" -> components
+    "dd_components" -> components,
+    "dd_components_stars" -> componentsStars
   )
 
   private val shingCte =
@@ -335,25 +399,10 @@ object Dedup {
          |  FROM cand JOIN shing sa ON ia = sa.doc_id JOIN shing sb ON ib = sb.doc_id)
          |SELECT ia, ib, inter, jaccard FROM scored
          |WHERE jaccard >= $JT ORDER BY ia, ib""".stripMargin,
-    "dd_components" ->
-      s"""WITH RECURSIVE
-         |$shingCte,
-         |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),
-         |inter AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4),
-         |pairs AS (
-         |  SELECT ia, ib FROM inter WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JT),
-         |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
-         |reach(node, comp) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
-         |comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1)
-         |SELECT doc_id, component,
-         |       (SELECT COUNT(*) FROM comps c2 WHERE c2.component = comps.component) AS comp_size
-         |FROM comps ORDER BY doc_id""".stripMargin,
+    "dd_components" -> componentsOracle,
+    // same oracle as dd_components: both implementations must produce the
+    // identical clustering of the identical (exact, non-LSH) pair graph
+    "dd_components_stars" -> componentsOracle,
     "dd_simhash" ->
       s"""WITH hashed AS (
        |  SELECT doc_id,
@@ -378,4 +427,24 @@ object Dedup {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= $HAM
        |ORDER BY ia, ib""".stripMargin)
+
+  private lazy val componentsOracle: String =
+      s"""WITH RECURSIVE
+         |$shingCte,
+         |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |pairs AS (
+         |  SELECT ia, ib FROM inter WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JT),
+         |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+         |comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, component,
+         |       (SELECT COUNT(*) FROM comps c2 WHERE c2.component = comps.component) AS comp_size
+         |FROM comps ORDER BY doc_id""".stripMargin
 }
