@@ -52,7 +52,13 @@ object Dedup {
     * longs, distinct per doc. All dedup set math runs on these longs.
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingledOf(Tables.documents(s, d))
+
+  /** [[shingled]] over an arbitrary (doc_id, text, …) frame — the same
+    * stage the incremental path runs on just the new batch.
+    */
+  def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       // 3-grams via two shifted zip_with passes: O(n) per doc, vs the
@@ -111,6 +117,30 @@ object Dedup {
     * over shingle hashes (one row per doc — no explosion), banded B=8 × R=4,
     * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
     */
+  /** Adds the K-wide minhash signature to a shingled frame: K arithmetic
+    * hashes folded elementwise-min over the shingle hashes — one row per
+    * doc, no explosion.
+    */
+  def signaturesOf(shingles: DataFrame): DataFrame =
+    shingles.withColumn("sig", expr(
+      s"""aggregate(
+         |  transform(shashes, h -> transform(sequence(0, ${K - 1}),
+         |    i -> ((2*i + 1) * (h % $M40) + i * 2654435761) % $M40)),
+         |  array_repeat(CAST(9223372036854775807 AS BIGINT), $K),
+         |  (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))""".stripMargin))
+
+  /** LSH band rows for a signature frame — fixed-width (doc_id, band, bh)
+    * ONLY: the shingle sets never ride through the band shuffle;
+    * candidates join back to them by doc_id for verification.
+    */
+  def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${B - 1}), b -> struct(b as band,
+           |  ${sparkHash(s"concat(cast(b as string), '|', concat_ws(',', transform(slice(sig, b*$R+1, $R), v -> cast(v as string))))")} as bh))""".stripMargin
+      )).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint: this frame (doc_id, shashes, sig — a few hundred
     // bytes per doc) feeds FOUR consumers (two band-join sides + two
@@ -118,22 +148,8 @@ object Dedup {
     // broadcast self-join defeats exchange reuse, so without the
     // checkpoint the shingle+fold subplan executes up to 5×. Per-doc
     // sketches are exactly what you'd persist on a real cluster too.
-    val sig = shingled(s, d).withColumn("sig", expr(
-      s"""aggregate(
-         |  transform(shashes, h -> transform(sequence(0, ${K - 1}),
-         |    i -> ((2*i + 1) * (h % $M40) + i * 2654435761) % $M40)),
-         |  array_repeat(CAST(9223372036854775807 AS BIGINT), $K),
-         |  (acc, x) -> zip_with(acc, x, (p, q) -> least(p, q)))""".stripMargin))
-      .localCheckpoint()
-    // band rows are fixed-width (doc_id, band, bh) ONLY — the shingle
-    // sets never ride through the band shuffle; candidates join back to
-    // them by doc_id for verification (pairs are few, the join is cheap)
-    val bands = sig.select(col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(0, ${B - 1}), b -> struct(b as band,
-           |  ${sparkHash(s"concat(cast(b as string), '|', concat_ws(',', transform(slice(sig, b*$R+1, $R), v -> cast(v as string))))")} as bh))""".stripMargin
-      )).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sig = signaturesOf(shingled(s, d)).localCheckpoint()
+    val bands = bandsOf(sig)
     val candIds = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band")
         && col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
@@ -266,6 +282,84 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup: classify a NEW batch of documents against an
+    * already-seen corpus without ever re-processing the seen side. This is
+    * the production shape of LLM-corpus dedup — the seen corpus is 100 TB
+    * and static; the nightly batch is small — so the seen documents must
+    * be represented by a persisted sketch store, not re-shingled per run:
+    *
+    *  - md5 store (doc_id, text_md5): exact-dup anti-join — 16-byte keys;
+    *  - sketch store (doc_id, shashes, sig): candidate verification;
+    *  - band store (doc_id, band, bh): the LSH probe index (bucket a new
+    *    doc's 8 band keys against it; at scale this is the table you
+    *    bucket-write on (band, bh) so the probe join is shuffle-free on
+    *    the corpus side — BucketingSpec proves that machinery).
+    *
+    * Only the NEW batch is shingled/signed (DedupSpec asserts the probe
+    * plan scans the seen corpus zero times). Verdict per new doc:
+    * `exact_dup` (md5 seen), `near_dup_of` (smallest seen doc_id with
+    * verified Jaccard ≥ 0.5 among band-bucket candidates), `kept`
+    * (neither). The oracle replays the whole thing in DuckDB on the same
+    * deterministic seen/new split.
+    */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val seen = docs.filter(col("doc_id") % 5 =!= 0)
+    // new batch: held-out docs plus injected exact copies of a few seen
+    // docs (doc_id offset by 1e6) so the exact path has real positives
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(seen.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val (md5s, sketches, bands) = sketchStore(seen)
+    incrementalProbe(fresh, md5s, sketches, bands)
+  }
+
+  /** The persisted-side artifacts for [[incrementalProbe]]. In production
+    * these are bucketed tables maintained across batches; here they are
+    * derived on the fly (the spec derives them once, writes them to
+    * parquet, and probes from there).
+    */
+  def sketchStore(seen: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val md5s = seen.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val sketches = signaturesOf(shingledOf(seen)).localCheckpoint()
+    (md5s, sketches, bandsOf(sketches))
+  }
+
+  /** Probe a new batch against a seen corpus's sketch store. Touches the
+    * new batch's text exactly once and the seen corpus's text never.
+    */
+  def incrementalProbe(fresh: DataFrame, seenMd5: DataFrame,
+      seenSketch: DataFrame, seenBands: DataFrame): DataFrame = {
+    // one row per doc through shingle+sign; checkpoint because the frame
+    // feeds both the band probe and candidate verification
+    val newSig = signaturesOf(shingledOf(fresh)).localCheckpoint()
+    val cand = bandsOf(newSig).as("a")
+      .join(seenBands.as("b"), col("a.band") === col("b.band")
+        && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("nid"), col("b.doc_id").as("sid"))
+      .dropDuplicates("nid", "sid")
+    val nearest = cand
+      .join(newSig.select(col("doc_id").as("nid"), col("shashes").as("sha")), "nid")
+      .join(seenSketch.select(col("doc_id").as("sid"), col("shashes").as("shb")), "sid")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= expr(JT))
+      .groupBy(col("nid")).agg(min(col("sid")).as("near_dup_of"))
+    val exacts = fresh.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(seenMd5.select(col("text_md5")).distinct(), Seq("text_md5"), "left_semi")
+      .select(col("doc_id"), lit(true).as("e"))
+    fresh.select(col("doc_id"))
+      .join(exacts, Seq("doc_id"), "left")
+      .join(nearest.withColumnRenamed("nid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_dup"),
+        col("near_dup_of"),
+        (!coalesce(col("e"), lit(false)) && col("near_dup_of").isNull).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 60-bit SimHash over distinct words, near-dup at hamming ≤ 4, found
     * via two-block pigeonhole banding: the 60 bits split into 6 blocks of
     * 10; ≤ 4 flipped bits touch ≤ 4 blocks, so every qualifying pair has
@@ -345,16 +439,38 @@ object Dedup {
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
     "dd_components" -> components,
-    "dd_components_stars" -> componentsStars
+    "dd_components_stars" -> componentsStars,
+    "dd_incremental" -> incremental
   )
 
-  private val shingCte =
-    s"""shing AS (
+  /** DuckDB CTE builders parameterized by source relation, so the
+    * incremental oracle can run the identical shingle/sign/band pipeline
+    * on each side of the seen/new split.
+    */
+  private def shingCteFor(src: String, out: String): String =
+    s"""$out AS (
        |  SELECT doc_id,
        |         list_distinct([${duckHash("sh")} for sh in
        |           list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])]) AS shashes
-       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $src)
        |  WHERE len(ws) >= 3)""".stripMargin
+
+  private def sigCteFor(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT doc_id, shashes,
+       |    [list_reduce(
+       |       list_prepend(9223372036854775807::BIGINT,
+       |         [((2*i + 1) * (h % $M40) + i * 2654435761) % $M40 for h in shashes]),
+       |       (a, x) -> least(a, x)) for i in range(0, $K)] AS sig
+       |  FROM $src)""".stripMargin
+
+  private def bandCteFor(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT doc_id, shashes, b,
+       |    ${duckHash(s"CAST(b AS VARCHAR) || '|' || array_to_string([CAST(v AS VARCHAR) for v in sig[b*$R+1:b*$R+$R]], ',')")} AS bh
+       |  FROM $src CROSS JOIN (SELECT unnest(range(0, $B)) AS b))""".stripMargin
+
+  private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
@@ -399,6 +515,40 @@ object Dedup {
          |  FROM cand JOIN shing sa ON ia = sa.doc_id JOIN shing sb ON ib = sb.doc_id)
          |SELECT ia, ib, inter, jaccard FROM scored
          |WHERE jaccard >= $JT ORDER BY ia, ib""".stripMargin,
+    "dd_incremental" ->
+      s"""WITH docs_seen AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |docs_new AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM docs_seen WHERE doc_id % 97 = 0),
+         |${shingCteFor("docs_seen", "shing_s")},
+         |${shingCteFor("docs_new", "shing_n")},
+         |${sigCteFor("shing_s", "sig_s")},
+         |${sigCteFor("shing_n", "sig_n")},
+         |${bandCteFor("sig_s", "bands_s")},
+         |${bandCteFor("sig_n", "bands_n")},
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+         |  FROM bands_n n JOIN bands_s s ON n.b = s.b AND n.bh = s.bh),
+         |nearest AS (
+         |  SELECT nid, MIN(sid) AS near_dup_of FROM (
+         |    SELECT cand.nid, cand.sid,
+         |      CAST(len(list_intersect(a.shashes, b.shashes)) AS DOUBLE)
+         |        / (len(a.shashes) + len(b.shashes) - len(list_intersect(a.shashes, b.shashes))) AS j
+         |    FROM cand JOIN shing_n a ON cand.nid = a.doc_id
+         |              JOIN shing_s b ON cand.sid = b.doc_id) sc
+         |  WHERE j >= $JT GROUP BY nid),
+         |exacts AS (
+         |  SELECT DISTINCT n.doc_id FROM docs_new n
+         |  JOIN docs_seen s ON md5(n.text) = md5(s.text))
+         |SELECT n.doc_id,
+         |  n.doc_id IN (SELECT doc_id FROM exacts) AS exact_dup,
+         |  nearest.near_dup_of,
+         |  (n.doc_id NOT IN (SELECT doc_id FROM exacts)
+         |    AND nearest.near_dup_of IS NULL) AS kept
+         |FROM docs_new n LEFT JOIN nearest ON n.doc_id = nearest.nid
+         |ORDER BY n.doc_id""".stripMargin,
     "dd_components" -> componentsOracle,
     // same oracle as dd_components: both implementations must produce the
     // identical clustering of the identical (exact, non-LSH) pair graph

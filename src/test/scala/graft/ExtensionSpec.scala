@@ -129,4 +129,48 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got == expectClosed,
       s"missing=${expectClosed -- got} extra=${got -- expectClosed}")
   }
+
+  test("incremental probe reads the sketch store, never the seen corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // persist the seen corpus under a recognizable path, then derive and
+    // persist its sketch store exactly once
+    docs.filter(col("doc_id") % 5 =!= 0)
+      .write.mode("overwrite").parquet(s"$tmp/seen_corpus")
+    val seen = spark.read.parquet(s"$tmp/seen_corpus")
+    val (md5s, sketches, bands) = ext.Dedup.sketchStore(seen)
+    md5s.write.mode("overwrite").parquet(s"$tmp/store_md5")
+    sketches.write.mode("overwrite").parquet(s"$tmp/store_sketch")
+    bands.write.mode("overwrite").parquet(s"$tmp/store_bands")
+    // second batch: same composition as the dd_incremental oracle split,
+    // materialized to its own table first — a production batch arrives as
+    // its own files, not as a view over the seen corpus
+    docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(seen.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/new_batch")
+    val fresh = spark.read.parquet(s"$tmp/new_batch")
+    val probe = ext.Dedup.incrementalProbe(fresh,
+      spark.read.parquet(s"$tmp/store_md5"),
+      spark.read.parquet(s"$tmp/store_sketch"),
+      spark.read.parquet(s"$tmp/store_bands"))
+    // untruncated scan inventory: the root path of every file source the
+    // optimized plan reads (the checkpointed new-batch sketch surfaces as
+    // an ExistingRDD, not a scan)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanned = probe.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(!scanned.exists(_.contains("seen_corpus")),
+      s"probe plan re-scans the seen corpus instead of its sketch store: $scanned")
+    Seq("store_md5", "store_sketch", "store_bands").foreach(p =>
+      assert(scanned.exists(_.contains(p)), s"probe plan does not read $p: $scanned"))
+    // and the store-backed probe gives the same verdicts as the inline form
+    val inline = ext.Dedup.incremental(spark, sf).collect().map(_.toString).toSeq
+    val stored = probe.collect().map(_.toString).toSeq
+    assert(stored == inline)
+  }
 }
