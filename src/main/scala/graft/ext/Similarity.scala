@@ -129,15 +129,37 @@ object Similarity {
       ).as("iv"))
       .localCheckpoint()
 
-  /** argmin-distance (here: argmax-cosine) assignment of each vector to a
-    * centroid; tie-break on centroid id.
+  /** argmax-cosine assignment of each vector to a centroid; tie-break on
+    * centroid id. The KC centroids (10 rows × 64 doubles) are collected to
+    * the driver and inlined as a literal array, so assignment is a per-row
+    * fold — no 10× row explosion, no window, and NO exchange: this is the
+    * structure MLlib's k-means uses too (centroids live on the driver
+    * between iterations). Doubles are embedded via Double.toString, whose
+    * shortest-repr round-trip is exact, and cast from scientific-notation
+    * literals (plain decimal literals would parse as DECIMAL and lose
+    * ulps). Scores and tie-breaks are identical to the former
+    * window-ranked form — same cosIntDouble fold per (vector, centroid) —
+    * so the hash-verified training replay is unchanged.
     */
   private def assign(qv: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
-    qv.join(broadcast(cent))
-      .withColumn("ccos", expr(cosIntDouble("iv", "cv")))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
+    val rows = cent.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centArr = rows.map { case (cid, cv) =>
+      val lits = cv.map(x => {
+        val s = java.lang.Double.toString(x)
+        s"CAST('${if (s.contains("E")) s else s + "E0"}' AS DOUBLE)"
+      }).mkString(",")
+      s"struct(CAST($cid AS BIGINT) AS cid, array($lits) AS cv)"
+    }.mkString("array(", ", ", ")")
+    // fold left over cid-ascending centroids, replacing only on a STRICTLY
+    // better score — ties keep the earlier (smaller) cid, matching the old
+    // row_number(desc(ccos), cid) tie-break
+    qv.withColumn("cid", expr(
+      s"""aggregate(
+         |  transform($centArr, c -> struct(c.cid AS cid, ${cosIntDouble("iv", "c.cv")} AS ccos)),
+         |  CAST(NULL AS struct<cid: BIGINT, ccos: DOUBLE>),
+         |  (acc, x) -> IF(acc IS NULL OR x.ccos > acc.ccos, x, acc)).cid""".stripMargin))
       .select(col("vec_id"), col("iv"), col("cid"))
   }
 
@@ -147,6 +169,22 @@ object Similarity {
     * shuffle, on KC×64 skinny keys. Centroids are 10 rows; checkpointing
     * them keeps iteration plans flat.
     */
+  /** One Lloyd iteration's centroid re-estimation frame, exposed so
+    * PlanSpec can assert the iteration's ONLY exchange is the skinny
+    * (cid, pos, partial sums) one — vectors never ride a k-means shuffle.
+    */
+  private[graft] def lloydIterationFrame(s: SparkSession, d: String): DataFrame = {
+    val qv = quantized(s, d)
+    val cent = qv.filter(col("vec_id") < KC)
+      .select(col("vec_id").as("cid"),
+        expr("transform(iv, x -> CAST(x AS DOUBLE))").as("cv"))
+      .localCheckpoint()
+    assign(qv, cent)
+      .select(col("cid"), posexplode(col("iv")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+  }
+
   private def trainedCentroids(s: SparkSession, qv: DataFrame): DataFrame = {
     var cent = qv.filter(col("vec_id") < KC)
       .select(col("vec_id").as("cid"),

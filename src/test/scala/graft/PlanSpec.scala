@@ -93,4 +93,57 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("x_semi_join").contains("LeftSemi"))
     assert(plan("x_anti_join").contains("LeftAnti"))
   }
+
+  /** Like [[planAtScale]] but returning the plan tree, for asserts on
+    * exchange schemas that toString truncates.
+    */
+  private def sparkPlanAtScale(df: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try df.queryExecution.executedPlan
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
+  test("LSH band self-join never broadcasts at scale (both sides are corpus-sized)") {
+    val p = planAtScale("dd_minhash_lsh")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a broadcast band join would ship the whole corpus's bands to every executor:\n"
+        + p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("exact-dedup shuffles carry md5 keys and counters, never document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = sparkPlanAtScale(SparkEntry.queries("dd_exact")(spark, sf))
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e.child.output.map(_.name) }
+    assert(exchanges.nonEmpty, p.toString.take(1000))
+    exchanges.foreach(cols =>
+      assert(!cols.contains("text"),
+        s"document text rides a dd_exact shuffle: $cols"))
+    // the aggregation exchange carries the 16-byte md5 key, partial-agg'd
+    assert(exchanges.exists(_.contains("text_md5")), exchanges.toString)
+    assert(p.toString.contains("partial_min"), "map-side partial aggregation missing")
+  }
+
+  test("k-means iteration's only exchange is the skinny (cid, pos) partial-sum one") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = sparkPlanAtScale(ext.Similarity.lloydIterationFrame(spark, sf))
+    val exchanges = p.collect { case e: ShuffleExchangeExec => e.child.output.map(_.name) }
+    assert(exchanges.nonEmpty, p.toString.take(1000))
+    // quantized vectors (iv) must never ride a training shuffle —
+    // assignment is a broadcast-literal argmax, so the only exchange is
+    // the (cid, pos) partial-sum one
+    exchanges.foreach(cols =>
+      assert(!cols.contains("iv"), s"vector column rides a k-means shuffle: $cols"))
+    assert(exchanges.exists(c => c.contains("cid") && c.contains("pos")),
+      exchanges.toString)
+    assert(p.toString.contains("partial_sum"), "map-side partial sums missing")
+  }
 }
