@@ -98,6 +98,23 @@ object Multimodal {
       .withColumn("frame_idx", col("frame_idx").cast("long"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Real media-file ingest: `spark.read.format("binaryFile")` over a
+    * directory of payload files, filename carrying the doc_id
+    * (`<doc_id>.bin`), joined back to the documents metadata — the shape
+    * of a production media lake (payload bytes in an object store,
+    * metadata in tables). Filters on path/length are pushed by the
+    * binaryFile source; `content` stays out of the join (only digest +
+    * length flow downstream), so payloads never shuffle here either.
+    */
+  def binaryIngest(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
+    s.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("digest"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,

@@ -106,4 +106,31 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(one.count() ==
       Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
   }
+
+  test("binaryFile source ingests payload files and joins doc metadata") {
+    val dir = tmp("graft_bin")
+    // fixture: one <doc_id>.bin file per document, payload = utf-8 text
+    val fixture = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"), col("lang"), col("source")).collect()
+    fixture.foreach { r =>
+      Files.write(java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    val got = ext.Multimodal.binaryIngest(spark, dir,
+      Tables.documents(spark, sf)).collect()
+    assert(got.length == fixture.length)
+    // digest/length from the FILES must equal digest/length of the text
+    // they were written from, and the metadata join must line up
+    val wantDigest = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+      .select(col("doc_id"), sha2(encode(col("text"), "UTF-8"), 256),
+        octet_length(col("text")).cast("long"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).collect()
+    got.zip(wantDigest).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getLong(1) == w.getLong(2), s"length mismatch for doc ${g.getLong(0)}")
+      assert(g.getString(2) == w.getString(1), s"digest mismatch for doc ${g.getLong(0)}")
+      assert(g.getString(3) == w.getString(3) && g.getString(4) == w.getString(4))
+    }
+  }
 }
