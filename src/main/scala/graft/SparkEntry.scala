@@ -23,7 +23,8 @@ object SparkEntry {
       ext.MapOps.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
-        "st_interval_join" -> streaming.StreamOps.intervalJoinStream)
+        "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
+        "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
             |FROM events c JOIN events p ON c.user_id = p.user_id
             |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-            |ORDER BY 1, 2, 3""".stripMargin)
+            |ORDER BY 1, 2, 3""".stripMargin,
+        "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle)
 }

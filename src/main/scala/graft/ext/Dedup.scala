@@ -133,13 +133,21 @@ object Dedup {
     * ONLY: the shingle sets never ride through the band shuffle;
     * candidates join back to them by doc_id for verification.
     */
-  def bandsOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"),
+  def bandsOf(sig: DataFrame): DataFrame = bandsCarrying(sig)
+
+  /** [[bandsOf]] with extra carried columns. The streaming probe carries
+    * the shingle set on its (small, batch-sized) side because a join-back
+    * to the stream would be a stream-stream self-join; batch callers
+    * carry nothing.
+    */
+  def bandsCarrying(sig: DataFrame, carry: String*): DataFrame =
+    sig.select(col("doc_id") +: carry.map(col) :+
       explode(expr(
         s"""transform(sequence(0, ${B - 1}), b -> struct(b as band,
            |  ${sparkHash(s"concat(cast(b as string), '|', concat_ws(',', transform(slice(sig, b*$R+1, $R), v -> cast(v as string))))")} as bh))""".stripMargin
-      )).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      )).as("bb"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
 
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint: this frame (doc_id, shashes, sig — a few hundred
@@ -590,6 +598,34 @@ object Dedup {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim, b.sim)) <= $HAM
        |ORDER BY ia, ib""".stripMargin)
+
+  /** Oracle for the streaming probe ([[graft.streaming.StreamOps
+    * .incrementalProbeStream]]): the batch replay of the stream-static
+    * band probe — held-out docs only (the stream carries no injected
+    * copies), near-dup matches only (inner joins emit nothing for clean
+    * docs).
+    */
+  private[graft] lazy val incrementalStreamOracle: String =
+    s"""WITH docs_seen AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |docs_new AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |${shingCteFor("docs_seen", "shing_s")},
+       |${shingCteFor("docs_new", "shing_n")},
+       |${sigCteFor("shing_s", "sig_s")},
+       |${sigCteFor("shing_n", "sig_n")},
+       |${bandCteFor("sig_s", "bands_s")},
+       |${bandCteFor("sig_n", "bands_n")},
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS nid, s.doc_id AS sid
+       |  FROM bands_n n JOIN bands_s s ON n.b = s.b AND n.bh = s.bh)
+       |SELECT nid AS doc_id, MIN(sid) AS near_dup_of FROM (
+       |  SELECT cand.nid, cand.sid,
+       |    CAST(len(list_intersect(a.shashes, b.shashes)) AS DOUBLE)
+       |      / (len(a.shashes) + len(b.shashes) - len(list_intersect(a.shashes, b.shashes))) AS j
+       |  FROM cand JOIN shing_n a ON cand.nid = a.doc_id
+       |            JOIN shing_s b ON cand.sid = b.doc_id) sc
+       |WHERE j >= $JT GROUP BY nid ORDER BY doc_id""".stripMargin
 
   private lazy val componentsOracle: String =
       s"""WITH RECURSIVE

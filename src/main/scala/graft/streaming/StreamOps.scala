@@ -120,6 +120,60 @@ object StreamOps {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Raw documents schema as stored. */
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming incremental dedup probe: the held-out batch of documents
+    * arrives as a STREAM and is probed against the static persisted LSH
+    * stores of the seen corpus ([[graft.ext.Dedup.sketchStore]]) — two
+    * stream-static joins (band probe, sketch verification) plus a
+    * complete-mode aggregation, the nightly-ingest shape of production
+    * corpus dedup. Differences from the batch probe that matter in a
+    * stream: the new doc's shingle set rides WITH its band rows (a
+    * join-back to the stream would be a stream-stream self-join needing
+    * event-time watermarks this data doesn't have), and candidate pairs
+    * are not pre-deduplicated (min(sid) is duplicate-insensitive, so the
+    * dedup state would buy nothing). Emits (doc_id, near_dup_of) for
+    * every streamed doc with a verified seen near-dup; equals the batch
+    * oracle's non-null near_dup_of rows.
+    */
+  def incrementalProbeStream(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Dedup
+    val ss = tuned(s)
+    val seen = graft.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 5 =!= 0)
+    val (_, sketches, bands) = Dedup.sketchStore(seen)
+    val stream = ss.readStream.schema(documentsRawSchema)
+      .parquet(s"$d/{documents}.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val newSig = Dedup.signaturesOf(Dedup.shingledOf(stream))
+    val newBands = Dedup.bandsCarrying(newSig, "shashes")
+    val q = newBands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band")
+        && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("nid"), col("a.shashes").as("sha"),
+        col("b.doc_id").as("sid"))
+      .join(sketches.select(col("doc_id").as("sid"), col("shashes").as("shb")), "sid")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= expr("0.5"))
+      .groupBy(col("nid").as("doc_id"))
+      .agg(min(col("sid")).as("near_dup_of"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_inc_probe")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_inc_probe").orderBy(col("doc_id"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
