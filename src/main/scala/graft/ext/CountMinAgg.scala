@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: the fixed-size mergeable frequency summary ModeAgg's
+  * scaladoc points to for high-cardinality columns. Buffer = D×W long
+  * counters (8 KiB regardless of input size), merged by elementwise add —
+  * associative and commutative, so the result is partition-count
+  * independent and the map-side partials are genuine sketches themselves.
+  *
+  * Input is the pre-hashed 60-bit cross-engine key ([[Hashing]]); row i's
+  * bucket reuses the MinHash arithmetic family mod 2^40 (every
+  * intermediate < 2^47, inside DuckDB's overflow-trapping BIGINT). CMS
+  * counters are EXACT sums — only the bucket mapping is lossy — so the
+  * whole sketch, and every estimate read from it, is deterministic and
+  * DuckDB-replayable: the oracle rebuilds the same counters with a
+  * GROUP BY and takes the same min over rows.
+  *
+  * Scale: the sketch answers "approximate count of any key" over 100 TB
+  * with one aggregation whose shuffle is D×W longs per partition — the
+  * structure you bolt onto a stream (state = one buffer) or use for skew
+  * detection before a join.
+  */
+object CountMinAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+  val D = 4    // hash rows
+  val W = 256  // counters per row
+  private val M40 = 1099511627776L // 2^40
+
+  /** Bucket of 60-bit hash h in row i — DuckDB-replayable arithmetic. */
+  def bucket(i: Int, h: Long): Int =
+    (((2L * i + 1L) * (h % M40) + i.toLong * 2654435761L) % M40 % W).toInt
+
+  override def zero: Array[Long] = new Array[Long](D * W)
+
+  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < D) { b(i * W + bucket(i, h)) += 1L; i += 1 }
+    b
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def outputEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+
+  import Hashing.{duckHash, sparkHash}
+
+  /** Build the sketch over orders.o_custkey, then read estimates for
+    * customer keys 1..25 from it and pair each with the exact count. The
+    * sketch (8 KiB) is collected to the driver and inlined as a literal —
+    * a sketch IS a driver-sized summary; that is its entire point — so
+    * the estimate lookup costs one codegen'd projection per probe key.
+    */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.orders(s, d)
+      .select(expr(sparkHash("CAST(o_custkey AS STRING)")).as("h")).as[Long]
+    val sketch: Array[Long] = hashed.select(CountMinAgg.toColumn).head()
+    val skLit = array(sketch.map(lit(_)): _*)
+    val probes = s.range(1, 26).select(col("id").as("cust_key"))
+      .withColumn("h", expr(sparkHash("CAST(cust_key AS STRING)")))
+    val ests = (0 until D).map { i =>
+      val b = s"(((${2 * i + 1} * (h % $M40)) + ${i}L * 2654435761L) % $M40) % $W"
+      element_at(skLit, (expr(b) + lit(i * W) + lit(1)).cast("int"))
+    }
+    val exact = Tables.orders(s, d).groupBy(col("o_custkey").as("cust_key"))
+      .agg(count(lit(1)).as("true_count"))
+    probes
+      .withColumn("est", least(ests: _*))
+      .join(exact, Seq("cust_key"), "left")
+      .select(col("cust_key"), col("est"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"))
+      .orderBy(col("cust_key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cms_freq" -> cmsFreq
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_cms_freq" ->
+      s"""WITH h AS (
+         |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |counters AS (
+         |  SELECT i, ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % $W AS b,
+         |         COUNT(*) AS c
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, $D)) AS i)
+         |  GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT k, ${duckHash("CAST(k AS VARCHAR)")} AS h
+         |  FROM (SELECT unnest(range(1, 26)) AS k)),
+         |pb AS (
+         |  SELECT k, i,
+         |         ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % $W AS b
+         |  FROM probe CROSS JOIN (SELECT unnest(range(0, $D)) AS i)),
+         |exact AS (
+         |  SELECT o_custkey AS k, COUNT(*) AS true_count FROM orders GROUP BY 1)
+         |SELECT pb.k AS cust_key, MIN(COALESCE(c.c, 0)) AS est,
+         |       COALESCE(ANY_VALUE(exact.true_count), 0) AS true_count
+         |FROM pb LEFT JOIN counters c ON pb.i = c.i AND pb.b = c.b
+         |       LEFT JOIN exact ON pb.k = exact.k
+         |GROUP BY pb.k ORDER BY cust_key""".stripMargin
+  )
+}

@@ -130,6 +130,22 @@ class ExtensionSpec extends AnyFunSuite {
       s"missing=${expectClosed -- got} extra=${got -- expectClosed}")
   }
 
+  test("count-min estimates dominate true counts; sketch is partition-independent") {
+    import spark.implicits._
+    val out = ext.CountMinAgg.cmsFreq(spark, sf).collect()
+    assert(out.length == 25)
+    // CMS one-sided error guarantee: collisions only ever ADD
+    out.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"estimate below true count for key ${r.getLong(0)}"))
+    // merge is associative+commutative: any partitioning, same sketch
+    val hashed = Tables.orders(spark, sf)
+      .select(expr(ext.Hashing.sparkHash("CAST(o_custkey AS STRING)")).as("h"))
+      .as[Long]
+    val one = hashed.coalesce(1).select(ext.CountMinAgg.toColumn).head()
+    val seven = hashed.repartition(7).select(ext.CountMinAgg.toColumn).head()
+    assert(one.sameElements(seven))
+  }
+
   test("incremental probe reads the sketch store, never the seen corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
