@@ -107,6 +107,32 @@ class SourceSinkSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
   }
 
+  test("shard writer: deterministic membership, balance, pruning, rerun-stable") {
+    val dir = tmp("graft_shards")
+    val docs = Tables.documents(spark, sf)
+    ext.ShardWriter.writeShards(docs, s"$dir/a", 8)
+    val back = spark.read.parquet(s"$dir/a")
+    assert(back.count() == docs.count())
+    // membership is the declared hash rule, for every row
+    val offRule = back.filter(
+      col("shard") =!= pmod(xxhash64(col("doc_id")), lit(8L)).cast("int")).count()
+    assert(offRule == 0)
+    // every shard materialized, sizes binomially balanced (500 docs / 8)
+    val sizes = back.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    sizes.values.foreach(c => assert(c > 20 && c < 120, sizes.toString))
+    // shard filter prunes partitions at the scan
+    val one = back.filter(col("shard") === 3)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(one.count() == sizes(3))
+    // re-run writes the identical sharding
+    ext.ShardWriter.writeShards(docs, s"$dir/b", 8)
+    val again = spark.read.parquet(s"$dir/b").groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again == sizes)
+  }
+
   test("binaryFile source ingests payload files and joins doc metadata") {
     val dir = tmp("graft_bin")
     // fixture: one <doc_id>.bin file per document, payload = utf-8 text
