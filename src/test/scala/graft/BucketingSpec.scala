@@ -47,4 +47,41 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_o_bucketed")
     }
   }
+
+  test("incremental band store bucket-written on bh probes shuffle-free corpus-side") {
+    // the SCALE.md claim behind dd_incremental: persist the seen corpus's
+    // LSH band table bucketed on the band hash, and a new batch's probe
+    // join shuffles ONLY the batch side — the 100 TB corpus never moves
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val seen = docs.filter(col("doc_id") % 5 =!= 0)
+      val (_, _, bands) = ext.Dedup.sketchStore(seen)
+      bands.write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "bh").sortBy("bh")
+        .saveAsTable("graft_bands_bucketed")
+      val store = spark.table("graft_bands_bucketed")
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val probeBands = ext.Dedup.bandsOf(
+          ext.Dedup.signaturesOf(ext.Dedup.shingledOf(fresh)))
+        .select(col("doc_id").as("nid"), col("band").as("pband"),
+          col("bh").as("pbh"))
+      val cand = probeBands.join(store,
+          col("pband") === col("band") && col("pbh") === col("bh"))
+        .select(col("nid"), col("doc_id").as("sid"))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(bh"),
+        "corpus-side band store must not re-shuffle:\n" + plan.take(3000))
+      // and the bucketed probe finds exactly the plain join's candidates
+      val expect = probeBands.join(bands,
+          col("pband") === col("band") && col("pbh") === col("bh"))
+        .select(col("nid"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.sql("DROP TABLE IF EXISTS graft_bands_bucketed")
+    }
+  }
 }
