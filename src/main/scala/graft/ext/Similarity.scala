@@ -119,15 +119,17 @@ object Similarity {
        | / (sqrt(aggregate($iv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
        |    * sqrt(aggregate($cv, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))""".stripMargin
 
-  /** Quantized vectors (vec_id, iv: array<bigint>), checkpointed — reused
-    * by every k-means iteration and the probe phase.
+  /** Quantization of an embeddings frame to (vec_id, iv: array<bigint>). */
+  private def quantizedOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
+    ).as("iv"))
+
+  /** Quantized corpus, checkpointed — reused by every k-means iteration
+    * and the probe phase.
     */
   private def quantized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), expr(
-        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
-      ).as("iv"))
-      .localCheckpoint()
+    quantizedOf(Tables.embeddings(s, d)).localCheckpoint()
 
   /** argmax-cosine assignment of each vector to a centroid; tie-break on
     * centroid id. The KC centroids (10 rows × 64 doubles) are collected to
@@ -213,14 +215,34 @@ object Similarity {
     * query reads NPROBE/KC of the corpus.
     */
   def ivfTrainedTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val (cent, assigned) = buildIvfIndex(s, d)
+    ivfProbeStore(s, d, cent, assigned)
+  }
+
+  /** Build the persisted-IVF index artifacts: the trained centroids
+    * (cid, cv) and the corpus assignment (vec_id, bucket). In production
+    * these are written once per index build (see the ExtensionSpec
+    * store-backed round-trip) and served to every query batch — the ANN
+    * analog of [[Dedup.sketchStore]].
+    */
+  def buildIvfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qv = quantized(s, d)
     val cent = trainedCentroids(s, qv)
-    val assigned = assign(qv, cent)
-      .select(col("vec_id"), col("cid").as("bucket"))
+    (cent, assign(qv, cent).select(col("vec_id"), col("cid").as("bucket")))
+  }
+
+  /** Answer a query batch from a prebuilt IVF index WITHOUT retraining:
+    * quantize only the query vectors, rank centroids per query from the
+    * stored (cid, cv) frame, pull candidates from the stored assignment,
+    * score on original floats. Identical results to [[ivfTrainedTopK]] —
+    * the index artifacts fully determine the answers (spec-verified).
+    */
+  def ivfProbeStore(s: SparkSession, d: String, cent: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val qv = quantizedOf(e.filter(col("vec_id") < 5))
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
-    val probes = qv.filter(col("vec_id") < 5)
-      .join(broadcast(cent))
+    val probes = qv.join(broadcast(cent))
       .withColumn("ccos", expr(cosIntDouble("iv", "cv")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= NPROBE)

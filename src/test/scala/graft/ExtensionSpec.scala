@@ -130,6 +130,31 @@ class ExtensionSpec extends AnyFunSuite {
       s"missing=${expectClosed -- got} extra=${got -- expectClosed}")
   }
 
+  test("persisted IVF index answers queries identically to inline training") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val (cent, assigned) = ext.Similarity.buildIvfIndex(spark, sf)
+    cent.write.parquet(s"$tmp/ivf_cent")
+    assigned.write.parquet(s"$tmp/ivf_assign")
+    val probe = ext.Similarity.ivfProbeStore(spark, sf,
+      spark.read.parquet(s"$tmp/ivf_cent"),
+      spark.read.parquet(s"$tmp/ivf_assign"))
+    // the store-backed probe reads index artifacts, not a retrained index
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanned = probe.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    Seq("ivf_cent", "ivf_assign").foreach(p =>
+      assert(scanned.exists(_.contains(p)), s"probe does not read $p: $scanned"))
+    // and the serialized index fully determines the answers
+    val inline = ext.Similarity.ivfTrainedTopK(spark, sf)
+      .collect().map(_.toString).toSeq
+    val stored = probe.collect().map(_.toString).toSeq
+    assert(stored == inline)
+  }
+
   test("count-min estimates dominate true counts; sketch is partition-independent") {
     import spark.implicits._
     val out = ext.CountMinAgg.cmsFreq(spark, sf).collect()
