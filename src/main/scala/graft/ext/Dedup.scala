@@ -113,10 +113,6 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** MinHash + LSH near-dup: K=32 arithmetic hashes folded elementwise-min
-    * over shingle hashes (one row per doc — no explosion), banded B=8 × R=4,
-    * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
-    */
   /** Adds the K-wide minhash signature to a shingled frame: K arithmetic
     * hashes folded elementwise-min over the shingle hashes — one row per
     * doc, no explosion.
@@ -149,14 +145,26 @@ object Dedup {
       .select(col("doc_id") +: carry.map(col) :+
         col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** MinHash + LSH near-dup: K=32 arithmetic hashes folded elementwise-min
+    * over shingle hashes (one row per doc — no explosion), banded B=8 × R=4,
+    * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    lshPairsOf(Tables.documents(s, d)).orderBy(col("ia"), col("ib"))
+
+  /** Verified near-dup pairs (ia < ib, inter, jaccard ≥ 0.5) of an
+    * arbitrary (doc_id, text, …) frame — the unordered core of
+    * [[minhashLsh]], reused by the corpus-clean pipeline on its
+    * quality-filtered survivor set.
+    */
+  def lshPairsOf(docs: DataFrame): DataFrame = {
     // localCheckpoint: this frame (doc_id, shashes, sig — a few hundred
     // bytes per doc) feeds FOUR consumers (two band-join sides + two
     // verification joins) plus the final sort's range-sampling pass; a
     // broadcast self-join defeats exchange reuse, so without the
     // checkpoint the shingle+fold subplan executes up to 5×. Per-doc
     // sketches are exactly what you'd persist on a real cluster too.
-    val sig = signaturesOf(shingled(s, d)).localCheckpoint()
+    val sig = signaturesOf(shingledOf(docs)).localCheckpoint()
     val bands = bandsOf(sig)
     val candIds = bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band")
@@ -176,7 +184,6 @@ object Dedup {
           / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jaccard") >= expr(JT))
       .select(col("ia"), col("ib"), col("inter"), col("jaccard"))
-      .orderBy(col("ia"), col("ib"))
   }
 
   /** Duplicate-cluster resolution: connected components over the near-dup
@@ -468,7 +475,7 @@ object Dedup {
     * incremental oracle can run the identical shingle/sign/band pipeline
     * on each side of the seen/new split.
     */
-  private def shingCteFor(src: String, out: String): String =
+  private[graft] def shingCteFor(src: String, out: String): String =
     s"""$out AS (
        |  SELECT doc_id,
        |         list_distinct([${duckHash("sh")} for sh in
@@ -476,7 +483,7 @@ object Dedup {
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $src)
        |  WHERE len(ws) >= 3)""".stripMargin
 
-  private def sigCteFor(src: String, out: String): String =
+  private[graft] def sigCteFor(src: String, out: String): String =
     s"""$out AS (
        |  SELECT doc_id, shashes,
        |    [list_reduce(
@@ -485,7 +492,7 @@ object Dedup {
        |       (a, x) -> least(a, x)) for i in range(0, $K)] AS sig
        |  FROM $src)""".stripMargin
 
-  private def bandCteFor(src: String, out: String): String =
+  private[graft] def bandCteFor(src: String, out: String): String =
     s"""$out AS (
        |  SELECT doc_id, shashes, b,
        |    ${duckHash(s"CAST(b AS VARCHAR) || '|' || array_to_string([CAST(v AS VARCHAR) for v in sig[b*$R+1:b*$R+$R]], ',')")} AS bh

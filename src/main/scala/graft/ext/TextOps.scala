@@ -97,11 +97,45 @@ object TextOps {
       .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** The composed corpus-prep pipeline — quality gate → LSH near-dup
+    * removal → token-counted manifest — i.e. what a training-data job
+    * actually runs, end to end, as ONE declarative plan Catalyst can
+    * optimize across stages (the quality predicate prunes before any
+    * shingling happens; only survivors pay the sketch cost).
+    *
+    * Near-dup policy is keep-smallest: a doc is dropped iff it has a
+    * verified near-dup with a smaller doc_id among the quality survivors
+    * (greedy pair-level drop — a chain a<b<c with pairs (a,b),(b,c) drops
+    * BOTH b and c; deterministic, and the oracle replays the same rule).
+    * On this corpus the gate drops 188/500 docs and the dedup pass drops
+    * the larger half of each surviving planted pair.
+    */
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
+    val survivors = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_word_len",
+        (length(regexp_replace(col("text"), " ", "")).cast("double")) / col("n_words"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("double")
+          / col("n_words"))
+      .filter(col("n_words") >= 10 && col("mean_word_len") >= 2.0
+        && col("mean_word_len") <= 12.0 && col("stop_ratio") >= 0.05)
+    val dupIds = Dedup.lshPairsOf(survivors.select(col("doc_id"), col("text")))
+      .select(col("ib").as("doc_id")).distinct()
+    survivors.join(dupIds, Seq("doc_id"), "left_anti")
+      .withColumn("re_tokens",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("re_tokens"), col("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> langId,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
-    "tx_fingerprint" -> fingerprint
+    "tx_fingerprint" -> fingerprint,
+    "pipe_corpus_clean" -> corpusClean
   )
 
   val oracle: Map[String, String] = {
@@ -147,7 +181,40 @@ object TextOps {
            |    list_prepend(0::BIGINT,
            |      [${duckHash("w")} % 1000000 for w in string_split(lower(text), ' ')]),
            |    (acc, x) -> (acc * 31 + x) % 1000000000000) AS fingerprint
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "pipe_corpus_clean" ->
+        s"""WITH clean AS (
+           |  SELECT doc_id, text,
+           |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |    CAST(${score("en")} AS DOUBLE)
+           |      / len(string_split(lower(text), ' ')) AS stop_ratio
+           |  FROM documents
+           |  WHERE len(string_split(lower(text), ' ')) >= 10
+           |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / len(string_split(lower(text), ' ')) BETWEEN 2.0 AND 12.0
+           |    AND CAST(${score("en")} AS DOUBLE)
+           |      / len(string_split(lower(text), ' ')) >= 0.05),
+           |${Dedup.shingCteFor("clean", "shing_c")},
+           |${Dedup.sigCteFor("shing_c", "sig_c")},
+           |${Dedup.bandCteFor("sig_c", "bands_c")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+           |  FROM bands_c a JOIN bands_c b
+           |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |dups AS (
+           |  SELECT DISTINCT ib FROM (
+           |    SELECT cand.ib,
+           |      CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+           |        / (len(sa.shashes) + len(sb.shashes)
+           |           - len(list_intersect(sa.shashes, sb.shashes))) AS j
+           |    FROM cand JOIN shing_c sa ON cand.ia = sa.doc_id
+           |              JOIN shing_c sb ON cand.ib = sb.doc_id) sc
+           |  WHERE j >= 0.5)
+           |SELECT doc_id, n_words,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           |  stop_ratio
+           |FROM clean WHERE doc_id NOT IN (SELECT ib FROM dups)
+           |ORDER BY doc_id""".stripMargin
     )
   }
 }
