@@ -130,12 +130,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing: assign every document a contiguous token range
+    * inside its shard and derive which fixed-length (2048-token) training
+    * sequence it starts in — the step between dedup and the shard writer
+    * in a pretraining-data pipeline. The running offset is a window cumsum
+    * PER SHARD (deterministic 60-bit-hash sharding), so at 100 TB each
+    * shard's prefix sum runs independently — no global single-partition
+    * window, the classic sequence-packing scale trap.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("re_tokens",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .withColumn("shard",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 8"))
+      .withColumn("start_tok", sum(col("re_tokens")).over(w) - col("re_tokens"))
+      // integer DIV, not "/": long / int is double division, and DuckDB
+      // ROUNDS double→bigint casts while Spark truncates
+      .withColumn("seq_idx", expr("start_tok DIV 2048"))
+      .select(col("shard"), col("doc_id"), col("re_tokens"),
+        col("start_tok"), col("seq_idx"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> langId,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
-    "pipe_corpus_clean" -> corpusClean
+    "pipe_corpus_clean" -> corpusClean,
+    "pipe_pack_sequences" -> packSequences
   )
 
   val oracle: Map[String, String] = {
@@ -214,7 +242,22 @@ object TextOps {
            |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
            |  stop_ratio
            |FROM clean WHERE doc_id NOT IN (SELECT ib FROM dups)
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+      "pipe_pack_sequences" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           |    ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |  FROM documents),
+           |packed AS (
+           |  SELECT shard, doc_id, re_tokens,
+           |    CAST(SUM(re_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      - re_tokens AS start_tok
+           |  FROM toks)
+           |SELECT shard, doc_id, re_tokens, start_tok,
+           |       start_tok // 2048 AS seq_idx
+           |FROM packed ORDER BY shard, doc_id""".stripMargin
     )
   }
 }
