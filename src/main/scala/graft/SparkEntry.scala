@@ -20,7 +20,7 @@ object SparkEntry {
       ops.PipelineOps.queries ++ ops.ExtraOps.queries ++ ops.TpchOps.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
-      ext.MapOps.queries ++ ext.CountMinAgg.queries ++
+      ext.MapOps.queries ++ ext.CountMinAgg.queries ++ ext.HyperLogLog.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
@@ -34,7 +34,7 @@ object SparkEntry {
       ops.PipelineOps.oracle ++ ops.ExtraOps.oracle ++ ops.TpchOps.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
-      ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++
+      ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++ ext.HyperLogLog.oracle ++
       // real streaming queries, verified against batch oracles
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),
