@@ -157,13 +157,34 @@ object TextOps {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** Corpus mixing: sample each source at its own rate — the data-mixing
+    * step that weights web/books/code differently in a pretraining mix.
+    * Both the per-source rate (here derived from the source name so the
+    * oracle can replay it; in production a config map) and the keep
+    * decision are HASH GATES, not rand(): membership is a pure function
+    * of (source, doc_id), so the mix is reproducible across runs,
+    * machines, and engines, and any document's fate is auditable. Output
+    * is the per-source mixing report.
+    */
+  def corpusMix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("rate", expr(s"20 + ${sparkHash("source")} % 81")) // 20..100 %
+      .withColumn("keep",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100") < col("rate"))
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> langId,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
     "pipe_corpus_clean" -> corpusClean,
-    "pipe_pack_sequences" -> packSequences
+    "pipe_pack_sequences" -> packSequences,
+    "pipe_corpus_mix" -> corpusMix
   )
 
   val oracle: Map[String, String] = {
@@ -257,7 +278,19 @@ object TextOps {
            |  FROM toks)
            |SELECT shard, doc_id, re_tokens, start_tok,
            |       start_tok // 2048 AS seq_idx
-           |FROM packed ORDER BY shard, doc_id""".stripMargin
+           |FROM packed ORDER BY shard, doc_id""".stripMargin,
+      "pipe_corpus_mix" ->
+        s"""SELECT source,
+           |  20 + ${duckHash("source")} % 81 AS rate,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN ${duckHash("CAST(doc_id AS VARCHAR)")} % 100
+           |                     < 20 + ${duckHash("source")} % 81
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN ${duckHash("CAST(doc_id AS VARCHAR)")} % 100
+           |                     < 20 + ${duckHash("source")} % 81
+           |                THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+           |FROM documents
+           |GROUP BY source ORDER BY source""".stripMargin
     )
   }
 }
