@@ -107,6 +107,24 @@ class SourceSinkSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
   }
 
+  test("parquet mergeSchema unifies evolved schemas; old rows null-backfill") {
+    val dir = tmp("graft_evolve")
+    val docs = Tables.documents(spark, sf)
+    // v1 batch: two columns; later batches add a score column
+    docs.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+      .write.mode(SaveMode.Append).parquet(dir)
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) % 7).cast("long").as("score"))
+      .write.mode(SaveMode.Append).parquet(dir)
+    val merged = spark.read.option("mergeSchema", true).parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "score"))
+    assert(merged.count() == 200)
+    // pre-evolution rows surface the new column as null, not as an error
+    assert(merged.filter(col("score").isNull).count() == 100)
+    assert(merged.filter(col("doc_id") >= 100 && col("score").isNull).count() == 0)
+  }
+
   test("shard writer: deterministic membership, balance, pruning, rerun-stable") {
     val dir = tmp("graft_shards")
     val docs = Tables.documents(spark, sf)
