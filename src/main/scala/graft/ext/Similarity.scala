@@ -276,10 +276,34 @@ object Similarity {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Cross-table retrieval — the product-query shape: for each query
+    * document, the top-3 semantically-similar documents by embedding
+    * cosine, joined back to the documents table for their metadata. The
+    * embedding table answers WHICH docs; the documents table says WHAT
+    * they are; only (qid, doc_id) keys bridge the two — vectors never
+    * join against text.
+    */
+  def docRetrieval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .filter(col("qid") < 5)
+    val scored = q.hint("broadcast").join(e.filter(col("vec_id") >= 5))
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("qid"), col("rank"), col("doc_id"), col("lang"),
+        col("source"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> topKBrute,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained" -> ivfTrainedTopK,
+    "sim_doc_retrieval" -> docRetrieval,
     "dd_embed_cosine" -> embedCosineDedup
   )
 
@@ -345,6 +369,20 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "sim_ivf_trained" -> trainedIvfOracle,
+    "sim_doc_retrieval" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, ${duckCos("qv", "embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id >= 5),
+         |ranked AS (
+         |  SELECT qid, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT r.qid, CAST(r.rank AS BIGINT) AS rank, d.doc_id, d.lang,
+         |       d.source, r.cosine
+         |FROM ranked r JOIN documents d ON r.vec_id = d.doc_id
+         |WHERE r.rank <= 3 ORDER BY qid, rank""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |scored AS (
