@@ -37,7 +37,18 @@ object Dedup {
   private val K = 32 // minhash signature length
   private val B = 8  // bands
   private val R = 4  // rows per band (K = B*R)
-  private val JT = "0.5" // jaccard threshold
+  // jaccard threshold — package-visible so the streaming probe and the
+  // specs share the ONE literal the oracles are built from
+  private[graft] val JT = "0.5"
+  /** Deterministic seen/new corpus split for the incremental-dedup family
+    * (batch query, streaming probe, oracles, and specs must all agree):
+    * seen = doc_id % SEEN_MOD != 0; the new batch is the held-out rest
+    * plus exact copies of seen docs with doc_id % COPY_MOD == 0,
+    * re-labeled doc_id + COPY_OFFSET.
+    */
+  private[graft] val SEEN_MOD = 5
+  private[graft] val COPY_MOD = 97
+  private[graft] val COPY_OFFSET = 1000000L
   private val HAM = 4     // simhash hamming threshold
   private val BLOCKS = 6  // simhash pigeonhole blocks (10 bits each)
   private val BBITS = 10  // bits per block (BLOCKS * BBITS = 60)
@@ -255,7 +266,9 @@ object Dedup {
     * implementations cross-validate each other.
     */
   def componentsStars(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select(col("ia"), col("ib"))
+    // lshPairsOf, not minhashLsh: the pair sort the public query ends
+    // with would be discarded by the distinct() reshuffle anyway
+    val pairs = lshPairsOf(Tables.documents(s, d)).select(col("ia"), col("ib"))
     // canonical (u > v) undirected edges; pairs arrive as ia < ib
     var edges = pairs.select(col("ib").as("u"), col("ia").as("v"))
       .distinct().localCheckpoint()
@@ -332,12 +345,12 @@ object Dedup {
     */
   def incremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val seen = docs.filter(col("doc_id") % 5 =!= 0)
+    val seen = docs.filter(col("doc_id") % SEEN_MOD =!= 0)
     // new batch: held-out docs plus injected exact copies of a few seen
     // docs (doc_id offset by 1e6) so the exact path has real positives
-    val fresh = docs.filter(col("doc_id") % 5 === 0)
-      .unionByName(seen.filter(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val fresh = docs.filter(col("doc_id") % SEEN_MOD === 0)
+      .unionByName(seen.filter(col("doc_id") % COPY_MOD === 0)
+        .select((col("doc_id") + COPY_OFFSET).as("doc_id"), col("text")))
     val (md5s, sketches, bands) = sketchStore(seen)
     incrementalProbe(fresh, md5s, sketches, bands)
   }
@@ -545,11 +558,11 @@ object Dedup {
          |WHERE jaccard >= $JT ORDER BY ia, ib""".stripMargin,
     "dd_incremental" ->
       s"""WITH docs_seen AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |  SELECT doc_id, text FROM documents WHERE doc_id % $SEEN_MOD <> 0),
          |docs_new AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  SELECT doc_id, text FROM documents WHERE doc_id % $SEEN_MOD = 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text FROM docs_seen WHERE doc_id % 97 = 0),
+         |  SELECT doc_id + $COPY_OFFSET AS doc_id, text FROM docs_seen WHERE doc_id % $COPY_MOD = 0),
          |${shingCteFor("docs_seen", "shing_s")},
          |${shingCteFor("docs_new", "shing_n")},
          |${sigCteFor("shing_s", "sig_s")},
@@ -614,9 +627,9 @@ object Dedup {
     */
   private[graft] lazy val incrementalStreamOracle: String =
     s"""WITH docs_seen AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $SEEN_MOD <> 0),
        |docs_new AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $SEEN_MOD = 0),
        |${shingCteFor("docs_seen", "shing_s")},
        |${shingCteFor("docs_new", "shing_n")},
        |${sigCteFor("shing_s", "sig_s")},

@@ -145,11 +145,11 @@ object StreamOps {
     val ss = tuned(s)
     val seen = graft.Tables.documents(ss, d)
       .select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 5 =!= 0)
+      .filter(col("doc_id") % Dedup.SEEN_MOD =!= 0)
     val (_, sketches, bands) = Dedup.sketchStore(seen)
     val stream = ss.readStream.schema(documentsRawSchema)
       .parquet(s"$d/{documents}.parquet")
-      .filter(col("doc_id") % 5 === 0)
+      .filter(col("doc_id") % Dedup.SEEN_MOD === 0)
       .select(col("doc_id"), col("text"))
     val newSig = Dedup.signaturesOf(Dedup.shingledOf(stream))
     val newBands = Dedup.bandsCarrying(newSig, "shashes")
@@ -163,7 +163,7 @@ object StreamOps {
       .withColumn("jaccard",
         col("inter").cast("double")
           / (size(col("sha")) + size(col("shb")) - col("inter")))
-      .filter(col("jaccard") >= expr("0.5"))
+      .filter(col("jaccard") >= expr(Dedup.JT))
       .groupBy(col("nid").as("doc_id"))
       .agg(min(col("sid")).as("near_dup_of"))
       .writeStream.outputMode(OutputMode.Complete())

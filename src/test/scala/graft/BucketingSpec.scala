@@ -55,13 +55,13 @@ class BucketingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-      val seen = docs.filter(col("doc_id") % 5 =!= 0)
+      val seen = docs.filter(col("doc_id") % ext.Dedup.SEEN_MOD =!= 0)
       val (_, _, bands) = ext.Dedup.sketchStore(seen)
       bands.write.mode(SaveMode.Overwrite)
         .bucketBy(8, "bh").sortBy("bh")
         .saveAsTable("graft_bands_bucketed")
       val store = spark.table("graft_bands_bucketed")
-      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val fresh = docs.filter(col("doc_id") % ext.Dedup.SEEN_MOD === 0)
       val probeBands = ext.Dedup.bandsOf(
           ext.Dedup.signaturesOf(ext.Dedup.shingledOf(fresh)))
         .select(col("doc_id").as("nid"), col("band").as("pband"),

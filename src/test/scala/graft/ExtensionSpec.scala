@@ -176,7 +176,7 @@ class ExtensionSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     // persist the seen corpus under a recognizable path, then derive and
     // persist its sketch store exactly once
-    docs.filter(col("doc_id") % 5 =!= 0)
+    docs.filter(col("doc_id") % ext.Dedup.SEEN_MOD =!= 0)
       .write.mode("overwrite").parquet(s"$tmp/seen_corpus")
     val seen = spark.read.parquet(s"$tmp/seen_corpus")
     val (md5s, sketches, bands) = ext.Dedup.sketchStore(seen)
@@ -186,9 +186,9 @@ class ExtensionSpec extends AnyFunSuite {
     // second batch: same composition as the dd_incremental oracle split,
     // materialized to its own table first — a production batch arrives as
     // its own files, not as a view over the seen corpus
-    docs.filter(col("doc_id") % 5 === 0)
-      .unionByName(seen.filter(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    docs.filter(col("doc_id") % ext.Dedup.SEEN_MOD === 0)
+      .unionByName(seen.filter(col("doc_id") % ext.Dedup.COPY_MOD === 0)
+        .select((col("doc_id") + ext.Dedup.COPY_OFFSET).as("doc_id"), col("text")))
       .write.mode("overwrite").parquet(s"$tmp/new_batch")
     val fresh = spark.read.parquet(s"$tmp/new_batch")
     val probe = ext.Dedup.incrementalProbe(fresh,
