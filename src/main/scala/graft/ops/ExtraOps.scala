@@ -160,7 +160,28 @@ object ExtraOps {
       .orderBy(col("bucket"))
   }
 
+  /** Arbitrary GROUPING SETS with grouping_id disambiguation — the
+    * general form behind rollup (x_rollup) and cube (x_cube): here the
+    * (status, priority), (status), and grand-total groupings in one
+    * pass. grouping_id distinguishes a real NULL group key from a
+    * superaggregate row; both engines emit the same bitmask.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gsets")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_grouping_sets" -> groupingSets,
     "x_unpivot" -> unpivotMeasures,
     "x_range_source" -> rangeSource,
     "x_rank_family" -> rankFamily,
@@ -174,6 +195,15 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "x_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
