@@ -48,6 +48,13 @@ object Dedup {
     */
   private[graft] val SEEN_MOD = 5
   private[graft] val COPY_MOD = 97
+  /** Relabel offset for injected copies. ASSUMES max(doc_id) < COPY_OFFSET
+    * (true for every testdata SF; PropertySpec pins it) — on a corpus with
+    * larger ids the synthetic copy ids would collide with genuine held-out
+    * ids. Kept a shared literal (not max(doc_id)+1) so the Spark paths,
+    * DuckDB oracles, and specs interpolate the SAME constant without an
+    * extra driver action.
+    */
   private[graft] val COPY_OFFSET = 1000000L
   private val HAM = 4     // simhash hamming threshold
   private val BLOCKS = 6  // simhash pigeonhole blocks (10 bits each)

@@ -147,6 +147,13 @@ object Similarity {
     val rows = cent.select(col("cid"), col("cv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    // A NaN/Infinity component would render as 'NaNE0'/'InfinityE0', cast
+    // to NULL silently, and corrupt the argmax — fail the index build loudly
+    // instead.
+    rows.foreach { case (cid, cv) =>
+      require(cv.forall(java.lang.Double.isFinite),
+        s"non-finite component in centroid $cid — degenerate index build")
+    }
     val centArr = rows.map { case (cid, cv) =>
       val lits = cv.map(x => {
         val s = java.lang.Double.toString(x)

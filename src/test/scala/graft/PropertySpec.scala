@@ -56,6 +56,13 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("documents doc_id stays below Dedup.COPY_OFFSET (copy-relabel collision guard)") {
+    val mx = Tables.documents(spark, TestSpark.sf)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    assert(mx < ext.Dedup.COPY_OFFSET,
+      s"doc_id $mx would collide with relabeled incremental-dedup copies")
+  }
+
   test("count gates are monotone under union") {
     cases(15).zip(cases(15).reverse).foreach { case (r1, r2) =>
       val a = r1.toDF("k", "v")
