@@ -24,7 +24,9 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
-        "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream)
+        "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
+        "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
+        "st_dedup_stream" -> streaming.StreamOps.dedupStream)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +48,7 @@ object SparkEntry {
             |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             |ORDER BY 1, 2, 3""".stripMargin,
-        "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle)
+        "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
+        "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
+        "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle)
 }

@@ -179,15 +179,28 @@ object StreamOps {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       sum_value: Double)
-  /** Open-session state: micros timestamps to keep state compact. */
+  /** Open-session state: micros timestamps to keep state compact; the
+    * value rollup accumulates as a SCALED LONG (4-decimal fixed point) so
+    * the fold is exact and order-independent — a raw double fold would
+    * drift an ulp from the batch oracle's decimal sum. The final
+    * `scaled / 10000.0` is a single correctly-rounded IEEE division of
+    * two exact operands, i.e. bit-identical to casting the decimal sum
+    * to double (what [[graft.Det.dsum]] and the DuckDB oracle do).
+    */
   case class SessState(sessionId: Long, n: Long, startUs: Long, endUs: Long,
-      sum: Double)
+      sumScaled: Long)
 
   val gapUs: Long = 1800L * 1000000L // 30 min session gap
 
+  /** events.value has 4-decimal scale (the [[graft.Det]] contract), so
+    * rounding value×10⁴ recovers the exact integer numerator.
+    */
+  private def scaledOf(v: Double): Long = Math.round(v * 10000.0)
+
   /** Stateful sessionizer: emits a session whenever a >30-min gap closes
     * it; the per-user open session stays in state (bounded runs never
-    * emit the final open session — the test accounts for that).
+    * emit the final open session — the declared query's oracle excludes
+    * each user's last session for exactly this reason).
     */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -207,17 +220,102 @@ object StreamOps {
           sorted.foreach { e =>
             val us = usOf(e)
             if (st == null) {
-              st = SessState(1L, 1L, us, us, e.value)
+              st = SessState(1L, 1L, us, us, scaledOf(e.value))
             } else if (us - st.endUs > gapUs) {
               closed += SessionOut(userId, st.sessionId, st.n,
-                tsOf(st.startUs), tsOf(st.endUs), st.sum)
-              st = SessState(st.sessionId + 1, 1L, us, us, e.value)
+                tsOf(st.startUs), tsOf(st.endUs), st.sumScaled / 10000.0)
+              st = SessState(st.sessionId + 1, 1L, us, us, scaledOf(e.value))
             } else {
-              st = st.copy(n = st.n + 1, endUs = us, sum = st.sum + e.value)
+              st = st.copy(n = st.n + 1, endUs = us,
+                sumScaled = st.sumScaled + scaledOf(e.value))
             }
           }
           state.update(st)
           closed.iterator
       }
   }
+
+  /** Declared stateful-sessionization query: the flatMapGroupsWithState
+    * sessionizer over the events STREAM, drained with AvailableNow. Emits
+    * every CLOSED session; each user's final session is still open in
+    * state when a bounded run ends, so the DuckDB oracle is the batch
+    * gaps-and-islands form minus each user's last session.
+    *
+    * Scale: state is ONE fixed-width record per user (no event
+    * buffering); closed sessions stream out as gaps arrive. This is the
+    * production shape for infinite-stream sessionization where
+    * session_window needs the whole session in flight.
+    */
+  def sessionizeStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    import ss.implicits._
+    val evs = eventsStream(ss, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    val q = sessionize(evs)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_sessionize")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_sessionize")
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Oracle for [[sessionizeStream]]: batch gaps-and-islands sessions,
+    * excluding each user's LAST session (still open in stream state).
+    */
+  val sessionizeStreamOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |              THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |         MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, session_id, n_events, session_start, session_end, sum_value
+      |FROM (SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+      |WHERE session_id < max_sid
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Streaming exact dedup: first occurrence of each (user_id, event_type)
+    * pair across the whole stream via stateful dropDuplicates — the
+    * streaming twin of a batch DISTINCT projection. Only the key columns
+    * are emitted (which physical row arrives first is racy; the distinct
+    * key set is deterministic), so the drained result hash-matches the
+    * batch oracle.
+    *
+    * Scale: plain dropDuplicates keeps one state row per distinct key
+    * FOREVER — fine for a bounded drain or a small key space like this
+    * one, but an infinite stream with unbounded keys needs
+    * dropDuplicatesWithinWatermark so state ages out (StreamingSpec
+    * demonstrates the eviction semantics).
+    */
+  def dedupStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_dedup")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_dedup")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupStreamOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
 }

@@ -106,13 +106,12 @@ class ExtensionSpec extends AnyFunSuite {
     // drop each user's last (still-open) session — the stream never closes it
     val lastPerUser = batchSessions.groupBy(_.getLong(0))
       .map { case (u, rows) => (u, rows.map(_.getLong(1)).max) }
-    // batch sums are decimal-exact, the stream folds doubles in arrival
-    // order — compare sums at 1e-6 granularity
-    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // the stream folds value as a scaled long (exact), so sums match the
+    // batch decimal sums BIT-exactly — no tolerance needed
     val expectClosed = batchSessions
       .filterNot(r => lastPerUser(r.getLong(0)) == r.getLong(1))
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3),
-        r.getTimestamp(4), r6(r.getDouble(5)))).toSet
+        r.getTimestamp(4), r.getDouble(5))).toSet
 
     val input = MemoryStream[streaming.StreamOps.Ev](spark)
     val evs = Tables.events(spark, sf)
@@ -125,7 +124,7 @@ class ExtensionSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("graft_sessions_test").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3),
-        r.getTimestamp(4), r6(r.getDouble(5)))).toSet
+        r.getTimestamp(4), r.getDouble(5))).toSet
     assert(got == expectClosed,
       s"missing=${expectClosed -- got} extra=${got -- expectClosed}")
   }

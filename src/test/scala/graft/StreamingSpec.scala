@@ -143,6 +143,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == afterFirst)
   }
 
+  test("streaming dropDuplicates suppresses across micro-batches; watermark variant evicts state") {
+    import spark.implicits._
+    // plain dropDuplicates: key state lives forever — the batch-2 repeat
+    // of (user 1, click) must NOT re-emit
+    val in1 = MemoryStream[Ev](spark)
+    val q1 = in1.toDS().select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_dedup_forever").start()
+    try {
+      in1.addData(ev(1, "2024-01-01 12:00:00"), ev(2, "2024-01-01 12:01:00"))
+      q1.processAllAvailable()
+      in1.addData(ev(3, "2024-01-01 18:00:00")) // same (1, click), 6 h later
+      q1.processAllAvailable()
+      assert(spark.table("graft_dedup_forever").count() == 1,
+        "duplicate key must stay suppressed regardless of event-time distance")
+    } finally q1.stop()
+
+    // dropDuplicatesWithinWatermark: the SAME replay pattern re-emits once
+    // the key's state has aged past the watermark — bounded state is the
+    // production contract for unbounded key spaces
+    val in2 = MemoryStream[Ev](spark)
+    val q2 = in2.toDS()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_dedup_wm").start()
+    try {
+      in2.addData(ev(1, "2024-01-01 12:00:00"), ev(2, "2024-01-01 12:01:00"))
+      q2.processAllAvailable()
+      assert(spark.table("graft_dedup_wm").count() == 1)
+      // advance the watermark far past 12:01 + 30 min, expiring the key…
+      in2.addData(ev(10, "2024-01-01 15:00:00", user = 2))
+      q2.processAllAvailable()
+      // …then the repeat of (1, click) is NEW again and re-emits
+      in2.addData(ev(3, "2024-01-01 15:05:00"))
+      q2.processAllAvailable()
+      assert(spark.table("graft_dedup_wm").where(col("user_id") === 1).count() == 2,
+        "expired key must re-emit after its state aged out")
+    } finally q2.stop()
+  }
+
   test("stream-static join enriches streaming rows against a batch dim") {
     val dim = Tables.events(spark, TestSpark.sf)
       .select(col("event_type")).distinct()
