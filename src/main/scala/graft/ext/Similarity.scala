@@ -268,6 +268,99 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- SRP-LSH (signed-random-projection) near-dup ----------------------
+  //
+  // The LABEL-FREE embedding near-dup scale path: dd_embed_cosine needs a
+  // pre-clustered blocking column; SRP-LSH derives its own blocks from the
+  // geometry. Each vector gets a PLANES-bit signature (bit p = sign of the
+  // dot product with hyperplane p); the signature splits into BANDS bands
+  // of BITS bits and only pairs sharing a band are candidates — for
+  // unrelated vectors a band collides with probability ~2^-BITS, so the
+  // candidate set is ~1/64th of all pairs here, and band width tunes the
+  // rate at scale. Candidates are exact-verified on the original floats.
+  //
+  // Cross-engine determinism: hyperplanes are ±1-valued with signs drawn
+  // from md5 parity at BUILD time (a driver-side constant, inlined into
+  // both the Spark plan and the oracle as the same index literals — the
+  // k-means-centroid inlining pattern), and dot products run on the
+  // quantized BIGINT vectors: dot_p = 2·Σ_{d∈pos_p} iv[d] − Σ_d iv[d],
+  // all exact integer arithmetic, so DuckDB replays the banding
+  // bit-for-bit and the query is hash-verified end to end.
+
+  private val SRP_BANDS = 4
+  private val SRP_BITS = 6
+  private val SRP_PLANES = SRP_BANDS * SRP_BITS
+
+  /** 1-based positive-sign dim indices per hyperplane (md5-parity signs —
+    * stable forever, no RNG-implementation risk).
+    */
+  private lazy val srpPos: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pos = (0 until SRP_PLANES).map { p =>
+      (1 to 64).filter { d =>
+        (md.digest(s"srp:$p:$d".getBytes("UTF-8"))(0) & 1) == 1
+      }
+    }
+    pos.foreach(ix => require(ix.nonEmpty && ix.size < 64,
+      "degenerate hyperplane: all signs equal"))
+    pos
+  }
+
+  /** Spark-side band-value array [bv_0 … bv_BANDS-1] for signature `iv`
+    * with precomputed `allsum`.
+    */
+  private def srpBandsExpr(iv: String, allsum: String): String = {
+    def bit(p: Int): String = {
+      val idx = srpPos(p).mkString("array(", ",", ")")
+      s"IF(2 * aggregate(transform($idx, i -> element_at($iv, i)), " +
+        s"CAST(0 AS BIGINT), (a, x) -> a + x) - $allsum >= 0, 1, 0)"
+    }
+    (0 until SRP_BANDS).map { b =>
+      (0 until SRP_BITS).map(j => s"(${bit(b * SRP_BITS + j)} * ${1 << j})")
+        .mkString("(", " + ", ")")
+    }.mkString("array(", ", ", ")")
+  }
+
+  /** DuckDB twin of [[srpBandsExpr]]. */
+  private def duckSrpBands(iv: String, allsum: String): String = {
+    def bit(p: Int): String = {
+      val idx = srpPos(p).mkString("[", ",", "]")
+      s"CASE WHEN 2 * CAST(list_sum(list_transform($idx, i -> $iv[CAST(i AS INT)])) AS BIGINT)" +
+        s" - $allsum >= 0 THEN 1 ELSE 0 END"
+    }
+    (0 until SRP_BANDS).map { b =>
+      (0 until SRP_BITS).map(j => s"(${bit(b * SRP_BITS + j)} * ${1 << j})")
+        .mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+  }
+
+  /** SRP-LSH near-dup: label-free banded candidate generation + exact
+    * cosine verification (≥ 0.3, mirroring dd_embed_cosine's threshold).
+    * At scale: one row per vector through signature computation, a
+    * fixed-width (band, bv) shuffle for the self-join — never all-pairs —
+    * and verification touches candidates only.
+    */
+  def srpLshDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val sig = quantizedOf(e)
+      .withColumn("allsum",
+        expr("aggregate(iv, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("bvs", expr(srpBandsExpr("iv", "allsum")))
+      .select(col("vec_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("ia"), col("embedding").as("va")), Seq("ia"))
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("vb")), Seq("ib"))
+      .withColumn("cosine", expr(cos(s, "va", "vb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("ia"), col("ib"), col("cosine"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by the `label` cluster
     * column: all same-label pairs with cosine ≥ 0.3.
     */
@@ -311,7 +404,8 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained" -> ivfTrainedTopK,
     "sim_doc_retrieval" -> docRetrieval,
-    "dd_embed_cosine" -> embedCosineDedup
+    "dd_embed_cosine" -> embedCosineDedup,
+    "dd_srp_lsh" -> srpLshDedup
   )
 
   /** DuckDB twin of [[cosIntDouble]]. */
@@ -430,6 +524,27 @@ object Similarity {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT label, ia, ib, cosine FROM pairs
+         |WHERE cosine >= 0.3 ORDER BY ia, ib""".stripMargin,
+    "dd_srp_lsh" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT)) AS iv
+         |  FROM embeddings),
+         |s1 AS (
+         |  SELECT vec_id, iv, CAST(list_sum(iv) AS BIGINT) AS allsum FROM qv),
+         |s2 AS (
+         |  SELECT vec_id, ${duckSrpBands("iv", "allsum")} AS bvs FROM s1),
+         |bands AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS band, bvs[CAST(i AS INT)] AS bv
+         |  FROM s2, range(1, ${SRP_BANDS + 1}) AS t(i)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+         |SELECT ia, ib, cosine FROM (
+         |  SELECT ia, ib, ${duckCos("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.ia
+         |            JOIN embeddings eb ON eb.vec_id = cand.ib)
          |WHERE cosine >= 0.3 ORDER BY ia, ib""".stripMargin
   )
 }

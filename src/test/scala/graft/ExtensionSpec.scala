@@ -37,6 +37,33 @@ class ExtensionSpec extends AnyFunSuite {
       s"missing=${brute -- banded} extra=${banded -- brute}")
   }
 
+  test("SRP-LSH pairs are exactly banded-candidates ∩ brute-force ≥0.3 pairs") {
+    import spark.implicits._
+    val srp = ext.Similarity.srpLshDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full brute-force ≥0.3 ground truth (125k codegen'd cosines — cheap)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    graft.expr.VectorExprs.register(spark)
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", expr("graft_cosine(a.embedding, b.embedding)"))
+      .filter(col("cosine") >= 0.3)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .as[(Long, Long)].collect().toSet
+    // verification is exact, so SRP output ⊆ ground truth — always
+    assert(srp.subsetOf(brute), s"false positives: ${srp -- brute}")
+    // recall at this loose threshold is banding-limited by design: cos 0.3
+    // is a 72.5° angle → per-bit match ~0.60 → 6-bit band ~0.045 → 4-band
+    // OR ~0.17. On the fixed sf0.001 testdata that lands at 171/920 (at
+    // sf0.01, where Verify runs, 201/990). Production tunes (bands × bits)
+    // to the target threshold — tighter thresholds (0.8+: per-bit ~0.80,
+    // band ~0.26, OR ~0.70) are where SRP earns its 64× candidate pruning;
+    // at 0.3 you'd run 8×3 banding or exact verify.
+    val recall = srp.size.toDouble / brute.size
+    assert(brute.size == 920 && srp.size == 171 && recall > 0.15,
+      s"recall drifted: ${srp.size}/${brute.size}")
+  }
+
   test("IVF top-k scores are a subset of brute-force scores per query") {
     val brute = ext.Similarity.topKBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
