@@ -1,0 +1,28 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Standard `SparkSessionExtensions` entry point: lets any deployment get
+  * the engine's native functions at session-build time via
+  *
+  * {{{
+  *   spark.sql.extensions=graft.expr.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions()(_))`),
+  * instead of the per-session [[VectorExprs.register]] call the operator
+  * library uses internally. Injection-time registration survives
+  * `newSession()` children and makes the functions visible to plain SQL
+  * clients (JDBC/Thrift) that never touch the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+  }
+}

@@ -103,6 +103,39 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects graft_cosine at session build (spark.sql.extensions path)") {
+    import org.apache.spark.sql.SparkSession
+    spark.version // force the shared context into existence first
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // fresh session state over the SAME SparkContext with the extension
+      // applied at build — no Scala-side register() call anywhere. (The
+      // spark.sql.extensions=graft.expr.GraftExtensions static conf drives
+      // the identical code path, but only at SparkContext launch; in-test
+      // the context already exists, so use the builder hook.)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.expr.GraftExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne spark, "expected a fresh session, got the shared one")
+      val got = s2.sql(
+        """SELECT graft_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |                    CAST(array(1.0, 1.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-15)
+      // and the injection survives newSession() children (temp-function
+      // registration would not)
+      val child = s2.newSession()
+      assert(child.sql("SELECT graft_cosine(CAST(array(1.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(1.0) AS ARRAY<FLOAT>)) AS c").head().getDouble(0) == 1.0)
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
     val b = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
