@@ -306,20 +306,36 @@ object Similarity {
     pos
   }
 
-  /** Spark-side band-value array [bv_0 … bv_BANDS-1] for signature `iv`
-    * with precomputed `allsum`.
+  /** The ±1 sign matrix as ONE Literal node (typedlit of the nested Seq).
+    * Keeping the Spark side to a single small expression matters: a first
+    * cut that built 24 independent `aggregate(transform(element_at…))`
+    * folds (each with its own 32-literal index array, re-inlined per band
+    * bit) made Catalyst analysis/codegen the bottleneck — 12.7 s at sf0.1
+    * for 2k vectors whose actual math takes milliseconds; a 24×64
+    * CreateArray-of-literals tree still cost seconds of analysis.
     */
-  private def srpBandsExpr(iv: String, allsum: String): String = {
-    def bit(p: Int): String = {
-      val idx = srpPos(p).mkString("array(", ",", ")")
-      s"IF(2 * aggregate(transform($idx, i -> element_at($iv, i)), " +
-        s"CAST(0 AS BIGINT), (a, x) -> a + x) - $allsum >= 0, 1, 0)"
+  private lazy val srpPlanesSeq: Seq[Seq[Int]] =
+    (0 until SRP_PLANES).map { p =>
+      val posSet = srpPos(p).toSet
+      (1 to 64).map(d => if (posSet(d)) 1 else -1)
     }
+
+  /** All PLANES sign bits in one pass: one zip_with dot product per plane
+    * (exact integer math — same values as the oracle's 2·possum − allsum
+    * form).
+    */
+  private def srpBitsCol(iv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(typedlit(srpPlanesSeq), pl =>
+      when(aggregate(zip_with(pl, iv, (sgn, x) => sgn * x),
+        lit(0L), (a, v) => a + v) >= 0, 1).otherwise(0))
+
+  /** Band-value array [bv_0 … bv_BANDS-1] from the `sigbits` column. */
+  private def srpBandsExpr(sigbits: String): String =
     (0 until SRP_BANDS).map { b =>
-      (0 until SRP_BITS).map(j => s"(${bit(b * SRP_BITS + j)} * ${1 << j})")
+      (0 until SRP_BITS)
+        .map(j => s"(element_at($sigbits, ${b * SRP_BITS + j + 1}) * ${1 << j})")
         .mkString("(", " + ", ")")
     }.mkString("array(", ", ", ")")
-  }
 
   /** DuckDB twin of [[srpBandsExpr]]. */
   private def duckSrpBands(iv: String, allsum: String): String = {
@@ -342,11 +358,14 @@ object Similarity {
     */
   def srpLshDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+    // localCheckpoint: the band rows are tiny (BANDS per vector) and feed
+    // BOTH sides of the self-join — without it the signature pipeline
+    // (scan + quantize + 24 dot products) runs twice
     val sig = quantizedOf(e)
-      .withColumn("allsum",
-        expr("aggregate(iv, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-      .withColumn("bvs", expr(srpBandsExpr("iv", "allsum")))
+      .withColumn("sigbits", srpBitsCol(col("iv")))
+      .withColumn("bvs", expr(srpBandsExpr("sigbits")))
       .select(col("vec_id"), posexplode(col("bvs")).as(Seq("band", "bv")))
+      .localCheckpoint()
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.vec_id") < col("b.vec_id"))
