@@ -61,9 +61,90 @@ object PipelineOps {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Deterministic stored/update split for the incremental-maintenance
+    * family (SCD1 upsert, aggregate merge) — query and oracle interpolate
+    * the SAME constants, the [[graft.ext.Dedup.SEEN_MOD]] pattern.
+    */
+  private val DIM_SEEN_MOD = 10 // stored dim = custkey % 10 != 0
+  private val DIM_UPD_MOD = 3   // update batch = custkey % 3 == 0
+
+  /** SCD type-1 dimension upsert: yesterday's stored dim + today's update
+    * batch → merged dim, updates win, unmatched updates insert. The plan
+    * is anti-join + union (NO window, no full-dim rewrite of matched
+    * rows' order): at 100 TB the stored dim streams through one hash
+    * anti-join against the (typically broadcastable) update batch —
+    * cost scales with the batch, the classic nightly-dim shape.
+    */
+  def dimUpsert(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val stored = c.filter(col("c_custkey") % DIM_SEEN_MOD =!= 0)
+    // simulated attribute drift: segment re-bucketed, balance adjusted
+    val updates = c.filter(col("c_custkey") % DIM_UPD_MOD === 0)
+      .withColumn("c_mktsegment", concat(lit("U:"), col("c_mktsegment")))
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    updates
+      .unionByName(stored.join(updates.select(col("c_custkey")), Seq("c_custkey"), "left_anti"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** SCD type-2 historization: compress a change log (one status per
+    * (customer, order date), earliest order wins) into validity intervals
+    * — keep rows where the status CHANGED vs the previous interval, then
+    * valid_to = next interval's valid_from (NULL = current). Everything is
+    * per-customer windows over (date, key)-unique rows: one shuffle on
+    * the customer key, deterministic at any parallelism.
+    */
+  def scd2Historize(s: SparkSession, d: String): DataFrame = {
+    val byKeyTs = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byKeyFrom = Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"))
+    val log = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderstatus"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey"))))
+      .filter(col("rn") === 1) // one change record per (customer, date)
+    log
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(byKeyTs))
+      .filter(col("prev_status").isNull
+        || col("prev_status") =!= col("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byKeyFrom))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_custkey"), col("valid_from"))
+  }
+
+  /** Incremental aggregate maintenance: a stored partial-aggregate table
+    * (count + EXACT decimal sum per key, built from the seen rows) merged
+    * with the new batch's partials — never rescanning the seen rows — must
+    * equal a from-scratch aggregate over everything. This is the algebra
+    * that makes aggregates maintainable at 100 TB: keep sums in decimal
+    * (associative, order-independent) and only cast to double at read
+    * time. The oracle IS the from-scratch form.
+    */
+  def aggMerge(s: SparkSession, d: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty_dec"))
+    val li = Tables.lineitem(s, d)
+    val stored = partials(li.filter(col("l_orderkey") % 7 =!= 0))
+    val batch = partials(li.filter(col("l_orderkey") % 7 === 0))
+    stored.unionByName(batch)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_qty_dec")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_dim_build" -> dimBuild,
     "pipe_fact_assembly" -> factAssembly,
+    "pipe_dim_upsert" -> dimUpsert,
+    "pipe_scd2" -> scd2Historize,
+    "pipe_agg_merge" -> aggMerge,
     "x_mode_agg" -> modeAggregate
   )
 
@@ -89,6 +170,41 @@ object PipelineOps {
         |LEFT JOIN d_priority USING (o_orderpriority)
         |LEFT JOIN d_date USING (o_orderdate)
         |ORDER BY o_orderkey""".stripMargin,
+    "pipe_dim_upsert" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+         |stored AS (SELECT * FROM c WHERE c_custkey % $DIM_SEEN_MOD <> 0),
+         |upd AS (
+         |  SELECT c_custkey, c_name, concat('U:', c_mktsegment) AS c_mktsegment,
+         |         c_acctbal + 100.0 AS c_acctbal
+         |  FROM c WHERE c_custkey % $DIM_UPD_MOD = 0)
+         |SELECT * FROM upd
+         |UNION ALL
+         |SELECT * FROM stored s
+         |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = s.c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+    "pipe_scd2" ->
+      """WITH log AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderstatus,
+        |           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                              ORDER BY o_orderkey) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |changed AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from FROM (
+        |    SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |                                       ORDER BY o_orderdate) AS prev_status
+        |    FROM log)
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+        |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current
+        |FROM changed
+        |ORDER BY o_custkey, valid_from""".stripMargin,
+    "pipe_agg_merge" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "x_mode_agg" ->
       """WITH counts AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS num

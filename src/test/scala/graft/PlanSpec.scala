@@ -76,6 +76,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("o3_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("rank-filter queries push a partial WindowGroupLimit below the shuffle") {
+    // Spark's InferWindowGroupLimit turns filter(row_number <= k) into a
+    // per-partition bounded top-k BEFORE the exchange — at 100 TB the
+    // argmax shuffle carries ~k rows per key per input partition instead
+    // of every row. Assert the optimization actually fires (Partial mode
+    // below the exchange, Final above) so a conf/regression can't
+    // silently put the full-sort cost back.
+    val p = planAtScale("a4_argmax_window")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Partial") && p.contains("Final"),
+      "expect map-side partial + post-shuffle final group limit:\n" + p.take(2000))
+  }
+
   test("flagship aggregates partially before the shuffle (partial HashAggregate)") {
     val p = plan("a8_flagship")
     assert(p.contains("HashAggregate"))
