@@ -177,11 +177,26 @@ object TextOps {
         sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy(col("source"))
 
+  /** Corpus vocabulary: top-100 tokens by frequency (tie → lexicographic).
+    * The explode is a Generator (one pass, no buffering); the count is a
+    * standard partial-agg'd groupBy on the token, and the top-k collapses
+    * to TakeOrderedAndProject — at 100 TB the shuffle carries one row per
+    * DISTINCT token per partition, not per occurrence.
+    */
+  def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_langid" -> langId,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
+    "tx_vocab" -> vocab,
     "pipe_corpus_clean" -> corpusClean,
     "pipe_pack_sequences" -> packSequences,
     "pipe_corpus_mix" -> corpusMix
@@ -191,6 +206,11 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_vocab" ->
+        """SELECT token, COUNT(*) AS freq
+          |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+          |WHERE len(token) > 0
+          |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
       "tx_langid" ->
         s"""WITH scored AS (
            |  SELECT doc_id, lang AS lang_label,

@@ -180,7 +180,45 @@ object ExtraOps {
         |""".stripMargin)
   }
 
+  /** Deterministic stratified sampling: exactly 20 customers per market
+    * segment, picked by md5-hash order (NOT rand() — membership is a pure
+    * function of the key, reproducible across runs/engines, the
+    * [[graft.ext.TextOps.corpusMix]] gate principle applied to
+    * fixed-size-per-stratum sampling). One shuffle on the stratum key;
+    * the rank filter fires the partial WindowGroupLimit pushdown.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hash = graft.ext.Hashing.sparkHash("CAST(c_custkey AS STRING)")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("h"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("h", expr(hash))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Value-RANGE window frame (vs the row-count frames above): for each
+    * customer, how many same-nation customers have an account balance
+    * within 100.0 below theirs. Range frames are resolved on the ORDER BY
+    * VALUE, so ties get identical frames and the count is deterministic
+    * at any parallelism — no unique-key tiebreak needed inside the frame.
+    */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal")).rangeBetween(-100L, 0L)
+    Tables.customer(s, d)
+      .withColumn("n_nearby", count(lit(1)).over(w))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("n_nearby"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_stratified_sample" -> stratifiedSample,
+    "x_range_frame" -> rangeFrame,
     "x_grouping_sets" -> groupingSets,
     "x_unpivot" -> unpivotMeasures,
     "x_range_source" -> rangeSource,
@@ -195,6 +233,18 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_stratified_sample" ->
+      s"""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+         |  SELECT c_mktsegment, c_custkey, c_acctbal,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+         |           ORDER BY ${graft.ext.Hashing.duckHash("CAST(c_custkey AS VARCHAR)")}, c_custkey) AS BIGINT) AS rn
+         |  FROM customer)
+         |WHERE rn <= 20 ORDER BY c_mktsegment, rn""".stripMargin,
+    "x_range_frame" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |       COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |                      RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_nearby
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "x_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
