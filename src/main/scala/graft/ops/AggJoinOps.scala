@@ -289,7 +289,59 @@ object AggJoinOps {
       .orderBy(col("size"))
   }
 
+  /** ext — null-safe equality join (`<=>` ↔ IS NOT DISTINCT FROM): keys
+    * with NULLs (every 5th nation bucket nulled) still pair up, unlike a
+    * plain equi-join which drops them. Null-safe equi-joins hash NULL like
+    * any other key value, so the join stays a hash/sort-merge join — no
+    * degenerate NULL-spray skew at scale (all NULLs do land in one
+    * bucket; salt if NULL is a heavy key).
+    */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val left = Tables.customer(s, d)
+      .select(col("c_custkey"), expr("nullif(c_nationkey % 5, 0)").as("k"))
+    val dim = Tables.nation(s, d)
+      .select(expr("nullif(n_nationkey % 5, 0)").as("dk")).distinct()
+      .withColumn("bucket_label", coalesce(col("dk").cast("string"), lit("null-bucket")))
+    left.join(dim, col("k") <=> col("dk"))
+      .groupBy(col("bucket_label"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("bucket_label"))
+  }
+
+  /** ext — ntile quartiles per segment by (balance, key) — the unique
+    * trailing key makes tile assignment deterministic under balance ties.
+    */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), col("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ext — uncorrelated scalar subquery through the SQL surface: orders
+    * above the global average price, counted per priority. The average is
+    * an exact decimal sum ÷ count (one correctly-rounded double division)
+    * so the > boundary is engine-independent; Catalyst plans the scalar
+    * subquery as a one-row broadcast, not a per-row re-scan.
+    */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_ssq")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_big
+        |FROM orders_ssq
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_ssq)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_nullsafe_join" -> nullSafeJoin,
+    "x_ntile" -> ntileQuartiles,
+    "x_scalar_subquery" -> scalarSubquery,
     "a1_multikey_avg" -> multiKeyAvg,
     "a2_count_per_group" -> countPerGroup,
     "a3_max_of_count" -> maxOfCount,
@@ -315,6 +367,27 @@ object AggJoinOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_nullsafe_join" ->
+      """WITH lft AS (
+        |  SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
+        |dim AS (
+        |  SELECT dk, coalesce(CAST(dk AS VARCHAR), 'null-bucket') AS bucket_label
+        |  FROM (SELECT DISTINCT nullif(n_nationkey % 5, 0) AS dk FROM nation))
+        |SELECT bucket_label, COUNT(*) AS n_customers
+        |FROM lft JOIN dim ON lft.k IS NOT DISTINCT FROM dim.dk
+        |GROUP BY bucket_label ORDER BY bucket_label""".stripMargin,
+    "x_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_big
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a1_multikey_avg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(year(l_shipdate) AS INT) AS ship_year,
