@@ -89,10 +89,36 @@ object TemporalOps {
         sum(col("ps")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Salted skew JOIN (the join-side sibling of [[saltedAgg]]): the fact
+    * side salts each row by a hash of its row identity; the dim side is
+    * replicated across all R salt values. A hot customer key then spreads
+    * over R reducers instead of melting one. The result is provably the
+    * plain join (salt values partition the fact rows; each fact row meets
+    * its dim row exactly once) — and the oracle runs the unsalted form.
+    * R×|dim| replication is the price; use for dims small enough to
+    * replicate but too big (or too mixed-hot) to broadcast.
+    */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val R = 8
+    val fact = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(R)).cast("int"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${R - 1})")))
+    fact.join(dim,
+        fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_asof_join" -> asofJoin,
     "x_range_join" -> rangeJoin,
-    "x_salted_agg" -> saltedAgg
+    "x_salted_agg" -> saltedAgg,
+    "x_salted_join" -> saltedJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +139,11 @@ object TemporalOps {
     "x_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "x_salted_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
   )
 }

@@ -145,6 +145,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("partial_min"), "map-side partial aggregation missing")
   }
 
+  test("salted join shuffles on (key, salt) at scale — the hot key actually spreads") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = sparkPlanAtScale(SparkEntry.queries("x_salted_join")(spark, sf))
+    val parts = p.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning.toString
+    }
+    assert(parts.exists(s => s.contains("salt") &&
+      (s.contains("o_custkey") || s.contains("c_custkey"))),
+      "join exchange must partition on (key, salt), not key alone: " + parts)
+  }
+
   test("k-means iteration's only exchange is the skinny (cid, pos) partial-sum one") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val p = sparkPlanAtScale(ext.Similarity.lloydIterationFrame(spark, sf))
