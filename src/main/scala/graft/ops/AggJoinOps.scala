@@ -338,7 +338,46 @@ object AggJoinOps {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** ext — CORRELATED scalar subquery: customers above their own nation's
+    * average balance. Catalyst decorrelates this into an aggregate + join
+    * (no per-row re-scan — the plan is the same one you'd write by hand),
+    * which is exactly why the SQL surface is safe to expose at 100 TB.
+    * Decimal-exact average so the > boundary is engine-independent.
+    */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_csq")
+    s.sql(
+      """SELECT c_nationkey, COUNT(*) AS n_above
+        |FROM customer_csq c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM customer_csq c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** ext — first_value/last_value/nth_value over an explicit full-partition
+    * frame (the default frame stops at CURRENT ROW, which silently makes
+    * last_value ≡ current row — the classic trap; the explicit frame is
+    * the correct form and the oracle mirrors it).
+    */
+  def firstLastWindow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_order", first(col("o_orderkey")).over(full))
+      .withColumn("last_order", last(col("o_orderkey")).over(full))
+      .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(full))
+      .groupBy(col("o_custkey"), col("first_order"), col("last_order"),
+        col("second_order"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_correlated_subquery" -> correlatedSubquery,
+    "x_first_last_window" -> firstLastWindow,
     "x_nullsafe_join" -> nullSafeJoin,
     "x_ntile" -> ntileQuartiles,
     "x_scalar_subquery" -> scalarSubquery,
@@ -367,6 +406,24 @@ object AggJoinOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_correlated_subquery" ->
+      """SELECT c_nationkey, COUNT(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "x_first_last_window" ->
+      """SELECT o_custkey,
+        |       first_value(o_orderkey) OVER w AS first_order,
+        |       last_value(o_orderkey) OVER w AS last_order,
+        |       nth_value(o_orderkey, 2) OVER w AS second_order,
+        |       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
     "x_nullsafe_join" ->
       """WITH lft AS (
         |  SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
