@@ -216,7 +216,47 @@ object ExtraOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** Morton/Z-order index of two 10-bit dimensions (bit-interleave, y in
+    * odd bits): 20 codegen'd shift-mask terms, no HOF fold. Shared by the
+    * declared query and the SourceSinkSpec layout test.
+    */
+  private[graft] def zValueExpr(x: String, y: String): String =
+    (0 until 10).flatMap { j =>
+      Seq(s"shiftleft(CAST(shiftright($x, $j) & 1 AS BIGINT), ${2 * j})",
+        s"shiftleft(CAST(shiftright($y, $j) & 1 AS BIGINT), ${2 * j + 1})")
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of [[zValueExpr]]. */
+  private def duckZValue(x: String, y: String): String =
+    (0 until 10).flatMap { j =>
+      Seq(s"((($x >> $j) & 1) << ${2 * j})", s"((($y >> $j) & 1) << ${2 * j + 1})")
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+
+  /** Z-order clustering stats: bucket lineitem rows by the top byte-ish of
+    * their Morton index over (part, supplier) and report per-bucket
+    * bounding boxes — adjacent z-buckets cover small rectangles in BOTH
+    * dimensions, which is what makes a z-ordered file layout prunable by
+    * parquet min/max stats for 2-D predicates (single-column sort prunes
+    * one dimension and sprays the other; SourceSinkSpec measures exactly
+    * that on real written files).
+    */
+  def zorderStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      // dimensions chosen to span the full 10-bit domain at every SF and
+      // be mutually uncorrelated (raw suppkey is tiny at small SFs and
+      // correlates with partkey in TPC-H-style generators)
+      .select((col("l_orderkey") % 1024).cast("int").as("x"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 1024).cast("int").as("y"))
+      .withColumn("zval", expr(zValueExpr("x", "y")))
+      .withColumn("zbucket", expr("zval DIV 65536")) // 16 buckets over 20 bits
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("zbucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zorder" -> zorderStats,
     "x_stratified_sample" -> stratifiedSample,
     "x_range_frame" -> rangeFrame,
     "x_grouping_sets" -> groupingSets,
@@ -233,6 +273,16 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_zorder" ->
+      s"""WITH pts AS (
+         |  SELECT CAST(l_orderkey % 1024 AS INT) AS x,
+         |         CAST((l_partkey * 7 + l_suppkey) % 1024 AS INT) AS y
+         |  FROM lineitem),
+         |z AS (SELECT x, y, ${duckZValue("x", "y")} AS zval FROM pts)
+         |SELECT zval // 65536 AS zbucket, COUNT(*) AS n_rows,
+         |       MIN(x) AS x_min, MAX(x) AS x_max,
+         |       MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
     "x_stratified_sample" ->
       s"""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
          |  SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -34,6 +34,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("query registry has no cross-module name collisions") {
+    // SparkEntry merges the module maps with ++ — a duplicated name would
+    // silently shadow one implementation and drop a query from the
+    // verified surface. Guard the invariant as the registry grows.
+    val modules: Seq[(String, Set[String])] = Seq(
+      "CoreOps" -> ops.CoreOps.queries.keySet,
+      "ScalarOps" -> ops.ScalarOps.queries.keySet,
+      "AggJoinOps" -> ops.AggJoinOps.queries.keySet,
+      "PipelineOps" -> ops.PipelineOps.queries.keySet,
+      "ExtraOps" -> ops.ExtraOps.queries.keySet,
+      "TpchOps" -> ops.TpchOps.queries.keySet,
+      "Dedup" -> ext.Dedup.queries.keySet,
+      "Similarity" -> ext.Similarity.queries.keySet,
+      "TextOps" -> ext.TextOps.queries.keySet,
+      "EventOps" -> ext.EventOps.queries.keySet,
+      "Multimodal" -> ext.Multimodal.queries.keySet,
+      "TemporalOps" -> ext.TemporalOps.queries.keySet,
+      "MapOps" -> ext.MapOps.queries.keySet,
+      "CountMinAgg" -> ext.CountMinAgg.queries.keySet,
+      "HyperLogLog" -> ext.HyperLogLog.queries.keySet)
+    val dupes = modules.flatMap { case (m, ks) => ks.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"query name declared in multiple modules: $dupes")
+    val moduleTotal = modules.map(_._2.size).sum
+    // + the streaming entries registered directly in SparkEntry
+    assert(SparkEntry.queries.size == moduleTotal + 5,
+      s"merged registry lost entries: ${SparkEntry.queries.size} vs $moduleTotal + 5 streaming")
+  }
+
   test("argmax window form agrees with self-join form on tie-free groups") {
     val selfJoin = ops.AggJoinOps.argmaxSelfJoin(spark, sf).collect()
       .groupBy(_.getInt(0))

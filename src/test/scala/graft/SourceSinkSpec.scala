@@ -11,6 +11,37 @@ import org.scalatest.funsuite.AnyFunSuite
   * parquet save modes (overwrite/append), and multi-path scans.
   */
 class SourceSinkSpec extends AnyFunSuite {
+
+  test("z-order write clusters BOTH dimensions; single-column sort sprays the other") {
+    import TestSpark.{sf, spark}
+    val pts = Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") % 1024).cast("int").as("x"),
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 1024).cast("int").as("y"))
+      .withColumn("zval", expr(graft.ops.ExtraOps.zValueExpr("x", "y")))
+    def avgSpans(dir: String): (Double, Double) = {
+      val spans = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy(col("f"))
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy"))).head()
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_xsort").toString
+    pts.repartitionByRange(8, col("zval")).write.mode("overwrite").parquet(zDir)
+    pts.repartitionByRange(8, col("x")).write.mode("overwrite").parquet(xDir)
+    val (zx, zy) = avgSpans(zDir)
+    val (zx2, xy) = avgSpans(xDir)
+    // z-ordered files cover a small rectangle in BOTH dims: with 8 range
+    // splits over a 20-bit Morton code, per-file x spans ≤ ~512 and y
+    // spans ≤ ~256 (top bits are y9, x9, y8); parquet min/max stats can
+    // then prune 2-D predicates. The x-sorted layout keeps x tight but
+    // every file spans essentially the full y range.
+    assert(zx <= 600 && zy <= 600, s"z-order spans too wide: x=$zx y=$zy")
+    assert(zx2 <= 300, s"x-sort must keep x tight: $zx2")
+    assert(xy >= 900, s"x-sort should spray y across files: $xy")
+  }
   import TestSpark.{sf, spark}
 
   private def tmp(prefix: String): String =
