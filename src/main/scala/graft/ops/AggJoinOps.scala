@@ -355,6 +355,24 @@ object AggJoinOps {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** ext — correlated EXISTS / NOT EXISTS: nations with a high-balance
+    * customer but no negative-balance supplier. Catalyst rewrites the two
+    * subqueries into a LeftSemi and a LeftAnti join (PlanSpec-asserted) —
+    * the SQL sugar costs nothing over the hand-written join form.
+    */
+  def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_esq")
+    Tables.customer(s, d).createOrReplaceTempView("customer_esq")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_esq")
+    s.sql(
+      """SELECT n_nationkey, n_name FROM nation_esq n
+        |WHERE EXISTS (SELECT 1 FROM customer_esq c
+        |              WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier_esq sp
+        |                  WHERE sp.s_nationkey = n.n_nationkey AND sp.s_acctbal < 0)
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** ext — first_value/last_value/nth_value over an explicit full-partition
     * frame (the default frame stops at CURRENT ROW, which silently makes
     * last_value ≡ current row — the classic trap; the explicit frame is
@@ -376,6 +394,7 @@ object AggJoinOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_exists_subquery" -> existsSubquery,
     "x_correlated_subquery" -> correlatedSubquery,
     "x_first_last_window" -> firstLastWindow,
     "x_nullsafe_join" -> nullSafeJoin,
@@ -406,6 +425,13 @@ object AggJoinOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_exists_subquery" ->
+      """SELECT n_nationkey, n_name FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier sp
+        |                  WHERE sp.s_nationkey = n.n_nationkey AND sp.s_acctbal < 0)
+        |ORDER BY n_nationkey""".stripMargin,
     "x_correlated_subquery" ->
       """SELECT c_nationkey, COUNT(*) AS n_above
         |FROM customer c

@@ -197,6 +197,17 @@ object StreamOps {
     */
   private def scaledOf(v: Double): Long = Math.round(v * 10000.0)
 
+  private def usOf(e: Ev): Long =
+    e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
+  private def tsOf(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+  private def outOf(userId: Long, st: SessState): SessionOut =
+    SessionOut(userId, st.sessionId, st.n, tsOf(st.startUs), tsOf(st.endUs),
+      st.sumScaled / 10000.0)
+
   /** Stateful sessionizer: emits a session whenever a >30-min gap closes
     * it; the per-user open session stays in state (bounded runs never
     * emit the final open session — the declared query's oracle excludes
@@ -208,12 +219,6 @@ object StreamOps {
       .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
-          def usOf(e: Ev): Long = e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
-          def tsOf(us: Long): java.sql.Timestamp = {
-            val t = new java.sql.Timestamp(us / 1000000 * 1000)
-            t.setNanos((us % 1000000).toInt * 1000)
-            t
-          }
           val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
           var st = state.getOption.orNull
           val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
@@ -222,8 +227,7 @@ object StreamOps {
             if (st == null) {
               st = SessState(1L, 1L, us, us, scaledOf(e.value))
             } else if (us - st.endUs > gapUs) {
-              closed += SessionOut(userId, st.sessionId, st.n,
-                tsOf(st.startUs), tsOf(st.endUs), st.sumScaled / 10000.0)
+              closed += outOf(userId, st)
               st = SessState(st.sessionId + 1, 1L, us, us, scaledOf(e.value))
             } else {
               st = st.copy(n = st.n + 1, endUs = us,
@@ -232,6 +236,48 @@ object StreamOps {
           }
           state.update(st)
           closed.iterator
+      }
+  }
+
+  /** Timeout-finalizing sessionizer: identical fold, but the open session
+    * also closes when the EVENT-TIME WATERMARK passes its end + gap — so
+    * an infinite stream eventually emits EVERY session without waiting for
+    * the user's next event (the [[sessionize]] form only closes on a
+    * successor). Input must carry `withWatermark("ts", …)`; state per user
+    * stays one fixed-width record, and a timed-out group's state is
+    * REMOVED — inactive users cost nothing forever after.
+    */
+  def sessionizeWithTimeout(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(outOf(userId, st))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            sorted.foreach { e =>
+              val us = usOf(e)
+              if (st == null) {
+                st = SessState(1L, 1L, us, us, scaledOf(e.value))
+              } else if (us - st.endUs > gapUs) {
+                closed += outOf(userId, st)
+                st = SessState(st.sessionId + 1, 1L, us, us, scaledOf(e.value))
+              } else {
+                st = st.copy(n = st.n + 1, endUs = us,
+                  sumScaled = st.sumScaled + scaledOf(e.value))
+              }
+            }
+            state.update(st)
+            // fire once the watermark passes the session's close horizon
+            state.setTimeoutTimestamp(st.endUs / 1000 + gapUs / 1000)
+            closed.iterator
+          }
       }
   }
 

@@ -105,6 +105,9 @@ class PlanSpec extends AnyFunSuite {
   test("semi/anti joins plan as join, not subquery re-scan") {
     assert(plan("x_semi_join").contains("LeftSemi"))
     assert(plan("x_anti_join").contains("LeftAnti"))
+    // EXISTS / NOT EXISTS sugar decorrelates to the same join shapes
+    val ex = plan("x_exists_subquery")
+    assert(ex.contains("LeftSemi") && ex.contains("LeftAnti"), ex.take(2000))
   }
 
   /** Like [[planAtScale]] but returning the plan tree, for asserts on

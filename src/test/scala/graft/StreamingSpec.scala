@@ -186,6 +186,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("event-time timeout finalizes the open session once the watermark passes") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val sessions = graft.streaming.StreamOps.sessionizeWithTimeout(
+      input.toDS().withWatermark("ts", "0 seconds"))
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_sess_timeout").start()
+    try {
+      // batch 1: user 1's session (two events, 12:00-12:05), nothing else
+      input.addData(ev(1, "2024-01-01 12:00:00"), ev(2, "2024-01-01 12:05:00"))
+      q.processAllAvailable()
+      assert(spark.table("graft_sess_timeout").count() == 0,
+        "open session must not emit while the watermark is behind")
+      // batch 2: another user far in the future moves the watermark past
+      // 12:05 + 30 min ...
+      input.addData(ev(10, "2024-01-01 14:00:00", user = 2))
+      q.processAllAvailable()
+      // ... and batch 3 (any new data) runs with that watermark, firing
+      // user 1's timeout: the session closes WITHOUT user 1 ever returning
+      input.addData(ev(11, "2024-01-01 14:01:00", user = 3))
+      q.processAllAvailable()
+      val rows = spark.table("graft_sess_timeout").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3).toString,
+          r.getTimestamp(4).toString))
+      assert(rows.toSeq == Seq((1L, 2L, "2024-01-01 12:00:00.0", "2024-01-01 12:05:00.0")),
+        rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches streaming rows against a batch dim") {
     val dim = Tables.events(spark, TestSpark.sf)
       .select(col("event_type")).distinct()
