@@ -23,6 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // fail analysis on wrong arity: exprs(1) on a 1-arg call would be
+        // an opaque IndexOutOfBounds, and a 3-arg call would otherwise
+        // silently compute cosine of the first two
+        require(exprs.length == 2,
+          s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      }))
   }
 }

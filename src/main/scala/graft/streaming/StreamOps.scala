@@ -208,6 +208,33 @@ object StreamOps {
     SessionOut(userId, st.sessionId, st.n, tsOf(st.startUs), tsOf(st.endUs),
       st.sumScaled / 10000.0)
 
+  /** The shared session fold: events (pre-sorted by (ts, event_id)) merge
+    * into the open state; every >gap boundary closes a session. A
+    * tombstone state (n == 0) carries only the next session ordinal so
+    * session_id stays unique across timeout-driven emissions. Returns
+    * (closed sessions, new state).
+    */
+  private def foldSessions(userId: Long, sorted: Seq[Ev],
+      prev: Option[SessState]): (Seq[SessionOut], SessState) = {
+    var st = prev.orNull
+    val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    sorted.foreach { e =>
+      val us = usOf(e)
+      if (st == null) {
+        st = SessState(1L, 1L, us, us, scaledOf(e.value))
+      } else if (st.n == 0L) { // tombstone: resume numbering, no open session
+        st = SessState(st.sessionId, 1L, us, us, scaledOf(e.value))
+      } else if (us - st.endUs > gapUs) {
+        closed += outOf(userId, st)
+        st = SessState(st.sessionId + 1, 1L, us, us, scaledOf(e.value))
+      } else {
+        st = st.copy(n = st.n + 1, endUs = us,
+          sumScaled = st.sumScaled + scaledOf(e.value))
+      }
+    }
+    (closed.toSeq, st)
+  }
+
   /** Stateful sessionizer: emits a session whenever a >30-min gap closes
     * it; the per-user open session stays in state (bounded runs never
     * emit the final open session — the declared query's oracle excludes
@@ -220,20 +247,7 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
           val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
-          var st = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          sorted.foreach { e =>
-            val us = usOf(e)
-            if (st == null) {
-              st = SessState(1L, 1L, us, us, scaledOf(e.value))
-            } else if (us - st.endUs > gapUs) {
-              closed += outOf(userId, st)
-              st = SessState(st.sessionId + 1, 1L, us, us, scaledOf(e.value))
-            } else {
-              st = st.copy(n = st.n + 1, endUs = us,
-                sumScaled = st.sumScaled + scaledOf(e.value))
-            }
-          }
+          val (closed, st) = foldSessions(userId, sorted, state.getOption)
           state.update(st)
           closed.iterator
       }
@@ -243,9 +257,14 @@ object StreamOps {
     * also closes when the EVENT-TIME WATERMARK passes its end + gap — so
     * an infinite stream eventually emits EVERY session without waiting for
     * the user's next event (the [[sessionize]] form only closes on a
-    * successor). Input must carry `withWatermark("ts", …)`; state per user
-    * stays one fixed-width record, and a timed-out group's state is
-    * REMOVED — inactive users cost nothing forever after.
+    * successor). Input must carry `withWatermark("ts", …)`. After a
+    * timeout the state shrinks to a TOMBSTONE holding only the next
+    * session ordinal, so (user_id, session_id) stays unique for the
+    * stream's lifetime — full state removal would restart a returning
+    * user at session_id 1 and silently collide with the already-emitted
+    * session downstream. (Drop the tombstone and key on
+    * (user_id, session_start) instead if O(total users) × 5 longs of
+    * state is too much.)
     */
   def sessionizeWithTimeout(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -255,27 +274,22 @@ object StreamOps {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            state.update(SessState(st.sessionId + 1, 0L, 0L, 0L, 0L))
             Iterator.single(outOf(userId, st))
           } else {
             val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
-            var st = state.getOption.orNull
-            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-            sorted.foreach { e =>
-              val us = usOf(e)
-              if (st == null) {
-                st = SessState(1L, 1L, us, us, scaledOf(e.value))
-              } else if (us - st.endUs > gapUs) {
-                closed += outOf(userId, st)
-                st = SessState(st.sessionId + 1, 1L, us, us, scaledOf(e.value))
-              } else {
-                st = st.copy(n = st.n + 1, endUs = us,
-                  sumScaled = st.sumScaled + scaledOf(e.value))
-              }
-            }
+            val (closed, st) = foldSessions(userId, sorted, state.getOption)
             state.update(st)
-            // fire once the watermark passes the session's close horizon
-            state.setTimeoutTimestamp(st.endUs / 1000 + gapUs / 1000)
+            if (st.n > 0L) {
+              // fire once the watermark passes the close horizon — clamped
+              // above the current watermark: a late event can fold into
+              // state with an endUs whose horizon is already behind the
+              // watermark, and setTimeoutTimestamp throws on that (which
+              // would kill the whole query)
+              val horizonMs = st.endUs / 1000 + gapUs / 1000
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
             closed.iterator
           }
       }

@@ -27,8 +27,8 @@ class SourceSinkSpec extends AnyFunSuite {
         .agg(avg(col("sx")), avg(col("sy"))).head()
       (spans.getDouble(0), spans.getDouble(1))
     }
-    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
-    val xDir = java.nio.file.Files.createTempDirectory("graft_xsort").toString
+    val zDir = tmp("graft_zorder")
+    val xDir = tmp("graft_xsort")
     pts.repartitionByRange(8, col("zval")).write.mode("overwrite").parquet(zDir)
     pts.repartitionByRange(8, col("x")).write.mode("overwrite").parquet(xDir)
     val (zx, zy) = avgSpans(zDir)

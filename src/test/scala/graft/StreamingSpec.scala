@@ -212,6 +212,25 @@ class StreamingSpec extends AnyFunSuite {
           r.getTimestamp(4).toString))
       assert(rows.toSeq == Seq((1L, 2L, "2024-01-01 12:00:00.0", "2024-01-01 12:05:00.0")),
         rows.mkString(", "))
+      // batch 4: a LATE event (behind the 14:00 watermark) folds into a
+      // fresh group whose close horizon is already past — the timeout
+      // registration must clamp above the watermark, not kill the query
+      input.addData(ev(20, "2024-01-01 12:01:00", user = 4))
+      q.processAllAvailable()
+      // batch 5+6: user 1 RETURNS after the timeout; the tombstone keeps
+      // numbering, so the new session must emit as session_id 2, not a
+      // duplicate (user 1, session 1) key
+      input.addData(ev(12, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      input.addData(ev(13, "2024-01-01 18:00:00", user = 2)) // move watermark
+      q.processAllAvailable()
+      input.addData(ev(14, "2024-01-01 18:01:00", user = 3)) // fire timeouts
+      q.processAllAvailable()
+      val u1 = spark.table("graft_sess_timeout")
+        .where(col("user_id") === 1).collect()
+        .map(r => (r.getLong(1), r.getTimestamp(3).toString)).toSet
+      assert(u1 == Set((1L, "2024-01-01 12:00:00.0"), (2L, "2024-01-01 15:00:00.0")),
+        s"returning user must continue session numbering: $u1")
     } finally q.stop()
   }
 
