@@ -481,7 +481,43 @@ object Dedup {
     agg.select(col("doc_id"), expr(simExpr).as("sim"))
   }
 
+  /** Eval-set modulus for the decontamination split (query ∥ oracle). */
+  private[graft] val EVAL_MOD = 11
+
+  /** Benchmark decontamination: flag TRAINING documents whose shingle
+    * overlap with any EVAL document exceeds 20% of the eval doc's
+    * shingles — the step that keeps benchmark text out of a training
+    * corpus. The join is an inverted index on the 60-bit shingle hashes
+    * (explode + equi-join): cost scales with shared-shingle volume, never
+    * |train| × |eval|, and the eval side (small by definition) is the
+    * broadcastable one at scale. Output = each contaminated train doc's
+    * worst eval match (max overlap, tie → smallest eval id).
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(s, d)
+    val ev = sh.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
+        explode(col("shashes")).as("sh"))
+    val tr = sh.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .select(col("doc_id").as("tid"), explode(col("shashes")).as("sh"))
+    val w = Window.partitionBy(col("tid")).orderBy(desc("overlap"), col("eid"))
+    ev.join(tr, "sh")
+      // shashes are distinct per doc, so the match count IS the shared-
+      // shingle count
+      .groupBy(col("tid"), col("eid"), col("en"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap", col("shared").cast("double") / col("en"))
+      .filter(col("overlap") >= 0.2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tid").as("doc_id"), col("eid").as("contaminated_by"),
+        col("shared"), col("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_contamination" -> contamination,
     "dd_exact" -> exactDedup,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_minhash_lsh" -> minhashLsh,
@@ -521,6 +557,23 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_contamination" ->
+      s"""WITH ${shingCteFor("documents", "shing")},
+         |ev AS (SELECT doc_id AS eid, len(shashes) AS en, unnest(shashes) AS sh
+         |       FROM shing WHERE doc_id % $EVAL_MOD = 0),
+         |tr AS (SELECT doc_id AS tid, unnest(shashes) AS sh
+         |       FROM shing WHERE doc_id % $EVAL_MOD <> 0),
+         |ov AS (
+         |  SELECT tid, eid, en, COUNT(*) AS shared,
+         |         CAST(COUNT(*) AS DOUBLE) / en AS overlap
+         |  FROM ev JOIN tr USING (sh) GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT tid AS doc_id, eid AS contaminated_by, shared, overlap,
+         |         ROW_NUMBER() OVER (PARTITION BY tid
+         |                            ORDER BY overlap DESC, eid) AS rn
+         |  FROM ov WHERE overlap >= 0.2)
+         |SELECT doc_id, contaminated_by, shared, overlap FROM best
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)

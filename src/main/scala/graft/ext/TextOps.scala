@@ -191,7 +191,44 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Repetition scoring (Gopher-style quality signal): duplicate-word
+    * ratio and top-term concentration per document. One explode +
+    * two-level aggregation — the word counts partial-aggregate map-side,
+    * and the ratios are int/int double divisions (exact both engines).
+    */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_words"))
+      .withColumn("top_share", col("top_count").cast("double") / col("n_words"))
+      .orderBy(col("doc_id"))
+
+  /** Denylist scrubbing — the redaction step of a corpus-governance
+    * pipeline (here a term denylist; a PII pass swaps in email/phone
+    * patterns, same plumbing). The pattern stays dialect-neutral (word
+    * boundaries + alternation work identically in Java regex and RE2) so
+    * the oracle replays it verbatim.
+    */
+  private val DENY = "\\b(customer|stream|vector)\\b"
+
+  def redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_redacted", regexp_count(col("text"), lit(DENY)).cast("long"))
+      .withColumn("clean_text", regexp_replace(col("text"), DENY, "[X]"))
+      .select(col("doc_id"), col("n_redacted"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        substring(col("clean_text"), 1, 50).as("clean_prefix"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_repetition" -> repetition,
+    "tx_redact" -> redact,
     "tx_langid" -> langId,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
@@ -206,6 +243,22 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_repetition" ->
+        """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
+          |       MAX(c) AS top_count,
+          |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS distinct_ratio,
+          |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_share
+          |FROM (SELECT doc_id, w, COUNT(*) AS c
+          |      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |            FROM documents)
+          |      GROUP BY 1, 2)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "tx_redact" ->
+        """SELECT doc_id,
+          |       CAST(len(regexp_extract_all(text, '\b(customer|stream|vector)\b')) AS BIGINT) AS n_redacted,
+          |       CAST(length(regexp_replace(text, '\b(customer|stream|vector)\b', '[X]', 'g')) AS BIGINT) AS clean_len,
+          |       substr(regexp_replace(text, '\b(customer|stream|vector)\b', '[X]', 'g'), 1, 50) AS clean_prefix
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "tx_vocab" ->
         """SELECT token, COUNT(*) AS freq
           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
