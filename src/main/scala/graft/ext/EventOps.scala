@@ -73,6 +73,57 @@ object EventOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Ordered conversion funnel view → click → purchase: each stage is the
+    * earliest qualifying event strictly after the user's previous-stage
+    * time, so out-of-order events never count (a click before the first
+    * view is not a funnel click).
+    *
+    * Scale shape: three keyed aggregations, each with map-side partial
+    * aggregation, and the inter-stage joins run events-side against a
+    * per-user frame that is ≤ one row per user — broadcast it so the big
+    * events relation is never re-shuffled between stages. At 100 TB the
+    * per-user stage frames are the only state that moves.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(broadcast(t1), "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(t2), "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(t1, "1_view").unionByName(stage(t2, "2_click"))
+      .unionByName(stage(t3, "3_purchase"))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: users cohorted by first-signup day, activity =
+    * any event on a later day; output distinct active users per
+    * (cohort_day, day_offset). The cohort frame is one row per user and
+    * the activity frame is ≤ users × days — both collapse the raw events
+    * before any join, so the wide table is aggregated exactly once.
+    */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("activity_day"))
+      .distinct()
+    active.join(broadcast(cohort), "user_id")
+      .withColumn("day_offset", datediff(col("activity_day"), col("cohort_day")))
+      .filter(col("day_offset") >= 0)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** JSON property extraction (events.props is a JSON string): pull $.k,
     * cast, aggregate — get_json_object ↔ json_extract_string.
     */
@@ -91,7 +142,9 @@ object EventOps {
     "ev_sliding" -> sliding,
     "ev_sessionize" -> sessionize,
     "ev_session_window" -> sessionWindowNative,
-    "ev_json_props" -> jsonProps
+    "ev_json_props" -> jsonProps,
+    "ev_funnel" -> funnel,
+    "ev_retention" -> retention
   )
 
   val oracle: Map[String, String] = Map(
@@ -148,6 +201,37 @@ object EventOps {
         |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "ev_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+        |  UNION ALL
+        |  SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+        |  UNION ALL
+        |  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
+        |ORDER BY stage""".stripMargin,
+    "ev_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day FROM events)
+        |SELECT cohort_day,
+        |       CAST(date_diff('day', cohort_day, activity_day) AS INT) AS day_offset,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE date_diff('day', cohort_day, activity_day) >= 0
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

@@ -226,7 +226,27 @@ object TextOps {
         substring(col("clean_text"), 1, 50).as("clean_prefix"))
       .orderBy(col("doc_id"))
 
+  /** Overlapping context-window chunking (size 200 chars, stride 150 — a
+    * 50-char overlap), the document→training-example fan-out step of an
+    * LLM data pipeline. One `sequence` of chunk starts per document,
+    * expanded with posexplode — the text column is read once and never
+    * shuffled (chunking is a per-row map), so at 100 TB this is a pure
+    * scan→narrow-expand stage; only the downstream consumer decides
+    * whether chunks repartition.
+    */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))
+          .as("starts"))
+      .select(col("doc_id"), col("text"), posexplode(col("starts")).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("substring(text, start + 1, 200)").as("chunk_text"))
+      .withColumn("n_chars", length(col("chunk_text")))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_chunk_docs" -> chunkDocs,
     "tx_repetition" -> repetition,
     "tx_redact" -> redact,
     "tx_langid" -> langId,
@@ -243,6 +263,15 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "pipe_chunk_docs" ->
+        """WITH st AS (
+          |  SELECT doc_id, text,
+          |         unnest(generate_series(0, length(text) - 1, 150)) AS s
+          |  FROM documents)
+          |SELECT doc_id, CAST(s // 150 AS INT) AS chunk_id,
+          |       substring(text, CAST(s + 1 AS INT), 200) AS chunk_text,
+          |       CAST(length(substring(text, CAST(s + 1 AS INT), 200)) AS INT) AS n_chars
+          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
       "tx_repetition" ->
         """SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
           |       MAX(c) AS top_count,

@@ -255,7 +255,28 @@ object ExtraOps {
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
       .orderBy(col("zbucket"))
 
+  /** LATERAL correlated subquery: top-3 orders by value for each ACTIVE
+    * customer segment member, expressed as a SQL lateral join. Catalyst
+    * decorrelates the per-row subquery into a window-ranked join (the
+    * same physical shape as the window form of greatest-n-per-group), so
+    * the per-customer LIMIT never becomes a driver loop — verify with
+    * .explain: there is one join + one ranked window, no nested scans.
+    */
+  def lateralTopK(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+      .createOrReplaceTempView("graft_lat_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        |FROM graft_lat_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_lateral_topk" -> lateralTopK,
     "x_zorder" -> zorderStats,
     "x_stratified_sample" -> stratifiedSample,
     "x_range_frame" -> rangeFrame,
@@ -273,6 +294,14 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_lateral_topk" ->
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |WHERE c.c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "x_zorder" ->
       s"""WITH pts AS (
          |  SELECT CAST(l_orderkey % 1024 AS INT) AS x,

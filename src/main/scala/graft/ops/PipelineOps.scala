@@ -139,7 +139,26 @@ object PipelineOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Changelog compaction (CDC "latest snapshot"): the newest record per
+    * (user, event_type) key by event time, event_id as the total-order
+    * tie-break — the read-side collapse of an upsert stream. One shuffle
+    * on the key, and Spark's WindowGroupLimit pushes the rn=1 filter into
+    * a partial top-1 before the exchange, so the shuffle carries ~one row
+    * per key per map partition, not the full log.
+    */
+  def cdcLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_cdc_latest" -> cdcLatest,
     "pipe_dim_build" -> dimBuild,
     "pipe_fact_assembly" -> factAssembly,
     "pipe_dim_upsert" -> dimUpsert,
@@ -149,6 +168,12 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_cdc_latest" ->
+      """SELECT user_id, event_type, event_id, ts, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "pipe_dim_build" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT) AS id_status_priority

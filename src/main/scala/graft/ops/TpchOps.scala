@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Classic TPC-H-shaped analytics over the test tables (the schema is
   * TPC-H-ish, so the canonical queries express directly): pricing summary
@@ -90,6 +91,48 @@ object TpchOps {
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** Q14 — promotion effect: the share of one month's revenue coming from
+    * PROMO parts. Ratio of two decimal-exact sums (cast to double only for
+    * the final division, so the result is partitioning-independent); the
+    * part dim broadcasts, lineitem's date filter reaches the scan.
+    */
+  def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"),
+          Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+          .otherwise(lit(0).cast(DecimalType(14, 4)))).cast("double")
+          .as("promo_revenue"),
+        Det.revenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
+  /** Q18 — large-volume customers: orders whose total quantity exceeds a
+    * threshold, joined back to customer. The qualifying-orders frame is the
+    * output of a keyed aggregate (small), so it broadcasts into the orders
+    * join rather than re-shuffling orders.
+    */
+  def q18LargeVolume(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(Det.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
   case class Item(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
   case class FlagStats(l_returnflag: String, n_big: Long, max_qty: Double)
 
@@ -120,6 +163,8 @@ object TpchOps {
     "tpch_q3" -> q3Shipping,
     "tpch_q5" -> q5LocalVolume,
     "tpch_q6" -> q6Forecast,
+    "tpch_q14" -> q14Promo,
+    "tpch_q18" -> q18LargeVolume,
     "ds_typed_pipeline" -> typedQuery
   )
 
@@ -174,6 +219,29 @@ object TpchOps {
         |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
         |  AND l_discount >= 0.02 AND l_discount <= 0.04
         |  AND l_quantity < 24""".stripMargin,
+    "tpch_q14" ->
+      s"""SELECT
+         |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPrice
+         |                ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE) AS promo_revenue,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS total_revenue,
+         |  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPrice
+         |                        ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+         |        / CAST(SUM($discPrice) AS DOUBLE) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+         |  AND CAST(l_shipdate AS DATE) < DATE '1995-10-01'""".stripMargin,
+    "tpch_q18" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${graft.Det.sqlSum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING ${graft.Det.sqlSum("l_quantity")} > 300.0)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |       CAST(o_orderdate AS DATE) AS o_orderdate,
+         |       o_totalprice, sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = big.l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "ds_typed_pipeline" ->
       """SELECT l_returnflag, COUNT(*) AS n_big, MAX(l_quantity) AS max_qty
         |FROM lineitem WHERE l_quantity >= 30.0
