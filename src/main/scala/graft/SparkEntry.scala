@@ -21,6 +21,7 @@ object SparkEntry {
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       ext.MapOps.queries ++ ext.CountMinAgg.queries ++ ext.HyperLogLog.queries ++
+      ext.BloomFilter.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
@@ -37,6 +38,7 @@ object SparkEntry {
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++ ext.HyperLogLog.oracle ++
+      ext.BloomFilter.oracle ++
       // real streaming queries, verified against batch oracles
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),

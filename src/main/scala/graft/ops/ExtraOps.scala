@@ -2,7 +2,9 @@ package graft.ops
 
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Additional analyst-facing aggregates beyond the reference surface:
   * pivot, ordered string aggregation, exact interpolated percentiles.
@@ -275,7 +277,86 @@ object ExtraOps {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }
 
+  /** Second-moment statistics (variance / stddev / correlation) computed
+    * from EXACT decimal power sums, not the builtin var_samp/stddev/corr:
+    * the builtins fold doubles in partition order, so their last ulp
+    * depends on the partitioning — unacceptable for a verified query and
+    * for reproducible pipelines at scale. Power sums in decimal are
+    * associative (order-independent); the closed-form moments then
+    * evaluate in double identically on any cluster layout. One map-side
+    * partial-aggregated shuffle, same cost as a plain groupBy-sum.
+    */
+  def statsMoments(s: SparkSession, d: String): DataFrame = {
+    val qd = col("l_quantity").cast(DecimalType(18, 4))
+    val pd = col("l_extendedprice").cast(DecimalType(18, 4))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qd).cast("double").as("s_q"),
+        sum(qd * qd).cast("double").as("s_qq"),
+        sum(pd).cast("double").as("s_p"),
+        sum(pd * pd).cast("double").as("s_pp"),
+        sum(qd * pd).cast("double").as("s_qp"))
+      .withColumn("mean_qty", col("s_q") / col("n"))
+      .withColumn("var_qty",
+        (col("s_qq") - col("s_q") * col("s_q") / col("n")) / (col("n") - 1))
+      .withColumn("stddev_qty", sqrt(col("var_qty")))
+      .withColumn("corr_qty_price",
+        (col("s_qp") - col("s_q") * col("s_p") / col("n"))
+          / (sqrt(col("s_qq") - col("s_q") * col("s_q") / col("n"))
+            * sqrt(col("s_pp") - col("s_p") * col("s_p") / col("n"))))
+      .select(col("l_returnflag"), col("n"), col("mean_qty"), col("var_qty"),
+        col("stddev_qty"), col("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Time-spine gap filling + forward fill: a complete (event_type × hour)
+    * spine generated from the data's own bounds, left-joined to the hourly
+    * aggregate; missing hours get count 0 and carry the last known
+    * sum_value forward (last over an ignore-nulls running frame). The
+    * spine is |types| × |hours| — metadata-sized next to the events table,
+    * and the fill window partitions by type, so no single-partition sort
+    * at scale.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), graft.Det.dsum(col("value")).as("sum_value"))
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val fill = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value",
+        last(col("sum_value"), ignoreNulls = true).over(fill))
+      .select(col("event_type"), col("hour"), col("n_events"), col("filled_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Fixed-width histogram over order values: floor-division bucketing
+    * (dialect-neutral, unlike width_bucket) with per-bucket bounds. The
+    * whole histogram is one partial-aggregated groupBy — the canonical
+    * "summarize 100 TB into 20 rows" shape.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / 25000.0))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_stats_moments" -> statsMoments,
+    "x_gap_fill" -> gapFill,
+    "x_histogram" -> histogram,
     "x_lateral_topk" -> lateralTopK,
     "x_zorder" -> zorderStats,
     "x_stratified_sample" -> stratifiedSample,
@@ -294,6 +375,45 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_stats_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s_q,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s_qq,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s_p,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s_pp,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s_qp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       s_q / n AS mean_qty,
+        |       (s_qq - s_q * s_q / n) / (n - 1) AS var_qty,
+        |       sqrt((s_qq - s_q * s_q / n) / (n - 1)) AS stddev_qty,
+        |       (s_qp - s_q * s_p / n)
+        |         / (sqrt(s_qq - s_q * s_q / n) * sqrt(s_pp - s_p * s_p / n)) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "x_gap_fill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events), b),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.event_type, s.hour,
+        |       COALESCE(h.n_events, 0) AS n_events,
+        |       last_value(h.sum_value IGNORE NULLS) OVER (
+        |         PARTITION BY s.event_type ORDER BY s.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        |ORDER BY s.event_type, s.hour""".stripMargin,
+    "x_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_orders,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "x_lateral_topk" ->
       """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
         |FROM customer c,

@@ -214,6 +214,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(stored == inline)
   }
 
+  test("bloom filter never false-negatives; some true negatives prune") {
+    import org.apache.spark.sql.functions.col
+    val rows = ext.BloomFilter.queries("x_bloom_probe")(spark, sf).collect()
+    val fn = rows.count(r => r.getAs[Int]("is_member") == 1
+      && r.getAs[Long]("bloom_maybe") == 0L)
+    assert(fn == 0, s"$fn members rejected by the filter")
+    // at sf0.001/sf0.01 the filter is far from saturated, so it must
+    // actually prune: some non-members come back bloom_maybe=0
+    val pruned = rows.count(r => r.getAs[Int]("is_member") == 0
+      && r.getAs[Long]("bloom_maybe") == 0L)
+    assert(pruned > 0, "filter saturated: no negative was pruned")
+    assert(rows.map(_.getAs[Long]("p_partkey")).distinct.length == rows.length)
+  }
+
   test("count-min estimates dominate true counts; sketch is partition-independent") {
     import spark.implicits._
     val out = ext.CountMinAgg.cmsFreq(spark, sf).collect()

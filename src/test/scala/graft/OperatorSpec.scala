@@ -53,7 +53,8 @@ class OperatorSpec extends AnyFunSuite {
       "TemporalOps" -> ext.TemporalOps.queries.keySet,
       "MapOps" -> ext.MapOps.queries.keySet,
       "CountMinAgg" -> ext.CountMinAgg.queries.keySet,
-      "HyperLogLog" -> ext.HyperLogLog.queries.keySet)
+      "HyperLogLog" -> ext.HyperLogLog.queries.keySet,
+      "BloomFilter" -> ext.BloomFilter.queries.keySet)
     val dupes = modules.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query name declared in multiple modules: $dupes")

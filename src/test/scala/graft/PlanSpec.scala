@@ -89,6 +89,26 @@ class PlanSpec extends AnyFunSuite {
       "expect map-side partial + post-shuffle final group limit:\n" + p.take(2000))
   }
 
+  test("LATERAL topk decorrelates to a ranked-window join, never a per-row rescan") {
+    // the correlated ORDER BY + LIMIT 3 subquery must become one
+    // WindowGroupLimit-bounded window + one join; a nested-loop plan
+    // (per-customer re-scan of orders) would be quadratic at scale
+    val p = planAtScale("x_lateral_topk")
+    assert(p.contains("WindowGroupLimit") && p.contains("row_number()"),
+      p.take(2000))
+    assert(p.contains("Partial"),
+      "per-customer LIMIT must bound the shuffle map-side:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral must not plan as a nested loop:\n" + p.take(2000))
+  }
+
+  test("CDC latest-per-key pushes a partial top-1 below the exchange") {
+    val p = planAtScale("pipe_cdc_latest")
+    assert(p.contains("WindowGroupLimit") && p.contains("row_number(), 1, Partial"),
+      "changelog compaction must shuffle ~1 row/key/partition, not the log:\n"
+        + p.take(2000))
+  }
+
   test("flagship aggregates partially before the shuffle (partial HashAggregate)") {
     val p = plan("a8_flagship")
     assert(p.contains("HashAggregate"))
