@@ -353,7 +353,59 @@ object ExtraOps {
         max(col("o_totalprice")).as("hi"))
       .orderBy(col("bucket"))
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's order
+    * chain successor-by-successor, counting hops from the first order.
+    * Linear recursion — every order is derived exactly once, so the
+    * fixpoint terminates in max-chain-length iterations (≈ orders/customer,
+    * far under the recursion limit) with no path explosion. Note cyclic
+    * graphs do NOT fit Spark's UNION ALL-only recursion (dedup-UNION is
+    * unsupported; label propagation on a duplicate clique would enumerate
+    * factorially many paths) — for components stay with the driver-steered
+    * loops in [[graft.ext.Dedup]]. The oracle replays the identical
+    * recursion in DuckDB.
+    */
+  def recursiveChain(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_rec_orders")
+    s.sql(
+      """WITH RECURSIVE
+        |nxt AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS next_key,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM graft_rec_orders),
+        |walk(o_custkey, o_orderkey, next_key, hop) AS (
+        |  SELECT o_custkey, o_orderkey, next_key, 1 FROM nxt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.o_custkey, n.o_orderkey, n.next_key, w.hop + 1
+        |  FROM walk w JOIN nxt n ON n.o_orderkey = w.next_key)
+        |SELECT o_custkey, o_orderkey, hop
+        |FROM walk ORDER BY o_custkey, hop""".stripMargin)
+  }
+
+  /** Error-safe expression family (try_divide / try_cast): malformed input
+    * degrades to NULL instead of failing the job — at 100 TB one corrupt
+    * row must never kill a stage. Aggregated per flag so the verified
+    * output pins both the NULL and the parsed-value paths.
+    */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("unit_price",
+        expr("try_divide(l_extendedprice, l_quantity - 25)"))
+      .withColumn("qty_int", expr(
+        "try_cast(concat(cast(cast(l_quantity AS INT) AS STRING), " +
+          "CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS INT)"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(col("unit_price")).as("n_divisible"),
+        count(when(col("unit_price").isNull, 1)).as("n_div0"),
+        sum(col("qty_int").cast("long")).as("sum_parsed"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_recursive_chain" -> recursiveChain,
+    "x_try_funcs" -> tryFuncs,
     "x_stats_moments" -> statsMoments,
     "x_gap_fill" -> gapFill,
     "x_histogram" -> histogram,
@@ -375,6 +427,34 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_recursive_chain" ->
+      """WITH RECURSIVE
+        |nxt AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS next_key,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |walk(o_custkey, o_orderkey, next_key, hop) AS (
+        |  SELECT o_custkey, o_orderkey, next_key, 1 FROM nxt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.o_custkey, n.o_orderkey, n.next_key, w.hop + 1
+        |  FROM walk w JOIN nxt n ON n.o_orderkey = w.next_key)
+        |SELECT o_custkey, o_orderkey, hop
+        |FROM walk ORDER BY o_custkey, hop""".stripMargin,
+    "x_try_funcs" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       COUNT(unit_price) AS n_divisible,
+        |       COUNT(CASE WHEN unit_price IS NULL THEN 1 END) AS n_div0,
+        |       CAST(SUM(qty_int) AS BIGINT) AS sum_parsed
+        |FROM (
+        |  SELECT l_returnflag,
+        |         l_extendedprice / NULLIF(l_quantity - 25, 0) AS unit_price,
+        |         TRY_CAST(concat(CAST(CAST(l_quantity AS INT) AS VARCHAR),
+        |           CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS INT) AS qty_int
+        |  FROM lineitem)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "x_stats_moments" ->
       """WITH s AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
