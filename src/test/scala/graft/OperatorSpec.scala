@@ -89,6 +89,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(1), "ids must be unique")
   }
 
+  test("df.observe piggybacks QC metrics on the action — no second pass") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // the reference re-counts for its QC gates (etl.py:336-360, one extra
+    // job per gate); observe() collects the same metrics during the write
+    val obs = Observation("qc")
+    Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .write.format("noop").mode("overwrite").save()
+    val direct = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,4)")).cast("double"))
+      .head()
+    assert(obs.get("n_rows") == direct.getLong(0))
+    assert(obs.get("sum_qty") == direct.getDouble(1))
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))

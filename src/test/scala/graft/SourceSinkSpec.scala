@@ -138,6 +138,32 @@ class SourceSinkSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(year(col("o_orderdate")) === 1995).count())
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // production nightly-reload shape: rewriting one day/year must not
+    // clobber sibling partitions (static overwrite mode drops them all)
+    val dir = tmp("graft_dynpart")
+    val base = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    base.write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val y1995 = spark.read.parquet(dir).filter(col("o_year") === 1995).count()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // rewrite ONLY 1995, halved: other years must survive untouched
+      base.filter(col("o_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dir)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    val after = spark.read.parquet(dir)
+    val y1995After = after.filter(col("o_year") === 1995).count()
+    assert(y1995After < y1995 && y1995After > 0)
+    assert(after.count() == before - y1995 + y1995After,
+      "non-1995 partitions must be untouched")
+  }
+
   test("parquet mergeSchema unifies evolved schemas; old rows null-backfill") {
     val dir = tmp("graft_evolve")
     val docs = Tables.documents(spark, sf)
