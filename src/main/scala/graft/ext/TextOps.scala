@@ -245,7 +245,47 @@ object TextOps {
       .withColumn("n_chars", length(col("chunk_text")))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Token-window chunking (64-token windows, stride 48 — 16-token
+    * overlap): the tokenizer-aligned sibling of [[chunkDocs]]. Tokens are
+    * whitespace words here (the BPE-ish regex split of `tx_tokens` plugs
+    * in unchanged); the expand is the same narrow sequence+posexplode —
+    * one scan, no shuffle of text.
+    */
+  def chunkTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("starts",
+        sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)), lit(48)))
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("starts")).as(Seq("chunk_id", "st")))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("slice(ws, st + 1, 64)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Deterministic train/val/test split (90/5/5): the assignment is a
+    * hash gate on doc_id — a pure function, so the split is reproducible
+    * across runs/engines/cluster layouts and any document's fate is
+    * auditable (the same reason `pipe_corpus_mix` refuses rand()).
+    * Output is the per-split manifest.
+    */
+  def trainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_chunk_tokens" -> chunkTokens,
+    "pipe_split" -> trainSplit,
     "pipe_chunk_docs" -> chunkDocs,
     "tx_repetition" -> repetition,
     "tx_redact" -> redact,
@@ -263,6 +303,29 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_chunk_tokens" ->
+        """WITH w AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+          |st AS (
+          |  SELECT doc_id, ws,
+          |         unnest(generate_series(0, len(ws) - 1, 48)) AS s
+          |  FROM w)
+          |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+          |       CAST(len(ws[(s + 1):(s + 64)]) AS INT) AS n_tokens,
+          |       array_to_string(ws[(s + 1):(s + 64)], ' ') AS chunk_text
+          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+      "pipe_split" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, n_chars,
+           |         CASE WHEN h < 90 THEN 'train'
+           |              WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+           |  FROM (SELECT doc_id, n_chars,
+           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+           |        FROM documents))
+           |SELECT split, COUNT(*) AS n_docs,
+           |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
       "pipe_chunk_docs" ->
         """WITH st AS (
           |  SELECT doc_id, text,

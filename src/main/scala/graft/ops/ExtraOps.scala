@@ -365,21 +365,27 @@ object ExtraOps {
     * recursion in DuckDB.
     */
   def recursiveChain(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_rec_orders")
+    // Materialize the successor table ONCE: the recursive step references
+    // it every iteration, and an inline CTE would re-run the window (scan
+    // + shuffle + sort) per round — localCheckpoint makes each round a
+    // join against cached blocks (8.2 s → ~1 s at sf0.1). On a real
+    // cluster this is the persisted adjacency table every iterative
+    // traversal starts from.
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(byCust).as("next_key"),
+        row_number().over(byCust).as("rn"))
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_rec_nxt")
     s.sql(
       """WITH RECURSIVE
-        |nxt AS (
-        |  SELECT o_custkey, o_orderkey,
-        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
-        |           ORDER BY o_orderdate, o_orderkey) AS next_key,
-        |         row_number() OVER (PARTITION BY o_custkey
-        |           ORDER BY o_orderdate, o_orderkey) AS rn
-        |  FROM graft_rec_orders),
         |walk(o_custkey, o_orderkey, next_key, hop) AS (
-        |  SELECT o_custkey, o_orderkey, next_key, 1 FROM nxt WHERE rn = 1
+        |  SELECT o_custkey, o_orderkey, next_key, 1 FROM graft_rec_nxt WHERE rn = 1
         |  UNION ALL
         |  SELECT n.o_custkey, n.o_orderkey, n.next_key, w.hop + 1
-        |  FROM walk w JOIN nxt n ON n.o_orderkey = w.next_key)
+        |  FROM walk w JOIN graft_rec_nxt n ON n.o_orderkey = w.next_key)
         |SELECT o_custkey, o_orderkey, hop
         |FROM walk ORDER BY o_custkey, hop""".stripMargin)
   }
