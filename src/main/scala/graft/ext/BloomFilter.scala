@@ -28,11 +28,11 @@ object BloomFilter {
 
   /** Spark SQL fragment: bit position of probe `off` for key expr `k`. */
   private def sparkPos(k: String, off: Int): String =
-    s"CAST(conv(substring(md5(CAST($k AS STRING)), $off, 4), 16, 10) AS BIGINT) % $BITS"
+    s"${Hashing.sparkHashSlice(s"CAST($k AS STRING)", off, 4)} % $BITS"
 
   /** DuckDB twin of [[sparkPos]] — same value for the same key. */
   private def duckPos(k: String, off: Int): String =
-    s"(CAST('0x' || substr(md5(CAST($k AS VARCHAR)), $off, 4) AS BIGINT) % $BITS)"
+    s"(${Hashing.duckHashSlice(s"CAST($k AS VARCHAR)", off, 4)} % $BITS)"
 
   /** Seen-set predicate — interpolated into query AND oracle. */
   private val SEEN = "l_returnflag = 'R' AND l_quantity >= 49 AND l_extendedprice >= 80000"
@@ -45,9 +45,12 @@ object BloomFilter {
     * (ExtensionSpec asserts it; the oracle hash-checks every row).
     */
   def bloomProbe(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the seen frame feeds the filter build AND the
+    // ground-truth membership join — without it lineitem is scanned and
+    // distinct-aggregated twice for an identical tiny frame
     val seen = Tables.lineitem(s, d)
       .filter(expr(SEEN))
-      .select(col("l_partkey")).distinct()
+      .select(col("l_partkey")).distinct().localCheckpoint()
     val build = seen
       .select(explode(array(OFFSETS.map(o => expr(sparkPos("l_partkey", o))): _*)).as("pos"))
       .select(expr("pos DIV 60").as("lane"),

@@ -79,21 +79,23 @@ object EventOps {
     * view is not a funnel click).
     *
     * Scale shape: three keyed aggregations, each with map-side partial
-    * aggregation, and the inter-stage joins run events-side against a
-    * per-user frame that is ≤ one row per user — broadcast it so the big
-    * events relation is never re-shuffled between stages. At 100 TB the
-    * per-user stage frames are the only state that moves.
+    * aggregation; the inter-stage joins run the type-filtered events side
+    * against a per-user frame that is ≤ one row per user. No forced
+    * broadcast: the per-user frames GROW with the corpus (billions of
+    * users at 100 TB), so the join strategy is left to the planner — AQE
+    * broadcasts while the frame is small and falls back to a shuffle join
+    * on user_id when it isn't, which is the only viable form at scale.
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
     val t1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
     val t2 = ev.filter(col("event_type") === "click")
-      .join(broadcast(t1), "user_id")
+      .join(t1, "user_id")
       .filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
     val t3 = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(t2), "user_id")
+      .join(t2, "user_id")
       .filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
     def stage(df: DataFrame, name: String): DataFrame =
@@ -108,7 +110,9 @@ object EventOps {
     * any event on a later day; output distinct active users per
     * (cohort_day, day_offset). The cohort frame is one row per user and
     * the activity frame is ≤ users × days — both collapse the raw events
-    * before any join, so the wide table is aggregated exactly once.
+    * before any join, so the wide table is aggregated exactly once. The
+    * cohort⋈activity join strategy stays with the planner (both frames
+    * grow with the user base; a forced broadcast would OOM at scale).
     */
   def retention(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -116,7 +120,7 @@ object EventOps {
       .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort_day"))
     val active = ev.select(col("user_id"), to_date(col("ts")).as("activity_day"))
       .distinct()
-    active.join(broadcast(cohort), "user_id")
+    active.join(cohort, "user_id")
       .withColumn("day_offset", datediff(col("activity_day"), col("cohort_day")))
       .filter(col("day_offset") >= 0)
       .groupBy(col("cohort_day"), col("day_offset"))

@@ -19,10 +19,19 @@ package graft.ext
   */
 object Hashing {
   /** Spark SQL fragment hashing the given SQL expression to a 60-bit long. */
-  def sparkHash(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  def sparkHash(e: String): String = sparkHashSlice(e, 1, 15)
 
   /** DuckDB SQL fragment — same value as [[sparkHash]] for the same input. */
-  def duckHash(e: String): String =
-    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  def duckHash(e: String): String = duckHashSlice(e, 1, 15)
+
+  /** General md5 hex-digit slice → BIGINT (len ≤ 15 keeps it positive and
+    * under 2^60); independent slices give the cheap hash family sketches
+    * build on (e.g. the Bloom probe positions).
+    */
+  def sparkHashSlice(e: String, off: Int, len: Int): String =
+    s"CAST(conv(substring(md5($e), $off, $len), 16, 10) AS BIGINT)"
+
+  /** DuckDB twin of [[sparkHashSlice]] — same value for the same input. */
+  def duckHashSlice(e: String, off: Int, len: Int): String =
+    s"CAST('0x' || substr(md5($e), $off, $len) AS BIGINT)"
 }

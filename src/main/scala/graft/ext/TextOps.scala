@@ -236,9 +236,12 @@ object TextOps {
     */
   def chunkDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // empty/NULL text → zero chunks on BOTH engines: without the filter
+      // Spark's sequence(0, greatest(-1,0)) would emit one empty chunk
+      // where the oracle's generate_series(0,-1) emits none
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
-        sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(150))
-          .as("starts"))
+        sequence(lit(0), length(col("text")) - 1, lit(150)).as("starts"))
       .select(col("doc_id"), col("text"), posexplode(col("starts")).as(Seq("chunk_id", "start")))
       .select(col("doc_id"), col("chunk_id"),
         expr("substring(text, start + 1, 200)").as("chunk_text"))
@@ -330,7 +333,7 @@ object TextOps {
         """WITH st AS (
           |  SELECT doc_id, text,
           |         unnest(generate_series(0, length(text) - 1, 150)) AS s
-          |  FROM documents)
+          |  FROM documents WHERE length(text) > 0)
           |SELECT doc_id, CAST(s // 150 AS INT) AS chunk_id,
           |       substring(text, CAST(s + 1 AS INT), 200) AS chunk_text,
           |       CAST(length(substring(text, CAST(s + 1 AS INT), 200)) AS INT) AS n_chars

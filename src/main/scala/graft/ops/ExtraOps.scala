@@ -320,12 +320,15 @@ object ExtraOps {
     */
   def gapFill(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // localCheckpoint: bounds, the type list, and the spine join all read
+    // this frame — deriving them from the (|types| × |hours|)-row hourly
+    // aggregate instead of raw events turns three wide-table scans into one
     val hourly = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"), graft.Det.dsum(col("value")).as("sum_value"))
-    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
-      date_trunc("hour", max(col("ts"))).as("h1"))
-    val spine = ev.select(col("event_type")).distinct()
+      .localCheckpoint()
+    val bounds = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
@@ -457,7 +460,9 @@ object ExtraOps {
         |FROM (
         |  SELECT l_returnflag,
         |         l_extendedprice / NULLIF(l_quantity - 25, 0) AS unit_price,
-        |         TRY_CAST(concat(CAST(CAST(l_quantity AS INT) AS VARCHAR),
+        |         -- trunc() mirrors Spark's truncating double→int cast
+        |         -- (DuckDB's direct CAST rounds) for ANY quantity value
+        |         TRY_CAST(concat(CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR),
         |           CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS INT) AS qty_int
         |  FROM lineitem)
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
