@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-verifiable HyperLogLog: cardinality estimation whose every bit
@@ -32,64 +32,121 @@ object HyperLogLog {
 
   private val M = 256  // buckets (2^8); 60-bit hash leaves a 52-bit stream
 
-  /** (m, est_distinct, true_distinct) over orders.o_custkey. */
-  def hllVerified(s: SparkSession, d: String): DataFrame = {
-    val h = Tables.orders(s, d)
-      .select(expr(sparkHash("CAST(o_custkey AS STRING)")).as("h"))
-    val regs = h
-      .select((col("h") % M).cast("int").as("bucket"),
-        expr(s"h DIV $M").as("w"))
-      .withColumn("rho", expr(
-        "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
-        .cast("int"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+  /** Sparse registers (bucket, mj) of the 60-bit hashes in `h`. */
+  private def regsOf(h: DataFrame): DataFrame = h
+    .select((col("h") % M).cast("int").as("bucket"),
+      expr(s"h DIV $M").as("w"))
+    .withColumn("rho", expr(
+      "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
+      .cast("int"))
+    .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+
+  /** Raw-HLL estimate (one-row, column `alias`) from sparse registers:
+    * zero-fill to all m buckets, deterministic bucket-order harmonic fold.
+    */
+  private def estOf(s: SparkSession, regs: DataFrame, alias: String): DataFrame = {
     val full = s.range(0, M).select(col("id").cast("int").as("bucket"))
       .join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("mj"), lit(0)).as("mj"))
-    val harmonic = full.agg(expr(
+    full.agg(expr(
       """aggregate(
         |  transform(array_sort(collect_list(struct(bucket, mj))),
         |    x -> pow(CAST(2.0 AS DOUBLE), -CAST(x.mj AS DOUBLE))),
         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("s_inv"))
+      .select(expr(s"0.7213D / (1D + 1.079D / ${M}D) * ${M}D * ${M}D / s_inv")
+        .as(alias))
+  }
+
+  private def hashes(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr(sparkHash("CAST(o_custkey AS STRING)")).as("h"))
+
+  /** (m, est_distinct, true_distinct) over orders.o_custkey. */
+  def hllVerified(s: SparkSession, d: String): DataFrame = {
+    val est = estOf(s, regsOf(hashes(s, d)), "est_distinct")
     val exact = Tables.orders(s, d)
       .agg(count_distinct(col("o_custkey")).as("true_distinct"))
-    harmonic.crossJoin(exact)
-      .select(lit(M).cast("long").as("m"),
-        expr(s"0.7213D / (1D + 1.079D / ${M}D) * ${M}D * ${M}D / s_inv")
-          .as("est_distinct"),
+    est.crossJoin(exact)
+      .select(lit(M).cast("long").as("m"), col("est_distinct"),
         col("true_distinct"))
   }
 
+  /** Sketch MERGEABILITY — the property that makes HLL work on a cluster:
+    * registers built on disjoint halves of the data and merged with an
+    * element-wise max must equal the registers (and therefore the
+    * estimate, bit-for-bit) of a direct pass over everything. That is
+    * exactly what partial aggregation does with sketch buffers across
+    * executors, here proven end-to-end against the DuckDB replay; the
+    * `merge_exact` column pins est_merged ≡ est_direct inside each engine
+    * too.
+    */
+  def hllUnion(s: SparkSession, d: String): DataFrame = {
+    val h = hashes(s, d)
+    def half(p: Column => Column): DataFrame = regsOf(h.filter(p(col("o_orderkey"))))
+    val merged = half(_ % 2 === 0).unionByName(half(_ % 2 =!= 0))
+      .groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+    estOf(s, merged, "est_merged")
+      .crossJoin(estOf(s, regsOf(h), "est_direct"))
+      .select(lit(M).cast("long").as("m"), col("est_merged"),
+        col("est_direct"),
+        (col("est_merged") === col("est_direct")).as("merge_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a7_hll_verified" -> hllVerified
+    "a7_hll_verified" -> hllVerified,
+    "a7_hll_union" -> hllUnion
   )
+
+  /** DuckDB register CTEs over hash source `src`, producing `regs_$tag`. */
+  private def duckRegs(src: String, tag: String): String =
+    s"""regs_$tag AS (
+       |  SELECT CAST(h % $M AS INT) AS bucket,
+       |         MAX(CASE WHEN h // $M = 0 THEN 53
+       |                  ELSE instr(lpad(bin(h // $M), 52, '0'), '1') END) AS mj
+       |  FROM $src GROUP BY 1)""".stripMargin
+
+  /** Estimate CTE chain from `regs_$tag` → scalar est_$tag. */
+  private def duckEst(tag: String): String =
+    s"""filled_$tag AS (
+       |  SELECT CAST(b AS INT) AS bucket, COALESCE(regs_$tag.mj, 0) AS mj
+       |  FROM (SELECT unnest(range(0, $M)) AS b) bs
+       |  LEFT JOIN regs_$tag ON bs.b = regs_$tag.bucket),
+       |est_$tag AS (
+       |  SELECT 0.7213 / (1 + 1.079 / $M) * $M * $M / list_reduce(
+       |    list_prepend(0.0, [pow(2.0, -CAST(mj AS DOUBLE))
+       |                       for mj in list(mj ORDER BY bucket)]),
+       |    (acc, v) -> acc + v) AS v
+       |  FROM filled_$tag)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "a7_hll_verified" ->
       s"""WITH h AS (
          |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
-         |r AS (
-         |  SELECT CAST(h % $M AS INT) AS bucket, h // $M AS w FROM h),
-         |regs AS (
-         |  SELECT bucket,
-         |         MAX(CASE WHEN w = 0 THEN 53
-         |                  ELSE instr(lpad(bin(w), 52, '0'), '1') END) AS mj
-         |  FROM r GROUP BY 1),
-         |filled AS (
-         |  SELECT CAST(b AS INT) AS bucket, COALESCE(regs.mj, 0) AS mj
-         |  FROM (SELECT unnest(range(0, $M)) AS b) bs
-         |  LEFT JOIN regs ON bs.b = regs.bucket),
-         |harmonic AS (
-         |  SELECT list_reduce(
-         |    list_prepend(0.0, [pow(2.0, -CAST(mj AS DOUBLE))
-         |                       for mj in list(mj ORDER BY bucket)]),
-         |    (acc, v) -> acc + v) AS s_inv
-         |  FROM filled),
+         |${duckRegs("h", "d")},
+         |${duckEst("d")},
          |exact AS (
          |  SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders)
+         |SELECT CAST($M AS BIGINT) AS m, v AS est_distinct, true_distinct
+         |FROM est_d CROSS JOIN exact""".stripMargin,
+    "a7_hll_union" ->
+      s"""WITH h AS (
+         |  SELECT o_orderkey, ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |h_a AS (SELECT h FROM h WHERE o_orderkey % 2 = 0),
+         |h_b AS (SELECT h FROM h WHERE o_orderkey % 2 <> 0),
+         |${duckRegs("h_a", "a")},
+         |${duckRegs("h_b", "b")},
+         |regs_m AS (
+         |  SELECT bucket, MAX(mj) AS mj FROM (
+         |    SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+         |  GROUP BY 1),
+         |${duckEst("m")},
+         |${duckRegs("h", "d")},
+         |${duckEst("d")}
          |SELECT CAST($M AS BIGINT) AS m,
-         |       0.7213 / (1 + 1.079 / $M) * $M * $M / s_inv AS est_distinct,
-         |       true_distinct
-         |FROM harmonic CROSS JOIN exact""".stripMargin
+         |       est_m.v AS est_merged, est_d.v AS est_direct,
+         |       est_m.v = est_d.v AS merge_exact
+         |FROM est_m CROSS JOIN est_d""".stripMargin
   )
 }
