@@ -27,7 +27,8 @@ object SparkEntry {
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
-        "st_dedup_stream" -> streaming.StreamOps.dedupStream)
+        "st_dedup_stream" -> streaming.StreamOps.dedupStream,
+        "st_hll_stream" -> streaming.StreamOps.hllStream)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
             |ORDER BY 1, 2, 3""".stripMargin,
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
-        "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle)
+        "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
+        "st_hll_stream" -> streaming.StreamOps.hllStreamOracle)
 }

@@ -30,10 +30,10 @@ import org.apache.spark.sql.functions._
 object HyperLogLog {
   import Hashing.{duckHash, sparkHash}
 
-  private val M = 256  // buckets (2^8); 60-bit hash leaves a 52-bit stream
+  private[graft] val M = 256  // buckets (2^8); 60-bit hash leaves a 52-bit stream
 
   /** Sparse registers (bucket, mj) of the 60-bit hashes in `h`. */
-  private def regsOf(h: DataFrame): DataFrame = h
+  private[graft] def regsOf(h: DataFrame): DataFrame = h
     .select((col("h") % M).cast("int").as("bucket"),
       expr(s"h DIV $M").as("w"))
     .withColumn("rho", expr(
@@ -44,7 +44,7 @@ object HyperLogLog {
   /** Raw-HLL estimate (one-row, column `alias`) from sparse registers:
     * zero-fill to all m buckets, deterministic bucket-order harmonic fold.
     */
-  private def estOf(s: SparkSession, regs: DataFrame, alias: String): DataFrame = {
+  private[graft] def estOf(s: SparkSession, regs: DataFrame, alias: String): DataFrame = {
     val full = s.range(0, M).select(col("id").cast("int").as("bucket"))
       .join(regs, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("mj"), lit(0)).as("mj"))
@@ -99,7 +99,7 @@ object HyperLogLog {
   )
 
   /** DuckDB register CTEs over hash source `src`, producing `regs_$tag`. */
-  private def duckRegs(src: String, tag: String): String =
+  private[graft] def duckRegs(src: String, tag: String): String =
     s"""regs_$tag AS (
        |  SELECT CAST(h % $M AS INT) AS bucket,
        |         MAX(CASE WHEN h // $M = 0 THEN 53
@@ -107,7 +107,7 @@ object HyperLogLog {
        |  FROM $src GROUP BY 1)""".stripMargin
 
   /** Estimate CTE chain from `regs_$tag` → scalar est_$tag. */
-  private def duckEst(tag: String): String =
+  private[graft] def duckEst(tag: String): String =
     s"""filled_$tag AS (
        |  SELECT CAST(b AS INT) AS bucket, COALESCE(regs_$tag.mj, 0) AS mj
        |  FROM (SELECT unnest(range(0, $M)) AS b) bs

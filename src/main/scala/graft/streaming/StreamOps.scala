@@ -378,4 +378,45 @@ object StreamOps {
   val dedupStreamOracle: String =
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** Streaming sketch maintenance: the verified HLL's registers
+    * ([[graft.ext.HyperLogLog]]) kept up to date by a streaming
+    * max-aggregate over the events source — the state store holds exactly
+    * m=256 (bucket, mj) rows no matter how much data streams through,
+    * the constant-memory property that makes sketches the right tool for
+    * streaming cardinality. The drained registers finish into the same
+    * estimate the batch pass produces, so the whole streaming path is
+    * DuckDB-oracle-verified.
+    */
+  def hllStream(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Hashing, HyperLogLog}
+    val ss = tuned(s)
+    val q = HyperLogLog.regsOf(
+      eventsStream(ss, d)
+        .select(expr(Hashing.sparkHash("CAST(user_id AS STRING)")).as("h")))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_hll")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val est = HyperLogLog.estOf(ss, ss.table("graft_stream_hll"), "est_distinct")
+    val exact = graft.Tables.events(ss, d)
+      .agg(count_distinct(col("user_id")).as("true_distinct"))
+    est.crossJoin(exact)
+      .select(lit(HyperLogLog.M).cast("long").as("m"), col("est_distinct"),
+        col("true_distinct"))
+  }
+
+  val hllStreamOracle: String = {
+    import graft.ext.{Hashing, HyperLogLog}
+    s"""WITH h AS (
+       |  SELECT ${Hashing.duckHash("CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |${HyperLogLog.duckRegs("h", "d")},
+       |${HyperLogLog.duckEst("d")},
+       |exact AS (
+       |  SELECT COUNT(DISTINCT user_id) AS true_distinct FROM events)
+       |SELECT CAST(${HyperLogLog.M} AS BIGINT) AS m, v AS est_distinct,
+       |       true_distinct
+       |FROM est_d CROSS JOIN exact""".stripMargin
+  }
 }

@@ -60,8 +60,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"query name declared in multiple modules: $dupes")
     val moduleTotal = modules.map(_._2.size).sum
     // + the streaming entries registered directly in SparkEntry
-    assert(SparkEntry.queries.size == moduleTotal + 5,
-      s"merged registry lost entries: ${SparkEntry.queries.size} vs $moduleTotal + 5 streaming")
+    assert(SparkEntry.queries.size == moduleTotal + 6,
+      s"merged registry lost entries: ${SparkEntry.queries.size} vs $moduleTotal + 6 streaming")
   }
 
   test("argmax window form agrees with self-join form on tie-free groups") {
