@@ -93,9 +93,46 @@ object HyperLogLog {
         (col("est_merged") === col("est_direct")).as("merge_exact"))
   }
 
+  /** Per-group sketches — the production shape: one 256-register HLL per
+    * order priority, estimating distinct customers per group in a single
+    * pass. The grouped register table is |groups| × m rows (tiny, fixed
+    * per group); per-group estimates come from the same deterministic
+    * bucket-order fold, and the exact counts ride along for the error to
+    * be visible in the verified output.
+    */
+  def hllByGroup(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        expr(sparkHash("CAST(o_custkey AS STRING)")).as("h"))
+    val regs = h
+      .select(col("grp"), (col("h") % M).cast("int").as("bucket"),
+        expr(s"h DIV $M").as("w"))
+      .withColumn("rho", expr(
+        "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
+        .cast("int"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mj"))
+    val full = h.select(col("grp")).distinct()
+      .crossJoin(s.range(0, M).select(col("id").cast("int").as("bucket")))
+      .join(regs, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"), coalesce(col("mj"), lit(0)).as("mj"))
+    val est = full.groupBy(col("grp")).agg(expr(
+      """aggregate(
+        |  transform(array_sort(collect_list(struct(bucket, mj))),
+        |    x -> pow(CAST(2.0 AS DOUBLE), -CAST(x.mj AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("s_inv"))
+      .select(col("grp"),
+        expr(s"0.7213D / (1D + 1.079D / ${M}D) * ${M}D * ${M}D / s_inv")
+          .as("est_distinct"))
+    val exact = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(count_distinct(col("o_custkey")).as("true_distinct"))
+    est.join(exact, "grp").orderBy(col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_hll_verified" -> hllVerified,
-    "a7_hll_union" -> hllUnion
+    "a7_hll_union" -> hllUnion,
+    "a7_hll_by_group" -> hllByGroup
   )
 
   /** DuckDB register CTEs over hash source `src`, producing `regs_$tag`. */
@@ -129,6 +166,33 @@ object HyperLogLog {
          |  SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders)
          |SELECT CAST($M AS BIGINT) AS m, v AS est_distinct, true_distinct
          |FROM est_d CROSS JOIN exact""".stripMargin,
+    "a7_hll_by_group" ->
+      s"""WITH h AS (
+         |  SELECT o_orderpriority AS grp,
+         |         ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |regs AS (
+         |  SELECT grp, CAST(h % $M AS INT) AS bucket,
+         |         MAX(CASE WHEN h // $M = 0 THEN 53
+         |                  ELSE instr(lpad(bin(h // $M), 52, '0'), '1') END) AS mj
+         |  FROM h GROUP BY 1, 2),
+         |filled AS (
+         |  SELECT g.grp, CAST(bs.b AS INT) AS bucket, COALESCE(regs.mj, 0) AS mj
+         |  FROM (SELECT DISTINCT grp FROM h) g
+         |  CROSS JOIN (SELECT unnest(range(0, $M)) AS b) bs
+         |  LEFT JOIN regs ON g.grp = regs.grp AND bs.b = regs.bucket),
+         |est AS (
+         |  SELECT grp, 0.7213 / (1 + 1.079 / $M) * $M * $M / list_reduce(
+         |    list_prepend(0.0, [pow(2.0, -CAST(mj AS DOUBLE))
+         |                       for mj in list(mj ORDER BY bucket)]),
+         |    (acc, v) -> acc + v) AS est_distinct
+         |  FROM filled GROUP BY grp),
+         |exact AS (
+         |  SELECT o_orderpriority AS grp,
+         |         COUNT(DISTINCT o_custkey) AS true_distinct
+         |  FROM orders GROUP BY 1)
+         |SELECT est.grp AS grp, est_distinct, true_distinct
+         |FROM est JOIN exact ON est.grp = exact.grp
+         |ORDER BY est.grp""".stripMargin,
     "a7_hll_union" ->
       s"""WITH h AS (
          |  SELECT o_orderkey, ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h
