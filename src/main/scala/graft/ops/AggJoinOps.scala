@@ -289,6 +289,58 @@ object AggJoinOps {
       .orderBy(col("size"))
   }
 
+  /** ext — FULL OUTER join of two keyed aggregates with deliberately
+    * non-overlapping key ranges, so unmatched rows survive on BOTH sides
+    * (the reconciliation shape: every key from either input appears once,
+    * missing sides NULL). The using-key coalesces; at scale this is a
+    * standard shuffle join — full outer cannot broadcast either side.
+    */
+  def fullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, d).filter(col("s_nationkey") >= 5)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .orderBy(col("nationkey"))
+  }
+
+  /** ext — EXCEPT ALL (multiset difference: each right occurrence cancels
+    * ONE left occurrence, unlike the set-semantics `x_except`).
+    */
+  def exceptAllOp(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.select(col("p_size").as("size"))
+      .exceptAll(p.filter(col("p_partkey") % 2 === 0).select(col("p_size").as("size")))
+      .orderBy(col("size"))
+  }
+
+  /** ext — INTERSECT ALL (multiset intersection: min of the occurrence
+    * counts survives per value).
+    */
+  def intersectAllOp(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    p.select(col("p_size").as("size"))
+      .intersectAll(p.filter(col("p_partkey") % 3 === 0).select(col("p_size").as("size")))
+      .orderBy(col("size"))
+  }
+
+  /** ext — fuzzy string matching on edit distance: nation-name pairs
+    * within levenshtein ≤ 1. All-pairs is deliberate on a 25-row dim
+    * (dims stay all-pairs-able at any corpus scale); corpus-scale fuzzy
+    * text matching goes through the banded LSH path in [[graft.ext.Dedup]]
+    * instead — never all-pairs on a fact table.
+    */
+  def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    n.as("a").join(n.as("b"), col("a.n_nationkey") < col("b.n_nationkey"))
+      .withColumn("dist", levenshtein(col("a.n_name"), col("b.n_name")))
+      .filter(col("dist") <= 1)
+      .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** ext — null-safe equality join (`<=>` ↔ IS NOT DISTINCT FROM): keys
     * with NULLs (every 5th nation bucket nulled) still pair up, unlike a
     * plain equi-join which drops them. Null-safe equi-joins hash NULL like
@@ -421,7 +473,11 @@ object AggJoinOps {
     "x_cross_join" -> crossJoinSmall,
     "x_union_by_name" -> unionByNameOp,
     "x_intersect" -> intersectOp,
-    "x_except" -> exceptOp
+    "x_except" -> exceptOp,
+    "x_full_outer" -> fullOuterJoin,
+    "x_except_all" -> exceptAllOp,
+    "x_intersect_all" -> intersectAllOp,
+    "x_fuzzy_match" -> fuzzyMatch
   )
 
   val oracle: Map[String, String] = Map(
@@ -606,6 +662,31 @@ object AggJoinOps {
       """SELECT p_size AS size FROM part
         |EXCEPT
         |SELECT p_size FROM part WHERE p_size >= 10
-        |ORDER BY size""".stripMargin
+        |ORDER BY size""".stripMargin,
+    "x_full_outer" ->
+      """SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey, n_cust, n_supp
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |      FROM customer WHERE c_nationkey < 20 GROUP BY 1) a
+        |FULL JOIN
+        |     (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |      FROM supplier WHERE s_nationkey >= 5 GROUP BY 1) b
+        |ON a.nationkey = b.nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "x_except_all" ->
+      """SELECT p_size AS size FROM part
+        |EXCEPT ALL
+        |SELECT p_size FROM part WHERE p_partkey % 2 = 0
+        |ORDER BY size""".stripMargin,
+    "x_intersect_all" ->
+      """SELECT p_size AS size FROM part
+        |INTERSECT ALL
+        |SELECT p_size FROM part WHERE p_partkey % 3 = 0
+        |ORDER BY size""".stripMargin,
+    "x_fuzzy_match" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

@@ -159,7 +159,21 @@ object ScalarOps {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy(col("p_partkey"))
 
+  /** Calendar arithmetic (quarter / month-end / add_months / day diff):
+    * the month-arithmetic clamping semantics (Jan 31 + 1 month = Feb 29)
+    * are identical to DuckDB's interval addition, verified per-row.
+    */
+  def calendarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("qtr", quarter(col("d")))
+      .withColumn("month_end", last_day(col("d")))
+      .withColumn("plus2m", add_months(col("d"), 2))
+      .withColumn("days_since", datediff(col("d"), lit("1995-01-01").cast("date")))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_calendar_funcs" -> calendarFuncs,
     "f1_sas_date_native" -> sasDateNative,
     "f1_sas_date_udf" -> sasDateUdf,
     "f2_to_date_pattern" -> toDatePattern,
@@ -180,6 +194,13 @@ object ScalarOps {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x_calendar_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f1_sas_date_native" -> sasDateSql,
     "f1_sas_date_udf" -> sasDateSql,
     "f2_to_date_pattern" ->
