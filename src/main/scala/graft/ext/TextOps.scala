@@ -286,7 +286,35 @@ object TextOps {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"))
 
+  /** Tokens → vocabulary ids: build the top-100 vocab (freq desc, token
+    * tie-break → dense ids 1..100), map every token position to its id
+    * (out-of-vocab → 0), and re-assemble the id sequence per document in
+    * original token order — the text→training-input encoding step. The
+    * vocab is bounded at 100 rows by construction, so its broadcast is
+    * scale-safe; order is restored with a sort of (pos, id) structs inside
+    * each doc's collected list, never a global sort of token rows.
+    */
+  def tokenizeIds(s: SparkSession, d: String): DataFrame = {
+    val vocabIds = vocab(s, d)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("freq"), col("token"))).cast("int"))
+      .select(col("token"), col("id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
+        .as(Seq("pos", "token")))
+      .join(broadcast(vocabIds), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, coalesce(id, 0) AS id)))," +
+            " x -> CAST(x.id AS STRING))"), ",").as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_tokenize_ids" -> tokenizeIds,
     "tx_chunk_tokens" -> chunkTokens,
     "pipe_split" -> trainSplit,
     "pipe_chunk_docs" -> chunkDocs,
@@ -306,6 +334,26 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "pipe_tokenize_ids" ->
+        """WITH freq AS (
+          |  SELECT token, COUNT(*) AS freq
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          |        FROM documents)
+          |  WHERE len(token) > 0 GROUP BY 1),
+          |vocab AS (
+          |  SELECT token,
+          |         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS id
+          |  FROM freq ORDER BY id LIMIT 100),
+          |toks AS (
+          |  SELECT doc_id, unnest(ws) AS token,
+          |         generate_subscripts(ws, 1) AS pos
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          |        FROM documents))
+          |SELECT doc_id, COUNT(*) AS n_tokens,
+          |       CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |       array_to_string(list(CAST(COALESCE(id, 0) AS VARCHAR) ORDER BY pos), ',') AS ids_str
+          |FROM toks LEFT JOIN vocab USING (token)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "tx_chunk_tokens" ->
         """WITH w AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

@@ -412,7 +412,36 @@ object ExtraOps {
         sum(col("qty_int").cast("long")).as("sum_parsed"))
       .orderBy(col("l_returnflag"))
 
+  /** Per-group z-score normalization — the feature-scaling step of an ML
+    * pipeline, built on the same exact decimal power sums as
+    * [[statsMoments]] so mean/stddev (and therefore every normalized
+    * value) are identical on any partitioning. The 3-row stats frame is
+    * bounded by the flag enum's cardinality, so broadcasting it is safe at
+    * any scale; the wide table is scanned once per side of the join.
+    */
+  def zscore(s: SparkSession, d: String): DataFrame = {
+    val qd = col("l_quantity").cast(DecimalType(19, 4))
+    val stats = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qd).cast("double").as("s_q"),
+        sum(qd * qd).cast("double").as("s_qq"))
+      .withColumn("mean_q", col("s_q") / col("n"))
+      .withColumn("std_q",
+        sqrt((col("s_qq") - col("s_q") * col("s_q") / col("n")) / (col("n") - 1)))
+      .select(col("l_returnflag"), col("mean_q"), col("std_q"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .join(broadcast(stats), "l_returnflag")
+      .withColumn("z_qty", (col("l_quantity") - col("mean_q")) / col("std_q"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("z_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zscore" -> zscore,
     "x_recursive_chain" -> recursiveChain,
     "x_try_funcs" -> tryFuncs,
     "x_stats_moments" -> statsMoments,
@@ -436,6 +465,21 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s_q,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS s_qq
+        |  FROM lineitem GROUP BY 1),
+        |st AS (
+        |  SELECT l_returnflag, s_q / n AS mean_q,
+        |         sqrt((s_qq - s_q * s_q / n) / (n - 1)) AS std_q
+        |  FROM s)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag AS l_returnflag,
+        |       l_quantity, (l_quantity - mean_q) / std_q AS z_qty
+        |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "x_recursive_chain" ->
       """WITH RECURSIVE
         |nxt AS (
