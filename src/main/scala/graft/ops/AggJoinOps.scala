@@ -289,6 +289,59 @@ object AggJoinOps {
       .orderBy(col("size"))
   }
 
+  /** ext — FILTER-clause aggregation (SQL:2003): per-predicate conditional
+    * aggregates in ONE pass over the table instead of one scan per
+    * predicate — the idiomatic replacement for N filtered subqueries.
+    */
+  def aggFilter(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_af_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+        |  COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+        |FROM graft_af_lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** ext — percent-of-total (ratio-to-report): each group's share of the
+    * grand total via a window over the aggregated frame. The window runs
+    * over |groups| rows (post-aggregation), not the base table, so the
+    * unpartitioned total is computed on a metadata-sized frame.
+    */
+  def ratioReport(s: SparkSession, d: String): DataFrame = {
+    val seg = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        Det.dsum(col("c_acctbal")).as("sum_bal"))
+    val all = Window.partitionBy()
+    seg
+      .withColumn("cust_share",
+        col("n_cust").cast("double") / sum(col("n_cust")).over(all))
+      // the grand total re-enters decimal for the window sum: a double
+      // window-sum's last ulp would depend on row order; the per-group
+      // sums are exact multiples of 1e-4 so the round-trip is lossless
+      .withColumn("bal_share", col("sum_bal")
+        / sum(col("sum_bal").cast(org.apache.spark.sql.types.DecimalType(19, 4)))
+          .over(all).cast("double"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** ext — min_by/max_by (↔ DuckDB arg_min/arg_max): the argmin/argmax
+    * ACCESSOR form — one aggregation instead of the self-join or window
+    * forms (A4). Ordered by a unique key so both engines pick the same
+    * row without tie ambiguity.
+    */
+  def minMaxBy(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(min_by(col("c_name"), col("c_custkey")).as("first_cust"),
+        max_by(col("c_name"), col("c_custkey")).as("last_cust"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
   /** ext — FULL OUTER join of two keyed aggregates with deliberately
     * non-overlapping key ranges, so unmatched rows survive on BOTH sides
     * (the reconciliation shape: every key from either input appears once,
@@ -474,6 +527,9 @@ object AggJoinOps {
     "x_union_by_name" -> unionByNameOp,
     "x_intersect" -> intersectOp,
     "x_except" -> exceptOp,
+    "x_agg_filter" -> aggFilter,
+    "x_ratio_report" -> ratioReport,
+    "x_min_by" -> minMaxBy,
     "x_full_outer" -> fullOuterJoin,
     "x_except_all" -> exceptAllOp,
     "x_intersect_all" -> intersectAllOp,
@@ -663,6 +719,30 @@ object AggJoinOps {
         |EXCEPT
         |SELECT p_size FROM part WHERE p_size >= 10
         |ORDER BY size""".stripMargin,
+    "x_agg_filter" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_big,
+        |  COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_ratio_report" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS sum_bal
+        |  FROM customer GROUP BY 1)
+        |SELECT c_mktsegment, n_cust, sum_bal,
+        |       CAST(n_cust AS DOUBLE) / CAST(SUM(n_cust) OVER () AS BIGINT) AS cust_share,
+        |       sum_bal / CAST(SUM(CAST(sum_bal AS DECIMAL(19,4))) OVER () AS DOUBLE) AS bal_share
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+    "x_min_by" ->
+      """SELECT c_mktsegment,
+        |       arg_min(c_name, c_custkey) AS first_cust,
+        |       arg_max(c_name, c_custkey) AS last_cust,
+        |       COUNT(*) AS n_cust
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "x_full_outer" ->
       """SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey, n_cust, n_supp
         |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
