@@ -313,7 +313,35 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF term ranking with a LOG-FREE rational idf (tf·N/df): ln/log10
+    * are libm calls whose last ulp varies across builds, so the verified
+    * score keeps idf as the exact rational N/df — one double division of
+    * exact integers, bit-equal everywhere, same ranking monotonicity in
+    * df. Top-3 terms per document, rank ties broken by token. Shapes: one
+    * explode → two partial-aggregated groupBys (tf, df) → broadcast-able
+    * df join (vocabulary-sized) → per-doc WindowGroupLimit top-k.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), col("token"))
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_tfidf" -> tfidf,
     "pipe_tokenize_ids" -> tokenizeIds,
     "tx_chunk_tokens" -> chunkTokens,
     "pipe_split" -> trainSplit,
@@ -334,6 +362,26 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_tfidf" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          |  FROM documents),
+          |tk AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+          |df AS (SELECT token, COUNT(*) AS df
+          |       FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT doc_id, tf.token AS token, tf.tf AS tf, df.df AS df,
+          |         CAST(tf.tf * n_docs AS DOUBLE) / df.df AS score
+          |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+          |SELECT doc_id,
+          |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          |         ORDER BY score DESC, token) AS INT) AS rn,
+          |       token, tf, df, score
+          |FROM scored
+          |QUALIFY rn <= 3
+          |ORDER BY doc_id, rn""".stripMargin,
       "pipe_tokenize_ids" ->
         """WITH freq AS (
           |  SELECT token, COUNT(*) AS freq

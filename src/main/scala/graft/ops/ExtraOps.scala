@@ -440,7 +440,30 @@ object ExtraOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Quantile-bucket feature discretization: exact interpolated quartile
+    * boundaries (percentile ↔ quantile_cont, proven bit-equal by
+    * x_percentile), broadcast as one row, each order binned by CASE
+    * comparison — the discretization step of a feature pipeline with NO
+    * order-dependent arithmetic anywhere.
+    */
+  def quantileBucket(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.orders(s, d)
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("qs")(0).as("q1"), col("qs")(1).as("q2"), col("qs")(2).as("q3"))
+    Tables.orders(s, d).select(col("o_totalprice"))
+      .crossJoin(broadcast(q))
+      .withColumn("bucket",
+        when(col("o_totalprice") < col("q1"), 1)
+          .when(col("o_totalprice") < col("q2"), 2)
+          .when(col("o_totalprice") < col("q3"), 3).otherwise(4))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quantile_bucket" -> quantileBucket,
     "x_zscore" -> zscore,
     "x_recursive_chain" -> recursiveChain,
     "x_try_funcs" -> tryFuncs,
@@ -465,6 +488,19 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_quantile_bucket" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |         quantile_cont(o_totalprice, 0.5) AS q2,
+        |         quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders)
+        |SELECT CASE WHEN o_totalprice < q1 THEN 1
+        |            WHEN o_totalprice < q2 THEN 2
+        |            WHEN o_totalprice < q3 THEN 3 ELSE 4 END AS bucket,
+        |       COUNT(*) AS n_orders,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders CROSS JOIN q
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "x_zscore" ->
       """WITH s AS (
         |  SELECT l_returnflag,
