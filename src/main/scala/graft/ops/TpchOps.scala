@@ -124,8 +124,11 @@ object TpchOps {
       .filter(col("sum_qty") > 300.0)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
+    // Only the aggregated qualifying-orders frame is guaranteed small
+    // (filter keeps a handful of orders at any SF); customer scales with
+    // the data, so its join strategy is left to the planner/AQE.
     o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_totalprice"), col("sum_qty"))

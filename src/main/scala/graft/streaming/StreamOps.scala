@@ -191,6 +191,9 @@ object StreamOps {
       sumScaled: Long)
 
   val gapUs: Long = 1800L * 1000000L // 30 min session gap
+  // Event-time TTL for sessionizeWithTimeout tombstones: bounds state to
+  // users active in the last 30 days rather than O(all users ever seen).
+  val tombstoneTtlUs: Long = 30L * 86400L * 1000000L
 
   /** events.value has 4-decimal scale (the [[graft.Det]] contract), so
     * rounding value×10⁴ recovers the exact integer numerator.
@@ -205,8 +208,12 @@ object StreamOps {
     t
   }
   private def outOf(userId: Long, st: SessState): SessionOut =
+    // BigDecimal.valueOf(unscaled, 4).doubleValue() rounds ONCE from the
+    // exact decimal, matching the oracle's decimal→double cast even when
+    // |sumScaled| exceeds 2^53 (a bare Long→double division would round
+    // twice: once at the conversion, once at the divide).
     SessionOut(userId, st.sessionId, st.n, tsOf(st.startUs), tsOf(st.endUs),
-      st.sumScaled / 10000.0)
+      java.math.BigDecimal.valueOf(st.sumScaled, 4).doubleValue())
 
   /** The shared session fold: events (pre-sorted by (ts, event_id)) merge
     * into the open state; every >gap boundary closes a session. A
@@ -259,12 +266,18 @@ object StreamOps {
     * the user's next event (the [[sessionize]] form only closes on a
     * successor). Input must carry `withWatermark("ts", …)`. After a
     * timeout the state shrinks to a TOMBSTONE holding only the next
-    * session ordinal, so (user_id, session_id) stays unique for the
-    * stream's lifetime — full state removal would restart a returning
+    * session ordinal, so (user_id, session_id) stays unique while the
+    * tombstone lives — immediate state removal would restart a returning
     * user at session_id 1 and silently collide with the already-emitted
-    * session downstream. (Drop the tombstone and key on
-    * (user_id, session_start) instead if O(total users) × 5 longs of
-    * state is too much.)
+    * session downstream. Tombstones are NOT retained forever: each
+    * registers a [[tombstoneTtlUs]] event-time timeout (default 30 days)
+    * and is removed when it fires, bounding state to users active within
+    * the TTL window instead of O(all users ever seen). A user returning
+    * after the TTL restarts at session_id 1 — acceptable because any
+    * consumer joining on (user_id, session_id) across a >30-day gap
+    * should already be windowing by time. (Key on
+    * (user_id, session_start) instead if even TTL'd tombstones are too
+    * much state.)
     */
   def sessionizeWithTimeout(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -274,8 +287,15 @@ object StreamOps {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.update(SessState(st.sessionId + 1, 0L, 0L, 0L, 0L))
-            Iterator.single(outOf(userId, st))
+            if (st.n == 0L) { // tombstone TTL expired: drop the state
+              state.remove()
+              Iterator.empty
+            } else {
+              state.update(SessState(st.sessionId + 1, 0L, 0L, 0L, 0L))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + tombstoneTtlUs / 1000)
+              Iterator.single(outOf(userId, st))
+            }
           } else {
             val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
             val (closed, st) = foldSessions(userId, sorted, state.getOption)
