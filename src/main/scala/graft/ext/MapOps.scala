@@ -65,6 +65,29 @@ object MapOps {
           .as("nk2"))
       .orderBy(col("n_nationkey"))
 
+  /** The remaining map HOFs: map_from_arrays construction, transform_keys,
+    * map_zip_with (union-of-keys semantics exercised via a one-sided key),
+    * and the map_entries → map_from_entries round-trip. Like [[mapOps]],
+    * the verified output projects to scalars that don't depend on map
+    * iteration order. Per-row, shuffle-free, codegen'd.
+    */
+  def mapZip(s: SparkSession, d: String): DataFrame = {
+    val zip = "map_zip_with(m1, m3, (k, v1, v2) -> " +
+      "coalesce(v1, CAST(0 AS BIGINT)) + coalesce(v2, CAST(0 AS BIGINT)))"
+    Tables.nation(s, d)
+      .withColumn("m1", map_from_arrays(
+        array(lit("a"), lit("b")),
+        array(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))))
+      .withColumn("m3", map(lit("a"), length(col("n_name")).cast("long")))
+      .select(col("n_nationkey"),
+        element_at(expr("transform_keys(m1, (k, v) -> upper(k))"), "A")
+          .as("upper_a"),
+        element_at(expr(zip), "a").as("zip_a"),
+        element_at(expr(zip), "b").as("zip_b"),
+        size(expr("map_from_entries(map_entries(m1))")).as("n_entries"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Column pair → map → explode back to tall rows (the unpivot-via-map
     * idiom), grouped to per-(key, value) counts.
     */
@@ -81,6 +104,7 @@ object MapOps {
     "ev_props_struct" -> propsStruct,
     "ev_props_map" -> propsMapExplode,
     "x_map_ops" -> mapOps,
+    "x_map_zip" -> mapZip,
     "x_map_explode" -> mapExplode
   )
 
@@ -108,6 +132,13 @@ object MapOps {
         |       'len,nk,rk' AS keys_csv,
         |       CAST(n_nationkey + n_regionkey + length(n_name) AS BIGINT) AS sum_vals,
         |       CAST(2 * n_nationkey AS BIGINT) AS nk2
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "x_map_zip" ->
+      """SELECT n_nationkey,
+        |       CAST(n_nationkey AS BIGINT) AS upper_a,
+        |       CAST(n_nationkey + length(n_name) AS BIGINT) AS zip_a,
+        |       CAST(n_regionkey AS BIGINT) AS zip_b,
+        |       2 AS n_entries
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "x_map_explode" ->
       """WITH kv AS (

@@ -67,6 +67,39 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** kNN label prediction — similarity search as a LABELING pipeline
+    * (weak supervision / auto-tagging of training data): each query
+    * vector takes the majority label of its 10 nearest corpus neighbors
+    * by cosine (ties break to the smallest label). Two windows: top-k
+    * rank, then majority vote — both partitioned by qid, so at scale each
+    * query's vote counts stay on one reducer regardless of corpus size.
+    * The scored join is the brute-force baseline; swap the corpus frame
+    * for an IVF bucket probe ([[ivfTopK]]) for the 100 TB path — the
+    * vote/argmax tail is identical.
+    */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("true_label"))
+    val corpus = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+    val scored = q.hint("broadcast").join(corpus)
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+    val wNN = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("cand_id"))
+    val votes = scored.withColumn("rank", row_number().over(wNN))
+      .filter(col("rank") <= 10)
+      .groupBy(col("qid"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wMaj = Window.partitionBy(col("qid")).orderBy(desc("votes"), col("label"))
+    votes.withColumn("mrn", row_number().over(wMaj))
+      .filter(col("mrn") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"),
+        col("votes"))
+      .orderBy(col("qid"))
+  }
+
   /** IVF-style bucketed top-k: assign every vector to its nearest of 10
     * deterministic seed centroids (vec_id 0..9), then answer each query
     * (vec_id < 5) from its own bucket only — the 1-probe scale path.
@@ -420,6 +453,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute" -> topKBrute,
+    "sim_knn_classify" -> knnClassify,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained" -> ivfTrainedTopK,
     "sim_doc_retrieval" -> docRetrieval,
@@ -503,6 +537,29 @@ object Similarity {
          |       d.source, r.cosine
          |FROM ranked r JOIN documents d ON r.vec_id = d.doc_id
          |WHERE r.rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "sim_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS true_label
+         |           FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT qid, true_label, vec_id AS cand_id, label,
+         |         ${duckCos("qv", "embedding")} AS cosine
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding, label
+         |                     FROM embeddings WHERE vec_id >= 20)),
+         |nn AS (
+         |  SELECT qid, true_label, label
+         |  FROM (SELECT qid, true_label, label,
+         |               row_number() OVER (PARTITION BY qid
+         |                 ORDER BY cosine DESC, cand_id) AS rank
+         |        FROM scored)
+         |  WHERE rank <= 10),
+         |v AS (SELECT qid, true_label, label, COUNT(*) AS votes
+         |      FROM nn GROUP BY 1, 2, 3)
+         |SELECT qid, true_label, label AS pred_label, votes
+         |FROM (SELECT qid, true_label, label, votes,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY votes DESC, label) AS mrn
+         |      FROM v)
+         |WHERE mrn = 1 ORDER BY qid""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |scored AS (

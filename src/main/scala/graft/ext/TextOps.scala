@@ -130,6 +130,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Filter-attrition funnel: the per-rule survivor/dropped report every
+    * corpus-curation pipeline publishes alongside the cleaned data (which
+    * rule costs how many documents). One full-scan aggregate computes ALL
+    * cumulative-conjunction counts as 0/1 sums (map-side combined, one
+    * row out), then `stack` unpivots the single row into the funnel —
+    * the 5-row window that follows is driver-trivial at any corpus size.
+    * Stage prefixes keep the rule order lexicographic.
+    */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("text"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_words"))
+      .withColumn("stopr",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("double")
+          / col("n_words"))
+      .select(
+        (col("lang") === "en").cast("int").as("c1"),
+        (col("n_words") >= 10).cast("int").as("c2"),
+        (col("mwl") >= 2.0 && col("mwl") <= 12.0).cast("int").as("c3"),
+        (col("stopr") >= 0.05).cast("int").as("c4"))
+    val stages = base.agg(
+        count(lit(1)).as("n0"),
+        sum(col("c1")).as("n1"),
+        sum(col("c1") * col("c2")).as("n2"),
+        sum(col("c1") * col("c2") * col("c3")).as("n3"),
+        sum(col("c1") * col("c2") * col("c3") * col("c4")).as("n4"))
+      .selectExpr("stack(5, '00_total', n0, '10_lang_en', n1, " +
+        "'20_min_words', n2, '30_word_len', n3, '40_stop_ratio', n4) " +
+        "AS (stage, survivors)")
+    val w = Window.orderBy(col("stage"))
+    stages
+      .withColumn("dropped",
+        coalesce(lag(col("survivors"), 1).over(w) - col("survivors"), lit(0L)))
+      .orderBy(col("stage"))
+  }
+
   /** Sequence packing: assign every document a contiguous token range
     * inside its shard and derive which fixed-length (2048-token) training
     * sequence it starts in — the step between dedup and the shard writer
@@ -354,6 +394,7 @@ object TextOps {
     "tx_fingerprint" -> fingerprint,
     "tx_vocab" -> vocab,
     "pipe_corpus_clean" -> corpusClean,
+    "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
     "pipe_corpus_mix" -> corpusMix
   )
@@ -468,6 +509,34 @@ object TextOps {
            |    WHEN score_fr >= score_es THEN 'fr'
            |    ELSE 'es' END AS lang_pred
            |FROM scored ORDER BY doc_id""".stripMargin,
+      "pipe_filter_funnel" ->
+        s"""WITH f AS (
+           |  SELECT CAST(lang = 'en' AS INT) AS c1,
+           |    CAST(len(string_split(lower(text), ' ')) >= 10 AS INT) AS c2,
+           |    CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |           / len(string_split(lower(text), ' ')) >= 2.0
+           |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |           / len(string_split(lower(text), ' ')) <= 12.0 AS INT) AS c3,
+           |    CAST(CAST(${score("en")} AS DOUBLE)
+           |           / len(string_split(lower(text), ' ')) >= 0.05 AS INT) AS c4
+           |  FROM documents),
+           |agg AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+           |         CAST(SUM(c1) AS BIGINT) AS n1,
+           |         CAST(SUM(c1 * c2) AS BIGINT) AS n2,
+           |         CAST(SUM(c1 * c2 * c3) AS BIGINT) AS n3,
+           |         CAST(SUM(c1 * c2 * c3 * c4) AS BIGINT) AS n4
+           |  FROM f),
+           |st AS (
+           |  SELECT '00_total' AS stage, n0 AS survivors FROM agg
+           |  UNION ALL SELECT '10_lang_en', n1 FROM agg
+           |  UNION ALL SELECT '20_min_words', n2 FROM agg
+           |  UNION ALL SELECT '30_word_len', n3 FROM agg
+           |  UNION ALL SELECT '40_stop_ratio', n4 FROM agg)
+           |SELECT stage, survivors,
+           |       COALESCE(LAG(survivors) OVER (ORDER BY stage) - survivors,
+           |                CAST(0 AS BIGINT)) AS dropped
+           |FROM st ORDER BY stage""".stripMargin,
       "tx_quality" ->
         s"""SELECT doc_id,
            |  CAST(length(text) AS BIGINT) AS n_chars,
