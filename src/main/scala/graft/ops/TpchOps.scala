@@ -300,14 +300,19 @@ object TpchOps {
 
   /** Q15 — top supplier: quarter revenue per supplier, keep the max.
     * The scalar max comes from a single-row aggregate broadcast into an
-    * equality join — no second full scan, no window over one partition.
-    * Revenue totals are decimal-exact so the max-equality is engine-
-    * independent.
+    * equality join — no window over one partition. The `rev` frame feeds
+    * BOTH the join and the max; the explicit isNotNull below makes the
+    * two subplans canonically identical so exchange reuse collapses them
+    * (without it, the inner join infers isnotnull(l_suppkey) on its side
+    * only and the lineitem quarter is scanned+shuffled twice —
+    * PlanSpec-asserted). Revenue totals are decimal-exact so the
+    * max-equality is engine-independent.
     */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
-        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+        && col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(Det.revenue(col("l_extendedprice"), col("l_discount"))
         .as("total_revenue"))

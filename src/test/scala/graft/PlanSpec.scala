@@ -130,6 +130,34 @@ class PlanSpec extends AnyFunSuite {
     assert(ex.contains("LeftSemi") && ex.contains("LeftAnti"), ex.take(2000))
   }
 
+  test("TPC-H suite keeps its scale-critical plan shapes") {
+    // q4: the EXISTS is an explicit left-semi join, never a re-scan
+    assert(plan("tpch_q4").contains("LeftSemi"))
+    // q17: the brand/type part filter broadcasts into both lineitem
+    // passes even with auto-broadcast off (explicit hint) — the per-part
+    // aggregate runs over ~1/120 of lineitem, not all of it
+    val q17 = planAtScale("tpch_q17")
+    assert(q17.contains("BroadcastHashJoin"), q17.take(2000))
+    // q13: the exclusion predicate must stay a LEFT OUTER join condition
+    // (as a WHERE it would silently drop the zero-order customers bucket)
+    val q13 = planAtScale("tpch_q13")
+    assert(q13.contains("LeftOuter"), q13.take(2000))
+    // q15: the rev frame feeds both the join and the scalar max — AQE
+    // exchange reuse must collapse the two identical per-supplier
+    // aggregates so lineitem's quarter is scanned/shuffled once (the
+    // final adaptive plan shows it; the initial plan can't)
+    val q15df = SparkEntry.queries("tpch_q15")(spark, sf)
+    q15df.collect()
+    val q15 = q15df.queryExecution.executedPlan.toString
+    assert(q15.contains("ReusedExchange") || q15.contains("ReusedSubquery"),
+      "expected AQE to reuse the per-supplier aggregate exchange:\n" +
+        q15.take(3000))
+    // q21 must never degrade to a nested loop over lineitem
+    val q21 = planAtScale("tpch_q21")
+    assert(!q21.contains("CartesianProduct") &&
+      !q21.contains("BroadcastNestedLoopJoin"), q21.take(2000))
+  }
+
   /** Like [[planAtScale]] but returning the plan tree, for asserts on
     * exchange schemas that toString truncates.
     */
