@@ -120,6 +120,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join null-extends a click only after the watermark passes its join window") {
+    import spark.implicits._
+    val clicksIn = MemoryStream[Ev](spark)
+    val buysIn = MemoryStream[Ev](spark)
+    val clicks = clicksIn.toDS()
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val buys = buysIn.toDS()
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("buy_id"))
+      .withWatermark("b_ts", "30 minutes")
+    val joined = clicks.join(buys,
+      expr("user_id = b_user AND b_ts >= click_ts AND b_ts <= click_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_ssoj_test").start()
+    def rows() = spark.table("graft_ssoj_test").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      // batch 1: a matched pair (user 1) and an unmatched click (user 2).
+      // The match emits immediately; the unmatched click must NOT
+      // null-extend yet — a purchase inside its 1-hour window could still
+      // arrive, and emitting early would be wrong-then-retracted (append
+      // mode never retracts).
+      clicksIn.addData(ev(1, "2024-01-01 12:00:00"),
+        ev(2, "2024-01-01 12:01:00", user = 2))
+      buysIn.addData(ev(100, "2024-01-01 12:20:00"))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 100L)), rows())
+      // batch 2: both sides advance to 15:00 → global watermark 14:30,
+      // past click#2's join horizon (12:01 + 1 h). The no-data cleanup
+      // batch evicts click#2 and emits it null-extended. Click#3 (15:00)
+      // is still inside its window and must stay parked; the unmatched
+      // purchase (user 99) is on the preserved side's opposite and never
+      // emits.
+      clicksIn.addData(ev(3, "2024-01-01 15:00:00", user = 3))
+      buysIn.addData(ev(101, "2024-01-01 15:00:00", user = 99))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 100L), (2L, -1L)), rows())
+    } finally q.stop()
+  }
+
   test("stream-stream interval join restarts from checkpoint without duplicates") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_ssj_out").toString
