@@ -60,6 +60,41 @@ object ExtraOps {
         expr("size(embedding)").cast("long").as("dim"))
       .orderBy(col("vec_id"))
 
+  /** Array set-algebra completion: sequence construction, union /
+    * intersect / except, distinct, slice, flatten. Spark's set ops keep
+    * first-occurrence order (DuckDB's keep theirs), so every array-valued
+    * output is array_sort'd — the verified relation is order-free on
+    * purpose. Per-row, shuffle-free, codegen'd.
+    */
+  def arrayAlgebra(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .withColumn("a1",
+        expr("sequence(CAST(0 AS BIGINT), CAST(n_nationkey % 5 AS BIGINT))"))
+      .withColumn("a2", array(col("n_regionkey").cast("long"),
+        col("n_regionkey").cast("long") + 1, lit(10L)))
+      .select(col("n_nationkey"),
+        array_sort(array_union(col("a1"), col("a2"))).as("union_s"),
+        array_sort(array_intersect(col("a1"), col("a2"))).as("inter_s"),
+        array_sort(array_except(col("a1"), col("a2"))).as("except_s"),
+        slice(array_sort(concat(col("a1"), col("a2"))), 1, 3).as("first3"),
+        size(array_distinct(concat(col("a1"), col("a2")))).as("n_distinct"),
+        size(flatten(array(col("a1"), col("a2")))).as("flat_n"))
+      .orderBy(col("n_nationkey"))
+
+  /** regexp_extract_all + ilike — the remaining regex surface: pull every
+    * digit run out of the text (kept as an array column to pin array
+    * round-tripping through the sink) and a case-insensitive LIKE. Simple
+    * character-class patterns only: they mean the same thing in Java and
+    * RE2-style engines, so the oracle can replay them.
+    */
+  def regexExtract(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("regexp_extract_all(text, '[0-9]+')").as("nums"),
+        expr("size(regexp_extract_all(text, '[0-9]+'))").as("n_nums"),
+        col("text").ilike("%the%").as("has_the"))
+      .orderBy(col("doc_id"))
+
   /** Running total over a monthly rollup: the cumulative sum stays in
     * exact decimal THROUGH the window frame and converts to double only
     * at the end, so the running values are partition-independent. The
@@ -484,6 +519,8 @@ object ExtraOps {
     "x_string_agg" -> stringAgg,
     "x_percentile" -> percentiles,
     "x_array_funcs" -> arrayFuncs,
+    "x_array_algebra" -> arrayAlgebra,
+    "x_regex_extract" -> regexExtract,
     "x_running_total" -> runningTotal
   )
 
@@ -701,6 +738,29 @@ object ExtraOps {
         |       CAST(len(list_filter(embedding, x -> x > 0.0)) AS BIGINT) AS n_positive,
         |       CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x_array_algebra" ->
+      """WITH b AS (
+        |  SELECT n_nationkey,
+        |         range(0, (n_nationkey % 5) + 1) AS a1,
+        |         [CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT) + 1,
+        |          CAST(10 AS BIGINT)] AS a2
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  list_sort(list_distinct(list_concat(a1, a2))) AS union_s,
+        |  list_sort(list_filter(list_distinct(a1),
+        |            x -> list_contains(a2, x))) AS inter_s,
+        |  list_sort(list_filter(list_distinct(a1),
+        |            x -> NOT list_contains(a2, x))) AS except_s,
+        |  (list_sort(list_concat(a1, a2)))[1:3] AS first3,
+        |  CAST(len(list_distinct(list_concat(a1, a2))) AS INT) AS n_distinct,
+        |  CAST(len(list_concat(a1, a2)) AS INT) AS flat_n
+        |FROM b ORDER BY n_nationkey""".stripMargin,
+    "x_regex_extract" ->
+      """SELECT doc_id,
+        |       regexp_extract_all(text, '[0-9]+') AS nums,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        |       text ILIKE '%the%' AS has_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_running_total" ->
       """WITH monthly AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
