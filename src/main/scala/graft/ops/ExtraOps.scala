@@ -497,7 +497,99 @@ object ExtraOps {
       .orderBy(col("bucket"))
   }
 
+  /** LIMIT/OFFSET pagination over a total order — one page of the order
+    * book (rows 101-110 by key). Spark plans offset+limit as a single
+    * `GlobalLimit(offset, limit)` over the sort, so only offset+limit rows
+    * cross the final single-partition exchange — the page cost is the
+    * sort, not the page. Deep pagination (offset ≫ limit) still pays
+    * offset rows at the gather; at scale prefer keyset pagination
+    * (`WHERE key > last_seen ORDER BY key LIMIT n`, which is o3_topk's
+    * shape with a pushed filter).
+    */
+  def limitOffset(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(100).limit(10)
+
+  /** Explicit NULL placement in sorts. Engines disagree on the default
+    * (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so portable
+    * pipelines must pin it; this is the regression query that keeps it
+    * pinned. Unique (seg, key) tiebreak keeps the page deterministic.
+    */
+  def nullsOrder(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+      .orderBy(col("seg").asc_nulls_first, col("c_custkey"))
+      .limit(50)
+
+  /** width_bucket histogram: equal-width bucketing as the SQL-standard
+    * function (vs x_histogram's floor-division spelling). Bucket 0 and
+    * n+1 are the under/overflow bins. The oracle replays Spark's exact
+    * double formula `floor((v-min)/((max-min)/n))+1` — (600000-0)/12 is
+    * exactly representable, so the division is bit-identical.
+    */
+  def widthBucket(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(expr("width_bucket(o_totalprice, 0D, 600000D, 12)").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — set-membership
+    * sketches and permission masks at warehouse scale. Exact integer ops,
+    * fully partial-aggregatable (associative+commutative), so the
+    * map-side combine does most of the work before the 25-key shuffle.
+    */
+  def bitwiseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(expr("bit_and(s_suppkey)").as("key_and"),
+        expr("bit_or(s_suppkey)").as("key_or"),
+        expr("bit_xor(s_suppkey)").as("key_xor"),
+        count(lit(1)).as("n_supp"))
+      .orderBy(col("s_nationkey"))
+
+  /** Boolean aggregates: bool_and / bool_or / count_if — the QC-gate
+    * trio ("all rows pass", "any row trips", "how many violate") as
+    * single-pass grouped aggregates instead of three filtered counts.
+    */
+  def boolAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("bool_and(c_acctbal > 0)").as("all_positive"),
+        expr("bool_or(c_acctbal > 9000)").as("any_rich"),
+        expr("count_if(c_acctbal < 0)").as("n_debt"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Remaining string surface: lpad/rpad (incl. the truncate-to-length
+    * edge on long names), repeat, translate, reverse, initcap. All
+    * per-row codegen'd builtins; the oracle emulates initcap (absent in
+    * DuckDB) with a word-level list transform.
+    */
+  def stringPad(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        lpad(col("n_name"), 12, ".").as("padded_l"),
+        rpad(col("n_name"), 12, ".").as("padded_r"),
+        expr("repeat('-', CAST(n_nationkey % 4 AS INT))").as("dashes"),
+        translate(lower(col("n_name")), "aeiou", "*****").as("devoweled"),
+        reverse(col("n_name")).as("reversed"),
+        initcap(lower(col("n_name"))).as("title_case"))
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_limit_offset" -> limitOffset,
+    "x_nulls_order" -> nullsOrder,
+    "x_width_bucket" -> widthBucket,
+    "x_bitwise_agg" -> bitwiseAgg,
+    "x_bool_agg" -> boolAgg,
+    "x_string_pad" -> stringPad,
     "x_quantile_bucket" -> quantileBucket,
     "x_zscore" -> zscore,
     "x_recursive_chain" -> recursiveChain,
@@ -525,6 +617,44 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin,
+    "x_nulls_order" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |FROM customer ORDER BY seg ASC NULLS FIRST, c_custkey LIMIT 50""".stripMargin,
+    "x_width_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |            WHEN o_totalprice >= 600000 THEN 13
+        |            ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+        |       END AS bucket,
+        |       COUNT(*) AS n_orders,
+        |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "x_bitwise_agg" ->
+      """SELECT s_nationkey,
+        |       CAST(bit_and(s_suppkey) AS BIGINT) AS key_and,
+        |       CAST(bit_or(s_suppkey) AS BIGINT) AS key_or,
+        |       CAST(bit_xor(s_suppkey) AS BIGINT) AS key_xor,
+        |       COUNT(*) AS n_supp
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "x_bool_agg" ->
+      """SELECT c_mktsegment,
+        |       bool_and(c_acctbal > 0) AS all_positive,
+        |       bool_or(c_acctbal > 9000) AS any_rich,
+        |       count_if(c_acctbal < 0) AS n_debt,
+        |       COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "x_string_pad" ->
+      """SELECT n_nationkey,
+        |       lpad(n_name, 12, '.') AS padded_l,
+        |       rpad(n_name, 12, '.') AS padded_r,
+        |       repeat('-', n_nationkey % 4) AS dashes,
+        |       translate(lower(n_name), 'aeiou', '*****') AS devoweled,
+        |       reverse(n_name) AS reversed,
+        |       array_to_string(list_transform(string_split(lower(n_name), ' '),
+        |         w -> upper(w[1:1]) || w[2:]), ' ') AS title_case
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "x_quantile_bucket" ->
       """WITH q AS (
         |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,

@@ -157,4 +157,36 @@ class OperatorSpec extends AnyFunSuite {
       col("o_orderstatus")).distinct().count()
     assert(ops.AggJoinOps.leftCompositeJoin(spark, sf).count() == left)
   }
+
+  test("width_bucket under/overflow land in bins 0 and n+1") {
+    import spark.implicits._
+    val bins = Seq(-1.0, 0.0, 599999.9, 600000.0, 1e9).toDF("v")
+      .select(expr("width_bucket(v, 0D, 600000D, 12)")).as[Long].collect()
+    assert(bins.sameElements(Array(0L, 1L, 12L, 13L, 13L)))
+  }
+
+  test("asc_nulls_first places nulls before the smallest value") {
+    import spark.implicits._
+    val out = Seq(Some(2), None, Some(1)).toDF("v")
+      .orderBy(col("v").asc_nulls_first).as[Option[Int]].collect()
+    assert(out.sameElements(Array(None, Some(1), Some(2))))
+    // ...because Spark's bare .asc already means nulls-first while
+    // DuckDB's bare ASC means nulls-last: portable sorts must pin it.
+  }
+
+  test("lpad truncates (not pads) when the input exceeds the target length") {
+    import spark.implicits._
+    val out = Seq("UNITED KINGDOM").toDF("s")
+      .select(lpad(col("s"), 12, ".")).as[String].collect()
+    assert(out.head == "UNITED KINGD")
+  }
+
+  test("offset+limit is one page: rows offset+1..offset+limit of the sort") {
+    val page = ops.ExtraOps.limitOffset(spark, sf)
+    val keys = page.select("o_orderkey").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    val all = Tables.orders(spark, sf).orderBy(col("o_orderkey"))
+      .select("o_orderkey").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect()
+    assert(keys.sameElements(all.slice(100, 110)))
+  }
 }
