@@ -451,7 +451,68 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-label centroids from QUANTIZED vectors — the cluster-summary /
+    * class-prototype builder. Components sum as exact BIGINTs (order-free,
+    * so partitioning can't change the result) and divide to double once
+    * per (label, pos); posexplode keeps the shuffle rows skinny
+    * (label, pos, q) — the float arrays themselves never shuffle.
+    * At 100 TB this is the textbook two-level agg: 64 · |labels| cells,
+    * partials combined map-side.
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    quantizedWithLabel(s, d)
+      .select(col("label"), posexplode(col("iv")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("n_vec"))
+      .withColumn("centroid_q", col("q_sum").cast("double") / col("n_vec"))
+      .orderBy(col("label"), col("pos"))
+
+  private def quantizedWithLabel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
+    ).as("iv"))
+
+  /** Per-vector L2 norm + normalization check: sqrt is IEEE
+    * correctly-rounded (unlike exp/ln), so norms from the sequential
+    * square-sum fold are bit-identical cross-engine. Emits the norm, the
+    * unit-norm flag, and the first normalized component — the projection
+    * step every cosine-ANN pipeline runs before indexing.
+    */
+  def vectorNorms(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("norm", expr(
+        """sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))""".stripMargin))
+      .withColumn("is_unit", col("norm") >= 0.99 && col("norm") <= 1.01)
+      .withColumn("head_normed",
+        expr("CAST(embedding[0] AS DOUBLE)") / col("norm"))
+      .select(col("vec_id"), col("label"), col("norm"), col("is_unit"),
+        col("head_normed"))
+      .orderBy(col("vec_id"))
+
+  /** Intra-label cosine-similarity histogram — the distance-distribution
+    * profile used to pick dedup/ANN thresholds. Same label-blocked pair
+    * generation as dd_embed_cosine (O(Σ bucket²), never all-pairs);
+    * bucket = floor(10·cos) on the bit-identical fold cosine, so bucket
+    * edges agree cross-engine exactly.
+    */
+  def pairHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("ib"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("bucket",
+        floor(expr(cos(s, "va", "vb")) * 10).cast("long"))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("label"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroids" -> labelCentroids,
+    "sim_vector_norms" -> vectorNorms,
+    "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
     "sim_knn_classify" -> knnClassify,
     "sim_ivf_topk" -> ivfTopK,
@@ -522,6 +583,40 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      s"""WITH q AS (
+         |  SELECT label,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, i - 1 AS pos, iv[i] AS qc
+         |  FROM q, generate_series(1, 64) AS g(i))
+         |SELECT label, CAST(pos AS INT) AS pos,
+         |       CAST(SUM(qc) AS BIGINT) AS q_sum,
+         |       COUNT(*) AS n_vec,
+         |       CAST(SUM(qc) AS DOUBLE) / COUNT(*) AS centroid_q
+         |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "sim_vector_norms" ->
+      """SELECT vec_id, label,
+        |  sqrt(list_reduce(list_prepend(0.0,
+        |    [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+        |    (acc, v) -> acc + v)) AS norm,
+        |  sqrt(list_reduce(list_prepend(0.0,
+        |    [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+        |    (acc, v) -> acc + v)) BETWEEN 0.99 AND 1.01 AS is_unit,
+        |  CAST(embedding[1] AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0,
+        |    [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]),
+        |    (acc, v) -> acc + v)) AS head_normed
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sim_pair_hist" ->
+      s"""WITH p AS (
+         |  SELECT a.label,
+         |    CAST(floor((${duckCos("a.embedding", "b.embedding")}) * 10) AS BIGINT)
+         |      AS bucket
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, bucket, COUNT(*) AS n_pairs
+         |FROM p GROUP BY label, bucket ORDER BY label, bucket""".stripMargin,
     "sim_ivf_trained" -> trainedIvfOracle,
     "sim_doc_retrieval" ->
       s"""WITH q AS (

@@ -380,7 +380,104 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Corpus-level trigram frequency: the boilerplate/template detector for
+    * a punctuation-free corpus — recurring word trigrams play the role
+    * repeated sentences play in web text. Explode is 3× token rows wide
+    * but each row is one short string; partial aggregation collapses the
+    * Zipf head map-side before the trigram-keyed shuffle, and the top-20
+    * tail is a TakeOrderedAndProject, never a global sort. At 100 TB,
+    * hash trigrams to 60-bit longs for the shuffle key and join the
+    * winning strings back — same plan shape, 1/5 the shuffle bytes.
+    */
+  def ngramFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("trigram"))
+      .limit(20)
+
+  /** Integer-exact unigram surprisal: rarity scoring without libm. The
+    * usual -log p(w) is a libm call whose last ulp varies across builds,
+    * so the verified score uses bit-length surprisal
+    * `floor(log2 N) - floor(log2 count(w))` — exact integers, same
+    * monotonicity, bit-equal everywhere. Two shuffles: the vocab count
+    * (token-keyed, map-side combined) and the doc re-aggregation;
+    * the 1-row corpus total rides in as a broadcast cross join.
+    */
+  def surprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(counts, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("bits", (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_bits",
+        col("surprisal_bits").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style quality rule report: each rule as its own boolean column
+    * (word-count bounds, mean word length, symbol ratio, alphabetic-word
+    * ratio, stopword floor) plus the conjunction — the per-rule
+    * transparency the funnel aggregates away. Single scan, all codegen.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_words"))
+      .withColumn("sym_ratio",
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double")
+          / length(col("text")))
+      .withColumn("alpha_ratio",
+        expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("double") / col("n_words"))
+      .withColumn("n_stop",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("long"))
+      .withColumn("r_wordcount", col("n_words") >= 20 && col("n_words") <= 500)
+      .withColumn("r_wordlen", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol", col("sym_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_ratio") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= 2L)
+      .withColumn("gopher_ok",
+        col("r_wordcount") && col("r_wordlen") && col("r_symbol")
+          && col("r_alpha") && col("r_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("sym_ratio"),
+        col("alpha_ratio"), col("n_stop"), col("r_wordcount"), col("r_wordlen"),
+        col("r_symbol"), col("r_alpha"), col("r_stop"), col("gopher_ok"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source quota capping (the CommonCrawl per-domain cap): keep at
+    * most 150 docs per source, chosen by deterministic hash rank so the
+    * sample is stable across runs and partitionings. One window over the
+    * source-partitioned shuffle; WindowGroupLimit pushes the rank<=150
+    * cut below the exchange, so only winners shuffle at scale.
+    */
+  def sourceCap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(expr(sparkHash("CAST(doc_id AS STRING)")), col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= 150)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_ngram_freq" -> ngramFreq,
+    "tx_surprisal" -> surprisal,
+    "tx_gopher_rules" -> gopherRules,
+    "pipe_source_cap" -> sourceCap,
     "tx_tfidf" -> tfidf,
     "pipe_tokenize_ids" -> tokenizeIds,
     "tx_chunk_tokens" -> chunkTokens,
@@ -403,6 +500,63 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_ngram_freq" ->
+        """WITH ws AS (
+          |  SELECT string_split(lower(text), ' ') AS l FROM documents
+          |  WHERE len(string_split(lower(text), ' ')) >= 3),
+          |tri AS (
+          |  SELECT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+          |                 for i in generate_series(1, len(l) - 2)]) AS trigram
+          |  FROM ws)
+          |SELECT trigram, COUNT(*) AS freq
+          |FROM tri GROUP BY trigram
+          |ORDER BY freq DESC, trigram LIMIT 20""".stripMargin,
+      "tx_surprisal" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          |  FROM documents),
+          |tk AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+          |counts AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+          |tot AS (SELECT COUNT(*) AS n_total FROM tk)
+          |SELECT doc_id, COUNT(*) AS n_tokens,
+          |  CAST(SUM(length(bin(n_total)) - length(bin(cnt))) AS BIGINT)
+          |    AS surprisal_bits,
+          |  CAST(SUM(length(bin(n_total)) - length(bin(cnt))) AS DOUBLE)
+          |    / COUNT(*) AS mean_bits
+          |FROM tk JOIN counts USING (token) CROSS JOIN tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "tx_gopher_rules" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+           |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / len(string_split(lower(text), ' ')) AS mean_word_len,
+           |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+           |      / length(text) AS sym_ratio,
+           |    CAST(len(list_filter(string_split(lower(text), ' '),
+           |                         w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           |      / len(string_split(lower(text), ' ')) AS alpha_ratio,
+           |    ${score("en")} AS n_stop
+           |  FROM documents)
+           |SELECT doc_id, n_words, mean_word_len, sym_ratio, alpha_ratio, n_stop,
+           |  n_words >= 20 AND n_words <= 500 AS r_wordcount,
+           |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_wordlen,
+           |  sym_ratio <= 0.1 AS r_symbol,
+           |  alpha_ratio >= 0.8 AS r_alpha,
+           |  n_stop >= 2 AS r_stop,
+           |  (n_words >= 20 AND n_words <= 500)
+           |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           |    AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2
+           |    AS gopher_ok
+           |FROM f ORDER BY doc_id""".stripMargin,
+      "pipe_source_cap" ->
+        s"""WITH r AS (
+           |  SELECT source, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY ${duckHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+           |  FROM documents)
+           |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+           |FROM r WHERE rk <= 150 ORDER BY source, rk""".stripMargin,
       "tx_tfidf" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
