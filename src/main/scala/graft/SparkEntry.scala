@@ -26,6 +26,8 @@ object SparkEntry {
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
+        "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinStream,
+        "st_static_enrich" -> streaming.StreamOps.staticEnrichStream,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
         "st_hll_stream" -> streaming.StreamOps.hllStream)
@@ -52,6 +54,8 @@ object SparkEntry {
             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             |ORDER BY 1, 2, 3""".stripMargin,
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
+        "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinOracle,
+        "st_static_enrich" -> streaming.StreamOps.staticEnrichOracle,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
         "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
         "st_hll_stream" -> streaming.StreamOps.hllStreamOracle)

@@ -120,6 +120,107 @@ object StreamOps {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join, drained. Matches
+    * emit as they arrive (like the inner join); an UNMATCHED click
+    * null-extends only when the global watermark — min over both inputs of
+    * (max event time − 1 h delay) — passes its join horizon
+    * (click_ts + 1 h), because append mode never retracts and an earlier
+    * emission could still be contradicted by a late purchase
+    * (StreamingSpec pins the per-batch mechanics). The drain's no-data
+    * cleanup batch performs the final evictions, so the result is
+    * DETERMINISTIC given the data: matched rows ∪ unmatched clicks with
+    * `click_ts + 1 h < min(max_c, max_p) − 1 h` — exactly what the
+    * oracle computes from the batch side. Clicks inside the final
+    * watermark window stay parked forever (they'd emit on the next day's
+    * data in production); that tail is the price of bounded state, not a
+    * bug, and both engines agree on it here.
+    */
+  def leftOuterJoinStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val clicks = eventsStream(ss, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= click_ts " +
+          "AND p_ts <= click_ts + INTERVAL 1 HOUR"), "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_left_outer")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_left_outer")
+      .orderBy(col("user_id"), col("click_id"),
+        col("purchase_id").asc_nulls_first)
+  }
+
+  /** Stream-static enrichment: the streaming fact joins a BATCH dimension
+    * (no watermark needed — static side is complete by definition), then
+    * aggregates per enriched category in complete mode. The static dim is
+    * re-read per micro-batch (so slowly-changing dims pick up updates
+    * between batches) and broadcast when small — the canonical "enrich
+    * events with reference data" shape. Drained result equals the batch
+    * join, so it is DuckDB-verified like any batch operator.
+    */
+  def staticEnrichStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val dim = graft.Tables.events(ss, d)
+      .select(col("event_type")).distinct()
+      .withColumn("category",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+    val q = eventsStream(ss, d)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_static_enrich")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_static_enrich").orderBy(col("category"))
+  }
+
+  /** Batch twin of [[staticEnrichStream]] (DuckDB). */
+  val staticEnrichOracle: String =
+    """SELECT CASE WHEN event_type IN ('purchase', 'signup')
+      |            THEN 'conversion' ELSE 'engagement' END AS category,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY category""".stripMargin
+
+  /** Batch twin of [[leftOuterJoinStream]] (DuckDB): inner matches plus
+    * unmatched clicks whose join horizon the final watermark passed.
+    */
+  val leftOuterJoinOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, ts AS click_ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT least((SELECT max(click_ts) FROM c),
+      |               (SELECT max(p_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+      |j AS (
+      |  SELECT c.user_id, c.click_id, c.click_ts, p.purchase_id,
+      |         epoch_us(p.p_ts) - epoch_us(c.click_ts) AS lag_us
+      |  FROM c LEFT JOIN p
+      |    ON c.user_id = p.p_user AND p.p_ts >= c.click_ts
+      |   AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |SELECT user_id, click_id, purchase_id, lag_us
+      |FROM j, wm
+      |WHERE purchase_id IS NOT NULL OR click_ts + INTERVAL 1 HOUR < w
+      |ORDER BY user_id, click_id, purchase_id ASC NULLS FIRST""".stripMargin
+
   /** Raw documents schema as stored. */
   val documentsRawSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
