@@ -509,7 +509,69 @@ object Similarity {
       .orderBy(col("label"), col("bucket"))
   }
 
+  /** Maximal Marginal Relevance (MMR) diversified re-ranking: greedily
+    * select k=5 of each query's top-20 candidates maximizing
+    * `0.7·rel − 0.3·max_sim_to_selected` — the retrieval tail that stops
+    * RAG/context windows filling with near-duplicates of one hit.
+    *
+    * Plan shape: candidate generation is the broadcast-query scored scan
+    * (as sim_topk_brute); all pairwise sims WITHIN each 20-candidate pool
+    * are precomputed ONCE (O(k·pool²) per query, on checkpointed skinny
+    * frames — MMR's inherent cost, bounded by the pool not the corpus),
+    * so the 4 greedy steps are driver-steered joins over (qid, ca, cb,
+    * sim) rows with no vector math. The selection itself is inherently
+    * sequential (each pick depends on the previous); bounded iteration
+    * count = k, same pattern as the k-means trainer. The DuckDB oracle
+    * replays the identical greedy recursion as a recursive CTE over the
+    * same pair table — every pick hash-verified, ties broken by cid.
+    */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 3)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cand = q.hint("broadcast").join(corpus)
+      .withColumn("rel", expr(cos(s, "qv", "cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("rel"), col("cid"))))
+      .filter(col("rk") <= 20)
+      .select(col("qid"), col("cid"), col("rel"), col("cv"))
+      .localCheckpoint()
+    val a = cand.select(col("qid"), col("cid").as("ca"), col("cv").as("va"))
+    val b = cand.select(col("qid"), col("cid").as("cb"), col("cv").as("vb"))
+    val pairsim = a.join(b, Seq("qid")).filter(col("ca") =!= col("cb"))
+      .withColumn("sim", expr(cos(s, "va", "vb")))
+      .select(col("qid"), col("ca"), col("cb"), col("sim"))
+      .localCheckpoint()
+    val rels = cand.select(col("qid"), col("cid"), col("rel"))
+    var sel = rels
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("rel"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("qid"), lit(1).as("step"), col("cid"))
+    for (t <- 2 to 5) {
+      val selSet = sel.select(col("qid"), col("cid"))
+      val divPer = pairsim
+        .join(selSet.withColumnRenamed("cid", "cb"), Seq("qid", "cb"))
+        .groupBy(col("qid"), col("ca"))
+        .agg(max(col("sim")).as("divsim"))
+        .withColumnRenamed("ca", "cid")
+      val pick = rels.join(selSet, Seq("qid", "cid"), "left_anti")
+        .join(divPer, Seq("qid", "cid"))
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("divsim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(desc("score"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), lit(t).as("step"), col("cid"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.orderBy(col("qid"), col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr" -> mmrRerank,
     "sim_label_centroids" -> labelCentroids,
     "sim_vector_norms" -> vectorNorms,
     "sim_pair_hist" -> pairHistogram,
@@ -583,6 +645,43 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_mmr" ->
+      s"""WITH RECURSIVE
+         |cand0 AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS cid,
+         |         (${duckCos("q.embedding", "e.embedding")}) AS rel,
+         |         e.embedding AS cv
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id < 3 AND e.vec_id >= 3),
+         |cand AS (
+         |  SELECT qid, cid, rel, cv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) AS rk FROM cand0)
+         |  WHERE rk <= 20),
+         |pairsim AS (
+         |  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         |         (${duckCos("a.cv", "b.cv")}) AS sim
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid != b.cid),
+         |first AS (
+         |  SELECT qid, 1 AS step, cid, [cid] AS sel_ids
+         |  FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY rel DESC, cid) AS rk FROM cand)
+         |  WHERE rk = 1),
+         |rec AS (
+         |  SELECT * FROM first
+         |  UNION ALL
+         |  SELECT r.qid, r.step + 1, pick.cid, list_append(r.sel_ids, pick.cid)
+         |  FROM rec r, LATERAL (
+         |    SELECT c.cid
+         |    FROM cand c
+         |    WHERE c.qid = r.qid AND NOT list_contains(r.sel_ids, c.cid)
+         |    ORDER BY CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * (
+         |      SELECT max(p.sim) FROM pairsim p
+         |      WHERE p.qid = c.qid AND p.ca = c.cid
+         |        AND list_contains(r.sel_ids, p.cb)) DESC, c.cid
+         |    LIMIT 1) pick
+         |  WHERE r.step < 5)
+         |SELECT qid, step, cid FROM rec ORDER BY qid, step""".stripMargin,
     "sim_label_centroids" ->
       s"""WITH q AS (
          |  SELECT label,
