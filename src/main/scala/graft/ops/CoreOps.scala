@@ -153,7 +153,35 @@ object CoreOps {
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
       .limit(10)
 
+  /** S2+ — JSON line-format round-trip, oracle-gated (the spec-only CSV
+    * coverage's verified sibling): a 1000-order slice is written as JSON
+    * lines and read back with an EXPLICIT schema (never inferSchema — at
+    * 100 TB schema inference is a full extra pass), proving date and
+    * double fidelity through the text format (Spark writes shortest-
+    * round-trip doubles, so read-back is bit-exact). The oracle reads the
+    * original parquet — pass = the JSON hop lost nothing.
+    */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+    val slice = Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    slice.write.mode("overwrite").json(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderdate",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    s.read.schema(schema).json(out).orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_json_roundtrip" -> jsonRoundtrip,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -169,6 +197,9 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s2_json_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
     "a8_flagship" ->
       """SELECT CAST(month(o_orderdate) AS INT) AS o_month, n_name,
         |       COUNT(*) AS n_items,
