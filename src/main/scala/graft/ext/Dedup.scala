@@ -516,7 +516,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** LSH band-bucket statistics — the tuning report for the (B, R)
+    * banding parameters: per band, how many buckets exist, how big the
+    * largest is, and how many candidate pairs Σ sz·(sz−1)/2 the band
+    * contributes. Run this BEFORE a 100 TB dedup pass: a max_bucket in
+    * the millions means a degenerate band key (candidate-pair blowup) and
+    * the fix — more rows per band — is a constant change, not a rewrite.
+    * Pure integer aggregation over the fixed-width band rows.
+    */
+  def bandStats(s: SparkSession, d: String): DataFrame =
+    bandsOf(signaturesOf(shingled(s, d)))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) DIV 2")).as("n_cand_pairs"))
+      .orderBy(col("band"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_band_stats" -> bandStats,
     "dd_contamination" -> contamination,
     "dd_exact" -> exactDedup,
     "dd_ngram_jaccard" -> ngramJaccard,
@@ -557,6 +576,16 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_band_stats" ->
+      s"""WITH $shingCte,
+         |${sigCteFor("shing", "sig")},
+         |${bandCteFor("sig", "bands")},
+         |bk AS (SELECT b, bh, COUNT(*) AS sz FROM bands GROUP BY b, bh)
+         |SELECT CAST(b AS INT) AS band,
+         |       COUNT(*) AS n_buckets,
+         |       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+         |       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM bk GROUP BY b ORDER BY band""".stripMargin,
     "dd_contamination" ->
       s"""WITH ${shingCteFor("documents", "shing")},
          |ev AS (SELECT doc_id AS eid, len(shashes) AS en, unnest(shashes) AS sh

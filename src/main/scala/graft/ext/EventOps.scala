@@ -141,7 +141,36 @@ object EventOps {
       .withColumn("avg_k", col("sum_k").cast("double") / col("n_events"))
       .orderBy(col("event_type"))
 
+  /** Hourly volume anomaly detection: flag hours whose event count sits
+    * more than 2σ from the event type's mean hourly count. Mean and
+    * variance come from EXACT integer power sums (n, Σc, Σc²) — one
+    * division and one IEEE-exact sqrt at the end — so the z-scores are
+    * partitioning-independent and hash-verifiable (the same discipline as
+    * x_stats_moments / x_zscore). Two skinny shuffles: hourly counts,
+    * then per-type moments joined back broadcast.
+    */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("std", sqrt(
+        (col("n") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("n") * (col("n") - 1))))
+      .select(col("event_type"), col("mean"), col("std"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("c").cast("double") - col("mean")) / col("std"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .select(col("event_type"), col("hour"), col("c"), col("z"),
+        col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly" -> anomaly,
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
     "ev_sessionize" -> sessionize,
@@ -152,6 +181,21 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean,
+        |    sqrt(CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+        |         / (COUNT(*) * (COUNT(*) - 1))) AS std
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.hour, h.c,
+        |       (CAST(h.c AS DOUBLE) - s.mean) / s.std AS z,
+        |       abs((CAST(h.c AS DOUBLE) - s.mean) / s.std) > 2.0 AS is_anomaly
+        |FROM hourly h JOIN stats s USING (event_type)
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       COUNT(*) AS n_events,

@@ -473,7 +473,35 @@ object TextOps {
       .select(col("source"), col("rk"), col("doc_id"))
       .orderBy(col("source"), col("rk"))
 
+  /** Deterministic round-robin source interleaving — the training-order
+    * step after per-source capping: docs get a hash rank WITHIN their
+    * source, and the global position is the CLOSED FORM
+    * `(rk−1)·n_sources + src_idx` — no global window, no single-partition
+    * sort, so the ordering scales to any corpus (the alternative global
+    * row_number is exactly the anti-pattern this avoids). Source index
+    * comes from a dim-sized broadcast built once; output is a balanced
+    * A,B,C,A,B,C… schedule any trainer can range-claim.
+    */
+  def interleave(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val srcs = Tables.documents(s, d).select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(w.orderBy(col("source"))).cast("long"))
+    val nSrc = srcs.agg(count(lit(1)).as("n_src"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("source"))
+          .orderBy(expr(sparkHash("CAST(doc_id AS STRING)")), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(srcs), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("pos", (col("rk") - 1) * col("n_src") + col("src_idx"))
+      .select(col("pos"), col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("pos"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_interleave" -> interleave,
     "tx_ngram_freq" -> ngramFreq,
     "tx_surprisal" -> surprisal,
     "tx_gopher_rules" -> gopherRules,
@@ -500,6 +528,22 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "pipe_interleave" ->
+        s"""WITH srcs AS (
+           |  SELECT source,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS src_idx
+           |  FROM (SELECT DISTINCT source FROM documents)),
+           |n AS (SELECT COUNT(*) AS n_src FROM srcs),
+           |r AS (
+           |  SELECT source, doc_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY ${duckHash("CAST(doc_id AS VARCHAR)")}, doc_id)
+           |      AS BIGINT) AS rk
+           |  FROM documents)
+           |SELECT (r.rk - 1) * n.n_src + s.src_idx AS pos,
+           |       r.source, r.rk, r.doc_id
+           |FROM r JOIN srcs s USING (source) CROSS JOIN n
+           |ORDER BY pos, doc_id""".stripMargin,
       "tx_ngram_freq" ->
         """WITH ws AS (
           |  SELECT string_split(lower(text), ' ') AS l FROM documents

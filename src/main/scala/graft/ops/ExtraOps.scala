@@ -583,7 +583,40 @@ object ExtraOps {
         initcap(lower(col("n_name"))).as("title_case"))
       .orderBy(col("n_nationkey"))
 
+  /** explode_outer: generator that PRESERVES rows with empty arrays as a
+    * single null row — the difference from explode that silently drops
+    * them (and with it, documents from a corpus manifest). The oracle
+    * emulates it by substituting [NULL] for empty lists before unnest.
+    */
+  def explodeOuter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(expr("regexp_extract_all(text, '[0-9]+')")).as("num"))
+      .orderBy(col("doc_id"), col("num").asc_nulls_first)
+
+  /** Key-skew diagnostic: the top-5 heaviest join/agg keys with their
+    * share of total rows and skew factor (share × n_keys — 1.0 means
+    * perfectly uniform). This is the profiling query you run BEFORE
+    * deciding a join needs salting (x_salted_join) or AQE skew handling;
+    * one grouped count + a broadcast 1-row total, top-k via TakeOrdered.
+    */
+  def skewMetrics(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    freq.crossJoin(broadcast(tot))
+      .withColumn("share", col("cnt").cast("double") / col("total"))
+      .withColumn("skew_x",
+        col("cnt").cast("double") * col("n_keys") / col("total"))
+      .orderBy(desc("cnt"), col("l_partkey")).limit(5)
+      .select(col("l_partkey"), col("cnt"), col("total"), col("n_keys"),
+        col("share"), col("skew_x"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_explode_outer" -> explodeOuter,
+    "x_skew_metrics" -> skewMetrics,
     "x_limit_offset" -> limitOffset,
     "x_nulls_order" -> nullsOrder,
     "x_width_bucket" -> widthBucket,
@@ -617,6 +650,25 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_explode_outer" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS nums
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(nums) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |              ELSE nums END) AS num
+        |FROM d ORDER BY doc_id, num ASC NULLS FIRST""".stripMargin,
+    "x_skew_metrics" ->
+      """WITH freq AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys
+        |  FROM freq)
+        |SELECT l_partkey, cnt, total, n_keys,
+        |       CAST(cnt AS DOUBLE) / total AS share,
+        |       CAST(cnt AS DOUBLE) * n_keys / total AS skew_x
+        |FROM freq CROSS JOIN tot
+        |ORDER BY cnt DESC, l_partkey LIMIT 5""".stripMargin,
     "x_limit_offset" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin,
