@@ -114,7 +114,56 @@ object TemporalOps {
       .orderBy(col("c_nationkey"))
   }
 
+  /** NEAREST-event join (the bidirectional as-of): for every click, the
+    * purchase closest in time — backward or forward — within a 30-minute
+    * tolerance, ties preferring backward. Same union-sort-carry design as
+    * [[asofJoin]] (ONE shuffle on user, one sort), with BOTH a
+    * backward-carry (last purchase so far) and a forward-carry (first
+    * purchase ahead, via the mirrored frame) in a single window pass; the
+    * nearer candidate wins in a plain projection. All time math in exact
+    * unix microseconds. The oracle replays the identical portable window
+    * SQL — both engines implement IGNORE NULLS frames, so the semantics
+    * (including same-timestamp ordering by (ts, kind, event_id)) are
+    * aligned by construction.
+    */
+  def nearestJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val u = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+        col("event_id"))
+    val ord = Seq(col("ts_us"), col("kind"), col("event_id"))
+    val back = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pTs = when(col("kind") === 0, col("ts_us"))
+    val pId = when(col("kind") === 0, col("event_id"))
+    val tolUs = 30L * 60 * 1000000
+    u.withColumn("pb_ts", last(pTs, ignoreNulls = true).over(back))
+      .withColumn("pb_id", last(pId, ignoreNulls = true).over(back))
+      .withColumn("pf_ts", first(pTs, ignoreNulls = true).over(fwd))
+      .withColumn("pf_id", first(pId, ignoreNulls = true).over(fwd))
+      .filter(col("kind") === 1)
+      .withColumn("db", col("ts_us") - col("pb_ts"))
+      .withColumn("df", col("pf_ts") - col("ts_us"))
+      .withColumn("use_back",
+        col("pb_ts").isNotNull && (col("pf_ts").isNull || col("db") <= col("df")))
+      .withColumn("purchase_id",
+        when(col("use_back"), col("pb_id")).otherwise(col("pf_id")))
+      .withColumn("delta_us",
+        when(col("use_back"), col("db")).otherwise(col("df")))
+      .withColumn("direction",
+        when(col("use_back"), lit("backward")).otherwise(lit("forward")))
+      .filter(col("purchase_id").isNotNull && col("delta_us") <= tolUs)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("purchase_id"), col("direction"), col("delta_us"))
+      .orderBy(col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_nearest_join" -> nearestJoin,
     "ev_asof_join" -> asofJoin,
     "x_range_join" -> rangeJoin,
     "x_salted_agg" -> saltedAgg,
@@ -122,6 +171,43 @@ object TemporalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_nearest_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+        |         event_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb_ts,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb_id,
+        |    first_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pf_ts,
+        |    first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pf_id
+        |  FROM u),
+        |c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |         ts_us - pb_ts AS db, pf_ts - ts_us AS df,
+        |         pb_ts IS NOT NULL
+        |           AND (pf_ts IS NULL OR ts_us - pb_ts <= pf_ts - ts_us)
+        |           AS use_back,
+        |         pb_id, pf_id
+        |  FROM w WHERE kind = 1)
+        |SELECT user_id, click_id,
+        |       CASE WHEN use_back THEN pb_id ELSE pf_id END AS purchase_id,
+        |       CASE WHEN use_back THEN 'backward' ELSE 'forward' END AS direction,
+        |       CASE WHEN use_back THEN db ELSE df END AS delta_us
+        |FROM c
+        |WHERE (CASE WHEN use_back THEN pb_id ELSE pf_id END) IS NOT NULL
+        |  AND (CASE WHEN use_back THEN db ELSE df END) <= 1800000000
+        |ORDER BY click_id""".stripMargin,
     "ev_asof_join" ->
       """SELECT p.user_id, p.event_id, p.ts AS purchase_ts, c.ts AS last_click_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
