@@ -100,7 +100,26 @@ object MapOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("k"), col("v"))
 
+  /** Spark 4 VARIANT ingestion: parse the JSON props ONCE into the binary
+    * VARIANT type, then extract typed fields with variant_get — the
+    * schema-on-read path for semi-structured columns that beats repeated
+    * get_json_object string re-parsing (one parse, many typed reads) and
+    * needs no fixed from_json schema up front. Grouped rollup proves the
+    * extracted values behave as ordinary typed columns downstream.
+    */
+  def variantProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .withColumn("k_str", expr("cast(variant_get(v, '$.k', 'string') AS string)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"),
+        max(length(col("k_str"))).as("max_digits"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_variant_props" -> variantProps,
     "ev_props_struct" -> propsStruct,
     "ev_props_map" -> propsMapExplode,
     "x_map_ops" -> mapOps,
@@ -109,6 +128,11 @@ object MapOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_variant_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(MAX(length(json_extract_string(props, '$.k'))) AS INT) AS max_digits
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "ev_props_struct" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

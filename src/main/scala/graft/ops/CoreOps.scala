@@ -180,7 +180,25 @@ object CoreOps {
     s.read.schema(schema).json(out).orderBy(col("o_orderkey"))
   }
 
+  /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
+    * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
+    * as the nested-SELECT spelling (the syntax is sugar over the same
+    * logical operators — predicate still reaches the scan), verified
+    * against a classic-SQL oracle to pin that equivalence.
+    */
+  def pipeSql(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_pipe_v")
+    s.sql(
+      """FROM orders_pipe_v
+        ||> WHERE o_orderstatus = 'F'
+        ||> AGGREGATE COUNT(*) AS n_orders,
+        |     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |   GROUP BY o_orderpriority
+        ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_pipe_sql" -> pipeSql,
     "s2_json_roundtrip" -> jsonRoundtrip,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
@@ -197,6 +215,11 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s5_pipe_sql" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "s2_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
