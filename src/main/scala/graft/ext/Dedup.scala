@@ -534,7 +534,42 @@ object Dedup {
         sum(expr("sz * (sz - 1) DIV 2")).as("n_cand_pairs"))
       .orderBy(col("band"))
 
+  /** MinHash accuracy report: for every LSH candidate pair, the sketch's
+    * Jaccard ESTIMATE (matching signature positions / K) against the
+    * EXACT shingle Jaccard, bucketed into a (est_decile, exact_decile)
+    * confusion matrix — the calibration table that justifies (or
+    * indicts) a K before a full-corpus run. Deciles are computed in pure
+    * integer arithmetic ((10·m) DIV K, (10·∩) DIV ∪), so the report is
+    * hash-verifiable and partitioning-independent; pair generation is the
+    * same banded candidate path as dd_minhash_lsh — never all-pairs.
+    */
+  def minhashAccuracy(s: SparkSession, d: String): DataFrame = {
+    val sig = signaturesOf(shingled(s, d)).localCheckpoint()
+    val bands = bandsOf(sig)
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band")
+        && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    val left = sig.select(col("doc_id").as("ia"),
+      col("shashes").as("sa"), col("sig").as("ga"))
+    val right = sig.select(col("doc_id").as("ib"),
+      col("shashes").as("sb"), col("sig").as("gb"))
+    cand.join(left, Seq("ia")).join(right, Seq("ib"))
+      .withColumn("m",
+        expr("size(filter(zip_with(ga, gb, (x, y) -> x = y), v -> v))"))
+      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("inter"))
+      .withColumn("est_decile", expr(s"(10 * m) DIV $K").cast("long"))
+      .withColumn("exact_decile", expr("(10 * inter) DIV uni").cast("long"))
+      .groupBy(col("est_decile"), col("exact_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("est_decile"), col("exact_decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_minhash_accuracy" -> minhashAccuracy,
     "dd_band_stats" -> bandStats,
     "dd_contamination" -> contamination,
     "dd_exact" -> exactDedup,
@@ -576,6 +611,27 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_minhash_accuracy" ->
+      s"""WITH $shingCte,
+         |${sigCteFor("shing", "sig")},
+         |${bandCteFor("sig", "bands")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT
+         |    len(list_filter([sa.sig[i] = sb.sig[i] for i in range(1, $K + 1)],
+         |        x -> x)) AS m,
+         |    len(list_intersect(sa.shashes, sb.shashes)) AS inter,
+         |    len(sa.shashes) + len(sb.shashes)
+         |      - len(list_intersect(sa.shashes, sb.shashes)) AS uni
+         |  FROM cand JOIN sig sa ON cand.ia = sa.doc_id
+         |            JOIN sig sb ON cand.ib = sb.doc_id)
+         |SELECT CAST((10 * m) // $K AS BIGINT) AS est_decile,
+         |       CAST((10 * inter) // uni AS BIGINT) AS exact_decile,
+         |       COUNT(*) AS n_pairs
+         |FROM scored GROUP BY 1, 2 ORDER BY est_decile, exact_decile""".stripMargin,
     "dd_band_stats" ->
       s"""WITH $shingCte,
          |${sigCteFor("shing", "sig")},
