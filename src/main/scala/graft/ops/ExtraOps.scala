@@ -498,13 +498,13 @@ object ExtraOps {
   }
 
   /** LIMIT/OFFSET pagination over a total order — one page of the order
-    * book (rows 101-110 by key). Spark plans offset+limit as a single
-    * `GlobalLimit(offset, limit)` over the sort, so only offset+limit rows
-    * cross the final single-partition exchange — the page cost is the
-    * sort, not the page. Deep pagination (offset ≫ limit) still pays
-    * offset rows at the gather; at scale prefer keyset pagination
-    * (`WHERE key > last_seen ORDER BY key LIMIT n`, which is o3_topk's
-    * shape with a pushed filter).
+    * book (rows 101-110 by key). Spark fuses sort+offset+limit into ONE
+    * `TakeOrderedAndProject(limit=offset+k, offset)` — each partition
+    * keeps offset+limit rows, the driver merge skips the first offset; no
+    * global sort, no exchange (PlanSpec-asserted). Deep pagination
+    * (offset ≫ limit) still pays offset rows per partition; at scale
+    * prefer keyset pagination (`WHERE key > last_seen ORDER BY key LIMIT
+    * n`, which is o3_topk's shape with a pushed filter).
     */
   def limitOffset(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

@@ -221,4 +221,32 @@ class PlanSpec extends AnyFunSuite {
       exchanges.toString)
     assert(p.toString.contains("partial_sum"), "map-side partial sums missing")
   }
+
+  test("per-source cap cuts partially below the exchange and prunes text at the scan") {
+    val p = planAtScale("pipe_source_cap")
+    // two WindowGroupLimits: the map-side partial top-150 per source and
+    // the post-shuffle final — only potential winners cross the wire
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial")
+      && p.contains("Final"), p.take(2000))
+    // the cap operates on (doc_id, source) only; the text column must not
+    // survive into the scan schema
+    assert(!p.contains("text"), "text column not pruned from the cap scan")
+  }
+
+  test("trigram top-20 is TakeOrdered over a map-side partial count, not a global sort") {
+    val p = planAtScale("tx_ngram_freq")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_count"),
+      "Zipf head must collapse map-side before the trigram exchange:\n" + p.take(2000))
+  }
+
+  test("offset+limit fuses into TakeOrderedAndProject(limit=offset+k, offset)") {
+    // no Sort, no GlobalLimit chain: each partition keeps offset+limit
+    // rows, the driver merge skips the first offset — the whole page
+    // costs a per-partition top-110
+    val p = plan("x_limit_offset")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("110") && p.contains("100"),
+      "expected limit=110 with offset=100 in TakeOrdered args:\n" + p.take(2000))
+  }
 }
