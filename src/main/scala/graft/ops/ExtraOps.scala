@@ -614,7 +614,48 @@ object ExtraOps {
         col("share"), col("skew_x"))
   }
 
+  /** Mergeable quantile sketch: a 100-bin fixed-width histogram built as
+    * TWO partial sketches (even/odd order keys — standing in for two
+    * partitions/days), MERGED by plain count addition, then p50/p90/p99
+    * estimated by linear interpolation inside the covering bin. This is
+    * the scale path where x_percentile's exact sort is too expensive:
+    * sketches are tiny (bins, not rows), merge is associative (the same
+    * property pipe_agg_merge proves for decimal partials), and accuracy
+    * is bounded by bin width. Quantile thresholds are computed with
+    * integer ceilings ((p·N+99) DIV 100), so bin selection is exact and
+    * the interpolated estimate is one double division of exact integers —
+    * hash-verifiable. The final 100-row cum-sum window is sketch-sized,
+    * never data-sized.
+    */
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    val partials = Tables.orders(s, d)
+      .withColumn("half", pmod(col("o_orderkey"), lit(2)))
+      .withColumn("bin", floor(col("o_totalprice") / 6000).cast("long"))
+      .groupBy(col("half"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = partials.groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = merged
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(merged.agg(sum(col("cnt")).as("total"))))
+    val qs = withCum.crossJoin(
+      broadcast(s.range(1).select(explode(array(lit(50), lit(90), lit(99))).as("p"))))
+      .withColumn("thr", expr("(p * total + 99) DIV 100"))
+      .filter(col("cum") >= col("thr"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("bin"))))
+      .filter(col("rk") === 1)
+    qs.withColumn("est",
+        col("bin") * 6000.0
+          + lit(6000.0) * (col("thr") - (col("cum") - col("cnt"))) / col("cnt"))
+      .select(col("p"), col("bin"), col("thr"), col("est"))
+      .orderBy(col("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_quantile_sketch" -> quantileSketch,
     "x_explode_outer" -> explodeOuter,
     "x_skew_metrics" -> skewMetrics,
     "x_limit_offset" -> limitOffset,
@@ -650,6 +691,28 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_quantile_sketch" ->
+      """WITH partials AS (
+        |  SELECT o_orderkey % 2 AS half,
+        |         CAST(FLOOR(o_totalprice / 6000) AS BIGINT) AS bin,
+        |         COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM partials GROUP BY bin),
+        |c AS (
+        |  SELECT bin, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        |  FROM merged),
+        |q AS (SELECT unnest([50, 90, 99]) AS p),
+        |hit AS (
+        |  SELECT q.p, c.bin, c.cnt, c.cum,
+        |         (q.p * c.total + 99) // 100 AS thr,
+        |         ROW_NUMBER() OVER (PARTITION BY q.p ORDER BY c.bin) AS rk
+        |  FROM q JOIN c ON c.cum >= (q.p * c.total + 99) // 100)
+        |SELECT p, bin, thr,
+        |       bin * 6000.0 + 6000.0 * (thr - (cum - cnt)) / cnt AS est
+        |FROM hit WHERE rk = 1 ORDER BY p""".stripMargin,
     "x_explode_outer" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS nums
