@@ -169,7 +169,31 @@ object EventOps {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Event-path transition matrix (first-order Markov bigrams): for each
+    * user's time-ordered stream, count (from_type → to_type) transitions
+    * and each transition's share of its from-state's outgoing edges —
+    * the funnel-discovery profile before you hard-code a funnel. One
+    * user-keyed window (lead), one |types|²-cell aggregate; the share
+    * divides exact counts inside a from_type-partitioned window over the
+    * tiny transition matrix, never the event rows.
+    */
+  def pathTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(wFrom))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_path_transitions" -> pathTransitions,
     "ev_anomaly" -> anomaly,
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
@@ -181,6 +205,19 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_path_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE)
+        |         / SUM(n) OVER (PARTITION BY from_type) AS share
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     "ev_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c

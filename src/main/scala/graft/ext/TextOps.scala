@@ -500,7 +500,38 @@ object TextOps {
       .orderBy(col("pos"), col("doc_id"))
   }
 
+  /** Quality-weighted sampling: acceptance rate follows the document's
+    * quality tier (stopword-density here — 90%/60%/20%), decided by the
+    * deterministic doc-id hash, so the sample is reproducible across
+    * runs, machines and partitionings (unlike rand()-based .sample).
+    * This is pipe_corpus_mix's source-rate idea driven by CONTENT
+    * quality — the up/down-weighting step of data-mix curation. Pure
+    * per-row math + one tier-level aggregate.
+    */
+  def qualitySample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        split(lower(col("text")), " ").as("ws"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("double")
+          / size(col("ws")))
+      .withColumn("tier",
+        when(col("stop_ratio") >= 0.08, lit("hi"))
+          .when(col("stop_ratio") >= 0.05, lit("mid"))
+          .otherwise(lit("lo")))
+      .withColumn("rate",
+        when(col("tier") === "hi", 90).when(col("tier") === "mid", 60)
+          .otherwise(20))
+      .withColumn("kept",
+        expr(sparkHash("CAST(doc_id AS STRING)")) % 100 < col("rate"))
+      .groupBy(col("tier"), col("rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("tier"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_quality_sample" -> qualitySample,
     "pipe_interleave" -> interleave,
     "tx_ngram_freq" -> ngramFreq,
     "tx_surprisal" -> surprisal,
@@ -528,6 +559,24 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "pipe_quality_sample" ->
+        s"""WITH f AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(${score("en")} AS DOUBLE)
+           |      / len(string_split(lower(text), ' ')) AS stop_ratio
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, n_chars,
+           |    CASE WHEN stop_ratio >= 0.08 THEN 'hi'
+           |         WHEN stop_ratio >= 0.05 THEN 'mid' ELSE 'lo' END AS tier,
+           |    CASE WHEN stop_ratio >= 0.08 THEN 90
+           |         WHEN stop_ratio >= 0.05 THEN 60 ELSE 20 END AS rate,
+           |    ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+           |  FROM f)
+           |SELECT tier, rate, COUNT(*) AS n_docs,
+           |       CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       CAST(SUM(CASE WHEN h < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+           |FROM t GROUP BY tier, rate ORDER BY tier""".stripMargin,
       "pipe_interleave" ->
         s"""WITH srcs AS (
            |  SELECT source,
