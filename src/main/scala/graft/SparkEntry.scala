@@ -21,7 +21,7 @@ object SparkEntry {
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       ext.MapOps.queries ++ ext.CountMinAgg.queries ++ ext.HyperLogLog.queries ++
-      ext.BloomFilter.queries ++
+      ext.BloomFilter.queries ++ plans.TopKPerKey.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
@@ -41,7 +41,7 @@ object SparkEntry {
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++ ext.HyperLogLog.oracle ++
-      ext.BloomFilter.oracle ++
+      ext.BloomFilter.oracle ++ plans.TopKPerKey.oracle ++
       // real streaming queries, verified against batch oracles
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),

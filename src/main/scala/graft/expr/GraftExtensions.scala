@@ -20,6 +20,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: plans graft.plans.TopKPerKeyNode as the
+    // partial→exchange→final bounded-heap pair (the Scala API
+    // self-registers the same object via ExperimentalMethods on first use)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

@@ -54,7 +54,8 @@ class OperatorSpec extends AnyFunSuite {
       "MapOps" -> ext.MapOps.queries.keySet,
       "CountMinAgg" -> ext.CountMinAgg.queries.keySet,
       "HyperLogLog" -> ext.HyperLogLog.queries.keySet,
-      "BloomFilter" -> ext.BloomFilter.queries.keySet)
+      "BloomFilter" -> ext.BloomFilter.queries.keySet,
+      "TopKPerKey" -> plans.TopKPerKey.queries.keySet)
     val dupes = modules.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query name declared in multiple modules: $dupes")
