@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // partial→exchange→final bounded-heap pair (the Scala API
     // self-registers the same object via ExperimentalMethods on first use)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // and the rewrite that routes the declarative row_number()-filter
+    // idiom onto that operator automatically
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

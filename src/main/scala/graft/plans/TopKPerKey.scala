@@ -171,8 +171,33 @@ object TopKPerKey {
       k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** The same semantics written DECLARATIVELY (the stock Spark idiom:
+    * row_number window + filter + drop), executed on a session that has
+    * [[RewriteRankFilterToTopK]] installed — the engine, not the caller,
+    * swaps in the native operator. Runs in a scoped sibling session
+    * (shared SparkContext, own planner registrations) so sibling queries
+    * in the same JVM keep stock Spark plans; a real deployment opts a
+    * session in with `spark.sql.extensions=graft.expr.GraftExtensions`.
+    * Latest-order-per-customer (the reference's argmax idiom,
+    * etl.py:181-207) — rn = 1 is the k = 1 case of the rewrite.
+    */
+  def topkRuleRewrite(s: SparkSession, d: String): DataFrame = {
+    val scoped = GraftSqlShim.scopedSession(s)
+    GraftSqlShim.registerStrategy(scoped, TopKPerKeyStrategy)
+    GraftSqlShim.registerOptimizerRule(scoped, RewriteRankFilterToTopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(scoped, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_topk_per_key_native" -> topkNative)
+    "x_topk_per_key_native" -> topkNative,
+    "x_topk_per_key_rule" -> topkRuleRewrite)
 
   val oracle: Map[String, String] = Map(
     "x_topk_per_key_native" ->
@@ -182,5 +207,13 @@ object TopKPerKey {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3
-        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "x_topk_per_key_rule" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin)
 }

@@ -45,4 +45,24 @@ object GraftSqlShim {
         exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Idempotently add an optimizer rule (the `extraOptimizations` twin of
+    * [[registerStrategy]] — post-hoc batch, after Spark's own optimizer).
+    */
+  def registerOptimizerRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
+  /** A sibling session sharing the SparkContext/catalog but with its OWN
+    * planner/optimizer registrations — the scoped home for engine
+    * extensions a caller doesn't want visible session-wide (models a
+    * deployment that opts in via `spark.sql.extensions` on one session).
+    */
+  def scopedSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].newSession()
 }

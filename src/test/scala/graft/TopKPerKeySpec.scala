@@ -71,6 +71,51 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite rule: declarative row_number filter plans as the native operator, scoped to its session") {
+    val df = TopKPerKey.topkRuleRewrite(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), plan)
+    assert(!plan.contains("Window"), s"window must be rewritten away:\n$plan")
+    // identical rows to the stock-session window form
+    val stock = {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(spark, sf)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("o_custkey"))
+    }
+    assert(df.collect().sameElements(stock.collect()))
+    // and the PARENT session keeps stock plans (scoping contract)
+    assert(stock.queryExecution.executedPlan.toString.contains("Window"),
+      "rule leaked into the parent session")
+  }
+
+  test("rewrite rule declines rank-kept, rank()-based, and unpartitioned shapes") {
+    val scoped = org.apache.spark.sql.graft.GraftSqlShim.scopedSession(spark)
+    org.apache.spark.sql.graft.GraftSqlShim.registerStrategy(scoped, graft.plans.TopKPerKeyStrategy)
+    org.apache.spark.sql.graft.GraftSqlShim.registerOptimizerRule(scoped, graft.plans.RewriteRankFilterToTopK)
+    val base = Tables.orders(scoped, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rank column kept in output → the operator can't supply it → no rewrite
+    val kept = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(!kept.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "must not rewrite when the rank survives in the output")
+    // rank() admits >k rows under ties → no rewrite
+    val rk = base.withColumn("rn", rank().over(w)).filter(col("rn") <= 3).drop("rn")
+    assert(!rk.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "must not rewrite rank()")
+    // unpartitioned window (global top-k) → TakeOrderedAndProject territory
+    val glob = base.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!glob.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "must not rewrite an unpartitioned window")
+  }
+
   test("shuffle carries at most k rows per key per map task") {
     withoutAqe {
       // 0.001-SF orders: 1500 rows over the scan's input partitions; the
