@@ -330,6 +330,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster canonicalization: production dedup KEEPS one
+    * document per near-dup cluster — the best one, not an arbitrary
+    * first (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" keeps one member per cluster; choosing by quality
+    * beats choosing by luck). Clusters are [[componentsStars]] over the
+    * LSH pair graph, singleton docs cluster with themselves; the survivor
+    * is argmax by (text length DESC, doc_id ASC) — stand-in for any
+    * quality score. The argmax runs on the NATIVE bounded-heap top-k
+    * operator ([[graft.plans.TopKPerKey]], k = 1): no per-cluster sort,
+    * and only (cluster, doc_id, text_len) rows ever shuffle — text stays
+    * at the scan. Oracle: recursive-CTE clustering + window argmax.
+    */
+  def canonical(s: SparkSession, d: String): DataFrame = {
+    val labels = componentsStars(s, d).select(col("doc_id"), col("component"))
+    val clustered = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+    val sizes = clustered.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    graft.plans.TopKPerKey.topK(
+      clustered.select(col("cluster"), col("doc_id"), col("text_len")),
+      keyCols = Seq("cluster"),
+      sortCols = Seq(("text_len", false), ("doc_id", true)), k = 1)
+      .join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("doc_id").as("canonical_id"),
+        col("text_len"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Corpus snapshot diff: classify every doc_id across two corpus
+    * versions as added / removed / changed / unchanged — the audit step
+    * between pipeline runs (what did the recrawl actually change?) and
+    * the input to incremental downstream recomputation (only added ∪
+    * changed need re-sketching). Synthetic snapshots carved
+    * deterministically from `documents`: old = id % 7 ≠ 0, new = id % 5
+    * ≠ 0 with text reversed where id % 11 = 0. The content fingerprint
+    * (md5) is computed BEFORE the join on each side, so the full-outer
+    * exchange carries 16-byte digests, never text — at 100 TB the diff
+    * shuffles ~0.1% of corpus bytes.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("md5_old"))
+    val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(when(col("doc_id") % 11 === 0,
+        reverse(col("text"))).otherwise(col("text"))).as("md5_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("md5_old").isNull, lit("added"))
+          .when(col("md5_new").isNull, lit("removed"))
+          .when(col("md5_old") =!= col("md5_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental dedup: classify a NEW batch of documents against an
     * already-seen corpus without ever re-processing the seen side. This is
     * the production shape of LLM-corpus dedup — the seen corpus is 100 TB
@@ -578,6 +635,8 @@ object Dedup {
     "dd_simhash" -> simhash,
     "dd_components" -> components,
     "dd_components_stars" -> componentsStars,
+    "dd_canonical" -> canonical,
+    "dd_snapshot_diff" -> snapshotDiff,
     "dd_incremental" -> incremental
   )
 
@@ -739,6 +798,48 @@ object Dedup {
     // same oracle as dd_components: both implementations must produce the
     // identical clustering of the identical (exact, non-LSH) pair graph
     "dd_components_stars" -> componentsOracle,
+    "dd_canonical" ->
+      s"""WITH RECURSIVE
+         |$shingCte,
+         |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, b.n AS nb, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |pairs AS (
+         |  SELECT ia, ib FROM inter WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JT),
+         |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+         |reach(node, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+         |comps AS (SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY 1),
+         |clusters AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+         |         CAST(length(d.text) AS BIGINT) AS text_len
+         |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id),
+         |ranked AS (
+         |  SELECT cluster, doc_id, text_len,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY text_len DESC, doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM clusters)
+         |SELECT cluster, doc_id AS canonical_id, text_len, n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    "dd_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS md5_old FROM documents WHERE doc_id % 7 <> 0),
+        |neu AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END) AS md5_new
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |       CASE WHEN old.doc_id IS NULL THEN 'added'
+        |            WHEN neu.doc_id IS NULL THEN 'removed'
+        |            WHEN md5_old <> md5_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH hashed AS (
        |  SELECT doc_id,

@@ -380,6 +380,54 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** BM25 term ranking (k1 = 1.2, b = 0.75) in EXACT integer arithmetic —
+    * the retrieval scorer behind keyword search over a training corpus.
+    * Substituting k1 = 6/5, b = 3/4, avgdl = T/N (T = corpus tokens,
+    * N = docs) and clearing denominators, the Robertson tf saturation ×
+    * the rational idf (N−df+½)/(df+½) becomes a ratio of two integer
+    * products:
+    *
+    *   score = (2N − 2df + 1) · 22·tf·T
+    *           ───────────────────────────────────
+    *           (2df + 1) · (10·tf·T + 3T + 9·dl·N)
+    *
+    * — ln-free for the same reason as [[tfidf]] (libm ulp drift), one
+    * IEEE division of exact BIGINTs at the end, bit-equal in any engine.
+    * Products stay under 2^63 while df·tf·T·N < 2^63 (≈ 10^9-token
+    * corpora with 10^5-token docs; shard the corpus stat beyond that).
+    * Same plan shape as tfidf: one explode → three partial-aggregated
+    * groupBys (tf, dl, df) → vocabulary-sized broadcast joins → per-doc
+    * WindowGroupLimit top-3.
+    */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val t = toks.agg(count(lit(1)).as("t_total"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("token"))
+    tf.join(dl, "doc_id").join(df, "token")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(t))
+      .withColumn("num",
+        (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+          * lit(22L) * col("tf") * col("t_total"))
+      .withColumn("den",
+        (lit(2L) * col("df") + lit(1L))
+          * (lit(10L) * col("tf") * col("t_total") + lit(3L) * col("t_total")
+            + lit(9L) * col("dl") * col("n_docs")))
+      .withColumn("score", col("num").cast("double") / col("den").cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+        col("dl"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Corpus-level trigram frequency: the boilerplate/template detector for
     * a punctuation-free corpus — recurring word trigrams play the role
     * repeated sentences play in web text. Explode is 3× token rows wide
@@ -530,7 +578,47 @@ object TextOps {
         sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy(col("tier"))
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor document gets k = 2 pseudo-random negatives from a fixed
+    * stride walk over the corpus arranged on a content-hash ring (order
+    * by the 60-bit cross-engine hash of text, then doc_id) — negative j
+    * sits at ring position (pos + j·⌊N/3⌋) mod N, never the anchor for
+    * j ∈ {1,2} when N ≥ 3. Deterministic ⇒ resumable, auditable, and
+    * identical on any partitioning, unlike rand() pairing. The global
+    * ring position is assigned WITHOUT a single-partition window:
+    * bucket by the hash's top 4 bits, per-bucket counts → prefix
+    * offsets (a 16-row broadcast frame), per-bucket row_number; position
+    * = bucket offset + local rank. The oracle replays the plain global
+    * window form — proving the two-pass distributed ranking exactly
+    * reproduces it.
+    */
+  def negatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(sparkHash("text")).as("h"))
+      .withColumn("bucket", shiftright(col("h"), 56))
+    val offs = docs.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val ranked = docs
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))) - 1)
+      .join(broadcast(offs), "bucket")
+      .select(col("doc_id"), (col("off") + col("lr")).as("pos"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("doc_id").as("anchor_id"), col("pos"), col("n"))
+      .withColumn("j", explode(array(lit(1), lit(2))))
+      .withColumn("np", (col("pos") + col("j") * expr("n DIV 3")) % col("n"))
+      .join(ranked.select(col("pos").as("np"), col("doc_id").as("neg_id")), "np")
+      .select(col("anchor_id"), col("j"), col("neg_id"))
+      .orderBy(col("anchor_id"), col("j"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_negatives" -> negatives,
     "pipe_quality_sample" -> qualitySample,
     "pipe_interleave" -> interleave,
     "tx_ngram_freq" -> ngramFreq,
@@ -538,6 +626,7 @@ object TextOps {
     "tx_gopher_rules" -> gopherRules,
     "pipe_source_cap" -> sourceCap,
     "tx_tfidf" -> tfidf,
+    "tx_bm25" -> bm25,
     "pipe_tokenize_ids" -> tokenizeIds,
     "tx_chunk_tokens" -> chunkTokens,
     "pipe_split" -> trainSplit,
@@ -559,6 +648,19 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "pipe_negatives" ->
+        s"""WITH pos AS (
+           |  SELECT doc_id,
+           |         row_number() OVER (ORDER BY ${duckHash("text")}, doc_id) - 1 AS p
+           |  FROM documents),
+           |tot AS (SELECT COUNT(*) AS n FROM documents),
+           |js AS (SELECT unnest([1, 2]) AS j),
+           |negs AS (
+           |  SELECT a.doc_id AS anchor_id, js.j, (a.p + js.j * (tot.n // 3)) % tot.n AS np
+           |  FROM pos a CROSS JOIN tot CROSS JOIN js)
+           |SELECT anchor_id, CAST(j AS INT) AS j, b.doc_id AS neg_id
+           |FROM negs JOIN pos b ON negs.np = b.p
+           |ORDER BY anchor_id, j""".stripMargin,
       "pipe_quality_sample" ->
         s"""WITH f AS (
            |  SELECT doc_id, n_chars,
@@ -667,6 +769,35 @@ object TextOps {
           |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
           |         ORDER BY score DESC, token) AS INT) AS rn,
           |       token, tf, df, score
+          |FROM scored
+          |QUALIFY rn <= 3
+          |ORDER BY doc_id, rn""".stripMargin,
+      "tx_bm25" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          |  FROM documents),
+          |tk AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+          |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+          |df AS (SELECT token, COUNT(*) AS df
+          |       FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY 1),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |t AS (SELECT COUNT(*) AS t_total FROM tk),
+          |scored AS (
+          |  SELECT tf.doc_id AS doc_id, tf.token AS token, tf.tf AS tf,
+          |         df.df AS df, dl.dl AS dl,
+          |         CAST(CAST((2 * n_docs - 2 * df.df + 1)
+          |                   * 22 * tf.tf * t_total AS BIGINT) AS DOUBLE)
+          |         / CAST(CAST((2 * df.df + 1)
+          |                     * (10 * tf.tf * t_total + 3 * t_total
+          |                        + 9 * dl.dl * n_docs) AS BIGINT) AS DOUBLE) AS score
+          |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          |          JOIN df ON tf.token = df.token
+          |  CROSS JOIN n CROSS JOIN t)
+          |SELECT doc_id,
+          |       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          |         ORDER BY score DESC, token) AS INT) AS rn,
+          |       token, tf, df, dl, score
           |FROM scored
           |QUALIFY rn <= 3
           |ORDER BY doc_id, rn""".stripMargin,
