@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreOps.queries ++ ops.ScalarOps.queries ++ ops.AggJoinOps.queries ++
       ops.PipelineOps.queries ++ ops.ExtraOps.queries ++ ops.TpchOps.queries ++
+      ops.QcOps.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       ext.MapOps.queries ++ ext.CountMinAgg.queries ++ ext.HyperLogLog.queries ++
@@ -30,7 +31,8 @@ object SparkEntry {
         "st_static_enrich" -> streaming.StreamOps.staticEnrichStream,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
-        "st_hll_stream" -> streaming.StreamOps.hllStream)
+        "st_hll_stream" -> streaming.StreamOps.hllStream,
+        "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,6 +40,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.CoreOps.oracle ++ ops.ScalarOps.oracle ++ ops.AggJoinOps.oracle ++
       ops.PipelineOps.oracle ++ ops.ExtraOps.oracle ++ ops.TpchOps.oracle ++
+      ops.QcOps.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++ ext.HyperLogLog.oracle ++
@@ -58,5 +61,6 @@ object SparkEntry {
         "st_static_enrich" -> streaming.StreamOps.staticEnrichOracle,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
         "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
-        "st_hll_stream" -> streaming.StreamOps.hllStreamOracle)
+        "st_hll_stream" -> streaming.StreamOps.hllStreamOracle,
+        "st_foreach_batch" -> streaming.StreamOps.foreachBatchSinkOracle)
 }

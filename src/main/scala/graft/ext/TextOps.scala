@@ -288,6 +288,47 @@ object TextOps {
       .withColumn("n_chars", length(col("chunk_text")))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Corpus-wide duplicated-chunk removal — the C4/RefinedWeb curation
+    * step where any span occurring VERBATIM more than once across the
+    * corpus (boilerplate, license headers, templated text) is dropped
+    * from every document containing it, while the documents themselves
+    * survive with the duplicated spans excised. Chunks are fixed 20-word
+    * windows assembled via slice() over the split array — one narrow
+    * sequence+explode, no per-word explosion.
+    *
+    * Scale design: chunk frequency shuffles only the 60-bit chunk hash
+    * (8-byte keys, map-side combined); the duplicated-hash set is
+    * FILTERED to n_occ > 1 before the join back, so AQE broadcasts it
+    * when the corpus's boilerplate set fits in memory and degrades to a
+    * shuffle join (keyed by the same 8-byte hash) when it does not. Text
+    * travels through exactly two shuffles: the hash join-back and the
+    * per-doc reassembly — the minimum for a corpus-global rewrite.
+    * Reassembly is order-restored by sorting (chunk_id, chunk) structs
+    * inside each doc's collected list, never a global sort.
+    */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("ck", explode(expr(s"sequence(0, (size(ws) - 1) div $DEDUP_W)")))
+      .select(col("doc_id"), col("ck").cast("long").as("ck"),
+        concat_ws(" ", slice(col("ws"), col("ck") * DEDUP_W + 1, lit(DEDUP_W))).as("chunk"))
+      .withColumn("h", expr(sparkHash("chunk")))
+    val dups = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    chunks.join(dups, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        array_join(transform(array_sort(collect_list(
+            when(col("n_occ").isNull, struct(col("ck"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val DEDUP_W = 20
+
   /** Token-window chunking (64-token windows, stride 48 — 16-token
     * overlap): the tokenizer-aligned sibling of [[chunkDocs]]. Tokens are
     * whitespace words here (the BPE-ish regex split of `tx_tokens` plugs
@@ -629,6 +670,7 @@ object TextOps {
     "tx_bm25" -> bm25,
     "pipe_tokenize_ids" -> tokenizeIds,
     "tx_chunk_tokens" -> chunkTokens,
+    "tx_chunk_dedup" -> chunkDedup,
     "pipe_split" -> trainSplit,
     "pipe_chunk_docs" -> chunkDocs,
     "tx_repetition" -> repetition,
@@ -832,6 +874,23 @@ object TextOps {
           |       CAST(len(ws[(s + 1):(s + 64)]) AS INT) AS n_tokens,
           |       array_to_string(ws[(s + 1):(s + 64)], ' ') AS chunk_text
           |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+      "tx_chunk_dedup" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws
+           |  FROM documents WHERE len(text) > 0),
+           |ck AS (
+           |  SELECT doc_id, CAST(t.ck AS BIGINT) AS ck,
+           |         array_to_string(ws[(t.ck * $DEDUP_W + 1):(t.ck * $DEDUP_W + $DEDUP_W)], ' ') AS chunk
+           |  FROM w, unnest(range(0, (len(ws) - 1) // $DEDUP_W + 1)) AS t(ck)),
+           |h AS (
+           |  SELECT doc_id, ck, chunk, ${duckHash("chunk")} AS hh FROM ck),
+           |f AS (
+           |  SELECT hh, COUNT(*) AS n_occ FROM h GROUP BY hh HAVING COUNT(*) > 1)
+           |SELECT h.doc_id, COUNT(*) AS n_chunks,
+           |       CAST(SUM(CASE WHEN f.n_occ IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |       COALESCE(string_agg(CASE WHEN f.n_occ IS NULL THEN h.chunk END, ' ' ORDER BY h.ck), '') AS cleaned_text
+           |FROM h LEFT JOIN f USING (hh)
+           |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
       "pipe_split" ->
         s"""WITH b AS (
            |  SELECT doc_id, n_chars,

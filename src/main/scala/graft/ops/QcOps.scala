@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint checking as a first-class operator — the
+  * Deequ-style generalization of the reference's hand-rolled QC gates
+  * (count != 0 checks, `etl.py`'s quality_check step): a declarative
+  * suite of constraints evaluated in ONE pass over the table, emitting a
+  * (check_name, metric, passed) report row per constraint.
+  *
+  * Scale design: all single-table constraints (completeness, domain,
+  * range, size, uniqueness) fold into one partial-aggregated scan — at
+  * 100 TB the suite costs exactly one pass regardless of how many
+  * constraints it carries, vs one job per check for naive QC. The
+  * referential-integrity check is the only second scan (distinct keys +
+  * left-anti join against the parent's key column — both sides shuffle
+  * narrow 8-byte keys, and the distinct pre-aggregates map-side). The
+  * count-distinct uniqueness metric is exact here; swap in
+  * approx_count_distinct at scales where a 2% error band is acceptable.
+  */
+object QcOps {
+
+  def constraintSuite(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val metrics = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("nn_ok"),
+      count(col("l_shipdate")).as("nn_sd"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+      min(col("l_quantity")).cast("double").as("min_qty"),
+      max(col("l_quantity")).cast("double").as("max_qty"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("n_flag_ok"),
+      sum(when(col("l_extendedprice") >= 0, 1L).otherwise(0L)).as("n_price_ok"))
+    val orphans = li.select(col("l_orderkey")).distinct()
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    metrics.crossJoin(orphans).selectExpr(
+      """stack(9,
+        |  'completeness_l_orderkey', CAST(nn_ok AS DOUBLE) / n_rows, nn_ok = n_rows,
+        |  'completeness_l_shipdate', CAST(nn_sd AS DOUBLE) / n_rows, nn_sd = n_rows,
+        |  'domain_returnflag', CAST(n_flag_ok AS DOUBLE) / n_rows, n_flag_ok = n_rows,
+        |  'nonneg_extendedprice', CAST(n_price_ok AS DOUBLE) / n_rows, n_price_ok = n_rows,
+        |  'pk_unique_orderkey_linenumber', CAST(n_pk AS DOUBLE) / n_rows, n_pk = n_rows,
+        |  'range_max_quantity_le_50', max_qty, max_qty <= 50.0D,
+        |  'range_min_quantity_ge_1', min_qty, min_qty >= 1.0D,
+        |  'ri_orderkey_in_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0,
+        |  'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000
+        |) AS (check_name, metric, passed)""".stripMargin)
+      .orderBy(col("check_name"))
+  }
+
+  /** Spark 4 `GROUP BY ALL` / `ORDER BY ALL` surface: the grouping keys
+    * are inferred as every non-aggregate select item and the sort covers
+    * all output columns left-to-right — identical semantics in DuckDB,
+    * so the oracle is the very same SQL string.
+    */
+  def groupOrderAll(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_all")
+    s.sql(groupOrderAllSql.replace("FROM lineitem", "FROM graft_li_all"))
+  }
+
+  private val groupOrderAllSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_constraint_suite" -> constraintSuite,
+    "x_group_by_all" -> groupOrderAll
+  )
+
+  val oracle: Map[String, String] = Map(
+    "qc_constraint_suite" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |         COUNT(l_orderkey) AS nn_ok,
+        |         COUNT(l_shipdate) AS nn_sd,
+        |         CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+        |         CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+        |         CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_ok,
+        |         CAST(SUM(CASE WHEN l_extendedprice >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_ok
+        |  FROM lineitem),
+        |pk AS (
+        |  SELECT COUNT(*) AS n_pk
+        |  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        |orph AS (
+        |  SELECT COUNT(*) AS n_orphan
+        |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT * FROM (
+        |  SELECT 'completeness_l_orderkey' AS check_name,
+        |         CAST(nn_ok AS DOUBLE) / n_rows AS metric, nn_ok = n_rows AS passed FROM m
+        |  UNION ALL SELECT 'completeness_l_shipdate', CAST(nn_sd AS DOUBLE) / n_rows, nn_sd = n_rows FROM m
+        |  UNION ALL SELECT 'domain_returnflag', CAST(n_flag_ok AS DOUBLE) / n_rows, n_flag_ok = n_rows FROM m
+        |  UNION ALL SELECT 'nonneg_extendedprice', CAST(n_price_ok AS DOUBLE) / n_rows, n_price_ok = n_rows FROM m
+        |  UNION ALL SELECT 'pk_unique_orderkey_linenumber', CAST(n_pk AS DOUBLE) / n_rows, n_pk = n_rows FROM m, pk
+        |  UNION ALL SELECT 'range_max_quantity_le_50', max_qty, max_qty <= 50.0 FROM m
+        |  UNION ALL SELECT 'range_min_quantity_ge_1', min_qty, min_qty >= 1.0 FROM m
+        |  UNION ALL SELECT 'ri_orderkey_in_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM orph
+        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)
+        |ORDER BY check_name""".stripMargin,
+    "x_group_by_all" -> groupOrderAllSql
+  )
+}

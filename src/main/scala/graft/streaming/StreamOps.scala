@@ -500,6 +500,47 @@ object StreamOps {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** foreachBatch exactly-once file sink — the production pattern for
+    * targets Spark has no native streaming connector for (JDBC, object
+    * stores with custom layouts): each micro-batch of the complete-mode
+    * aggregate lands as a parquet directory keyed by its BATCH ID in
+    * overwrite mode, so a replayed batch (checkpoint recovery re-delivers
+    * the same id) overwrites its own output instead of appending
+    * duplicates — idempotence from (deterministic id × overwrite), the
+    * documented exactly-once recipe. The returned frame RE-READS what
+    * landed on disk (latest batch wins; complete mode rewrites the full
+    * aggregate each batch), so the DuckDB oracle verifies the actual
+    * file contents, not an in-memory stream. StreamingSpec replays the
+    * query over the same checkpoint to prove no duplicate rows land.
+    */
+  def foreachBatchSink(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val writer = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$out/data/batch_id=$batchId")
+    val q = eventsStream(ss, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .foreachBatch(writer)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val all = ss.read.option("basePath", s"$out/data").parquet(s"$out/data")
+    // the partition-dir value is discovery-typed (int), so cast explicitly
+    val last = all.agg(max(col("batch_id")).cast("long")).head.getLong(0)
+    all.filter(col("batch_id") === last)
+      .select(col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val foreachBatchSinkOracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Streaming sketch maintenance: the verified HLL's registers
     * ([[graft.ext.HyperLogLog]]) kept up to date by a streaming
     * max-aggregate over the events source — the state store holds exactly

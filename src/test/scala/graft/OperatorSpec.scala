@@ -45,6 +45,7 @@ class OperatorSpec extends AnyFunSuite {
       "PipelineOps" -> ops.PipelineOps.queries.keySet,
       "ExtraOps" -> ops.ExtraOps.queries.keySet,
       "TpchOps" -> ops.TpchOps.queries.keySet,
+      "QcOps" -> ops.QcOps.queries.keySet,
       "Dedup" -> ext.Dedup.queries.keySet,
       "Similarity" -> ext.Similarity.queries.keySet,
       "TextOps" -> ext.TextOps.queries.keySet,
@@ -194,5 +195,37 @@ class OperatorSpec extends AnyFunSuite {
       .select("o_orderkey").as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect()
     assert(keys.sameElements(all.slice(100, 110)))
+  }
+
+  test("chunk dedup: untouched docs round-trip verbatim; cleaned text is a chunk subsequence") {
+    val out = ext.TextOps.chunkDedup(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("text")), "doc_id")
+      .collect()
+    assert(out.nonEmpty)
+    val dupDocs = out.count(_.getAs[Long]("n_dup") > 0)
+    assert(dupDocs > 0, "corpus should contain some duplicated chunks")
+    out.foreach { r =>
+      val (nChunks, nDup) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup"))
+      val (text, cleaned) = (r.getAs[String]("text"), r.getAs[String]("cleaned_text"))
+      // chunk count covers the whole doc: ceil(words / 20)
+      val words = text.split(" ").length
+      assert(nChunks == (words + 19) / 20, s"doc ${r.get(0)}: $nChunks chunks for $words words")
+      if (nDup == 0) assert(cleaned == text,
+        s"doc ${r.get(0)} has no dup chunks but text changed")
+      else {
+        // dropping chunks removes exact multiples of the window (except a
+        // possibly-short final chunk) and never reorders survivors
+        assert(cleaned.length < text.length)
+        val kept = cleaned.split(" ").filter(_.nonEmpty)
+        val orig = text.split(" ")
+        // survivors appear in original order: verify subsequence property
+        var i = 0
+        kept.foreach { w =>
+          while (i < orig.length && orig(i) != w) i += 1
+          assert(i < orig.length, s"doc ${r.get(0)}: '$w' out of order")
+          i += 1
+        }
+      }
+    }
   }
 }

@@ -249,4 +249,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("110") && p.contains("100"),
       "expected limit=110 with offset=100 in TakeOrdered args:\n" + p.take(2000))
   }
+
+  test("dim filter dynamically prunes fact partitions (DPP)") {
+    // At 100 TB the fact table is date/category-partitioned and the
+    // filter lives on a dim — without dynamic partition pruning the scan
+    // reads EVERY partition and discards rows post-join. Assert Spark
+    // injects the runtime partition filter (dim broadcast reused as the
+    // pruning subquery) into the partitioned scan.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$dir/events_by_type")
+    val fact = spark.read.parquet(s"$dir/events_by_type")
+    val dim = Tables.events(spark, sf).select(col("event_type")).distinct()
+      .withColumn("is_conv", col("event_type").isin("purchase", "signup"))
+      .select(col("event_type").as("etype"), col("is_conv"))
+    val joined = fact
+      .join(dim.filter(col("is_conv")), fact("event_type") === dim("etype"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruning partition filter on the fact scan:\n" + p.take(3000))
+    // and the pruned-scan result is still correct
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
 }

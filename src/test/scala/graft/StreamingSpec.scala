@@ -295,4 +295,32 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("foreachBatch batch-id-keyed overwrite sink is idempotent under replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_feb_spec").toString
+    def run(): Unit = {
+      val input = MemoryStream[Ev](spark)
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      val writer = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        b.write.mode("overwrite").parquet(s"$root/data/batch_id=$id")
+      val q = input.toDS().groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .foreachBatch(writer)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val first = spark.read.parquet(s"$root/data").collect().toSet
+    // second run over the SAME checkpoint: the committed batch is not
+    // re-delivered, and even a re-delivered id would overwrite its own
+    // directory — either way the on-disk result must not change
+    run()
+    val second = spark.read.parquet(s"$root/data").collect().toSet
+    assert(first == second, s"replay changed the sink: $first vs $second")
+    assert(first.nonEmpty)
+  }
 }
