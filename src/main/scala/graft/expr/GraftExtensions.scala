@@ -38,5 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
         CosineSim(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_minhash requires exactly 1 argument, got ${exprs.length}")
+        MinHashSig(exprs.head, MinHashSig.K, MinHashSig.M)
+      }))
   }
 }

@@ -90,7 +90,11 @@ object VectorExprs {
     * is usable from SQL text and expr(...) — the Spark-4-clean way to
     * expose a custom Expression without internal Column constructors.
     */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSig(exprs.head, MinHashSig.K, MinHashSig.M), "built-in")
+  }
 }

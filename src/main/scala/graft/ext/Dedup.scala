@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Hashing.{duckHash, sparkHash}
 
-  private val K = 32 // minhash signature length
+  // minhash signature length — the ONE definition lives next to the
+  // native expression so SQL registration and operator library agree
+  private val K = graft.expr.MinHashSig.K
   private val B = 8  // bands
   private val R = 4  // rows per band (K = B*R)
   // jaccard threshold — package-visible so the streaming probe and the
@@ -64,7 +66,7 @@ object Dedup {
     * then h_i = ((2i+1)·base + i·2654435761) mod 2^40 — every intermediate
     * stays < 2^47, safe for DuckDB's overflow-trapping BIGINT.
     */
-  private val M40 = "1099511627776"
+  private val M40 = graft.expr.MinHashSig.M.toString
 
   /** (doc_id, shashes): lowercase word-3-gram shingles hashed to 60-bit
     * longs, distinct per doc. All dedup set math runs on these longs.
@@ -133,9 +135,21 @@ object Dedup {
 
   /** Adds the K-wide minhash signature to a shingled frame: K arithmetic
     * hashes folded elementwise-min over the shingle hashes — one row per
-    * doc, no explosion.
+    * doc, no explosion. Runs the native fused [[graft.expr.MinHashSig]]
+    * expression (codegen, one long[K] per doc) rather than the HOF fold
+    * below — identical Long arithmetic, so bit-for-bit the same signature
+    * (ExtensionSpec pins the equality; the DuckDB oracles are untouched).
     */
-  def signaturesOf(shingles: DataFrame): DataFrame =
+  def signaturesOf(shingles: DataFrame): DataFrame = {
+    graft.expr.VectorExprs.register(shingles.sparkSession)
+    shingles.withColumn("sig", expr("graft_minhash(shashes)"))
+  }
+
+  /** The declarative HOF formulation [[signaturesOf]] replaced — kept as
+    * the executable spec of the signature arithmetic (interpreted
+    * lambdas, one K-array allocation per shingle).
+    */
+  private[graft] def signaturesOfHof(shingles: DataFrame): DataFrame =
     shingles.withColumn("sig", expr(
       s"""aggregate(
          |  transform(shashes, h -> transform(sequence(0, ${K - 1}),

@@ -92,6 +92,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff pairs differ — fold order must match exactly")
   }
 
+  test("codegen MinHashSig is bit-identical to the HOF fold (incl. empty set)") {
+    import spark.implicits._
+    val sh = ext.Dedup.shingledOf(Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")))
+    val native = ext.Dedup.signaturesOf(sh).select(col("doc_id"), col("sig"))
+    val hof = ext.Dedup.signaturesOfHof(sh)
+      .select(col("doc_id"), col("sig").as("sig_hof"))
+    val joined = native.join(hof, "doc_id")
+    assert(joined.count() > 0)
+    val diff = joined.filter(col("sig") =!= col("sig_hof")).count()
+    assert(diff == 0, s"$diff docs differ — arithmetic must match exactly")
+    // empty shingle set → the fold's init vector (K × MaxLong)
+    graft.expr.VectorExprs.register(spark)
+    val empty = Seq(Seq.empty[Long]).toDF("shashes")
+      .selectExpr("graft_minhash(shashes) AS sig").collect().head.getSeq[Long](0)
+    assert(empty.length == graft.expr.MinHashSig.K
+      && empty.forall(_ == Long.MaxValue))
+  }
+
   test("CosineSim: ragged vectors yield null; wrong types fail analysis") {
     import spark.implicits._
     graft.expr.VectorExprs.register(spark)
