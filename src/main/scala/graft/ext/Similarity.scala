@@ -570,7 +570,60 @@ object Similarity {
     sel.orderBy(col("qid"), col("step"))
   }
 
+  /** Scalar-quantized (SQ8) approximate top-k — the memory-compression
+    * leg of the ANN triad (brute = exact baseline, IVF = partition
+    * pruning, SQ8 = byte codes): every corpus vector is encoded as one
+    * uint8 code per dimension against per-dimension [min, max] ranges
+    * (64 B/vector vs 256 B of float32 — at 100 TB of embeddings this is
+    * the difference between a RAM-resident index and not), queries score
+    * against the DEQUANTIZED codes (asymmetric distance computation:
+    * full-precision query × compressed corpus, FAISS's SQ8 flat index).
+    *
+    * Scale: the range stats are ONE narrow (pos, min, max) aggregation —
+    * 64 rows whatever the corpus size — broadcast back; encoding is a
+    * per-row transform (no shuffle); scoring streams the code table
+    * partitioned with the 5-query side broadcast, and per-query top-10
+    * never global-sorts. Everything is closed-form double arithmetic, so
+    * DuckDB replays encode→decode→score→rank bit-for-bit; ExtensionSpec
+    * pins recall@10 against the exact brute-force ranking.
+    */
+  def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mins"),
+        expr("""transform(array_sort(collect_list(struct(pos,
+            |  CASE WHEN mx > mn THEN (mx - mn) / 256.0D ELSE 1.0D END AS st))),
+            |  s -> s.st)""".stripMargin).as("steps"))
+    val codes = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        expr("""transform(sequence(0, size(embedding) - 1), i ->
+            |  CAST(least(255.0D, greatest(0.0D,
+            |    floor((CAST(embedding[i] AS DOUBLE) - mins[i]) / steps[i]))) AS INT))"""
+          .stripMargin).as("code"),
+        col("mins"), col("steps"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = q.hint("broadcast").join(codes)
+      .withColumn("rv", expr(
+        """transform(sequence(0, size(code) - 1),
+          |  i -> mins[i] + (CAST(code[i] AS DOUBLE) + 0.5D) * steps[i])""".stripMargin))
+      .withColumn("score_sq", expr(cosExpr("qv", "rv")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score_sq"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id"), col("rank"), col("score_sq"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
     "sim_label_centroids" -> labelCentroids,
     "sim_vector_norms" -> vectorNorms,
@@ -645,6 +698,40 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_sq8_topk" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         |dim AS (
+         |  SELECT (u.s).pos AS pos, MIN((u.s).x) AS mn, MAX((u.s).x) AS mx
+         |  FROM (
+         |    SELECT unnest([{'pos': i, 'x': CAST(embedding[i + 1] AS DOUBLE)}
+         |                   for i in range(0, len(embedding))]) AS s
+         |    FROM c) u
+         |  GROUP BY (u.s).pos),
+         |st AS (
+         |  SELECT array_agg(mn ORDER BY pos) AS mins,
+         |         array_agg(CASE WHEN mx > mn THEN (mx - mn) / 256.0 ELSE 1.0 END
+         |                   ORDER BY pos) AS steps
+         |  FROM dim),
+         |recon AS (
+         |  SELECT vec_id,
+         |    [mins[i] + (CAST(CAST(least(255.0, greatest(0.0,
+         |       floor((CAST(embedding[i] AS DOUBLE) - mins[i]) / steps[i]))) AS INT)
+         |       AS DOUBLE) + 0.5) * steps[i]
+         |     for i in range(1, len(embedding) + 1)] AS rv
+         |  FROM c CROSS JOIN st),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.qid, r.vec_id, (${duckCos("q.qv", "r.rv")}) AS score_sq
+         |  FROM q CROSS JOIN recon r),
+         |ranked AS (
+         |  SELECT qid, vec_id, score_sq,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY score_sq DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT qid, vec_id, rank, score_sq FROM ranked
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "sim_mmr" ->
       s"""WITH RECURSIVE
          |cand0 AS (

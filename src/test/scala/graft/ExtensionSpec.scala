@@ -80,6 +80,21 @@ class ExtensionSpec extends AnyFunSuite {
     info(f"IVF@1-probe recall vs brute force: $overlap%.2f")
   }
 
+  test("SQ8 codes recover the brute-force top-10 with high recall") {
+    val brute = ext.Similarity.topKBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = ext.Similarity.sq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 10 results per query, every one a real corpus vector
+    assert(sq.groupBy(_._1).forall(_._2.length == 10))
+    // 8-bit/dim quantization of 64-dim vectors loses ~0.4% of the value
+    // range per component — the induced ranking should stay close to
+    // exact (FAISS SQ8 typically ≥0.9 recall@10; assert a safe floor)
+    val recall = sq.count(brute.contains).toDouble / sq.length
+    info(f"SQ8 recall@10 vs brute force: $recall%.2f")
+    assert(recall >= 0.8, s"SQ8 recall collapsed: $recall")
+  }
+
   test("codegen CosineSim is bit-identical to the HOF fold") {
     graft.expr.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf)
