@@ -367,6 +367,47 @@ object TextOps {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"))
 
+  /** Dataset card: the per-(source, split) manifest a training run ships
+    * with — document/char/token counts, corpus share, exact-duplicate
+    * rate, and stopword share (the quality proxy). One scan computes
+    * every cell: the split is the same auditable hash gate as
+    * [[trainSplit]], dup rate folds md5 text hashes into a per-group
+    * count-distinct, and ratios divide EXACT integer totals (never a
+    * mean of per-doc doubles, which would be combine-order-dependent).
+    * The corpus total for pct_docs is a 1-row broadcast.
+    *
+    * Scale: one shuffle on (source, split) — ~sources×3 groups — with all
+    * counts partially aggregated map-side except the exact text-hash
+    * count-distinct (its two-phase expansion shuffles 16-byte hashes;
+    * swap for approx_count_distinct when a 2% band on dup_rate is fine).
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("long"))
+      .withColumn("th", md5(col("text")))
+    val total = docs.agg(count(lit(1)).as("corpus_docs"))
+    docs.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_stop")).as("n_stop"),
+        countDistinct(col("th")).as("n_uniq"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
+        col("n_tokens"),
+        (col("n_docs").cast("double") / col("corpus_docs")).as("pct_docs"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_share"))
+      .orderBy(col("source"), col("split"))
+  }
+
   /** Tokens → vocabulary ids: build the top-100 vocab (freq desc, token
     * tie-break → dense ids 1..100), map every token position to its id
     * (out-of-vocab → 0), and re-assemble the id sequence per document in
@@ -672,6 +713,7 @@ object TextOps {
     "tx_chunk_tokens" -> chunkTokens,
     "tx_chunk_dedup" -> chunkDedup,
     "pipe_split" -> trainSplit,
+    "pipe_dataset_card" -> datasetCard,
     "pipe_chunk_docs" -> chunkDocs,
     "tx_repetition" -> repetition,
     "tx_redact" -> redact,
@@ -903,6 +945,26 @@ object TextOps {
            |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
            |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+      "pipe_dataset_card" ->
+        s"""WITH b AS (
+           |  SELECT source, doc_id, text, n_chars,
+           |         CASE WHEN h < 90 THEN 'train'
+           |              WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+           |         len(string_split(lower(text), ' ')) AS n_tokens,
+           |         len(list_filter(string_split(lower(text), ' '),
+           |             w -> w IN ${inList(stop("en"))})) AS n_stop
+           |  FROM (SELECT *, ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+           |        FROM documents)),
+           |tot AS (SELECT COUNT(*) AS corpus_docs FROM documents)
+           |SELECT source, split, COUNT(*) AS n_docs,
+           |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |       CAST(COUNT(*) AS DOUBLE) / corpus_docs AS pct_docs,
+           |       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate,
+           |       CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tokens) AS BIGINT) AS stop_share
+           |FROM b CROSS JOIN tot
+           |GROUP BY source, split, corpus_docs
+           |ORDER BY source, split""".stripMargin,
       "pipe_chunk_docs" ->
         """WITH st AS (
           |  SELECT doc_id, text,
