@@ -68,9 +68,35 @@ object QcOps {
       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
 
+  /** SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN`):
+    * the exact-decimal net-price measure declared ONCE in SQL and reused
+    * by name. Catalyst INLINES the body into the calling plan, so unlike
+    * a JVM UDF black box it stays inside whole-stage codegen and remains
+    * transparent to pushdown/pruning — the right way to share measure
+    * definitions across a SQL-first team. The RETURNS DECIMAL(18,4)
+    * contract keeps the per-row value exact (scale-4 product preserved),
+    * so the decimal sum is partitioning-independent and the oracle just
+    * inlines the same body (DuckDB's CREATE MACRO is the equivalent
+    * there).
+    */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_udf")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(price DOUBLE, disc DOUBLE)
+        |RETURNS DECIMAL(18,4)
+        |RETURN CAST(price AS DECIMAL(12,2)) * (1 - CAST(disc AS DECIMAL(4,2)))"""
+        .stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |       CAST(SUM(graft_net(l_extendedprice, l_discount)) AS DOUBLE) AS net_revenue,
+        |       COUNT(*) AS n
+        |FROM graft_li_udf GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_constraint_suite" -> constraintSuite,
-    "x_group_by_all" -> groupOrderAll
+    "x_group_by_all" -> groupOrderAll,
+    "x_sql_udf" -> sqlUdf
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,6 +129,13 @@ object QcOps {
         |  UNION ALL SELECT 'ri_orderkey_in_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM orph
         |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)
         |ORDER BY check_name""".stripMargin,
-    "x_group_by_all" -> groupOrderAllSql
+    "x_group_by_all" -> groupOrderAllSql,
+    "x_sql_udf" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS net_revenue,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
