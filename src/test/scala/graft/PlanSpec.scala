@@ -250,6 +250,42 @@ class PlanSpec extends AnyFunSuite {
       "expected limit=110 with offset=100 in TakeOrdered args:\n" + p.take(2000))
   }
 
+  test("chunk-dedup frequency side prunes to the bare text column") {
+    // the corpus-global chunk-frequency subplan must never carry doc_id —
+    // its exchange is (60-bit hash, count) pairs computed from a
+    // text-only scan (the PLANS.md claim, machine-checked)
+    val p = plan("tx_chunk_dedup")
+    val freqScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("text") && !l.contains("doc_id"))
+    assert(freqScans.nonEmpty,
+      "expected a doc_id-free text-only scan for the chunk-frequency side:\n" + p.take(3000))
+    assert(p.contains("partial_count"),
+      "chunk-hash frequency must combine map-side before its exchange:\n" + p.take(3000))
+  }
+
+  test("constraint suite costs one lineitem pass per constraint CLASS, not per constraint") {
+    // 9 constraints → exactly 2 lineitem scans (the fused single-table
+    // agg + the RI distinct-key probe) and 1 orders scan
+    val p = plan("qc_constraint_suite")
+    val li = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    val ord = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders.parquet"))
+    assert(li == 2, s"expected 2 lineitem scans, got $li:\n" + p.take(3000))
+    assert(ord == 1, s"expected 1 orders scan, got $ord:\n" + p.take(3000))
+  }
+
+  test("SQ8 corpus streams partitioned; only stats and queries broadcast") {
+    val p = planAtScale("sim_sq8_topk")
+    // the 1-row range-stats frame and the 5-query side broadcast; the
+    // corpus/code table must NEVER be the build side of anything
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus must stream against broadcast builds, never shuffle-join or cartesian:\n"
+        + p.take(3000))
+  }
+
   test("dim filter dynamically prunes fact partitions (DPP)") {
     // At 100 TB the fact table is date/category-partitioned and the
     // filter lives on a dim — without dynamic partition pruning the scan
