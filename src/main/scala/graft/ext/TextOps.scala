@@ -367,6 +367,64 @@ object TextOps {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"))
 
+  /** Distributed BPE tokenizer training — the first 3 merge rounds of
+    * byte-pair encoding over the corpus vocabulary, fully declarative
+    * (no driver loop; the per-round argmax pair is a 1-row TakeOrdered
+    * broadcast into the next round's plan). Each word rides as a
+    * sentinel-delimited segmentation string (chr(1) boundaries, doubled
+    * between symbols) so the batched greedy merge is ONE `replace()`
+    * call: the pattern `¦l¦¦r¦` can only align on true symbol
+    * boundaries, and replace()'s left-to-right non-overlapping scan IS
+    * the standard batched BPE merge semantic (identical in DuckDB, so
+    * the whole 3-round training replays in the oracle as unrolled CTEs).
+    *
+    * Scale: pair counting aggregates over word TYPES weighted by corpus
+    * frequency — the shuffle carries (l, r, partial count) over the
+    * vocabulary, never the corpus; merging is a per-row string op. A
+    * production 30k-round trainer keeps this plan per round but
+    * maintains pair counts incrementally (only words containing the
+    * merged pair change) instead of recounting — the round structure,
+    * tie-breaks, and merge semantics are exactly what is pinned here.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    var words = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("seg", expr(
+        """concat(chr(1), chr(1),
+          |  array_join(split(w, ''), concat(chr(1), chr(1))),
+          |  chr(1), chr(1))""".stripMargin))
+      .localCheckpoint()
+    def bestPair(df: DataFrame, round: Int): DataFrame =
+      df.select(col("cnt"), expr(
+          "filter(split(seg, concat(chr(1), chr(1))), x -> x != '')").as("syms"))
+        .select(col("cnt"), explode(expr(
+          """filter(
+            |  zip_with(syms, slice(syms, 2, greatest(size(syms) - 1, 0)),
+            |    (a, b) -> struct(a AS l, b AS r)),
+            |  p -> p.r IS NOT NULL)""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(desc("pcnt"), col("l"), col("r")).limit(1)
+        .select(lit(round).as("round"), col("l"), col("r"), col("pcnt"))
+        .localCheckpoint()
+    val bests = (1 to 3).map { r =>
+      val best = bestPair(words, r)
+      words = words
+        .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .withColumn("seg", expr(
+          """replace(seg,
+            |  concat(chr(1), bl, chr(1), chr(1), br, chr(1)),
+            |  concat(chr(1), bl, br, chr(1)))""".stripMargin))
+        .select(col("w"), col("cnt"), col("seg"))
+        .localCheckpoint()
+      best
+    }
+    bests.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
   /** Dataset card: the per-(source, split) manifest a training run ships
     * with — document/char/token counts, corpus share, exact-duplicate
     * rate, and stopword share (the quality proxy). One scan computes
@@ -714,6 +772,7 @@ object TextOps {
     "tx_chunk_dedup" -> chunkDedup,
     "pipe_split" -> trainSplit,
     "pipe_dataset_card" -> datasetCard,
+    "pipe_bpe_merges" -> bpeMerges,
     "pipe_chunk_docs" -> chunkDocs,
     "tx_repetition" -> repetition,
     "tx_redact" -> redact,
@@ -945,6 +1004,41 @@ object TextOps {
            |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
            |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+      "pipe_bpe_merges" -> {
+        // one BPE round as CTEs: pair counts over the current
+        // segmentations → argmax pair → batched greedy merge via the
+        // same sentinel replace() the Spark side uses
+        def round(n: Int, in: String) =
+          s"""p$n AS (
+             |  SELECT (u.p).l AS l, (u.p).r AS r, CAST(SUM(cnt) AS BIGINT) AS pcnt
+             |  FROM (
+             |    SELECT cnt, unnest([{'l': syms[i], 'r': syms[i+1]}
+             |                        for i in range(1, len(syms))]) AS p
+             |    FROM (SELECT cnt, list_filter(string_split(seg, chr(1)||chr(1)),
+             |                                  x -> x <> '') AS syms FROM $in)) u
+             |  GROUP BY 1, 2),
+             |b$n AS (SELECT $n AS round, l, r, pcnt FROM p$n
+             |        ORDER BY pcnt DESC, l, r LIMIT 1),
+             |w$n AS (
+             |  SELECT w, cnt, replace(seg, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+             |                              chr(1)||l||r||chr(1)) AS seg
+             |  FROM $in CROSS JOIN b$n)"""
+        s"""WITH vocab AS (
+           |  SELECT w, COUNT(*) AS cnt
+           |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           |  WHERE len(w) > 0 GROUP BY w),
+           |w0 AS (
+           |  SELECT w, cnt,
+           |         chr(1)||chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1))
+           |           || chr(1)||chr(1) AS seg
+           |  FROM vocab),
+           |${round(1, "w0")},
+           |${round(2, "w1")},
+           |${round(3, "w2")}
+           |SELECT round, l, r, pcnt FROM (
+           |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+           |ORDER BY round""".stripMargin
+      },
       "pipe_dataset_card" ->
         s"""WITH b AS (
            |  SELECT source, doc_id, text, n_chars,

@@ -197,6 +197,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(keys.sameElements(all.slice(100, 110)))
   }
 
+  test("BPE sentinel replace merges leftmost non-overlapping pairs only") {
+    import spark.implicits._
+    // the core trick of pipe_bpe_merges: pattern ¦l¦¦r¦ against doubled
+    // boundaries makes one replace() call the batched greedy BPE merge —
+    // 'aaaa'→(aa,aa), 'aaa'→(aa,a) (no overlap reuse), 'abab' untouched
+    // by pair (a,a)
+    val out = Seq("aaaa", "aaa", "abab").toDF("w")
+      .withColumn("seg", expr(
+        "concat(chr(1), chr(1), array_join(split(w, ''), concat(chr(1), chr(1))), chr(1), chr(1))"))
+      .withColumn("m", expr(
+        "replace(seg, concat(chr(1), 'a', chr(1), chr(1), 'a', chr(1)), concat(chr(1), 'aa', chr(1)))"))
+      .withColumn("syms", expr("filter(split(m, concat(chr(1), chr(1))), x -> x != '')"))
+      .select(col("w"), col("syms")).as[(String, Seq[String])].collect().toMap
+    assert(out("aaaa") == Seq("aa", "aa"))
+    assert(out("aaa") == Seq("aa", "a"))
+    assert(out("abab") == Seq("a", "b", "a", "b"))
+  }
+
   test("chunk dedup: untouched docs round-trip verbatim; cleaned text is a chunk subsequence") {
     val out = ext.TextOps.chunkDedup(spark, sf)
       .join(Tables.documents(spark, sf).select(col("doc_id"), col("text")), "doc_id")
