@@ -286,6 +286,29 @@ class PlanSpec extends AnyFunSuite {
         + p.take(3000))
   }
 
+  test("registry-wide: no cartesian products, no unpartitioned windows") {
+    // the two quiet scale-killers a growing registry can regress into:
+    // a join that degenerates to CartesianProduct (every BNLJ in the
+    // suite is a deliberate tiny-side broadcast — verified by PlanSweep —
+    // which is fine; an unbroadcast cartesian never is) and a window
+    // with no PARTITION BY (single-partition sort of the whole input).
+    // Streaming drains are skipped: building their "plan" executes them.
+    val skip = Set(
+      "st_tumbling_stream", "st_interval_join", "st_incremental_probe",
+      "st_left_outer_join", "st_static_enrich", "st_sessionize_state",
+      "st_dedup_stream", "st_hll_stream", "st_foreach_batch")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
+      .flatMap { n =>
+        val p = plan(n)
+        val cart = p.contains("CartesianProduct")
+        val gw = p.linesIterator.exists(l =>
+          l.contains("Window") && l.contains("SinglePartition"))
+        if (cart || gw) Some(s"$n${if (cart) ":cartesian" else ""}${if (gw) ":global-window" else ""}")
+        else None
+      }
+    assert(offenders.isEmpty, s"scale-killer plans: $offenders")
+  }
+
   test("dim filter dynamically prunes fact partitions (DPP)") {
     // At 100 TB the fact table is date/category-partitioned and the
     // filter lives on a dim — without dynamic partition pruning the scan
