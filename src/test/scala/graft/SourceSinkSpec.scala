@@ -208,6 +208,45 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(again == sizes)
   }
 
+  test("ignoreCorruptFiles reads past a corrupt parquet part (100 TB ops reality)") {
+    // at 100 TB a handful of corrupt objects is a WHEN, not an IF — the
+    // job must degrade to "skip and report", never die. Write good parts,
+    // drop a garbage .parquet among them, read with the toggle both ways.
+    val dir = tmp("graft_corrupt")
+    val good = Tables.orders(spark, sf).filter(col("o_orderkey") < 1000)
+    good.write.mode(SaveMode.Overwrite).parquet(dir)
+    Files.write(java.nio.file.Paths.get(dir, "part-junk.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val n = good.count()
+    // default: the corrupt part fails the scan
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    // with the toggle: full result from the healthy parts
+    val readBack =
+      spark.read.option("ignoreCorruptFiles", "true").parquet(dir).count()
+    assert(readBack == n, s"expected $n rows from healthy parts, got $readBack")
+  }
+
+  test("small-file compaction: many tiny parts rewrite to target-size files, content intact") {
+    // streaming ingest leaves thousands of small parts; the nightly
+    // compactor rewrites them into few files so scans stop paying
+    // per-file open/footer cost. Content must survive byte-exactly.
+    val src = tmp("graft_smallfiles")
+    val out = tmp("graft_compacted")
+    val orders = Tables.orders(spark, sf).filter(col("o_orderkey") < 2000)
+    orders.repartition(64).write.mode(SaveMode.Overwrite).parquet(src)
+    def parts(p: String) = new java.io.File(p).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts(src) == 64)
+    val scattered = spark.read.parquet(src)
+    scattered.repartition(2).write.mode(SaveMode.Overwrite).parquet(out)
+    assert(parts(out) == 2, s"expected 2 compacted files, got ${parts(out)}")
+    val before = orders.orderBy(col("o_orderkey")).collect()
+    val after = spark.read.parquet(out).orderBy(col("o_orderkey")).collect()
+    assert(before.sameElements(after), "compaction must not change content")
+  }
+
   test("binaryFile source ingests payload files and joins doc metadata") {
     val dir = tmp("graft_bin")
     // fixture: one <doc_id>.bin file per document, payload = utf-8 text
