@@ -129,10 +129,60 @@ object HyperLogLog {
     est.join(exact, "grp").orderBy(col("grp"))
   }
 
+  /** Rolling 7-day distinct users per day (the DAU/WAU board) from
+    * MERGEABLE per-day HLL registers — the production answer to "distinct
+    * over a sliding window", which no exact aggregate can maintain
+    * incrementally: events are scanned ONCE into per-(day, bucket)
+    * registers (≤ 256 rows/day forever), and each day's trailing-7 window
+    * is a register-level max-merge — the window slide costs 7×256 rows,
+    * not a re-scan of 7 days of events. The exact trailing count is
+    * computed alongside (day-range join + count-distinct) as the
+    * verification column — at 100 TB you keep only the register path and
+    * spot-check. Register construction and the harmonic estimate replay
+    * bit-for-bit in DuckDB, so BOTH columns hash-verify.
+    */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        expr(sparkHash("CAST(user_id AS STRING)")).as("h"))
+    val regs = ev
+      .select(col("day"), (col("h") % M).cast("int").as("bucket"),
+        expr(s"h DIV $M").as("w"))
+      .withColumn("rho", expr(
+        "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
+        .cast("int"))
+      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("mj"))
+    val days = ev.select(col("day")).distinct()
+    val win = days.select(col("day").as("wday"))
+      .join(regs, col("day").between(date_sub(col("wday"), 6), col("wday")))
+      .groupBy(col("wday"), col("bucket")).agg(max(col("mj")).as("mj"))
+    val full = days.select(col("day").as("wday"))
+      .crossJoin(s.range(0, M).select(col("id").cast("int").as("bucket")))
+      .join(win, Seq("wday", "bucket"), "left")
+      .select(col("wday"), col("bucket"), coalesce(col("mj"), lit(0)).as("mj"))
+    val est = full.groupBy(col("wday")).agg(expr(
+      """aggregate(
+        |  transform(array_sort(collect_list(struct(bucket, mj))),
+        |    x -> pow(CAST(2.0 AS DOUBLE), -CAST(x.mj AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("s_inv"))
+      .select(col("wday"),
+        expr(s"0.7213D / (1D + 1.079D / ${M}D) * ${M}D * ${M}D / s_inv")
+          .as("est7"))
+    val exact = days.select(col("day").as("wday"))
+      .join(ev.select(col("day"), col("user_id")),
+        col("day").between(date_sub(col("wday"), 6), col("wday")))
+      .groupBy(col("wday"))
+      .agg(count_distinct(col("user_id")).as("exact7"))
+    est.join(exact, "wday")
+      .select(col("wday").as("day"), col("exact7"), col("est7"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_hll_verified" -> hllVerified,
     "a7_hll_union" -> hllUnion,
-    "a7_hll_by_group" -> hllByGroup
+    "a7_hll_by_group" -> hllByGroup,
+    "ev_rolling_distinct" -> rollingDistinct
   )
 
   /** DuckDB register CTEs over hash source `src`, producing `regs_$tag`. */
@@ -157,6 +207,38 @@ object HyperLogLog {
        |  FROM filled_$tag)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ev_rolling_distinct" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS day, user_id,
+         |         ${duckHash("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM ev),
+         |regs AS (
+         |  SELECT day, CAST(h % $M AS INT) AS bucket,
+         |         MAX(CASE WHEN h // $M = 0 THEN 53
+         |                  ELSE instr(lpad(bin(h // $M), 52, '0'), '1') END) AS mj
+         |  FROM ev GROUP BY 1, 2),
+         |win AS (
+         |  SELECT d.day AS wday, r.bucket, MAX(r.mj) AS mj
+         |  FROM days d JOIN regs r ON r.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2),
+         |filled AS (
+         |  SELECT d.day AS wday, CAST(bs.b AS INT) AS bucket,
+         |         COALESCE(w.mj, 0) AS mj
+         |  FROM days d CROSS JOIN (SELECT unnest(range(0, $M)) AS b) bs
+         |  LEFT JOIN win w ON w.wday = d.day AND w.bucket = bs.b),
+         |est AS (
+         |  SELECT wday, 0.7213 / (1 + 1.079 / $M) * $M * $M / list_reduce(
+         |    list_prepend(0.0, [pow(2.0, -CAST(mj AS DOUBLE))
+         |                       for mj in list(mj ORDER BY bucket)]),
+         |    (acc, v) -> acc + v) AS est7
+         |  FROM filled GROUP BY wday),
+         |exact AS (
+         |  SELECT d.day AS wday, COUNT(DISTINCT e.user_id) AS exact7
+         |  FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1)
+         |SELECT est.wday AS day, exact7, est7
+         |FROM est JOIN exact USING (wday) ORDER BY day""".stripMargin,
     "a7_hll_verified" ->
       s"""WITH h AS (
          |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
