@@ -286,6 +286,38 @@ class PlanSpec extends AnyFunSuite {
         + p.take(3000))
   }
 
+  test("selective dim filter injects a runtime bloom filter into the fact scan side") {
+    // the shuffle-join sibling of DPP: when the dim side carries a
+    // selective predicate, Spark builds a bloom filter from it at runtime
+    // and semi-filters the fact side BEFORE the join shuffle
+    // (might_contain on the join key) — at 100 TB this cuts the shuffled
+    // fact volume by the dim's selectivity. The size thresholds are
+    // production-tuned (app side ≥ 10 GB by default), so the test lowers
+    // them to fire at test scale; the PLAN SHAPE is what's pinned.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> conf.get("spark.sql.adaptive.enabled", "true"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1b")
+    try {
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf)
+      val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected a runtime bloom filter (might_contain) on the fact side:\n" + p.take(3000))
+    } finally {
+      saved.foreach { case (k, v) => conf.set(k, v) }
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("registry-wide: no cartesian products, no unpartitioned windows") {
     // the two quiet scale-killers a growing registry can regress into:
     // a join that degenerates to CartesianProduct (every BNLJ in the
