@@ -81,6 +81,24 @@ object Multimodal {
           .as("feat_sig"))
       .orderBy(col("doc_id"))
 
+  /** Resize planning over the decoded dimensions: fit each media item
+    * into a 224×224 model input box preserving aspect ratio (the
+    * standard vision-model preprocessing contract) — scale =
+    * 224/max(w,h), target dims rounded. A real pipeline hands
+    * (payload, tgt_w, tgt_h) to the batched decoder of
+    * [[decodeFeaturesRaw]]; the GEOMETRY is pure closed-form arithmetic
+    * on the decoded dims, so it is oracle-verified end-to-end even with
+    * the decode stubbed.
+    */
+  def resizePlan(s: SparkSession, d: String): DataFrame =
+    decodeFeaturesRaw(s, d).toDF()
+      .withColumn("scale",
+        lit(224.0) / greatest(col("width"), col("height")).cast("double"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("CAST(round(width * scale) AS INT)").as("tgt_w"),
+        expr("CAST(round(height * scale) AS INT)").as("tgt_h"))
+      .orderBy(col("doc_id"))
+
   /** Frame-sampling plumbing: treat the payload as a "video" of N fixed-
     * size chunks and emit every k-th chunk with its index — posexplode
     * over a computed chunk array (a real pipeline would emit decoded
@@ -118,6 +136,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
+    "mm_resize" -> resizePlan,
     "mm_frame_sample" -> frameSample
   )
 
@@ -135,6 +154,16 @@ object Multimodal {
          |       16 + ((${sqlByte(2)} * 256 + ${sqlByte(3)}) % 1080) AS height,
          |       concat_ws(',', ${(0 until 8).map(sqlByte).mkString(", ")}) AS feat_sig
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |         16 + ((${sqlByte(0)} * 256 + ${sqlByte(1)}) % 1920) AS width,
+         |         16 + ((${sqlByte(2)} * 256 + ${sqlByte(3)}) % 1080) AS height
+         |  FROM documents)
+         |SELECT doc_id, width, height,
+         |       CAST(round(width * (224.0 / greatest(width, height))) AS INT) AS tgt_w,
+         |       CAST(round(height * (224.0 / greatest(width, height))) AS INT) AS tgt_h
+         |FROM dims ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

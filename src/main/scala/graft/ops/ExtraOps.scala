@@ -47,6 +47,28 @@ object ExtraOps {
         expr("percentile(l_extendedprice, 0.9D)").as("p90_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Median absolute deviation per group — the robust scaler an ML
+    * pipeline reaches for when outliers poison mean/stddev (z-score's
+    * brittle spot): med = P50(x), mad = P50(|x − med|). Two exact-
+    * percentile passes with the 3-row medians frame broadcast between
+    * them; both interpolations are the same sorted-neighbor arithmetic
+    * in DuckDB, so the whole robust-stats path is hash-verified like
+    * [[percentiles]].
+    */
+  def madStats(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5D)").as("med_qty"))
+    Tables.lineitem(s, d)
+      .join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("l_quantity") - col("med_qty")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med_qty")).as("med_qty"),
+        expr("percentile(dev, 0.5D)").as("mad_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Higher-order array functions over the embeddings vectors: exists /
     * forall / filter-count / flattened stats — the ArrayType surface a
     * feature-store pipeline leans on.
@@ -684,6 +706,7 @@ object ExtraOps {
     "x_pivot" -> pivotAgg,
     "x_string_agg" -> stringAgg,
     "x_percentile" -> percentiles,
+    "x_mad" -> madStats,
     "x_array_funcs" -> arrayFuncs,
     "x_array_algebra" -> arrayAlgebra,
     "x_regex_extract" -> regexExtract,
@@ -976,6 +999,15 @@ object ExtraOps {
         |       quantile_cont(l_quantity, 0.5) AS p50_qty,
         |       quantile_cont(l_extendedprice, 0.9) AS p90_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n, med.med_qty,
+        |       quantile_cont(abs(l.l_quantity - med.med_qty), 0.5) AS mad_qty
+        |FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+        |GROUP BY l.l_returnflag, med.med_qty
+        |ORDER BY l.l_returnflag""".stripMargin,
     "x_array_funcs" ->
       """SELECT vec_id,
         |       len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_gt2,
