@@ -615,6 +615,9 @@ object Similarity {
         """transform(sequence(0, size(code) - 1),
           |  i -> mins[i] + (CAST(code[i] AS DOUBLE) + 0.5D) * steps[i])""".stripMargin))
       .withColumn("score_sq", expr(cosExpr("qv", "rv")))
+      // prune BEFORE the ranking exchange: the window shuffle must carry
+      // (qid, vec_id, score) — 24 bytes/row — not codes + range arrays
+      .select(col("qid"), col("vec_id"), col("score_sq"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("score_sq"), col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
