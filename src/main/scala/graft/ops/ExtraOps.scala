@@ -47,6 +47,34 @@ object ExtraOps {
         expr("percentile(l_extendedprice, 0.9D)").as("p90_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group total (revenue-weighted quantity here —
+    * "the quantity at which half the money sits below"). Every weight is
+    * exact DECIMAL, the running total is a decimal window sum over a fully
+    * specified unique ordering, and the crossing test is `2·cum ≥ tot` in
+    * decimal — no double accumulates anywhere, so the result is identical
+    * on ANY partitioning (a float cumsum would tie the answer to
+    * partition combine order — the same trap [[graft.Det]] documents for
+    * plain sums, compounded by the threshold comparison).
+    * One window exchange on the group key; no self-join.
+    */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val wt = col("l_extendedprice").cast(DecimalType(12, 2))
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val all = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"), wt.as("wt"))
+      .withColumn("cum", sum(col("wt")).over(ord))
+      .withColumn("tot", sum(col("wt")).over(all))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("weighted_med_qty"),
+        max(col("tot")).cast("double").as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Median absolute deviation per group — the robust scaler an ML
     * pipeline reaches for when outliers poison mean/stddev (z-score's
     * brittle spot): med = P50(x), mad = P50(|x − med|). Two exact-
@@ -707,6 +735,7 @@ object ExtraOps {
     "x_string_agg" -> stringAgg,
     "x_percentile" -> percentiles,
     "x_mad" -> madStats,
+    "x_weighted_median" -> weightedMedian,
     "x_array_funcs" -> arrayFuncs,
     "x_array_algebra" -> arrayAlgebra,
     "x_regex_extract" -> regexExtract,
@@ -999,6 +1028,22 @@ object ExtraOps {
         |       quantile_cont(l_quantity, 0.5) AS p50_qty,
         |       quantile_cont(l_extendedprice, 0.9) AS p90_price
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) AS wt,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_quantity, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (
+        |           PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       MIN(l_quantity) AS weighted_med_qty,
+        |       CAST(MAX(tot) AS DOUBLE) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_mad" ->
       """WITH med AS (
         |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
