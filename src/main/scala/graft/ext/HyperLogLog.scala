@@ -32,14 +32,44 @@ object HyperLogLog {
 
   private[graft] val M = 256  // buckets (2^8); 60-bit hash leaves a 52-bit stream
 
-  /** Sparse registers (bucket, mj) of the 60-bit hashes in `h`. */
-  private[graft] def regsOf(h: DataFrame): DataFrame = h
-    .select((col("h") % M).cast("int").as("bucket"),
-      expr(s"h DIV $M").as("w"))
+  /** Sparse registers (keys..., bucket, mj) of the 60-bit hashes in
+    * column `h`, one register set per distinct key tuple — the ONE
+    * definition of the bucket/rho arithmetic (the global, per-group, and
+    * per-day forms all route here, as do their oracle strings via
+    * [[duckRegs]]).
+    */
+  private[graft] def regsOfKeyed(h: DataFrame, keys: String*): DataFrame = h
+    .select(keys.map(col) ++ Seq((col("h") % M).cast("int").as("bucket"),
+      expr(s"h DIV $M").as("w")): _*)
     .withColumn("rho", expr(
       "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
       .cast("int"))
-    .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+    .groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("rho")).as("mj"))
+
+  /** Sparse registers (bucket, mj) of the 60-bit hashes in `h`. */
+  private[graft] def regsOf(h: DataFrame): DataFrame = regsOfKeyed(h)
+
+  /** Per-key estimates from keyed registers: zero-fill each key's m
+    * buckets against `keyFrame` (the distinct key tuples), then the same
+    * deterministic bucket-order harmonic fold as [[estOf]], one row per
+    * key with the estimate in column `alias`.
+    */
+  private[graft] def estOfKeyed(s: SparkSession, keyFrame: DataFrame,
+      regs: DataFrame, keys: Seq[String], alias: String): DataFrame = {
+    val full = keyFrame
+      .crossJoin(s.range(0, M).select(col("id").cast("int").as("bucket")))
+      .join(regs, keys :+ "bucket", "left")
+      .select(keys.map(col) ++ Seq(col("bucket"),
+        coalesce(col("mj"), lit(0)).as("mj")): _*)
+    full.groupBy(keys.map(col): _*).agg(expr(
+      """aggregate(
+        |  transform(array_sort(collect_list(struct(bucket, mj))),
+        |    x -> pow(CAST(2.0 AS DOUBLE), -CAST(x.mj AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("s_inv"))
+      .select(keys.map(col) :+
+        expr(s"0.7213D / (1D + 1.079D / ${M}D) * ${M}D * ${M}D / s_inv")
+          .as(alias): _*)
+  }
 
   /** Raw-HLL estimate (one-row, column `alias`) from sparse registers:
     * zero-fill to all m buckets, deterministic bucket-order harmonic fold.
@@ -104,25 +134,8 @@ object HyperLogLog {
     val h = Tables.orders(s, d)
       .select(col("o_orderpriority").as("grp"),
         expr(sparkHash("CAST(o_custkey AS STRING)")).as("h"))
-    val regs = h
-      .select(col("grp"), (col("h") % M).cast("int").as("bucket"),
-        expr(s"h DIV $M").as("w"))
-      .withColumn("rho", expr(
-        "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
-        .cast("int"))
-      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mj"))
-    val full = h.select(col("grp")).distinct()
-      .crossJoin(s.range(0, M).select(col("id").cast("int").as("bucket")))
-      .join(regs, Seq("grp", "bucket"), "left")
-      .select(col("grp"), col("bucket"), coalesce(col("mj"), lit(0)).as("mj"))
-    val est = full.groupBy(col("grp")).agg(expr(
-      """aggregate(
-        |  transform(array_sort(collect_list(struct(bucket, mj))),
-        |    x -> pow(CAST(2.0 AS DOUBLE), -CAST(x.mj AS DOUBLE))),
-        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("s_inv"))
-      .select(col("grp"),
-        expr(s"0.7213D / (1D + 1.079D / ${M}D) * ${M}D * ${M}D / s_inv")
-          .as("est_distinct"))
+    val est = estOfKeyed(s, h.select(col("grp")).distinct(),
+      regsOfKeyed(h, "grp"), Seq("grp"), "est_distinct")
     val exact = Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("grp"))
       .agg(count_distinct(col("o_custkey")).as("true_distinct"))
@@ -145,29 +158,13 @@ object HyperLogLog {
     val ev = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"),
         expr(sparkHash("CAST(user_id AS STRING)")).as("h"))
-    val regs = ev
-      .select(col("day"), (col("h") % M).cast("int").as("bucket"),
-        expr(s"h DIV $M").as("w"))
-      .withColumn("rho", expr(
-        "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
-        .cast("int"))
-      .groupBy(col("day"), col("bucket")).agg(max(col("rho")).as("mj"))
+    val regs = regsOfKeyed(ev, "day")
     val days = ev.select(col("day")).distinct()
     val win = days.select(col("day").as("wday"))
       .join(regs, col("day").between(date_sub(col("wday"), 6), col("wday")))
       .groupBy(col("wday"), col("bucket")).agg(max(col("mj")).as("mj"))
-    val full = days.select(col("day").as("wday"))
-      .crossJoin(s.range(0, M).select(col("id").cast("int").as("bucket")))
-      .join(win, Seq("wday", "bucket"), "left")
-      .select(col("wday"), col("bucket"), coalesce(col("mj"), lit(0)).as("mj"))
-    val est = full.groupBy(col("wday")).agg(expr(
-      """aggregate(
-        |  transform(array_sort(collect_list(struct(bucket, mj))),
-        |    x -> pow(CAST(2.0 AS DOUBLE), -CAST(x.mj AS DOUBLE))),
-        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("s_inv"))
-      .select(col("wday"),
-        expr(s"0.7213D / (1D + 1.079D / ${M}D) * ${M}D * ${M}D / s_inv")
-          .as("est7"))
+    val est = estOfKeyed(s, days.select(col("day").as("wday")),
+      win, Seq("wday"), "est7")
     val exact = days.select(col("day").as("wday"))
       .join(ev.select(col("day"), col("user_id")),
         col("day").between(date_sub(col("wday"), 6), col("wday")))

@@ -355,12 +355,18 @@ object TextOps {
     * auditable (the same reason `pipe_corpus_mix` refuses rand()).
     * Output is the per-split manifest.
     */
+  /** The 90/5/5 deterministic split gate — ONE definition shared by
+    * [[trainSplit]] and [[datasetCard]] (and mirrored in both oracles),
+    * so the two views of a document's split can never drift apart.
+    */
+  private def withSplit(df: DataFrame): DataFrame = df
+    .withColumn("bucket", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+    .withColumn("split",
+      when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise("test"))
+
   def trainSplit(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("bucket", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
+    withSplit(Tables.documents(s, d))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
@@ -368,9 +374,14 @@ object TextOps {
       .orderBy(col("split"))
 
   /** Distributed BPE tokenizer training — the first 3 merge rounds of
-    * byte-pair encoding over the corpus vocabulary, fully declarative
-    * (no driver loop; the per-round argmax pair is a 1-row TakeOrdered
-    * broadcast into the next round's plan). Each word rides as a
+    * byte-pair encoding over the corpus vocabulary. No DATA ever visits
+    * the driver: the per-round argmax pair is a 1-row TakeOrdered
+    * broadcast into the next round's plan. Construction is eager — each
+    * round materializes via localCheckpoint (the same flat-plans-per-
+    * iteration call [[graft.ext.Similarity]]'s k-means trainer makes),
+    * so building this frame runs the 3 training rounds as Spark jobs;
+    * callers timing "plan build" vs "execution" should know the cost
+    * lands here. Each word rides as a
     * sentinel-delimited segmentation string (chr(1) boundaries, doubled
     * between symbols) so the batched greedy merge is ONE `replace()`
     * call: the pattern `¦l¦¦r¦` can only align on true symbol
@@ -440,11 +451,7 @@ object TextOps {
     * swap for approx_count_distinct when a 2% band on dup_rate is fine).
     */
   def datasetCard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("bucket", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
+    val docs = withSplit(Tables.documents(s, d))
       .withColumn("ws", split(lower(col("text")), " "))
       .withColumn("n_tokens", size(col("ws")).cast("long"))
       .withColumn("n_stop",

@@ -28,6 +28,9 @@ object QcOps {
       count(lit(1)).as("n_rows"),
       count(col("l_orderkey")).as("nn_ok"),
       count(col("l_shipdate")).as("nn_sd"),
+      // countDistinct skips tuples with ANY null key (SQL COUNT DISTINCT
+      // semantics — the oracle filters nulls explicitly to match); null
+      // keys themselves are the completeness checks' job, not this one's
       countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
       min(col("l_quantity")).cast("double").as("min_qty"),
       max(col("l_quantity")).cast("double").as("max_qty"),
@@ -112,7 +115,8 @@ object QcOps {
         |  FROM lineitem),
         |pk AS (
         |  SELECT COUNT(*) AS n_pk
-        |  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        |  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)),
         |orph AS (
         |  SELECT COUNT(*) AS n_orphan
         |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l

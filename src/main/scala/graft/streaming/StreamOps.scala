@@ -515,7 +515,16 @@ object StreamOps {
     */
   def foreachBatchSink(s: SparkSession, d: String): DataFrame = {
     val ss = tuned(s)
-    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    // one REUSED sink root per dataset (keyed by source path) instead of a
+    // fresh temp dir per call — repeated bench/verify invocations rewrite
+    // the same directories rather than leaking one per run. The
+    // checkpoint is cleared so each call is a fresh bounded drain (a
+    // retained checkpoint would no-op the replay; correct, but then this
+    // query would measure nothing).
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_febatch_${Integer.toHexString(d.hashCode)}").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$out/_checkpoint"))
     val writer = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         batchId: Long) =>
       batch.write.mode("overwrite").parquet(s"$out/data/batch_id=$batchId")
@@ -528,6 +537,13 @@ object StreamOps {
       .foreachBatch(writer)
       .start()
     try q.awaitTermination() finally q.stop()
+    // zero-batch drain (empty source) → nothing landed: return the empty
+    // result frame instead of crashing on a missing directory/null max
+    if (!new java.io.File(s"$out/data").exists())
+      return ss.sql(
+        """SELECT CAST(NULL AS STRING) AS event_type,
+          |CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+          |WHERE FALSE""".stripMargin)
     val all = ss.read.option("basePath", s"$out/data").parquet(s"$out/data")
     // the partition-dir value is discovery-typed (int), so cast explicitly
     val last = all.agg(max(col("batch_id")).cast("long")).head.getLong(0)

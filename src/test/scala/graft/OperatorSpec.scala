@@ -225,8 +225,11 @@ class OperatorSpec extends AnyFunSuite {
     out.foreach { r =>
       val (nChunks, nDup) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup"))
       val (text, cleaned) = (r.getAs[String]("text"), r.getAs[String]("cleaned_text"))
-      // chunk count covers the whole doc: ceil(words / 20)
-      val words = text.split(" ").length
+      // chunk count covers the whole doc: ceil(words / 20). Split with
+      // limit -1 to KEEP trailing empty strings — Spark's split() does,
+      // Java's default drops them, and a doc ending in a space would
+      // otherwise disagree on the word count
+      val words = text.split(" ", -1).length
       assert(nChunks == (words + 19) / 20, s"doc ${r.get(0)}: $nChunks chunks for $words words")
       if (nDup == 0) assert(cleaned == text,
         s"doc ${r.get(0)} has no dup chunks but text changed")

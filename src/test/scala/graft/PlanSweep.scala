@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only registry-wide anti-pattern sweep (test scope): builds the
-  * physical plan of EVERY declared query (no execution) and reports
+  * physical plan of EVERY declared query (no full execution — though a
+  * few queries materialize small intermediates eagerly at build time via
+  * localCheckpoint: the iterative trainers and sketch stores) and reports
   * scale-killer shapes — cartesian products and unpartitioned windows —
   * with the query names, so intentional cases can be allowlisted in the
   * standing PlanSpec guard and accidental ones fixed.
