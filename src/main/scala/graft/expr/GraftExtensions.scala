@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and the rewrite that routes the declarative row_number()-filter
     // idiom onto that operator automatically
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    // opt-in accuracy-for-speed switch: COUNT(DISTINCT x) → HLL++ sketch
+    // when spark.graft.approx.distinct=true (default off — see the rule)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteExactDistinctToApprox)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),

@@ -174,6 +174,48 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("opt-in rule swaps exact COUNT DISTINCT for the HLL++ sketch, flag-gated") {
+    import org.apache.spark.sql.SparkSession
+    spark.version
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.expr.GraftExtensions()(_))
+        .getOrCreate()
+      def q = Tables.orders(s2, sf)
+        .groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("nd"))
+      val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // flag off (default): plan stays exact
+      assert(!q.queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+      s2.conf.set(graft.plans.RewriteExactDistinctToApprox.FLAG, "true")
+      try {
+        val p = q.queryExecution.optimizedPlan.toString
+        assert(p.contains("approx_count_distinct"),
+          "expected the sketch aggregate under the flag:\n" + p.take(2000))
+        // same schema, estimates inside the sketch's error band
+        val est = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(est.keySet == exact.keySet)
+        est.foreach { case (k, v) =>
+          assert(math.abs(v - exact(k)).toDouble / exact(k) < 0.1,
+            s"$k: est $v vs exact ${exact(k)}")
+        }
+        // multi-column distinct counts tuples — the rule must decline
+        val multi = Tables.orders(s2, sf)
+          .groupBy(col("o_orderpriority"))
+          .agg(count_distinct(col("o_custkey"), col("o_orderstatus")).as("nd"))
+          .queryExecution.optimizedPlan.toString
+        assert(!multi.contains("approx_count_distinct"), multi.take(2000))
+      } finally s2.conf.unset(graft.plans.RewriteExactDistinctToApprox.FLAG)
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
     val b = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
