@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -114,33 +114,40 @@ object ExtraOps {
     * intersect / except, distinct, slice, flatten. Spark's set ops keep
     * first-occurrence order (DuckDB's keep theirs), so every array-valued
     * output is array_sort'd — the verified relation is order-free on
-    * purpose. Per-row, shuffle-free, codegen'd.
+    * purpose. The final projection flattens each array to a space-joined
+    * string: the driver's row-sorter can't lexsort list columns (same
+    * constraint `Multimodal.scala` documents), so the set algebra stays
+    * internal and only scalar columns cross the sink. Per-row,
+    * shuffle-free, codegen'd.
     */
-  def arrayAlgebra(s: SparkSession, d: String): DataFrame =
+  def arrayAlgebra(s: SparkSession, d: String): DataFrame = {
+    val joinStr = (c: Column) =>
+      array_join(transform(c, x => x.cast("string")), " ")
     Tables.nation(s, d)
       .withColumn("a1",
         expr("sequence(CAST(0 AS BIGINT), CAST(n_nationkey % 5 AS BIGINT))"))
       .withColumn("a2", array(col("n_regionkey").cast("long"),
         col("n_regionkey").cast("long") + 1, lit(10L)))
       .select(col("n_nationkey"),
-        array_sort(array_union(col("a1"), col("a2"))).as("union_s"),
-        array_sort(array_intersect(col("a1"), col("a2"))).as("inter_s"),
-        array_sort(array_except(col("a1"), col("a2"))).as("except_s"),
-        slice(array_sort(concat(col("a1"), col("a2"))), 1, 3).as("first3"),
+        joinStr(array_sort(array_union(col("a1"), col("a2")))).as("union_s"),
+        joinStr(array_sort(array_intersect(col("a1"), col("a2")))).as("inter_s"),
+        joinStr(array_sort(array_except(col("a1"), col("a2")))).as("except_s"),
+        joinStr(slice(array_sort(concat(col("a1"), col("a2"))), 1, 3)).as("first3"),
         size(array_distinct(concat(col("a1"), col("a2")))).as("n_distinct"),
         size(flatten(array(col("a1"), col("a2")))).as("flat_n"))
       .orderBy(col("n_nationkey"))
+  }
 
   /** regexp_extract_all + ilike — the remaining regex surface: pull every
-    * digit run out of the text (kept as an array column to pin array
-    * round-tripping through the sink) and a case-insensitive LIKE. Simple
-    * character-class patterns only: they mean the same thing in Java and
-    * RE2-style engines, so the oracle can replay them.
+    * digit run out of the text (projected as a space-joined string so the
+    * driver's row-sorter never sees a list column) and a case-insensitive
+    * LIKE. Simple character-class patterns only: they mean the same thing
+    * in Java and RE2-style engines, so the oracle can replay them.
     */
   def regexExtract(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("regexp_extract_all(text, '[0-9]+')").as("nums"),
+        array_join(expr("regexp_extract_all(text, '[0-9]+')"), " ").as("nums"),
         expr("size(regexp_extract_all(text, '[0-9]+'))").as("n_nums"),
         col("text").ilike("%the%").as("has_the"))
       .orderBy(col("doc_id"))
@@ -809,7 +816,7 @@ object ExtraOps {
       """SELECT c_mktsegment,
         |       bool_and(c_acctbal > 0) AS all_positive,
         |       bool_or(c_acctbal > 9000) AS any_rich,
-        |       count_if(c_acctbal < 0) AS n_debt,
+        |       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_debt,
         |       COUNT(*) AS n_cust
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "x_string_pad" ->
@@ -1068,18 +1075,18 @@ object ExtraOps {
         |          CAST(10 AS BIGINT)] AS a2
         |  FROM nation)
         |SELECT n_nationkey,
-        |  list_sort(list_distinct(list_concat(a1, a2))) AS union_s,
-        |  list_sort(list_filter(list_distinct(a1),
-        |            x -> list_contains(a2, x))) AS inter_s,
-        |  list_sort(list_filter(list_distinct(a1),
-        |            x -> NOT list_contains(a2, x))) AS except_s,
-        |  (list_sort(list_concat(a1, a2)))[1:3] AS first3,
+        |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(a1, a2))), ' '), '') AS union_s,
+        |  COALESCE(array_to_string(list_sort(list_filter(list_distinct(a1),
+        |            x -> list_contains(a2, x))), ' '), '') AS inter_s,
+        |  COALESCE(array_to_string(list_sort(list_filter(list_distinct(a1),
+        |            x -> NOT list_contains(a2, x))), ' '), '') AS except_s,
+        |  COALESCE(array_to_string((list_sort(list_concat(a1, a2)))[1:3], ' '), '') AS first3,
         |  CAST(len(list_distinct(list_concat(a1, a2))) AS INT) AS n_distinct,
         |  CAST(len(list_concat(a1, a2)) AS INT) AS flat_n
         |FROM b ORDER BY n_nationkey""".stripMargin,
     "x_regex_extract" ->
       """SELECT doc_id,
-        |       regexp_extract_all(text, '[0-9]+') AS nums,
+        |       COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ' '), '') AS nums,
         |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
         |       text ILIKE '%the%' AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
