@@ -74,6 +74,20 @@ object Det {
   def davg(c: Column, scale: Int = 4, prec: Int = 18): Column =
     sum(c.cast(DecimalType(prec, scale))).cast(DoubleType) / count(c)
 
+  /** Rewrite-proof exact COUNT DISTINCT, for exactness-critical columns
+    * (sketch-verification baselines like `true_distinct`/`exact7`, QC dup
+    * rates). [[graft.plans.RewriteExactDistinctToApprox]] — when its
+    * session flag is on — swaps every single-argument COUNT(DISTINCT x)
+    * for an HLL++ sketch at optimization time, which happens at ACTION
+    * time, after any builder-local conf pinning has been restored. The
+    * two-argument form COUNT(DISTINCT x, 0) is semantically identical
+    * (the never-null literal doesn't change the tuple count, and rows
+    * with null x are skipped either way) but counts distinct TUPLES,
+    * which the rule faithfully refuses to rewrite — so columns built with
+    * this helper stay exact under any session configuration.
+    */
+  def exactDistinct(c: Column): Column = count_distinct(c, lit(0))
+
   /** SQL-side twin of dsum, for building oracle strings. */
   def sqlSum(x: String, scale: Int = 4): String =
     s"CAST(SUM(CAST($x AS DECIMAL(30,$scale))) AS DOUBLE)"

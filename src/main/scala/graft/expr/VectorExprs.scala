@@ -91,10 +91,18 @@ object VectorExprs {
     * expose a custom Expression without internal Column constructors.
     */
   def register(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashSig(exprs.head, MinHashSig.K, MinHashSig.M), "built-in")
+    // Idempotent: frame builders call this on every invocation; a repeat
+    // createOrReplaceTempFunction would silently clobber a same-named
+    // function the user registered after ours, so skip once present.
+    val reg = s.sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")).isEmpty)
+      reg.createOrReplaceTempFunction(
+        "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash")).isEmpty)
+      reg.createOrReplaceTempFunction(
+        "graft_minhash",
+        exprs => MinHashSig(exprs.head, MinHashSig.K, MinHashSig.M), "built-in")
   }
 }

@@ -96,7 +96,7 @@ object HyperLogLog {
   def hllVerified(s: SparkSession, d: String): DataFrame = {
     val est = estOf(s, regsOf(hashes(s, d)), "est_distinct")
     val exact = Tables.orders(s, d)
-      .agg(count_distinct(col("o_custkey")).as("true_distinct"))
+      .agg(graft.Det.exactDistinct(col("o_custkey")).as("true_distinct"))
     est.crossJoin(exact)
       .select(lit(M).cast("long").as("m"), col("est_distinct"),
         col("true_distinct"))
@@ -138,7 +138,7 @@ object HyperLogLog {
       regsOfKeyed(h, "grp"), Seq("grp"), "est_distinct")
     val exact = Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("grp"))
-      .agg(count_distinct(col("o_custkey")).as("true_distinct"))
+      .agg(graft.Det.exactDistinct(col("o_custkey")).as("true_distinct"))
     est.join(exact, "grp").orderBy(col("grp"))
   }
 
@@ -169,7 +169,7 @@ object HyperLogLog {
       .join(ev.select(col("day"), col("user_id")),
         col("day").between(date_sub(col("wday"), 6), col("wday")))
       .groupBy(col("wday"))
-      .agg(count_distinct(col("user_id")).as("exact7"))
+      .agg(graft.Det.exactDistinct(col("user_id")).as("exact7"))
     est.join(exact, "wday")
       .select(col("wday").as("day"), col("exact7"), col("est7"))
       .orderBy(col("day"))

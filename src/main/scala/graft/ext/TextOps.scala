@@ -401,7 +401,10 @@ object TextOps {
     import org.apache.spark.sql.DataFrame
     var words = Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(length(col("w")) > 0)
+      // the chr(1) sentinel below assumes no word contains \x01 — a word
+      // carrying it would corrupt segmentation boundaries silently, so
+      // filter such words out of the vocab (mirrored in the oracle)
+      .filter(length(col("w")) > 0 && !col("w").contains("\u0001"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("seg", expr(
         """concat(chr(1), chr(1),
@@ -463,7 +466,7 @@ object TextOps {
         sum(col("n_chars")).as("n_chars"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_stop")).as("n_stop"),
-        countDistinct(col("th")).as("n_uniq"))
+        graft.Det.exactDistinct(col("th")).as("n_uniq"))
       .crossJoin(broadcast(total))
       .select(col("source"), col("split"), col("n_docs"), col("n_chars"),
         col("n_tokens"),
@@ -1033,7 +1036,7 @@ object TextOps {
         s"""WITH vocab AS (
            |  SELECT w, COUNT(*) AS cnt
            |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-           |  WHERE len(w) > 0 GROUP BY w),
+           |  WHERE len(w) > 0 AND NOT contains(w, chr(1)) GROUP BY w),
            |w0 AS (
            |  SELECT w, cnt,
            |         chr(1)||chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1))

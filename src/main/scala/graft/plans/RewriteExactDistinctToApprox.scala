@@ -31,6 +31,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * ExtensionSpec pins: flag off → exact plan untouched; flag on → the
   * plan aggregates with approx_count_distinct, the estimate lands within
   * the sketch's error band, and COUNT(DISTINCT a, b) is left exact.
+  *
+  * Interaction with the engine's own exactness-critical queries: a
+  * session-wide flag would otherwise also rewrite the verification
+  * baselines (`true_distinct`/`exact7` next to sketch estimates, QC dup
+  * rates) into sketches, making "exact vs approx" columns silently
+  * compare a sketch to itself. Those builders therefore use
+  * [[graft.Det.exactDistinct]] — the two-argument COUNT(DISTINCT x, 0)
+  * tuple form this rule deliberately refuses to touch — and stay exact
+  * under any session configuration (ExtensionSpec pins this too).
   */
 object RewriteExactDistinctToApprox extends Rule[LogicalPlan] {
   val FLAG = "spark.graft.approx.distinct"

@@ -523,8 +523,14 @@ object StreamOps {
     // query would measure nothing).
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_febatch_${Integer.toHexString(d.hashCode)}").toString
+    // Clear BOTH the checkpoint and the data dir: a stale data dir from
+    // an earlier run (same tmpdir, regenerated dataset, or a hashCode
+    // collision between two dataset paths) could win the max(batch_id)
+    // pick below and silently return foreign rows.
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(s"$out/_checkpoint"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$out/data"))
     val writer = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         batchId: Long) =>
       batch.write.mode("overwrite").parquet(s"$out/data/batch_id=$batchId")
@@ -579,7 +585,7 @@ object StreamOps {
     try q.awaitTermination() finally q.stop()
     val est = HyperLogLog.estOf(ss, ss.table("graft_stream_hll"), "est_distinct")
     val exact = graft.Tables.events(ss, d)
-      .agg(count_distinct(col("user_id")).as("true_distinct"))
+      .agg(graft.Det.exactDistinct(col("user_id")).as("true_distinct"))
     est.crossJoin(exact)
       .select(lit(HyperLogLog.M).cast("long").as("m"), col("est_distinct"),
         col("true_distinct"))

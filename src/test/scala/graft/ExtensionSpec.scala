@@ -209,6 +209,16 @@ class ExtensionSpec extends AnyFunSuite {
           .agg(count_distinct(col("o_custkey"), col("o_orderstatus")).as("nd"))
           .queryExecution.optimizedPlan.toString
         assert(!multi.contains("approx_count_distinct"), multi.take(2000))
+        // Det.exactDistinct (the framework's exactness-critical form) must
+        // survive the session-wide flag: same exact values, no sketch
+        val pinned = Tables.orders(s2, sf)
+          .groupBy(col("o_orderpriority"))
+          .agg(Det.exactDistinct(col("o_custkey")).as("nd"))
+        assert(!pinned.queryExecution.optimizedPlan.toString
+          .contains("approx_count_distinct"))
+        val pinnedVals = pinned.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(pinnedVals == exact,
+          s"exactDistinct must stay exact under the flag: $pinnedVals vs $exact")
       } finally s2.conf.unset(graft.plans.RewriteExactDistinctToApprox.FLAG)
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
