@@ -10,25 +10,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
+  // One queryExecution pass per (query, mode), shared across every assert
+  // in the suite — the registry-wide sweep plus the per-query tests would
+  // otherwise re-plan the same queries, and that cost grows with the
+  // registry every round. Safe because each helper pins the confs it
+  // depends on and every other conf-touching test restores in `finally`.
+  private val planCache = scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
+
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    planCache.getOrElseUpdate((name, false),
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
 
   /** Plan with AQE off and broadcast disabled — what the planner picks at
     * real scale, where neither side fits in a broadcast (test data is so
     * small AQE rightly broadcasts everything).
     */
-  private def planAtScale(name: String): String = {
-    val conf = spark.conf
-    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
-    finally {
-      conf.set("spark.sql.adaptive.enabled", aqe)
-      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
-    }
-  }
+  private def planAtScale(name: String): String =
+    planCache.getOrElseUpdate((name, true), {
+      val conf = spark.conf
+      val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+      val bc = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      finally {
+        conf.set("spark.sql.adaptive.enabled", aqe)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      }
+    })
 
   test("equality filter reaches the parquet scan (PushedFilters)") {
     val p = plan("p1_project_filter")
@@ -374,5 +383,48 @@ class PlanSpec extends AnyFunSuite {
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
+  }
+
+  test("ANALYZE statistics drive cost-based join reordering (CBO)") {
+    // Rule-based optimization is size-blind before the first shuffle;
+    // at 100 TB the knob you turn is ANALYZE TABLE + the CBO flags so
+    // Catalyst can cost join ORDERS from row counts and column NDVs.
+    // Write the 3-way join deliberately badly — big ⋈ big first, the
+    // selectively-filtered dim last — and assert the cost-based
+    // reorderer repairs it: with stats, the innermost join becomes
+    // orders ⋈ σ(customer), deferring the lineitem shuffle to a smaller
+    // intermediate. Same rows either way (pinned below).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    plans.Cbo.analyzeTables(spark, sf, Seq("lineitem", "orders", "customer"))
+    val q =
+      """SELECT c.c_mktsegment, COUNT(*) AS n
+        |FROM graft_cbo_lineitem l
+        |JOIN graft_cbo_orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN graft_cbo_customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY c.c_mktsegment""".stripMargin
+    def innermostJoinTables: Set[String] = {
+      val joins = spark.sql(q).queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+      joins.filter(_.children.forall(
+          _.collect { case jj: Join => jj }.isEmpty))
+        .flatMap(_.collectLeaves().map(_.toString))
+        .flatMap("graft_cbo_(\\w+)\\[".r.findFirstMatchIn(_).map(_.group(1)))
+        .toSet
+    }
+    def rows: Map[String, Long] = spark.sql(q).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val statsLine = spark.sql("DESC EXTENDED graft_cbo_customer").collect()
+      .map(_.toString).filter(_.contains("Statistics")).mkString
+    assert(statsLine.contains("rows"), s"ANALYZE must record a row count: $statsLine")
+    val baseline = rows
+    assert(innermostJoinTables == Set("lineitem", "orders"),
+      "without CBO the parser's bad order must survive")
+    plans.Cbo.enable(spark)
+    try {
+      assert(innermostJoinTables == Set("orders", "customer"),
+        "with stats the filtered dim must join first")
+      assert(rows == baseline, "reordering must not change the answer")
+    } finally plans.Cbo.disable(spark)
   }
 }
