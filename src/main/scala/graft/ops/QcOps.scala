@@ -56,6 +56,29 @@ object QcOps {
       .orderBy(col("check_name"))
   }
 
+  /** Reference-parity RAISE mode — the suite as a pipeline GATE, not just
+    * a report. The reference's QC step throws on violation
+    * (`etl.py:80-86` checkNumberOfRows raises ValueError on a count
+    * mismatch) so a bad load stops the run; this is the same contract for
+    * the whole declarative suite: evaluate [[constraintSuite]]'s report
+    * (one scan + the RI anti-join, driver sees only #constraints rows)
+    * and throw listing every failed check. Returns the report frame when
+    * everything passes so a pipeline can both gate on and persist it.
+    */
+  def enforce(report: DataFrame): DataFrame = {
+    val failed = report.filter(!col("passed"))
+      .select(col("check_name"), col("metric")).collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "QC constraint violation(s): " + failed.map(r =>
+          s"${r.getString(0)} (metric=${r.getDouble(1)})").mkString("; "))
+    report
+  }
+
+  /** The gate composed over the standard lineitem suite. */
+  def constraintGate(s: SparkSession, d: String): DataFrame =
+    enforce(constraintSuite(s, d))
+
   /** Spark 4 `GROUP BY ALL` / `ORDER BY ALL` surface: the grouping keys
     * are inferred as every non-aggregate select item and the sort covers
     * all output columns left-to-right — identical semantics in DuckDB,

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The QC suite as a pipeline GATE (reference parity: `etl.py:80-86`
+  * raises ValueError on a failed count check — a bad load must STOP the
+  * run, not just log a report row).
+  */
+class QcSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("constraint gate passes clean data and returns the full report") {
+    // the raw synthetic lineitem legitimately violates the pk-uniqueness
+    // constraint (the suite REPORTS that, hash-verified vs DuckDB) — so
+    // the passing-gate case runs on a pk-deduplicated copy
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_clean").toString
+    Tables.lineitem(spark, sf)
+      .dropDuplicates("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Tables.orders(spark, sf).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rep = ops.QcOps.constraintGate(spark, dir)
+    assert(rep.count() == 9)
+    assert(rep.filter(!col("passed")).isEmpty)
+  }
+
+  test("constraint gate raises on injected violations, naming every failed check") {
+    // doctor a copy of the tables: truncate lineitem below the size gate
+    // and poison one price negative; orders stays intact so RI still holds
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc").toString
+    Tables.lineitem(spark, sf)
+      .limit(500)
+      .withColumn("l_extendedprice",
+        when(col("l_linenumber") === 1, lit(-5.0)).otherwise(col("l_extendedprice")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Tables.orders(spark, sf).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val ex = intercept[IllegalStateException](ops.QcOps.constraintGate(spark, dir))
+    assert(ex.getMessage.contains("size_ge_1000"), ex.getMessage)
+    assert(ex.getMessage.contains("nonneg_extendedprice"), ex.getMessage)
+    // untripped checks must not be reported as failures
+    assert(!ex.getMessage.contains("ri_orderkey_in_orders"), ex.getMessage)
+  }
+}
