@@ -711,7 +711,32 @@ object ExtraOps {
       .orderBy(col("p"))
   }
 
+  /** Spark's builtin mergeable quantile sketch — `approx_percentile`
+    * (Greenwald-Khanna summaries): ONE sketch per group answering all
+    * three percentiles, constant-size partials merged across executors,
+    * vs x_percentile's exact per-group sort. The accuracy parameter is
+    * the scale dial: rank error is bounded by n/accuracy, and while
+    * n ≤ accuracy the summary is at FULL retention — it returns the
+    * exact discrete order statistic, the same element DuckDB's
+    * quantile_disc picks, which is what makes this entry hash-verifiable
+    * (certified at sf0.1 too: max group n ≈ 3k ≪ 1e5). At 100 TB group
+    * sizes exceed accuracy and answers carry the ±n/accuracy rank band —
+    * ExtensionSpec pins that bound at accuracy=100 on the same data.
+    */
+  def approxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("approx_percentile(c_acctbal, array(0.5, 0.9, 0.99), 100000)")
+        .as("ps"), count(lit(1)).as("n_cust"))
+      .select(col("c_mktsegment"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"),
+        element_at(col("ps"), 3).as("p99"),
+        col("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_approx_percentile" -> approxPercentile,
     "x_quantile_sketch" -> quantileSketch,
     "x_explode_outer" -> explodeOuter,
     "x_skew_metrics" -> skewMetrics,
@@ -750,6 +775,13 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_approx_percentile" ->
+      """SELECT c_mktsegment,
+        |       quantile_disc(c_acctbal, 0.5) AS p50,
+        |       quantile_disc(c_acctbal, 0.9) AS p90,
+        |       quantile_disc(c_acctbal, 0.99) AS p99,
+        |       COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "x_quantile_sketch" ->
       """WITH partials AS (
         |  SELECT o_orderkey % 2 AS half,

@@ -226,6 +226,37 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile: exact at full retention, rank-bounded at low accuracy") {
+    import org.apache.spark.sql.DataFrame
+    // full retention (n <= accuracy): the GK summary returns the exact
+    // discrete order statistic — the property that makes the verified
+    // x_approx_percentile entry hash-match DuckDB's quantile_disc
+    val exact = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def approx(acc: Int): Map[String, Double] = Tables.customer(spark, sf)
+      .groupBy(col("c_mktsegment"))
+      .agg(expr(s"approx_percentile(c_acctbal, 0.5, $acc)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx(100000) == exact, "full retention must be exact")
+    // low accuracy: answer must sit within the documented n/accuracy rank
+    // band of the true median (the 100 TB semantics)
+    val sorted = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), col("c_acctbal"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    approx(100).foreach { case (seg, got) =>
+      val vs = sorted(seg)
+      val n = vs.length
+      val eps = n.toDouble / 100 // accuracy=100 → rank error ≤ n/100
+      val lo = vs(math.max(0, (0.5 * n - 2 * eps).toInt))
+      val hi = vs(math.min(n - 1, (0.5 * n + 2 * eps).toInt))
+      assert(got >= lo && got <= hi,
+        s"$seg: $got outside rank band [$lo, $hi] (n=$n)")
+    }
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
     val b = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
