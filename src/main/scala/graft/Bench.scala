@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Box-tax evidence: same-code totals swing ±30% with concurrent load
+    // (BASELINE.md round-4/6 notes). Record the 1-minute load average at
+    // bench start so cross-round comparisons can adjudicate contention
+    // mechanically instead of by anecdote.
+    val loadavg = try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.withObjectStoreConf(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,7 +83,7 @@ object Bench {
     // total — say so in the JSON so no tooling compares it across rounds.
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"loadavg_1m_at_start":$loadavg,"queries":$qs,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     println(detail) // full detail early — safe to truncate, bench.json has it too
