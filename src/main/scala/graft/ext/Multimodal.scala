@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * `binary` payload columns plus typed metadata, processed by batched
   * per-partition decoders.
   *
-  * The container has no media codecs, so the DECODE step is a
-  * deterministic fake (sha-256-derived features — clearly marked below);
-  * everything around it — schema, encoders, partition batching, the
-  * typed mapPartitions pipeline — is real and is exactly the shape a
-  * real decoder (JNI/FFmpeg/JPEG) would plug into.
+  * Two decode paths: [[bmpDecodeRaw]] is a GENUINE one — real 24-bit BMP
+  * container bytes parsed by the JDK's ImageIO BMP codec (header dims +
+  * full-raster channel means), oracle-verified via the deterministic
+  * fixture formulas. [[decodeFeaturesRaw]] keeps the honestly-stubbed
+  * shape for codecs the sandbox lacks (JPEG/FFmpeg): sha-256-derived
+  * fake features behind the same batched mapPartitions contract a JNI
+  * decoder would plug into.
   *
   * Scale notes: payloads never pass through a shuffle (decode is a narrow
   * map over the scan); batching amortizes per-call setup the way Arrow
@@ -81,17 +83,101 @@ object Multimodal {
           .as("feat_sig"))
       .orderBy(col("doc_id"))
 
-  /** Resize planning over the decoded dimensions: fit each media item
-    * into a 224×224 model input box preserving aspect ratio (the
+  // ---- Real-container fixture: 24-bit BMP, decoded by the JDK's real
+  // ---- ImageIO BMP plugin (the one genuine media codec in this sandbox).
+
+  /** Serialize a solid-color 24-bit BMP — BITMAPFILEHEADER (14 bytes) +
+    * BITMAPINFOHEADER (40 bytes) + bottom-up BGR rows padded to 4-byte
+    * boundaries. This is a REAL container file: any BMP reader decodes it.
+    */
+  def bmpBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { buf.put(b.toByte).put(g.toByte).put(r.toByte); x += 1 }
+      var p = 3 * w
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic fixture dims/color per doc (replayable in the oracle). */
+  def bmpFixtureParams(docId: Long): (Int, Int, Int, Int, Int) = (
+    16 + ((docId * 31) % 64).toInt, 16 + ((docId * 17) % 48).toInt,
+    (docId % 256).toInt, ((docId * 7) % 256).toInt, ((docId * 13) % 256).toInt)
+
+  case class BmpFeature(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** GENUINE decode path: per-partition batched ImageIO decode of real
+    * BMP payloads — width/height come from parsing the container header
+    * and the channel means from rasterizing every pixel, NOT from any
+    * closed form (the fixture's dims being formula-derived is what lets
+    * the ORACLE check the decoder's output; the Spark side never looks at
+    * the formula after payload construction). Same decoder-handle +
+    * batch shape as [[decodeFeaturesRaw]]; a JPEG/PNG pipeline is this
+    * exact code with a different ImageIO plugin.
+    */
+  def bmpDecodeRaw(s: SparkSession, d: String): Dataset[BmpFeature] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { id =>
+          val (w0, h0, r0, g0, b0) = bmpFixtureParams(id)
+          val payload = bmpBytes(w0, h0, r0, g0, b0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable BMP payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          BmpFeature(id, payload.length, w, h,
+            (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        }
+      }
+    }
+  }
+
+  /** Declared scalar form of [[bmpDecodeRaw]] — every column here was
+    * produced by a real codec parsing real container bytes; the oracle
+    * replays the fixture formulas (dims, byte size incl. row padding,
+    * solid-color means) to certify the decoder end-to-end.
+    */
+  def bmpDecode(s: SparkSession, d: String): DataFrame =
+    bmpDecodeRaw(s, d).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
+  /** Resize planning over GENUINELY DECODED dimensions: fit each media
+    * item into a 224×224 model input box preserving aspect ratio (the
     * standard vision-model preprocessing contract) — scale =
-    * 224/max(w,h), target dims rounded. A real pipeline hands
-    * (payload, tgt_w, tgt_h) to the batched decoder of
-    * [[decodeFeaturesRaw]]; the GEOMETRY is pure closed-form arithmetic
-    * on the decoded dims, so it is oracle-verified end-to-end even with
-    * the decode stubbed.
+    * 224/max(w,h), target dims rounded. width/height are parsed out of
+    * the real BMP container by [[bmpDecodeRaw]]'s ImageIO pass; the
+    * geometry itself stays closed-form arithmetic, so the whole path —
+    * decode included — is oracle-verified.
     */
   def resizePlan(s: SparkSession, d: String): DataFrame =
-    decodeFeaturesRaw(s, d).toDF()
+    bmpDecodeRaw(s, d).toDF()
       .withColumn("scale",
         lit(224.0) / greatest(col("width"), col("height")).cast("double"))
       .select(col("doc_id"), col("width"), col("height"),
@@ -136,6 +222,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
+    "mm_bmp_decode" -> bmpDecode,
     "mm_resize" -> resizePlan,
     "mm_frame_sample" -> frameSample
   )
@@ -154,16 +241,29 @@ object Multimodal {
          |       16 + ((${sqlByte(2)} * 256 + ${sqlByte(3)}) % 1080) AS height,
          |       concat_ws(',', ${(0 until 8).map(sqlByte).mkString(", ")}) AS feat_sig
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_bmp_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(16 + ((doc_id * 31) % 64) AS INT) AS width,
+        |         CAST(16 + ((doc_id * 17) % 48) AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(54 + ((3 * width + 3) // 4) * 4 * height AS INT) AS n_bytes,
+        |       width, height,
+        |       CAST(doc_id % 256 AS INT) AS mean_r,
+        |       CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+        |       CAST((doc_id * 13) % 256 AS INT) AS mean_b
+        |FROM dims ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
-      s"""WITH dims AS (
-         |  SELECT doc_id,
-         |         16 + ((${sqlByte(0)} * 256 + ${sqlByte(1)}) % 1920) AS width,
-         |         16 + ((${sqlByte(2)} * 256 + ${sqlByte(3)}) % 1080) AS height
-         |  FROM documents)
-         |SELECT doc_id, width, height,
-         |       CAST(round(width * (224.0 / greatest(width, height))) AS INT) AS tgt_w,
-         |       CAST(round(height * (224.0 / greatest(width, height))) AS INT) AS tgt_h
-         |FROM dims ORDER BY doc_id""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(16 + ((doc_id * 31) % 64) AS INT) AS width,
+        |         CAST(16 + ((doc_id * 17) % 48) AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |       CAST(round(width * (224.0 / greatest(width, height))) AS INT) AS tgt_w,
+        |       CAST(round(height * (224.0 / greatest(width, height))) AS INT) AS tgt_h
+        |FROM dims ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -257,6 +257,24 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP fixture is a real container: ImageIO round-trips dims and pixels") {
+    val payload = ext.Multimodal.bmpBytes(37, 21, 200, 100, 50)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "the JDK BMP codec must accept the fixture")
+    assert(img.getWidth == 37 && img.getHeight == 21)
+    val px = img.getRGB(36, 20) // far corner exercises row padding
+    assert(((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff) == ((200, 100, 50)))
+    // a corrupted magic number must NOT silently decode
+    val bad = payload.clone(); bad(0) = 'X'.toByte
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bad)) == null)
+    // and the distributed decode agrees with the oracle's closed form
+    val row = ext.Multimodal.bmpDecodeRaw(spark, sf)
+      .filter(col("doc_id") === 7L).collect().head
+    val (w, h, r, g, b) = ext.Multimodal.bmpFixtureParams(7L)
+    assert((row.width, row.height, row.mean_r, row.mean_g, row.mean_b)
+      == ((w, h, r, g, b)))
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
     val b = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
