@@ -77,6 +77,12 @@ case class MinHashSig(child: Expression, k: Int, m: Long)
       val hm = ctx.freshName("hm")
       val v = ctx.freshName("v")
       val acc = ctx.freshName("acc")
+      // classOf keeps the generated reference compile-time-checked — a
+      // hand-typed package path here once sent every MinHash query to the
+      // interpreted fallback via a Janino CompileException (caught by
+      // ExtensionSpec's fallback=false pin)
+      val uad =
+        classOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData].getName
       s"""
          |int $n = $a.numElements();
          |long[] $acc = new long[$k];
@@ -90,8 +96,7 @@ case class MinHashSig(child: Expression, k: Int, m: Long)
          |    }
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData
-         |  .fromPrimitiveArray($acc);
+         |${ev.value} = $uad.fromPrimitiveArray($acc);
        """.stripMargin
     })
 

@@ -126,6 +126,28 @@ class ExtensionSpec extends AnyFunSuite {
       && empty.forall(_ == Long.MaxValue))
   }
 
+  test("native expressions actually COMPILE (no silent interpreted fallback)") {
+    // Janino failures are WARN+fallback by default, so a broken doGenCode
+    // still returns right answers while quietly losing codegen — exactly
+    // what happened to MinHashSig's hand-typed UnsafeArrayData package
+    // path. fallback=false turns any codegen failure into an error.
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      graft.expr.VectorExprs.register(spark)
+      val sig = Seq((1L, Seq(7L, 99L, 12345L))).toDF("doc_id", "shashes")
+        .selectExpr("graft_minhash(shashes) AS sig",
+          "graft_cosine(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
+            "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS c")
+        .collect().head
+      assert(sig.getSeq[Long](0).length == graft.expr.MinHashSig.K)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.codegen.fallback", p)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("CosineSim: ragged vectors yield null; wrong types fail analysis") {
     import spark.implicits._
     graft.expr.VectorExprs.register(spark)
