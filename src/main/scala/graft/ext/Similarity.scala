@@ -428,6 +428,41 @@ object Similarity {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at
+    * corpus scale: k-means clusters block the pairwise comparison, so the
+    * quadratic term is bounded by the largest CLUSTER, never the corpus
+    * (the label-blocked [[embedCosineDedup]] needs labels; this is the
+    * label-free production form). Reuses the trained IVF index — the
+    * clustering you already built for ANN serves dedup for free. Within
+    * each cluster, all τ-similar pairs mark their LARGER id a duplicate
+    * (keep-smallest-id, deterministic); the pairs join shuffles on
+    * bucket, embeddings ride into exactly one within-bucket join. τ=0.3
+    * suits these synthetic near-orthogonal vectors; production text
+    * embeddings run τ≈0.95+. The oracle replays training bit-for-bit
+    * through the same assignment, so the verified relation covers the
+    * full cluster→pair→drop pipeline.
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned) = buildIvfIndex(s, d)
+    val e = Tables.embeddings(s, d)
+    val withVec = assigned
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withVec.select(col("bucket"), col("vec_id").as("ia"),
+      col("embedding").as("va"))
+    val b = withVec.select(col("bucket"), col("vec_id").as("ib"),
+      col("embedding").as("vb"))
+    val dups = a.join(b, Seq("bucket"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cosine", expr(cos(s, "va", "vb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("ib").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cross-table retrieval — the product-query shape: for each query
     * document, the top-3 semantically-similar documents by embedding
     * cosine, joined back to the documents table for their metadata. The
@@ -637,7 +672,8 @@ object Similarity {
     "sim_ivf_trained" -> ivfTrainedTopK,
     "sim_doc_retrieval" -> docRetrieval,
     "dd_embed_cosine" -> embedCosineDedup,
-    "dd_srp_lsh" -> srpLshDedup
+    "dd_srp_lsh" -> srpLshDedup,
+    "dd_semdedup" -> semDedup
   )
 
   /** DuckDB twin of [[cosIntDouble]]. */
@@ -646,12 +682,13 @@ object Similarity {
        | / (sqrt(list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $iv]), (acc, v) -> acc + v))
        |    * sqrt(list_reduce(list_prepend(0.0, [x * x for x in $cv]), (acc, v) -> acc + v)))""".stripMargin
 
-  /** The trained-IVF oracle: DuckDB replays the SAME quantized k-means —
-    * exact integer sums, identical IEEE divisions, identical fold orders —
-    * so training converges to bit-identical centroids and the final
-    * ranking hash-matches. Iterations are unrolled as CTEs.
+  /** DuckDB replay of the quantized k-means TRAINING through the corpus
+    * assignment (qv → cent0..centN → assigned) — exact integer sums,
+    * identical IEEE divisions, identical fold orders, so training
+    * converges to bit-identical centroids. Iterations are unrolled as
+    * CTEs. Shared by the trained-IVF and SemDeDup oracles.
     */
-  private def trainedIvfOracle: String = {
+  private def ivfAssignCtes: String = {
     val iters = (1 to ITERS).map { k =>
       s"""assign$k AS (SELECT vec_id, iv, cid FROM (
          |  SELECT q.vec_id, q.iv, c.cid,
@@ -665,7 +702,7 @@ object Similarity {
          |          FROM assign$k)
          |    GROUP BY cid, pos) GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
        |  FROM embeddings),
@@ -677,7 +714,14 @@ object Similarity {
        |  SELECT q.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${duckCosID("q.iv", "c.cv")} DESC, c.cid) AS arn
-       |  FROM qv q CROSS JOIN cent$ITERS c) WHERE arn = 1),
+       |  FROM qv q CROSS JOIN cent$ITERS c) WHERE arn = 1)""".stripMargin
+  }
+
+  /** Final ranking of the trained-IVF oracle on top of [[ivfAssignCtes]];
+    * hash-matches [[ivfTrainedTopK]].
+    */
+  private def trainedIvfOracle: String =
+    s"""WITH $ivfAssignCtes,
        |probes AS (SELECT vec_id AS qid, cid AS bucket FROM (
        |  SELECT q.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -698,7 +742,22 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, cand_id, rank, cosine FROM ranked
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-  }
+
+  /** SemDeDup oracle: the same training replay through `assigned`, then
+    * within-bucket τ-pairs and the keep-smallest-id dup rule.
+    */
+  private def semDedupOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |wv AS (
+       |  SELECT a.vec_id, a.bucket, e.embedding
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3)
+       |SELECT w.vec_id, w.bucket, (d.vec_id IS NOT NULL) AS is_dup
+       |FROM wv w LEFT JOIN dups d ON w.vec_id = d.vec_id
+       |ORDER BY w.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_sq8_topk" ->
@@ -905,6 +964,7 @@ object Similarity {
          |  SELECT ia, ib, ${duckCos("ea.embedding", "eb.embedding")} AS cosine
          |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.ia
          |            JOIN embeddings eb ON eb.vec_id = cand.ib)
-         |WHERE cosine >= 0.3 ORDER BY ia, ib""".stripMargin
+         |WHERE cosine >= 0.3 ORDER BY ia, ib""".stripMargin,
+    "dd_semdedup" -> semDedupOracle
   )
 }
