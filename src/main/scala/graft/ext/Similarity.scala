@@ -67,6 +67,26 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Radius (range) search: ALL corpus neighbors within cosine ≥ τ of
+    * each query — the retrieval mode contamination sweeps and recall
+    * audits use (top-k bounds the answer COUNT; radius search bounds the
+    * answer QUALITY, and its result size is data-dependent). Same
+    * broadcast-queries/streaming-corpus shape as [[topKBrute]] minus the
+    * ranking window — a pure filter, so it stays in whole-stage codegen
+    * end-to-end; at scale swap the corpus scan for IVF bucket probes
+    * exactly as [[ivfTopK]] does.
+    */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .filter(col("qid") < 5)
+    q.hint("broadcast").join(e.filter(col("vec_id") >= 5))
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+      .filter(col("cosine") >= 0.25)
+      .select(col("qid"), col("vec_id"), col("cosine"))
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
   /** kNN label prediction — similarity search as a LABELING pipeline
     * (weak supervision / auto-tagging of training data): each query
     * vector takes the majority label of its 10 nearest corpus neighbors
@@ -667,6 +687,7 @@ object Similarity {
     "sim_vector_norms" -> vectorNorms,
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
+    "sim_range_search" -> rangeSearch,
     "sim_knn_classify" -> knnClassify,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained" -> ivfTrainedTopK,
@@ -965,6 +986,13 @@ object Similarity {
          |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.ia
          |            JOIN embeddings eb ON eb.vec_id = cand.ib)
          |WHERE cosine >= 0.3 ORDER BY ia, ib""".stripMargin,
-    "dd_semdedup" -> semDedupOracle
+    "dd_semdedup" -> semDedupOracle,
+    "sim_range_search" ->
+      s"""SELECT qid, vec_id, cosine FROM (
+         |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+         |         ${duckCos("q.embedding", "e.embedding")} AS cosine
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id < 5 AND e.vec_id >= 5)
+         |WHERE cosine >= 0.25 ORDER BY qid, vec_id""".stripMargin
   )
 }

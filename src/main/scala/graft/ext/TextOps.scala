@@ -397,8 +397,11 @@ object TextOps {
     * merged pair change) instead of recounting — the round structure,
     * tie-breaks, and merge semantics are exactly what is pinned here.
     */
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.DataFrame
+  /** The 3-round training loop shared by [[bpeMerges]] (the learned merge
+    * table) and [[bpeEncode]] (tokenization with those merges): returns
+    * (merge table, final segmented word-type vocab).
+    */
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     var words = Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("w"))
       // the chr(1) sentinel below assumes no word contains \x01 — a word
@@ -436,7 +439,69 @@ object TextOps {
         .localCheckpoint()
       best
     }
-    bests.reduce(_ unionAll _).orderBy(col("round"))
+    (bests.reduce(_ unionAll _), words)
+  }
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d)._1.orderBy(col("round"))
+
+  /** Tokenizer APPLY — encode the corpus with the trained merges: the
+    * final segmented vocab maps each word TYPE to its post-merge symbol
+    * count, and documents JOIN that map instead of re-running merge
+    * logic per token. At scale the vocab (word types) is orders of
+    * magnitude smaller than the corpus and broadcasts; the corpus never
+    * shuffles — tokenization is a narrow map + broadcast join, the same
+    * shape production BPE encoders use on clusters (merge table
+    * resident, text streaming through). Emits per-doc word/token/char
+    * counts and chars-per-token — the compression metric a tokenizer
+    * change is judged by.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = bpeTrain(s, d)
+    val symCounts = vocab.select(col("w"), expr(
+      "size(filter(split(seg, concat(chr(1), chr(1))), x -> x != ''))")
+      .cast("long").as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("\u0001"))
+      .join(broadcast(symCounts), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SFT loss-masking — the (input_ids, labels) construction every
+    * instruction-tuning pipeline ships: the first P positions (the
+    * "prompt") carry the cross-entropy ignore index (-100, the standard
+    * convention) in `labels`, completion positions carry the token id, so
+    * the model trains only on completions. Token ids here are the 60-bit
+    * replayable hash mod vocab (a stand-in for a real tokenizer id — the
+    * masking geometry is the operator under test). Narrow per-row
+    * transforms only: no shuffle, no explosion — at 100 TB this runs at
+    * scan speed. Sequences emit as space-joined strings (the driver's
+    * sorter can't lexsort arrays).
+    */
+  def lossMasking(s: SparkSession, d: String): DataFrame = {
+    val P = 8; val V = 32768
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+      .select(col("doc_id"),
+        expr(s"transform(ws, w -> ${sparkHash("w")} % $V)").as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        least(size(col("ids")), lit(P)).cast("long").as("n_masked"),
+        array_join(expr("transform(ids, x -> CAST(x AS STRING))"), " ")
+          .as("input_ids"),
+        array_join(expr(
+          s"transform(ids, (x, i) -> IF(i < $P, '-100', CAST(x AS STRING)))"),
+          " ").as("labels"))
+      .orderBy(col("doc_id"))
   }
 
   /** Dataset card: the per-(source, split) manifest a training run ships
@@ -783,6 +848,8 @@ object TextOps {
     "pipe_split" -> trainSplit,
     "pipe_dataset_card" -> datasetCard,
     "pipe_bpe_merges" -> bpeMerges,
+    "pipe_bpe_encode" -> bpeEncode,
+    "pipe_loss_masking" -> lossMasking,
     "pipe_chunk_docs" -> chunkDocs,
     "tx_repetition" -> repetition,
     "tx_redact" -> redact,
@@ -796,6 +863,44 @@ object TextOps {
     "pipe_pack_sequences" -> packSequences,
     "pipe_corpus_mix" -> corpusMix
   )
+
+  /** DuckDB replay of one BPE training round: pair counts over the
+    * current segmentations → argmax pair → batched greedy merge via the
+    * same sentinel replace() the Spark side uses.
+    */
+  private def bpeRound(n: Int, in: String): String =
+    s"""p$n AS (
+       |  SELECT (u.p).l AS l, (u.p).r AS r, CAST(SUM(cnt) AS BIGINT) AS pcnt
+       |  FROM (
+       |    SELECT cnt, unnest([{'l': syms[i], 'r': syms[i+1]}
+       |                        for i in range(1, len(syms))]) AS p
+       |    FROM (SELECT cnt, list_filter(string_split(seg, chr(1)||chr(1)),
+       |                                  x -> x <> '') AS syms FROM $in)) u
+       |  GROUP BY 1, 2),
+       |b$n AS (SELECT $n AS round, l, r, pcnt FROM p$n
+       |        ORDER BY pcnt DESC, l, r LIMIT 1),
+       |w$n AS (
+       |  SELECT w, cnt, replace(seg, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+       |                              chr(1)||l||r||chr(1)) AS seg
+       |  FROM $in CROSS JOIN b$n)"""
+
+  /** The unrolled 3-round training chain (vocab → w0 → rounds 1..3) shared
+    * by the pipe_bpe_merges and pipe_bpe_encode oracles; w3 carries the
+    * final segmented vocab, b1..b3 the learned merges.
+    */
+  private def bpeTrainCtes: String =
+    s"""vocab AS (
+       |  SELECT w, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 AND NOT contains(w, chr(1)) GROUP BY w),
+       |w0 AS (
+       |  SELECT w, cnt,
+       |         chr(1)||chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1))
+       |           || chr(1)||chr(1) AS seg
+       |  FROM vocab),
+       |${bpeRound(1, "w0")},
+       |${bpeRound(2, "w1")},
+       |${bpeRound(3, "w2")}"""
 
   val oracle: Map[String, String] = {
     def score(l: String) =
@@ -1014,41 +1119,48 @@ object TextOps {
            |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
            |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
-      "pipe_bpe_merges" -> {
-        // one BPE round as CTEs: pair counts over the current
-        // segmentations → argmax pair → batched greedy merge via the
-        // same sentinel replace() the Spark side uses
-        def round(n: Int, in: String) =
-          s"""p$n AS (
-             |  SELECT (u.p).l AS l, (u.p).r AS r, CAST(SUM(cnt) AS BIGINT) AS pcnt
-             |  FROM (
-             |    SELECT cnt, unnest([{'l': syms[i], 'r': syms[i+1]}
-             |                        for i in range(1, len(syms))]) AS p
-             |    FROM (SELECT cnt, list_filter(string_split(seg, chr(1)||chr(1)),
-             |                                  x -> x <> '') AS syms FROM $in)) u
-             |  GROUP BY 1, 2),
-             |b$n AS (SELECT $n AS round, l, r, pcnt FROM p$n
-             |        ORDER BY pcnt DESC, l, r LIMIT 1),
-             |w$n AS (
-             |  SELECT w, cnt, replace(seg, chr(1)||l||chr(1)||chr(1)||r||chr(1),
-             |                              chr(1)||l||r||chr(1)) AS seg
-             |  FROM $in CROSS JOIN b$n)"""
-        s"""WITH vocab AS (
-           |  SELECT w, COUNT(*) AS cnt
-           |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-           |  WHERE len(w) > 0 AND NOT contains(w, chr(1)) GROUP BY w),
-           |w0 AS (
-           |  SELECT w, cnt,
-           |         chr(1)||chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1))
-           |           || chr(1)||chr(1) AS seg
-           |  FROM vocab),
-           |${round(1, "w0")},
-           |${round(2, "w1")},
-           |${round(3, "w2")}
+      "pipe_bpe_merges" ->
+        s"""WITH $bpeTrainCtes
            |SELECT round, l, r, pcnt FROM (
            |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
-           |ORDER BY round""".stripMargin
-      },
+           |ORDER BY round""".stripMargin,
+      "pipe_bpe_encode" ->
+        s"""WITH $bpeTrainCtes,
+           |vs AS (
+           |  SELECT w, CAST(len(list_filter(string_split(seg, chr(1)||chr(1)),
+           |                                 x -> x <> '')) AS BIGINT) AS n_sym
+           |  FROM w3),
+           |dw AS (
+           |  SELECT doc_id, w
+           |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |        FROM documents)
+           |  WHERE len(w) > 0 AND NOT contains(w, chr(1)))
+           |SELECT doc_id, COUNT(*) AS n_words,
+           |       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+           |       CAST(SUM(len(w)) AS DOUBLE) / CAST(SUM(n_sym) AS BIGINT)
+           |         AS chars_per_token
+           |FROM dw JOIN vs USING (w)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "pipe_loss_masking" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+           |  FROM documents),
+           |ids AS (
+           |  SELECT doc_id,
+           |         [${duckHash("ws[i]")} % 32768 for i in range(1, len(ws)+1)] AS ids
+           |  FROM t)
+           |SELECT doc_id,
+           |       CAST(len(ids) AS BIGINT) AS n_tokens,
+           |       CAST(least(len(ids), 8) AS BIGINT) AS n_masked,
+           |       COALESCE(array_to_string(
+           |         [CAST(ids[i] AS VARCHAR) for i in range(1, len(ids)+1)], ' '), '')
+           |         AS input_ids,
+           |       COALESCE(array_to_string(
+           |         [CASE WHEN i <= 8 THEN '-100' ELSE CAST(ids[i] AS VARCHAR) END
+           |          for i in range(1, len(ids)+1)], ' '), '') AS labels
+           |FROM ids ORDER BY doc_id""".stripMargin,
       "pipe_dataset_card" ->
         s"""WITH b AS (
            |  SELECT source, doc_id, text, n_chars,
