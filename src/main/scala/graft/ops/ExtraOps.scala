@@ -735,7 +735,52 @@ object ExtraOps {
         col("n_cust"))
       .orderBy(col("c_mktsegment"))
 
+  /** Degree-oriented distributed triangle counting (Suri–Vassilvitskii's
+    * MapReduce orientation trick) over the co-purchase graph (parts
+    * sharing an order). The naive wedge join explodes on hub nodes
+    * (Σ deg² — a single celebrity key generates billions of wedges); the
+    * fix that makes this run at 100 TB is ORIENTATION: point every edge
+    * from its lower-(degree, id) endpoint to the higher one, making the
+    * graph acyclic with out-degree O(√m), so wedges are Σ outdeg² ≤ m^1.5
+    * regardless of skew. Wedge closure is then ONE keyed join against the
+    * normalized edge set — every join here is keyed, nothing broadcasts,
+    * no iteration. Each triangle is counted exactly once (its
+    * minimum-(degree, id) vertex owns it), matching the oracle's
+    * u<v<w 3-way self-join count.
+    */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint() // reused 3×: degrees, orientation, closure
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("a"))
+      .join(oriented.select(col("src"), col("dst").as("b")), Seq("src"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("v"))
+    val triangles = wedges.join(edges, Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+        edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_triangle_count" -> triangleCount,
     "x_approx_percentile" -> approxPercentile,
     "x_quantile_sketch" -> quantileSketch,
     "x_explode_outer" -> explodeOuter,
@@ -775,6 +820,18 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |n AS (SELECT COUNT(*) AS n_nodes FROM
+        |        (SELECT u AS x FROM e UNION SELECT v FROM e)),
+        |m AS (SELECT COUNT(*) AS n_edges FROM e),
+        |t AS (SELECT COUNT(*) AS n_triangles
+        |      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
     "x_approx_percentile" ->
       """SELECT c_mktsegment,
         |       quantile_disc(c_acctbal, 0.5) AS p50,
