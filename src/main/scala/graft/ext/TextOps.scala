@@ -504,6 +504,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Preference-pair construction (DPO/RLHF data prep): within each
+    * source, pair the 3 highest-scored documents ("chosen") with the 3
+    * lowest ("rejected") by rank, carrying the score margin — the shape a
+    * preference-tuning run consumes. Score here is the exact rational
+    * stopword share (counts divided once at the end — replayable, no
+    * libm). Both rank windows partition by source, so Spark pushes a
+    * partial WindowGroupLimit below the shuffle and each source's
+    * candidate set collapses to ≤3 rows per map task before the exchange
+    * — at 100 TB the pairing cost is sources × 3, not corpus-sized.
+    */
+  def dpoPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("score",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("double")
+          / size(col("ws")))
+      .select(col("source"), col("doc_id"), col("score"))
+    val wTop = Window.partitionBy(col("source")).orderBy(desc("score"), col("doc_id"))
+    val wBot = Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))
+    val top = scored
+      .withColumn("pair_rank", row_number().over(wTop).cast("long"))
+      .filter(col("pair_rank") <= 3)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+    val bot = scored
+      .withColumn("pair_rank", row_number().over(wBot).cast("long"))
+      .filter(col("pair_rank") <= 3)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    top.join(bot, Seq("source", "pair_rank"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .orderBy(col("source"), col("pair_rank"))
+  }
+
   /** Dataset card: the per-(source, split) manifest a training run ships
     * with — document/char/token counts, corpus share, exact-duplicate
     * rate, and stopword share (the quality proxy). One scan computes
@@ -850,6 +885,7 @@ object TextOps {
     "pipe_bpe_merges" -> bpeMerges,
     "pipe_bpe_encode" -> bpeEncode,
     "pipe_loss_masking" -> lossMasking,
+    "pipe_dpo_pairs" -> dpoPairs,
     "pipe_chunk_docs" -> chunkDocs,
     "tx_repetition" -> repetition,
     "tx_redact" -> redact,
@@ -1142,6 +1178,29 @@ object TextOps {
            |         AS chars_per_token
            |FROM dw JOIN vs USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "pipe_dpo_pairs" ->
+        s"""WITH scored AS (
+           |  SELECT source, doc_id,
+           |         CAST(len(list_filter(string_split(lower(text), ' '),
+           |                              w -> w IN ${inList(stop("en"))})) AS DOUBLE)
+           |           / len(string_split(lower(text), ' ')) AS score
+           |  FROM documents),
+           |top AS (
+           |  SELECT source, doc_id AS chosen_id, score AS chosen_score,
+           |         ROW_NUMBER() OVER (PARTITION BY source
+           |           ORDER BY score DESC, doc_id) AS pair_rank
+           |  FROM scored),
+           |bot AS (
+           |  SELECT source, doc_id AS rejected_id, score AS rejected_score,
+           |         ROW_NUMBER() OVER (PARTITION BY source
+           |           ORDER BY score, doc_id) AS pair_rank
+           |  FROM scored)
+           |SELECT source, CAST(pair_rank AS BIGINT) AS pair_rank,
+           |       chosen_id, chosen_score, rejected_id, rejected_score,
+           |       chosen_score - rejected_score AS margin
+           |FROM top JOIN bot USING (source, pair_rank)
+           |WHERE pair_rank <= 3
+           |ORDER BY source, pair_rank""".stripMargin,
       "pipe_loss_masking" ->
         s"""WITH t AS (
            |  SELECT doc_id,
