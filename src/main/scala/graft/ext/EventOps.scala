@@ -192,7 +192,38 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Peak concurrency via the sweep line — "how many users were active at
+    * once" — the load-planning query no direct aggregation answers:
+    * each (user, day) activity interval [first, last event] becomes a
+    * +1 at start and a −1 just past the end, and the per-day running
+    * sum's maximum IS the peak overlap. Ends order before starts on
+    * timestamp ties (delta ascending), so touching intervals don't
+    * overcount. Deterministic even under tied timestamps: within a tie
+    * group the partial sums are the same multiset in any order, so the
+    * MAX is order-free. Scale: points shuffle once on day — each day's
+    * sweep is an independent partition; a day's points (2 × active
+    * users) fit a single reducer at any corpus size or the day splits
+    * into sub-ranges with carried offsets (same partial-sum trick as the
+    * quantile sketch).
+    */
+  def concurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    val pts = iv.select(col("day"), col("start_us").as("ts_us"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("day"), (col("end_us") + 1L).as("ts_us"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("ts_us"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_points"), max(col("conc")).as("max_concurrent"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_concurrency" -> concurrency,
     "ev_path_transitions" -> pathTransitions,
     "ev_anomaly" -> anomaly,
     "ev_tumbling" -> tumbling,
@@ -205,6 +236,22 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_concurrency" ->
+      """WITH iv AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT day, start_us AS ts_us, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT day, end_us + 1, CAST(-1 AS BIGINT) FROM iv),
+        |c AS (
+        |  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY ts_us, delta
+        |             ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM pts)
+        |SELECT day, COUNT(*) AS n_points,
+        |       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
     "ev_path_transitions" ->
       """WITH t AS (
         |  SELECT event_type AS from_type,
