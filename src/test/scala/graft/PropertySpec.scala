@@ -70,4 +70,44 @@ class PropertySpec extends AnyFunSuite {
       assert(a.unionByName(b).count() == a.count() + b.count())
     }
   }
+
+  test("BMP codec round-trips any dims/colors through ImageIO (padding sweep)") {
+    // width mod 4 ∈ {0,1,2,3} all occur across the generated cases, so
+    // every row-padding branch of the writer is exercised
+    val gen = Gen.zip(Gen.chooseNum(1, 80), Gen.chooseNum(1, 60),
+      Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255))
+    (0 until 25).foreach { i =>
+      val (w, h, r, g, b) = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ext.Multimodal.bmpBytes(w, h, r, g, b)))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"case $i: ${w}x$h")
+      for ((x, y) <- Seq((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1))) {
+        val px = img.getRGB(x, y)
+        assert(((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff) == ((r, g, b)),
+          s"case $i: corner ($x,$y)")
+      }
+    }
+  }
+
+  test("MinHashSig eval matches an independent fold on arbitrary inputs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val K = graft.expr.MinHashSig.K
+    val M = graft.expr.MinHashSig.M
+    def reference(xs: Seq[Long]): Seq[Long] =
+      (0 until K).map { i =>
+        val perms = xs.map(h => ((2L * i + 1) * (h % M) + i * 2654435761L) % M)
+        if (perms.isEmpty) Long.MaxValue else perms.min
+      }
+    val gen = Gen.listOf(Gen.chooseNum(0L, Long.MaxValue / 2))
+    (0 until 25).foreach { i =>
+      val xs = gen.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val expr = graft.expr.MinHashSig(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          xs, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), K, M)
+      val got = expr.eval(null).asInstanceOf[GenericArrayData].toLongArray.toSeq
+      assert(got == reference(xs), s"case $i (n=${xs.length})")
+    }
+  }
 }
