@@ -785,7 +785,27 @@ object ExtraOps {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Spark 4's `approx_top_k` (DataSketches frequent-items) — the
+    * builtin heavy-hitters aggregate: one constant-size mergeable sketch
+    * per group answering "top k items and their counts" (the engine-side
+    * sibling of the hand-rolled CMS in x_cms_freq). While the distinct
+    * count stays within maxItemsTracked the sketch is EXACT — which is
+    * what lets this entry hash-verify against the exact GROUP BY oracle;
+    * past that capacity, counts carry the documented frequent-items
+    * error band and this becomes the 100 TB path where the exact
+    * group-count would shuffle every distinct key. Output re-sorted
+    * deterministically (count desc, item) — sketch emission order is
+    * internal.
+    */
+  def approxTopK(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(event_type, 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+      .orderBy(desc("n"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_approx_top_k" -> approxTopK,
     "x_triangle_count" -> triangleCount,
     "x_approx_percentile" -> approxPercentile,
     "x_quantile_sketch" -> quantileSketch,
@@ -826,6 +846,10 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_approx_top_k" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type""".stripMargin,
     "x_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
