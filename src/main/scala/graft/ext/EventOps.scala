@@ -222,7 +222,33 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** First-/last-touch conversion attribution: for every purchase, which
+    * channel (event type) FIRST brought the user in, and which touched
+    * them LAST before converting — the two standard marketing-attribution
+    * models, computed in one pass. Both are IGNORE-NULLS window reads
+    * over the user's prior events (the same portable frame idiom as
+    * [[nearestJoin]]); the aggregation shuffles only the
+    * (first, last) enum pairs. One user-keyed exchange total — at 100 TB
+    * the window is per-user-bounded and the result is channels².
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables.events(s, d)
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(prior))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(prior))
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> attribution,
     "ev_concurrency" -> concurrency,
     "ev_path_transitions" -> pathTransitions,
     "ev_anomaly" -> anomaly,
@@ -236,6 +262,21 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events)
+        |SELECT COALESCE(first_touch, 'none') AS first_touch,
+        |       COALESCE(last_touch, 'none') AS last_touch,
+        |       COUNT(*) AS n_purchases
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
     "ev_concurrency" ->
       """WITH iv AS (
         |  SELECT CAST(ts AS DATE) AS day, user_id,
