@@ -79,6 +79,53 @@ object QcOps {
   def constraintGate(s: SparkSession, d: String): DataFrame =
     enforce(constraintSuite(s, d))
 
+  /** Benford leading-digit audit — the fraud/corruption screen for
+    * naturally-occurring amounts: the observed first-digit distribution
+    * of o_totalprice, as exact counts and rational shares (no log10 —
+    * libm's last ulp varies across builds; the analyst compares against
+    * Benford's curve downstream). One partial-aggregated scan over a
+    * 9-row group space.
+    */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    // first digit via floor→integer→string: double→string formatting and
+    // double→int rounding both differ across engines; floor + integer
+    // string do not
+    val digits = Tables.orders(s, d)
+      .select(substring(expr("CAST(floor(o_totalprice) AS BIGINT)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .select(col("digit"), col("n"), col("share"))
+      .orderBy(col("digit"))
+  }
+
+  /** Order-independent whole-table checksum — the cross-system
+    * reconciliation primitive ("is the replica byte-equal?") this
+    * harness itself relies on, exposed as an operator: each row hashes
+    * its pipe-joined columns through the 60-bit replayable md5 slice and
+    * the table folds to (n_rows, SUM(h)) — commutative, so the result is
+    * partitioning- and order-independent, and two systems can compare
+    * tables by exchanging 16 bytes instead of data. One scan, one 1-row
+    * aggregate per table.
+    */
+  def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Hashing
+    def one(name: String, df: DataFrame, cols: Seq[String]) =
+      df.select(expr(Hashing.sparkHash(
+          s"concat_ws('|', ${cols.mkString(", ")})")).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(30,0)")).cast("string").as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    one("nation", Tables.nation(s, d),
+        Seq("n_nationkey", "n_name", "n_regionkey"))
+      .unionAll(one("region", Tables.region(s, d), Seq("r_regionkey", "r_name")))
+      .unionAll(one("supplier", Tables.supplier(s, d),
+        Seq("s_suppkey", "s_name", "s_nationkey")))
+      .orderBy(col("table_name"))
+  }
+
   /** Spark 4 `GROUP BY ALL` / `ORDER BY ALL` surface: the grouping keys
     * are inferred as every non-aggregate select item and the sort covers
     * all output columns left-to-right — identical semantics in DuckDB,
@@ -120,12 +167,37 @@ object QcOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_benford" -> benford,
+    "qc_table_checksum" -> tableChecksum,
     "qc_constraint_suite" -> constraintSuite,
     "x_group_by_all" -> groupOrderAll,
     "x_sql_udf" -> sqlUdf
   )
 
   val oracle: Map[String, String] = Map(
+    "qc_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n, CAST(n AS DOUBLE) / total AS share
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+    "qc_table_checksum" -> {
+      import graft.ext.Hashing
+      def one(name: String, table: String, cols: Seq[String]) =
+        s"""SELECT '$name' AS table_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(${Hashing.duckHash(
+                s"concat_ws('|', ${cols.mkString(", ")})")}) AS VARCHAR) AS checksum
+           |FROM $table""".stripMargin
+      s"""SELECT * FROM (
+         |${one("nation", "nation", Seq("n_nationkey", "n_name", "n_regionkey"))}
+         |UNION ALL
+         |${one("region", "region", Seq("r_regionkey", "r_name"))}
+         |UNION ALL
+         |${one("supplier", "supplier", Seq("s_suppkey", "s_name", "s_nationkey"))})
+         |ORDER BY table_name""".stripMargin
+    },
     "qc_constraint_suite" ->
       """WITH m AS (
         |  SELECT COUNT(*) AS n_rows,
