@@ -32,6 +32,7 @@ object SparkEntry {
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
         "st_hll_stream" -> streaming.StreamOps.hllStream,
+        "st_checksum_stream" -> streaming.StreamOps.checksumStream,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +63,6 @@ object SparkEntry {
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
         "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
         "st_hll_stream" -> streaming.StreamOps.hllStreamOracle,
+        "st_checksum_stream" -> streaming.StreamOps.checksumStreamOracle,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSinkOracle)
 }

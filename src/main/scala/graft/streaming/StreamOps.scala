@@ -563,6 +563,35 @@ object StreamOps {
       |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incrementally-maintained reconciliation fingerprint — the streaming
+    * twin of `qc_table_checksum`: because the fingerprint is a
+    * commutative (count, hash-sum) pair, a stream can maintain it with a
+    * constant-size aggregation state and at any drain point it equals
+    * the batch fingerprint of everything ingested so far — continuous
+    * replica verification without rescanning. Per-row decimal cast
+    * before the sum (2^60-scale hash values overflow a BIGINT sum).
+    */
+  def checksumStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
+      .select(expr(graft.ext.Hashing.sparkHash(
+        "concat_ws('|', event_id, user_id, event_type)")).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(30,0)")).cast("string").as("checksum"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_checksum")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_checksum")
+  }
+
+  val checksumStreamOracle: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(${graft.ext.Hashing.duckHash(
+            "concat_ws('|', event_id, user_id, event_type)")}) AS VARCHAR) AS checksum
+       |FROM events""".stripMargin
+
   /** Streaming sketch maintenance: the verified HLL's registers
     * ([[graft.ext.HyperLogLog]]) kept up to date by a streaming
     * max-aggregate over the events source — the state store holds exactly
