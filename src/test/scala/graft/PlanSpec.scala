@@ -342,7 +342,8 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set(
       "st_tumbling_stream", "st_interval_join", "st_incremental_probe",
       "st_left_outer_join", "st_static_enrich", "st_sessionize_state",
-      "st_dedup_stream", "st_hll_stream", "st_foreach_batch")
+      "st_dedup_stream", "st_hll_stream", "st_checksum_stream",
+      "st_foreach_batch")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
       .flatMap { n =>
         val p = plan(n)
