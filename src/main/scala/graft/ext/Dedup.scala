@@ -133,6 +133,32 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Asymmetric CONTAINMENT C(a→b) = |A∩B| / |A| — the doc-inside-doc
+    * detector symmetric Jaccard structurally misses: a short document
+    * quoted wholesale inside a long one has tiny Jaccard (|A∪B| is
+    * dominated by B) but containment ≈ 1. Same inverted-index
+    * intersection as [[ngramJaccard]] with the divisor switched to the
+    * CONTAINED side's set size, emitted directionally (both a→b and
+    * b→a when both clear the bar). At 100 TB, candidates come from the
+    * banded MinHash path exactly as for Jaccard — this exact-pairs form
+    * is the verification baseline.
+    */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).localCheckpoint()
+      .select(col("doc_id"), size(col("shashes")).as("n"),
+        explode(col("shashes")).as("sh"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh")
+        && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.n").as("na"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= 0.5)
+      .select(col("ia"), col("ib"), col("inter"), col("containment"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
   /** Adds the K-wide minhash signature to a shingled frame: K arithmetic
     * hashes folded elementwise-min over the shingle hashes — one row per
     * doc, no explosion. Runs the native fused [[graft.expr.MinHashSig]]
@@ -645,6 +671,7 @@ object Dedup {
     "dd_contamination" -> contamination,
     "dd_exact" -> exactDedup,
     "dd_ngram_jaccard" -> ngramJaccard,
+    "dd_containment" -> containment,
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
     "dd_components" -> components,
@@ -748,6 +775,17 @@ object Dedup {
          |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM inter
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $JT
+         |ORDER BY ia, ib""".stripMargin,
+    "dd_containment" ->
+      s"""WITH $shingCte,
+         |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n AS na, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT ia, ib, inter, CAST(inter AS DOUBLE) / na AS containment
+         |FROM inter
+         |WHERE CAST(inter AS DOUBLE) / na >= 0.5
          |ORDER BY ia, ib""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH $shingCte,
