@@ -91,18 +91,27 @@ object VectorExprs {
     * expose a custom Expression without internal Column constructors.
     */
   def register(s: SparkSession): Unit = {
-    // Idempotent: frame builders call this on every invocation; a repeat
-    // createOrReplaceTempFunction would silently clobber a same-named
-    // function the user registered after ours, so skip once present.
+    // Idempotent AND self-owned: frame builders call this on every
+    // invocation. Skipping on mere name presence would let a foreign
+    // same-named function (registered by the user or another library)
+    // silently serve graft's own queries; blind re-registration would
+    // clobber it on every call. So each function is tagged with its
+    // implementing class in ExpressionInfo — skip only when the existing
+    // entry is provably ours, otherwise (re)register and own the name for
+    // graft's frames (documented override).
+    ensure(s, "graft_cosine", classOf[CosineSim].getName,
+      exprs => CosineSim(exprs(0), exprs(1)))
+    ensure(s, "graft_minhash", classOf[MinHashSig].getName,
+      exprs => MinHashSig(exprs.head, MinHashSig.K, MinHashSig.M))
+  }
+
+  private def ensure(s: SparkSession, name: String, className: String,
+      builder: Seq[Expression] => Expression): Unit = {
     val reg = s.sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")).isEmpty)
-      reg.createOrReplaceTempFunction(
-        "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash")).isEmpty)
-      reg.createOrReplaceTempFunction(
-        "graft_minhash",
-        exprs => MinHashSig(exprs.head, MinHashSig.K, MinHashSig.M), "built-in")
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val ours = reg.lookupFunction(id).exists(_.getClassName == className)
+    if (!ours) reg.registerFunction(id,
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        className, name), builder)
   }
 }

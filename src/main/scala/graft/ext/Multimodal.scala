@@ -131,11 +131,19 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
-        batch.map { id =>
+        // The batched-decoder contract made real: ONE ImageReader is
+        // allocated per batch (plugin lookup + reader construction are
+        // the per-image fixed costs ImageIO.read would re-pay 64×); only
+        // setInput varies per payload. Disposed after the strict map.
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+        try batch.map { id =>
           val (w0, h0, r0, g0, b0) = bmpFixtureParams(id)
           val payload = bmpBytes(w0, h0, r0, g0, b0)
-          val img = javax.imageio.ImageIO.read(
+          val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val img = try reader.read(0) finally iis.close()
           require(img != null, s"undecodable BMP payload for doc $id")
           val (w, h) = (img.getWidth, img.getHeight)
           var (sr, sg, sb) = (0L, 0L, 0L)
@@ -152,7 +160,7 @@ object Multimodal {
           val n = w.toLong * h
           BmpFeature(id, payload.length, w, h,
             (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
-        }
+        } finally reader.dispose()
       }
     }
   }

@@ -849,7 +849,7 @@ object ExtraOps {
     "x_approx_top_k" ->
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type
-        |ORDER BY n DESC, event_type""".stripMargin,
+        |ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
     "x_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -66,12 +66,18 @@ object QcOps {
     * everything passes so a pipeline can both gate on and persist it.
     */
   def enforce(report: DataFrame): DataFrame = {
-    val failed = report.filter(!col("passed"))
+    // `passed IS NOT TRUE`, not `!passed`: on a degenerate load the
+    // range-check comparisons go NULL (min/max of zero rows), and a
+    // null-passed constraint must still gate. Metric read is null-safe
+    // for the same reason (NaN completeness ratios format fine).
+    val failed = report.filter(not(coalesce(col("passed"), lit(false))))
       .select(col("check_name"), col("metric")).collect()
     if (failed.nonEmpty)
       throw new IllegalStateException(
-        "QC constraint violation(s): " + failed.map(r =>
-          s"${r.getString(0)} (metric=${r.getDouble(1)})").mkString("; "))
+        "QC constraint violation(s): " + failed.map { r =>
+          val m = if (r.isNullAt(1)) "null" else r.getDouble(1).toString
+          s"${r.getString(0)} (metric=$m)"
+        }.mkString("; "))
     report
   }
 

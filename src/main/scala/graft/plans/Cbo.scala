@@ -36,13 +36,17 @@ object Cbo {
 
   /** Register `<dir>/<t>.parquet` as external catalog tables named
     * `graft_cbo_<t>` and collect full statistics (row count + per-column
-    * NDV/min/max/null count). Idempotent per (session, dir).
+    * NDV/min/max/null count). Re-entrant for any dir: a stale table from
+    * an earlier call with a DIFFERENT dir is dropped and recreated —
+    * CREATE IF NOT EXISTS would silently keep the old location and
+    * ANALYZE the wrong files. External tables: DROP never touches data.
     */
   def analyzeTables(s: SparkSession, dir: String, tables: Seq[String]): Unit =
     tables.foreach { t =>
       val name = s"graft_cbo_$t"
-      s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
-        s"LOCATION '$dir/$t.parquet'")
+      val loc = s"$dir/$t.parquet".replace("'", "''")
+      if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+      s.sql(s"CREATE TABLE $name USING parquet LOCATION '$loc'")
       s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
     }
 }
