@@ -139,9 +139,12 @@ object Dedup {
     * dominated by B) but containment ≈ 1. Same inverted-index
     * intersection as [[ngramJaccard]] with the divisor switched to the
     * CONTAINED side's set size, emitted directionally (both a→b and
-    * b→a when both clear the bar). At 100 TB, candidates come from the
-    * banded MinHash path exactly as for Jaccard — this exact-pairs form
-    * is the verification baseline.
+    * b→a when both clear the bar). NOTE: Jaccard-banded MinHash canNOT
+    * supply candidates here — banding finds high-Jaccard pairs, and
+    * doc-inside-doc pairs have tiny Jaccard by construction. The scale
+    * path is [[containmentBanded]] (prefix-filtered, df-capped inverted
+    * index); this exact all-pairs form is its verification baseline
+    * (quadratic in hot shingles — do not run it at 100 TB).
     */
   def containment(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).localCheckpoint()
@@ -154,6 +157,63 @@ object Dedup {
         col("a.n").as("na"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= 0.5)
+      .select(col("ia"), col("ib"), col("inter"), col("containment"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Document frequency above which a shingle is a STOP SHINGLE and is
+    * pruned from [[containmentBanded]]'s inverted index: boilerplate
+    * n-grams ("terms of service", license headers) appear in a constant
+    * fraction of any web-scale corpus and are exactly the keys whose
+    * index postings go quadratic. Package-visible so the recall spec and
+    * the DuckDB oracle interpolate the same literal. On the synthetic
+    * corpus max df = 7, so nothing is pruned and recall vs the exact
+    * baseline is provably 1.0 (ExtensionSpec pins it); at 100 TB the cap
+    * is what bounds the join fanout.
+    */
+  private[graft] val DF_CAP = 16
+
+  /** Containment-aware candidate generation at scale — the answer to
+    * "banded MinHash can't find asymmetric pairs". PREFIX FILTERING
+    * (Chaudhuri et al., SSJoin; Xiao et al., PPJoin): if C(a→b) ≥ t,
+    * then A shares at least one of its ⌊(1−t)·|A|⌋+1 rarest shingles
+    * with B — order A's shingles by ascending global df and probe ONLY
+    * that prefix against a df-capped inverted index of the corpus.
+    * Probe volume is ~|A|/2+1 rows per doc (t = 0.5), per-shingle join
+    * fanout ≤ [[DF_CAP]], so candidates are O(corpus · cap) — linear,
+    * vs the exact form's Θ(Σ df²) hot-shingle blowup. Misses are only
+    * possible when ALL of a doc's prefix shingles are stop shingles
+    * (df > cap) — rarest-first ordering makes the prefix precisely the
+    * shingles least likely to be capped. Every candidate is verified
+    * with the EXACT containment score (array_intersect on the full
+    * shingle sets), so output ⊆ exact baseline always; the spec pins
+    * recall. The df pass is one extra count-aggregate over the exploded
+    * shingles — at 100 TB it is itself the Zipf-head report you want
+    * before any dedup run.
+    */
+  def containmentBanded(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shing = shingled(s, d).localCheckpoint() // reused: explode ×1, verify ×2
+    val sh = shing.select(col("doc_id"), size(col("shashes")).as("n"),
+      explode(col("shashes")).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val withDf = sh.join(dfreq, Seq("sh"))
+    val probe = withDf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rn") <= expr("n DIV 2 + 1"))
+      .select(col("doc_id").as("ia"), col("sh"))
+    val idx = withDf.filter(col("df") <= DF_CAP)
+      .select(col("doc_id").as("ib"), col("sh"))
+    val cand = probe.join(idx, Seq("sh"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    cand
+      .join(shing.select(col("doc_id").as("ia"), col("shashes").as("sa")), Seq("ia"))
+      .join(shing.select(col("doc_id").as("ib"), col("shashes").as("sb")), Seq("ib"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / size(col("sa")))
       .filter(col("containment") >= 0.5)
       .select(col("ia"), col("ib"), col("inter"), col("containment"))
       .orderBy(col("ia"), col("ib"))
@@ -672,6 +732,7 @@ object Dedup {
     "dd_exact" -> exactDedup,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_containment" -> containment,
+    "dd_containment_banded" -> containmentBanded,
     "dd_minhash_lsh" -> minhashLsh,
     "dd_simhash" -> simhash,
     "dd_components" -> components,
@@ -787,6 +848,31 @@ object Dedup {
          |FROM inter
          |WHERE CAST(inter AS DOUBLE) / na >= 0.5
          |ORDER BY ia, ib""".stripMargin,
+    "dd_containment_banded" ->
+      s"""WITH $shingCte,
+         |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),
+         |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+         |probe AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT s.doc_id, s.sh, s.n,
+         |           ROW_NUMBER() OVER (PARTITION BY s.doc_id
+         |                              ORDER BY d.df, s.sh) AS rn
+         |    FROM sh s JOIN df d USING (sh))
+         |  WHERE rn <= n // 2 + 1),
+         |idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN df d USING (sh)
+         |        WHERE d.df <= $DF_CAP),
+         |cand AS (SELECT DISTINCT p.doc_id AS ia, i.doc_id AS ib
+         |         FROM probe p JOIN idx i ON p.sh = i.sh
+         |                                AND p.doc_id <> i.doc_id),
+         |scored AS (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(sa.shashes, sb.shashes)) AS BIGINT) AS inter,
+         |    CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+         |      / len(sa.shashes) AS containment
+         |  FROM cand JOIN shing sa ON ia = sa.doc_id
+         |            JOIN shing sb ON ib = sb.doc_id)
+         |SELECT ia, ib, inter, containment FROM scored
+         |WHERE containment >= 0.5 ORDER BY ia, ib""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH $shingCte,
          |sig AS (

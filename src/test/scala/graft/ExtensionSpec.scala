@@ -22,6 +22,24 @@ class ExtensionSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("containment banded path: full recall vs the exact baseline, zero false positives") {
+    // Output ⊆ exact is structural (every candidate is verified with the
+    // exact score); recall is the claim under test — prefix filtering
+    // guarantees it when no prefix shingle is df-capped, which holds on
+    // this corpus (max shingle df 7 < DF_CAP 16). Pinned as full
+    // equality, directions included.
+    val exact = ext.Dedup.containment(spark, sf)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = ext.Dedup.containmentBanded(spark, sf)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact), s"false positives: ${banded -- exact}")
+    assert(exact == banded,
+      s"recall ${banded.size}/${exact.size} — prefix/df-cap misses: ${exact -- banded}")
+    assert(exact.nonEmpty, "corpus should contain planted containment pairs")
+  }
+
   test("simhash pigeonhole banding equals brute force") {
     val banded = ext.Dedup.simhash(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
