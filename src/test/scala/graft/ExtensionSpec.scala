@@ -315,6 +315,36 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("JPEG fixture is a real container: decode recovers dims exactly, color within tolerance") {
+    val payload = ext.Multimodal.jpegBytes(37, 21, 200, 100, 50)
+    // real JPEG magic: SOI marker FF D8
+    assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth == 37 && img.getHeight == 21)
+    // a corrupted magic number must NOT silently decode
+    val bad = payload.clone(); bad(0) = 'X'.toByte; bad(1) = 'Y'.toByte
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bad)) == null)
+    // distributed decode: dims exact, decoded means within the strict
+    // lossy-roundtrip bound for every doc (not just color_ok's boolean)
+    val rows = ext.Multimodal.jpegDecodeRaw(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (w, h, _, _, _) = ext.Multimodal.jpegFixtureParams(r.doc_id)
+      assert((r.width, r.height) == ((w, h)), s"dims for doc ${r.doc_id}")
+      assert(r.color_ok, s"decoded mean drifted past tolerance for doc ${r.doc_id}")
+    }
+  }
+
+  test("WAV parser reads genuine RIFF bytes and refuses corrupt magic") {
+    val payload = ext.Multimodal.wavBytes(22050, 777, 12345)
+    val (rate, ch, bits, n, durMs, rms) = ext.Multimodal.parseWav(payload)
+    assert((rate, ch, bits, n) == ((22050, 1, 16, 777)))
+    assert(durMs == 777L * 1000 / 22050)
+    assert(rms == 12345L, "square-wave RMS must equal the amplitude exactly")
+    val bad = payload.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](ext.Multimodal.parseWav(bad))
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
     val b = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
