@@ -785,6 +785,61 @@ object ExtraOps {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** PageRank over the co-purchase graph — graph breadth next to
+    * [[triangleCount]], same degree-bounded edge construction. Three
+    * unrolled power iterations (plan unrolling, NOT a driver loop over
+    * data), damping 17/20, with DANGLING MASS redistributed uniformly:
+    * edges are directed low→high id, so highest-id nodes have no
+    * out-edges and their rank would otherwise leak each round.
+    *
+    * Cross-engine determinism: ranks are integers scaled by 10^12 and
+    * every operation is integer floor division (Spark `DIV` ≡ DuckDB
+    * `//` on non-negatives) — no double accumulates, so the oracle
+    * replays bit-identically where float PageRank would drift in the
+    * last ulp. Quantization loses ≤ outdeg ulps per node per round —
+    * irrelevant at 10^12 scale and itself deterministic.
+    *
+    * At 100 TB: each iteration is one join (ranks ⋈ edges, both
+    * partitioned by the join key) + one aggregation; the dangling sum is
+    * a 1-row broadcast. Ship ranks via a co-partitioned bucketing of
+    * edges and the join never reshuffles the big side.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val SCALE = 1000000000000L
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint() // reused by all 3 iterations
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    val outdeg = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nd = nodes.join(outdeg, Seq("node"), "left")
+      .na.fill(0L, Seq("outdeg"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+      .localCheckpoint() // (node, outdeg, n) — the loop-invariant frame
+    var ranks = nd.withColumn("r", expr(s"CAST($SCALE AS BIGINT) DIV n"))
+    for (_ <- 1 to 3) {
+      val inflow = ranks.join(edges, ranks("node") === edges("u"))
+        .select(col("v").as("node"), expr("r DIV outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val dang = ranks.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = nd
+        .join(inflow, Seq("node"), "left").na.fill(0L, Seq("inflow"))
+        .crossJoin(broadcast(dang))
+        .withColumn("r", expr(
+          s"(3 * (CAST($SCALE AS BIGINT) DIV n)) DIV 20" +
+            " + (17 * (inflow + dang DIV n)) DIV 20"))
+        .select(col("node"), col("outdeg"), col("n"), col("r"))
+    }
+    ranks.select(col("node").as("part_id"), col("r").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("part_id"))
+  }
+
   /** Spark 4's `approx_top_k` (DataSketches frequent-items) — the
     * builtin heavy-hitters aggregate: one constant-size mergeable sketch
     * per group answering "top k items and their counts" (the engine-side
@@ -806,6 +861,7 @@ object ExtraOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_approx_top_k" -> approxTopK,
+    "x_pagerank" -> pagerank,
     "x_triangle_count" -> triangleCount,
     "x_approx_percentile" -> approxPercentile,
     "x_quantile_sketch" -> quantileSketch,
@@ -850,6 +906,32 @@ object ExtraOps {
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 5""".stripMargin,
+    "x_pagerank" -> {
+      val S = "1000000000000"
+      def it(prev: String, out: String): String =
+        s"""$out AS (SELECT p.node, p.outdeg, p.n,
+           |  (3 * ($S // p.n)) // 20
+           |  + (17 * (COALESCE(f.inflow, 0)
+           |           + (SELECT COALESCE(SUM(r), 0) FROM $prev WHERE outdeg = 0) // p.n)) // 20 AS r
+           |FROM $prev p LEFT JOIN (
+           |  SELECT e.v AS node, SUM(r.r // r.outdeg) AS inflow
+           |  FROM e JOIN $prev r ON e.u = r.node GROUP BY e.v) f USING (node))""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem WHERE l_partkey % 2 = 0),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         |od AS (SELECT u AS node, COUNT(*) AS outdeg FROM e GROUP BY u),
+         |nd AS (SELECT nx.node, COALESCE(od.outdeg, 0) AS outdeg,
+         |              (SELECT COUNT(*) FROM nodes) AS n
+         |       FROM nodes nx LEFT JOIN od USING (node)),
+         |r0 AS (SELECT node, outdeg, n, $S // n AS r FROM nd),
+         |${it("r0", "i1")},
+         |${it("i1", "i2")},
+         |${it("i2", "i3")}
+         |SELECT node AS part_id, CAST(r AS BIGINT) AS rank_scaled
+         |FROM i3 ORDER BY rank_scaled DESC, part_id""".stripMargin
+    },
     "x_triangle_count" ->
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
