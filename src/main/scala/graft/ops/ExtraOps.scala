@@ -56,7 +56,10 @@ object ExtraOps {
     * on ANY partitioning (a float cumsum would tie the answer to
     * partition combine order — the same trap [[graft.Det]] documents for
     * plain sums, compounded by the threshold comparison).
-    * One window exchange on the group key; no self-join.
+    * One window exchange on the group key; no self-join. This form
+    * sorts every raw row — exact-sort-bound; the 100 TB route is
+    * [[weightedQuantileSketch]] (weighted bin counts, map-side
+    * combined), which reproduces this result exactly on integral bins.
     */
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     val wt = col("l_extendedprice").cast(DecimalType(12, 2))
@@ -71,6 +74,38 @@ object ExtraOps {
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_quantity")).as("weighted_med_qty"),
+        max(col("tot")).cast("double").as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The 100 TB route for [[weightedMedian]]: a WEIGHTED quantile sketch
+    * as binned weight counts. The exact form sorts every row inside a
+    * window (one full exchange + per-group sort of the raw data); this
+    * form map-side-combines rows into (group, bin) weight cells first —
+    * the window then runs over ≤ 50 tiny cells per group, so the sorted
+    * state no longer scales with row count. Bin = the quantity value
+    * itself (integral in this data), so the sketch is EXACT here and
+    * hash-verifies against the same crossing rule as the exact operator
+    * (ExtensionSpec pins the equality); with continuous values a coarser
+    * bin width trades that exactness for a bounded rank error, exactly
+    * like [[quantileSketch]]'s unweighted bins. All weight arithmetic is
+    * DECIMAL — no double accumulates, partition-order-proof.
+    */
+  def weightedQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val wt = col("l_extendedprice").cast(DecimalType(12, 2))
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("int").as("bin"),
+        wt.as("wt"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(sum(col("wt")).as("w"))
+    val ordW = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val allW = Window.partitionBy(col("l_returnflag"))
+    cells
+      .withColumn("cum", sum(col("w")).over(ordW))
+      .withColumn("tot", sum(col("w")).over(allW))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("bin")).as("weighted_med_qty"),
         max(col("tot")).cast("double").as("total_weight"))
       .orderBy(col("l_returnflag"))
   }
@@ -569,6 +604,29 @@ object ExtraOps {
       .orderBy(col("o_orderkey"))
       .offset(100).limit(10)
 
+  /** KEYSET pagination — the deep-page scale form [[limitOffset]]'s doc
+    * names: `WHERE key > last_seen ORDER BY key LIMIT n`. The offset
+    * form pays offset+n rows per partition on every page; keyset pays n
+    * regardless of depth, and with a literal boundary key the predicate
+    * pushes into the parquet scan (min/max row-group pruning) so deep
+    * pages skip data instead of scanning it. Here the boundary is
+    * computed in-plan (the 100th key, a 1-row broadcast) purely so the
+    * ORACLE can certify the central claim: this query hash-matches the
+    * `LIMIT 10 OFFSET 100` form on the same total order — page ≡ offset,
+    * proven, not asserted. In production the client passes last_seen as
+    * a literal and the subquery disappears.
+    */
+  def keysetPage(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val lastSeen = o.orderBy(col("o_orderkey")).limit(100)
+      .agg(max(col("o_orderkey")).as("last_seen"))
+    o.crossJoin(broadcast(lastSeen))
+      .filter(col("o_orderkey") > col("last_seen"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")).limit(10)
+  }
+
   /** Explicit NULL placement in sorts. Engines disagree on the default
     * (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST), so portable
     * pipelines must pin it; this is the regression query that keeps it
@@ -895,6 +953,8 @@ object ExtraOps {
     "x_percentile" -> percentiles,
     "x_mad" -> madStats,
     "x_weighted_median" -> weightedMedian,
+    "x_weighted_quantile_sketch" -> weightedQuantileSketch,
+    "x_keyset_page" -> keysetPage,
     "x_array_funcs" -> arrayFuncs,
     "x_array_algebra" -> arrayAlgebra,
     "x_regex_extract" -> regexExtract,
@@ -1253,6 +1313,25 @@ object ExtraOps {
         |       CAST(MAX(tot) AS DOUBLE) AS total_weight
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_weighted_quantile_sketch" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS INT) AS bin,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bin, w,
+        |         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM cells)
+        |SELECT l_returnflag,
+        |       CAST(MIN(bin) AS INT) AS weighted_med_qty,
+        |       CAST(MAX(tot) AS DOUBLE) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin,
     "x_mad" ->
       """WITH med AS (
         |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty

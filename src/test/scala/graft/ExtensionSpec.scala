@@ -335,6 +335,15 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted quantile sketch reproduces the exact weighted median on integral bins") {
+    val exact = ops.ExtraOps.weightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toInt, r.getDouble(2))).toSeq
+    val sketch = ops.ExtraOps.weightedQuantileSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(exact == sketch,
+      s"sketch must be exact at bin-width = value granularity: $exact vs $sketch")
+  }
+
   test("WAV parser reads genuine RIFF bytes and refuses corrupt magic") {
     val payload = ext.Multimodal.wavBytes(22050, 777, 12345)
     val (rate, ch, bits, n, durMs, rms) = ext.Multimodal.parseWav(payload)
