@@ -898,6 +898,58 @@ object ExtraOps {
       .orderBy(desc("rank_scaled"), col("part_id"))
   }
 
+  /** Label propagation (LPA) community detection over the co-purchase
+    * graph — completes the graph family next to [[triangleCount]]
+    * (structure), [[pagerank]] (centrality) and `dd_components`
+    * (connectivity). Three UNROLLED synchronous rounds (plan unrolling,
+    * not a driver loop over data): each node adopts its neighbors' most
+    * frequent current label, ties broken by smallest label — both rules
+    * deterministic, so the DuckDB oracle replays the whole training
+    * bit-identically (classic async LPA is run-order-dependent and could
+    * never hash-verify). Note min-tie-break LPA is NOT min-propagation:
+    * a node adopts the majority neighbor label even when it is larger
+    * than its own, so this does not collapse to `dd_components`.
+    *
+    * At 100 TB: each round is one keyed join (adjacency ⋈ labels, both
+    * hash-partitioned by the join key) + a partial-aggregated vote count
+    * + a per-node top-1, which [[graft.plans.TopKPerKey]]'s rewrite turns
+    * into WindowGroupLimit below the exchange. Adjacency is the
+    * loop-invariant big side — bucket it by `nbr` and every round's join
+    * reuses the layout without reshuffling; labels (one row per node) are
+    * the small mutating side, exactly how you'd run LPA on a cluster.
+    */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    // sparser than the triangle/pagerank segment (every 4th part, every
+    // 2nd order): the full co-purchase graph is near-clique and 3 LPA
+    // rounds collapse it to one community — the sparse segment keeps
+    // real community structure (24 communities at sf0.01) so the
+    // operator demonstrates something.
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.union(edges.select(col("v"), col("u")))
+      .toDF("node", "nbr")
+      .localCheckpoint() // loop-invariant; reused by all 3 rounds
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      val votes = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(desc("cnt"), col("lbl"))
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), col("community"))
+  }
+
   /** Spark 4's `approx_top_k` (DataSketches frequent-items) — the
     * builtin heavy-hitters aggregate: one constant-size mergeable sketch
     * per group answering "top k items and their counts" (the engine-side
@@ -920,6 +972,7 @@ object ExtraOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_approx_top_k" -> approxTopK,
     "x_pagerank" -> pagerank,
+    "x_label_prop" -> labelProp,
     "x_triangle_count" -> triangleCount,
     "x_approx_percentile" -> approxPercentile,
     "x_quantile_sketch" -> quantileSketch,
@@ -991,6 +1044,29 @@ object ExtraOps {
          |${it("i2", "i3")}
          |SELECT node AS part_id, CAST(r AS BIGINT) AS rank_scaled
          |FROM i3 ORDER BY rank_scaled DESC, part_id""".stripMargin
+    },
+    "x_label_prop" -> {
+      def it(prev: String, out: String): String =
+        s"""$out AS (SELECT node, lbl FROM (
+           |  SELECT a.node, p.lbl, COUNT(*) AS cnt,
+           |         ROW_NUMBER() OVER (PARTITION BY a.node
+           |           ORDER BY COUNT(*) DESC, p.lbl) AS rn
+           |  FROM adj a JOIN $prev p ON a.nbr = p.node
+           |  GROUP BY a.node, p.lbl) WHERE rn = 1)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem
+         |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |${it("l0", "l1")},
+         |${it("l1", "l2")},
+         |${it("l2", "l3")}
+         |SELECT lbl AS community, COUNT(*) AS n_members
+         |FROM l3 GROUP BY lbl
+         |ORDER BY n_members DESC, community""".stripMargin
     },
     "x_triangle_count" ->
       """WITH e AS (
