@@ -28,8 +28,10 @@ object SparkEntry {
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinStream,
+        "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinStream,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichStream,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
+        "st_session_builtin" -> streaming.StreamOps.sessionBuiltinStream,
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
         "st_hll_stream" -> streaming.StreamOps.hllStream,
         "st_checksum_stream" -> streaming.StreamOps.checksumStream,
@@ -59,8 +61,10 @@ object SparkEntry {
             |ORDER BY 1, 2, 3""".stripMargin,
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinOracle,
+        "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinOracle,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichOracle,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
+        "st_session_builtin" -> streaming.StreamOps.sessionBuiltinOracle,
         "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
         "st_hll_stream" -> streaming.StreamOps.hllStreamOracle,
         "st_checksum_stream" -> streaming.StreamOps.checksumStreamOracle,

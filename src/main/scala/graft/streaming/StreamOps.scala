@@ -162,6 +162,145 @@ object StreamOps {
         col("purchase_id").asc_nulls_first)
   }
 
+  /** Watermarked stream-stream FULL OUTER interval join, drained —
+    * completes the join matrix (inner [[intervalJoinStream]], left
+    * [[leftOuterJoinStream]]) with BOTH-side null extension. The two
+    * sides have DIFFERENT eviction horizons, derived by Spark from the
+    * interval condition `click_ts <= p_ts <= click_ts + 1 h`:
+    *   - a click can still be matched by a future purchase until the
+    *     global watermark w passes `click_ts + 1 h` (the latest p_ts that
+    *     could pair with it) → unmatched clicks null-extend when
+    *     `click_ts + 1 h < w`;
+    *   - a purchase can still be matched by a future click until w passes
+    *     `p_ts` itself (a matching click has `click_ts ∈ [p_ts − 1 h,
+    *     p_ts]`, and future clicks arrive with `click_ts > w`) →
+    *     unmatched purchases null-extend when `p_ts < w`.
+    * Matches emit as they arrive; the drain's no-data cleanup batch
+    * performs the final evictions, so the drained table is DETERMINISTIC:
+    * matches ∪ horizon-passed unmatched clicks ∪ horizon-passed unmatched
+    * purchases — exactly what the oracle computes batch-side. Rows inside
+    * the final watermark window stay parked (they would emit on the next
+    * day's data in production) — bounded state's price, same as the left
+    * join, and both engines agree on it. `user_id` is coalesced across
+    * sides so unmatched purchases still carry their key.
+    */
+  def fullOuterJoinStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val clicks = eventsStream(ss, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= click_ts " +
+          "AND p_ts <= click_ts + INTERVAL 1 HOUR"), "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_full_outer")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_full_outer")
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+  }
+
+  /** Batch twin of [[fullOuterJoinStream]] (DuckDB): inner matches plus
+    * each side's unmatched rows whose own eviction horizon the final
+    * watermark passed (click: `click_ts + 1 h < w`; purchase: `p_ts < w`).
+    */
+  val fullOuterJoinOracle: String =
+    """WITH c AS (
+      |  SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT least((SELECT max(click_ts) FROM c),
+      |               (SELECT max(p_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+      |j AS (
+      |  SELECT c.c_user, c.click_id, c.click_ts, p.p_user, p.p_ts,
+      |         p.purchase_id,
+      |         epoch_us(p.p_ts) - epoch_us(c.click_ts) AS lag_us
+      |  FROM c FULL OUTER JOIN p
+      |    ON c.c_user = p.p_user AND p.p_ts >= c.click_ts
+      |   AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |SELECT COALESCE(c_user, p_user) AS user_id, click_id, purchase_id,
+      |       lag_us
+      |FROM j, wm
+      |WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+      |   OR (purchase_id IS NULL AND click_ts + INTERVAL 1 HOUR < w)
+      |   OR (click_id IS NULL AND p_ts < w)
+      |ORDER BY user_id, click_id ASC NULLS FIRST,
+      |         purchase_id ASC NULLS FIRST""".stripMargin
+
+  /** Streaming BUILT-IN `session_window` aggregation (gap 30 min) — the
+    * state-store session-merge path, complementing the custom
+    * flatMapGroupsWithState sessionizer ([[sessionizeStream]]): Spark
+    * merges overlapping per-key session windows inside the state store
+    * as batches arrive, no user state code. Append mode emits a session
+    * only once the watermark passes its close (`last_event + 30 min`),
+    * so the drained table is DETERMINISTIC: exactly the batch
+    * gaps-and-islands sessions whose close precedes the final watermark
+    * `max(ts) − 1 h`; later sessions stay parked in state (next day's
+    * data would flush them in production) — the same bounded-state tail
+    * the outer joins document. Oracle = the `ev_session_window`
+    * gaps-and-islands SQL plus that watermark filter, so the state-store
+    * merge path is cross-validated against the window-function form.
+    */
+  def sessionBuiltinStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_session_builtin")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_session_builtin")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Batch twin of [[sessionBuiltinStream]] (DuckDB): the
+    * `ev_session_window` gaps-and-islands sessions restricted to those
+    * closed before the final watermark.
+    */
+  val sessionBuiltinOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |              THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |         COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+      |  FROM sess GROUP BY user_id, session_id),
+      |wm AS (SELECT (SELECT max(ts) FROM events) - INTERVAL 1 HOUR AS w)
+      |SELECT user_id, session_start, n_events, sum_value
+      |FROM agg, wm
+      |WHERE session_end + INTERVAL 30 MINUTE < w
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Stream-static enrichment: the streaming fact joins a BATCH dimension
     * (no watermark needed — static side is complete by definition), then
     * aggregates per enriched category in complete mode. The static dim is
