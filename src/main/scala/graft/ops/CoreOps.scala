@@ -197,7 +197,41 @@ object CoreOps {
         ||> ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** S8 — parquet schema EVOLUTION via mergeSchema: two writer
+    * generations land in the same dataset — gen-1 wrote
+    * `(o_orderkey, o_totalprice)`, gen-2 added `o_orderstatus` — and a
+    * `mergeSchema=true` read unions the footers so old files surface the
+    * new column as NULL (mapped to a `pre_evolution` bucket here, making
+    * the NULL path part of the verified output). The oracle replays the
+    * generation split from the base table, so pass = the merged read
+    * lost no rows and NULLed exactly the gen-1 rows.
+    *
+    * At 100 TB: mergeSchema reconciles one footer PER FILE (a
+    * distributed footer-read job, but still O(files)) — production
+    * datasets evolve the schema in a table catalog and pass it
+    * explicitly to the scan; this operator verifies the read-side
+    * semantics that make that evolution safe (new columns nullable,
+    * subset projections compatible both directions).
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/gen1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("pre_evolution")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("sum_price"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_schema_evolution" -> schemaEvolution,
     "s5_pipe_sql" -> pipeSql,
     "s2_json_roundtrip" -> jsonRoundtrip,
     "a8_flagship" -> flagship,
@@ -215,6 +249,12 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s8_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |            ELSE 'pre_evolution' END AS status,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "s5_pipe_sql" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_price

@@ -157,7 +157,54 @@ object PipelineOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** GRPO-style group advantage computation — the RL-from-group-scores
+    * sibling of `pipe_dpo_pairs`/`pipe_loss_masking` in the
+    * training-data assembly family. Prompts are users, their purchase
+    * events are the sampled response group (capped at G=8 earliest —
+    * [[graft.plans.TopKPerKey]]'s rewrite keeps that cap below the
+    * exchange), reward is the event value. Per group: advantage =
+    * (reward − mean) / std over the group, the GRPO baseline — computed
+    * from EXACT decimal power sums (the x_zscore recipe) so both engines
+    * run the same IEEE ops on the same operand bits and every advantage
+    * hash-verifies. Degenerate groups are gated like a trainer would:
+    * fewer than 4 responses or zero variance → dropped.
+    *
+    * At 100 TB: one windowed cap + one keyed aggregation (map-side
+    * partial on the power sums) + one keyed join back; the stats frame
+    * is one row per prompt and GROWS with the corpus, so no forced
+    * broadcast — AQE picks the join strategy (the funnel precedent).
+    */
+  def grpoGroups(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("prompt_id"),
+        col("event_id").as("response_id"), col("value").as("reward"))
+    val cap = Window.partitionBy(col("prompt_id")).orderBy(col("response_id"))
+    val grp = ev.withColumn("rn", row_number().over(cap))
+      .filter(col("rn") <= 8).drop("rn")
+    val rd = expr("CAST(reward AS DECIMAL(19,4))")
+    val stats = grp.groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("g"),
+        sum(rd).cast("double").as("s_r"),
+        sum(rd * rd).cast("double").as("s_rr"))
+      .filter(col("g") >= 4)
+      .withColumn("mean_r", col("s_r") / col("g"))
+      .withColumn("std_r",
+        sqrt((col("s_rr") - col("s_r") * col("s_r") / col("g"))
+          / (col("g") - 1)))
+      .filter(col("std_r") > 0)
+      .select(col("prompt_id"), col("mean_r"), col("std_r"))
+    val rk = Window.partitionBy(col("prompt_id"))
+      .orderBy(desc("reward"), col("response_id"))
+    grp.join(stats, Seq("prompt_id"))
+      .withColumn("advantage", (col("reward") - col("mean_r")) / col("std_r"))
+      .withColumn("grp_rank", row_number().over(rk))
+      .select(col("prompt_id"), col("response_id"), col("reward"),
+        col("advantage"), col("grp_rank"))
+      .orderBy(col("prompt_id"), col("response_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_grpo_groups" -> grpoGroups,
     "pipe_cdc_latest" -> cdcLatest,
     "pipe_dim_build" -> dimBuild,
     "pipe_fact_assembly" -> factAssembly,
@@ -168,6 +215,28 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_grpo_groups" ->
+      """WITH grp AS (
+        |  SELECT user_id AS prompt_id, event_id AS response_id, value AS reward,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY rn <= 8),
+        |stats AS (
+        |  SELECT prompt_id, COUNT(*) AS g,
+        |         CAST(SUM(CAST(reward AS DECIMAL(19,4))) AS DOUBLE) AS s_r,
+        |         CAST(SUM(CAST(reward AS DECIMAL(19,4))
+        |                  * CAST(reward AS DECIMAL(19,4))) AS DOUBLE) AS s_rr
+        |  FROM grp GROUP BY prompt_id HAVING COUNT(*) >= 4),
+        |st2 AS (
+        |  SELECT prompt_id, g, s_r / g AS mean_r,
+        |         sqrt((s_rr - s_r * s_r / g) / (g - 1)) AS std_r
+        |  FROM stats)
+        |SELECT g.prompt_id, g.response_id, g.reward,
+        |       (g.reward - mean_r) / std_r AS advantage,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY g.prompt_id
+        |              ORDER BY g.reward DESC, g.response_id) AS INT) AS grp_rank
+        |FROM grp g JOIN st2 USING (prompt_id) WHERE std_r > 0
+        |ORDER BY prompt_id, response_id""".stripMargin,
     "pipe_cdc_latest" ->
       """SELECT user_id, event_type, event_id, ts, value
         |FROM events
