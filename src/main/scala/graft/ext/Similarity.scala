@@ -680,7 +680,135 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- Product quantization (ADC) top-k ---------------------------------
+
+  private val PQ_M = 8      // subspaces (64 dims / 8 = 8 dims each)
+  private val PQ_KS = 16    // codes per subspace → 4 bits/code
+  private val PQ_SUB = 8    // dims per subspace
+  private val PQ_SHORT = 100 // ADC shortlist re-ranked exactly
+
+  /** Product-quantization ANN with asymmetric distance computation (ADC)
+    * and exact re-rank — the third point on the compression/recall curve
+    * after exact ([[topKBrute]]) and scalar quantization ([[sq8TopK]]):
+    * each corpus vector stores only M=8 sub-codes (one per 8-dim
+    * subspace, codebook of 16 entries) = 4 bytes vs 256 float bytes, a
+    * 64× corpus compression. A query never reconstructs candidates: it
+    * precomputes one distance TABLE (query-subvector ↔ every codebook
+    * entry, M×KS=128 rows per query) and a candidate's approximate
+    * distance is the 8-way SUM of table lookups addressed by its codes;
+    * the ADC top-C shortlist is then re-ranked with EXACT full-dimension
+    * distances — the classic two-stage IVFADC serving shape (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011). The synthetic near-uniform embeddings are PQ's worst case
+    * (no manifold to exploit), which is exactly why the re-rank stage
+    * exists: ExtensionSpec pins recall@10 ≥ 0.8 through it.
+    *
+    * Determinism/oracle: distances run on the QUANTIZED integer vectors
+    * (the [[quantizedOf]] grid), so encode, table, ADC sums, and the
+    * re-rank are all exact BIGINT arithmetic — DuckDB replays them
+    * bit-for-bit from a fully relational formulation (explode → join →
+    * group), cross-validating the Spark side's completely different
+    * array-fold formulation. The codebook is the deterministic
+    * first-KS-vectors init, inlined as integer literals (the
+    * k-means-centroid inlining pattern from [[assign]]; Lloyd refinement
+    * would follow [[trainedCentroids]] verbatim and is demonstrated
+    * there).
+    *
+    * At 100 TB: encode is a per-row fold against the inlined codebook —
+    * the corpus never shuffles; the code table is the only thing scanned
+    * at serve time (64× smaller than the floats); serving broadcasts a
+    * per-query-batch distance table (Q×128 skinny rows) against the
+    * codes, the ADC sum collapses map-side before the per-query top-C,
+    * and the re-rank touches only Q×C original vectors — point lookups,
+    * not a scan.
+    */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val qv = quantized(s, d)
+    val centRows = qv.filter(col("vec_id") < PQ_KS).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(centRows.length == PQ_KS,
+      s"PQ codebook init needs vec_id 0..${PQ_KS - 1} present")
+    // sub(m)(c) = codebook entry c's 16 ints for subspace m
+    def sub(m: Int, c: Int): String =
+      centRows(c)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        .map(v => s"${v}L").mkString("array(", ",", ")")
+    def l2(ivSlice: String, lits: String): String =
+      s"""aggregate(zip_with($ivSlice, $lits, (x, y) -> (x - y) * (x - y)),
+         |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin
+    // per-subspace argmin fold over the 16 codebook entries (strictly
+    // better replaces → ties keep the smaller code, same rule as assign)
+    def codeExpr(m: Int): String = {
+      val slice = s"slice(iv, ${m * PQ_SUB + 1}, $PQ_SUB)"
+      val entries = (0 until PQ_KS).map { c =>
+        s"struct($c AS c, ${l2(slice, sub(m, c))} AS dist)"
+      }.mkString("array(", ", ", ")")
+      s"""aggregate($entries,
+         |  CAST(NULL AS struct<c: INT, dist: BIGINT>),
+         |  (acc, x) -> IF(acc IS NULL OR x.dist < acc.dist, x, acc)).c""".stripMargin
+    }
+    val mcStructs = (0 until PQ_M).map(m =>
+      s"struct($m AS m, ${codeExpr(m)} AS c)").mkString("array(", ", ", ")")
+    val enc = qv.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), explode(expr(mcStructs)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.c").as("c"))
+    // distance table: every (query, subspace, code) exact L2
+    val centFrame = (0 until PQ_M).flatMap(m => (0 until PQ_KS).map(c =>
+      s"struct($m AS m, $c AS c, ${sub(m, c)} AS sub)"))
+      .mkString("array(", ", ", ")")
+    val dtable = qv.filter(col("vec_id") < 5)
+      .withColumn("mc", explode(expr(centFrame)))
+      .select(col("vec_id").as("qid"), col("mc.m").as("m"),
+        col("mc.c").as("c"),
+        expr(l2(s"slice(iv, mc.m * $PQ_SUB + 1, $PQ_SUB)", "mc.sub"))
+          .as("dist"))
+    val adc = enc.join(broadcast(dtable), Seq("m", "c"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val shortlist = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= PQ_SHORT)
+      .select(col("qid"), col("vec_id").as("cand_id"), col("adc_dist"))
+    // exact full-dimension integer L2 re-rank of the shortlist — at scale
+    // these are Q×C point lookups into the original vectors, not a scan
+    val rer = shortlist
+      .join(qv.select(col("vec_id").as("qid"), col("iv").as("qiv")), Seq("qid"))
+      .join(qv.select(col("vec_id").as("cand_id"), col("iv").as("civ")),
+        Seq("cand_id"))
+      .withColumn("l2", expr(
+        """aggregate(zip_with(qiv, civ, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin))
+    val w = Window.partitionBy(col("qid")).orderBy(col("l2"), col("cand_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"), col("rank"), col("adc_dist"),
+        col("l2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact full-dimension integer L2 top-10 on the same quantized grid —
+    * the baseline that isolates PQ's quantization loss from any metric
+    * mismatch (ExtensionSpec recall pin; not registered as a query).
+    */
+  private[graft] def pqExactL2TopK(s: SparkSession, d: String): DataFrame = {
+    val qv = quantized(s, d)
+    val q = qv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val c = qv.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("iv").as("civ"))
+    val scored = c.join(broadcast(q))
+      .withColumn("l2", expr(
+        """aggregate(zip_with(qiv, civ, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin))
+    val w = Window.partitionBy(col("qid")).orderBy(col("l2"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"), col("rank"), col("l2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk" -> pqTopK,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
     "sim_label_centroids" -> labelCentroids,
@@ -780,7 +908,60 @@ object Similarity {
        |FROM wv w LEFT JOIN dups d ON w.vec_id = d.vec_id
        |ORDER BY w.vec_id""".stripMargin
 
+  /** DuckDB twin of the exact integer subspace L2 used by [[pqTopK]]:
+    * 16-term sum over the subvector starting at `off` (0-based).
+    */
+  private def duckL2Sub(a: String, b: String, off: String): String =
+    s"""list_sum([($a[$off+i] - $b[$off+i]) * ($a[$off+i] - $b[$off+i])
+       |          for i in range(1, ${PQ_SUB + 1})])""".stripMargin
+
+  private def pqOracle: String =
+    s"""WITH qi AS (
+       |  SELECT vec_id,
+       |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * $QSCALE) AS BIGINT)
+       |          for i in range(1, len(embedding) + 1)] AS iv
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS c, iv AS cv FROM qi WHERE vec_id < $PQ_KS),
+       |ms AS (SELECT unnest([${(0 until PQ_M).mkString(", ")}]) AS m),
+       |enc AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT x.vec_id, ms.m, cent.c,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id, ms.m
+       |             ORDER BY ${duckL2Sub("x.iv", "cent.cv", s"ms.m * $PQ_SUB")}, cent.c) AS rn
+       |    FROM qi x CROSS JOIN ms CROSS JOIN cent
+       |    WHERE x.vec_id >= 5) WHERE rn = 1),
+       |dtable AS (
+       |  SELECT q.vec_id AS qid, ms.m, cent.c,
+       |         ${duckL2Sub("q.iv", "cent.cv", s"ms.m * $PQ_SUB")} AS dist
+       |  FROM qi q CROSS JOIN ms CROSS JOIN cent
+       |  WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT d.qid, e.vec_id AS cand_id, CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+       |  FROM enc e JOIN dtable d ON e.m = d.m AND e.c = d.c
+       |  GROUP BY d.qid, e.vec_id),
+       |short AS (
+       |  SELECT qid, cand_id, adc_dist FROM (
+       |    SELECT qid, cand_id, adc_dist,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY adc_dist, cand_id) AS srn
+       |    FROM adc) WHERE srn <= $PQ_SHORT),
+       |rer AS (
+       |  SELECT s.qid, s.cand_id, s.adc_dist,
+       |         CAST(list_sum([(q.iv[i] - x.iv[i]) * (q.iv[i] - x.iv[i])
+       |                        for i in range(1, 65)]) AS BIGINT) AS l2
+       |  FROM short s
+       |  JOIN qi q ON q.vec_id = s.qid
+       |  JOIN qi x ON x.vec_id = s.cand_id),
+       |ranked AS (
+       |  SELECT qid, cand_id, adc_dist, l2,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY l2, cand_id) AS BIGINT) AS rank
+       |  FROM rer)
+       |SELECT qid, cand_id, rank, adc_dist, l2 FROM ranked
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_topk" -> pqOracle,
     "sim_sq8_topk" ->
       s"""WITH c AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),

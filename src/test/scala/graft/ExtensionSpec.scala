@@ -113,6 +113,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 recall collapsed: $recall")
   }
 
+  test("PQ ADC shortlist + exact re-rank recovers the exact-L2 top-10") {
+    val exact = ext.Similarity.pqExactL2TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = ext.Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 10 results per query, every one a real corpus vector
+    assert(pq.groupBy(_._1).forall(_._2.length == 10))
+    // near-uniform synthetic embeddings are PQ's worst case; the ADC
+    // shortlist (C=100) + exact re-rank is what holds recall up — that
+    // two-stage contract is the thing this pin protects
+    val recall = pq.count(exact.contains).toDouble / pq.length
+    info(f"PQ rerank recall@10 vs exact L2: $recall%.2f")
+    assert(recall >= 0.8, s"PQ rerank recall collapsed: $recall")
+  }
+
   test("codegen CosineSim is bit-identical to the HOF fold") {
     graft.expr.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf)
