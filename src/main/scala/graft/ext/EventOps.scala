@@ -247,7 +247,49 @@ object EventOps {
       .orderBy(col("first_touch"), col("last_touch"))
   }
 
+  /** A/B experiment readout: deterministic hash-arm assignment
+    * (`user_id % 2` — production would use a salted hash, same shape),
+    * conversion = the user cleared a behavioral bar (≥14 purchases,
+    * ~the per-user mean), and the two-proportion pooled z-statistic
+    * across arms. Every double derives from exact integer counts through
+    * the same IEEE expression tree on both engines (the x_zscore
+    * discipline), so the z-score itself hash-verifies — the full
+    * experiment-analysis path, not just the counts.
+    *
+    * At 100 TB: one keyed aggregation per user (map-side partial), one
+    * 2-row arm rollup, and a 1-row×1-row join for the statistic —
+    * nothing here grows with event volume except the first scan.
+    */
+  def abtestMetrics(s: SparkSession, d: String): DataFrame = {
+    val conv = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purch"))
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+      .withColumn("converted", (col("n_purch") >= 14).cast("long"))
+    val arms = conv.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val c = arms.filter(col("arm") === "control")
+      .select(col("n").as("n_c"), col("x").as("x_c"))
+    val t = arms.filter(col("arm") === "treatment")
+      .select(col("n").as("n_t"), col("x").as("x_t"))
+    c.crossJoin(t) // two 1-row frames
+      .withColumn("p_c", col("x_c").cast("double") / col("n_c"))
+      .withColumn("p_t", col("x_t").cast("double") / col("n_t"))
+      .withColumn("p_pool",
+        (col("x_c") + col("x_t")).cast("double") / (col("n_c") + col("n_t")))
+      .withColumn("z_score",
+        (col("p_t") - col("p_c"))
+          / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))))
+      .select(col("n_c"), col("x_c"), col("p_c"),
+        col("n_t"), col("x_t"), col("p_t"), col("z_score"))
+      .orderBy(col("n_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_abtest" -> abtestMetrics,
     "ev_attribution" -> attribution,
     "ev_concurrency" -> concurrency,
     "ev_path_transitions" -> pathTransitions,
@@ -262,6 +304,26 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_abtest" ->
+      """WITH conv AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+        |  FROM events GROUP BY user_id),
+        |armed AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+        |         CASE WHEN n_purch >= 14 THEN 1 ELSE 0 END AS converted
+        |  FROM conv),
+        |arms AS (SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS x
+        |         FROM armed GROUP BY arm),
+        |c AS (SELECT n AS n_c, x AS x_c FROM arms WHERE arm = 'control'),
+        |t AS (SELECT n AS n_t, x AS x_t FROM arms WHERE arm = 'treatment')
+        |SELECT n_c, x_c, CAST(x_c AS DOUBLE) / n_c AS p_c,
+        |       n_t, x_t, CAST(x_t AS DOUBLE) / n_t AS p_t,
+        |       (CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+        |         / sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+        |                * (CAST(1 AS DOUBLE) - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+        |                * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t)) AS z_score
+        |FROM c, t ORDER BY n_c""".stripMargin,
     "ev_attribution" ->
       """WITH t AS (
         |  SELECT user_id, ts, event_id, event_type,

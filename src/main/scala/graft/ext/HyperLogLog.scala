@@ -175,7 +175,45 @@ object HyperLogLog {
       .orderBy(col("day"))
   }
 
+  /** Sketch SET ALGEBRA: estimated intersection cardinality via
+    * inclusion–exclusion over mergeable sketches — |A∩B| ≈ est(A) +
+    * est(B) − est(A∪B), where the union estimate comes from the
+    * register-level max-merge ([[hllUnion]]'s mergeability property).
+    * A = customers with urgent/high-priority orders, B = customers with
+    * finished orders; the exact intersection (distinct-join) rides along
+    * as the verification column. This is the standard way to answer
+    * "overlap of two audiences" from per-audience sketches WITHOUT
+    * rescanning either side — note inclusion–exclusion compounds the
+    * error of three estimates (can even go negative on tiny overlaps),
+    * which is the documented trade; theta sketches fix that at the cost
+    * of a different sketch family. Every estimate is the same
+    * deterministic bucket-order fold, so all three hash-verify.
+    */
+  def hllIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def hOf(df: DataFrame): DataFrame =
+      df.select(expr(sparkHash("CAST(o_custkey AS STRING)")).as("h"))
+    val aRows = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    val bRows = o.filter(col("o_orderstatus") === "F")
+    val ra = regsOf(hOf(aRows))
+    val rb = regsOf(hOf(bRows))
+    val merged = ra.unionByName(rb)
+      .groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+    val exact = aRows.select(col("o_custkey")).distinct()
+      .join(bRows.select(col("o_custkey")).distinct(), "o_custkey")
+      .agg(count(lit(1)).as("true_intersect"))
+    estOf(s, ra, "est_a")
+      .crossJoin(estOf(s, rb, "est_b"))
+      .crossJoin(estOf(s, merged, "est_union"))
+      .crossJoin(exact)
+      .select(lit(M).cast("long").as("m"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("true_intersect"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_hll_intersect" -> hllIntersect,
     "a7_hll_verified" -> hllVerified,
     "a7_hll_union" -> hllUnion,
     "a7_hll_by_group" -> hllByGroup,
@@ -204,6 +242,34 @@ object HyperLogLog {
        |  FROM filled_$tag)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a7_hll_intersect" ->
+      s"""WITH h_a AS (
+         |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders
+         |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+         |h_b AS (
+         |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders
+         |  WHERE o_orderstatus = 'F'),
+         |${duckRegs("h_a", "a")},
+         |${duckRegs("h_b", "b")},
+         |regs_u AS (
+         |  SELECT bucket, MAX(mj) AS mj FROM (
+         |    SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+         |  GROUP BY 1),
+         |${duckEst("a")},
+         |${duckEst("b")},
+         |${duckEst("u")},
+         |exact AS (
+         |  SELECT COUNT(*) AS true_intersect FROM (
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) a
+         |  JOIN (
+         |    SELECT DISTINCT o_custkey FROM orders
+         |    WHERE o_orderstatus = 'F') b USING (o_custkey))
+         |SELECT CAST($M AS BIGINT) AS m,
+         |       est_a.v AS est_a, est_b.v AS est_b, est_u.v AS est_union,
+         |       est_a.v + est_b.v - est_u.v AS est_intersect,
+         |       true_intersect
+         |FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN exact""".stripMargin,
     "ev_rolling_distinct" ->
       s"""WITH ev AS (
          |  SELECT CAST(ts AS DATE) AS day, user_id,
