@@ -282,6 +282,82 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"), col("color_ok"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic PNG fixture dims/color per doc — third distinct
+    * formula family (multipliers 23/11 for dims, 5/11 for color) so no
+    * cross-wired codec path can accidentally verify.
+    */
+  def pngFixtureParams(docId: Long): (Int, Int, Int, Int, Int) = (
+    16 + ((docId * 23) % 56).toInt, 16 + ((docId * 11) % 44).toInt,
+    (docId % 256).toInt, ((docId * 5) % 256).toInt, ((docId * 11) % 256).toInt)
+
+  /** Solid-color PNG payload — a REAL container from the JDK encoder
+    * (signature, IHDR/IDAT/IEND chunks, zlib-compressed scanlines).
+    */
+  def pngBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  case class PngFeature(doc_id: Long, width: Int, height: Int,
+      mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** Third REAL image codec: per-partition batched ImageIO decode of
+    * genuine PNG payloads (same one-reader-per-batch shape as
+    * [[bmpDecodeRaw]]). PNG is LOSSLESS, so unlike JPEG the rasterized
+    * channel means hash-verify exactly against the fixture color — only
+    * the container byte size is compression-dependent and therefore not
+    * in the verified output.
+    */
+  def pngDecodeRaw(s: SparkSession, d: String): Dataset[PngFeature] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        try batch.map { id =>
+          val (w0, h0, r0, g0, b0) = pngFixtureParams(id)
+          val payload = pngBytes(w0, h0, r0, g0, b0)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val img = try reader.read(0) finally iis.close()
+          require(img != null, s"undecodable PNG payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          PngFeature(id, w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** Declared form of [[pngDecodeRaw]] for the verification registry. */
+  def pngDecode(s: SparkSession, d: String): DataFrame =
+    pngDecodeRaw(s, d).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic WAV fixture (sample rate, sample count, amplitude) per
     * doc. The payload is a ±amp square wave, chosen because its RMS is
     * EXACTLY amp in integer arithmetic — which is what lets the decoded
@@ -413,6 +489,7 @@ object Multimodal {
     "mm_decode_features" -> decodeFeatures,
     "mm_bmp_decode" -> bmpDecode,
     "mm_jpeg_decode" -> jpegDecode,
+    "mm_png_decode" -> pngDecode,
     "mm_wav_meta" -> wavMeta,
     "mm_resize" -> resizePlan,
     "mm_frame_sample" -> frameSample
@@ -460,6 +537,14 @@ object Multimodal {
         |       CAST(16 + (doc_id * 29) % 48 AS INT) AS width,
         |       CAST(16 + (doc_id * 19) % 40 AS INT) AS height,
         |       TRUE AS color_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_png_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + ((doc_id * 23) % 56) AS INT) AS width,
+        |       CAST(16 + ((doc_id * 11) % 44) AS INT) AS height,
+        |       CAST(doc_id % 256 AS INT) AS mean_r,
+        |       CAST((doc_id * 5) % 256 AS INT) AS mean_g,
+        |       CAST((doc_id * 11) % 256 AS INT) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_wav_meta" ->
       """WITH p AS (

@@ -350,6 +350,27 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG fixture is a real container: lossless decode round-trips dims and pixels") {
+    val payload = ext.Multimodal.pngBytes(37, 21, 200, 100, 50)
+    // real PNG signature: 89 50 4E 47
+    assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth == 37 && img.getHeight == 21)
+    // lossless: the far corner pixel is EXACT, unlike JPEG
+    val px = img.getRGB(36, 20)
+    assert(((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff) == ((200, 100, 50)))
+    // a corrupted magic number must NOT silently decode
+    val bad = payload.clone(); bad(0) = 'X'.toByte
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bad)) == null)
+    // and the distributed decode agrees with the oracle's closed form
+    val row = ext.Multimodal.pngDecodeRaw(spark, sf)
+      .filter(col("doc_id") === 7L).collect().head
+    val (w, h, r, g, b) = ext.Multimodal.pngFixtureParams(7L)
+    assert((row.width, row.height, row.mean_r, row.mean_g, row.mean_b)
+      == ((w, h, r, g, b)))
+  }
+
   test("weighted quantile sketch reproduces the exact weighted median on integral bins") {
     val exact = ops.ExtraOps.weightedMedian(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1).toInt, r.getDouble(2))).toSeq
