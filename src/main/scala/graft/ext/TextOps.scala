@@ -231,6 +231,30 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Out-of-vocabulary rate per source — the tokenizer-coverage health
+    * metric a training pipeline checks before committing to a vocab: how
+    * much of each corpus slice the top-K vocabulary ([[vocab]]'s exact
+    * construction) fails to cover. The vocab is top-100 by (freq desc,
+    * token) — bounded by construction, so broadcasting it is safe at any
+    * corpus size; the token stream is scanned once and never shuffled
+    * except the per-source rollup (map-side partial).
+    */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val voc = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(100)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(voc), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Repetition scoring (Gopher-style quality signal): duplicate-word
     * ratio and top-term concentration per document. One explode +
     * two-level aggregation — the word counts partial-aggregate map-side,
@@ -894,6 +918,7 @@ object TextOps {
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
     "tx_vocab" -> vocab,
+    "tx_oov_rate" -> oovRate,
     "pipe_corpus_clean" -> corpusClean,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
@@ -1270,6 +1295,22 @@ object TextOps {
           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+      "tx_oov_rate" ->
+        """WITH toks AS (
+          |  SELECT source, token FROM (
+          |    SELECT source, unnest(string_split(lower(text), ' ')) AS token
+          |    FROM documents)
+          |  WHERE len(token) > 0),
+          |voc AS (
+          |  SELECT token FROM (
+          |    SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+          |    ORDER BY freq DESC, token LIMIT 100))
+          |SELECT source, COUNT(*) AS n_tokens,
+          |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          |         / COUNT(*) AS oov_rate
+          |FROM toks LEFT JOIN voc v USING (token)
+          |GROUP BY source ORDER BY source""".stripMargin,
       "tx_langid" ->
         s"""WITH scored AS (
            |  SELECT doc_id, lang AS lang_label,
