@@ -498,7 +498,36 @@ object AggJoinOps {
       .orderBy(col("o_custkey"))
   }
 
+  /** Join-cardinality prediction from per-key histograms — the planner
+    * diagnostic behind every join-order decision: |A ⋈ B| = Σ_k a_k·b_k
+    * computed from the two sides' key-count frames WITHOUT materializing
+    * the join, verified here against the actual join count. The count
+    * frames are |distinct keys| skinny rows (8+8 bytes) vs the join's
+    * full-width output — at 100 TB you run exactly this before a risky
+    * join to know whether the output explodes (and the same Σ a_k·b_k
+    * per key, pre-aggregation, is how you FIND the exploding keys —
+    * x_skew_metrics' sibling). Complements the CBO/ANALYZE demo
+    * ([[graft.plans.Cbo]]), which derives the same estimate from stored
+    * stats instead of a live scan.
+    */
+  def joinCardinality(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("a_k"))
+    val b = Tables.orders(s, d)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("b_k"))
+    val pred = a.join(b, "k")
+      .agg(sum(col("a_k") * col("b_k")).as("predicted_rows"))
+    val actual = Tables.lineitem(s, d).select(col("l_orderkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    pred.crossJoin(actual) // two 1-row aggregates
+      .select(col("predicted_rows"), col("actual_rows"),
+        (col("predicted_rows") === col("actual_rows")).as("exact_match"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_join_cardinality" -> joinCardinality,
     "x_exists_subquery" -> existsSubquery,
     "x_correlated_subquery" -> correlatedSubquery,
     "x_first_last_window" -> firstLastWindow,
@@ -537,6 +566,18 @@ object AggJoinOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_join_cardinality" ->
+      """WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS a_k
+        |           FROM lineitem GROUP BY 1),
+        |b AS (SELECT o_orderkey AS k, COUNT(*) AS b_k
+        |      FROM orders GROUP BY 1),
+        |pred AS (SELECT CAST(SUM(a_k * b_k) AS BIGINT) AS predicted_rows
+        |         FROM a JOIN b USING (k)),
+        |actual AS (SELECT COUNT(*) AS actual_rows
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT predicted_rows, actual_rows,
+        |       predicted_rows = actual_rows AS exact_match
+        |FROM pred CROSS JOIN actual""".stripMargin,
     "x_exists_subquery" ->
       """SELECT n_nationkey, n_name FROM nation n
         |WHERE EXISTS (SELECT 1 FROM customer c

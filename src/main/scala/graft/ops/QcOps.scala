@@ -172,7 +172,45 @@ object QcOps {
         |FROM graft_li_udf GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Distribution-drift gate: Pearson chi-square test of homogeneity
+    * between two epoch slices (odd vs even calendar days) of the
+    * event-type distribution — the "did yesterday's data change shape"
+    * check a pipeline runs before accepting a new batch. Cross-engine
+    * exactness discipline: each cell's statistic is formed from the
+    * RATIONAL identity (o·N − r·c)²/(N·r·c) — numerator difference and
+    * denominator computed in exact BIGINT, one double division per cell,
+    * and the cross-cell sum is a deterministic (event_type, half)-ordered
+    * fold (the HLL idiom), so the χ² value itself hash-verifies. At
+    * 100 TB this is one groupBy over (type, slice) cells — the statistic
+    * is O(cells), not O(rows).
+    */
+  def chiSquareDrift(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), (dayofmonth(col("ts")) % 2).as("half"))
+      .groupBy(col("event_type"), col("half")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("half")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells.join(rows, "event_type").join(cols, "half")
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", (col("o") * col("n") - col("r") * col("c"))
+        .cast("double"))
+      .withColumn("den", (col("n") * col("r") * col("c")).cast("double"))
+      .withColumn("term", col("diff") * col("diff") / col("den"))
+      .agg(max(col("n")).as("n_events"),
+        graft.Det.exactDistinct(col("event_type")).as("n_types"),
+        expr(
+          """aggregate(
+            |  transform(array_sort(collect_list(struct(event_type, half, term))),
+            |    x -> x.term),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+          .as("chi2"))
+      .withColumn("dof", col("n_types") - 1)
+      .select(col("n_events"), col("n_types"), col("dof"), col("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_chi_square" -> chiSquareDrift,
     "qc_benford" -> benford,
     "qc_table_checksum" -> tableChecksum,
     "qc_constraint_suite" -> constraintSuite,
@@ -181,6 +219,27 @@ object QcOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "qc_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, day(ts) % 2 AS half, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT half, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT cells.event_type, cells.half,
+        |         CAST(o * n - r.r * c.c AS DOUBLE) AS diff,
+        |         CAST(n * r.r * c.c AS DOUBLE) AS den
+        |  FROM cells JOIN r USING (event_type) JOIN c USING (half)
+        |  CROSS JOIN tot)
+        |SELECT (SELECT n FROM tot) AS n_events,
+        |       (SELECT COUNT(DISTINCT event_type) FROM cells) AS n_types,
+        |       (SELECT COUNT(DISTINCT event_type) FROM cells) - 1 AS dof,
+        |       list_reduce(
+        |         list_prepend(0.0, list(diff * diff / den ORDER BY event_type, half)),
+        |         (acc, v) -> acc + v) AS chi2
+        |FROM terms""".stripMargin,
     "qc_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
