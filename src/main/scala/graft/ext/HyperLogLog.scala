@@ -212,7 +212,42 @@ object HyperLogLog {
         col("true_intersect"))
   }
 
+  private val KMV_K = 256
+
+  /** K-minimum-values distinct sketch — the OTHER classic cardinality
+    * sketch next to HLL, kept because its state is a VALUE SAMPLE, not
+    * registers: the K smallest (normalized) hashes support set
+    * operations HLL can't do cleanly (intersection via the K smallest of
+    * the union's sample — no inclusion–exclusion error compounding, cf.
+    * [[hllIntersect]]'s documented trade; this is the theta-sketch
+    * family's core idea). Estimate: (K−1)/θ with θ = the K-th smallest
+    * hash scaled to (0,1]. Everything is the shared 60-bit cross-engine
+    * hash, a top-K (per-partition partial top-K, mergeable — union of
+    * two sketches is the K smallest of their concatenation), and one
+    * double division — bit-replayable in DuckDB, so the estimate itself
+    * hash-verifies. If distinct < K the sketch degrades to exact-minus-
+    * one by construction (θ = max hash); k_eff in the output makes that
+    * regime visible.
+    */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.orders(s, d)
+      .select(expr(sparkHash("CAST(o_custkey AS STRING)")).as("h"))
+      .distinct()
+    val kth = h.orderBy(col("h")).limit(KMV_K)
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("k_eff"))
+    val exact = Tables.orders(s, d)
+      .agg(graft.Det.exactDistinct(col("o_custkey")).as("true_distinct"))
+    kth.crossJoin(exact)
+      .select(lit(KMV_K).cast("long").as("k"), col("k_eff"),
+        ((col("k_eff") - 1).cast("double")
+          / (col("hk").cast("double")
+            / expr("CAST(1152921504606846976 AS DOUBLE)"))) // 2^60
+          .as("est_distinct"),
+        col("true_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_kmv_distinct" -> kmvDistinct,
     "a7_hll_intersect" -> hllIntersect,
     "a7_hll_verified" -> hllVerified,
     "a7_hll_union" -> hllUnion,
@@ -242,6 +277,20 @@ object HyperLogLog {
        |  FROM filled_$tag)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a7_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |kth AS (
+         |  SELECT MAX(h) AS hk, COUNT(*) AS k_eff
+         |  FROM (SELECT h FROM h ORDER BY h LIMIT $KMV_K)),
+         |exact AS (
+         |  SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders)
+         |SELECT CAST($KMV_K AS BIGINT) AS k, k_eff,
+         |       CAST(k_eff - 1 AS DOUBLE)
+         |         / (CAST(hk AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS est_distinct,
+         |       true_distinct
+         |FROM kth CROSS JOIN exact""".stripMargin,
     "a7_hll_intersect" ->
       s"""WITH h_a AS (
          |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders

@@ -203,7 +203,35 @@ object PipelineOps {
       .orderBy(col("prompt_id"), col("response_id"))
   }
 
+  /** Seeded multi-epoch training shuffle: epoch e's data order is the
+    * rank of a cross-engine hash of (epoch-salt, doc_id) — fully
+    * deterministic and REPRODUCIBLE (the property a training run needs:
+    * re-running epoch 2 yields byte-identical batch order), yet
+    * decorrelated across epochs because the salt changes the hash
+    * family. Emitted here: the first 20 positions of each epoch's
+    * permutation, which pins the whole order (any prefix divergence
+    * would shift some rank). At 100 TB: the permutation is realized by
+    * `repartitionByRange(hash)` + `sortWithinPartitions` — one range
+    * shuffle per epoch, no global sort on the driver; the top-20-per-
+    * epoch form here rewrites to WindowGroupLimit below the exchange
+    * ([[graft.plans.TopKPerKey]]).
+    */
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Hashing.sparkHash
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val epochs = (1 to 3).map { e =>
+      docs.withColumn("epoch", lit(e)).withColumn("h",
+        expr(sparkHash(s"concat('ep$e:', CAST(doc_id AS STRING))")))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("epoch")).orderBy(col("h"), col("doc_id"))
+    epochs.withColumn("position", row_number().over(w))
+      .filter(col("position") <= 20)
+      .select(col("epoch"), col("position"), col("doc_id"))
+      .orderBy(col("epoch"), col("position"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_epoch_shuffle" -> epochShuffle,
     "pipe_grpo_groups" -> grpoGroups,
     "pipe_cdc_latest" -> cdcLatest,
     "pipe_dim_build" -> dimBuild,
@@ -215,6 +243,18 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_epoch_shuffle" ->
+      """WITH eps AS (SELECT e FROM (VALUES (1), (2), (3)) v(e)),
+        |hs AS (
+        |  SELECT e AS epoch, doc_id,
+        |         CAST('0x' || substr(md5('ep' || e || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents CROSS JOIN eps)
+        |SELECT epoch,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+        |         ORDER BY h, doc_id) AS INT) AS position,
+        |       doc_id
+        |FROM hs QUALIFY position <= 20
+        |ORDER BY epoch, position""".stripMargin,
     "pipe_grpo_groups" ->
       """WITH grp AS (
         |  SELECT user_id AS prompt_id, event_id AS response_id, value AS reward,
