@@ -217,6 +217,50 @@ object TextOps {
         sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy(col("source"))
 
+  /** Temperature-based corpus resampling (τ=2, i.e. √-weighting) — the
+    * multilingual-mixing rule (e.g. mBERT/XLM-R style): a source's
+    * target share is proportional to n_s^(1/τ), which UP-weights small
+    * sources relative to their raw share so big corpora don't drown
+    * them. τ=2 is chosen deliberately: n^(1/2) is `sqrt`, which IEEE
+    * requires correctly rounded — bit-identical across engines, where a
+    * general pow() would not be. The only cross-source reduction
+    * (Σ √n_s) is a deterministic source-ordered fold (the HLL idiom);
+    * per-doc inclusion is the deterministic hash gate at each source's
+    * derived rate, so plan AND realized sample hash-verify. At 100 TB:
+    * two scans of documents (count, then gate), a ~|sources|-row plan
+    * frame broadcast to the gate — no shuffle of the corpus.
+    */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("n_total"),
+      expr(
+        """aggregate(
+          |  transform(array_sort(collect_list(
+          |    struct(lang, sqrt(CAST(n_docs AS DOUBLE)) AS w))), x -> x.w),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("w_total"))
+    val plan0 = counts.crossJoin(broadcast(tot))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+      .withColumn("share", col("w") / col("w_total"))
+      .withColumn("target",
+        floor(col("share") * expr("CAST(n_total DIV 2 AS DOUBLE)")).cast("long"))
+      .withColumn("th",
+        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
+          * lit(10000.0)).cast("long"))
+    val kept = docs
+      .join(broadcast(plan0.select(col("lang"), col("th"))), Seq("lang"))
+      .withColumn("hh",
+        expr(s"${Hashing.sparkHash("CAST(doc_id AS STRING)")} % 10000"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("hh") < col("th"), 1L).otherwise(0L)).as("n_kept"))
+    plan0.join(kept, "lang")
+      .select(col("lang"), col("n_docs"), col("w"), col("share"),
+        col("target"), col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus vocabulary: top-100 tokens by frequency (tie → lexicographic).
     * The explode is a Generator (one pass, no buffering); the count is a
     * standard partial-agg'd groupBy on the token, and the top-k collapses
@@ -919,6 +963,7 @@ object TextOps {
     "tx_fingerprint" -> fingerprint,
     "tx_vocab" -> vocab,
     "tx_oov_rate" -> oovRate,
+    "pipe_temperature_mix" -> temperatureMix,
     "pipe_corpus_clean" -> corpusClean,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
@@ -1295,6 +1340,30 @@ object TextOps {
           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+      "pipe_temperature_mix" ->
+        """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+          |        list_reduce(list_prepend(0.0,
+          |          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+          |          (acc, v) -> acc + v) AS w_total
+          |        FROM counts),
+          |plan0 AS (
+          |  SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w,
+          |         sqrt(CAST(n_docs AS DOUBLE)) / w_total AS share,
+          |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / w_total
+          |              * CAST(n_total // 2 AS DOUBLE)) AS BIGINT) AS target
+          |  FROM counts CROSS JOIN tot),
+          |th AS (SELECT lang, n_docs, w, share, target,
+          |         CAST(floor(least(CAST(1 AS DOUBLE), CAST(target AS DOUBLE) / n_docs)
+          |              * CAST(10000 AS DOUBLE)) AS BIGINT) AS th
+          |       FROM plan0),
+          |kept AS (
+          |  SELECT d.lang,
+          |         CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < th
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |  FROM documents d JOIN th USING (lang) GROUP BY d.lang)
+          |SELECT th.lang, n_docs, w, share, target, n_kept
+          |FROM th JOIN kept USING (lang) ORDER BY lang""".stripMargin,
       "tx_oov_rate" ->
         """WITH toks AS (
           |  SELECT source, token FROM (

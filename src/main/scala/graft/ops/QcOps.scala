@@ -209,7 +209,33 @@ object QcOps {
       .select(col("n_events"), col("n_types"), col("dof"), col("chi2"))
   }
 
+  /** One-pass column profile (the deequ/Great-Expectations "profiler"
+    * shape): null count, distinct count, and completeness for every
+    * column of a table, computed in a SINGLE scan — all per-column
+    * aggregates ride one HashAggregate row (count-distincts expand to
+    * the standard multi-distinct plan), then `stack` unpivots the wide
+    * summary row into one row per column. At 100 TB the scan happens
+    * once regardless of column count; only the fixed-width summary
+    * crosses the final exchange.
+    */
+  def nullProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      graft.Det.exactDistinct(col(c)).as(s"nd_$c"))) :+
+      count(lit(1)).as("n_rows")
+    Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', n_rows, nn_$c, nd_$c").mkString(", ") +
+        ") AS (col_name, n_rows, n_nulls, n_distinct)"))
+      .withColumn("completeness",
+        (col("n_rows") - col("n_nulls")).cast("double") / col("n_rows"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_null_profile" -> nullProfile,
     "qc_chi_square" -> chiSquareDrift,
     "qc_benford" -> benford,
     "qc_table_checksum" -> tableChecksum,
@@ -219,6 +245,18 @@ object QcOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "qc_null_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(COUNT(*) - SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) AS completeness
+           |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n",
+        "\nORDER BY col_name")
+    },
     "qc_chi_square" ->
       """WITH cells AS (
         |  SELECT event_type, day(ts) % 2 AS half, COUNT(*) AS o
