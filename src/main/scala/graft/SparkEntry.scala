@@ -29,6 +29,7 @@ object SparkEntry {
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinStream,
         "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinStream,
+        "st_semi_join" -> streaming.StreamOps.semiJoinStream,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichStream,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
         "st_session_builtin" -> streaming.StreamOps.sessionBuiltinStream,
@@ -62,6 +63,7 @@ object SparkEntry {
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinOracle,
         "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinOracle,
+        "st_semi_join" -> streaming.StreamOps.semiJoinOracle,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichOracle,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
         "st_session_builtin" -> streaming.StreamOps.sessionBuiltinOracle,

@@ -722,25 +722,41 @@ object Similarity {
     * and the re-rank touches only Q×C original vectors — point lookups,
     * not a scan.
     */
-  def pqTopK(s: SparkSession, d: String): DataFrame = {
-    val qv = quantized(s, d)
-    val centRows = qv.filter(col("vec_id") < PQ_KS).collect()
+  def pqTopK(s: SparkSession, d: String): DataFrame =
+    pqServe(s, d, pqEncode(s, d))
+
+  /** Codebook subvector literals (m)(c), from the deterministic
+    * first-KS-vectors init — collected once, inlined into encode and
+    * distance-table expressions (the [[assign]] inlining pattern, all
+    * integers so no float-formatting hazards).
+    */
+  private def pqCodebook(s: SparkSession, d: String): (Int, Int) => String = {
+    val centRows = quantized(s, d).filter(col("vec_id") < PQ_KS).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
     require(centRows.length == PQ_KS,
       s"PQ codebook init needs vec_id 0..${PQ_KS - 1} present")
-    // sub(m)(c) = codebook entry c's 16 ints for subspace m
-    def sub(m: Int, c: Int): String =
+    (m: Int, c: Int) =>
       centRows(c)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB)
         .map(v => s"${v}L").mkString("array(", ",", ")")
-    def l2(ivSlice: String, lits: String): String =
-      s"""aggregate(zip_with($ivSlice, $lits, (x, y) -> (x - y) * (x - y)),
-         |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin
+  }
+
+  private def pqL2(ivSlice: String, lits: String): String =
+    s"""aggregate(zip_with($ivSlice, $lits, (x, y) -> (x - y) * (x - y)),
+       |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin
+
+  /** The stored index artifact: corpus codes (vec_id, m, c) — 4 bytes of
+    * payload per vector. In production this is written once per index
+    * build and served to every query batch (ExtensionSpec pins the
+    * parquet round-trip: serving from reloaded codes ≡ end-to-end).
+    */
+  private[graft] def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val sub = pqCodebook(s, d)
     // per-subspace argmin fold over the 16 codebook entries (strictly
     // better replaces → ties keep the smaller code, same rule as assign)
     def codeExpr(m: Int): String = {
       val slice = s"slice(iv, ${m * PQ_SUB + 1}, $PQ_SUB)"
       val entries = (0 until PQ_KS).map { c =>
-        s"struct($c AS c, ${l2(slice, sub(m, c))} AS dist)"
+        s"struct($c AS c, ${pqL2(slice, sub(m, c))} AS dist)"
       }.mkString("array(", ", ", ")")
       s"""aggregate($entries,
          |  CAST(NULL AS struct<c: INT, dist: BIGINT>),
@@ -748,9 +764,19 @@ object Similarity {
     }
     val mcStructs = (0 until PQ_M).map(m =>
       s"struct($m AS m, ${codeExpr(m)} AS c)").mkString("array(", ", ", ")")
-    val enc = qv.filter(col("vec_id") >= 5)
+    quantized(s, d).filter(col("vec_id") >= 5)
       .select(col("vec_id"), explode(expr(mcStructs)).as("mc"))
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.c").as("c"))
+  }
+
+  /** Serve a query batch from a (possibly reloaded) codes frame: build
+    * the distance table, ADC-shortlist, exact re-rank.
+    */
+  private[graft] def pqServe(s: SparkSession, d: String,
+      enc: DataFrame): DataFrame = {
+    val qv = quantized(s, d)
+    val sub = pqCodebook(s, d)
+    def l2 = pqL2 _
     // distance table: every (query, subspace, code) exact L2
     val centFrame = (0 until PQ_M).flatMap(m => (0 until PQ_KS).map(c =>
       s"struct($m AS m, $c AS c, ${sub(m, c)} AS sub)"))

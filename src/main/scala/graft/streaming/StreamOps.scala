@@ -242,6 +242,54 @@ object StreamOps {
       |ORDER BY user_id, click_id ASC NULLS FIRST,
       |         purchase_id ASC NULLS FIRST""".stripMargin
 
+  /** Watermarked stream-stream LEFT SEMI interval join, drained —
+    * completes the streaming join matrix (inner / left outer / full
+    * outer / semi): "clicks that led to a purchase within the hour",
+    * emitting each qualifying CLICK once, with no purchase columns. A
+    * click emits on its FIRST match (state marks it emitted so later
+    * matches add nothing — the semi-join contract), which makes the
+    * drained result deterministic: exactly the distinct clicks with ≥1
+    * in-window purchase, what the oracle computes batch-side. Same
+    * bounded state as the inner join.
+    */
+  def semiJoinStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val clicks = eventsStream(ss, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= click_ts " +
+          "AND p_ts <= click_ts + INTERVAL 1 HOUR"), "left_semi")
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_semi")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_semi")
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  /** Batch twin of [[semiJoinStream]] (DuckDB): distinct clicks with at
+    * least one purchase in (click_ts, click_ts + 1 h].
+    */
+  val semiJoinOracle: String =
+    """SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us
+      |FROM events c
+      |WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      |ORDER BY user_id, click_id""".stripMargin
+
   /** Streaming BUILT-IN `session_window` aggregation (gap 30 min) — the
     * state-store session-merge path, complementing the custom
     * flatMapGroupsWithState sessionizer ([[sessionizeStream]]): Spark

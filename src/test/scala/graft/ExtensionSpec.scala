@@ -128,6 +128,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ rerank recall collapsed: $recall")
   }
 
+  test("PQ index round-trips through parquet: serving from stored codes ≡ end-to-end") {
+    // the production contract: encode once, persist the 4-byte codes,
+    // answer every later query batch from the store without re-encoding
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_store").toString
+    ext.Similarity.pqEncode(spark, sf).write.mode("overwrite").parquet(dir)
+    val fromStore = ext.Similarity.pqServe(spark, sf, spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSeq
+    val endToEnd = ext.Similarity.pqTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(fromStore.nonEmpty)
+    assert(fromStore == endToEnd,
+      "stored codes must fully determine the answers")
+  }
+
   test("codegen CosineSim is bit-identical to the HOF fold") {
     graft.expr.VectorExprs.register(spark)
     val e = Tables.embeddings(spark, sf)

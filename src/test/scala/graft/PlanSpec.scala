@@ -341,7 +341,8 @@ class PlanSpec extends AnyFunSuite {
     // sf0.001; the guard still only INSPECTS the final plan.)
     val skip = Set(
       "st_tumbling_stream", "st_interval_join", "st_incremental_probe",
-      "st_left_outer_join", "st_full_outer_join", "st_static_enrich",
+      "st_left_outer_join", "st_full_outer_join", "st_semi_join",
+      "st_static_enrich",
       "st_sessionize_state", "st_session_builtin",
       "st_dedup_stream", "st_hll_stream", "st_checksum_stream",
       "st_foreach_batch")
