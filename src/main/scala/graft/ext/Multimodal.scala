@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
@@ -282,6 +283,125 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"), col("color_ok"))
       .orderBy(col("doc_id"))
 
+  /** Gradient BMP fixture params per doc: dims are multiples of 8 so the
+    * 8×8 aHash grid divides the raster exactly (every block mean an
+    * exact integer division), and the red pattern carries a per-doc
+    * PHASE — a pure linear ramp's aHash is dimension-invariant (every
+    * image would hash identically); the phase gives 29 hash classes at
+    * 500 docs, so the dedup rule has real structure to find.
+    */
+  def gradFixtureParams(docId: Long): (Int, Int, Int) = (
+    8 * (2 + (docId % 5)).toInt, 8 * (2 + ((docId / 5) % 5)).toInt,
+    ((docId % 7) * 31).toInt)
+
+  /** Serialize a patterned 24-bit BMP (r = (x·13 + phase) mod 256,
+    * g ramps along y, b = (x+y) mod 256) — same container layout as
+    * [[bmpBytes]] but non-constant content, which is what a perceptual
+    * hash needs.
+    */
+  def bmpGradientBytes(w: Int, h: Int, ph: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) { // bottom-up rows, like bmpBytes
+      var x = 0
+      while (x < w) {
+        val r = (x * 13 + ph) % 256; val g = y * 255 / (h - 1)
+        buf.put(((x + y) % 256).toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var p = 3 * w
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  case class PhashFeature(doc_id: Long, width: Int, height: Int,
+      ahash: String)
+
+  /** Red-channel average-hash of a GENUINELY DECODED gradient BMP: the
+    * raster is block-averaged onto the 8×8 aHash grid (exact integer
+    * floor means — dims are multiples of 8 by fixture construction),
+    * each bit is block-mean > global-mean-of-block-means, emitted as a
+    * 64-char '0'/'1' string (a BIGINT packing would overflow at bit 63;
+    * the string groups and compares identically and keeps the oracle
+    * dialect-neutral). Single channel keeps every operation exact
+    * integer arithmetic — no luma-weighting floats to drift.
+    */
+  def phashDecodeRaw(s: SparkSession, d: String): Dataset[PhashFeature] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+        try batch.map { id =>
+          val (w, h, ph) = gradFixtureParams(id)
+          val payload = bmpGradientBytes(w, h, ph)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val img = try reader.read(0) finally iis.close()
+          require(img != null, s"undecodable gradient BMP for doc $id")
+          require(img.getWidth == w && img.getHeight == h,
+            s"decoded dims mismatch for doc $id")
+          val (bw, bh) = (w / 8, h / 8)
+          val means = new Array[Long](64)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              var sum = 0L
+              var y = by * bh
+              while (y < (by + 1) * bh) {
+                var x = bx * bw
+                while (x < (bx + 1) * bw) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              means(by * 8 + bx) = sum / (bw.toLong * bh)
+              bx += 1
+            }
+            by += 1
+          }
+          val gmean = means.sum / 64
+          val sb = new StringBuilder(64)
+          means.foreach(m => sb.append(if (m > gmean) '1' else '0'))
+          PhashFeature(id, w, h, sb.toString)
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** Perceptual-hash image dedup — the multimodal/dedup intersection: a
+    * REAL codec decodes every image, the aHash collapses each to a
+    * 64-bit signature, and identical signatures bucket together with the
+    * keep-smallest-id canonical rule ([[graft.ext.Dedup]]'s convention).
+    * At 100 TB: decode+hash is one mapPartitions pass (per-partition
+    * batched reader, the [[bmpDecodeRaw]] contract), the ONLY shuffle
+    * carries (doc_id, 64-char hash) — never pixels — and near-dup
+    * banding generalizes by bucketing hash SUBSTRINGS (the MinHash band
+    * trick) for Hamming-distance tolerance instead of exact equality.
+    */
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    val hw = Window.partitionBy(col("ahash"))
+    phashDecodeRaw(s, d).toDF()
+      .withColumn("first_id", min(col("doc_id")).over(hw))
+      .withColumn("dup_of",
+        when(col("first_id") < col("doc_id"), col("first_id")))
+      .select(col("doc_id"), col("width"), col("height"), col("ahash"),
+        col("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic PNG fixture dims/color per doc — third distinct
     * formula family (multipliers 23/11 for dims, 5/11 for color) so no
     * cross-wired codec path can accidentally verify.
@@ -490,6 +610,7 @@ object Multimodal {
     "mm_bmp_decode" -> bmpDecode,
     "mm_jpeg_decode" -> jpegDecode,
     "mm_png_decode" -> pngDecode,
+    "dd_phash_images" -> phashDedup,
     "mm_wav_meta" -> wavMeta,
     "mm_resize" -> resizePlan,
     "mm_frame_sample" -> frameSample
@@ -538,6 +659,34 @@ object Multimodal {
         |       CAST(16 + (doc_id * 19) % 40 AS INT) AS height,
         |       TRUE AS color_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd_phash_images" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(8 * (2 + doc_id % 5) AS INT) AS w,
+        |    CAST(8 * (2 + (doc_id // 5) % 5) AS INT) AS h,
+        |    CAST((doc_id % 7) * 31 AS INT) AS ph
+        |  FROM documents),
+        |grid AS (SELECT unnest(range(0, 8)) AS b),
+        |blocks AS (
+        |  SELECT p.doc_id, p.w, p.h, byy.b AS by, bxx.b AS bx,
+        |    ((h // 8) * list_sum([ (x * 13 + ph) % 256
+        |       for x in range(bxx.b * (w // 8), (bxx.b + 1) * (w // 8)) ]))
+        |      // ((w // 8) * (h // 8)) AS bmean
+        |  FROM p CROSS JOIN grid byy CROSS JOIN grid bxx),
+        |g AS (SELECT doc_id, SUM(bmean) // 64 AS gmean FROM blocks GROUP BY 1),
+        |bits AS (
+        |  SELECT b.doc_id, b.by, b.bx,
+        |         CASE WHEN b.bmean > g.gmean THEN '1' ELSE '0' END AS bit
+        |  FROM blocks b JOIN g USING (doc_id)),
+        |hashes AS (
+        |  SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
+        |  FROM bits GROUP BY doc_id),
+        |withdup AS (
+        |  SELECT h.doc_id, p.w AS width, p.h AS height, h.ahash,
+        |         MIN(h.doc_id) OVER (PARTITION BY h.ahash) AS first_id
+        |  FROM hashes h JOIN p USING (doc_id))
+        |SELECT doc_id, width, height, ahash,
+        |       CASE WHEN first_id < doc_id THEN first_id END AS dup_of
+        |FROM withdup ORDER BY doc_id""".stripMargin,
     "mm_png_decode" ->
       """SELECT doc_id,
         |       CAST(16 + ((doc_id * 23) % 56) AS INT) AS width,
