@@ -969,7 +969,67 @@ object ExtraOps {
       .select(col("e.item").as("event_type"), col("e.count").as("n"))
       .orderBy(desc("n"), col("event_type"))
 
+  /** Per-group Pearson correlation, EXACT until the last operation — the
+    * feature-correlation step of an ML audit. The textbook identity
+    * r = (nΣxy − ΣxΣy) / (√(nΣx² − (Σx)²)·√(nΣy² − (Σy)²)) subtracts
+    * two nearly-equal large terms, so ANY ulp in the power sums is
+    * amplified ~10⁴× through the cancellation (a double-sum version of
+    * this query drifted at the 12th digit between engines). The fix is
+    * the [[pagerank]] discipline, not more double care: quantity is
+    * integral and price has 2 decimals, so x and y-in-cents are exact
+    * scale-0 decimals, every power sum and BOTH cancellation-prone
+    * differences are exact integer arithmetic (≤26 digits at sf0.1,
+    * inside Decimal128), and only the final num/√a·√b touches floating
+    * point — three correctly-rounded conversions of exact integers, one
+    * fixed expression tree, identical on any engine and partitioning
+    * (the builtin `corr` is a float running aggregate with neither
+    * property).
+    */
+  def correlation(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(19, 0))
+    val y = (col("l_extendedprice").cast(DecimalType(19, 2)) * lit(100))
+      .cast(DecimalType(19, 0))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("ra", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("rb", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("corr_qty_price",
+        col("num").cast("double")
+          / (sqrt(col("ra").cast("double")) * sqrt(col("rb").cast("double"))))
+      .select(col("l_returnflag"), col("n"), col("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** 2-D skyline staircase per priority class: walking orders in
+    * (date, price, key) order, keep each order that undercuts every
+    * earlier price — the running-minimum Pareto frontier ("cheapest so
+    * far as time advances"). One partitioned window (PARTITION BY
+    * priority), no self-join: the naive skyline is a quadratic
+    * EXISTS-anti-join; the staircase form is the sort-once linear scan
+    * that survives at scale, and the frontier output is tiny (its
+    * expected size is O(log n) per partition under random prices).
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("runmin", min(col("o_totalprice")).over(w))
+      .filter(col("runmin").isNull || col("o_totalprice") < col("runmin"))
+      .select(col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_correlation" -> correlation,
+    "x_skyline" -> skyline,
     "x_approx_top_k" -> approxTopK,
     "x_pagerank" -> pagerank,
     "x_label_prop" -> labelProp,
@@ -1015,6 +1075,33 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_correlation" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS DECIMAL(19,0)) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100 AS DECIMAL(19,0)) AS y
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |         SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        |FROM p ORDER BY l_returnflag""".stripMargin,
+    "x_skyline" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderdate, o_totalprice, o_orderkey,
+        |         MIN(o_totalprice) OVER (
+        |           PARTITION BY o_orderpriority
+        |           ORDER BY o_orderdate, o_totalprice, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderdate, o_totalprice, o_orderkey
+        |FROM r WHERE runmin IS NULL OR o_totalprice < runmin
+        |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin,
     "x_approx_top_k" ->
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type
