@@ -288,7 +288,44 @@ object EventOps {
       .orderBy(col("n_c"))
   }
 
+  /** Union-of-intervals coverage per user: each event projects a 5-min
+    * activity interval [ts, ts+300 s); overlapping/touching intervals
+    * merge and the answer is covered TIME (microseconds), not session
+    * counts — the "how long was the user actually active" measure that
+    * complements [[sessionize]] (which counts bursts, gap-defined). The
+    * gaps-and-islands form: a running max of interval END over earlier
+    * events marks island starts (ts strictly past the running max),
+    * islands aggregate to [min ts, max end), users sum island lengths —
+    * all exact integer microsecond arithmetic, one partitioned window +
+    * two keyed aggregations, no self-join (the naive interval-union is
+    * a quadratic overlap join).
+    */
+  def intervalUnion(s: SparkSession, d: String): DataFrame = {
+    val span = 300L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + span)
+      .withColumn("prev_max_en", max(col("en")).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+    ev.groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_ev"),
+        min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_ev")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_interval_union" -> intervalUnion,
     "ev_abtest" -> abtestMetrics,
     "ev_attribution" -> attribution,
     "ev_concurrency" -> concurrency,
@@ -304,6 +341,34 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_interval_union" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |         epoch_us(ts) + 300000000 AS en
+        |  FROM events),
+        |marked AS (
+        |  SELECT *,
+        |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_en
+        |  FROM ev),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+        |                 THEN 1::BIGINT ELSE 0::BIGINT END AS new_island
+        |  FROM marked),
+        |islanded AS (
+        |  SELECT *, CAST(SUM(new_island) OVER (
+        |    PARTITION BY user_id ORDER BY st, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT user_id, island, COUNT(*) AS n_ev,
+        |         MIN(st) AS ist, MAX(en) AS ien
+        |  FROM islanded GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |       COUNT(*) AS n_islands,
+        |       CAST(SUM(ien - ist) AS BIGINT) AS covered_us
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ev_abtest" ->
       """WITH conv AS (
         |  SELECT user_id,

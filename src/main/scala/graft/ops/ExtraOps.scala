@@ -1027,7 +1027,21 @@ object ExtraOps {
       .orderBy(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** `df.stat.crosstab` — the DataFrameStatFunctions contingency-table
+    * surface (pair frequencies pivoted to one row per left value, one
+    * column per right value, columns sorted). Same result shape as
+    * x_pivot but through the stat API; counts are exact so the table
+    * hash-verifies against a CASE-pivot oracle. At 100 TB this is one
+    * groupBy over the (left, right) pairs — bounded by the value-domain
+    * product, which is the operator's documented contract (both sides
+    * must be low-cardinality or crosstab is the wrong tool).
+    */
+  def crosstab(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).stat.crosstab("l_returnflag", "l_linestatus")
+      .orderBy(col("l_returnflag_l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_crosstab" -> crosstab,
     "x_correlation" -> correlation,
     "x_skyline" -> skyline,
     "x_approx_top_k" -> approxTopK,
@@ -1075,6 +1089,12 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_crosstab" ->
+      """SELECT l_returnflag AS l_returnflag_l_linestatus,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY 1
+        |ORDER BY l_returnflag_l_linestatus""".stripMargin,
     "x_correlation" ->
       """WITH b AS (
         |  SELECT l_returnflag,
