@@ -183,6 +183,14 @@ object QcOps {
     * fold (the HLL idiom), so the χ² value itself hash-verifies. At
     * 100 TB this is one groupBy over (type, slice) cells — the statistic
     * is O(cells), not O(rows).
+    *
+    * Contract note: cells are formed from OBSERVED (type, slice) pairs,
+    * so a type entirely absent from one slice contributes no zero-count
+    * cell (its (o·N − r·c)²/(N·r·c) term with o=0 is skipped). For this
+    * gate's day-parity split every type appears in both slices by
+    * construction; a deployment splitting on a sparser dimension should
+    * densify the cell grid first (cross-join types × slices, zero-fill)
+    * or the statistic under-counts the divergence of vanished types.
     */
   def chiSquareDrift(s: SparkSession, d: String): DataFrame = {
     val cells = Tables.events(s, d)
