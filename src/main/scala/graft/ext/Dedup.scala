@@ -182,10 +182,16 @@ object Dedup {
     * that prefix against a df-capped inverted index of the corpus.
     * Probe volume is ~|A|/2+1 rows per doc (t = 0.5), per-shingle join
     * fanout ≤ [[DF_CAP]], so candidates are O(corpus · cap) — linear,
-    * vs the exact form's Θ(Σ df²) hot-shingle blowup. Misses are only
-    * possible when ALL of a doc's prefix shingles are stop shingles
-    * (df > cap) — rarest-first ordering makes the prefix precisely the
-    * shingles least likely to be capped. Every candidate is verified
+    * vs the exact form's Θ(Σ df²) hot-shingle blowup. Miss condition,
+    * stated precisely: a qualifying pair (a→b) is missed iff EVERY
+    * prefix shingle of `a` that is SHARED with `b` has df > cap (unshared
+    * prefix shingles under the cap don't help — they probe postings that
+    * don't contain b). In particular two documents whose only common
+    * content is high-df boilerplate WILL be missed even if each doc also
+    * carries rare unshared shingles; recall degrades exactly on
+    * boilerplate-only overlap, which for dedup purposes is usually the
+    * overlap you want to ignore. Rarest-first prefix ordering makes the
+    * probed shingles the least likely to be capped. Every candidate is verified
     * with the EXACT containment score (array_intersect on the full
     * shingle sets), so output ⊆ exact baseline always; the spec pins
     * recall. The df pass is one extra count-aggregate over the exploded

@@ -230,6 +230,14 @@ object Multimodal {
     * palette under the JDK codec (RGB→YCbCr rounding + DC quantization;
     * measured over 1000 fixture ids), so 4 is a strict decode-health
     * bound, not a loose one. Shared with ExtensionSpec.
+    *
+    * ENV COUPLING (diagnosis aid): the `color_ok` oracle hardcodes TRUE,
+    * so hash verification silently depends on the host JRE's JPEG
+    * encoder AND decoder staying within this tolerance. The bound was
+    * measured on one JDK vendor/version; a different vendor's codec on
+    * executors could flip a row and fail `mm_jpeg_decode` verification
+    * with NO code change. If that query alone starts failing after an
+    * environment move, suspect the JRE codec before the code.
     */
   private[graft] val JPEG_TOL = 4
 
@@ -538,14 +546,19 @@ object Multimodal {
           rate = buf.getInt
           buf.getInt; buf.getShort // byte rate, block align
           bits = buf.getShort.toInt
-          buf.position(buf.position() + sz - 16)
+          // RIFF chunks are word-aligned: an odd-sized chunk is followed
+          // by one pad byte that is NOT counted in sz — skip sz&1 after
+          // every chunk or an odd-sized LIST/INFO before 'data'
+          // desynchronizes the walk.
+          buf.position(buf.position() + sz - 16 + (sz & 1))
         case "data" =>
           require(bits == 16 && channels == 1, "scan expects mono PCM16")
           var i = 0
           while (i < sz / 2) {
             val v = buf.getShort.toLong; sumSq += v * v; nSamples += 1; i += 1
           }
-        case _ => buf.position(buf.position() + sz)
+          buf.position(buf.position() + (sz & 1) * 2) // odd trailing byte + pad
+        case _ => buf.position(buf.position() + sz + (sz & 1))
       }
     }
     (rate, channels, bits, nSamples.toInt,

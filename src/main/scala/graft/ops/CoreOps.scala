@@ -212,9 +212,29 @@ object CoreOps {
     * explicitly to the scan; this operator verifies the read-side
     * semantics that make that evolution safe (new columns nullable,
     * subset projections compatible both directions).
+    *
+    * Scratch-dir hygiene: the two generations land in ONE per-JVM temp
+    * directory ([[evoScratchDir]], deleted by a shutdown hook) that is
+    * reused across invocations — a 259-query verify/bench round calls
+    * this repeatedly and must not litter a fresh directory per call.
+    * Driver-local `Files.createTempDirectory` is a LOCAL-MODE
+    * assumption: on a real cluster the path must be on shared storage
+    * (HDFS/S3) or executors can't read what the driver-side path names.
     */
+  private lazy val evoScratchDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_evo")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Exception => () }
+    }))
+    p.toString
+  }
+
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val out = evoScratchDir
     val o = Tables.orders(s, d)
     o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))

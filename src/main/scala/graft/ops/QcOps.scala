@@ -178,11 +178,18 @@ object QcOps {
     * check a pipeline runs before accepting a new batch. Cross-engine
     * exactness discipline: each cell's statistic is formed from the
     * RATIONAL identity (o·N − r·c)²/(N·r·c) — numerator difference and
-    * denominator computed in exact BIGINT, one double division per cell,
-    * and the cross-cell sum is a deterministic (event_type, half)-ordered
-    * fold (the HLL idiom), so the χ² value itself hash-verifies. At
-    * 100 TB this is one groupBy over (type, slice) cells — the statistic
-    * is O(cells), not O(rows).
+    * denominator computed in exact DECIMAL(38,0) (each BIGINT factor is
+    * cast to decimal(20,0) BEFORE multiplying, so n·r·c is exact up to
+    * 10³⁸; plain BIGINT products would silently wrap once n_events
+    * reaches ~3M with balanced cells, since n·r·c ≈ n³/4 > 2⁶³), one
+    * double division per cell, and the cross-cell sum is a deterministic
+    * (event_type, half)-ordered fold (the HLL idiom), so the χ² value
+    * itself hash-verifies. The DuckDB oracle mirrors this with HUGEINT
+    * (int128) products. Bound: exactness holds while n·r·c < 10³⁸, i.e.
+    * n_events ≲ 7·10¹² under balanced halves — comfortably past 100 TB
+    * of events; beyond that Spark yields NULL (decimal overflow), never
+    * a silently wrong χ². At 100 TB this is one groupBy over
+    * (type, slice) cells — the statistic is O(cells), not O(rows).
     *
     * Contract note: cells are formed from OBSERVED (type, slice) pairs,
     * so a type entirely absent from one slice contributes no zero-count
@@ -201,9 +208,11 @@ object QcOps {
     val tot = cells.agg(sum(col("o")).as("n"))
     cells.join(rows, "event_type").join(cols, "half")
       .crossJoin(broadcast(tot))
-      .withColumn("diff", (col("o") * col("n") - col("r") * col("c"))
+      .withColumn("diff", (col("o").cast("decimal(20,0)") * col("n").cast("decimal(20,0)")
+        - col("r").cast("decimal(20,0)") * col("c").cast("decimal(20,0)"))
         .cast("double"))
-      .withColumn("den", (col("n") * col("r") * col("c")).cast("double"))
+      .withColumn("den", (col("n").cast("decimal(20,0)") * col("r").cast("decimal(20,0)")
+        * col("c").cast("decimal(20,0)")).cast("double"))
       .withColumn("term", col("diff") * col("diff") / col("den"))
       .agg(max(col("n")).as("n_events"),
         graft.Det.exactDistinct(col("event_type")).as("n_types"),
@@ -269,17 +278,17 @@ object QcOps {
       """WITH cells AS (
         |  SELECT event_type, day(ts) % 2 AS half, COUNT(*) AS o
         |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+        |r AS (SELECT event_type, CAST(SUM(o) AS HUGEINT) AS r
         |      FROM cells GROUP BY 1),
-        |c AS (SELECT half, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |c AS (SELECT half, CAST(SUM(o) AS HUGEINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cells),
         |terms AS (
         |  SELECT cells.event_type, cells.half,
-        |         CAST(o * n - r.r * c.c AS DOUBLE) AS diff,
+        |         CAST(CAST(o AS HUGEINT) * n - r.r * c.c AS DOUBLE) AS diff,
         |         CAST(n * r.r * c.c AS DOUBLE) AS den
         |  FROM cells JOIN r USING (event_type) JOIN c USING (half)
         |  CROSS JOIN tot)
-        |SELECT (SELECT n FROM tot) AS n_events,
+        |SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_events,
         |       (SELECT COUNT(DISTINCT event_type) FROM cells) AS n_types,
         |       (SELECT COUNT(DISTINCT event_type) FROM cells) - 1 AS dof,
         |       list_reduce(
