@@ -140,8 +140,16 @@ object TextOps {
     */
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Final funnel stage: the model-based CCNet filter (see lmScored) —
+    // joined in as a skinny (doc_id, keep) frame, so the funnel stays one
+    // corpus scan plus one doc_id-keyed join of 9-byte rows.
+    val lmKeep = lmScored(s, d).select(col("doc_id"),
+      col("keep").cast("int").as("c5"))
     val base = Tables.documents(s, d)
-      .select(col("lang"), col("text"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(lower(col("text")), " ").as("ws"))
+      .join(lmKeep, Seq("doc_id"), "left")
+      .withColumn("c5", coalesce(col("c5"), lit(0)))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("mwl",
         length(regexp_replace(col("text"), " ", "")).cast("double")
@@ -153,16 +161,18 @@ object TextOps {
         (col("lang") === "en").cast("int").as("c1"),
         (col("n_words") >= 10).cast("int").as("c2"),
         (col("mwl") >= 2.0 && col("mwl") <= 12.0).cast("int").as("c3"),
-        (col("stopr") >= 0.05).cast("int").as("c4"))
+        (col("stopr") >= 0.05).cast("int").as("c4"),
+        col("c5"))
     val stages = base.agg(
         count(lit(1)).as("n0"),
         sum(col("c1")).as("n1"),
         sum(col("c1") * col("c2")).as("n2"),
         sum(col("c1") * col("c2") * col("c3")).as("n3"),
-        sum(col("c1") * col("c2") * col("c3") * col("c4")).as("n4"))
-      .selectExpr("stack(5, '00_total', n0, '10_lang_en', n1, " +
-        "'20_min_words', n2, '30_word_len', n3, '40_stop_ratio', n4) " +
-        "AS (stage, survivors)")
+        sum(col("c1") * col("c2") * col("c3") * col("c4")).as("n4"),
+        sum(col("c1") * col("c2") * col("c3") * col("c4") * col("c5")).as("n5"))
+      .selectExpr("stack(6, '00_total', n0, '10_lang_en', n1, " +
+        "'20_min_words', n2, '30_word_len', n3, '40_stop_ratio', n4, " +
+        "'50_lm_decile', n5) AS (stage, survivors)")
     val w = Window.orderBy(col("stage"))
     stages
       .withColumn("dropped",
@@ -792,6 +802,77 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Keep threshold for [[lmScore]]: documents in perplexity deciles 1–7
+    * (lowest mean bigram surprisal = most LM-predictable) survive; the
+    * worst 30% are dropped — the CCNet head/middle-vs-tail split.
+    */
+  private[graft] val LM_KEEP_DECILE = 7
+
+  /** CCNet-style count-based LM quality scoring — the model-based corpus
+    * filter that sits between the Gopher heuristics and dedup in a
+    * production pretraining pipeline (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"). A bigram
+    * LM is TRAINED ON THE CORPUS ITSELF (pair counts — one token-keyed
+    * shuffle with map-side combine), each document is scored by its mean
+    * conditional surprisal, and documents are bucketed into perplexity
+    * deciles with a keep/drop decision at [[LM_KEEP_DECILE]].
+    *
+    * Cross-engine exactness: -log2 P(w2|w1) = -log2(pairCnt/ctxCnt) is
+    * libm; the verified score is the [[surprisal]] bit-length form
+    * `floor(log2 ctxCnt) - floor(log2 pairCnt)` — exact integers, same
+    * monotonicity. Context counts come from the PAIR table (sum of pair
+    * counts per w1), not raw unigram counts, so each context's
+    * conditional distribution sums to 1.
+    *
+    * Deciles WITHOUT a global single-partition window (the ntile trap):
+    * per-doc scores quantize to integer milli-bits (lm_bits·1000 DIV
+    * n_pairs, domain ≲ 30 000 values regardless of corpus size), the
+    * decile boundary comes from a cumulative sum over that BOUNDED
+    * histogram, and docs join the ≤30k-row cumulative table back by
+    * broadcast. decile = ⌈10·cum/N⌉ computed in pure integer arithmetic
+    * ((10·cum + N − 1) DIV N), so ties share a decile deterministically
+    * and the result hash-verifies. At 100 TB: two corpus-wide shuffles
+    * (pair counts, doc re-agg), one bounded histogram, zero global sorts.
+    */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairCnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pc"))
+    val ctxCnt = pairCnt.groupBy(col("w1")).agg(sum(col("pc")).as("cc"))
+    val scored = pairs
+      .join(pairCnt, Seq("w1", "w2")).join(ctxCnt, Seq("w1"))
+      .withColumn("bits",
+        (length(bin(col("cc"))) - length(bin(col("pc")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("lm_bits"))
+      .withColumn("milli_bits", expr("lm_bits * 1000 DIV n_pairs"))
+    val hist = scored.groupBy(col("milli_bits")).agg(count(lit(1)).as("h"))
+    val cum = hist // bounded-domain histogram: window input ≤ ~30k rows
+      .withColumn("cum", sum(col("h")).over(Window.orderBy(col("milli_bits"))))
+      .select(col("milli_bits"), col("cum"))
+    val tot = scored.agg(count(lit(1)).as("n_docs"))
+    scored.join(broadcast(cum), Seq("milli_bits"))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile",
+        expr("CAST((10 * cum + n_docs - 1) DIV n_docs AS INT)"))
+      .withColumn("keep", col("decile") <= LM_KEEP_DECILE)
+  }
+
+  /** Declared form of [[lmScored]] for the verification registry. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScored(s, d)
+      .select(col("doc_id"), col("n_pairs"), col("lm_bits"),
+        (col("lm_bits").cast("double") / col("n_pairs")).as("mean_bits"),
+        col("decile"), col("keep"))
+      .orderBy(col("doc_id"))
+
   /** Gopher-style quality rule report: each rule as its own boolean column
     * (word-count bounds, mean word length, symbol ratio, alphabetic-word
     * ratio, stopword floor) plus the conjunction — the per-rule
@@ -941,6 +1022,7 @@ object TextOps {
     "pipe_interleave" -> interleave,
     "tx_ngram_freq" -> ngramFreq,
     "tx_surprisal" -> surprisal,
+    "tx_lm_score" -> lmScore,
     "tx_gopher_rules" -> gopherRules,
     "pipe_source_cap" -> sourceCap,
     "tx_tfidf" -> tfidf,
@@ -1084,6 +1166,38 @@ object TextOps {
           |    / COUNT(*) AS mean_bits
           |FROM tk JOIN counts USING (token) CROSS JOIN tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "tx_lm_score" ->
+        """WITH ws0 AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+          |  FROM documents),
+          |w2 AS (SELECT doc_id, ws FROM ws0 WHERE len(ws) >= 2),
+          |pairs AS (
+          |  SELECT doc_id,
+          |         unnest(list_transform(range(1, len(ws)),
+          |                i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+          |  FROM w2),
+          |pf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs),
+          |pc AS (SELECT w1, w2, COUNT(*) AS pc FROM pf GROUP BY 1, 2),
+          |cc AS (SELECT w1, CAST(SUM(pc) AS BIGINT) AS cc FROM pc GROUP BY 1),
+          |scored AS (
+          |  SELECT doc_id, COUNT(*) AS n_pairs,
+          |         CAST(SUM(length(bin(cc)) - length(bin(pc.pc))) AS BIGINT)
+          |           AS lm_bits
+          |  FROM pf JOIN pc USING (w1, w2) JOIN cc USING (w1)
+          |  GROUP BY doc_id),
+          |sc AS (SELECT doc_id, n_pairs, lm_bits,
+          |              lm_bits * 1000 // n_pairs AS milli_bits FROM scored),
+          |hist AS (SELECT milli_bits, COUNT(*) AS h FROM sc GROUP BY 1),
+          |cum AS (SELECT milli_bits,
+          |               SUM(h) OVER (ORDER BY milli_bits) AS cum FROM hist),
+          |tot AS (SELECT COUNT(*) AS n_docs FROM sc)
+          |SELECT sc.doc_id, sc.n_pairs, sc.lm_bits,
+          |       CAST(sc.lm_bits AS DOUBLE) / sc.n_pairs AS mean_bits,
+          |       CAST((10 * cum + n_docs - 1) // n_docs AS INT) AS decile,
+          |       CAST((10 * cum + n_docs - 1) // n_docs AS INT) <= 7 AS keep
+          |FROM sc JOIN cum USING (milli_bits) CROSS JOIN tot
+          |ORDER BY doc_id""".stripMargin,
       "tx_gopher_rules" ->
         s"""WITH f AS (
            |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
@@ -1394,7 +1508,36 @@ object TextOps {
            |    ELSE 'es' END AS lang_pred
            |FROM scored ORDER BY doc_id""".stripMargin,
       "pipe_filter_funnel" ->
-        s"""WITH f AS (
+        s"""WITH ws0 AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+           |  FROM documents),
+           |w2 AS (SELECT doc_id, ws FROM ws0 WHERE len(ws) >= 2),
+           |lmpairs AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, len(ws)),
+           |                i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+           |  FROM w2),
+           |pf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM lmpairs),
+           |pc AS (SELECT w1, w2, COUNT(*) AS pc FROM pf GROUP BY 1, 2),
+           |ccx AS (SELECT w1, CAST(SUM(pc) AS BIGINT) AS cc FROM pc GROUP BY 1),
+           |lmsc AS (
+           |  SELECT doc_id, COUNT(*) AS n_pairs,
+           |         CAST(SUM(length(bin(cc)) - length(bin(pc.pc))) AS BIGINT)
+           |           AS lm_bits
+           |  FROM pf JOIN pc USING (w1, w2) JOIN ccx USING (w1)
+           |  GROUP BY doc_id),
+           |sc AS (SELECT doc_id, lm_bits * 1000 // n_pairs AS milli_bits FROM lmsc),
+           |hist AS (SELECT milli_bits, COUNT(*) AS h FROM sc GROUP BY 1),
+           |cum AS (SELECT milli_bits,
+           |               SUM(h) OVER (ORDER BY milli_bits) AS cum FROM hist),
+           |tot AS (SELECT COUNT(*) AS n_docs FROM sc),
+           |lmkeep AS (
+           |  SELECT sc.doc_id,
+           |         CAST(CAST((10 * cum + n_docs - 1) // n_docs AS INT) <= 7 AS INT)
+           |           AS c5
+           |  FROM sc JOIN cum USING (milli_bits) CROSS JOIN tot),
+           |f AS (
            |  SELECT CAST(lang = 'en' AS INT) AS c1,
            |    CAST(len(string_split(lower(text), ' ')) >= 10 AS INT) AS c2,
            |    CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -1402,21 +1545,24 @@ object TextOps {
            |         AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
            |           / len(string_split(lower(text), ' ')) <= 12.0 AS INT) AS c3,
            |    CAST(CAST(${score("en")} AS DOUBLE)
-           |           / len(string_split(lower(text), ' ')) >= 0.05 AS INT) AS c4
-           |  FROM documents),
+           |           / len(string_split(lower(text), ' ')) >= 0.05 AS INT) AS c4,
+           |    COALESCE(lmkeep.c5, 0) AS c5
+           |  FROM documents LEFT JOIN lmkeep USING (doc_id)),
            |agg AS (
            |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
            |         CAST(SUM(c1) AS BIGINT) AS n1,
            |         CAST(SUM(c1 * c2) AS BIGINT) AS n2,
            |         CAST(SUM(c1 * c2 * c3) AS BIGINT) AS n3,
-           |         CAST(SUM(c1 * c2 * c3 * c4) AS BIGINT) AS n4
+           |         CAST(SUM(c1 * c2 * c3 * c4) AS BIGINT) AS n4,
+           |         CAST(SUM(c1 * c2 * c3 * c4 * c5) AS BIGINT) AS n5
            |  FROM f),
            |st AS (
            |  SELECT '00_total' AS stage, n0 AS survivors FROM agg
            |  UNION ALL SELECT '10_lang_en', n1 FROM agg
            |  UNION ALL SELECT '20_min_words', n2 FROM agg
            |  UNION ALL SELECT '30_word_len', n3 FROM agg
-           |  UNION ALL SELECT '40_stop_ratio', n4 FROM agg)
+           |  UNION ALL SELECT '40_stop_ratio', n4 FROM agg
+           |  UNION ALL SELECT '50_lm_decile', n5 FROM agg)
            |SELECT stage, survivors,
            |       COALESCE(LAG(survivors) OVER (ORDER BY stage) - survivors,
            |                CAST(0 AS BIGINT)) AS dropped
