@@ -297,16 +297,25 @@ object Similarity {
     * score on original floats. Identical results to [[ivfTrainedTopK]] —
     * the index artifacts fully determine the answers (spec-verified).
     */
-  def ivfProbeStore(s: SparkSession, d: String, cent: DataFrame,
-      assigned: DataFrame): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val qv = quantizedOf(e.filter(col("vec_id") < 5))
+  /** Per-query probed buckets: rank stored centroids by quantized cosine,
+    * keep the NPROBE best. Shared by [[ivfProbeStore]] and [[ivfpqTopK]];
+    * package-visible so the spec can assert the pruning invariant.
+    */
+  private[graft] def probeBuckets(s: SparkSession, queries: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val qv = quantizedOf(queries)
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), col("cid"))
-    val probes = qv.join(broadcast(cent))
+    qv.join(broadcast(cent))
       .withColumn("ccos", expr(cosIntDouble("iv", "cv")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= NPROBE)
       .select(col("vec_id").as("qid"), col("cid").as("bucket"))
+  }
+
+  def ivfProbeStore(s: SparkSession, d: String, cent: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = probeBuckets(s, e.filter(col("vec_id") < 5), cent)
     val cand = probes.join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"))
@@ -812,6 +821,79 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-PQ composed index — the production FAISS serving shape (Jégou
+    * et al. 2011's IVFADC): the trained k-means coarse quantizer
+    * ([[buildIvfIndex]]) prunes the corpus to each query's NPROBE nearest
+    * buckets, and ONLY those candidates are scored with the PQ
+    * asymmetric-distance tables ([[pqEncode]]'s 4-byte codes), followed
+    * by the exact integer re-rank. Composition multiplies the savings:
+    * IVF cuts the rows touched to ~NPROBE/KC of the corpus, PQ cuts the
+    * bytes per touched row 64×, so serve-time IO is ~320× under the
+    * brute scan here (and tunable by KC/NPROBE/M at scale).
+    *
+    * Codes are built on the raw quantized vectors, NOT the
+    * centroid-residuals (FAISS `by_residual=false`): residual encoding
+    * would subtract double-valued centroids into the codes and forfeit
+    * the all-integer ADC that lets DuckDB replay encode → table → ADC →
+    * re-rank bit-for-bit. The oracle composes the k-means training
+    * replay with the PQ replay; ExtensionSpec pins recall@10 through the
+    * pruning+compression stack and that candidates stay inside probed
+    * buckets.
+    *
+    * At 100 TB: the two index artifacts (assignment, codes) are both
+    * skinny persisted frames (see the store round-trip specs of each
+    * leg); serving joins the probe list to the bucket-partitioned code
+    * table — a partition-pruned scan of 4-byte payloads — broadcasts the
+    * Q×128-row distance table, and the exact re-rank is Q×C point
+    * lookups.
+    */
+  def ivfpqTopK(s: SparkSession, d: String): DataFrame = {
+    val (cent, assigned) = buildIvfIndex(s, d)
+    val enc = pqEncode(s, d)
+    val qv = quantizedOf(Tables.embeddings(s, d).filter(col("vec_id") < 5))
+      .localCheckpoint() // reused by dtable and re-rank
+    val probes = probeBuckets(s,
+      Tables.embeddings(s, d).filter(col("vec_id") < 5), cent)
+    val cand = probes.join(assigned, Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"))
+    val sub = pqCodebook(s, d)
+    val centFrame = (0 until PQ_M).flatMap(m => (0 until PQ_KS).map(c =>
+      s"struct($m AS m, $c AS c, ${sub(m, c)} AS sub)"))
+      .mkString("array(", ", ", ")")
+    val dtable = qv
+      .withColumn("mc", explode(expr(centFrame)))
+      .select(col("vec_id").as("qid"), col("mc.m").as("m"),
+        col("mc.c").as("c"),
+        expr(pqL2(s"slice(iv, mc.m * $PQ_SUB + 1, $PQ_SUB)", "mc.sub"))
+          .as("dist"))
+    val adc = cand
+      .join(enc.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+      .join(broadcast(dtable), Seq("qid", "m", "c"))
+      .groupBy(col("qid"), col("cand_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("cand_id"))
+    val shortlist = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= PQ_SHORT)
+      .select(col("qid"), col("cand_id"), col("adc_dist"))
+    val corpus = quantized(s, d)
+    val rer = shortlist
+      .join(qv.select(col("vec_id").as("qid"), col("iv").as("qiv")),
+        Seq("qid"))
+      .join(corpus.select(col("vec_id").as("cand_id"), col("iv").as("civ")),
+        Seq("cand_id"))
+      .withColumn("l2", expr(
+        """aggregate(zip_with(qiv, civ, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin))
+    val w = Window.partitionBy(col("qid")).orderBy(col("l2"), col("cand_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"), col("rank"), col("adc_dist"),
+        col("l2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Exact full-dimension integer L2 top-10 on the same quantized grid —
     * the baseline that isolates PQ's quantization loss from any metric
     * mismatch (ExtensionSpec recall pin; not registered as a query).
@@ -834,6 +916,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
@@ -986,7 +1069,64 @@ object Similarity {
        |SELECT qid, cand_id, rank, adc_dist, l2 FROM ranked
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** IVF-PQ oracle: the k-means training replay ([[ivfAssignCtes]] — its
+    * `qv` CTE is the same quantized grid [[pqOracle]] calls `qi`)
+    * composed with the PQ encode/table/ADC replay, candidates restricted
+    * to each query's NPROBE probed buckets.
+    */
+  private def ivfpqOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |pqcb AS (SELECT vec_id AS c, iv AS cv FROM qv WHERE vec_id < $PQ_KS),
+       |ms AS (SELECT unnest([${(0 until PQ_M).mkString(", ")}]) AS m),
+       |enc AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT x.vec_id, ms.m, pqcb.c,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id, ms.m
+       |             ORDER BY ${duckL2Sub("x.iv", "pqcb.cv", s"ms.m * $PQ_SUB")}, pqcb.c) AS rn
+       |    FROM qv x CROSS JOIN ms CROSS JOIN pqcb
+       |    WHERE x.vec_id >= 5) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS bucket FROM (
+       |  SELECT q.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCosID("q.iv", "c.cv")} DESC, c.cid) AS prn
+       |  FROM qv q CROSS JOIN cent$ITERS c WHERE q.vec_id < 5) WHERE prn <= $NPROBE),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS cand_id
+       |  FROM probes p JOIN assigned a ON p.bucket = a.bucket AND a.vec_id <> p.qid),
+       |dtable AS (
+       |  SELECT q.vec_id AS qid, ms.m, pqcb.c,
+       |         ${duckL2Sub("q.iv", "pqcb.cv", s"ms.m * $PQ_SUB")} AS dist
+       |  FROM qv q CROSS JOIN ms CROSS JOIN pqcb
+       |  WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT cd.qid, cd.cand_id, CAST(SUM(d.dist) AS BIGINT) AS adc_dist
+       |  FROM cand cd
+       |  JOIN enc e ON e.vec_id = cd.cand_id
+       |  JOIN dtable d ON d.qid = cd.qid AND e.m = d.m AND e.c = d.c
+       |  GROUP BY cd.qid, cd.cand_id),
+       |short AS (
+       |  SELECT qid, cand_id, adc_dist FROM (
+       |    SELECT qid, cand_id, adc_dist,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY adc_dist, cand_id) AS srn
+       |    FROM adc) WHERE srn <= $PQ_SHORT),
+       |rer AS (
+       |  SELECT s.qid, s.cand_id, s.adc_dist,
+       |         CAST(list_sum([(q.iv[i] - x.iv[i]) * (q.iv[i] - x.iv[i])
+       |                        for i in range(1, 65)]) AS BIGINT) AS l2
+       |  FROM short s
+       |  JOIN qv q ON q.vec_id = s.qid
+       |  JOIN qv x ON x.vec_id = s.cand_id),
+       |ranked AS (
+       |  SELECT qid, cand_id, adc_dist, l2,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY l2, cand_id) AS BIGINT) AS rank
+       |  FROM rer)
+       |SELECT qid, cand_id, rank, adc_dist, l2 FROM ranked
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_ivfpq_topk" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
     "sim_sq8_topk" ->
       s"""WITH c AS (
