@@ -29,6 +29,8 @@ object SparkEntry {
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinStream,
         "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinStream,
+        "st_right_outer_join" -> streaming.StreamOps.rightOuterJoinStream,
+        "st_anti_join" -> streaming.StreamOps.antiJoinStream,
         "st_semi_join" -> streaming.StreamOps.semiJoinStream,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichStream,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
@@ -63,6 +65,8 @@ object SparkEntry {
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinOracle,
         "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinOracle,
+        "st_right_outer_join" -> streaming.StreamOps.rightOuterJoinOracle,
+        "st_anti_join" -> streaming.StreamOps.antiJoinOracle,
         "st_semi_join" -> streaming.StreamOps.semiJoinOracle,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichOracle,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,

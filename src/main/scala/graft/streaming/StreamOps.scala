@@ -242,6 +242,146 @@ object StreamOps {
       |ORDER BY user_id, click_id ASC NULLS FIRST,
       |         purchase_id ASC NULLS FIRST""".stripMargin
 
+  /** Watermarked stream-stream RIGHT OUTER interval join, drained —
+    * the mirror of [[leftOuterJoinStream]] with the null-extension on the
+    * PURCHASE side: every purchase eventually emits, matched to its
+    * in-window clicks or null-extended once it can no longer match. The
+    * eviction horizon is asymmetric-mirrored from the full-outer
+    * analysis: a purchase can still be matched by a future click until
+    * the watermark w passes `p_ts` itself (matching clicks have
+    * `click_ts ∈ [p_ts − 1 h, p_ts]`, future clicks arrive after w), so
+    * unmatched purchases null-extend when `p_ts < w`; purchases inside
+    * the final watermark window stay parked — bounded state's price,
+    * and the batch oracle applies the same horizon.
+    */
+  def rightOuterJoinStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val clicks = eventsStream(ss, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= click_ts " +
+          "AND p_ts <= click_ts + INTERVAL 1 HOUR"), "right_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_right_outer")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_right_outer")
+      .orderBy(col("user_id"), col("purchase_id"),
+        col("click_id").asc_nulls_first)
+  }
+
+  /** Batch twin of [[rightOuterJoinStream]] (DuckDB): inner matches plus
+    * unmatched purchases whose horizon (`p_ts` itself) the final
+    * watermark passed.
+    */
+  val rightOuterJoinOracle: String =
+    """WITH c AS (
+      |  SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT least((SELECT max(click_ts) FROM c),
+      |               (SELECT max(p_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+      |j AS (
+      |  SELECT p.p_user, p.purchase_id, p.p_ts, c.click_id,
+      |         epoch_us(p.p_ts) - epoch_us(c.click_ts) AS lag_us
+      |  FROM c RIGHT JOIN p
+      |    ON c.c_user = p.p_user AND p.p_ts >= c.click_ts
+      |   AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |SELECT p_user AS user_id, purchase_id, click_id, lag_us
+      |FROM j, wm
+      |WHERE click_id IS NOT NULL OR p_ts < w
+      |ORDER BY user_id, purchase_id, click_id ASC NULLS FIRST""".stripMargin
+
+  /** Watermarked stream-stream LEFT ANTI interval join, drained — the
+    * alerting shape: "clicks that NEVER led to a purchase within the
+    * hour". Anti-join emission is inherently WATERMARK-DELAYED: a click
+    * cannot emit when it arrives (a matching purchase may still come);
+    * it emits only when the state store evicts it unmatched, i.e. once
+    * the watermark passes `click_ts + 1 h` (the latest p_ts that could
+    * pair with it). The drained table is therefore DETERMINISTIC:
+    * exactly the match-free clicks whose horizon the final watermark
+    * passed; match-free clicks inside the window stay parked (they
+    * would emit on the next day's data in production) — the same
+    * horizon rule the left-outer join applies to its null-extensions,
+    * here applied to existence itself.
+    *
+    * Spark 4.1 does NOT support LeftAnti stream-stream joins natively
+    * ("LeftAnti joins with a streaming DataFrame/Dataset on the right
+    * are not supported"), so the anti join is DERIVED from the
+    * supported left-outer join: an unmatched click surfaces there as a
+    * null-extended row emitted exactly at state-store eviction, which
+    * is precisely the anti join's emission point — `left_outer` +
+    * `purchase IS NULL` is semantically identical to the missing
+    * built-in, including its timing. (The only cost vs a native anti
+    * join is that matched rows flow to the filter instead of being
+    * dropped in the join operator — state size is the same.)
+    */
+  def antiJoinStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val clicks = eventsStream(ss, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= click_ts " +
+          "AND p_ts <= click_ts + INTERVAL 1 HOUR"), "left_outer")
+      .filter(col("purchase_id").isNull)
+      .select(col("user_id"), col("click_ts"), col("click_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_anti")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_anti")
+      .select(col("user_id"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  /** Batch twin of [[antiJoinStream]] (DuckDB): clicks with NO purchase
+    * in (click_ts, click_ts + 1 h] whose eviction horizon
+    * (`click_ts + 1 h`) the final watermark passed.
+    */
+  val antiJoinOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, ts AS click_ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user, ts AS p_ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT least((SELECT max(click_ts) FROM c),
+      |               (SELECT max(p_ts) FROM p)) - INTERVAL 1 HOUR AS w)
+      |SELECT c.user_id, c.click_id, epoch_us(c.click_ts) AS click_us
+      |FROM c, wm
+      |WHERE c.click_ts + INTERVAL 1 HOUR < w
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM p
+      |    WHERE p.p_user = c.user_id AND p.p_ts >= c.click_ts
+      |      AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |ORDER BY user_id, click_id""".stripMargin
+
   /** Watermarked stream-stream LEFT SEMI interval join, drained —
     * completes the streaming join matrix (inner / left outer / full
     * outer / semi): "clicks that led to a purchase within the hour",

@@ -342,6 +342,7 @@ class PlanSpec extends AnyFunSuite {
     val skip = Set(
       "st_tumbling_stream", "st_interval_join", "st_incremental_probe",
       "st_left_outer_join", "st_full_outer_join", "st_semi_join",
+      "st_right_outer_join", "st_anti_join",
       "st_static_enrich",
       "st_sessionize_state", "st_session_builtin",
       "st_dedup_stream", "st_hll_stream", "st_checksum_stream",

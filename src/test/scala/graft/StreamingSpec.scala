@@ -162,6 +162,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream RIGHT OUTER join null-extends a purchase once the watermark passes its own timestamp") {
+    import spark.implicits._
+    val clicksIn = MemoryStream[Ev](spark)
+    val buysIn = MemoryStream[Ev](spark)
+    val clicks = clicksIn.toDS()
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val buys = buysIn.toDS()
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("b_ts", "30 minutes")
+    val joined = clicks.join(buys,
+      expr("c_user = b_user AND b_ts >= click_ts AND b_ts <= click_ts + INTERVAL 1 HOUR"),
+      "right_outer")
+      .select(col("buy_id"), col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_ssroj_test").start()
+    def rows() = spark.table("graft_ssroj_test").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    try {
+      // batch 1: matched purchase (user 1) emits immediately; unmatched
+      // purchase (user 2) must stay parked — a click in [b_ts − 1 h, b_ts]
+      // can no longer arrive only once the watermark passes b_ts itself
+      clicksIn.addData(ev(1, "2024-01-01 12:00:00"))
+      buysIn.addData(ev(100, "2024-01-01 12:20:00"),
+        ev(101, "2024-01-01 12:25:00", user = 2))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, 1L)), rows())
+      // batch 2: both sides advance to 15:00 → watermark 14:30 > 12:25,
+      // purchase#101's horizon passed → it null-extends. The fresh
+      // unmatched purchase at 15:00 stays parked.
+      clicksIn.addData(ev(2, "2024-01-01 15:00:00", user = 50))
+      buysIn.addData(ev(102, "2024-01-01 15:00:00", user = 99))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, 1L), (101L, -1L)), rows())
+    } finally q.stop()
+  }
+
+  test("derived stream ANTI join emits a match-free click only at eviction, and never a matched one") {
+    import spark.implicits._
+    val clicksIn = MemoryStream[Ev](spark)
+    val buysIn = MemoryStream[Ev](spark)
+    val clicks = clicksIn.toDS()
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val buys = buysIn.toDS()
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("b_ts", "30 minutes")
+    // the composition under test: left_outer + IS NULL ≡ left anti
+    val joined = clicks.join(buys,
+      expr("user_id = b_user AND b_ts >= click_ts AND b_ts <= click_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+      .filter(col("buy_id").isNull)
+      .select(col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_ssaj_test").start()
+    def rows() = spark.table("graft_ssaj_test").collect()
+      .map(_.getLong(0)).toSet
+    try {
+      // batch 1: click#1 matches (must NEVER appear), click#2 match-free
+      // but inside its window (must not appear YET)
+      clicksIn.addData(ev(1, "2024-01-01 12:00:00"),
+        ev(2, "2024-01-01 12:01:00", user = 2))
+      buysIn.addData(ev(100, "2024-01-01 12:20:00"))
+      q.processAllAvailable()
+      assert(rows() == Set.empty[Long], rows())
+      // batch 2: watermark reaches 14:30, past click#2's horizon
+      // (12:01 + 1 h) → exactly the match-free click emits
+      clicksIn.addData(ev(3, "2024-01-01 15:00:00", user = 3))
+      buysIn.addData(ev(101, "2024-01-01 15:00:00", user = 99))
+      q.processAllAvailable()
+      assert(rows() == Set(2L), rows())
+    } finally q.stop()
+  }
+
   test("stream-stream interval join restarts from checkpoint without duplicates") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_ssj_out").toString
