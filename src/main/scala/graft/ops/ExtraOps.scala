@@ -950,6 +950,51 @@ object ExtraOps {
       .orderBy(desc("n_members"), col("community"))
   }
 
+  /** Bounded-hop BFS over the sparse co-purchase graph — the
+    * distance/reachability member of the graph family (structure =
+    * triangles, centrality = pagerank, communities = LPA, connectivity =
+    * components, DISTANCE = this). Three UNROLLED frontier-relaxation
+    * rounds from the minimum-id source node: each round relaxes
+    * `dist(nbr) ≤ dist(node) + 1` by one keyed join (distances ⋈
+    * adjacency) + a min-aggregate per node — integer distances, smallest
+    * source deterministic, so DuckDB replays every round exactly. Nodes
+    * still unreached after 3 hops report -1, making the REACHABILITY
+    * boundary part of the verified output, not just the distances.
+    *
+    * At 100 TB: the adjacency is localCheckpointed loop-invariant (same
+    * discipline as [[pagerank]]/[[labelProp]] — bucket it by `node` on a
+    * cluster and every round's join reuses the layout); the mutating
+    * side is the (node, dist) frontier frame, one skinny row per reached
+    * node; rounds are plan-unrolled, no data-dependent driver loop. This
+    * is the delta-frame BFS shape Pregel/GraphX use, expressed as plain
+    * joins so AQE can size each round's exchange.
+    */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.union(edges.select(col("v"), col("u")))
+      .toDF("node", "nbr")
+      .localCheckpoint() // loop-invariant; reused by all 3 rounds
+    val nodes = adj.select(col("node")).distinct()
+    var dist = nodes.agg(min(col("node")).as("node"))
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 3) {
+      val relax = dist.join(adj, Seq("node"))
+        .select(col("nbr").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node").as("part_id"),
+        coalesce(col("dist"), lit(-1L)).as("hops"))
+      .orderBy(col("hops"), col("part_id"))
+  }
+
   /** Spark 4's `approx_top_k` (DataSketches frequent-items) — the
     * builtin heavy-hitters aggregate: one constant-size mergeable sketch
     * per group answering "top k items and their counts" (the engine-side
@@ -1047,6 +1092,7 @@ object ExtraOps {
     "x_approx_top_k" -> approxTopK,
     "x_pagerank" -> pagerank,
     "x_label_prop" -> labelProp,
+    "x_bfs_hops" -> bfsHops,
     "x_triangle_count" -> triangleCount,
     "x_approx_percentile" -> approxPercentile,
     "x_quantile_sketch" -> quantileSketch,
@@ -1174,6 +1220,31 @@ object ExtraOps {
          |SELECT lbl AS community, COUNT(*) AS n_members
          |FROM l3 GROUP BY lbl
          |ORDER BY n_members DESC, community""".stripMargin
+    },
+    "x_bfs_hops" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (SELECT node, MIN(dist) AS dist FROM (
+           |  SELECT node, dist FROM $prev
+           |  UNION ALL
+           |  SELECT adj.nbr AS node, $prev.dist + 1 AS dist
+           |  FROM $prev JOIN adj USING (node)) GROUP BY node)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem
+         |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |nodes AS (SELECT DISTINCT node FROM adj),
+         |d0 AS (SELECT MIN(node) AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM nodes),
+         |${round("d0", "d1")},
+         |${round("d1", "d2")},
+         |${round("d2", "d3")}
+         |SELECT n.node AS part_id,
+         |       COALESCE(d3.dist, CAST(-1 AS BIGINT)) AS hops
+         |FROM nodes n LEFT JOIN d3 USING (node)
+         |ORDER BY hops, part_id""".stripMargin
     },
     "x_triangle_count" ->
       """WITH e AS (
