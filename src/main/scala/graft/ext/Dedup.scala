@@ -146,8 +146,15 @@ object Dedup {
     * index); this exact all-pairs form is its verification baseline
     * (quadratic in hot shingles — do not run it at 100 TB).
     */
-  def containment(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).localCheckpoint()
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentExactOf(shingled(s, d))
+
+  /** Exact containment over an arbitrary shingled frame — the Θ(Σ df²)
+    * baseline, factored out so the DF_CAP pressure spec can run it on a
+    * hot-shingle fixture corpus.
+    */
+  private[graft] def containmentExactOf(shing: DataFrame): DataFrame = {
+    val sh = shing.localCheckpoint()
       .select(col("doc_id"), size(col("shashes")).as("n"),
         explode(col("shashes")).as("sh"))
     sh.as("a")
@@ -198,9 +205,15 @@ object Dedup {
     * shingles — at 100 TB it is itself the Zipf-head report you want
     * before any dedup run.
     */
-  def containmentBanded(s: SparkSession, d: String): DataFrame = {
+  def containmentBanded(s: SparkSession, d: String): DataFrame =
+    containmentBandedOf(shingled(s, d).localCheckpoint())
+
+  /** The prefix-filtered candidate pairs (ia, ib), before exact
+    * verification — exposed so the DF_CAP pressure spec can assert the
+    * candidate-volume bound (≤ Σ_doc prefix_len · DF_CAP) directly.
+    */
+  private[graft] def containmentCandidatesOf(shing: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shing = shingled(s, d).localCheckpoint() // reused: explode ×1, verify ×2
     val sh = shing.select(col("doc_id"), size(col("shashes")).as("n"),
       explode(col("shashes")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -212,9 +225,16 @@ object Dedup {
       .select(col("doc_id").as("ia"), col("sh"))
     val idx = withDf.filter(col("df") <= DF_CAP)
       .select(col("doc_id").as("ib"), col("sh"))
-    val cand = probe.join(idx, Seq("sh"))
+    probe.join(idx, Seq("sh"))
       .filter(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib")).distinct()
+  }
+
+  /** [[containmentBanded]] over an arbitrary (pre-checkpointed) shingled
+    * frame: capped-index candidates + exact verification.
+    */
+  private[graft] def containmentBandedOf(shing: DataFrame): DataFrame = {
+    val cand = containmentCandidatesOf(shing)
     cand
       .join(shing.select(col("doc_id").as("ia"), col("shashes").as("sa")), Seq("ia"))
       .join(shing.select(col("doc_id").as("ib"), col("shashes").as("sb")), Seq("ib"))

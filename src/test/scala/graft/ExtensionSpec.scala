@@ -142,6 +142,58 @@ class ExtensionSpec extends AnyFunSuite {
       "stored codes must fully determine the answers")
   }
 
+  test("DF_CAP pressure: hot shingles are pruned, misses obey the shared-prefix-capped bound, candidate volume collapses") {
+    import spark.implicits._
+    // Fixture built to push shingle df ABOVE the cap (the synthetic
+    // corpus never does — max df 7 < 16, so the sf-based recall pin
+    // can't exercise pruning): 21 docs share a 9-word boilerplate
+    // sentence (its 7 shingles get df = 21 > DF_CAP = 16) and differ
+    // only in unique filler, so every qualifying pair among them shares
+    // ONLY capped shingles; plus one rare-content contained pair that
+    // must survive.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = (0L until 20L).map(i =>
+        (i, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f f${i}g " + boiler)) ++
+      Seq((100L, boiler),
+        (200L, "r1 r2 r3 r4 r5 r6"),
+        (201L, "r1 r2 r3 r4 r5 r6 r7 r8"))
+    val shing = ext.Dedup.shingledOf(
+      docs.toDF("doc_id", "text")).localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(ext.Dedup.containmentExactOf(shing))
+    val banded = pairs(ext.Dedup.containmentBandedOf(shing))
+    // zero false positives always (every candidate is exact-verified)
+    assert(banded.subsetOf(exact))
+    // the rare-content pair survives in both directions (containment
+    // 1.0 and 4/6), via shared shingles with df = 2 <= cap
+    assert(banded == Set((200L, 201L), (201L, 200L)), banded)
+    // the cap is genuinely exercised: boilerplate-only pairs qualify
+    // exactly but are missed by the banded path
+    val missed = exact -- banded
+    assert(missed.nonEmpty, "fixture failed to push any shingle over the cap")
+    // documented miss bound: a pair may be missed ONLY when every prefix
+    // shingle of ia that is SHARED with ib has df > DF_CAP — replay the
+    // prefix selection (rarest-first, rn <= n/2 + 1) and check each miss
+    val byDoc = shing.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val dfOf = byDoc.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    missed.foreach { case (ia, ib) =>
+      val sa = byDoc(ia)
+      val prefix = sa.sortBy(h => (dfOf(h), h)).take(sa.size / 2 + 1)
+      val sharedPrefix = prefix.filter(byDoc(ib).contains)
+      assert(sharedPrefix.forall(h => dfOf(h) > ext.Dedup.DF_CAP),
+        s"pair ($ia,$ib) missed despite an under-cap shared prefix shingle")
+    }
+    // candidate-volume collapse: the hot shingles index NOTHING, so the
+    // only candidates are the rare pair — vs 21·20 + 2 qualifying pairs
+    // exact had to score. (The general bound is Σ_doc prefix·DF_CAP.)
+    val nCand = ext.Dedup.containmentCandidatesOf(shing).count()
+    assert(nCand == 2L, s"expected exactly the rare-pair candidates, got $nCand")
+    assert(exact.size >= 21 * 20, s"fixture lost qualifying pairs: ${exact.size}")
+  }
+
   test("IVF-PQ: candidates stay inside probed buckets, recall holds through the composed stack") {
     val res = ext.Similarity.ivfpqTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
