@@ -28,15 +28,47 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by default
-    * (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and truncate to
-    * microsecond timestamps — the same ns→µs truncation DuckDB applies,
-    * so oracle comparisons line up exactly.
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark refuses by default
+    * (PARQUET_TYPE_ILLEGAL), so it is read as a nanos long and truncated to
+    * microseconds, the same ns→µs truncation DuckDB applies — and plain
+    * TIMESTAMP_MICROS (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark).
+    * The loader adapts to whichever shape the files carry instead of
+    * hard-coding one; any third shape is a loud failure, never a silent
+    * unit reinterpretation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** Normalize the `ts` column to a session-zoned TIMESTAMP regardless of
+    * how the parquet files encoded it:
+    *  - LongType         → nanos-as-long (legacy TIMESTAMP(NANOS) files),
+    *                       truncate ns→µs exactly like DuckDB;
+    *  - TimestampNTZType → TIMESTAMP_MICROS files; cast to TIMESTAMP, an
+    *                       identity on the micros value under the UTC
+    *                       session zone the entry points pin;
+    *  - TimestampType    → already what downstream expects, pass through.
+    * Anything else throws: a surprise encoding must fail analysis, not
+    * shift every timestamp by a unit factor (the r9 failure mode).
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other; expected nanos-as-long (LongType), " +
+          "TIMESTAMP_NTZ, or TIMESTAMP — refusing to guess a time unit")
+    }
+
+  /** The physical type `ts` reads as from the footer (nanosAsLong enabled),
+    * used by the streaming loader to build a matching reader schema.
+    */
+  private[graft] def eventsTsType(s: SparkSession, d: String): DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").schema("ts").dataType
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -565,6 +565,87 @@ object Multimodal {
       nSamples * 1000L / rate, Math.round(Math.sqrt(sumSq.toDouble / nSamples)))
   }
 
+  case class WavTone(doc_id: Long, sample_rate: Int, n_samples: Int,
+      tone_power: Long, dc_power: Long, tone_amp: Long)
+
+  /** Integer Goertzel tone detection over the real RIFF payload — the
+    * "is the expected carrier present" audio QC probe, run at the two
+    * frequencies whose Goertzel coefficient is exactly an integer so the
+    * whole filter stays in Long arithmetic and hash-verifies:
+    * Nyquist (rate/2 — precisely the fixture square wave's tone;
+    * coeff 2·cos π = −2) and DC (coeff 2·cos 0 = 2). The recurrence
+    * s[n] = x[n] + coeff·s[n−1] − s[n−2] folds over the PCM16 samples
+    * during the chunk walk (payload bytes are read once, never stored);
+    * power uses the algebraic forms (s₁+s₂)² at Nyquist and (s₁−s₂)² at
+    * DC — the raw s₁²+s₂²−coeff·s₁s₂ would overflow Long at Nyquist
+    * where s grows ~amp·N²/2, while s₁+s₂ telescopes to ±amp·N. For the
+    * ±amp square wave the closed forms tone_power = amp²·N²,
+    * dc_power = amp²·(N mod 2) are the ORACLE; the engine computes only
+    * from the container bytes. tone_amp = √tone_power / N recovers the
+    * amplitude (exact: amp·N < 2²⁶ so the double sqrt is integral).
+    * Refuses non-RIFF/non-PCM payloads like [[parseWav]].
+    */
+  def goertzel(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "not a RIFF container")
+    buf.getInt
+    require(tag4() == "WAVE", "RIFF payload is not WAVE")
+    var (rate, channels, bits) = (0, 0, 0)
+    var n = 0
+    var (s1, s2) = (0L, 0L) // Nyquist state
+    var (t1, t2) = (0L, 0L) // DC state
+    while (buf.remaining() >= 8) {
+      val id = tag4(); val sz = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort
+          require(fmt == 1, s"not PCM (fmt tag $fmt)")
+          channels = buf.getShort.toInt
+          rate = buf.getInt
+          buf.getInt; buf.getShort
+          bits = buf.getShort.toInt
+          buf.position(buf.position() + sz - 16 + (sz & 1))
+        case "data" =>
+          require(bits == 16 && channels == 1, "scan expects mono PCM16")
+          var i = 0
+          while (i < sz / 2) {
+            val v = buf.getShort.toLong
+            val sN = v - 2 * s1 - s2; s2 = s1; s1 = sN
+            val tN = v + 2 * t1 - t2; t2 = t1; t1 = tN
+            n += 1; i += 1
+          }
+          buf.position(buf.position() + (sz & 1) * 2)
+        case _ => buf.position(buf.position() + sz + (sz & 1))
+      }
+    }
+    val tonePower = (s1 + s2) * (s1 + s2)
+    val dcPower = (t1 - t2) * (t1 - t2)
+    (rate, n, tonePower, dcPower)
+  }
+
+  def wavToneRaw(s: SparkSession, d: String): Dataset[WavTone] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (rate0, n0, amp0) = wavFixtureParams(id)
+        val (rate, n, tone, dc) = goertzel(wavBytes(rate0, n0, amp0))
+        WavTone(id, rate, n, tone, dc,
+          if (n == 0) 0L else Math.round(Math.sqrt(tone.toDouble)) / n)
+      }
+    }
+  }
+
+  /** Declared form of [[wavToneRaw]] for the verification registry. */
+  def wavTone(s: SparkSession, d: String): DataFrame =
+    wavToneRaw(s, d).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("tone_power"), col("dc_power"), col("tone_amp"))
+      .orderBy(col("doc_id"))
+
   def wavMetaRaw(s: SparkSession, d: String): Dataset[WavMeta] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
@@ -625,6 +706,7 @@ object Multimodal {
     "mm_png_decode" -> pngDecode,
     "dd_phash_images" -> phashDedup,
     "mm_wav_meta" -> wavMeta,
+    "mm_wav_tone" -> wavTone,
     "mm_resize" -> resizePlan,
     "mm_frame_sample" -> frameSample
   )
@@ -721,6 +803,23 @@ object Multimodal {
         |       CAST(n AS INT) AS n_samples,
         |       CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
         |       CAST(amp AS BIGINT) AS rms
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // Closed forms for the ±amp square wave (see goertzel scaladoc):
+    // Nyquist power = amp²·N², DC power = amp²·(N mod 2), amp recovery
+    // exact. The engine side computes these from the container bytes only.
+    "mm_wav_tone" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |         400 + (doc_id * 37) % 2000 AS n,
+        |         1000 + (doc_id * 13) % 20000 AS amp
+        |  FROM documents)
+        |SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+        |       CAST(n AS INT) AS n_samples,
+        |       CAST(amp * amp * n * n AS BIGINT) AS tone_power,
+        |       CAST(CASE WHEN n % 2 = 1 THEN amp * amp ELSE 0 END AS BIGINT) AS dc_power,
+        |       CAST(amp AS BIGINT) AS tone_amp
         |FROM p ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -207,6 +207,62 @@ object TextOps {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** First-fit-decreasing sequence packing — the no-split alternative to
+    * [[packSequences]]: documents stay whole, each assigned to the first
+    * 2048-token bin it fits in after sorting the shard's docs by token
+    * count descending (FFD, the classic 11/9·OPT+1 bin-packing
+    * guarantee). Packing is inherently order-dependent state, so it runs
+    * per shard via `flatMapGroups` — each shard's docs fold through one
+    * in-memory bin table, shards in parallel. At 100 TB the shard count
+    * is the scale knob (hash % P with P sized so a shard's doc COUNT —
+    * ids and token counts only, never text — fits an executor; 1e6 docs
+    * per shard is a few MB). Output is the per-shard packing manifest:
+    * FFD bin count, fill extremes, waste, occupancy, and the bin count
+    * of the sequential document-splitting baseline (ceil(tokens/2048),
+    * which has zero waste but cuts documents) — the curation trade-off
+    * report between the two packers. A doc longer than the cap opens its
+    * own overfull bin (standard FFD treatment), deterministically.
+    */
+  def packBestFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 2048L
+    val toks = Tables.documents(s, d)
+      .withColumn("re_tokens",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .withColumn("shard",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 8"))
+      .select(col("shard"), col("doc_id"), col("re_tokens"))
+      .as[(Long, Long, Long)]
+    val assigned = toks.groupByKey(_._1).flatMapGroups { (shard, it) =>
+      val docs = it.toArray.sortBy { case (_, id, t) => (-t, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { case (_, id, t) =>
+        var i = 0
+        while (i < loads.length && loads(i) + t > cap) i += 1
+        if (i == loads.length) loads += t else loads(i) += t
+        (shard, id, t, i.toLong)
+      }
+    }.toDF("shard", "doc_id", "re_tokens", "bin")
+    assigned
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs_bin"), sum(col("re_tokens")).as("bin_tokens"))
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("n_docs_bin")).as("n_docs"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        count(lit(1)).as("bins_ffd"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        min(col("bin_tokens")).as("min_bin_tokens"))
+      .withColumn("waste_ffd", col("bins_ffd") * cap - col("total_tokens"))
+      .withColumn("occupancy_ffd",
+        col("total_tokens").cast("double") / (col("bins_ffd") * cap).cast("double"))
+      .withColumn("bins_seq", expr(s"(total_tokens + ${cap - 1}) DIV $cap"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"), col("bins_ffd"),
+        col("max_bin_tokens"), col("min_bin_tokens"), col("waste_ffd"),
+        col("occupancy_ffd"), col("bins_seq"))
+      .orderBy(col("shard"))
+  }
+
   /** Corpus mixing: sample each source at its own rate — the data-mixing
     * step that weights web/books/code differently in a pretraining mix.
     * Both the per-source rate (here derived from the source name so the
@@ -834,7 +890,29 @@ object TextOps {
     * and the result hash-verifies. At 100 TB: two corpus-wide shuffles
     * (pair counts, doc re-agg), one bounded histogram, zero global sorts.
     */
-  private def lmScored(s: SparkSession, d: String): DataFrame = {
+  /** One-trained-LM-per-run store: [[lmScored]]'s result, skinny (five
+    * columns, one row per doc), localCheckpointed on first use and shared
+    * by every later consumer in the same session — the persisted-score
+    * pattern of `Dedup.incremental`, in-memory because the verdict is per
+    * run. Without this the suite trains the bigram LM twice (standalone
+    * `tx_lm_score` + the funnel's final stage), and LM training is the
+    * expensive part: two corpus-wide shuffles. Keyed per (session, dir)
+    * because a DataFrame is session-bound; the checkpoint blocks are a few
+    * KB per corpus. At 100 TB the same role is played by writing the
+    * verdict table once and reading it downstream.
+    */
+  private val lmMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lmScored(s: SparkSession, d: String): DataFrame =
+    lmMemo.computeIfAbsent((s, d), { _ =>
+      lmTrain(s, d)
+        .select(col("doc_id"), col("n_pairs"), col("lm_bits"),
+          col("decile"), col("keep"))
+        .localCheckpoint()
+    })
+
+  private def lmTrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -1049,6 +1127,7 @@ object TextOps {
     "pipe_corpus_clean" -> corpusClean,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
+    "pipe_pack_bestfit" -> packBestFit,
     "pipe_corpus_mix" -> corpusMix
   )
 
@@ -1642,6 +1721,47 @@ object TextOps {
            |SELECT shard, doc_id, re_tokens, start_tok,
            |       start_tok // 2048 AS seq_idx
            |FROM packed ORDER BY shard, doc_id""".stripMargin,
+      // FFD replayed as a recursive CTE: the working set advances one doc
+      // (per shard) per iteration, carrying the bin-load list as state.
+      // nullif(..., 0): this DuckDB's list_position returns 0 (not NULL)
+      // when no element matches.
+      "pipe_pack_bestfit" ->
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS t,
+           |    ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |  FROM documents),
+           |ordered AS (
+           |  SELECT shard, doc_id, t,
+           |         row_number() OVER (PARTITION BY shard ORDER BY t DESC, doc_id) AS rn
+           |  FROM toks),
+           |ffd AS (
+           |  SELECT shard, rn, doc_id, t, CAST(0 AS BIGINT) AS bin, [t] AS loads
+           |  FROM ordered WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.shard, d.rn, d.doc_id, d.t,
+           |         CAST(coalesce(nullif(list_position(list_transform(f.loads, x -> x + d.t <= 2048), true), 0),
+           |                       len(f.loads) + 1) - 1 AS BIGINT) AS bin,
+           |         CASE WHEN nullif(list_position(list_transform(f.loads, x -> x + d.t <= 2048), true), 0) IS NULL
+           |              THEN list_append(f.loads, d.t)
+           |              ELSE list_transform(f.loads, (x, i) ->
+           |                CASE WHEN i = list_position(list_transform(f.loads, y -> y + d.t <= 2048), true)
+           |                     THEN x + d.t ELSE x END)
+           |         END AS loads
+           |  FROM ffd f JOIN ordered d ON d.shard = f.shard AND d.rn = f.rn + 1),
+           |perbin AS (
+           |  SELECT shard, bin, COUNT(*) AS n_docs_bin, CAST(SUM(t) AS BIGINT) AS bin_tokens
+           |  FROM ffd GROUP BY shard, bin)
+           |SELECT shard,
+           |       CAST(SUM(n_docs_bin) AS BIGINT) AS n_docs,
+           |       CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           |       CAST(COUNT(*) AS BIGINT) AS bins_ffd,
+           |       CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           |       CAST(MIN(bin_tokens) AS BIGINT) AS min_bin_tokens,
+           |       CAST(COUNT(*) * 2048 - SUM(bin_tokens) AS BIGINT) AS waste_ffd,
+           |       CAST(SUM(bin_tokens) AS DOUBLE) / (COUNT(*) * 2048) AS occupancy_ffd,
+           |       CAST((SUM(bin_tokens) + 2047) // 2048 AS BIGINT) AS bins_seq
+           |FROM perbin GROUP BY shard ORDER BY shard""".stripMargin,
       "pipe_corpus_mix" ->
         s"""SELECT source,
            |  20 + ${duckHash("source")} % 81 AS rate,

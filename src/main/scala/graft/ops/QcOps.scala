@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object QcOps {
 
-  def constraintSuite(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+  def constraintSuite(s: SparkSession, d: String): DataFrame =
+    suiteOf(Tables.lineitem(s, d), Tables.orders(s, d))
+
+  /** The suite body, parameterized on its input frames so the SAME
+    * constraint definitions can run against any snapshot of the tables —
+    * the full load ([[constraintSuite]]) or a carved previous-epoch slice
+    * ([[metricDrift]]). One declarative definition, N epochs.
+    */
+  private def suiteOf(li: DataFrame, ord: DataFrame): DataFrame = {
     val metrics = li.agg(
       count(lit(1)).as("n_rows"),
       count(col("l_orderkey")).as("nn_ok"),
@@ -38,7 +45,7 @@ object QcOps {
         .as("n_flag_ok"),
       sum(when(col("l_extendedprice") >= 0, 1L).otherwise(0L)).as("n_price_ok"))
     val orphans = li.select(col("l_orderkey")).distinct()
-      .join(Tables.orders(s, d).select(col("o_orderkey")),
+      .join(ord.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_orphan"))
     metrics.crossJoin(orphans).selectExpr(
@@ -84,6 +91,67 @@ object QcOps {
   /** The gate composed over the standard lineitem suite. */
   def constraintGate(s: SparkSession, d: String): DataFrame =
     enforce(constraintSuite(s, d))
+
+  /** Epoch-over-epoch metric drift: run the SAME constraint suite against
+    * the previous snapshot and the current load, and gate each metric on
+    * its relative movement — the "did yesterday's batch change the data's
+    * shape" check that catches silent upstream regressions (a collapsed
+    * join feeding half the rows, a domain column going sparse) that every
+    * individual constraint still passes. The previous snapshot is carved
+    * deterministically (orderkey % 10 ≠ 0 on BOTH fact and parent, so the
+    * RI constraint sees a consistent epoch) — in production it is the
+    * persisted metrics row of the last accepted run, the
+    * `dd_incremental`-store pattern applied to QC metrics.
+    *
+    * Thresholds: volume metrics (`size_ge_1000`) get a ±15% band — batch
+    * sizes legitimately breathe; every ratio/range/integrity metric gets
+    * ±1% — those moving at all is the alarm. Drift on a zero baseline is
+    * defined (0→0 is 0 drift; 0→x is NULL, gated as failure) so the
+    * orphan-count metric can never divide by zero into a NaN/Inf that
+    * hashes differently across engines. Cost at 100 TB: exactly two suite
+    * passes (each one scan + the narrow RI anti-join) and a 9-row join —
+    * drift adds nothing per-row.
+    */
+  def metricDrift(s: SparkSession, d: String,
+      sizeThreshold: Double = 0.15): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val prev = suiteOf(li.filter(col("l_orderkey") % 10 =!= 0),
+        ord.filter(col("o_orderkey") % 10 =!= 0))
+      .select(col("check_name"), col("metric").as("prev_metric"))
+    val cur = suiteOf(li, ord)
+      .select(col("check_name"), col("metric").as("cur_metric"))
+    cur.join(prev, Seq("check_name"))
+      .withColumn("threshold",
+        when(col("check_name") === "size_ge_1000", lit(sizeThreshold))
+          .otherwise(lit(0.01)))
+      .withColumn("rel_drift",
+        when(col("prev_metric") === 0.0 && col("cur_metric") === 0.0, lit(0.0))
+          .when(col("prev_metric") === 0.0, lit(null).cast("double"))
+          .otherwise((col("cur_metric") - col("prev_metric")) / col("prev_metric")))
+      .withColumn("drift_ok",
+        coalesce(abs(col("rel_drift")) <= col("threshold"), lit(false)))
+      .select(col("check_name"), col("prev_metric"), col("cur_metric"),
+        col("threshold"), col("rel_drift"), col("drift_ok"))
+      .orderBy(col("check_name"))
+  }
+
+  /** [[metricDrift]] as a pipeline gate — same contract as [[enforce]]:
+    * throw naming every drifted metric, return the report when clean.
+    */
+  def metricDriftGate(s: SparkSession, d: String,
+      sizeThreshold: Double = 0.15): DataFrame = {
+    val report = metricDrift(s, d, sizeThreshold)
+    val failed = report.filter(not(coalesce(col("drift_ok"), lit(false))))
+      .select(col("check_name"), col("rel_drift")).collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "QC metric drift violation(s): " + failed.map { r =>
+          val v = if (r.isNullAt(1)) "null" else r.getDouble(1).toString
+          s"${r.getString(0)} (rel_drift=$v)"
+        }.mkString("; "))
+    report
+  }
 
   /** Benford leading-digit audit — the fraud/corruption screen for
     * naturally-occurring amounts: the observed first-digit distribution
@@ -257,9 +325,43 @@ object QcOps {
     "qc_benford" -> benford,
     "qc_table_checksum" -> tableChecksum,
     "qc_constraint_suite" -> constraintSuite,
+    "qc_metric_drift" -> ((s, d) => metricDrift(s, d)),
     "x_group_by_all" -> groupOrderAll,
     "x_sql_udf" -> sqlUdf
   )
+
+  /** The constraint-suite oracle, parameterized on its table sources so
+    * [[metricDrift]]'s oracle can replay the suite per epoch slice.
+    */
+  private def suiteSql(liSrc: String, ordSrc: String): String =
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         COUNT(l_orderkey) AS nn_ok,
+       |         COUNT(l_shipdate) AS nn_sd,
+       |         CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+       |         CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+       |         CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_ok,
+       |         CAST(SUM(CASE WHEN l_extendedprice >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_ok
+       |  FROM $liSrc),
+       |pk AS (
+       |  SELECT COUNT(*) AS n_pk
+       |  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM $liSrc
+       |        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)),
+       |orph AS (
+       |  SELECT COUNT(*) AS n_orphan
+       |  FROM (SELECT DISTINCT l_orderkey FROM $liSrc) l
+       |  WHERE NOT EXISTS (SELECT 1 FROM $ordSrc o WHERE o.o_orderkey = l.l_orderkey))
+       |SELECT * FROM (
+       |  SELECT 'completeness_l_orderkey' AS check_name,
+       |         CAST(nn_ok AS DOUBLE) / n_rows AS metric, nn_ok = n_rows AS passed FROM m
+       |  UNION ALL SELECT 'completeness_l_shipdate', CAST(nn_sd AS DOUBLE) / n_rows, nn_sd = n_rows FROM m
+       |  UNION ALL SELECT 'domain_returnflag', CAST(n_flag_ok AS DOUBLE) / n_rows, n_flag_ok = n_rows FROM m
+       |  UNION ALL SELECT 'nonneg_extendedprice', CAST(n_price_ok AS DOUBLE) / n_rows, n_price_ok = n_rows FROM m
+       |  UNION ALL SELECT 'pk_unique_orderkey_linenumber', CAST(n_pk AS DOUBLE) / n_rows, n_pk = n_rows FROM m, pk
+       |  UNION ALL SELECT 'range_max_quantity_le_50', max_qty, max_qty <= 50.0 FROM m
+       |  UNION ALL SELECT 'range_min_quantity_ge_1', min_qty, min_qty >= 1.0 FROM m
+       |  UNION ALL SELECT 'ri_orderkey_in_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM orph
+       |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "qc_null_profile" -> {
@@ -319,35 +421,27 @@ object QcOps {
          |ORDER BY table_name""".stripMargin
     },
     "qc_constraint_suite" ->
-      """WITH m AS (
-        |  SELECT COUNT(*) AS n_rows,
-        |         COUNT(l_orderkey) AS nn_ok,
-        |         COUNT(l_shipdate) AS nn_sd,
-        |         CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
-        |         CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-        |         CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_ok,
-        |         CAST(SUM(CASE WHEN l_extendedprice >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_ok
-        |  FROM lineitem),
-        |pk AS (
-        |  SELECT COUNT(*) AS n_pk
-        |  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
-        |        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)),
-        |orph AS (
-        |  SELECT COUNT(*) AS n_orphan
-        |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
-        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-        |SELECT * FROM (
-        |  SELECT 'completeness_l_orderkey' AS check_name,
-        |         CAST(nn_ok AS DOUBLE) / n_rows AS metric, nn_ok = n_rows AS passed FROM m
-        |  UNION ALL SELECT 'completeness_l_shipdate', CAST(nn_sd AS DOUBLE) / n_rows, nn_sd = n_rows FROM m
-        |  UNION ALL SELECT 'domain_returnflag', CAST(n_flag_ok AS DOUBLE) / n_rows, n_flag_ok = n_rows FROM m
-        |  UNION ALL SELECT 'nonneg_extendedprice', CAST(n_price_ok AS DOUBLE) / n_rows, n_price_ok = n_rows FROM m
-        |  UNION ALL SELECT 'pk_unique_orderkey_linenumber', CAST(n_pk AS DOUBLE) / n_rows, n_pk = n_rows FROM m, pk
-        |  UNION ALL SELECT 'range_max_quantity_le_50', max_qty, max_qty <= 50.0 FROM m
-        |  UNION ALL SELECT 'range_min_quantity_ge_1', min_qty, min_qty >= 1.0 FROM m
-        |  UNION ALL SELECT 'ri_orderkey_in_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM orph
-        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)
-        |ORDER BY check_name""".stripMargin,
+      (suiteSql("lineitem", "orders") + "\nORDER BY check_name"),
+    "qc_metric_drift" -> {
+      val prevSuite = suiteSql(
+        "(SELECT * FROM lineitem WHERE l_orderkey % 10 <> 0)",
+        "(SELECT * FROM orders WHERE o_orderkey % 10 <> 0)")
+      s"""WITH prev AS (
+         |${prevSuite}
+         |), cur AS (
+         |${suiteSql("lineitem", "orders")}
+         |)
+         |SELECT check_name, prev_metric, cur_metric, threshold, rel_drift,
+         |       coalesce(abs(rel_drift) <= threshold, false) AS drift_ok
+         |FROM (
+         |  SELECT c.check_name, p.metric AS prev_metric, c.metric AS cur_metric,
+         |         CASE WHEN c.check_name = 'size_ge_1000' THEN 0.15 ELSE 0.01 END AS threshold,
+         |         CASE WHEN p.metric = 0.0 AND c.metric = 0.0 THEN 0.0
+         |              WHEN p.metric = 0.0 THEN NULL
+         |              ELSE (c.metric - p.metric) / p.metric END AS rel_drift
+         |  FROM cur c JOIN prev p ON c.check_name = p.check_name)
+         |ORDER BY check_name""".stripMargin
+    },
     "x_group_by_all" -> groupOrderAllSql,
     "x_sql_udf" ->
       """SELECT l_returnflag,

@@ -37,22 +37,34 @@ object StreamOps {
     ss
   }
 
-  /** Raw events schema as stored (ts = TIMESTAMP(NANOS) read as long). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Raw events schema as stored, parameterized on the physical type the
+    * files actually carry for `ts` (TIMESTAMP(NANOS)-era data reads as
+    * long; TIMESTAMP_MICROS data reads as NTZ/LTZ timestamps). The file
+    * streaming source requires a user schema, and a schema that disagrees
+    * with the footer silently reinterprets the stored unit — the r9
+    * failure mode — so the type is sniffed from the batch footer, never
+    * assumed.
+    */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming scan of the events table (file source), ts truncated ns→µs
-    * exactly like the batch loader.
+  /** Streaming scan of the events table (file source), `ts` normalized to
+    * a session-zoned TIMESTAMP exactly like the batch loader: the reader
+    * schema is built from the batch footer's `ts` type (one cheap footer
+    * read), then [[graft.Tables.normalizeEventTs]] applies the identical
+    * ns→µs truncation / NTZ cast. Batch and stream therefore always agree
+    * on the time unit, whichever generation of testdata is on disk.
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.Tables.eventsTsType(s, d)
     // the file streaming source needs a directory/glob, not a bare file
-    s.readStream.schema(eventsRawSchema)
-      .option("basePath", d)
-      .parquet(s"$d/{events}.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(eventsRawSchema(tsType))
+        .option("basePath", d)
+        .parquet(s"$d/{events}.parquet"))
   }
 
   /** Tumbling 1-hour streaming aggregation, complete mode into a memory

@@ -491,6 +491,22 @@ class ExtensionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ext.Multimodal.parseWav(bad))
   }
 
+  test("Goertzel tone probe: exact powers from real bytes, refuses corrupt payloads") {
+    val (rate0, n0, amp0) = (22050, 777, 12345)
+    val payload = ext.Multimodal.wavBytes(rate0, n0, amp0)
+    val (rate, n, tone, dc) = ext.Multimodal.goertzel(payload)
+    assert((rate, n) == ((rate0, n0)))
+    // closed forms for the ±amp square wave: Nyquist power amp²N²,
+    // DC power amp² for odd N (here N=777)
+    assert(tone == amp0.toLong * amp0 * n0 * n0, "Nyquist power must be exactly amp^2*N^2")
+    assert(dc == amp0.toLong * amp0, "DC power of an odd-length square wave is amp^2")
+    // corrupt magic and a non-PCM format tag must both refuse, not garble
+    val badMagic = payload.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](ext.Multimodal.goertzel(badMagic))
+    val badFmt = payload.clone(); badFmt(20) = 3 // fmt tag 1 -> 3 (IEEE float)
+    intercept[IllegalArgumentException](ext.Multimodal.goertzel(badFmt))
+  }
+
   test("decode stub is deterministic and correctly shaped") {
     val a = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()
     val b = ext.Multimodal.decodeFeaturesRaw(spark, sf).toDF().collect()

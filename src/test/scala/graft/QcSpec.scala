@@ -24,6 +24,24 @@ class QcSpec extends AnyFunSuite {
     assert(rep.filter(!col("passed")).isEmpty)
   }
 
+  test("metric drift gate passes at the stock band and raises when tightened") {
+    // the carved previous epoch differs from the full load only in volume
+    // (~11% more rows current): inside the 15% size band, outside a 5% one
+    val rep = ops.QcOps.metricDriftGate(spark, sf)
+    assert(rep.count() == 9)
+    assert(rep.filter(!col("drift_ok")).isEmpty)
+    // completeness/domain/range/RI metrics must show exactly zero drift;
+    // volume (size) and the pk dup-rate legitimately move between epochs
+    // (the carved slice has its own duplicate mix) but stay inside band
+    assert(rep.filter(!col("check_name")
+        .isin("size_ge_1000", "pk_unique_orderkey_linenumber"))
+      .filter(col("rel_drift") =!= 0.0).isEmpty)
+    val ex = intercept[IllegalStateException](
+      ops.QcOps.metricDriftGate(spark, sf, sizeThreshold = 0.05))
+    assert(ex.getMessage.contains("size_ge_1000"), ex.getMessage)
+    assert(!ex.getMessage.contains("domain_returnflag"), ex.getMessage)
+  }
+
   test("constraint gate raises on injected violations, naming every failed check") {
     // doctor a copy of the tables: truncate lineitem below the size gate
     // and poison one price negative; orders stays intact so RI still holds

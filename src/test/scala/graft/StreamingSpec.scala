@@ -49,6 +49,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream and batch loaders agree on the events time unit (data-shape guard)") {
+    // The r9 regression: testdata regenerated with ts as TIMESTAMP_MICROS
+    // while the stream loader forced a nanos-as-long schema — every
+    // streaming timestamp silently landed 1000x early, with schema green.
+    // This guard turns any batch/stream unit divergence into a named
+    // failure: the drained stream's min/max ts must equal the batch
+    // loader's exactly, whatever physical shape the files carry.
+    val q = graft.streaming.StreamOps.eventsStream(spark, TestSpark.sf)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("graft_ts_guard").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_ts_guard").collect().head
+    val batch = Tables.events(spark, TestSpark.sf)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).collect().head
+    assert(streamed.getTimestamp(0) == batch.getTimestamp(0),
+      s"stream min(ts) ${streamed.getTimestamp(0)} != batch ${batch.getTimestamp(0)}")
+    assert(streamed.getTimestamp(1) == batch.getTimestamp(1),
+      s"stream max(ts) ${streamed.getTimestamp(1)} != batch ${batch.getTimestamp(1)}")
+  }
+
   test("checkpointed query restarts without reprocessing (exactly-once sink)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
