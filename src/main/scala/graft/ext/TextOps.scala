@@ -207,6 +207,63 @@ object TextOps {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** Duplicate n-gram SPAN detection — the doc-level report of the exact
+    * substring-dedup pass (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): find every 10-gram that occurs more than
+    * once in the corpus, mark its occurrences' token intervals
+    * [pos, pos+9], and merge overlapping/adjacent intervals per document
+    * into removable spans. Output per doc: span count, tokens covered,
+    * dup ratio — what a curation pipeline feeds the span-removal writer.
+    *
+    * Scale shape: grams travel as 60-bit md5-slice hashes (never the
+    * 10-word strings), the dup set is a group-filter (2 ≤ df ≤ 1000, no
+    * pair join — cost is linear in gram count, NOT quadratic in dup
+    * count), and interval merging is a per-document window (gaps-and-
+    * islands over positions, key = doc_id, input bounded by doc length).
+    * The df cap is the standard stop-gram guard: a boilerplate gram
+    * occurring millions of times would otherwise pour its entire
+    * occurrence list through the join; capped grams are deliberately NOT
+    * flagged (they are vocabulary, not duplication) and the cap is
+    * replayed identically by the oracle.
+    */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+    val grams = toks.filter(size(col("ws")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 10), i -> struct(" +
+          "CAST(i AS BIGINT) AS pos, " +
+          s"${sparkHash("array_join(slice(ws, i + 1, 10), ' ')")} AS gh))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 && col("c") <= 1000).select(col("gh"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hits = grams.join(dup, Seq("gh"))
+      // fixed-length intervals over ascending pos: coverage stays
+      // contiguous while consecutive positions differ by ≤ 10 (the NULL
+      // first-lag lands in otherwise() → opens span 1)
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 10, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = hits.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 10).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_words"))
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** First-fit-decreasing sequence packing — the no-split alternative to
     * [[packSequences]]: documents stay whole, each assigned to the first
     * 2048-token bin it fits in after sorting the shard's docs by token
@@ -1128,6 +1185,7 @@ object TextOps {
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
     "pipe_pack_bestfit" -> packBestFit,
+    "tx_dup_spans" -> dupSpans,
     "pipe_corpus_mix" -> corpusMix
   )
 
@@ -1721,6 +1779,40 @@ object TextOps {
            |SELECT shard, doc_id, re_tokens, start_tok,
            |       start_tok // 2048 AS seq_idx
            |FROM packed ORDER BY shard, doc_id""".stripMargin,
+      "tx_dup_spans" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |         ${duckHash("array_to_string(ws[CAST(i+1 AS INT):CAST(i+10 AS INT)], ' ')")} AS gh
+           |  FROM toks, unnest(range(0, len(ws) - 9)) AS t(i)
+           |  WHERE len(ws) >= 10),
+           |dup AS (SELECT gh FROM grams GROUP BY gh
+           |        HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+           |hits AS (
+           |  SELECT g.doc_id, g.pos,
+           |         CASE WHEN g.pos - lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) <= 10
+           |              THEN 0 ELSE 1 END AS new_span
+           |  FROM grams g JOIN dup USING (gh)),
+           |islands AS (
+           |  SELECT doc_id, pos,
+           |         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           |  FROM hits),
+           |spans AS (
+           |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 10 AS e
+           |  FROM islands GROUP BY doc_id, span_id),
+           |per_doc AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           |         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+           |  FROM spans GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+           |       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           |       coalesce(p.dup_tokens, 0) AS dup_tokens,
+           |       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.ws) AS dup_ratio
+           |FROM toks t LEFT JOIN per_doc p USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin,
       // FFD replayed as a recursive CTE: the working set advances one doc
       // (per shard) per iteration, carrying the bin-load list as state.
       // nullif(..., 0): this DuckDB's list_position returns 0 (not NULL)
