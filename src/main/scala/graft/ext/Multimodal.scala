@@ -85,6 +85,22 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   // ---- Real-container fixture: 24-bit BMP, decoded by the JDK's real
+  /** ImageIO's default stream wrappers are DISK-backed: with
+    * `getUseCache()` true (the JDK default), `createImageInputStream`
+    * over a ByteArrayInputStream returns a FileCacheImageInputStream and
+    * `ImageIO.write(..., OutputStream)` a FileCacheImageOutputStream —
+    * i.e. every encode/decode of an already-in-memory payload pays a
+    * temp-file write+read. At 32 decode threads that is pure filesystem
+    * contention, and it made the codec family's wall time track BOX LOAD
+    * instead of work (r9: 2.3–3.2× drift with zero code change). All
+    * payloads here are in-memory byte arrays, so the cache is disabled
+    * once per executor JVM; streams become memory-backed. At 100 TB the
+    * same applies — payload bytes arrive from the object store already
+    * in memory; spooling them to executor-local disk per image is waste.
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   // ---- ImageIO BMP plugin (the one genuine media codec in this sandbox).
 
   /** Serialize a solid-color 24-bit BMP — BITMAPFILEHEADER (14 bytes) +
@@ -136,6 +152,7 @@ object Multimodal {
         // allocated per batch (plugin lookup + reader construction are
         // the per-image fixed costs ImageIO.read would re-pay 64×); only
         // setInput varies per payload. Disposed after the strict map.
+        imageIoNoDiskCache
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
         try batch.map { id =>
@@ -217,6 +234,7 @@ object Multimodal {
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
       y += 1
     }
+    imageIoNoDiskCache
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", baos)
     baos.toByteArray
@@ -254,6 +272,7 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
+        imageIoNoDiskCache
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
         try batch.map { id =>
@@ -347,6 +366,7 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
+        imageIoNoDiskCache
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
         try batch.map { id =>
@@ -432,6 +452,7 @@ object Multimodal {
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
+    imageIoNoDiskCache
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
   }
@@ -450,6 +471,7 @@ object Multimodal {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
+        imageIoNoDiskCache
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
         try batch.map { id =>
