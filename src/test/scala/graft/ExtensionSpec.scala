@@ -491,6 +491,39 @@ class ExtensionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ext.Multimodal.parseWav(bad))
   }
 
+  test("FFD packing invariants: capped bins, never below the splitting lower bound") {
+    val rep = ext.TextOps.packBestFit(spark, sf).collect()
+    assert(rep.length == 8, "one manifest row per shard")
+    rep.foreach { r =>
+      val total = r.getAs[Long]("total_tokens")
+      val bins = r.getAs[Long]("bins_ffd")
+      // no fixture doc exceeds the 2048 cap, so no bin may
+      assert(r.getAs[Long]("max_bin_tokens") <= 2048L, r.toString)
+      assert(r.getAs[Long]("min_bin_tokens") > 0L, r.toString)
+      // a no-split packer can never beat ceil(total/cap), the splitting
+      // baseline's bin count
+      assert(bins >= r.getAs[Long]("bins_seq"), r.toString)
+      assert(r.getAs[Long]("waste_ffd") == bins * 2048L - total, r.toString)
+      val occ = r.getAs[Double]("occupancy_ffd")
+      assert(occ > 0.0 && occ <= 1.0, r.toString)
+    }
+  }
+
+  test("dup-span report invariants: coverage bounded by doc, planted dups surface") {
+    val rep = ext.TextOps.dupSpans(spark, sf).collect()
+    assert(rep.length == 500, "one report row per document")
+    rep.foreach { r =>
+      val (words, spans, toks) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"))
+      assert(toks <= words, s"span coverage cannot exceed the doc: $r")
+      assert((spans == 0) == (toks == 0), r.toString)
+      // every span covers at least one full 10-gram
+      assert(toks >= 10 * spans, r.toString)
+    }
+    assert(rep.exists(_.getAs[Long]("n_dup_spans") > 0),
+      "the fixture's planted near-dups must surface as spans")
+  }
+
   test("Goertzel tone probe: exact powers from real bytes, refuses corrupt payloads") {
     val (rate0, n0, amp0) = (22050, 777, 12345)
     val payload = ext.Multimodal.wavBytes(rate0, n0, amp0)
