@@ -231,11 +231,17 @@ object TextOps {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+    // gh is INTERNAL grouping state (never surfaced), so the two engines
+    // don't need matching hash values — only identical grams grouped
+    // together. That frees the Spark side to use codegen'd xxhash64 over
+    // the word slice (no string building, no hex conv) while the oracle
+    // groups on md5 of the joined words; words cannot contain the join
+    // separator, so the groupings coincide exactly.
     val grams = toks.filter(size(col("ws")) >= 10)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 10), i -> struct(" +
           "CAST(i AS BIGINT) AS pos, " +
-          s"${sparkHash("array_join(slice(ws, i + 1, 10), ' ')")} AS gh))"))
+          "xxhash64(slice(ws, i + 1, 10)) AS gh))"))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
     val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
