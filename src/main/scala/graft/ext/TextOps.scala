@@ -226,17 +226,22 @@ object TextOps {
     * flagged (they are vocabulary, not duplication) and the cap is
     * replayed identically by the oracle.
     */
-  def dupSpans(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
+  /** (doc_id, ws) word arrays shared by the dup-span family. */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
-    // gh is INTERNAL grouping state (never surfaced), so the two engines
-    // don't need matching hash values — only identical grams grouped
-    // together. That frees the Spark side to use codegen'd xxhash64 over
-    // the word slice (no string building, no hex conv) while the oracle
-    // groups on md5 of the joined words; words cannot contain the join
-    // separator, so the groupings coincide exactly.
+
+  /** Every (doc_id, pos, gh) occurrence of a duplicated 10-gram, df-capped.
+    *
+    * gh is INTERNAL grouping state (never surfaced), so the two engines
+    * don't need matching hash values — only identical grams grouped
+    * together. That frees the Spark side to use codegen'd xxhash64 over
+    * the word slice (no string building, no hex conv) while the oracle
+    * groups on md5 of the joined words; words cannot contain the join
+    * separator, so the groupings coincide exactly.
+    */
+  private def dupGramHits(toks: DataFrame): DataFrame = {
     val grams = toks.filter(size(col("ws")) >= 10)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 10), i -> struct(" +
@@ -246,18 +251,30 @@ object TextOps {
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
     val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1 && col("c") <= 1000).select(col("gh"))
+    grams.join(dup, Seq("gh"))
+  }
+
+  /** Merge a hit set's fixed-length intervals [pos, pos+9] per doc into
+    * (doc_id, span_id, s, e) removable spans — gaps-and-islands over
+    * ascending pos: coverage stays contiguous while consecutive positions
+    * differ by ≤ 10 (the NULL first-lag lands in otherwise() → span 1).
+    */
+  private def spansOf(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val hits = grams.join(dup, Seq("gh"))
-      // fixed-length intervals over ascending pos: coverage stays
-      // contiguous while consecutive positions differ by ≤ 10 (the NULL
-      // first-lag lands in otherwise() → opens span 1)
+    hits
       .withColumn("new_span",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 10, lit(0L))
           .otherwise(lit(1L)))
       .withColumn("span_id", sum(col("new_span")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val perDoc = hits.groupBy(col("doc_id"), col("span_id"))
+      .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + 10).as("e"))
+  }
+
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val toks = docWords(s, d)
+    val perDoc = spansOf(dupGramHits(toks))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
     toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
@@ -267,6 +284,52 @@ object TextOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_words"))
           .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The span-removal TRANSFORMATION the [[dupSpans]] report plans for —
+    * Lee et al.'s "keep each duplicated substring once": per duplicated
+    * gram, the globally first occurrence (smallest (doc_id, pos)) stays;
+    * every other occurrence's interval is merged into removal spans and
+    * the surviving words are reassembled into the cleaned text. The
+    * survivor rule makes the output deterministic and means a corpus
+    * deduplicated by this pass retains exactly one copy of every
+    * duplicated 10-gram run.
+    *
+    * Scale shape on top of [[dupGramHits]]: survivor election is one
+    * more gh-keyed aggregate (min struct — lexicographic, so it equals
+    * the oracle's two-step min-doc-then-min-pos), removal is the hit set
+    * minus survivors, and reconstruction explodes words once (narrow),
+    * anti-joins covered positions (doc_id+pos keys), and rebuilds each
+    * doc with the same sorted-collect idiom as chunk reassembly — text
+    * crosses the wire once for the rebuild, never for candidate work.
+    */
+  def stripSpans(s: SparkSession, d: String): DataFrame = {
+    val toks = docWords(s, d)
+    val hits = dupGramHits(toks)
+    val survivors = hits.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("sv"))
+    val removal = hits.join(survivors, Seq("gh"))
+      .filter(!(col("doc_id") === col("sv.doc_id") && col("pos") === col("sv.pos")))
+      .select(col("doc_id"), col("pos"))
+    val covered = spansOf(removal)
+      .select(col("doc_id"),
+        explode(expr("sequence(s, e - 1)")).as("pos"))
+      .distinct()
+    val words = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .withColumn("pos", col("pos").cast("long"))
+    val rebuilt = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_words"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
+          " x -> x.w), ' ')").as("clean_text"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        (col("n_words") - coalesce(col("kept_words"), lit(0L))).as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1192,6 +1255,7 @@ object TextOps {
     "pipe_pack_sequences" -> packSequences,
     "pipe_pack_bestfit" -> packBestFit,
     "tx_dup_spans" -> dupSpans,
+    "tx_strip_spans" -> stripSpans,
     "pipe_corpus_mix" -> corpusMix
   )
 
@@ -1818,6 +1882,57 @@ object TextOps {
            |       coalesce(p.dup_tokens, 0) AS dup_tokens,
            |       CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.ws) AS dup_ratio
            |FROM toks t LEFT JOIN per_doc p USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin,
+      "tx_strip_spans" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |         md5(array_to_string(ws[CAST(i+1 AS INT):CAST(i+10 AS INT)], ' ')) AS gh
+           |  FROM toks, unnest(range(0, len(ws) - 9)) AS t(i)
+           |  WHERE len(ws) >= 10),
+           |dup AS (SELECT gh FROM grams GROUP BY gh
+           |        HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+           |hits AS (SELECT g.* FROM grams g JOIN dup USING (gh)),
+           |m1 AS (SELECT gh, MIN(doc_id) AS sd FROM hits GROUP BY gh),
+           |m2 AS (SELECT h.gh, m1.sd, MIN(h.pos) AS sp
+           |       FROM hits h JOIN m1 ON h.gh = m1.gh AND h.doc_id = m1.sd
+           |       GROUP BY h.gh, m1.sd),
+           |removal AS (
+           |  SELECT h.doc_id, h.pos FROM hits h LEFT JOIN m2
+           |    ON h.gh = m2.gh AND h.doc_id = m2.sd AND h.pos = m2.sp
+           |  WHERE m2.gh IS NULL),
+           |marks AS (
+           |  SELECT doc_id, pos,
+           |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+           |              THEN 0 ELSE 1 END AS new_span
+           |  FROM removal),
+           |islands AS (
+           |  SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           |  FROM marks),
+           |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 10 AS e
+           |          FROM islands GROUP BY doc_id, span_id),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+           |  FROM spans, unnest(range(s, e)) AS c(p)),
+           |words AS (
+           |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[CAST(i AS INT)] AS w
+           |  FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)),
+           |kept AS (
+           |  SELECT w.doc_id, w.pos, w.w FROM words w LEFT JOIN covered c
+           |    ON w.doc_id = c.doc_id AND w.pos = c.pos
+           |  WHERE c.doc_id IS NULL),
+           |rebuilt AS (
+           |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+           |         COUNT(*) AS kept_words
+           |  FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+           |       coalesce(r.kept_words, 0) AS kept_words,
+           |       CAST(len(t.ws) - coalesce(r.kept_words, 0) AS BIGINT) AS removed_tokens,
+           |       coalesce(r.clean_text, '') AS clean_text
+           |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
            |ORDER BY t.doc_id""".stripMargin,
       // FFD replayed as a recursive CTE: the working set advances one doc
       // (per shard) per iteration, carrying the bin-load list as state.

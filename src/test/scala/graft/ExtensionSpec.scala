@@ -524,6 +524,27 @@ class ExtensionSpec extends AnyFunSuite {
       "the fixture's planted near-dups must surface as spans")
   }
 
+  test("strip-spans transformation is consistent with the dup-span report") {
+    val report = ext.TextOps.dupSpans(spark, sf)
+      .select("doc_id", "dup_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strip = ext.TextOps.stripSpans(spark, sf).collect()
+    assert(strip.length == 500)
+    strip.foreach { r =>
+      val (id, n, kept, removed) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("kept_words"), r.getAs[Long]("removed_tokens"))
+      assert(kept + removed == n, r.toString)
+      // the strip keeps the first occurrence of every dup gram, so it can
+      // never remove more than the report's full-coverage number
+      assert(removed <= report(id), r.toString)
+      val text = r.getAs[String]("clean_text")
+      val rebuiltWords = if (text.isEmpty) 0 else text.split(" ").length
+      assert(rebuiltWords == kept, s"clean_text word count mismatch: $r")
+    }
+    assert(strip.exists(_.getAs[Long]("removed_tokens") > 0),
+      "planted near-dups must lose their non-first occurrences")
+  }
+
   test("Goertzel tone probe: exact powers from real bytes, refuses corrupt payloads") {
     val (rate0, n0, amp0) = (22050, 777, 12345)
     val payload = ext.Multimodal.wavBytes(rate0, n0, amp0)
