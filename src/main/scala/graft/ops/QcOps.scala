@@ -153,6 +153,36 @@ object QcOps {
     report
   }
 
+  /** Privacy QC gate: k-anonymity and l-diversity of a quasi-identifier
+    * grouping — the release check a training-data pipeline runs before
+    * publishing records that could re-identify people. Each
+    * (nation, market-segment) combination is a QI group; a group is
+    * k-anonymous when at least k=5 records share it (an attacker knowing
+    * someone's QI values can't narrow below k candidates) and l-diverse
+    * when the sensitive attribute (here the account-balance sign class,
+    * a 3-value proxy) takes at least l=2 distinct values inside it (so
+    * the QI doesn't DISCLOSE the sensitive value even without
+    * identifying the row). One partial-aggregated scan: counts and the
+    * small-domain exact distinct ride the same (QI)-keyed exchange; at
+    * 100 TB the report is |QI-combinations| rows regardless of row
+    * count. Suppression (dropping violating groups) is the follow-up
+    * join on this report's key.
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("neg"))
+          .when(col("c_acctbal") < 5000, lit("low"))
+          .otherwise(lit("high")).as("bal_class"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.Det.exactDistinct(col("bal_class")).as("l_vals"))
+      .withColumn("k_ok", col("n_rows") >= 5)
+      .withColumn("l_ok", col("l_vals") >= 2)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_rows"),
+        col("l_vals"), col("k_ok"), col("l_ok"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   /** Benford leading-digit audit — the fraud/corruption screen for
     * naturally-occurring amounts: the observed first-digit distribution
     * of o_totalprice, as exact counts and rational shares (no log10 —
@@ -326,6 +356,7 @@ object QcOps {
     "qc_table_checksum" -> tableChecksum,
     "qc_constraint_suite" -> constraintSuite,
     "qc_metric_drift" -> ((s, d) => metricDrift(s, d)),
+    "qc_k_anonymity" -> kAnonymity,
     "x_group_by_all" -> groupOrderAll,
     "x_sql_udf" -> sqlUdf
   )
@@ -397,6 +428,19 @@ object QcOps {
         |         list_prepend(0.0, list(diff * diff / den ORDER BY event_type, half)),
         |         (acc, v) -> acc + v) AS chi2
         |FROM terms""".stripMargin,
+    "qc_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |                           WHEN c_acctbal < 5000 THEN 'low'
+        |                           ELSE 'high' END) AS l_vals,
+        |       COUNT(*) >= 5 AS k_ok,
+        |       COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |                           WHEN c_acctbal < 5000 THEN 'low'
+        |                           ELSE 'high' END) >= 2 AS l_ok
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "qc_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit

@@ -42,6 +42,21 @@ class QcSpec extends AnyFunSuite {
     assert(!ex.getMessage.contains("domain_returnflag"), ex.getMessage)
   }
 
+  test("k-anonymity report: flags are pure functions of the group metrics") {
+    val rep = ops.QcOps.kAnonymity(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (n, l) = (r.getAs[Long]("n_rows"), r.getAs[Long]("l_vals"))
+      assert(r.getAs[Boolean]("k_ok") == (n >= 5), r.toString)
+      assert(r.getAs[Boolean]("l_ok") == (l >= 2), r.toString)
+      assert(l >= 1 && l <= 3 && l <= n, r.toString)
+    }
+    // sf0.001's ~150 customers over 125 QI cells make thin groups
+    // inevitable — the gate must actually flag them
+    assert(rep.exists(r => !r.getAs[Boolean]("k_ok")),
+      "thin QI groups must be flagged k-anonymity violations")
+  }
+
   test("constraint gate raises on injected violations, naming every failed check") {
     // doctor a copy of the tables: truncate lineitem below the size gate
     // and poison one price negative; orders stays intact so RI still holds
