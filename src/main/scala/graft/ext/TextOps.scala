@@ -312,24 +312,24 @@ object TextOps {
     val removal = hits.join(survivors, Seq("gh"))
       .filter(!(col("doc_id") === col("sv.doc_id") && col("pos") === col("sv.pos")))
       .select(col("doc_id"), col("pos"))
-    val covered = spansOf(removal)
-      .select(col("doc_id"),
-        explode(expr("sequence(s, e - 1)")).as("pos"))
-      .distinct()
-    val words = toks
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .withColumn("pos", col("pos").cast("long"))
-    val rebuilt = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    // Rebuild WITHOUT exploding the corpus: spans-per-doc is tiny (they
+    // are merged intervals), so collect each doc's span list (a shuffle
+    // of removal hits only, never words) and strip inside one codegen'd
+    // lambda — each word keeps its slot unless some span covers its
+    // index. The word-level explode + anti-join + sorted-collect form
+    // this replaces shuffled every word in the corpus twice.
+    val spanList = spansOf(removal)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept_words"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
-          " x -> x.w), ' ')").as("clean_text"))
-    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
-        (col("n_words") - coalesce(col("kept_words"), lit(0L))).as("removed_tokens"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    toks.join(spanList, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(transform(ws, (w, i) -> struct(w, i)), " +
+          "x -> NOT coalesce(exists(sp, r -> x.i >= r.s AND x.i < r.e), false))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        expr("array_join(transform(kept, x -> x.w), ' ')").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
