@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR and reports per-query + total wall times.
   *
-  * Output protocol: the per-query map is large (~3.3 KB at 95 queries) and
-  * the driver's log-tail window truncated it three rounds running, so the
-  * detail JSON goes to `bench.json` AND an EARLY stdout line, while the
-  * FINAL stdout line — the one the driver parses — is a short total-only
-  * JSON (<200 bytes) that can never be truncated.
+  * Output protocol: the per-query map is large (~8 KB at 270 queries) and
+  * the driver's log-tail window (last 2000 chars) truncated it three rounds
+  * running, so the detail JSON goes to `bench.json` AND an EARLY stdout
+  * line, while the LAST two stdout lines are sized to fit the tail window
+  * together: (a) a compact per-query values array (sorted-name order,
+  * 2-decimal) so every round's BENCH_r0N.json carries the full per-query
+  * picture without ad-hoc archives, and (b) the short total-only JSON
+  * (<200 bytes) that the driver's last-line parser reads.
   *
   * Each query gets one unmeasured warmup run (JIT + codegen + parquet
   * footer cache) and two measured runs; we keep the min. The two measured
@@ -20,17 +23,56 @@ import org.apache.spark.sql.SparkSession
   * alphabetically before it). Reversing the second pass gives every query
   * two different predecessors, so min-of-two sheds any one neighbor's
   * debt; an explicit System.gc() between queries drains the rest.
+  *
+  * Contention guard (r10 lesson: driver read 1.44× baseline purely from
+  * box load; builder same-code archive read 0.90×): the 1-minute loadavg
+  * is the wrong per-query signal because the bench's own 32-thread bursts
+  * dominate it for the whole run. Instead each measurement window records
+  * EXTERNAL CPU pressure — (Δ busy jiffies across all cpus − Δ jiffies of
+  * this process) / wall — i.e. how many cores OTHER processes burned while
+  * the query ran. A query whose kept (min) window saw > EXT_CPU_THRESHOLD
+  * external cores is re-measured up to MAX_RETRIES more times, stopping at
+  * the first clean window; the min over all windows is kept. loadavg is
+  * still recorded at start/end and per query for cross-round adjudication.
   */
 object Bench {
+  /** External cores of non-bench CPU above which a window is contended.
+    * 1.5 cores ≈ the verdict's "loadavg > ~1.5" bar, but self-load-free.
+    */
+  private val ExtCpuThreshold = 1.5
+  private val MaxRetries = 2
+
+  /** (busy jiffies summed over all cpus, jiffies of this process incl. all
+    * threads). USER_HZ is 100 on every Linux this targets; only deltas are
+    * compared against wall time so an unusual HZ shifts the threshold, not
+    * correctness.
+    */
+  private def cpuSnap(): (Long, Long) = {
+    try {
+      val stat = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next() // "cpu  user nice system idle iowait irq softirq steal ..."
+      val f = stat.trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f(0) + f(1) + f(2) + f(5) + f(6) + (if (f.length > 7) f(7) else 0L)
+      val self = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/self/stat"))
+      // comm (field 2) may contain spaces/parens — parse after the LAST ')':
+      // fields from 3 on; utime=field 14 → idx 11, stime=field 15 → idx 12.
+      val after = self.substring(self.lastIndexOf(')') + 2).split(" ")
+      (busy, after(11).toLong + after(12).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+  }
+
+  private def loadavg1m(): Double = try java.nio.file.Files
+    .readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+  catch { case _: Throwable => -1.0 }
+
+  /** One measurement window: (wall sec, external cores, loadavg_1m). */
+  private case class Window(sec: Double, extCores: Double, load: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Box-tax evidence: same-code totals swing ±30% with concurrent load
-    // (BASELINE.md round-4/6 notes). Record the 1-minute load average at
-    // bench start so cross-round comparisons can adjudicate contention
-    // mechanically instead of by anecdote.
-    val loadavg = try java.nio.file.Files
-      .readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg1m()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.withObjectStoreConf(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,42 +97,83 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    def timed(name: String): Double = {
+    def timed(name: String): Option[Window] = {
+      val load = loadavg1m()
+      val (busy0, self0) = cpuSnap()
       val t0 = System.nanoTime()
       val ok = materialize(name)
       // Snapshot the elapsed time BEFORE the gc: the collection happens
       // on this query's dime conceptually, but it drains debt produced
       // here so it must not land inside the NEXT query's wall time —
       // and a full-heap System.gc() pause (~0.3-0.5 s on this heap) in
-      // the measured region would tax all 95 queries.
+      // the measured region would tax all 270 queries.
       val dt = (System.nanoTime() - t0) / 1e9
+      val (busy1, self1) = cpuSnap()
       System.gc()
-      if (ok) dt else -1.0
+      val ext =
+        if (busy0 < 0 || busy1 < 0 || dt <= 0) -1.0
+        else math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / 100.0 / dt)
+      if (ok) Some(Window(dt, ext, load)) else None
     }
     names.foreach(materialize) // warmup pass
     System.gc()
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pass2 = names.reverse.map(n => n -> timed(n)).toMap
+    // Load-guarded re-measurement: a window is clean when other processes
+    // burned < ExtCpuThreshold cores during it (ext < 0 = /proc unreadable
+    // → treat as clean rather than loop forever). Keep the min over ALL
+    // windows — contention only ever inflates a wall time, so extra runs
+    // can only tighten the estimate.
+    def clean(w: Window): Boolean = w.extCores < ExtCpuThreshold
+    val remeasured = collection.mutable.ArrayBuffer.empty[String]
+    val windows: Map[String, Seq[Window]] = names.map { n =>
+      var ws = Seq(pass1(n), pass2(n)).flatten
+      if (ws.nonEmpty && !ws.exists(clean)) {
+        remeasured += n
+        var tries = 0
+        while (tries < MaxRetries && !ws.exists(clean)) {
+          ws = ws ++ timed(n).toSeq
+          tries += 1
+        }
+      }
+      n -> ws
+    }.toMap
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ws = windows(n)
+      n -> (if (ws.isEmpty) -1.0 else ws.map(_.sec).min)
     }
+    val loadEnd = loadavg1m()
     def fmt(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Per-query contention evidence for the kept (min) window, plus the
+    // loadavg each window started at — the adjudication data the r10
+    // verdict asked for.
+    val ext = names.map { n =>
+      val ws = windows(n)
+      val kept = if (ws.isEmpty) None else Some(ws.minBy(_.sec))
+      "\"" + n + "\":" + fmt(kept.map(_.extCores).getOrElse(-1.0))
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // A SPARK_GRAFT_ONLY-restricted run is a partial sum, not the suite
     // total — say so in the JSON so no tooling compares it across rounds.
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
+    val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"loadavg_1m_at_start":$loadavg,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     println(detail) // full detail early — safe to truncate, bench.json has it too
     spark.stop()
-    // Short total-only summary as the VERBATIM LAST stdout line (after
-    // spark.stop() so no shutdown logging can land below it) — this is
-    // what the driver's last-line parser reads.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // The driver archives only the last 2000 stdout chars ("tail") plus the
+    // parsed last line. These two lines are sized to fit that window
+    // together, so BENCH_r0N.json itself carries the full per-query map:
+    // (1) compact per-query seconds, 2-decimal, in sorted-name order — the
+    //     names are recoverable from SparkEntry.queries at the same commit;
+    // (2) the short total-only summary as the VERBATIM LAST line (after
+    //     spark.stop() so no shutdown logging lands below it).
+    def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    println(s"""{"qv_order":"sorted_names","n":${results.size},"qv":[${results.map(r => fmt2(r._2)).mkString(",")}]}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"n_queries":${results.size},"loadavg_1m_at_start":$loadStart,"remeasured_n":${remeasured.size},"sf":"$sfDir"}""")
   }
 }
