@@ -453,6 +453,69 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the missing leg
+    * between [[temperatureMix]] (τ-resampling toward n^(1/τ) shares) and
+    * [[qualitySample]] (tiered acceptance): per-document importance
+    * weights w = target(z) / raw(z) over a feature z (here the source,
+    * the likelihood-ratio structure of DSIR with sources standing in for
+    * the hashed-n-gram LM bucket), modulated by a per-doc quality score,
+    * then realized by SELF-NORMALIZED rejection sampling: accept doc with
+    * probability w_doc / max(w_doc).
+    *
+    * Determinism contract (the reason every arithmetic step is shaped the
+    * way it is): the target is UNIFORM over sources (1/|S| — a config
+    * input in production, constant here so the oracle replays it); the
+    * quality score is least(1, n_words/64) — 64 is a power of two so the
+    * division is EXACT in binary FP; every division/multiplication is a
+    * single correctly-rounded IEEE op written in the same operand order
+    * in both engines; max() over doubles is order-independent; and the
+    * accept decision is the standard md5 hash gate on doc_id at
+    * resolution 1/10000 — no rand() anywhere, so plan AND realized
+    * sample hash-verify cross-engine, and any document's fate is
+    * auditable. Per-source kept-quality mass is reported in integer
+    * milli-units (floor(q·1000) summed as BIGINT) because a float SUM's
+    * result depends on summation order — the one aggregation shape that
+    * would break cross-engine bit-identity.
+    *
+    * At 100 TB: two scans of documents (weight+score, then gate), a
+    * |sources|-row plan frame and a 1-row max broadcast into the gate —
+    * the corpus itself never shuffles; the only wide exchange is the
+    * per-source report rollup (map-side combined).
+    */
+  def importanceResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("q",
+        least(lit(1.0), size(split(col("text"), " ")).cast("double") / 64.0))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val plan0 = counts.crossJoin(broadcast(tot))
+      .withColumn("raw_share",
+        col("n_docs").cast("double") / col("n_total").cast("double"))
+      .withColumn("weight",
+        col("n_total").cast("double") /
+          (col("n_docs") * col("n_sources")).cast("double"))
+    val scored = docs
+      .join(broadcast(plan0.select(col("source"), col("weight"))), Seq("source"))
+      .withColumn("w_doc", col("weight") * col("q"))
+    val wmax = scored.agg(max(col("w_doc")).as("w_max"))
+    val kept = scored.crossJoin(broadcast(wmax))
+      .withColumn("th",
+        floor(col("w_doc") / col("w_max") * lit(10000.0)).cast("long"))
+      .withColumn("hh",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 10000"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("hh") < col("th"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("hh") < col("th"),
+          floor(col("q") * lit(1000.0)).cast("long")).otherwise(0L))
+          .as("kept_q_milli"))
+    plan0.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("raw_share"), col("weight"),
+        col("n_kept"), col("kept_q_milli"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus vocabulary: top-100 tokens by frequency (tie → lexicographic).
     * The explode is a Generator (one pass, no buffering); the count is a
     * standard partial-agg'd groupBy on the token, and the top-k collapses
@@ -1250,6 +1313,7 @@ object TextOps {
     "tx_vocab" -> vocab,
     "tx_oov_rate" -> oovRate,
     "pipe_temperature_mix" -> temperatureMix,
+    "pipe_importance_resample" -> importanceResample,
     "pipe_corpus_clean" -> corpusClean,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
@@ -1685,6 +1749,41 @@ object TextOps {
           |  FROM documents d JOIN th USING (lang) GROUP BY d.lang)
           |SELECT th.lang, n_docs, w, share, target, n_kept
           |FROM th JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+      "pipe_importance_resample" ->
+        """WITH q AS (
+          |  SELECT doc_id, source,
+          |         least(CAST(1.0 AS DOUBLE),
+          |               CAST(len(string_split(text, ' ')) AS DOUBLE) / 64.0) AS q
+          |  FROM documents),
+          |counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+          |               COUNT(*) AS n_sources FROM counts),
+          |plan0 AS (
+          |  SELECT source, n_docs,
+          |         CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS raw_share,
+          |         CAST(n_total AS DOUBLE)
+          |           / CAST(n_docs * n_sources AS DOUBLE) AS weight
+          |  FROM counts CROSS JOIN tot),
+          |scored AS (
+          |  SELECT q.doc_id, q.source, q.q, p.weight, p.weight * q.q AS w_doc
+          |  FROM q JOIN plan0 p USING (source)),
+          |wm AS (SELECT MAX(w_doc) AS w_max FROM scored),
+          |kept AS (
+          |  SELECT source,
+          |         CAST(SUM(CASE WHEN hh < th THEN 1 ELSE 0 END) AS BIGINT)
+          |           AS n_kept,
+          |         CAST(SUM(CASE WHEN hh < th
+          |                  THEN CAST(floor(q * 1000.0) AS BIGINT)
+          |                  ELSE 0 END) AS BIGINT) AS kept_q_milli
+          |  FROM (
+          |    SELECT source, q,
+          |           CAST(floor(w_doc / w_max * 10000.0) AS BIGINT) AS th,
+          |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+          |                AS BIGINT) % 10000 AS hh
+          |    FROM scored CROSS JOIN wm)
+          |  GROUP BY source)
+          |SELECT p.source, p.n_docs, p.raw_share, p.weight, n_kept, kept_q_milli
+          |FROM plan0 p JOIN kept USING (source) ORDER BY p.source""".stripMargin,
       "tx_oov_rate" ->
         """WITH toks AS (
           |  SELECT source, token FROM (

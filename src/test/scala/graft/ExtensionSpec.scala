@@ -509,6 +509,32 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR importance resampling: likelihood-ratio structure and sample bounds") {
+    val rep = ext.TextOps.importanceResample(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rep.length == nSources, "one report row per source")
+    rep.foreach { r =>
+      val (n, kept, qm) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("kept_q_milli"))
+      assert(kept >= 0 && kept <= n, r.toString)
+      // q ≤ 1 per doc, reported in milli-units
+      assert(qm <= 1000L * kept, r.toString)
+      // w = target/raw means w·raw·|S| ≡ 1 — the likelihood-ratio identity
+      val id = r.getAs[Double]("weight") * r.getAs[Double]("raw_share") * nSources
+      assert(math.abs(id - 1.0) < 1e-9, s"w*raw*|S| = $id: $r")
+    }
+    // DSIR's point: rarer sources get UP-weighted relative to raw share
+    val byN = rep.sortBy(_.getAs[Long]("n_docs"))
+    if (byN.head.getAs[Long]("n_docs") < byN.last.getAs[Long]("n_docs"))
+      assert(byN.head.getAs[Double]("weight") > byN.last.getAs[Double]("weight"),
+        "the rarest source must carry the largest importance weight")
+    val (keptTot, nTot) = (rep.map(_.getAs[Long]("n_kept")).sum,
+      rep.map(_.getAs[Long]("n_docs")).sum)
+    assert(keptTot > 0, "self-normalized gate must accept the top-weight mass")
+    assert(keptTot < nTot, "rejection sampling must actually reject")
+  }
+
   test("dup-span report invariants: coverage bounded by doc, planted dups surface") {
     val rep = ext.TextOps.dupSpans(spark, sf).collect()
     assert(rep.length == 500, "one report row per document")
