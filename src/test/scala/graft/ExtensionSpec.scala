@@ -585,6 +585,44 @@ class ExtensionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ext.Multimodal.goertzel(badMagic))
     val badFmt = payload.clone(); badFmt(20) = 3 // fmt tag 1 -> 3 (IEEE float)
     intercept[IllegalArgumentException](ext.Multimodal.goertzel(badFmt))
+    // a NEGATIVE chunk size would walk the buffer backwards (infinite
+    // loop) without the guard — must refuse, in both walks
+    val badSz = payload.clone()
+    badSz(16) = 0xff.toByte; badSz(17) = 0xff.toByte
+    badSz(18) = 0xff.toByte; badSz(19) = 0xff.toByte // fmt sz -> -1
+    intercept[IllegalArgumentException](ext.Multimodal.goertzel(badSz))
+    intercept[IllegalArgumentException](ext.Multimodal.parseWav(badSz))
+  }
+
+  test("Goertzel bank matches the Dirichlet closed forms; audio dedup buckets by spectrum") {
+    // every normalized band of the square-wave fixture has an exact
+    // closed form (see audioFpRaw scaladoc) — sweep real payloads
+    for (id <- Seq(0L, 1L, 7L, 123L, 499L)) {
+      val (rate0, n0, amp0) = ext.Multimodal.wavFixtureParams(id)
+      val (rate, n, p) = ext.Multimodal.goertzelBank(
+        ext.Multimodal.wavBytes(rate0, n0, amp0))
+      assert((rate, n) == ((rate0, n0)))
+      val a2 = amp0.toLong * amp0
+      assert(p(0) == a2 * (n0 % 2), s"DC band, id=$id")
+      assert(p(1) == a2 * (if (n0 % 3 == 0) 0 else 1), s"rate/6 band, id=$id")
+      assert(p(2) == a2 * Seq(0, 1, 2, 1)(n0 % 4), s"rate/4 band, id=$id")
+      assert(p(3) == a2 * Seq(0, 1, 3, 4, 3, 1)(n0 % 6), s"rate/3 band, id=$id")
+      assert(p(4) == a2 * n0.toLong * n0, s"Nyquist band, id=$id")
+    }
+    // loudness invariance: same shape at a different amplitude → same fp
+    val rep = ext.Multimodal.audioFingerprint(spark, sf).collect()
+    assert(rep.length == 500)
+    val byFp = rep.groupBy(_.getAs[String]("fp"))
+    byFp.values.foreach { g =>
+      val first = g.map(_.getAs[Long]("doc_id")).min
+      g.foreach { r =>
+        val dup = Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)
+        if (r.getAs[Long]("doc_id") == first) assert(dup.isEmpty, r.toString)
+        else assert(dup.contains(first), r.toString)
+      }
+    }
+    assert(rep.exists(_.getAs[java.lang.Long]("dup_of") != null),
+      "fixture spectra must collide across docs (48 classes over 500 docs)")
   }
 
   test("decode stub is deterministic and correctly shaped") {
