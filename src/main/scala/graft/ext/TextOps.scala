@@ -333,6 +333,54 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Maximal duplicated RUNS — the variable-length generalization of
+    * [[dupSpans]] toward true suffix-style substring dedup. [[dupSpans]]
+    * merges any overlapping duplicated-gram intervals, so a merged span's
+    * FULL text need not occur twice (two grams duplicated against
+    * different partners can abut). This report extends-while-equal
+    * instead: every duplicated-gram occurrence is ANCHORED to its gram's
+    * canonical survivor (the globally smallest (doc_id, pos) occurrence —
+    * [[stripSpans]]'s election), and consecutive positions merge into one
+    * run only while the ALIGNMENT (anchor doc, position offset) persists.
+    * Overlapping step-1 10-grams that all match the anchor at the same
+    * offset pin every word of the run to the anchor's text, so each
+    * reported span's full variable-length text PROVABLY occurs at its
+    * anchor location too — the ≥2×-corpus-wide invariant is structural,
+    * not probabilistic (the spec still pins it by re-extracting both
+    * sides' words). Canonical anchoring under-merges relative to true
+    * maximal exact matches (a run aligned to a NON-canonical partner
+    * fragments at alignment switches) — the price of staying linear.
+    *
+    * Scale shape: identical to [[stripSpans]] up to survivor election
+    * (hashes on the wire, df-capped, no pair join — candidate cost is
+    * linear in gram count); run assembly is one per-(doc, alignment)
+    * window over positions (the islands trick with step exactly 1), and
+    * the output carries only span coordinates — never text.
+    */
+  def maxSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = dupGramHits(docWords(s, d))
+    val survivors = hits.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("sv"))
+    val anchored = hits.join(survivors, Seq("gh"))
+      .filter(!(col("doc_id") === col("sv.doc_id") && col("pos") === col("sv.pos")))
+      .select(col("doc_id"), col("pos"),
+        col("sv.doc_id").as("a_doc"), (col("sv.pos") - col("pos")).as("a_off"))
+    val byAlign = Window.partitionBy(col("doc_id"), col("a_doc"), col("a_off"))
+      .orderBy(col("pos"))
+    anchored
+      // consecutive positions (step exactly 1) with the same alignment
+      // collapse to one group: pos − row_number is constant on a run
+      .withColumn("grp", col("pos") - row_number().over(byAlign))
+      .groupBy(col("doc_id"), col("a_doc"), col("a_off"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 10).as("e"))
+      .select(col("doc_id"), col("s"), col("e"),
+        (col("e") - col("s")).as("len"),
+        col("a_doc").as("anchor_doc"),
+        (col("a_off") + col("s")).as("anchor_pos"))
+      .orderBy(col("doc_id"), col("s"), col("anchor_doc"), col("anchor_pos"))
+  }
+
   /** First-fit-decreasing sequence packing — the no-split alternative to
     * [[packSequences]]: documents stay whole, each assigned to the first
     * 2048-token bin it fits in after sorting the shard's docs by token
@@ -1320,6 +1368,7 @@ object TextOps {
     "pipe_pack_bestfit" -> packBestFit,
     "tx_dup_spans" -> dupSpans,
     "tx_strip_spans" -> stripSpans,
+    "tx_max_spans" -> maxSpans,
     "pipe_corpus_mix" -> corpusMix
   )
 
@@ -2033,6 +2082,36 @@ object TextOps {
            |       coalesce(r.clean_text, '') AS clean_text
            |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
            |ORDER BY t.doc_id""".stripMargin,
+      "tx_max_spans" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |         md5(array_to_string(ws[CAST(i+1 AS INT):CAST(i+10 AS INT)], ' ')) AS gh
+           |  FROM toks, unnest(range(0, len(ws) - 9)) AS t(i)
+           |  WHERE len(ws) >= 10),
+           |dup AS (SELECT gh FROM grams GROUP BY gh
+           |        HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+           |hits AS (SELECT g.* FROM grams g JOIN dup USING (gh)),
+           |m1 AS (SELECT gh, MIN(doc_id) AS sd FROM hits GROUP BY gh),
+           |m2 AS (SELECT h.gh, m1.sd, MIN(h.pos) AS sp
+           |       FROM hits h JOIN m1 ON h.gh = m1.gh AND h.doc_id = m1.sd
+           |       GROUP BY h.gh, m1.sd),
+           |anchored AS (
+           |  SELECT h.doc_id, h.pos, m2.sd AS a_doc, m2.sp - h.pos AS a_off
+           |  FROM hits h JOIN m2 USING (gh)
+           |  WHERE NOT (h.doc_id = m2.sd AND h.pos = m2.sp)),
+           |grps AS (
+           |  SELECT doc_id, pos, a_doc, a_off,
+           |         pos - ROW_NUMBER() OVER (
+           |           PARTITION BY doc_id, a_doc, a_off ORDER BY pos) AS grp
+           |  FROM anchored)
+           |SELECT doc_id, MIN(pos) AS s, MAX(pos) + 10 AS e,
+           |       MAX(pos) + 10 - MIN(pos) AS len,
+           |       a_doc AS anchor_doc, a_off + MIN(pos) AS anchor_pos
+           |FROM grps GROUP BY doc_id, a_doc, a_off, grp
+           |ORDER BY doc_id, s, anchor_doc, anchor_pos""".stripMargin,
       // FFD replayed as a recursive CTE: the working set advances one doc
       // (per shard) per iteration, carrying the bin-load list as state.
       // nullif(..., 0): this DuckDB's list_position returns 0 (not NULL)

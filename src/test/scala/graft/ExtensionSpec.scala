@@ -550,6 +550,42 @@ class ExtensionSpec extends AnyFunSuite {
       "the fixture's planted near-dups must surface as spans")
   }
 
+  test("max-spans: every reported span's full text occurs >=2x corpus-wide") {
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val spans = ext.TextOps.maxSpans(spark, sf).collect()
+    assert(spans.nonEmpty, "fixture near-dups must produce maximal runs")
+    spans.foreach { r =>
+      val (id, s, e, len) = (r.getAs[Long]("doc_id"), r.getAs[Long]("s"),
+        r.getAs[Long]("e"), r.getAs[Long]("len"))
+      val (aDoc, aPos) = (r.getAs[Long]("anchor_doc"), r.getAs[Long]("anchor_pos"))
+      assert(len == e - s && len >= 10, r.toString)
+      val text = words(id).slice(s.toInt, e.toInt)
+      val anchor = words(aDoc).slice(aPos.toInt, (aPos + len).toInt)
+      // the span's FULL variable-length text matches its anchor word-for-
+      // word at a DIFFERENT location — i.e. it occurs >=2x corpus-wide
+      assert(text == anchor, s"span/anchor text mismatch: $r")
+      assert(aDoc != id || aPos != s, s"span anchored to itself: $r")
+    }
+    // maximality within an alignment: no two spans of the same (doc,
+    // anchor alignment) may touch or overlap — they would have merged
+    spans.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("anchor_doc"),
+        r.getAs[Long]("anchor_pos") - r.getAs[Long]("s")))
+      .values.filter(_.length > 1).foreach { g =>
+        val sorted = g.sortBy(_.getAs[Long]("s"))
+        sorted.sliding(2).foreach { case Array(a, b) =>
+          assert(b.getAs[Long]("s") > a.getAs[Long]("e") - 10 + 1,
+            s"adjacent same-alignment runs failed to merge: $a | $b")
+        }
+      }
+    // the variable-length report must actually exceed single-gram length
+    assert(spans.exists(_.getAs[Long]("len") > 10),
+      "fixture planted dups must yield runs longer than one 10-gram")
+  }
+
   test("strip-spans transformation is consistent with the dup-span report") {
     val report = ext.TextOps.dupSpans(spark, sf)
       .select("doc_id", "dup_tokens").collect()
