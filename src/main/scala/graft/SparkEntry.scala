@@ -38,7 +38,10 @@ object SparkEntry {
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
         "st_hll_stream" -> streaming.StreamOps.hllStream,
         "st_checksum_stream" -> streaming.StreamOps.checksumStream,
-        "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink)
+        "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink,
+        // rows-only BY DESIGN: state-store telemetry is engine-internal
+        // (StreamingSpec pins the invariants)
+        "st_observability" -> streaming.StreamOps.observabilityFrame)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

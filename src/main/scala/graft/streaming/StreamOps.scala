@@ -971,4 +971,57 @@ object StreamOps {
        |       true_distinct
        |FROM est_d CROSS JOIN exact""".stripMargin
   }
+
+  /** Streaming OBSERVABILITY frame — the thing an operator actually
+    * watches at 100 TB: per-micro-batch state-store and watermark
+    * telemetry, surfaced as a queryable DataFrame instead of buried in
+    * logs. Runs a watermarked stateful drain (1-hour tumbling window
+    * aggregate over the events source — the canonical state-store shape)
+    * and converts each `StreamingQueryProgress` into one row:
+    *
+    *   batch_id, num_input_rows, state_rows_total, state_rows_updated,
+    *   state_memory_bytes, watermark_ms, max_event_ms,
+    *   watermark_lag_ms (max event time − watermark — the number that
+    *   pages someone when it grows), batch_duration_ms.
+    *
+    * The progress array is bounded by construction (Spark retains ≤
+    * `spark.sql.streaming.numRecentProgressUpdates` = 100 entries, and an
+    * AvailableNow drain emits a handful of batches), so materializing it
+    * driver-side is the same bounded-collect contract as the QC gate
+    * reports — never data-proportional. ROWS-ONLY BY DESIGN in the
+    * correctness gate: state memory bytes and batch durations are
+    * engine-internal measurements no other engine can replay;
+    * StreamingSpec pins the invariants instead (presence, batch_id
+    * monotonicity, watermark monotonicity, input-row conservation vs the
+    * batch table, positive state size while windows are open).
+    */
+  def observabilityFrame(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_obs")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    def iso(v: String): Long =
+      if (v == null) 0L else java.time.Instant.parse(v).toEpochMilli
+    val rows = q.recentProgress.toSeq.map { p =>
+      val so = p.stateOperators.headOption
+      val wm = iso(p.eventTime.get("watermark"))
+      val mx = iso(p.eventTime.get("max"))
+      (p.batchId, p.numInputRows,
+        so.map(_.numRowsTotal).getOrElse(0L),
+        so.map(_.numRowsUpdated).getOrElse(0L),
+        so.map(_.memoryUsedBytes).getOrElse(0L),
+        wm, mx, math.max(0L, mx - wm), p.batchDuration)
+    }
+    import ss.implicits._
+    rows.toDF("batch_id", "num_input_rows", "state_rows_total",
+      "state_rows_updated", "state_memory_bytes", "watermark_ms",
+      "max_event_ms", "watermark_lag_ms", "batch_duration_ms")
+      .orderBy(col("batch_id"))
+  }
 }

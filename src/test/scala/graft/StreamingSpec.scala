@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * later than the watermark allows.
   */
 class StreamingSpec extends AnyFunSuite {
-  import TestSpark.spark
+  import TestSpark.{sf, spark}
   import graft.streaming.StreamOps.Ev
 
   private def ev(id: Long, t: String, user: Long = 1): Ev =
@@ -421,5 +421,33 @@ class StreamingSpec extends AnyFunSuite {
     val second = spark.read.parquet(s"$root/data").collect().toSet
     assert(first == second, s"replay changed the sink: $first vs $second")
     assert(first.nonEmpty)
+  }
+
+  test("observability frame: per-batch state telemetry with monotone batch ids and watermark") {
+    val obs = streaming.StreamOps.observabilityFrame(spark, sf).collect()
+    assert(obs.nonEmpty, "a drained stateful query must report progress")
+    val ids = obs.map(_.getAs[Long]("batch_id"))
+    assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length,
+      s"batch ids must be strictly increasing: ${ids.mkString(",")}")
+    // watermark only ever advances
+    val wms = obs.map(_.getAs[Long]("watermark_ms"))
+    wms.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a, s"watermark regressed: ${wms.mkString(",")}")
+      case _ => ()
+    }
+    // input-row conservation: the drain saw exactly the batch table
+    val expected = Tables.events(spark, sf).count()
+    assert(obs.map(_.getAs[Long]("num_input_rows")).sum == expected,
+      "drained input rows must equal the batch events count")
+    // the windowed agg must actually hold state while windows are open,
+    // and account for its memory
+    assert(obs.exists(_.getAs[Long]("state_rows_total") > 0),
+      "no batch reported open window state")
+    assert(obs.exists(_.getAs[Long]("state_memory_bytes") > 0),
+      "state store reported zero memory in every batch")
+    obs.foreach { r =>
+      assert(r.getAs[Long]("watermark_lag_ms") >= 0, r.toString)
+      assert(r.getAs[Long]("batch_duration_ms") >= 0, r.toString)
+    }
   }
 }
