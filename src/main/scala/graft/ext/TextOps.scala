@@ -239,7 +239,12 @@ object TextOps {
     * together. That frees the Spark side to use codegen'd xxhash64 over
     * the word slice (no string building, no hex conv) while the oracle
     * groups on md5 of the joined words; words cannot contain the join
-    * separator, so the groupings coincide exactly.
+    * separator, so the groupings coincide exactly — up to a 64-bit
+    * xxhash64 collision, which would merge two distinct grams on the
+    * Spark side only. At any realistic gram count the probability is
+    * negligible (~n²/2⁶⁵), and fixture scale is nowhere near it; a
+    * pipeline that cannot tolerate that bound should widen to a 128-bit
+    * hash (md5, or an xxhash64 pair) at ~5× the hashing cost.
     */
   private def dupGramHits(toks: DataFrame): DataFrame = {
     val grams = toks.filter(size(col("ws")) >= 10)
@@ -1137,6 +1142,13 @@ object TextOps {
     * because a DataFrame is session-bound; the checkpoint blocks are a few
     * KB per corpus. At 100 TB the same role is played by writing the
     * verdict table once and reading it downstream.
+    *
+    * STALENESS ASSUMPTION (deliberate): entries are never evicted, which
+    * pins the checkpoint blocks for the process lifetime and would serve
+    * stale scores if the files under `dir` were regenerated inside one
+    * session. Both are fine in this harness (one session per run,
+    * immutable testdata); a long-lived service would key by (dir,
+    * snapshot-version) or clear entries on session stop.
     */
   private val lmMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
