@@ -1132,7 +1132,183 @@ object ExtraOps {
     Tables.lineitem(s, d).stat.crosstab("l_returnflag", "l_linestatus")
       .orderBy(col("l_returnflag_l_linestatus"))
 
+  /** k-core decomposition (bounded peel) over the sparse co-purchase
+    * graph — the DENSITY leg of the graph family (structure = triangles,
+    * centrality = pagerank, communities = LPA, distance = BFS/Dijkstra,
+    * CORE-NESS = this). Four UNROLLED synchronous peel rounds at k = 10:
+    * each round recomputes every surviving node's degree WITHIN the
+    * surviving subgraph (adjacency semi-joined against the alive set on
+    * both endpoints, one partial-aggregated count) and drops nodes below
+    * k. Synchronous rounds are deterministic — classic sequential peeling
+    * is removal-order-dependent and could never hash-verify — and both
+    * engines run exactly 4 rounds, so the result is identical even where
+    * the peel has not converged. Non-core nodes report core_deg = -1, so
+    * the core boundary is part of the verified output.
+    *
+    * At 100 TB: the adjacency is the localCheckpointed loop-invariant big
+    * side (bucket by `node` on a cluster and every round's semi-join
+    * reuses the layout); the mutating side is the alive set — one skinny
+    * BIGINT per surviving node, shrinking every round. This is the
+    * Pregel-style peel expressed as plain joins (the delta-iteration
+    * shape) so AQE sizes each round's exchange as the frontier shrinks.
+    */
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.union(edges.select(col("v"), col("u")))
+      .toDF("node", "nbr")
+      .localCheckpoint() // loop-invariant; reused by all 4 peel rounds
+    val nodes = adj.select(col("node")).distinct()
+    def coreDegrees(alive: DataFrame): DataFrame = adj
+      .join(alive, Seq("node"))
+      .join(alive.withColumnRenamed("node", "nbr"), Seq("nbr"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var alive = nodes
+    for (_ <- 1 to 4)
+      alive = coreDegrees(alive).filter(col("deg") >= 10).select(col("node"))
+    val finalDeg = coreDegrees(alive)
+    nodes
+      .join(alive.withColumn("alive", lit(true)), Seq("node"), "left")
+      .join(finalDeg, Seq("node"), "left")
+      .select(col("node").as("part_id"),
+        coalesce(col("alive"), lit(false)).as("in_core"),
+        when(col("alive"), coalesce(col("deg"), lit(0L)))
+          .otherwise(lit(-1L)).as("core_deg"))
+      .orderBy(col("part_id"))
+  }
+
+  /** Association-rule mining (market-basket pairs) over order baskets —
+    * support / confidence / lift for co-purchased part pairs, the
+    * recommender-feed shape. The scale discipline is the APRIORI prune:
+    * items below minimum support are dropped BEFORE the pair self-join,
+    * so the quadratic step runs only on frequent items — candidate pairs
+    * are O(Σ basket_frequent²), never Θ(Σ basket²), and the basket join
+    * key (`ok`) hash-partitions both sides. Lift and confidence are one
+    * IEEE division of exact BIGINT products each (supp·N and supp_a·supp_b
+    * stay far under 2^63 while baskets·items < 2^31), so the doubles are
+    * bit-equal cross-engine; the top-20 tail is a TakeOrderedAndProject
+    * with a total (lift, pair) order, never a global sort.
+    */
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val freq = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 5)
+    val fi = baskets.join(freq, Seq("item"))
+    fi.select(col("ok"), col("item").as("item_a"), col("supp").as("supp_a"))
+      .join(fi.select(col("ok"), col("item").as("item_b"),
+        col("supp").as("supp_b")), Seq("ok"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("supp_a"), col("supp_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 2)
+      .crossJoin(broadcast(nOrders))
+      .withColumn("confidence",
+        col("supp_ab").cast("double") / col("supp_a"))
+      .withColumn("lift",
+        (col("supp_ab") * col("n_orders")).cast("double")
+          / (col("supp_a") * col("supp_b")).cast("double"))
+      .select(col("item_a"), col("item_b"), col("supp_a"), col("supp_b"),
+        col("supp_ab"), col("confidence"), col("lift"))
+      .orderBy(desc("lift"), col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** Per-group winsorization at the 5th/95th percentile — the outlier-cap
+    * step of a feature-cleaning pipeline. The bounds are DISCRETE
+    * percentiles (the value at rank ⌈p·n⌉ under a fully specified unique
+    * ordering — `percentile_disc` semantics), not interpolated: the bound
+    * is always a value the data contains, every comparison is exact, and
+    * the clamped mean goes through the [[graft.Det]] decimal-sum so the
+    * result is identical on any partitioning. Rank thresholds are integer
+    * arithmetic (⌈n/20⌉ = (n+19) div 20) — no float epsilons anywhere.
+    *
+    * Two passes over the group (rank window + re-join of the 3-row bounds
+    * frame, broadcast) — at 100 TB the rank window is the cost; the
+    * sketch route ([[weightedQuantileSketch]]'s binned cumsum) replaces
+    * the sort when the value domain is integral, same discipline as the
+    * median pair.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_lo", expr("(n + 19) DIV 20"))
+      .withColumn("k_hi", expr("(19 * n + 19) DIV 20"))
+    val bounds = ranked.join(broadcast(counts), Seq("l_returnflag"))
+      .filter(col("rn") === col("k_lo") || col("rn") === col("k_hi"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(when(col("rn") === col("k_lo"), col("l_quantity"))).as("p05"),
+        max(when(col("rn") === col("k_hi"), col("l_quantity"))).as("p95"))
+    Tables.lineitem(s, d)
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("cl",
+        least(greatest(col("l_quantity"), col("p05")), col("p95")))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        sum(when(col("l_quantity") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("l_quantity") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+        Det.davg(col("l_quantity"), scale = 2).as("mean_raw"),
+        Det.davg(col("cl"), scale = 2).as("mean_winsor"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exponentially weighted moving average of daily revenue per return
+    * flag — trend smoothing with α = ½ over an 8-day window, the
+    * monitoring shape behind drift dashboards. α = ½ makes every weight a
+    * POWER OF TWO (2⁰…2⁷ by recency), so the weighted numerator is an
+    * exact decimal sum of decimal·integer products and the whole EWMA is
+    * ONE IEEE division at the end — no pow(), no float accumulation, the
+    * result cannot depend on partitioning. Missing days self-normalize:
+    * the denominator is the sum of the weights actually present.
+    *
+    * Plan shape: pre-aggregate to the (flag, day) grain FIRST — the 100 TB
+    * fact collapses to |groups|·|days| rows before the 8-day range
+    * self-join, so the quadratic-looking step runs on the tiny smoothed
+    * frame (the same pre-agg-then-window discipline as
+    * [[monthOverMonth]]); a per-offset weight rules out a plain window
+    * sum, and an 8-wide bounded range join on the aggregated grain is
+    * cheaper than exploding weight rows.
+    */
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(Det.money(col("l_extendedprice"))).as("rev"))
+    val hist = daily.select(col("l_returnflag").as("rf2"),
+      col("day").as("day2"), col("rev").as("rev2"))
+    daily.join(hist, col("l_returnflag") === col("rf2")
+        && col("day2") <= col("day")
+        && col("day2") >= date_sub(col("day"), 7))
+      .withColumn("w",
+        expr("CAST(shiftleft(1, 7 - datediff(day, day2)) AS BIGINT)"))
+      .groupBy(col("l_returnflag"), col("day"), col("rev"))
+      .agg(sum(col("rev2") * col("w")).as("wrev"), sum(col("w")).as("wsum"),
+        count(lit(1)).as("n_window"))
+      .select(col("l_returnflag"), col("day"),
+        col("rev").cast("double").as("day_rev"),
+        (col("wrev").cast("double") / col("wsum")).as("ewma"),
+        col("n_window"))
+      .orderBy(col("l_returnflag"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kcore" -> kcore,
+    "x_assoc_rules" -> assocRules,
+    "x_winsorize" -> winsorize,
+    "x_ewma" -> ewma,
     "x_crosstab" -> crosstab,
     "x_correlation" -> correlation,
     "x_skyline" -> skyline,
@@ -1183,6 +1359,96 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_kcore" -> {
+      def peel(prev: String, out: String): String =
+        s"""$out AS (SELECT a.node FROM adj a
+           |  JOIN $prev p ON a.node = p.node
+           |  JOIN $prev q ON a.nbr = q.node
+           |  GROUP BY a.node HAVING COUNT(*) >= 10)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem
+         |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |v0 AS (SELECT DISTINCT node FROM adj),
+         |${peel("v0", "v1")},
+         |${peel("v1", "v2")},
+         |${peel("v2", "v3")},
+         |${peel("v3", "v4")},
+         |deg AS (SELECT a.node, COUNT(*) AS core_deg FROM adj a
+         |        JOIN v4 p ON a.node = p.node
+         |        JOIN v4 q ON a.nbr = q.node
+         |        GROUP BY a.node)
+         |SELECT n.node AS part_id,
+         |       v4.node IS NOT NULL AS in_core,
+         |       CAST(CASE WHEN v4.node IS NOT NULL
+         |                 THEN COALESCE(deg.core_deg, 0)
+         |                 ELSE -1 END AS BIGINT) AS core_deg
+         |FROM v0 n
+         |LEFT JOIN v4 ON n.node = v4.node
+         |LEFT JOIN deg ON n.node = deg.node
+         |ORDER BY part_id""".stripMargin
+    },
+    "x_assoc_rules" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        |            FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM bk),
+        |f AS (SELECT item, COUNT(*) AS supp FROM bk
+        |      GROUP BY item HAVING COUNT(*) >= 5),
+        |fi AS (SELECT bk.ok, bk.item, f.supp FROM bk JOIN f USING (item)),
+        |p AS (SELECT x.item AS item_a, y.item AS item_b,
+        |             x.supp AS supp_a, y.supp AS supp_b,
+        |             COUNT(*) AS supp_ab
+        |      FROM fi x JOIN fi y ON x.ok = y.ok AND x.item < y.item
+        |      GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+        |SELECT item_a, item_b, supp_a, supp_b, supp_ab,
+        |       CAST(supp_ab AS DOUBLE) / supp_a AS confidence,
+        |       CAST(supp_ab * n_orders AS DOUBLE)
+        |         / CAST(supp_a * supp_b AS DOUBLE) AS lift
+        |FROM p, n
+        |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "x_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |k AS (SELECT l_returnflag, COUNT(*) AS n,
+        |             (COUNT(*) + 19) // 20 AS k_lo,
+        |             (19 * COUNT(*) + 19) // 20 AS k_hi
+        |      FROM lineitem GROUP BY 1),
+        |b AS (SELECT r.l_returnflag,
+        |        MAX(CASE WHEN rn = k_lo THEN l_quantity END) AS p05,
+        |        MAX(CASE WHEN rn = k_hi THEN l_quantity END) AS p95
+        |      FROM ranked r JOIN k USING (l_returnflag)
+        |      WHERE rn = k_lo OR rn = k_hi GROUP BY 1),
+        |w AS (SELECT l.l_returnflag, l.l_quantity, b.p05, b.p95,
+        |        LEAST(GREATEST(l.l_quantity, b.p05), b.p95) AS cl
+        |      FROM lineitem l JOIN b USING (l_returnflag))
+        |SELECT l_returnflag, MAX(p05) AS p05, MAX(p95) AS p95,
+        |  CAST(SUM(CASE WHEN l_quantity < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN l_quantity > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_quantity) AS mean_raw,
+        |  CAST(SUM(CAST(cl AS DECIMAL(30,2))) AS DOUBLE) / COUNT(cl) AS mean_winsor
+        |FROM w GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "x_ewma" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT a.l_returnflag, a.day,
+        |       CAST(a.rev AS DOUBLE) AS day_rev,
+        |       CAST(SUM(b.rev * (1 << (7 - date_diff('day', b.day, a.day))))
+        |              AS DOUBLE)
+        |         / SUM(1 << (7 - date_diff('day', b.day, a.day))) AS ewma,
+        |       COUNT(*) AS n_window
+        |FROM daily a JOIN daily b
+        |  ON a.l_returnflag = b.l_returnflag
+        | AND b.day <= a.day AND b.day >= a.day - 7
+        |GROUP BY a.l_returnflag, a.day, a.rev
+        |ORDER BY a.l_returnflag, a.day""".stripMargin,
     "x_crosstab" ->
       """SELECT l_returnflag AS l_returnflag_l_linestatus,
         |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,

@@ -249,4 +249,78 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("k-core: core membership is consistent with full-graph degree") {
+    val out = ops.ExtraOps.kcore(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (inCore, deg) = (r.getAs[Boolean]("in_core"), r.getAs[Long]("core_deg"))
+      if (inCore) assert(deg >= 0, s"node ${r.get(0)}: in-core with deg $deg")
+      else assert(deg == -1L, s"node ${r.get(0)}: out-of-core must report -1")
+    }
+    // necessary condition: a k-core member needs >= k neighbors in the FULL
+    // graph (the core subgraph can only have fewer). Recompute full degrees
+    // independently and cross-check every survivor.
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v")).select(col("u"), col("v")).distinct()
+    val fullDeg = edges.union(edges.select(col("v"), col("u")))
+      .toDF("node", "nbr").groupBy("node").agg(count(lit(1)).as("deg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.filter(_.getAs[Boolean]("in_core")).foreach { r =>
+      val n = r.getAs[Long]("part_id")
+      assert(fullDeg(n) >= 10, s"node $n in 10-core but full degree ${fullDeg(n)}")
+      assert(r.getAs[Long]("core_deg") <= fullDeg(n),
+        s"node $n: core degree exceeds full degree")
+    }
+  }
+
+  test("association rules: support/confidence/lift identities hold") {
+    val out = ops.ExtraOps.assocRules(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (sa, sb, sab) = (r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"),
+        r.getAs[Long]("supp_ab"))
+      assert(sab <= math.min(sa, sb), "pair support cannot exceed item support")
+      assert(sa >= 5 && sb >= 5, "apriori prune: both items must be frequent")
+      assert(sab >= 2, "pair min-support")
+      val conf = r.getAs[Double]("confidence")
+      assert(conf == sab.toDouble / sa && conf > 0 && conf <= 1.0)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+  }
+
+  test("winsorize: clamped mean sits inside the bounds, tails counted") {
+    ops.ExtraOps.winsorize(spark, sf).collect().foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      assert(p05 <= p95)
+      val mw = r.getAs[Double]("mean_winsor")
+      assert(mw >= p05 && mw <= p95, s"winsorized mean $mw outside [$p05,$p95]")
+      // rank-based discrete percentiles: strictly-below-p05 rows are < 5%
+      // of the group (ties AT the bound are not clipped)
+      val n = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === r.getString(0)).count()
+      assert(r.getAs[Long]("n_lo") <= n / 20 + 1)
+      assert(r.getAs[Long]("n_hi") <= n / 20 + 1)
+    }
+  }
+
+  test("ewma: single-day windows degenerate to the day's value") {
+    val out = ops.ExtraOps.ewma(spark, sf).collect()
+    assert(out.nonEmpty)
+    val firstPerFlag = out.groupBy(_.getString(0)).values.map(_.minBy(
+      _.getAs[java.sql.Date]("day").toString))
+    firstPerFlag.foreach { r =>
+      assert(r.getAs[Long]("n_window") == 1L)
+      assert(r.getAs[Double]("ewma") == r.getAs[Double]("day_rev"),
+        "window of one day must equal the raw value")
+    }
+    // smoothing stays within the window's observed range
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_window") >= 1L && r.getAs[Long]("n_window") <= 8L)
+    }
+  }
 }
