@@ -751,7 +751,48 @@ object Dedup {
       .orderBy(col("est_decile"), col("exact_decile"))
   }
 
+  /** Blocked fuzzy record linkage (entity resolution) over the part
+    * dimension — the Splink/Dedupe.io shape: candidate pairs come from a
+    * BLOCKING key (here the head noun of the name), never from an
+    * all-pairs cross join, and each candidate is scored with edit
+    * distance. Two scale disciplines stack:
+    *
+    *  1. linkage runs on DISTINCT names, not rows — the dimension's
+    *     attribute domain is orders of magnitude smaller than the table
+    *     (64 names for 2 000 parts here; the same ratio holds for
+    *     street/employer/name columns at 100 TB), and each name carries
+    *     its row count so the pair report still quantifies row impact;
+    *  2. within a block the pair join is (block key)-partitioned —
+    *     O(Σ block²) on the distinct-value domain, and a skewed block is
+    *     salt-able exactly like any hot join key.
+    *
+    * The match score 1 − dist/max(len) is ONE IEEE division of exact
+    * ints, bit-equal cross-engine ([[graft.Det]] discipline); `x_fuzzy_match`
+    * (AggJoinOps) is the all-pairs demo on a 25-row dim — THIS is the
+    * form that survives a real dimension.
+    */
+  def recordLinkage(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(lower(col("p_name")).as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("noun", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("noun"), col("name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("noun"), col("name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .withColumn("score", lit(1.0) - col("dist").cast("double")
+        / greatest(length(col("name_a")), length(col("name_b"))))
+      .select(col("name_a"), col("name_b"), col("noun"), col("dist"),
+        col("score"), col("n_parts_a"), col("n_parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_record_linkage" -> recordLinkage,
     "dd_minhash_accuracy" -> minhashAccuracy,
     "dd_band_stats" -> bandStats,
     "dd_contamination" -> contamination,
@@ -798,6 +839,20 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_record_linkage" ->
+      """WITH names AS (
+        |  SELECT lower(p_name) AS name, COUNT(*) AS n_parts,
+        |         split_part(lower(p_name), ' ', -1) AS noun
+        |  FROM part GROUP BY 1, 3)
+        |SELECT a.name AS name_a, b.name AS name_b, a.noun,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        |       1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+        |         / GREATEST(length(a.name), length(b.name)) AS score,
+        |       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "dd_minhash_accuracy" ->
       s"""WITH $shingCte,
          |${sigCteFor("shing", "sig")},

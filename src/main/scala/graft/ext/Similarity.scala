@@ -915,7 +915,65 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, the Cormack
+    * k=60 form): the production RAG ranker — a DENSE ranker (embedding
+    * cosine over the candidate corpus) and a SPARSE ranker (distinct
+    * shared-token overlap between query text and candidate text) each
+    * rank every candidate, and the fused score is
+    * 1/(60+r_dense) + 1/(60+r_sparse). Fusing RANKS instead of scores
+    * needs no score normalization ACROSS rankers — which is also why it
+    * hash-verifies: ranks are exact integers under total (score, doc_id)
+    * orders, so the fused double is two exact IEEE divisions + one add,
+    * bit-equal cross-engine.
+    *
+    * Plan shape: the two rankers never touch each other's data — vectors
+    * score vectors (5-row query side broadcast), tokens join tokens
+    * through an inverted-index join on the token key (candidate tokens
+    * never cross-join; overlap is O(Σ shared-token postings)) — and only
+    * (qid, doc_id, rank) skinny frames meet at the fusion join. At
+    * 100 TB each leg is the already-certified shape ([[topKBrute]] /
+    * `tx_bm25`'s index) and fusion stays a per-query merge of two
+    * candidate lists.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .filter(col("qid") < 5)
+    val dense = q.hint("broadcast").join(e.filter(col("vec_id") >= 5))
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+      .select(col("qid"), col("vec_id").as("doc_id"), col("cosine"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("doc_id"))
+    val denseRank = dense
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val overlap = toks.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(toks.filter(col("doc_id") >= 5), Seq("tok"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(desc("shared"), col("doc_id"))
+    val sparseRank = dense.select(col("qid"), col("doc_id"))
+      .join(overlap, Seq("qid", "doc_id"), "left")
+      .na.fill(0L, Seq("shared"))
+      .withColumn("sparse_rank", row_number().over(ws).cast("long"))
+    val wf = Window.partitionBy(col("qid")).orderBy(desc("rrf"), col("doc_id"))
+    denseRank.join(sparseRank, Seq("qid", "doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60) + col("dense_rank"))
+          + lit(1.0) / (lit(60) + col("sparse_rank")))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("doc_id"), col("dense_rank"),
+        col("sparse_rank"), col("shared"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_rrf" -> hybridRrf,
     "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
     "sim_sq8_topk" -> sq8TopK,
@@ -1126,6 +1184,43 @@ object Similarity {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_hybrid_rrf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |dense AS (
+         |  SELECT q.qid, e.vec_id AS doc_id, ${duckCos("qv", "embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id >= 5),
+         |dr AS (
+         |  SELECT qid, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, doc_id) AS dense_rank
+         |  FROM dense),
+         |toks AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents)
+         |  WHERE length(tok) > 0),
+         |ov AS (
+         |  SELECT a.doc_id AS qid, b.doc_id, COUNT(*) AS shared
+         |  FROM toks a JOIN toks b ON a.tok = b.tok
+         |  WHERE a.doc_id < 5 AND b.doc_id >= 5 GROUP BY 1, 2),
+         |sr AS (
+         |  SELECT d.qid, d.doc_id, COALESCE(ov.shared, 0) AS shared,
+         |    ROW_NUMBER() OVER (PARTITION BY d.qid
+         |      ORDER BY COALESCE(ov.shared, 0) DESC, d.doc_id) AS sparse_rank
+         |  FROM (SELECT qid, doc_id FROM dense) d
+         |  LEFT JOIN ov ON d.qid = ov.qid AND d.doc_id = ov.doc_id),
+         |f AS (
+         |  SELECT dr.qid, dr.doc_id, dr.dense_rank, sr.sparse_rank, sr.shared,
+         |    CAST(1.0 AS DOUBLE) / (60 + dr.dense_rank)
+         |      + CAST(1.0 AS DOUBLE) / (60 + sr.sparse_rank) AS rrf
+         |  FROM dr JOIN sr ON dr.qid = sr.qid AND dr.doc_id = sr.doc_id)
+         |SELECT qid,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, CAST(dense_rank AS BIGINT) AS dense_rank,
+         |  CAST(sparse_rank AS BIGINT) AS sparse_rank, shared, rrf
+         |FROM f QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim_ivfpq_topk" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
     "sim_sq8_topk" ->

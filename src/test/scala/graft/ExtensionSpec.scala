@@ -812,4 +812,53 @@ class ExtensionSpec extends AnyFunSuite {
     val stored = probe.collect().map(_.toString).toSeq
     assert(stored == inline)
   }
+
+  test("record linkage: blocking is exhaustive within the noun block") {
+    // Recompute the match set all-pairs on the (tiny) distinct-name domain
+    // driver-side and pin: the blocked join returns EXACTLY the all-pairs
+    // matches whose names share the blocking noun — blocking loses only
+    // cross-noun pairs, the documented recall trade.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf)
+      .select(lower(col("p_name"))).distinct().collect()
+      .map(_.getString(0)).sorted
+    val expect = (for {
+      a <- names; b <- names if a < b
+      if a.split(" ").last == b.split(" ").last
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    val got = ext.Dedup.recordLinkage(spark, sf).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Int]("dist"))).toSet
+    assert(got == expect,
+      s"missing: ${expect -- got}; spurious: ${got -- expect}")
+    assert(expect.nonEmpty, "fixture should contain fuzzy name matches")
+  }
+
+  test("hybrid RRF: fused score is the exact reciprocal-rank identity") {
+    val out = ext.Similarity.hybridRrf(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dr, sr) = (r.getAs[Long]("dense_rank"), r.getAs[Long]("sparse_rank"))
+      assert(dr >= 1 && sr >= 1)
+      val expect = 1.0 / (60 + dr) + 1.0 / (60 + sr)
+      assert(r.getAs[Double]("rrf") == expect,
+        s"rrf must be bit-exact: got ${r.getAs[Double]("rrf")}, want $expect")
+    }
+    // per query: fused ranks are 1..5 and descending in rrf
+    out.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val rrfs = sorted.map(_.getAs[Double]("rrf")).toSeq
+      assert(rrfs == rrfs.sorted.reverse, "fused list must be rrf-descending")
+    }
+  }
 }
