@@ -1304,7 +1304,122 @@ object ExtraOps {
       .orderBy(col("l_returnflag"), col("day"))
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic customer-value cube, one row per customer with quintile
+    * scores 1-5 per dimension and the concatenated segment label
+    * ("555" = best). All three raw measures are exact (max date, count,
+    * decimal sum); the quintile cut is `ntile(5)` over a TOTAL order
+    * (measure, then custkey) so bucket boundaries are deterministic and
+    * the oracle replays them — ntile's bucket-size rule (first n mod k
+    * buckets take the extra row) is SQL-standard and engine-identical.
+    *
+    * Plan shape: one groupBy(custkey) over orders, then three window
+    * passes over the 1-row-per-customer frame — the windows run on the
+    * AGGREGATED grain (|customers| rows), not the fact, so at 100 TB the
+    * fact is touched once and the ranking cost is dimension-sized.
+    */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(Det.money(col("o_totalprice"))).as("monetary_dec"))
+    def quint(order: Column*): Column =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    base
+      .withColumn("r_score", quint(col("last_order"), col("o_custkey")))
+      .withColumn("f_score", quint(col("frequency"), col("o_custkey")))
+      .withColumn("m_score", quint(col("monetary_dec"), col("o_custkey")))
+      .select(col("o_custkey"), col("last_order"), col("frequency"),
+        col("monetary_dec").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("rfm_segment"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Gini coefficient of customer spend per market segment — the
+    * inequality / concentration gauge (is 80% of revenue in 20% of
+    * customers?). Uses the rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    * on ascending-sorted totals: with xᵢ exact decimals and ranks exact
+    * integers, numerator and denominator are EXACT decimal products and
+    * the coefficient is one IEEE division — bit-equal cross-engine, no
+    * float accumulation ([[graft.Det]] discipline applied to a formula
+    * that textbooks write with floating sums).
+    *
+    * Plan: fact → per-customer totals (one shuffle), rank window on the
+    * customer grain, one final 4-row aggregate. The sort is
+    * dimension-sized, never fact-sized.
+    */
+  def gini(s: SparkSession, d: String): DataFrame = {
+    val totals = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(Det.money(col("o_totalprice"))).as("x"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("x"), col("c_custkey"))
+    totals.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("x")).as("sx"), sum(col("x") * col("i")).as("sxi"))
+      // exact decimal sums; THEN a fixed expression tree of IEEE products
+      // (each exact-rounded, both engines identical) — avoids Spark's
+      // silent decimal-overflow-to-null on the n·Σx product
+      .withColumn("gini",
+        (lit(2.0) * col("sxi").cast("double")
+          - (col("n_customers") + 1).cast("double") * col("sx").cast("double"))
+          / (col("n_customers").cast("double") * col("sx").cast("double")))
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("sx").cast("double").as("total_spend"), col("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Link prediction over the sparse co-purchase graph: common-neighbor
+    * count and neighbor-Jaccard for NON-adjacent node pairs — the
+    * "customers also bought" candidate generator, and the graph family's
+    * predictive leg (structure/centrality/communities/distance/core-ness
+    * are all descriptive). Candidate pairs come from the WEDGE join
+    * (adjacency ⋈ adjacency on the shared middle node) so only pairs
+    * with ≥1 common neighbor ever materialize — O(Σ deg²) on the middle
+    * node, the same budget as [[triangleCount]], where the degree-
+    * orientation trick applies if a hub dominates. Existing edges are
+    * anti-joined away; Jaccard = cn/(deg_u + deg_v − cn) is one IEEE
+    * division of exact ints; top-50 by (jaccard, pair) is a
+    * TakeOrderedAndProject.
+    */
+  def linkPredict(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.union(edges.select(col("v"), col("u")))
+      .toDF("node", "nbr")
+      .localCheckpoint() // reused: wedges, degrees, adjacency anti-join
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("node").as("u"), col("nbr"))
+      .join(adj.select(col("node").as("v"), col("nbr")), Seq("nbr"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    wedges
+      .join(edges, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .withColumn("jaccard", col("cn").cast("double")
+        / (col("deg_u") + col("deg_v") - col("cn")).cast("double"))
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        col("jaccard"))
+      .orderBy(desc("jaccard"), col("u"), col("v"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rfm" -> rfm,
+    "x_gini" -> gini,
+    "x_link_predict" -> linkPredict,
     "x_kcore" -> kcore,
     "x_assoc_rules" -> assocRules,
     "x_winsorize" -> winsorize,
@@ -1359,6 +1474,66 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |         COUNT(*) AS frequency,
+        |         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary_dec
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT o_custkey, last_order, frequency,
+        |    CAST(monetary_dec AS DOUBLE) AS monetary,
+        |    CAST(ntile(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_dec, o_custkey) AS BIGINT) AS m_score
+        |  FROM base)
+        |SELECT o_custkey, last_order, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |         || CAST(m_score AS VARCHAR) AS rfm_segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+    "x_gini" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, x,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY x, c_custkey) AS i
+        |  FROM t),
+        |g AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |         SUM(x) AS sx, SUM(x * i) AS sxi
+        |  FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n_customers,
+        |       CAST(sx AS DOUBLE) AS total_spend,
+        |       (2.0 * CAST(sxi AS DOUBLE)
+        |          - CAST(n_customers + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         / (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+    "x_link_predict" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem
+        |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT u AS node, v AS nbr FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY 1),
+        |w AS (SELECT a.node AS u, b.node AS v, COUNT(*) AS cn
+        |      FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+        |      GROUP BY 1, 2),
+        |nw AS (SELECT w.u, w.v, w.cn
+        |       FROM w LEFT JOIN e ON w.u = e.u AND w.v = e.v
+        |       WHERE e.u IS NULL)
+        |SELECT nw.u, nw.v, nw.cn, du.deg AS deg_u, dv.deg AS deg_v,
+        |       CAST(nw.cn AS DOUBLE)
+        |         / CAST(du.deg + dv.deg - nw.cn AS DOUBLE) AS jaccard
+        |FROM nw JOIN deg du ON nw.u = du.node
+        |        JOIN deg dv ON nw.v = dv.node
+        |ORDER BY jaccard DESC, u, v LIMIT 50""".stripMargin,
     "x_kcore" -> {
       def peel(prev: String, out: String): String =
         s"""$out AS (SELECT a.node FROM adj a

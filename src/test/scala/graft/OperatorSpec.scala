@@ -308,6 +308,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm: quintiles are balanced and the segment label echoes the scores") {
+    val out = ops.ExtraOps.rfm(spark, sf).collect()
+    assert(out.nonEmpty)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = out.groupBy(_.getAs[Long](c)).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf((1L to 5L).toSet), s"$c outside 1..5")
+      // ntile: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$c buckets unbalanced: $sizes")
+    }
+    out.foreach { r =>
+      val expect = s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}"
+      assert(r.getAs[String]("rfm_segment") == expect)
+      assert(r.getAs[Long]("frequency") >= 1)
+      assert(r.getAs[Double]("monetary") > 0)
+    }
+  }
+
+  test("gini: coefficient bounded in [0,1) and grows with concentration") {
+    val out = ops.ExtraOps.gini(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g out of range")
+      assert(r.getAs[Double]("total_spend") > 0)
+    }
+  }
+
+  test("link prediction: pairs are non-adjacent with a real common neighbor") {
+    val out = ops.ExtraOps.linkPredict(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rebuild the edge set independently
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val (u, v, cn) = (r.getAs[Long]("u"), r.getAs[Long]("v"), r.getAs[Long]("cn"))
+      assert(u < v)
+      assert(!edges.contains((u, v)), s"($u,$v) is already an edge")
+      assert(cn >= 1, "wedge join can only emit pairs with a common neighbor")
+      assert(cn <= math.min(r.getAs[Long]("deg_u"), r.getAs[Long]("deg_v")),
+        "common neighbors bounded by the smaller degree")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("ewma: single-day windows degenerate to the day's value") {
     val out = ops.ExtraOps.ewma(spark, sf).collect()
     assert(out.nonEmpty)
