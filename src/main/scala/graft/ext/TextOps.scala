@@ -979,6 +979,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T5-style span corruption — the denoising-objective example builder:
+    * length-2 word spans are replaced by `<extra_id_k>` sentinels in the
+    * input and emitted (sentinel-prefixed) as the target sequence. Spans
+    * start at every position ≡ doc_id (mod 7) — a DETERMINISTIC phase
+    * per document instead of the usual RNG, so the realized corruption
+    * hash-verifies cross-engine while keeping the real T5 plumbing
+    * (non-overlapping spans, ordinal sentinels, input/target split).
+    * With period 7 and span 2, spans can never overlap and the sentinel
+    * ordinal is pure arithmetic: k = (p − r) / 7.
+    *
+    * Everything is ONE codegen'd per-row projection over the split
+    * array — no explode, no shuffle, no UDF: at 100 TB this is a pure
+    * scan→map stage whose output partitioning is inherited, exactly what
+    * a corruption pass fused into tokenization should be.
+    */
+  def spanCorruption(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("r", (col("doc_id") % 7).cast("int"))
+      .withColumn("corrupted", expr(
+        """concat_ws(' ', filter(transform(sequence(0, n - 1), p ->
+          |  CASE WHEN p % 7 = r
+          |         THEN concat('<extra_id_', CAST((p - r) div 7 AS STRING), '>')
+          |       WHEN p >= 1 AND (p - 1) % 7 = r THEN CAST(NULL AS STRING)
+          |       ELSE element_at(ws, p + 1) END),
+          |  x -> x IS NOT NULL))""".stripMargin))
+      .withColumn("targets", expr(
+        """concat_ws(' ', transform(filter(sequence(0, n - 1), p -> p % 7 = r), p ->
+          |  concat('<extra_id_', CAST((p - r) div 7 AS STRING), '> ',
+          |    element_at(ws, p + 1),
+          |    CASE WHEN p + 1 < n THEN concat(' ', element_at(ws, p + 2))
+          |         ELSE '' END)))""".stripMargin))
+      .withColumn("n_masked", expr(
+        "size(filter(sequence(0, n - 1), p -> p % 7 = r OR (p >= 1 AND (p - 1) % 7 = r)))")
+        .cast("long"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("n_masked"), col("corrupted"), col("targets"))
+      .orderBy(col("doc_id"))
+
   /** TF-IDF term ranking with a LOG-FREE rational idf (tf·N/df): ln/log10
     * are libm calls whose last ulp varies across builds, so the verified
     * score keeps idf as the exact rational N/df — one double division of
@@ -1355,6 +1395,7 @@ object TextOps {
     "tx_tfidf" -> tfidf,
     "tx_bm25" -> bm25,
     "pipe_tokenize_ids" -> tokenizeIds,
+    "pipe_span_corruption" -> spanCorruption,
     "tx_chunk_tokens" -> chunkTokens,
     "tx_chunk_dedup" -> chunkDedup,
     "pipe_split" -> trainSplit,
@@ -1611,6 +1652,27 @@ object TextOps {
           |FROM scored
           |QUALIFY rn <= 3
           |ORDER BY doc_id, rn""".stripMargin,
+      "pipe_span_corruption" ->
+        """WITH b AS (
+          |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+          |         len(string_split(lower(text), ' ')) AS n,
+          |         CAST(doc_id % 7 AS BIGINT) AS r
+          |  FROM documents)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          |  CAST(len([p for p in range(0, n)
+          |            if p % 7 = r OR (p >= 1 AND (p - 1) % 7 = r)]) AS BIGINT)
+          |    AS n_masked,
+          |  array_to_string([
+          |    CASE WHEN p % 7 = r
+          |           THEN '<extra_id_' || CAST((p - r) // 7 AS VARCHAR) || '>'
+          |         ELSE ws[p + 1] END
+          |    for p in range(0, n)
+          |    if NOT (p >= 1 AND (p - 1) % 7 = r)], ' ') AS corrupted,
+          |  array_to_string([
+          |    '<extra_id_' || CAST((p - r) // 7 AS VARCHAR) || '> ' || ws[p + 1]
+          |      || CASE WHEN p + 1 < n THEN ' ' || ws[p + 2] ELSE '' END
+          |    for p in range(0, n) if p % 7 = r], ' ') AS targets
+          |FROM b ORDER BY doc_id""".stripMargin,
       "pipe_tokenize_ids" ->
         """WITH freq AS (
           |  SELECT token, COUNT(*) AS freq

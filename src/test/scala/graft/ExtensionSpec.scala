@@ -813,6 +813,32 @@ class ExtensionSpec extends AnyFunSuite {
     assert(stored == inline)
   }
 
+  test("span corruption: corrupted input + targets reconstruct the original") {
+    val out = ext.TextOps.spanCorruption(spark, sf).collect()
+    assert(out.nonEmpty)
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var masked = 0L
+    out.foreach { r =>
+      val tgt = r.getAs[String]("targets")
+      // targets = "<extra_id_0> w ... <extra_id_1> w ..." — split keeps span
+      // texts in sentinel order; ordinals are dense from 0 by construction
+      val spans = tgt.split("<extra_id_\\d+>").toList.drop(1).map(_.trim)
+      val rebuilt = spans.zipWithIndex.foldLeft(r.getAs[String]("corrupted")) {
+        case (acc, (span, k)) => acc.replace(s"<extra_id_$k>", span)
+      }
+      assert(rebuilt == orig(r.getAs[Long]("doc_id")),
+        s"doc ${r.get(0)}: denoising round-trip failed")
+      val spanWords = spans.map(_.split(" ").length).sum
+      assert(spanWords == r.getAs[Long]("n_masked"),
+        s"doc ${r.get(0)}: target spans carry $spanWords words, " +
+          s"n_masked says ${r.getAs[Long]("n_masked")}")
+      masked += r.getAs[Long]("n_masked")
+    }
+    assert(masked > 0, "fixture must actually mask something")
+  }
+
   test("record linkage: blocking is exhaustive within the noun block") {
     // Recompute the match set all-pairs on the (tiny) distinct-name domain
     // driver-side and pin: the blocked join returns EXACTLY the all-pairs
