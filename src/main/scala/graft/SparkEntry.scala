@@ -25,6 +25,7 @@ object SparkEntry {
       ext.BloomFilter.queries ++ plans.TopKPerKey.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
+        "st_topk_stream" -> streaming.StreamOps.topkStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinStream,
@@ -57,6 +58,7 @@ object SparkEntry {
       // real streaming queries, verified against batch oracles
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),
+        "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,
         "st_interval_join" ->
           """SELECT c.user_id AS user_id, c.event_id AS click_id,
             |       p.event_id AS purchase_id,

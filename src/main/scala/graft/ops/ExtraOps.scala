@@ -1416,7 +1416,41 @@ object ExtraOps {
       .limit(50)
   }
 
+  /** Decile lift/gains table of customer spend — the chart behind "the
+    * top 10% of customers carry X% of revenue", and [[gini]]'s curve
+    * twin (gini summarizes the Lorenz curve; this IS the curve, in 10
+    * points). Deciles cut by `ntile(10)` over (spend DESC, custkey) on
+    * the aggregated customer grain; per-decile sums stay exact decimal
+    * through the cumulative window, and the two share columns are each
+    * ONE IEEE division of exact decimals — same [[graft.Det]] discipline.
+    * Fact scanned once; every window runs on dimension-sized frames.
+    */
+  def liftCurve(s: SparkSession, d: String): DataFrame = {
+    val totals = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Det.money(col("o_totalprice"))).as("x"))
+    val ranked = totals.withColumn("decile",
+      ntile(10).over(Window.orderBy(desc("x"), col("o_custkey"))).cast("long"))
+    val byDecile = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("spend_dec"))
+    val wcum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDecile
+      .withColumn("cum_dec", sum(col("spend_dec")).over(wcum))
+      .withColumn("tot_dec", sum(col("spend_dec")).over(wall))
+      .select(col("decile"), col("n_customers"),
+        col("spend_dec").cast("double").as("decile_spend"),
+        (col("spend_dec").cast("double") / col("tot_dec").cast("double"))
+          .as("spend_share"),
+        (col("cum_dec").cast("double") / col("tot_dec").cast("double"))
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_lift_curve" -> liftCurve,
     "x_rfm" -> rfm,
     "x_gini" -> gini,
     "x_link_predict" -> linkPredict,
@@ -1474,6 +1508,26 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_lift_curve" ->
+      """WITH t AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x,
+        |        CAST(ntile(10) OVER (ORDER BY x DESC, o_custkey) AS BIGINT)
+        |          AS decile
+        |      FROM t),
+        |d AS (SELECT decile, COUNT(*) AS n_customers, SUM(x) AS spend_dec
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT decile, n_customers, spend_dec,
+        |        SUM(spend_dec) OVER (ORDER BY decile
+        |          ROWS UNBOUNDED PRECEDING) AS cum_dec,
+        |        SUM(spend_dec) OVER () AS tot_dec
+        |      FROM d)
+        |SELECT decile, n_customers,
+        |       CAST(spend_dec AS DOUBLE) AS decile_spend,
+        |       CAST(spend_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS spend_share,
+        |       CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin,
     "x_rfm" ->
       """WITH base AS (
         |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,

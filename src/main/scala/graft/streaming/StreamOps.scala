@@ -959,6 +959,48 @@ object StreamOps {
         col("true_distinct"))
   }
 
+  /** Streaming windowed top-k — the live-leaderboard shape: a tumbling
+    * 1-hour count aggregate maintained by the state store (Complete
+    * mode), ranked per window at serving time. The rank/aggregate SPLIT
+    * is the point: row_number is not an incremental-state operator, so
+    * the production pattern is exactly this — the stream maintains the
+    * additive (mergeable, bounded-state) aggregate, and the serving
+    * layer ranks the materialized table per read. The drained result
+    * equals the batch twin, so the whole path is oracle-verified.
+    */
+  def topkStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_topk")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start"))
+      .orderBy(desc("n_events"), col("event_type"))
+    ss.table("graft_stream_topk")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("hour_start"), col("rank"))
+  }
+
+  val topkStreamOracle: String =
+    """WITH c AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT hour_start, event_type, n_events,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY hour_start
+      |          ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+      |      FROM c)
+      |SELECT hour_start, event_type, n_events, rank
+      |FROM r WHERE rank <= 3 ORDER BY hour_start, rank""".stripMargin
+
   val hllStreamOracle: String = {
     import graft.ext.{Hashing, HyperLogLog}
     s"""WITH h AS (

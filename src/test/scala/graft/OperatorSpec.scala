@@ -359,6 +359,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("lift curve: shares sum to one, cumulative share is monotone") {
+    val out = ops.ExtraOps.liftCurve(spark, sf).collect().sortBy(_.getAs[Long]("decile"))
+    assert(out.nonEmpty && out.length <= 10)
+    val shares = out.map(_.getAs[Double]("spend_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum to ${shares.sum}")
+    val cums = out.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "cum_share must be monotone")
+    assert(math.abs(cums.last - 1.0) < 1e-9, "last decile must reach full share")
+    // deciles ordered by spend DESC: per-decile spend is non-increasing
+    val spends = out.map(_.getAs[Double]("decile_spend"))
+    // n_customers differs by at most 1 across deciles (ntile balance), so
+    // decile 1 (the biggest spenders) must carry the largest share
+    assert(spends.head == spends.max, "top decile must carry the most spend")
+  }
+
   test("ewma: single-day windows degenerate to the day's value") {
     val out = ops.ExtraOps.ewma(spark, sf).collect()
     assert(out.nonEmpty)
