@@ -1202,7 +1202,12 @@ object ExtraOps {
       .agg(count(lit(1)).as("n_orders"))
     val freq = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= 5)
-    val fi = baskets.join(freq, Seq("item"))
+    // materialize the pruned (basket, item, supp) frame once: both sides
+    // of the pair self-join read it, and without the checkpoint Spark
+    // re-runs the scan+distinct+prune per side (alias-renamed subtrees
+    // don't hit exchange reuse) — the cluster equivalent is persisting
+    // the pruned itemset before the quadratic step, standard apriori
+    val fi = baskets.join(freq, Seq("item")).localCheckpoint()
     fi.select(col("ok"), col("item").as("item_a"), col("supp").as("supp_a"))
       .join(fi.select(col("ok"), col("item").as("item_b"),
         col("supp").as("supp_b")), Seq("ok"))
