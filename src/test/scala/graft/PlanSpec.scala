@@ -431,4 +431,56 @@ class PlanSpec extends AnyFunSuite {
       assert(rows == baseline, "reordering must not change the answer")
     } finally plans.Cbo.disable(spark)
   }
+
+  test("span corruption is a pure map stage — only the final sort shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = sparkPlanAtScale(
+      SparkEntry.queries("pipe_span_corruption")(spark, sf))
+    val parts = p.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning.toString
+    }
+    // a hash partitioning would mean a join/agg sneaked into what must be
+    // scan→project; the one allowed exchange is the deterministic-output
+    // range sort
+    assert(parts.nonEmpty && parts.forall(_.contains("rangepartitioning")),
+      s"span corruption must not hash-shuffle: $parts")
+  }
+
+  test("apriori pair join stays keyed at scale — never cartesian, never broadcast") {
+    val p = planAtScale("x_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the basket-keyed pair self-join must shuffle on ok, not broadcast a
+    // corpus-sized side; the only broadcast is the explicit 1-row total
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2000))
+  }
+
+  test("record linkage joins the aggregated name grain, keyed on the block") {
+    val p = planAtScale("dd_record_linkage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "blocked linkage must not degrade to all-pairs:\n" + p.take(2000))
+    // the block key is the join key → a keyed join on noun
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    // linkage inputs are the DISTINCT-name aggregate, not raw part rows
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("link prediction: wedge join keyed, existing edges leave via LeftAnti") {
+    val p = planAtScale("x_link_predict")
+    assert(p.contains("LeftAnti"), "existing edges must be anti-joined away:\n"
+      + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("hybrid RRF: token overlap joins on the token key at scale") {
+    val p = planAtScale("sim_hybrid_rrf")
+    // the sparse leg is an inverted-index join on tok — keyed, with the
+    // only nested-loop site being the 5-row broadcast query side of the
+    // dense leg (explicit hint, deliberately tiny)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
