@@ -324,7 +324,69 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** Top 3-step user journeys — the product-analytics "what do users DO"
+    * view, extending [[pathTransitions]]'s bigram matrix to trigram
+    * paths. Two `lead`s over the same per-user time order produce each
+    * 3-event window in place (no self-join, no explode); the count
+    * aggregate partial-combines map-side and the top-15 tail is a
+    * TakeOrderedAndProject under a total (count, path) order. At 100 TB
+    * this is one user-keyed window pass — the same shuffle the
+    * sessionizer already pays — plus a skinny (3 strings, count) agg.
+    */
+  def pathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+      .limit(15)
+  }
+
+  /** Single-changepoint estimation per event type via the CUSUM statistic
+    * — "when did this metric's level shift": on the daily count series,
+    * the cumulative deviation S_k = n·cum_k − k·total is INTEGER-exact
+    * (it is n·Σᵢ≤k(cᵢ − total/n) with the rational mean cleared), and the
+    * day maximizing |S_k| is the classic at-most-one-changepoint
+    * estimator. No floats anywhere — the whole statistic is window sums
+    * and products of BIGINTs, so the estimate hash-verifies, where the
+    * textbook mean-based form would drift in the last ulp.
+    *
+    * Plan: fact → (type, day) pre-agg, then three windows on the
+    * day-grain frame (|types|·|days| rows) and a per-type top-1 that
+    * [[graft.plans.TopKPerKey]]-style WindowGroupLimit keeps below the
+    * exchange. Fact scanned once.
+    */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cumW = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("k", row_number().over(byDay).cast("long"))
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("total", sum(col("c")).over(allW))
+      .withColumn("n_days", count(lit(1)).over(allW))
+      .withColumn("abs_s",
+        abs(col("n_days") * col("cum") - col("k") * col("total")))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(desc("abs_s"), col("day"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("day").as("changepoint_day"),
+        col("abs_s").as("max_abs_dev"), col("total").as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_path_trigrams" -> pathTrigrams,
+    "ev_changepoint" -> changepoint,
     "ev_interval_union" -> intervalUnion,
     "ev_abtest" -> abtestMetrics,
     "ev_attribution" -> attribution,
@@ -341,6 +403,41 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_path_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS step1,
+        |         LEAD(event_type, 1) OVER w AS step2,
+        |         LEAD(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM t WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 15""".stripMargin,
+    "ev_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+        |    SUM(c) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |dev AS (
+        |  SELECT event_type, day, n_days, total,
+        |         abs(n_days * cum - k * total) AS abs_s
+        |  FROM scored),
+        |best AS (
+        |  SELECT event_type, n_days, day AS changepoint_day,
+        |         abs_s AS max_abs_dev, total AS n_events,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY abs_s DESC, day) AS rn
+        |  FROM dev)
+        |SELECT event_type, n_days, changepoint_day, max_abs_dev, n_events
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "ev_interval_union" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS st,

@@ -374,6 +374,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(spends.head == spends.max, "top decile must carry the most spend")
   }
 
+  test("changepoint: CUSUM argmax lands on a planted level shift") {
+    import spark.implicits._
+    // 40 days of events for one type: 3/day for days 0-19, 12/day after —
+    // the |S_k| maximizer must be the last low-rate day (the boundary)
+    val rows = for {
+      day <- 0 until 40
+      i <- 0 until (if (day < 20) 3 else 12)
+    } yield (
+      day.toLong * 100 + i,
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(day.toLong * 86400 + i * 60),
+      1L, "shift", 1.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = ext.EventOps.changepoint(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "shift")
+    assert(r.getAs[Long]("n_days") == 40)
+    assert(r.getAs[java.sql.Date]("changepoint_day").toString == "2024-01-20",
+      s"estimator picked ${r.getAs[java.sql.Date]("changepoint_day")}, " +
+        "expected the last low-rate day")
+    // S at the boundary: k=20, cum=60, total=300 → |40·60 − 20·300| = 3600
+    assert(r.getAs[Long]("max_abs_dev") == 3600L)
+  }
+
   test("ewma: single-day windows degenerate to the day's value") {
     val out = ops.ExtraOps.ewma(spark, sf).collect()
     assert(out.nonEmpty)
