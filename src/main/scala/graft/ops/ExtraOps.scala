@@ -1281,25 +1281,29 @@ object ExtraOps {
     * the denominator is the sum of the weights actually present.
     *
     * Plan shape: pre-aggregate to the (flag, day) grain FIRST — the 100 TB
-    * fact collapses to |groups|·|days| rows before the 8-day range
-    * self-join, so the quadratic-looking step runs on the tiny smoothed
-    * frame (the same pre-agg-then-window discipline as
-    * [[monthOverMonth]]); a per-offset weight rules out a plain window
-    * sum, and an 8-wide bounded range join on the aggregated grain is
-    * cheaper than exploding weight rows.
+    * fact collapses to |groups|·|days| rows before the smoothing join, so
+    * the expensive-looking step runs on the tiny smoothed frame (the same
+    * pre-agg-then-window discipline as [[monthOverMonth]]). A per-offset
+    * weight rules out a plain window sum, and a raw `BETWEEN` range join
+    * would plan as a nested loop — so the BOUNDED offset range is
+    * expanded instead: each history day fans out to its 8 (flag, day+i)
+    * target keys and the join becomes a plain hash equi-join. 8× rows on
+    * a day-grain frame beats O(|days|²) comparisons at any scale.
     */
   def ewma(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("day"))
       .agg(sum(Det.money(col("l_extendedprice"))).as("rev"))
-    val hist = daily.select(col("l_returnflag").as("rf2"),
-      col("day").as("day2"), col("rev").as("rev2"))
-    daily.join(hist, col("l_returnflag") === col("rf2")
-        && col("day2") <= col("day")
-        && col("day2") >= date_sub(col("day"), 7))
+    val hist = daily
+      .select(col("l_returnflag").as("rf2"), col("day").as("day2"),
+        col("rev").as("rev2"))
+      .withColumn("off", explode(expr("sequence(0, 7)")))
+      .withColumn("day", expr("date_add(day2, off)"))
+    daily.join(hist,
+        col("l_returnflag") === col("rf2") && daily("day") === hist("day"))
       .withColumn("w",
-        expr("CAST(shiftleft(1, 7 - datediff(day, day2)) AS BIGINT)"))
-      .groupBy(col("l_returnflag"), col("day"), col("rev"))
+        expr("CAST(shiftleft(1, 7 - off) AS BIGINT)"))
+      .groupBy(col("l_returnflag"), daily("day"), col("rev"))
       .agg(sum(col("rev2") * col("w")).as("wrev"), sum(col("w")).as("wsum"),
         count(lit(1)).as("n_window"))
       .select(col("l_returnflag"), col("day"),
