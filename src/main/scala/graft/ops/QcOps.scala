@@ -349,7 +349,61 @@ object QcOps {
       .orderBy(col("col_name"))
   }
 
+  /** Per-column cardinality profile in ONE scan — the schema-discovery /
+    * join-planning metric (is this column a key, an enum, a skewed
+    * dimension?). Five columns stack into (col_name, value) rows so a
+    * SINGLE pass feeds one keyed HLL ([[graft.ext.HyperLogLog]]'s
+    * cross-engine sketch — 256 mergeable registers per column, the
+    * register table is |cols|·256 rows regardless of data size); exact
+    * distinct counts ride along as the verification column. At 100 TB
+    * the stack widens the scan 5× but the shuffle carries only (name,
+    * bucket, rho) partial-maxed registers — profiling N columns costs
+    * one scan + a constant-size exchange, vs N count-distinct shuffles
+    * the naive loop pays. Timestamp columns profile at DATE grain so the
+    * string form is dialect-stable.
+    *
+    * Two estimator columns, matching HLL++'s regime split: `est_distinct`
+    * is the raw harmonic estimate (right for n ≳ 2.5m — keys/dims), and
+    * `n_filled_regs` is the touched-register count — the exact integer
+    * core of the LINEAR-COUNTING small-range path (collision-free ≈ n
+    * for n ≪ m, so enums read exactly). The m·ln(m/V) form itself stays
+    * out of the verified surface: ln is a libm call whose last ulp varies
+    * across engines ([[graft.Det]] discipline), while V is an integer
+    * both engines count identically. `regime` says which column to read.
+    */
+  def cardinalityProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Hashing, HyperLogLog}
+    val cols = Seq(
+      "l_orderkey" -> "CAST(l_orderkey AS STRING)",
+      "l_partkey" -> "CAST(l_partkey AS STRING)",
+      "l_suppkey" -> "CAST(l_suppkey AS STRING)",
+      "l_returnflag" -> "l_returnflag",
+      "l_shipdate" -> "CAST(CAST(l_shipdate AS DATE) AS STRING)")
+    val stacked = Tables.lineitem(s, d).select(expr(
+      s"stack(${cols.length}, " +
+        cols.map { case (n, e) => s"'$n', $e" }.mkString(", ") +
+        ") AS (col_name, v)"))
+    val h = stacked.select(col("col_name"),
+      expr(Hashing.sparkHash("v")).as("h"))
+    val regs = HyperLogLog.regsOfKeyed(h, "col_name")
+    val est = HyperLogLog.estOfKeyed(s,
+      h.select(col("col_name")).distinct(), regs,
+      Seq("col_name"), "est_distinct")
+    val filled = regs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_filled_regs"))
+    val exact = stacked.groupBy(col("col_name"))
+      .agg(graft.Det.exactDistinct(col("v")).as("true_distinct"))
+    est.join(filled, "col_name").join(exact, "col_name")
+      .withColumn("regime",
+        when(col("est_distinct") < 2.5 * HyperLogLog.M, lit("linear_counting"))
+          .otherwise(lit("raw")))
+      .select(col("col_name"), col("est_distinct"), col("n_filled_regs"),
+        col("regime"), col("true_distinct"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_cardinality_profile" -> cardinalityProfile,
     "qc_null_profile" -> nullProfile,
     "qc_chi_square" -> chiSquareDrift,
     "qc_benford" -> benford,
@@ -395,6 +449,46 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc_cardinality_profile" -> {
+      import graft.ext.{Hashing, HyperLogLog}
+      val m = HyperLogLog.M
+      s"""WITH stacked AS (
+         |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT 'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem),
+         |h AS (SELECT col_name, ${Hashing.duckHash("v")} AS h FROM stacked),
+         |regs AS (
+         |  SELECT col_name, CAST(h % $m AS INT) AS bucket,
+         |         MAX(CASE WHEN h // $m = 0 THEN 53
+         |                  ELSE instr(lpad(bin(h // $m), 52, '0'), '1') END) AS mj
+         |  FROM h GROUP BY 1, 2),
+         |filled AS (
+         |  SELECT c.col_name, CAST(bs.b AS INT) AS bucket, COALESCE(regs.mj, 0) AS mj
+         |  FROM (SELECT DISTINCT col_name FROM h) c
+         |  CROSS JOIN (SELECT unnest(range(0, $m)) AS b) bs
+         |  LEFT JOIN regs ON c.col_name = regs.col_name AND bs.b = regs.bucket),
+         |est AS (
+         |  SELECT col_name, 0.7213 / (1 + 1.079 / $m) * $m * $m / list_reduce(
+         |    list_prepend(0.0, [pow(2.0, -CAST(mj AS DOUBLE))
+         |                       for mj in list(mj ORDER BY bucket)]),
+         |    (acc, v) -> acc + v) AS est_distinct
+         |  FROM filled GROUP BY col_name),
+         |fl AS (
+         |  SELECT col_name, COUNT(*) AS n_filled_regs FROM regs GROUP BY 1),
+         |exact AS (
+         |  SELECT col_name, COUNT(DISTINCT v) AS true_distinct
+         |  FROM stacked GROUP BY 1)
+         |SELECT est.col_name, est_distinct, n_filled_regs,
+         |       CASE WHEN est_distinct < 2.5 * $m THEN 'linear_counting'
+         |            ELSE 'raw' END AS regime,
+         |       true_distinct
+         |FROM est
+         |JOIN fl ON est.col_name = fl.col_name
+         |JOIN exact ON est.col_name = exact.col_name
+         |ORDER BY est.col_name""".stripMargin
+    },
     "qc_null_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")

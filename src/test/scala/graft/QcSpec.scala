@@ -73,4 +73,32 @@ class QcSpec extends AnyFunSuite {
     // untripped checks must not be reported as failures
     assert(!ex.getMessage.contains("ri_orderkey_in_orders"), ex.getMessage)
   }
+
+  test("cardinality profile: sketch estimates track exact counts per column") {
+    val out = ops.QcOps.cardinalityProfile(spark, sf).collect()
+    assert(out.length == 5, "one row per profiled column")
+    out.foreach { r =>
+      val (est, exact) =
+        (r.getAs[Double]("est_distinct"), r.getAs[Long]("true_distinct"))
+      val filled = r.getAs[Long]("n_filled_regs")
+      assert(exact >= 1)
+      assert(filled >= 1 && filled <= 256)
+      if (r.getAs[String]("regime") == "raw") {
+        // raw harmonic regime (n ≳ 2.5m): σ ≈ 1.04/√256 = 6.5%, allow ~3σ
+        val err = math.abs(est - exact) / exact
+        assert(err < 0.20,
+          s"${r.getString(0)}: est $est vs exact $exact (${err * 100}%)")
+      } else if (exact < 64) {
+        // linear-counting regime, collision-free zone (n ≪ m): the
+        // filled-register count reads the cardinality near-exactly
+        assert(math.abs(filled - exact) <= math.max(1L, exact / 10),
+          s"${r.getString(0)}: $filled filled regs vs exact $exact")
+      }
+      // n between m/4 and 2.5m is the documented transition band: both
+      // estimators are biased there and the profile's regime label says so
+    }
+    // the profile must actually separate keys from enums
+    val byName = out.map(r => r.getString(0) -> r.getAs[Long]("true_distinct")).toMap
+    assert(byName("l_returnflag") < 10 && byName("l_orderkey") > 1000)
+  }
 }
