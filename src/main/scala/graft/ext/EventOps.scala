@@ -384,7 +384,45 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** Conversion-latency deciles — [[funnel]] counts WHO converts; this
+    * measures HOW LONG conversion takes: per user, first click → first
+    * subsequent purchase, then the decile profile of the lag
+    * distribution. Lags are integer MICROSECONDS (timestamp subtraction
+    * never leaves exact arithmetic) and the deciles are DISCRETE
+    * rank-threshold percentiles under a total (lag, user) order — the
+    * same no-interpolation discipline as `x_winsorize`, so every
+    * reported value is a lag the data contains and the whole report is
+    * integer-exact. The p-th decile answers "p0% of converters buy
+    * within X" — the SLA view of the funnel.
+    *
+    * Plan: events collapse to one (user, lag) row before any window —
+    * the rank sort runs on the converter grain, not the fact.
+    */
+  def conversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val c1 = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val lags = ev.filter(col("event_type") === "purchase")
+      .join(c1, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"),
+        max(col("t_click")).as("t_click"))
+      .select(col("user_id"),
+        (unix_micros(col("t_buy")) - unix_micros(col("t_click"))).as("lag_us"))
+    val w = Window.orderBy(col("lag_us"), col("user_id"))
+    val ranked = lags.withColumn("rn", row_number().over(w).cast("long"))
+    val n = lags.agg(count(lit(1)).as("n"))
+    s.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(n))
+      .withColumn("k", expr("(decile * n + 9) DIV 10"))
+      .join(ranked, col("k") === col("rn"))
+      .select(col("decile"), col("lag_us").as("lag_us_at_decile"), col("n"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
     "ev_interval_union" -> intervalUnion,
@@ -403,6 +441,26 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_conversion_lag" ->
+      """WITH c1 AS (
+        |  SELECT user_id, MIN(ts) AS t_click FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |lags AS (
+        |  SELECT e.user_id,
+        |         MIN(epoch_us(e.ts)) - MAX(epoch_us(c1.t_click)) AS lag_us
+        |  FROM events e JOIN c1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c1.t_click
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT lag_us,
+        |         ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rn
+        |  FROM lags),
+        |nn AS (SELECT COUNT(*) AS n FROM lags),
+        |d AS (SELECT unnest(range(1, 11)) AS decile)
+        |SELECT d.decile, r.lag_us AS lag_us_at_decile, nn.n
+        |FROM d CROSS JOIN nn
+        |JOIN r ON r.rn = (d.decile * nn.n + 9) // 10
+        |ORDER BY d.decile""".stripMargin,
     "ev_path_trigrams" ->
       """WITH t AS (
         |  SELECT event_type AS step1,

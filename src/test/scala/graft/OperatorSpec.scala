@@ -402,6 +402,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_abs_dev") == 3600L)
   }
 
+  test("conversion lag: deciles are positive, monotone, and end at the max") {
+    val out = ext.EventOps.conversionLag(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(out.map(_.getAs[Long]("decile")).toSeq == (1L to 10L),
+      "one row per decile")
+    val lags = out.map(_.getAs[Long]("lag_us_at_decile"))
+    assert(lags.forall(_ > 0), "purchase strictly after click")
+    assert(lags.zip(lags.tail).forall { case (a, b) => b >= a },
+      "decile curve must be non-decreasing")
+    // decile 10 is the slowest converter: recompute max lag independently
+    val ev = Tables.events(spark, sf)
+    val c1 = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val maxLag = ev.filter(col("event_type") === "purchase")
+      .join(c1, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"),
+        max(col("t_click")).as("t_click"))
+      .selectExpr("max(unix_micros(t_buy) - unix_micros(t_click)) AS m")
+      .collect().head.getLong(0)
+    assert(lags.last == maxLag, s"p100 ${lags.last} != max lag $maxLag")
+  }
+
   test("ewma: single-day windows degenerate to the day's value") {
     val out = ops.ExtraOps.ewma(spark, sf).collect()
     assert(out.nonEmpty)
