@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *  - the 60-bit cross-engine hash ([[Hashing]]): bucket = h mod m,
   *    remaining 52 bits are the register stream;
   *  - rho = 1-based position of the first set bit in the 52-bit window,
-  *    computed with string bit-math (`instr(lpad(bin(w),52,'0'),'1')`) —
+  *    computed as `53 - length(bin(w))` (leading-zeros+1, string-free) —
   *    identical builtins in both engines, no log2 rounding hazards;
   *  - registers folded to the harmonic sum in BUCKET ORDER (the
   *    collect_list → array_sort → aggregate idiom; DuckDB lists with
@@ -41,8 +41,13 @@ object HyperLogLog {
   private[graft] def regsOfKeyed(h: DataFrame, keys: String*): DataFrame = h
     .select(keys.map(col) ++ Seq((col("h") % M).cast("int").as("bucket"),
       expr(s"h DIV $M").as("w")): _*)
+    // leading-zeros+1 of the 52-bit stream. bin(w) has no leading zeros,
+    // so the first '1' of the lpad-52 form sits at 53 − length(bin(w)) —
+    // same value as the textbook instr(lpad(...)) scan without building
+    // two 52-char strings per row (the scan-side hot loop of every
+    // sketch; [[duckRegs]] mirrors the identity)
     .withColumn("rho", expr(
-      "CASE WHEN w = 0 THEN 53 ELSE instr(lpad(bin(w), 52, '0'), '1') END")
+      "CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END")
       .cast("int"))
     .groupBy(keys.map(col) :+ col("bucket"): _*).agg(max(col("rho")).as("mj"))
 
@@ -260,7 +265,7 @@ object HyperLogLog {
     s"""regs_$tag AS (
        |  SELECT CAST(h % $M AS INT) AS bucket,
        |         MAX(CASE WHEN h // $M = 0 THEN 53
-       |                  ELSE instr(lpad(bin(h // $M), 52, '0'), '1') END) AS mj
+       |                  ELSE 53 - length(bin(h // $M)) END) AS mj
        |  FROM $src GROUP BY 1)""".stripMargin
 
   /** Estimate CTE chain from `regs_$tag` → scalar est_$tag. */
@@ -328,7 +333,7 @@ object HyperLogLog {
          |regs AS (
          |  SELECT day, CAST(h % $M AS INT) AS bucket,
          |         MAX(CASE WHEN h // $M = 0 THEN 53
-         |                  ELSE instr(lpad(bin(h // $M), 52, '0'), '1') END) AS mj
+         |                  ELSE 53 - length(bin(h // $M)) END) AS mj
          |  FROM ev GROUP BY 1, 2),
          |win AS (
          |  SELECT d.day AS wday, r.bucket, MAX(r.mj) AS mj
@@ -367,7 +372,7 @@ object HyperLogLog {
          |regs AS (
          |  SELECT grp, CAST(h % $M AS INT) AS bucket,
          |         MAX(CASE WHEN h // $M = 0 THEN 53
-         |                  ELSE instr(lpad(bin(h // $M), 52, '0'), '1') END) AS mj
+         |                  ELSE 53 - length(bin(h // $M)) END) AS mj
          |  FROM h GROUP BY 1, 2),
          |filled AS (
          |  SELECT g.grp, CAST(bs.b AS INT) AS bucket, COALESCE(regs.mj, 0) AS mj

@@ -385,14 +385,37 @@ object QcOps {
         ") AS (col_name, v)"))
     val h = stacked.select(col("col_name"),
       expr(Hashing.sparkHash("v")).as("h"))
-    val regs = HyperLogLog.regsOfKeyed(h, "col_name")
-    val est = HyperLogLog.estOfKeyed(s,
-      h.select(col("col_name")).distinct(), regs,
+    // the register table is ≤ |cols|·256 rows and feeds BOTH the estimate
+    // and the filled-count — materialize it once or each consumer re-runs
+    // the full stack+hash pass over the fact
+    val regs = HyperLogLog.regsOfKeyed(h, "col_name").localCheckpoint()
+    // the key frame is the static column list — deriving it from `h`
+    // would re-run the whole stack+md5 pipeline a second time just to
+    // learn 5 names
+    import s.implicits._
+    val keyFrame = cols.map(_._1).toDF("col_name")
+    val est = HyperLogLog.estOfKeyed(s, keyFrame, regs,
       Seq("col_name"), "est_distinct")
     val filled = regs.groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_filled_regs"))
-    val exact = stacked.groupBy(col("col_name"))
-      .agg(graft.Det.exactDistinct(col("v")).as("true_distinct"))
+    // exact verification side: one column-pruned scan + distinct per
+    // column, unioned. Native types (longs/dates — string casting is
+    // injective on these domains, so counts agree with the stacked
+    // form), and independent single-distinct aggregates instead of one
+    // multi-count-distinct whose Expand pushes (N+1)·rows through a
+    // single aggregate. The sketch side must hash the dialect-stable
+    // string form; the exact side has no such constraint.
+    val exactExprs = Seq(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_partkey" -> col("l_partkey"),
+      "l_suppkey" -> col("l_suppkey"),
+      "l_returnflag" -> col("l_returnflag"),
+      "l_shipdate" -> to_date(col("l_shipdate")))
+    val exact = exactExprs.map { case (n, e) =>
+      Tables.lineitem(s, d)
+        .agg(graft.Det.exactDistinct(e).as("true_distinct"))
+        .withColumn("col_name", lit(n))
+    }.reduce(_.unionByName(_))
     est.join(filled, "col_name").join(exact, "col_name")
       .withColumn("regime",
         when(col("est_distinct") < 2.5 * HyperLogLog.M, lit("linear_counting"))
@@ -462,7 +485,7 @@ object QcOps {
          |regs AS (
          |  SELECT col_name, CAST(h % $m AS INT) AS bucket,
          |         MAX(CASE WHEN h // $m = 0 THEN 53
-         |                  ELSE instr(lpad(bin(h // $m), 52, '0'), '1') END) AS mj
+         |                  ELSE 53 - length(bin(h // $m)) END) AS mj
          |  FROM h GROUP BY 1, 2),
          |filled AS (
          |  SELECT c.col_name, CAST(bs.b AS INT) AS bucket, COALESCE(regs.mj, 0) AS mj
