@@ -972,7 +972,84 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF recall curve — recall@10 vs nprobe, the tuning table every IVF
+    * deployment needs before picking its probe budget: for nprobe ∈
+    * {1, 2, 4}, the fraction of the TRUE top-10 (brute-force cosine) the
+    * probe-limited search recovers, plus the candidate-scan cost that
+    * bought it. The recall/cost TRADE-OFF is the deliverable — a single
+    * recall number (the [[ivfTopK]] demo) can't say whether one more
+    * probe is worth 2× the scans.
+    *
+    * Everything is deterministic, so the whole curve hash-verifies:
+    * assignment and probe order are argmax-cosine with id tie-breaks,
+    * hits are set intersections of rank-10 prefixes under total orders,
+    * and recall is ONE IEEE division of exact counts. Plan shape: the
+    * corpus is assigned once (checkpointed — reused by all three probe
+    * budgets); per-budget candidate lists are bucket-keyed joins; the
+    * brute truth is the one full sweep, which is exactly what the curve
+    * is amortizing — at 100 TB you compute truth on a query SAMPLE, and
+    * 5 queries here IS that sample.
+    */
+  def ivfRecallCurve(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("cid"))
+    val assigned = e.join(broadcast(cent))
+      .withColumn("ccos", expr(cos(s, "embedding", "cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding"),
+        col("cid").as("bucket"))
+      .localCheckpoint() // reused by the truth check and all 3 budgets
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("cand_id"))
+    val brute = q.hint("broadcast")
+      .join(assigned.select(col("cand_id"), col("embedding")))
+      .filter(col("cand_id") =!= col("qid"))
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("ccos"), col("cid"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("ccos", expr(cos(s, "qv", "cv")))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= 4)
+      .select(col("qid"), col("qv"), col("cid").as("bucket"), col("crk"))
+    val budgets = s.range(0, 3).select(
+      expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("nprobe"))
+    val wIvf = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(desc("cosine"), col("cand_id"))
+    val cands = probes.join(broadcast(budgets), col("crk") <= col("nprobe"))
+      .join(assigned, Seq("bucket"))
+      .filter(col("cand_id") =!= col("qid"))
+    val scanned = cands.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_cand_scanned"))
+    val hits = cands
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+      .withColumn("rank", row_number().over(wIvf))
+      .filter(col("rank") <= 10)
+      .join(brute, Seq("qid", "cand_id"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_hits"))
+    // denominator is the FIXED query count — a query with zero recovered
+    // neighbors must still count in the recall denominator
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    hits.join(scanned, Seq("nprobe")).crossJoin(broadcast(nq))
+      .withColumn("recall_at_10",
+        col("n_hits").cast("double") / (col("n_queries") * 10))
+      .select(col("nprobe"), col("n_queries"), col("n_hits"),
+        col("recall_at_10"), col("n_cand_scanned"))
+      .orderBy(col("nprobe"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_recall_curve" -> ivfRecallCurve,
     "sim_hybrid_rrf" -> hybridRrf,
     "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
@@ -1184,6 +1261,55 @@ object Similarity {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_ivf_recall_curve" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 10),
+         |asg AS (
+         |  SELECT vec_id AS cand_id, embedding, cid AS bucket FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.embedding", "c.cv")} DESC, c.cid) AS arn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |brute AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT q.qid, a.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${duckCos("q.qv", "a.embedding")} DESC, a.cand_id) AS rank
+         |    FROM q CROSS JOIN asg a WHERE a.cand_id <> q.qid)
+         |  WHERE rank <= 10),
+         |probes AS (
+         |  SELECT qid, qv, bucket, crk FROM (
+         |    SELECT q.qid, q.qv, c.cid AS bucket,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cid) AS crk
+         |    FROM q CROSS JOIN cent c)
+         |  WHERE crk <= 4),
+         |budgets AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+         |cands AS (
+         |  SELECT b.nprobe, p.qid, p.qv, a.cand_id, a.embedding
+         |  FROM probes p JOIN budgets b ON p.crk <= b.nprobe
+         |  JOIN asg a ON p.bucket = a.bucket
+         |  WHERE a.cand_id <> p.qid),
+         |scanned AS (SELECT nprobe, COUNT(*) AS n_cand_scanned FROM cands GROUP BY 1),
+         |ivf AS (
+         |  SELECT nprobe, qid, cand_id FROM (
+         |    SELECT nprobe, qid, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+         |        ORDER BY ${duckCos("qv", "embedding")} DESC, cand_id) AS rank
+         |    FROM cands)
+         |  WHERE rank <= 10),
+         |h AS (
+         |  SELECT i.nprobe, COUNT(*) AS n_hits
+         |  FROM ivf i JOIN brute ON i.qid = brute.qid AND i.cand_id = brute.cand_id
+         |  GROUP BY 1),
+         |nq AS (SELECT COUNT(*) AS n_queries FROM q)
+         |SELECT h.nprobe, nq.n_queries, h.n_hits,
+         |  CAST(h.n_hits AS DOUBLE) / (nq.n_queries * 10) AS recall_at_10,
+         |  scanned.n_cand_scanned
+         |FROM h JOIN scanned ON h.nprobe = scanned.nprobe CROSS JOIN nq
+         |ORDER BY h.nprobe""".stripMargin,
     "sim_hybrid_rrf" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -869,6 +869,24 @@ class ExtensionSpec extends AnyFunSuite {
     assert(expect.nonEmpty, "fixture should contain fuzzy name matches")
   }
 
+  test("IVF recall curve: recall and scan cost are monotone in nprobe") {
+    val out = ext.Similarity.ivfRecallCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(out.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = out.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.forall(r => r > 0.0 && r <= 1.0))
+    // probing MORE buckets can only add candidates: a superset candidate
+    // list can never lose a true neighbor it already had
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall must be non-decreasing in nprobe: ${recalls.toSeq}")
+    val scans = out.map(_.getAs[Long]("n_cand_scanned"))
+    assert(scans.zip(scans.tail).forall { case (a, b) => b > a },
+      s"scan cost must grow with nprobe: ${scans.toSeq}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_queries") * 10)
+    }
+  }
+
   test("hybrid RRF: fused score is the exact reciprocal-rank identity") {
     val out = ext.Similarity.hybridRrf(spark, sf).collect()
     assert(out.nonEmpty)
