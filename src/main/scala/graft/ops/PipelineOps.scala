@@ -116,6 +116,32 @@ object PipelineOps {
       .orderBy(col("o_custkey"), col("valid_from"))
   }
 
+  /** Point-in-time (time-travel) lookup over the [[scd2Historize]]
+    * dimension — the query SCD2 exists to answer: "what state was every
+    * customer in AS OF date T", for three probe dates. Interval
+    * containment on the half-open [valid_from, valid_to) ranges is
+    * non-overlapping by construction (each valid_to IS the next
+    * valid_from), so exactly one interval matches per (customer, date)
+    * with the customer's history started by then. The 3-row date frame
+    * broadcasts; each SCD row tests 3 containments — at 100 TB this is a
+    * map-side enrich over the historized dimension, never a range
+    * shuffle. A fact-driven as-of (per-row event dates) is the
+    * `ev_asof_join` shape; this is its dimension-snapshot twin.
+    */
+  def scdAsof(s: SparkSession, d: String): DataFrame = {
+    val scd = scd2Historize(s, d)
+    val dates = s.range(0, 3).select(
+      expr("to_timestamp(element_at(array('1996-03-01', '1998-06-01', '2000-09-01'), CAST(id + 1 AS INT)))")
+        .as("as_of"))
+    scd.join(broadcast(dates),
+        col("valid_from") <= col("as_of")
+          && (col("valid_to").isNull || col("valid_to") > col("as_of")))
+      .select(col("as_of"), col("o_custkey"),
+        col("o_orderstatus").as("status_asof"), col("valid_from"),
+        col("is_current"))
+      .orderBy(col("as_of"), col("o_custkey"))
+  }
+
   /** Incremental aggregate maintenance: a stored partial-aggregate table
     * (count + EXACT decimal sum per key, built from the seen rows) merged
     * with the new batch's partials — never rescanning the seen rows — must
@@ -238,6 +264,7 @@ object PipelineOps {
     "pipe_fact_assembly" -> factAssembly,
     "pipe_dim_upsert" -> dimUpsert,
     "pipe_scd2" -> scd2Historize,
+    "pipe_scd_asof" -> scdAsof,
     "pipe_agg_merge" -> aggMerge,
     "x_mode_agg" -> modeAggregate
   )
@@ -317,6 +344,33 @@ object PipelineOps {
          |SELECT * FROM stored s
          |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = s.c_custkey)
          |ORDER BY c_custkey""".stripMargin,
+    "pipe_scd_asof" ->
+      """WITH log AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderstatus,
+        |           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                              ORDER BY o_orderkey) AS rn
+        |    FROM orders) WHERE rn = 1),
+        |changed AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from FROM (
+        |    SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |                                       ORDER BY o_orderdate) AS prev_status
+        |    FROM log)
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+        |scd AS (
+        |  SELECT o_custkey, o_orderstatus, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY o_custkey
+        |                                ORDER BY valid_from) AS valid_to
+        |  FROM changed),
+        |dates AS (
+        |  SELECT unnest([TIMESTAMP '1996-03-01', TIMESTAMP '1998-06-01',
+        |                 TIMESTAMP '2000-09-01']) AS as_of)
+        |SELECT d.as_of, s.o_custkey, s.o_orderstatus AS status_asof,
+        |       s.valid_from, s.valid_to IS NULL AS is_current
+        |FROM scd s JOIN dates d
+        |  ON s.valid_from <= d.as_of
+        | AND (s.valid_to IS NULL OR s.valid_to > d.as_of)
+        |ORDER BY d.as_of, s.o_custkey""".stripMargin,
     "pipe_scd2" ->
       """WITH log AS (
         |  SELECT o_custkey, o_orderdate, o_orderstatus FROM (

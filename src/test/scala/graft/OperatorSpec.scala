@@ -424,6 +424,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(lags.last == maxLag, s"p100 ${lags.last} != max lag $maxLag")
   }
 
+  test("SCD as-of: exactly one interval matches per started history") {
+    val out = ops.PipelineOps.scdAsof(spark, sf).collect()
+    assert(out.nonEmpty)
+    // timestamp columns may surface as sql.Timestamp (LTZ) or
+    // LocalDateTime (NTZ) depending on the file encoding — normalize
+    def ldt(r: org.apache.spark.sql.Row, c: String): java.time.LocalDateTime =
+      r.getAs[Any](c) match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case l: java.time.LocalDateTime => l
+        case other => sys.error(s"unexpected timestamp type: ${other.getClass}")
+      }
+    // half-open non-overlapping intervals → at most one match per
+    // (as_of, customer); duplicates would mean interval overlap
+    val keys = out.map(r => (ldt(r, "as_of"), r.getAs[Long]("o_custkey")))
+    assert(keys.distinct.length == keys.length,
+      "an (as_of, customer) pair matched more than one validity interval")
+    out.foreach { r =>
+      assert(!ldt(r, "valid_from").isAfter(ldt(r, "as_of")),
+        "matched interval must have started by the as-of instant")
+    }
+    // later as-of dates can only see MORE started histories
+    val perDate = out.groupBy(r => ldt(r, "as_of"))
+      .view.mapValues(_.length).toSeq
+      .sortBy(_._1)(Ordering.fromLessThan(_ isBefore _)).map(_._2)
+    assert(perDate.zip(perDate.tail).forall { case (a, b) => b >= a },
+      s"snapshot sizes must be monotone in time: $perDate")
+  }
+
   test("ewma: single-day windows degenerate to the day's value") {
     val out = ops.ExtraOps.ewma(spark, sf).collect()
     assert(out.nonEmpty)
