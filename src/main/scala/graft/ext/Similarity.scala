@@ -1048,7 +1048,39 @@ object Similarity {
       .orderBy(col("nprobe"))
   }
 
+  /** Per-source embedding diversity — the data-mixture health metric:
+    * mean pairwise cosine within each source's documents (high mean =
+    * the source is semantically redundant; its marginal training value
+    * decays). Same source-blocked pair generation as [[pairHistogram]]
+    * (O(Σ source²) on (source, id, vec) rows, never corpus all-pairs).
+    * Each pair cosine is quantized to exact milli-units BEFORE
+    * aggregation, so the sum is an order-free BIGINT and the mean is one
+    * IEEE division — a float mean of 10⁶ pair cosines would be
+    * partition-order-dependent, the exact trap [[graft.Det]] documents.
+    */
+  def sourceDiversity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val e = Tables.embeddings(s, d)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("source"), col("vec_id"), col("embedding"))
+    val a = e.select(col("source"), col("vec_id").as("ia"),
+      col("embedding").as("va"))
+    val b = e.select(col("source"), col("vec_id").as("ib"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("source"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cmilli",
+        floor(expr(cos(s, "va", "vb")) * 1000).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cmilli")).as("sum_milli"))
+      .withColumn("mean_cos_milli",
+        col("sum_milli").cast("double") / col("n_pairs"))
+      .select(col("source"), col("n_pairs"), col("mean_cos_milli"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_source_diversity" -> sourceDiversity,
     "sim_ivf_recall_curve" -> ivfRecallCurve,
     "sim_hybrid_rrf" -> hybridRrf,
     "sim_ivfpq_topk" -> ivfpqTopK,
@@ -1261,6 +1293,19 @@ object Similarity {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_source_diversity" ->
+      s"""WITH e AS (
+         |  SELECT d.source, em.vec_id, em.embedding
+         |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+         |p AS (
+         |  SELECT a.source,
+         |         CAST(floor(${duckCos("a.embedding", "b.embedding")} * 1000)
+         |              AS BIGINT) AS cmilli
+         |  FROM e a JOIN e b
+         |    ON a.source = b.source AND a.vec_id < b.vec_id)
+         |SELECT source, COUNT(*) AS n_pairs,
+         |       CAST(SUM(cmilli) AS DOUBLE) / COUNT(*) AS mean_cos_milli
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "sim_ivf_recall_curve" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 10),
