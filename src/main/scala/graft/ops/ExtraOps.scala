@@ -1458,7 +1458,38 @@ object ExtraOps {
       .orderBy(col("decile"))
   }
 
+  /** Top-N concentration: the 10 highest-revenue parts with each one's
+    * exact share of total revenue and the running concentration — the
+    * entity-level complement of [[liftCurve]]'s decile view ("WHICH
+    * parts carry the revenue", not just "how concentrated is it").
+    * Revenue is the [[graft.Det]] exact-decimal measure; shares divide
+    * exact decimals once per row; the top-10 cut is a
+    * TakeOrderedAndProject over the part-grain aggregate — the fact is
+    * scanned once, the rank runs on |parts| rows, and the total rides
+    * in as a 1-row broadcast.
+    */
+  def topnShare(s: SparkSession, d: String): DataFrame = {
+    val byPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")))
+        .as("rev"))
+    val total = byPart.agg(sum(col("rev")).as("tot"))
+    val w = Window.orderBy(desc("rev"), col("l_partkey"))
+    byPart.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .withColumn("revenue", col("rev").cast("double"))
+      .withColumn("share", col("rev").cast("double") / col("tot").cast("double"))
+      .withColumn("cum_share",
+        sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("tot").cast("double"))
+      .select(col("rank"), col("l_partkey"), col("revenue"), col("share"),
+        col("cum_share"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_topn_share" -> topnShare,
     "x_lift_curve" -> liftCurve,
     "x_rfm" -> rfm,
     "x_gini" -> gini,
@@ -1517,6 +1548,26 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_topn_share" ->
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS tot FROM p),
+        |r AS (
+        |  SELECT l_partkey, rev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS BIGINT)
+        |      AS rank,
+        |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM p)
+        |SELECT rank, l_partkey,
+        |       CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |       CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share
+        |FROM r CROSS JOIN t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "x_lift_curve" ->
       """WITH t AS (
         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
