@@ -38,6 +38,7 @@ object SparkEntry {
         "st_session_builtin" -> streaming.StreamOps.sessionBuiltinStream,
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
         "st_hll_stream" -> streaming.StreamOps.hllStream,
+        "st_cms_stream" -> streaming.StreamOps.cmsStream,
         "st_checksum_stream" -> streaming.StreamOps.checksumStream,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
@@ -78,6 +79,7 @@ object SparkEntry {
         "st_session_builtin" -> streaming.StreamOps.sessionBuiltinOracle,
         "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
         "st_hll_stream" -> streaming.StreamOps.hllStreamOracle,
+        "st_cms_stream" -> streaming.StreamOps.cmsStreamOracle,
         "st_checksum_stream" -> streaming.StreamOps.checksumStreamOracle,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSinkOracle)
 }

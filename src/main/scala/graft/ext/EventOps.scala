@@ -494,7 +494,9 @@ object EventOps {
         |         ROW_NUMBER() OVER (PARTITION BY event_type
         |           ORDER BY abs_s DESC, day) AS rn
         |  FROM dev)
-        |SELECT event_type, n_days, changepoint_day, max_abs_dev, n_events
+        |SELECT event_type, n_days, changepoint_day,
+        |       CAST(max_abs_dev AS BIGINT) AS max_abs_dev,
+        |       CAST(n_events AS BIGINT) AS n_events
         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "ev_interval_union" ->
       """WITH ev AS (

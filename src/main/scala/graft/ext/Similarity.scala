@@ -67,6 +67,50 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Matryoshka truncation audit — recall@10 of HALF-dimension retrieval
+    * against the full-dimension answer (Kusupati et al., "Matryoshka
+    * Representation Learning"). Serving truncated prefixes of an
+    * embedding is the cheapest ANN speedup there is (half the bytes, half
+    * the FLOPs, no re-training, no index rebuild); this query measures
+    * exactly what that costs: both rankings come from ONE scored frame
+    * (the corpus is scanned and joined once; the 32-dim prefix is a
+    * `slice` of the already-loaded vector, not a second column read), two
+    * row_number windows rank full-dim and half-dim cosine per query, and
+    * the overlap of the two top-10 sets is the per-query recall.
+    *
+    * Scale shape: identical to [[topKBrute]] (broadcast queries,
+    * streaming corpus, per-qid windows) — the audit costs ONE extra
+    * cosine per candidate, so it piggybacks on any recall sweep. At
+    * 100 TB the same two-window tail runs over IVF bucket probes instead
+    * of the full scan ([[ivfTopK]]); recall here is exact by
+    * construction because both rankings share the candidate set.
+    */
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        slice(col("embedding"), 1, 32).as("qh"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding"),
+        slice(col("embedding"), 1, 32).as("eh"))
+    val scored = q.hint("broadcast").join(corpus)
+      .withColumn("cos_full", expr(cos(s, "qv", "embedding")))
+      .withColumn("cos_half", expr(cos(s, "qh", "eh")))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos_full"), col("cand_id"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(desc("cos_half"), col("cand_id"))
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rh", row_number().over(wH))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rf") <= 10 && col("rh") <= 10, 1L).otherwise(0L))
+        .as("overlap"))
+      .select(col("qid"), lit(10L).as("k"), col("overlap"),
+        (col("overlap").cast("double") / 10.0).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
   /** Radius (range) search: ALL corpus neighbors within cosine ≥ τ of
     * each query — the retrieval mode contamination sweeps and recall
     * audits use (top-k bounds the answer COUNT; radius search bounds the
@@ -1091,6 +1135,7 @@ object Similarity {
     "sim_vector_norms" -> vectorNorms,
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
+    "sim_matryoshka" -> matryoshkaRecall,
     "sim_range_search" -> rangeSearch,
     "sim_knn_classify" -> knnClassify,
     "sim_ivf_topk" -> ivfTopK,
@@ -1537,6 +1582,27 @@ object Similarity {
          |               ORDER BY votes DESC, label) AS mrn
          |      FROM v)
          |WHERE mrn = 1 ORDER BY qid""".stripMargin,
+    "sim_matryoshka" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, embedding[1:32] AS qh
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (
+         |  SELECT vec_id AS cand_id, embedding, embedding[1:32] AS eh
+         |  FROM embeddings WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT qid, cand_id,
+         |         ${duckCos("qv", "embedding")} AS cos_full,
+         |         ${duckCos("qh", "eh")} AS cos_half
+         |  FROM q CROSS JOIN c),
+         |ranked AS (
+         |  SELECT qid, cand_id,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_full DESC, cand_id) AS rf,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_half DESC, cand_id) AS rh
+         |  FROM scored)
+         |SELECT qid, CAST(10 AS BIGINT) AS k,
+         |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+         |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |scored AS (

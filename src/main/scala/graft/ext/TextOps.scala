@@ -569,6 +569,99 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Token-budget planning (the data-constrained scaling question): given
+    * a training budget B = 1.5× the corpus token count and τ=2
+    * temperature target shares over per-source token mass, how many
+    * tokens does each source owe, how many EPOCHS of it is that, and how
+    * much of the target is unfillable under a 4-epoch repetition cap
+    * (the Muennighoff et al. 2023 "Scaling Data-Constrained Language
+    * Models" rule — repeating data beyond ~4 epochs stops buying loss)?
+    * This is the planning frame a pipeline computes BEFORE launching a
+    * mix job: [[temperatureMix]] realizes a share plan per document;
+    * this answers whether the plan is even satisfiable per source.
+    *
+    * Determinism contract: token counts are exact integers; the only
+    * cross-source float reduction (Σ √n_s) is the deterministic
+    * source-ordered fold (the HLL idiom); share→target is one multiply +
+    * floor into BIGINT; epochs is a single correctly-rounded division of
+    * two exact integers. At 100 TB: one scan of documents (token count,
+    * map-side combined into a |sources|-row frame) — everything after is
+    * arithmetic on that bounded frame; the corpus never shuffles.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val tot = counts.agg(
+      sum(col("n_tokens")).as("corpus_tokens"),
+      expr(
+        """aggregate(
+          |  transform(array_sort(collect_list(
+          |    struct(source, sqrt(CAST(n_tokens AS DOUBLE)) AS w))), x -> x.w),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("w_total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("corpus_tokens * 3 DIV 2"))
+      .withColumn("share",
+        sqrt(col("n_tokens").cast("double")) / col("w_total"))
+      .withColumn("target_tokens",
+        floor(col("share") * col("budget").cast("double")).cast("long"))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("effective_tokens",
+        least(col("target_tokens"), col("n_tokens") * 4))
+      .withColumn("deficit_tokens",
+        col("target_tokens") - col("effective_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("target_tokens"), col("epochs"), col("effective_tokens"),
+        col("deficit_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Curriculum ordering: every document gets a deterministic position in
+    * a quality-staged training order — stages ascend by quality band
+    * (easy/short first), documents within a stage are shuffled by the
+    * md5 hash gate (reproducible, engine-portable, auditable — the same
+    * no-rand() contract as [[corpusMix]]).
+    *
+    * Scale shape — deliberately NO global window: stage is a VALUE band
+    * (1 + floor(4·q) capped to 4, q = least(1, n_words/64); 64 a power
+    * of two so the division is exact), not a rank quartile, so
+    * assignment is a scan; within-stage rank is a window partitioned by
+    * stage; and the global position is stage_rank + the cumulative size
+    * of earlier stages, computed on the ≤4-row stage-size frame and
+    * broadcast back. An ntile/global-row_number formulation would funnel
+    * the corpus through ONE partition — this shape never does.
+    */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("nw",
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long"))
+      .withColumn("q", least(lit(1.0), col("nw").cast("double") / 64.0))
+      .withColumn("stage",
+        least(lit(4L), lit(1L) + floor(col("q") * 4.0).cast("long")))
+      .withColumn("hh",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 10000"))
+    val offsets = docs.groupBy(col("stage")).agg(count(lit(1)).as("sz"))
+      .withColumn("off",
+        coalesce(sum(col("sz")).over(
+          Window.orderBy(col("stage"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage"), col("off"))
+    val wStage = Window.partitionBy(col("stage"))
+      .orderBy(col("hh"), col("doc_id"))
+    docs.withColumn("stage_rank", row_number().over(wStage).cast("long"))
+      .join(broadcast(offsets), Seq("stage"))
+      .select(col("doc_id"), col("stage"), col("q"), col("stage_rank"),
+        (col("off") + col("stage_rank")).as("global_pos"))
+      .orderBy(col("global_pos"))
+  }
+
   /** Corpus vocabulary: top-100 tokens by frequency (tie → lexicographic).
     * The explode is a Generator (one pass, no buffering); the count is a
     * standard partial-agg'd groupBy on the token, and the top-k collapses
@@ -1415,6 +1508,8 @@ object TextOps {
     "tx_oov_rate" -> oovRate,
     "pipe_temperature_mix" -> temperatureMix,
     "pipe_importance_resample" -> importanceResample,
+    "pipe_token_budget" -> tokenBudget,
+    "pipe_curriculum" -> curriculum,
     "pipe_corpus_clean" -> corpusClean,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
@@ -1907,6 +2002,55 @@ object TextOps {
           |  GROUP BY source)
           |SELECT p.source, p.n_docs, p.raw_share, p.weight, n_kept, kept_q_milli
           |FROM plan0 p JOIN kept USING (source) ORDER BY p.source""".stripMargin,
+      "pipe_token_budget" ->
+        """WITH toks AS (
+          |  SELECT source,
+          |         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n
+          |  FROM documents),
+          |counts AS (
+          |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+          |  FROM toks GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+          |        list_reduce(list_prepend(0.0,
+          |          list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+          |          (acc, v) -> acc + v) AS w_total
+          |        FROM counts),
+          |plan0 AS (
+          |  SELECT source, n_docs, n_tokens,
+          |         sqrt(CAST(n_tokens AS DOUBLE)) / w_total AS share,
+          |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / w_total
+          |              * CAST((corpus_tokens * 3) // 2 AS DOUBLE)) AS BIGINT) AS target_tokens
+          |  FROM counts CROSS JOIN tot)
+          |SELECT source, n_docs, n_tokens, share, target_tokens,
+          |       CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
+          |       least(target_tokens, n_tokens * 4) AS effective_tokens,
+          |       target_tokens - least(target_tokens, n_tokens * 4) AS deficit_tokens
+          |FROM plan0 ORDER BY source""".stripMargin,
+      "pipe_curriculum" ->
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS nw
+          |  FROM documents),
+          |st AS (
+          |  SELECT doc_id,
+          |         least(CAST(1.0 AS DOUBLE), CAST(nw AS DOUBLE) / 64.0) AS q,
+          |         least(CAST(4 AS BIGINT), 1 + CAST(floor(
+          |           least(CAST(1.0 AS DOUBLE), CAST(nw AS DOUBLE) / 64.0) * 4.0) AS BIGINT)) AS stage,
+          |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS hh
+          |  FROM docs),
+          |ranked AS (
+          |  SELECT doc_id, stage, q,
+          |         CAST(ROW_NUMBER() OVER (PARTITION BY stage ORDER BY hh, doc_id) AS BIGINT) AS stage_rank
+          |  FROM st),
+          |offs AS (
+          |  SELECT stage,
+          |         CAST(COALESCE(SUM(sz) OVER (ORDER BY stage
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          |  FROM (SELECT stage, COUNT(*) AS sz FROM st GROUP BY 1))
+          |SELECT r.doc_id, r.stage, r.q, r.stage_rank,
+          |       r.stage_rank + o.off AS global_pos
+          |FROM ranked r JOIN offs o USING (stage)
+          |ORDER BY global_pos""".stripMargin,
       "tx_oov_rate" ->
         """WITH toks AS (
           |  SELECT source, token FROM (

@@ -959,6 +959,83 @@ object StreamOps {
         col("true_distinct"))
   }
 
+  /** Streaming count-min maintenance — the frequency sibling of
+    * [[hllStream]]: the CMS counter table ([[graft.ext.CountMinAgg]]'s
+    * exact D×W grid) expressed as an incremental (i, bucket) count
+    * aggregate, so the state store holds AT MOST D·W = 1024 rows no
+    * matter how much data streams through — the constant-state property
+    * that lets one query watch per-key frequencies (heavy hitters, skew
+    * alarms) over an unbounded stream. Estimates are read at drain time
+    * by probing the materialized counters (min over the D rows, exactly
+    * the batch read path), and because CMS counters are plain additive
+    * counts the drained grid is bit-equal to the batch build — the whole
+    * streaming path is DuckDB-oracle-verified, true-count column
+    * included.
+    */
+  def cmsStream(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{CountMinAgg, Hashing}
+    val ss = tuned(s)
+    val D = CountMinAgg.D
+    val W = CountMinAgg.W
+    val M40 = 1099511627776L // 2^40
+    def bucketExpr = s"((2 * i + 1) * (h % ${M40}L) + i * 2654435761L) % ${M40}L % $W"
+    val q = eventsStream(ss, d)
+      .select(expr(Hashing.sparkHash("CAST(user_id AS STRING)")).as("h"))
+      .select(col("h"), explode(expr(s"sequence(0, ${D - 1})")).as("i"))
+      .withColumn("b", expr(bucketExpr))
+      .groupBy(col("i"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_cms")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val counters = ss.table("graft_stream_cms")
+    val probes = ss.range(1, 26).select(col("id").as("user_id"))
+      .withColumn("h", expr(Hashing.sparkHash("CAST(user_id AS STRING)")))
+      .select(col("user_id"), col("h"),
+        explode(expr(s"sequence(0, ${D - 1})")).as("i"))
+      .withColumn("b", expr(bucketExpr))
+    val exact = graft.Tables.events(ss, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("true_count"))
+    probes.join(counters, Seq("i", "b"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .join(exact, Seq("user_id"), "left")
+      .select(col("user_id"), col("est"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"))
+      .orderBy(col("user_id"))
+  }
+
+  val cmsStreamOracle: String = {
+    import graft.ext.Hashing.duckHash
+    val D = graft.ext.CountMinAgg.D
+    val W = graft.ext.CountMinAgg.W
+    val M40 = 1099511627776L
+    s"""WITH h AS (
+       |  SELECT ${duckHash("CAST(user_id AS VARCHAR)")} AS h FROM events),
+       |counters AS (
+       |  SELECT i, ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % $W AS b,
+       |         COUNT(*) AS c
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $D)) AS i)
+       |  GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT k, ${duckHash("CAST(k AS VARCHAR)")} AS h
+       |  FROM (SELECT unnest(range(1, 26)) AS k)),
+       |pb AS (
+       |  SELECT k, i,
+       |         ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % $W AS b
+       |  FROM probe CROSS JOIN (SELECT unnest(range(0, $D)) AS i)),
+       |exact AS (
+       |  SELECT user_id AS k, COUNT(*) AS true_count FROM events GROUP BY 1)
+       |SELECT CAST(pb.k AS BIGINT) AS user_id,
+       |       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est,
+       |       CAST(COALESCE(ANY_VALUE(exact.true_count), 0) AS BIGINT) AS true_count
+       |FROM pb LEFT JOIN counters c ON pb.i = c.i AND pb.b = c.b
+       |       LEFT JOIN exact ON pb.k = exact.k
+       |GROUP BY pb.k ORDER BY user_id""".stripMargin
+  }
+
   /** Streaming windowed top-k — the live-leaderboard shape: a tumbling
     * 1-hour count aggregate maintained by the state store (Complete
     * mode), ranked per window at serving time. The rank/aggregate SPLIT
