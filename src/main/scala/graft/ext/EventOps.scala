@@ -421,7 +421,34 @@ object EventOps {
       .orderBy(col("decile"))
   }
 
+  /** Overdispersion index per event type — variance-to-mean ratio of
+    * per-user event counts (Poisson traffic has D ≈ 1; D ≫ 1 means
+    * bursty/clumped arrivals — bot users, replay storms, hot keys; the
+    * alarm a feed-ingest pipeline wants BEFORE the skew hits a join).
+    * Two-level aggregate: per-(type, user) counts (map-side combined),
+    * then per-type moments. All statistics are exact BIGINTs
+    * (U·Σc² − (Σc)² never leaves integer space); the single double is
+    * derived by one fixed expression — sample variance divided by mean —
+    * written identically in both engines.
+    */
+  def dispersion(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .withColumn("dispersion",
+        (col("n_users") * col("sum_sq") - col("n_events") * col("n_events"))
+          .cast("double")
+          / (col("n_users") * (col("n_users") - 1)).cast("double")
+          / (col("n_events").cast("double") / col("n_users").cast("double")))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        col("sum_sq"), col("dispersion"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_dispersion" -> dispersion,
     "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
@@ -441,6 +468,20 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_dispersion" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_users,
+        |         CAST(SUM(c) AS BIGINT) AS n_events,
+        |         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        |  FROM pu GROUP BY 1)
+        |SELECT event_type, n_users, n_events, sum_sq,
+        |       CAST(n_users * sum_sq - n_events * n_events AS DOUBLE)
+        |         / CAST(n_users * (n_users - 1) AS DOUBLE)
+        |         / (CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE)) AS dispersion
+        |FROM m ORDER BY event_type""".stripMargin,
     "ev_conversion_lag" ->
       """WITH c1 AS (
         |  SELECT user_id, MIN(ts) AS t_click FROM events

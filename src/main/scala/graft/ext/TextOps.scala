@@ -676,6 +676,66 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Hapax legomena + type/token ratio per source — the heavy-tail
+    * vocabulary profile (how much of each slice is corpus-unique words):
+    * a high hapax rate predicts tokenizer OOV pressure and poor n-gram
+    * LM coverage; TTR is the classic lexical-richness signal. One token
+    * explode feeds BOTH sides: corpus-wide frequencies (to mark hapaxes)
+    * and the per-source rollup; hapax status rides back on a token-keyed
+    * join where only (token, freq=1) rows survive the build — at 100 TB
+    * the hapax set is large but the join is the same token-keyed shuffle
+    * any df computation pays, and nothing else leaves integer space
+    * until the two final fixed-order divisions.
+    */
+  def hapax(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val hap = freq.filter(col("freq") === 1L)
+      .select(col("token"), lit(1L).as("is_hapax"))
+    val types = toks.select(col("source"), col("token")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    toks.join(hap, Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("is_hapax"), lit(0L))).as("n_hapax"))
+      .join(types, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Simpson repeat probability per source — the probability two tokens
+    * drawn without replacement from a slice are the SAME word
+    * (Σ c_w(c_w−1) / N(N−1)): the integer-exact lexical-diversity
+    * measure (an entropy stand-in with NO logarithm, so it cross-engine
+    * verifies bit-for-bit where Shannon entropy's libm ln cannot).
+    * High values = template/boilerplate slices. Token counts partial-
+    * aggregate map-side; the Σc(c−1) rollup shuffles one row per
+    * distinct (source, word).
+    */
+  def simpson(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * (col("c") - 1)).as("sum_cc1"))
+      .withColumn("repeat_prob",
+        col("sum_cc1").cast("double")
+          / (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+      .select(col("source"), col("n_tokens"), col("sum_cc1"),
+        col("repeat_prob"))
+      .orderBy(col("source"))
+
   /** Out-of-vocabulary rate per source — the tokenizer-coverage health
     * metric a training pipeline checks before committing to a vocab: how
     * much of each corpus slice the top-K vocabulary ([[vocab]]'s exact
@@ -1506,6 +1566,8 @@ object TextOps {
     "tx_fingerprint" -> fingerprint,
     "tx_vocab" -> vocab,
     "tx_oov_rate" -> oovRate,
+    "tx_hapax" -> hapax,
+    "tx_simpson" -> simpson,
     "pipe_temperature_mix" -> temperatureMix,
     "pipe_importance_resample" -> importanceResample,
     "pipe_token_budget" -> tokenBudget,
@@ -2051,6 +2113,40 @@ object TextOps {
           |       r.stage_rank + o.off AS global_pos
           |FROM ranked r JOIN offs o USING (stage)
           |ORDER BY global_pos""".stripMargin,
+      "tx_hapax" ->
+        """WITH toks AS (
+          |  SELECT source, token FROM (
+          |    SELECT source, unnest(string_split(lower(text), ' ')) AS token
+          |    FROM documents)
+          |  WHERE len(token) > 0),
+          |freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+          |hap AS (SELECT token FROM freq WHERE freq = 1),
+          |types AS (
+          |  SELECT source, COUNT(*) AS n_types
+          |  FROM (SELECT DISTINCT source, token FROM toks) GROUP BY 1),
+          |agg AS (
+          |  SELECT t.source, COUNT(*) AS n_tokens,
+          |         CAST(SUM(CASE WHEN h.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          |  FROM toks t LEFT JOIN hap h USING (token) GROUP BY 1)
+          |SELECT a.source, a.n_tokens, ty.n_types, a.n_hapax,
+          |       CAST(ty.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS ttr,
+          |       CAST(a.n_hapax AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS hapax_rate
+          |FROM agg a JOIN types ty USING (source) ORDER BY a.source""".stripMargin,
+      "tx_simpson" ->
+        """WITH toks AS (
+          |  SELECT source, token FROM (
+          |    SELECT source, unnest(string_split(lower(text), ' ')) AS token
+          |    FROM documents)
+          |  WHERE len(token) > 0),
+          |cnt AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+          |m AS (
+          |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |         CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_cc1
+          |  FROM cnt GROUP BY 1)
+          |SELECT source, n_tokens, sum_cc1,
+          |       CAST(sum_cc1 AS DOUBLE)
+          |         / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS repeat_prob
+          |FROM m ORDER BY source""".stripMargin,
       "tx_oov_rate" ->
         """WITH toks AS (
           |  SELECT source, token FROM (
