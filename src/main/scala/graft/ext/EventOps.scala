@@ -447,8 +447,56 @@ object EventOps {
         col("sum_sq"), col("dispersion"))
       .orderBy(col("event_type"))
 
+  /** Discrete hazard-rate table over INTER-EVENT gaps with right-
+    * censoring — the Kaplan-Meier building block applied to the question
+    * sessionization begs: "given silence of t hours so far, how likely
+    * is the user to come back in the next hour?" Each consecutive event
+    * pair contributes an observed gap (floored to hours); each user's
+    * LAST event contributes a CENSORED observation (silence measured to
+    * the end of the window — the user may yet return; treating it as an
+    * observed gap would bias hazards upward, the classic mistake
+    * censoring exists to fix). Per gap-hour t: completed gaps d_t,
+    * censored c_t, at-risk n_t (gaps ≥ t — a reverse running sum), and
+    * the hazard d_t/n_t. The knee of this curve is the empirically right
+    * session timeout ([[sessionize]]'s 30-minute rule made data-driven).
+    * The survival curve is the running (1−hazard) product — left to the
+    * consumer, a cross-engine float product is summation-order-unsafe;
+    * every column here is an exact integer plus one fixed-order division.
+    *
+    * Scale shape: gaps come from one lead() window per user (the
+    * sessionize shuffle); the rollup shuffles one row per distinct gap
+    * hour, and the at-risk window runs over that calendar-bounded frame,
+    * so the global orderBy window is safe at any corpus size.
+    */
+  def hazard(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val mx = ev.agg(max(col("ts")).as("end_ts"))
+    val gaps = ev
+      .withColumn("nxt", lead(col("ts"), 1).over(byUser))
+      .crossJoin(broadcast(mx))
+      .withColumn("censored", col("nxt").isNull)
+      .withColumn("gap_hours", expr(
+        "(unix_micros(coalesce(nxt, end_ts)) - unix_micros(ts)) DIV 3600000000"))
+    val byT = gaps.groupBy(col("gap_hours"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d_done"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c_censored"))
+    val w = Window.orderBy(desc("gap_hours"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_at_risk",
+        sum(col("d_done") + col("c_censored")).over(w))
+      .withColumn("hazard",
+        col("d_done").cast("double") / col("n_at_risk").cast("double"))
+      .select(col("gap_hours"), col("n_at_risk"), col("d_done"),
+        col("c_censored"), col("hazard"))
+      .orderBy(col("gap_hours"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_dispersion" -> dispersion,
+    "ev_hazard" -> hazard,
     "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
@@ -468,6 +516,28 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_hazard" ->
+      """WITH mx AS (SELECT MAX(ts) AS end_ts FROM events),
+        |gaps AS (
+        |  SELECT (epoch_us(COALESCE(nxt, end_ts)) - epoch_us(ts)) // 3600000000 AS gap_hours,
+        |         nxt IS NULL AS censored
+        |  FROM (
+        |    SELECT ts, LEAD(ts, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |    FROM events) CROSS JOIN mx),
+        |byt AS (
+        |  SELECT gap_hours,
+        |         CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d_done,
+        |         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c_censored
+        |  FROM gaps GROUP BY 1),
+        |fin AS (
+        |  SELECT CAST(gap_hours AS BIGINT) AS gap_hours, d_done, c_censored,
+        |         CAST(SUM(d_done + c_censored) OVER (ORDER BY gap_hours DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+        |  FROM byt)
+        |SELECT gap_hours, n_at_risk, d_done, c_censored,
+        |       CAST(d_done AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
+        |FROM fin ORDER BY gap_hours""".stripMargin,
     "ev_dispersion" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, COUNT(*) AS c
