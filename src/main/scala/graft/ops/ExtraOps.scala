@@ -898,6 +898,62 @@ object ExtraOps {
       .orderBy(desc("rank_scaled"), col("part_id"))
   }
 
+  /** Personalized PageRank over the co-purchase graph — [[pagerank]]'s
+    * global teleport replaced by restart onto a SEED SET (parts with
+    * id % 10 == 0 here; a query's click set or a user's history in a
+    * recommender): the 15% teleport mass and the dangling mass both land
+    * on seeds only, so scores measure proximity TO THE SEEDS rather than
+    * global centrality — the graph-side ranking signal retrieval systems
+    * blend with lexical/vector scores. Same integer-exact contract as
+    * [[pagerank]] (SCALE=10^12 fixed-point, truncating DIV replayed by
+    * DuckDB's `//`), same plan shape: 3 unrolled rounds of one keyed
+    * join + partial-aggregated inflow against a localCheckpoint'ed
+    * loop-invariant (node, outdeg, seed) frame, dangling mass as a
+    * 1-row broadcast. At 100 TB the adjacency is the bucketed
+    * loop-invariant big side; rank rows (one per node) are the small
+    * mutating side.
+    */
+  def ppr(s: SparkSession, d: String): DataFrame = {
+    val SCALE = 1000000000000L
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint() // reused by all 3 iterations
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    val outdeg = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val seedCount = nodes.filter(col("node") % 10 === 0)
+      .agg(count(lit(1)).as("ns"))
+    val nd = nodes.join(outdeg, Seq("node"), "left")
+      .na.fill(0L, Seq("outdeg"))
+      .withColumn("is_seed", (col("node") % 10 === 0).cast("long"))
+      .crossJoin(broadcast(seedCount))
+      .localCheckpoint() // loop-invariant (node, outdeg, seed, ns) frame
+    var ranks = nd.withColumn("r",
+      expr(s"is_seed * (CAST($SCALE AS BIGINT) DIV ns)"))
+    for (_ <- 1 to 3) {
+      val inflow = ranks.join(edges, ranks("node") === edges("u"))
+        .select(col("v").as("node"), expr("r DIV outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      val dang = ranks.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = nd
+        .join(inflow, Seq("node"), "left").na.fill(0L, Seq("inflow"))
+        .crossJoin(broadcast(dang))
+        .withColumn("r", expr(
+          s"is_seed * ((3 * (CAST($SCALE AS BIGINT) DIV ns)) DIV 20)" +
+            " + (17 * (inflow + is_seed * (dang DIV ns))) DIV 20"))
+        .select(col("node"), col("outdeg"), col("ns"), col("is_seed"), col("r"))
+    }
+    ranks.select(col("node").as("part_id"), col("is_seed"),
+      col("r").as("rank_scaled"))
+      .orderBy(desc("rank_scaled"), col("part_id"))
+  }
+
   /** Label propagation (LPA) community detection over the co-purchase
     * graph — completes the graph family next to [[triangleCount]]
     * (structure), [[pagerank]] (centrality) and `dd_components`
@@ -1503,6 +1559,7 @@ object ExtraOps {
     "x_skyline" -> skyline,
     "x_approx_top_k" -> approxTopK,
     "x_pagerank" -> pagerank,
+    "x_ppr" -> ppr,
     "x_label_prop" -> labelProp,
     "x_bfs_hops" -> bfsHops,
     "x_dijkstra_hops" -> dijkstraHops,
@@ -1799,6 +1856,34 @@ object ExtraOps {
          |${it("i1", "i2")},
          |${it("i2", "i3")}
          |SELECT node AS part_id, CAST(r AS BIGINT) AS rank_scaled
+         |FROM i3 ORDER BY rank_scaled DESC, part_id""".stripMargin
+    },
+    "x_ppr" -> {
+      val S = "1000000000000"
+      def it(prev: String, out: String): String =
+        s"""$out AS (SELECT p.node, p.outdeg, p.ns, p.is_seed,
+           |  p.is_seed * ((3 * ($S // p.ns)) // 20)
+           |  + (17 * (COALESCE(f.inflow, 0)
+           |           + p.is_seed * ((SELECT COALESCE(SUM(r), 0) FROM $prev WHERE outdeg = 0) // p.ns))) // 20 AS r
+           |FROM $prev p LEFT JOIN (
+           |  SELECT e.v AS node, SUM(r.r // r.outdeg) AS inflow
+           |  FROM e JOIN $prev r ON e.u = r.node GROUP BY e.v) f USING (node))""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem WHERE l_partkey % 2 = 0),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         |od AS (SELECT u AS node, COUNT(*) AS outdeg FROM e GROUP BY u),
+         |nd AS (SELECT nx.node, COALESCE(od.outdeg, 0) AS outdeg,
+         |              (SELECT COUNT(*) FROM nodes WHERE node % 10 = 0) AS ns,
+         |              CASE WHEN nx.node % 10 = 0 THEN 1 ELSE 0 END AS is_seed
+         |       FROM nodes nx LEFT JOIN od USING (node)),
+         |r0 AS (SELECT node, outdeg, ns, is_seed, is_seed * ($S // ns) AS r FROM nd),
+         |${it("r0", "i1")},
+         |${it("i1", "i2")},
+         |${it("i2", "i3")}
+         |SELECT node AS part_id, CAST(is_seed AS BIGINT) AS is_seed,
+         |       CAST(r AS BIGINT) AS rank_scaled
          |FROM i3 ORDER BY rank_scaled DESC, part_id""".stripMargin
     },
     "x_label_prop" -> {
