@@ -128,6 +128,45 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Cohort lifetime value — [[retention]] counts who comes BACK; this
+    * accumulates what they SPEND: per signup cohort and day offset, the
+    * purchase count, that day's revenue, the running cumulative revenue,
+    * and cumulative LTV per cohort user — the matrix a growth team reads
+    * diagonally. The cumulative sum runs in DECIMAL (exact, order-
+    * independent — the [[graft.Tables.dsum]] discipline applied to a
+    * window) and every double is a terminal cast/division, so the whole
+    * money path hash-verifies. Scale shape: cohort map is one aggregate
+    * joined to purchases on user_id; the window runs per cohort over the
+    * calendar-bounded (cohort × offset) aggregate frame, never raw
+    * events.
+    */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("day_offset",
+        datediff(to_date(col("ts")), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") >= 0)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,4)")).as("revd"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cumd", sum(col("revd")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("n_purchases"),
+        col("revd").cast("double").as("revenue"),
+        col("cumd").cast("double").as("cum_revenue"),
+        (col("cumd").cast("double") / col("n_users").cast("double"))
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** JSON property extraction (events.props is a JSON string): pull $.k,
     * cast, aggregate — get_json_object ↔ json_extract_string.
     */
@@ -497,6 +536,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_dispersion" -> dispersion,
     "ev_hazard" -> hazard,
+    "ev_cohort_ltv" -> cohortLtv,
     "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
@@ -516,6 +556,30 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_cohort_ltv" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |sizes AS (SELECT cohort_day, COUNT(*) AS n_users FROM cohort GROUP BY 1),
+        |rev AS (
+        |  SELECT c.cohort_day,
+        |         CAST(CAST(e.ts AS DATE) - c.cohort_day AS BIGINT) AS day_offset,
+        |         COUNT(*) AS n_purchases,
+        |         SUM(CAST(e.value AS DECIMAL(18,4))) AS revd
+        |  FROM events e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= c.cohort_day
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_day, day_offset, n_purchases, revd,
+        |         SUM(revd) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd
+        |  FROM rev)
+        |SELECT cum.cohort_day, cum.day_offset, s.n_users, cum.n_purchases,
+        |       CAST(revd AS DOUBLE) AS revenue,
+        |       CAST(cumd AS DOUBLE) AS cum_revenue,
+        |       CAST(cumd AS DOUBLE) / CAST(s.n_users AS DOUBLE) AS ltv_per_user
+        |FROM cum JOIN sizes s USING (cohort_day)
+        |ORDER BY cum.cohort_day, cum.day_offset""".stripMargin,
     "ev_hazard" ->
       """WITH mx AS (SELECT MAX(ts) AS end_ts FROM events),
         |gaps AS (

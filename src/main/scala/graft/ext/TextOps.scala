@@ -662,6 +662,34 @@ object TextOps {
       .orderBy(col("global_pos"))
   }
 
+  /** Shard manifest — the artifact a corpus writer publishes next to the
+    * data: deterministic shard assignment (60-bit md5 hash gate % 16, so
+    * any engine can recompute membership), per-shard document/token/char
+    * totals, and a COMMUTATIVE content checksum (decimal sum of per-doc
+    * row hashes — the `qc_table_checksum` fingerprint, per shard) that a
+    * downstream loader re-derives to verify nothing was dropped,
+    * duplicated, or reordered-and-truncated in transit. One scan, one
+    * 16-group rollup; every column is exact (the checksum sums 2^60-scale
+    * hashes in DECIMAL, reported as a string) so the manifest itself is
+    * cross-engine hash-verified — a manifest that cannot be replayed by
+    * an independent engine is just a log line.
+    */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("shard",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 16"))
+      .withColumn("n_words",
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long"))
+      .withColumn("rh", expr(sparkHash(
+        "concat_ws('|', CAST(doc_id AS STRING), lang, source, text)")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("rh").cast("decimal(30,0)")).cast("string").as("checksum"))
+      .orderBy(col("shard"))
+
   /** Corpus vocabulary: top-100 tokens by frequency (tie → lexicographic).
     * The explode is a Generator (one pass, no buffering); the count is a
     * standard partial-agg'd groupBy on the token, and the top-k collapses
@@ -1568,6 +1596,7 @@ object TextOps {
     "tx_oov_rate" -> oovRate,
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
+    "pipe_shard_manifest" -> shardManifest,
     "pipe_temperature_mix" -> temperatureMix,
     "pipe_importance_resample" -> importanceResample,
     "pipe_token_budget" -> tokenBudget,
@@ -2064,6 +2093,18 @@ object TextOps {
           |  GROUP BY source)
           |SELECT p.source, p.n_docs, p.raw_share, p.weight, n_kept, kept_q_milli
           |FROM plan0 p JOIN kept USING (source) ORDER BY p.source""".stripMargin,
+      "pipe_shard_manifest" ->
+        """WITH docs AS (
+          |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+          |         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_words,
+          |         n_chars,
+          |         CAST('0x' || substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang, source, text)), 1, 15) AS BIGINT) AS rh
+          |  FROM documents)
+          |SELECT shard, COUNT(*) AS n_docs,
+          |       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+          |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          |       CAST(CAST(SUM(rh) AS HUGEINT) AS VARCHAR) AS checksum
+          |FROM docs GROUP BY shard ORDER BY shard""".stripMargin,
       "pipe_token_budget" ->
         """WITH toks AS (
           |  SELECT source,
