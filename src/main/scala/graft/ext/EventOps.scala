@@ -167,6 +167,49 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Audience-overlap matrix — for every pair of event types, how many
+    * users did BOTH (plus singles and Jaccard): the segment-intersection
+    * question behind campaign targeting and funnel design. The shape is
+    * the bitmap-index trick scaled down: one corpus aggregate folds each
+    * user's event types into a 5-bit mask (bit_or — mergeable, map-side
+    * combined), a second collapses users into ≤2^5 (mask, count) rows,
+    * and ALL pair arithmetic runs on that constant-size frame crossed
+    * with the 15 type pairs — at 100 TB the pair matrix costs exactly
+    * one user-keyed shuffle, never a self-join of the audience. Counts
+    * are exact longs; Jaccard is the terminal division.
+    */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bitCase = "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2" +
+      " WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 WHEN 'view' THEN 16 ELSE 0 END"
+    val maskCounts = Tables.events(s, d)
+      .select(col("user_id"), expr(bitCase).as("b"))
+      .groupBy(col("user_id")).agg(expr("bit_or(b)").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_users"))
+    val types = Seq(("click", 1), ("error", 2), ("purchase", 4),
+      ("signup", 8), ("view", 16))
+    val pairs = for {
+      (a, ab) <- types; (b, bb) <- types if bb >= ab
+    } yield (a, ab, b, bb)
+    pairs.toDF("type_a", "bit_a", "type_b", "bit_b")
+      .crossJoin(maskCounts)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        sum(when((col("mask").bitwiseAND(col("bit_a")) =!= 0)
+          && (col("mask").bitwiseAND(col("bit_b")) =!= 0),
+          col("n_users")).otherwise(0L)).as("n_both"),
+        sum(when(col("mask").bitwiseAND(col("bit_a")) =!= 0,
+          col("n_users")).otherwise(0L)).as("n_a"),
+        sum(when(col("mask").bitwiseAND(col("bit_b")) =!= 0,
+          col("n_users")).otherwise(0L)).as("n_b"))
+      .withColumn("jaccard",
+        col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** JSON property extraction (events.props is a JSON string): pull $.k,
     * cast, aggregate — get_json_object ↔ json_extract_string.
     */
@@ -537,6 +580,7 @@ object EventOps {
     "ev_dispersion" -> dispersion,
     "ev_hazard" -> hazard,
     "ev_cohort_ltv" -> cohortLtv,
+    "ev_audience_overlap" -> audienceOverlap,
     "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
@@ -556,6 +600,30 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_audience_overlap" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |           WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |           WHEN 'view' THEN 16 ELSE 0 END AS b
+        |  FROM events),
+        |m AS (SELECT user_id, bit_or(b) AS mask FROM b GROUP BY 1),
+        |mc AS (SELECT mask, COUNT(*) AS n_users FROM m GROUP BY 1),
+        |ty AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |         ('purchase', 4), ('signup', 8), ('view', 16)) AS t(tname, tbit)),
+        |pr AS (SELECT a.tname AS type_a, a.tbit AS bit_a,
+        |              bb.tname AS type_b, bb.tbit AS bit_b
+        |       FROM ty a JOIN ty bb ON bb.tbit >= a.tbit),
+        |agg AS (
+        |  SELECT type_a, type_b,
+        |    CAST(SUM(CASE WHEN (mask & bit_a) <> 0 AND (mask & bit_b) <> 0
+        |             THEN n_users ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(SUM(CASE WHEN (mask & bit_a) <> 0 THEN n_users ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN (mask & bit_b) <> 0 THEN n_users ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM pr CROSS JOIN mc GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, n_a, n_b,
+        |       CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE) AS jaccard
+        |FROM agg ORDER BY type_a, type_b""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH cohort AS (
         |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
