@@ -1032,6 +1032,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by language — BPE tokens per word for each
+    * corpus slice, THE cross-lingual tokenizer-equity metric (a language
+    * whose fertility is 2× pays 2× the context window and 2× the
+    * compute per sentence; multilingual tokenizer papers tune vocab
+    * allocations against exactly this table). Same trained-merges
+    * broadcast-join shape as [[bpeEncode]] — the corpus never shuffles;
+    * the rollup is per-language instead of per-document, so the output
+    * is a bounded |langs|-row frame.
+    */
+  def fertility(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = bpeTrain(s, d)
+    val symCounts = vocab.select(col("w"), expr(
+      "size(filter(split(seg, concat(chr(1), chr(1))), x -> x != ''))")
+      .cast("long").as("n_sym"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("\u0001"))
+      .join(broadcast(symCounts), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col("lang"))
+  }
+
   /** SFT loss-masking — the (input_ids, labels) construction every
     * instruction-tuning pipeline ships: the first P positions (the
     * "prompt") carry the cross-entropy ignore index (-100, the standard
@@ -1597,6 +1623,7 @@ object TextOps {
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
     "pipe_shard_manifest" -> shardManifest,
+    "tx_fertility" -> fertility,
     "pipe_temperature_mix" -> temperatureMix,
     "pipe_importance_resample" -> importanceResample,
     "pipe_token_budget" -> tokenBudget,
@@ -1942,6 +1969,24 @@ object TextOps {
            |         AS chars_per_token
            |FROM dw JOIN vs USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "tx_fertility" ->
+        s"""WITH $bpeTrainCtes,
+           |vs AS (
+           |  SELECT w, CAST(len(list_filter(string_split(seg, chr(1)||chr(1)),
+           |                                 x -> x <> '')) AS BIGINT) AS n_sym
+           |  FROM w3),
+           |dw AS (
+           |  SELECT lang, w
+           |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+           |        FROM documents)
+           |  WHERE len(w) > 0 AND NOT contains(w, chr(1))),
+           |agg AS (
+           |  SELECT lang, COUNT(*) AS n_words,
+           |         CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+           |  FROM dw JOIN vs USING (w) GROUP BY lang)
+           |SELECT lang, n_words, n_tokens,
+           |       CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+           |FROM agg ORDER BY lang""".stripMargin,
       "pipe_dpo_pairs" ->
         s"""WITH scored AS (
            |  SELECT source, doc_id,
