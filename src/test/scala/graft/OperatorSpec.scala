@@ -467,4 +467,89 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_window") >= 1L && r.getAs[Long]("n_window") <= 8L)
     }
   }
+
+  test("hazard table: at-risk telescopes and accounts for every event") {
+    // n_t must equal everything at risk later plus what resolved at t —
+    // the defining identity of a survival table; and the total of
+    // resolved+censored observations must equal the event count (every
+    // event contributes exactly one gap: to its successor or censored
+    // to the window end).
+    val rows = ext.EventOps.hazard(spark, sf).collect()
+      .sortBy(_.getAs[Long]("gap_hours"))
+    val nEvents = Tables.events(spark, sf).count()
+    val total = rows.map(r =>
+      r.getAs[Long]("d_done") + r.getAs[Long]("c_censored")).sum
+    assert(total == nEvents, s"gap observations $total != events $nEvents")
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_at_risk") ==
+        b.getAs[Long]("n_at_risk") + a.getAs[Long]("d_done")
+          + a.getAs[Long]("c_censored"),
+        s"telescoping broken at t=${a.getAs[Long]("gap_hours")}")
+    }
+    rows.foreach(r => assert(r.getAs[Double]("hazard") >= 0.0
+      && r.getAs[Double]("hazard") <= 1.0))
+  }
+
+  test("shard manifest conserves the corpus: doc/char totals match") {
+    val m = ext.TextOps.shardManifest(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(m.map(_.getAs[Long]("n_chars")).sum ==
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+    // checksums must be nonzero and shard-distinct with overwhelming
+    // probability on this fixture (identical shard contents would be a
+    // hash-gate bug)
+    assert(m.map(_.getAs[String]("checksum")).distinct.length == m.length)
+  }
+
+  test("curriculum order is a permutation grouped by contiguous stages") {
+    val rows = ext.TextOps.curriculum(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    val pos = rows.map(_.getAs[Long]("global_pos")).sorted
+    assert(pos.head == 1L && pos.last == n && pos.distinct.length == n,
+      "global_pos must be exactly 1..N")
+    // stages appear as contiguous blocks in global order
+    val stagesInOrder = rows.sortBy(_.getAs[Long]("global_pos"))
+      .map(_.getAs[Long]("stage"))
+    stagesInOrder.zip(stagesInOrder.tail).foreach { case (a, b) =>
+      assert(b >= a, "stage must be non-decreasing along the curriculum")
+    }
+  }
+
+  test("streaming CMS never underestimates (the one-sided sketch bound)") {
+    val rows = streaming.StreamOps.cmsStream(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("true_count"),
+        s"CMS underestimated user ${r.getAs[Long]("user_id")}")
+    }
+  }
+
+  test("personalized pagerank: mass conserved up to truncation, seeds hold rank") {
+    val rows = ops.ExtraOps.ppr(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("rank_scaled")).sum
+    // truncating integer division only LOSES mass; with SCALE=1e12 the
+    // loss over 3 rounds is bounded far below 1% of total mass
+    assert(total <= 1000000000000L && total > 990000000000L,
+      s"mass $total outside (0.99e12, 1e12]")
+    val seedMass = rows.filter(_.getAs[Long]("is_seed") == 1L)
+      .map(_.getAs[Long]("rank_scaled")).sum
+    assert(seedMass.toDouble / total > 0.2,
+      "restart mass must keep the seed set prominent")
+  }
+
+  test("audience overlap: diagonal identity and jaccard bounds") {
+    val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (both, na, nb) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(both <= math.min(na, nb))
+      if (a == b) assert(both == na && both == nb,
+        s"diagonal must be the plain audience size for $a")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
 }
