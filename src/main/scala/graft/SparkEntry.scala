@@ -39,6 +39,7 @@ object SparkEntry {
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
         "st_hll_stream" -> streaming.StreamOps.hllStream,
         "st_cms_stream" -> streaming.StreamOps.cmsStream,
+        "st_quantile_stream" -> streaming.StreamOps.quantileStream,
         "st_checksum_stream" -> streaming.StreamOps.checksumStream,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
@@ -80,6 +81,7 @@ object SparkEntry {
         "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
         "st_hll_stream" -> streaming.StreamOps.hllStreamOracle,
         "st_cms_stream" -> streaming.StreamOps.cmsStreamOracle,
+        "st_quantile_stream" -> streaming.StreamOps.quantileStreamOracle,
         "st_checksum_stream" -> streaming.StreamOps.checksumStreamOracle,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSinkOracle)
 }

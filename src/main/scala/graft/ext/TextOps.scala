@@ -764,6 +764,42 @@ object TextOps {
         col("repeat_prob"))
       .orderBy(col("source"))
 
+  /** Vocabulary coverage curve — for vocab-size checkpoints K ∈ {1, 2,
+    * 5, 10, 20, 30}, what share of all token OCCURRENCES the top-K
+    * word types cover: the table that sizes a vocabulary before
+    * committing to a tokenizer (the Zipf mass curve, measured not
+    * assumed; [[oovRate]] is this table's per-source slice at K=100).
+    * Ranks come from one (freq desc, token) window over the DISTINCT
+    * type frame (vocab-sized, not corpus-sized); the cumulative
+    * occurrence mass is a running BIGINT sum over the same frame, probed
+    * at the K checkpoints by a broadcast join — coverage is the one
+    * terminal division.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val freq = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(desc("freq"), col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("freq"), col("token"))).cast("long"))
+      .withColumn("cum", sum(col("freq")).over(w))
+    val tot = freq.agg(sum(col("freq")).as("n_total"),
+      count(lit(1)).as("n_types"))
+    Seq(1L, 2L, 5L, 10L, 20L, 30L).toDF("k")
+      .join(ranked, col("rank") === col("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_types"), col("n_total"),
+        col("cum").as("covered"),
+        (col("cum").cast("double") / col("n_total").cast("double"))
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
   /** Out-of-vocabulary rate per source — the tokenizer-coverage health
     * metric a training pipeline checks before committing to a vocab: how
     * much of each corpus slice the top-K vocabulary ([[vocab]]'s exact
@@ -1624,6 +1660,7 @@ object TextOps {
     "tx_simpson" -> simpson,
     "pipe_shard_manifest" -> shardManifest,
     "tx_fertility" -> fertility,
+    "tx_vocab_coverage" -> vocabCoverage,
     "pipe_temperature_mix" -> temperatureMix,
     "pipe_importance_resample" -> importanceResample,
     "pipe_token_budget" -> tokenBudget,
@@ -1969,6 +2006,26 @@ object TextOps {
            |         AS chars_per_token
            |FROM dw JOIN vs USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "tx_vocab_coverage" ->
+        """WITH toks AS (
+          |  SELECT token FROM (
+          |    SELECT unnest(string_split(lower(text), ' ')) AS token
+          |    FROM documents)
+          |  WHERE len(token) > 0),
+          |freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+          |ranked AS (
+          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+          |         CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM freq),
+          |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total,
+          |               COUNT(*) AS n_types FROM freq),
+          |ks AS (SELECT unnest([1, 2, 5, 10, 20, 30]) AS k)
+          |SELECT CAST(k AS BIGINT) AS k, tot.n_types, tot.n_total,
+          |       r.cum AS covered,
+          |       CAST(r.cum AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS coverage
+          |FROM ks JOIN ranked r ON r.rank = k CROSS JOIN tot
+          |ORDER BY k""".stripMargin,
       "tx_fertility" ->
         s"""WITH $bpeTrainCtes,
            |vs AS (

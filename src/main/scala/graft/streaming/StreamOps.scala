@@ -1036,6 +1036,81 @@ object StreamOps {
        |GROUP BY pb.k ORDER BY user_id""".stripMargin
   }
 
+  /** Streaming quantiles from a bounded histogram — the percentile
+    * sibling of [[cmsStream]]: the state store maintains unit-width
+    * bucket counts of the value column (≤ ~500 rows — bounded by the
+    * value DOMAIN, not the stream), and P50/P90/P99 are read at drain
+    * time by walking the cumulative histogram to each target rank —
+    * the classic fixed-bucket quantile sketch (error ≤ one bucket
+    * width), here with every step integer-exact: target rank is
+    * ceil(q·N/100) in integer arithmetic, the answering bucket is the
+    * one whose cumulative count first reaches it, and the EXACT
+    * order-statistic at that rank rides along as the verification
+    * column (rank-select, no interpolation — so the whole table,
+    * sketch and truth, hash-verifies cross-engine).
+    */
+  def quantileStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
+      .select(floor(col("value")).cast("long").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_quantile")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val hist = ss.table("graft_stream_quantile")
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val tot = hist.agg(sum(col("cnt")).as("n_events"))
+    val targets = Seq(50L, 90L, 99L).toDF("q")
+      .crossJoin(broadcast(tot))
+      .withColumn("target_rank", expr("(q * n_events + 99) DIV 100"))
+    val buckets = targets.join(cum,
+      col("cum") >= col("target_rank")
+        && (col("cum") - col("cnt")) < col("target_rank"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value"), col("event_id"))
+    val exact = graft.Tables.events(ss, d)
+      .select(col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+    buckets.join(exact, col("rk") === col("target_rank"))
+      .select(col("q"), col("n_events"), col("target_rank"),
+        col("b").as("bucket_lo"), col("cnt").as("bucket_count"),
+        col("value").as("exact_value"))
+      .orderBy(col("q"))
+  }
+
+  val quantileStreamOracle: String =
+    """WITH hist AS (
+      |  SELECT CAST(floor(value) AS BIGINT) AS b, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT b, cnt,
+      |         CAST(SUM(cnt) OVER (ORDER BY b
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist),
+      |tot AS (SELECT COUNT(*) AS n_events FROM events),
+      |ks AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q),
+      |tg AS (SELECT q, n_events, (q * n_events + 99) // 100 AS target_rank
+      |       FROM ks CROSS JOIN tot),
+      |bk AS (
+      |  SELECT tg.q, tg.n_events, tg.target_rank, c.b AS bucket_lo,
+      |         c.cnt AS bucket_count
+      |  FROM tg JOIN cum c
+      |    ON c.cum >= tg.target_rank AND (c.cum - c.cnt) < tg.target_rank),
+      |rk AS (
+      |  SELECT value,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT) AS rk
+      |  FROM events)
+      |SELECT q, bk.n_events, CAST(bk.target_rank AS BIGINT) AS target_rank,
+      |       bucket_lo, bucket_count, rk.value AS exact_value
+      |FROM bk JOIN rk ON rk.rk = bk.target_rank
+      |ORDER BY q""".stripMargin
+
   /** Streaming windowed top-k — the live-leaderboard shape: a tumbling
     * 1-hour count aggregate maintained by the state store (Complete
     * mode), ranked per window at serving time. The rank/aggregate SPLIT
