@@ -921,6 +921,44 @@ object Similarity {
     s"""aggregate(zip_with($ivSlice, $lits, (x, y) -> (x - y) * (x - y)),
        |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin
 
+  /** PQ distortion profile — per-subspace reconstruction error of the
+    * product quantizer: for every corpus vector and subspace, the L2
+    * distance to its NEAREST codebook entry (the quantity [[pqEncode]]'s
+    * argmin fold minimizes; here the min itself is kept instead of the
+    * winning code), rolled up to count / total / mean squared error per
+    * subspace — THE codec health table (a subspace whose MSE spikes is
+    * where recall leaks, and where a re-trained or wider codebook pays).
+    * Same one-pass shape as encode: per-row fold against the inlined
+    * integer codebook, explode of M=8 structs, map-side aggregated — the
+    * corpus never shuffles; all error mass is exact BIGINT on the
+    * quantized grid, normalized back to float units by one fixed
+    * division chain.
+    */
+  def pqDistortion(s: SparkSession, d: String): DataFrame = {
+    val sub = pqCodebook(s, d)
+    def distExpr(m: Int): String = {
+      val slice = s"slice(iv, ${m * PQ_SUB + 1}, $PQ_SUB)"
+      val entries = (0 until PQ_KS).map { c =>
+        s"struct($c AS c, ${pqL2(slice, sub(m, c))} AS dist)"
+      }.mkString("array(", ", ", ")")
+      s"""aggregate($entries,
+         |  CAST(NULL AS struct<c: INT, dist: BIGINT>),
+         |  (acc, x) -> IF(acc IS NULL OR x.dist < acc.dist, x, acc)).dist""".stripMargin
+    }
+    val mdStructs = (0 until PQ_M).map(m =>
+      s"struct($m AS m, ${distExpr(m)} AS dist)").mkString("array(", ", ", ")")
+    quantized(s, d).filter(col("vec_id") >= 5)
+      .select(explode(expr(mdStructs)).as("md"))
+      .select(col("md.m").as("m"), col("md.dist").as("dist"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("total_sq_err"))
+      .withColumn("mse",
+        col("total_sq_err").cast("double") / col("n_vectors").cast("double")
+          / lit(QSCALE.toDouble * QSCALE))
+      .select(col("m"), col("n_vectors"), col("total_sq_err"), col("mse"))
+      .orderBy(col("m"))
+  }
+
   /** The stored index artifact: corpus codes (vec_id, m, c) — 4 bytes of
     * payload per vector. In production this is written once per index
     * build and served to every query batch (ExtensionSpec pins the
@@ -1253,6 +1291,7 @@ object Similarity {
     "sim_hybrid_rrf" -> hybridRrf,
     "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
+    "sim_pq_distortion" -> pqDistortion,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
     "sim_label_centroids" -> labelCentroids,
@@ -1565,6 +1604,26 @@ object Similarity {
          |FROM f QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim_ivfpq_topk" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
+    "sim_pq_distortion" ->
+      s"""WITH qi AS (
+         |  SELECT vec_id,
+         |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * $QSCALE) AS BIGINT)
+         |          for i in range(1, len(embedding) + 1)] AS iv
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS c, iv AS cv FROM qi WHERE vec_id < $PQ_KS),
+         |ms AS (SELECT CAST(unnest([${(0 until PQ_M).mkString(", ")}]) AS INT) AS m),
+         |dmin AS (
+         |  SELECT vec_id, m, MIN(d) AS dist FROM (
+         |    SELECT x.vec_id, ms.m,
+         |           ${duckL2Sub("x.iv", "cent.cv", s"ms.m * $PQ_SUB")} AS d
+         |    FROM qi x CROSS JOIN ms CROSS JOIN cent
+         |    WHERE x.vec_id >= 5)
+         |  GROUP BY 1, 2)
+         |SELECT m, COUNT(*) AS n_vectors,
+         |       CAST(SUM(dist) AS BIGINT) AS total_sq_err,
+         |       CAST(CAST(SUM(dist) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         / 268435456.0 AS mse
+         |FROM dmin GROUP BY m ORDER BY m""".stripMargin,
     "sim_sq8_topk" ->
       s"""WITH c AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
