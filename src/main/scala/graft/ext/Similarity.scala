@@ -111,6 +111,71 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** NDCG@10 of label-relevance retrieval — the GRADED ranking metric
+    * (recall counts hits; NDCG also charges for putting them low): each
+    * query's corpus ranking by cosine scores gain 1 where the neighbor
+    * shares the query's label, discounted by 1/log2(rank+1), normalized
+    * by the ideal DCG for that label's corpus support. The cross-engine
+    * determinism trick: the ten discount weights and their prefix sums
+    * are computed ONCE in Scala and inlined as shortest-round-trip
+    * decimal literals into BOTH engines' SQL — decimal→double parsing is
+    * correctly rounded everywhere, so both sides fold the SAME doubles
+    * in the SAME rank order (the ordered-fold idiom), and no libm log
+    * ever runs inside either engine's verified surface. IDCG is a
+    * literal prefix-sum lookup at min(support, 10).
+    *
+    * Scale shape = [[topKBrute]]: broadcast queries, streaming corpus,
+    * per-qid rank window; swap in IVF probes for the 100 TB corpus.
+    */
+  /** The 10 NDCG discount weights 1/log2(rank+1) and their prefix sums —
+    * computed once here, inlined as shortest-round-trip decimal literals
+    * into BOTH engines' plans (decimal→double parsing is correctly
+    * rounded everywhere, so the literals ARE the cross-engine contract).
+    */
+  private val ndcgW: IndexedSeq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val ndcgP: IndexedSeq[Double] = ndcgW.scanLeft(0.0)(_ + _).tail
+
+  def ndcg(s: SparkSession, d: String): DataFrame = {
+    val wArr = ndcgW.map(_.toString + "D").mkString("array(", ", ", ")")
+    val pArr = ndcgP.map(_.toString + "D").mkString("array(", ", ", ")")
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+    val support = corpus.groupBy(col("label").as("qlabel"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("cand_id"))
+    val ranked = q.hint("broadcast").join(corpus)
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 10)
+      .withColumn("contrib",
+        when(col("label") === col("qlabel"),
+          element_at(expr(wArr), col("rank"))).otherwise(lit(0.0)))
+    ranked
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(expr(
+        """aggregate(
+          |  transform(array_sort(collect_list(struct(rank, contrib))),
+          |    x -> x.contrib),
+          |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin).as("dcg"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("hits_at_10"))
+      .join(broadcast(support), Seq("qlabel"))
+      .filter(col("n_relevant") > 0)
+      .withColumn("idcg",
+        element_at(expr(pArr),
+          least(col("n_relevant"), lit(10L)).cast("int")))
+      .select(col("qid"), col("qlabel").as("label"), col("n_relevant"),
+        col("hits_at_10"), col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
+      .orderBy(col("qid"))
+  }
+
   /** Quantized-moment sufficient statistics shared by [[covariance]] and
     * [[pcaProject]]: per-dimension sums and upper-triangle cross-product
     * sums over floor(x·2^14) integer embeddings. One corpus scan each; the
@@ -1299,6 +1364,7 @@ object Similarity {
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
     "sim_matryoshka" -> matryoshkaRecall,
+    "sim_ndcg" -> ndcg,
     "sim_covariance" -> covariance,
     "sim_pca_project" -> pcaProject,
     "sim_range_search" -> rangeSearch,
@@ -1788,6 +1854,40 @@ object Similarity {
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin,
+    "sim_ndcg" -> {
+      val wLit = ndcgW.map(_.toString).mkString("[", ", ", "]")
+      val pLit = ndcgP.map(_.toString).mkString("[", ", ", "]")
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id AS cand_id, embedding, label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |sup AS (SELECT label AS qlabel, COUNT(*) AS n_relevant FROM c GROUP BY 1),
+         |ranked AS (
+         |  SELECT qid, qlabel, cand_id, label,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY ${duckCos("qv", "embedding")} DESC, cand_id) AS rank
+         |  FROM q CROSS JOIN c),
+         |top AS (
+         |  SELECT qid, qlabel, rank,
+         |         CASE WHEN label = qlabel THEN $wLit[CAST(rank AS INT)]
+         |              ELSE 0.0 END AS contrib,
+         |         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS hit
+         |  FROM ranked WHERE rank <= 10),
+         |agg AS (
+         |  SELECT qid, qlabel,
+         |         list_reduce(list_prepend(0.0, list(contrib ORDER BY rank)),
+         |                     (a, v) -> a + v) AS dcg,
+         |         CAST(SUM(hit) AS BIGINT) AS hits_at_10
+         |  FROM top GROUP BY 1, 2)
+         |SELECT agg.qid, agg.qlabel AS label, s.n_relevant, hits_at_10, dcg,
+         |       $pLit[CAST(least(s.n_relevant, 10) AS INT)] AS idcg,
+         |       dcg / $pLit[CAST(least(s.n_relevant, 10) AS INT)] AS ndcg
+         |FROM agg JOIN sup s USING (qlabel)
+         |WHERE s.n_relevant > 0
+         |ORDER BY agg.qid""".stripMargin
+    },
     "sim_covariance" ->
       s"""WITH qv AS (
          |  SELECT vec_id,
