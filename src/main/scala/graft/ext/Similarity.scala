@@ -176,6 +176,37 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Mean-reciprocal-rank inputs — the first-relevant-hit metric (THE
+    * serving metric when exactly one good answer matters, e.g. FAQ /
+    * doc-lookup): per query, the rank of the first corpus neighbor
+    * sharing its label over the full ranking, and RR = 1/rank (one exact
+    * division; rank is a total order with cand_id tie-break so it
+    * hash-verifies). Queries with no relevant corpus entry emit no row
+    * (every fixture label has support). The corpus MEAN is one avg away —
+    * emitting per-query rows keeps every value exact and lets the
+    * consumer slice by label. Same broadcast-queries/streaming-corpus
+    * shape as [[topKBrute]].
+    */
+  def mrr(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(desc("cosine"), col("cand_id"))
+    q.hint("broadcast").join(corpus)
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("label") === col("qlabel"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(min(col("rank")).as("first_rel_rank"))
+      .select(col("qid"), col("qlabel").as("label"), col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"))
+      .orderBy(col("qid"))
+  }
+
   /** Quantized-moment sufficient statistics shared by [[covariance]] and
     * [[pcaProject]]: per-dimension sums and upper-triangle cross-product
     * sums over floor(x·2^14) integer embeddings. One corpus scan each; the
@@ -1365,6 +1396,7 @@ object Similarity {
     "sim_topk_brute" -> topKBrute,
     "sim_matryoshka" -> matryoshkaRecall,
     "sim_ndcg" -> ndcg,
+    "sim_mrr" -> mrr,
     "sim_covariance" -> covariance,
     "sim_pca_project" -> pcaProject,
     "sim_range_search" -> rangeSearch,
@@ -1854,6 +1886,23 @@ object Similarity {
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin,
+    "sim_mrr" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id AS cand_id, embedding, label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |ranked AS (
+         |  SELECT qid, qlabel, label,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY ${duckCos("qv", "embedding")} DESC, cand_id) AS BIGINT) AS rank
+         |  FROM q CROSS JOIN c)
+         |SELECT qid, qlabel AS label,
+         |       CAST(MIN(rank) AS BIGINT) AS first_rel_rank,
+         |       1.0 / CAST(MIN(rank) AS DOUBLE) AS rr
+         |FROM ranked WHERE label = qlabel
+         |GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
     "sim_ndcg" -> {
       val wLit = ndcgW.map(_.toString).mkString("[", ", ", "]")
       val pLit = ndcgP.map(_.toString).mkString("[", ", ", "]")

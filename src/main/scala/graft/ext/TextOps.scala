@@ -1094,6 +1094,47 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Chat-template assembly — multi-turn SFT conversations built from
+    * per-source document streams: within each source (doc_id order),
+    * consecutive documents become alternating user/assistant turns,
+    * grouped four to a conversation, rendered with `<|role|>` tags in
+    * turn order and accompanied by the masking geometry ([[lossMasking]]
+    * masks a position RANGE; chat SFT masks by ROLE — user-turn tokens
+    * are context, assistant-turn tokens are targets, and the
+    * user/assistant token counts here are exactly that split). Complete
+    * conversations only (HAVING count = 4) — a trailing partial group is
+    * dropped, as a training pipeline would. One window per source for
+    * turn numbering, one sorted-collect per conversation for rendering —
+    * text crosses the wire once; at 100 TB the source partition is the
+    * scale unit exactly as in [[packSequences]].
+    */
+  def chatTemplate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("conv_id", expr("rn DIV 4"))
+      .withColumn("turn", col("rn") % 4)
+      .withColumn("role",
+        when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+      .withColumn("nw",
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long"))
+      .groupBy(col("source"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", col("nw")).otherwise(0L))
+          .as("n_user_tokens"),
+        sum(when(col("role") === "assistant", col("nw")).otherwise(0L))
+          .as("n_assistant_tokens"),
+        expr(
+          """array_join(
+            |  transform(array_sort(collect_list(struct(turn,
+            |    concat('<|', role, '|>', text) AS seg))), x -> x.seg),
+            |  chr(10))""".stripMargin).as("conv_text"))
+      .filter(col("n_turns") === 4)
+      .orderBy(col("source"), col("conv_id"))
+  }
+
   /** SFT loss-masking — the (input_ids, labels) construction every
     * instruction-tuning pipeline ships: the first P positions (the
     * "prompt") carry the cross-entropy ignore index (-100, the standard
@@ -1661,6 +1702,7 @@ object TextOps {
     "pipe_shard_manifest" -> shardManifest,
     "tx_fertility" -> fertility,
     "tx_vocab_coverage" -> vocabCoverage,
+    "pipe_chat_template" -> chatTemplate,
     "pipe_temperature_mix" -> temperatureMix,
     "pipe_importance_resample" -> importanceResample,
     "pipe_token_budget" -> tokenBudget,
@@ -2006,6 +2048,25 @@ object TextOps {
            |         AS chars_per_token
            |FROM dw JOIN vs USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "pipe_chat_template" ->
+        """WITH t AS (
+          |  SELECT source, doc_id, text,
+          |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS rn,
+          |         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS nw
+          |  FROM documents),
+          |t2 AS (
+          |  SELECT source, rn // 4 AS conv_id, rn % 4 AS turn,
+          |         CASE WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+          |         nw, text
+          |  FROM t)
+          |SELECT source, CAST(conv_id AS BIGINT) AS conv_id,
+          |       COUNT(*) AS n_turns,
+          |       CAST(SUM(CASE WHEN role = 'user' THEN nw ELSE 0 END) AS BIGINT) AS n_user_tokens,
+          |       CAST(SUM(CASE WHEN role = 'assistant' THEN nw ELSE 0 END) AS BIGINT) AS n_assistant_tokens,
+          |       string_agg('<|' || role || '|>' || text, chr(10) ORDER BY turn) AS conv_text
+          |FROM t2 GROUP BY source, conv_id
+          |HAVING COUNT(*) = 4
+          |ORDER BY source, conv_id""".stripMargin,
       "tx_vocab_coverage" ->
         """WITH toks AS (
           |  SELECT token FROM (
