@@ -555,6 +555,34 @@ object Similarity {
     (cent, assign(qv, cent).select(col("vec_id"), col("cid").as("bucket")))
   }
 
+  /** IVF bucket-balance profile — the size distribution of the trained
+    * index's inverted lists plus the max/mean skew ratio: THE index
+    * health number for IVF serving (tail latency is set by the biggest
+    * bucket a query probes, and a skew ratio ≫ 1 says the centroids
+    * under-fit the data's density — retrain with more iterations or more
+    * centroids). Reuses the persisted-index build ([[buildIvfIndex]]);
+    * the profile is one aggregate over the (vec_id, bucket) assignment —
+    * the corpus-sized artifact is touched once, and the global extremes
+    * ride along via a 1-row broadcast.
+    */
+  def ivfBalance(s: SparkSession, d: String): DataFrame = {
+    val (_, assigned) = buildIvfIndex(s, d)
+    val sizes = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = sizes.agg(sum(col("n_vectors")).as("n_total"),
+      count(lit(1)).as("n_buckets"),
+      max(col("n_vectors")).as("max_bucket"),
+      min(col("n_vectors")).as("min_bucket"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        col("n_buckets"), col("max_bucket"), col("min_bucket"),
+        (col("max_bucket").cast("double") * col("n_buckets").cast("double")
+          / col("n_total").cast("double")).as("skew"))
+      .orderBy(col("bucket"))
+  }
+
   /** Answer a query batch from a prebuilt IVF index WITHOUT retraining:
     * quantize only the query vectors, rank centroids per query from the
     * stored (cid, cv) frame, pull candidates from the stored assignment,
@@ -1403,6 +1431,7 @@ object Similarity {
     "sim_knn_classify" -> knnClassify,
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained" -> ivfTrainedTopK,
+    "sim_ivf_balance" -> ivfBalance,
     "sim_doc_retrieval" -> docRetrieval,
     "dd_embed_cosine" -> embedCosineDedup,
     "dd_srp_lsh" -> srpLshDedup,
@@ -1475,6 +1504,22 @@ object Similarity {
        |  FROM scored)
        |SELECT qid, cand_id, rank, cosine FROM ranked
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** Bucket-balance oracle on top of the same training replay. */
+  private def ivfBalanceOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |sizes AS (SELECT bucket, COUNT(*) AS n_vectors FROM assigned GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+       |               COUNT(*) AS n_buckets,
+       |               CAST(MAX(n_vectors) AS BIGINT) AS max_bucket,
+       |               CAST(MIN(n_vectors) AS BIGINT) AS min_bucket
+       |        FROM sizes)
+       |SELECT bucket, CAST(n_vectors AS BIGINT) AS n_vectors,
+       |       CAST(n_vectors AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       |       n_buckets, max_bucket, min_bucket,
+       |       CAST(max_bucket AS DOUBLE) * CAST(n_buckets AS DOUBLE)
+       |         / CAST(n_total AS DOUBLE) AS skew
+       |FROM sizes CROSS JOIN tot ORDER BY bucket""".stripMargin
 
   /** SemDeDup oracle: the same training replay through `assigned`, then
     * within-bucket τ-pairs and the keep-smallest-id dup rule.
@@ -1828,6 +1873,7 @@ object Similarity {
          |SELECT label, bucket, COUNT(*) AS n_pairs
          |FROM p GROUP BY label, bucket ORDER BY label, bucket""".stripMargin,
     "sim_ivf_trained" -> trainedIvfOracle,
+    "sim_ivf_balance" -> ivfBalanceOracle,
     "sim_doc_retrieval" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -46,6 +46,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix — [[langId]]'s predictions crossed
+    * with the ground-truth label: per (true, predicted) cell the doc
+    * count and the row-normalized share (recall on the diagonal, leakage
+    * off it) — the eval table a language-filtering pipeline publishes
+    * before anyone trusts per-language corpus slices. The classifier
+    * runs once (same codegen'd stopword argmax); the matrix is one
+    * aggregate plus a broadcast row-total join; the share is the
+    * terminal division.
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = langId(s, d).select(col("lang_label"), col("lang_pred"))
+    val totals = pred.groupBy(col("lang_label"))
+      .agg(count(lit(1)).as("n_label"))
+    pred.groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(totals), Seq("lang_label"))
+      .select(col("lang_label"), col("lang_pred"), col("n_docs"),
+        col("n_label"),
+        (col("n_docs").cast("double") / col("n_label").cast("double"))
+          .as("row_share"))
+      .orderBy(col("lang_label"), col("lang_pred"))
+  }
+
   /** Quality scoring: length, word count, mean word length, punctuation
     * density, stopword ratio — combined into a filter flag the way a
     * C4/CCNet-style cleaning pass would.
@@ -1692,6 +1715,7 @@ object TextOps {
     "tx_repetition" -> repetition,
     "tx_redact" -> redact,
     "tx_langid" -> langId,
+    "tx_lang_confusion" -> langConfusion,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
@@ -2367,6 +2391,28 @@ object TextOps {
           |         / COUNT(*) AS oov_rate
           |FROM toks LEFT JOIN voc v USING (token)
           |GROUP BY source ORDER BY source""".stripMargin,
+      "tx_lang_confusion" ->
+        s"""WITH scored AS (
+           |  SELECT lang AS lang_label,
+           |         ${score("en")} AS score_en, ${score("de")} AS score_de,
+           |         ${score("fr")} AS score_fr, ${score("es")} AS score_es
+           |  FROM documents),
+           |pred AS (
+           |  SELECT lang_label,
+           |    CASE
+           |      WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+           |      WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+           |      WHEN score_fr >= score_es THEN 'fr'
+           |      ELSE 'es' END AS lang_pred
+           |  FROM scored),
+           |tot AS (SELECT lang_label, COUNT(*) AS n_label FROM pred GROUP BY 1),
+           |cells AS (
+           |  SELECT lang_label, lang_pred, COUNT(*) AS n_docs
+           |  FROM pred GROUP BY 1, 2)
+           |SELECT c.lang_label, c.lang_pred, c.n_docs, t.n_label,
+           |       CAST(c.n_docs AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS row_share
+           |FROM cells c JOIN tot t USING (lang_label)
+           |ORDER BY c.lang_label, c.lang_pred""".stripMargin,
       "tx_langid" ->
         s"""WITH scored AS (
            |  SELECT doc_id, lang AS lang_label,
