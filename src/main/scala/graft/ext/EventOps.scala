@@ -210,6 +210,39 @@ object EventOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** DAU/WAU/MAU stickiness — the engagement table every product
+    * dashboard opens with: per day, the exact distinct actives that day,
+    * over the trailing 7 days, and over the trailing 30, plus the
+    * DAU/WAU and DAU/MAU ratios ("how much of the weekly audience shows
+    * up daily"). Scale shape: the corpus collapses ONCE to distinct
+    * (day, user) pairs — everything after joins that reduced frame
+    * against the ≤|days| calendar (broadcast), so the trailing windows
+    * cost |days|·|daily actives| not |days|·|events|; the HLL twin
+    * ([[HyperLogLog.rollingDistinct]]) replaces the exact distinct with
+    * mergeable registers when even the pair frame is too big to rescan.
+    */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = pairs.select(col("day")).distinct()
+    def trailing(n: Int, name: String): DataFrame =
+      days.select(col("day").as("wday"))
+        .join(pairs,
+          col("day").between(date_sub(col("wday"), n - 1), col("wday")))
+        .groupBy(col("wday"))
+        .agg(graft.Det.exactDistinct(col("user_id")).as(name))
+    pairs.groupBy(col("day"))
+      .agg(graft.Det.exactDistinct(col("user_id")).as("dau"))
+      .join(trailing(7, "wau").withColumnRenamed("wday", "day"), "day")
+      .join(trailing(30, "mau").withColumnRenamed("wday", "day"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness_w"),
+        (col("dau").cast("double") / col("mau").cast("double"))
+          .as("stickiness_m"))
+      .orderBy(col("day"))
+  }
+
   /** JSON property extraction (events.props is a JSON string): pull $.k,
     * cast, aggregate — get_json_object ↔ json_extract_string.
     */
@@ -581,6 +614,7 @@ object EventOps {
     "ev_hazard" -> hazard,
     "ev_cohort_ltv" -> cohortLtv,
     "ev_audience_overlap" -> audienceOverlap,
+    "ev_stickiness" -> stickiness,
     "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
@@ -600,6 +634,24 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_stickiness" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY 1),
+        |wau AS (
+        |  SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+        |  FROM days d JOIN pairs p
+        |    ON p.day BETWEEN d.day - 6 AND d.day GROUP BY 1),
+        |mau AS (
+        |  SELECT d.day, COUNT(DISTINCT p.user_id) AS mau
+        |  FROM days d JOIN pairs p
+        |    ON p.day BETWEEN d.day - 29 AND d.day GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau, mau.mau,
+        |       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness_w,
+        |       CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness_m
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY dau.day""".stripMargin,
     "ev_audience_overlap" ->
       """WITH b AS (
         |  SELECT user_id,
