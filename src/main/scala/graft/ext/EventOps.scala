@@ -243,6 +243,53 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Growth accounting — every (user, active-day) classified as NEW
+    * (first activity ever), RETAINED (also active the previous day), or
+    * RESURRECTED (returning after a gap), plus CHURNED counted on the
+    * day AFTER a user's activity stops for good (the standard
+    * quadrant-chart bookkeeping: dau_t = new + retained + resurrected,
+    * and net growth = new + resurrected − churned). One lag/termination
+    * window over the distinct (user, day) pair frame — the same
+    * reduced-grain discipline as [[stickiness]]; the corpus is touched
+    * once and the classification is pure integer date arithmetic.
+    */
+  def lifecycle(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val tagged = pairs
+      .withColumn("prev", lag(col("day"), 1).over(byUser))
+      .withColumn("cls",
+        when(col("prev").isNull, lit("new"))
+          .when(datediff(col("day"), col("prev")) === 1, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val active = tagged.groupBy(col("day"))
+      .agg(sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churn day = the day after the user's LAST activity (within the
+    // observation window; the final calendar day has no churn row by
+    // construction — those users are right-censored, not churned)
+    val endDay = pairs.agg(max(col("day")).as("end_day"))
+    val churn = pairs.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"))
+      .crossJoin(broadcast(endDay))
+      .filter(col("last_day") < col("end_day"))
+      .select(date_add(col("last_day"), 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    active.join(churn, Seq("day"), "left")
+      .select(col("day"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        (col("n_new") + col("n_retained") + col("n_resurrected"))
+          .as("dau"),
+        (col("n_new") + col("n_resurrected")
+          - coalesce(col("n_churned"), lit(0L))).as("net_growth"))
+      .orderBy(col("day"))
+  }
+
   /** JSON property extraction (events.props is a JSON string): pull $.k,
     * cast, aggregate — get_json_object ↔ json_extract_string.
     */
@@ -615,6 +662,7 @@ object EventOps {
     "ev_cohort_ltv" -> cohortLtv,
     "ev_audience_overlap" -> audienceOverlap,
     "ev_stickiness" -> stickiness,
+    "ev_lifecycle" -> lifecycle,
     "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
@@ -634,6 +682,34 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_lifecycle" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |tagged AS (
+        |  SELECT day,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN day - prev = 1 THEN 'retained'
+        |              ELSE 'resurrected' END AS cls
+        |  FROM (SELECT user_id, day,
+        |          LAG(day, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |        FROM pairs)),
+        |active AS (
+        |  SELECT day,
+        |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM tagged GROUP BY 1),
+        |ed AS (SELECT MAX(day) AS end_day FROM pairs),
+        |churn AS (
+        |  SELECT last_day + 1 AS day, COUNT(*) AS n_churned
+        |  FROM (SELECT user_id, MAX(day) AS last_day FROM pairs GROUP BY 1)
+        |  CROSS JOIN ed WHERE last_day < end_day GROUP BY 1)
+        |SELECT a.day, n_new, n_retained, n_resurrected,
+        |       CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned,
+        |       n_new + n_retained + n_resurrected AS dau,
+        |       n_new + n_resurrected - CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS net_growth
+        |FROM active a LEFT JOIN churn c ON a.day = c.day
+        |ORDER BY a.day""".stripMargin,
     "ev_stickiness" ->
       """WITH pairs AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

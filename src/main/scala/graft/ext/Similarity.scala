@@ -207,6 +207,43 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Per-label centroid drift between two corpus epochs (interleaved
+    * vec_id halves stand in for snapshot A/B) — the embedding-space
+    * drift gate a retraining pipeline checks before mixing old and new
+    * vectors: if a label's centroid rotated (cosine well below 1), the
+    * encoder or the data changed under that class. The determinism
+    * trick: cosine is SCALE-INVARIANT, so it is computed directly on
+    * the integer per-dimension SUM vectors (never the float means) —
+    * dot and norms are exact BIGINT sums of products (order-free), and
+    * the single double is one fixed division/sqrt chain. One corpus
+    * scan (posexplode → (label, epoch, dim) partial-agg); everything
+    * after runs on the |labels|·2·d bounded frame.
+    */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val gs = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).cast("int").as("epoch"),
+        expr(quantExpr).as("q"))
+      .select(col("label"), col("epoch"),
+        posexplode(col("q")).as(Seq("p", "x")))
+      .groupBy(col("label"), col("epoch"), col("p"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val a = gs.filter(col("epoch") === 0)
+      .select(col("label"), col("p"), col("sx").as("sa"), col("n").as("na"))
+    val b = gs.filter(col("epoch") === 1)
+      .select(col("label"), col("p"), col("sx").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("label", "p"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_epoch0"), max(col("nb")).as("n_epoch1"),
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("a2"),
+        sum(col("sb") * col("sb")).as("b2"))
+      .select(col("label"), col("n_epoch0"), col("n_epoch1"), col("dot"),
+        (col("dot").cast("double")
+          / (sqrt(col("a2").cast("double")) * sqrt(col("b2").cast("double"))))
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Quantized-moment sufficient statistics shared by [[covariance]] and
     * [[pcaProject]]: per-dimension sums and upper-triangle cross-product
     * sums over floor(x·2^14) integer embeddings. One corpus scan each; the
@@ -1432,6 +1469,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK,
     "sim_ivf_trained" -> ivfTrainedTopK,
     "sim_ivf_balance" -> ivfBalance,
+    "sim_centroid_drift" -> centroidDrift,
     "sim_doc_retrieval" -> docRetrieval,
     "dd_embed_cosine" -> embedCosineDedup,
     "dd_srp_lsh" -> srpLshDedup,
@@ -1932,6 +1970,34 @@ object Similarity {
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin,
+    "sim_centroid_drift" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS epoch,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |el AS (
+         |  SELECT label, epoch, CAST(i AS INT) AS p, q[CAST(i AS INT)] AS x
+         |  FROM qv, range(1, 65) t(i)),
+         |gs AS (
+         |  SELECT label, epoch, p, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+         |  FROM el GROUP BY 1, 2, 3),
+         |j AS (
+         |  SELECT a.label, a.sx AS sa, b.sx AS sb, a.n AS na, b.n AS nb
+         |  FROM gs a JOIN gs b
+         |    ON a.label = b.label AND a.p = b.p
+         |   AND a.epoch = 0 AND b.epoch = 1),
+         |agg AS (
+         |  SELECT label,
+         |         CAST(MAX(na) AS BIGINT) AS n_epoch0,
+         |         CAST(MAX(nb) AS BIGINT) AS n_epoch1,
+         |         CAST(SUM(sa * sb) AS BIGINT) AS dot,
+         |         CAST(SUM(sa * sa) AS BIGINT) AS a2,
+         |         CAST(SUM(sb * sb) AS BIGINT) AS b2
+         |  FROM j GROUP BY 1)
+         |SELECT label, n_epoch0, n_epoch1, dot,
+         |       CAST(dot AS DOUBLE)
+         |         / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))) AS centroid_cos
+         |FROM agg ORDER BY label""".stripMargin,
     "sim_mrr" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
