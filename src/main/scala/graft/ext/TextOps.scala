@@ -727,6 +727,46 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Collocation mining — adjacent bigrams ranked by LIFT (N·c(w1,w2) /
+    * (c(w1)·c(w2))), the log-free core of PMI (PMI = log2(lift), a
+    * monotone transform — ranking by lift IS ranking by PMI, and lift's
+    * single exact-integer division hash-verifies where libm's log
+    * cannot): bigrams that co-occur far above chance are multi-word
+    * expressions a tokenizer or phrase-mining pass should treat as
+    * units. Support-filtered (pair count ≥ 5) to kill the
+    * low-frequency lift explosion, top-20 by (lift, w1, w2). Pair
+    * counts shuffle one row per distinct bigram (map-side combined);
+    * unigram counts ride in on two broadcast joins.
+    */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables.documents(s, d)
+      .select(expr("filter(split(lower(text), ' '), w -> length(w) > 0)")
+        .as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = ws.select(explode(expr(
+      """zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)),
+        |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("pc"))
+    val uni = Tables.documents(s, d)
+      .select(explode(expr(
+        "filter(split(lower(text), ' '), w -> length(w) > 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n_total"))
+    pairs.filter(col("pc") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("n_total") * col("pc")).cast("double")
+          / (col("c1") * col("c2")).cast("double"))
+      .select(col("w1"), col("w2"), col("pc"), col("c1"), col("c2"),
+        col("lift"))
+      .orderBy(desc("lift"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** Hapax legomena + type/token ratio per source — the heavy-tail
     * vocabulary profile (how much of each slice is corpus-unique words):
     * a high hapax rate predicts tokenizer OOV pressure and poor n-gram
@@ -1716,6 +1756,7 @@ object TextOps {
     "tx_redact" -> redact,
     "tx_langid" -> langId,
     "tx_lang_confusion" -> langConfusion,
+    "tx_collocations" -> collocations,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
@@ -2391,6 +2432,29 @@ object TextOps {
           |         / COUNT(*) AS oov_rate
           |FROM toks LEFT JOIN voc v USING (token)
           |GROUP BY source ORDER BY source""".stripMargin,
+      "tx_collocations" ->
+        """WITH ws0 AS (
+          |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+          |  FROM documents),
+          |w2f AS (SELECT ws FROM ws0 WHERE len(ws) >= 2),
+          |pairs AS (
+          |  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS pc FROM (
+          |    SELECT unnest(list_transform(range(1, len(ws)),
+          |           i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+          |    FROM w2f) GROUP BY 1, 2),
+          |uni AS (
+          |  SELECT w, COUNT(*) AS c FROM (
+          |    SELECT unnest(ws) AS w FROM ws0) GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni)
+          |SELECT p.w1, p.w2, p.pc, u1.c AS c1, u2.c AS c2,
+          |       CAST(n_total * p.pc AS DOUBLE)
+          |         / CAST(u1.c * u2.c AS DOUBLE) AS lift
+          |FROM pairs p
+          |JOIN uni u1 ON u1.w = p.w1
+          |JOIN uni u2 ON u2.w = p.w2
+          |CROSS JOIN tot
+          |WHERE p.pc >= 5
+          |ORDER BY lift DESC, p.w1, p.w2 LIMIT 20""".stripMargin,
       "tx_lang_confusion" ->
         s"""WITH scored AS (
            |  SELECT lang AS lang_label,
