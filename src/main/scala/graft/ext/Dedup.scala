@@ -791,7 +791,43 @@ object Dedup {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Squaring chain for integer powers of two — the pow()-free way both
+    * engines evaluate sⁿ in EXACTLY the same operation order (libm pow
+    * is not correctly rounded and differs across engines; n-1 chained
+    * multiplies in a fixed association are bit-identical everywhere).
+    */
+  private def powChain(e: String, n: Int): String =
+    if (n == 1) e else { val h = powChain(e, n / 2); s"(($h) * ($h))" }
+
+  private val plannerSims = Seq(0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+  private val plannerConfigs = Seq((8, 4), (16, 2), (4, 8), (32, 1))
+
+  /** LSH banding planner — the design table behind [[minhashLsh]]'s
+    * B=8×R=4 choice: for each candidate (bands, rows) layout sharing the
+    * 32-hash budget, the probability 1 − (1 − s^r)^b that a pair of true
+    * Jaccard similarity s becomes a candidate. Reading down a column
+    * shows each layout's S-curve (more rows/band → sharper threshold,
+    * higher miss rate below it; more bands → more false candidates).
+    * Pure closed-form math — no corpus scan — but published as a
+    * verified query because pipelines read THIS table to pick a layout,
+    * and both engines must agree on it: every power is an unrolled
+    * squaring chain ([[powChain]]), so no libm pow runs anywhere and the
+    * probabilities hash-verify bit-for-bit.
+    */
+  def bandPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val branches = plannerConfigs.map { case (b, r) =>
+      val sr = powChain("s", r)
+      val p = s"1.0D - ${powChain(s"(1.0D - $sr)", b)}"
+      plannerSims.toDF("s")
+        .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"), col("s"),
+          expr(p).as("p_candidate"))
+    }
+    branches.reduce(_ unionByName _).orderBy(col("b"), col("r"), col("s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_band_planner" -> bandPlanner,
     "dd_record_linkage" -> recordLinkage,
     "dd_minhash_accuracy" -> minhashAccuracy,
     "dd_band_stats" -> bandStats,
@@ -839,6 +875,18 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_band_planner" -> {
+      val simList = plannerSims.map(_.toString).mkString("[", ", ", "]")
+      val branches = plannerConfigs.map { case (b, r) =>
+        val sr = powChain("s", r)
+        val p = s"1.0 - ${powChain(s"(1.0 - $sr)", b)}"
+        s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r, s,
+           |       $p AS p_candidate FROM sims""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+      s"""WITH sims AS (SELECT CAST(unnest($simList) AS DOUBLE) AS s)
+         |SELECT * FROM ($branches)
+         |ORDER BY b, r, s""".stripMargin
+    },
     "dd_record_linkage" ->
       """WITH names AS (
         |  SELECT lower(p_name) AS name, COUNT(*) AS n_parts,

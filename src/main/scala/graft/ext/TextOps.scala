@@ -1157,6 +1157,44 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Sequence-length audit — the pad-vs-truncate cost table a training
+    * config is chosen against: for max_len ∈ {32, 48, 64}, how many
+    * documents get truncated, what share of tokens is LOST to
+    * truncation, and what share of the padded batch is WASTE (padding)
+    * if every kept sequence pads to max_len. [[packSequences]] avoids
+    * padding by packing; this table quantifies what the naive
+    * pad-to-max alternative costs at each boundary — the two numbers
+    * (loss% vs waste%) that justify packing in the first place. One
+    * token-count scan; per-boundary stats are conditional integer sums
+    * against a 3-row broadcast boundary frame; the two shares are
+    * terminal divisions.
+    */
+  def seqLengthAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+        .cast("long").as("n"))
+    Seq(32L, 48L, 64L).toDF("max_len")
+      .crossJoin(toks)
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("corpus_tokens"),
+        sum(when(col("n") > col("max_len"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(when(col("n") > col("max_len"), col("n") - col("max_len"))
+          .otherwise(0L)).as("tokens_lost"),
+        sum(least(col("n"), col("max_len"))).as("kept_tokens"))
+      .withColumn("loss_share",
+        col("tokens_lost").cast("double") / col("corpus_tokens").cast("double"))
+      .withColumn("pad_waste_share",
+        (col("n_docs") * col("max_len") - col("kept_tokens")).cast("double")
+          / (col("n_docs") * col("max_len")).cast("double"))
+      .select(col("max_len"), col("n_docs"), col("corpus_tokens"),
+        col("n_truncated"), col("tokens_lost"), col("kept_tokens"),
+        col("loss_share"), col("pad_waste_share"))
+      .orderBy(col("max_len"))
+  }
+
   /** Chat-template assembly — multi-turn SFT conversations built from
     * per-source document streams: within each source (doc_id order),
     * consecutive documents become alternating user/assistant turns,
@@ -1768,6 +1806,7 @@ object TextOps {
     "tx_fertility" -> fertility,
     "tx_vocab_coverage" -> vocabCoverage,
     "pipe_chat_template" -> chatTemplate,
+    "pipe_seq_length_audit" -> seqLengthAudit,
     "pipe_temperature_mix" -> temperatureMix,
     "pipe_importance_resample" -> importanceResample,
     "pipe_token_budget" -> tokenBudget,
@@ -2113,6 +2152,24 @@ object TextOps {
            |         AS chars_per_token
            |FROM dw JOIN vs USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "pipe_seq_length_audit" ->
+        """WITH toks AS (
+          |  SELECT CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n
+          |  FROM documents),
+          |ks AS (SELECT CAST(unnest([32, 48, 64]) AS BIGINT) AS max_len),
+          |agg AS (
+          |  SELECT max_len, COUNT(*) AS n_docs,
+          |         CAST(SUM(n) AS BIGINT) AS corpus_tokens,
+          |         CAST(SUM(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+          |         CAST(SUM(CASE WHEN n > max_len THEN n - max_len ELSE 0 END) AS BIGINT) AS tokens_lost,
+          |         CAST(SUM(least(n, max_len)) AS BIGINT) AS kept_tokens
+          |  FROM ks CROSS JOIN toks GROUP BY 1)
+          |SELECT max_len, n_docs, corpus_tokens, n_truncated, tokens_lost,
+          |       kept_tokens,
+          |       CAST(tokens_lost AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS loss_share,
+          |       CAST(n_docs * max_len - kept_tokens AS DOUBLE)
+          |         / CAST(n_docs * max_len AS DOUBLE) AS pad_waste_share
+          |FROM agg ORDER BY max_len""".stripMargin,
       "pipe_chat_template" ->
         """WITH t AS (
           |  SELECT source, doc_id, text,
