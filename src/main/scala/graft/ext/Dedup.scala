@@ -296,6 +296,32 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     lshPairsOf(Tables.documents(s, d)).orderBy(col("ia"), col("ib"))
 
+  /** WHERE the duplication flows from — [[minhashLsh]]'s verified pairs
+    * aggregated into a (source, source) matrix with pair counts and mean
+    * Jaccard (in exact milli-units, the [[Similarity.sourceDiversity]]
+    * discipline: floor-quantize BEFORE the sum so the mean is
+    * summation-order-free). Heavy off-diagonal cells are mirror/scraper
+    * relationships between sources — the diagnostic that tells a
+    * curation pipeline whether to dedup within or ACROSS source slices,
+    * and which feeds to cap. Two broadcast-sized joins attach sources to
+    * the (already small) verified pair set; the matrix rollup is
+    * |sources|² bounded.
+    */
+  def dupSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    lshPairsOf(Tables.documents(s, d))
+      .join(docs.select(col("doc_id").as("ia"), col("source").as("sa")), "ia")
+      .join(docs.select(col("doc_id").as("ib"), col("source").as("sb")), "ib")
+      .withColumn("source_a", least(col("sa"), col("sb")))
+      .withColumn("source_b", greatest(col("sa"), col("sb")))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("jaccard") * 1000.0).cast("long")).as("jacc_milli_sum"))
+      .withColumn("mean_jacc_milli",
+        col("jacc_milli_sum").cast("double") / col("n_pairs").cast("double"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Verified near-dup pairs (ia < ib, inter, jaccard ≥ 0.5) of an
     * arbitrary (doc_id, text, …) frame — the unordered core of
     * [[minhashLsh]], reused by the corpus-clean pipeline on its
@@ -837,6 +863,7 @@ object Dedup {
     "dd_containment" -> containment,
     "dd_containment_banded" -> containmentBanded,
     "dd_minhash_lsh" -> minhashLsh,
+    "dd_dup_sources" -> dupSources,
     "dd_simhash" -> simhash,
     "dd_components" -> components,
     "dd_components_stars" -> componentsStars,
@@ -1027,6 +1054,42 @@ object Dedup {
          |  FROM cand JOIN shing sa ON ia = sa.doc_id JOIN shing sb ON ib = sb.doc_id)
          |SELECT ia, ib, inter, jaccard FROM scored
          |WHERE jaccard >= $JT ORDER BY ia, ib""".stripMargin,
+    "dd_dup_sources" ->
+      s"""WITH $shingCte,
+         |sig AS (
+         |  SELECT doc_id, shashes,
+         |    [list_reduce(
+         |       list_prepend(9223372036854775807::BIGINT,
+         |         [((2*i + 1) * (h % $M40) + i * 2654435761) % $M40 for h in shashes]),
+         |       (a, x) -> least(a, x)) for i in range(0, $K)] AS sig
+         |  FROM shing),
+         |bands AS (
+         |  SELECT doc_id, shashes, b,
+         |    ${duckHash(s"CAST(b AS VARCHAR) || '|' || array_to_string([CAST(v AS VARCHAR) for v in sig[b*$R+1:b*$R+$R]], ',')")} AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, $B)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT ia, ib,
+         |    CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+         |      / (len(sa.shashes) + len(sb.shashes) - len(list_intersect(sa.shashes, sb.shashes))) AS jaccard
+         |  FROM cand JOIN shing sa ON ia = sa.doc_id JOIN shing sb ON ib = sb.doc_id),
+         |verified AS (SELECT * FROM scored WHERE jaccard >= $JT),
+         |tagged AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b,
+         |         v.jaccard
+         |  FROM verified v
+         |  JOIN documents da ON da.doc_id = v.ia
+         |  JOIN documents db ON db.doc_id = v.ib)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |       CAST(SUM(CAST(floor(jaccard * 1000.0) AS BIGINT)) AS BIGINT) AS jacc_milli_sum,
+         |       CAST(SUM(CAST(floor(jaccard * 1000.0) AS BIGINT)) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS mean_jacc_milli
+         |FROM tagged GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
     "dd_incremental" ->
       s"""WITH docs_seen AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % $SEEN_MOD <> 0),
