@@ -985,6 +985,37 @@ object TextOps {
 
   private val DEDUP_W = 20
 
+  /** Boilerplate detection — chunks repeated across MANY DISTINCT
+    * documents (document frequency ≥ 3): the header/footer/nav-bar
+    * signature of a scraped corpus, and a different failure mode than
+    * pairwise duplication ([[chunkDedup]] counts occurrences; a chunk
+    * pasted twice into ONE doc is self-repetition, while a chunk in 50
+    * docs is template text that survives pair-level dedup caps). Per
+    * flagged chunk: distinct-doc df, total occurrences, and the chunk
+    * text, top-20 by (df, hash). Chunk text rides only on the flagged
+    * winners (any_value over the df-capped group — chunks are
+    * hash-grouped, so text never shuffles for candidates), exactly the
+    * dup-gram wire discipline.
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("ck", explode(expr(s"sequence(0, (size(ws) - 1) div $DEDUP_W)")))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          slice(col("ws"), col("ck") * DEDUP_W + 1, lit(DEDUP_W))).as("chunk"))
+      .withColumn("h", expr(sparkHash("chunk")))
+    chunks.groupBy(col("h"))
+      .agg(graft.Det.exactDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occ"),
+        min(col("chunk")).as("chunk"))
+      .filter(col("df") >= 3)
+      .select(col("h"), col("df"), col("n_occ"), col("chunk"))
+      .orderBy(desc("df"), col("h"))
+      .limit(20)
+  }
+
   /** Token-window chunking (64-token windows, stride 48 — 16-token
     * overlap): the tokenizer-aligned sibling of [[chunkDocs]]. Tokens are
     * whitespace words here (the BPE-ish regex split of `tx_tokens` plugs
@@ -1795,6 +1826,7 @@ object TextOps {
     "tx_langid" -> langId,
     "tx_lang_confusion" -> langConfusion,
     "tx_collocations" -> collocations,
+    "tx_boilerplate" -> boilerplate,
     "tx_quality" -> quality,
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
@@ -2489,6 +2521,22 @@ object TextOps {
           |         / COUNT(*) AS oov_rate
           |FROM toks LEFT JOIN voc v USING (token)
           |GROUP BY source ORDER BY source""".stripMargin,
+      "tx_boilerplate" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS ws
+           |  FROM documents WHERE len(text) > 0),
+           |ck AS (
+           |  SELECT doc_id,
+           |         array_to_string(ws[(t.ck * $DEDUP_W + 1):(t.ck * $DEDUP_W + $DEDUP_W)], ' ') AS chunk
+           |  FROM w, unnest(range(0, (len(ws) - 1) // $DEDUP_W + 1)) AS t(ck)),
+           |h AS (SELECT doc_id, chunk, ${duckHash("chunk")} AS h FROM ck),
+           |agg AS (
+           |  SELECT h, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occ,
+           |         MIN(chunk) AS chunk
+           |  FROM h GROUP BY h)
+           |SELECT h, CAST(df AS BIGINT) AS df, CAST(n_occ AS BIGINT) AS n_occ, chunk
+           |FROM agg WHERE df >= 3
+           |ORDER BY df DESC, h LIMIT 20""".stripMargin,
       "tx_collocations" ->
         """WITH ws0 AS (
           |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
