@@ -207,6 +207,49 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Semi-hard triplet mining — the embedding-space training-data op
+    * behind metric learning (FaceNet's recipe): per anchor, the hardest
+    * POSITIVE (highest-cosine same-label neighbor) and the SEMI-HARD
+    * negative — the highest-cosine different-label neighbor that is
+    * still farther than the positive (cos < pos_cos). Semi-hard beats
+    * hardest-negative mining because the hardest negatives are often
+    * label noise; semi-hard ones sit inside the margin where the
+    * gradient is informative. One scored frame, two argmax windows (the
+    * [[knnClassify]] shape), the negative window filtered against the
+    * positive's score via a per-anchor join — deterministic ties by
+    * cand_id, so the mined triplets hash-verify. [[TextOps.negatives]]
+    * samples negatives CONTENT-BLIND on a hash ring; this mines them
+    * from geometry — the two ends of the contrastive-data spectrum.
+    */
+  def tripletMining(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+    val scored = q.hint("broadcast").join(corpus)
+      .withColumn("cosine", expr(cos(s, "qv", "embedding")))
+      .localCheckpoint() // feeds the positive argmax AND the negative side
+    val wPos = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc("cosine"), col("cand_id"))
+    val pos = scored.filter(col("label") === col("qlabel"))
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val wNeg = Window.partitionBy(col("anchor_id"))
+      .orderBy(desc("cosine"), col("cand_id"))
+    scored.filter(col("label") =!= col("qlabel"))
+      .join(pos, "anchor_id")
+      .filter(col("cosine") < col("pos_cos"))
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("qlabel").as("label"),
+        col("pos_id"), col("pos_cos"),
+        col("cand_id").as("neg_id"), col("cosine").as("neg_cos"),
+        (col("pos_cos") - col("cosine")).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** Per-label centroid drift between two corpus epochs (interleaved
     * vec_id halves stand in for snapshot A/B) — the embedding-space
     * drift gate a retraining pipeline checks before mixing old and new
@@ -1470,6 +1513,7 @@ object Similarity {
     "sim_ivf_trained" -> ivfTrainedTopK,
     "sim_ivf_balance" -> ivfBalance,
     "sim_centroid_drift" -> centroidDrift,
+    "sim_triplet_mining" -> tripletMining,
     "sim_doc_retrieval" -> docRetrieval,
     "dd_embed_cosine" -> embedCosineDedup,
     "dd_srp_lsh" -> srpLshDedup,
@@ -1970,6 +2014,35 @@ object Similarity {
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
          |       CAST(sum(CASE WHEN rf <= 10 AND rh <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin,
+    "sim_triplet_mining" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS anchor_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT vec_id AS cand_id, embedding, label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT anchor_id, qlabel, cand_id, label,
+         |         ${duckCos("qv", "embedding")} AS cosine
+         |  FROM q CROSS JOIN c),
+         |pos AS (
+         |  SELECT anchor_id, cand_id AS pos_id, cosine AS pos_cos FROM (
+         |    SELECT anchor_id, cand_id, cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |             ORDER BY cosine DESC, cand_id) AS rn
+         |    FROM scored WHERE label = qlabel) WHERE rn = 1),
+         |neg AS (
+         |  SELECT anchor_id, qlabel, pos_id, pos_cos, cand_id, cosine FROM (
+         |    SELECT s.anchor_id, s.qlabel, p.pos_id, p.pos_cos,
+         |           s.cand_id, s.cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY s.anchor_id
+         |             ORDER BY s.cosine DESC, s.cand_id) AS rn
+         |    FROM scored s JOIN pos p USING (anchor_id)
+         |    WHERE s.label <> s.qlabel AND s.cosine < p.pos_cos) WHERE rn = 1)
+         |SELECT anchor_id, qlabel AS label, pos_id, pos_cos,
+         |       cand_id AS neg_id, cosine AS neg_cos,
+         |       pos_cos - cosine AS margin
+         |FROM neg ORDER BY anchor_id""".stripMargin,
     "sim_centroid_drift" ->
       s"""WITH qv AS (
          |  SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS epoch,
