@@ -430,6 +430,39 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Hamming-tolerant near-dup images — the banded generalization
+    * [[phashDedup]]'s scaladoc promises: exact-equality dedup misses a
+    * re-encoded/slightly-cropped copy whose aHash flips a few bits, so
+    * candidates come from blocking on the FIRST 16 HASH BITS (a
+    * one-band LSH on the bit string: a pair within Hamming ≤ 10 over 64
+    * bits agrees on a fixed 16-bit window with good probability, and
+    * multi-band extends the recall exactly like MinHash banding), then
+    * each candidate pair's exact Hamming distance is computed and the
+    * result is the within-block DISTANCE HISTOGRAM — the tuning table
+    * for choosing a near-dup threshold (on this solid-fixture corpus
+    * all candidates land at distance 0; real image corpora populate the
+    * 1..10 near-miss band the blocking exists for). The decode runs
+    * once (checkpointed hash frame feeds both join sides); only
+    * (doc_id, 64-char hash) ever shuffles.
+    */
+  def phashBanded(s: SparkSession, d: String): DataFrame = {
+    val hashes = phashDecodeRaw(s, d).toDF()
+      .select(col("doc_id"), col("ahash"))
+      .withColumn("blk", substring(col("ahash"), 1, 16))
+      .localCheckpoint()
+    hashes.as("a").join(hashes.as("b"),
+      col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .withColumn("hamming", expr(
+        "size(filter(transform(sequence(1, 64), " +
+          "i -> substring(ha, i, 1) != substring(hb, i, 1)), x -> x))")
+        .cast("long"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   /** Deterministic PNG fixture dims/color per doc — third distinct
     * formula family (multipliers 23/11 for dims, 5/11 for color) so no
     * cross-wired codec path can accidentally verify.
@@ -828,6 +861,7 @@ object Multimodal {
     "mm_jpeg_decode" -> jpegDecode,
     "mm_png_decode" -> pngDecode,
     "dd_phash_images" -> phashDedup,
+    "dd_phash_banded" -> phashBanded,
     "mm_wav_meta" -> wavMeta,
     "mm_wav_tone" -> wavTone,
     "dd_audio_fingerprint" -> audioFingerprint,
@@ -906,6 +940,38 @@ object Multimodal {
         |SELECT doc_id, width, height, ahash,
         |       CASE WHEN first_id < doc_id THEN first_id END AS dup_of
         |FROM withdup ORDER BY doc_id""".stripMargin,
+    "dd_phash_banded" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(8 * (2 + doc_id % 5) AS INT) AS w,
+        |    CAST(8 * (2 + (doc_id // 5) % 5) AS INT) AS h,
+        |    CAST((doc_id % 7) * 31 AS INT) AS ph
+        |  FROM documents),
+        |grid AS (SELECT unnest(range(0, 8)) AS b),
+        |blocks AS (
+        |  SELECT p.doc_id, p.w, p.h, byy.b AS by, bxx.b AS bx,
+        |    ((h // 8) * list_sum([ (x * 13 + ph) % 256
+        |       for x in range(bxx.b * (w // 8), (bxx.b + 1) * (w // 8)) ]))
+        |      // ((w // 8) * (h // 8)) AS bmean
+        |  FROM p CROSS JOIN grid byy CROSS JOIN grid bxx),
+        |g AS (SELECT doc_id, SUM(bmean) // 64 AS gmean FROM blocks GROUP BY 1),
+        |bits AS (
+        |  SELECT b.doc_id, b.by, b.bx,
+        |         CASE WHEN b.bmean > g.gmean THEN '1' ELSE '0' END AS bit
+        |  FROM blocks b JOIN g USING (doc_id)),
+        |hashes AS (
+        |  SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
+        |  FROM bits GROUP BY doc_id),
+        |blk AS (SELECT doc_id, ahash, substr(ahash, 1, 16) AS blk FROM hashes),
+        |cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.ahash AS ha, b.ahash AS hb
+        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT ia, ib,
+        |         CAST(len(list_filter([ha[i] != hb[i] for i in range(1, 65)],
+        |                              x -> x)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |SELECT hamming, COUNT(*) AS n_pairs FROM ham
+        |GROUP BY hamming ORDER BY hamming""".stripMargin,
     "mm_png_decode" ->
       """SELECT doc_id,
         |       CAST(16 + ((doc_id * 23) % 56) AS INT) AS width,
