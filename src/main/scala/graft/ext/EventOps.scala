@@ -290,6 +290,38 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Seasonal-naive forecast backtest — predict each day's revenue per
+    * event type as LAST WEEK'S same-weekday value and score the forecast
+    * with MAE and WAPE (weighted absolute percentage error): the
+    * baseline every real forecasting model must beat, and the backtest
+    * harness shape (join actuals to lagged forecasts, aggregate error
+    * mass) is the same regardless of the model plugged in. All error
+    * arithmetic runs in exact DECIMAL (abs/sub/sum are exact there —
+    * the [[graft.Tables.dsum]] discipline); the two ratios are terminal
+    * double divisions. Day-grain pre-aggregation first, so the join and
+    * error rollup touch |types|·|days| rows, never raw events.
+    */
+  def forecastNaive(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
+    val fc = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("v").as("f"))
+    daily.join(fc, Seq("event_type", "day"))
+      .withColumn("abs_err", abs(col("v") - col("f")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("abs_err")).as("sum_abs_err"),
+        sum(col("v")).as("sum_actual"))
+      .select(col("event_type"), col("n_days"),
+        col("sum_abs_err").cast("double").as("total_abs_err"),
+        (col("sum_abs_err").cast("double") / col("n_days").cast("double"))
+          .as("mae"),
+        (col("sum_abs_err").cast("double") / col("sum_actual").cast("double"))
+          .as("wape"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON property extraction (events.props is a JSON string): pull $.k,
     * cast, aggregate — get_json_object ↔ json_extract_string.
     */
@@ -663,6 +695,7 @@ object EventOps {
     "ev_audience_overlap" -> audienceOverlap,
     "ev_stickiness" -> stickiness,
     "ev_lifecycle" -> lifecycle,
+    "ev_forecast_naive" -> forecastNaive,
     "ev_conversion_lag" -> conversionLag,
     "ev_path_trigrams" -> pathTrigrams,
     "ev_changepoint" -> changepoint,
@@ -682,6 +715,20 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_forecast_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |fc AS (SELECT event_type, day + 7 AS day, v AS f FROM daily),
+        |j AS (
+        |  SELECT d.event_type, abs(d.v - fc.f) AS abs_err, d.v
+        |  FROM daily d JOIN fc USING (event_type, day))
+        |SELECT event_type, COUNT(*) AS n_days,
+        |       CAST(SUM(abs_err) AS DOUBLE) AS total_abs_err,
+        |       CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+        |       CAST(SUM(abs_err) AS DOUBLE) / CAST(SUM(v) AS DOUBLE) AS wape
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
     "ev_lifecycle" ->
       """WITH pairs AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
