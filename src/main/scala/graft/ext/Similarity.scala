@@ -2089,8 +2089,15 @@ object Similarity {
          |FROM ranked WHERE label = qlabel
          |GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
     "sim_ndcg" -> {
-      val wLit = ndcgW.map(_.toString).mkString("[", ", ", "]")
-      val pLit = ndcgP.map(_.toString).mkString("[", ", ", "]")
+      // The STRING cast is load-bearing: a bare numeric literal in DuckDB
+      // goes through DECIMAL, and DECIMAL→DOUBLE does NOT equal strtod on
+      // 17-digit values (observed 1-ulp drift on 1/log2(6)); CAST('…' AS
+      // DOUBLE) is the correctly-rounded decimal-string parse that
+      // matches what the JVM embeds on the Spark side.
+      def dlist(vs: Seq[Double]): String =
+        vs.map(v => s"CAST('${v}' AS DOUBLE)").mkString("[", ", ", "]")
+      val wLit = dlist(ndcgW)
+      val pLit = dlist(ndcgP)
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
          |  FROM embeddings WHERE vec_id < 10),
