@@ -539,6 +539,51 @@ class OperatorSpec extends AnyFunSuite {
       "restart mass must keep the seed set prominent")
   }
 
+  test("band planner: candidate probability is monotone in s and in bands") {
+    val rows = ext.Dedup.bandPlanner(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getDouble(2)), r.getDouble(3)))
+      .toMap
+    rows.foreach { case (_, p) => assert(p >= 0.0 && p <= 1.0) }
+    // fixed (b, r): more similar pairs are more likely candidates
+    rows.keys.groupBy(k => (k._1, k._2)).foreach { case (_, ks) =>
+      val bySim = ks.toSeq.sortBy(_._3).map(rows)
+      bySim.zip(bySim.tail).foreach { case (lo, hi) => assert(hi >= lo) }
+    }
+    // fixed s: 32 bands of 1 row catch more than 4 bands of 8 rows
+    Seq(0.5, 0.7, 0.9).foreach { s0 =>
+      assert(rows((32L, 1L, s0)) >= rows((4L, 8L, s0)),
+        s"more bands must not lower detection at s=$s0")
+    }
+  }
+
+  test("triplet mining: semi-hard contract (positive above negative, same anchor)") {
+    val rows = ext.Similarity.tripletMining(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") > 0.0,
+        "negative must sit strictly below the positive (semi-hard)")
+      assert(r.getAs[Double]("pos_cos") ==
+        r.getAs[Double]("neg_cos") + r.getAs[Double]("margin"))
+      assert(r.getAs[Long]("pos_id") != r.getAs[Long]("neg_id"))
+    }
+  }
+
+  test("chat template: conversations are complete and token split is conserved") {
+    val rows = ext.TextOps.chatTemplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_turns") == 4L)
+      val text = r.getAs[String]("conv_text")
+      // strict alternation: user opens, assistant closes, 2 of each
+      val roles = "<\\|(user|assistant)\\|>".r
+        .findAllMatchIn(text).map(_.group(1)).toSeq
+      assert(roles == Seq("user", "assistant", "user", "assistant"),
+        s"bad turn structure: $roles")
+      assert(r.getAs[Long]("n_user_tokens") > 0
+        && r.getAs[Long]("n_assistant_tokens") > 0)
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
