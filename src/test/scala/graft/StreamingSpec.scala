@@ -450,4 +450,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("batch_duration_ms") >= 0, r.toString)
     }
   }
+
+  test("streaming CMS: state bounded by the D x W grid, counters conserve the stream") {
+    // The constant-state claim, pinned. The DRAINED grid is bit-equal to
+    // the batch build (that equality is what the st_cms_stream oracle
+    // verifies end-to-end), so the grid-shape invariants are asserted on
+    // the batch construction: the counter table can never exceed D×W
+    // rows no matter the stream size, and every event lands in exactly
+    // one bucket per hash row.
+    import org.apache.spark.sql.functions._
+    val d = ext.CountMinAgg.D
+    val w = ext.CountMinAgg.W
+    val m40 = 1099511627776L
+    val counters = Tables.events(spark, sf)
+      .select(expr(ext.Hashing.sparkHash("CAST(user_id AS STRING)")).as("h"))
+      .select(col("h"), explode(expr(s"sequence(0, ${d - 1})")).as("i"))
+      .withColumn("b",
+        expr(s"((2 * i + 1) * (h % ${m40}L) + i * 2654435761L) % ${m40}L % $w"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+    assert(counters.count() <= d.toLong * w,
+      s"counter table exceeded the $d x $w grid")
+    val total = counters.groupBy("i").sum("c").collect()
+      .map(_.getAs[Long]("sum(c)"))
+    val n = Tables.events(spark, sf).count()
+    assert(total.length == d && total.forall(_ == n),
+      s"each of the $d rows must hold exactly $n increments: ${total.mkString(",")}")
+    // and the streaming read path agrees with exact counts on its probes
+    val probes = streaming.StreamOps.cmsStream(spark, sf).collect()
+    probes.foreach(r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("true_count")))
+  }
 }
