@@ -713,6 +713,33 @@ object TextOps {
         sum(col("rh").cast("decimal(30,0)")).cast("string").as("checksum"))
       .orderBy(col("shard"))
 
+  /** Shard provenance — [[shardManifest]]'s lineage facet: per output
+    * shard, WHICH source feeds contributed and how much (docs, tokens,
+    * share of the shard). When a trained model misbehaves, this is the
+    * table that walks a bad shard back to the feed that poisoned it —
+    * and forward, which shards a retracted source contaminated (the
+    * deletion-request path). Same one-scan shape as the manifest with
+    * source as a second group key; output bounded by shards × sources.
+    */
+  def provenance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.documents(s, d)
+      .withColumn("shard",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 16"))
+      .withColumn("n_words",
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long"))
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    rows
+      .withColumn("shard_docs",
+        sum(col("n_docs")).over(Window.partitionBy(col("shard"))))
+      .select(col("shard"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("shard_docs").cast("double"))
+          .as("shard_share"))
+      .orderBy(col("shard"), col("source"))
+  }
+
   /** Corpus vocabulary: top-100 tokens by frequency (tie → lexicographic).
     * The explode is a Generator (one pass, no buffering); the count is a
     * standard partial-agg'd groupBy on the token, and the top-k collapses
@@ -1835,6 +1862,7 @@ object TextOps {
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
     "pipe_shard_manifest" -> shardManifest,
+    "pipe_provenance" -> provenance,
     "tx_fertility" -> fertility,
     "tx_vocab_coverage" -> vocabCoverage,
     "pipe_chat_template" -> chatTemplate,
@@ -2410,6 +2438,21 @@ object TextOps {
           |  GROUP BY source)
           |SELECT p.source, p.n_docs, p.raw_share, p.weight, n_kept, kept_q_milli
           |FROM plan0 p JOIN kept USING (source) ORDER BY p.source""".stripMargin,
+      "pipe_provenance" ->
+        """WITH rows_ AS (
+          |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+          |         source,
+          |         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_words
+          |  FROM documents),
+          |g AS (
+          |  SELECT shard, source, COUNT(*) AS n_docs,
+          |         CAST(SUM(n_words) AS BIGINT) AS n_tokens
+          |  FROM rows_ GROUP BY 1, 2),
+          |t AS (SELECT shard, CAST(SUM(n_docs) AS BIGINT) AS shard_docs FROM g GROUP BY 1)
+          |SELECT g.shard, g.source, g.n_docs, g.n_tokens,
+          |       CAST(g.n_docs AS DOUBLE) / CAST(t.shard_docs AS DOUBLE) AS shard_share
+          |FROM g JOIN t USING (shard)
+          |ORDER BY g.shard, g.source""".stripMargin,
       "pipe_shard_manifest" ->
         """WITH docs AS (
           |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
