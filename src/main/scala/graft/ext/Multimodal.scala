@@ -446,20 +446,31 @@ object Multimodal {
     * (doc_id, 64-char hash) ever shuffles.
     */
   def phashBanded(s: SparkSession, d: String): DataFrame = {
+    // Collapse to DISTINCT hashes carrying multiplicities BEFORE any
+    // pairing (the record-linkage attribute-domain trick): identical
+    // images are the COMMON case in a scraped corpus, and pairing raw
+    // rows makes the join quadratic in the duplicate count (16.7 s at
+    // sf0.1) where distinct-hash pairing is quadratic only in distinct
+    // IMAGES per block (0.4 s, and the real-world scale knob).
     val hashes = phashDecodeRaw(s, d).toDF()
-      .select(col("doc_id"), col("ahash"))
+      .groupBy(col("ahash")).agg(count(lit(1)).as("n"))
       .withColumn("blk", substring(col("ahash"), 1, 16))
       .localCheckpoint()
-    hashes.as("a").join(hashes.as("b"),
-      col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+    val same = hashes.select(lit(0L).as("hamming"),
+      expr("n * (n - 1) DIV 2").as("np"))
+    val cross = hashes.as("a").join(hashes.as("b"),
+      col("a.blk") === col("b.blk") && col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("ha"), col("b.ahash").as("hb"),
+        (col("a.n") * col("b.n")).as("np"))
       .withColumn("hamming", expr(
         "size(filter(transform(sequence(1, 64), " +
           "i -> substring(ha, i, 1) != substring(hb, i, 1)), x -> x))")
         .cast("long"))
+      .select(col("hamming"), col("np"))
+    same.unionByName(cross)
       .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("np")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
       .orderBy(col("hamming"))
   }
 
@@ -961,17 +972,22 @@ object Multimodal {
         |hashes AS (
         |  SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
         |  FROM bits GROUP BY doc_id),
-        |blk AS (SELECT doc_id, ahash, substr(ahash, 1, 16) AS blk FROM hashes),
-        |cand AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.ahash AS ha, b.ahash AS hb
-        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id),
-        |ham AS (
-        |  SELECT ia, ib,
-        |         CAST(len(list_filter([ha[i] != hb[i] for i in range(1, 65)],
-        |                              x -> x)) AS BIGINT) AS hamming
-        |  FROM cand)
-        |SELECT hamming, COUNT(*) AS n_pairs FROM ham
-        |GROUP BY hamming ORDER BY hamming""".stripMargin,
+        |hc AS (
+        |  SELECT ahash, COUNT(*) AS n, substr(ahash, 1, 16) AS blk
+        |  FROM hashes GROUP BY ahash),
+        |same AS (
+        |  SELECT CAST(0 AS BIGINT) AS hamming,
+        |         CAST(n * (n - 1) // 2 AS BIGINT) AS np
+        |  FROM hc),
+        |crossp AS (
+        |  SELECT CAST(len(list_filter([a.ahash[i] != b.ahash[i]
+        |                               for i in range(1, 65)],
+        |                              x -> x)) AS BIGINT) AS hamming,
+        |         CAST(a.n * b.n AS BIGINT) AS np
+        |  FROM hc a JOIN hc b ON a.blk = b.blk AND a.ahash < b.ahash),
+        |allp AS (SELECT * FROM same UNION ALL SELECT * FROM crossp)
+        |SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs FROM allp
+        |GROUP BY hamming HAVING SUM(np) > 0 ORDER BY hamming""".stripMargin,
     "mm_png_decode" ->
       """SELECT doc_id,
         |       CAST(16 + ((doc_id * 23) % 56) AS INT) AS width,
