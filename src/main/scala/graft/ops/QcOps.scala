@@ -398,13 +398,20 @@ object QcOps {
       Seq("col_name"), "est_distinct")
     val filled = regs.groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_filled_regs"))
-    // exact verification side: one column-pruned scan + distinct per
-    // column, unioned. Native types (longs/dates — string casting is
-    // injective on these domains, so counts agree with the stacked
-    // form), and independent single-distinct aggregates instead of one
-    // multi-count-distinct whose Expand pushes (N+1)·rows through a
-    // single aggregate. The sketch side must hash the dialect-stable
-    // string form; the exact side has no such constraint.
+    // exact verification side: five independent column-pruned
+    // single-distinct aggregates, unioned into ONE job (the union is one
+    // plan — the branches run as parallel stages). Measured against the
+    // alternatives at sf0.1 (r11 profiling): this union reads 0.77 s vs
+    // 1.6 s for a stacked-frame groupBy+distinct (string casts + a wide
+    // (col_name, v) shuffle) and 1.0 s for the multi-distinct Expand
+    // form — and with columnar parquet the five pruned branches read the
+    // SAME total column bytes as one 5-column scan, so the "five scans"
+    // cost no extra IO at 100 TB either. Native types (longs/dates —
+    // string casting is injective on these domains, so counts agree with
+    // the stacked form the sketch hashes). The query's real floor is the
+    // sketch side's md5 parity hash (stack 0.7 s → stack+hash 3.1 s at
+    // sf0.1) — inherent to cross-engine verification, see
+    // [[graft.ext.Hashing]].
     val exactExprs = Seq(
       "l_orderkey" -> col("l_orderkey"),
       "l_partkey" -> col("l_partkey"),
