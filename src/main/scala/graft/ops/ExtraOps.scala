@@ -1152,6 +1152,42 @@ object ExtraOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group OLS regression (price-over-time trend per order priority)
+    * under the [[correlation]] discipline: x is the integer day offset of
+    * the order date, y the exact cents value, so every power sum and both
+    * cancellation-prone normal-equation differences
+    * (nΣxy − ΣxΣy, nΣx² − (Σx)²) are exact integer arithmetic; floating
+    * point enters only in the final slope/intercept expression tree —
+    * three correctly-rounded conversions and a fixed division sequence,
+    * identical on any engine and partitioning (the builtin
+    * regr_slope/regr_intercept are float running aggregates with
+    * neither property). One partial-aggregated scan per group; the
+    * normal-equation solve is per-group scalar arithmetic, so the whole
+    * fit costs exactly one shuffle of 5-tuple power sums at any scale.
+    */
+  def regression(s: SparkSession, d: String): DataFrame = {
+    val x = datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+      .cast(DecimalType(19, 0))
+    val y = (col("o_totalprice").cast(DecimalType(19, 2)) * lit(100))
+      .cast(DecimalType(19, 0))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_cents_per_day",
+        col("num").cast("double") / col("den").cast("double"))
+      .withColumn("intercept_cents",
+        (col("sy").cast("double")
+          - col("slope_cents_per_day") * col("sx").cast("double"))
+          / col("n").cast("double"))
+      .select(col("o_orderpriority"), col("n"),
+        col("slope_cents_per_day"), col("intercept_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** 2-D skyline staircase per priority class: walking orders in
     * (date, price, key) order, keep each order that undercuts every
     * earlier price — the running-minimum Pareto frontier ("cheapest so
@@ -1556,6 +1592,7 @@ object ExtraOps {
     "x_ewma" -> ewma,
     "x_crosstab" -> crosstab,
     "x_correlation" -> correlation,
+    "x_regression" -> regression,
     "x_skyline" -> skyline,
     "x_approx_top_k" -> approxTopK,
     "x_pagerank" -> pagerank,
@@ -1817,6 +1854,28 @@ object ExtraOps {
         |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
         |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
         |FROM p ORDER BY l_returnflag""".stripMargin,
+    "x_regression" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |         CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |              AS DECIMAL(19,0)) AS x,
+        |         CAST(CAST(o_totalprice AS DECIMAL(19,2)) * 100 AS DECIMAL(19,0)) AS y
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM b GROUP BY 1),
+        |f AS (
+        |  SELECT o_orderpriority, n,
+        |         CAST(n * sxy - sx * sy AS DOUBLE)
+        |           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+        |         sx, sy
+        |  FROM p)
+        |SELECT o_orderpriority, n, slope_cents_per_day,
+        |       (CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE))
+        |         / CAST(n AS DOUBLE) AS intercept_cents
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
     "x_skyline" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderdate, o_totalprice, o_orderkey,

@@ -432,7 +432,152 @@ object QcOps {
       .orderBy(col("col_name"))
   }
 
+  /** Referential-integrity audit over every FK edge of the star schema —
+    * the load-gate a warehouse runs before publishing a snapshot
+    * (generalizes the single lineitem→orders check inside
+    * [[constraintSuite]] to the full edge list; reference
+    * `etl.py`'s quality_check step stops at row counts).
+    *
+    * Scale shape: each edge aggregates the CHILD side to (key, count)
+    * first — map-side combine collapses the fact to its distinct keys, so
+    * the anti-join against the parent's key column shuffles narrow
+    * 8-byte keys bounded by key cardinality, never fact rows. Both sides
+    * are single-column pruned scans (columnar IO reads exactly one
+    * column per side regardless of table width). Fixed-size dims
+    * (nation, region) broadcast their keysets explicitly; sf-scaled
+    * parents stay as shuffle anti-joins and AQE may still broadcast them
+    * when small. Null FKs are reported in their own column, not as
+    * orphans (SQL RI convention). All output columns are exact integers.
+    */
+  def referentialAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, broadcastParent: Boolean): DataFrame = {
+      val keyed = child.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      val totals = keyed.agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("child_rows"),
+        count(col("k")).as("child_keys"),
+        coalesce(sum(when(col("k").isNull, col("cnt"))), lit(0L))
+          .as("null_fk_rows"))
+      val pk = parent.select(col(pkey).cast("long").as("k")).distinct()
+      val orphans = keyed.filter(col("k").isNotNull)
+        .withColumn("k", col("k").cast("long"))
+        .join(if (broadcastParent) broadcast(pk) else pk, Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"),
+          count(lit(1)).as("orphan_keys"))
+      totals.crossJoin(orphans).select(lit(name).as("edge"),
+        col("child_rows"), col("child_keys"), col("null_fk_rows"),
+        col("orphan_rows"), col("orphan_keys"))
+    }
+    Seq(
+      edge("customer.c_nationkey->nation.n_nationkey",
+        Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey", true),
+      edge("lineitem.l_orderkey->orders.o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey", false),
+      edge("lineitem.l_partkey->part.p_partkey",
+        Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey", false),
+      edge("lineitem.l_suppkey->supplier.s_suppkey",
+        Tables.lineitem(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey", false),
+      edge("nation.n_regionkey->region.r_regionkey",
+        Tables.nation(s, d), "n_regionkey", Tables.region(s, d), "r_regionkey", true),
+      edge("orders.o_custkey->customer.c_custkey",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey", false),
+      edge("supplier.s_nationkey->nation.n_nationkey",
+        Tables.supplier(s, d), "s_nationkey", Tables.nation(s, d), "n_nationkey", true))
+      .reduce(_.unionByName(_))
+      .orderBy(col("edge"))
+  }
+
+  /** Surrogate-key completeness audit (gaps-and-islands WITHOUT a global
+    * window): for a key column expected to be contiguous, report how many
+    * keys are missing inside the observed span and how many contiguous
+    * islands the keyspace fragments into. The island count comes from the
+    * identity  islands = |{k ∈ S : k−1 ∉ S}|  (each island has exactly
+    * one start), computed as a self anti-join of the distinct keyset on
+    * the shifted key — an equi-join that distributes by key hash, where
+    * the textbook row_number()-difference form needs a GLOBAL ordered
+    * window (single-partition bottleneck at 100 TB). n_missing falls out
+    * arithmetically as span − n_keys; no per-gap enumeration is
+    * materialized. The testdata's generator emits dense keyspaces, so
+    * c_custkey/o_orderkey audit to one island (the pass case); the third
+    * row audits only URGENT orders' keys — a genuinely fragmented
+    * keyspace that exercises the island counting (the fail case).
+    */
+  def sequenceGaps(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, keys: DataFrame): DataFrame = {
+      val ks = keys.select(col("k").cast("long").as("k")).distinct()
+      val islands = ks.as("a")
+        .join(ks.select((col("k") + 1).as("k1")),
+          col("k") === col("k1"), "left_anti")
+        .agg(count(lit(1)).as("n_islands"))
+      ks.agg(count(lit(1)).as("n_keys"), min(col("k")).as("min_key"),
+          max(col("k")).as("max_key"))
+        .crossJoin(islands)
+        .select(lit(name).as("col_name"), col("n_keys"), col("min_key"),
+          col("max_key"),
+          (col("max_key") - col("min_key") + 1 - col("n_keys")).as("n_missing"),
+          col("n_islands"), (col("n_islands") - 1).as("n_gaps"))
+    }
+    audit("c_custkey", Tables.customer(s, d).select(col("c_custkey").as("k")))
+      .unionByName(audit("o_orderkey",
+        Tables.orders(s, d).select(col("o_orderkey").as("k"))))
+      .unionByName(audit("o_orderkey_urgent",
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("k"))))
+      .orderBy(col("col_name"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test, integer-exact until one
+    * final division: compares the price distribution of urgent vs low
+    * priority orders. D = max|F₁(v) − F₂(v)| is computed as
+    * max|c₁·n₂ − c₂·n₁| in pure integer arithmetic (the cumulative
+    * counts and sample sizes are exact longs), divided by n₁·n₂ exactly
+    * once at the end — so the statistic is bit-identical across engines
+    * and partitionings, where a float-CDF subtraction would drift in the
+    * last ulp. Values are quantized to a fixed $1000 grid via integer
+    * cents arithmetic BEFORE the cumulative step: the ordered window then
+    * runs over the few-hundred-row grid rollup, not raw rows (the
+    * [[graft.ops.ExtraOps.runningTotal]] discipline) — the grid is the
+    * scale knob, and the binned D lower-bounds the unbinned D with error
+    * at most the largest bin's probability mass. The 5%-level rejection
+    * threshold 1.3581·√((n₁+n₂)/(n₁·n₂)) is evaluated in one fixed
+    * double expression tree (literal routed through a string cast — the
+    * NDCG lesson: a bare decimal literal parses as DECIMAL in DuckDB and
+    * changes the arithmetic).
+    */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100000")
+          .as("bucket"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2).as("g"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+    binned
+      .withColumn("c1", sum(col("d1")).over(w))
+      .withColumn("c2", sum(col("d2")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("ks_num"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"), col("ks_num"),
+        (col("ks_num").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))).as("ks_d"),
+        (expr("CAST('1.3581' AS DOUBLE)")
+          * sqrt((col("n1") + col("n2")).cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))))
+          .as("ks_crit"))
+      .withColumn("drift", col("ks_d") > col("ks_crit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_referential" -> referentialAudit,
+    "qc_sequence_gaps" -> sequenceGaps,
+    "qc_ks_test" -> ksTest,
     "qc_cardinality_profile" -> cardinalityProfile,
     "qc_null_profile" -> nullProfile,
     "qc_chi_square" -> chiSquareDrift,
@@ -610,6 +755,97 @@ object QcOps {
          |  FROM cur c JOIN prev p ON c.check_name = p.check_name)
          |ORDER BY check_name""".stripMargin
     },
+    "qc_referential" -> {
+      // one CTE pair per FK edge: child keyed to (k, cnt) first, orphans
+      // via NOT EXISTS against the parent key column — mirrors the
+      // aggregate-then-anti-join plan exactly
+      def edgeSql(name: String, child: String, key: String,
+          parent: String, pkey: String): String =
+        s"""SELECT '$name' AS edge, t.child_rows, t.child_keys,
+           |       t.null_fk_rows, o.orphan_rows, o.orphan_keys
+           |FROM (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS child_rows,
+           |         CAST(COUNT(DISTINCT $key) AS BIGINT) AS child_keys,
+           |         CAST(SUM(CASE WHEN $key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fk_rows
+           |  FROM $child) t,
+           |(
+           |  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS orphan_rows,
+           |         CAST(COUNT(*) AS BIGINT) AS orphan_keys
+           |  FROM (SELECT CAST($key AS BIGINT) AS k, COUNT(*) AS cnt
+           |        FROM $child WHERE $key IS NOT NULL GROUP BY 1) c
+           |  WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |                    WHERE CAST(p.$pkey AS BIGINT) = c.k)) o""".stripMargin
+      Seq(
+        edgeSql("customer.c_nationkey->nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        edgeSql("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edgeSql("lineitem.l_partkey->part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        edgeSql("lineitem.l_suppkey->supplier.s_suppkey",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edgeSql("nation.n_regionkey->region.r_regionkey",
+          "nation", "n_regionkey", "region", "r_regionkey"),
+        edgeSql("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        edgeSql("supplier.s_nationkey->nation.n_nationkey",
+          "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
+    "qc_sequence_gaps" -> {
+      def auditSql(name: String, table: String, key: String): String =
+        s"""SELECT '$name' AS col_name, sp.n_keys, sp.min_key, sp.max_key,
+           |       sp.max_key - sp.min_key + 1 - sp.n_keys AS n_missing,
+           |       isl.n_islands, isl.n_islands - 1 AS n_gaps
+           |FROM (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |         MIN(k) AS min_key, MAX(k) AS max_key
+           |  FROM (SELECT DISTINCT CAST($key AS BIGINT) AS k FROM $table)) sp,
+           |(
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_islands
+           |  FROM (SELECT DISTINCT CAST($key AS BIGINT) AS k FROM $table) a
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM (SELECT DISTINCT CAST($key AS BIGINT) AS k FROM $table) b
+           |    WHERE b.k = a.k - 1)) isl""".stripMargin
+      auditSql("c_custkey", "customer", "c_custkey") +
+        "\nUNION ALL\n" + auditSql("o_orderkey", "orders", "o_orderkey") +
+        "\nUNION ALL\n" + auditSql("o_orderkey_urgent",
+          "(SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')",
+          "o_orderkey") +
+        "\nORDER BY col_name"
+    },
+    "qc_ks_test" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bucket,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |bi AS (
+        |  SELECT bucket,
+        |         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT CAST(SUM(d1) OVER (ORDER BY bucket) AS BIGINT) AS c1,
+        |         CAST(SUM(d2) OVER (ORDER BY bucket) AS BIGINT) AS c2
+        |  FROM bi),
+        |tot AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+        |               CAST(SUM(d2) AS BIGINT) AS n2 FROM bi),
+        |dev AS (
+        |  SELECT CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+        |         MAX(n1) AS n1, MAX(n2) AS n2
+        |  FROM cum, tot)
+        |SELECT n1, n2, ks_num,
+        |       CAST(ks_num AS DOUBLE)
+        |         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d,
+        |       CAST('1.3581' AS DOUBLE)
+        |         * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS ks_crit,
+        |       CAST(ks_num AS DOUBLE)
+        |         / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |         > CAST('1.3581' AS DOUBLE)
+        |           * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS drift
+        |FROM dev""".stripMargin,
     "x_group_by_all" -> groupOrderAllSql,
     "x_sql_udf" ->
       """SELECT l_returnflag,

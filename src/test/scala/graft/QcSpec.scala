@@ -101,4 +101,103 @@ class QcSpec extends AnyFunSuite {
     val byName = out.map(r => r.getString(0) -> r.getAs[Long]("true_distinct")).toMap
     assert(byName("l_returnflag") < 10 && byName("l_orderkey") > 1000)
   }
+
+  test("referential audit: clean on stock data, counts injected orphans exactly") {
+    val clean = ops.QcOps.referentialAudit(spark, sf).collect()
+    assert(clean.length == 7, "one row per FK edge")
+    clean.foreach { r =>
+      assert(r.getAs[Long]("orphan_rows") == 0 && r.getAs[Long]("orphan_keys") == 0
+        && r.getAs[Long]("null_fk_rows") == 0, r.toString)
+      assert(r.getAs[Long]("child_keys") <= r.getAs[Long]("child_rows"), r.toString)
+    }
+    // doctor a copy: drop the top 10% of orders keys → lineitem rows
+    // referencing them become orphans, with exactly predictable counts
+    val dir = java.nio.file.Files.createTempDirectory("graft_ri").toString
+    val cut = (Tables.orders(spark, sf).agg(max(col("o_orderkey")))
+      .collect().head.getLong(0) * 9) / 10
+    Seq("region", "nation", "customer", "supplier", "part", "lineitem")
+      .foreach(t => Tables.load(spark, sf, t)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+    Tables.orders(spark, sf).filter(col("o_orderkey") < cut)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = Tables.lineitem(spark, sf)
+    val expRows = li.filter(col("l_orderkey") >= cut).count()
+    val expKeys = li.filter(col("l_orderkey") >= cut)
+      .select("l_orderkey").distinct().count()
+    val doctored = ops.QcOps.referentialAudit(spark, dir)
+      .filter(col("edge") === "lineitem.l_orderkey->orders.o_orderkey")
+      .collect().head
+    assert(doctored.getAs[Long]("orphan_rows") == expRows)
+    assert(doctored.getAs[Long]("orphan_keys") == expKeys)
+    assert(expRows > 0, "the doctored cut must actually create orphans")
+  }
+
+  test("sequence gaps: dense keyspaces read one island, fragmented counts match a local walk") {
+    val out = ops.QcOps.sequenceGaps(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    Seq("c_custkey", "o_orderkey").foreach { c =>
+      assert(out(c).getAs[Long]("n_islands") == 1 && out(c).getAs[Long]("n_missing") == 0, c)
+    }
+    val u = out("o_orderkey_urgent")
+    // independent island count: walk the sorted urgent keys locally
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val localIslands = 1 + keys.sliding(2).count {
+      case Array(a, b) => b != a + 1; case _ => false }
+    assert(u.getAs[Long]("n_islands") == localIslands)
+    assert(u.getAs[Long]("n_islands") > 1,
+      "the filtered keyspace must actually fragment")
+    assert(u.getAs[Long]("n_missing") >= u.getAs[Long]("n_gaps"),
+      "every gap contains at least one missing key")
+    assert(u.getAs[Long]("n_keys") == keys.length)
+  }
+
+  test("ks test: statistic matches a local exact computation and stays in [0,1]") {
+    val r = ops.QcOps.ksTest(spark, sf).collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val ksd = r.getAs[Double]("ks_d")
+    assert(ksd >= 0.0 && ksd <= 1.0)
+    assert(r.getAs[Boolean]("drift") == (ksd > r.getAs[Double]("ks_crit")))
+    // local replay at the same $1000 grid over the raw rows
+    val rows = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 100000"),
+        col("o_orderpriority")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val buckets = rows.map(_._1).distinct.sorted
+    var (c1, c2, best) = (0L, 0L, 0L)
+    buckets.foreach { b =>
+      c1 += rows.count(t => t._1 == b && t._2 == "1-URGENT")
+      c2 += rows.count(t => t._1 == b && t._2 != "1-URGENT")
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    assert(r.getAs[Long]("ks_num") == best)
+    assert(n1 + n2 == rows.length)
+  }
+
+  test("regression: exact normal-equation solve matches a BigInt local fit") {
+    val out = ops.ExtraOps.regression(spark, sf).collect()
+    assert(out.length == 5, "one fit per priority class")
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .collect().map(x => (x.getString(0), BigInt(x.getLong(1)), BigInt(x.getLong(2))))
+    out.foreach { r =>
+      val g = rows.filter(_._1 == r.getAs[String]("o_orderpriority"))
+      val n = BigInt(g.length)
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val (sxy, sxx) = (g.map(t => t._2 * t._3).sum, g.map(t => t._2 * t._2).sum)
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      assert(r.getAs[Long]("n") == g.length)
+      // same exact integer inputs, same final float tree → tight tolerance
+      assert(math.abs(r.getAs[Double]("slope_cents_per_day") - slope)
+        <= 1e-9 * math.abs(slope), r.toString)
+      assert(math.abs(r.getAs[Double]("intercept_cents") - intercept)
+        <= 1e-9 * math.abs(intercept), r.toString)
+    }
+  }
 }
