@@ -386,6 +386,65 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Stationary distribution of the event-type Markov chain — "where does
+    * a user's session settle in the long run" — the long-horizon summary
+    * of [[pathTransitions]]'s one-step matrix, via six unrolled power
+    * iterations π ← πP (plan unrolling, NOT a driver loop; the output is
+    * the exact 6-step iterate from the uniform start, which for a
+    * handful of well-mixed states sits within quantization of the true
+    * stationary vector).
+    *
+    * Integer-exact under the [[graft.ops.ExtraOps.pagerank]] contract:
+    * π is scaled by 10^12 and each contribution is
+    * (π_i·n_ij) DIV outsum_i with the product widened to decimal
+    * (HUGEINT in the oracle) BEFORE the truncating division, so no
+    * double ever accumulates and DuckDB replays bit-identically; mass
+    * lost to truncation is ≤ k ulps per round — deterministic and
+    * irrelevant at 10^12 scale. States with no observed out-transition
+    * redistribute their mass uniformly (the dangling term).
+    *
+    * Scale shape: the ONLY data-proportional work is the one-pass
+    * transition-matrix aggregation (user-keyed lead window + a
+    * |types|²-cell rollup); the six iterations each join the k-row state
+    * vector against the checkpointed k²-cell matrix — constant cost at
+    * any corpus size, so the chain solve adds nothing to the 100 TB
+    * bill beyond the matrix build it shares with [[pathTransitions]].
+    */
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    val SCALE = 1000000000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val m = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // k²-cell matrix, reused by all 6 iterations
+    val outsum = m.groupBy(col("from_type").as("state"))
+      .agg(sum(col("n")).as("outsum"))
+    val states = m.select(col("from_type").as("state"))
+      .union(m.select(col("to_type"))).distinct()
+    val nd = states.join(outsum, Seq("state"), "left")
+      .na.fill(0L, Seq("outsum"))
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .localCheckpoint() // loop-invariant (state, outsum, k) frame
+    var pi = nd.withColumn("p", expr(s"CAST($SCALE AS BIGINT) DIV k"))
+    for (_ <- 1 to 6) {
+      val inflow = pi.join(m, pi("state") === m("from_type"))
+        .select(col("to_type").as("state"),
+          expr("(CAST(p AS DECIMAL(20,0)) * n) DIV outsum").as("c"))
+        .groupBy(col("state")).agg(sum(col("c")).as("inflow"))
+      val dang = pi.filter(col("outsum") === 0)
+        .agg(coalesce(sum(col("p")), lit(0L)).as("dang"))
+      pi = nd.join(inflow, Seq("state"), "left").na.fill(0L, Seq("inflow"))
+        .crossJoin(broadcast(dang))
+        .withColumn("p", expr("inflow + dang DIV k"))
+        .select(col("state"), col("outsum"), col("k"), col("p"))
+    }
+    pi.select(col("state").as("event_type"), col("p").as("stationary_scaled"))
+      .orderBy(desc("stationary_scaled"), col("event_type"))
+  }
+
   /** Peak concurrency via the sweep line — "how many users were active at
     * once" — the load-planning query no direct aggregation answers:
     * each (user, day) activity interval [first, last event] becomes a
@@ -704,6 +763,7 @@ object EventOps {
     "ev_attribution" -> attribution,
     "ev_concurrency" -> concurrency,
     "ev_path_transitions" -> pathTransitions,
+    "ev_markov_stationary" -> markovStationary,
     "ev_anomaly" -> anomaly,
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
@@ -1008,6 +1068,42 @@ object EventOps {
         |       CAST(n AS DOUBLE)
         |         / SUM(n) OVER (PARTITION BY from_type) AS share
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "ev_markov_stationary" -> {
+      val S = "1000000000000"
+      def it(prev: String, out: String): String =
+        s"""$out AS (SELECT q.state, q.outsum, q.k,
+           |  COALESCE(f.inflow, 0)
+           |  + (SELECT COALESCE(SUM(p), 0) FROM $prev WHERE outsum = 0) // q.k AS p
+           |FROM $prev q LEFT JOIN (
+           |  SELECT m.to_type AS state,
+           |         SUM((CAST(r.p AS HUGEINT) * m.n) // r.outsum) AS inflow
+           |  FROM m JOIN $prev r ON m.from_type = r.state
+           |  GROUP BY m.to_type) f USING (state))""".stripMargin
+      s"""WITH t AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type, 1) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |m AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n
+         |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |os AS (SELECT from_type AS state, CAST(SUM(n) AS BIGINT) AS outsum
+         |       FROM m GROUP BY 1),
+         |states AS (SELECT from_type AS state FROM m
+         |           UNION SELECT to_type FROM m),
+         |nd AS (SELECT st.state, COALESCE(os.outsum, 0) AS outsum,
+         |              (SELECT COUNT(*) FROM states) AS k
+         |       FROM states st LEFT JOIN os USING (state)),
+         |r0 AS (SELECT state, outsum, k, $S // k AS p FROM nd),
+         |${it("r0", "i1")},
+         |${it("i1", "i2")},
+         |${it("i2", "i3")},
+         |${it("i3", "i4")},
+         |${it("i4", "i5")},
+         |${it("i5", "i6")}
+         |SELECT state AS event_type, CAST(p AS BIGINT) AS stationary_scaled
+         |FROM i6 ORDER BY stationary_scaled DESC, event_type""".stripMargin
+    },
     "ev_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c

@@ -754,6 +754,52 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Zipf-exponent estimate for the corpus frequency curve — the
+    * one-number "is this corpus naturally distributed" fingerprint
+    * (natural text reads ≈ 1; boilerplate-heavy or deduplicated corpora
+    * drift off it). libm-free under the [[surprisal]] discipline: instead
+    * of fitting log freq on log rank (two correctly-rounded-but-
+    * engine-varying ln calls per term), both axes quantize to integer
+    * BIT LENGTHS (length(bin(v)) = ⌊log₂ v⌋ + 1 — the same identity the
+    * HLL rho scan uses, bit-identical in Spark and DuckDB), i.e. the
+    * standard octave log-binning of a rank-frequency plot. The OLS solve
+    * then runs on exact integer power sums with float confined to the
+    * final slope/intercept tree ([[graft.ops.ExtraOps.regression]]).
+    * Quantization costs ±½ bit per axis but is deterministic; the fitted
+    * slope is in bits-per-bit, so −slope estimates the Zipf exponent
+    * directly. Fit restricted to the top-4096 terms: the head is where
+    * Zipf holds and the restriction is what keeps the rank assignment a
+    * TakeOrderedAndProject + one 4096-row window instead of a global
+    * sort of the full vocabulary — the token count shuffle (one row per
+    * distinct token, map-side combined) is the only corpus-proportional
+    * stage at 100 TB.
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val head = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(4096)
+    val ranked = head.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("freq"), col("token"))).cast("long"))
+    ranked
+      .select(expr("CAST(length(bin(rank)) AS DECIMAL(19,0))").as("x"),
+        expr("CAST(length(bin(freq)) AS DECIMAL(19,0))").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_bits",
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept_bits",
+        (col("sy").cast("double") - col("slope_bits") * col("sx").cast("double"))
+          / col("n_terms").cast("double"))
+      .select(col("n_terms"), col("slope_bits"), col("intercept_bits"),
+        (-col("slope_bits")).as("zipf_exponent"))
+  }
+
   /** Collocation mining — adjacent bigrams ranked by LIFT (N·c(w1,w2) /
     * (c(w1)·c(w2))), the log-free core of PMI (PMI = log2(lift), a
     * monotone transform — ranking by lift IS ranking by PMI, and lift's
@@ -1858,6 +1904,7 @@ object TextOps {
     "tx_tokens" -> tokens,
     "tx_fingerprint" -> fingerprint,
     "tx_vocab" -> vocab,
+    "tx_zipf_fit" -> zipfFit,
     "tx_oov_rate" -> oovRate,
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
@@ -2379,6 +2426,34 @@ object TextOps {
           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+      "tx_zipf_fit" ->
+        """WITH head AS (
+          |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+          |  WHERE len(token) > 0
+          |  GROUP BY token ORDER BY freq DESC, token LIMIT 4096),
+          |r AS (
+          |  SELECT freq,
+          |         row_number() OVER (ORDER BY freq DESC, token) AS rank
+          |  FROM head),
+          |b AS (
+          |  SELECT CAST(length(bin(rank)) AS DECIMAL(19,0)) AS x,
+          |         CAST(length(bin(freq)) AS DECIMAL(19,0)) AS y
+          |  FROM r),
+          |p AS (
+          |  SELECT COUNT(*) AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+          |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          |  FROM b),
+          |f AS (
+          |  SELECT n_terms, sx, sy,
+          |         CAST(n_terms * sxy - sx * sy AS DOUBLE)
+          |           / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS slope_bits
+          |  FROM p)
+          |SELECT n_terms, slope_bits,
+          |       (CAST(sy AS DOUBLE) - slope_bits * CAST(sx AS DOUBLE))
+          |         / CAST(n_terms AS DOUBLE) AS intercept_bits,
+          |       -slope_bits AS zipf_exponent
+          |FROM f""".stripMargin,
       "pipe_temperature_mix" ->
         """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
           |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,

@@ -402,6 +402,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_abs_dev") == 3600L)
   }
 
+  test("zipf fit: bit-length OLS matches a local replay of the binned fit") {
+    val r = ext.TextOps.zipfFit(spark, sf).collect().head
+    assert(r.getAs[Double]("zipf_exponent") == -r.getAs[Double]("slope_bits"))
+    // local replay: count tokens, rank, bit-length both axes, OLS in BigInt
+    val freqs = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .sortBy { case (t, f) => (-f, t) }.take(4096)
+    def bitlen(v: Long): BigInt = BigInt(64 - java.lang.Long.numberOfLeadingZeros(v))
+    val pts = freqs.zipWithIndex.map { case ((_, f), i) => (bitlen(i + 1L), bitlen(f)) }
+    val n = BigInt(pts.length)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(r.getAs[Long]("n_terms") == pts.length)
+    assert(math.abs(r.getAs[Double]("slope_bits") - slope) < 1e-12, s"$slope")
+    // a frequency-ranked curve can never slope upward in bit space
+    assert(r.getAs[Double]("slope_bits") <= 0.0)
+  }
+
+  test("markov stationary: conserves mass and tracks a local double power iteration") {
+    val SCALE = 1e12
+    val out = ext.EventOps.markovStationary(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("stationary_scaled"))
+      .toMap
+    // truncating DIV loses at most a few ulps per state per round
+    val lost = SCALE - out.values.sum
+    assert(lost >= 0 && lost < 1000, s"mass must be conserved up to quantization, lost $lost")
+    // independent replay: collect the tiny transition matrix and iterate
+    // in doubles; the integer fixed-point iterate must track it to ~1e-9
+    // relative (quantization is 1e-12 per step, 6 steps, k states)
+    val m = ext.EventOps.pathTransitions(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n").toDouble))
+    val states = (m.map(_._1) ++ m.map(_._2)).distinct.sorted
+    val outsum = m.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var pi = states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to 6) {
+      val next = scala.collection.mutable.Map(states.map(_ -> 0.0): _*)
+      m.foreach { case (f, t, n) => next(t) += pi(f) * n / outsum(f) }
+      pi = next.toMap
+    }
+    assert(out.keySet == states.toSet, "one row per observed state")
+    states.foreach { st =>
+      assert(math.abs(out(st) / SCALE - pi(st)) < 1e-6,
+        s"$st: ${out(st) / SCALE} vs local ${pi(st)}")
+    }
+  }
+
   test("conversion lag: deciles are positive, monotone, and end at the max") {
     val out = ext.EventOps.conversionLag(spark, sf).collect()
       .sortBy(_.getAs[Long]("decile"))
