@@ -552,6 +552,87 @@ object Multimodal {
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic GIF fixture dims/color per doc — fourth distinct
+    * formula family (29/13 dims, 7/13/3 color) so no cross-wired codec
+    * path can accidentally verify.
+    */
+  def gifFixtureParams(docId: Long): (Int, Int, Int, Int, Int) = (
+    16 + ((docId * 29) % 48).toInt, 16 + ((docId * 13) % 40).toInt,
+    ((docId * 7) % 256).toInt, ((docId * 13) % 256).toInt,
+    ((docId * 3) % 256).toInt)
+
+  /** Solid-color GIF payload from the JDK encoder (GIF89a header, LZW
+    * raster, global color table). GIF is PALETTIZED — normally a lossy
+    * quantization — but a solid-color frame maps to a palette containing
+    * exactly that color, so the round-trip is lossless and the decoded
+    * means hash-verify like PNG's, exercising the palette+LZW decode
+    * path the truecolor codecs never touch.
+    */
+  def gifBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    imageIoNoDiskCache
+    javax.imageio.ImageIO.write(img, "gif", baos)
+    baos.toByteArray
+  }
+
+  case class GifFeature(doc_id: Long, width: Int, height: Int,
+      mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** Fourth REAL image codec: per-partition batched ImageIO decode of
+    * genuine GIF payloads (one reader per 64-doc batch, the
+    * [[bmpDecodeRaw]] shape). Exercises the palette-indexed + LZW leg of
+    * the decode matrix; exact verification per [[gifBytes]].
+    */
+  def gifDecodeRaw(s: SparkSession, d: String): Dataset[GifFeature] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        imageIoNoDiskCache
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try batch.map { id =>
+          val (w0, h0, r0, g0, b0) = gifFixtureParams(id)
+          val payload = gifBytes(w0, h0, r0, g0, b0)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val img = try reader.read(0) finally iis.close()
+          require(img != null, s"undecodable GIF payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          GifFeature(id, w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** Declared form of [[gifDecodeRaw]] for the verification registry. */
+  def gifDecode(s: SparkSession, d: String): DataFrame =
+    gifDecodeRaw(s, d).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic WAV fixture (sample rate, sample count, amplitude) per
     * doc. The payload is a ±amp square wave, chosen because its RMS is
     * EXACTLY amp in integer arithmetic — which is what lets the decoded
@@ -871,6 +952,7 @@ object Multimodal {
     "mm_bmp_decode" -> bmpDecode,
     "mm_jpeg_decode" -> jpegDecode,
     "mm_png_decode" -> pngDecode,
+    "mm_gif_decode" -> gifDecode,
     "dd_phash_images" -> phashDedup,
     "dd_phash_banded" -> phashBanded,
     "mm_wav_meta" -> wavMeta,
@@ -988,6 +1070,14 @@ object Multimodal {
         |allp AS (SELECT * FROM same UNION ALL SELECT * FROM crossp)
         |SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs FROM allp
         |GROUP BY hamming HAVING SUM(np) > 0 ORDER BY hamming""".stripMargin,
+    "mm_gif_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + ((doc_id * 29) % 48) AS INT) AS width,
+        |       CAST(16 + ((doc_id * 13) % 40) AS INT) AS height,
+        |       CAST((doc_id * 7) % 256 AS INT) AS mean_r,
+        |       CAST((doc_id * 13) % 256 AS INT) AS mean_g,
+        |       CAST((doc_id * 3) % 256 AS INT) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_png_decode" ->
       """SELECT doc_id,
         |       CAST(16 + ((doc_id * 23) % 56) AS INT) AS width,

@@ -1188,6 +1188,48 @@ object ExtraOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Theil–Sen robust trend per priority class — the median of all
+    * pairwise slopes, the estimator that shrugs off the outlier months an
+    * OLS fit ([[regression]]) chases. Exactness without rationals: every
+    * pairwise slope quantizes to integer MICRO-CENTS per month via
+    * (Δy·10⁶) DIV Δx — both engines truncate integer division toward
+    * zero (verified for negative Δy), so the slope multiset is
+    * bit-identical and its lower median (row_number over the total order
+    * (slope, m1, m2)) is deterministic, where a float slope median would
+    * tie-break on ulps. The O(n²) pair join runs on the MONTHLY rollup,
+    * never raw orders — n ≈ tens of months per group, so ~10³ pairs per
+    * group at any corpus scale; the rollup aggregation is the only
+    * data-proportional stage, and the median window partitions by group
+    * (no global window).
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+        .as("y"))
+    val pairs = monthly.select(col("o_orderpriority"), col("m").as("m1"), col("y").as("y1"))
+      .join(monthly.select(col("o_orderpriority"), col("m").as("m2"), col("y").as("y2")),
+        Seq("o_orderpriority"))
+      .filter(col("m1") < col("m2"))
+      .select(col("o_orderpriority"), col("m1"), col("m2"),
+        expr("(CAST(y2 - y1 AS DECIMAL(28,0)) * 1000000) DIV (m2 - m1)").as("sl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("sl"), col("m1"), col("m2"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("c", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(c + 1) DIV 2"))
+      .select(col("o_orderpriority"), col("c").as("n_pairs"),
+        col("sl").as("median_slope_scaled"),
+        (col("sl").cast("double") / expr("CAST('1000000' AS DOUBLE)"))
+          .as("slope_cents_per_month"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** 2-D skyline staircase per priority class: walking orders in
     * (date, price, key) order, keep each order that undercuts every
     * earlier price — the running-minimum Pareto frontier ("cheapest so
@@ -1593,6 +1635,7 @@ object ExtraOps {
     "x_crosstab" -> crosstab,
     "x_correlation" -> correlation,
     "x_regression" -> regression,
+    "x_theil_sen" -> theilSen,
     "x_skyline" -> skyline,
     "x_approx_top_k" -> approxTopK,
     "x_pagerank" -> pagerank,
@@ -1876,6 +1919,31 @@ object ExtraOps {
         |       (CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE))
         |         / CAST(n AS DOUBLE) AS intercept_cents
         |FROM f ORDER BY o_orderpriority""".stripMargin,
+    "x_theil_sen" ->
+      """WITH mo AS (
+        |  SELECT o_orderpriority,
+        |         CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |              + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.o_orderpriority, a.m AS m1, b.m AS m2,
+        |         (CAST(b.y - a.y AS HUGEINT) * 1000000) // (b.m - a.m) AS sl
+        |  FROM mo a JOIN mo b
+        |    ON a.o_orderpriority = b.o_orderpriority AND a.m < b.m),
+        |r AS (
+        |  SELECT o_orderpriority, sl,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY sl, m1, m2) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS c
+        |  FROM p)
+        |SELECT o_orderpriority, CAST(c AS BIGINT) AS n_pairs,
+        |       CAST(sl AS BIGINT) AS median_slope_scaled,
+        |       CAST(sl AS DOUBLE) / CAST('1000000' AS DOUBLE)
+        |         AS slope_cents_per_month
+        |FROM r WHERE rn = (c + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin,
     "x_skyline" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderdate, o_totalprice, o_orderkey,

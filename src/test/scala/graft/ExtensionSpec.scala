@@ -522,6 +522,26 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("GIF fixture is a real palettized container: solid color round-trips exactly") {
+    val payload = ext.Multimodal.gifBytes(33, 19, 180, 90, 45)
+    // real GIF89a (or 87a) signature
+    assert(new String(payload.take(3), "US-ASCII") == "GIF")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth == 33 && img.getHeight == 19)
+    // palettized but solid: quantization is lossless for a one-color frame
+    val px = img.getRGB(32, 18)
+    assert(((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff) == ((180, 90, 45)))
+    // a corrupted magic number must NOT silently decode
+    val bad = payload.clone(); bad(0) = 'X'.toByte
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bad)) == null)
+    // and the distributed decode agrees with the oracle's closed form
+    val row = ext.Multimodal.gifDecodeRaw(spark, sf)
+      .filter(col("doc_id") === 11L).collect().head
+    val (w, h, r, g, b) = ext.Multimodal.gifFixtureParams(11L)
+    assert((row.width, row.height, row.mean_r, row.mean_g, row.mean_b)
+      == ((w, h, r, g, b)))
+  }
+
   test("weighted quantile sketch reproduces the exact weighted median on integral bins") {
     val exact = ops.ExtraOps.weightedMedian(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1).toInt, r.getDouble(2))).toSeq

