@@ -108,6 +108,48 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Per-source cost accounting of exact dedup — the dataset-card row a
+    * curation run publishes next to [[exactDedup]]'s survivor list: rows
+    * and whitespace tokens before vs after, and the dedup rate each
+    * source pays (sources differ: boilerplate-heavy sources lose far
+    * more than long-tail ones, which is what this table is for). Same
+    * doubled-corpus convention as [[exactDedup]] so the rates are
+    * non-trivial on the dup-free fixture (every source reads ≥ 50%).
+    *
+    * Scale shape: survivor election is the same md5-keyed groupBy as
+    * [[exactDedup]] (fixed-width 32-char keys, map-side combined);
+    * attribution joins survivors back on the 8-byte keep_id; both
+    * before/after rollups collapse to |sources| rows before the final
+    * broadcast-sized join. A source whose every text also lives in a
+    * lower-id source can lose ALL its rows — the left join + zero-fill
+    * keeps its row with dedup_rate 1.0 instead of silently dropping it.
+    */
+  def dedupImpact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val doubled = docs.unionByName(docs)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val before = doubled.groupBy(col("source"))
+      .agg(count(lit(1)).as("rows_before"), sum(col("toks")).as("tokens_before"))
+    val survivors = doubled.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val after = survivors
+      .join(docs.select(col("doc_id").as("keep_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks")), Seq("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("rows_after"), sum(col("toks")).as("tokens_after"))
+    before.join(after, Seq("source"), "left")
+      .na.fill(0L, Seq("rows_after", "tokens_after"))
+      .withColumn("row_dedup_rate",
+        lit(1.0) - col("rows_after").cast("double") / col("rows_before").cast("double"))
+      .withColumn("token_dedup_rate",
+        lit(1.0) - col("tokens_after").cast("double") / col("tokens_before").cast("double"))
+      .select(col("source"), col("rows_before"), col("tokens_before"),
+        col("rows_after"), col("tokens_after"),
+        col("row_dedup_rate"), col("token_dedup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Exact n-gram Jaccard near-dup: all pairs sharing ≥1 shingle hash,
     * scored inter/(|A|+|B|-inter), kept at ≥ 0.5. The explode self-join on
     * long keys is the exact baseline; LSH below reproduces it at scale.
@@ -859,6 +901,7 @@ object Dedup {
     "dd_band_stats" -> bandStats,
     "dd_contamination" -> contamination,
     "dd_exact" -> exactDedup,
+    "pipe_dedup_impact" -> dedupImpact,
     "dd_ngram_jaccard" -> ngramJaccard,
     "dd_containment" -> containment,
     "dd_containment_banded" -> containmentBanded,
@@ -980,6 +1023,37 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "pipe_dedup_impact" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, source, md5(text) AS h,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source, md5(text),
+        |         CAST(len(string_split(text, ' ')) AS BIGINT)
+        |  FROM documents),
+        |bef AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS rows_before,
+        |         CAST(SUM(toks) AS BIGINT) AS tokens_before
+        |  FROM doubled GROUP BY 1),
+        |surv AS (SELECT MIN(doc_id) AS keep_id FROM doubled GROUP BY h),
+        |aft AS (
+        |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS rows_after,
+        |         CAST(SUM(d.toks) AS BIGINT) AS tokens_after
+        |  FROM surv JOIN (
+        |    SELECT doc_id, source,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |    FROM documents) d ON d.doc_id = surv.keep_id
+        |  GROUP BY 1)
+        |SELECT b.source, b.rows_before, b.tokens_before,
+        |       COALESCE(a.rows_after, 0) AS rows_after,
+        |       COALESCE(a.tokens_after, 0) AS tokens_after,
+        |       1.0 - CAST(COALESCE(a.rows_after, 0) AS DOUBLE)
+        |             / CAST(b.rows_before AS DOUBLE) AS row_dedup_rate,
+        |       1.0 - CAST(COALESCE(a.tokens_after, 0) AS DOUBLE)
+        |             / CAST(b.tokens_before AS DOUBLE) AS token_dedup_rate
+        |FROM bef b LEFT JOIN aft a USING (source)
+        |ORDER BY source""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH $shingCte,
          |sh AS (SELECT doc_id, len(shashes) AS n, unnest(shashes) AS sh FROM shing),

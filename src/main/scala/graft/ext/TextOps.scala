@@ -754,6 +754,40 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Per-document n-gram novelty — what fraction of a doc's trigram
+    * occurrences appear EARLIER in the corpus (doc_id order standing in
+    * for ingestion time): the memorization-risk / staleness score a
+    * dedup-aware sampler weights by, and the doc-level complement of
+    * [[dupGramHits]]'s span view. Each trigram's first home is
+    * min(doc_id) over the corpus — one gram-keyed groupBy (map-side
+    * combined) — and a doc's occurrences with an earlier first home
+    * count as seen; novelty = 1 − seen/total in one final division.
+    * Linear: grams shuffle once for the first-home election and once for
+    * the doc re-aggregation, never pairwise. At 100 TB hash grams to
+    * 64-bit longs for both shuffles (the [[ngramFreq]] note) — equality
+    * joins don't need the strings. Docs under 3 words have no trigrams
+    * and drop out by construction.
+    */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("gram"))
+    val firstHome = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstHome, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen_before"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen_before").cast("double") / col("n_grams").cast("double"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen_before"), col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf-exponent estimate for the corpus frequency curve — the
     * one-number "is this corpus naturally distributed" fingerprint
     * (natural text reads ≈ 1; boilerplate-heavy or deduplicated corpora
@@ -1905,6 +1939,7 @@ object TextOps {
     "tx_fingerprint" -> fingerprint,
     "tx_vocab" -> vocab,
     "tx_zipf_fit" -> zipfFit,
+    "tx_novelty" -> novelty,
     "tx_oov_rate" -> oovRate,
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
@@ -2426,6 +2461,22 @@ object TextOps {
           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+      "tx_novelty" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+          |                 for i in generate_series(1, len(l) - 2)]) AS gram
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+          |        FROM documents)
+          |  WHERE len(l) >= 3),
+          |fh AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+          |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          |       CAST(SUM(CASE WHEN fh.first_doc < g.doc_id THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_seen_before,
+          |       1.0 - CAST(SUM(CASE WHEN fh.first_doc < g.doc_id THEN 1 ELSE 0 END)
+          |                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+          |FROM g JOIN fh USING (gram)
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
       "tx_zipf_fit" ->
         """WITH head AS (
           |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq

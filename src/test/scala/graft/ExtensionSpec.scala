@@ -522,6 +522,49 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("dedup impact: conserves survivors and zero-fills a fully-contained source") {
+    val rep = ext.Dedup.dedupImpact(spark, sf).collect()
+    val survivors = ext.Dedup.exactDedup(spark, sf).count()
+    assert(rep.map(_.getAs[Long]("rows_after")).sum == survivors,
+      "per-source after-rows must partition the survivor set")
+    rep.foreach { r =>
+      assert(r.getAs[Double]("row_dedup_rate") >= 0.5 - 1e-12,
+        "doubled corpus loses at least half of every source")
+    }
+    // doctor a corpus where srcB is an exact copy of srcA at higher ids:
+    // srcB must keep ZERO rows and still appear with dedup_rate 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_di").toString
+    val a = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"), col("text"), lit("srcA").as("source"))
+    val b = a.select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+      lit("srcB").as("source"))
+    a.unionByName(b).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val doc = ext.Dedup.dedupImpact(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(doc("srcB").getAs[Long]("rows_after") == 0)
+    assert(doc("srcB").getAs[Double]("row_dedup_rate") == 1.0)
+    assert(doc("srcA").getAs[Long]("rows_after") == 20)
+  }
+
+  test("novelty: matches a local first-occurrence replay; earliest doc is fully novel") {
+    val out = ext.TextOps.novelty(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen_before"))).toMap
+    // local replay over the whole sf0.001 corpus
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.length >= 3)
+    val grams = docs.flatMap { case (id, ws) =>
+      ws.sliding(3).map(g => (id, g.mkString(" "))) }
+    val firstHome = grams.groupBy(_._2).map { case (g, occ) => g -> occ.map(_._1).min }
+    val local = grams.groupBy(_._1).map { case (id, occ) =>
+      id -> (occ.size.toLong, occ.count(o => firstHome(o._2) < id).toLong) }
+    assert(out == local)
+    val minDoc = docs.map(_._1).min
+    assert(out(minDoc)._2 == 0, "the earliest doc can have seen nothing before")
+  }
+
   test("GIF fixture is a real palettized container: solid color round-trips exactly") {
     val payload = ext.Multimodal.gifBytes(33, 19, 180, 90, 45)
     // real GIF89a (or 87a) signature
