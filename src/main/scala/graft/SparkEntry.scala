@@ -25,6 +25,7 @@ object SparkEntry {
       ext.BloomFilter.queries ++ plans.TopKPerKey.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
+        "st_transitions_stream" -> streaming.StreamOps.transitionsStream,
         "st_topk_stream" -> streaming.StreamOps.topkStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
@@ -60,6 +61,7 @@ object SparkEntry {
       // real streaming queries, verified against batch oracles
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),
+        "st_transitions_stream" -> ext.EventOps.oracle("ev_path_transitions"),
         "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,
         "st_interval_join" ->
           """SELECT c.user_id AS user_id, c.event_id AS click_id,

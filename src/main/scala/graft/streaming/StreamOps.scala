@@ -700,6 +700,72 @@ object StreamOps {
       }
   }
 
+  /** Per-user last-event state for the streaming transition extractor:
+    * one fixed-width record per user, no event buffering.
+    */
+  case class TransState(lastUs: Long, lastId: Long, lastType: String)
+  case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming first-order Markov transition extraction — the incremental
+    * feed of [[graft.ext.EventOps.pathTransitions]]'s matrix (and, one
+    * aggregation later, of [[graft.ext.EventOps.markovStationary]]):
+    * each user's state is only their LAST event; every arrival emits the
+    * (last → current) pair and advances the state. A batch lead() window
+    * needs the user's whole history in one place; this shape emits each
+    * transition the moment its successor arrives with O(1) state per
+    * user — the production feed for a continuously-updated transition
+    * matrix. Out-of-order arrivals inside a micro-batch sort before
+    * folding (the [[sessionize]] discipline); unlike sessions, no
+    * transition is ever withheld — each pair is final the moment it is
+    * emitted, so the drained stream reproduces the batch matrix exactly.
+    */
+  def transitions(events: Dataset[Ev]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
+          val out = Seq.newBuilder[TransOut]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransOut(userId, p.lastType, e.event_type))
+            prev = Some(TransState(usOf(e), e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Declared streaming transition-matrix query: drain [[transitions]]
+    * with AvailableNow, then roll the drained pair table up to the
+    * (from, to, n, share) matrix — aggregation on the SERVING side, the
+    * [[topkStream]] split, because the per-from share needs the final
+    * counts. Oracle: the batch `ev_path_transitions` SQL verbatim.
+    */
+  def transitionsStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    import ss.implicits._
+    val evs = eventsStream(ss, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    val q = transitions(evs)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_transitions")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val wFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    ss.table("graft_stream_transitions")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(wFrom))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Timeout-finalizing sessionizer: identical fold, but the open session
     * also closes when the EVENT-TIME WATERMARK passes its end + gap — so
     * an infinite stream eventually emits EVERY session without waiting for

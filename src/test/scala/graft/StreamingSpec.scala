@@ -327,6 +327,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming transitions bridge micro-batches through per-user last-event state") {
+    import spark.implicits._
+    def tev(id: Long, t: String, typ: String, user: Long = 1): Ev =
+      Ev(id, Timestamp.valueOf(t), user, typ, 1.0)
+    val in = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamOps.transitions(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_trans_bridge").start()
+    try {
+      // batch 1: user 1 view→click emits ONE pair; user 2's lone event none
+      in.addData(tev(1, "2024-01-01 12:00:00", "view"),
+        tev(2, "2024-01-01 12:05:00", "click"),
+        tev(3, "2024-01-01 12:07:00", "view", user = 2))
+      q.processAllAvailable()
+      val t1 = spark.table("graft_trans_bridge")
+        .as[graft.streaming.StreamOps.TransOut].collect()
+      assert(t1.toSet == Set(
+        graft.streaming.StreamOps.TransOut(1, "view", "click")))
+      // batch 2: the CROSS-BATCH pairs click→purchase (user 1, from state)
+      // and view→purchase (user 2) must both emit — exactly the pairs a
+      // batch lead() over the full history would produce
+      in.addData(tev(4, "2024-01-01 12:30:00", "purchase"),
+        tev(5, "2024-01-01 12:31:00", "purchase", user = 2))
+      q.processAllAvailable()
+      val t2 = spark.table("graft_trans_bridge")
+        .as[graft.streaming.StreamOps.TransOut].collect()
+      assert(t2.toSet == Set(
+        graft.streaming.StreamOps.TransOut(1, "view", "click"),
+        graft.streaming.StreamOps.TransOut(1, "click", "purchase"),
+        graft.streaming.StreamOps.TransOut(2, "view", "purchase")))
+      // out-of-order INSIDE a batch folds in ts order: 12:40 then 12:35
+      // arrive together for user 3 → exactly one pair, a→b by time
+      in.addData(tev(7, "2024-01-01 12:40:00", "b", user = 3),
+        tev(6, "2024-01-01 12:35:00", "a", user = 3))
+      q.processAllAvailable()
+      val t3 = spark.table("graft_trans_bridge")
+        .as[graft.streaming.StreamOps.TransOut].collect()
+        .filter(_.user_id == 3)
+      assert(t3.toSet == Set(graft.streaming.StreamOps.TransOut(3, "a", "b")))
+    } finally q.stop()
+  }
+
   test("event-time timeout finalizes the open session once the watermark passes") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
