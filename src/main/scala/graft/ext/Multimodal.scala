@@ -633,6 +633,85 @@ object Multimodal {
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic TIFF fixture dims/color per doc — fifth distinct
+    * formula family (31/17 dims, 11/17/5 color).
+    */
+  def tiffFixtureParams(docId: Long): (Int, Int, Int, Int, Int) = (
+    16 + ((docId * 31) % 52).toInt, 16 + ((docId * 17) % 36).toInt,
+    ((docId * 11) % 256).toInt, ((docId * 17) % 256).toInt,
+    ((docId * 5) % 256).toInt)
+
+  /** Solid-color TIFF payload from the JDK encoder (baseline TIFF: IFD
+    * directory, strip-organized truecolor raster — lossless, so decoded
+    * means verify exactly like PNG/GIF). TIFF is the archival/scan format
+    * a document-ingest pipeline actually meets; the JDK reader/writer
+    * ship since Java 9, no external libs.
+    */
+  def tiffBytes(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    imageIoNoDiskCache
+    javax.imageio.ImageIO.write(img, "tiff", baos)
+    baos.toByteArray
+  }
+
+  case class TiffFeature(doc_id: Long, width: Int, height: Int,
+      mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** Fifth REAL image codec: per-partition batched ImageIO decode of
+    * genuine TIFF payloads (one reader per 64-doc batch, the
+    * [[bmpDecodeRaw]] shape). Exercises the IFD/strip leg of the decode
+    * matrix; exact verification per [[tiffBytes]].
+    */
+  def tiffDecodeRaw(s: SparkSession, d: String): Dataset[TiffFeature] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        imageIoNoDiskCache
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next()
+        try batch.map { id =>
+          val (w0, h0, r0, g0, b0) = tiffFixtureParams(id)
+          val payload = tiffBytes(w0, h0, r0, g0, b0)
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val img = try reader.read(0) finally iis.close()
+          require(img != null, s"undecodable TIFF payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val px = img.getRGB(x, y)
+              sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          TiffFeature(id, w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** Declared form of [[tiffDecodeRaw]] for the verification registry. */
+  def tiffDecode(s: SparkSession, d: String): DataFrame =
+    tiffDecodeRaw(s, d).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic WAV fixture (sample rate, sample count, amplitude) per
     * doc. The payload is a ±amp square wave, chosen because its RMS is
     * EXACTLY amp in integer arithmetic — which is what lets the decoded
@@ -953,6 +1032,7 @@ object Multimodal {
     "mm_jpeg_decode" -> jpegDecode,
     "mm_png_decode" -> pngDecode,
     "mm_gif_decode" -> gifDecode,
+    "mm_tiff_decode" -> tiffDecode,
     "dd_phash_images" -> phashDedup,
     "dd_phash_banded" -> phashBanded,
     "mm_wav_meta" -> wavMeta,
@@ -1070,6 +1150,14 @@ object Multimodal {
         |allp AS (SELECT * FROM same UNION ALL SELECT * FROM crossp)
         |SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs FROM allp
         |GROUP BY hamming HAVING SUM(np) > 0 ORDER BY hamming""".stripMargin,
+    "mm_tiff_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + ((doc_id * 31) % 52) AS INT) AS width,
+        |       CAST(16 + ((doc_id * 17) % 36) AS INT) AS height,
+        |       CAST((doc_id * 11) % 256 AS INT) AS mean_r,
+        |       CAST((doc_id * 17) % 256 AS INT) AS mean_g,
+        |       CAST((doc_id * 5) % 256 AS INT) AS mean_b
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_gif_decode" ->
       """SELECT doc_id,
         |       CAST(16 + ((doc_id * 29) % 48) AS INT) AS width,

@@ -585,6 +585,26 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("TIFF fixture is a real IFD container: lossless decode round-trips exactly") {
+    val payload = ext.Multimodal.tiffBytes(29, 17, 160, 80, 40)
+    // real TIFF byte-order mark: II*\0 (little-endian) or MM\0* (big)
+    val bom = new String(payload.take(2), "US-ASCII")
+    assert(bom == "II" || bom == "MM")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null && img.getWidth == 29 && img.getHeight == 17)
+    val px = img.getRGB(28, 16)
+    assert(((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff) == ((160, 80, 40)))
+    // a corrupted magic number must NOT silently decode
+    val bad = payload.clone(); bad(0) = 'X'.toByte; bad(1) = 'Y'.toByte
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bad)) == null)
+    // and the distributed decode agrees with the oracle's closed form
+    val row = ext.Multimodal.tiffDecodeRaw(spark, sf)
+      .filter(col("doc_id") === 13L).collect().head
+    val (w, h, r, g, b) = ext.Multimodal.tiffFixtureParams(13L)
+    assert((row.width, row.height, row.mean_r, row.mean_g, row.mean_b)
+      == ((w, h, r, g, b)))
+  }
+
   test("weighted quantile sketch reproduces the exact weighted median on integral bins") {
     val exact = ops.ExtraOps.weightedMedian(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1).toInt, r.getDouble(2))).toSeq
