@@ -464,7 +464,7 @@ object QcOps {
         .join(if (broadcastParent) broadcast(pk) else pk, Seq("k"), "left_anti")
         .agg(coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"),
           count(lit(1)).as("orphan_keys"))
-      totals.crossJoin(orphans).select(lit(name).as("edge"),
+      totals.crossJoin(broadcast(orphans)).select(lit(name).as("edge"),
         col("child_rows"), col("child_keys"), col("null_fk_rows"),
         col("orphan_rows"), col("orphan_keys"))
     }
@@ -511,7 +511,7 @@ object QcOps {
         .agg(count(lit(1)).as("n_islands"))
       ks.agg(count(lit(1)).as("n_keys"), min(col("k")).as("min_key"),
           max(col("k")).as("max_key"))
-        .crossJoin(islands)
+        .crossJoin(broadcast(islands))
         .select(lit(name).as("col_name"), col("n_keys"), col("min_key"),
           col("max_key"),
           (col("max_key") - col("min_key") + 1 - col("n_keys")).as("n_missing"),

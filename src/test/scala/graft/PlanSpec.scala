@@ -359,6 +359,37 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"scale-killer plans: $offenders")
   }
 
+  test("referential audit: dim keysets broadcast, fact anti-join sort-merges at scale") {
+    // hinted broadcast for fixed-size dims survives even with auto-broadcast off
+    val p = planAtScale("qc_referential")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "nation/region keysets must broadcast into their anti-joins:\n" + p.take(1500))
+    // the lineitem->orders edge: both sides sf-scaled, so with broadcast
+    // unavailable the anti-join must fall back to a keyed join, never BNLJ
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        && l.contains("LeftAnti")),
+      "big-big anti-join must stay keyed at scale:\n" + p.take(1500))
+  }
+
+  test("novelty: first-home join stays keyed on the gram at scale") {
+    val p = planAtScale("tx_novelty")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "gram join must be keyed:\n" + p.take(1500))
+    // doc re-aggregation is a keyed hash aggregate, not a global window
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")))
+  }
+
+  test("dedup impact: survivor attribution joins on the 8-byte keep_id at scale") {
+    val p = planAtScale("pipe_dedup_impact")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "keep_id attribution join must be keyed:\n" + p.take(1500))
+  }
+
   test("dim filter dynamically prunes fact partitions (DPP)") {
     // At 100 TB the fact table is date/category-partitioned and the
     // filter lives on a dim — without dynamic partition pruning the scan
