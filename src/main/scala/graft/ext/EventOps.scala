@@ -1070,8 +1070,13 @@ object EventOps {
         |FROM m ORDER BY from_type, to_type""".stripMargin,
     "ev_markov_stationary" -> {
       val S = "1000000000000"
+      // Every iteration CTE references its predecessor THREE times (state
+      // walk, dangling-mass subquery, inflow join). DuckDB inlines plain
+      // CTEs, so without AS MATERIALIZED the 6-round chain re-evaluates
+      // the base window 3^6 times (measured: 108 s / 14 GB at sf0.01 vs
+      // ~0.2 s materialized — and the blow-up was the gate's only OOM).
       def it(prev: String, out: String): String =
-        s"""$out AS (SELECT q.state, q.outsum, q.k,
+        s"""$out AS MATERIALIZED (SELECT q.state, q.outsum, q.k,
            |  COALESCE(f.inflow, 0)
            |  + (SELECT COALESCE(SUM(p), 0) FROM $prev WHERE outsum = 0) // q.k AS p
            |FROM $prev q LEFT JOIN (
@@ -1079,12 +1084,12 @@ object EventOps {
            |         SUM((CAST(r.p AS HUGEINT) * m.n) // r.outsum) AS inflow
            |  FROM m JOIN $prev r ON m.from_type = r.state
            |  GROUP BY m.to_type) f USING (state))""".stripMargin
-      s"""WITH t AS (
+      s"""WITH t AS MATERIALIZED (
          |  SELECT event_type AS from_type,
          |         lead(event_type, 1) OVER (PARTITION BY user_id
          |           ORDER BY ts, event_id) AS to_type
          |  FROM events),
-         |m AS (
+         |m AS MATERIALIZED (
          |  SELECT from_type, to_type, COUNT(*) AS n
          |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
          |os AS (SELECT from_type AS state, CAST(SUM(n) AS BIGINT) AS outsum
@@ -1094,7 +1099,7 @@ object EventOps {
          |nd AS (SELECT st.state, COALESCE(os.outsum, 0) AS outsum,
          |              (SELECT COUNT(*) FROM states) AS k
          |       FROM states st LEFT JOIN os USING (state)),
-         |r0 AS (SELECT state, outsum, k, $S // k AS p FROM nd),
+         |r0 AS MATERIALIZED (SELECT state, outsum, k, $S // k AS p FROM nd),
          |${it("r0", "i1")},
          |${it("i1", "i2")},
          |${it("i2", "i3")},
