@@ -67,6 +67,41 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Mutual nearest neighbors — pairs where each vector is the OTHER's
+    * top-1: the high-precision mining primitive behind bitext mining,
+    * semantic-dedup pair confirmation, and margin-based filtering (a
+    * one-directional top-1 is noisy; mutuality is the cheap symmetric
+    * confidence test). Candidates come from the label blocking
+    * [[graft.ext.Dedup]]'s embed-cosine near-dup uses (pre-clustered
+    * corpus → O(Σ block²), the IVF-bucket stand-in at 100 TB where the
+    * same two windows + self-join run over bucket probes); top-1 per
+    * side via one rank window with id tie-break, mutuality via the best
+    * frame self-joined on the REVERSED edge — the best frame is one row
+    * per vector, so the mutual join is linear in corpus size, never in
+    * pairs. Each mutual pair reports once (smaller id first).
+    */
+  def mutualNN(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val pairs = e.select(col("vec_id").as("ia"), col("label"),
+        col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("ib"), col("label"),
+        col("embedding").as("vb")), Seq("label"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("cosine", expr(cos(s, "va", "vb")))
+    val w = Window.partitionBy(col("ia")).orderBy(desc("cosine"), col("ib"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ia").as("src"), col("ib").as("dst"),
+        col("label"), col("cosine"))
+    best.as("x")
+      .join(best.select(col("src").as("dst"), col("dst").as("src")).as("y"),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        col("label"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Matryoshka truncation audit — recall@10 of HALF-dimension retrieval
     * against the full-dimension answer (Kusupati et al., "Matryoshka
     * Representation Learning"). Serving truncated prefixes of an
@@ -1502,6 +1537,7 @@ object Similarity {
     "sim_vector_norms" -> vectorNorms,
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
+    "sim_mutual_nn" -> mutualNN,
     "sim_matryoshka" -> matryoshkaRecall,
     "sim_ndcg" -> ndcg,
     "sim_mrr" -> mrr,
@@ -2199,6 +2235,21 @@ object Similarity {
          |         list_transform(range(1, 65), j -> q[j] * vf[j])), (a, x) -> a + x) AS DOUBLE)
          |         / vn / $QSCALE.0 AS proj
          |FROM qv CROSS JOIN nrm ORDER BY vec_id""".stripMargin,
+    "sim_mutual_nn" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.label,
+         |         ${duckCos("a.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |best AS (
+         |  SELECT ia AS src, ib AS dst, label, cosine FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+         |                                 ORDER BY cosine DESC, ib) AS rn
+         |    FROM p) WHERE rn = 1)
+         |SELECT x.src AS vec_a, x.dst AS vec_b, x.label, x.cosine
+         |FROM best x JOIN best y ON x.src = y.dst AND x.dst = y.src
+         |WHERE x.src < x.dst
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |scored AS (

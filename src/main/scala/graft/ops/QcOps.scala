@@ -574,8 +574,35 @@ object QcOps {
       .withColumn("drift", col("ks_d") > col("ks_crit"))
   }
 
+  /** Per-type event-time freshness audit — "which feeds have stopped" —
+    * each event type's latest timestamp lagged against the corpus
+    * high-water mark (the deterministic stand-in for wall-clock now():
+    * a freshness gate keyed to now() can never hash-verify, and in a
+    * batch context the corpus max IS the load's reference time). Lag is
+    * exact integer minutes (µs difference, truncating DIV); a type more
+    * than 60 min behind the high-water mark is flagged stale. One scan,
+    * one |types|-row rollup, high-water mark attached as a broadcast
+    * 1-row aggregate.
+    */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val byType = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("latest_us"))
+    val hwm = Tables.events(s, d)
+      .agg(max(unix_micros(col("ts"))).as("corpus_max_us"))
+    byType.crossJoin(broadcast(hwm))
+      .withColumn("lag_minutes",
+        expr("(corpus_max_us - latest_us) DIV 60000000"))
+      .withColumn("stale", col("lag_minutes") > 60)
+      .select(col("event_type"), col("n_events"), col("lag_minutes"),
+        col("stale"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc_referential" -> referentialAudit,
+    "qc_freshness" -> freshness,
     "qc_sequence_gaps" -> sequenceGaps,
     "qc_ks_test" -> ksTest,
     "qc_cardinality_profile" -> cardinalityProfile,
@@ -755,6 +782,18 @@ object QcOps {
          |  FROM cur c JOIN prev p ON c.check_name = p.check_name)
          |ORDER BY check_name""".stripMargin
     },
+    "qc_freshness" ->
+      """WITH bt AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MAX(epoch_us(ts)) AS latest_us
+        |  FROM events GROUP BY 1),
+        |hwm AS (SELECT MAX(epoch_us(ts)) AS corpus_max_us FROM events)
+        |SELECT event_type, n_events,
+        |       CAST((corpus_max_us - latest_us) // 60000000 AS BIGINT)
+        |         AS lag_minutes,
+        |       (corpus_max_us - latest_us) // 60000000 > 60 AS stale
+        |FROM bt CROSS JOIN hwm
+        |ORDER BY event_type""".stripMargin,
     "qc_referential" -> {
       // one CTE pair per FK edge: child keyed to (k, cnt) first, orphans
       // via NOT EXISTS against the parent key column — mirrors the

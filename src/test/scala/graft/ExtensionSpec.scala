@@ -522,6 +522,33 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("mutual NN: every reported pair is each other's in-block argmax; one pair per vector") {
+    val pairs = ext.Similarity.mutualNN(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.nonEmpty, "clustered fixture must produce mutual pairs")
+    // top-1 is unique per vector, so a vector can appear in at most one pair
+    val members = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(members.distinct.length == members.length)
+    // local argmax replay over the label blocks
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray.map(_.toDouble)))
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(t => t._1 * t._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def top1(id: Long): Long = {
+      val (_, lab, v) = byId(id)
+      vecs.filter(x => x._2 == lab && x._1 != id)
+        .map(x => (x._1, cosine(v, x._3)))
+        .maxBy { case (cid, c) => (c, -cid) }._1   // cosine desc, id asc tie
+    }
+    pairs.take(10).foreach { case (a, b) =>
+      assert(top1(a) == b && top1(b) == a, s"($a,$b) must be mutual argmaxes")
+    }
+  }
+
   test("dedup impact: conserves survivors and zero-fills a fully-contained source") {
     val rep = ext.Dedup.dedupImpact(spark, sf).collect()
     val survivors = ext.Dedup.exactDedup(spark, sf).count()

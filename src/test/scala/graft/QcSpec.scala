@@ -102,6 +102,18 @@ class QcSpec extends AnyFunSuite {
     assert(byName("l_returnflag") < 10 && byName("l_orderkey") > 1000)
   }
 
+  test("freshness: high-water type reads zero lag; flags are pure functions of lag") {
+    val out = ops.QcOps.freshness(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lag = r.getAs[Long]("lag_minutes")
+      assert(lag >= 0, r.toString)
+      assert(r.getAs[Boolean]("stale") == (lag > 60), r.toString)
+    }
+    assert(out.exists(_.getAs[Long]("lag_minutes") == 0),
+      "the type holding the corpus max ts must lag zero")
+  }
+
   test("referential audit: clean on stock data, counts injected orphans exactly") {
     val clean = ops.QcOps.referentialAudit(spark, sf).collect()
     assert(clean.length == 7, "one row per FK edge")
