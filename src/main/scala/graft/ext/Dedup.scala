@@ -446,6 +446,23 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Dup-cluster size histogram — "how big are my duplicate clusters" —
+    * the one-page diagnostic a dedup run is judged by: a corpus whose
+    * mass sits in a few giant components has template/boilerplate
+    * contamination (and its LSH band join is about to skew); healthy
+    * near-dup structure is many small clusters. Rolls the
+    * [[componentsStars]] labeling (the O(log n) scale path) up to one
+    * row per distinct (component, size) then one row per size — both
+    * rollups are bounded by component count, so the histogram adds two
+    * cheap keyed aggregations to the components run it shares.
+    */
+  def componentSizes(s: SparkSession, d: String): DataFrame =
+    componentsStars(s, d)
+      .select(col("component"), col("comp_size")).distinct()
+      .groupBy(col("comp_size")).agg(count(lit(1)).as("n_components"))
+      .withColumn("n_docs", col("comp_size") * col("n_components"))
+      .orderBy(col("comp_size"))
+
   /** Connected components via alternating large-star/small-star (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
     * public algorithm): each round rewires edges toward neighborhood
@@ -910,6 +927,7 @@ object Dedup {
     "dd_simhash" -> simhash,
     "dd_components" -> components,
     "dd_components_stars" -> componentsStars,
+    "dd_component_sizes" -> componentSizes,
     "dd_canonical" -> canonical,
     "dd_snapshot_diff" -> snapshotDiff,
     "dd_incremental" -> incremental
@@ -1202,6 +1220,11 @@ object Dedup {
     // same oracle as dd_components: both implementations must produce the
     // identical clustering of the identical (exact, non-LSH) pair graph
     "dd_components_stars" -> componentsOracle,
+    "dd_component_sizes" ->
+      s"""SELECT comp_size, CAST(COUNT(*) AS BIGINT) AS n_components,
+         |       CAST(comp_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM (SELECT DISTINCT component, comp_size FROM ($componentsOracle))
+         |GROUP BY comp_size ORDER BY comp_size""".stripMargin,
     "dd_canonical" ->
       s"""WITH RECURSIVE
          |$shingCte,

@@ -522,6 +522,23 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("component-size histogram conserves the labeled doc set") {
+    val hist = ext.Dedup.componentSizes(spark, sf).collect()
+      .map(r => (r.getAs[Long]("comp_size"), r.getAs[Long]("n_components"),
+        r.getAs[Long]("n_docs")))
+    val labeled = ext.Dedup.componentsStars(spark, sf).collect()
+    assert(hist.map(_._3).sum == labeled.length,
+      "histogram mass must equal the labeled node count")
+    hist.foreach { case (sz, nc, nd) => assert(nd == sz * nc) }
+    // local recount from the labeling itself
+    val local = labeled.map(r => r.getAs[Long]("component"))
+      .groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => (sz, cs.size.toLong) }
+    assert(hist.map(h => (h._1, h._2)).toMap == local)
+    // every component in a pair graph has at least 2 members
+    assert(hist.forall(_._1 >= 2))
+  }
+
   test("mutual NN: every reported pair is each other's in-block argmax; one pair per vector") {
     val pairs = ext.Similarity.mutualNN(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
