@@ -754,6 +754,43 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Flesch readability scoring — the classic curation-side quality
+    * signal (C4/Gopher-style filters bucket on exactly these ratios):
+    * words are letter runs, sentences are terminal-punctuation runs
+    * (floored at 1 so headline-only docs don't divide by zero), and
+    * syllables use the standard vowel-group heuristic — all three are
+    * INTEGER regexp-run counts over character classes that mean the same
+    * thing in Java and RE2-style engines, so the counts hash-verify and
+    * the two scores are one fixed double expression tree over exact
+    * integers (coefficients routed through string casts — the literal
+    * discipline). One codegen'd scan projection, no shuffle until the
+    * deterministic sort; at 100 TB this fuses into whatever filter
+    * funnel stage reads the text anyway.
+    */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val words = greatest(lit(1),
+      regexp_count(lower(col("text")), lit("[a-z]+"))).cast("long")
+    val sents = greatest(lit(1),
+      regexp_count(col("text"), lit("[.!?]+"))).cast("long")
+    val syll = regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        syll.as("n_syllables"))
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .withColumn("flesch",
+        expr("CAST('206.835' AS DOUBLE)")
+          - expr("CAST('1.015' AS DOUBLE)") * col("wps")
+          - expr("CAST('84.6' AS DOUBLE)") * col("spw"))
+      .withColumn("fk_grade",
+        expr("CAST('0.39' AS DOUBLE)") * col("wps")
+          + expr("CAST('11.8' AS DOUBLE)") * col("spw")
+          - expr("CAST('15.59' AS DOUBLE)"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"), col("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document n-gram novelty — what fraction of a doc's trigram
     * occurrences appear EARLIER in the corpus (doc_id order standing in
     * for ingestion time): the memorization-risk / staleness score a
@@ -1940,6 +1977,7 @@ object TextOps {
     "tx_vocab" -> vocab,
     "tx_zipf_fit" -> zipfFit,
     "tx_novelty" -> novelty,
+    "tx_readability" -> readability,
     "tx_oov_rate" -> oovRate,
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
@@ -2461,6 +2499,26 @@ object TextOps {
           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+      "tx_readability" ->
+        """WITH c AS (
+          |  SELECT doc_id,
+          |    GREATEST(1, len(regexp_extract_all(lower(text), '[a-z]+'))) AS n_words,
+          |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+          |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syllables
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          |    CAST(n_sentences AS BIGINT) AS n_sentences,
+          |    CAST(n_syllables AS BIGINT) AS n_syllables,
+          |    CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+          |    CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+          |  FROM c)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          |  CAST('206.835' AS DOUBLE) - CAST('1.015' AS DOUBLE) * wps
+          |    - CAST('84.6' AS DOUBLE) * spw AS flesch,
+          |  CAST('0.39' AS DOUBLE) * wps + CAST('11.8' AS DOUBLE) * spw
+          |    - CAST('15.59' AS DOUBLE) AS fk_grade
+          |FROM r ORDER BY doc_id""".stripMargin,
       "tx_novelty" ->
         """WITH g AS (
           |  SELECT doc_id,

@@ -522,6 +522,32 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("readability: scores are the exact fixed double tree over the regexp counts") {
+    val out = ext.TextOps.readability(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, se, sy) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sentences"),
+        r.getAs[Long]("n_syllables"))
+      assert(w >= 1 && se >= 1 && sy >= 0, r.toString)
+      assert(sy <= 30 * w + 1, "vowel groups are bounded by word mass")
+      val wps = w.toDouble / se.toDouble
+      val spw = sy.toDouble / w.toDouble
+      assert(r.getAs[Double]("flesch") == 206.835 - 1.015 * wps - 84.6 * spw)
+      assert(r.getAs[Double]("fk_grade") == 0.39 * wps + 11.8 * spw - 15.59)
+    }
+    // a known sentence replays the heuristic exactly: 6 words, 1 sentence,
+    // vowel groups: the=1 quick=2(ui? u-i adjacent => 'ui' one group) ...
+    // compute independently rather than hand-count
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_read").toString
+    Seq((1L, "The quick brown fox. It jumps!", "srcX", "en", 0.5))
+      .toDF("doc_id", "text", "source", "lang", "quality")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val one = ext.TextOps.readability(spark, tmp).collect().head
+    assert(one.getAs[Long]("n_words") == 6)
+    assert(one.getAs[Long]("n_sentences") == 2)
+  }
+
   test("component-size histogram conserves the labeled doc set") {
     val hist = ext.Dedup.componentSizes(spark, sf).collect()
       .map(r => (r.getAs[Long]("comp_size"), r.getAs[Long]("n_components"),
