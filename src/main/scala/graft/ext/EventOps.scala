@@ -747,7 +747,91 @@ object EventOps {
       .orderBy(col("gap_hours"))
   }
 
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands identity: within a user's DISTINCT active days in
+    * day order, `day − row_number()` is constant exactly along a run of
+    * consecutive dates, so grouping on that difference materializes the
+    * islands without any self-join. Per user: total active days, number
+    * of streaks, the longest streak length, and the start date of that
+    * longest streak (ties broken toward the LATEST start via a
+    * conditional max — deterministic on both engines without relying on
+    * struct/arg_max tie rules). Engagement teams read this as the
+    * "habit" metric; curation pipelines use the same island identity for
+    * contiguous-shard range compaction.
+    *
+    * Scale shape: one distinct on (user, day) — map-side combinable and
+    * calendar-bounded (≤ users × days rows), one per-user window, one
+    * per-user rollup; nothing global until the deterministic tail sort.
+    */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("island",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wu = Window.partitionBy(col("user_id"))
+    islands
+      .withColumn("mx", max(col("len")).over(wu))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max(when(col("len") === col("mx"), col("start_day")))
+          .as("longest_start"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Inter-event-gap regularity per user — the workhorse bot/automation
+    * signal: scripted clients fire on near-constant timers, so their gap
+    * distribution has a far smaller squared coefficient of variation
+    * (CV² = Var/Mean²) than human traffic (exponential-ish arrivals sit
+    * near CV² ≈ 1; cron-like traffic near 0). Gaps are truncated to
+    * whole seconds (`DIV`, identical truncation in both engines); the
+    * cancellation-prone variance numerator n·Σg² − (Σg)² stays in exact
+    * 64-bit integers (30-day × sf0.1 magnitudes peak ~10¹⁷; a
+    * years-deep corpus would widen the power sums to DECIMAL(38,0)
+    * exactly as [[graft.ops.ExtraOps.correlation]] does), and floating
+    * point enters only in the single final CV² division. Users with
+    * fewer than 5 gaps carry too little evidence and are excluded.
+    *
+    * Scale shape: one lead() window per user (the sessionize shuffle),
+    * then a per-user partial-aggregated rollup of three integers — the
+    * wire carries 4 longs per user regardless of event volume.
+    */
+  def gapRegularity(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_s",
+        expr("(next_us - unix_micros(ts)) DIV 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("sum_gap_sq"))
+      .filter(col("n_gaps") >= 5)
+      .withColumn("mean_gap_s",
+        col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("cv2",
+        (col("n_gaps") * col("sum_gap_sq")
+          - col("sum_gap_s") * col("sum_gap_s")).cast("double")
+          / (col("n_gaps") - 1).cast("double")
+          / col("sum_gap_s").cast("double")
+          / col("sum_gap_s").cast("double")
+          * col("n_gaps").cast("double"))
+      .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+        col("sum_gap_sq"), col("mean_gap_s"), col("cv2"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_streaks" -> streaks,
+    "ev_gap_regularity" -> gapRegularity,
     "ev_dispersion" -> dispersion,
     "ev_hazard" -> hazard,
     "ev_cohort_ltv" -> cohortLtv,
@@ -775,6 +859,52 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |         CAST(day - DATE '1970-01-01' AS BIGINT)
+        |           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS island,
+        |         day
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |         MIN(day) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |mxd AS (
+        |  SELECT user_id, island, len, start_day,
+        |         MAX(len) OVER (PARTITION BY user_id) AS mx
+        |  FROM runs)
+        |SELECT user_id,
+        |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |       CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |       MAX(CASE WHEN len = mx THEN start_day END) AS longest_start
+        |FROM mxd GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "ev_gap_regularity" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS gap_s
+        |  FROM (
+        |    SELECT user_id, ts, LEAD(ts, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |    FROM events)
+        |  WHERE nxt IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |         CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+        |         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_gap_s, sum_gap_sq,
+        |       CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+        |       CAST(n_gaps * sum_gap_sq - sum_gap_s * sum_gap_s AS DOUBLE)
+        |         / CAST(n_gaps - 1 AS DOUBLE)
+        |         / CAST(sum_gap_s AS DOUBLE)
+        |         / CAST(sum_gap_s AS DOUBLE)
+        |         * CAST(n_gaps AS DOUBLE) AS cv2
+        |FROM m WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin,
     "ev_forecast_naive" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -1622,7 +1622,49 @@ object ExtraOps {
       .orderBy(col("rank"))
   }
 
+  /** Spearman rank correlation between two per-part metrics (total
+    * quantity vs total revenue) — the robust complement to
+    * [[correlation]]: Pearson on the RANKS, insensitive to the heavy
+    * price tail. Both metrics are exact decimals; ranks come from
+    * row_number over (metric, key) so ties collapse deterministically to
+    * key order on both engines (documented tie policy — the averaged-
+    * rank variant would force float ranks into the exact pipeline).
+    * Σd² and n(n²−1) are exact 64-bit integers (n parts ≈ 2·10⁵·SF →
+    * n³ ≈ 8·10¹⁵ even at SF=10); ρ = 1 − 6Σd²/(n(n²−1)) is the single
+    * final double expression. The Spearman-footrule Σ|d| rides along as
+    * a second exact distance.
+    *
+    * Scale shape: the rank windows are global total orders, but they run
+    * over the part-level AGGREGATE (dimension cardinality, shuffled as
+    * two decimals per part), not over lineitem; at 100 TB the same plan
+    * holds because the windowed frame stays ~10⁶ rows while the fact
+    * scan does all the heavy lifting in a partial-aggregated groupBy.
+    */
+  def spearman(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(19, 0))).as("qty"),
+        sum((col("l_extendedprice").cast(DecimalType(19, 2)) * lit(100))
+          .cast(DecimalType(19, 0))).as("cents"))
+    val wq = Window.orderBy(col("qty"), col("l_partkey"))
+    val wr = Window.orderBy(col("cents"), col("l_partkey"))
+    per
+      .withColumn("rq", row_number().over(wq).cast("long"))
+      .withColumn("rr", row_number().over(wr).cast("long"))
+      .withColumn("dd", (col("rq") - col("rr")) * (col("rq") - col("rr")))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("dd")).as("sum_d2"),
+        sum(abs(col("rq") - col("rr"))).as("footrule"))
+      .withColumn("rho",
+        lit(1.0) - (lit(6L) * col("sum_d2")).cast("double")
+          / (col("n_parts") * (col("n_parts") * col("n_parts") - 1))
+            .cast("double"))
+      .select(col("n_parts"), col("sum_d2"), col("footrule"), col("rho"))
+      .orderBy(col("n_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_spearman" -> spearman,
     "x_topn_share" -> topnShare,
     "x_lift_curve" -> liftCurve,
     "x_rfm" -> rfm,
@@ -1685,6 +1727,26 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_spearman" ->
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(19,0))) AS qty,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100
+        |                  AS DECIMAL(19,0))) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY qty, l_partkey) AS BIGINT) AS rq,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cents, l_partkey) AS BIGINT) AS rr
+        |  FROM p),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |         CAST(SUM((rq - rr) * (rq - rr)) AS BIGINT) AS sum_d2,
+        |         CAST(SUM(ABS(rq - rr)) AS BIGINT) AS footrule
+        |  FROM r)
+        |SELECT n_parts, sum_d2, footrule,
+        |       1.0 - CAST(6 * sum_d2 AS DOUBLE)
+        |         / CAST(n_parts * (n_parts * n_parts - 1) AS DOUBLE) AS rho
+        |FROM m ORDER BY n_parts""".stripMargin,
     "x_topn_share" ->
       """WITH p AS (
         |  SELECT l_partkey,

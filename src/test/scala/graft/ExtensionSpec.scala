@@ -1108,4 +1108,53 @@ class ExtensionSpec extends AnyFunSuite {
       assert(rrfs == rrfs.sorted.reverse, "fused list must be rrf-descending")
     }
   }
+
+  test("streaks: islands conserve active days and bound each other") {
+    val out = ext.EventOps.streaks(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (act, ns, lng) = (r.getAs[Long]("n_active_days"),
+        r.getAs[Long]("n_streaks"), r.getAs[Long]("longest_streak"))
+      assert(ns >= 1 && lng >= 1 && act >= ns,
+        s"every streak holds >=1 day: $r")
+      assert(lng <= act - ns + 1,
+        s"longest streak bounded by days minus other islands: $r")
+      assert(r.getAs[java.sql.Date]("longest_start") != null)
+    }
+    // conservation: summed active days == |distinct (user, day)| corpus-wide
+    val totalDays = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(out.map(_.getAs[Long]("n_active_days")).sum == totalDays)
+  }
+
+  test("gap regularity: CV^2 is nonnegative and Cauchy-Schwarz holds") {
+    val out = ext.EventOps.gapRegularity(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, sg, sg2) = (r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("sum_gap_s"), r.getAs[Long]("sum_gap_sq"))
+      assert(n >= 5, "evidence floor filters out thin users")
+      // Cauchy-Schwarz: n * sum(g^2) >= (sum g)^2 <=> variance >= 0
+      assert(n * sg2 >= sg * sg, s"variance numerator went negative: $r")
+      assert(r.getAs[Double]("cv2") >= 0.0)
+      assert(r.getAs[Double]("mean_gap_s") > 0.0,
+        "events carry distinct timestamps, so mean gap is positive")
+    }
+  }
+
+  test("spearman: rho is a bounded rank statistic with exact distances") {
+    val row = ops.ExtraOps.spearman(spark, sf).collect().head
+    val (n, d2, foot) = (row.getAs[Long]("n_parts"),
+      row.getAs[Long]("sum_d2"), row.getAs[Long]("footrule"))
+    val rho = row.getAs[Double]("rho")
+    assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+    assert(n == graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count())
+    // Cauchy-Schwarz between the L1 and L2 rank distances
+    assert(foot.toDouble * foot <= n.toDouble * d2,
+      s"footrule^2 must be <= n * sum_d2: $row")
+    // both rank columns are permutations of 1..n, so sum(d) == 0 and
+    // sum_d2 has the same parity as footrule (d and d^2 share parity)
+    assert(((d2 - foot) & 1L) == 0L, "sum d^2 and sum |d| must share parity")
+  }
 }
