@@ -26,6 +26,7 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
         "st_transitions_stream" -> streaming.StreamOps.transitionsStream,
+        "st_regularity_stream" -> streaming.StreamOps.regularityStream,
         "st_topk_stream" -> streaming.StreamOps.topkStream,
         "st_interval_join" -> streaming.StreamOps.intervalJoinStream,
         "st_incremental_probe" -> streaming.StreamOps.incrementalProbeStream,
@@ -62,6 +63,7 @@ object SparkEntry {
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),
         "st_transitions_stream" -> ext.EventOps.oracle("ev_path_transitions"),
+        "st_regularity_stream" -> ext.EventOps.oracle("ev_gap_regularity"),
         "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,
         "st_interval_join" ->
           """SELECT c.user_id AS user_id, c.event_id AS click_id,

@@ -938,6 +938,55 @@ object Similarity {
       .withColumn("centroid_q", col("q_sum").cast("double") / col("n_vec"))
       .orderBy(col("label"), col("pos"))
 
+  /** Simplified silhouette score per label over QUANTIZED vectors — the
+    * standard cluster-quality audit (how separated the label structure
+    * is in embedding space), in the centroid-based "simplified" form
+    * (point-to-centroid, not point-to-all — O(n·L), never O(n²)) and on
+    * SQUARED distances, which keeps the whole distance pipeline in exact
+    * integers: with per-label component sums S and size n, the squared
+    * distance to a centroid is Σ(q·n − S)² / n², whose numerator is an
+    * exact BIGINT (≤ (2·QSCALE·n)²·64 ≈ 10¹⁸ at n ≈ 5·10³ per label;
+    * widen to DECIMAL(38,0) beyond that). Floating point enters at one
+    * division per (vector, centroid), a min, and the fixed (b−a)/max(a,b)
+    * tree; the per-label MEAN then aggregates the 10⁻⁶-floored integer
+    * silhouettes, because a float sum across rows is summation-order-
+    * unsafe — the declared contract is "silhouette at 1e-6 precision".
+    *
+    * Scale shape: centroids are a 64·L-cell two-level agg; scoring joins
+    * each skinny (vec, pos, q) row to the BROADCAST centroid grid, so
+    * the corpus shuffles once for the per-vector rollup and nothing is
+    * ever pairwise.
+    */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val ex = quantizedWithLabel(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("iv")).as(Seq("pos", "qc")))
+    val cent = ex.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(sum(col("qc")).as("s_pos"), count(lit(1)).as("n_c"))
+    val d2 = ex.join(broadcast(cent), Seq("pos"))
+      .withColumn("t", col("qc") * col("n_c") - col("s_pos"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"), col("n_c"))
+      .agg(sum(col("t") * col("t")).as("num"))
+      .withColumn("d2",
+        col("num").cast("double") / (col("n_c") * col("n_c")).cast("double"))
+    val own = d2.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("d2").as("a2"))
+    val other = d2.filter(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("b2"))
+    own.join(other, Seq("vec_id"))
+      .withColumn("sil_fix",
+        floor((col("b2") - col("a2")) / greatest(col("a2"), col("b2"))
+          * lit(1000000L)).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sil_fix")).as("sum_sil_fix"))
+      .withColumn("mean_silhouette",
+        col("sum_sil_fix").cast("double") / col("n_vecs").cast("double")
+          / lit(1000000.0))
+      .select(col("label"), col("n_vecs"), col("sum_sil_fix"),
+        col("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
   private def quantizedWithLabel(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
@@ -1534,6 +1583,7 @@ object Similarity {
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
     "sim_label_centroids" -> labelCentroids,
+    "sim_silhouette" -> silhouette,
     "sim_vector_norms" -> vectorNorms,
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
@@ -1956,6 +2006,40 @@ object Similarity {
          |    LIMIT 1) pick
          |  WHERE r.step < 5)
          |SELECT qid, step, cid FROM rec ORDER BY qid, step""".stripMargin,
+    "sim_silhouette" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, label, i - 1 AS pos, iv[i] AS qc
+         |  FROM q, generate_series(1, 64) AS g(i)),
+         |cent AS (
+         |  SELECT label AS clabel, pos, CAST(SUM(qc) AS BIGINT) AS s_pos,
+         |         CAST(COUNT(*) AS BIGINT) AS n_c
+         |  FROM ex GROUP BY 1, 2),
+         |num AS (
+         |  SELECT e.vec_id, e.label, c.clabel, c.n_c,
+         |         CAST(SUM((e.qc * c.n_c - c.s_pos) * (e.qc * c.n_c - c.s_pos))
+         |              AS BIGINT) AS num
+         |  FROM ex e JOIN cent c USING (pos) GROUP BY 1, 2, 3, 4),
+         |dd AS (
+         |  SELECT vec_id, label, clabel,
+         |         CAST(num AS DOUBLE) / CAST(n_c * n_c AS DOUBLE) AS d2
+         |  FROM num),
+         |own AS (SELECT vec_id, label, d2 AS a2 FROM dd WHERE label = clabel),
+         |oth AS (SELECT vec_id, MIN(d2) AS b2 FROM dd WHERE label <> clabel
+         |        GROUP BY 1),
+         |per AS (
+         |  SELECT own.vec_id, own.label,
+         |         CAST(floor((b2 - a2) / greatest(a2, b2) * 1000000) AS BIGINT)
+         |           AS sil_fix
+         |  FROM own JOIN oth USING (vec_id))
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(sil_fix) AS BIGINT) AS sum_sil_fix,
+         |       CAST(SUM(sil_fix) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |         / 1000000.0 AS mean_silhouette
+         |FROM per GROUP BY 1 ORDER BY label""".stripMargin,
     "sim_label_centroids" ->
       s"""WITH q AS (
          |  SELECT label,

@@ -1663,7 +1663,55 @@ object ExtraOps {
       .orderBy(col("n_parts"))
   }
 
+  /** Kendall's τ between the same two per-part rankings as [[spearman]],
+    * over the TOP-N parts by revenue (N = 1000, deterministic cap:
+    * revenue desc then key). τ counts pairwise order agreements, so the
+    * natural distributed form is an explicit pair join — quadratic by
+    * nature, which is why the cap is part of the operator's contract
+    * rather than an optimization: N² pairs is the cost knob, and at
+    * 100 TB you pick N (head-of-distribution concordance is what the
+    * metric is used for), never the full cartesian. With row_number
+    * ranks (ties broken by key) there are no rank ties, so
+    * τ = 1 − 4·D / (n(n−1)) with D the discordant-pair count — exact
+    * integers and one final double division.
+    *
+    * Scale shape: same fact-scan rollup as [[spearman]]; the pair join
+    * runs on the CAPPED rank frame (N rows → N²/2 comparisons of four
+    * longs), independent of corpus size.
+    */
+  def kendallTau(s: SparkSession, d: String): DataFrame = {
+    val topN = 1000
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(19, 0))).as("qty"),
+        sum((col("l_extendedprice").cast(DecimalType(19, 2)) * lit(100))
+          .cast(DecimalType(19, 0))).as("cents"))
+    val top = per
+      .orderBy(desc("cents"), col("l_partkey")).limit(topN)
+    val wq = Window.orderBy(col("qty"), col("l_partkey"))
+    val wr = Window.orderBy(col("cents"), col("l_partkey"))
+    val ranked = top
+      .withColumn("rq", row_number().over(wq).cast("long"))
+      .withColumn("rr", row_number().over(wr).cast("long"))
+      .select(col("rq"), col("rr"))
+    val a = ranked.select(col("rq").as("rq1"), col("rr").as("rr1"))
+    val b = ranked.select(col("rq").as("rq2"), col("rr").as("rr2"))
+    val disc = a.join(b, col("rq1") < col("rq2") && col("rr1") > col("rr2"))
+      .agg(count(lit(1)).as("discordant"))
+    val n = ranked.agg(count(lit(1)).as("n_top"))
+    n.crossJoin(broadcast(disc))
+      .withColumn("n_pairs", expr("n_top * (n_top - 1) DIV 2"))
+      .withColumn("concordant", col("n_pairs") - col("discordant"))
+      .withColumn("tau",
+        lit(1.0) - (lit(4L) * col("discordant")).cast("double")
+          / (col("n_top") * (col("n_top") - 1)).cast("double"))
+      .select(col("n_top"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("tau"))
+      .orderBy(col("n_top"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kendall_tau" -> kendallTau,
     "x_spearman" -> spearman,
     "x_topn_share" -> topnShare,
     "x_lift_curve" -> liftCurve,
@@ -1727,6 +1775,30 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_kendall_tau" ->
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_quantity AS DECIMAL(19,0))) AS qty,
+        |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100
+        |                  AS DECIMAL(19,0))) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |top AS (
+        |  SELECT * FROM p ORDER BY cents DESC, l_partkey LIMIT 1000),
+        |r AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY qty, l_partkey) AS BIGINT) AS rq,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cents, l_partkey) AS BIGINT) AS rr
+        |  FROM top),
+        |d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS discordant
+        |  FROM r a JOIN r b ON a.rq < b.rq AND a.rr > b.rr),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top FROM r)
+        |SELECT n_top,
+        |       CAST(n_top * (n_top - 1) // 2 AS BIGINT) AS n_pairs,
+        |       CAST(n_top * (n_top - 1) // 2 - discordant AS BIGINT) AS concordant,
+        |       discordant,
+        |       1.0 - CAST(4 * discordant AS DOUBLE)
+        |         / CAST(n_top * (n_top - 1) AS DOUBLE) AS tau
+        |FROM n CROSS JOIN d ORDER BY n_top""".stripMargin,
     "x_spearman" ->
       """WITH p AS (
         |  SELECT l_partkey,

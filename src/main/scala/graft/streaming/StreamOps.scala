@@ -737,6 +737,76 @@ object StreamOps {
       }
   }
 
+  /** Streaming inter-event gaps — the incremental feed of
+    * [[graft.ext.EventOps.gapRegularity]]'s bot-detection power sums:
+    * per-user state is only the LAST event ([[transitions]]'s O(1)
+    * shape); every arrival emits its whole-second gap to the previous
+    * event and advances the state. Gaps are order-independent once
+    * emitted (the power sums Σg, Σg² commute), which is exactly why this
+    * regularity metric streams cleanly while rank statistics don't —
+    * each emitted gap is final, so the drained stream reproduces the
+    * batch gap multiset and therefore the batch CV² bit-for-bit.
+    */
+  case class GapOut(user_id: Long, gap_s: Long)
+
+  def gapsStateful(events: Dataset[Ev]): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, GapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
+          val out = Seq.newBuilder[GapOut]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            val us = usOf(e)
+            prev.foreach(p => out += GapOut(userId, (us - p.lastUs) / 1000000L))
+            prev = Some(TransState(us, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Declared streaming gap-regularity query: drain [[gapsStateful]]
+    * with AvailableNow, then fold the drained gap table into the same
+    * exact-integer power sums and single final CV² division as the batch
+    * twin — aggregation on the serving side because CV² needs the final
+    * counts. Oracle: the batch `ev_gap_regularity` SQL verbatim.
+    */
+  def regularityStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    import ss.implicits._
+    val evs = eventsStream(ss, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    val q = gapsStateful(evs)
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_regularity")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_regularity")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("sum_gap_sq"))
+      .filter(col("n_gaps") >= 5)
+      .withColumn("mean_gap_s",
+        col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("cv2",
+        (col("n_gaps") * col("sum_gap_sq")
+          - col("sum_gap_s") * col("sum_gap_s")).cast("double")
+          / (col("n_gaps") - 1).cast("double")
+          / col("sum_gap_s").cast("double")
+          / col("sum_gap_s").cast("double")
+          * col("n_gaps").cast("double"))
+      .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+        col("sum_gap_sq"), col("mean_gap_s"), col("cv2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Declared streaming transition-matrix query: drain [[transitions]]
     * with AvailableNow, then roll the drained pair table up to the
     * (from, to, n, share) matrix — aggregation on the SERVING side, the

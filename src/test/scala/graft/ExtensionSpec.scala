@@ -1142,6 +1142,35 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("kendall tau: pair counts partition and tau agrees with spearman's sign") {
+    val row = ops.ExtraOps.kendallTau(spark, sf).collect().head
+    val (n, pairs, conc, disc) = (row.getAs[Long]("n_top"),
+      row.getAs[Long]("n_pairs"), row.getAs[Long]("concordant"),
+      row.getAs[Long]("discordant"))
+    assert(n >= 2 && pairs == n * (n - 1) / 2)
+    assert(conc + disc == pairs, "no rank ties, so every pair is C or D")
+    val tau = row.getAs[Double]("tau")
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(tau == 1.0 - 4.0 * disc / (n.toDouble * (n - 1)),
+      "tau must be the exact identity over the integer counts")
+  }
+
+  test("silhouette: per-label means are bounded and conserve the corpus") {
+    val out = ext.Similarity.silhouette(spark, sf).collect()
+    assert(out.length == 10, "one row per label")
+    out.foreach { r =>
+      val m = r.getAs[Double]("mean_silhouette")
+      assert(m >= -1.0 && m <= 1.0, s"silhouette out of range: $r")
+      assert(r.getAs[Long]("n_vecs") >= 1)
+      // floored micro-units reassemble the mean exactly
+      assert(m == r.getAs[Long]("sum_sil_fix").toDouble
+        / r.getAs[Long]("n_vecs") / 1000000.0)
+    }
+    assert(out.map(_.getAs[Long]("n_vecs")).sum
+      == graft.Tables.embeddings(spark, sf).count(),
+      "every vector scores against its own label exactly once")
+  }
+
   test("spearman: rho is a bounded rank statistic with exact distances") {
     val row = ops.ExtraOps.spearman(spark, sf).collect().head
     val (n, d2, foot) = (row.getAs[Long]("n_parts"),

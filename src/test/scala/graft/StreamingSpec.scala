@@ -369,6 +369,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gaps bridge micro-batches and reproduce the batch multiset") {
+    import spark.implicits._
+    def tev(id: Long, t: String, user: Long = 1): Ev =
+      Ev(id, Timestamp.valueOf(t), user, "view", 1.0)
+    val in = MemoryStream[Ev](spark)
+    val q = graft.streaming.StreamOps.gapsStateful(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_gaps_bridge").start()
+    try {
+      // batch 1: two events 90 s apart emit ONE gap; a lone user none
+      in.addData(tev(1, "2024-01-01 12:00:00"),
+        tev(2, "2024-01-01 12:01:30"),
+        tev(3, "2024-01-01 12:07:00", user = 2))
+      q.processAllAvailable()
+      val t1 = spark.table("graft_gaps_bridge")
+        .as[graft.streaming.StreamOps.GapOut].collect()
+      assert(t1.toSet == Set(graft.streaming.StreamOps.GapOut(1, 90L)))
+      // batch 2: CROSS-BATCH gaps come from state — user 1 from 12:01:30
+      // (+150 s), user 2 from 12:07:00 (+60 s); out-of-order inside the
+      // batch folds by ts, so user 3's pair yields exactly one 30 s gap
+      in.addData(tev(4, "2024-01-01 12:04:00"),
+        tev(5, "2024-01-01 12:08:00", user = 2),
+        tev(7, "2024-01-01 13:00:30", user = 3),
+        tev(6, "2024-01-01 13:00:00", user = 3))
+      q.processAllAvailable()
+      val t2 = spark.table("graft_gaps_bridge")
+        .as[graft.streaming.StreamOps.GapOut].collect()
+      assert(t2.toSet == Set(
+        graft.streaming.StreamOps.GapOut(1, 90L),
+        graft.streaming.StreamOps.GapOut(1, 150L),
+        graft.streaming.StreamOps.GapOut(2, 60L),
+        graft.streaming.StreamOps.GapOut(3, 30L)))
+    } finally q.stop()
+  }
+
   test("event-time timeout finalizes the open session once the watermark passes") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
