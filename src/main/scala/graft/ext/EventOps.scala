@@ -4,6 +4,7 @@ import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series / event-stream operators over the `events` table (batch
   * analogs of the Structured Streaming surface in [[graft.streaming]]):
@@ -829,7 +830,69 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  /** CUPED variance-reduced experiment readout — the industry-standard
+    * pre-experiment covariate adjustment: the raw treatment/control mean
+    * difference of second-half user value is debiased by
+    * θ·(covariate difference), with the covariate x each user's FIRST-
+    * half value and θ = Cov(x,y)/Var(x) pooled over all users. Both
+    * halves split at the exact midpoint microsecond of the observed
+    * window (`DIV` truncation, identical cross-engine); arms are the
+    * deterministic `user_id % 2` assignment of [[abtestMetrics]]. Per-
+    * user values are exact 10⁻⁴-scaled decimals, every power sum and
+    * both cancellation-prone differences (nΣxy − ΣxΣy, nΣx² − (Σx)²)
+    * stay in exact decimal arithmetic ([[graft.ops.ExtraOps.correlation]]
+    * discipline), and floating point enters only in the final
+    * θ / mean-difference expression tree.
+    *
+    * Scale shape: one partial-aggregated scan to per-user (x, y) pairs,
+    * then two constant-width rollups (5 pooled power sums; 3 decimals
+    * per arm) — the wire cost is per-user, never per-event, and the
+    * final row assembles from three broadcast 1-row frames.
+    */
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .withColumn("mid", expr("mn + (mx - mn) DIV 2"))
+    val zero = expr("CAST(0 AS DECIMAL(19,0))")
+    val vfix = expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0))")
+    val per = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(sum(when(unix_micros(col("ts")) < col("mid"), vfix).otherwise(zero))
+          .cast(DecimalType(19, 0)).as("x"),
+        sum(when(unix_micros(col("ts")) >= col("mid"), vfix).otherwise(zero))
+          .cast(DecimalType(19, 0)).as("y"))
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    val pool = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val arms = per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("an"), sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    val c = arms.filter(col("arm") === "control")
+      .select(col("an").as("n_c"), col("ax").as("x_c"), col("ay").as("y_c"))
+    val t = arms.filter(col("arm") === "treatment")
+      .select(col("an").as("n_t"), col("ax").as("x_t"), col("ay").as("y_t"))
+    c.crossJoin(broadcast(t)).crossJoin(broadcast(pool))
+      .withColumn("theta",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("raw_diff",
+        (col("y_t").cast("double") / col("n_t").cast("double")
+          - col("y_c").cast("double") / col("n_c").cast("double"))
+          / lit(10000.0))
+      .withColumn("x_diff",
+        (col("x_t").cast("double") / col("n_t").cast("double")
+          - col("x_c").cast("double") / col("n_c").cast("double"))
+          / lit(10000.0))
+      .withColumn("cuped_diff", col("raw_diff") - col("theta") * col("x_diff"))
+      .select(col("n_c"), col("n_t"), col("theta"), col("raw_diff"),
+        col("x_diff"), col("cuped_diff"))
+      .orderBy(col("n_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cuped" -> cuped,
     "ev_streaks" -> streaks,
     "ev_gap_regularity" -> gapRegularity,
     "ev_dispersion" -> dispersion,
@@ -859,6 +922,40 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_cuped" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < mn + (mx - mn) // 2
+        |      THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(19,0)) AS x,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) >= mn + (mx - mn) // 2
+        |      THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(19,0)) AS y
+        |  FROM events CROSS JOIN b GROUP BY 1),
+        |pool AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM per),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_c, SUM(x) AS x_c, SUM(y) AS y_c
+        |  FROM per WHERE user_id % 2 = 0),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_t, SUM(x) AS x_t, SUM(y) AS y_t
+        |  FROM per WHERE user_id % 2 <> 0),
+        |f AS (
+        |  SELECT n_c, n_t,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |    (CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 10000.0 AS raw_diff,
+        |    (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 10000.0 AS x_diff
+        |  FROM c CROSS JOIN t CROSS JOIN pool)
+        |SELECT n_c, n_t, theta, raw_diff, x_diff,
+        |       raw_diff - theta * x_diff AS cuped_diff
+        |FROM f ORDER BY n_c""".stripMargin,
     "ev_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -600,7 +600,49 @@ object QcOps {
       .orderBy(col("event_type"))
   }
 
+  /** Total-variation distance between each source's language distribution
+    * and the corpus-wide distribution — the log-free drift gate that
+    * complements [[chiSquareDrift]]: TV = ½ Σ|p_s − p| is the tightest
+    * bound on how much ANY downstream proportion can differ between the
+    * source and the corpus, and unlike PSI/KL it needs no logarithm, so
+    * the whole statistic is exact integer arithmetic — the per-cell
+    * deviation |n_sl·N − N_s·n_l| sums to a BIGINT and the single final
+    * division by 2·N_s·N is the only float (magnitudes ≤ corpus², so
+    * widen to DECIMAL(38,0) past ~10⁹ docs). Sources with a language
+    * they never saw still contribute that cell via the dense
+    * source × language grid (the classic missing-category drift bug).
+    *
+    * Scale shape: one scan to the (source, lang) contingency table —
+    * cells are |sources|·|langs|, dimension-sized — then all arithmetic
+    * on the broadcast-joined grid; nothing data-proportional shuffles
+    * after the first rollup.
+    */
+  def tvDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_sl"))
+    val bySource = cells.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
+    val total = cells.agg(sum(col("n_sl")).as("n_tot"))
+    val grid = bySource.crossJoin(broadcast(byLang))
+      .join(cells, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("n_sl"))
+      .crossJoin(broadcast(total))
+    grid
+      .withColumn("dev", abs(col("n_sl") * col("n_tot") - col("n_s") * col("n_l")))
+      .groupBy(col("source"), col("n_s"), col("n_tot"))
+      .agg(sum(col("dev")).as("sum_dev"))
+      .withColumn("tv",
+        col("sum_dev").cast("double")
+          / (lit(2L) * col("n_s") * col("n_tot")).cast("double"))
+      .withColumn("drifted", col("tv") > 0.05)
+      .select(col("source"), col("n_s").as("n_docs"), col("sum_dev"),
+        col("tv"), col("drifted"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_tv_drift" -> tvDrift,
     "qc_referential" -> referentialAudit,
     "qc_freshness" -> freshness,
     "qc_sequence_gaps" -> sequenceGaps,
@@ -651,6 +693,30 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc_tv_drift" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+        |  FROM documents GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s
+        |       FROM cells GROUP BY 1),
+        |bl AS (SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_sl) AS BIGINT) AS n_tot FROM cells),
+        |grid AS (
+        |  SELECT bs.source, bs.n_s, bl.n_l, n_tot,
+        |         COALESCE(c.n_sl, 0) AS n_sl
+        |  FROM bs CROSS JOIN bl
+        |  LEFT JOIN cells c ON c.source = bs.source AND c.lang = bl.lang
+        |  CROSS JOIN tot),
+        |agg AS (
+        |  SELECT source, n_s, n_tot,
+        |         CAST(SUM(ABS(n_sl * n_tot - n_s * n_l)) AS BIGINT) AS sum_dev
+        |  FROM grid GROUP BY 1, 2, 3)
+        |SELECT source, n_s AS n_docs, sum_dev,
+        |       CAST(sum_dev AS DOUBLE) / CAST(2 * n_s * n_tot AS DOUBLE) AS tv,
+        |       CAST(sum_dev AS DOUBLE) / CAST(2 * n_s * n_tot AS DOUBLE) > 0.05
+        |         AS drifted
+        |FROM agg ORDER BY source""".stripMargin,
     "qc_cardinality_profile" -> {
       import graft.ext.{Hashing, HyperLogLog}
       val m = HyperLogLog.M

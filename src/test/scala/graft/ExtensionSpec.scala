@@ -1171,6 +1171,32 @@ class ExtensionSpec extends AnyFunSuite {
       "every vector scores against its own label exactly once")
   }
 
+  test("cuped: adjusted diff is the exact identity and arms partition users") {
+    val row = ext.EventOps.cuped(spark, sf).collect().head
+    val (nc, nt) = (row.getAs[Long]("n_c"), row.getAs[Long]("n_t"))
+    assert(nc + nt == graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count(),
+      "control + treatment must partition the user base")
+    val theta = row.getAs[Double]("theta")
+    assert(!theta.isNaN && !theta.isInfinite)
+    assert(row.getAs[Double]("cuped_diff")
+      == row.getAs[Double]("raw_diff") - theta * row.getAs[Double]("x_diff"),
+      "cuped_diff must replay the debias identity bit-for-bit")
+  }
+
+  test("tv drift: distances are bounded and the grid conserves the corpus") {
+    val out = ops.QcOps.tvDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tv = r.getAs[Double]("tv")
+      assert(tv >= 0.0 && tv <= 1.0, s"TV out of [0,1]: $r")
+      assert(r.getAs[Boolean]("drifted") == (tv > 0.05))
+    }
+    assert(out.map(_.getAs[Long]("n_docs")).sum
+      == graft.Tables.documents(spark, sf).count(),
+      "per-source doc counts must sum to the corpus")
+  }
+
   test("spearman: rho is a bounded rank statistic with exact distances") {
     val row = ops.ExtraOps.spearman(spark, sf).collect().head
     val (n, d2, foot) = (row.getAs[Long]("n_parts"),
