@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
   * table (64-dim float vectors).
@@ -987,6 +988,44 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Inter-centroid separation matrix — [[silhouette]]'s between-cluster
+    * complement: squared distance between every label-centroid pair, in
+    * exact arithmetic by clearing denominators: with component sums S
+    * and sizes n, ‖c_j − c_k‖² = Σ(S_j·n_k − S_k·n_j)² / (n_j·n_k)².
+    * The cross terms reach (QSCALE·n²)² ≈ 10²⁰ at 500 vectors/label, so
+    * the products run in DECIMAL(38,0) (exact to ~10³⁸ — far past any
+    * real label size) and the single final division is the only float.
+    * Read with [[silhouette]]: well-separated labels ⇒ large minimum
+    * off-diagonal here and positive silhouettes there.
+    *
+    * Scale shape: centroids are the same 64·L-cell rollup as
+    * [[labelCentroids]]; the pair join is L²/2 rows of 64-term sums —
+    * label-count-sized, independent of corpus size.
+    */
+  def centroidSeparation(s: SparkSession, d: String): DataFrame = {
+    val cent = quantizedWithLabel(s, d)
+      .select(col("label"), posexplode(col("iv")).as(Seq("pos", "qc")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qc")).cast(DecimalType(19, 0)).as("s_pos"),
+        count(lit(1)).cast(DecimalType(19, 0)).as("n"))
+    val a = cent.select(col("label").as("label_a"), col("pos"),
+      col("s_pos").as("sa"), col("n").as("na"))
+    val b = cent.select(col("label").as("label_b"), col("pos"),
+      col("s_pos").as("sb"), col("n").as("nb"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .withColumn("t", col("sa") * col("nb") - col("sb") * col("na"))
+      .groupBy(col("label_a"), col("label_b"), col("na"), col("nb"))
+      .agg(sum(col("t") * col("t")).as("num"))
+      .withColumn("dist2",
+        col("num").cast("double")
+          / ((col("na") * col("nb")) * (col("na") * col("nb"))).cast("double"))
+      .select(col("label_a"), col("label_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("dist2"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   private def quantizedWithLabel(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
@@ -1584,6 +1623,7 @@ object Similarity {
     "sim_mmr" -> mmrRerank,
     "sim_label_centroids" -> labelCentroids,
     "sim_silhouette" -> silhouette,
+    "sim_centroid_separation" -> centroidSeparation,
     "sim_vector_norms" -> vectorNorms,
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
@@ -2006,6 +2046,29 @@ object Similarity {
          |    LIMIT 1) pick
          |  WHERE r.step < 5)
          |SELECT qid, step, cid FROM rec ORDER BY qid, step""".stripMargin,
+    "sim_centroid_separation" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, label, i - 1 AS pos, iv[i] AS qc
+         |  FROM q, generate_series(1, 64) AS g(i)),
+         |cent AS (
+         |  SELECT label, pos, CAST(SUM(qc) AS HUGEINT) AS s_pos,
+         |         CAST(COUNT(*) AS HUGEINT) AS n
+         |  FROM ex GROUP BY 1, 2),
+         |pair AS (
+         |  SELECT a.label AS label_a, b.label AS label_b, a.n AS na, b.n AS nb,
+         |         SUM((a.s_pos * b.n - b.s_pos * a.n)
+         |             * (a.s_pos * b.n - b.s_pos * a.n)) AS num
+         |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT label_a, label_b,
+         |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |       CAST(num AS DOUBLE)
+         |         / CAST((na * nb) * (na * nb) AS DOUBLE) AS dist2
+         |FROM pair ORDER BY label_a, label_b""".stripMargin,
     "sim_silhouette" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

@@ -754,6 +754,55 @@ object TextOps {
       .orderBy(desc("freq"), col("token"))
       .limit(100)
 
+  /** Per-source vocabulary drift as an exact total-variation distance —
+    * the token-level analog of [[graft.ops.QcOps.tvDrift]], over a
+    * support (the vocabulary) that is far too large to densify: the
+    * missing-token mass is folded in CLOSED FORM instead. For tokens
+    * the source does contain, the cell deviation |n_st·N − N_s·n_t|
+    * sums directly; every token the source has never seen contributes
+    * exactly N_s·n_t, and those sum to N_s·(N − T_s) where T_s is the
+    * corpus-wide count of the tokens present in s — one subtraction
+    * replaces the whole absent tail. So the statistic is exact integer
+    * arithmetic over only the PRESENT (source, token) cells, and the
+    * single final division by 2·N_s·N is the only float. This is the
+    * shape that survives a 10⁸-term vocabulary; a dense grid does not.
+    *
+    * Scale shape: one tokenize scan to (source, token) counts (map-side
+    * combinable), a vocab-sized token rollup joined back by token, and
+    * a per-source fold of three integers — nothing dense, nothing
+    * pairwise, no driver collection.
+    */
+  def vocabDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val nst = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_st"))
+    val nt = nst.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
+    val tot = nt.agg(sum(col("n_t")).as("n"))
+    val perSource = nst.join(nt, Seq("token"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_st")).as("n_s"),
+        count(lit(1)).as("vocab_s"),
+        sum(col("n_t")).as("t_s"))
+    val dev = nst.join(nt, Seq("token"))
+      .join(perSource.select(col("source"), col("n_s")), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(sum(abs(col("n_st") * col("n") - col("n_s") * col("n_t")))
+        .as("sum_dev_present"))
+    perSource.join(dev, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("sum_dev",
+        col("sum_dev_present") + col("n_s") * (col("n") - col("t_s")))
+      .withColumn("tv",
+        col("sum_dev").cast("double")
+          / (lit(2L) * col("n_s") * col("n")).cast("double"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("vocab_s"),
+        col("sum_dev"), col("tv"))
+      .orderBy(col("source"))
+  }
+
   /** Flesch readability scoring — the classic curation-side quality
     * signal (C4/Gopher-style filters bucket on exactly these ratios):
     * words are letter runs, sentences are terminal-punctuation runs
@@ -1978,6 +2027,7 @@ object TextOps {
     "tx_zipf_fit" -> zipfFit,
     "tx_novelty" -> novelty,
     "tx_readability" -> readability,
+    "tx_vocab_drift" -> vocabDrift,
     "tx_oov_rate" -> oovRate,
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
@@ -2499,6 +2549,38 @@ object TextOps {
           |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
           |WHERE len(token) > 0
           |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+      "tx_vocab_drift" ->
+        """WITH toks AS (
+          |  SELECT source, token FROM (
+          |    SELECT source,
+          |           unnest(string_split(lower(text), ' ')) AS token
+          |    FROM documents)
+          |  WHERE len(token) > 0),
+          |nst AS (
+          |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_st
+          |  FROM toks GROUP BY 1, 2),
+          |nt AS (SELECT token, CAST(SUM(n_st) AS BIGINT) AS n_t
+          |       FROM nst GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM nt),
+          |per AS (
+          |  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s,
+          |         CAST(COUNT(*) AS BIGINT) AS vocab_s,
+          |         CAST(SUM(n_t) AS BIGINT) AS t_s
+          |  FROM nst JOIN nt USING (token) GROUP BY 1),
+          |dev AS (
+          |  SELECT nst.source,
+          |         CAST(SUM(ABS(n_st * n - p.n_s * n_t)) AS BIGINT)
+          |           AS sum_dev_present
+          |  FROM nst JOIN nt USING (token)
+          |  JOIN per p ON p.source = nst.source
+          |  CROSS JOIN tot GROUP BY 1)
+          |SELECT p.source, p.n_s AS n_tokens, p.vocab_s,
+          |       CAST(sum_dev_present + p.n_s * (n - p.t_s) AS BIGINT)
+          |         AS sum_dev,
+          |       CAST(sum_dev_present + p.n_s * (n - p.t_s) AS DOUBLE)
+          |         / CAST(2 * p.n_s * n AS DOUBLE) AS tv
+          |FROM per p JOIN dev ON dev.source = p.source
+          |CROSS JOIN tot ORDER BY p.source""".stripMargin,
       "tx_readability" ->
         """WITH c AS (
           |  SELECT doc_id,

@@ -1197,6 +1197,41 @@ class ExtensionSpec extends AnyFunSuite {
       "per-source doc counts must sum to the corpus")
   }
 
+  test("centroid separation: full upper triangle of positive distances") {
+    val out = ext.Similarity.centroidSeparation(spark, sf).collect()
+    assert(out.length == 10 * 9 / 2, "one row per unordered label pair")
+    out.foreach { r =>
+      assert(r.getAs[Int]("label_a") < r.getAs[Int]("label_b"))
+      assert(r.getAs[Double]("dist2") > 0.0,
+        s"distinct label centroids must be separated: $r")
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    // sizes agree with the embeddings table's label histogram
+    val sizes = graft.Tables.embeddings(spark, sf)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_a") == sizes(r.getAs[Int]("label_a")))
+      assert(r.getAs[Long]("n_b") == sizes(r.getAs[Int]("label_b")))
+    }
+  }
+
+  test("vocab drift: sparse closed-form TV is bounded and conserves tokens") {
+    val out = ext.TextOps.vocabDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tv = r.getAs[Double]("tv")
+      assert(tv >= 0.0 && tv <= 1.0, s"TV out of [0,1]: $r")
+      assert(r.getAs[Long]("vocab_s") >= 1)
+      assert(r.getAs[Long]("sum_dev") >= 0)
+    }
+    val corpusTokens = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0).count()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == corpusTokens,
+      "per-source token counts must sum to the corpus")
+  }
+
   test("spearman: rho is a bounded rank statistic with exact distances") {
     val row = ops.ExtraOps.spearman(spark, sf).collect().head
     val (n, d2, foot) = (row.getAs[Long]("n_parts"),
