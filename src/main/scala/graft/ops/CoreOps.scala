@@ -180,6 +180,29 @@ object CoreOps {
     s.read.schema(schema).json(out).orderBy(col("o_orderkey"))
   }
 
+  /** S2+/S3+ — ORC round-trip with a pushed predicate: the third file
+    * format (after parquet and JSON) through the same write→read→verify
+    * drive. ORC carries its own stripe-level min/max indexes, so the
+    * read-back filter (`l_quantity >= 25`) pushes into the ORC reader
+    * exactly like parquet row-group pruning — `explain` shows
+    * PushedFilters on the OrcScan, and SourceSinkSpec pins it. The
+    * oracle runs the equivalent SELECT against the ORIGINAL parquet,
+    * which verifies losslessness of the round-trip, not just the read.
+    * At 100 TB format choice is a scan-cost decision; the operator
+    * surface is identical — that interchangeability is the point.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc_rt").toString
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("l_quantity") >= 25)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
     * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
     * as the nested-SELECT spelling (the syntax is sugar over the same
@@ -254,6 +277,7 @@ object CoreOps {
     "s8_schema_evolution" -> schemaEvolution,
     "s5_pipe_sql" -> pipeSql,
     "s2_json_roundtrip" -> jsonRoundtrip,
+    "s9_orc_roundtrip" -> orcRoundtrip,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -269,6 +293,11 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s9_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey <= 1000 AND l_quantity >= 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "s8_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
         |            ELSE 'pre_evolution' END AS status,

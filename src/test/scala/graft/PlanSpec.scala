@@ -46,6 +46,13 @@ class PlanSpec extends AnyFunSuite {
       "filter must be pushed into the scan:\n" + p.take(2000))
   }
 
+  test("ORC read-back pushes the quantity predicate into the ORC scan") {
+    val df = ops.CoreOps.orcRoundtrip(TestSpark.spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      "ORC scan must carry the pushed quantity filter:\n" + p.take(2000))
+  }
+
   test("flagship prunes lineitem columns at the scan (ReadSchema)") {
     val p = plan("a8_flagship")
     // lineitem has 11 columns; the flagship needs 4 — the scan schema
