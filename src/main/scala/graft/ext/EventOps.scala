@@ -891,7 +891,60 @@ object EventOps {
       .orderBy(col("n_c"))
   }
 
+  /** Exact one-way ANOVA of daily revenue across day-of-week groups —
+    * "is there a weekly seasonality EFFECT, and how much variance does
+    * it explain" (η² and the F statistic), computed without a single
+    * intermediate float: the group terms Σ S_g²/n_g have mixed
+    * denominators, so both ANOVA quotients are cleared by N·Πn_g —
+    * every group's term becomes (Πn/n_g)·S_g², an exact integer because
+    * n_g divides Πn. Πn itself is an exact BIGINT product aggregate
+    * (`aggregate(collect_list, 1, *)` — multiplication commutes, so
+    * collect order can't matter; DuckDB's product() is exact below
+    * 2⁵³). Day-of-week uses weekday()/isodow−1 (Monday = 0) — the one
+    * dow convention Spark and DuckDB share. η² and F are two fixed
+    * double expressions over the exact integer numerator/denominator.
+    *
+    * Scale shape: one scan to the calendar-bounded daily rollup; all
+    * ANOVA arithmetic runs on ≤ 7 group rows and three broadcast 1-row
+    * frames. The statistic costs one partial-aggregated pass at any
+    * corpus size.
+    */
+  def dowAnova(s: SparkSession, d: String): DataFrame = {
+    val vfix = expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0))")
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(vfix).cast(DecimalType(19, 0)).as("v"))
+      .withColumn("dow", expr("weekday(day)").cast("long"))
+    val groups = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).cast(DecimalType(19, 0)).as("s_g"))
+    val piN = groups.agg(
+      expr("aggregate(collect_list(n_g), CAST(1 AS BIGINT), (acc, x) -> acc * x)")
+        .as("pi_n"),
+      count(lit(1)).as("k"))
+    val tot = daily.agg(count(lit(1)).as("n"),
+      sum(col("v")).cast(DecimalType(19, 0)).as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val terms = groups.crossJoin(broadcast(piN))
+      .withColumn("term", expr("CAST(pi_n DIV n_g AS DECIMAL(19,0))") * col("s_g") * col("s_g"))
+      .agg(sum(col("term")).as("sum_terms"))
+    terms.crossJoin(broadcast(piN)).crossJoin(broadcast(tot))
+      .withColumn("num",
+        col("n") * col("sum_terms") - col("pi_n") * col("sv") * col("sv"))
+      .withColumn("den",
+        (col("n") * col("pi_n")) * col("svv")
+          - col("pi_n") * col("sv") * col("sv"))
+      .withColumn("eta2", col("num").cast("double") / col("den").cast("double"))
+      .withColumn("f_stat",
+        col("eta2") / (lit(1.0) - col("eta2"))
+          * (col("n") - col("k")).cast("double")
+          / (col("k") - 1).cast("double"))
+      .select(col("n").as("n_days"), col("k").as("n_groups"),
+        col("eta2"), col("f_stat"))
+      .orderBy(col("n_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_dow_anova" -> dowAnova,
     "ev_cuped" -> cuped,
     "ev_streaks" -> streaks,
     "ev_gap_regularity" -> gapRegularity,
@@ -922,6 +975,35 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_dow_anova" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |             AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS v
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT day, v, isodow(day) - 1 AS dow FROM daily),
+        |g AS (
+        |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |         CAST(SUM(v) AS DECIMAL(19,0)) AS s_g
+        |  FROM d2 GROUP BY 1),
+        |pn AS (SELECT CAST(product(n_g) AS BIGINT) AS pi_n,
+        |              CAST(COUNT(*) AS BIGINT) AS k FROM g),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |               CAST(SUM(v) AS DECIMAL(19,0)) AS sv,
+        |               SUM(v * v) AS svv FROM d2),
+        |terms AS (
+        |  SELECT SUM(CAST(pi_n // n_g AS DECIMAL(19,0)) * s_g * s_g)
+        |    AS sum_terms
+        |  FROM g CROSS JOIN pn),
+        |f AS (
+        |  SELECT n, k,
+        |    CAST(n * sum_terms - pi_n * sv * sv AS DOUBLE)
+        |      / CAST((n * pi_n) * svv - pi_n * sv * sv AS DOUBLE) AS eta2
+        |  FROM terms CROSS JOIN pn CROSS JOIN tot)
+        |SELECT n AS n_days, k AS n_groups, eta2,
+        |       eta2 / (1.0 - eta2) * CAST(n - k AS DOUBLE)
+        |         / CAST(k - 1 AS DOUBLE) AS f_stat
+        |FROM f ORDER BY n_days""".stripMargin,
     "ev_cuped" ->
       """WITH b AS (
         |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),

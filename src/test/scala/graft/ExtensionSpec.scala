@@ -1171,6 +1171,16 @@ class ExtensionSpec extends AnyFunSuite {
       "every vector scores against its own label exactly once")
   }
 
+  test("dow anova: eta2 is a bounded variance share over the full calendar") {
+    val row = ext.EventOps.dowAnova(spark, sf).collect().head
+    val eta2 = row.getAs[Double]("eta2")
+    assert(eta2 >= 0.0 && eta2 < 1.0, s"eta2 must be a variance share: $eta2")
+    assert(row.getAs[Double]("f_stat") >= 0.0)
+    assert(row.getAs[Long]("n_groups") <= 7 && row.getAs[Long]("n_groups") >= 1)
+    assert(row.getAs[Long]("n_days") == graft.Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count())
+  }
+
   test("cuped: adjusted diff is the exact identity and arms partition users") {
     val row = ext.EventOps.cuped(spark, sf).collect().head
     val (nc, nt) = (row.getAs[Long]("n_c"), row.getAs[Long]("n_t"))
