@@ -943,7 +943,92 @@ object EventOps {
       .orderBy(col("n_days"))
   }
 
+  /** Recency-weighted engagement score with a one-day half-life —
+    * exponential decay WITHOUT exp(): the weight 2^(−age_days) is a
+    * power of two, so Σ v·2^(−age) clears to the exact integer
+    * Σ v_fix·2^(maxAge−age) over a 2^maxAge denominator (ages beyond
+    * maxAge=40 truncate to weight zero — they contribute < 10⁻¹² of
+    * the score and keeping them would overflow the clearing). Every
+    * engine computes identical BIGINT shift products; the single final
+    * division restores the scale. This is the score feeds ranking /
+    * churn models want ("activity, but recent activity counts double
+    * per day") — normally an order-unsafe float fold, here exact.
+    *
+    * Scale shape: one scan with a broadcast 1-row high-water mark; the
+    * rollup is per-user partial-aggregated longs.
+    */
+  def decayScore(s: SparkSession, d: String): DataFrame = {
+    val maxAge = 40L
+    val ev = Tables.events(s, d)
+    val hi = ev.agg(max(to_date(col("ts"))).as("today"))
+    ev.crossJoin(broadcast(hi))
+      .withColumn("age", datediff(col("today"), to_date(col("ts"))).cast("long"))
+      .filter(col("age") <= maxAge)
+      .withColumn("vfix",
+        expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0))"))
+      .withColumn("w", expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxAge - age AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vfix") * col("w")).cast(DecimalType(38, 0)).as("num"))
+      .withColumn("decay_score",
+        col("num").cast("double") / lit(Math.pow(2.0, maxAge.toDouble))
+          / lit(10000.0))
+      .select(col("user_id"), col("n_events"), col("num"), col("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Day-over-day active-user-set Jaccard — the "audience turbulence"
+    * series: a stable product sees high overlap between consecutive
+    * days' user sets; churn-and-replace traffic sees low overlap even
+    * with flat DAU (the case DAU alone cannot distinguish). Exact
+    * integer set algebra on the distinct (user, day) grain:
+    * |A∩B| counted by a self-join on day+1, |A∪B| = |A|+|B|−|A∩B|,
+    * one final division.
+    *
+    * Scale shape: the distinct pair grain is calendar-bounded; the
+    * self-join keys on (user, day) equality — hash-distributed, no
+    * window, no cartesian.
+    */
+  def dayJaccard(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val inter = pairs.alias("a")
+      .join(pairs.alias("b"),
+        col("a.user_id") === col("b.user_id")
+          && date_add(col("a.day"), 1) === col("b.day"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_both"))
+    dau.alias("d1")
+      .join(dau.alias("d2"), date_add(col("d1.day"), 1) === col("d2.day"))
+      .join(inter, col("d1.day") === inter("day"), "left")
+      .na.fill(0L, Seq("n_both"))
+      .select(col("d1.day").as("day"), col("d1.dau").as("dau_day"),
+        col("d2.dau").as("dau_next"), col("n_both"))
+      .withColumn("jaccard",
+        col("n_both").cast("double")
+          / (col("dau_day") + col("dau_next") - col("n_both")).cast("double"))
+      .orderBy(col("day"))
+  }
+
+  /** Session-length histogram — the distribution that justifies the
+    * session timeout and exposes bot traffic (a heavy right tail of
+    * 100-event "sessions" is automation): [[sessionize]]'s islands
+    * rolled up to (session size → how many sessions, how many users run
+    * them). Pure integer counts over the sessionize shuffle — the
+    * histogram frame is bounded by the longest session, not the corpus.
+    */
+  def sessionHist(s: SparkSession, d: String): DataFrame =
+    sessionize(s, d)
+      .groupBy(col("n_events").as("session_len"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("session_len"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_decay_score" -> decayScore,
+    "ev_day_jaccard" -> dayJaccard,
+    "ev_session_hist" -> sessionHist,
     "ev_dow_anova" -> dowAnova,
     "ev_cuped" -> cuped,
     "ev_streaks" -> streaks,
@@ -975,6 +1060,59 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_decay_score" ->
+      """WITH hi AS (SELECT MAX(CAST(ts AS DATE)) AS today FROM events),
+        |aged AS (
+        |  SELECT user_id,
+        |         CAST(today - CAST(ts AS DATE) AS BIGINT) AS age,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |              AS DECIMAL(19,0)) AS vfix
+        |  FROM events CROSS JOIN hi),
+        |m AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(vfix * (CAST(1 AS BIGINT) << CAST(40 - age AS INTEGER)))
+        |              AS DECIMAL(38,0)) AS num
+        |  FROM aged WHERE age <= 40 GROUP BY 1)
+        |SELECT user_id, n_events, num,
+        |       CAST(num AS DOUBLE) / 1099511627776.0 / 10000.0 AS decay_score
+        |FROM m ORDER BY user_id""".stripMargin,
+    "ev_day_jaccard" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |        FROM pairs GROUP BY 1),
+        |inter AS (
+        |  SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM pairs a JOIN pairs b
+        |    ON a.user_id = b.user_id AND a.day + 1 = b.day
+        |  GROUP BY 1)
+        |SELECT d1.day, d1.dau AS dau_day, d2.dau AS dau_next,
+        |       CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both,
+        |       CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+        |         / CAST(d1.dau + d2.dau - COALESCE(i.n_both, 0) AS DOUBLE)
+        |         AS jaccard
+        |FROM dau d1 JOIN dau d2 ON d1.day + 1 = d2.day
+        |LEFT JOIN inter i ON i.day = d1.day
+        |ORDER BY d1.day""".stripMargin,
+    "ev_session_hist" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT n_events AS session_len,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM per GROUP BY 1 ORDER BY session_len""".stripMargin,
     "ev_dow_anova" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

@@ -1171,6 +1171,48 @@ class ExtensionSpec extends AnyFunSuite {
       "every vector scores against its own label exactly once")
   }
 
+  test("decay score: shift weights bound the score by undecayed mass") {
+    val out = ext.EventOps.decayScore(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val score = r.getAs[Double]("decay_score")
+      assert(score >= 0.0)
+      assert(r.getAs[java.math.BigDecimal]("num").signum() >= 0)
+    }
+    // decayed score can never exceed the plain (undecayed) value sum
+    val totals = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("tot")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("tot")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("decay_score")
+        <= totals(r.getAs[Long]("user_id")) + 1e-6)
+    }
+  }
+
+  test("day jaccard: overlap bounded by both days' actives") {
+    val out = ext.EventOps.dayJaccard(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, both) = (r.getAs[Long]("dau_day"), r.getAs[Long]("dau_next"),
+        r.getAs[Long]("n_both"))
+      assert(both <= math.min(a, b), s"intersection exceeds a day: $r")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("session histogram conserves the sessionize frame") {
+    val hist = ext.EventOps.sessionHist(spark, sf).collect()
+    val sessions = ext.EventOps.sessionize(spark, sf)
+    assert(hist.map(_.getAs[Long]("n_sessions")).sum == sessions.count(),
+      "histogram mass must equal the session count")
+    assert(hist.map(r => r.getAs[Long]("session_len")
+      * r.getAs[Long]("n_sessions")).sum
+      == graft.Tables.events(spark, sf).count(),
+      "len-weighted mass must equal the event count")
+  }
+
   test("dow anova: eta2 is a bounded variance share over the full calendar") {
     val row = ext.EventOps.dowAnova(spark, sf).collect().head
     val eta2 = row.getAs[Double]("eta2")
