@@ -1025,7 +1025,51 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("session_len"))
 
+  /** Linear (equal-credit) multi-touch attribution with a 7-day
+    * lookback — the position-free complement of [[attribution]]'s
+    * first/last matrix: every non-purchase touch inside the window
+    * before a purchase shares that purchase's credit equally. Equal
+    * shares are 1/k with k varying per purchase — mixed denominators —
+    * so credit is allocated in exact integer MICRO-CREDITS:
+    * `1000000 DIV k` per touch (truncation identical cross-engine),
+    * summed per channel as BIGINTs; the ≤ k−1 ppm truncation remainder
+    * per purchase is the documented rounding loss, bounded by the spec.
+    * The 7-day lookback is what bounds the touch×purchase join at
+    * scale — unbounded attribution is quadratic per user; windowed
+    * attribution is how every production system runs it.
+    *
+    * Scale shape: the pairing is a user-keyed join with a time-range
+    * predicate (each user's frame is lookback-bounded); k comes from a
+    * purchase-keyed window on the PAIRED frame, already shuffled by the
+    * join; the channel rollup is dimension-sized.
+    */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("t_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("p_us"))
+    val weekUs = 7L * 86400L * 1000000L
+    val paired = touches.join(purch, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - weekUs)
+    val wp = Window.partitionBy(col("pid"))
+    paired
+      .withColumn("k", count(lit(1)).over(wp))
+      .withColumn("credit_ppm", expr("CAST(1000000 AS BIGINT) DIV k"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+      .withColumn("credited_purchases",
+        col("credit_ppm").cast("double") / lit(1000000.0))
+      .select(col("channel"), col("n_touches"), col("credit_ppm"),
+        col("credited_purchases"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution_linear" -> attributionLinear,
     "ev_decay_score" -> decayScore,
     "ev_day_jaccard" -> dayJaccard,
     "ev_session_hist" -> sessionHist,
@@ -1060,6 +1104,29 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution_linear" ->
+      """WITH touches AS (
+        |  SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type <> 'purchase'),
+        |purch AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |paired AS (
+        |  SELECT t.channel, p.pid
+        |  FROM touches t JOIN purch p USING (user_id)
+        |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+        |k AS (
+        |  SELECT channel, pid,
+        |         COUNT(*) OVER (PARTITION BY pid) AS k
+        |  FROM paired),
+        |c AS (
+        |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |         CAST(SUM(CAST(1000000 AS BIGINT) // k) AS BIGINT)
+        |           AS credit_ppm
+        |  FROM k GROUP BY 1)
+        |SELECT channel, n_touches, credit_ppm,
+        |       CAST(credit_ppm AS DOUBLE) / 1000000.0 AS credited_purchases
+        |FROM c ORDER BY channel""".stripMargin,
     "ev_decay_score" ->
       """WITH hi AS (SELECT MAX(CAST(ts AS DATE)) AS today FROM events),
         |aged AS (

@@ -1213,6 +1213,29 @@ class ExtensionSpec extends AnyFunSuite {
       "len-weighted mass must equal the event count")
   }
 
+  test("linear attribution: ppm credit conserves purchases up to truncation") {
+    val out = ext.EventOps.attributionLinear(spark, sf).collect()
+    assert(out.nonEmpty)
+    val totalPpm = out.map(_.getAs[Long]("credit_ppm")).sum
+    // count purchases that have >=1 windowed touch (they carry the credit)
+    val ev = graft.Tables.events(spark, sf)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("p_us"))
+    val touched = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+      .join(purch, Seq("user_id"))
+      .filter(col("t_us") < col("p_us")
+        && col("t_us") >= col("p_us") - 7L * 86400L * 1000000L)
+      .select(col("pid")).distinct().count()
+    assert(totalPpm <= touched * 1000000L,
+      "credit cannot exceed one unit per credited purchase")
+    // truncation loses < k ppm per purchase; touches per purchase are
+    // bounded by the corpus, so the loss stays under 1% of the mass
+    assert(totalPpm >= touched * 990000L,
+      s"ppm mass $totalPpm too far below ${touched} purchases")
+  }
+
   test("dow anova: eta2 is a bounded variance share over the full calendar") {
     val row = ext.EventOps.dowAnova(spark, sf).collect().head
     val eta2 = row.getAs[Double]("eta2")
