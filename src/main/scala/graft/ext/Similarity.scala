@@ -1026,6 +1026,56 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Rocchio pseudo-relevance feedback (query expansion) — the classic
+    * two-round IR loop: retrieve top-5 for each query, move the query
+    * toward the centroid of what it found (α = β = 1: expanded =
+    * q + Σ top-5), retrieve again with the expanded vector, and report
+    * round-2 ranks with an `in_round1` flag (the overlap tells you how
+    * much feedback re-ranked vs merely confirmed). Exactness comes from
+    * running BOTH rounds on the 2^14-quantized integer grid: the
+    * expanded vector is an exact integer sum (assembled by position and
+    * re-ordered through array_sort, so collect order cannot matter),
+    * every dot product folds exact integers below 2⁵³, and only the
+    * norm sqrt / final division are float — the [[cosExpr]] fixed tree.
+    *
+    * Scale shape: both rounds broadcast the 5-row query side against
+    * the partitioned corpus (the [[topKBrute]] plan); the expansion
+    * itself touches 6 vectors per query. At 100 TB round one would be
+    * served by the IVF index ([[ivfTopK]]) — the feedback algebra is
+    * index-agnostic by construction.
+    */
+  def queryExpansion(s: SparkSession, d: String): DataFrame = {
+    val iv = quantizedWithLabel(s, d).select(col("vec_id"), col("iv"))
+    val q = iv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("iv").as("qv"))
+    val c = iv.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("iv").as("cv"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos1"), col("cid"))
+    val r1 = q.hint("broadcast").join(c)
+      .withColumn("cos1", expr(cosExpr("qv", "cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("cid"))
+    val qex = q.select(col("qid"), posexplode(col("qv")).as(Seq("pos", "v")))
+    val rex = r1.join(c, Seq("cid"))
+      .select(col("qid"), posexplode(col("cv")).as(Seq("pos", "v")))
+    val expanded = qex.union(rex)
+      .groupBy(col("qid"), col("pos")).agg(sum(col("v")).as("ev"))
+      .groupBy(col("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, ev))), x -> x.ev)")
+        .as("xv"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos2"), col("cid"))
+    expanded.hint("broadcast").join(c)
+      .withColumn("cos2", expr(cosExpr("xv", "cv")))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= 5)
+      .join(r1.withColumn("in_round1", lit(true)), Seq("qid", "cid"), "left")
+      .na.fill(false, Seq("in_round1"))
+      .select(col("qid"), col("rank"), col("cid").as("vec_id"),
+        col("cos2"), col("in_round1"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   private def quantizedWithLabel(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"), expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT))"
@@ -1624,6 +1674,7 @@ object Similarity {
     "sim_label_centroids" -> labelCentroids,
     "sim_silhouette" -> silhouette,
     "sim_centroid_separation" -> centroidSeparation,
+    "sim_query_expansion" -> queryExpansion,
     "sim_vector_norms" -> vectorNorms,
     "sim_pair_hist" -> pairHistogram,
     "sim_topk_brute" -> topKBrute,
@@ -2046,6 +2097,47 @@ object Similarity {
          |    LIMIT 1) pick
          |  WHERE r.step < 5)
          |SELECT qid, step, cid FROM rec ORDER BY qid, step""".stripMargin,
+    "sim_query_expansion" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, iv AS qv FROM qz WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cid, iv AS cv FROM qz WHERE vec_id >= 5),
+         |s1 AS (
+         |  SELECT qid, cid, ${duckCos("qv", "cv")} AS cos1
+         |  FROM q CROSS JOIN c),
+         |r1 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY cos1 DESC, cid) AS rnk
+         |    FROM s1) WHERE rnk <= 5),
+         |qex AS (
+         |  SELECT qid, i - 1 AS pos, qv[i] AS v
+         |  FROM q CROSS JOIN generate_series(1, 64) AS g(i)
+         |  UNION ALL
+         |  SELECT r1.qid, i - 1 AS pos, c.cv[i] AS v
+         |  FROM r1 JOIN c USING (cid)
+         |  CROSS JOIN generate_series(1, 64) AS g(i)),
+         |ex AS (
+         |  SELECT qid, list(ev ORDER BY pos) AS xv FROM (
+         |    SELECT qid, pos, CAST(SUM(v) AS BIGINT) AS ev
+         |    FROM qex GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |s2 AS (
+         |  SELECT qid, cid, ${duckCos("xv", "cv")} AS cos2
+         |  FROM ex CROSS JOIN c),
+         |r2 AS (
+         |  SELECT qid, cid, cos2,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cos2 DESC, cid) AS BIGINT) AS rank
+         |  FROM s2)
+         |SELECT r2.qid, r2.rank, r2.cid AS vec_id, r2.cos2,
+         |       r1.cid IS NOT NULL AS in_round1
+         |FROM r2 LEFT JOIN r1 ON r1.qid = r2.qid AND r1.cid = r2.cid
+         |WHERE r2.rank <= 5
+         |ORDER BY r2.qid, r2.rank""".stripMargin,
     "sim_centroid_separation" ->
       s"""WITH q AS (
          |  SELECT vec_id, label,

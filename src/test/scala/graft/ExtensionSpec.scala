@@ -1272,6 +1272,24 @@ class ExtensionSpec extends AnyFunSuite {
       "per-source doc counts must sum to the corpus")
   }
 
+  test("query expansion: five ranked feedback hits per query, cosine-descending") {
+    val out = ext.Similarity.queryExpansion(spark, sf).collect()
+    assert(out.length == 25, "5 queries x top-5")
+    out.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val cs = sorted.map(_.getAs[Double]("cos2")).toSeq
+      assert(cs == cs.sorted.reverse, "round-2 list must be cosine-descending")
+      sorted.foreach(r => assert(r.getAs[Long]("vec_id") >= 5,
+        "queries never retrieve themselves"))
+    }
+    // pseudo-relevance feedback must CONFIRM at least part of round one
+    // somewhere in the corpus — zero overlap everywhere would mean the
+    // expansion destroyed the query
+    assert(out.count(_.getAs[Boolean]("in_round1")) >= 5,
+      "expanded queries should re-find a meaningful share of round-1 hits")
+  }
+
   test("centroid separation: full upper triangle of positive distances") {
     val out = ext.Similarity.centroidSeparation(spark, sf).collect()
     assert(out.length == 10 * 9 / 2, "one row per unordered label pair")
