@@ -713,6 +713,47 @@ object TextOps {
         sum(col("rh").cast("decimal(30,0)")).cast("string").as("checksum"))
       .orderBy(col("shard"))
 
+  /** Per-worker token skew across data-parallel fan-outs — the
+    * straggler audit every distributed-training run wants before it
+    * launches: shards ([[shardManifest]]'s hash assignment) deal to W
+    * workers round-robin (`shard % W`) for W ∈ {2, 4, 8}, and the slow
+    * worker sets the step time, so the figure of merit is
+    * max·W / total — exact integers until that one division. A skew of
+    * 1.0 is a perfectly balanced step; the gap above 1.0 is the idle
+    * fraction the fastest workers burn every step. The W sweep shows
+    * how imbalance grows as the same shards split thinner — the
+    * capacity-planning curve.
+    *
+    * Scale shape: one scan to the 16-row shard frame (shared with the
+    * manifest); the sweep is a 3-row broadcast cross join over it.
+    */
+  def workerBalance(s: SparkSession, d: String): DataFrame = {
+    val shards = Tables.documents(s, d)
+      .withColumn("shard",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 16"))
+      .withColumn("n_words",
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(sum(col("n_words")).as("n_tokens"))
+    val ws = Seq(2, 4, 8).foldLeft(Option.empty[DataFrame]) { (acc, w) =>
+      val f = shards.withColumn("n_workers", lit(w.toLong))
+      Some(acc.map(_.unionByName(f)).getOrElse(f))
+    }.get
+    ws.withColumn("worker", col("shard") % col("n_workers"))
+      .groupBy(col("n_workers"), col("worker"))
+      .agg(sum(col("n_tokens")).as("w_tokens"))
+      .groupBy(col("n_workers"))
+      .agg(max(col("w_tokens")).as("max_tokens"),
+        sum(col("w_tokens")).as("total_tokens"))
+      .withColumn("skew",
+        (col("max_tokens") * col("n_workers")).cast("double")
+          / col("total_tokens").cast("double"))
+      .select(col("n_workers"), col("max_tokens"), col("total_tokens"),
+        col("skew"))
+      .orderBy(col("n_workers"))
+  }
+
   /** Shard provenance — [[shardManifest]]'s lineage facet: per output
     * shard, WHICH source feeds contributed and how much (docs, tokens,
     * share of the shard). When a trained model misbehaves, this is the
@@ -2032,6 +2073,7 @@ object TextOps {
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
     "pipe_shard_manifest" -> shardManifest,
+    "pipe_worker_balance" -> workerBalance,
     "pipe_provenance" -> provenance,
     "tx_fertility" -> fertility,
     "tx_vocab_coverage" -> vocabCoverage,
@@ -2719,6 +2761,29 @@ object TextOps {
           |       CAST(g.n_docs AS DOUBLE) / CAST(t.shard_docs AS DOUBLE) AS shard_share
           |FROM g JOIN t USING (shard)
           |ORDER BY g.shard, g.source""".stripMargin,
+      "pipe_worker_balance" ->
+        """WITH docs AS (
+          |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,
+          |         CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_words
+          |  FROM documents),
+          |sh AS (
+          |  SELECT shard, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+          |  FROM docs GROUP BY 1),
+          |sweep AS (
+          |  SELECT CAST(w AS BIGINT) AS n_workers, shard % w AS worker,
+          |         n_tokens
+          |  FROM sh CROSS JOIN (VALUES (2), (4), (8)) AS v(w)),
+          |per AS (
+          |  SELECT n_workers, worker, CAST(SUM(n_tokens) AS BIGINT) AS w_tokens
+          |  FROM sweep GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT n_workers, CAST(MAX(w_tokens) AS BIGINT) AS max_tokens,
+          |         CAST(SUM(w_tokens) AS BIGINT) AS total_tokens
+          |  FROM per GROUP BY 1)
+          |SELECT n_workers, max_tokens, total_tokens,
+          |       CAST(max_tokens * n_workers AS DOUBLE)
+          |         / CAST(total_tokens AS DOUBLE) AS skew
+          |FROM agg ORDER BY n_workers""".stripMargin,
       "pipe_shard_manifest" ->
         """WITH docs AS (
           |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard,

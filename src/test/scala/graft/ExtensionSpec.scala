@@ -1272,6 +1272,23 @@ class ExtensionSpec extends AnyFunSuite {
       "per-source doc counts must sum to the corpus")
   }
 
+  test("worker balance: skew floors at 1 and totals are W-invariant") {
+    val out = ext.TextOps.workerBalance(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_workers")).toSeq == Seq(2L, 4L, 8L))
+    val totals = out.map(_.getAs[Long]("total_tokens")).distinct
+    assert(totals.length == 1, "every fan-out deals the same token mass")
+    var prev = 0.0
+    out.foreach { r =>
+      val skew = r.getAs[Double]("skew")
+      assert(skew >= 1.0, s"max worker cannot be below the mean: $r")
+      assert(r.getAs[Long]("max_tokens") * r.getAs[Long]("n_workers")
+        >= r.getAs[Long]("total_tokens"))
+      assert(skew >= prev - 1e-12,
+        "thinner splits cannot get more balanced on the same shards")
+      prev = skew
+    }
+  }
+
   test("query expansion: five ranked feedback hits per query, cosine-descending") {
     val out = ext.Similarity.queryExpansion(spark, sf).collect()
     assert(out.length == 25, "5 queries x top-5")
