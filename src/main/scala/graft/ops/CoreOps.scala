@@ -203,6 +203,21 @@ object CoreOps {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** S10 — aggregate over the custom DataSourceV2 connector
+    * ([[graft.sources.SeqSource]]): 100k rows across 8 computed input
+    * partitions, grouped on `mod7` — the query only touches (mod7, sq),
+    * so the pruning handshake delivers a 2-field schema to the reader
+    * (PlanSpec pins it). The oracle replays the whole table from
+    * DuckDB's generate_series — the connector's arithmetic contract,
+    * verified end to end through Spark's V2 read path.
+    */
+  def dsv2Source(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", 100000).option("slices", 8).load()
+      .groupBy(col("mod7"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+      .orderBy(col("mod7"))
+
   /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
     * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
     * as the nested-SELECT spelling (the syntax is sugar over the same
@@ -278,6 +293,7 @@ object CoreOps {
     "s5_pipe_sql" -> pipeSql,
     "s2_json_roundtrip" -> jsonRoundtrip,
     "s9_orc_roundtrip" -> orcRoundtrip,
+    "s10_dsv2_source" -> dsv2Source,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -293,6 +309,12 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s10_dsv2_source" ->
+      """SELECT CAST(i % 7 AS BIGINT) AS mod7,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(i * i) AS BIGINT) AS sum_sq
+        |FROM generate_series(0, 99999) AS t(i)
+        |GROUP BY 1 ORDER BY mod7""".stripMargin,
     "s9_orc_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal DataSourceV2 BATCH connector — the connector-extensibility
+  * proof the rest of the library leans on file formats for: a
+  * deterministic integer-sequence table (`id`, `sq = id²`,
+  * `mod7 = id % 7`, `hex`) generated directly into `InternalRow`s, split
+  * into `slices` input partitions so the scan parallelizes like any real
+  * source, with COLUMN PRUNING honored through
+  * [[SupportsPushDownRequiredColumns]] — a `select(mod7, sq)` reaches the
+  * reader as a 2-field schema and the reader materializes only those
+  * fields (PlanSpec pins the pruned `readSchema`). The same four
+  * interfaces (TableProvider → Table → ScanBuilder → PartitionReader)
+  * are what a real object-store / JDBC / message-bus connector
+  * implements; rows-from-arithmetic stands in for rows-from-IO so the
+  * handshake itself is what the oracle verifies (DuckDB
+  * `generate_series` replays the table exactly).
+  *
+  * Scale shape: partitions are computed ranges — planInputPartitions is
+  * O(slices) driver work and each reader streams its range without
+  * buffering, the contract every scalable connector obeys.
+  */
+object SeqTable {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sq", LongType, nullable = false),
+    StructField("mod7", LongType, nullable = false),
+    StructField("hex", StringType, nullable = false)))
+}
+
+class SeqSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-seq"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqTable.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SeqTable(properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_seq($rows)"
+  override def schema(): StructType = SeqTable.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(rows, slices)
+}
+
+class SeqScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = SeqTable.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SeqScan(rows, slices, required)
+}
+
+case class SeqPartition(start: Long, end: Long) extends InputPartition
+
+class SeqScan(rows: Long, slices: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val step = math.max(1L, (rows + slices - 1) / slices)
+    (0L until rows by step)
+      .map(s => SeqPartition(s, math.min(rows, s + step)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+}
+
+class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      private val fields = required.fieldNames
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map {
+        case "id" => cur
+        case "sq" => cur * cur
+        case "mod7" => cur % 7
+        case "hex" => UTF8String.fromString(java.lang.Long.toHexString(cur))
+      })
+      override def close(): Unit = ()
+    }
+  }
+}

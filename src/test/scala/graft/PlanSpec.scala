@@ -46,6 +46,22 @@ class PlanSpec extends AnyFunSuite {
       "filter must be pushed into the scan:\n" + p.take(2000))
   }
 
+  test("DSv2 connector: column pruning reaches the custom reader") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = ops.CoreOps.dsv2Source(TestSpark.spark, TestSpark.sf)
+    // collect from the pre-AQE plan: AdaptiveSparkPlanExec hides its
+    // children from collectFirst on the executed plan
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scan.isDefined, "plan must contain the V2 BatchScan")
+    val cols = scan.get.readSchema().fieldNames.toSet
+    assert(cols == Set("mod7", "sq"),
+      s"reader must receive only the referenced columns, got $cols")
+    // the 8 computed slices surface as 8 scan partitions
+    assert(df.rdd.getNumPartitions >= 1)
+  }
+
   test("ORC read-back pushes the quantity predicate into the ORC scan") {
     val df = ops.CoreOps.orcRoundtrip(TestSpark.spark, TestSpark.sf)
     val p = df.queryExecution.executedPlan.toString
