@@ -218,6 +218,21 @@ object CoreOps {
       .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
       .orderBy(col("mod7"))
 
+  /** S10+ — the same connector under a pushed id-range: the WHERE
+    * narrows the PLANNED partition ranges inside the source (the scan
+    * advertises `range=[25000,75000)` — PlanSpec pins it) while Spark
+    * still re-evaluates the residual predicate, so a pruning bug could
+    * never corrupt results. This is the full DSv2 pushdown handshake a
+    * real storage connector implements.
+    */
+  def dsv2Pushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", 100000).option("slices", 8).load()
+      .filter(col("id") >= 25000L && col("id") < 75000L)
+      .groupBy(col("mod7"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+      .orderBy(col("mod7"))
+
   /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
     * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
     * as the nested-SELECT spelling (the syntax is sugar over the same
@@ -294,6 +309,7 @@ object CoreOps {
     "s2_json_roundtrip" -> jsonRoundtrip,
     "s9_orc_roundtrip" -> orcRoundtrip,
     "s10_dsv2_source" -> dsv2Source,
+    "s10_dsv2_pushdown" -> dsv2Pushdown,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -309,6 +325,12 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s10_dsv2_pushdown" ->
+      """SELECT CAST(i % 7 AS BIGINT) AS mod7,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(i * i) AS BIGINT) AS sum_sq
+        |FROM generate_series(25000, 74999) AS t(i)
+        |GROUP BY 1 ORDER BY mod7""".stripMargin,
     "s10_dsv2_source" ->
       """SELECT CAST(i % 7 AS BIGINT) AS mod7,
         |       CAST(COUNT(*) AS BIGINT) AS n,

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,24 +57,49 @@ class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
     new SeqScanBuilder(rows, slices)
 }
 
+/** Builder with BOTH pushdown handshakes: required-column pruning and
+  * id-range filter pushdown. Pushed bounds NARROW the planned partition
+  * ranges (the connector analog of parquet row-group pruning) but are
+  * also returned as residuals so Spark re-evaluates them post-scan —
+  * the belt-and-suspenders production pattern: pruning is an
+  * optimization, never the correctness story.
+  */
 class SeqScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
   private var required: StructType = SeqTable.fullSchema
+  private var lo = 0L
+  private var hi = rows
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SeqScan(rows, slices, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case LessThan("id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    filters // all residual: Spark re-evaluates, narrowing is an optimization
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new SeqScan(lo, hi, slices, required)
 }
 
 case class SeqPartition(start: Long, end: Long) extends InputPartition
 
-class SeqScan(rows: Long, slices: Int, required: StructType)
+class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
+  override def description(): String = s"graft-seq range=[$lo,$hi)"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val step = math.max(1L, (rows + slices - 1) / slices)
-    (0L until rows by step)
-      .map(s => SeqPartition(s, math.min(rows, s + step)): InputPartition)
+    val n = math.max(0L, hi - lo)
+    val step = math.max(1L, (n + slices - 1) / slices)
+    (lo until hi by step)
+      .map(s => SeqPartition(s, math.min(hi, s + step)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
