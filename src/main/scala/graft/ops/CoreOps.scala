@@ -233,6 +233,27 @@ object CoreOps {
       .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
       .orderBy(col("mod7"))
 
+  /** S11 — round-trip through the custom DataSourceV2 WRITE connector
+    * ([[graft.sources.KvSink]]): an orders slice goes out through the V2
+    * commit protocol (task files + driver-published `_SUCCESS`
+    * manifest, overwrite via TRUNCATE) and comes back through a plain
+    * CSV read; the oracle is the equivalent SELECT on the original
+    * parquet, so what is verified is losslessness of the entire
+    * write-commit-read cycle.
+    */
+  private[graft] def dsv2SinkTo(s: SparkSession, d: String, out: String): DataFrame = {
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+      .write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save()
+    s.read.schema("key LONG, val STRING").csv(out).orderBy(col("key"))
+  }
+
+  def dsv2Sink(s: SparkSession, d: String): DataFrame =
+    dsv2SinkTo(s, d,
+      java.nio.file.Files.createTempDirectory("graft_kv_sink").toString)
+
   /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
     * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
     * as the nested-SELECT spelling (the syntax is sugar over the same
@@ -310,6 +331,7 @@ object CoreOps {
     "s9_orc_roundtrip" -> orcRoundtrip,
     "s10_dsv2_source" -> dsv2Source,
     "s10_dsv2_pushdown" -> dsv2Pushdown,
+    "s11_dsv2_sink" -> dsv2Sink,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -325,6 +347,9 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s11_dsv2_sink" ->
+      """SELECT o_orderkey AS key, o_orderstatus AS val
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY key""".stripMargin,
     "s10_dsv2_pushdown" ->
       """SELECT CAST(i % 7 AS BIGINT) AS mod7,
         |       CAST(COUNT(*) AS BIGINT) AS n,

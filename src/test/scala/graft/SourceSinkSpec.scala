@@ -273,4 +273,25 @@ class SourceSinkSpec extends AnyFunSuite {
       assert(g.getString(3) == w.getString(3) && g.getString(4) == w.getString(4))
     }
   }
+
+  test("V2 sink: _SUCCESS manifest accounts for every committed row; overwrite truncates") {
+    val out = Files.createTempDirectory("graft_kv_commit").toString
+    val first = ops.CoreOps.dsv2SinkTo(spark, sf, out)
+    val n = first.count()
+    assert(n == 501L)
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_SUCCESS")))
+    val entries = manifest.trim.split("\n").map { line =>
+      val Array(f, r) = line.split(","); (f, r.toLong)
+    }
+    assert(entries.map(_._2).sum == n,
+      "manifest row counts must sum to the committed total")
+    entries.foreach { case (f, _) =>
+      assert(Files.exists(java.nio.file.Paths.get(out, f)),
+        s"manifest lists a missing file: $f")
+    }
+    // overwrite: a second identical write must not double the data
+    assert(ops.CoreOps.dsv2SinkTo(spark, sf, out).count() == n,
+      "TRUNCATE-backed overwrite must replace, not append")
+  }
 }
