@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,7 +53,8 @@ class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqTable.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(rows, slices)
 }
@@ -100,6 +102,42 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
     val step = math.max(1L, (n + slices - 1) / slices)
     (lo until hi by step)
       .map(s => SeqPartition(s, math.min(hi, s + step)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeqMicroBatchStream(lo, hi, slices, required)
+}
+
+/** Streaming leg of the connector: offsets are plain row positions and
+  * each micro-batch reads the [start, end) slice with the SAME
+  * partition/reader machinery as the batch scan — the property that
+  * makes a storage source replayable (offset + deterministic range =
+  * exactly-once on retry). Chunked `latestOffset` advances ≤ 4 chunks
+  * per poll so a bounded drain genuinely exercises multi-batch
+  * incremental state before AvailableNow stops it.
+  */
+class SeqMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    required: StructType) extends MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private case class SeqOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+  private val chunk = math.max(1L, (hi - lo) / 4)
+  override def initialOffset(): Offset = SeqOffset(lo)
+  override def latestOffset(): Offset = SeqOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].n
+    val e = end.asInstanceOf[SeqOffset].n
+    val n = math.max(0L, e - s)
+    val step = math.max(1L, (n + slices - 1) / slices)
+    (s until e by step)
+      .map(p => SeqPartition(p, math.min(e, p + step)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
