@@ -970,10 +970,15 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("vfix") * col("w")).cast(DecimalType(38, 0)).as("num"))
-      .withColumn("decay_score",
-        col("num").cast("double") / lit(Math.pow(2.0, maxAge.toDouble))
-          / lit(10000.0))
-      .select(col("user_id"), col("n_events"), col("num"), col("decay_score"))
+      // num can exceed 2^53 (max ~9.4e18 at sf0.01), so a direct
+      // Decimal→Double cast rounds differently across engines. Shed the
+      // 2^maxAge clearing factor with EXACT integer DIV first (the lost
+      // residue is < 2^-40 of the score): score_micro = num DIV 2^40 is a
+      // BIGINT < 2^24, exactly representable in double, and the single
+      // final /10^4 division is then bit-identical everywhere.
+      .withColumn("score_micro", expr(s"num DIV ${1L << maxAge}"))
+      .withColumn("decay_score", col("score_micro").cast("double") / lit(10000.0))
+      .select(col("user_id"), col("n_events"), col("score_micro"), col("decay_score"))
       .orderBy(col("user_id"))
   }
 
@@ -1140,8 +1145,11 @@ object EventOps {
         |         CAST(SUM(vfix * (CAST(1 AS BIGINT) << CAST(40 - age AS INTEGER)))
         |              AS DECIMAL(38,0)) AS num
         |  FROM aged WHERE age <= 40 GROUP BY 1)
-        |SELECT user_id, n_events, num,
-        |       CAST(num AS DOUBLE) / 1099511627776.0 / 10000.0 AS decay_score
+        |SELECT user_id, n_events,
+        |       CAST(CAST(num AS HUGEINT) // 1099511627776 AS BIGINT)
+        |         AS score_micro,
+        |       CAST(CAST(CAST(num AS HUGEINT) // 1099511627776 AS BIGINT)
+        |            AS DOUBLE) / 10000.0 AS decay_score
         |FROM m ORDER BY user_id""".stripMargin,
     "ev_day_jaccard" ->
       """WITH pairs AS (
