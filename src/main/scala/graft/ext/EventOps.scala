@@ -874,9 +874,14 @@ object EventOps {
     val t = arms.filter(col("arm") === "treatment")
       .select(col("an").as("n_t"), col("ax").as("x_t"), col("ay").as("y_t"))
     c.crossJoin(broadcast(t)).crossJoin(broadcast(pool))
+      // The covariance-clearing products exceed 2^53, and wide-decimal →
+      // double conversion is the one cast the engines may round apart
+      // (DuckDB's int128 bridge double-rounds). Route through STRING:
+      // exact decimal digits → correctly-rounded strtod/parseDouble on
+      // BOTH sides = bit-identical doubles at any magnitude.
       .withColumn("theta",
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("string").cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("string").cast("double"))
       .withColumn("raw_diff",
         (col("y_t").cast("double") / col("n_t").cast("double")
           - col("y_c").cast("double") / col("n_c").cast("double"))
@@ -933,7 +938,12 @@ object EventOps {
       .withColumn("den",
         (col("n") * col("pi_n")) * col("svv")
           - col("pi_n") * col("sv") * col("sv"))
-      .withColumn("eta2", col("num").cast("double") / col("den").cast("double"))
+      // num/den exceed 2^53 — string-route the wide-decimal → double casts
+      // so both engines parse identical digit strings (bit-identical; see
+      // cuped's theta for the full rationale).
+      .withColumn("eta2",
+        col("num").cast("string").cast("double")
+          / col("den").cast("string").cast("double"))
       .withColumn("f_stat",
         col("eta2") / (lit(1.0) - col("eta2"))
           * (col("n") - col("k")).cast("double")
@@ -1210,8 +1220,9 @@ object EventOps {
         |  FROM g CROSS JOIN pn),
         |f AS (
         |  SELECT n, k,
-        |    CAST(n * sum_terms - pi_n * sv * sv AS DOUBLE)
-        |      / CAST((n * pi_n) * svv - pi_n * sv * sv AS DOUBLE) AS eta2
+        |    CAST(CAST(n * sum_terms - pi_n * sv * sv AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST((n * pi_n) * svv - pi_n * sv * sv AS VARCHAR)
+        |             AS DOUBLE) AS eta2
         |  FROM terms CROSS JOIN pn CROSS JOIN tot)
         |SELECT n AS n_days, k AS n_groups, eta2,
         |       eta2 / (1.0 - eta2) * CAST(n - k AS DOUBLE)
@@ -1241,8 +1252,8 @@ object EventOps {
         |  FROM per WHERE user_id % 2 <> 0),
         |f AS (
         |  SELECT n_c, n_t,
-        |    CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS theta,
         |    (CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
         |      - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 10000.0 AS raw_diff,
         |    (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)

@@ -1017,9 +1017,13 @@ object Similarity {
       .withColumn("t", col("sa") * col("nb") - col("sb") * col("na"))
       .groupBy(col("label_a"), col("label_b"), col("na"), col("nb"))
       .agg(sum(col("t") * col("t")).as("num"))
+      // num exceeds 2^53 — string-route the wide-decimal → double casts so
+      // both engines parse identical digit strings (bit-identical at any
+      // magnitude; see EventOps.cuped for the rationale).
       .withColumn("dist2",
-        col("num").cast("double")
-          / ((col("na") * col("nb")) * (col("na") * col("nb"))).cast("double"))
+        col("num").cast("string").cast("double")
+          / ((col("na") * col("nb")) * (col("na") * col("nb")))
+            .cast("string").cast("double"))
       .select(col("label_a"), col("label_b"),
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
         col("dist2"))
@@ -2158,8 +2162,9 @@ object Similarity {
          |  GROUP BY 1, 2, 3, 4)
          |SELECT label_a, label_b,
          |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-         |       CAST(num AS DOUBLE)
-         |         / CAST((na * nb) * (na * nb) AS DOUBLE) AS dist2
+         |       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+         |         / CAST(CAST((na * nb) * (na * nb) AS VARCHAR) AS DOUBLE)
+         |         AS dist2
          |FROM pair ORDER BY label_a, label_b""".stripMargin,
     "sim_silhouette" ->
       s"""WITH q AS (

@@ -1145,9 +1145,13 @@ object ExtraOps {
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("ra", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("rb", col("n") * col("syy") - col("sy") * col("sy"))
+      // num/ra/rb exceed 2^53 — string-route the wide-decimal → double
+      // casts so both engines parse identical digit strings (bit-identical
+      // conversion at any magnitude; DuckDB's int128→double double-rounds).
       .withColumn("corr_qty_price",
-        col("num").cast("double")
-          / (sqrt(col("ra").cast("double")) * sqrt(col("rb").cast("double"))))
+        col("num").cast("string").cast("double")
+          / (sqrt(col("ra").cast("string").cast("double"))
+            * sqrt(col("rb").cast("string").cast("double"))))
       .select(col("l_returnflag"), col("n"), col("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -1178,7 +1182,8 @@ object ExtraOps {
       .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("slope_cents_per_day",
-        col("num").cast("double") / col("den").cast("double"))
+        col("num").cast("string").cast("double")
+          / col("den").cast("string").cast("double"))
       .withColumn("intercept_cents",
         (col("sy").cast("double")
           - col("slope_cents_per_day") * col("sx").cast("double"))
@@ -2027,9 +2032,10 @@ object ExtraOps {
         |         SUM(x * x) AS sxx, SUM(y * y) AS syy
         |  FROM b GROUP BY 1)
         |SELECT l_returnflag, n,
-        |       CAST(n * sxy - sx * sy AS DOUBLE)
-        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        |       CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |         / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+        |            * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+        |         AS corr_qty_price
         |FROM p ORDER BY l_returnflag""".stripMargin,
     "x_regression" ->
       """WITH b AS (
@@ -2045,8 +2051,9 @@ object ExtraOps {
         |  FROM b GROUP BY 1),
         |f AS (
         |  SELECT o_orderpriority, n,
-        |         CAST(n * sxy - sx * sy AS DOUBLE)
-        |           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+        |         CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |           / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+        |           AS slope_cents_per_day,
         |         sx, sy
         |  FROM p)
         |SELECT o_orderpriority, n, slope_cents_per_day,
