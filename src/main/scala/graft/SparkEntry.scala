@@ -44,6 +44,7 @@ object SparkEntry {
         "st_quantile_stream" -> streaming.StreamOps.quantileStream,
         "st_checksum_stream" -> streaming.StreamOps.checksumStream,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink,
+        "st_dsv2_stream" -> streaming.StreamOps.dsv2Stream,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -87,5 +88,10 @@ object SparkEntry {
         "st_cms_stream" -> streaming.StreamOps.cmsStreamOracle,
         "st_quantile_stream" -> streaming.StreamOps.quantileStreamOracle,
         "st_checksum_stream" -> streaming.StreamOps.checksumStreamOracle,
-        "st_foreach_batch" -> streaming.StreamOps.foreachBatchSinkOracle)
+        "st_foreach_batch" -> streaming.StreamOps.foreachBatchSinkOracle,
+        "st_dsv2_stream" ->
+          """SELECT i % 7 AS mod7, CAST(COUNT(*) AS BIGINT) AS n,
+            |       CAST(SUM(i * i) AS BIGINT) AS sum_sq
+            |FROM generate_series(0, 99999) AS t(i)
+            |GROUP BY 1 ORDER BY mod7""".stripMargin)
 }

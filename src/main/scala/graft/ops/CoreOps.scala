@@ -235,9 +235,10 @@ object CoreOps {
 
   /** S11 — round-trip through the custom DataSourceV2 WRITE connector
     * ([[graft.sources.KvSink]]): an orders slice goes out through the V2
-    * commit protocol (task files + driver-published `_SUCCESS`
-    * manifest, overwrite via TRUNCATE) and comes back through a plain
-    * CSV read; the oracle is the equivalent SELECT on the original
+    * commit protocol (staged task files + the driver's atomic manifest
+    * publish, overwrite via TRUNCATE) and comes back through the
+    * MANIFEST-GATED read path (only the committed snapshot's files are
+    * scanned); the oracle is the equivalent SELECT on the original
     * parquet, so what is verified is losslessness of the entire
     * write-commit-read cycle.
     */
@@ -247,7 +248,11 @@ object CoreOps {
       .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
       .write.format("graft.sources.KvSink")
       .mode("overwrite").option("path", out).save()
-    s.read.schema("key LONG, val STRING").csv(out).orderBy(col("key"))
+    // manifest-gated read: scan exactly the committed snapshot's files —
+    // uncommitted task files and post-crash orphans are invisible
+    s.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out): _*)
+      .orderBy(col("key"))
   }
 
   def dsv2Sink(s: SparkSession, d: String): DataFrame =
@@ -324,6 +329,45 @@ object CoreOps {
       .orderBy(col("status"))
   }
 
+
+  /** S12 — the SQL MERGE INTO statement, end-to-end through the custom
+    * V2 catalog ([[graft.sources.MemCatalog]], SupportsRowLevelOperations,
+    * group-based copy-on-write): the modern replacement for the
+    * reference's overwrite-everything refresh (etl.py:30-39,
+    * mode('overwrite') on every dimension). A stale dim seeded with
+    * zeroed balances meets a fresh extract; matched keys update in
+    * place, new keys insert — one statement, atomic snapshot swap. The
+    * oracle replays MERGE semantics as the LEFT JOIN ∪ ANTI JOIN it
+    * desugars to, so what is verified is the entire catalog → analyzer →
+    * RewriteMergeIntoTable → ReplaceData → V2 commit pipeline.
+    *
+    * Scale shape: group-based COW rewrites only the groups the scan
+    * reports — here ONE group (unpartitioned demo table), in production
+    * file-sized groups pruned by the ON keys; the merge join itself is a
+    * plain shuffled join Catalyst plans like any other.
+    */
+  def mergeInto(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.ns.dim")
+    s.sql("CREATE TABLE graft_cat.ns.dim (k BIGINT, name STRING, bal DECIMAL(12,2))")
+    Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("CAST(0 AS DECIMAL(12,2))").as("bal"))
+      .createOrReplaceTempView("merge_seed")
+    s.sql("INSERT INTO graft_cat.ns.dim SELECT * FROM merge_seed")
+    Tables.customer(s, d)
+      .filter(col("c_custkey") >= 500 && col("c_custkey") <= 1500)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("CAST(c_acctbal AS DECIMAL(12,2))").as("bal"))
+      .createOrReplaceTempView("merge_updates")
+    s.sql(
+      """MERGE INTO graft_cat.ns.dim t USING merge_updates s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
+        |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
+        |""".stripMargin)
+    s.table("graft_cat.ns.dim").orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_schema_evolution" -> schemaEvolution,
     "s5_pipe_sql" -> pipeSql,
@@ -332,6 +376,7 @@ object CoreOps {
     "s10_dsv2_source" -> dsv2Source,
     "s10_dsv2_pushdown" -> dsv2Pushdown,
     "s11_dsv2_sink" -> dsv2Sink,
+    "s12_merge_into" -> mergeInto,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -347,6 +392,24 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s12_merge_into" ->
+      """WITH target AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |         CAST(0 AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_custkey <= 1000),
+        |source AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
+        |merged AS (
+        |  SELECT t.k,
+        |         COALESCE(s.name, t.name) AS name,
+        |         COALESCE(s.bal, t.bal) AS bal
+        |  FROM target t LEFT JOIN source s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.name, s.bal
+        |  FROM source s ANTI JOIN target t ON s.k = t.k)
+        |SELECT k, name, bal FROM merged ORDER BY k""".stripMargin,
     "s11_dsv2_sink" ->
       """SELECT o_orderkey AS key, o_orderstatus AS val
         |FROM orders WHERE o_orderkey <= 500 ORDER BY key""".stripMargin,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -114,19 +114,46 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
   * each micro-batch reads the [start, end) slice with the SAME
   * partition/reader machinery as the batch scan — the property that
   * makes a storage source replayable (offset + deterministic range =
-  * exactly-once on retry). Chunked `latestOffset` advances ≤ 4 chunks
-  * per poll so a bounded drain genuinely exercises multi-batch
-  * incremental state before AvailableNow stops it.
+  * exactly-once on retry). Advancement is ADMISSION-CONTROLLED
+  * ([[SupportsAdmissionControl]]): the default read limit is a quarter
+  * of the table, so a bounded drain genuinely exercises multi-batch
+  * incremental state (≥ 4 micro-batches — StreamingSpec pins it), and
+  * [[SupportsTriggerAvailableNow]] lets Trigger.AvailableNow respect
+  * those limits instead of swallowing the range in one batch — the
+  * Kafka-source rhythm (maxOffsetsPerTrigger) re-expressed for a range
+  * source.
   */
 class SeqMicroBatchStream(lo: Long, hi: Long, slices: Int,
-    required: StructType) extends MicroBatchStream {
+    required: StructType) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private case class SeqOffset(n: Long) extends Offset {
     override def json(): String = n.toString
   }
   private val chunk = math.max(1L, (hi - lo) / 4)
   override def initialOffset(): Offset = SeqOffset(lo)
-  override def latestOffset(): Offset = SeqOffset(hi)
+  /** Admission-controlled sources route every poll through
+    * latestOffset(start, limit); the legacy no-arg form must never be
+    * called (same contract as the Kafka source).
+    */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(chunk)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].n
+    val step = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows())
+      case _ => hi - s // ReadAllAvailable
+    }
+    SeqOffset(math.min(hi, s + step))
+  }
+  override def reportLatestOffset(): Offset = SeqOffset(hi)
+  /** The table is bounded and static — the available-now end is `hi`
+    * regardless of when the trigger starts, so there is nothing to
+    * capture.
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

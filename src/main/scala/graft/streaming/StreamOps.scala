@@ -718,6 +718,15 @@ object StreamOps {
     * folding (the [[sessionize]] discipline); unlike sessions, no
     * transition is ever withheld — each pair is final the moment it is
     * emitted, so the drained stream reproduces the batch matrix exactly.
+    *
+    * PRECONDITION: event time must be non-decreasing ACROSS micro-batches
+    * per user (in-batch disorder is fine — it sorts). Because each pair is
+    * final on emission and only the last event is retained, an event
+    * arriving in a later batch with an earlier timestamp could never be
+    * reconciled — so it FAILS LOUDLY (see the guard) instead of silently
+    * corrupting the transition feed. A production deployment feeds this
+    * from a per-key-ordered log (Kafka per-partition order) or re-orders
+    * upstream with a watermarked sort.
     */
   def transitions(events: Dataset[Ev]): Dataset[TransOut] = {
     import events.sparkSession.implicits._
@@ -729,8 +738,16 @@ object StreamOps {
           val out = Seq.newBuilder[TransOut]
           var prev = state.getOption
           sorted.foreach { e =>
-            prev.foreach(p => out += TransOut(userId, p.lastType, e.event_type))
-            prev = Some(TransState(usOf(e), e.event_id, e.event_type))
+            val us = usOf(e)
+            prev.foreach { p =>
+              require(us > p.lastUs || (us == p.lastUs && e.event_id >= p.lastId),
+                s"cross-batch out-of-order arrival for user $userId: event " +
+                  s"${e.event_id}@${us}us behind retained state " +
+                  s"${p.lastId}@${p.lastUs}us — emitted pairs are final, so " +
+                  "late data cannot be reconciled; re-order upstream")
+              out += TransOut(userId, p.lastType, e.event_type)
+            }
+            prev = Some(TransState(us, e.event_id, e.event_type))
           }
           prev.foreach(state.update)
           out.result().iterator
@@ -746,6 +763,8 @@ object StreamOps {
     * regularity metric streams cleanly while rank statistics don't —
     * each emitted gap is final, so the drained stream reproduces the
     * batch gap multiset and therefore the batch CV² bit-for-bit.
+    * Same cross-batch ordering PRECONDITION and loud-failure guard as
+    * [[transitions]].
     */
   case class GapOut(user_id: Long, gap_s: Long)
 
@@ -760,7 +779,14 @@ object StreamOps {
           var prev = state.getOption
           sorted.foreach { e =>
             val us = usOf(e)
-            prev.foreach(p => out += GapOut(userId, (us - p.lastUs) / 1000000L))
+            prev.foreach { p =>
+              require(us > p.lastUs || (us == p.lastUs && e.event_id >= p.lastId),
+                s"cross-batch out-of-order arrival for user $userId: event " +
+                  s"${e.event_id}@${us}us behind retained state " +
+                  s"${p.lastId}@${p.lastUs}us — emitted gaps are final, so " +
+                  "late data cannot be reconciled; re-order upstream")
+              out += GapOut(userId, (us - p.lastUs) / 1000000L)
+            }
             prev = Some(TransState(us, e.event_id, e.event_type))
           }
           prev.foreach(state.update)
@@ -1353,5 +1379,31 @@ object StreamOps {
       "state_rows_updated", "state_memory_bytes", "watermark_ms",
       "max_event_ms", "watermark_lag_ms", "batch_duration_ms")
       .orderBy(col("batch_id"))
+  }
+
+  /** Streaming read through the custom DataSourceV2 connector
+    * ([[graft.sources.SeqSource]], MICRO_BATCH_READ): offsets are row
+    * positions, advancement is admission-controlled to a quarter of the
+    * table per poll, so the AvailableNow drain arrives in ≥ 4 genuine
+    * micro-batches (StreamingSpec pins the batch count and a
+    * checkpoint-restart replay over the same offsets). The complete-mode
+    * aggregate folds those incremental slices into exactly the batch
+    * answer, which DuckDB replays from generate_series — so what the
+    * oracle certifies is the connector's OFFSET ARITHMETIC: any
+    * off-by-one in latestOffset/planInputPartitions(start, end) drops or
+    * doubles a range and the sums diverge.
+    */
+  def dsv2Stream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val q = ss.readStream.format("graft.sources.SeqSource")
+      .option("rows", 100000).option("slices", 8).load()
+      .groupBy(col("mod7"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_dsv2")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_dsv2").orderBy(col("mod7"))
   }
 }

@@ -1177,7 +1177,9 @@ class ExtensionSpec extends AnyFunSuite {
     out.foreach { r =>
       val score = r.getAs[Double]("decay_score")
       assert(score >= 0.0)
-      assert(r.getAs[java.math.BigDecimal]("num").signum() >= 0)
+      assert(r.getAs[Long]("score_micro") >= 0L)
+      // the surfaced double is exactly the micro-unit integer rescaled
+      assert(score == r.getAs[Long]("score_micro").toDouble / 10000.0)
     }
     // decayed score can never exceed the plain (undecayed) value sum
     val totals = graft.Tables.events(spark, sf)

@@ -294,4 +294,72 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(ops.CoreOps.dsv2SinkTo(spark, sf, out).count() == n,
       "TRUNCATE-backed overwrite must replace, not append")
   }
+
+  test("V2 sink: failed overwrite leaves the previous committed snapshot intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_atomic").toString
+    val first = ops.CoreOps.dsv2SinkTo(spark, sf, out).collect().toSeq
+    assert(first.nonEmpty)
+    // an overwrite whose TASKS fail mid-write: nothing may reach the
+    // commit point, so the old manifest and old files must survive
+    intercept[Exception] {
+      Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("key"),
+          expr("CAST(IF(o_orderkey = 300, raise_error('injected task failure'), o_orderstatus) AS STRING)").as("val"))
+        .write.format("graft.sources.KvSink")
+        .mode("overwrite").option("path", out).save()
+    }
+    val after = spark.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out): _*)
+      .orderBy(col("key")).collect().toSeq
+    assert(after == first,
+      s"failed overwrite corrupted the committed snapshot: ${after.size} vs ${first.size} rows")
+    // and the aborted write's staging dir is gone
+    val leftover = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+    try {
+      val staged = leftover.filter(_.getFileName.toString.startsWith(".staging")).count()
+      assert(staged == 0, "abort must clean its staging directory")
+    } finally leftover.close()
+  }
+
+  test("V2 sink: orphan files are invisible to the manifest-gated read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_orphan").toString
+    val n = ops.CoreOps.dsv2SinkTo(spark, sf, out).count()
+    // simulate a crashed writer's leftover: a plausible-looking part file
+    // that never made the manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-deadbeef-9-99"),
+      "999999,Z\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val seen = spark.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out): _*).count()
+    assert(seen == n, "manifest-gated read must not see unmanifested files")
+  }
+
+  test("MERGE INTO: all three clause kinds match the DataFrame upsert twin") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.m")
+    spark.sql("CREATE TABLE graft_cat.ns.m (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_cat.ns.m VALUES (1,'a'),(2,'b'),(3,'c')")
+    val upd = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    upd.createOrReplaceTempView("m_upd")
+    spark.sql(
+      """MERGE INTO graft_cat.ns.m t USING m_upd s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.table("graft_cat.ns.m").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the DataFrame twin of the same statement (the pipe_dim_upsert
+    // shape): matched rows take source values, unmatched-source rows
+    // insert, unmatched-target rows drop — here that collapses to the
+    // source itself; compute it anyway through the generic plan
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val twin = target.as("t").join(upd.as("s"), Seq("k"), "inner")
+      .select(col("k"), col("s.v").as("v"))
+      .unionByName(upd.as("s").join(target.as("t"), Seq("k"), "left_anti"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == twin && got == Seq((2L, "B"), (4L, "D")),
+      s"MERGE diverged from the upsert twin: $got vs $twin")
+  }
 }
