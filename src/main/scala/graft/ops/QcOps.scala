@@ -373,56 +373,41 @@ object QcOps {
     */
   def cardinalityProfile(s: SparkSession, d: String): DataFrame = {
     import graft.ext.{Hashing, HyperLogLog}
-    val cols = Seq(
-      "l_orderkey" -> "CAST(l_orderkey AS STRING)",
-      "l_partkey" -> "CAST(l_partkey AS STRING)",
-      "l_suppkey" -> "CAST(l_suppkey AS STRING)",
-      "l_returnflag" -> "l_returnflag",
-      "l_shipdate" -> "CAST(CAST(l_shipdate AS DATE) AS STRING)")
-    val stacked = Tables.lineitem(s, d).select(expr(
-      s"stack(${cols.length}, " +
-        cols.map { case (n, e) => s"'$n', $e" }.mkString(", ") +
-        ") AS (col_name, v)"))
-    val h = stacked.select(col("col_name"),
-      expr(Hashing.sparkHash("v")).as("h"))
-    // the register table is ≤ |cols|·256 rows and feeds BOTH the estimate
-    // and the filled-count — materialize it once or each consumer re-runs
-    // the full stack+hash pass over the fact
-    val regs = HyperLogLog.regsOfKeyed(h, "col_name").localCheckpoint()
-    // the key frame is the static column list — deriving it from `h`
-    // would re-run the whole stack+md5 pipeline a second time just to
-    // learn 5 names
-    import s.implicits._
-    val keyFrame = cols.map(_._1).toDF("col_name")
-    val est = HyperLogLog.estOfKeyed(s, keyFrame, regs,
-      Seq("col_name"), "est_distinct")
-    val filled = regs.groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_filled_regs"))
-    // exact verification side: five independent column-pruned
-    // single-distinct aggregates, unioned into ONE job (the union is one
-    // plan — the branches run as parallel stages). Measured against the
-    // alternatives at sf0.1 (r11 profiling): this union reads 0.77 s vs
-    // 1.6 s for a stacked-frame groupBy+distinct (string casts + a wide
-    // (col_name, v) shuffle) and 1.0 s for the multi-distinct Expand
-    // form — and with columnar parquet the five pruned branches read the
-    // SAME total column bytes as one 5-column scan, so the "five scans"
-    // cost no extra IO at 100 TB either. Native types (longs/dates —
-    // string casting is injective on these domains, so counts agree with
-    // the stacked form the sketch hashes). The query's real floor is the
-    // sketch side's md5 parity hash (stack 0.7 s → stack+hash 3.1 s at
-    // sf0.1) — inherent to cross-engine verification, see
-    // [[graft.ext.Hashing]].
-    val exactExprs = Seq(
+    // DISTINCT-BEFORE-HASH: an HLL register is max(rho(h)) over the
+    // VALUE SET — duplicates are idempotent — so the md5 parity hash
+    // (the measured floor of this query: 3.1 of its 5.2 s at r11) runs
+    // over the ~|Σ distinct| frame instead of 5×|fact| stacked rows.
+    // The same distinct branches feed the exact verification counts, so
+    // the whole profile costs: five column-pruned NATIVE-TYPE distincts
+    // (one union job, map-side partial aggregation, and with columnar
+    // parquet the five branches read the same bytes as one 5-column
+    // scan), one bounded hash+register fold, one 5-row join.
+    val dcols = Seq(
       "l_orderkey" -> col("l_orderkey"),
       "l_partkey" -> col("l_partkey"),
       "l_suppkey" -> col("l_suppkey"),
       "l_returnflag" -> col("l_returnflag"),
       "l_shipdate" -> to_date(col("l_shipdate")))
-    val exact = exactExprs.map { case (n, e) =>
-      Tables.lineitem(s, d)
-        .agg(graft.Det.exactDistinct(e).as("true_distinct"))
-        .withColumn("col_name", lit(n))
-    }.reduce(_.unionByName(_))
+    // materialized once: est, filled-count and exact-count all read it.
+    // The frame is bounded by the distinct-value set — the working set
+    // the EXACT verification side inherently carries; a production
+    // profile at 100 TB drops that side (it exists to verify the
+    // sketch) and folds map-side HLL partials with no distinct at all.
+    val distinctVals = dcols.map { case (n, e) =>
+      Tables.lineitem(s, d).select(e.as("dv")).distinct()
+        .select(lit(n).as("col_name"), col("dv").cast("string").as("v"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val h = distinctVals.select(col("col_name"),
+      expr(Hashing.sparkHash("v")).as("h"))
+    val regs = HyperLogLog.regsOfKeyed(h, "col_name").localCheckpoint()
+    import s.implicits._
+    val keyFrame = dcols.map(_._1).toDF("col_name")
+    val est = HyperLogLog.estOfKeyed(s, keyFrame, regs,
+      Seq("col_name"), "est_distinct")
+    val filled = regs.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_filled_regs"))
+    val exact = distinctVals.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("true_distinct"))
     est.join(filled, "col_name").join(exact, "col_name")
       .withColumn("regime",
         when(col("est_distinct") < 2.5 * HyperLogLog.M, lit("linear_counting"))
@@ -431,6 +416,7 @@ object QcOps {
         col("regime"), col("true_distinct"))
       .orderBy(col("col_name"))
   }
+
 
   /** Referential-integrity audit over every FK edge of the star schema —
     * the load-gate a warehouse runs before publishing a snapshot
@@ -721,11 +707,11 @@ object QcOps {
       import graft.ext.{Hashing, HyperLogLog}
       val m = HyperLogLog.M
       s"""WITH stacked AS (
-         |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
-         |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
-         |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
-         |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
-         |  UNION ALL SELECT 'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem),
+         |  SELECT DISTINCT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT DISTINCT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT DISTINCT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT DISTINCT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL SELECT DISTINCT 'l_shipdate', CAST(CAST(l_shipdate AS DATE) AS VARCHAR) FROM lineitem),
          |h AS (SELECT col_name, ${Hashing.duckHash("v")} AS h FROM stacked),
          |regs AS (
          |  SELECT col_name, CAST(h % $m AS INT) AS bucket,
@@ -746,7 +732,7 @@ object QcOps {
          |fl AS (
          |  SELECT col_name, COUNT(*) AS n_filled_regs FROM regs GROUP BY 1),
          |exact AS (
-         |  SELECT col_name, COUNT(DISTINCT v) AS true_distinct
+         |  SELECT col_name, COUNT(*) AS true_distinct
          |  FROM stacked GROUP BY 1)
          |SELECT est.col_name, est_distinct, n_filled_regs,
          |       CASE WHEN est_distinct < 2.5 * $m THEN 'linear_counting'
