@@ -1369,9 +1369,16 @@ object Similarity {
     * the distance table, ADC-shortlist, exact re-rank.
     */
   private[graft] def pqServe(s: SparkSession, d: String,
-      enc: DataFrame): DataFrame = {
+      enc: DataFrame): DataFrame =
+    pqServeWith(s, d, enc, pqCodebook(s, d))
+
+  /** [[pqServe]] with an explicit codebook source — the serving path a
+    * persisted index uses (codebook loaded from its store, never from
+    * the corpus).
+    */
+  private[graft] def pqServeWith(s: SparkSession, d: String,
+      enc: DataFrame, sub: (Int, Int) => String): DataFrame = {
     val qv = quantized(s, d)
-    val sub = pqCodebook(s, d)
     def l2 = pqL2 _
     // distance table: every (query, subspace, code) exact L2
     val centFrame = (0 until PQ_M).flatMap(m => (0 until PQ_KS).map(c =>
@@ -1485,6 +1492,57 @@ object Similarity {
     * the baseline that isolates PQ's quantization loss from any metric
     * mismatch (ExtensionSpec recall pin; not registered as a query).
     */
+  /** The PERSISTED-INDEX serving story ([[pqTopK]]'s production twin):
+    * [[pqTopK]] re-derives codebook and codes in-plan every run — right
+    * for verified replayability, wrong as the serving path. Here the two
+    * index artifacts are built ONCE and written as parquet (codes:
+    * (vec_id, m, c) — 4 bits per subspace; codebook: the KS init
+    * vectors), fingerprinted by corpus identity + PQ geometry; every
+    * subsequent call LOADS them and serves: distance table from the
+    * stored codebook, ADC over the stored codes, exact re-rank. The
+    * serving plan therefore contains NO encode stage and no
+    * corpus-derived codebook collect (PlanSpec pins both), which is
+    * exactly how a FAISS/ScaNN index deploys — train offline, ship
+    * artifacts, serve from them.
+    *
+    * At 100 TB the codes artifact is ~corpus/64 bytes partitioned like
+    * the corpus, the codebook is KB-sized and broadcast; refreshing the
+    * index is a scheduled rebuild, not a per-query cost.
+    */
+  def pqServeFromStore(s: SparkSession, d: String): DataFrame = {
+    val (codesDir, cbDir) = pqEnsureIndex(s, d)
+    val cbRows = s.read.parquet(cbDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(cbRows.length == PQ_KS, s"persisted codebook has ${cbRows.length} entries")
+    val sub = (m: Int, c: Int) =>
+      cbRows(c)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        .map(v => s"${v}L").mkString("array(", ",", ")")
+    pqServeWith(s, d, s.read.parquet(codesDir), sub)
+  }
+
+  /** Build-if-absent for the two PQ index artifacts. The directory name
+    * fingerprints corpus identity (path + file length + mtime) and index
+    * geometry, so a changed corpus or config trains a fresh index
+    * instead of serving stale codes.
+    */
+  private[graft] def pqEnsureIndex(s: SparkSession, d: String): (String, String) = {
+    val emb = new java.io.File(s"$d/embeddings.parquet")
+    val fpSrc = s"$d|${emb.length}|${emb.lastModified}|$PQ_M|$PQ_KS|$QSCALE"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpSrc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_pq_index_$fp")
+    val codes = new java.io.File(root, "codes")
+    val cb = new java.io.File(root, "codebook")
+    def committed(f: java.io.File) = new java.io.File(f, "_SUCCESS").exists
+    if (!committed(codes) || !committed(cb)) {
+      quantized(s, d).filter(col("vec_id") < PQ_KS)
+        .write.mode("overwrite").parquet(cb.toString)
+      pqEncode(s, d).write.mode("overwrite").parquet(codes.toString)
+    }
+    (codes.toString, cb.toString)
+  }
+
   private[graft] def pqExactL2TopK(s: SparkSession, d: String): DataFrame = {
     val qv = quantized(s, d)
     val q = qv.filter(col("vec_id") < 5)
@@ -1672,6 +1730,7 @@ object Similarity {
     "sim_hybrid_rrf" -> hybridRrf,
     "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
+    "sim_pq_serve" -> pqServeFromStore,
     "sim_pq_distortion" -> pqDistortion,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
@@ -2010,6 +2069,7 @@ object Similarity {
          |FROM f QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim_ivfpq_topk" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
+    "sim_pq_serve" -> pqOracle,
     "sim_pq_distortion" ->
       s"""WITH qi AS (
          |  SELECT vec_id,

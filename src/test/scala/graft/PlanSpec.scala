@@ -551,4 +551,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("sim_pq_serve plan serves from the persisted index: no training stages") {
+    val (codesDir, cbDir) = ext.Similarity.pqEnsureIndex(spark, sf)
+    val p = plan("sim_pq_serve")
+    assert(p.contains("graft_pq_index"),
+      "serving plan must scan the persisted codes artifact\n" + p.take(800))
+    // the PQ ENCODE argmin fold (train-time signature) must be absent —
+    // codes come from disk, not recomputed in-plan
+    assert(!p.contains("acc.dist"),
+      "serving plan contains the encode argmin fold — index not used")
+    // and the codebook came from its store, not a corpus collect: the
+    // persisted artifacts exist and carry parquet commit markers
+    assert(new java.io.File(codesDir, "_SUCCESS").exists
+      && new java.io.File(cbDir, "_SUCCESS").exists)
+    // serving result equals the train-in-plan twin (the round-trip
+    // fidelity claim, end to end)
+    val serve = SparkEntry.queries("sim_pq_serve")(spark, sf).collect().toSeq
+    val twin = SparkEntry.queries("sim_pq_topk")(spark, sf).collect().toSeq
+    assert(serve == twin, s"persisted-index serve diverged: ${serve.size} vs ${twin.size}")
+  }
+
 }
