@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: cosine similarity of two float vectors in a
   * single fused, codegen'd loop (dot product + both norms in one pass).
@@ -85,6 +85,71 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: EXACT squared L2 distance between two
+  * integer (quantized-grid) vectors in one codegen'd loop — the hot path
+  * of graph-ANN build/search and the PQ re-rank, where the interpreted
+  * `aggregate(zip_with(...))` fold costs ~12 µs/pair in lambda dispatch.
+  * All arithmetic is BIGINT (grid values ≤ 2^14 → the 64-dim sum is
+  * ≤ 2^36), so interpreted, codegen'd and DuckDB list_reduce paths are
+  * bit-identical by construction — no float anywhere.
+  */
+case class IntL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int_l2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $dd = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $dd * $dd;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Registers graft_cosine(a, b) in the session's function registry so it
     * is usable from SQL text and expr(...) — the Spark-4-clean way to
@@ -103,6 +168,8 @@ object VectorExprs {
       exprs => CosineSim(exprs(0), exprs(1)))
     ensure(s, "graft_minhash", classOf[MinHashSig].getName,
       exprs => MinHashSig(exprs.head, MinHashSig.K, MinHashSig.M))
+    ensure(s, "graft_int_l2", classOf[IntL2].getName,
+      exprs => IntL2(exprs(0), exprs(1)))
   }
 
   private def ensure(s: SparkSession, name: String, className: String,

@@ -1241,6 +1241,10 @@ object Similarity {
   // ---- Product quantization (ADC) top-k ---------------------------------
 
   private val PQ_M = 8      // subspaces (64 dims / 8 = 8 dims each)
+  /** Graph-ANN geometry: fine-layer degree, search beam, walk hops. */
+  private[graft] val G_K = 8
+  private[graft] val G_BEAM = 24
+  private[graft] val G_HOPS = 6
   private val PQ_KS = 16    // codes per subspace → 4 bits/code
   private val PQ_SUB = 8    // dims per subspace
   private val PQ_SHORT = 100 // ADC shortlist re-ranked exactly
@@ -1492,6 +1496,88 @@ object Similarity {
     * the baseline that isolates PQ's quantization loss from any metric
     * mismatch (ExtensionSpec recall pin; not registered as a query).
     */
+  /** Graph-based ANN — the third index paradigm beside partition
+    * ([[ivfTopK]]) and quantization ([[pqTopK]]): a small-world neighbor
+    * graph searched by GREEDY BEAM WALK (the NSW/HNSW serving shape).
+    * Two layers, built like HNSW thinks: a FINE layer of each corpus
+    * vector's G_K nearest neighbors mined inside its label block (the
+    * [[mutualNN]] candidate discipline — at 100 TB this build is
+    * NN-descent or IVF-blocked, an offline job; the search below is the
+    * subject here), and a COARSE hub layer linking the entry node to
+    * each label's representative — the long-range hops that make the
+    * graph navigable from one entry point. Search: start at the entry,
+    * and for G_HOPS rounds expand the current G_BEAM best candidates
+    * through their edges, score newcomers with EXACT integer L2 on the
+    * 2^14-quantized grid, and min-merge into the visited set; the final
+    * top-10 ranks the visited set. Every distance is an exact BIGINT
+    * fold and every beam/rank window tie-breaks on id, so DuckDB
+    * replays build + all hops bit-for-bit (unrolled CTEs, the
+    * [[ivfAssignCtes]] discipline). ExtensionSpec pins recall@10
+    * against the brute L2 answer.
+    *
+    * Scale shape: the walk touches O(G_BEAM · G_K) vectors per hop per
+    * query — independent of corpus size, THE property that makes graph
+    * ANN the serving default (FAISS HNSW, Vespa, Lucene). Frontier
+    * expansion is a broadcast-size join per hop; the visited set is
+    * checkpointed per hop so the unrolled plan stays flat.
+    */
+  def graphAnn(s: SparkSession, d: String): DataFrame = {
+    graft.expr.VectorExprs.register(s)
+    // codegen'd native expression — exact BIGINT fold, bit-identical to
+    // the interpreted HOF form and DuckDB's list_reduce (integers only)
+    def l2(a: String, b: String): String = s"graft_int_l2($a, $b)"
+    val qv = quantizedWithLabel(s, d).localCheckpoint()
+    val corpus = qv.filter(col("vec_id") >= 5)
+    val queries = qv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val intra = corpus.select(col("vec_id").as("src"), col("label"),
+        col("iv").as("siv"))
+      .join(corpus.select(col("vec_id").as("dst"), col("label"),
+        col("iv").as("div")), Seq("label"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("el2", expr(l2("siv", "div")))
+    val wE = Window.partitionBy(col("src")).orderBy(col("el2"), col("dst"))
+    val fine = intra.withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= G_K).select(col("src"), col("dst"))
+    val entry = corpus.agg(min(col("vec_id")).as("src"))
+    val coarse = entry.crossJoin(
+      corpus.groupBy(col("label")).agg(min(col("vec_id")).as("dst")))
+      .select(col("src"), col("dst"))
+    val edges = fine.unionByName(coarse).distinct().localCheckpoint()
+    val civs = corpus.select(col("vec_id").as("cand_id"), col("iv").as("civ"))
+    var cand = queries
+      .crossJoin(broadcast(entry.select(col("src").as("cand_id"))))
+      .join(civs, "cand_id")
+      .withColumn("l2v", expr(l2("qiv", "civ")))
+      .select(col("qid"), col("cand_id"), col("l2v"))
+      .coalesce(1)
+      .localCheckpoint()
+    for (_ <- 1 to G_HOPS) {
+      val wB = Window.partitionBy(col("qid")).orderBy(col("l2v"), col("cand_id"))
+      val frontier = cand.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= G_BEAM).select(col("qid"), col("cand_id"))
+      val scored = frontier
+        .join(edges.withColumnRenamed("src", "cand_id"), "cand_id")
+        .select(col("qid"), col("dst").as("cand_id")).distinct()
+        .join(civs, "cand_id").join(queries, "qid")
+        .withColumn("l2v", expr(l2("qiv", "civ")))
+        .select(col("qid"), col("cand_id"), col("l2v"))
+      // the visited set is O(queries x beam x degree) rows — single-task
+      // land: coalesce(1) turns each hop's window+merge into one stage
+      // instead of 32-partition shuffles of a few hundred rows
+      cand = cand.unionByName(scored)
+        .groupBy(col("qid"), col("cand_id"))
+        .agg(min(col("l2v")).as("l2v"))
+        .coalesce(1)
+        .localCheckpoint()
+    }
+    val wR = Window.partitionBy(col("qid")).orderBy(col("l2v"), col("cand_id"))
+    cand.withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"), col("rank"), col("l2v").as("l2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** The PERSISTED-INDEX serving story ([[pqTopK]]'s production twin):
     * [[pqTopK]] re-derives codebook and codes in-plan every run — right
     * for verified replayability, wrong as the serving path. Here the two
@@ -1731,6 +1817,7 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
     "sim_pq_serve" -> pqServeFromStore,
+    "sim_graph_ann" -> graphAnn,
     "sim_pq_distortion" -> pqDistortion,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
@@ -2070,6 +2157,124 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
     "sim_pq_serve" -> pqOracle,
+    "sim_graph_ann" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, label,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
+         |  FROM embeddings),
+         |corpus AS (SELECT * FROM q WHERE vec_id >= 5),
+         |queries AS (SELECT vec_id AS qid, iv AS qiv FROM q WHERE vec_id < 5),
+         |intra AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, list_reduce(list_prepend(CAST(0 AS BIGINT), [(a.iv[i] - b.iv[i]) * (a.iv[i] - b.iv[i]) for i in range(1, len(a.iv) + 1)]), (acc, v) -> acc + v) AS el2
+         |  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |fine AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY el2, dst) AS rn
+         |    FROM intra) WHERE rn <= 8),
+         |entry AS (SELECT MIN(vec_id) AS src FROM corpus),
+         |coarse AS (
+         |  SELECT entry.src, reps.dst FROM entry CROSS JOIN
+         |    (SELECT label, MIN(vec_id) AS dst FROM corpus GROUP BY label) reps),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT * FROM fine UNION ALL SELECT * FROM coarse)),
+         |cand0 AS (
+         |  SELECT qid, c.vec_id AS cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(qiv[i] - c.iv[i]) * (qiv[i] - c.iv[i]) for i in range(1, len(qiv) + 1)]), (acc, v) -> acc + v) AS l2v
+         |  FROM queries CROSS JOIN entry JOIN corpus c ON c.vec_id = entry.src),
+         |front1 AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |    FROM cand0) WHERE rn <= 24),
+         |exp1 AS (
+         |  SELECT DISTINCT f.qid, e.dst AS cand_id
+         |  FROM front1 f JOIN edges e ON e.src = f.cand_id),
+         |sc1 AS (
+         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
+         |  FROM exp1 x JOIN corpus c ON c.vec_id = x.cand_id
+         |  JOIN queries ON queries.qid = x.qid),
+         |cand1 AS (
+         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
+         |    SELECT * FROM cand0 UNION ALL SELECT * FROM sc1) GROUP BY 1, 2),
+         |front2 AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |    FROM cand1) WHERE rn <= 24),
+         |exp2 AS (
+         |  SELECT DISTINCT f.qid, e.dst AS cand_id
+         |  FROM front2 f JOIN edges e ON e.src = f.cand_id),
+         |sc2 AS (
+         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
+         |  FROM exp2 x JOIN corpus c ON c.vec_id = x.cand_id
+         |  JOIN queries ON queries.qid = x.qid),
+         |cand2 AS (
+         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
+         |    SELECT * FROM cand1 UNION ALL SELECT * FROM sc2) GROUP BY 1, 2),
+         |front3 AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |    FROM cand2) WHERE rn <= 24),
+         |exp3 AS (
+         |  SELECT DISTINCT f.qid, e.dst AS cand_id
+         |  FROM front3 f JOIN edges e ON e.src = f.cand_id),
+         |sc3 AS (
+         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
+         |  FROM exp3 x JOIN corpus c ON c.vec_id = x.cand_id
+         |  JOIN queries ON queries.qid = x.qid),
+         |cand3 AS (
+         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
+         |    SELECT * FROM cand2 UNION ALL SELECT * FROM sc3) GROUP BY 1, 2),
+         |front4 AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |    FROM cand3) WHERE rn <= 24),
+         |exp4 AS (
+         |  SELECT DISTINCT f.qid, e.dst AS cand_id
+         |  FROM front4 f JOIN edges e ON e.src = f.cand_id),
+         |sc4 AS (
+         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
+         |  FROM exp4 x JOIN corpus c ON c.vec_id = x.cand_id
+         |  JOIN queries ON queries.qid = x.qid),
+         |cand4 AS (
+         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
+         |    SELECT * FROM cand3 UNION ALL SELECT * FROM sc4) GROUP BY 1, 2),
+         |front5 AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |    FROM cand4) WHERE rn <= 24),
+         |exp5 AS (
+         |  SELECT DISTINCT f.qid, e.dst AS cand_id
+         |  FROM front5 f JOIN edges e ON e.src = f.cand_id),
+         |sc5 AS (
+         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
+         |  FROM exp5 x JOIN corpus c ON c.vec_id = x.cand_id
+         |  JOIN queries ON queries.qid = x.qid),
+         |cand5 AS (
+         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
+         |    SELECT * FROM cand4 UNION ALL SELECT * FROM sc5) GROUP BY 1, 2),
+         |front6 AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |    FROM cand5) WHERE rn <= 24),
+         |exp6 AS (
+         |  SELECT DISTINCT f.qid, e.dst AS cand_id
+         |  FROM front6 f JOIN edges e ON e.src = f.cand_id),
+         |sc6 AS (
+         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
+         |  FROM exp6 x JOIN corpus c ON c.vec_id = x.cand_id
+         |  JOIN queries ON queries.qid = x.qid),
+         |cand6 AS (
+         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
+         |    SELECT * FROM cand5 UNION ALL SELECT * FROM sc6) GROUP BY 1, 2)
+         |SELECT qid, cand_id, CAST(rn AS BIGINT) AS rank, l2v AS l2 FROM (
+         |  SELECT qid, cand_id, l2v,
+         |         row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |  FROM cand6) WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
     "sim_pq_distortion" ->
       s"""WITH qi AS (
          |  SELECT vec_id,
