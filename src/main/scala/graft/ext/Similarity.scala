@@ -1382,6 +1382,7 @@ object Similarity {
     */
   private[graft] def pqServeWith(s: SparkSession, d: String,
       enc: DataFrame, sub: (Int, Int) => String): DataFrame = {
+    graft.expr.VectorExprs.register(s)
     val qv = quantized(s, d)
     def l2 = pqL2 _
     // distance table: every (query, subspace, code) exact L2
@@ -1408,9 +1409,7 @@ object Similarity {
       .join(qv.select(col("vec_id").as("qid"), col("iv").as("qiv")), Seq("qid"))
       .join(qv.select(col("vec_id").as("cand_id"), col("iv").as("civ")),
         Seq("cand_id"))
-      .withColumn("l2", expr(
-        """aggregate(zip_with(qiv, civ, (x, y) -> (x - y) * (x - y)),
-          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin))
+      .withColumn("l2", expr("graft_int_l2(qiv, civ)"))
     val w = Window.partitionBy(col("qid")).orderBy(col("l2"), col("cand_id"))
     rer.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
@@ -1446,6 +1445,7 @@ object Similarity {
     * lookups.
     */
   def ivfpqTopK(s: SparkSession, d: String): DataFrame = {
+    graft.expr.VectorExprs.register(s)
     val (cent, assigned) = buildIvfIndex(s, d)
     val enc = pqEncode(s, d)
     val qv = quantizedOf(Tables.embeddings(s, d).filter(col("vec_id") < 5))
@@ -1481,9 +1481,7 @@ object Similarity {
         Seq("qid"))
       .join(corpus.select(col("vec_id").as("cand_id"), col("iv").as("civ")),
         Seq("cand_id"))
-      .withColumn("l2", expr(
-        """aggregate(zip_with(qiv, civ, (x, y) -> (x - y) * (x - y)),
-          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin))
+      .withColumn("l2", expr("graft_int_l2(qiv, civ)"))
     val w = Window.partitionBy(col("qid")).orderBy(col("l2"), col("cand_id"))
     rer.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
@@ -1630,15 +1628,14 @@ object Similarity {
   }
 
   private[graft] def pqExactL2TopK(s: SparkSession, d: String): DataFrame = {
+    graft.expr.VectorExprs.register(s)
     val qv = quantized(s, d)
     val q = qv.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"))
     val c = qv.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("iv").as("civ"))
     val scored = c.join(broadcast(q))
-      .withColumn("l2", expr(
-        """aggregate(zip_with(qiv, civ, (x, y) -> (x - y) * (x - y)),
-          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin))
+      .withColumn("l2", expr("graft_int_l2(qiv, civ)"))
     val w = Window.partitionBy(col("qid")).orderBy(col("l2"), col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)

@@ -368,6 +368,28 @@ object CoreOps {
     s.table("graft_cat.ns.dim").orderBy(col("k"))
   }
 
+  /** S12b — SQL UPDATE and DELETE statements through the same row-level
+    * operation machinery as [[mergeInto]]: Catalyst rewrites each into a
+    * group-based ReplaceData (RewriteUpdateTable / RewriteDeleteFromTable)
+    * against [[graft.sources.MemCatalog]]'s copy-on-write table — carried
+    * rows re-written, touched rows transformed or dropped, one atomic
+    * snapshot swap per statement. The oracle replays both statements as
+    * the CASE + filter they desugar to.
+    */
+  def sqlUpdateDelete(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.ns.ord")
+    s.sql("CREATE TABLE graft_cat.ns.ord (k BIGINT, status STRING, price DECIMAL(12,2))")
+    Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        expr("CAST(o_totalprice AS DECIMAL(12,2))").as("price"))
+      .createOrReplaceTempView("upddel_seed")
+    s.sql("INSERT INTO graft_cat.ns.ord SELECT * FROM upddel_seed")
+    s.sql("UPDATE graft_cat.ns.ord SET status = 'X' WHERE price > 150000")
+    s.sql("DELETE FROM graft_cat.ns.ord WHERE k % 10 = 3")
+    s.table("graft_cat.ns.ord").orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_schema_evolution" -> schemaEvolution,
     "s5_pipe_sql" -> pipeSql,
@@ -377,6 +399,7 @@ object CoreOps {
     "s10_dsv2_pushdown" -> dsv2Pushdown,
     "s11_dsv2_sink" -> dsv2Sink,
     "s12_merge_into" -> mergeInto,
+    "s12_update_delete" -> sqlUpdateDelete,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -392,6 +415,15 @@ object CoreOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "s12_update_delete" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |SELECT k,
+        |       CASE WHEN price > 150000 THEN 'X' ELSE status END AS status,
+        |       price
+        |FROM seed WHERE k % 10 <> 3 ORDER BY k""".stripMargin,
     "s12_merge_into" ->
       """WITH target AS (
         |  SELECT c_custkey AS k, c_name AS name,
