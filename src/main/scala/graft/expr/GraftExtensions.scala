@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_int_l2"),
+      new ExpressionInfo(classOf[IntL2].getName, "graft_int_l2"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_int_l2 requires exactly 2 arguments, got ${exprs.length}")
+        IntL2(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => {
