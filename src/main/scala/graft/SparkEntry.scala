@@ -45,6 +45,7 @@ object SparkEntry {
         "st_checksum_stream" -> streaming.StreamOps.checksumStream,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink,
         "st_dsv2_stream" -> streaming.StreamOps.dsv2Stream,
+        "st_merge_upsert" -> streaming.StreamOps.mergeUpsertStream,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -93,5 +94,14 @@ object SparkEntry {
           """SELECT i % 7 AS mod7, CAST(COUNT(*) AS BIGINT) AS n,
             |       CAST(SUM(i * i) AS BIGINT) AS sum_sq
             |FROM generate_series(0, 99999) AS t(i)
-            |GROUP BY 1 ORDER BY mod7""".stripMargin)
+            |GROUP BY 1 ORDER BY mod7""".stripMargin,
+        "st_merge_upsert" ->
+          """WITH t AS (
+            |  SELECT i, i % 50 AS user_id,
+            |         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'click'
+            |              WHEN 1 THEN 'view' ELSE 'purchase' END AS et
+            |  FROM generate_series(0, 9999) AS g(i))
+            |SELECT user_id, arg_max(et, i) AS last_type,
+            |       CAST(COUNT(*) AS BIGINT) AS n_events
+            |FROM t GROUP BY 1 ORDER BY user_id""".stripMargin)
 }

@@ -336,30 +336,6 @@ object EventOps {
       .withColumn("avg_k", col("sum_k").cast("double") / col("n_events"))
       .orderBy(col("event_type"))
 
-  /** The Spark-4 VARIANT twin of [[jsonProps]]: props parses ONCE into
-    * the binary VARIANT encoding (`parse_json`) and fields come out with
-    * `variant_get` path+type in one step — the open-format answer
-    * (Parquet/Delta/Iceberg variant shredding) to repeated
-    * string-re-parsing with get_json_object. Same aggregate surface, so
-    * the DuckDB JSON oracle verifies that the VARIANT path is a pure
-    * representation change: identical results, different storage story.
-    *
-    * Scale shape: one parse per row instead of one per extracted field,
-    * and a shredded variant column lets the scan prune to the accessed
-    * path — the reason warehouses moved semi-structured columns to this
-    * type.
-    */
-  def variantProps(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .withColumn("v", parse_json(col("props")))
-      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("k").cast("long")).as("sum_k"),
-        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      .withColumn("avg_k", col("sum_k").cast("double") / col("n_events"))
-      .orderBy(col("event_type"))
-
   /** Hourly volume anomaly detection: flag hours whose event count sits
     * more than 2σ from the event type's mean hourly count. Mean and
     * variance come from EXACT integer power sums (n, Σc, Σc²) — one
@@ -1138,7 +1114,6 @@ object EventOps {
     "ev_sessionize" -> sessionize,
     "ev_session_window" -> sessionWindowNative,
     "ev_json_props" -> jsonProps,
-    "ev_variant_props" -> variantProps,
     "ev_funnel" -> funnel,
     "ev_retention" -> retention
   )
@@ -1730,13 +1705,6 @@ object EventOps {
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
     "ev_json_props" ->
-      """SELECT event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-        |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-    "ev_variant_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,

@@ -1406,4 +1406,54 @@ object StreamOps {
     try q.awaitTermination() finally q.stop()
     ss.table("graft_stream_dsv2").orderBy(col("mod7"))
   }
+
+  /** Streaming CDC UPSERT — the warehouse-ingestion pattern that ties the
+    * connector legs together: the admission-controlled DSv2 stream
+    * delivers ≥4 genuine micro-batches, and EACH batch folds into the
+    * row-level-operation catalog table with a SQL MERGE (matched users
+    * update last_type and accumulate n_events; new users insert). The
+    * drained table must therefore equal the one-shot batch aggregate —
+    * which DuckDB replays from generate_series — so what the oracle
+    * certifies is the incremental-fold algebra: any dropped, doubled or
+    * misordered batch breaks either the counts or the last-writer field.
+    *
+    * Exactly-once caveat, stated honestly: MERGE accumulation is NOT
+    * idempotent under batch replay; the production form also records the
+    * max folded batch id in the target (or keys the merge on
+    * (user, batch)) and skips already-folded batches — the same
+    * batch-id-keyed discipline [[foreachBatchSink]] proves. The bounded
+    * AvailableNow drain here has no retries, so the verified surface is
+    * the fold itself.
+    */
+  def mergeUpsertStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    ss.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    ss.sql("DROP TABLE IF EXISTS graft_cat.ns.user_state")
+    ss.sql("CREATE TABLE graft_cat.ns.user_state " +
+      "(user_id BIGINT, last_type STRING, n_events BIGINT)")
+    val q = ss.readStream.format("graft.sources.SeqSource")
+      .option("rows", 10000).option("slices", 8).load()
+      .select(col("id"), (col("id") % 50).as("user_id"),
+        expr("CASE CAST(id % 3 AS INT) WHEN 0 THEN 'click' " +
+          "WHEN 1 THEN 'view' ELSE 'purchase' END").as("et"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.createOrReplaceTempView("graft_cdc_batch")
+        b.sparkSession.sql(
+          """MERGE INTO graft_cat.ns.user_state t
+            |USING (SELECT user_id, max_by(et, id) AS last_type,
+            |              COUNT(*) AS n_batch
+            |       FROM graft_cdc_batch GROUP BY user_id) s
+            |ON t.user_id = s.user_id
+            |WHEN MATCHED THEN UPDATE SET
+            |  t.last_type = s.last_type, t.n_events = t.n_events + s.n_batch
+            |WHEN NOT MATCHED THEN INSERT (user_id, last_type, n_events)
+            |  VALUES (s.user_id, s.last_type, s.n_batch)""".stripMargin)
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_cat.ns.user_state").orderBy(col("user_id"))
+  }
 }
