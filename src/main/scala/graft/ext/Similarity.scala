@@ -1445,9 +1445,18 @@ object Similarity {
     * lookups.
     */
   def ivfpqTopK(s: SparkSession, d: String): DataFrame = {
-    graft.expr.VectorExprs.register(s)
     val (cent, assigned) = buildIvfIndex(s, d)
-    val enc = pqEncode(s, d)
+    ivfpqServe(s, d, cent, assigned, pqEncode(s, d), pqCodebook(s, d))
+  }
+
+  /** The composed-index SERVING tail shared by the train-in-plan
+    * ([[ivfpqTopK]]) and persisted-index ([[ivfpqServeFromStore]])
+    * forms: probe → candidate lists → ADC over codes → exact re-rank.
+    */
+  private def ivfpqServe(s: SparkSession, d: String, cent: DataFrame,
+      assigned: DataFrame, enc: DataFrame,
+      sub: (Int, Int) => String): DataFrame = {
+    graft.expr.VectorExprs.register(s)
     val qv = quantizedOf(Tables.embeddings(s, d).filter(col("vec_id") < 5))
       .localCheckpoint() // reused by dtable and re-rank
     val probes = probeBuckets(s,
@@ -1455,7 +1464,6 @@ object Similarity {
     val cand = probes.join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"))
-    val sub = pqCodebook(s, d)
     val centFrame = (0 until PQ_M).flatMap(m => (0 until PQ_KS).map(c =>
       s"struct($m AS m, $c AS c, ${sub(m, c)} AS sub)"))
       .mkString("array(", ", ", ")")
@@ -1490,10 +1498,6 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Exact full-dimension integer L2 top-10 on the same quantized grid —
-    * the baseline that isolates PQ's quantization loss from any metric
-    * mismatch (ExtensionSpec recall pin; not registered as a query).
-    */
   /** Graph-based ANN — the third index paradigm beside partition
     * ([[ivfTopK]]) and quantization ([[pqTopK]]): a small-world neighbor
     * graph searched by GREEDY BEAM WALK (the NSW/HNSW serving shape).
@@ -1627,6 +1631,54 @@ object Similarity {
     (codes.toString, cb.toString)
   }
 
+  /** Persisted-index serving for the COMPOSED IVF∘PQ index
+    * ([[ivfpqTopK]]'s production twin, completing what [[pqServeFromStore]]
+    * started): all four index artifacts — trained coarse centroids,
+    * corpus bucket assignment, PQ codes, PQ codebook — load from their
+    * fingerprinted parquet stores, and the plan runs ONLY the serving
+    * tail: probe the stored centroids, pull candidates from the stored
+    * inverted lists, ADC against the stored codes, exact re-rank.
+    * PlanSpec pins both store paths in the plan, the absence of any
+    * training stage, and row-identity with the train-in-plan twin.
+    */
+  def ivfpqServeFromStore(s: SparkSession, d: String): DataFrame = {
+    val (centDir, assignDir) = ivfEnsureIndex(s, d)
+    val (codesDir, cbDir) = pqEnsureIndex(s, d)
+    val cbRows = s.read.parquet(cbDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(cbRows.length == PQ_KS, s"persisted codebook has ${cbRows.length} entries")
+    val sub = (m: Int, c: Int) =>
+      cbRows(c)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        .map(v => s"${v}L").mkString("array(", ",", ")")
+    ivfpqServe(s, d, s.read.parquet(centDir), s.read.parquet(assignDir),
+      s.read.parquet(codesDir), sub)
+  }
+
+  /** Build-if-absent for the IVF artifacts (trained centroids + corpus
+    * assignment), fingerprinted like [[pqEnsureIndex]].
+    */
+  private[graft] def ivfEnsureIndex(s: SparkSession, d: String): (String, String) = {
+    val emb = new java.io.File(s"$d/embeddings.parquet")
+    val fpSrc = s"$d|${emb.length}|${emb.lastModified}|ivf|$QSCALE"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpSrc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_index_$fp")
+    val centDir = new java.io.File(root, "centroids")
+    val assignDir = new java.io.File(root, "assignment")
+    def committed(f: java.io.File) = new java.io.File(f, "_SUCCESS").exists
+    if (!committed(centDir) || !committed(assignDir)) {
+      val (cent, assigned) = buildIvfIndex(s, d)
+      cent.write.mode("overwrite").parquet(centDir.toString)
+      assigned.write.mode("overwrite").parquet(assignDir.toString)
+    }
+    (centDir.toString, assignDir.toString)
+  }
+
+  /** Exact full-dimension integer L2 top-10 on the same quantized grid —
+    * the baseline that isolates PQ's quantization loss from any metric
+    * mismatch (ExtensionSpec recall pin; not registered as a query).
+    */
   private[graft] def pqExactL2TopK(s: SparkSession, d: String): DataFrame = {
     graft.expr.VectorExprs.register(s)
     val qv = quantized(s, d)
@@ -1815,6 +1867,7 @@ object Similarity {
     "sim_pq_topk" -> pqTopK,
     "sim_pq_serve" -> pqServeFromStore,
     "sim_graph_ann" -> graphAnn,
+    "sim_ivfpq_serve" -> ivfpqServeFromStore,
     "sim_pq_distortion" -> pqDistortion,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
@@ -2152,6 +2205,7 @@ object Similarity {
          |  CAST(sparse_rank AS BIGINT) AS sparse_rank, shared, rrf
          |FROM f QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim_ivfpq_topk" -> ivfpqOracle,
+    "sim_ivfpq_serve" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
     "sim_pq_serve" -> pqOracle,
     "sim_graph_ann" ->

@@ -552,6 +552,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("sim_ivfpq_serve plan loads all four index artifacts: no training stages") {
+    ext.Similarity.ivfEnsureIndex(spark, sf)
+    ext.Similarity.pqEnsureIndex(spark, sf)
+    val p = plan("sim_ivfpq_serve")
+    assert(p.contains("graft_ivf_index") && p.contains("graft_pq_index"),
+      "serving plan must scan the persisted IVF and PQ artifacts\n" + p.take(800))
+    assert(!p.contains("acc.dist"),
+      "serving plan contains the PQ encode argmin fold - index not used")
+    val serve = SparkEntry.queries("sim_ivfpq_serve")(spark, sf).collect().toSeq
+    val twin = SparkEntry.queries("sim_ivfpq_topk")(spark, sf).collect().toSeq
+    assert(serve == twin,
+      s"persisted composed-index serve diverged: ${serve.size} vs ${twin.size}")
+  }
+
   test("sim_pq_serve plan serves from the persisted index: no training stages") {
     val (codesDir, cbDir) = ext.Similarity.pqEnsureIndex(spark, sf)
     val p = plan("sim_pq_serve")
