@@ -1417,20 +1417,35 @@ object StreamOps {
     * certifies is the incremental-fold algebra: any dropped, doubled or
     * misordered batch breaks either the counts or the last-writer field.
     *
-    * Exactly-once caveat, stated honestly: MERGE accumulation is NOT
-    * idempotent under batch replay; the production form also records the
-    * max folded batch id in the target (or keys the merge on
-    * (user, batch)) and skips already-folded batches — the same
-    * batch-id-keyed discipline [[foreachBatchSink]] proves. The bounded
-    * AvailableNow drain here has no retries, so the verified surface is
-    * the fold itself.
+    * Exactly-once under REPLAY: MERGE accumulation alone is not
+    * idempotent, so the fold keeps a batch-id LEDGER next to the target —
+    * a replayed batch (offsets committed only after foreachBatch returns,
+    * so a crash mid-drain re-delivers the in-flight batch id) hits the
+    * ledger and is skipped instead of double-counted. StreamingSpec
+    * proves it: a query killed AFTER batch 2's fold lands (but before its
+    * offset commit) resumes from checkpoint, re-receives batch 2, skips
+    * it, and drains to exactly the uninterrupted result. Residual honesty:
+    * fold and ledger-append are two writes, so a crash BETWEEN them still
+    * double-counts on replay — closing that window needs the data and the
+    * ledger in ONE atomic snapshot commit, which is precisely what
+    * transactional table formats (Delta/Iceberg) add over this two-table
+    * form.
     */
-  def mergeUpsertStream(s: SparkSession, d: String): DataFrame = {
+  def mergeUpsertStream(s: SparkSession, d: String): DataFrame =
+    mergeUpsertStreamInto(s, d, "user_state", (_, _) => ())
+
+  /** [[mergeUpsertStream]] parameterized for the restart spec: target
+    * table name and a post-fold hook (the spec's crash injection point —
+    * AFTER the fold + ledger land, BEFORE the offset commit).
+    */
+  private[graft] def mergeUpsertStreamInto(s: SparkSession, d: String,
+      table: String, afterFold: (Long, SparkSession) => Unit): DataFrame = {
     val ss = tuned(s)
     ss.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
-    ss.sql("DROP TABLE IF EXISTS graft_cat.ns.user_state")
-    ss.sql("CREATE TABLE graft_cat.ns.user_state " +
+    ss.sql(s"CREATE TABLE IF NOT EXISTS graft_cat.ns.$table " +
       "(user_id BIGINT, last_type STRING, n_events BIGINT)")
+    ss.sql(s"CREATE TABLE IF NOT EXISTS graft_cat.ns.${table}_foldlog " +
+      "(batch_id BIGINT)")
     val q = ss.readStream.format("graft.sources.SeqSource")
       .option("rows", 10000).option("slices", 8).load()
       .select(col("id"), (col("id") % 50).as("user_id"),
@@ -1438,22 +1453,29 @@ object StreamOps {
           "WHEN 1 THEN 'view' ELSE 'purchase' END").as("et"))
       .writeStream.outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        b.createOrReplaceTempView("graft_cdc_batch")
-        b.sparkSession.sql(
-          """MERGE INTO graft_cat.ns.user_state t
-            |USING (SELECT user_id, max_by(et, id) AS last_type,
-            |              COUNT(*) AS n_batch
-            |       FROM graft_cdc_batch GROUP BY user_id) s
-            |ON t.user_id = s.user_id
-            |WHEN MATCHED THEN UPDATE SET
-            |  t.last_type = s.last_type, t.n_events = t.n_events + s.n_batch
-            |WHEN NOT MATCHED THEN INSERT (user_id, last_type, n_events)
-            |  VALUES (s.user_id, s.last_type, s.n_batch)""".stripMargin)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val bs = b.sparkSession
+        val replayed = bs.table(s"graft_cat.ns.${table}_foldlog")
+          .filter(col("batch_id") === id).count() > 0
+        if (!replayed) {
+          b.createOrReplaceTempView("graft_cdc_batch")
+          bs.sql(
+            s"""MERGE INTO graft_cat.ns.$table t
+               |USING (SELECT user_id, max_by(et, id) AS last_type,
+               |              COUNT(*) AS n_batch
+               |       FROM graft_cdc_batch GROUP BY user_id) s
+               |ON t.user_id = s.user_id
+               |WHEN MATCHED THEN UPDATE SET
+               |  t.last_type = s.last_type, t.n_events = t.n_events + s.n_batch
+               |WHEN NOT MATCHED THEN INSERT (user_id, last_type, n_events)
+               |  VALUES (s.user_id, s.last_type, s.n_batch)""".stripMargin)
+          bs.sql(s"INSERT INTO graft_cat.ns.${table}_foldlog VALUES ($id)")
+        }
+        afterFold(id, bs)
         ()
       }
       .start()
     try q.awaitTermination() finally q.stop()
-    ss.table("graft_cat.ns.user_state").orderBy(col("user_id"))
+    ss.table(s"graft_cat.ns.$table").orderBy(col("user_id"))
   }
 }

@@ -681,4 +681,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("CDC MERGE fold is exactly-once under batch replay (ledger skips the re-delivered batch)") {
+    // kill the query AFTER batch 2's fold + ledger append land. The
+    // second run replays the WHOLE deterministic source from offset 0
+    // (fresh checkpoint) — strictly harsher than a checkpoint resume,
+    // which would re-deliver only batch 2 — and the ledger must skip
+    // every already-folded batch: the drained target equals the
+    // uninterrupted control with no double-counted users
+    var armed = true
+    intercept[Exception] {
+      graft.streaming.StreamOps.mergeUpsertStreamInto(spark, TestSpark.sf,
+        "us_replay", (id, _) => if (armed && id == 2)
+          throw new RuntimeException("injected crash after fold"))
+    }
+    armed = false
+    val resumed = graft.streaming.StreamOps.mergeUpsertStreamInto(spark,
+      TestSpark.sf, "us_replay", (_, _) => ()).collect().toSeq
+    val control = graft.streaming.StreamOps.mergeUpsertStreamInto(spark,
+      TestSpark.sf, "us_control", (_, _) => ()).collect().toSeq
+    assert(resumed.nonEmpty && resumed == control,
+      s"replayed fold diverged from control: ${resumed.take(3)} vs ${control.take(3)}")
+  }
+
 }
