@@ -1083,7 +1083,40 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** MATCH_RECOGNIZE-style row-pattern matching (the SQL:2016 feature
+    * Flink/Trino expose; Spark has no native operator): each user's
+    * event stream becomes an ordered symbol path (v/c/p/s/e), and
+    * regex patterns over that path count non-overlapping funnel
+    * completions `vc*p` (view → any clicks → purchase) and abandonments
+    * `vc*e` (view → clicks → error) per user. The patterns are
+    * star-height-1 and alternation-free, so greedy-backtracking (Java)
+    * and leftmost-longest (RE2/DuckDB) semantics provably coincide —
+    * each candidate start position admits at most one match extent.
+    *
+    * Scale shape: one shuffle (the per-user collect), then the
+    * sort/transform/regex pipeline is per-row work bounded by a user's
+    * own event count — the same envelope as [[pathTrigrams]]. At 100 TB
+    * the path string never leaves its executor; only the fixed-width
+    * per-user counters come back.
+    */
+  def matchRecognize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' " +
+            "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' " +
+            "ELSE 'e' END").as("ch")).as("ev"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("ev"))).as("evs"))
+      .withColumn("path", expr("concat_ws('', transform(evs, x -> x.ch))"))
+      .select(col("user_id"),
+        length(col("path")).cast("long").as("n_events"),
+        expr("CAST(regexp_count(path, 'vc*p') AS BIGINT)").as("n_convert"),
+        expr("CAST(regexp_count(path, 'vc*e') AS BIGINT)").as("n_abandon"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_match_recognize" -> matchRecognize,
     "ev_attribution_linear" -> attributionLinear,
     "ev_decay_score" -> decayScore,
     "ev_day_jaccard" -> dayJaccard,
@@ -1119,6 +1152,21 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_match_recognize" ->
+      """WITH sym AS (
+        |  SELECT user_id,
+        |         string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |             WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |             WHEN 'signup' THEN 's' ELSE 'e' END, ''
+        |           ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(LENGTH(path) AS BIGINT) AS n_events,
+        |       CAST(LEN(regexp_extract_all(path, 'vc*p')) AS BIGINT)
+        |         AS n_convert,
+        |       CAST(LEN(regexp_extract_all(path, 'vc*e')) AS BIGINT)
+        |         AS n_abandon
+        |FROM sym ORDER BY user_id""".stripMargin,
     "ev_attribution_linear" ->
       """WITH touches AS (
         |  SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us

@@ -1715,7 +1715,104 @@ object ExtraOps {
       .orderBy(col("n_top"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) between the even/odd user-id
+    * arms on per-user purchase spend — the nonparametric counterpart of
+    * [[graft.ext.EventOps.abtestMetrics]]'s z-test (and the effect size
+    * the AUC column reports is literally P(treat > control), the metric
+    * LLM eval suites quote). Average ranks are carried as 2× integers
+    * (2·avg_rank = 2·rank_lo + c + 1, exact for any tie group), so
+    * U, the tie term Σ(c³−c), and the z numerator are all exact BIGINTs;
+    * float appears only in the final auc/z trees (sqrt is IEEE
+    * correctly-rounded, bit-identical across engines).
+    *
+    * Scale shape: ranks NEVER touch rows — spend collapses to its
+    * DISTINCT values with per-arm counts first (the weighted-median
+    * discipline), and the one ordered cumulative sum runs over that
+    * distinct-value frame. At 100 TB the rank pass is O(distinct spends),
+    * not O(users), and everything after it is a 1-row fold.
+    */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("spend"))
+      .withColumn("treat", (col("user_id") % 2 === 1).cast("long"))
+    val byVal = per.groupBy(col("spend"))
+      .agg(count(lit(1)).as("c"), sum(col("treat")).as("t"))
+    val w = Window.orderBy(col("spend"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("rank_lo", coalesce(sum(col("c")).over(w), lit(0L)))
+    val m = ranked.agg(
+      sum(col("c")).as("n_total"),
+      sum(col("t")).as("n_treat"),
+      sum(col("t") * (lit(2L) * col("rank_lo") + col("c") + lit(1L)))
+        .as("r2_treat"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie_term"))
+    m.withColumn("n_control", col("n_total") - col("n_treat"))
+      .withColumn("u2_treat",
+        col("r2_treat") - col("n_treat") * (col("n_treat") + lit(1L)))
+      .withColumn("auc", expr(
+        "CAST(u2_treat AS DOUBLE) / CAST(2 * n_control * n_treat AS DOUBLE)"))
+      .withColumn("z_score", expr(
+        "CAST(u2_treat - n_control * n_treat AS DOUBLE) / " +
+          "(CAST(2 AS DOUBLE) * SQRT(" +
+          "CAST(n_control AS DOUBLE) * CAST(n_treat AS DOUBLE) " +
+          "/ CAST(12 AS DOUBLE) * (CAST(n_total + 1 AS DOUBLE) " +
+          "- CAST(tie_term AS DOUBLE) " +
+          "/ CAST(n_total * (n_total - 1) AS DOUBLE))))"))
+      .select(col("n_control"), col("n_treat"), col("u2_treat"),
+        col("tie_term"), col("auc"), col("z_score"))
+      .orderBy(col("n_control"))
+  }
+
+  /** Mann-Kendall trend test over the daily purchase-revenue series:
+    * S = Σ_{i<j} sign(rev_j − rev_i), the standard monotone-trend
+    * detector for metric time series (the nonparametric cousin of
+    * [[theilSen]]'s slope, which is in fact its associated estimator).
+    * S, the pair count, and the ×18 variance n(n−1)(2n+5) − Σt(t−1)(2t+5)
+    * are exact BIGINTs (sign via CASE, never float subtraction); the
+    * final τ_a and continuity-corrected z are single double trees.
+    *
+    * Scale shape: the O(n²) pair join runs on the per-DAY aggregated
+    * series — n is calendar days, independent of raw event volume, so
+    * the fact scan is one map-side-combined rollup and the quadratic
+    * step is a few-hundred-row self-join regardless of corpus size.
+    */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("rev"))
+    val a = daily.select(col("day").as("d1"), col("rev").as("r1"))
+    val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
+    val pairs = a.join(b, col("d1") < col("d2"))
+      .agg(sum(when(col("r2") > col("r1"), 1L)
+          .when(col("r2") < col("r1"), -1L).otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val ties = daily.groupBy(col("rev")).agg(count(lit(1)).as("tcnt"))
+      .filter(col("tcnt") > 1)
+      .agg(coalesce(sum(col("tcnt") * (col("tcnt") - 1)
+        * (lit(2L) * col("tcnt") + lit(5L))), lit(0L)).as("tie18"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    n.crossJoin(broadcast(pairs)).crossJoin(broadcast(ties)) // 1-row frames
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - col("tie18"))
+      .withColumn("tau",
+        expr("CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE)"))
+      .withColumn("z_score", expr(
+        "CAST(s_stat - CASE WHEN s_stat > 0 THEN 1 " +
+          "WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE) " +
+          "/ SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"), col("var18"),
+        col("tau"), col("z_score"))
+      .orderBy(col("n_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mann_whitney" -> mannWhitney,
+    "x_mann_kendall" -> mannKendall,
     "x_kendall_tau" -> kendallTau,
     "x_spearman" -> spearman,
     "x_topn_share" -> topnShare,
@@ -1780,6 +1877,67 @@ object ExtraOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_mann_whitney" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         SUM(CAST(value AS DECIMAL(18,4))) AS spend,
+        |         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |byval AS (
+        |  SELECT spend, CAST(COUNT(*) AS BIGINT) AS c,
+        |         CAST(SUM(treat) AS BIGINT) AS t
+        |  FROM per GROUP BY spend),
+        |rk AS (
+        |  SELECT c, t,
+        |         COALESCE(CAST(SUM(c) OVER (ORDER BY spend
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS rank_lo
+        |  FROM byval),
+        |m AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |         CAST(SUM(t) AS BIGINT) AS n_treat,
+        |         CAST(SUM(t * (2 * rank_lo + c + 1)) AS BIGINT) AS r2_treat,
+        |         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+        |  FROM rk)
+        |SELECT CAST(n_total - n_treat AS BIGINT) AS n_control, n_treat,
+        |       CAST(r2_treat - n_treat * (n_treat + 1) AS BIGINT) AS u2_treat,
+        |       tie_term,
+        |       CAST(r2_treat - n_treat * (n_treat + 1) AS DOUBLE)
+        |         / CAST(2 * (n_total - n_treat) * n_treat AS DOUBLE) AS auc,
+        |       CAST(r2_treat - n_treat * (n_treat + 1)
+        |            - (n_total - n_treat) * n_treat AS DOUBLE)
+        |         / (CAST(2 AS DOUBLE) * SQRT(
+        |            CAST(n_total - n_treat AS DOUBLE) * CAST(n_treat AS DOUBLE)
+        |            / CAST(12 AS DOUBLE) * (CAST(n_total + 1 AS DOUBLE)
+        |            - CAST(tie_term AS DOUBLE)
+        |            / CAST(n_total * (n_total - 1) AS DOUBLE)))) AS z_score
+        |FROM m ORDER BY n_control""".stripMargin,
+    "x_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(18,4))) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+        |                       WHEN b.rev < a.rev THEN -1
+        |                       ELSE 0 END) AS BIGINT) AS s_stat,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (
+        |  SELECT COALESCE(CAST(SUM(tcnt * (tcnt - 1) * (2 * tcnt + 5))
+        |           AS BIGINT), 0) AS tie18
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tcnt
+        |        FROM daily GROUP BY rev) g WHERE tcnt > 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n_pairs, s_stat,
+        |       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18
+        |            AS BIGINT) AS var18,
+        |       CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS tau,
+        |       CAST(s_stat - CASE WHEN s_stat > 0 THEN 1
+        |                          WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)
+        |         / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie18
+        |                AS DOUBLE) / CAST(18 AS DOUBLE)) AS z_score
+        |FROM n CROSS JOIN p CROSS JOIN t ORDER BY n_days""".stripMargin,
     "x_kendall_tau" ->
       """WITH p AS (
         |  SELECT l_partkey,

