@@ -259,6 +259,36 @@ object CoreOps {
     dsv2SinkTo(s, d,
       java.nio.file.Files.createTempDirectory("graft_kv_sink").toString)
 
+  /** S12 — TIME TRAVEL over the V2 sink's snapshot log: three commits
+    * (overwrite ≤300, overwrite ≤500, append (500,600]) each land an
+    * immutable `manifest-v%06d`, TRUNCATE retains the superseded files,
+    * and every historical version is then read back AS OF its manifest
+    * — the Delta/Iceberg `VERSION AS OF` surface on a filesystem. The
+    * oracle recomputes each snapshot's (count, key-sum) from the
+    * original parquet, so what is verified is that the version log
+    * reconstructs every PAST state exactly, not just the latest one.
+    * [[graft.sources.KvSink.vacuum]] retention GC is spec-pinned in
+    * SourceSinkSpec.
+    */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_tt").toString
+    def slice(lo: Long, hi: Long) = Tables.orders(s, d)
+      .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+    slice(-1, 300).write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save() // v1
+    slice(-1, 500).write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save() // v2: truncate, v1 retained
+    slice(500, 600).write.format("graft.sources.KvSink")
+      .mode("append").option("path", out).save()    // v3: append on v2
+    graft.sources.KvSink.versions(out).map { v =>
+      s.read.schema("key LONG, val STRING")
+        .csv(graft.sources.KvSink.committedPaths(out, v): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("key_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
     * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
     * as the nested-SELECT spelling (the syntax is sugar over the same
@@ -398,6 +428,7 @@ object CoreOps {
     "s10_dsv2_source" -> dsv2Source,
     "s10_dsv2_pushdown" -> dsv2Pushdown,
     "s11_dsv2_sink" -> dsv2Sink,
+    "s12_time_travel" -> timeTravel,
     "s12_merge_into" -> mergeInto,
     "s12_update_delete" -> sqlUpdateDelete,
     "a8_flagship" -> flagship,
@@ -445,6 +476,15 @@ object CoreOps {
     "s11_dsv2_sink" ->
       """SELECT o_orderkey AS key, o_orderstatus AS val
         |FROM orders WHERE o_orderkey <= 500 ORDER BY key""".stripMargin,
+    "s12_time_travel" ->
+      """WITH v(version, maxk) AS (VALUES (CAST(1 AS BIGINT), 300),
+        |                                 (CAST(2 AS BIGINT), 500),
+        |                                 (CAST(3 AS BIGINT), 600))
+        |SELECT version,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM v JOIN orders ON o_orderkey <= maxk
+        |GROUP BY version ORDER BY version""".stripMargin,
     "s10_dsv2_pushdown" ->
       """SELECT CAST(i % 7 AS BIGINT) AS mod7,
         |       CAST(COUNT(*) AS BIGINT) AS n,

@@ -20,13 +20,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    directory and reports a [[KvCommit]] message — nothing under the
   *    table root changes while tasks run;
   *  - the DRIVER's `commit()` moves the staged files into the root,
-  *    then atomically REPLACES the `_SUCCESS` manifest (temp file +
+  *    writes the snapshot's immutable `manifest-v%06d` log entry, then
+  *    atomically REPLACES the `_SUCCESS` latest pointer (temp file +
   *    ATOMIC_MOVE) — the single commit point. An overwrite
-  *    (`mode("overwrite")` → TRUNCATE capability) deletes the
-  *    previously-manifested files only AFTER the new manifest is live,
-  *    so a crash at ANY step leaves readers on a complete committed
-  *    snapshot (either the old manifest + old files, or the new one) —
-  *    the Iceberg/Delta snapshot-swap rhythm on a filesystem;
+  *    (`mode("overwrite")` → TRUNCATE capability) RETAINS the
+  *    previously-manifested files: they drop out of the latest
+  *    manifest but stay readable through the version log (TIME TRAVEL,
+  *    [[KvSink.committedPaths(path:String,version:Long)*]]) until
+  *    [[KvSink.vacuum]] reclaims them — the Iceberg/Delta
+  *    snapshot-swap + retention rhythm on a filesystem;
   *  - `abort()` deletes the staging directory; orphaned task files are
   *    invisible because readers go through [[KvSink.committedFiles]],
   *    never through directory listing.
@@ -53,16 +55,75 @@ object KvSink {
   def committedFiles(path: String): Seq[(String, Long)] = {
     val manifest = Paths.get(path, "_SUCCESS")
     if (!Files.exists(manifest)) Seq.empty
-    else new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf(',')
-        (line.substring(0, i), line.substring(i + 1).toLong)
-      }
+    else parseManifest(manifest)
+  }
+
+  /** Time travel: the snapshot as of a HISTORICAL version. Every commit
+    * also writes an immutable `manifest-v%06d` alongside the `_SUCCESS`
+    * latest pointer (the Delta/Iceberg snapshot-log shape), and
+    * TRUNCATE no longer physically deletes the superseded snapshot's
+    * files — they stay on disk, invisible to the latest manifest,
+    * readable through any retained historical one until [[vacuum]]
+    * reclaims them.
+    */
+  def committedFiles(path: String, version: Long): Seq[(String, Long)] = {
+    val manifest = Paths.get(path, f"manifest-v$version%06d")
+    if (!Files.exists(manifest)) Seq.empty
+    else parseManifest(manifest)
+  }
+
+  /** Committed version numbers, ascending. */
+  def versions(path: String): Seq[Long] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val listing = Files.list(dir)
+      try listing.toArray.toSeq.map(_.asInstanceOf[Path])
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("manifest-v") =>
+          n.stripPrefix("manifest-v").toLong
+        }.sorted
+      finally listing.close()
+    }
   }
 
   /** Absolute paths of the committed snapshot — what a reader scans. */
   def committedPaths(path: String): Seq[String] =
     committedFiles(path).map { case (f, _) => Paths.get(path, f).toString }
+
+  /** Absolute paths of a historical snapshot. */
+  def committedPaths(path: String, version: Long): Seq[String] =
+    committedFiles(path, version).map { case (f, _) =>
+      Paths.get(path, f).toString
+    }
+
+  /** Retention GC (the Delta VACUUM shape): keep the newest
+    * `keepLatest` version manifests, delete every part file referenced
+    * ONLY by older versions, then drop the expired manifests. The
+    * current `_SUCCESS` snapshot is always retained regardless of
+    * `keepLatest`. Returns the deleted file names (part files +
+    * manifests) for audit.
+    */
+  def vacuum(path: String, keepLatest: Int): Seq[String] = {
+    val vs = versions(path)
+    val (expired, kept) = vs.splitAt(math.max(0, vs.length - math.max(1, keepLatest)))
+    val live: Set[String] =
+      (kept.flatMap(v => committedFiles(path, v)) ++ committedFiles(path))
+        .map(_._1).toSet
+    val doomedParts = expired.flatMap(v => committedFiles(path, v))
+      .map(_._1).distinct.filterNot(live)
+    val doomedManifests = expired.map(v => f"manifest-v$v%06d")
+    (doomedParts ++ doomedManifests).map { f =>
+      Files.deleteIfExists(Paths.get(path, f)); f
+    }
+  }
+
+  private def parseManifest(manifest: Path): Seq[(String, Long)] =
+    new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf(',')
+        (line.substring(0, i), line.substring(i + 1).toLong)
+      }
 
   private[sources] def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {
@@ -108,12 +169,17 @@ class KvBatchWrite(path: String, writeId: String, truncateFirst: Boolean)
   /** The commit point. Ordering is the whole story:
     *  1. staged files move into the root (still invisible — not in the
     *     manifest);
-    *  2. the manifest is REPLACED atomically — readers flip from the old
-    *     snapshot to the new one in one rename;
-    *  3. only then does an overwrite delete the old snapshot's files.
-    * A crash before 2 leaves the old snapshot fully intact; a crash
-    * after 2 leaves at worst invisible orphans — never a reader-visible
-    * partial state.
+    *  2. the new snapshot's immutable `manifest-v%06d` lands (the
+    *     time-travel log entry);
+    *  3. the `_SUCCESS` latest pointer is REPLACED atomically — readers
+    *     flip from the old snapshot to the new one in one rename.
+    * A crash before 3 leaves the old snapshot fully intact (at worst an
+    * orphan version manifest the next commit supersedes); a crash after
+    * 3 leaves at most invisible staging leftovers — never a
+    * reader-visible partial state. TRUNCATE does NOT physically delete
+    * the superseded snapshot's files: they remain reachable through the
+    * version log until [[KvSink.vacuum]] reclaims them — the
+    * Delta/Iceberg retention model.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.toSeq.collect { case KvCommit(f, n) => (f, n) }.sortBy(_._1)
@@ -124,16 +190,15 @@ class KvBatchWrite(path: String, writeId: String, truncateFirst: Boolean)
     val published = if (truncateFirst) fresh else prev ++ fresh
     val manifest = published.map { case (f, n) => s"$f,$n" }
       .mkString("", "\n", "\n")
+    val nextV = KvSink.versions(path).lastOption.getOrElse(0L) + 1L
+    val vtmp = staging.resolve("manifest.tmp")
+    Files.write(vtmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(vtmp, dir.resolve(f"manifest-v$nextV%06d"),
+      StandardCopyOption.ATOMIC_MOVE)
     val tmp = staging.resolve("_SUCCESS.tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve("_SUCCESS"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    if (truncateFirst) {
-      val keep = fresh.map(_._1).toSet
-      prev.collect { case (f, _) if !keep(f) =>
-        Files.deleteIfExists(dir.resolve(f))
-      }
-    }
     KvSink.deleteTree(staging)
   }
 

@@ -321,6 +321,44 @@ class SourceSinkSpec extends AnyFunSuite {
     } finally leftover.close()
   }
 
+  test("V2 sink time travel: version log reconstructs past snapshots; vacuum reclaims") {
+    val out = tmp("graft_kv_tt_spec")
+    def write(maxKey: Long, mode: String): Unit =
+      Tables.orders(spark, sf).filter(col("o_orderkey") <= maxKey)
+        .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+        .write.format("graft.sources.KvSink")
+        .mode(mode).option("path", out).save()
+    def readVersion(v: Long): Long =
+      spark.read.schema("key LONG, val STRING")
+        .csv(graft.sources.KvSink.committedPaths(out, v): _*).count()
+    val n300 = Tables.orders(spark, sf).filter(col("o_orderkey") <= 300).count()
+    val n500 = Tables.orders(spark, sf).filter(col("o_orderkey") <= 500).count()
+    write(300, "overwrite")
+    write(500, "overwrite")
+    assert(graft.sources.KvSink.versions(out) == Seq(1L, 2L))
+    // the SUPERSEDED snapshot is still exactly reconstructible
+    assert(readVersion(1L) == n300, "v1 must replay the pre-overwrite state")
+    assert(readVersion(2L) == n500)
+    // latest pointer and newest version manifest agree
+    assert(graft.sources.KvSink.committedFiles(out).toSet ==
+      graft.sources.KvSink.committedFiles(out, 2L).toSet)
+    // vacuum to 1 retained version: v1's manifest and its unshared part
+    // files go; the latest snapshot is untouched
+    val v1Files = graft.sources.KvSink.committedFiles(out, 1L).map(_._1).toSet
+    val v2Files = graft.sources.KvSink.committedFiles(out, 2L).map(_._1).toSet
+    val deleted = graft.sources.KvSink.vacuum(out, 1)
+    assert(graft.sources.KvSink.versions(out) == Seq(2L))
+    val expectedGone = (v1Files -- v2Files) + "manifest-v000001"
+    assert(deleted.toSet == expectedGone,
+      s"vacuum must delete exactly the unreferenced files: $deleted vs $expectedGone")
+    (v1Files -- v2Files).foreach { f =>
+      assert(!Files.exists(java.nio.file.Paths.get(out, f)))
+    }
+    assert(spark.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out): _*).count() == n500,
+      "vacuum must never touch the live snapshot")
+  }
+
   test("V2 sink: orphan files are invisible to the manifest-gated read") {
     val out = java.nio.file.Files.createTempDirectory("graft_kv_orphan").toString
     val n = ops.CoreOps.dsv2SinkTo(spark, sf, out).count()
