@@ -1418,6 +1418,107 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- Residual (additive) quantization top-k ---------------------------
+
+  private val RQ_K = 16      // entries per stage codebook
+  private val RQ_SHORT = 100 // shortlist re-ranked exactly
+
+  /** Residual-quantization ANN — the ADDITIVE quantizer family (Babenko
+    * & Lempitsky, "Additive Quantization for Extreme Vector
+    * Compression", CVPR 2014; RQ is its greedy stagewise special case):
+    * where PQ splits DIMENSIONS into independent subspaces, RQ stacks
+    * FULL-DIMENSION stages — stage 1 coarsely quantizes the vector,
+    * stage 2 quantizes the stage-1 RESIDUAL, and the reconstruction is
+    * the SUM v̂ = C1[a] + C2[b]. Two 16-entry codebooks give 256
+    * effective cells at 1 byte/vector, and because every stage sees the
+    * full vector, RQ captures cross-dimension structure PQ's
+    * independence assumption throws away. With K1×K2 = 256
+    * reconstructions a query's distance table is 256 entries and a
+    * candidate's approximate distance is ONE lookup by (a, b) — no
+    * M-way ADC sum at all. Top-C shortlist, then exact re-rank;
+    * recall@10 pinned vs brute in ExtensionSpec. Completes the
+    * quantization axis: scalar ([[sq8TopK]]) / product ([[pqTopK]]) /
+    * additive (this), alongside partition ([[ivfTopK]]) and graph
+    * ([[graphAnn]]) indexing.
+    *
+    * Determinism/oracle: both codebooks are deterministic integer
+    * artifacts on the quantized grid — stage 1 the first-16-vectors
+    * init (the [[pqCodebook]] pattern), stage 2 the EXACT integer
+    * residuals of vectors 16..31 against their nearest stage-1 entry
+    * (the driver replays the same argmin the distributed encode runs).
+    * Encode, table, lookup and re-rank are all exact BIGINT arithmetic;
+    * the DuckDB oracle replays the whole construction relationally.
+    *
+    * At 100 TB: encode is two per-row integer folds against inlined
+    * codebooks — the corpus never shuffles and the stored index is two
+    * 4-bit codes per vector. Serving broadcasts the 256-row
+    * reconstruction table, the (a, b) lookup is a broadcast join, and
+    * the re-rank touches only Q×C original vectors.
+    */
+  def rqTopK(s: SparkSession, d: String): DataFrame = {
+    graft.expr.VectorExprs.register(s)
+    val qv = quantized(s, d)
+    // both codebooks derive from the first 32 quantized vectors —
+    // collected ONCE (bounded, the k-means/PQ inlining pattern)
+    val rows = qv.filter(col("vec_id") < 2L * RQ_K).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val c1 = rows.take(RQ_K).map(_._2)
+    require(c1.length == RQ_K, s"RQ stage-1 codebook needs vec_id 0..${RQ_K - 1}")
+    def l2d(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val c2 = rows.drop(RQ_K).map { case (_, v) =>
+      val a = (0 until RQ_K).minBy(j => (l2d(v, c1(j)), j))
+      v.zip(c1(a)).map { case (x, y) => x - y }
+    }
+    require(c2.length == RQ_K,
+      s"RQ stage-2 codebook needs vec_id ${RQ_K}..${2 * RQ_K - 1}")
+    def lits(vs: Array[Long]): String =
+      vs.map(v => s"${v}L").mkString("array(", ",", ")")
+    def argminExpr(target: String, cb: Array[Array[Long]]): String = {
+      val entries = cb.zipWithIndex.map { case (cv, j) =>
+        s"struct($j AS c, graft_int_l2($target, ${lits(cv)}) AS dist)"
+      }.mkString("array(", ", ", ")")
+      s"""aggregate($entries,
+         |  CAST(NULL AS struct<c: INT, dist: BIGINT>),
+         |  (acc, x) -> IF(acc IS NULL OR x.dist < acc.dist, x, acc)).c""".stripMargin
+    }
+    val c1arr = c1.map(lits).mkString("array(", ", ", ")")
+    // distributed encode: two per-row argmin folds, corpus never shuffles
+    val enc = qv.filter(col("vec_id") >= 5)
+      .withColumn("a", expr(argminExpr("iv", c1)))
+      .withColumn("rv",
+        expr(s"zip_with(iv, element_at($c1arr, a + 1), (x, y) -> x - y)"))
+      .withColumn("b", expr(argminExpr("rv", c2)))
+      .select(col("vec_id"), col("a"), col("b"))
+    // 256-row reconstruction table C1[a]+C2[b], driver-built, broadcast
+    import s.implicits._
+    val recon = (for { a <- 0 until RQ_K; b <- 0 until RQ_K }
+      yield (a, b, c1(a).zip(c2(b)).map { case (x, y) => x + y }))
+      .toDF("a", "b", "rcv")
+    val dtable = qv.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(recon))
+      .select(col("vec_id").as("qid"), col("a"), col("b"),
+        expr("graft_int_l2(iv, rcv)").as("rq_dist"))
+    val adc = enc.join(broadcast(dtable), Seq("a", "b"))
+      .select(col("qid"), col("vec_id").as("cand_id"), col("rq_dist"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("rq_dist"), col("cand_id"))
+    val shortlist = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= RQ_SHORT)
+      .select(col("qid"), col("cand_id"), col("rq_dist"))
+    val rer = shortlist
+      .join(qv.select(col("vec_id").as("qid"), col("iv").as("qiv")), Seq("qid"))
+      .join(qv.select(col("vec_id").as("cand_id"), col("iv").as("civ")),
+        Seq("cand_id"))
+      .withColumn("l2", expr("graft_int_l2(qiv, civ)"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("l2"), col("cand_id"))
+    rer.withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"), col("rank"), col("rq_dist"),
+        col("l2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF-PQ composed index — the production FAISS serving shape (Jégou
     * et al. 2011's IVFADC): the trained k-means coarse quantizer
     * ([[buildIvfIndex]]) prunes the corpus to each query's NPROBE nearest
@@ -1865,6 +1966,7 @@ object Similarity {
     "sim_hybrid_rrf" -> hybridRrf,
     "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
+    "sim_rq_topk" -> rqTopK,
     "sim_pq_serve" -> pqServeFromStore,
     "sim_graph_ann" -> graphAnn,
     "sim_ivfpq_serve" -> ivfpqServeFromStore,
@@ -2002,6 +2104,73 @@ object Similarity {
   private def duckL2Sub(a: String, b: String, off: String): String =
     s"""list_sum([($a[$off+i] - $b[$off+i]) * ($a[$off+i] - $b[$off+i])
        |          for i in range(1, ${PQ_SUB + 1})])""".stripMargin
+
+  /** DuckDB twin of the full-dimension exact integer L2. */
+  private def duckL2Full(a: String, b: String): String =
+    s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, 65)])"
+
+  /** Relational replay of the whole RQ construction: stage-1 codebook →
+    * assignments → exact residuals → stage-2 codebook → code pairs →
+    * 256-entry reconstruction table → one-lookup distances → shortlist
+    * → exact re-rank. Every intermediate is BIGINT on the quantized
+    * grid.
+    */
+  private def rqOracle: String =
+    s"""WITH qi AS (
+       |  SELECT vec_id,
+       |         [CAST(floor(CAST(embedding[i] AS DOUBLE) * $QSCALE) AS BIGINT)
+       |          for i in range(1, len(embedding) + 1)] AS iv
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id AS a, iv AS av FROM qi WHERE vec_id < $RQ_K),
+       |a1 AS (
+       |  SELECT vec_id, a FROM (
+       |    SELECT x.vec_id, c1.a,
+       |           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |             ORDER BY ${duckL2Full("x.iv", "c1.av")}, c1.a) AS rn
+       |    FROM qi x CROSS JOIN c1) WHERE rn = 1),
+       |res AS (
+       |  SELECT x.vec_id, [x.iv[i] - c.av[i] for i in range(1, 65)] AS rv
+       |  FROM qi x JOIN a1 ON x.vec_id = a1.vec_id JOIN c1 c ON a1.a = c.a),
+       |c2 AS (SELECT vec_id - $RQ_K AS b, rv AS bv FROM res
+       |       WHERE vec_id >= $RQ_K AND vec_id < ${2 * RQ_K}),
+       |a2 AS (
+       |  SELECT vec_id, b FROM (
+       |    SELECT r.vec_id, c2.b,
+       |           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |             ORDER BY ${duckL2Full("r.rv", "c2.bv")}, c2.b) AS rn
+       |    FROM res r CROSS JOIN c2 WHERE r.vec_id >= 5) WHERE rn = 1),
+       |recon AS (
+       |  SELECT c1.a, c2.b,
+       |         [c1.av[i] + c2.bv[i] for i in range(1, 65)] AS rcv
+       |  FROM c1 CROSS JOIN c2),
+       |dtable AS (
+       |  SELECT q.vec_id AS qid, r.a, r.b,
+       |         CAST(${duckL2Full("q.iv", "r.rcv")} AS BIGINT) AS rq_dist
+       |  FROM qi q CROSS JOIN recon r WHERE q.vec_id < 5),
+       |adc AS (
+       |  SELECT d.qid, e1.vec_id AS cand_id, d.rq_dist
+       |  FROM a1 e1 JOIN a2 e2 ON e1.vec_id = e2.vec_id
+       |  JOIN dtable d ON e1.a = d.a AND e2.b = d.b
+       |  WHERE e1.vec_id >= 5),
+       |short AS (
+       |  SELECT qid, cand_id, rq_dist FROM (
+       |    SELECT qid, cand_id, rq_dist,
+       |           ROW_NUMBER() OVER (PARTITION BY qid
+       |             ORDER BY rq_dist, cand_id) AS srn
+       |    FROM adc) WHERE srn <= $RQ_SHORT),
+       |rer AS (
+       |  SELECT s.qid, s.cand_id, s.rq_dist,
+       |         CAST(${duckL2Full("q.iv", "x.iv")} AS BIGINT) AS l2
+       |  FROM short s
+       |  JOIN qi q ON q.vec_id = s.qid
+       |  JOIN qi x ON x.vec_id = s.cand_id),
+       |ranked AS (
+       |  SELECT qid, cand_id, rq_dist, l2,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY l2, cand_id) AS BIGINT) AS rank
+       |  FROM rer)
+       |SELECT qid, cand_id, rank, rq_dist, l2 FROM ranked
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   private def pqOracle: String =
     s"""WITH qi AS (
@@ -2207,6 +2376,7 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfpqOracle,
     "sim_ivfpq_serve" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
+    "sim_rq_topk" -> rqOracle,
     "sim_pq_serve" -> pqOracle,
     "sim_graph_ann" ->
       s"""WITH q AS (

@@ -178,6 +178,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ rerank recall collapsed: $recall")
   }
 
+  test("RQ shortlist + exact re-rank recovers the exact-L2 top-10") {
+    val exact = ext.Similarity.pqExactL2TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rq = ext.Similarity.rqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rq.groupBy(_._1).forall(_._2.length == 10))
+    // 256 additive cells on near-uniform vectors is a coarse sieve; the
+    // C=100 shortlist + exact re-rank carries recall, same contract as
+    // PQ — this pin protects the two-stage composition
+    val recall = rq.count(exact.contains).toDouble / rq.length
+    info(f"RQ rerank recall@10 vs exact L2: $recall%.2f")
+    assert(recall >= 0.8, s"RQ rerank recall collapsed: $recall")
+  }
+
   test("PQ index round-trips through parquet: serving from stored codes ≡ end-to-end") {
     // the production contract: encode once, persist the 4-byte codes,
     // answer every later query batch from the store without re-encoding
