@@ -1115,7 +1115,52 @@ object EventOps {
         expr("CAST(regexp_count(path, 'vc*e') AS BIGINT)").as("n_abandon"))
       .orderBy(col("user_id"))
 
+  /** Classical additive seasonal decomposition of the daily revenue
+    * series — y = trend + seasonal + residual (the moving-average
+    * construction STL refines; Cleveland et al. 1990): trend is the
+    * centered 7-row moving average, the seasonal component is the
+    * per-weekday mean of the detrended series, and the residual is what
+    * remains. All mass stays INTEGER until the final three divisions:
+    * the trend is carried as its ×7 window SUM, the detrended series as
+    * 7·y − Σ₇ (both exact BIGINT micro-units), and the weekday means as
+    * (numerator, count) pairs — so the decomposition hash-verifies
+    * where a textbook mean-based pipeline would drift in the last ulp.
+    *
+    * Scale shape: one fact rollup to day grain, then every window runs
+    * on the ~|days| aggregated series (the [[changepoint]] envelope) —
+    * the decomposition's cost is independent of raw event volume.
+    */
+  def seasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val vfix = expr(
+      "CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)")
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(vfix).as("rev_micro"))
+      .withColumn("dow", expr("weekday(day)").cast("long"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("t7_sum", sum(col("rev_micro")).over(w7))
+      .withColumn("t7_n", count(lit(1)).over(w7))
+      .filter(col("t7_n") === 7) // full windows only — the ends have no trend
+      .withColumn("det7", lit(7L) * col("rev_micro") - col("t7_sum"))
+    val seas = trended.groupBy(col("dow"))
+      .agg(sum(col("det7")).as("seas_num"), count(lit(1)).as("seas_cnt"))
+    trended.join(broadcast(seas), Seq("dow"))
+      .withColumn("trend",
+        expr("CAST(t7_sum AS DOUBLE) / CAST(70000 AS DOUBLE)"))
+      .withColumn("seasonal", expr(
+        "CAST(seas_num AS DOUBLE) / (CAST(seas_cnt AS DOUBLE) * CAST(70000 AS DOUBLE))"))
+      .withColumn("residual", expr(
+        "CAST(rev_micro AS DOUBLE) / CAST(10000 AS DOUBLE) - trend - seasonal"))
+      .select(col("day"), col("dow"), col("rev_micro"), col("t7_sum"),
+        col("seas_num"), col("seas_cnt"), col("trend"), col("seasonal"),
+        col("residual"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seasonal_decompose" -> seasonalDecompose,
     "ev_match_recognize" -> matchRecognize,
     "ev_attribution_linear" -> attributionLinear,
     "ev_decay_score" -> decayScore,
@@ -1152,6 +1197,37 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |              AS DECIMAL(19,0))) AS BIGINT) AS rev_micro
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |d2 AS (SELECT day, rev_micro,
+        |              CAST(isodow(day) - 1 AS BIGINT) AS dow FROM daily),
+        |tr AS (
+        |  SELECT day, dow, rev_micro,
+        |         CAST(SUM(rev_micro) OVER w AS BIGINT) AS t7_sum,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS t7_n
+        |  FROM d2 WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tf AS (SELECT *, 7 * rev_micro - t7_sum AS det7 FROM tr
+        |       WHERE t7_n = 7),
+        |seas AS (SELECT dow, CAST(SUM(det7) AS BIGINT) AS seas_num,
+        |                CAST(COUNT(*) AS BIGINT) AS seas_cnt
+        |         FROM tf GROUP BY 1),
+        |j AS (
+        |  SELECT t.day, t.dow, t.rev_micro, t.t7_sum, s.seas_num, s.seas_cnt,
+        |         CAST(t.t7_sum AS DOUBLE) / CAST(70000 AS DOUBLE) AS trend,
+        |         CAST(s.seas_num AS DOUBLE)
+        |           / (CAST(s.seas_cnt AS DOUBLE) * CAST(70000 AS DOUBLE))
+        |           AS seasonal
+        |  FROM tf t JOIN seas s ON t.dow = s.dow)
+        |SELECT day, dow, rev_micro, t7_sum, seas_num, seas_cnt,
+        |       trend, seasonal,
+        |       CAST(rev_micro AS DOUBLE) / CAST(10000 AS DOUBLE)
+        |         - trend - seasonal AS residual
+        |FROM j ORDER BY day""".stripMargin,
     "ev_match_recognize" ->
       """WITH sym AS (
         |  SELECT user_id,

@@ -1810,7 +1810,60 @@ object ExtraOps {
       .orderBy(col("n_days"))
   }
 
+  /** Deterministic random walks over the co-purchase graph — the
+    * node2vec/DeepWalk corpus-sampling primitive (Grover & Leskovec,
+    * KDD 2016): from every 8th node, a 4-step uniform walk whose step-t
+    * transition is drawn by the cross-engine 60-bit hash of
+    * (start, t, current) mod out-degree — a COUNTER-BASED RNG (the
+    * Philox idea): no generator state crosses executors or steps, any
+    * single walk can be replayed in isolation, and the DuckDB oracle
+    * re-derives the identical walk corpus. Neighbor lists are sorted, so
+    * "pick index h mod degree" is a well-defined uniform draw on both
+    * engines.
+    *
+    * Scale shape: the adjacency is built once (sorted neighbor lists,
+    * localCheckpoint — the [[bfsHops]] loop-invariant discipline) and
+    * each step is ONE join of the walk frontier against it, keyed by
+    * the current node; a walk never materializes more than its own
+    * bounded path. At 100 TB this is exactly how walk corpora for
+    * embedding training are produced: W walks × L steps = L keyed
+    * joins, no driver state, no RNG coordination.
+    */
+  def randomWalk(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Hashing.sparkHash
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.select(col("ok"), col("pk").as("u"))
+      .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val adj = edges.union(edges.select(col("v"), col("u")))
+      .toDF("node", "nbr")
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+      .localCheckpoint() // loop-invariant adjacency, reused by all steps
+    var walks = adj.select(col("node").as("start"))
+      .filter(col("start") % 8 === 0)
+      .withColumn("cur", col("start"))
+      .withColumn("path", array(col("start")))
+    for (step <- 1 to 4) {
+      walks = walks.join(adj, walks("cur") === adj("node"))
+        .withColumn("h", expr(sparkHash(
+          s"concat(CAST(start AS STRING), ':$step:', CAST(cur AS STRING))")))
+        .withColumn("nxt",
+          expr("element_at(nbrs, CAST(1 + (h % size(nbrs)) AS INT))"))
+        .select(col("start"), col("nxt").as("cur"),
+          expr("array_append(path, nxt)").as("path"))
+    }
+    walks.select(col("start"),
+      expr("path[1]").as("s1"), expr("path[2]").as("s2"),
+      expr("path[3]").as("s3"), expr("path[4]").as("s4"))
+      .orderBy(col("start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_random_walk" -> randomWalk,
     "x_mann_whitney" -> mannWhitney,
     "x_mann_kendall" -> mannKendall,
     "x_kendall_tau" -> kendallTau,
@@ -1876,7 +1929,34 @@ object ExtraOps {
     "x_running_total" -> runningTotal
   )
 
+  /** One unrolled walk step for the [[randomWalk]] oracle. */
+  private def walkStepCte(n: Int): String = {
+    val h = graft.ext.Hashing.duckHash(
+      s"CAST(w.start AS VARCHAR) || ':$n:' || CAST(w.cur AS VARCHAR)")
+    s"""w$n AS (
+       |  SELECT start,
+       |         nbrs[CAST(1 + (h % len(nbrs)) AS INT)] AS cur,
+       |         list_append(path, nbrs[CAST(1 + (h % len(nbrs)) AS INT)]) AS path
+       |  FROM (SELECT w.start, w.path, a.nbrs, $h AS h
+       |        FROM w${n - 1} w JOIN adj a ON w.cur = a.node))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_random_walk" ->
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+         |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),
+         |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |       FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
+         |adj AS (
+         |  SELECT node, list_sort(list(nbr)) AS nbrs FROM (
+         |    SELECT u AS node, v AS nbr FROM e0
+         |    UNION ALL SELECT v, u FROM e0) GROUP BY node),
+         |w0 AS (SELECT node AS start, node AS cur, [node] AS path
+         |       FROM adj WHERE node % 8 = 0),
+         |${(1 to 4).map(walkStepCte).mkString(",\n")}
+         |SELECT start, path[2] AS s1, path[3] AS s2, path[4] AS s3,
+         |       path[5] AS s4
+         |FROM w4 ORDER BY start""".stripMargin,
     "x_mann_whitney" ->
       """WITH per AS (
         |  SELECT user_id,
