@@ -82,11 +82,82 @@ object CountMinAgg extends Aggregator[Long, Array[Long], Array[Long]] {
       .orderBy(col("cust_key"))
   }
 
+  /** Join-size estimation by CMS INNER PRODUCT (Cormode & Muthukrishnan
+    * 2005, §4.2): |A ⋈ₖ B| = Σₖ f_A(k)·f_B(k), and the dot product of
+    * two CMS rows built with the SAME hash family overestimates exactly
+    * that — min over the D rows tightens it. This is the query-
+    * optimizer primitive for sizing a join BEFORE running it (two
+    * sketch scans, no shuffle of the join itself); the output pairs the
+    * estimate with the true size and relative error (always ≥ 0 —
+    * CMS inner product never underestimates, collisions only add).
+    *
+    * Both sketches here are built relationally (GROUP BY (row, bucket)
+    * — the same counters [[CountMinAgg]]'s typed Aggregator holds in
+    * its 8 KiB buffer), so every counter, product and min is exact
+    * BIGINT and the oracle replays the estimator bit-for-bit.
+    *
+    * Scale: each sketch is one map-side-combined aggregation to ≤ D×W
+    * rows; the estimate joins two ≤1024-row frames. At 100 TB this
+    * replaces a shuffle of both fact tables with two scans and a
+    * driver-sized dot product — the skew/size probe you run before
+    * choosing a join strategy.
+    */
+  def joinSizeSketch(s: SparkSession, d: String): DataFrame = {
+    def counters(df: DataFrame): DataFrame =
+      df.select(expr(sparkHash("CAST(l_partkey AS STRING)")).as("h"))
+        .select(col("h"), explode(expr(s"sequence(0, ${D - 1})")).as("i"))
+        .withColumn("b",
+          expr(s"((2 * i + 1) * (h % $M40) + i * 2654435761L) % $M40 % $W"))
+        .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+    val a = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val bdf = Tables.lineitem(s, d).filter(col("l_linestatus") === "F")
+    val est = counters(a)
+      .join(counters(bdf).withColumnRenamed("c", "c2"), Seq("i", "b"))
+      .groupBy(col("i")).agg(sum(col("c") * col("c2")).as("est_i"))
+      .agg(min(col("est_i")).as("sk_est"))
+    val exact = a.groupBy(col("l_partkey")).agg(count(lit(1)).as("fa"))
+      .join(bdf.groupBy(col("l_partkey")).agg(count(lit(1)).as("fb")),
+        Seq("l_partkey"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("true_size"))
+    est.crossJoin(broadcast(exact)) // two 1-row frames
+      .withColumn("rel_err", expr(
+        "CAST(sk_est - true_size AS DOUBLE) / CAST(true_size AS DOUBLE)"))
+      .orderBy(col("sk_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_cms_freq" -> cmsFreq
+    "x_cms_freq" -> cmsFreq,
+    "x_join_size_sketch" -> joinSizeSketch
   )
 
   val oracle: Map[String, String] = Map(
+    "x_join_size_sketch" ->
+      s"""WITH la AS (SELECT l_partkey AS k FROM lineitem
+         |            WHERE l_returnflag = 'R'),
+         |lb AS (SELECT l_partkey AS k FROM lineitem
+         |       WHERE l_linestatus = 'F'),
+         |ca AS (
+         |  SELECT i, ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % $W AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT ${duckHash("CAST(k AS VARCHAR)")} AS h FROM la)
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS i) GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT i, ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % $W AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT ${duckHash("CAST(k AS VARCHAR)")} AS h FROM lb)
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS i) GROUP BY 1, 2),
+         |esti AS (
+         |  SELECT ca.i, CAST(SUM(ca.c * cb.c) AS BIGINT) AS est_i
+         |  FROM ca JOIN cb ON ca.i = cb.i AND ca.b = cb.b GROUP BY 1),
+         |est AS (SELECT CAST(MIN(est_i) AS BIGINT) AS sk_est FROM esti),
+         |ex AS (
+         |  SELECT CAST(COALESCE(SUM(fa * fb), 0) AS BIGINT) AS true_size
+         |  FROM (SELECT k, COUNT(*) AS fa FROM la GROUP BY 1) a
+         |  JOIN (SELECT k, COUNT(*) AS fb FROM lb GROUP BY 1) b USING (k))
+         |SELECT sk_est, true_size,
+         |       CAST(sk_est - true_size AS DOUBLE)
+         |         / CAST(true_size AS DOUBLE) AS rel_err
+         |FROM est CROSS JOIN ex ORDER BY sk_est""".stripMargin,
     "x_cms_freq" ->
       s"""WITH h AS (
          |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
