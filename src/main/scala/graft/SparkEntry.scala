@@ -46,6 +46,7 @@ object SparkEntry {
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink,
         "st_dsv2_stream" -> streaming.StreamOps.dsv2Stream,
         "st_merge_upsert" -> streaming.StreamOps.mergeUpsertStream,
+        "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -64,6 +65,8 @@ object SparkEntry {
       // real streaming queries, verified against batch oracles
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),
+        // streaming changelog fold ≡ batch IMV fold ≡ full recompute
+        "st_retract_fold" -> ops.PipelineOps.oracle("pipe_imv"),
         "st_transitions_stream" -> ext.EventOps.oracle("ev_path_transitions"),
         "st_regularity_stream" -> ext.EventOps.oracle("ev_gap_regularity"),
         "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,

@@ -90,6 +90,42 @@ object StreamOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Streaming CHANGELOG fold with retractions — the streaming twin of
+    * [[graft.ops.PipelineOps.imvMaintain]] and the semantics a
+    * Flink/Materialize retract stream carries: every record arrives
+    * signed (+1 insert / −1 retraction, derived by the same
+    * deterministic id arithmetic as the batch twin), and the stateful
+    * aggregation maintains the (event_type, day) view as a running
+    * SIGNED fold across micro-batches — state is the view itself, one
+    * (n, Σ) pair per group, constant per group regardless of stream
+    * volume. Groups whose net count is ≤ 0 are swallowed at drain,
+    * exactly as a changelog consumer GCs them. Verified against the
+    * SAME full-recompute DuckDB oracle as the batch twin: stream fold ≡
+    * batch fold ≡ recompute, closing the loop on all three execution
+    * modes of the one changelog algebra.
+    */
+  def retractFoldStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val src = eventsStream(ss, d)
+      .withColumn("sign", when(col("event_id") % 5 =!= 0, 1L)
+        .when(col("event_id") % 3 === 0, -1L).otherwise(1L))
+      .withColumn("vm", expr(
+        "CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)"))
+      .withColumn("day", to_date(col("ts")))
+    val q = src.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("sign")).as("n_events"),
+        sum(col("sign") * col("vm")).as("rev_micro"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_retract").start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_retract")
+      .filter(col("n_events") > 0)
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("rev_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Watermarked stream-stream interval join: click and purchase streams
     * (two readStream scans of the events source) joined on user within
     * [click_ts, click_ts + 1 h]. Both sides carry a 1-hour watermark, so
