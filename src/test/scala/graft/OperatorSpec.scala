@@ -662,6 +662,82 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("match_recognize: Java regex count == unique-extent automaton on adversarial paths") {
+    // The ev_match_recognize scaladoc claims greedy-backtracking (Spark/
+    // Java) and leftmost-longest (DuckDB/RE2) semantics coincide for the
+    // star-height-1 alternation-free patterns it uses, because each
+    // candidate start admits at most one match extent. Prove the lemma
+    // against an explicit automaton on paths BUILT to stress the edge
+    // cases: backtracks over c-runs ending in the wrong symbol, nested
+    // candidate starts, overlapping matches, and run boundaries.
+    def automatonCount(path: String, mid: Char, last: Char): Int = {
+      // unique-extent scan: at a 'v', consume the maximal mid-run, match
+      // iff the next char is `last`; non-overlapping continues past the
+      // match end — exactly the leftmost semantics BOTH engines share
+      var i = 0; var n = 0
+      while (i < path.length) {
+        if (path(i) == 'v') {
+          var j = i + 1
+          while (j < path.length && path(j) == mid) j += 1
+          if (j < path.length && path(j) == last) { n += 1; i = j + 1 }
+          else i += 1
+        } else i += 1
+      }
+      n
+    }
+    val fixtures = Seq("vcvp", "vccp", "vcccx", "vpvp", "vcpcp", "vcpvcce",
+      "vvcp", "vcvcp", "vc", "p", "", "vcpvcp", "vvvp", "vcecp", "vpcvp",
+      "vccccccp", "vcvcvcp", "pvc", "vce", "vvcce", "vecp")
+    import spark.implicits._
+    val byPath = fixtures.toDF("path")
+      .select(col("path"),
+        expr("regexp_count(path, 'vc*p')").as("np"),
+        expr("regexp_count(path, 'vc*e')").as("ne"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    fixtures.foreach { p =>
+      val (np, ne) = byPath(p)
+      assert(np == automatonCount(p, 'c', 'p'),
+        s"'vc*p' diverges from unique-extent semantics on '$p': $np")
+      assert(ne == automatonCount(p, 'c', 'e'),
+        s"'vc*e' diverges from unique-extent semantics on '$p': $ne")
+    }
+  }
+
+  test("mann_whitney: distinct-value rank formulation == brute per-row ranks") {
+    // Independent recomputation: collect per-user spend, assign classic
+    // tie-averaged ranks brutely on the driver, and rebuild U/AUC — the
+    // query's rank-never-touches-rows formulation must agree exactly.
+    val r = ops.ExtraOps.mannWhitney(spark, sf).head()
+    val per = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("spend"))
+      .collect()
+      .map(x => (x.getLong(0), x.getDecimal(1)))
+    val sorted = per.sortBy(_._2)
+    // 2× tie-averaged rank per row: r2 = lo + hi + 1 over each tie group
+    val r2ByIdx = new Array[Long](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      val r2 = (i + 1).toLong + j.toLong // (lo_rank + hi_rank), 1-based
+      (i until j).foreach(k => r2ByIdx(k) = r2)
+      i = j
+    }
+    val treatIdx = sorted.zipWithIndex.filter { case ((uid, _), _) => uid % 2 == 1 }
+    val nT = treatIdx.length.toLong
+    val r2Treat = treatIdx.map { case (_, k) => r2ByIdx(k) }.sum
+    val u2Brute = r2Treat - nT * (nT + 1)
+    assert(r.getAs[Long]("n_treat") == nT)
+    assert(r.getAs[Long]("u2_treat") == u2Brute,
+      s"U mismatch: query ${r.getAs[Long]("u2_treat")} vs brute $u2Brute")
+    val nC = r.getAs[Long]("n_control")
+    val auc = r.getAs[Double]("auc")
+    assert(math.abs(auc - u2Brute.toDouble / (2.0 * nC * nT)) < 1e-12)
+    assert(auc >= 0.0 && auc <= 1.0)
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
