@@ -1159,7 +1159,40 @@ object EventOps {
       .orderBy(col("day"))
   }
 
+  /** Time-CONSTRAINED conversion funnel — [[funnel]] with a deadline on
+    * every step (view → click within 30 min → purchase within 30 min of
+    * the click), the form product analytics actually ships: an
+    * unconstrained funnel credits conversions hours apart, a windowed
+    * one measures the flow. Same per-step min-aggregation + join chain
+    * (each stage is one groupBy over the prior stage's survivors), the
+    * deadline is just an extra range predicate on the join — at 100 TB
+    * this stays K sequential keyed aggregations for a K-step funnel,
+    * never a per-user event sort.
+    */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr("INTERVAL 30 MINUTES")
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(t1, "1_view").unionByName(stage(t2, "2_click_30m"))
+      .unionByName(stage(t3, "3_purchase_30m"))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_windowed" -> funnelWindowed,
     "ev_seasonal_decompose" -> seasonalDecompose,
     "ev_match_recognize" -> matchRecognize,
     "ev_attribution_linear" -> attributionLinear,
@@ -1197,6 +1230,28 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_funnel_windowed" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 30 MINUTE GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 30 MINUTE GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM t1
+        |  UNION ALL
+        |  SELECT '2_click_30m', CAST(COUNT(*) AS BIGINT) FROM t2
+        |  UNION ALL
+        |  SELECT '3_purchase_30m', CAST(COUNT(*) AS BIGINT) FROM t3)
+        |ORDER BY stage""".stripMargin,
     "ev_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

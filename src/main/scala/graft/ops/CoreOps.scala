@@ -289,6 +289,43 @@ object CoreOps {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** S12+ — CHANGE DATA FEED between two committed snapshot versions
+    * (the Delta CDF / Iceberg changelog-scan surface): with the version
+    * log in place, the row-level diff of any two versions is two
+    * anti-joins over their AS-OF reads — inserts are rows in the later
+    * snapshot absent from the earlier, deletes the reverse; updates
+    * appear as delete+insert pairs under the same key (shown here by
+    * also emitting value-changed rows on both sides). The feed this
+    * emits is exactly what [[graft.ops.PipelineOps.imvMaintain]]
+    * consumes as its signed changelog — connector CDC feeding
+    * incremental view maintenance. The oracle recomputes the diff from
+    * the original parquet slices, so what's verified is that the
+    * version log supports EXACT historical differencing, not just
+    * point-in-time reads. At scale both sides are manifest-gated scans
+    * and the diff is one shuffle on the key.
+    */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_cdf").toString
+    def slice(lo: Long, hi: Long) = Tables.orders(s, d)
+      .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+    slice(-1, 400).write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save() // v1: keys 0..400
+    slice(200, 600).write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save() // v2: keys 201..600
+    def readV(v: Long) = s.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out, v): _*)
+    val v1 = readV(1L)
+    val v2 = readV(2L)
+    val inserts = v2.join(v1, Seq("key", "val"), "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val deletes = v1.join(v2, Seq("key", "val"), "left_anti")
+      .withColumn("change_type", lit("delete"))
+    inserts.unionByName(deletes)
+      .select(col("change_type"), col("key"), col("val"))
+      .orderBy(col("change_type"), col("key"))
+  }
+
   /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
     * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
     * as the nested-SELECT spelling (the syntax is sugar over the same
@@ -429,6 +466,7 @@ object CoreOps {
     "s10_dsv2_pushdown" -> dsv2Pushdown,
     "s11_dsv2_sink" -> dsv2Sink,
     "s12_time_travel" -> timeTravel,
+    "s12_change_feed" -> changeFeed,
     "s12_merge_into" -> mergeInto,
     "s12_update_delete" -> sqlUpdateDelete,
     "a8_flagship" -> flagship,
@@ -476,6 +514,19 @@ object CoreOps {
     "s11_dsv2_sink" ->
       """SELECT o_orderkey AS key, o_orderstatus AS val
         |FROM orders WHERE o_orderkey <= 500 ORDER BY key""".stripMargin,
+    "s12_change_feed" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS val FROM orders
+        |  WHERE o_orderkey <= 400),
+        |v2 AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS val FROM orders
+        |  WHERE o_orderkey > 200 AND o_orderkey <= 600)
+        |SELECT change_type, key, val FROM (
+        |  SELECT 'insert' AS change_type, key, val FROM v2
+        |  ANTI JOIN v1 USING (key, val)
+        |  UNION ALL
+        |  SELECT 'delete', key, val FROM v1 ANTI JOIN v2 USING (key, val))
+        |ORDER BY change_type, key""".stripMargin,
     "s12_time_travel" ->
       """WITH v(version, maxk) AS (VALUES (CAST(1 AS BIGINT), 300),
         |                                 (CAST(2 AS BIGINT), 500),

@@ -980,6 +980,18 @@ object ExtraOps {
     // rounds collapse it to one community — the sparse segment keeps
     // real community structure (24 communities at sf0.01) so the
     // operator demonstrates something.
+    val (_, labels) = lpaGraph(s, d)
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), col("community"))
+  }
+
+  /** Shared LPA machinery: the sparse co-purchase edge set and its
+    * 3-round label-propagation communities — reused by [[labelProp]]
+    * and [[graphModularity]] so both queries (and both oracles) speak
+    * about the SAME partition of the graph.
+    */
+  private def lpaGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_partkey") % 4 === 0 && col("l_orderkey") % 2 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -987,6 +999,7 @@ object ExtraOps {
       .join(li.select(col("ok"), col("pk").as("v")), Seq("ok"))
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
+      .localCheckpoint() // reused by the adjacency AND the modularity rollups
     val adj = edges.union(edges.select(col("v"), col("u")))
       .toDF("node", "nbr")
       .localCheckpoint() // loop-invariant; reused by all 3 rounds
@@ -1001,9 +1014,49 @@ object ExtraOps {
       labels = votes.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("node"), col("lbl"))
     }
-    labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"))
+    (edges, labels)
+  }
+
+  /** Newman modularity of the LPA partition — the metric that says
+    * whether [[labelProp]]'s communities are real structure or noise:
+    * Q = Σ_c [e_c/m − (d_c/2m)²], reported per community (members,
+    * intra-edges, degree mass) with the global Q attached. The whole
+    * statistic is carried CLEARED of its denominators —
+    * Q·4m² = 4m·Σe_c − Σd_c², exact BIGINT products — so the partition
+    * quality hash-verifies; one final double division surfaces Q.
+    *
+    * Scale shape: intra-edge counting is two keyed joins of the edge
+    * list against the label frame (never node×node); degree mass is one
+    * rollup of the adjacency. Everything downstream of the LPA rounds
+    * is |communities|-sized.
+    */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val (edges, labels0) = lpaGraph(s, d)
+    val lbl = labels0.localCheckpoint() // read by 2 rollups below
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    val intra = edges
+      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val per = deg.join(lbl, Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("deg")).as("degree_sum"), count(lit(1)).as("n_members"))
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+    val tot = per.agg(sum(col("intra_edges")).as("sum_intra"),
+      sum(col("degree_sum") * col("degree_sum")).as("sum_d2"))
+    per.crossJoin(broadcast(m)).crossJoin(broadcast(tot)) // 1-row frames
+      .withColumn("modularity", expr(
+        "CAST(4 * m_edges * sum_intra - sum_d2 AS DOUBLE) " +
+          "/ CAST(4 * m_edges * m_edges AS DOUBLE)"))
+      .select(col("community"), col("n_members"), col("intra_edges"),
+        col("degree_sum"), col("m_edges"), col("modularity"))
       .orderBy(desc("n_members"), col("community"))
+      .limit(15)
   }
 
   /** Bounded-hop BFS over the sparse co-purchase graph — the
@@ -1864,6 +1917,7 @@ object ExtraOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_random_walk" -> randomWalk,
+    "x_graph_modularity" -> graphModularity,
     "x_mann_whitney" -> mannWhitney,
     "x_mann_kendall" -> mannKendall,
     "x_kendall_tau" -> kendallTau,
@@ -1942,6 +1996,50 @@ object ExtraOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_graph_modularity" -> {
+      def it(prev: String, out: String): String =
+        s"""$out AS (SELECT node, lbl FROM (
+           |  SELECT a.node, p.lbl, COUNT(*) AS cnt,
+           |         ROW_NUMBER() OVER (PARTITION BY a.node
+           |           ORDER BY COUNT(*) DESC, p.lbl) AS rn
+           |  FROM adj a JOIN $prev p ON a.nbr = p.node
+           |  GROUP BY a.node, p.lbl) WHERE rn = 1)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem
+         |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |${it("l0", "l1")},
+         |${it("l1", "l2")},
+         |${it("l2", "l3")},
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM adj GROUP BY 1),
+         |intra AS (
+         |  SELECT lu.lbl AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+         |  FROM e JOIN l3 lu ON e.u = lu.node JOIN l3 lv ON e.v = lv.node
+         |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+         |per AS (
+         |  SELECT dc.community, dc.n_members,
+         |         COALESCE(i.intra_edges, 0) AS intra_edges, dc.degree_sum
+         |  FROM (SELECT l.lbl AS community,
+         |               CAST(SUM(d.deg) AS BIGINT) AS degree_sum,
+         |               CAST(COUNT(*) AS BIGINT) AS n_members
+         |        FROM deg d JOIN l3 l ON d.node = l.node GROUP BY 1) dc
+         |  LEFT JOIN intra i ON dc.community = i.community),
+         |tot AS (SELECT CAST(SUM(intra_edges) AS BIGINT) AS sum_intra,
+         |               CAST(SUM(degree_sum * degree_sum) AS BIGINT) AS sum_d2
+         |        FROM per)
+         |SELECT community, n_members, CAST(intra_edges AS BIGINT) AS intra_edges,
+         |       degree_sum, m_edges,
+         |       CAST(4 * m_edges * sum_intra - sum_d2 AS DOUBLE)
+         |         / CAST(4 * m_edges * m_edges AS DOUBLE) AS modularity
+         |FROM per CROSS JOIN m CROSS JOIN tot
+         |ORDER BY n_members DESC, community LIMIT 15""".stripMargin
+    },
     "x_random_walk" ->
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
          |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),

@@ -627,7 +627,60 @@ object QcOps {
       .orderBy(col("source"))
   }
 
+  /** Parent↔child ROLLUP RECONCILIATION — the warehouse audit that
+    * catches partial loads and double-applied deltas: every order's
+    * header total is recomputed from its lineitem rows
+    * (Σ extprice·(1−disc)·(1+tax), the TPC-H identity) in exact
+    * 10⁻⁴ fixed point and compared to `o_totalprice` in the same units.
+    * The report buckets orders into reconciled / drifted / childless
+    * and carries the worst absolute drift — whether the corpus
+    * satisfies the identity is the FINDING, not an assumption (a
+    * synthetic generator that doesn't maintain it shows up as 100%
+    * drifted, which is precisely what the audit is for).
+    *
+    * Scale shape: one lineitem rollup to order grain (map-side
+    * combined), one key join against the header table, then a 3-row
+    * report — the child table is scanned once, never row-matched
+    * against itself.
+    */
+  def rollupConsistency(s: SparkSession, d: String): DataFrame = {
+    // per-line extended amount in exact micro-units: every factor goes
+    // to integer basis points FIRST (correctly-rounded decimal casts,
+    // identical in both engines), then one exact integer DIV sheds the
+    // 10^8 scale — the ev_gap_regularity fixed-point discipline
+    val lineMicro = expr(
+      """CAST(
+        |  (CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+        |        AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |   * (10000 - CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000
+        |              AS DECIMAL(9,0)))
+        |   * (10000 + CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000
+        |              AS DECIMAL(9,0))))
+        |  DIV 100000000 AS BIGINT)""".stripMargin)
+    val child = graft.Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(lineMicro).as("child_micro"), count(lit(1)).as("n_lines"))
+    val rec = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)")
+          .as("header_micro"))
+      .join(child, Seq("o_orderkey"), "left")
+      .withColumn("status",
+        when(col("child_micro").isNull, "childless")
+          .when(col("child_micro") === col("header_micro"), "reconciled")
+          .otherwise("drifted"))
+      .withColumn("abs_diff",
+        when(col("child_micro").isNull, lit(0L))
+          .otherwise(abs(col("child_micro") - col("header_micro"))))
+    rec.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("abs_diff")).as("max_abs_diff_micro"),
+        sum(col("abs_diff")).as("total_abs_diff_micro"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_rollup_consistency" -> rollupConsistency,
     "qc_tv_drift" -> tvDrift,
     "qc_referential" -> referentialAudit,
     "qc_freshness" -> freshness,
@@ -679,6 +732,36 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc_rollup_consistency" ->
+      """WITH child AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         CAST(SUM(CAST(CAST(
+        |           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+        |                AS DECIMAL(19,0)) AS HUGEINT)
+        |           * CAST(10000 - CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000
+        |                  AS DECIMAL(9,0)) AS HUGEINT)
+        |           * CAST(10000 + CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000
+        |                  AS DECIMAL(9,0)) AS HUGEINT)
+        |           AS HUGEINT) // 100000000 AS BIGINT)) AS BIGINT) AS child_micro,
+        |         CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |rec AS (
+        |  SELECT o.o_orderkey,
+        |         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+        |              AS DECIMAL(19,0)) AS BIGINT) AS header_micro,
+        |         c.child_micro
+        |  FROM orders o LEFT JOIN child c ON o.o_orderkey = c.o_orderkey),
+        |st AS (
+        |  SELECT CASE WHEN child_micro IS NULL THEN 'childless'
+        |              WHEN child_micro = header_micro THEN 'reconciled'
+        |              ELSE 'drifted' END AS status,
+        |         CASE WHEN child_micro IS NULL THEN 0
+        |              ELSE ABS(child_micro - header_micro) END AS abs_diff
+        |  FROM rec)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_micro,
+        |       CAST(SUM(abs_diff) AS BIGINT) AS total_abs_diff_micro
+        |FROM st GROUP BY status ORDER BY status""".stripMargin,
     "qc_tv_drift" ->
       """WITH cells AS (
         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
