@@ -21,6 +21,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # mirror graft.Verify's per-query filter so targeted runs compare
+    # only what Verify actually wrote
+    only = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
