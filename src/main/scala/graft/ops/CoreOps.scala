@@ -326,6 +326,31 @@ object CoreOps {
       .orderBy(col("change_type"), col("key"))
   }
 
+  /** S13 — HIVE-PARTITIONED sink + statically pruned read: events land
+    * partitioned by event_type (the date/category layout every 100 TB
+    * fact table uses), and the reader's literal predicate becomes a
+    * PARTITION filter — the scan lists ONE directory and never opens
+    * the other partitions' files (PlanSpec pins `PartitionFilters`;
+    * the DPP spec covers the runtime-pruned variant of the same
+    * layout). The oracle recomputes from the unpartitioned original,
+    * so the partition round-trip is verified lossless including the
+    * partition column's value restoration from directory names.
+    */
+  def partitionedSink(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase") // static partition pruning
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purch"),
+        sum(expr(
+          "CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)"))
+          .as("rev_micro"))
+      .orderBy(col("user_id"))
+  }
+
   /** S5+ — Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
     * AGGREGATE → ORDER BY form of the s5 view query. Same Catalyst plan
     * as the nested-SELECT spelling (the syntax is sugar over the same
@@ -467,6 +492,7 @@ object CoreOps {
     "s11_dsv2_sink" -> dsv2Sink,
     "s12_time_travel" -> timeTravel,
     "s12_change_feed" -> changeFeed,
+    "s13_partitioned_sink" -> partitionedSink,
     "s12_merge_into" -> mergeInto,
     "s12_update_delete" -> sqlUpdateDelete,
     "a8_flagship" -> flagship,
@@ -514,6 +540,12 @@ object CoreOps {
     "s11_dsv2_sink" ->
       """SELECT o_orderkey AS key, o_orderstatus AS val
         |FROM orders WHERE o_orderkey <= 500 ORDER BY key""".stripMargin,
+    "s13_partitioned_sink" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch,
+        |       CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |            AS DECIMAL(19,0)) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s12_change_feed" ->
       """WITH v1 AS (
         |  SELECT o_orderkey AS key, o_orderstatus AS val FROM orders

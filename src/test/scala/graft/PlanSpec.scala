@@ -427,6 +427,29 @@ class PlanSpec extends AnyFunSuite {
       "keep_id attribution join must be keyed:\n" + p.take(1500))
   }
 
+  test("literal predicate becomes a static PartitionFilter on the hive-partitioned scan") {
+    // the s13_partitioned_sink layout: a literal event_type predicate
+    // must land in PartitionFilters (directory pruning — zero data files
+    // of other partitions opened), NOT in PushedFilters/post-scan Filter
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_statpart").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s+", " ")
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*purchase[^\\]]*\\].*"),
+      "literal partition predicate must prune at the directory level:\n" +
+        scan.take(2000))
+    val n = q.head().getLong(0)
+    val want = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(n == want)
+  }
+
   test("dim filter dynamically prunes fact partitions (DPP)") {
     // At 100 TB the fact table is date/category-partitioned and the
     // filter lives on a dim — without dynamic partition pruning the scan
