@@ -679,7 +679,40 @@ object QcOps {
       .orderBy(col("status"))
   }
 
+  /** One-scan NUMERIC PROFILE of every measure column — the
+    * `df.describe()` a warehouse actually wants, made hash-verifiable:
+    * count / non-null / min / max / sum per column in exact 10⁻⁴
+    * micro-units (correctly-rounded decimal casts both engines share),
+    * mean as the single final division. All four columns' twenty
+    * aggregates compute in ONE pass over the fact table (one
+    * HashAggregate row), then unpivot via stack to the per-column
+    * report — the [[nullProfile]] single-scan discipline; a naive
+    * per-column describe() scans the table once per column.
+    */
+  def numericProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def micro(c: String) =
+      s"CAST(CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)"
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}_n"),
+        count(col(c)).as(s"${c}_nn"),
+        min(expr(micro(c))).as(s"${c}_min"),
+        max(expr(micro(c))).as(s"${c}_max"),
+        sum(expr(micro(c))).as(s"${c}_sum"))
+    }
+    val one = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nn, ${c}_min, ${c}_max, ${c}_sum").mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, n_rows, n_nonnull, min_micro, max_micro, sum_micro)"))
+      .withColumn("mean", expr(
+        "CAST(sum_micro AS DOUBLE) / (CAST(n_nonnull AS DOUBLE) * CAST(10000 AS DOUBLE))"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_numeric_profile" -> numericProfile,
     "qc_rollup_consistency" -> rollupConsistency,
     "qc_tv_drift" -> tvDrift,
     "qc_referential" -> referentialAudit,
@@ -732,6 +765,22 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc_numeric_profile" -> {
+      def leg(c: String): String = {
+        val m = s"CAST(CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)"
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+           |       CAST(MIN($m) AS BIGINT) AS min_micro,
+           |       CAST(MAX($m) AS BIGINT) AS max_micro,
+           |       CAST(SUM($m) AS BIGINT) AS sum_micro,
+           |       CAST(SUM($m) AS DOUBLE)
+           |         / (CAST(COUNT($c) AS DOUBLE) * CAST(10000 AS DOUBLE)) AS mean
+           |FROM lineitem""".stripMargin
+      }
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(leg).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_name")
+    },
     "qc_rollup_consistency" ->
       """WITH child AS (
         |  SELECT l_orderkey AS o_orderkey,
