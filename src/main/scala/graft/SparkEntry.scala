@@ -23,6 +23,7 @@ object SparkEntry {
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       ext.MapOps.queries ++ ext.CountMinAgg.queries ++ ext.HyperLogLog.queries ++
       ext.BloomFilter.queries ++ plans.TopKPerKey.queries ++
+      plans.AsOfJoin.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "st_tumbling_stream" -> streaming.StreamOps.tumblingStream,
         "st_transitions_stream" -> streaming.StreamOps.transitionsStream,
@@ -62,6 +63,7 @@ object SparkEntry {
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++ ext.HyperLogLog.oracle ++
       ext.BloomFilter.oracle ++ plans.TopKPerKey.oracle ++
+      plans.AsOfJoin.oracle ++
       // real streaming queries, verified against batch oracles
       Map(
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),

@@ -427,6 +427,28 @@ class PlanSpec extends AnyFunSuite {
       "keep_id attribution join must be keyed:\n" + p.take(1500))
   }
 
+  test("native as-of join: merge pass fed by EnsureRequirements exchanges, agrees with the window twin") {
+    import org.apache.spark.sql.functions._
+    val df = plans.AsOfJoin.asofNative(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), "expected the native operator:\n" + p.take(1500))
+    // the operator declares requirements; the planner must place exactly
+    // one exchange + one (key, time) sort per side — and NO window
+    assert(!p.contains("Window"), "as-of must not fall back to a window:\n" + p.take(1500))
+    val body = p.substring(p.indexOf("AsOfJoin"))
+    assert(body.split("Exchange hashpartitioning").length - 1 == 2,
+      "exactly two hash exchanges below the merge:\n" + body.take(1500))
+    // cross-encoding agreement: native merge == union+window state machine
+    val native = df.collect().map(r => (r.getLong(1), Option(r.get(3)).map(_.toString)))
+    val window = ext.TemporalOps.asofJoin(spark, sf).collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.toString)))
+    assert(native.toSeq == window.toSeq,
+      s"native vs window asof diverge: ${native.length} vs ${window.length} rows")
+    // match metric: every row with a non-null click was counted matched
+    val matched = native.count(_._2.isDefined)
+    assert(matched > 0 && matched <= native.length)
+  }
+
   test("literal predicate becomes a static PartitionFilter on the hive-partitioned scan") {
     // the s13_partitioned_sink layout: a literal event_type predicate
     // must land in PartitionFilters (directory pruning — zero data files
