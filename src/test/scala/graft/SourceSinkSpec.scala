@@ -359,6 +359,35 @@ class SourceSinkSpec extends AnyFunSuite {
       "vacuum must never touch the live snapshot")
   }
 
+  test("V2 sink: orphan version manifest (crash between log write and pointer swap) never affects readers") {
+    val out = tmp("graft_kv_orphanv")
+    def write(maxKey: Long): Unit =
+      Tables.orders(spark, sf).filter(col("o_orderkey") <= maxKey)
+        .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+        .write.format("graft.sources.KvSink")
+        .mode("overwrite").option("path", out).save()
+    write(300)
+    val before = graft.sources.KvSink.committedFiles(out)
+    // simulate the documented crash window: a commit that landed its
+    // manifest-v2 log entry but died before swapping _SUCCESS — the
+    // latest pointer (THE commit point) must still serve the old
+    // snapshot, and the next commit must supersede the orphan version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "manifest-v000002"),
+      "part-dead-0-0,7\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(graft.sources.KvSink.committedFiles(out) == before,
+      "orphan version manifest must not change the latest snapshot")
+    write(500) // allocates v3 (max existing version + 1)
+    assert(graft.sources.KvSink.versions(out) == Seq(1L, 2L, 3L))
+    val n = spark.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out): _*).count()
+    assert(n == Tables.orders(spark, sf)
+      .filter(col("o_orderkey") <= 500).count())
+    // vacuum drops the orphan along with other expired versions
+    graft.sources.KvSink.vacuum(out, 1)
+    assert(graft.sources.KvSink.versions(out) == Seq(3L))
+  }
+
   test("V2 sink: orphan files are invisible to the manifest-gated read") {
     val out = java.nio.file.Files.createTempDirectory("graft_kv_orphan").toString
     val n = ops.CoreOps.dsv2SinkTo(spark, sf, out).count()
