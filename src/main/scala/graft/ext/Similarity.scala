@@ -1418,6 +1418,38 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** BINARY-signature retrieval: top-k nearest documents by HAMMING
+    * distance over 60-bit SimHash signatures ([[graft.ext.Dedup
+    * .simhashValues]]) — the endpoint of the embedding-compression
+    * frontier (float32 → SQ8 → PQ/RQ codes → one machine word): a
+    * candidate's distance is a single XOR + POPCOUNT (`bit_count`,
+    * codegen'd in Spark, native in DuckDB), so the brute scan runs at
+    * memory bandwidth over 8-byte signatures — 32× less IO than float
+    * vectors before any index exists. The banded sublinear variant of
+    * the same signature space is [[graft.ext.Dedup.simhash]]'s LSH
+    * path; this query is its retrieval (top-k) counterpart and the
+    * recall baseline binary indexes are judged against.
+    *
+    * At 100 TB: signatures are 12 bytes/doc; the query batch broadcasts
+    * and the per-query top-k collapses map-side (WindowGroupLimit below
+    * the exchange), so the scan streams the signature file once.
+    */
+  def hammingTopK(s: SparkSession, d: String): DataFrame = {
+    val sigs = graft.ext.Dedup.simhashValues(s, d).localCheckpoint()
+    val q = sigs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("sim").as("qsim"))
+    val cand = sigs.filter(col("doc_id") >= 5)
+      .select(col("doc_id").as("cand_id"), col("sim").as("csim"))
+    val scored = cand.crossJoin(broadcast(q))
+      .withColumn("hamming", expr("CAST(bit_count(qsim ^ csim) AS BIGINT)"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cand_id"), col("rank"), col("hamming"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- Residual (additive) quantization top-k ---------------------------
 
   private val RQ_K = 16      // entries per stage codebook
@@ -1967,6 +1999,7 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfpqTopK,
     "sim_pq_topk" -> pqTopK,
     "sim_rq_topk" -> rqTopK,
+    "sim_hamming_topk" -> hammingTopK,
     "sim_pq_serve" -> pqServeFromStore,
     "sim_graph_ann" -> graphAnn,
     "sim_ivfpq_serve" -> ivfpqServeFromStore,
@@ -2377,6 +2410,34 @@ object Similarity {
     "sim_ivfpq_serve" -> ivfpqOracle,
     "sim_pq_topk" -> pqOracle,
     "sim_rq_topk" -> rqOracle,
+    "sim_hamming_topk" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    [${graft.ext.Hashing.duckHash("w")} for w in list_distinct(string_split(lower(text), ' '))] AS hs
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id,
+         |    [list_reduce(list_prepend(0::BIGINT,
+         |       [CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+         |             THEN 1::BIGINT ELSE (-1)::BIGINT END for h in hs]),
+         |       (a, x) -> a + x) for j in range(0, 60)] AS v
+         |  FROM hashed),
+         |sims AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [CASE WHEN v[j+1] > 0 THEN CAST(pow(2, j) AS BIGINT)
+         |            ELSE 0::BIGINT END for j in range(0, 60)]),
+         |      (a, x) -> a + x) AS sim
+         |  FROM votes)
+         |SELECT qid, cand_id, rank, hamming FROM (
+         |  SELECT q.doc_id AS qid, c.doc_id AS cand_id,
+         |         CAST(bit_count(xor(q.sim, c.sim)) AS BIGINT) AS hamming,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY q.doc_id
+         |           ORDER BY bit_count(xor(q.sim, c.sim)), c.doc_id)
+         |           AS BIGINT) AS rank
+         |  FROM sims q JOIN sims c ON q.doc_id < 5 AND c.doc_id >= 5)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "sim_pq_serve" -> pqOracle,
     "sim_graph_ann" ->
       s"""WITH q AS (
