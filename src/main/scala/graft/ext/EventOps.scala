@@ -1083,6 +1083,52 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the third
+    * industry-standard credit model beside first/last
+    * ([[attribution]]) and linear ([[attributionLinear]]): the
+    * discovering touch and the closing touch earn 40% each, interior
+    * touches split the remaining 20%. Credits are exact INTEGER ppm
+    * summing to exactly 10⁶ per conversion: the interior split uses
+    * integer DIV and its remainder is assigned to the FIRST touch
+    * (documented, deterministic), so no conversion ever leaks or gains
+    * credit mass — the property float weighting can't give you.
+    * Degenerate paths follow the standard convention (1 touch → 100%,
+    * 2 touches → 50/50). Same lookback-bounded join envelope as the
+    * linear model; positions come from one window over the per-purchase
+    * touch set, totally ordered by (time, touch id).
+    */
+  def attributionUshape(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("tid"), unix_micros(col("ts")).as("t_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        unix_micros(col("ts")).as("p_us"))
+    val weekUs = 7L * 86400L * 1000000L
+    val paired = touches.join(purch, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - weekUs)
+    val wp = Window.partitionBy(col("pid"))
+    val wo = wp.orderBy(col("t_us"), col("tid"))
+    paired
+      .withColumn("k", count(lit(1)).over(wp))
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("credit_ppm", expr(
+        """CASE WHEN k = 1 THEN CAST(1000000 AS BIGINT)
+          |     WHEN k = 2 THEN CAST(500000 AS BIGINT)
+          |     WHEN rn = 1 THEN 400000 + 200000 % (k - 2)
+          |     WHEN rn = k THEN CAST(400000 AS BIGINT)
+          |     ELSE 200000 DIV (k - 2) END""".stripMargin))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+      .withColumn("credited_purchases",
+        col("credit_ppm").cast("double") / lit(1000000.0))
+      .select(col("channel"), col("n_touches"), col("credit_ppm"),
+        col("credited_purchases"))
+      .orderBy(col("channel"))
+  }
+
   /** MATCH_RECOGNIZE-style row-pattern matching (the SQL:2016 feature
     * Flink/Trino expose; Spark has no native operator): each user's
     * event stream becomes an ordered symbol path (v/c/p/s/e), and
@@ -1196,6 +1242,7 @@ object EventOps {
     "ev_seasonal_decompose" -> seasonalDecompose,
     "ev_match_recognize" -> matchRecognize,
     "ev_attribution_linear" -> attributionLinear,
+    "ev_attribution_ushape" -> attributionUshape,
     "ev_decay_score" -> decayScore,
     "ev_day_jaccard" -> dayJaccard,
     "ev_session_hist" -> sessionHist,
@@ -1298,6 +1345,40 @@ object EventOps {
         |       CAST(LEN(regexp_extract_all(path, 'vc*e')) AS BIGINT)
         |         AS n_abandon
         |FROM sym ORDER BY user_id""".stripMargin,
+    "ev_attribution_ushape" ->
+      """WITH touches AS (
+        |  SELECT user_id, event_type AS channel, event_id AS tid,
+        |         epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type <> 'purchase'),
+        |purch AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |paired AS (
+        |  SELECT t.channel, t.tid, t.t_us, p.pid
+        |  FROM touches t JOIN purch p USING (user_id)
+        |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+        |pos AS (
+        |  SELECT channel,
+        |         COUNT(*) OVER (PARTITION BY pid) AS k,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY pid
+        |           ORDER BY t_us, tid) AS BIGINT) AS rn
+        |  FROM paired),
+        |cr AS (
+        |  SELECT channel,
+        |         CASE WHEN k = 1 THEN CAST(1000000 AS BIGINT)
+        |              WHEN k = 2 THEN CAST(500000 AS BIGINT)
+        |              WHEN rn = 1 THEN 400000 + 200000 % (k - 2)
+        |              WHEN rn = k THEN CAST(400000 AS BIGINT)
+        |              ELSE CAST(CAST(200000 AS HUGEINT) // (k - 2) AS BIGINT)
+        |              END AS credit_ppm
+        |  FROM pos),
+        |c AS (
+        |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |         CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+        |  FROM cr GROUP BY 1)
+        |SELECT channel, n_touches, credit_ppm,
+        |       CAST(credit_ppm AS DOUBLE) / 1000000.0 AS credited_purchases
+        |FROM c ORDER BY channel""".stripMargin,
     "ev_attribution_linear" ->
       """WITH touches AS (
         |  SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
