@@ -48,6 +48,7 @@ object SparkEntry {
         "st_dsv2_stream" -> streaming.StreamOps.dsv2Stream,
         "st_merge_upsert" -> streaming.StreamOps.mergeUpsertStream,
         "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
+        "st_temporal_join" -> streaming.StreamOps.temporalJoinStream,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -69,6 +70,8 @@ object SparkEntry {
         "st_tumbling_stream" -> ext.EventOps.oracle("ev_tumbling"),
         // streaming changelog fold ≡ batch IMV fold ≡ full recompute
         "st_retract_fold" -> ops.PipelineOps.oracle("pipe_imv"),
+        // streaming temporal lookup ≡ batch native merge ≡ batch window
+        "st_temporal_join" -> plans.AsOfJoin.oracle("ev_asof_native"),
         "st_transitions_stream" -> ext.EventOps.oracle("ev_path_transitions"),
         "st_regularity_stream" -> ext.EventOps.oracle("ev_gap_regularity"),
         "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,

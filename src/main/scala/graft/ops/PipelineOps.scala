@@ -297,7 +297,34 @@ object PipelineOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** DEAD-LETTER routing on semi-structured ingestion — the robustness
+    * pattern every production loader carries: rows whose JSON payload
+    * fails to parse are ROUTED to a quarantine output instead of
+    * failing the job or silently dropping (at 100 TB one corrupt
+    * upstream shard must cost a DLQ partition, not the pipeline).
+    * Corruption is injected deterministically (id%13 → mangled prefix)
+    * so both engines see the identical bad set; the report pins each
+    * route's row count, id range and parsed-payload mass — the
+    * invariant `ok + dlq = input` is visible in the output itself.
+    * One scan, group-by-route rollup; parse errors never throw (null
+    * routing, the try_* discipline of x_try_funcs).
+    */
+  def dlqRouting(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("raw", expr(
+        "CASE WHEN event_id % 13 = 0 THEN concat('!', props) ELSE props END"))
+      .withColumn("kstr", get_json_object(col("raw"), "$.k"))
+      .withColumn("route", when(col("kstr").isNotNull, "ok").otherwise("dlq"))
+      .withColumn("k", coalesce(col("kstr").cast("long"), lit(0L)))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("k")).as("sum_k"))
+      .orderBy(col("route"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dlq" -> dlqRouting,
     "pipe_imv" -> imvMaintain,
     "pipe_epoch_shuffle" -> epochShuffle,
     "pipe_grpo_groups" -> grpoGroups,
@@ -312,6 +339,24 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_dlq" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 13 = 0 THEN '!' || props
+        |              ELSE props END AS raw
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id,
+        |         CASE WHEN json_valid(raw) THEN 'ok' ELSE 'dlq' END AS route,
+        |         CASE WHEN json_valid(raw)
+        |              THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+        |              ELSE 0 END AS k
+        |  FROM c)
+        |SELECT route, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM r GROUP BY route ORDER BY route""".stripMargin,
     // full recompute — equality proves the incremental fold maintains
     // the view
     "pipe_imv" ->

@@ -90,6 +90,46 @@ object StreamOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Streaming TEMPORAL-TABLE (as-of) join — Flink's
+    * `FOR SYSTEM_TIME AS OF` pattern against a static versioned side:
+    * the purchase STREAM enriches each event with the most recent click
+    * ≤ its timestamp from the static click table. The static side
+    * compacts to ONE row per user (its sorted click-time array) so the
+    * enrichment is a broadcastable equi-join + an order-preserving
+    * array fold — `filter(...)[last]` — per streamed row; no window
+    * over the stream, no stream-stream state. Semantically identical to
+    * [[graft.plans.AsOfJoin]]'s batch merge and verified against the
+    * SAME independent DuckDB native `ASOF LEFT JOIN` oracle — the third
+    * execution mode (batch window / batch native merge / streaming
+    * temporal lookup) of one as-of algebra.
+    *
+    * At 100 TB: the temporal table is user-grain (bounded by entity
+    * count, not event count); a real deployment swaps the static frame
+    * for a foreachBatch-refreshed snapshot — the lookup shape is
+    * unchanged.
+    */
+  def temporalJoinStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val clickIdx = graft.Tables.events(ss, d)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(unix_micros(col("ts")))).as("click_us"))
+    val q = eventsStream(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("purchase_ts"), unix_micros(col("ts")).as("p_us"))
+      .join(clickIdx, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"), col("purchase_ts"),
+        expr("timestamp_micros(try_element_at(filter(click_us, t -> t <= p_us), -1))")
+          .as("last_click_ts"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_temporal").start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_temporal")
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming CHANGELOG fold with retractions — the streaming twin of
     * [[graft.ops.PipelineOps.imvMaintain]] and the semantics a
     * Flink/Materialize retract stream carries: every record arrives
