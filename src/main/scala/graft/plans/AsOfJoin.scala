@@ -48,6 +48,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 case class AsOfJoinNode(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    toleranceUs: Long,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -64,6 +65,7 @@ case class AsOfJoinNode(
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    toleranceUs: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -89,6 +91,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val lk = leftKey; val rk = rightKey
     val lt = leftTime; val rt = rightTime
+    val tol = toleranceUs
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
@@ -105,6 +108,7 @@ case class AsOfJoinExec(
         val p = rProj(rRow); rKey = p.getLong(0); rTime = p.getLong(1)
       }
       var matchKey = 0L
+      var matchTime = 0L
       var matchRow: InternalRow = null
       lIter.map { l =>
         val lp = lProj(l)
@@ -113,14 +117,17 @@ case class AsOfJoinExec(
         // consume right up to (lKey, lTime] — the last consumed row of
         // this key is by sortedness the greatest admissible one
         while (rHas && (rKey < lKey || (rKey == lKey && rTime <= lTime))) {
-          if (rKey == lKey) { matchRow = rRow.copy(); matchKey = lKey }
+          if (rKey == lKey) {
+            matchRow = rRow.copy(); matchKey = lKey; matchTime = rTime
+          }
           if (rIter.hasNext) {
             rRow = rIter.next()
             val p = rProj(rRow); rKey = p.getLong(0); rTime = p.getLong(1)
           } else { rHas = false; rRow = null }
         }
         numOutputRows += 1
-        if (matchRow != null && matchKey == lKey) {
+        if (matchRow != null && matchKey == lKey &&
+            (tol < 0L || lTime - matchTime <= tol)) {
           numMatched += 1
           resultProj(joined(l, matchRow))
         } else resultProj(joined(l, nullRight))
@@ -138,8 +145,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, rk, lt, rt, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(lk, rk, lt, rt, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -147,12 +154,16 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOfJoin {
 
   /** Public operator API: backward inclusive as-of join of `left`
-    * against `right` on BIGINT key and time columns. Self-registers the
-    * planner strategy on first use.
+    * against `right` on BIGINT key and time columns, with an optional
+    * TOLERANCE (the pandas `merge_asof` knob): a candidate older than
+    * `toleranceUs` microseconds is rejected and the row emits nulls —
+    * the conversion-window semantics attribution uses. −1 = unbounded.
+    * Self-registers the planner strategy on first use.
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceUs: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     GraftSqlShim.registerStrategy(spark, AsOfJoinStrategy)
     val lp = GraftSqlShim.analyzed(left)
@@ -163,7 +174,7 @@ object AsOfJoin {
           s"column $name not in ${p.output.map(_.name).mkString(", ")}"))
     GraftSqlShim.ofRows(spark,
       AsOfJoinNode(attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime), lp, rp))
+        attr(lp, leftTime), attr(rp, rightTime), toleranceUs, lp, rp))
   }
 
   /** Every purchase joined to its most recent click — the NATIVE twin of
