@@ -197,8 +197,31 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** The tolerance path through the verify gate: same join, candidates
+    * older than 30 minutes rejected (conversion-window semantics).
+    * Because the operator keeps only the LATEST admissible candidate,
+    * bounding it is provably equivalent to post-filtering the unbounded
+    * result — which is exactly how the oracle expresses it, so the
+    * equivalence itself is what the gate certifies.
+    */
+  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("purchase_ts"), unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("ts").as("last_click_ts"), unix_micros(col("ts")).as("c_us"))
+    asOf(purchases, clicks, "user_id", "c_user", "p_us", "c_us",
+      toleranceUs = 30L * 60L * 1000000L)
+      .select(col("user_id"), col("event_id"), col("purchase_ts"),
+        col("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_asof_native" -> asofNative)
+    "ev_asof_native" -> asofNative,
+    "ev_asof_tolerance" -> asofTolerance)
 
   val oracle: Map[String, String] = Map(
     // the same independent native-ASOF oracle as ev_asof_join — both
@@ -208,5 +231,18 @@ object AsOfJoin {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    // tolerance = post-filter of the unbounded ASOF (the latest
+    // admissible candidate is the only one the operator keeps)
+    "ev_asof_tolerance" ->
+      """SELECT user_id, event_id, purchase_ts,
+        |       CASE WHEN last_click_ts >= purchase_ts - INTERVAL 30 MINUTE
+        |            THEN last_click_ts END AS last_click_ts
+        |FROM (
+        |  SELECT p.user_id, p.event_id, p.ts AS purchase_ts,
+        |         c.ts AS last_click_ts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |ORDER BY event_id""".stripMargin)
 }
