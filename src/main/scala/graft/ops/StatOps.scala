@@ -1,0 +1,442 @@
+package graft.ops
+
+import graft.Tables
+import graft.ext.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12d analyst statistics: link analysis (HITS), time-series
+  * autocorrelation and Holt smoothing, ROC AUC, and a deterministic
+  * Poisson bootstrap — each built on the repo's exact-arithmetic
+  * discipline ([[graft.Det]]) so the DuckDB oracle replays every query
+  * bit-identically, and each shaped so the fact table is touched once
+  * and all ranking/recursion runs on an aggregated (dimension-sized)
+  * grain.
+  */
+object StatOps {
+
+  /** HITS hubs & authorities over the customer→supplier purchase
+    * bipartite graph (Kleinberg 1999) — the link-analysis companion to
+    * [[ExtraOps.pagerank]]: customers are hubs ("buys from many good
+    * suppliers"), suppliers are authorities ("bought by many good
+    * customers"). Two full unrolled mutual-reinforcement rounds
+    * (a ← Σ h over in-edges, h ← Σ a over out-edges), each followed by
+    * L1 normalization to a 10^12 fixed-point total.
+    *
+    * Cross-engine determinism: scores are integers; the only division is
+    * the normalization `(10^12 · x) DIV Σx` with the product widened to
+    * DECIMAL(38,0) (DuckDB: HUGEINT — its DECIMAL `//` is double
+    * division, the round-12 gotcha), so Spark and DuckDB agree bit-for-
+    * bit. Bounds: Σ of any pre-norm score column ≤ in/out-degree bound ×
+    * 10^12 ≈ 10^16 (fits BIGINT); norm products ≤ 10^28 (fits both
+    * DECIMAL(38,0) and HUGEINT).
+    *
+    * At 100 TB: each half-round is ONE keyed join (scores ⋈ edges, both
+    * hash-partitioned on the join key) + a map-side-combined sum; the
+    * normalizer is a 1-row broadcast. The edge list is loop-invariant —
+    * localCheckpoint'ed once, bucketed in production — so four
+    * half-rounds never rescan the fact.
+    */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val SCALE = "1000000000000"
+    val edges = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+      .localCheckpoint() // loop-invariant adjacency, reused 4×
+    def norm(df: DataFrame, sc: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(sum(col(sc)).as("tot"))))
+        .withColumn(sc,
+          expr(s"CAST((CAST($sc AS DECIMAL(38,0)) * $SCALE) DIV tot AS BIGINT)"))
+        .drop("tot")
+    val h0 = edges.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+    def authFrom(h: DataFrame): DataFrame = norm(
+      edges.join(h, Seq("c"))
+        .groupBy(col("sup")).agg(sum(col("h")).as("a")), "a")
+    def hubFrom(a: DataFrame): DataFrame = norm(
+      edges.join(a, Seq("sup"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
+    val a1 = authFrom(h0); val h1 = hubFrom(a1)
+    val a2 = authFrom(h1); val h2 = hubFrom(a2)
+    a2.select(lit("authority").as("node_type"), col("sup").as("node_id"),
+        col("a").as("score"))
+      .unionAll(h2.select(lit("hub").as("node_type"), col("c").as("node_id"),
+        col("h").as("score")))
+      .orderBy(col("node_type"), desc("score"), col("node_id"))
+  }
+
+  /** Autocorrelation (correlogram) of the daily order-revenue series at
+    * lags 1, 2 and 7 — the seasonality probe behind every forecasting
+    * pipeline (lag-7 high = weekly cycle; lag-1 high = momentum). Each
+    * lag is the Pearson correlation of the series with its shifted self
+    * over the aligned pairs.
+    *
+    * The [[ExtraOps.correlation]] discipline per lag: x, y are exact
+    * integer cents; all five power sums are DECIMAL(38,0); the
+    * cancellation-prone n·Σxy − Σx·Σy stays exact decimal and only the
+    * final ratio is double — with the >2^53 operands STRING-routed
+    * (exact digits → correctly-rounded strtod on both engines), the
+    * DoubleSafetySpec escape hatch.
+    *
+    * At 100 TB: the fact is touched once (one groupBy day); the lag
+    * self-join and the correlation run on the daily grain (~10^3 rows
+    * per decade), so cost is calendar-sized regardless of fact volume.
+    */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr(
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS DECIMAL(19,0))) AS BIGINT)")
+        .as("y"))
+    val a = daily.withColumn("lag", explode(array(lit(1), lit(2), lit(7))))
+      .select(col("lag"), col("day"), col("y").as("xa"))
+    val b = daily.select(col("day").as("bday"), col("y").as("xb"))
+    a.join(b, expr("bday = day - lag"))
+      .select(col("lag"),
+        col("xa").cast("decimal(19,0)").as("x"),
+        col("xb").cast("decimal(19,0)").as("y"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        (expr("CAST(CAST(n_pairs * sxy - sx * sy AS STRING) AS DOUBLE)") /
+          (sqrt(expr("CAST(CAST(n_pairs * sxx - sx * sx AS STRING) AS DOUBLE)")) *
+            sqrt(expr("CAST(CAST(n_pairs * syy - sy * sy AS STRING) AS DOUBLE)"))))
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Exact ROC AUC of "total price predicts urgency" — the
+    * classifier-evaluation primitive (ranking quality of a score against
+    * a binary label), computed by the rank identity
+    * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) rather than a
+    * thresholds sweep. Labels: priority ∈ {1-URGENT, 2-HIGH}.
+    *
+    * The [[ExtraOps.mannWhitney]] shape (AUC = U/(n₁n₀) is the same
+    * statistic): rows collapse to DISTINCT score values carrying
+    * (n_pos, n_neg) counts, a running sum over that value grain counts
+    * negatives strictly below each value, and ties contribute in exact
+    * half-units by doubling: num2 = Σᵥ n₁(v)·(2·cum₀(<v) + n₀(v)), so
+    * AUC = num2 / (2·N₁·N₀) is ONE division of sub-2^53 BIGINTs —
+    * bit-identical cross-engine (int64→float64 is exempt from the
+    * string-routing rule). Gini = 2·AUC − 1 from the same double.
+    *
+    * At 100 TB: the fact collapses to distinct score values in one
+    * map-side-combined pass; only the value grain is sorted (the ROC
+    * curve's own grain — you cannot rank coarser without changing the
+    * statistic).
+    */
+  def auc(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.orders(s, d)
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("score"),
+        expr("CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT)").as("pos"))
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("n1"), sum(expr("1 - pos")).as("n0"))
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    v.withColumn("cum0", coalesce(sum(col("n0")).over(w), lit(0L)))
+      .agg(sum(col("n1")).as("n_pos"), sum(col("n0")).as("n_neg"),
+        sum(expr("n1 * (2 * cum0 + n0)")).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+      .withColumn("auc_gini", lit(2.0) * col("auc") - lit(1.0))
+  }
+
+  /** Deterministic Poisson bootstrap CI for the mean order value — the
+    * scale-out bootstrap (Chamandy et al., Google 2012): instead of
+    * drawing n rows with replacement (which needs global coordination),
+    * each row enters replicate b with weight ~ Poisson(1), approximated
+    * here by the inverse-CDF of a 60-bit md5 hash of (b, orderkey) —
+    * fully deterministic, embarrassingly parallel, and replayable by the
+    * oracle because both engines compute the identical hash
+    * ([[graft.ext.Hashing]]) and compare it against the identical
+    * integer thresholds ⌊10⁶·CDF_Poisson(1)(k)⌋.
+    *
+    * Exactness: per-replicate Σw·x and Σw are BIGINT (cents × weight ≤
+    * 6, n ≤ 10^6 at bench scale → ≪ 2^53); each replicate mean is ONE
+    * division of identical BIGINTs, so the 40 doubles are bit-identical
+    * cross-engine and their ORDER is too — the 2.5%/97.5% ranks (2 and
+    * 39 of B=40) pick the same replicates on both sides.
+    *
+    * At 100 TB: one scan of the fact exploded ×B with map-side combine
+    * into B partial sums — no resampled copy of the data ever
+    * materializes, and the ranking runs on a B-row frame.
+    */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val u = Hashing.sparkHash(
+      "concat(CAST(b AS STRING), ':', CAST(o_orderkey AS STRING))")
+    val reps = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("x"))
+      .withColumn("b", explode(expr("sequence(0, 39)")))
+      .withColumn("w", expr(
+        s"""CASE WHEN $u % 1000000 < 367879 THEN 0
+           |     WHEN $u % 1000000 < 735758 THEN 1
+           |     WHEN $u % 1000000 < 919698 THEN 2
+           |     WHEN $u % 1000000 < 981011 THEN 3
+           |     WHEN $u % 1000000 < 996340 THEN 4
+           |     WHEN $u % 1000000 < 999405 THEN 5
+           |     ELSE 6 END""".stripMargin))
+      .groupBy(col("b"))
+      .agg(sum(expr("w * x")).as("swx"), sum(col("w")).as("sw"))
+      .withColumn("mean_b", col("swx").cast("double") / col("sw"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_b"), col("b"))))
+    val ci = ranked.agg(
+      min(when(col("rn") === 2, col("mean_b"))).as("ci_lo"),
+      max(when(col("rn") === 39, col("mean_b"))).as("ci_hi"),
+      count(lit(1)).as("b_reps"))
+    Tables.orders(s, d)
+      .agg(count(lit(1)).as("n_orders"),
+        (expr("SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))")
+          .cast("double") / count(lit(1))).as("point_mean"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_orders"), col("point_mean"), col("ci_lo"), col("ci_hi"),
+        col("b_reps"))
+  }
+
+  /** Holt's linear-trend exponential smoothing of the monthly revenue
+    * series (α = β = ¼) — the two-state upgrade of [[ExtraOps.ewma]]:
+    * level ℓₜ = (yₜ + 3(ℓₜ₋₁ + bₜ₋₁)) DIV 4,
+    * trend bₜ = ((ℓₜ − ℓₜ₋₁) + 3bₜ₋₁) DIV 4, seeded ℓ₀ = y₀, b₀ = 0.
+    * All state is integer cents and both engines truncate DIV toward
+    * zero (verified for negative trends), so the whole recursion — not
+    * just its endpoint — is bit-exact cross-engine.
+    *
+    * The recursion is inherently sequential, so it runs where sequential
+    * work belongs: on the AGGREGATED series. The fact collapses to
+    * per-month cents in one distributed pass; the ~decade-of-months
+    * array then folds through ONE `aggregate` higher-order function
+    * (no driver loop, no per-month task), and the fitted series
+    * re-explodes for output. The oracle replays it as a recursive CTE
+    * over the row-numbered months — two independent spellings of the
+    * same recurrence agreeing bit-for-bit is the verification.
+    *
+    * At 100 TB this shape is unchanged: series length is calendar-bound
+    * (~120 rows/decade), never data-bound.
+    */
+  def holt(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .groupBy(trunc(to_date(col("o_orderdate")), "MM").as("month"))
+      .agg(expr(
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS DECIMAL(19,0))) AS BIGINT)")
+        .as("y"))
+      .agg(array_sort(collect_list(struct(col("month"), col("y")))).as("series"))
+      .select(explode(expr(
+        """aggregate(
+          |  series,
+          |  named_struct(
+          |    'init', false, 'lvl', CAST(0 AS BIGINT), 'trd', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<month: DATE, y: BIGINT, lvl: BIGINT, trd: BIGINT>>)),
+          |  (acc, p) -> CASE WHEN NOT acc.init THEN named_struct(
+          |      'init', true, 'lvl', p.y, 'trd', CAST(0 AS BIGINT),
+          |      'out', array(named_struct('month', p.month, 'y', p.y,
+          |                                'lvl', p.y, 'trd', CAST(0 AS BIGINT))))
+          |    ELSE named_struct(
+          |      'init', true,
+          |      'lvl', (p.y + 3 * (acc.lvl + acc.trd)) DIV 4,
+          |      'trd', (((p.y + 3 * (acc.lvl + acc.trd)) DIV 4 - acc.lvl)
+          |              + 3 * acc.trd) DIV 4,
+          |      'out', array_append(acc.out, named_struct(
+          |        'month', p.month, 'y', p.y,
+          |        'lvl', (p.y + 3 * (acc.lvl + acc.trd)) DIV 4,
+          |        'trd', (((p.y + 3 * (acc.lvl + acc.trd)) DIV 4 - acc.lvl)
+          |                + 3 * acc.trd) DIV 4)))
+          |    END,
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.month").as("month"), col("r.y").as("rev_cents"),
+        col("r.lvl").as("level_cents"), col("r.trd").as("trend_cents"))
+      .orderBy(col("month"))
+  }
+
+  /** Case-insensitive grouping via Spark 4 COLLATION (`collate(expr,
+    * 'UTF8_LCASE')`) — the engine-native answer to mixed-case source
+    * data that every ingestion pipeline otherwise solves with lower()
+    * scattered through business logic. Three case variants of the
+    * market segment (UPPER, lower, Title-ish) are derived
+    * deterministically from the customer key, grouped under the LCASE
+    * collation, and the group key is surfaced through lower() so the
+    * output does not depend on which variant the engine picks as
+    * representative. `n_variants` (binary-distinct forms inside each
+    * collated group) pins that the collation actually merged distinct
+    * binaries — 3 for every segment, or the demo proves nothing.
+    * Oracle: GROUP BY lower(seg), the pre-collation idiom.
+    */
+  def collation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(expr(
+        """CASE CAST(c_custkey % 3 AS INT)
+          |  WHEN 0 THEN upper(c_mktsegment)
+          |  WHEN 1 THEN lower(c_mktsegment)
+          |  ELSE concat(substring(c_mktsegment, 1, 1),
+          |              lower(substring(c_mktsegment, 2)))
+          |END""".stripMargin).as("seg"))
+      .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(expr("CAST(seg AS STRING COLLATE UTF8_BINARY)"))
+          .as("n_variants"))
+      .select(expr("CAST(lower(k) AS STRING)").as("seg_lc"),
+        col("n_rows"), col("n_variants"))
+      .orderBy(col("seg_lc"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_hits" -> hits,
+    "x_autocorr" -> autocorr,
+    "x_auc" -> auc,
+    "x_bootstrap_ci" -> bootstrapCi,
+    "x_holt" -> holt,
+    "x_collation" -> collation)
+
+  def oracle: Map[String, String] = Map(
+    "x_hits" -> {
+      val S = "1000000000000"
+      def normed(prev: String, out: String, key: String, sc: String): String =
+        s"""$out AS MATERIALIZED (SELECT $key,
+           |  CAST(CAST(x AS HUGEINT) * $S // (SELECT SUM(x) FROM $prev)
+           |       AS BIGINT) AS $sc FROM $prev)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
+         |a1p AS (SELECT e.sup, CAST(SUM(h.h) AS BIGINT) AS x
+         |        FROM e JOIN h0 h USING (c) GROUP BY e.sup),
+         |${normed("a1p", "a1", "sup", "a")},
+         |h1p AS (SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS x
+         |        FROM e JOIN a1 USING (sup) GROUP BY e.c),
+         |${normed("h1p", "h1", "c", "h")},
+         |a2p AS (SELECT e.sup, CAST(SUM(h1.h) AS BIGINT) AS x
+         |        FROM e JOIN h1 USING (c) GROUP BY e.sup),
+         |${normed("a2p", "a2", "sup", "a")},
+         |h2p AS (SELECT e.c, CAST(SUM(a2.a) AS BIGINT) AS x
+         |        FROM e JOIN a2 USING (sup) GROUP BY e.c),
+         |${normed("h2p", "h2", "c", "h")}
+         |SELECT 'authority' AS node_type, sup AS node_id, a AS score FROM a2
+         |UNION ALL SELECT 'hub', c, h FROM h2
+         |ORDER BY node_type, score DESC, node_id""".stripMargin
+    },
+    "x_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |                       AS DECIMAL(19,0))) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT UNNEST([1, 2, 7]) AS lag),
+        |p AS (
+        |  SELECT l.lag, COUNT(*) AS n_pairs,
+        |         SUM(CAST(a.y AS DECIMAL(19,0))) AS sx,
+        |         SUM(CAST(b.y AS DECIMAL(19,0))) AS sy,
+        |         SUM(CAST(a.y AS DECIMAL(19,0)) * CAST(b.y AS DECIMAL(19,0))) AS sxy,
+        |         SUM(CAST(a.y AS DECIMAL(19,0)) * CAST(a.y AS DECIMAL(19,0))) AS sxx,
+        |         SUM(CAST(b.y AS DECIMAL(19,0)) * CAST(b.y AS DECIMAL(19,0))) AS syy
+        |  FROM lags l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.day = a.day - l.lag
+        |  GROUP BY l.lag)
+        |SELECT lag, n_pairs,
+        |       CAST(CAST(n_pairs * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |         / (sqrt(CAST(CAST(n_pairs * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+        |            * sqrt(CAST(CAST(n_pairs * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+        |         AS acf
+        |FROM p ORDER BY lag""".stripMargin,
+    "x_auc" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS score,
+        |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT n1, n0,
+        |         COALESCE(CAST(SUM(n0) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS cum0
+        |  FROM v),
+        |t AS (
+        |  SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
+        |         CAST(SUM(n0) AS BIGINT) AS n_neg,
+        |         CAST(SUM(n1 * (2 * cum0 + n0)) AS BIGINT) AS num2
+        |  FROM c)
+        |SELECT n_pos, n_neg,
+        |       CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc,
+        |       2.0 * (CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) - 1.0
+        |         AS auc_gini
+        |FROM t""".stripMargin,
+    "x_bootstrap_ci" -> {
+      val u = Hashing.duckHash(
+        "CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+      s"""WITH reps AS (
+         |  SELECT b,
+         |         CAST(SUM(w * x) AS BIGINT) AS swx,
+         |         CAST(SUM(w) AS BIGINT) AS sw
+         |  FROM (
+         |    SELECT g.b, o.o_orderkey,
+         |           CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+         |           CASE WHEN $u % 1000000 < 367879 THEN 0
+         |                WHEN $u % 1000000 < 735758 THEN 1
+         |                WHEN $u % 1000000 < 919698 THEN 2
+         |                WHEN $u % 1000000 < 981011 THEN 3
+         |                WHEN $u % 1000000 < 996340 THEN 4
+         |                WHEN $u % 1000000 < 999405 THEN 5
+         |                ELSE 6 END AS w
+         |    FROM orders o CROSS JOIN generate_series(0, 39) AS g(b))
+         |  GROUP BY b),
+         |ranked AS (
+         |  SELECT CAST(swx AS DOUBLE) / sw AS mean_b,
+         |         ROW_NUMBER() OVER (ORDER BY CAST(swx AS DOUBLE) / sw, b) AS rn
+         |  FROM reps),
+         |ci AS (
+         |  SELECT MIN(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+         |         MAX(CASE WHEN rn = 39 THEN mean_b END) AS ci_hi,
+         |         CAST(COUNT(*) AS BIGINT) AS b_reps
+         |  FROM ranked)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+         |                          AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |         / COUNT(*) AS point_mean,
+         |       (SELECT ci_lo FROM ci) AS ci_lo,
+         |       (SELECT ci_hi FROM ci) AS ci_hi,
+         |       (SELECT b_reps FROM ci) AS b_reps
+         |FROM orders""".stripMargin
+    },
+    "x_holt" ->
+      """WITH RECURSIVE monthly AS (
+        |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |                       AS DECIMAL(19,0))) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT ROW_NUMBER() OVER (ORDER BY month) AS rn, month, y
+        |      FROM monthly),
+        |r AS (
+        |  SELECT rn, month, y, y AS lvl, CAST(0 AS BIGINT) AS trd
+        |  FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.rn, m.month, m.y,
+        |         (m.y + 3 * (r.lvl + r.trd)) // 4 AS lvl,
+        |         (((m.y + 3 * (r.lvl + r.trd)) // 4 - r.lvl) + 3 * r.trd) // 4
+        |           AS trd
+        |  FROM r JOIN m ON m.rn = r.rn + 1)
+        |SELECT month, y AS rev_cents, CAST(lvl AS BIGINT) AS level_cents,
+        |       CAST(trd AS BIGINT) AS trend_cents
+        |FROM r ORDER BY month""".stripMargin,
+    "x_collation" ->
+      """WITH v AS (
+        |  SELECT CASE CAST(c_custkey % 3 AS INT)
+        |           WHEN 0 THEN upper(c_mktsegment)
+        |           WHEN 1 THEN lower(c_mktsegment)
+        |           ELSE substr(c_mktsegment, 1, 1)
+        |                || lower(substr(c_mktsegment, 2, 100))
+        |         END AS seg
+        |  FROM customer)
+        |SELECT lower(seg) AS seg_lc, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_variants
+        |FROM v GROUP BY 1 ORDER BY seg_lc""".stripMargin)
+}
