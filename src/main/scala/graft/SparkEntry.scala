@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CoreOps.queries ++ ops.ScalarOps.queries ++ ops.AggJoinOps.queries ++
       ops.PipelineOps.queries ++ ops.ExtraOps.queries ++ ops.TpchOps.queries ++
-      ops.QcOps.queries ++ ops.StatOps.queries ++
+      ops.QcOps.queries ++ ops.StatOps.queries ++ ops.FeatureOps.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       ext.MapOps.queries ++ ext.CountMinAgg.queries ++ ext.HyperLogLog.queries ++
@@ -59,7 +59,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.CoreOps.oracle ++ ops.ScalarOps.oracle ++ ops.AggJoinOps.oracle ++
       ops.PipelineOps.oracle ++ ops.ExtraOps.oracle ++ ops.TpchOps.oracle ++
-      ops.QcOps.oracle ++ ops.StatOps.oracle ++
+      ops.QcOps.oracle ++ ops.StatOps.oracle ++ ops.FeatureOps.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++ ext.HyperLogLog.oracle ++
