@@ -1025,7 +1025,146 @@ object Multimodal {
       .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic MP4 fixture params per doc: (timescale, seconds,
+    * width px, height px, mdat payload bytes).
+    */
+  def mp4FixtureParams(docId: Long): (Int, Int, Int, Int, Int) = (
+    Array(600, 1000, 24000, 90000)((docId % 4).toInt),
+    (1 + (docId % 30)).toInt,
+    320 + ((docId * 17) % 1600).toInt,
+    240 + ((docId * 29) % 840).toInt,
+    100 + ((docId * 53) % 4000).toInt)
+
+  /** Minimal but genuine ISO-BMFF (MP4) container: `ftyp` (major brand
+    * isom), `moov` wrapping a version-0 `mvhd` (timescale, duration) and
+    * one `trak`/`tkhd` (track id, 16.16 fixed-point width/height), then
+    * an `mdat` payload. Big-endian 32-bit box sizes throughout — a real
+    * box tree any MP4 demuxer walks.
+    */
+  def mp4Bytes(timescale: Int, secs: Int, w: Int, h: Int,
+      mdatLen: Int): Array[Byte] = {
+    val tkhdSz = 92; val trakSz = 8 + tkhdSz; val mvhdSz = 108
+    val moovSz = 8 + mvhdSz + trakSz
+    val buf = java.nio.ByteBuffer.allocate(20 + moovSz + 8 + mdatLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(20).put("ftyp".getBytes).put("isom".getBytes)
+      .putInt(512).put("iso2".getBytes)
+    buf.putInt(moovSz).put("moov".getBytes)
+    buf.putInt(mvhdSz).put("mvhd".getBytes).putInt(0) // version 0, flags 0
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(timescale * secs)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      .put(new Array[Byte](10)) // reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // identity matrix rows
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .put(new Array[Byte](24)) // pre_defined
+      .putInt(2) // next_track_ID
+    buf.putInt(trakSz).put("trak".getBytes)
+    buf.putInt(tkhdSz).put("tkhd".getBytes).putInt(1) // version 0, flags=enabled
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(1).putInt(0) // track_ID, reserved
+      .putInt(timescale * secs).put(new Array[Byte](8)) // duration, reserved
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/rsvd
+      .putInt(0x00010000).putInt(0).putInt(0) // identity matrix rows
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dimensions
+    buf.putInt(8 + mdatLen).put("mdat".getBytes)
+    var i = 0
+    while (i < mdatLen) { buf.put(((i * 31) & 0xff).toByte); i += 1 }
+    buf.array()
+  }
+
+  case class Mp4Meta(doc_id: Long, n_boxes: Int, major_brand: String,
+      timescale: Long, duration_ms: Long, width: Int, height: Int,
+      mdat_bytes: Long)
+
+  /** GENUINE ISO-BMFF box walk — recursive descent over big-endian
+    * (size, fourcc) headers: validates the leading `ftyp` magic, reads
+    * the major brand, descends into container boxes (`moov`, `trak`),
+    * parses `mvhd` (timescale, duration → ms via integer DIV) and `tkhd`
+    * (16.16 fixed-point width/height), and measures the `mdat` payload.
+    * Every output column is read out of the container bytes; malformed
+    * sizes (< 8, or past the parent's end) refuse loudly — a
+    * payload-supplied size may never drive the walk backwards or out of
+    * bounds. size==1 (64-bit largesize) and size==0 (to-end-of-file)
+    * are recognized per the spec.
+    */
+  def parseMp4(bytes: Array[Byte]): (Int, String, Long, Long, Int, Int, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    var nBoxes = 0; var brand = ""; var timescale = 0L; var duration = 0L
+    var w = 0; var h = 0; var mdat = 0L
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val start = buf.position()
+        var sz: Long = buf.getInt.toLong & 0xffffffffL
+        val t = new Array[Byte](4); buf.get(t)
+        val tag = new String(t, "US-ASCII")
+        var hdr = 8
+        if (sz == 1) { sz = buf.getLong; hdr = 16 } // largesize
+        else if (sz == 0) sz = (end - start).toLong // box extends to end
+        require(sz >= hdr && start + sz <= end,
+          s"corrupt box size $sz for '$tag' at $start")
+        if (nBoxes == 0) require(tag == "ftyp", s"not an ISO-BMFF file ('$tag')")
+        nBoxes += 1
+        val boxEnd = (start + sz).toInt
+        tag match {
+          case "ftyp" =>
+            val b = new Array[Byte](4); buf.get(b)
+            brand = new String(b, "US-ASCII")
+          case "moov" | "trak" => walk(boxEnd) // container: recurse
+          case "mvhd" =>
+            val version = buf.getInt >>> 24
+            require(version == 0, s"mvhd version $version unsupported")
+            buf.getInt; buf.getInt // creation, modification
+            timescale = buf.getInt.toLong & 0xffffffffL
+            duration = buf.getInt.toLong & 0xffffffffL
+          case "tkhd" =>
+            val version = buf.getInt >>> 24
+            require(version == 0, s"tkhd version $version unsupported")
+            // 16.16 dims sit at the box tail: hdr(8)+fullbox(4)+fields(76)
+            buf.position(boxEnd - 8)
+            w = buf.getInt >>> 16; h = buf.getInt >>> 16
+          case "mdat" => mdat = sz - hdr
+          case _ => // skip unknown leaf
+        }
+        buf.position(boxEnd)
+      }
+    }
+    walk(bytes.length)
+    require(timescale > 0, "no mvhd timescale found")
+    (nBoxes, brand, timescale, duration * 1000L / timescale, w, h, mdat)
+  }
+
+  def mp4AtomsRaw(s: SparkSession, d: String): Dataset[Mp4Meta] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (ts, secs, w0, h0, mlen) = mp4FixtureParams(id)
+        val (n, brand, tsc, durMs, w, h, mdat) =
+          parseMp4(mp4Bytes(ts, secs, w0, h0, mlen))
+        Mp4Meta(id, n, brand, tsc, durMs, w, h, mdat)
+      }
+    }
+  }
+
+  /** Declared form of [[mp4AtomsRaw]] — the video-container leg of the
+    * multimodal family (image codecs / audio RIFF / video ISO-BMFF). At
+    * 100 TB the same contract as every codec here: parse is ONE
+    * mapPartitions pass over payload bytes; only fixed-width metadata
+    * ever shuffles.
+    */
+  def mp4Atoms(s: SparkSession, d: String): DataFrame =
+    mp4AtomsRaw(s, d).toDF()
+      .select(col("doc_id"), col("n_boxes"), col("major_brand"),
+        col("timescale"), col("duration_ms"), col("width"), col("height"),
+        col("mdat_bytes"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_mp4_atoms" -> mp4Atoms,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
     "mm_bmp_decode" -> bmpDecode,
@@ -1049,6 +1188,25 @@ object Multimodal {
     s"CAST('0x' || substr(sha256(text), ${2 * i + 1}, 2) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    // Closed forms of the MP4 fixture (6 boxes: ftyp, moov, mvhd, trak,
+    // tkhd, mdat; duration = timescale·secs so duration_ms = secs·1000);
+    // the engine side reads every value out of the container bytes only.
+    "mm_mp4_atoms" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |              WHEN 2 THEN 24000 ELSE 90000 END AS ts,
+        |         1 + doc_id % 30 AS secs,
+        |         320 + (doc_id * 17) % 1600 AS w,
+        |         240 + (doc_id * 29) % 840 AS h,
+        |         100 + (doc_id * 53) % 4000 AS mlen
+        |  FROM documents)
+        |SELECT doc_id, CAST(6 AS INT) AS n_boxes, 'isom' AS major_brand,
+        |       CAST(ts AS BIGINT) AS timescale,
+        |       CAST(secs * 1000 AS BIGINT) AS duration_ms,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(mlen AS BIGINT) AS mdat_bytes
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_decode_features" ->
       s"""SELECT doc_id,
          |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -708,6 +708,28 @@ class ExtensionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ext.Multimodal.parseWav(bad))
   }
 
+  test("MP4 box walker reads genuine ISO-BMFF bytes and refuses corruption") {
+    val payload = ext.Multimodal.mp4Bytes(90000, 7, 1280, 720, 333)
+    val (n, brand, ts, durMs, w, h, mdat) = ext.Multimodal.parseMp4(payload)
+    assert((n, brand, ts, durMs) == ((6, "isom", 90000L, 7000L)))
+    assert((w, h, mdat) == ((1280, 720, 333L)))
+    // corrupt magic: leading box must be ftyp
+    val bad = payload.clone(); bad(4) = 'X'.toByte
+    intercept[IllegalArgumentException](ext.Multimodal.parseMp4(bad))
+    // corrupt size: a box size below the header length must refuse, not
+    // loop or walk backwards
+    val badSz = payload.clone(); badSz(3) = 2.toByte
+    intercept[IllegalArgumentException](ext.Multimodal.parseMp4(badSz))
+    // 64-bit largesize on the mdat box parses to the same payload length
+    val mdatOff = payload.length - (8 + 333)
+    val big = java.nio.ByteBuffer.allocate(payload.length + 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .put(payload, 0, mdatOff).putInt(1).put("mdat".getBytes)
+      .putLong(16L + 333L).put(payload, mdatOff + 8, 333).array()
+    val (n2, _, _, _, _, _, mdat2) = ext.Multimodal.parseMp4(big)
+    assert((n2, mdat2) == ((6, 333L)), "largesize mdat must parse identically")
+  }
+
   test("FFD packing invariants: capped bins, never below the splitting lower bound") {
     val rep = ext.TextOps.packBestFit(spark, sf).collect()
     assert(rep.length == 8, "one manifest row per shard")
