@@ -1163,7 +1163,61 @@ object Multimodal {
         col("mdat_bytes"))
       .orderBy(col("doc_id"))
 
+  case class Sniffed(doc_id: Long, source: String, mime: String)
+
+  /** Magic-byte MIME sniffing — the triage step every binary-ingest
+    * pipeline runs before routing payloads to the right decoder: inspect
+    * the leading bytes, not the filename. Fixtures rotate through the
+    * four REAL containers this file synthesizes (BMP / RIFF-WAVE /
+    * ISO-BMFF / printable text) keyed by doc_id; the sniffer reads ONLY
+    * payload bytes (BM · RIFF…WAVE · size+ftyp · printable-ASCII scan),
+    * so the per-(source, mime) census verifying against the closed-form
+    * oracle proves the classification came from the bytes. At 100 TB:
+    * one mapPartitions pass, payloads never shuffle, only (source, mime)
+    * pairs aggregate.
+    */
+  def sniffMime(bytes: Array[Byte]): String = {
+    def ascii(off: Int, s: String): Boolean =
+      bytes.length >= off + s.length &&
+        new String(bytes, off, s.length, "US-ASCII") == s
+    if (ascii(0, "BM")) "image/bmp"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/wav"
+    else if (ascii(4, "ftyp")) "video/mp4"
+    else if (bytes.nonEmpty && bytes.forall(b => b >= 32 && b <= 126))
+      "text/plain"
+    else "application/octet-stream"
+  }
+
+  def magicSniff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(lit("doc:"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64))
+          .as("txt"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, txt) =>
+          val payload = (id % 4) match {
+            case 0 =>
+              val (w, h, r, g, b) = bmpFixtureParams(id); bmpBytes(w, h, r, g, b)
+            case 1 =>
+              val (rate, n, amp) = wavFixtureParams(id); wavBytes(rate, n, amp)
+            case 2 =>
+              val (ts, secs, w, h, m) = mp4FixtureParams(id)
+              mp4Bytes(ts, secs, w, h, m)
+            case _ => txt.getBytes("US-ASCII")
+          }
+          Sniffed(id, src, sniffMime(payload))
+        }
+      }
+      .groupBy(col("source"), col("mime"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("mime"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_magic_sniff" -> magicSniff,
     "mm_mp4_atoms" -> mp4Atoms,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
@@ -1191,6 +1245,12 @@ object Multimodal {
     // Closed forms of the MP4 fixture (6 boxes: ftyp, moov, mvhd, trak,
     // tkhd, mdat; duration = timescale·secs so duration_ms = secs·1000);
     // the engine side reads every value out of the container bytes only.
+    "mm_magic_sniff" ->
+      """SELECT source,
+        |       CASE doc_id % 4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+        |            WHEN 2 THEN 'video/mp4' ELSE 'text/plain' END AS mime,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY source, mime""".stripMargin,
     "mm_mp4_atoms" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -2033,7 +2033,41 @@ object TextOps {
       .orderBy(col("anchor_id"), col("j"))
   }
 
+  /** Unicode NFC normalization — the canonical first step of every text
+    * ingestion pipeline: combining sequences (e + U+0301) collapse to
+    * their precomposed forms (é) so that visually identical strings
+    * compare, hash, and dedup identically. The fixture appends
+    * deliberately DECOMPOSED sequences to each doc (Spark string
+    * literals carry the combining marks; the oracle builds the same
+    * bytes with chr() — Spark's own chr() is ASCII-only); normalization
+    * runs through `java.text.Normalizer` behind a Scala UDF, and DuckDB
+    * replays it with its native nfc_normalize() — two independent
+    * implementations of UAX #15 agreeing byte-for-byte IS the
+    * verification. Both engines count string length in code points, so
+    * the length delta (2 per collapsed pair) verifies too.
+    *
+    * At 100 TB: normalization is a pure per-row map (no shuffle); the
+    * UDF breaks whole-stage codegen on this one projection, which is the
+    * documented cost — the upgrade path is a codegen Expression wrapping
+    * the same Normalizer call ([[graft.expr.MinHashExpr]]'s pattern).
+    */
+  def nfcNormalize(s: SparkSession, d: String): DataFrame = {
+    val nfc = udf((t: String) =>
+      java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" cafe\u0301 nin\u0303o")).as("raw"))
+      .select(col("doc_id"), length(col("raw")).as("len_raw"),
+        nfc(col("raw")).as("n"))
+      .select(col("doc_id"), col("len_raw"), length(col("n")).as("len_nfc"),
+        (col("len_raw") - length(col("n"))).as("collapsed"),
+        expr("right(n, 12)").as("nfc_tail"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_nfc_normalize" -> nfcNormalize,
     "pipe_negatives" -> negatives,
     "pipe_quality_sample" -> qualitySample,
     "pipe_interleave" -> interleave,
@@ -2135,6 +2169,21 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      // DuckDB's native UAX #15 implementation replays the JVM
+      // Normalizer byte-for-byte; chr() builds the same decomposed
+      // combining sequences the Spark literal carries.
+      "tx_nfc_normalize" ->
+        """WITH r AS (
+          |  SELECT doc_id,
+          |         substr(text, 1, 40) || ' cafe' || chr(769)
+          |           || ' nin' || chr(771) || 'o' AS raw
+          |  FROM documents)
+          |SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+          |       CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+          |       CAST(length(raw) - length(nfc_normalize(raw)) AS INT)
+          |         AS collapsed,
+          |       right(nfc_normalize(raw), 12) AS nfc_tail
+          |FROM r ORDER BY doc_id""".stripMargin,
       "pipe_negatives" ->
         s"""WITH pos AS (
            |  SELECT doc_id,

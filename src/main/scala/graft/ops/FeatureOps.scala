@@ -178,7 +178,45 @@ object FeatureOps {
       Map("minbal" -> 1000, "seg" -> "BUILDING"))
   }
 
+  /** Item-item collaborative filtering ("customers who bought X also
+    * bought Y") — cosine similarity over order-basket co-occurrence, the
+    * classic Amazon-style recommender primitive (Linden et al. 2003) and
+    * the predictive counterpart of [[ExtraOps.linkPredict]]'s Jaccard:
+    * cos(i,j) = |orders with both| / √(deg i · deg j), which damps the
+    * popularity bias raw co-counts have.
+    *
+    * Exactness: cooc and degrees are exact ints; deg·deg ≪ 2⁵³ so the
+    * single √ and division are correctly-rounded IEEE on identical
+    * operands. Top-50 by (cosine, pair) is a TakeOrderedAndProject.
+    *
+    * At 100 TB: candidate pairs come from the WEDGE join (basket ⋈
+    * basket on the shared order) so only pairs that co-occur ever
+    * materialize — O(Σ basket²), with the item-domain filter bounding
+    * the catalog slice; degree attach is a broadcast.
+    */
+  def itemCf(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 50 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val deg = b.groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+    b.as("a").join(b.as("c"),
+        col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk"))
+      .groupBy(col("a.pk").as("pk1"), col("c.pk").as("pk2"))
+      .agg(count(lit(1)).as("cooc"))
+      .join(broadcast(deg.select(col("pk").as("pk1"), col("deg").as("deg1"))),
+        Seq("pk1"))
+      .join(broadcast(deg.select(col("pk").as("pk2"), col("deg").as("deg2"))),
+        Seq("pk2"))
+      .select(col("pk1"), col("pk2"), col("cooc"), col("deg1"), col("deg2"),
+        (col("cooc").cast("double") /
+          sqrt((col("deg1") * col("deg2")).cast("double"))).as("cosine"))
+      .orderBy(desc("cosine"), col("pk1"), col("pk2"))
+      .limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_item_cf" -> itemCf,
     "x_target_encoding" -> targetEncoding,
     "x_feature_hashing" -> featureHashing,
     "x_hhi" -> hhi,
@@ -186,6 +224,20 @@ object FeatureOps {
     "x_param_sql" -> paramSql)
 
   def oracle: Map[String, String] = Map(
+    "x_item_cf" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_partkey % 50 = 0),
+        |deg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS deg FROM b GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS pk1, c.pk AS pk2, CAST(COUNT(*) AS BIGINT) AS cooc
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |  GROUP BY 1, 2)
+        |SELECT pk1, pk2, cooc, d1.deg AS deg1, d2.deg AS deg2,
+        |       CAST(cooc AS DOUBLE) / sqrt(CAST(d1.deg * d2.deg AS DOUBLE))
+        |         AS cosine
+        |FROM pairs JOIN deg d1 ON pk1 = d1.pk JOIN deg d2 ON pk2 = d2.pk
+        |ORDER BY cosine DESC, pk1, pk2 LIMIT 50""".stripMargin,
     "x_target_encoding" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority AS prio,

@@ -711,7 +711,44 @@ object QcOps {
       .orderBy(col("col_name"))
   }
 
+  /** Merkle-tree data attestation per source — the hierarchical upgrade
+    * of [[tableChecksum]]: leaf = md5(doc text), 8 leaves fold into a
+    * level-1 node (md5 of the id-ordered concatenation), 8 level-1 nodes
+    * into a level-2 node, level-2 nodes into the per-source root. A
+    * consumer holding only the root can verify any single document with
+    * log-width sibling proofs — the standard shape of dataset
+    * attestation (Certificate Transparency / Dat / content registries),
+    * and the reason this beats a flat checksum at 100 TB: a corrupted
+    * shard re-verifies O(shard) instead of O(corpus), and incremental
+    * appends re-hash only the touched spine.
+    *
+    * Shape at scale: each level is ONE groupBy on an 8×-coarser key —
+    * three map-side-combined aggregations over fixed-width hashes; the
+    * raw text is read exactly once at the leaf level. Deterministic: the
+    * in-group concatenation orders by the child key (Spark: sorted
+    * struct collect; DuckDB: string_agg ORDER BY — the proven-identical
+    * pair).
+    */
+  def merkleTree(s: SparkSession, d: String): DataFrame = {
+    def fold(df: DataFrame, childKey: String,
+        parentKey: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(col("source"), parentKey.as("g"))
+        .agg(md5(expr(s"array_join(transform(array_sort(" +
+          s"collect_list(struct($childKey AS k, h))), x -> x.h), '')")).as("h"),
+          sum(col("n")).as("n"))
+        .withColumnRenamed("g", childKey)
+    val leaves = Tables.documents(s, d)
+      .select(col("source"), col("doc_id").as("k"), md5(col("text")).as("h"),
+        lit(1L).as("n"))
+    val l1 = fold(leaves, "k", expr("k DIV 8"))
+    val l2 = fold(l1, "k", expr("k DIV 8"))
+    fold(l2, "k", lit(0L))
+      .select(col("source"), col("n").as("n_docs"), col("h").as("merkle_root"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_merkle_tree" -> merkleTree,
     "qc_numeric_profile" -> numericProfile,
     "qc_rollup_consistency" -> rollupConsistency,
     "qc_tv_drift" -> tvDrift,
@@ -765,6 +802,24 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // string_agg(h, '' ORDER BY child key) replays Spark's sorted
+    // struct-collect concatenation exactly (the proven-identical pair).
+    "qc_merkle_tree" ->
+      """WITH leaves AS (
+        |  SELECT source, doc_id AS k, md5(text) AS h, 1 AS n FROM documents),
+        |l1 AS (
+        |  SELECT source, k8 AS k, md5(string_agg(h, '' ORDER BY k)) AS h,
+        |         SUM(n) AS n
+        |  FROM (SELECT source, k, k // 8 AS k8, h, n FROM leaves)
+        |  GROUP BY source, k8),
+        |l2 AS (
+        |  SELECT source, k8 AS k, md5(string_agg(h, '' ORDER BY k)) AS h,
+        |         SUM(n) AS n
+        |  FROM (SELECT source, k, k // 8 AS k8, h, n FROM l1)
+        |  GROUP BY source, k8)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |       md5(string_agg(h, '' ORDER BY k)) AS merkle_root
+        |FROM l2 GROUP BY source ORDER BY source""".stripMargin,
     "qc_numeric_profile" -> {
       def leg(c: String): String = {
         val m = s"CAST(CAST(CAST($c AS DECIMAL(18,4)) * 10000 AS DECIMAL(19,0)) AS BIGINT)"
