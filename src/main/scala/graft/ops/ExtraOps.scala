@@ -1915,7 +1915,159 @@ object ExtraOps {
       .orderBy(col("start"))
   }
 
+  /** Budget WATERFALL ALLOCATION — the fulfilment/credit-line primitive:
+    * within each market segment, orders drain a fixed capacity budget in
+    * arrival order (o_orderdate, o_orderkey); each order receives
+    * `clamp(budget − already_allocated, 0, price)` — fully funded until
+    * the budget frays, one partial fill at the boundary, starved after.
+    * All arithmetic is exact integer cents (the proven
+    * DECIMAL(19,2)·100 cast both engines round identically), and the
+    * running drain is a window SUM over BIGINT — order-independent and
+    * bit-equal cross-engine, where a double running total would drift
+    * with partitioning.
+    *
+    * Scale shape: one fact⋈dim key join (customer side broadcastable),
+    * then ONE window partitioned by segment — no self-join, no iteration;
+    * the report collapses to |segments| rows. At 100 TB the window sort
+    * is the cost, and it shards by segment (add a time-bucket sub-key if
+    * a segment alone exceeds a partition).
+    */
+  def waterfallAlloc(s: SparkSession, d: String): DataFrame = {
+    val budget = 10000000000L // 10^10 cents per segment
+    val priced = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(19, 2)) * lit(100))
+          .cast("long").as("price_cents"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    priced
+      .withColumn("drained", coalesce(sum(col("price_cents")).over(w), lit(0L)))
+      .withColumn("alloc",
+        greatest(lit(0L), least(col("price_cents"), lit(budget) - col("drained"))))
+      .groupBy(col("segment"))
+      .agg(
+        sum(when(col("alloc") === col("price_cents"), 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("alloc") > 0L && col("alloc") < col("price_cents"), 1L)
+          .otherwise(0L)).as("n_partial"),
+        sum(when(col("alloc") === 0L, 1L).otherwise(0L)).as("n_starved"),
+        sum(col("alloc")).as("allocated_cents"),
+        sum(col("price_cents")).as("demand_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** GRID-BUCKETED SPATIAL RADIUS JOIN — the scale-safe shape for
+    * "find all point pairs within distance r": hash every point to an
+    * r-sized grid cell, expand ONE side to its 3×3 neighbor cells, and
+    * equi-join on cell id — candidates are provably a superset of all
+    * true pairs (a pair within r can't span more than one cell step),
+    * and each candidate pair is generated exactly once (the expanded
+    * side's 9 cells are distinct; the other side sits in one cell).
+    * The exact integer distance filter then runs on candidates only.
+    * Coordinates are synthesized deterministically from c_custkey by LCG
+    * mixing, so both engines derive identical points; everything stays
+    * in exact int64 (squared distance, no sqrt).
+    *
+    * At 100 TB this is the standard geospatial join: a 9× blowup of one
+    * side replaces the O(n²) cross join, the equi-join shuffles on the
+    * cell key (hash-partitionable, AQE-skew-splittable for hot cells),
+    * and cell size = radius keeps the candidate count near-optimal.
+    */
+  def geoGridJoin(s: SparkSession, d: String): DataFrame = {
+    val r2 = 400L // radius 20, squared
+    // Fibonacci-style multiplicative hashing, top 10 bits of a 31-bit
+    // product — a plain LCG mod grid-width puts every point on a lattice
+    // line (measured: all pairs landed in one distance bucket)
+    val pts = Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      expr("(c_custkey * 2654435761L % 2147483648L) div 2097152L").as("x"),
+      expr("(c_custkey * 2246822519L % 2147483648L) div 2097152L").as("y"))
+    val a = pts
+      .withColumn("dx", explode(expr("array(-1L, 0L, 1L)")))
+      .withColumn("dy", explode(expr("array(-1L, 0L, 1L)")))
+      .select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"),
+        (expr("x div 20") + col("dx")).as("cx"),
+        (expr("y div 20") + col("dy")).as("cy"))
+    val b = pts.select(col("id").as("ib"), col("x").as("xb"), col("y").as("yb"),
+      expr("x div 20").as("cx"), expr("y div 20").as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= r2)
+      .groupBy(expr("d2 div 100").as("d2_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("d2")).as("sum_d2"),
+        min(col("ia")).as("min_id"))
+      .orderBy(col("d2_bucket"))
+  }
+
+  /** TWO-FEATURE OLS via exact centered normal equations — multiple
+    * regression without a single order-dependent float: per priority
+    * class, y = order cents, x₁ = months since 1992-01-01,
+    * x₂ = o_orderkey mod 97 (a deliberately-uncorrelated control whose
+    * fitted weight should hug 0 — the query doubles as a sanity probe).
+    * The 2×2 system solves by Cramer on centered cross-moments
+    * Cᵢⱼ = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, all in DECIMAL(38,0) (exact, associative,
+    * order-independent — the [[graft.Det]] discipline); the two divisions
+    * to double happen LAST, through the string-cast path both engines
+    * parse identically. Magnitudes stay ≤ ~10²⁸, inside both engines'
+    * 38-digit exact range.
+    *
+    * Scale shape: ONE aggregation pass builds all nine sufficient
+    * statistics (map-side combined); the solve is per-group scalar
+    * algebra on a |groups|-row frame. This is how distributed OLS should
+    * look at any scale — sufficient statistics, never a driver-side
+    * matrix of rows.
+    */
+  def ols2(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = Tables.orders(s, d).select(
+      col("o_orderpriority"),
+      expr("datediff(to_date(o_orderdate), DATE '1992-01-01') div 30")
+        .cast(dec).as("x1"),
+      (col("o_orderkey") % lit(97L)).cast(dec).as("x2"),
+      (col("o_totalprice").cast(DecimalType(19, 2)) * lit(100))
+        .cast("long").cast(dec).as("y"))
+    val stats = base.groupBy(col("o_orderpriority")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).cast(dec).as("s11"),
+      sum(col("x2") * col("x2")).cast(dec).as("s22"),
+      sum(col("x1") * col("x2")).cast(dec).as("s12"),
+      sum(col("x1") * col("y")).cast(dec).as("s1y"),
+      sum(col("x2") * col("y")).cast(dec).as("s2y"))
+    val solved = stats
+      .withColumn("c11", (col("n") * col("s11") - col("s1") * col("s1")).cast(dec))
+      .withColumn("c22", (col("n") * col("s22") - col("s2") * col("s2")).cast(dec))
+      .withColumn("c12", (col("n") * col("s12") - col("s1") * col("s2")).cast(dec))
+      .withColumn("c1y", (col("n") * col("s1y") - col("s1") * col("sy")).cast(dec))
+      .withColumn("c2y", (col("n") * col("s2y") - col("s2") * col("sy")).cast(dec))
+      .withColumn("det",
+        (col("c11") * col("c22") - col("c12") * col("c12")).cast(dec))
+      .withColumn("b1",
+        (col("c22") * col("c1y") - col("c12") * col("c2y")).cast(dec)
+          .cast("string").cast("double")
+          / col("det").cast("string").cast("double"))
+      .withColumn("b2",
+        (col("c11") * col("c2y") - col("c12") * col("c1y")).cast(dec)
+          .cast("string").cast("double")
+          / col("det").cast("string").cast("double"))
+    solved.select(col("o_orderpriority"), col("n").cast("long").as("n"),
+      col("b1").as("cents_per_month"), col("b2").as("cents_per_keymod"),
+      ((col("sy").cast("string").cast("double")
+        - col("b1") * col("s1").cast("string").cast("double")
+        - col("b2") * col("s2").cast("string").cast("double"))
+        / col("n").cast("string").cast("double")).as("intercept_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_waterfall_alloc" -> waterfallAlloc,
+    "x_geo_grid_join" -> geoGridJoin,
+    "x_ols2" -> ols2,
     "x_random_walk" -> randomWalk,
     "x_graph_modularity" -> graphModularity,
     "x_mann_whitney" -> mannWhitney,
@@ -2954,6 +3106,93 @@ object ExtraOps {
         |       CAST(month_dec AS DOUBLE) AS month_total,
         |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
         |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
-        |FROM monthly ORDER BY o_year, o_month""".stripMargin
+        |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_waterfall_alloc" ->
+      """WITH priced AS (
+        |  SELECT c_mktsegment AS segment, o_orderkey, o_orderdate,
+        |         CAST(CAST(o_totalprice AS DECIMAL(19,2)) * 100 AS BIGINT) AS price_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |run AS (
+        |  SELECT segment, price_cents,
+        |         COALESCE(SUM(price_cents) OVER (
+        |           PARTITION BY segment ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS drained
+        |  FROM priced),
+        |alloc AS (
+        |  SELECT segment, price_cents,
+        |         GREATEST(0, LEAST(price_cents, 10000000000 - drained)) AS alloc
+        |  FROM run)
+        |SELECT segment,
+        |       CAST(SUM(CASE WHEN alloc = price_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+        |       CAST(SUM(CASE WHEN alloc > 0 AND alloc < price_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+        |       CAST(SUM(CASE WHEN alloc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starved,
+        |       CAST(SUM(alloc) AS BIGINT) AS allocated_cents,
+        |       CAST(SUM(price_cents) AS BIGINT) AS demand_cents
+        |FROM alloc GROUP BY segment ORDER BY segment""".stripMargin,
+    "x_geo_grid_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |         ((c_custkey * 2654435761) % 2147483648) // 2097152 AS x,
+        |         ((c_custkey * 2246822519) % 2147483648) // 2097152 AS y
+        |  FROM customer),
+        |a AS (
+        |  SELECT id AS ia, x AS xa, y AS ya,
+        |         x // 20 + dx.v AS cx, y // 20 + dy.v AS cy
+        |  FROM pts
+        |  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+        |  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)),
+        |b AS (SELECT id AS ib, x AS xb, y AS yb, x // 20 AS cx, y // 20 AS cy
+        |      FROM pts),
+        |cand AS (
+        |  SELECT ia, ib,
+        |         (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS d2
+        |  FROM a JOIN b USING (cx, cy)
+        |  WHERE ia < ib)
+        |SELECT CAST(d2 // 100 AS BIGINT) AS d2_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(d2) AS BIGINT) AS sum_d2,
+        |       CAST(MIN(ia) AS BIGINT) AS min_id
+        |FROM cand WHERE d2 <= 400
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_ols2" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority,
+        |         CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) // 30
+        |              AS DECIMAL(38,0)) AS x1,
+        |         CAST(o_orderkey % 97 AS DECIMAL(38,0)) AS x2,
+        |         CAST(CAST(CAST(o_totalprice AS DECIMAL(19,2)) * 100 AS BIGINT)
+        |              AS DECIMAL(38,0)) AS y
+        |  FROM orders),
+        |stats AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |         CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS s11,
+        |         CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS s22,
+        |         CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS s12,
+        |         CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS s1y,
+        |         CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS s2y
+        |  FROM base GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority, n, s1, s2, sy,
+        |         CAST(n * s11 - s1 * s1 AS DECIMAL(38,0)) AS c11,
+        |         CAST(n * s22 - s2 * s2 AS DECIMAL(38,0)) AS c22,
+        |         CAST(n * s12 - s1 * s2 AS DECIMAL(38,0)) AS c12,
+        |         CAST(n * s1y - s1 * sy AS DECIMAL(38,0)) AS c1y,
+        |         CAST(n * s2y - s2 * sy AS DECIMAL(38,0)) AS c2y
+        |  FROM stats),
+        |solved AS (
+        |  SELECT o_orderpriority, n, s1, s2, sy,
+        |         CAST(CAST(CAST(c22 * c1y - c12 * c2y AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |           / CAST(CAST(CAST(c11 * c22 - c12 * c12 AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS b1,
+        |         CAST(CAST(CAST(c11 * c2y - c12 * c1y AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |           / CAST(CAST(CAST(c11 * c22 - c12 * c12 AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS b2
+        |  FROM c)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |       b1 AS cents_per_month, b2 AS cents_per_keymod,
+        |       (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |          - b1 * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+        |          - b2 * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+        |         / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS intercept_cents
+        |FROM solved ORDER BY o_orderpriority""".stripMargin
   )
 }

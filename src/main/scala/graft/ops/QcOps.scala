@@ -747,7 +747,52 @@ object QcOps {
       .orderBy(col("source"))
   }
 
+  /** HELLINGER DRIFT — per-source divergence from the corpus-wide language
+    * mix via the Bhattacharyya coefficient BC = Σ√(p·q). Unlike PSI/KL
+    * (whose ln() is NOT exactly-rounded and differs per libm), √ IS
+    * IEEE-754 correctly rounded in every conforming engine, and ÷ and ×
+    * are too — so p = n_sl/n_s, q = n_l/n_tot, p·q, and √(p·q) are all
+    * BIT-IDENTICAL doubles in Spark and DuckDB. The only order-dependent
+    * step — the sum — is made exact by flooring each term to integer
+    * nano-units first (floor of an identical double is identical) and
+    * summing BIGINTs. A new float-exactness discipline alongside the
+    * decimal one: transcendental-free float pipelines verify exactly if
+    * every op is correctly rounded and the fold is integerized.
+    * H² = 1 − BC ∈ [0,1]; missing (source,lang) cells contribute √0 = 0,
+    * so the sparse inner join suffices — no dense grid.
+    *
+    * Scale shape: one groupBy builds the cells; marginals are two
+    * rollups of the CELL table (never a second corpus scan); the join
+    * fans out |sources|·|langs| rows at most. O(corpus) I/O, O(cells)
+    * everything else.
+    */
+  def hellingerDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_sl"))
+    val bySource = cells.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
+    val total = cells.agg(sum(col("n_sl")).as("n_tot"))
+    cells
+      .join(bySource, Seq("source"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("term_nano",
+        floor(sqrt((col("n_sl").cast("double") / col("n_s").cast("double"))
+          * (col("n_l").cast("double") / col("n_tot").cast("double")))
+          * lit(1e9)).cast("long"))
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("term_nano")).as("bc_nano"))
+      .withColumn("hellinger_sq",
+        lit(1.0) - col("bc_nano").cast("double") / lit(1e9))
+      .withColumn("drifted", col("hellinger_sq") > 0.02)
+      .select(col("source"), col("n_s").as("n_docs"), col("bc_nano"),
+        col("hellinger_sq"), col("drifted"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_hellinger_drift" -> hellingerDrift,
     "qc_merkle_tree" -> merkleTree,
     "qc_numeric_profile" -> numericProfile,
     "qc_rollup_consistency" -> rollupConsistency,
@@ -866,6 +911,29 @@ object QcOps {
         |       CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_micro,
         |       CAST(SUM(abs_diff) AS BIGINT) AS total_abs_diff_micro
         |FROM st GROUP BY status ORDER BY status""".stripMargin,
+    "qc_hellinger_drift" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+        |  FROM documents GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+        |bl AS (SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_sl) AS BIGINT) AS n_tot FROM cells),
+        |terms AS (
+        |  SELECT c.source, bs.n_s,
+        |         CAST(FLOOR(SQRT((CAST(c.n_sl AS DOUBLE) / CAST(bs.n_s AS DOUBLE))
+        |                       * (CAST(bl.n_l AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+        |                    * 1e9) AS BIGINT) AS term_nano
+        |  FROM cells c
+        |  JOIN bs ON c.source = bs.source
+        |  JOIN bl ON c.lang = bl.lang
+        |  CROSS JOIN tot),
+        |agg AS (
+        |  SELECT source, n_s, CAST(SUM(term_nano) AS BIGINT) AS bc_nano
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT source, n_s AS n_docs, bc_nano,
+        |       1.0 - CAST(bc_nano AS DOUBLE) / 1e9 AS hellinger_sq,
+        |       (1.0 - CAST(bc_nano AS DOUBLE) / 1e9) > 0.02 AS drifted
+        |FROM agg ORDER BY source""".stripMargin,
     "qc_tv_drift" ->
       """WITH cells AS (
         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl

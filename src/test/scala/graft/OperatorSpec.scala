@@ -738,6 +738,79 @@ class OperatorSpec extends AnyFunSuite {
     assert(auc >= 0.0 && auc <= 1.0)
   }
 
+  test("geo grid join: candidate superset is lossless vs brute-force pairs") {
+    // the grid join's correctness claim is FULL recall: every pair within
+    // radius must survive the 3x3 neighbor-cell candidate generation
+    val pts = Tables.customer(spark, sf).selectExpr(
+      "c_custkey AS id",
+      "(c_custkey * 2654435761L % 2147483648L) div 2097152L AS x",
+      "(c_custkey * 2246822519L % 2147483648L) div 2097152L AS y")
+    val brute = pts.as("a").crossJoin(pts.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(expr("(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 400"))
+      .count()
+    val gridded = ops.ExtraOps.geoGridJoin(spark, sf)
+      .agg(coalesce(sum(col("n_pairs")), lit(0L))).collect()(0).getLong(0)
+    assert(gridded == brute,
+      s"grid join found $gridded pairs, brute-force found $brute")
+  }
+
+  test("waterfall allocation: conservation, budget cap, and ordering invariants") {
+    val rows = ops.ExtraOps.waterfallAlloc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (alloc, demand) = (r.getAs[Long]("allocated_cents"),
+        r.getAs[Long]("demand_cents"))
+      assert(alloc <= demand, "cannot allocate more than demanded")
+      assert(alloc <= 10000000000L, "cannot allocate past the budget")
+      val (nf, np, ns) = (r.getAs[Long]("n_full"), r.getAs[Long]("n_partial"),
+        r.getAs[Long]("n_starved"))
+      assert(np <= 1L, "waterfall admits at most ONE partial fill per segment")
+      // if anyone starved, the budget must be exhausted up to one order's
+      // granularity — i.e. demand exceeded budget
+      if (ns > 0) assert(demand > 10000000000L)
+      if (demand <= 10000000000L) assert(alloc == demand && np == 0 && ns == 0)
+      assert(nf + np + ns > 0)
+    }
+  }
+
+  test("hellinger drift: BC bounds, and a self-identical source has H² ≈ 0") {
+    val rows = ops.QcOps.hellingerDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bc = r.getAs[Long]("bc_nano")
+      // Cauchy-Schwarz: BC ∈ [0, 1]; nano-floor keeps it ≤ 1e9
+      assert(bc >= 0L && bc <= 1000000000L)
+      val h2 = r.getAs[Double]("hellinger_sq")
+      assert(h2 >= -1e-9 && h2 <= 1.0)
+    }
+    // P == Q ⇒ BC = Σp = 1 exactly (up to the per-term nano floor):
+    // a synthetic one-source corpus must sit within |langs| nano-units
+    import spark.implicits._
+    val one = Seq(("only", "en", 7L), ("only", "de", 3L))
+      .toDF("source", "lang", "n_sl")
+    val terms = one.withColumn("tot", sum("n_sl").over(
+      org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("term", floor(sqrt((col("n_sl").cast("double") / col("tot"))
+        * (col("n_sl").cast("double") / col("tot"))) * lit(1e9)).cast("long"))
+      .agg(sum("term")).collect()(0).getLong(0)
+    assert(terms >= 1000000000L - 2 && terms <= 1000000000L)
+  }
+
+  test("ols2: the decorrelated control feature earns a near-zero weight") {
+    val rows = ops.ExtraOps.ols2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b2 = r.getAs[Double]("cents_per_keymod")
+      val b0 = r.getAs[Double]("intercept_cents")
+      // x2 = o_orderkey % 97 is independent of price by construction; its
+      // fitted weight must be tiny relative to the intercept's scale
+      assert(math.abs(b2 * 96) < math.abs(b0) * 0.5,
+        s"control weight $b2 implausibly large vs intercept $b0")
+      assert(!b0.isNaN && !b2.isNaN)
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
