@@ -911,7 +911,39 @@ object Dedup {
     branches.reduce(_ unionByName _).orderBy(col("b"), col("r"), col("s"))
   }
 
+  /** BLOCKED EDIT-DISTANCE near-dup detection — the classic record-linkage
+    * move (Levenshtein) made corpus-scale-safe by prefix blocking: docs
+    * are bucketed by their first 16 characters, and the quadratic
+    * Levenshtein comparison runs only WITHIN a block, on a fixed 60-char
+    * head (cost per pair is O(60²) regardless of doc length). Catches the
+    * edit-level near-dups (one word swapped/typo'd near the head) that
+    * hash-exact dedup misses and set-based Jaccard underweights, at a
+    * tiny fraction of all-pairs cost. Spark side uses the thresholded
+    * `levenshtein(a, b, 4)` form — the computation abandons a pair the
+    * moment its distance provably exceeds the cut, so a block of wildly
+    * different suffixes costs O(len·threshold), not O(len²).
+    *
+    * Scale shape: only (doc_id, 60-char head) shuffles — never the
+    * document; block sizes are data-dependent, so a production run caps
+    * them (count-then-filter, same discipline as the banded containment
+    * path) — at the planted-dup corpus the largest block is ~3 docs.
+    */
+  def editBlocked(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+        substring(col("text"), 1, 60).as("head"))
+    docs.as("a").join(docs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.head"), col("b.head"), 4))
+      .filter(col("dist") >= 0 && col("dist") <= 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_edit_blocked" -> editBlocked,
     "dd_band_planner" -> bandPlanner,
     "dd_record_linkage" -> recordLinkage,
     "dd_minhash_accuracy" -> minhashAccuracy,
@@ -1041,6 +1073,16 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dd_edit_blocked" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(text, 1, 16) AS blk,
+        |         substring(text, 1, 60) AS head
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "pipe_dedup_impact" ->
       """WITH doubled AS (
         |  SELECT doc_id, source, md5(text) AS h,

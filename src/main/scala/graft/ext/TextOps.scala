@@ -1147,6 +1147,54 @@ object TextOps {
     */
   private val DENY = "\\b(customer|stream|vector)\\b"
 
+  /** UNICODE SCRIPT COMPOSITION — per-language writing-system profile
+    * (Latin vs Han vs whitespace vs other) counted with Unicode script
+    * character classes, the signal a multilingual curation pipeline uses
+    * to catch mislabeled-language and transliterated docs. The corpus is
+    * ASCII-synthetic, so the probe first derives a deterministic
+    * multiscript column: zh docs get 10 letters transliterated to CJK,
+    * the other non-English langs get accented-vowel substitutions (still
+    * script=Latin — the classifier must NOT flag diacritics as foreign).
+    * Both engines count per-codepoint script classes over identical
+    * strings (Java `\p{IsHan}` ≡ RE2 `\p{Han}` — both implement UTS#24
+    * script property), so the integer counts hash-verify exactly.
+    *
+    * Scale shape: pure per-row map + one aggregation to |langs| rows;
+    * the text column never shuffles.
+    */
+  def scriptMix(s: SparkSession, d: String): DataFrame = {
+    val mixed = expr(
+      """CASE lang
+        |  WHEN 'zh' THEN translate(text, 'abcdefghij', '中文数大小据集网页图')
+        |  WHEN 'de' THEN translate(text, 'aeiou', 'äëïöü')
+        |  WHEN 'fr' THEN translate(text, 'aeiou', 'àéîôù')
+        |  WHEN 'es' THEN translate(text, 'aeiou', 'áéíóú')
+        |  ELSE text END""".stripMargin)
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .withColumn("mixed", mixed)
+      .select(col("lang"),
+        length(col("mixed")).cast("long").as("n_chars"),
+        regexp_count(col("mixed"), lit("[\\p{IsLatin}]")).cast("long").as("n_latin"),
+        regexp_count(col("mixed"), lit("[\\p{IsHan}]")).cast("long").as("n_han"),
+        regexp_count(col("mixed"), lit(" ")).cast("long").as("n_space"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_latin")).as("latin"),
+        sum(col("n_han")).as("han"),
+        sum(col("n_space")).as("space"))
+      .withColumn("latin_bp", expr("(latin * 10000) div chars"))
+      .withColumn("han_bp", expr("(han * 10000) div chars"))
+      .withColumn("other_bp",
+        expr("((chars - latin - han - space) * 10000) div chars"))
+      .withColumn("dominant_script",
+        when(col("han") > col("latin"), "Han").otherwise("Latin"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("latin_bp"),
+        col("han_bp"), col("other_bp"), col("dominant_script"))
+      .orderBy(col("lang"))
+  }
+
   def redact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("n_redacted", regexp_count(col("text"), lit(DENY)).cast("long"))
@@ -2067,6 +2115,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_script_mix" -> scriptMix,
     "tx_nfc_normalize" -> nfcNormalize,
     "pipe_negatives" -> negatives,
     "pipe_quality_sample" -> qualitySample,
@@ -2629,6 +2678,35 @@ object TextOps {
           |            FROM documents)
           |      GROUP BY 1, 2)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "tx_script_mix" ->
+        """WITH mixed AS (
+          |  SELECT lang,
+          |         CASE lang
+          |           WHEN 'zh' THEN translate(text, 'abcdefghij', '中文数大小据集网页图')
+          |           WHEN 'de' THEN translate(text, 'aeiou', 'äëïöü')
+          |           WHEN 'fr' THEN translate(text, 'aeiou', 'àéîôù')
+          |           WHEN 'es' THEN translate(text, 'aeiou', 'áéíóú')
+          |           ELSE text END AS m
+          |  FROM documents WHERE length(text) > 0),
+          |per_doc AS (
+          |  SELECT lang, CAST(length(m) AS BIGINT) AS n_chars,
+          |         CAST(len(regexp_extract_all(m, '[\p{Latin}]')) AS BIGINT) AS n_latin,
+          |         CAST(len(regexp_extract_all(m, '[\p{Han}]')) AS BIGINT) AS n_han,
+          |         CAST(len(regexp_extract_all(m, ' ')) AS BIGINT) AS n_space
+          |  FROM mixed),
+          |agg AS (
+          |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |         CAST(SUM(n_chars) AS BIGINT) AS chars,
+          |         CAST(SUM(n_latin) AS BIGINT) AS latin,
+          |         CAST(SUM(n_han) AS BIGINT) AS han,
+          |         CAST(SUM(n_space) AS BIGINT) AS space
+          |  FROM per_doc GROUP BY 1)
+          |SELECT lang, n_docs, chars,
+          |       (latin * 10000) // chars AS latin_bp,
+          |       (han * 10000) // chars AS han_bp,
+          |       ((chars - latin - han - space) * 10000) // chars AS other_bp,
+          |       CASE WHEN han > latin THEN 'Han' ELSE 'Latin' END AS dominant_script
+          |FROM agg ORDER BY lang""".stripMargin,
       "tx_redact" ->
         """SELECT doc_id,
           |       CAST(len(regexp_extract_all(text, '\b(customer|stream|vector)\b')) AS BIGINT) AS n_redacted,

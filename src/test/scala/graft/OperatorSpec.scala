@@ -811,6 +811,61 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked edit-distance dedup: finds every exact-dup pair, never invents one") {
+    val found = ext.Dedup.editBlocked(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))).toSet
+    // every exact duplicate (identical full text → identical 16-char block
+    // and identical 60-char head) MUST surface with dist = 0
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) > 0)
+    val exactPairs = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactPairs.foreach { case (a, b) =>
+      assert(found.contains((a, b, 0L)), s"missed exact-dup pair ($a,$b)")
+    }
+    // and every reported pair is real: re-measure with the un-thresholded
+    // Levenshtein on the same heads
+    val heads = docs.select(col("doc_id"), substring(col("text"), 1, 60).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    found.foreach { case (a, b, d) =>
+      assert(lev(heads(a), heads(b)) == d.toInt,
+        s"pair ($a,$b) reported dist $d but brute says ${lev(heads(a), heads(b))}")
+    }
+  }
+
+  test("script mix: ASCII langs are pure Latin; zh transliteration surfaces Han") {
+    val rows = ext.TextOps.scriptMix(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    rows.foreach { case (lang, r) =>
+      val (lbp, hbp, obp) = (r.getAs[Long]("latin_bp"), r.getAs[Long]("han_bp"),
+        r.getAs[Long]("other_bp"))
+      assert(lbp >= 0 && hbp >= 0 && obp >= 0 && lbp + hbp + obp <= 10000)
+      if (lang != "zh")
+        assert(hbp == 0, s"$lang must contain no Han codepoints, got $hbp bp")
+      // accented vowels must still classify as Latin, not leak into other
+      assert(obp == 0, s"$lang: diacritics misclassified as non-Latin")
+    }
+    rows.get("zh").foreach { r =>
+      assert(r.getAs[Long]("han_bp") > 1000,
+        "zh transliteration should produce a substantial Han share")
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
