@@ -1138,6 +1138,148 @@ object Multimodal {
     (nBoxes, brand, timescale, duration * 1000L / timescale, w, h, mdat)
   }
 
+  /** Deterministic EXIF fixture params per doc: orientation cycles the 8
+    * legal values, maker cycles 4 strings ("LG" packs
+    * inline — 3 bytes with NUL — the rest go via data-area offsets).
+    */
+  private val exifMakers = Array("LG", "Canon", "NIKON CORPORATION", "Apple")
+  def exifFixtureParams(docId: Long): (Int, String, Int, Int) = (
+    (1 + docId % 8).toInt,
+    exifMakers((docId % 4).toInt),
+    640 + ((docId * 19) % 3360).toInt,
+    480 + ((docId * 23) % 2160).toInt)
+
+  /** Genuine JPEG-with-EXIF payload: SOI, an APP1 segment carrying
+    * `Exif\0\0` plus a little-endian TIFF block (byte order `II`, magic
+    * 42, IFD0 with four entries — Make 0x010F ASCII via data-area
+    * offset, Orientation 0x0112 SHORT inline, PixelX/YDimension
+    * 0xA002/3 LONG inline), then EOI. Real IFD wire format: 12-byte
+    * entries of (tag, type, count, value-or-offset), next-IFD pointer 0,
+    * string data after the table.
+    */
+  def exifJpegBytes(orientation: Int, make: String, pw: Int, ph: Int): Array[Byte] = {
+    val makeZ = make.getBytes("US-ASCII") :+ 0.toByte
+    val ifdSize = 2 + 4 * 12 + 4
+    val makeOff = 8 + ifdSize // from TIFF block start
+    val tiffLen = makeOff + makeZ.length
+    val tiff = java.nio.ByteBuffer.allocate(tiffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(4) // entry count
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit =
+      tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    // ASCII values ≤ 4 bytes (incl. NUL) pack inline, longer ones point
+    // into the data area — both paths exercised by the maker rotation
+    if (makeZ.length <= 4) {
+      val inline = java.util.Arrays.copyOf(makeZ, 4)
+      entry(0x010F, 2, makeZ.length,
+        java.nio.ByteBuffer.wrap(inline)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+    } else entry(0x010F, 2, makeZ.length, makeOff)
+    entry(0x0112, 3, 1, orientation) // SHORT packs in the low half LE
+    entry(0xA002, 4, 1, pw)
+    entry(0xA003, 4, 1, ph)
+    tiff.putInt(0) // next IFD
+    if (makeZ.length > 4) tiff.put(makeZ)
+    val tiffArr = java.util.Arrays.copyOf(tiff.array(),
+      if (makeZ.length <= 4) makeOff else tiffLen)
+    val app1Payload = "Exif  ".getBytes("US-ASCII") ++ tiffArr
+    val out = java.nio.ByteBuffer.allocate(2 + 4 + app1Payload.length + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.putShort(0xFFD8.toShort) // SOI
+    out.putShort(0xFFE1.toShort).putShort((app1Payload.length + 2).toShort)
+    out.put(app1Payload)
+    out.putShort(0xFFD9.toShort) // EOI
+    out.array()
+  }
+
+  case class ExifMeta(doc_id: Long, byte_order: String, n_entries: Int,
+      make: String, orientation: Int, pixel_w: Long, pixel_h: Long)
+
+  /** GENUINE EXIF walk — JPEG marker scan to APP1, `Exif\0\0` check,
+    * then a real TIFF IFD parse honoring the declared byte order
+    * (`II`/`MM`), the 42 magic, inline-vs-offset value encoding by
+    * (type, count), and the next-IFD terminator. Malformed lengths and
+    * wrong magics refuse loudly (payload bytes never drive reads out of
+    * bounds) — the same contract as [[parseMp4]]. Camera-orientation
+    * extraction is step zero of every image-training pipeline (rotate
+    * before crop), which is why this leg exists beside pixel decode.
+    */
+  def parseExif(bytes: Array[Byte]): (String, Int, String, Int, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    require(buf.getShort == 0xFFD8.toShort, "not a JPEG (missing SOI)")
+    var tiffStart = -1; var tiffEnd = -1
+    var scanning = true
+    while (scanning && buf.remaining() >= 4) {
+      val marker = buf.getShort & 0xffff
+      require((marker & 0xff00) == 0xff00, f"bad marker $marker%04x")
+      if (marker == 0xFFD9 || marker == 0xFFDA) scanning = false
+      else {
+        val len = buf.getShort & 0xffff
+        require(len >= 2 && buf.position() + len - 2 <= bytes.length,
+          s"segment length $len overruns payload")
+        if (marker == 0xFFE1 && len >= 8) {
+          val hdr = new Array[Byte](6); buf.get(hdr)
+          require(new String(hdr, "US-ASCII") == "Exif  ",
+            "APP1 without Exif header")
+          tiffStart = buf.position(); tiffEnd = tiffStart + len - 8
+          scanning = false
+        } else buf.position(buf.position() + len - 2)
+      }
+    }
+    require(tiffStart >= 0, "no EXIF APP1 segment found")
+    val t = java.nio.ByteBuffer.wrap(bytes, tiffStart, tiffEnd - tiffStart).slice()
+    val bo = new String(Array(t.get(0), t.get(1)), "US-ASCII")
+    t.order(bo match {
+      case "II" => java.nio.ByteOrder.LITTLE_ENDIAN
+      case "MM" => java.nio.ByteOrder.BIG_ENDIAN
+      case other => throw new IllegalArgumentException(s"bad byte order '$other'")
+    })
+    require(t.getShort(2) == 42, "TIFF magic != 42")
+    val ifdOff = t.getInt(4)
+    val n = t.getShort(ifdOff) & 0xffff
+    var make = ""; var orientation = 0; var pw = 0L; var ph = 0L
+    for (i <- 0 until n) {
+      val e = ifdOff + 2 + i * 12
+      val tag = t.getShort(e) & 0xffff
+      val typ = t.getShort(e + 2) & 0xffff
+      val count = t.getInt(e + 4)
+      tag match {
+        case 0x010F =>
+          require(typ == 2, "Make must be ASCII")
+          val raw = new Array[Byte](count - 1) // strip trailing NUL
+          if (count <= 4) { for (j <- raw.indices) raw(j) = t.get(e + 8 + j) }
+          else { val off = t.getInt(e + 8)
+            for (j <- raw.indices) raw(j) = t.get(off + j) }
+          make = new String(raw, "US-ASCII")
+        case 0x0112 => orientation = t.getShort(e + 8) & 0xffff
+        case 0xA002 => pw = t.getInt(e + 8).toLong & 0xffffffffL
+        case 0xA003 => ph = t.getInt(e + 8).toLong & 0xffffffffL
+        case _ => // skip unknown tag
+      }
+    }
+    (bo, n, make, orientation, pw, ph)
+  }
+
+  def exifMetaRaw(s: SparkSession, d: String): Dataset[ExifMeta] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (o, mk, pw, ph) = exifFixtureParams(id)
+        val (bo, n, make, ori, w, h) = parseExif(exifJpegBytes(o, mk, pw, ph))
+        ExifMeta(id, bo, n, make, ori, w, h)
+      }
+    }
+  }
+
+  /** Declared form of [[exifMetaRaw]] — the image-metadata leg of the
+    * multimodal family. Same 100 TB contract as every codec here: one
+    * mapPartitions pass over payload bytes, only fixed-width metadata
+    * shuffles.
+    */
+  def exifMeta(s: SparkSession, d: String): DataFrame =
+    exifMetaRaw(s, d).toDF()
+
   def mp4AtomsRaw(s: SparkSession, d: String): Dataset[Mp4Meta] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
@@ -1218,6 +1360,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_magic_sniff" -> magicSniff,
+    "mm_exif_meta" -> exifMeta,
     "mm_mp4_atoms" -> mp4Atoms,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
@@ -1251,6 +1394,19 @@ object Multimodal {
         |            WHEN 2 THEN 'video/mp4' ELSE 'text/plain' END AS mime,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY source, mime""".stripMargin,
+    "mm_exif_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |         CASE doc_id % 4 WHEN 0 THEN 'LG' WHEN 1 THEN 'Canon'
+        |              WHEN 2 THEN 'NIKON CORPORATION' ELSE 'Apple' END AS make,
+        |         640 + (doc_id * 19) % 3360 AS pw,
+        |         480 + (doc_id * 23) % 2160 AS ph
+        |  FROM documents)
+        |SELECT doc_id, 'II' AS byte_order, CAST(4 AS INT) AS n_entries,
+        |       make, orientation,
+        |       CAST(pw AS BIGINT) AS pixel_w, CAST(ph AS BIGINT) AS pixel_h
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_mp4_atoms" ->
       """WITH p AS (
         |  SELECT doc_id,

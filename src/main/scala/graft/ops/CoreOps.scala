@@ -482,7 +482,52 @@ object CoreOps {
     s.table("graft_cat.ns.ord").orderBy(col("k"))
   }
 
+  /** S14 — PERMISSIVE CSV ingestion with corrupt-record capture: the
+    * messy-feed reality every warehouse loader faces. A CSV feed is
+    * synthesized from `nation` with every 5th record deliberately
+    * malformed (non-numeric key, missing column), written as raw text,
+    * and read back with an EXPLICIT schema + `columnNameOfCorruptRecord`
+    * — clean rows parse typed, broken rows land whole in the quarantine
+    * column with typed fields null, and NOTHING is silently dropped
+    * (PERMISSIVE, the default that production loaders should pin
+    * explicitly). The report aggregates survivors per region and counts
+    * quarantined lines; the oracle replays the corruption rule
+    * relationally, so the gate verifies Spark's parser semantics, not
+    * just row counts.
+    *
+    * Scale shape: text scan → per-line parse → aggregate; splittable
+    * uncompressed text, no shuffle until the |regions|-row rollup.
+    */
+  def csvBadRecords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_bad").toString
+    Tables.nation(s, d)
+      .select(when(col("n_nationkey") % 5 === 0,
+          concat(lit("#corrupt#,"), col("n_name")))
+        .otherwise(concat_ws(",", col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("rk", LongType), StructField("_bad", StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+    parsed.groupBy(
+        when(col("_bad").isNull, col("rk")).otherwise(lit(-1L)).as("region_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        // aggregate typed fields over CLEAN rows only — what a malformed
+        // row's partially-parsed fields contain is parser detail, not
+        // contract, so the verified surface never depends on it
+        min(when(col("_bad").isNull, col("name"))).as("first_name"),
+        coalesce(sum(when(col("_bad").isNull, col("k"))), lit(0L)).as("sum_keys"))
+      .orderBy(col("region_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_csv_badrecords" -> csvBadRecords,
     "s8_schema_evolution" -> schemaEvolution,
     "s5_pipe_sql" -> pipeSql,
     "s2_json_roundtrip" -> jsonRoundtrip,
@@ -599,6 +644,17 @@ object CoreOps {
     "s2_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    "s14_csv_badrecords" ->
+      """WITH tagged AS (
+        |  SELECT n_nationkey, n_name, n_regionkey,
+        |         n_nationkey % 5 = 0 AS corrupt
+        |  FROM nation)
+        |SELECT CAST(CASE WHEN corrupt THEN -1 ELSE n_regionkey END AS BIGINT) AS region_key,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |       MIN(CASE WHEN corrupt THEN NULL ELSE n_name END) AS first_name,
+        |       CAST(COALESCE(SUM(CASE WHEN corrupt THEN NULL ELSE n_nationkey END), 0) AS BIGINT) AS sum_keys
+        |FROM tagged GROUP BY 1 ORDER BY region_key""".stripMargin,
     "a8_flagship" ->
       """SELECT CAST(month(o_orderdate) AS INT) AS o_month, n_name,
         |       COUNT(*) AS n_items,
