@@ -49,6 +49,7 @@ object SparkEntry {
         "st_merge_upsert" -> streaming.StreamOps.mergeUpsertStream,
         "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
         "st_temporal_join" -> streaming.StreamOps.temporalJoinStream,
+        "st_late_drop" -> streaming.StreamOps.lateDropStream,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -84,6 +85,7 @@ object SparkEntry {
             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
             |ORDER BY 1, 2, 3""".stripMargin,
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
+        "st_late_drop" -> streaming.StreamOps.lateDropOracle,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinOracle,
         "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinOracle,
         "st_right_outer_join" -> streaming.StreamOps.rightOuterJoinOracle,

@@ -90,6 +90,104 @@ object StreamOps {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** WATERMARK LATE-DATA DROP, made deterministic and oracle-verifiable —
+    * the semantics everyone claims and nobody verifies: an append-mode
+    * windowed aggregation fed two micro-batches (maxFilesPerTrigger=1,
+    * file order pinned by mtime), where batch 2 carries LATE events.
+    * Spark's contract: the watermark advances to `max(ts seen) − delay`
+    * between batches, late rows whose hour-window closed below the
+    * watermark are DROPPED from state, and a window emits once the
+    * watermark passes its end (the no-data final micro-batch flushes the
+    * tail). The fixture is engineered so no event sits on a boundary:
+    * fed late rows either land strictly above watermark₁ (merged) or
+    * their window closes strictly below it (dropped) — rows whose window
+    * straddles the watermark are withheld at feed time, so `<` vs `≤`
+    * ambiguity cannot reach the verified surface. The DuckDB oracle
+    * replays the whole protocol relationally: watermark₁ from the
+    * on-time slice, the feed rule, watermark_final from everything fed
+    * (dropped rows still advance the watermark — they are filtered at
+    * the AGGREGATION, not at the source), and the emission cut.
+    *
+    * At scale this is the semantics that bounds state: without the drop,
+    * a day of stragglers holds every window open forever.
+    */
+  def lateDropStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val ev = graft.Tables.events(ss, d)
+      .select(col("event_id"), col("ts"), col("value"))
+    val onTime = ev.filter(col("event_id") % 97 =!= 0)
+    // watermark after batch 1, in epoch micros — ONE bounded scalar (the
+    // protocol instant), not data, so the driver-side collect is sound
+    val wm1 = onTime.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+      61L * 60 * 1000000L
+    val hourUs = 3600L * 1000000L
+    val late = ev.filter(col("event_id") % 97 === 0)
+      .filter(unix_micros(col("ts")) > wm1 ||
+        expr(s"((unix_micros(ts) div $hourUs) + 1) * $hourUs") < wm1)
+    val feed = java.nio.file.Files.createTempDirectory("graft_latefeed")
+    def shipOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_latestage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+      val src = try {
+        part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+      } finally part.close()
+      val dst = feed.resolve(name)
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val t0 = System.currentTimeMillis() - 600000L
+    shipOne(onTime, "00_ontime.parquet", t0)
+    // the late file ships only AFTER the on-time batch commits: under
+    // Trigger.AvailableNow every queued file batch runs back-to-back and
+    // the interleaved no-data micro-batches that ADVANCE the watermark
+    // never fire (measured: watermark displayed but 0 rows dropped), so
+    // the protocol needs real arrival separation + the default trigger
+    val q = ss.readStream.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      .parquet(feed.toString)
+      .withWatermark("ts", "61 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("n_events"),
+        col("sum_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_stream_latedrop").start()
+    try {
+      q.processAllAvailable() // drain batch 0 + the wm-advancing no-data batch
+      shipOne(late, "01_late.parquet", t0 + 120000L)
+      q.processAllAvailable() // late batch under watermark₁, then finalize
+    } finally q.stop()
+    ss.table("graft_stream_latedrop").orderBy(col("hour_start"))
+  }
+
+  /** The [[lateDropStream]] oracle: the full watermark protocol in SQL. */
+  val lateDropOracle: String =
+    """WITH ontime AS (
+      |  SELECT event_id, ts, value FROM events WHERE event_id % 97 <> 0),
+      |w1 AS (SELECT max(ts) - INTERVAL 61 MINUTE AS w FROM ontime),
+      |fedlate AS (
+      |  SELECT e.event_id, e.ts, e.value FROM events e, w1
+      |  WHERE e.event_id % 97 = 0
+      |    AND (e.ts > w1.w
+      |         OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR < w1.w)),
+      |kept AS (
+      |  SELECT * FROM ontime
+      |  UNION ALL SELECT f.* FROM fedlate f, w1 WHERE f.ts > w1.w),
+      |fed AS (SELECT * FROM ontime UNION ALL SELECT * FROM fedlate),
+      |wf AS (SELECT max(ts) - INTERVAL 61 MINUTE AS w FROM fed),
+      |agg AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+      |  FROM kept GROUP BY 1)
+      |SELECT hour_start, n_events, sum_value FROM agg, wf
+      |WHERE hour_start + INTERVAL 1 HOUR <= wf.w
+      |ORDER BY hour_start""".stripMargin
+
   /** Streaming TEMPORAL-TABLE (as-of) join — Flink's
     * `FOR SYSTEM_TIME AS OF` pattern against a static versioned side:
     * the purchase STREAM enriches each event with the most recent click

@@ -704,4 +704,37 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed fold diverged from control: ${resumed.take(3)} vs ${control.take(3)}")
   }
 
+  test("file-source late-drop protocol equals its batch replay end-to-end") {
+    // the declared st_late_drop query, at spec scale: the drained stream
+    // must equal the batch replay of the whole watermark protocol
+    // (watermark₁ from the on-time slice, feed rule, drop rule, final
+    // emission cut) — the same algebra the DuckDB oracle runs
+    val streamed = graft.streaming.StreamOps.lateDropStream(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq.sortBy(_._1.getTime)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    val onTime = ev.filter(col("event_id") % 97 =!= 0)
+    val wm1 = onTime.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+      61L * 60 * 1000000L
+    val kept = onTime.unionByName(
+      ev.filter(col("event_id") % 97 === 0)
+        .filter(unix_micros(col("ts")) > wm1))
+    val wmF = kept.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) -
+      61L * 60 * 1000000L
+    val replay = kept
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .filter(unix_micros(col("window.end")) <= wmF)
+      .select(col("window.start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq.sortBy(_._1.getTime)
+    assert(streamed.nonEmpty, "protocol produced no emitted windows")
+    assert(streamed == replay,
+      s"stream/batch divergence: ${streamed.take(3)} vs ${replay.take(3)}")
+    // and the fixture must be non-degenerate: some late rows got dropped
+    val fedLate = ev.filter(col("event_id") % 97 === 0).filter(
+      unix_micros(col("ts")) > wm1 ||
+        expr("((unix_micros(ts) div 3600000000) + 1) * 3600000000") < wm1)
+    val droppable = fedLate.filter(unix_micros(col("ts")) <= wm1).count()
+    assert(droppable > 0, "fixture fed no droppable late rows at this sf")
+  }
+
 }
