@@ -50,6 +50,7 @@ object SparkEntry {
         "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
         "st_temporal_join" -> streaming.StreamOps.temporalJoinStream,
         "st_late_drop" -> streaming.StreamOps.lateDropStream,
+        "st_update_mode" -> streaming.StreamOps.updateModeStream,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -86,6 +87,7 @@ object SparkEntry {
             |ORDER BY 1, 2, 3""".stripMargin,
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
         "st_late_drop" -> streaming.StreamOps.lateDropOracle,
+        "st_update_mode" -> streaming.StreamOps.updateModeOracle,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinOracle,
         "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinOracle,
         "st_right_outer_join" -> streaming.StreamOps.rightOuterJoinOracle,

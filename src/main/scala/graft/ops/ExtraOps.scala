@@ -2064,7 +2064,45 @@ object ExtraOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** BITMAP-INDEX SEGMENTATION — the roaring-bitmap pattern scaled down
+    * to one machine word: each user's activity compresses to a 64-bit
+    * presence bitmap (bit d = "active on day d", January fits in 30
+    * bits), one word per behavior; segment algebra is then pure bitwise
+    * AND/OR + popcount — no row-level set intersection ever happens.
+    * Computes days-active-in-both (click ∧ purchase) and
+    * days-active-in-either per user and reports the co-activity
+    * histogram. This is how audience-overlap queries run at 100 TB:
+    * the per-user fold is one `bit_or` aggregation (map-side combined,
+    * 8-byte state), segment combinations are embarrassingly parallel
+    * word ops, and a billion users is 8 GB of bitmap — not a join.
+    * Both engines implement `<<`, `&`, `|`, popcount on int64
+    * identically, so the surface hash-verifies exactly.
+    */
+  def bitmapSegments(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("shiftleft(1L, day(ts) - 1)").as("day_bit"))
+    val words = ev.groupBy(col("user_id"))
+      .agg(
+        bit_or(when(col("event_type") === "click", col("day_bit"))
+          .otherwise(0L)).as("click_word"),
+        bit_or(when(col("event_type") === "purchase", col("day_bit"))
+          .otherwise(0L)).as("purchase_word"))
+    words
+      .withColumn("both_days", bit_count(col("click_word")
+        .bitwiseAND(col("purchase_word"))).cast("long"))
+      .withColumn("either_days", bit_count(col("click_word")
+        .bitwiseOR(col("purchase_word"))).cast("long"))
+      .groupBy(col("both_days"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("either_days")).as("sum_either_days"),
+        min(col("user_id")).as("min_user"))
+      .orderBy(col("both_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bitmap_segments" -> bitmapSegments,
     "x_waterfall_alloc" -> waterfallAlloc,
     "x_geo_grid_join" -> geoGridJoin,
     "x_ols2" -> ols2,
@@ -3107,6 +3145,25 @@ object ExtraOps {
         |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
         |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_bitmap_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         1::BIGINT << (day(ts) - 1) AS day_bit
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |words AS (
+        |  SELECT user_id,
+        |         bit_or(CASE WHEN event_type = 'click' THEN day_bit ELSE 0 END) AS cw,
+        |         bit_or(CASE WHEN event_type = 'purchase' THEN day_bit ELSE 0 END) AS pw
+        |  FROM ev GROUP BY 1),
+        |per_user AS (
+        |  SELECT user_id,
+        |         CAST(bit_count(cw & pw) AS BIGINT) AS both_days,
+        |         CAST(bit_count(cw | pw) AS BIGINT) AS either_days
+        |  FROM words)
+        |SELECT both_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(either_days) AS BIGINT) AS sum_either_days,
+        |       CAST(MIN(user_id) AS BIGINT) AS min_user
+        |FROM per_user GROUP BY 1 ORDER BY both_days""".stripMargin,
     "x_waterfall_alloc" ->
       """WITH priced AS (
         |  SELECT c_mktsegment AS segment, o_orderkey, o_orderdate,

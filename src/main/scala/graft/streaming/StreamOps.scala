@@ -164,6 +164,63 @@ object StreamOps {
     ss.table("graft_stream_latedrop").orderBy(col("hour_start"))
   }
 
+  /** UPDATE output mode, pinned and verified — the missing third leg of
+    * the output-mode matrix (complete/append are covered across the
+    * suite): a windowed count fed two deterministic micro-batches (even
+    * event_ids, then odd) with NO watermark, so every state row lives
+    * forever and each batch re-emits exactly the windows it CHANGED.
+    * The memory sink therefore accumulates one update row per
+    * (window, batch-that-touched-it) — both the final per-window value
+    * AND the update cardinality are functions of the even/odd split
+    * alone, so the DuckDB oracle replays them relationally: n_updates =
+    * (has even rows) + (has odd rows), n_events = final count, and the
+    * emission history must satisfy update-monotonicity (each re-emission
+    * strictly grows the count — pinned in StreamingSpec).
+    */
+  def updateModeStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val ev = graft.Tables.events(ss, d)
+      .select(col("event_id"), col("ts"), col("value"))
+    val feed = java.nio.file.Files.createTempDirectory("graft_updfeed")
+    def shipOne(df: DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_updstage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+      val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally part.close()
+      java.nio.file.Files.move(src, feed.resolve(name))
+    }
+    shipOne(ev.filter(col("event_id") % 2 === 0), "00_even.parquet")
+    val q = ss.readStream.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      .parquet(feed.toString)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("n_events"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("graft_stream_update").start()
+    try {
+      q.processAllAvailable()
+      shipOne(ev.filter(col("event_id") % 2 === 1), "01_odd.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // compact the update history: the final value per window is the last
+    // (= largest, counts grow monotonically) update; the update count is
+    // part of the verified surface — update mode's defining observable
+    ss.table("graft_stream_update")
+      .groupBy(col("hour_start"))
+      .agg(count(lit(1)).as("n_updates"), max(col("n_events")).as("n_events"))
+      .orderBy(col("hour_start"))
+  }
+
+  /** The [[updateModeStream]] oracle: replay the even/odd batch split. */
+  val updateModeOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour_start,
+      |       CAST(COUNT(DISTINCT event_id % 2) AS BIGINT) AS n_updates,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
+
   /** The [[lateDropStream]] oracle: the full watermark protocol in SQL. */
   val lateDropOracle: String =
     """WITH ontime AS (

@@ -866,6 +866,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap segmentation: word popcounts equal set-based day intersection") {
+    // the bitmap algebra must agree with the relational ground truth:
+    // per-user distinct-day sets intersected the expensive way
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), dayofmonth(col("ts")).as("d"))
+    val sets = ev.collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val byType = rows.groupBy(_.getString(1))
+          .map { case (t, rs) => t -> rs.map(_.getInt(2)).toSet }
+        val c = byType.getOrElse("click", Set.empty[Int])
+        val p = byType.getOrElse("purchase", Set.empty[Int])
+        u -> ((c & p).size.toLong, (c | p).size.toLong)
+      }
+    val expectedHist = sets.values.groupBy(_._1).map { case (b, vs) =>
+      b -> (vs.size.toLong, vs.map(_._2).sum)
+    }
+    val got = ops.ExtraOps.bitmapSegments(spark, sf).collect()
+      .map(r => r.getAs[Long]("both_days") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("sum_either_days")))).toMap
+    assert(got == expectedHist,
+      s"bitmap histogram diverges from set replay: $got vs $expectedHist")
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>

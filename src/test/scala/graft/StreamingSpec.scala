@@ -704,6 +704,30 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed fold diverged from control: ${resumed.take(3)} vs ${control.take(3)}")
   }
 
+  test("update mode re-emits exactly the changed keys, monotonically") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = input.toDS()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("graft_upd_test").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:01:00", user = 2))
+      q.processAllAvailable()
+      // batch 2 touches ONLY user 1 — user 2 must not re-emit
+      input.addData(ev(3, "2024-01-01 10:02:00", user = 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.table("graft_upd_test")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toSeq
+    assert(hist.count(_._1 == 2L) == 1, "untouched key must emit exactly once")
+    val u1 = hist.filter(_._1 == 1L).map(_._2)
+    assert(u1.sorted == Seq(1L, 2L),
+      s"changed key must re-emit with strictly growing count, got $u1")
+  }
+
   test("file-source late-drop protocol equals its batch replay end-to-end") {
     // the declared st_late_drop query, at spec scale: the drained stream
     // must equal the batch replay of the whole watermark protocol
