@@ -1280,6 +1280,56 @@ object Multimodal {
   def exifMeta(s: SparkSession, d: String): DataFrame =
     exifMetaRaw(s, d).toDF()
 
+  /** SRT CAPTION parse + QC — the subtitle/caption-alignment leg of a
+    * video-training pipeline: genuine SubRip documents (index line,
+    * `HH:MM:SS,mmm --> HH:MM:SS,mmm` cue timing, caption text, blank
+    * separators) are synthesized per doc from deterministic cue math,
+    * then PARSED BACK with a timestamp regex and fixed-width field
+    * extraction; the verified surface (cue count, first start, last end,
+    * summed cue duration) must survive the format→parse round trip in
+    * both engines. This is the sanity gate run before aligning captions
+    * to frame samples: non-monotone or overlapping cue times mean the
+    * sidecar is corrupt.
+    *
+    * Scale shape: per-row string building + per-row regex — no shuffle
+    * until the final doc-grain frame; caption text never leaves its row.
+    */
+  def srtCaptions(s: SparkSession, d: String): DataFrame = {
+    def fmt(c: String): String =
+      s"format_string('%02d:%02d:%02d,%03d', $c div 3600000, " +
+        s"($c div 60000) % 60, ($c div 1000) % 60, $c % 1000)"
+    val cues = Tables.documents(s, d)
+      .filter(length(col("text")) >= 160)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr("sequence(0L, doc_id % 4)")).as(Seq("pos", "i")))
+      .withColumn("start_ms", col("i") * 2000 + col("doc_id") % 997)
+      .withColumn("end_ms",
+        col("start_ms") + lit(800) + (col("doc_id") * 7 + col("i") * 13) % 2400)
+      .withColumn("cue", concat(
+        (col("i") + 1).cast("string"), lit("\n"),
+        expr(fmt("start_ms")), lit(" --> "), expr(fmt("end_ms")), lit("\n"),
+        expr("substr(text, CAST(i*40+1 AS INT), 40)")))
+    cues.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("cue")))).as("arr"))
+      .withColumn("srt", expr("array_join(transform(arr, x -> x.cue), '\n\n')"))
+      .withColumn("stamps",
+        expr("""regexp_extract_all(srt, '(\\d\\d):(\\d\\d):(\\d\\d),(\\d\\d\\d)', 0)"""))
+      .withColumn("ms", expr(
+        """transform(stamps, t ->
+          |  CAST(substr(t, 1, 2) AS BIGINT) * 3600000 +
+          |  CAST(substr(t, 4, 2) AS BIGINT) * 60000 +
+          |  CAST(substr(t, 7, 2) AS BIGINT) * 1000 +
+          |  CAST(substr(t, 10, 3) AS BIGINT))""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(ms) div 2 AS BIGINT)").as("n_cues"),
+        expr("element_at(ms, 1)").as("first_start_ms"),
+        expr("element_at(ms, -1)").as("last_end_ms"),
+        expr("""aggregate(sequence(0, CAST(size(ms) div 2 AS INT) - 1), 0L,
+          |(acc, k) -> acc + ms[2*k+1] - ms[2*k])""".stripMargin)
+          .as("total_dur_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   def mp4AtomsRaw(s: SparkSession, d: String): Dataset[Mp4Meta] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
@@ -1361,6 +1411,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_magic_sniff" -> magicSniff,
     "mm_exif_meta" -> exifMeta,
+    "mm_srt_captions" -> srtCaptions,
     "mm_mp4_atoms" -> mp4Atoms,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
@@ -1394,6 +1445,46 @@ object Multimodal {
         |            WHEN 2 THEN 'video/mp4' ELSE 'text/plain' END AS mime,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY source, mime""".stripMargin,
+    "mm_srt_captions" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 160),
+        |cues AS (
+        |  SELECT doc_id, t.i,
+        |         t.i * 2000 + doc_id % 997 AS start_ms,
+        |         t.i * 2000 + doc_id % 997 + 800
+        |           + (doc_id * 7 + t.i * 13) % 2400 AS end_ms,
+        |         substr(text, CAST(t.i * 40 + 1 AS INT), 40) AS caption
+        |  FROM docs, LATERAL unnest(generate_series(0, doc_id % 4)) AS t(i)),
+        |fmtd AS (
+        |  SELECT doc_id, i,
+        |         CAST(i + 1 AS VARCHAR) || chr(10) ||
+        |         printf('%02d:%02d:%02d,%03d', start_ms // 3600000,
+        |                (start_ms // 60000) % 60, (start_ms // 1000) % 60,
+        |                start_ms % 1000) || ' --> ' ||
+        |         printf('%02d:%02d:%02d,%03d', end_ms // 3600000,
+        |                (end_ms // 60000) % 60, (end_ms // 1000) % 60,
+        |                end_ms % 1000) || chr(10) || caption AS cue
+        |  FROM cues),
+        |srt AS (
+        |  SELECT doc_id,
+        |         string_agg(cue, chr(10) || chr(10) ORDER BY i) AS srt
+        |  FROM fmtd GROUP BY 1),
+        |parsed AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           regexp_extract_all(srt, '(\d\d):(\d\d):(\d\d),(\d\d\d)'),
+        |           t -> CAST(t[1:2] AS BIGINT) * 3600000
+        |              + CAST(t[4:5] AS BIGINT) * 60000
+        |              + CAST(t[7:8] AS BIGINT) * 1000
+        |              + CAST(t[10:12] AS BIGINT)) AS ms
+        |  FROM srt)
+        |SELECT doc_id,
+        |       CAST(len(ms) // 2 AS BIGINT) AS n_cues,
+        |       ms[1] AS first_start_ms,
+        |       ms[len(ms)] AS last_end_ms,
+        |       CAST(list_sum(list_transform(generate_series(1, len(ms) // 2),
+        |              k -> ms[2*k] - ms[2*k-1])) AS BIGINT) AS total_dur_ms
+        |FROM parsed ORDER BY doc_id""".stripMargin,
     "mm_exif_meta" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -526,7 +526,61 @@ object CoreOps {
       .orderBy(col("region_key"))
   }
 
+  /** S15 — NESTED JSON round-trip: the document-shaped ingestion every
+    * API-fed pipeline starts from. Orders nest their lineitems into a
+    * per-order JSON document (`{order, date, items:[{line, qty,
+    * price_cents}..]}`), written as JSON lines; the read-back declares
+    * the EXPLICIT nested schema (never inference — schema inference is a
+    * full extra pass at scale and type-unstable between runs), then
+    * `posexplode` re-flattens items to rows. The verified surface is the
+    * flattened result against the straight relational join — proving the
+    * nest→serialize→parse→unnest cycle is lossless. Measures ship as
+    * integer cents INSIDE the JSON: a double that round-trips through
+    * text is a determinism leak this engine never takes.
+    *
+    * Scale shape: the nest is one groupBy(order) with map-side combine;
+    * items arrays sort in-row (`sort_array`, linenumber leads the
+    * struct); the re-read is a splittable JSON-lines scan.
+    */
+  def nestedJson(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft_nested_json").toString
+    val items = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").cast("long").as("line"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast(DecimalType(19, 2)) * lit(100))
+            .cast("long").as("price_cents")).as("item"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+    Tables.orders(s, d).filter(col("o_orderkey") <= 500)
+      .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(to_json(struct(
+        col("o_orderkey").as("order"),
+        to_date(col("o_orderdate")).cast("string").as("date"),
+        coalesce(col("items"), array()).as("items"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("order", LongType),
+      StructField("date", StringType),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("line", LongType), StructField("qty", LongType),
+        StructField("price_cents", LongType)))))))
+    s.read.schema(schema).json(out)
+      .select(col("order").as("order_key"), col("date"),
+        size(col("items")).as("n_items"),
+        posexplode_outer(col("items")).as(Seq("pos", "item")))
+      .select(col("order_key"), col("date"), col("n_items"),
+        col("item.line").as("line"), col("item.qty").as("qty"),
+        col("item.price_cents").as("price_cents"))
+      // the synthetic lineitem carries duplicate (order, linenumber) pairs,
+      // so the deterministic tail needs the full measure tuple
+      .orderBy(col("order_key"), col("line"), col("qty"), col("price_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_nested_json" -> nestedJson,
     "s14_csv_badrecords" -> csvBadRecords,
     "s8_schema_evolution" -> schemaEvolution,
     "s5_pipe_sql" -> pipeSql,
@@ -644,6 +698,19 @@ object CoreOps {
     "s2_json_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    "s15_nested_json" ->
+      """WITH it AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+        |         CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100 AS BIGINT) AS price_cents
+        |  FROM lineitem WHERE l_orderkey <= 500)
+        |SELECT o_orderkey AS order_key,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date,
+        |       CAST(COUNT(line) OVER (PARTITION BY o_orderkey) AS INT) AS n_items,
+        |       line, qty, price_cents
+        |FROM orders LEFT JOIN it ON o_orderkey = l_orderkey
+        |WHERE o_orderkey <= 500
+        |ORDER BY order_key, line, qty, price_cents""".stripMargin,
     "s14_csv_badrecords" ->
       """WITH tagged AS (
         |  SELECT n_nationkey, n_name, n_regionkey,

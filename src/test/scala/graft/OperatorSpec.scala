@@ -891,6 +891,35 @@ class OperatorSpec extends AnyFunSuite {
       s"bitmap histogram diverges from set replay: $got vs $expectedHist")
   }
 
+  test("SRT captions: cue count tracks the fixture, times are sane") {
+    val rows = ext.Multimodal.srtCaptions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Long]("n_cues")
+      assert(n == id % 4 + 1, s"doc $id: expected ${id % 4 + 1} cues, got $n")
+      val (first, last) = (r.getAs[Long]("first_start_ms"),
+        r.getAs[Long]("last_end_ms"))
+      assert(first == id % 997, s"doc $id first cue start drifted: $first")
+      assert(last > first, "cues must advance")
+      val dur = r.getAs[Long]("total_dur_ms")
+      assert(dur >= 800 * n && dur < 3200 * n,
+        s"doc $id: summed duration $dur outside the per-cue envelope")
+    }
+  }
+
+  test("nested JSON round-trip: item counts reconcile with the relational source") {
+    val flat = ops.CoreOps.nestedJson(spark, sf)
+    val nItems = flat.filter(col("line").isNotNull).count()
+    val src = Tables.lineitem(spark, sf).filter(col("l_orderkey") <= 500).count()
+    assert(nItems == src, s"lost items through the JSON cycle: $nItems vs $src")
+    // every order's embedded n_items must equal its actual exploded rows
+    val bad = flat.groupBy(col("order_key"), col("n_items"))
+      .agg(sum(when(col("line").isNotNull, 1L).otherwise(0L)).as("actual"))
+      .filter(col("n_items") =!= col("actual")).count()
+    assert(bad == 0, s"$bad orders with inconsistent embedded item counts")
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
