@@ -221,6 +221,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("grid spatial join is an equi-join on cell keys, never a cartesian") {
+    val p = planAtScale("x_geo_grid_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "radius join must ride the grid-cell equi-join:\n" + p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "at scale the cell join must hash/merge on (cx, cy):\n" + p.take(1500))
+  }
+
+  test("waterfall allocation runs ONE window pass, partitioned by segment") {
+    val p = plan("x_waterfall_alloc")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one Window operator, got $windows:\n" +
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bitmap segmentation folds to 8-byte words before any shuffle") {
+    val p = planAtScale("x_bitmap_segments")
+    // the per-user bit_or must partially aggregate below the exchange —
+    // only (user_id, 2 longs) ever crosses the wire
+    assert(p.contains("Exchange"), "expected a shuffle for the user-grain fold")
+    assert(p.contains("partial_bit_or"),
+      "bit_or must map-side combine:\n" + p.take(1500))
+  }
+
   test("LSH band self-join never broadcasts at scale (both sides are corpus-sized)") {
     val p = planAtScale("dd_minhash_lsh")
     assert(!p.contains("BroadcastHashJoin"),
