@@ -56,7 +56,10 @@ class OperatorSpec extends AnyFunSuite {
       "CountMinAgg" -> ext.CountMinAgg.queries.keySet,
       "HyperLogLog" -> ext.HyperLogLog.queries.keySet,
       "BloomFilter" -> ext.BloomFilter.queries.keySet,
-      "TopKPerKey" -> plans.TopKPerKey.queries.keySet)
+      "TopKPerKey" -> plans.TopKPerKey.queries.keySet,
+      "AsOfJoin" -> plans.AsOfJoin.queries.keySet,
+      "StatOps" -> ops.StatOps.queries.keySet,
+      "FeatureOps" -> ops.FeatureOps.queries.keySet)
     val dupes = modules.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty, s"query name declared in multiple modules: $dupes")
