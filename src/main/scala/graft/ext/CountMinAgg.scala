@@ -125,12 +125,93 @@ object CountMinAgg extends Aggregator[Long, Array[Long], Array[Long]] {
       .orderBy(col("sk_est"))
   }
 
+  /** CMS WIDTH PLANNING SWEEP — the sizing study a platform team runs
+    * before standardizing a sketch config (the [[graft.ext.Dedup]]
+    * band-planner's sibling for frequency sketches): the SAME key stream
+    * builds counters at three widths in one pass, the same 25 probes read
+    * estimates from each, and the report shows how total/max
+    * overestimate collapses as width grows — observed error against the
+    * 1/W theory, on the caller's own key distribution rather than a
+    * textbook bound. Every counter and min is exact BIGINT
+    * (DuckDB-replayable); CMS can only overestimate, so `est ≥ true` is
+    * an invariant the spec pins per width.
+    *
+    * Scale: one scan, counters ≤ D·Σwidths rows — the sweep costs the
+    * same shuffle as one sketch, which is why you run it at full scale
+    * instead of guessing.
+    */
+  def cmsWidthSweep(s: SparkSession, d: String): DataFrame = {
+    val widths = Seq(64, 256, 1024)
+    val wArr = s"array(${widths.mkString(", ")})"
+    val bExpr = s"((2*i+1) * (h % $M40) + i * 2654435761L) % $M40 % w"
+    val counters = Tables.orders(s, d)
+      .select(expr(sparkHash("CAST(o_custkey AS STRING)")).as("h"))
+      .withColumn("i", explode(expr(s"sequence(0, ${D - 1})")))
+      .withColumn("w", explode(expr(wArr)))
+      .withColumn("b", expr(bExpr))
+      .groupBy(col("w"), col("i"), col("b")).agg(count(lit(1)).as("c"))
+    val probes = s.range(1, 26).select(col("id").as("cust_key"))
+      .withColumn("h", expr(sparkHash("CAST(cust_key AS STRING)")))
+      .withColumn("i", explode(expr(s"sequence(0, ${D - 1})")))
+      .withColumn("w", explode(expr(wArr)))
+      .withColumn("b", expr(bExpr))
+    val exact = Tables.orders(s, d).groupBy(col("o_custkey").as("cust_key"))
+      .agg(count(lit(1)).as("true_count"))
+    probes
+      .join(counters, Seq("w", "i", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col("w"), col("cust_key")).agg(min(col("c")).as("est"))
+      .join(exact, Seq("cust_key"), "left")
+      .na.fill(0L, Seq("true_count"))
+      .groupBy(col("w")).agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("est") - col("true_count")).as("total_overestimate"),
+        max(col("est") - col("true_count")).as("max_overestimate"),
+        sum(when(col("est") === col("true_count"), 1L).otherwise(0L))
+          .as("n_exact"))
+      .orderBy(col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_cms_freq" -> cmsFreq,
+    "x_cms_width_sweep" -> cmsWidthSweep,
     "x_join_size_sketch" -> joinSizeSketch
   )
 
   val oracle: Map[String, String] = Map(
+    "x_cms_width_sweep" ->
+      s"""WITH h AS (
+         |  SELECT ${duckHash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |counters AS (
+         |  SELECT w, i, ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % w AS b,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM h
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS i)
+         |  CROSS JOIN (SELECT unnest([64, 256, 1024]) AS w)
+         |  GROUP BY 1, 2, 3),
+         |probe AS (
+         |  SELECT k AS cust_key, ${duckHash("CAST(k AS VARCHAR)")} AS h
+         |  FROM (SELECT unnest(range(1, 26)) AS k)),
+         |pb AS (
+         |  SELECT cust_key, w, i,
+         |         ((2*i+1) * (h % $M40) + i * 2654435761) % $M40 % w AS b
+         |  FROM probe
+         |  CROSS JOIN (SELECT unnest(range(0, $D)) AS i)
+         |  CROSS JOIN (SELECT unnest([64, 256, 1024]) AS w)),
+         |ests AS (
+         |  SELECT pb.w, pb.cust_key, MIN(COALESCE(c, 0)) AS est
+         |  FROM pb LEFT JOIN counters
+         |    ON pb.w = counters.w AND pb.i = counters.i AND pb.b = counters.b
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT o_custkey AS cust_key, CAST(COUNT(*) AS BIGINT) AS tc
+         |       FROM orders GROUP BY 1)
+         |SELECT CAST(w AS INT) AS w, CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |       CAST(SUM(est - COALESCE(tc, 0)) AS BIGINT) AS total_overestimate,
+         |       CAST(MAX(est - COALESCE(tc, 0)) AS BIGINT) AS max_overestimate,
+         |       CAST(SUM(CASE WHEN est = COALESCE(tc, 0) THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_exact
+         |FROM ests LEFT JOIN ex USING (cust_key)
+         |GROUP BY 1 ORDER BY w""".stripMargin,
     "x_join_size_sketch" ->
       s"""WITH la AS (SELECT l_partkey AS k FROM lineitem
          |            WHERE l_returnflag = 'R'),

@@ -1001,6 +1001,60 @@ object TextOps {
       .limit(20)
   }
 
+  /** KNESER-NEY smoothed bigram LM, EXACT — the canonical modern n-gram
+    * smoother (the one SRILM/KenLM default to), with absolute discount
+    * d = 3/4 kept rational so the whole probability is one integer
+    * fraction: P_KN(w₂|w₁) = (c₁₂ − d)/c₁ + d·N₁₊(w₁·)/c₁ · P_cont(w₂),
+    * P_cont = N₁₊(·w₂)/N₁₊(··). Over the common denominator
+    * 4·c₁·N₁₊(··) the numerator is (4c₁₂−3)·N₁₊(··) + 3·N₁₊(w₁·)·N₁₊(·w₂)
+    * — every term an exact corpus count, so the emitted micro-unit
+    * probability ((num·10⁶) DIV den, wide-decimal for headroom) is
+    * bit-identical cross-engine. Completes the LM family
+    * ([[surprisal]]/[[lmScore]] score with raw counts; this is the
+    * smoother you'd actually ship): continuation counts are what lets
+    * "san francisco" outrank raw-frequency pairs whose second word only
+    * ever follows one head.
+    *
+    * Scale shape: bigram and continuation tables are the same grouped
+    * scan at different grains (map-side combined); the final frame joins
+    * |top-k| rows against unigram/continuation dims — the corpus
+    * shuffles hashed token pairs once.
+    */
+  def knBigram(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = Tables.documents(s, d)
+      .select(expr("filter(split(lower(text), ' '), w -> length(w) > 0)")
+        .as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val left = pairs.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1_right"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n1_left"))
+    val types = pairs.agg(count(lit(1)).as("n_types"))
+    pairs
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("num",
+        ((col("c12") * 4 - 3).cast(dec) * col("n_types").cast(dec)
+          + lit(3).cast(dec) * col("n1_right").cast(dec)
+            * col("n1_left").cast(dec)).cast(dec))
+      .withColumn("den",
+        (lit(4).cast(dec) * col("c1").cast(dec) * col("n_types").cast(dec))
+          .cast(dec))
+      .withColumn("pkn_micro",
+        expr("CAST(num * 1000000 AS DECIMAL(38,0)) div den").cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1_right"), col("n1_left"), col("pkn_micro"))
+      .orderBy(desc("c12"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** Hapax legomena + type/token ratio per source — the heavy-tail
     * vocabulary profile (how much of each slice is corpus-unique words):
     * a high hapax rate predicts tokenizer OOV pressure and poor n-gram
@@ -2115,6 +2169,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_kn_bigram" -> knBigram,
     "tx_script_mix" -> scriptMix,
     "tx_nfc_normalize" -> nfcNormalize,
     "pipe_negatives" -> negatives,
@@ -3038,6 +3093,34 @@ object TextOps {
            |SELECT h, CAST(df AS BIGINT) AS df, CAST(n_occ AS BIGINT) AS n_occ, chunk
            |FROM agg WHERE df >= 3
            |ORDER BY df DESC, h LIMIT 20""".stripMargin,
+      "tx_kn_bigram" ->
+        """WITH ws0 AS (
+          |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+          |  FROM documents),
+          |w2f AS (SELECT ws FROM ws0 WHERE len(ws) >= 2),
+          |pairs AS (
+          |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+          |    SELECT unnest(list_transform(range(1, len(ws)),
+          |           i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+          |    FROM w2f) GROUP BY 1, 2),
+          |lft AS (
+          |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+          |         CAST(COUNT(*) AS BIGINT) AS n1_right
+          |  FROM pairs GROUP BY 1),
+          |rgt AS (
+          |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_left FROM pairs GROUP BY 1),
+          |typ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM pairs)
+          |SELECT p.w1, p.w2, p.c12, l.c1, l.n1_right, r.n1_left,
+          |       CAST(((CAST(p.c12 AS HUGEINT) * 4 - 3) * n_types
+          |              + 3 * CAST(l.n1_right AS HUGEINT) * r.n1_left)
+          |            * 1000000
+          |            // (4 * CAST(l.c1 AS HUGEINT) * n_types) AS BIGINT)
+          |         AS pkn_micro
+          |FROM pairs p
+          |JOIN lft l ON l.w1 = p.w1
+          |JOIN rgt r ON r.w2 = p.w2
+          |CROSS JOIN typ
+          |ORDER BY p.c12 DESC, p.w1, p.w2 LIMIT 20""".stripMargin,
       "tx_collocations" ->
         """WITH ws0 AS (
           |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws

@@ -923,6 +923,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad == 0, s"$bad orders with inconsistent embedded item counts")
   }
 
+  test("CMS width sweep: overestimate-only, and width buys accuracy") {
+    val rows = ext.CountMinAgg.cmsWidthSweep(spark, sf).collect()
+      .map(r => r.getAs[Int]("w") ->
+        ((r.getAs[Long]("total_overestimate"), r.getAs[Long]("max_overestimate"))))
+      .toMap
+    assert(rows.keySet == Set(64, 256, 1024))
+    rows.values.foreach { case (tot, mx) =>
+      assert(tot >= 0 && mx >= 0, "CMS can only overestimate")
+    }
+    assert(rows(1024)._1 <= rows(64)._1,
+      s"16x the width should not increase total error: $rows")
+  }
+
+  test("Kneser-Ney bigram: probability mass over the full vocab is exactly 1") {
+    // Σ_{w2∈V} P_KN(w2|w1) = 1 is an EXACT integer identity over the
+    // common denominator 4·c1·N₁₊(··):
+    //   Σ_obs (4c12−3)·N·· + 3·N1r(w1)·Σ_all N1l(w2) = 4·c1·N··
+    // because Σ_obs(4c12−3) = 4c1 − 3N1r and Σ_all N1l = N··
+    val pairs = Tables.documents(spark, sf)
+      .select(expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nTypes = pairs.length.toLong
+    val n1l = pairs.groupBy(_._2).map { case (w, ps) => w -> ps.length.toLong }
+    assert(n1l.values.sum == nTypes) // Σ N₁₊(·w2) = N₁₊(··)
+    val heads = pairs.groupBy(_._1)
+    heads.take(5).foreach { case (w1, ps) =>
+      val c1 = ps.map(_._3).sum
+      val n1r = ps.length.toLong
+      // observed mass + backoff mass over the COMMON denominator
+      val obsNum = ps.map(p => (4 * p._3 - 3) * nTypes).sum
+      val backoffNum = 3 * n1r * nTypes // Σ_all N1l = nTypes
+      assert(obsNum + backoffNum == 4 * c1 * nTypes,
+        s"KN mass for '$w1' broke: ${obsNum + backoffNum} vs ${4 * c1 * nTypes}")
+    }
+    // and the emitted micro-probabilities must sit in (0, 1e6]
+    ext.TextOps.knBigram(spark, sf).collect().foreach { r =>
+      val p = r.getAs[Long]("pkn_micro")
+      assert(p > 0 && p <= 1000000L, s"pkn out of range: $p")
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
