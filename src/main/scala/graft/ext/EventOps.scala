@@ -849,6 +849,44 @@ object EventOps {
     * per arm) — the wire cost is per-user, never per-event, and the
     * final row assembles from three broadcast 1-row frames.
     */
+  /** STRATIFIED TREATMENT EFFECT (post-stratification / exact matching on
+    * activity strata) — the third leg of the experimentation toolkit
+    * beside the raw diff ([[abtestMetrics]]) and covariate adjustment
+    * ([[cuped]]): users are matched on activity quartile before arms are
+    * compared, removing the engagement confound a raw diff absorbs. Same
+    * deterministic `user_id % 2` assignment; strata are ntile(4) over
+    * (total events, user_id) — the unique trailing key makes quartile
+    * membership reproducible. Per-stratum uplift ships as exact
+    * micro-units: (conv_t·n_c − conv_c·n_t)·10⁶ DIV (n_t·n_c), every
+    * factor a corpus count, both engines truncating identically.
+    *
+    * Scale shape: one user-grain rollup (map-side combined), one ntile
+    * window over users (entity-grain, bounded), then a 4-row report.
+    */
+  def attStratified(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+      .withColumn("stratum", ntile(4).over(
+        Window.orderBy(col("n_events"), col("user_id"))))
+    users.groupBy(col("stratum"))
+      .agg(
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === "treatment", col("converted")).otherwise(0L))
+          .as("conv_t"),
+        sum(when(col("arm") === "control", col("converted")).otherwise(0L))
+          .as("conv_c"))
+      .withColumn("uplift_micro",
+        expr("(conv_t * n_c - conv_c * n_t) * 1000000L div (n_t * n_c)"))
+      .orderBy(col("stratum"))
+  }
+
   def cuped(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
@@ -1248,6 +1286,7 @@ object EventOps {
     "ev_session_hist" -> sessionHist,
     "ev_dow_anova" -> dowAnova,
     "ev_cuped" -> cuped,
+    "ev_att_stratified" -> attStratified,
     "ev_streaks" -> streaks,
     "ev_gap_regularity" -> gapRegularity,
     "ev_dispersion" -> dispersion,
@@ -1488,6 +1527,28 @@ object EventOps {
         |       eta2 / (1.0 - eta2) * CAST(n - k AS DOUBLE)
         |         / CAST(k - 1 AS DOUBLE) AS f_stat
         |FROM f ORDER BY n_days""".stripMargin,
+    "ev_att_stratified" ->
+      """WITH users AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted,
+        |         CASE WHEN user_id % 2 = 0 THEN 'control'
+        |              ELSE 'treatment' END AS arm
+        |  FROM events GROUP BY user_id),
+        |strat AS (
+        |  SELECT *, ntile(4) OVER (ORDER BY n_events, user_id) AS stratum
+        |  FROM users),
+        |agg AS (
+        |  SELECT stratum,
+        |         CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |         CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |         CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS conv_t,
+        |         CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END) AS BIGINT) AS conv_c
+        |  FROM strat GROUP BY 1)
+        |SELECT CAST(stratum AS INT) AS stratum, n_t, n_c, conv_t, conv_c,
+        |       CAST((conv_t * n_c - conv_c * n_t) * 1000000
+        |            // (n_t * n_c) AS BIGINT) AS uplift_micro
+        |FROM agg ORDER BY stratum""".stripMargin,
     "ev_cuped" ->
       """WITH b AS (
         |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),

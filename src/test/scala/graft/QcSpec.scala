@@ -212,4 +212,27 @@ class QcSpec extends AnyFunSuite {
         <= 1e-9 * math.abs(intercept), r.toString)
     }
   }
+
+  test("observe() gates ride the single scan and report exact metrics") {
+    val obs = org.apache.spark.sql.Observation()
+    val li = Tables.lineitem(spark, sf).observe(obs,
+      count(lit(1)).as("rows_seen"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+      sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("neg_price"))
+    ops.QcOps.instrumentedRollup(li).collect()
+    val m = obs.get
+    assert(m("rows_seen") == Tables.lineitem(spark, sf).count(),
+      s"gate saw ${m("rows_seen")} rows")
+    val nullQty = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity").isNull).count()
+    assert(m("null_qty") == nullQty && m("neg_price") == 0L, m.toString)
+    // and the instrumentation must NOT add a pass: exactly one lineitem
+    // scan in the declared query's plan
+    val p = SparkEntry.queries("x_observe_gates")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans >= 1 && "Scan parquet".r.findAllIn(p).size == 1,
+      s"observe() must ride the existing scan, plan had extra scans:\n" +
+        p.take(1200))
+  }
 }
