@@ -1183,7 +1183,7 @@ object Multimodal {
     if (makeZ.length > 4) tiff.put(makeZ)
     val tiffArr = java.util.Arrays.copyOf(tiff.array(),
       if (makeZ.length <= 4) makeOff else tiffLen)
-    val app1Payload = "Exif  ".getBytes("US-ASCII") ++ tiffArr
+    val app1Payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiffArr
     val out = java.nio.ByteBuffer.allocate(2 + 4 + app1Payload.length + 2)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     out.putShort(0xFFD8.toShort) // SOI
@@ -1220,7 +1220,7 @@ object Multimodal {
           s"segment length $len overruns payload")
         if (marker == 0xFFE1 && len >= 8) {
           val hdr = new Array[Byte](6); buf.get(hdr)
-          require(new String(hdr, "US-ASCII") == "Exif  ",
+          require(new String(hdr, "US-ASCII") == "Exif\u0000\u0000",
             "APP1 without Exif header")
           tiffStart = buf.position(); tiffEnd = tiffStart + len - 8
           scanning = false
@@ -1330,6 +1330,45 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** ViT PATCH-GRID GEOMETRY — the preprocessing ledger of a
+    * vision-transformer pipeline: each image (the BMP fixture's dims)
+    * maps to its 16×16 patch grid — ceil-division patch counts, the
+    * right/bottom padding the patchifier must add, and the
+    * budget-capped downscale decision (>196 patches ⇒ halve until it
+    * fits, the power-of-two mip ladder real preprocessors use). Every
+    * quantity is exact integer arithmetic replayed by the oracle, so
+    * the token-count accounting that drives training cost is verified,
+    * not estimated.
+    *
+    * Scale: pure per-row math on dims already extracted by the decode
+    * legs; at 100 TB this frame IS the batch planner's input — patch
+    * totals decide packing and the compute bill before any pixel moves.
+    */
+  def patchGrid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      // camera-scale dims (224..1023 × 224..723): the halving ladder gets
+      // exercised 0..2 deep — the decode fixtures' thumbnails never would
+      .select(col("doc_id"),
+        expr("CAST(224 + ((doc_id * 31) % 800) AS INT)").as("width"),
+        expr("CAST(224 + ((doc_id * 17) % 500) AS INT)").as("height"))
+      .withColumn("halvings", // smallest k with ceil(w/2^k/16)*ceil(h/2^k/16) ≤ 196
+        expr("""CASE
+          |  WHEN ((width + 15) div 16) * ((height + 15) div 16) <= 196 THEN 0
+          |  WHEN (((width + 1) div 2 + 15) div 16)
+          |     * (((height + 1) div 2 + 15) div 16) <= 196 THEN 1
+          |  ELSE 2 END""".stripMargin))
+      .withColumn("eff_w", expr("(width + shiftleft(1, halvings) - 1) div shiftleft(1, halvings)"))
+      .withColumn("eff_h", expr("(height + shiftleft(1, halvings) - 1) div shiftleft(1, halvings)"))
+      .withColumn("nx", expr("(eff_w + 15) div 16"))
+      .withColumn("ny", expr("(eff_h + 15) div 16"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("halvings").cast("int").as("halvings"),
+        expr("CAST(nx AS INT)").as("nx"), expr("CAST(ny AS INT)").as("ny"),
+        expr("CAST(nx * ny AS INT)").as("n_patches"),
+        expr("CAST(nx * 16 - eff_w AS INT)").as("pad_x"),
+        expr("CAST(ny * 16 - eff_h AS INT)").as("pad_y"))
+      .orderBy(col("doc_id"))
+
   def mp4AtomsRaw(s: SparkSession, d: String): Dataset[Mp4Meta] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
@@ -1412,6 +1451,7 @@ object Multimodal {
     "mm_magic_sniff" -> magicSniff,
     "mm_exif_meta" -> exifMeta,
     "mm_srt_captions" -> srtCaptions,
+    "mm_patch_grid" -> patchGrid,
     "mm_mp4_atoms" -> mp4Atoms,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
@@ -1445,6 +1485,36 @@ object Multimodal {
         |            WHEN 2 THEN 'video/mp4' ELSE 'text/plain' END AS mime,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY source, mime""".stripMargin,
+    "mm_patch_grid" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(224 + ((doc_id * 31) % 800) AS INT) AS width,
+        |         CAST(224 + ((doc_id * 17) % 500) AS INT) AS height
+        |  FROM documents),
+        |hv AS (
+        |  SELECT doc_id, width, height,
+        |         CASE
+        |           WHEN ((width + 15) // 16) * ((height + 15) // 16) <= 196 THEN 0
+        |           WHEN (((width + 1) // 2 + 15) // 16)
+        |              * (((height + 1) // 2 + 15) // 16) <= 196 THEN 1
+        |           ELSE 2 END AS halvings
+        |  FROM dims),
+        |eff AS (
+        |  SELECT doc_id, width, height, halvings,
+        |         (width + (1 << halvings) - 1) // (1 << halvings) AS eff_w,
+        |         (height + (1 << halvings) - 1) // (1 << halvings) AS eff_h
+        |  FROM hv),
+        |grid AS (
+        |  SELECT doc_id, width, height, halvings,
+        |         (eff_w + 15) // 16 AS nx, (eff_h + 15) // 16 AS ny,
+        |         eff_w, eff_h
+        |  FROM eff)
+        |SELECT doc_id, width, height, CAST(halvings AS INT) AS halvings,
+        |       CAST(nx AS INT) AS nx, CAST(ny AS INT) AS ny,
+        |       CAST(nx * ny AS INT) AS n_patches,
+        |       CAST(nx * 16 - eff_w AS INT) AS pad_x,
+        |       CAST(ny * 16 - eff_h AS INT) AS pad_y
+        |FROM grid ORDER BY doc_id""".stripMargin,
     "mm_srt_captions" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents WHERE length(text) >= 160),

@@ -971,6 +971,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("patch grid: budget respected, padding bounded, halvings minimal") {
+    val rows = ext.Multimodal.patchGrid(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var sawHalving = false
+    rows.foreach { r =>
+      val (n, px, py) = (r.getAs[Int]("n_patches"), r.getAs[Int]("pad_x"),
+        r.getAs[Int]("pad_y"))
+      assert(n <= 196, s"patch budget blown: $n")
+      assert(px >= 0 && px < 16 && py >= 0 && py < 16,
+        s"padding must stay under one patch: ($px, $py)")
+      val h = r.getAs[Int]("halvings")
+      if (h > 0) {
+        sawHalving = true
+        // minimality: one fewer halving must overflow the budget
+        val k = h - 1
+        val (w0, h0) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+        val ew = (w0 + (1 << k) - 1) / (1 << k)
+        val eh = (h0 + (1 << k) - 1) / (1 << k)
+        assert(((ew + 15) / 16) * ((eh + 15) / 16) > 196,
+          s"halvings=$h not minimal for ${w0}x$h0")
+      }
+    }
+    assert(sawHalving, "fixture must exercise the downscale ladder")
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
