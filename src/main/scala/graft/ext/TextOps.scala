@@ -1001,6 +1001,43 @@ object TextOps {
       .limit(20)
   }
 
+  /** WORD BURSTINESS — variance-to-mean ratio (the index of dispersion)
+    * of each top word's per-document counts, zeros included analytically:
+    * VMR = (N·Σc² − (Σc)²) / ((N−1)·Σc) over all N docs, so a word that
+    * clumps into few documents (VMR ≫ 1, "bursty" — topical terms)
+    * separates from one sprinkled uniformly (VMR ≈ 1, Poisson —
+    * function words). The classic corpus-linguistics signal (Church &
+    * Gale adaptation) that tf-idf only approximates; emitted in exact
+    * micro-units (wide-decimal multiply, one DIV).
+    *
+    * Scale: one token explode → (word, doc) rollup → word rollup, all
+    * map-side combined; absent-doc zeros never materialize.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' '), w -> length(w) > 0)")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs_present"),
+        sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("num",
+        ((col("n_docs").cast(dec) * col("sumsq").cast(dec)
+          - col("total").cast(dec) * col("total").cast(dec)).cast(dec)
+          * lit(1000000).cast(dec)).cast(dec))
+      .withColumn("den",
+        ((col("n_docs") - 1).cast(dec) * col("total").cast(dec)).cast(dec))
+      .withColumn("vmr_micro", expr("num div den").cast("long"))
+      .select(col("w"), col("n_docs_present"), col("total"), col("vmr_micro"))
+      .orderBy(desc("total"), col("w"))
+      .limit(20)
+  }
+
   /** KNESER-NEY smoothed bigram LM, EXACT — the canonical modern n-gram
     * smoother (the one SRILM/KenLM default to), with absolute discount
     * d = 3/4 kept rational so the whole probability is one integer
@@ -2169,6 +2206,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_burstiness" -> burstiness,
     "tx_kn_bigram" -> knBigram,
     "tx_script_mix" -> scriptMix,
     "tx_nfc_normalize" -> nfcNormalize,
@@ -3093,6 +3131,28 @@ object TextOps {
            |SELECT h, CAST(df AS BIGINT) AS df, CAST(n_occ AS BIGINT) AS n_occ, chunk
            |FROM agg WHERE df >= 3
            |ORDER BY df DESC, h LIMIT 20""".stripMargin,
+      "tx_burstiness" ->
+        """WITH docs AS (
+          |  SELECT doc_id, text FROM documents WHERE length(text) > 0),
+          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs),
+          |per AS (
+          |  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          |    SELECT doc_id,
+          |           unnest(list_filter(string_split(lower(text), ' '),
+          |                  x -> len(x) > 0)) AS w
+          |    FROM docs) GROUP BY 1, 2),
+          |agg AS (
+          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs_present,
+          |         CAST(SUM(c) AS BIGINT) AS total,
+          |         CAST(SUM(c * c) AS BIGINT) AS sumsq
+          |  FROM per GROUP BY 1)
+          |SELECT w, n_docs_present, total,
+          |       CAST((CAST(n_docs AS HUGEINT) * sumsq
+          |              - CAST(total AS HUGEINT) * total) * 1000000
+          |            // (CAST(n_docs - 1 AS HUGEINT) * total) AS BIGINT)
+          |         AS vmr_micro
+          |FROM agg CROSS JOIN nd
+          |ORDER BY total DESC, w LIMIT 20""".stripMargin,
       "tx_kn_bigram" ->
         """WITH ws0 AS (
           |  SELECT list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws

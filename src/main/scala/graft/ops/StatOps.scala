@@ -287,7 +287,66 @@ object StatOps {
         col("n_rows"), col("n_variants"))
       .orderBy(col("seg_lc"))
 
+  /** WELCH'S t-TEST (unequal variances) + Cohen's d, bit-exact
+    * cross-engine via the [[graft.ops.QcOps.hellingerDrift]] float
+    * discipline: sufficient statistics (n, Σx, Σx²) are exact BIGINT
+    * cents (int64→float64 is correctly rounded everywhere, so the
+    * bridge is lossless even past 2⁵³ — the BIGINT exemption
+    * DoubleSafetySpec documents); from there every step — the two
+    * variance ratios, +, ×, ÷, and crucially √ — is an IEEE
+    * correctly-rounded operation BOTH engines perform on identical
+    * inputs in the identical order, so t, the Welch–Satterthwaite df,
+    * and Cohen's d hash-verify as raw doubles with no integerization.
+    * Completes the comparison toolkit: Mann-Whitney (rank), ANOVA
+    * (multi-group), CUPED (adjusted), and now the parametric pairwise
+    * test everyone reaches for first.
+    *
+    * Scale: one scan, two aggregation rows, scalar algebra — the 100 TB
+    * cost is the scan you were already paying.
+    */
+  def welchT(s: SparkSession, d: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(
+      org.apache.spark.sql.types.DecimalType(19, 2)) * lit(100)).cast("long")
+    val arms = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("arm"), cents.as("x"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("x")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").cast("double").as("sxx"))
+    val a = arms.filter(col("arm") === "1-URGENT")
+      .select(col("n").as("n1"), col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val b = arms.filter(col("arm") === "5-LOW")
+      .select(col("n").as("n2"), col("sx").as("sx2"), col("sxx").as("sxx2"))
+    a.crossJoin(b) // two 1-row frames
+      .withColumn("m1", col("sx1").cast("double") / col("n1").cast("double"))
+      .withColumn("m2", col("sx2").cast("double") / col("n2").cast("double"))
+      .withColumn("v1",
+        (col("sxx1") - col("sx1").cast("double") * col("m1"))
+          / (col("n1") - 1).cast("double"))
+      .withColumn("v2",
+        (col("sxx2") - col("sx2").cast("double") * col("m2"))
+          / (col("n2") - 1).cast("double"))
+      .withColumn("se1", col("v1") / col("n1").cast("double"))
+      .withColumn("se2", col("v2") / col("n2").cast("double"))
+      .withColumn("t",
+        (col("m1") - col("m2")) / sqrt(col("se1") + col("se2")))
+      .withColumn("df",
+        (col("se1") + col("se2")) * (col("se1") + col("se2"))
+          / (col("se1") * col("se1") / (col("n1") - 1).cast("double")
+            + col("se2") * col("se2") / (col("n2") - 1).cast("double")))
+      .withColumn("cohens_d",
+        (col("m1") - col("m2"))
+          / sqrt(((col("n1") - 1).cast("double") * col("v1")
+            + (col("n2") - 1).cast("double") * col("v2"))
+            / (col("n1") + col("n2") - 2).cast("double")))
+      .select(col("n1"), col("n2"), (col("m1") - col("m2")).as("mean_diff"),
+        col("t"), col("df"), col("cohens_d"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_welch_t" -> welchT,
     "x_hits" -> hits,
     "x_autocorr" -> autocorr,
     "x_auc" -> auc,
@@ -296,6 +355,44 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_welch_t" ->
+      """WITH arms AS (
+        |  SELECT o_orderpriority AS arm,
+        |         CAST(CAST(o_totalprice AS DECIMAL(19,2)) * 100 AS BIGINT) AS x
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |st AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx,
+        |         CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+        |              AS VARCHAR)::DOUBLE AS sxx
+        |  FROM arms GROUP BY 1),
+        |j AS (
+        |  SELECT a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+        |         b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
+        |  FROM (SELECT * FROM st WHERE arm = '1-URGENT') a
+        |  CROSS JOIN (SELECT * FROM st WHERE arm = '5-LOW') b),
+        |m AS (
+        |  SELECT *, CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |            CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+        |  FROM j),
+        |v AS (
+        |  SELECT *,
+        |    (sxx1 - CAST(sx1 AS DOUBLE) * m1) / CAST(n1 - 1 AS DOUBLE) AS v1,
+        |    (sxx2 - CAST(sx2 AS DOUBLE) * m2) / CAST(n2 - 1 AS DOUBLE) AS v2
+        |  FROM m),
+        |se AS (
+        |  SELECT *, v1 / CAST(n1 AS DOUBLE) AS se1,
+        |            v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM v)
+        |SELECT n1, n2, m1 - m2 AS mean_diff,
+        |       (m1 - m2) / SQRT(se1 + se2) AS t,
+        |       (se1 + se2) * (se1 + se2)
+        |         / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+        |            + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS df,
+        |       (m1 - m2) / SQRT((CAST(n1 - 1 AS DOUBLE) * v1
+        |                         + CAST(n2 - 1 AS DOUBLE) * v2)
+        |                        / CAST(n1 + n2 - 2 AS DOUBLE)) AS cohens_d
+        |FROM se""".stripMargin,
     "x_hits" -> {
       val S = "1000000000000"
       def normed(prev: String, out: String, key: String, sc: String): String =

@@ -996,6 +996,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(sawHalving, "fixture must exercise the downscale ladder")
   }
 
+  test("Welch t: agrees with a driver-side recomputation; df within bounds") {
+    val r = ops.StatOps.welchT(spark, sf).collect()(0)
+    val cents = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(19, 2)) * lit(100))
+          .cast("long"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    def stats(arm: String) = {
+      val xs = cents.filter(_._1 == arm).map(_._2.toDouble)
+      val n = xs.length; val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (n1, m1, v1) = stats("1-URGENT"); val (n2, m2, v2) = stats("5-LOW")
+    val se = v1 / n1 + v2 / n2
+    val tRef = (m1 - m2) / math.sqrt(se)
+    val t = r.getAs[Double]("t")
+    assert(math.abs(t - tRef) <= 1e-9 * math.max(1.0, math.abs(tRef)),
+      s"t=$t vs driver $tRef")
+    val df = r.getAs[Double]("df")
+    assert(df >= math.min(n1, n2) - 1 - 1e-9 && df <= n1 + n2 - 2 + 1e-9,
+      s"Welch df $df outside [min(n)-1, n1+n2-2]")
+  }
+
+  test("burstiness: VMR replays exactly from per-doc count sets") {
+    val nDocs = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0).count()
+    val perDoc = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' '), w -> length(w) > 0)")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .collect().map(row => (row.getString(0), row.getLong(2)))
+    val byWord = perDoc.groupBy(_._1)
+    ext.TextOps.burstiness(spark, sf).collect().foreach { r =>
+      val w = r.getAs[String]("w")
+      val cs = byWord(w).map(_._2)
+      val (tot, ssq) = (cs.sum, cs.map(c => c * c).sum)
+      val expected = (BigInt(nDocs) * ssq - BigInt(tot) * tot) * 1000000 /
+        (BigInt(nDocs - 1) * tot)
+      assert(r.getAs[Long]("vmr_micro") == expected.toLong,
+        s"VMR for '$w' diverged")
+      assert(r.getAs[Long]("n_docs_present") == cs.length)
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
