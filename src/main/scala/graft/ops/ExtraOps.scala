@@ -2101,7 +2101,94 @@ object ExtraOps {
       .orderBy(col("both_days"))
   }
 
+  /** REGRESSION DIAGNOSTICS — R² and RMSE for the [[regression]] OLS fit,
+    * closing the loop nobody closes: the fit is only as good as its
+    * residuals say. From the same exact integer sufficient statistics,
+    * SSE = Syy − Sxy²/Sxx and SST = Syy (centered) are rationals; R² is
+    * their exact-double ratio and RMSE = √(SSE/(n−2)) rides the
+    * correctly-rounded-√ discipline ([[welch-style|graft.ops.StatOps]]) —
+    * raw doubles, hash-verified, no integerization. Centered moments
+    * C∗ = n·Σ − Σ·Σ stay in wide decimal and reach double via the
+    * string route (they pass 2⁵³).
+    *
+    * Scale: the same single aggregation pass as the fit; diagnostics add
+    * zero I/O.
+    */
+  def regressionDiagnostics(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def sdouble(c: Column): Column = c.cast("string").cast("double")
+    val base = Tables.orders(s, d).select(
+      col("o_orderpriority"),
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").cast(dec).as("x"),
+      (col("o_totalprice").cast(DecimalType(19, 2)) * lit(100))
+        .cast("long").cast(dec).as("y"))
+    base.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).cast(dec).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).cast(dec).as("sxy"),
+        sum((col("y") * col("y")).cast(dec)).cast(dec).as("syy"))
+      .withColumn("cxx", sdouble((col("n") * col("sxx") - col("sx") * col("sx")).cast(dec)))
+      .withColumn("cxy", sdouble((col("n") * col("sxy") - col("sx") * col("sy")).cast(dec)))
+      .withColumn("cyy", sdouble((col("n") * col("syy") - col("sy") * col("sy")).cast(dec)))
+      .withColumn("r2", col("cxy") * col("cxy") / (col("cxx") * col("cyy")))
+      // SSE/(n−2) = (Cyy − Cxy²/Cxx) / (n·(n−2))  [centered moments carry
+      // an extra factor n each, hence the n in the denominator]
+      .withColumn("rmse_cents",
+        sqrt((col("cyy") - col("cxy") * col("cxy") / col("cxx"))
+          / (col("n").cast("long").cast("double")
+            * (col("n").cast("long") - 2).cast("double"))))
+      .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+        col("r2"), col("rmse_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DISTRIBUTION-FREE MEDIAN CI — order-statistic confidence bounds
+    * (the binomial/sign-test interval): ranks k = (n±1)/2 ∓ z·√n/2 with
+    * z = 49/25, floored/ceiled to integers, then the bound VALUES are
+    * read at those ranks — no normality assumed about the data, only
+    * about the rank count, which is the textbook construction. √n is
+    * correctly rounded in both engines and every other step is integer,
+    * so the chosen ranks — and therefore the emitted bounds — are
+    * bit-identical. Pairs with [[percentiles]]: that reports the point
+    * estimate, this reports how sure you are of it.
+    *
+    * Scale: ranks come from ONE window per segment (same shape as every
+    * percentile op here); the three row_number probes are a filter.
+    */
+  def medianCi(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val ranked = Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    val probes = ranked
+      .withColumn("k_lo",
+        floor((col("n").cast("double") + 1.0) / 2.0
+          - lit(1.96) * sqrt(col("n").cast("double")) / 2.0).cast("int"))
+      .withColumn("k_hi",
+        ceil((col("n").cast("double") + 1.0) / 2.0
+          + lit(1.96) * sqrt(col("n").cast("double")) / 2.0).cast("int"))
+    probes
+      .filter(col("rk") === expr("CAST((n + 1) div 2 AS INT)")
+        || col("rk") === greatest(col("k_lo"), lit(1))
+        || col("rk") === least(col("k_hi"), col("n").cast("int")))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("rk") === greatest(col("k_lo"), lit(1)),
+          col("c_acctbal"))).as("ci_lo"),
+        min(when(col("rk") === expr("CAST((n + 1) div 2 AS INT)"),
+          col("c_acctbal"))).as("median_lower"),
+        min(when(col("rk") === least(col("k_hi"), col("n").cast("int")),
+          col("c_acctbal"))).as("ci_hi"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_regression_diagnostics" -> regressionDiagnostics,
+    "x_median_ci" -> medianCi,
     "x_bitmap_segments" -> bitmapSegments,
     "x_waterfall_alloc" -> waterfallAlloc,
     "x_geo_grid_join" -> geoGridJoin,
@@ -3145,6 +3232,58 @@ object ExtraOps {
         |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
         |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_regression_diagnostics" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |         CAST(DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |              AS DECIMAL(38,0)) AS x,
+        |         CAST(CAST(CAST(o_totalprice AS DECIMAL(19,2)) * 100 AS BIGINT)
+        |              AS DECIMAL(38,0)) AS y
+        |  FROM orders),
+        |st AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |         SUM(x) AS sx, SUM(y) AS sy,
+        |         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+        |         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+        |         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        |  FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority, n,
+        |         CAST(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS cxx,
+        |         CAST(CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS cxy,
+        |         CAST(CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS cyy
+        |  FROM st)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |       cxy * cxy / (cxx * cyy) AS r2,
+        |       SQRT((cyy - cxy * cxy / cxx)
+        |            / (CAST(CAST(n AS BIGINT) AS DOUBLE)
+        |               * CAST(CAST(n AS BIGINT) - 2 AS DOUBLE))) AS rmse_cents
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
+    "x_median_ci" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal, c_custkey) AS rk,
+        |         CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM customer),
+        |probes AS (
+        |  SELECT *,
+        |         CAST(FLOOR((CAST(n AS DOUBLE) + 1.0) / 2.0
+        |              - CAST('1.96' AS DOUBLE) * SQRT(CAST(n AS DOUBLE)) / 2.0)
+        |              AS INT) AS k_lo,
+        |         CAST(CEIL((CAST(n AS DOUBLE) + 1.0) / 2.0
+        |              + CAST('1.96' AS DOUBLE) * SQRT(CAST(n AS DOUBLE)) / 2.0)
+        |              AS INT) AS k_hi
+        |  FROM ranked)
+        |SELECT c_mktsegment, MAX(n) AS n,
+        |       MIN(CASE WHEN rk = GREATEST(k_lo, 1) THEN c_acctbal END) AS ci_lo,
+        |       MIN(CASE WHEN rk = CAST((n + 1) // 2 AS INT)
+        |                THEN c_acctbal END) AS median_lower,
+        |       MIN(CASE WHEN rk = LEAST(k_hi, CAST(n AS INT)) THEN c_acctbal END) AS ci_hi
+        |FROM probes
+        |WHERE rk = CAST((n + 1) // 2 AS INT)
+        |   OR rk = GREATEST(k_lo, 1) OR rk = LEAST(k_hi, CAST(n AS INT))
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "x_bitmap_segments" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

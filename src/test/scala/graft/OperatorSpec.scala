@@ -1044,6 +1044,48 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("regression diagnostics: R² in [0,1], RMSE matches residual replay") {
+    val rows = ops.ExtraOps.regressionDiagnostics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fits = ops.ExtraOps.regression(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Double]("slope_cents_per_day"),
+          r.getAs[Double]("intercept_cents")))).toMap
+    val data = Tables.orders(spark, sf).select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("double"),
+        (col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(19, 2)) * lit(100))
+          .cast("long").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$g: r2=$r2")
+      val (slope, icept) = fits(g)
+      val pts = data(g)
+      val sse = pts.map { case (_, x, y) =>
+        val e = y - (icept + slope * x); e * e
+      }.sum
+      val direct = math.sqrt(sse / (pts.length - 2.0))
+      val got = r.getAs[Double]("rmse_cents")
+      assert(math.abs(got - direct) <= 1e-6 * direct,
+        s"$g: rmse $got vs residual replay $direct")
+    }
+  }
+
+  test("median CI: bounds bracket the median and tighten with n") {
+    val rows = ops.ExtraOps.medianCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, med, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("median_lower"), r.getAs[Double]("ci_hi"))
+      assert(lo <= med && med <= hi,
+        s"${r.getString(0)}: CI [$lo, $hi] must bracket median $med")
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
