@@ -741,6 +741,94 @@ object Multimodal {
     buf.array()
   }
 
+  /** VAD fixture: 10 segments × 400 samples at 8 kHz — segment s is
+    * voiced (±amp square) iff (docId + s) % 3 ≠ 0, silent (zeros)
+    * otherwise; amp varies per doc. The construction rule lives HERE and
+    * in the oracle; the parser sees only PCM bytes.
+    */
+  def wavVadBytes(docId: Long): Array[Byte] = {
+    val amp = (1000 + docId % 100).toInt
+    val nSamples = 4000
+    val dataSize = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val seg = i / 400
+      val v = if ((docId + seg) % 3 != 0) { if (i % 2 == 0) amp else -amp }
+      else 0
+      buf.putShort(v.toShort); i += 1
+    }
+    buf.array()
+  }
+
+  case class VadMeta(doc_id: Long, n_frames: Int, n_active: Int,
+      n_segments: Int, longest_active_ms: Long, first_active_frame: Int)
+
+  /** VOICE ACTIVITY DETECTION over genuine PCM — the speech-curation
+    * primitive (silence trimming, speech-ratio QC, segment extraction
+    * for ASR training): walk the RIFF container to the data chunk,
+    * frame the PCM16 stream (80 samples = 10 ms), mark frames with
+    * nonzero energy active, then run the island scan for contiguous
+    * voiced segments and the longest run. Energies are exact integer
+    * sums of squares read from decoded bytes; the oracle replays the
+    * fixture's voicing rule analytically, so the verified surface proves
+    * decode→frame→detect→segment end-to-end.
+    *
+    * Scale: one mapPartitions pass per payload (the codec contract);
+    * per-doc output is five integers — audio bytes never shuffle.
+    */
+  def parseVad(bytes: Array[Byte], frameLen: Int): (Int, Int, Int, Long, Int) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val t = new Array[Byte](4); buf.get(t)
+    require(new String(t, "US-ASCII") == "RIFF", "not a RIFF payload")
+    buf.getInt; buf.get(t)
+    require(new String(t, "US-ASCII") == "WAVE", "not a WAVE form")
+    var dataLen = -1
+    while (dataLen < 0 && buf.remaining() >= 8) {
+      buf.get(t); val len = buf.getInt
+      if (new String(t, "US-ASCII") == "data") dataLen = len
+      else buf.position(buf.position() + len)
+    }
+    require(dataLen > 0, "no data chunk")
+    val nSamples = dataLen / 2
+    val nFrames = nSamples / frameLen
+    var f = 0; var nActive = 0; var nSeg = 0; var run = 0; var best = 0
+    var firstActive = -1; var prevActive = false
+    while (f < nFrames) {
+      var e = 0L; var i = 0
+      while (i < frameLen) { val s = buf.getShort.toLong; e += s * s; i += 1 }
+      val active = e > 0
+      if (active) {
+        nActive += 1
+        if (firstActive < 0) firstActive = f
+        if (!prevActive) { nSeg += 1; run = 0 }
+        run += 1; if (run > best) best = run
+      }
+      prevActive = active
+      f += 1
+    }
+    (nFrames, nActive, nSeg, best.toLong * 10L, firstActive)
+  }
+
+  def audioVadRaw(s: SparkSession, d: String): Dataset[VadMeta] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (nf, na, ns, lng, fa) = parseVad(wavVadBytes(id), 80)
+        VadMeta(id, nf, na, ns, lng, fa)
+      }
+    }
+  }
+
+  /** Declared form of [[audioVadRaw]]. */
+  def audioVad(s: SparkSession, d: String): DataFrame = audioVadRaw(s, d).toDF()
+
   case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
       bits: Int, n_samples: Int, duration_ms: Long, rms: Long)
 
@@ -1452,6 +1540,7 @@ object Multimodal {
     "mm_exif_meta" -> exifMeta,
     "mm_srt_captions" -> srtCaptions,
     "mm_patch_grid" -> patchGrid,
+    "mm_audio_vad" -> audioVad,
     "mm_mp4_atoms" -> mp4Atoms,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
@@ -1485,6 +1574,32 @@ object Multimodal {
         |            WHEN 2 THEN 'video/mp4' ELSE 'text/plain' END AS mime,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY source, mime""".stripMargin,
+    "mm_audio_vad" ->
+      """WITH segs AS (
+        |  SELECT doc_id, t.seg, ((doc_id + t.seg) % 3) <> 0 AS act
+        |  FROM documents, LATERAL unnest(generate_series(0, 9)) AS t(seg)),
+        |marked AS (
+        |  SELECT doc_id, seg, act,
+        |         CASE WHEN act AND NOT COALESCE(
+        |           LAG(act) OVER (PARTITION BY doc_id ORDER BY seg), FALSE)
+        |           THEN 1 ELSE 0 END AS seg_start,
+        |         seg - SUM(CASE WHEN act THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY doc_id ORDER BY seg) AS grp
+        |  FROM segs),
+        |runs AS (
+        |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+        |  FROM marked WHERE act GROUP BY 1, 2),
+        |longest AS (
+        |  SELECT doc_id, COALESCE(MAX(run_len), 0) AS run_segs
+        |  FROM runs GROUP BY 1)
+        |SELECT m.doc_id, CAST(50 AS INT) AS n_frames,
+        |       CAST(5 * SUM(CASE WHEN m.act THEN 1 ELSE 0 END) AS INT) AS n_active,
+        |       CAST(SUM(m.seg_start) AS INT) AS n_segments,
+        |       CAST(COALESCE(l.run_segs, 0) * 5 * 10 AS BIGINT) AS longest_active_ms,
+        |       CAST(COALESCE(MIN(CASE WHEN m.act THEN m.seg END) * 5, -1) AS INT)
+        |         AS first_active_frame
+        |FROM marked m LEFT JOIN longest l ON m.doc_id = l.doc_id
+        |GROUP BY m.doc_id, l.run_segs ORDER BY m.doc_id""".stripMargin,
     "mm_patch_grid" ->
       """WITH dims AS (
         |  SELECT doc_id,

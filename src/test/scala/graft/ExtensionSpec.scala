@@ -805,6 +805,27 @@ class ExtensionSpec extends AnyFunSuite {
     permissive.unpersist()
   }
 
+  test("VAD walker: segment accounting from real PCM, refuses corrupt magic") {
+    for (id <- 0L to 8L) {
+      val (nf, na, ns, lng, fa) =
+        ext.Multimodal.parseVad(ext.Multimodal.wavVadBytes(id), 80)
+      assert(nf == 50)
+      // replay the voicing rule
+      val act = (0 until 10).map(s => (id + s) % 3 != 0)
+      assert(na == 5 * act.count(identity), s"doc $id active frames")
+      val runs = act.foldLeft(List.empty[Int]) {
+        case (h :: t, true) if h > 0 => (h + 1) :: t
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(ns == runs.size, s"doc $id segment count")
+      assert(lng == runs.max * 50L, s"doc $id longest run")
+      assert(fa == act.indexOf(true) * 5, s"doc $id first active frame")
+    }
+    val bad = ext.Multimodal.wavVadBytes(3L).clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](ext.Multimodal.parseVad(bad, 80))
+  }
+
   test("FFD packing invariants: capped bins, never below the splitting lower bound") {
     val rep = ext.TextOps.packBestFit(spark, sf).collect()
     assert(rep.length == 8, "one manifest row per shard")
