@@ -887,6 +887,50 @@ object EventOps {
       .orderBy(col("stratum"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES — the causal workhorse when treatment
+    * lands mid-stream: compare each arm's value change across the
+    * midpoint time split ([[cuped]]'s split), so any level difference
+    * between arms AND any common time trend cancel; what survives is the
+    * treatment effect under parallel trends. Cell means ship as exact
+    * micro-units-per-user ((Σ·10⁶) DIV (10⁴·n), value in 10⁻⁴ fixed
+    * point); the DiD combines the four already-truncated means, so both
+    * engines agree bit-for-bit.
+    *
+    * Scale: one scan → four cells; the report is a single row.
+    */
+  def diffInDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mid = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .select(expr("mn + (mx - mn) div 2").as("mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .select(
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment")
+          .as("arm"),
+        when(unix_micros(col("ts")) < col("mid"), "pre").otherwise("post")
+          .as("period"),
+        col("user_id"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("v"))
+      .groupBy(col("arm"), col("period"))
+      .agg(graft.Det.exactDistinct(col("user_id")).as("n_users"),
+        sum(col("v")).as("sv"))
+      .withColumn("mean_micro", expr("(sv * 100) div n_users"))
+    val p = cells.groupBy(col("arm"))
+      .pivot("period", Seq("pre", "post"))
+      .agg(first(col("mean_micro")))
+      .withColumnRenamed("pre", "mean_pre_micro")
+      .withColumnRenamed("post", "mean_post_micro")
+    val t = p.filter(col("arm") === "treatment")
+      .select(col("mean_pre_micro").as("t_pre"), col("mean_post_micro").as("t_post"))
+    val c = p.filter(col("arm") === "control")
+      .select(col("mean_pre_micro").as("c_pre"), col("mean_post_micro").as("c_post"))
+    t.crossJoin(c)
+      .withColumn("did_micro",
+        (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+      .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+        col("did_micro"))
+  }
+
   def cuped(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
@@ -1287,6 +1331,7 @@ object EventOps {
     "ev_dow_anova" -> dowAnova,
     "ev_cuped" -> cuped,
     "ev_att_stratified" -> attStratified,
+    "ev_diff_in_diff" -> diffInDiff,
     "ev_streaks" -> streaks,
     "ev_gap_regularity" -> gapRegularity,
     "ev_dispersion" -> dispersion,
@@ -1527,6 +1572,31 @@ object EventOps {
         |       eta2 / (1.0 - eta2) * CAST(n - k AS DOUBLE)
         |         / CAST(k - 1 AS DOUBLE) AS f_stat
         |FROM f ORDER BY n_days""".stripMargin,
+    "ev_diff_in_diff" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+        |cells AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+        |              ELSE 'treatment' END AS arm,
+        |         CASE WHEN epoch_us(ts) < mn + (mx - mn) // 2
+        |              THEN 'pre' ELSE 'post' END AS period,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+        |              AS BIGINT) AS sv
+        |  FROM events CROSS JOIN b GROUP BY 1, 2),
+        |m AS (SELECT arm, period, (sv * 100) // n_users AS mean_micro
+        |      FROM cells),
+        |t AS (SELECT
+        |        MAX(CASE WHEN period = 'pre' THEN mean_micro END) AS t_pre,
+        |        MAX(CASE WHEN period = 'post' THEN mean_micro END) AS t_post
+        |      FROM m WHERE arm = 'treatment'),
+        |c AS (SELECT
+        |        MAX(CASE WHEN period = 'pre' THEN mean_micro END) AS c_pre,
+        |        MAX(CASE WHEN period = 'post' THEN mean_micro END) AS c_post
+        |      FROM m WHERE arm = 'control')
+        |SELECT t_pre, t_post, c_pre, c_post,
+        |       (t_post - t_pre) - (c_post - c_pre) AS did_micro
+        |FROM t CROSS JOIN c""".stripMargin,
     "ev_att_stratified" ->
       """WITH users AS (
         |  SELECT user_id, COUNT(*) AS n_events,

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID
@@ -1036,6 +1037,46 @@ object TextOps {
       .select(col("w"), col("n_docs_present"), col("total"), col("vmr_micro"))
       .orderBy(desc("total"), col("w"))
       .limit(20)
+  }
+
+  /** HEAPS'-LAW VOCABULARY GROWTH CURVE — (tokens seen, types seen) at
+    * ten corpus checkpoints in doc_id order: the scaling diagnostic that
+    * sizes tokenizer vocabularies and predicts how much new text stops
+    * paying (V ≈ K·nᵝ; the curve's raw points are emitted exactly —
+    * fitting the exponent is the analyst's last step, because the log-log
+    * fit is the only non-exact part). Types-seen uses each token's FIRST
+    * document (min doc_id), so the cumulative count needs no windowed
+    * distinct — one grouped min per token, then two running sums over a
+    * 10-row frame.
+    *
+    * Scale: tokens shuffle once for the per-token min; everything after
+    * is checkpoint-grain. The windowed-distinct alternative would sort
+    * the corpus per checkpoint — this shape is why first-occurrence
+    * tables exist.
+    */
+  def heapsCurve(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(lower(text), ' '), w -> length(w) > 0)")).as("w"))
+    val maxDoc = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+    val bucketed = toks.crossJoin(broadcast(maxDoc))
+      .withColumn("cp", expr("least((doc_id * 10) div (mx + 1), 9L)"))
+    val tokensPerCp = bucketed.groupBy(col("cp"))
+      .agg(count(lit(1)).as("toks"))
+    val typesPerCp = bucketed.groupBy(col("w"))
+      .agg(min(col("cp")).as("first_cp"))
+      .groupBy(col("first_cp")).agg(count(lit(1)).as("new_types"))
+      .withColumnRenamed("first_cp", "cp")
+    val w10 = Window.orderBy(col("cp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPerCp.join(typesPerCp, Seq("cp"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("tokens_seen", sum(col("toks")).over(w10))
+      .withColumn("types_seen", sum(col("new_types")).over(w10))
+      .select(col("cp").cast("int").as("checkpoint"),
+        col("tokens_seen"), col("types_seen"))
+      .orderBy(col("checkpoint"))
   }
 
   /** KNESER-NEY smoothed bigram LM, EXACT — the canonical modern n-gram
@@ -2207,6 +2248,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_burstiness" -> burstiness,
+    "tx_heaps_curve" -> heapsCurve,
     "tx_kn_bigram" -> knBigram,
     "tx_script_mix" -> scriptMix,
     "tx_nfc_normalize" -> nfcNormalize,
@@ -3131,6 +3173,25 @@ object TextOps {
            |SELECT h, CAST(df AS BIGINT) AS df, CAST(n_occ AS BIGINT) AS n_occ, chunk
            |FROM agg WHERE df >= 3
            |ORDER BY df DESC, h LIMIT 20""".stripMargin,
+      "tx_heaps_curve" ->
+        """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+          |toks AS (
+          |  SELECT LEAST((doc_id * 10) // (mx + 1), 9) AS cp,
+          |         unnest(list_filter(string_split(lower(text), ' '),
+          |                x -> len(x) > 0)) AS w
+          |  FROM documents CROSS JOIN mx WHERE length(text) > 0),
+          |tpc AS (SELECT cp, CAST(COUNT(*) AS BIGINT) AS toks
+          |        FROM toks GROUP BY 1),
+          |fst AS (SELECT w, MIN(cp) AS cp FROM toks GROUP BY 1),
+          |npc AS (SELECT cp, CAST(COUNT(*) AS BIGINT) AS new_types
+          |        FROM fst GROUP BY 1)
+          |SELECT CAST(t.cp AS INT) AS checkpoint,
+          |       CAST(SUM(t.toks) OVER (ORDER BY t.cp
+          |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_seen,
+          |       CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY t.cp
+          |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS types_seen
+          |FROM tpc t LEFT JOIN npc n ON t.cp = n.cp
+          |ORDER BY checkpoint""".stripMargin,
       "tx_burstiness" ->
         """WITH docs AS (
           |  SELECT doc_id, text FROM documents WHERE length(text) > 0),

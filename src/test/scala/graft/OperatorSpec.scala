@@ -1086,6 +1086,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("diff-in-diff: identity did = Δtreatment − Δcontrol, cells populated") {
+    val r = ext.EventOps.diffInDiff(spark, sf).collect()(0)
+    val (tp, tq, cp, cq) = (r.getAs[Long]("t_pre"), r.getAs[Long]("t_post"),
+      r.getAs[Long]("c_pre"), r.getAs[Long]("c_post"))
+    assert(r.getAs[Long]("did_micro") == (tq - tp) - (cq - cp))
+    assert(Seq(tp, tq, cp, cq).forall(_ != 0L), "all four cells must have data")
+  }
+
+  test("Heaps curve: both series monotone, types ≤ tokens, totals reconcile") {
+    val rows = ext.TextOps.heapsCurve(spark, sf).collect()
+      .map(r => (r.getAs[Int]("checkpoint"), r.getAs[Long]("tokens_seen"),
+        r.getAs[Long]("types_seen"))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.sliding(2).foreach {
+      case Array((_, t1, v1), (_, t2, v2)) =>
+        assert(t2 > t1 && v2 >= v1, "cumulative series must be monotone")
+      case _ =>
+    }
+    val (_, totalToks, totalTypes) = rows.last
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) > 0)
+    val allToks = docs.select(explode(expr(
+      "filter(split(lower(text), ' '), w -> length(w) > 0)")).as("w"))
+    assert(totalToks == allToks.count(), "final tokens_seen = corpus tokens")
+    assert(totalTypes == allToks.distinct().count(),
+      "final types_seen = corpus vocabulary")
+    rows.foreach { case (_, t, v) => assert(v <= t) }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
