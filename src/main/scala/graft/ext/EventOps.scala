@@ -887,6 +887,40 @@ object EventOps {
       .orderBy(col("stratum"))
   }
 
+  /** DISCOUNTED LTV — cohort value with a weekly discount factor
+    * (9/10)ᵏ kept RATIONAL: week-k revenue scales by exact integers
+    * 9ᵏ/10ᵏ (k ≤ 5 here, 9⁵ = 59049 — micro-cent headroom to spare), so
+    * the net-present-value column is one integer DIV away from exact.
+    * The finance twin of [[cohortLtv]]: undiscounted curves overstate
+    * late revenue; this is the number a payback model actually uses.
+    *
+    * Scale: user-grain first-week via one rollup, then a (user, week)
+    * rollup — both map-side combined; the report is |weeks| rows.
+    */
+  def ltvDiscounted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '2024-01-01') div 7").as("wk"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("v"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+    ev.join(first, Seq("user_id"))
+      .withColumn("k", col("wk") - col("w0"))
+      .groupBy(col("k"))
+      .agg(graft.Det.exactDistinct(col("user_id")).as("n_users"),
+        sum(col("v")).as("sv"))
+      .withColumn("value_micro", expr("sv * 100"))
+      // 9^k/10^k via literal tables, NOT pow(): libm pow is not
+      // correctly rounded and need not agree across engines
+      .withColumn("discounted_micro", expr(
+        """(sv * 100 * element_at(array(1L, 9L, 81L, 729L, 6561L, 59049L),
+          |              CAST(k + 1 AS INT)))
+          |div element_at(array(1L, 10L, 100L, 1000L, 10000L, 100000L),
+          |              CAST(k + 1 AS INT))""".stripMargin))
+      .select(col("k"), col("n_users"), col("value_micro"),
+        col("discounted_micro"))
+      .orderBy(col("k"))
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES — the causal workhorse when treatment
     * lands mid-stream: compare each arm's value change across the
     * midpoint time split ([[cuped]]'s split), so any level difference
@@ -1332,6 +1366,7 @@ object EventOps {
     "ev_cuped" -> cuped,
     "ev_att_stratified" -> attStratified,
     "ev_diff_in_diff" -> diffInDiff,
+    "ev_ltv_discounted" -> ltvDiscounted,
     "ev_streaks" -> streaks,
     "ev_gap_regularity" -> gapRegularity,
     "ev_dispersion" -> dispersion,
@@ -1572,6 +1607,23 @@ object EventOps {
         |       eta2 / (1.0 - eta2) * CAST(n - k AS DOUBLE)
         |         / CAST(k - 1 AS DOUBLE) AS f_stat
         |FROM f ORDER BY n_days""".stripMargin,
+    "ev_ltv_discounted" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS w0 FROM ev GROUP BY 1),
+        |agg AS (
+        |  SELECT ev.wk - f.w0 AS k,
+        |         CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+        |         CAST(SUM(v) AS BIGINT) AS sv
+        |  FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1)
+        |SELECT k, n_users, sv * 100 AS value_micro,
+        |       (sv * 100 * ([1, 9, 81, 729, 6561, 59049])[CAST(k + 1 AS INT)])
+        |         // ([1, 10, 100, 1000, 10000, 100000])[CAST(k + 1 AS INT)]
+        |         AS discounted_micro
+        |FROM agg ORDER BY k""".stripMargin,
     "ev_diff_in_diff" ->
       """WITH b AS (
         |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),

@@ -231,6 +231,28 @@ object TextOps {
       .orderBy(col("shard"), col("doc_id"))
   }
 
+  /** CU_SEQLENS MANIFEST — the artifact a flash-attention trainer
+    * actually consumes from packed sequences: for every 2048-token
+    * packed sequence ([[packSequences]]'s layout), the sorted
+    * within-sequence offsets where documents begin. Attention must not
+    * cross document boundaries, and these offsets ARE the block-diagonal
+    * mask (cu_seqlens in the varlen kernels). Offsets serialize as a
+    * comma-joined string so the cross-engine hash covers the exact
+    * boundary list, not just counts.
+    *
+    * Scale: reuses the packing window (one shard-partitioned running
+    * sum); the manifest is sequence-grain — millions of rows for a
+    * trillion tokens, each a short string.
+    */
+  def cuSeqlens(s: SparkSession, d: String): DataFrame =
+    packSequences(s, d)
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("re_tokens")).as("tokens_started"),
+        array_join(array_sort(collect_set(expr("start_tok % 2048"))), ",")
+          .as("cu_offsets"))
+      .orderBy(col("shard"), col("seq_idx"))
+
   /** Duplicate n-gram SPAN detection — the doc-level report of the exact
     * substring-dedup pass (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"): find every 10-gram that occurs more than
@@ -2249,6 +2271,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_burstiness" -> burstiness,
     "tx_heaps_curve" -> heapsCurve,
+    "pipe_cu_seqlens" -> cuSeqlens,
     "tx_kn_bigram" -> knBigram,
     "tx_script_mix" -> scriptMix,
     "tx_nfc_normalize" -> nfcNormalize,
@@ -3435,6 +3458,24 @@ object TextOps {
            |SELECT shard, doc_id, re_tokens, start_tok,
            |       start_tok // 2048 AS seq_idx
            |FROM packed ORDER BY shard, doc_id""".stripMargin,
+      "pipe_cu_seqlens" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           |    ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |  FROM documents),
+           |packed AS (
+           |  SELECT shard, doc_id, re_tokens,
+           |    CAST(SUM(re_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      - re_tokens AS start_tok
+           |  FROM toks)
+           |SELECT shard, start_tok // 2048 AS seq_idx,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(re_tokens) AS BIGINT) AS tokens_started,
+           |       array_to_string(list_sort(list(DISTINCT start_tok % 2048)), ',')
+           |         AS cu_offsets
+           |FROM packed GROUP BY 1, 2 ORDER BY shard, seq_idx""".stripMargin,
       "tx_dup_spans" ->
         s"""WITH toks AS (
            |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws

@@ -1114,6 +1114,34 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach { case (_, t, v) => assert(v <= t) }
   }
 
+  test("cu_seqlens: offsets in-range, first doc of a shard starts at 0") {
+    val rows = ext.TextOps.cuSeqlens(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val offs = r.getAs[String]("cu_offsets").split(",").map(_.toLong)
+      assert(offs.forall(o => o >= 0 && o < 2048),
+        "every boundary lives inside the 2048-token sequence")
+      assert(offs.sorted.sameElements(offs), "offsets must emit sorted")
+      assert(offs.length == offs.distinct.length)
+    }
+    // sequence 0 of every shard begins with a boundary at offset 0
+    rows.filter(_.getAs[Long]("seq_idx") == 0L).foreach { r =>
+      assert(r.getAs[String]("cu_offsets").startsWith("0"),
+        s"shard ${r.getAs[Long]("shard")}: first sequence must anchor at 0")
+    }
+  }
+
+  test("discounted LTV: k=0 undiscounted, later weeks strictly discounted") {
+    val rows = ext.EventOps.ltvDiscounted(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, v, dv) = (r.getAs[Long]("k"), r.getAs[Long]("value_micro"),
+        r.getAs[Long]("discounted_micro"))
+      if (k == 0) assert(dv == v, "week 0 carries no discount")
+      else assert(dv < v && dv > 0, s"week $k: $dv must be a real discount of $v")
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
