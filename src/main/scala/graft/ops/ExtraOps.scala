@@ -2186,7 +2186,94 @@ object ExtraOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** MIX-SHIFT DECOMPOSITION — the "why did the average move"
+    * post-mortem every metrics team runs: the change in overall average
+    * order value between two halves of the date range decomposes, per
+    * priority segment, into a MIX effect ((share₂−share₁)·aov₁ — the
+    * metric moved because the segment blend moved) and a RATE effect
+    * (share₂·(aov₂−aov₁) — the segment itself changed). All four inputs
+    * are integer micro-quantities (count-share in micro, AOV in cents,
+    * both by DIV), and the two effects are single DIV products — so the
+    * attribution is exact and hash-verified, not a spreadsheet
+    * approximation.
+    *
+    * Scale: two grouped rollups of one scan and a |segments|-row frame.
+    */
+  def mixShift(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .crossJoin(broadcast(Tables.orders(s, d).agg(
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("mx"))))
+      .select(col("o_orderpriority").as("segment"),
+        when(unix_micros(col("o_orderdate").cast("timestamp"))
+          < expr("mn + (mx - mn) div 2"), "p1").otherwise("p2").as("period"),
+        (col("o_totalprice").cast(DecimalType(19, 2)) * lit(100))
+          .cast("long").as("cents"))
+    val cells = base.groupBy(col("segment"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sv"))
+    val tots = base.groupBy(col("period")).agg(count(lit(1)).as("n_tot"))
+    val m = cells.join(broadcast(tots), Seq("period"))
+      .withColumn("share_micro", expr("(n * 1000000) div n_tot"))
+      .withColumn("aov_cents", expr("sv div n"))
+    val p1 = m.filter(col("period") === "p1").select(col("segment"),
+      col("share_micro").as("share1"), col("aov_cents").as("aov1"))
+    val p2 = m.filter(col("period") === "p2").select(col("segment"),
+      col("share_micro").as("share2"), col("aov_cents").as("aov2"))
+    p1.join(p2, Seq("segment"))
+      .withColumn("mix_effect_cents",
+        expr("((share2 - share1) * aov1) div 1000000"))
+      .withColumn("rate_effect_cents",
+        expr("(share2 * (aov2 - aov1)) div 1000000"))
+      .select(col("segment"), col("share1"), col("share2"), col("aov1"),
+        col("aov2"), col("mix_effect_cents"), col("rate_effect_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** EVENT-TYPE CORRELATION MATRIX — pairwise Pearson r between the
+    * daily volume series of every event-type pair, the co-movement map
+    * behind "did purchases dip because clicks dipped". Centered moments
+    * are exact integers (n·Σxy − Σx·Σy over 30 days of counts); r is
+    * Cxy/√(Cxx·Cyy) — ÷, ×, √ all correctly rounded, so the raw-double
+    * matrix hash-verifies bit-for-bit ([[graft.ops.StatOps.welchT]]'s
+    * discipline).
+    *
+    * Scale: the corpus folds to a (day × type) grid ONCE; the pair join
+    * runs on |types|² grid rows, independent of event volume.
+    */
+  def typeCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val days = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("c"))
+    val stats = grid.as("a").join(grid.as("b"),
+        col("a.day") === col("b.day")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.c")).as("sx"), sum(col("b.c")).as("sy"),
+        sum(col("a.c") * col("a.c")).as("sxx"),
+        sum(col("b.c") * col("b.c")).as("syy"),
+        sum(col("a.c") * col("b.c")).as("sxy"))
+    stats
+      .withColumn("cxy",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("cxx",
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("cyy",
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .withColumn("r", col("cxy") / sqrt(col("cxx") * col("cyy")))
+      .select(col("type_a"), col("type_b"), col("n"), col("r"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mix_shift" -> mixShift,
+    "x_type_corr_matrix" -> typeCorrMatrix,
     "x_regression_diagnostics" -> regressionDiagnostics,
     "x_median_ci" -> medianCi,
     "x_bitmap_segments" -> bitmapSegments,
@@ -3232,6 +3319,59 @@ object ExtraOps {
         |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
         |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_mix_shift" ->
+      """WITH bounds AS (
+        |  SELECT MIN(epoch_us(o_orderdate)) AS mn,
+        |         MAX(epoch_us(o_orderdate)) AS mx FROM orders),
+        |base AS (
+        |  SELECT o_orderpriority AS segment,
+        |         CASE WHEN epoch_us(o_orderdate) < mn + (mx - mn) // 2
+        |              THEN 'p1' ELSE 'p2' END AS period,
+        |         CAST(CAST(o_totalprice AS DECIMAL(19,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN bounds),
+        |cells AS (
+        |  SELECT segment, period, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(cents) AS BIGINT) AS sv
+        |  FROM base GROUP BY 1, 2),
+        |tots AS (SELECT period, CAST(COUNT(*) AS BIGINT) AS n_tot
+        |         FROM base GROUP BY 1),
+        |m AS (
+        |  SELECT segment, period,
+        |         (n * 1000000) // n_tot AS share_micro, sv // n AS aov_cents
+        |  FROM cells JOIN tots USING (period)),
+        |p1 AS (SELECT segment, share_micro AS share1, aov_cents AS aov1
+        |       FROM m WHERE period = 'p1'),
+        |p2 AS (SELECT segment, share_micro AS share2, aov_cents AS aov2
+        |       FROM m WHERE period = 'p2')
+        |SELECT segment, share1, share2, aov1, aov2,
+        |       ((share2 - share1) * aov1) // 1000000 AS mix_effect_cents,
+        |       (share2 * (aov2 - aov1)) // 1000000 AS rate_effect_cents
+        |FROM p1 JOIN p2 USING (segment) ORDER BY segment""".stripMargin,
+    "x_type_corr_matrix" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, t.event_type, COALESCE(x.c, 0) AS c
+        |  FROM (SELECT DISTINCT day FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        |  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type),
+        |st AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(a.c) AS BIGINT) AS sx, CAST(SUM(b.c) AS BIGINT) AS sy,
+        |         CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+        |         CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+        |         CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+        |  FROM grid a JOIN grid b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        |FROM st ORDER BY type_a, type_b""".stripMargin,
     "x_regression_diagnostics" ->
       """WITH b AS (
         |  SELECT o_orderpriority,

@@ -1142,6 +1142,47 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("mix-shift: shares sum to ~1e6 per period, effects reconcile to ΔAOV") {
+    val rows = ops.ExtraOps.mixShift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val s1 = rows.map(_.getAs[Long]("share1")).sum
+    val s2 = rows.map(_.getAs[Long]("share2")).sum
+    // DIV truncation sheds at most 1 micro-unit per segment
+    assert(s1 > 1000000L - rows.length && s1 <= 1000000L, s"share1 sum $s1")
+    assert(s2 > 1000000L - rows.length && s2 <= 1000000L, s"share2 sum $s2")
+    // mix + rate effects across segments ≈ overall AOV change (within the
+    // per-segment truncation envelope: each effect sheds < 1 cent, each
+    // aov/share input < 1 unit — bound loosely)
+    val totalEffect = rows.map(r => r.getAs[Long]("mix_effect_cents")
+      + r.getAs[Long]("rate_effect_cents")).sum
+    val cents = Tables.orders(spark, sf).select(
+      (col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(19, 2)) * lit(100))
+        .cast("long"),
+      unix_micros(col("o_orderdate").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (mn, mx) = (cents.map(_._2).min, cents.map(_._2).max)
+    val mid = mn + (mx - mn) / 2
+    val a1 = cents.filter(_._2 < mid).map(_._1)
+    val a2 = cents.filter(_._2 >= mid).map(_._1)
+    val dAov = a2.sum / a2.length - a1.sum / a1.length
+    assert(math.abs(totalEffect - dAov) <= 200 + rows.length * 2,
+      s"decomposition $totalEffect far from ΔAOV $dAov")
+  }
+
+  test("type correlation matrix: symmetric-complete pairs, r in [-1, 1]") {
+    val rows = ops.ExtraOps.typeCorrMatrix(spark, sf).collect()
+    val types = Tables.events(spark, sf).select(col("event_type"))
+      .distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2,
+      s"expected all unordered pairs of $types types, got ${rows.length}")
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12, s"r out of range: $v")
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
