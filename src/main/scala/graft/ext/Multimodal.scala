@@ -1457,6 +1457,51 @@ object Multimodal {
         expr("CAST(ny * 16 - eff_h AS INT)").as("pad_y"))
       .orderBy(col("doc_id"))
 
+  /** CAPTION↔FRAME ALIGNMENT — the step after [[srtCaptions]] and frame
+    * sampling in a video-training pipeline: sample the timeline at 2 fps
+    * and ask, for every frame instant, whether a caption cue covers it
+    * ([start, end) containment) — producing the caption-coverage ratio
+    * that gates a clip into a captioned-video training set, and the
+    * first uncovered instant for QC triage. The cue algebra is the SRT
+    * fixture's; the operator under test is the interval-containment
+    * join + coverage rollup, all integer milliseconds.
+    *
+    * Scale: frames explode per doc (bounded by duration), the
+    * containment join stays doc-local (key = doc_id) — no cross-doc
+    * shuffle; at 100 TB you'd band frames and cues by coarse time bucket
+    * exactly like the grid spatial join if clips ran to hours.
+    */
+  def captionFrames(s: SparkSession, d: String): DataFrame = {
+    val cues = Tables.documents(s, d)
+      .filter(length(col("text")) >= 160)
+      .select(col("doc_id"),
+        posexplode(expr("sequence(0L, doc_id % 4)")).as(Seq("pos", "i")))
+      .withColumn("start_ms", col("i") * 2000 + col("doc_id") % 997)
+      .withColumn("end_ms",
+        col("start_ms") + lit(800) + (col("doc_id") * 7 + col("i") * 13) % 2400)
+    val spans = cues.groupBy(col("doc_id"))
+      .agg(max(col("end_ms")).as("last_end"))
+    val frames = spans
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, last_end, 500L)")).as("t"))
+    frames.join(cues.select(col("doc_id"), col("start_ms"), col("end_ms")),
+        Seq("doc_id"), "left")
+      .withColumn("hit",
+        when(col("t") >= col("start_ms") && col("t") < col("end_ms"), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(max(col("hit")).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("covered")).as("n_captioned"),
+        min(when(col("covered") === 0L, col("t"))).as("first_gap_ms"))
+      .withColumn("coverage_bp", expr("(n_captioned * 10000) div n_frames"))
+      .withColumn("first_gap_ms", coalesce(col("first_gap_ms"), lit(-1L)))
+      .select(col("doc_id"), col("n_frames"), col("n_captioned"),
+        col("coverage_bp"), col("first_gap_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   def mp4AtomsRaw(s: SparkSession, d: String): Dataset[Mp4Meta] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
@@ -1541,6 +1586,7 @@ object Multimodal {
     "mm_srt_captions" -> srtCaptions,
     "mm_patch_grid" -> patchGrid,
     "mm_audio_vad" -> audioVad,
+    "mm_caption_frames" -> captionFrames,
     "mm_mp4_atoms" -> mp4Atoms,
     "mm_binary_meta" -> binaryMeta,
     "mm_decode_features" -> decodeFeatures,
@@ -1574,6 +1620,33 @@ object Multimodal {
         |            WHEN 2 THEN 'video/mp4' ELSE 'text/plain' END AS mime,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY source, mime""".stripMargin,
+    "mm_caption_frames" ->
+      """WITH cues AS (
+        |  SELECT doc_id, t.i,
+        |         t.i * 2000 + doc_id % 997 AS start_ms,
+        |         t.i * 2000 + doc_id % 997 + 800
+        |           + (doc_id * 7 + t.i * 13) % 2400 AS end_ms
+        |  FROM documents, LATERAL unnest(generate_series(0, doc_id % 4)) AS t(i)
+        |  WHERE length(text) >= 160),
+        |spans AS (SELECT doc_id, MAX(end_ms) AS last_end FROM cues GROUP BY 1),
+        |frames AS (
+        |  SELECT s.doc_id, f.t
+        |  FROM spans s, LATERAL unnest(generate_series(0, s.last_end, 500)) AS f(t)),
+        |marked AS (
+        |  SELECT f.doc_id, f.t,
+        |         MAX(CASE WHEN f.t >= c.start_ms AND f.t < c.end_ms
+        |                  THEN 1 ELSE 0 END) AS covered
+        |  FROM frames f LEFT JOIN cues c ON f.doc_id = c.doc_id
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |         CAST(SUM(covered) AS BIGINT) AS n_captioned,
+        |         MIN(CASE WHEN covered = 0 THEN t END) AS gap
+        |  FROM marked GROUP BY 1)
+        |SELECT doc_id, n_frames, n_captioned,
+        |       (n_captioned * 10000) // n_frames AS coverage_bp,
+        |       CAST(COALESCE(gap, -1) AS BIGINT) AS first_gap_ms
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "mm_audio_vad" ->
       """WITH segs AS (
         |  SELECT doc_id, t.seg, ((doc_id + t.seg) % 3) <> 0 AS act

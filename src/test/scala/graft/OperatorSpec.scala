@@ -1183,6 +1183,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("caption-frame alignment: coverage and gaps replay from cue intervals") {
+    val rows = ext.Multimodal.captionFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val cues = (0L to id % 4).map { i =>
+        val st = i * 2000 + id % 997
+        (st, st + 800 + (id * 7 + i * 13) % 2400)
+      }
+      val lastEnd = cues.map(_._2).max
+      val ts = 0L.to(lastEnd, 500L)
+      val covered = ts.map(t => cues.exists(c => t >= c._1 && t < c._2))
+      assert(r.getAs[Long]("n_frames") == ts.length)
+      assert(r.getAs[Long]("n_captioned") == covered.count(identity))
+      val gap = ts.zip(covered).collectFirst { case (t, false) => t }
+        .getOrElse(-1L)
+      assert(r.getAs[Long]("first_gap_ms") == gap, s"doc $id gap mismatch")
+      val bp = r.getAs[Long]("coverage_bp")
+      assert(bp >= 0 && bp <= 10000)
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
