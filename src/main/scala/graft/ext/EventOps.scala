@@ -74,6 +74,34 @@ object EventOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** DYNAMIC-GAP session_window — Spark's per-event gap expression
+    * (clicks close after 20 min, everything else after 40): each event
+    * contributes a window [ts, ts+gap(event)) and overlapping windows
+    * merge, so a session's lifetime depends on WHAT happened, not just
+    * when — the idle-timeout-by-activity-class model real products use.
+    * The oracle replays the merge relationally: new session iff
+    * ts ≥ running max of previous (ts+gap) — the running max is the
+    * whole semantics (a long-gap event can bridge a gap a short-gap
+    * event could not), which a prev-row-only islands form gets WRONG;
+    * cross-validating Spark's native merge against that algebra is the
+    * point of the query.
+    *
+    * Scale: same shape as fixed-gap sessionization — one keyed window.
+    */
+  def sessionDynamic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "click", "20 minutes")
+          .otherwise("40 minutes")))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("n_clicks"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Ordered conversion funnel view → click → purchase: each stage is the
     * earliest qualifying event strictly after the user's previous-stage
     * time, so out-of-order events never count (a click before the first
@@ -1390,6 +1418,7 @@ object EventOps {
     "ev_sliding" -> sliding,
     "ev_sessionize" -> sessionize,
     "ev_session_window" -> sessionWindowNative,
+    "ev_session_dynamic" -> sessionDynamic,
     "ev_json_props" -> jsonProps,
     "ev_funnel" -> funnel,
     "ev_retention" -> retention
@@ -2129,6 +2158,36 @@ object EventOps {
         |       MIN(ts) AS session_start, MAX(ts) AS session_end,
         |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "ev_session_dynamic" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, event_type,
+        |         epoch_us(ts) AS us,
+        |         epoch_us(ts) + CASE WHEN event_type = 'click'
+        |                             THEN 1200000000 ELSE 2400000000 END AS win_end
+        |  FROM events),
+        |marked AS (
+        |  SELECT *,
+        |         CASE WHEN MAX(win_end) OVER (
+        |                PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              IS NULL
+        |           OR us >= MAX(win_end) OVER (
+        |                PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
+        |  FROM g),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clicks,
+        |       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "ev_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,

@@ -1205,6 +1205,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic session_window merges via running max of window ends, not prev row") {
+    // A(view, t=0, end=40m) bridges past B(click, t=5m, end=25m) to
+    // C(t=30m): a prev-row-only islands rule would break at C (30 ≥ B's
+    // 25m end) — the true merge rule keeps C inside A's still-open window
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "view"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "click"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val sessions = df.groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "click", "20 minutes")
+          .otherwise("40 minutes")))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sessions.length == 1 && sessions(0).getAs[Long]("n") == 3L,
+      s"expected ONE bridged session of 3 events, got ${sessions.toSeq}")
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
