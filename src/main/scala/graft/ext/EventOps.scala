@@ -949,6 +949,44 @@ object EventOps {
       .orderBy(col("k"))
   }
 
+  /** POWER PLANNING: MINIMUM DETECTABLE EFFECT curve — the question every
+    * experiment review starts with ("how long must this run?"): for
+    * candidate per-arm sample sizes, MDE = (z_α/2 + z_β)·√(2σ²/n) at
+    * 95% confidence / 80% power, with σ² estimated from the live metric
+    * (event value) via exact integer sufficient statistics. The z-sum
+    * 2.8 enters as a string-parsed double literal (both engines
+    * strtod/parseDouble — bit-identical; a bare 2.8 would route through
+    * DuckDB DECIMAL and drift), and every downstream op is correctly
+    * rounded, so the whole curve hash-verifies as raw doubles —
+    * [[graft.ops.StatOps.welchT]]'s discipline applied to the planning
+    * side of the same test.
+    *
+    * Scale: one scan for (n, Σx, Σx²); the curve is |candidates| rows of
+    * scalar algebra.
+    */
+  def powerMde(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.events(s, d)
+      .select((col("value").cast(DecimalType(18, 4)) * 10000)
+        .cast("long").as("v"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("v")).as("sv"),
+        sum((col("v").cast(DecimalType(38, 0)) * col("v"))
+          .cast(DecimalType(38, 0))).cast("string").cast("double").as("svv"))
+      .withColumn("mean", col("sv").cast("double") / col("n_obs").cast("double"))
+      .withColumn("variance",
+        (col("svv") - col("sv").cast("double") * col("mean"))
+          / (col("n_obs") - 1).cast("double"))
+    st.crossJoin(broadcast(
+        s.range(0, 4).select(col("id"),
+          expr("element_at(array(1000L, 5000L, 10000L, 50000L), CAST(id + 1 AS INT))")
+            .as("n_per_arm"))))
+      .withColumn("mde_fixed",
+        lit("2.8").cast("double")
+          * sqrt(lit(2.0) * col("variance") / col("n_per_arm").cast("double")))
+      .select(col("n_per_arm"), col("n_obs"), col("variance").as("variance_fixed2"),
+        col("mde_fixed"))
+      .orderBy(col("n_per_arm"))
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES — the causal workhorse when treatment
     * lands mid-stream: compare each arm's value change across the
     * midpoint time split ([[cuped]]'s split), so any level difference
@@ -1395,6 +1433,7 @@ object EventOps {
     "ev_att_stratified" -> attStratified,
     "ev_diff_in_diff" -> diffInDiff,
     "ev_ltv_discounted" -> ltvDiscounted,
+    "ev_power_mde" -> powerMde,
     "ev_streaks" -> streaks,
     "ev_gap_regularity" -> gapRegularity,
     "ev_dispersion" -> dispersion,
@@ -1636,6 +1675,26 @@ object EventOps {
         |       eta2 / (1.0 - eta2) * CAST(n - k AS DOUBLE)
         |         / CAST(k - 1 AS DOUBLE) AS f_stat
         |FROM f ORDER BY n_days""".stripMargin,
+    "ev_power_mde" ->
+      """WITH st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |         CAST(SUM(v) AS BIGINT) AS sv,
+        |         CAST(CAST(CAST(SUM(CAST(v AS DECIMAL(38,0)) * v)
+        |              AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS svv
+        |  FROM (SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |        FROM events)),
+        |m AS (
+        |  SELECT *, CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE) AS mean FROM st),
+        |v AS (
+        |  SELECT *, (svv - CAST(sv AS DOUBLE) * mean)
+        |              / CAST(n_obs - 1 AS DOUBLE) AS variance
+        |  FROM m)
+        |SELECT n_per_arm, n_obs, variance AS variance_fixed2,
+        |       CAST('2.8' AS DOUBLE)
+        |         * SQRT(2.0 * variance / CAST(n_per_arm AS DOUBLE)) AS mde_fixed
+        |FROM v CROSS JOIN (SELECT unnest([1000, 5000, 10000, 50000]::BIGINT[])
+        |                   AS n_per_arm)
+        |ORDER BY n_per_arm""".stripMargin,
     "ev_ltv_discounted" ->
       """WITH ev AS (
         |  SELECT user_id,

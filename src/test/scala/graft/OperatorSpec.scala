@@ -1223,6 +1223,23 @@ class OperatorSpec extends AnyFunSuite {
       s"expected ONE bridged session of 3 events, got ${sessions.toSeq}")
   }
 
+  test("power MDE: curve shrinks as 1/√n, exactly") {
+    val rows = ext.EventOps.powerMde(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_per_arm") -> r.getAs[Double]("mde_fixed"))
+      .sortBy(_._1)
+    assert(rows.length == 4)
+    rows.sliding(2).foreach {
+      case Array((n1, m1), (n2, m2)) =>
+        // mde(n2)/mde(n1) = √(n1/n2) up to double rounding
+        val ratio = m2 / m1
+        val expect = math.sqrt(n1.toDouble / n2.toDouble)
+        assert(math.abs(ratio - expect) < 1e-12,
+          s"MDE scaling broke: $ratio vs $expect")
+      case _ =>
+    }
+    assert(rows.forall(_._2 > 0))
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
