@@ -2271,7 +2271,44 @@ object ExtraOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** ROLLING CORRELATION MONITOR — 7-day windowed Pearson between click
+    * and purchase daily volumes, the live dashboard twin of
+    * [[typeCorrMatrix]]'s static pairs: a correlation that decays warns
+    * that purchases decoupled from traffic (tracking loss, funnel break)
+    * days before absolute volumes look wrong. Rolling Σx, Σy, Σx², Σy²,
+    * Σxy are exact integer window sums; each day's r is then the
+    * raw-double formula over them — bit-identical cross-engine.
+    * Emitted only for complete 7-day windows.
+    *
+    * Scale: the corpus folds to day grain once; the rolling frame is a
+    * ROWS window over ~365 rows/year regardless of event volume.
+    */
+  def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .filter(col("n") === 7)
+      .withColumn("r",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+      .select(col("day"), col("x").as("clicks"), col("y").as("purchases"),
+        col("r").as("rolling_r"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rolling_corr" -> rollingCorr,
     "x_mix_shift" -> mixShift,
     "x_type_corr_matrix" -> typeCorrMatrix,
     "x_regression_diagnostics" -> regressionDiagnostics,
@@ -3319,6 +3356,30 @@ object ExtraOps {
         |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
         |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS x,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |roll AS (
+        |  SELECT day, x, y,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+        |         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+        |         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, x AS clicks, y AS purchases,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                * CAST(n * syy - sy * sy AS DOUBLE)) AS rolling_r
+        |FROM roll WHERE n = 7 ORDER BY day""".stripMargin,
     "x_mix_shift" ->
       """WITH bounds AS (
         |  SELECT MIN(epoch_us(o_orderdate)) AS mn,

@@ -1240,6 +1240,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("rolling correlation: bounded, complete windows only, replays brute") {
+    val rows = ops.ExtraOps.rollingCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("rolling_r")
+      assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12)
+    }
+    // brute replay of the last window
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val lastW = daily.takeRight(7)
+    val n = 7.0
+    val (sx, sy) = (lastW.map(_._1).sum, lastW.map(_._2).sum)
+    val sxx = lastW.map(p => p._1 * p._1).sum
+    val syy = lastW.map(p => p._2 * p._2).sum
+    val sxy = lastW.map(p => p._1 * p._2).sum
+    val rRef = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = rows.last.getAs[Double]("rolling_r")
+    assert(math.abs(got - rRef) < 1e-12, s"last-window r $got vs brute $rRef")
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
