@@ -2307,7 +2307,37 @@ object ExtraOps {
       .orderBy(col("day"))
   }
 
+  /** HDR-STYLE LATENCY HISTOGRAM — power-of-two buckets of click→purchase
+    * conversion lag, the HdrHistogram/Prometheus-`le` shape every
+    * latency SLO uses: bucket = bit-length of the lag in µs
+    * (`length(bin(x))` — the repo's exact log₂ idiom, identical in both
+    * engines), so the histogram spans nine decades in ~32 rows with
+    * relative-error-bounded buckets and ZERO floating point. Exactly the
+    * aggregation you keep when raw lags are too many to store.
+    *
+    * Scale: rides the bounded interval join (1 h lookback); the
+    * histogram is ≤ 64 rows regardless of volume, mergeable by addition.
+    */
+  def hdrHistogram(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("p_us") >= col("c_us")
+        && col("p_us") <= col("c_us") + lit(3600000000L))
+      .withColumn("lag_us", col("p_us") - col("c_us"))
+      .withColumn("bucket_bits", length(bin(col("lag_us"))).cast("int"))
+      .groupBy(col("bucket_bits"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lag_us")).as("min_lag_us"),
+        max(col("lag_us")).as("max_lag_us"))
+      .orderBy(col("bucket_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_hdr_histogram" -> hdrHistogram,
     "x_rolling_corr" -> rollingCorr,
     "x_mix_shift" -> mixShift,
     "x_type_corr_matrix" -> typeCorrMatrix,
@@ -3356,6 +3386,20 @@ object ExtraOps {
         |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
         |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_hdr_histogram" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase'),
+        |lags AS (
+        |  SELECT p_us - c_us AS lag_us
+        |  FROM c JOIN p USING (user_id)
+        |  WHERE p_us >= c_us AND p_us <= c_us + 3600000000)
+        |SELECT CAST(length(bin(lag_us)) AS INT) AS bucket_bits,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+        |       CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+        |FROM lags GROUP BY 1 ORDER BY bucket_bits""".stripMargin,
     "x_rolling_corr" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

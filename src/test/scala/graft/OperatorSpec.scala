@@ -1267,6 +1267,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(got - rRef) < 1e-12, s"last-window r $got vs brute $rRef")
   }
 
+  test("HDR histogram: bucket bounds are the powers of two they claim") {
+    val rows = ops.ExtraOps.hdrHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bits = r.getAs[Int]("bucket_bits")
+      val (lo, hi) = (r.getAs[Long]("min_lag_us"), r.getAs[Long]("max_lag_us"))
+      // bit-length b ⟺ value ∈ [2^(b−1), 2^b) (b=1 additionally admits 0)
+      val floor = if (bits == 1) 0L else 1L << (bits - 1)
+      val ceil = (1L << bits) - 1
+      assert(lo >= floor && hi <= ceil && lo <= hi,
+        s"bucket $bits: [$lo, $hi] outside [$floor, $ceil]")
+    }
+    // counts must sum to the interval-join cardinality
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val ev = Tables.events(spark, sf)
+    val expected = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us")), Seq("user_id"))
+      .filter(col("p_us") >= col("c_us")
+        && col("p_us") <= col("c_us") + lit(3600000000L)).count()
+    assert(total == expected)
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
