@@ -822,7 +822,42 @@ object QcOps {
           .as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** SCHEMA CONTRACT — the table dictionary as data: every (table,
+    * column, canonical type) of the core fact/dim tables, compared
+    * against what a SECOND engine's catalog says about the very same
+    * parquet files. Physical type names differ per engine (LongType /
+    * BIGINT / int64), so both sides normalize to one canonical
+    * vocabulary before the hash — which makes this the
+    * contract-enforcement gate a lakehouse runs before every load:
+    * columns added, dropped, or silently retyped upstream fail the
+    * round trip loudly.
+    *
+    * Scale: pure metadata — footer reads, no data scan at any size.
+    */
+  def schemaContract(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    def canon(dt: DataType): String = dt match {
+      case LongType => "bigint"
+      case IntegerType => "int"
+      case DoubleType => "double"
+      case StringType => "string"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case dec: DecimalType => s"decimal(${dec.precision},${dec.scale})"
+      case other => other.simpleString
+    }
+    val tables = Seq(
+      "lineitem" -> Tables.lineitem(s, d),
+      "orders" -> Tables.orders(s, d),
+      "customer" -> Tables.customer(s, d))
+    tables.flatMap { case (n, df) =>
+      df.schema.fields.map(f => (n, f.name, canon(f.dataType)))
+    }.toDF("tbl", "col_name", "canon_type")
+      .orderBy(col("tbl"), col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_schema_contract" -> schemaContract,
     "x_observe_gates" -> observeGates,
     "qc_hellinger_drift" -> hellingerDrift,
     "qc_merkle_tree" -> merkleTree,
@@ -943,6 +978,18 @@ object QcOps {
         |       CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_micro,
         |       CAST(SUM(abs_diff) AS BIGINT) AS total_abs_diff_micro
         |FROM st GROUP BY status ORDER BY status""".stripMargin,
+    "qc_schema_contract" ->
+      """SELECT table_name AS tbl, column_name AS col_name,
+        |       CASE data_type
+        |         WHEN 'BIGINT' THEN 'bigint'
+        |         WHEN 'INTEGER' THEN 'int'
+        |         WHEN 'DOUBLE' THEN 'double'
+        |         WHEN 'VARCHAR' THEN 'string'
+        |         WHEN 'TIMESTAMP' THEN 'timestamp'
+        |         ELSE lower(data_type) END AS canon_type
+        |FROM information_schema.columns
+        |WHERE table_name IN ('lineitem', 'orders', 'customer')
+        |ORDER BY tbl, col_name""".stripMargin,
     "x_observe_gates" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
