@@ -942,7 +942,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SHINGLE-SIZE PLANNING SWEEP — the third sketch-parameter study
+    * (bands: [[bandPlanner]]; CMS widths: CountMinAgg) — measures, on
+    * the caller's own corpus, how shingle length k separates true
+    * near-dups from background pairs: small k inflates background
+    * Jaccard (common word pairs collide), large k deflates dup Jaccard
+    * (one edit kills k shingles). Candidate classes come from cheap
+    * deterministic rules — prefix-blocked pairs (where the planted dups
+    * live) vs consecutive-id background pairs — and per-pair Jaccard is
+    * exact set algebra over the shingle arrays, in integer micro-units.
+    * The number this reports (separation at each k) is what justifies
+    * the pipeline's k=3 everywhere else.
+    *
+    * Scale: the sweep runs on CANDIDATE pairs only (bounded by the
+    * blocking rules), never all-pairs; shingle arrays ride inside rows.
+    * Raw shingle strings are fine at candidate scale — the production
+    * dedup path hashes them to 60-bit longs before anything shuffles.
+    */
+  def shingleSweep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+        split(lower(col("text")), " ").as("ws"))
+    val blocked = docs.as("a").join(docs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(lit("blocked").as("pair_class"),
+        col("a.doc_id").as("ia"), col("a.ws").as("wsa"),
+        col("b.doc_id").as("ib"), col("b.ws").as("wsb"))
+    val background = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") + 1 === col("b.doc_id")
+          && col("a.blk") =!= col("b.blk")
+          && col("a.doc_id") % 10 === 0)
+      .select(lit("background").as("pair_class"),
+        col("a.doc_id").as("ia"), col("a.ws").as("wsa"),
+        col("b.doc_id").as("ib"), col("b.ws").as("wsb"))
+    val pairs = blocked.unionByName(background)
+    val perK = Seq(2, 3, 5).map { k =>
+      def sh(c: String) =
+        s"""array_distinct(transform(sequence(1, size($c) - $k + 1),
+           |  i -> array_join(slice($c, i, $k), ' ')))""".stripMargin
+      pairs
+        .filter(size(col("wsa")) >= k && size(col("wsb")) >= k)
+        .withColumn("sa", expr(sh("wsa")))
+        .withColumn("sb", expr(sh("wsb")))
+        .withColumn("j_micro", expr(
+          """(size(array_intersect(sa, sb)) * 1000000L)
+            |div size(array_union(sa, sb))""".stripMargin))
+        .groupBy(lit(k).as("k"), col("pair_class"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(j_micro) div count(1)").as("mean_j_micro"),
+          max(col("j_micro")).as("max_j_micro"))
+    }
+    perK.reduce(_ unionByName _).orderBy(col("k"), col("pair_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_shingle_sweep" -> shingleSweep,
     "dd_edit_blocked" -> editBlocked,
     "dd_band_planner" -> bandPlanner,
     "dd_record_linkage" -> recordLinkage,
@@ -1073,6 +1127,39 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dd_shingle_sweep" ->
+      """WITH docs AS (
+        |  SELECT doc_id, substring(text, 1, 16) AS blk,
+        |         string_split(lower(text), ' ') AS ws
+        |  FROM documents WHERE length(text) > 0),
+        |blocked AS (
+        |  SELECT 'blocked' AS pair_class, a.ws AS wsa, b.ws AS wsb
+        |  FROM docs a JOIN docs b
+        |    ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |background AS (
+        |  SELECT 'background' AS pair_class, a.ws AS wsa, b.ws AS wsb
+        |  FROM docs a JOIN docs b
+        |    ON a.doc_id + 1 = b.doc_id AND a.blk <> b.blk
+        |       AND a.doc_id % 10 = 0),
+        |pairs AS (SELECT * FROM blocked UNION ALL SELECT * FROM background),
+        |ks AS (SELECT unnest([2, 3, 5]) AS k),
+        |j AS (
+        |  SELECT k, pair_class,
+        |         (len(list_intersect(sa, sb)) * 1000000)
+        |           // len(list_distinct(list_concat(sa, sb))) AS j_micro
+        |  FROM (
+        |    SELECT k, pair_class,
+        |      list_distinct(list_transform(generate_series(1, len(wsa) - k + 1),
+        |        i -> array_to_string(wsa[i:i+k-1], ' '))) AS sa,
+        |      list_distinct(list_transform(generate_series(1, len(wsb) - k + 1),
+        |        i -> array_to_string(wsb[i:i+k-1], ' '))) AS sb
+        |    FROM pairs CROSS JOIN ks
+        |    WHERE len(wsa) >= k AND len(wsb) >= k))
+        |SELECT CAST(k AS INT) AS k, pair_class,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(j_micro) // COUNT(*) AS BIGINT) AS mean_j_micro,
+        |       CAST(MAX(j_micro) AS BIGINT) AS max_j_micro
+        |FROM j GROUP BY 1, 2 ORDER BY k, pair_class""".stripMargin,
     "dd_edit_blocked" ->
       """WITH d AS (
         |  SELECT doc_id, substring(text, 1, 16) AS blk,

@@ -1291,6 +1291,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("shingle sweep: dup pairs separate from background, background decays with k") {
+    val rows = ext.Dedup.shingleSweep(spark, sf).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("pair_class")) ->
+        r.getAs[Long]("mean_j_micro")).toMap
+    Seq(2, 3, 5).foreach { k =>
+      (rows.get(k -> "blocked"), rows.get(k -> "background")) match {
+        case (Some(dup), Some(bg)) =>
+          assert(dup > bg, s"k=$k: dup mean $dup must exceed background $bg")
+        case _ => // a class can be empty at spec scale; sweep still valid
+      }
+    }
+    // longer shingles make accidental background overlap rarer
+    for (bg2 <- rows.get(2 -> "background"); bg5 <- rows.get(5 -> "background"))
+      assert(bg5 <= bg2, s"background jaccard must not grow with k: $bg2 -> $bg5")
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
