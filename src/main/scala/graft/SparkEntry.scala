@@ -51,6 +51,7 @@ object SparkEntry {
         "st_temporal_join" -> streaming.StreamOps.temporalJoinStream,
         "st_late_drop" -> streaming.StreamOps.lateDropStream,
         "st_update_mode" -> streaming.StreamOps.updateModeStream,
+        "st_session_dynamic" -> streaming.StreamOps.sessionDynamicStream,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -88,6 +89,7 @@ object SparkEntry {
         "st_incremental_probe" -> ext.Dedup.incrementalStreamOracle,
         "st_late_drop" -> streaming.StreamOps.lateDropOracle,
         "st_update_mode" -> streaming.StreamOps.updateModeOracle,
+        "st_session_dynamic" -> streaming.StreamOps.sessionDynamicOracle,
         "st_left_outer_join" -> streaming.StreamOps.leftOuterJoinOracle,
         "st_full_outer_join" -> streaming.StreamOps.fullOuterJoinOracle,
         "st_right_outer_join" -> streaming.StreamOps.rightOuterJoinOracle,

@@ -732,6 +732,76 @@ object StreamOps {
       |WHERE session_end + INTERVAL 30 MINUTE < w
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Streaming DYNAMIC-GAP sessions — [[graft.ext.EventOps.sessionDynamic]]
+    * as a watermarked stream (28th real streaming query): per-event gap
+    * expression (clicks 20 min, others 40), append mode, drained and
+    * verified against the SAME running-max merge algebra, with the
+    * emission cut at sessions whose furthest window end closed before
+    * the final watermark. Third execution mode of the dynamic-session
+    * algebra (batch native / relational oracle / streaming state).
+    */
+  def sessionDynamicStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    val q = eventsStream(ss, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "click", "20 minutes")
+          .otherwise("40 minutes")))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        Det.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("n_clicks"), col("sum_value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_session_dynamic")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_session_dynamic")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Batch twin of [[sessionDynamicStream]]: the running-max merge
+    * algebra with the watermark emission cut.
+    */
+  val sessionDynamicOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value, event_type,
+      |         epoch_us(ts) AS us,
+      |         epoch_us(ts) + CASE WHEN event_type = 'click'
+      |                             THEN 1200000000 ELSE 2400000000 END AS win_end
+      |  FROM events),
+      |marked AS (
+      |  SELECT *,
+      |         CASE WHEN MAX(win_end) OVER (
+      |                PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              IS NULL
+      |           OR us >= MAX(win_end) OVER (
+      |                PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1::BIGINT ELSE 0::BIGINT END AS new_sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, MIN(ts) AS session_start, MAX(win_end) AS sess_end_us,
+      |         COUNT(*) AS n_events,
+      |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_clicks,
+      |         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+      |  FROM sess GROUP BY user_id, session_id),
+      |wm AS (SELECT epoch_us((SELECT max(ts) FROM events)
+      |              - INTERVAL 1 HOUR) AS w)
+      |SELECT user_id, session_start, n_events, n_clicks, sum_value
+      |FROM agg, wm WHERE sess_end_us < w
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Stream-static enrichment: the streaming fact joins a BATCH dimension
     * (no watermark needed — static side is complete by definition), then
     * aggregates per enriched category in complete mode. The static dim is
