@@ -2336,7 +2336,57 @@ object ExtraOps {
       .orderBy(col("bucket_bits"))
   }
 
+  /** ABC/XYZ INVENTORY SEGMENTATION — the supply-chain planning grid:
+    * ABC ranks parts by revenue contribution (A = the head that makes
+    * the first 70% of cumulative value, B to 95%, C the tail) while XYZ
+    * grades demand VARIABILITY via the squared coefficient of variation
+    * of monthly quantities (X predictable < 0.5², Y < 1², Z erratic).
+    * Both axes stay exact: cumulative share is a running BIGINT sum
+    * DIV'd to micro-units (window ordered by value desc with the part
+    * key as unique tail), and CV² is the integer rational
+    * (n·Σq² − (Σq)²)·10⁶ DIV (Σq)² — no sqrt, no float, no ambiguity at
+    * class boundaries. Output is the 3×3 occupancy grid with each
+    * cell's value share — the slide every S&OP review starts from.
+    *
+    * Scale: part-grain rollups (map-side combined) + ONE window over
+    * parts (entity-grain, bounded); 9-row report.
+    */
+  def abcXyz(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      (col("l_extendedprice").cast(DecimalType(19, 2)) * lit(100))
+        .cast("long").as("cents"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("datediff(to_date(l_shipdate), DATE '1992-01-01') div 30")
+        .as("month"))
+    val monthly = li.groupBy(col("l_partkey"), col("month"))
+      .agg(sum(col("qty")).as("q"))
+    val perPart = monthly.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_m"), sum(col("q")).as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .join(li.groupBy(col("l_partkey")).agg(sum(col("cents")).as("value")),
+        Seq("l_partkey"))
+    val total = perPart.agg(sum(col("value")).as("tot"))
+    perPart.crossJoin(broadcast(total))
+      .withColumn("cum_before_micro",
+        expr("(coalesce(sum(value) over (order by value desc, l_partkey " +
+          "rows between unbounded preceding and 1 preceding), 0L) " +
+          "* 1000000) div tot"))
+      .withColumn("abc",
+        when(col("cum_before_micro") < 700000, "A")
+          .when(col("cum_before_micro") < 950000, "B").otherwise("C"))
+      .withColumn("cv2_micro",
+        expr("((n_m * sqq - sq * sq) * 1000000) div (sq * sq)"))
+      .withColumn("xyz",
+        when(col("cv2_micro") < 250000, "X")
+          .when(col("cv2_micro") < 1000000, "Y").otherwise("Z"))
+      .groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("(sum(value) * 1000000) div max(tot)").as("value_share_micro"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_abc_xyz" -> abcXyz,
     "x_hdr_histogram" -> hdrHistogram,
     "x_rolling_corr" -> rollingCorr,
     "x_mix_shift" -> mixShift,
@@ -3386,6 +3436,45 @@ object ExtraOps {
         |       CAST(SUM(month_dec) OVER (ORDER BY o_year, o_month
         |                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM monthly ORDER BY o_year, o_month""".stripMargin,
+    "x_abc_xyz" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100 AS BIGINT) AS cents,
+        |         CAST(l_quantity AS BIGINT) AS qty,
+        |         DATEDIFF('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) // 30 AS month
+        |  FROM lineitem),
+        |monthly AS (
+        |  SELECT l_partkey, month, CAST(SUM(qty) AS BIGINT) AS q
+        |  FROM li GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT m.l_partkey,
+        |         CAST(COUNT(*) AS BIGINT) AS n_m,
+        |         CAST(SUM(q) AS BIGINT) AS sq,
+        |         CAST(SUM(q * q) AS BIGINT) AS sqq,
+        |         v.value
+        |  FROM monthly m
+        |  JOIN (SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS value
+        |        FROM li GROUP BY 1) v USING (l_partkey)
+        |  GROUP BY 1, 5),
+        |tot AS (SELECT CAST(SUM(value) AS BIGINT) AS tot FROM pp),
+        |classed AS (
+        |  SELECT *,
+        |    (COALESCE(SUM(value) OVER (ORDER BY value DESC, l_partkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     * 1000000) // tot AS cum_before_micro,
+        |    ((n_m * sqq - sq * sq) * 1000000) // (sq * sq) AS cv2_micro
+        |  FROM pp CROSS JOIN tot),
+        |labeled AS (
+        |  SELECT *,
+        |    CASE WHEN cum_before_micro < 700000 THEN 'A'
+        |         WHEN cum_before_micro < 950000 THEN 'B' ELSE 'C' END AS abc,
+        |    CASE WHEN cv2_micro < 250000 THEN 'X'
+        |         WHEN cv2_micro < 1000000 THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM classed)
+        |SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST((SUM(value) * 1000000) // MAX(tot) AS BIGINT)
+        |         AS value_share_micro
+        |FROM labeled GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
     "x_hdr_histogram" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
         |           WHERE event_type = 'click'),

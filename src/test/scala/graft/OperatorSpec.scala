@@ -1307,6 +1307,25 @@ class OperatorSpec extends AnyFunSuite {
       assert(bg5 <= bg2, s"background jaccard must not grow with k: $bg2 -> $bg5")
   }
 
+  test("ABC/XYZ grid: value shares sum to ~1, A-head outweighs C-tail per part") {
+    val rows = ops.ExtraOps.abcXyz(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val share = rows.map(_.getAs[Long]("value_share_micro")).sum
+    assert(share > 1000000L - rows.length && share <= 1000000L,
+      s"cell shares must tile the total: $share")
+    val byAbc = rows.groupBy(_.getAs[String]("abc")).map { case (c, rs) =>
+      c -> (rs.map(_.getAs[Long]("n_parts")).sum,
+        rs.map(_.getAs[Long]("value_share_micro")).sum)
+    }
+    for (a <- byAbc.get("A"); cC <- byAbc.get("C")) {
+      // A parts are by construction fewer but worth more, per part
+      val aPerPart = a._2.toDouble / a._1
+      val cPerPart = cC._2.toDouble / cC._1
+      assert(aPerPart > cPerPart,
+        s"A per-part value $aPerPart must exceed C's $cPerPart")
+    }
+  }
+
   test("audience overlap: diagonal identity and jaccard bounds") {
     val rows = ext.EventOps.audienceOverlap(spark, sf).collect()
     rows.foreach { r =>
