@@ -1241,10 +1241,12 @@ object Similarity {
   // ---- Product quantization (ADC) top-k ---------------------------------
 
   private val PQ_M = 8      // subspaces (64 dims / 8 = 8 dims each)
-  /** Graph-ANN geometry: fine-layer degree, search beam, walk hops. */
+  /** Graph-ANN geometry: fine-layer degree, search beam, walk hops,
+    * hub-layer (rep↔rep) degree. */
   private[graft] val G_K = 8
-  private[graft] val G_BEAM = 24
+  private[graft] val G_BEAM = 48
   private[graft] val G_HOPS = 6
+  private[graft] val G_HUB = 4
   private val PQ_KS = 16    // codes per subspace → 4 bits/code
   private val PQ_SUB = 8    // dims per subspace
   private val PQ_SHORT = 100 // ADC shortlist re-ranked exactly
@@ -1632,27 +1634,37 @@ object Similarity {
   }
 
   /** Graph-based ANN — the third index paradigm beside partition
-    * ([[ivfTopK]]) and quantization ([[pqTopK]]): a small-world neighbor
-    * graph searched by GREEDY BEAM WALK (the NSW/HNSW serving shape).
-    * Two layers, built like HNSW thinks: a FINE layer of each corpus
-    * vector's G_K nearest neighbors mined inside its label block (the
-    * [[mutualNN]] candidate discipline — at 100 TB this build is
-    * NN-descent or IVF-blocked, an offline job; the search below is the
-    * subject here), and a COARSE hub layer linking the entry node to
-    * each label's representative — the long-range hops that make the
-    * graph navigable from one entry point. Search: start at the entry,
-    * and for G_HOPS rounds expand the current G_BEAM best candidates
-    * through their edges, score newcomers with EXACT integer L2 on the
-    * 2^14-quantized grid, and min-merge into the visited set; the final
-    * top-10 ranks the visited set. Every distance is an exact BIGINT
-    * fold and every beam/rank window tie-breaks on id, so DuckDB
-    * replays build + all hops bit-for-bit (unrolled CTEs, the
-    * [[ivfAssignCtes]] discipline). ExtensionSpec pins recall@10
-    * against the brute L2 answer.
+    * ([[ivfTopK]]) and quantization ([[pqTopK]]): a HIERARCHICAL
+    * small-world neighbor graph searched by GREEDY BEAM WALK (the
+    * NSW/HNSW serving shape). Three layers, built like HNSW thinks:
+    *  - FINE: each corpus vector's G_K nearest neighbors mined inside
+    *    its label block (the [[mutualNN]] candidate discipline — at
+    *    100 TB this build is NN-descent or IVF-blocked, an offline
+    *    job), SYMMETRIZED — HNSW keeps the reverse links too, and
+    *    directed-only kNN graphs strand low-in-degree nodes;
+    *  - HUB (the hierarchy): each label's representative links to its
+    *    G_HUB nearest OTHER representatives (rep-to-rep exact L2,
+    *    symmetric) — the navigable mid-layer HNSW's upper levels
+    *    provide — plus an UP-LINK from every node to its own label
+    *    rep, the escape hatch out of a local minimum;
+    *  - ENTRY: the global entry node links to every rep (HNSW's top
+    *    layer, degenerate to one node).
+    * Search: start at the entry, and for G_HOPS rounds expand the
+    * current G_BEAM best candidates through their edges, score
+    * newcomers with EXACT integer L2 on the 2^14-quantized grid, and
+    * min-merge into the visited set; the final top-10 ranks the
+    * visited set. Every distance is an exact BIGINT fold and every
+    * beam/rank window tie-breaks on id, so DuckDB replays build + all
+    * hops bit-for-bit (CTEs unrolled mechanically by
+    * [[graphAnnOracle]], the [[ivfAssignCtes]] discipline).
+    * ExtensionSpec pins mean recall@10 ≥ 0.8 against the brute L2
+    * answer and reports the per-query edge-visit cost.
     *
     * Scale shape: the walk touches O(G_BEAM · G_K) vectors per hop per
     * query — independent of corpus size, THE property that makes graph
-    * ANN the serving default (FAISS HNSW, Vespa, Lucene). Frontier
+    * ANN the serving default (FAISS HNSW, Vespa, Lucene). Symmetrizing
+    * doubles fine-edge count but caps no degree growth beyond 2·G_K;
+    * the hub layer is |labels|·G_HUB rows — broadcast-size. Frontier
     * expansion is a broadcast-size join per hop; the visited set is
     * checkpointed per hop so the unrolled plan stays flat.
     */
@@ -1672,13 +1684,36 @@ object Similarity {
       .filter(col("src") =!= col("dst"))
       .withColumn("el2", expr(l2("siv", "div")))
     val wE = Window.partitionBy(col("src")).orderBy(col("el2"), col("dst"))
-    val fine = intra.withColumn("rn", row_number().over(wE))
+    val fineDir = intra.withColumn("rn", row_number().over(wE))
       .filter(col("rn") <= G_K).select(col("src"), col("dst"))
+    // HNSW keeps reverse links: symmetrize so low-in-degree nodes stay
+    // reachable (the r12 recall gap was stranded directed-kNN sinks)
+    val fine = fineDir.unionByName(
+      fineDir.select(col("dst").as("src"), col("src").as("dst")))
+    val reps = corpus.groupBy(col("label")).agg(min(col("vec_id")).as("rep"))
     val entry = corpus.agg(min(col("vec_id")).as("src"))
-    val coarse = entry.crossJoin(
-      corpus.groupBy(col("label")).agg(min(col("vec_id")).as("dst")))
+    val coarse = entry.crossJoin(reps.select(col("rep").as("dst")))
       .select(col("src"), col("dst"))
-    val edges = fine.unionByName(coarse).distinct().localCheckpoint()
+    // hub layer: each rep ↔ its G_HUB nearest other reps (exact L2 on
+    // the rep vectors) — the navigable mid-level of the hierarchy
+    val repV = reps.join(corpus, col("rep") === col("vec_id"))
+      .select(col("rep"), col("iv"))
+    val repPairs = repV.select(col("rep").as("src"), col("iv").as("siv"))
+      .join(repV.select(col("rep").as("dst"), col("iv").as("div")),
+        col("src") =!= col("dst"))
+      .withColumn("hl2", expr(l2("siv", "div")))
+    val wH = Window.partitionBy(col("src")).orderBy(col("hl2"), col("dst"))
+    val hubDir = repPairs.withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= G_HUB).select(col("src"), col("dst"))
+    val hub = hubDir.unionByName(
+      hubDir.select(col("dst").as("src"), col("src").as("dst")))
+    // up-links: every node → its label rep (the climb out of a local
+    // minimum back to the hub level)
+    val up = corpus.join(reps, Seq("label"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("src"), col("rep").as("dst"))
+    val edges = fine.unionByName(coarse).unionByName(hub).unionByName(up)
+      .distinct().localCheckpoint()
     val civs = corpus.select(col("vec_id").as("cand_id"), col("iv").as("civ"))
     var cand = queries
       .crossJoin(broadcast(entry.select(col("src").as("cand_id"))))
@@ -2148,6 +2183,80 @@ object Similarity {
     * → exact re-rank. Every intermediate is BIGINT on the quantized
     * grid.
     */
+  /** Mechanical CTE unroll of [[graphAnn]]'s build + beam walk — one
+    * hop block per G_HOPS round, so a geometry change regenerates the
+    * whole oracle instead of hand-editing ~150 lines of SQL. Distances
+    * use the BIGINT list_reduce fold (list_sum would widen to HUGEINT
+    * and shred in the pandas bridge).
+    */
+  private def graphAnnOracle: String = {
+    def dl2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)]), (acc, v) -> acc + v)"
+    val hops = (1 to G_HOPS).map { h =>
+      val prev = s"cand${h - 1}"
+      s"""front$h AS (
+         |  SELECT qid, cand_id FROM (
+         |    SELECT qid, cand_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+         |    FROM $prev) WHERE rn <= $G_BEAM),
+         |exp$h AS (
+         |  SELECT DISTINCT f.qid, e.dst AS cand_id
+         |  FROM front$h f JOIN edges e ON e.src = f.cand_id),
+         |sc$h AS (
+         |  SELECT x.qid, x.cand_id, ${dl2("queries.qiv", "c.iv")} AS l2v
+         |  FROM exp$h x JOIN corpus c ON c.vec_id = x.cand_id
+         |  JOIN queries ON queries.qid = x.qid),
+         |cand$h AS (
+         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
+         |    SELECT * FROM $prev UNION ALL SELECT * FROM sc$h) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
+       |  FROM embeddings),
+       |corpus AS (SELECT * FROM q WHERE vec_id >= 5),
+       |queries AS (SELECT vec_id AS qid, iv AS qiv FROM q WHERE vec_id < 5),
+       |intra AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst, ${dl2("a.iv", "b.iv")} AS el2
+       |  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |fine_dir AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY el2, dst) AS rn
+       |    FROM intra) WHERE rn <= $G_K),
+       |fine AS (
+       |  SELECT src, dst FROM fine_dir
+       |  UNION ALL SELECT dst AS src, src AS dst FROM fine_dir),
+       |reps AS (SELECT label, MIN(vec_id) AS rep FROM corpus GROUP BY label),
+       |entry AS (SELECT MIN(vec_id) AS src FROM corpus),
+       |coarse AS (SELECT entry.src, reps.rep AS dst FROM entry CROSS JOIN reps),
+       |repv AS (SELECT rep, iv FROM reps JOIN corpus ON reps.rep = corpus.vec_id),
+       |rep_pairs AS (
+       |  SELECT a.rep AS src, b.rep AS dst, ${dl2("a.iv", "b.iv")} AS hl2
+       |  FROM repv a JOIN repv b ON a.rep <> b.rep),
+       |hub_dir AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY hl2, dst) AS rn
+       |    FROM rep_pairs) WHERE rn <= $G_HUB),
+       |hub AS (
+       |  SELECT src, dst FROM hub_dir
+       |  UNION ALL SELECT dst AS src, src AS dst FROM hub_dir),
+       |up AS (
+       |  SELECT vec_id AS src, rep AS dst FROM corpus JOIN reps USING (label)
+       |  WHERE vec_id <> rep),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT * FROM fine UNION ALL SELECT * FROM coarse
+       |    UNION ALL SELECT * FROM hub UNION ALL SELECT * FROM up)),
+       |cand0 AS (
+       |  SELECT qid, c.vec_id AS cand_id, ${dl2("qiv", "c.iv")} AS l2v
+       |  FROM queries CROSS JOIN entry JOIN corpus c ON c.vec_id = entry.src),
+       |$hops
+       |SELECT qid, cand_id, CAST(rn AS BIGINT) AS rank, l2v AS l2 FROM (
+       |  SELECT qid, cand_id, l2v,
+       |         row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
+       |  FROM cand$G_HOPS) WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   private def rqOracle: String =
     s"""WITH qi AS (
        |  SELECT vec_id,
@@ -2439,124 +2548,7 @@ object Similarity {
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "sim_pq_serve" -> pqOracle,
-    "sim_graph_ann" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, label,
-         |    [CAST(floor(CAST(x AS DOUBLE) * $QSCALE) AS BIGINT) for x in embedding] AS iv
-         |  FROM embeddings),
-         |corpus AS (SELECT * FROM q WHERE vec_id >= 5),
-         |queries AS (SELECT vec_id AS qid, iv AS qiv FROM q WHERE vec_id < 5),
-         |intra AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst, list_reduce(list_prepend(CAST(0 AS BIGINT), [(a.iv[i] - b.iv[i]) * (a.iv[i] - b.iv[i]) for i in range(1, len(a.iv) + 1)]), (acc, v) -> acc + v) AS el2
-         |  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |fine AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY el2, dst) AS rn
-         |    FROM intra) WHERE rn <= 8),
-         |entry AS (SELECT MIN(vec_id) AS src FROM corpus),
-         |coarse AS (
-         |  SELECT entry.src, reps.dst FROM entry CROSS JOIN
-         |    (SELECT label, MIN(vec_id) AS dst FROM corpus GROUP BY label) reps),
-         |edges AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT * FROM fine UNION ALL SELECT * FROM coarse)),
-         |cand0 AS (
-         |  SELECT qid, c.vec_id AS cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(qiv[i] - c.iv[i]) * (qiv[i] - c.iv[i]) for i in range(1, len(qiv) + 1)]), (acc, v) -> acc + v) AS l2v
-         |  FROM queries CROSS JOIN entry JOIN corpus c ON c.vec_id = entry.src),
-         |front1 AS (
-         |  SELECT qid, cand_id FROM (
-         |    SELECT qid, cand_id,
-         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
-         |    FROM cand0) WHERE rn <= 24),
-         |exp1 AS (
-         |  SELECT DISTINCT f.qid, e.dst AS cand_id
-         |  FROM front1 f JOIN edges e ON e.src = f.cand_id),
-         |sc1 AS (
-         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
-         |  FROM exp1 x JOIN corpus c ON c.vec_id = x.cand_id
-         |  JOIN queries ON queries.qid = x.qid),
-         |cand1 AS (
-         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
-         |    SELECT * FROM cand0 UNION ALL SELECT * FROM sc1) GROUP BY 1, 2),
-         |front2 AS (
-         |  SELECT qid, cand_id FROM (
-         |    SELECT qid, cand_id,
-         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
-         |    FROM cand1) WHERE rn <= 24),
-         |exp2 AS (
-         |  SELECT DISTINCT f.qid, e.dst AS cand_id
-         |  FROM front2 f JOIN edges e ON e.src = f.cand_id),
-         |sc2 AS (
-         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
-         |  FROM exp2 x JOIN corpus c ON c.vec_id = x.cand_id
-         |  JOIN queries ON queries.qid = x.qid),
-         |cand2 AS (
-         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
-         |    SELECT * FROM cand1 UNION ALL SELECT * FROM sc2) GROUP BY 1, 2),
-         |front3 AS (
-         |  SELECT qid, cand_id FROM (
-         |    SELECT qid, cand_id,
-         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
-         |    FROM cand2) WHERE rn <= 24),
-         |exp3 AS (
-         |  SELECT DISTINCT f.qid, e.dst AS cand_id
-         |  FROM front3 f JOIN edges e ON e.src = f.cand_id),
-         |sc3 AS (
-         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
-         |  FROM exp3 x JOIN corpus c ON c.vec_id = x.cand_id
-         |  JOIN queries ON queries.qid = x.qid),
-         |cand3 AS (
-         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
-         |    SELECT * FROM cand2 UNION ALL SELECT * FROM sc3) GROUP BY 1, 2),
-         |front4 AS (
-         |  SELECT qid, cand_id FROM (
-         |    SELECT qid, cand_id,
-         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
-         |    FROM cand3) WHERE rn <= 24),
-         |exp4 AS (
-         |  SELECT DISTINCT f.qid, e.dst AS cand_id
-         |  FROM front4 f JOIN edges e ON e.src = f.cand_id),
-         |sc4 AS (
-         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
-         |  FROM exp4 x JOIN corpus c ON c.vec_id = x.cand_id
-         |  JOIN queries ON queries.qid = x.qid),
-         |cand4 AS (
-         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
-         |    SELECT * FROM cand3 UNION ALL SELECT * FROM sc4) GROUP BY 1, 2),
-         |front5 AS (
-         |  SELECT qid, cand_id FROM (
-         |    SELECT qid, cand_id,
-         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
-         |    FROM cand4) WHERE rn <= 24),
-         |exp5 AS (
-         |  SELECT DISTINCT f.qid, e.dst AS cand_id
-         |  FROM front5 f JOIN edges e ON e.src = f.cand_id),
-         |sc5 AS (
-         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
-         |  FROM exp5 x JOIN corpus c ON c.vec_id = x.cand_id
-         |  JOIN queries ON queries.qid = x.qid),
-         |cand5 AS (
-         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
-         |    SELECT * FROM cand4 UNION ALL SELECT * FROM sc5) GROUP BY 1, 2),
-         |front6 AS (
-         |  SELECT qid, cand_id FROM (
-         |    SELECT qid, cand_id,
-         |           row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
-         |    FROM cand5) WHERE rn <= 24),
-         |exp6 AS (
-         |  SELECT DISTINCT f.qid, e.dst AS cand_id
-         |  FROM front6 f JOIN edges e ON e.src = f.cand_id),
-         |sc6 AS (
-         |  SELECT x.qid, x.cand_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [(queries.qiv[i] - c.iv[i]) * (queries.qiv[i] - c.iv[i]) for i in range(1, len(queries.qiv) + 1)]), (acc, v) -> acc + v) AS l2v
-         |  FROM exp6 x JOIN corpus c ON c.vec_id = x.cand_id
-         |  JOIN queries ON queries.qid = x.qid),
-         |cand6 AS (
-         |  SELECT qid, cand_id, MIN(l2v) AS l2v FROM (
-         |    SELECT * FROM cand5 UNION ALL SELECT * FROM sc6) GROUP BY 1, 2)
-         |SELECT qid, cand_id, CAST(rn AS BIGINT) AS rank, l2v AS l2 FROM (
-         |  SELECT qid, cand_id, l2v,
-         |         row_number() OVER (PARTITION BY qid ORDER BY l2v, cand_id) AS rn
-         |  FROM cand6) WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_graph_ann" -> graphAnnOracle,
     "sim_pq_distortion" ->
       s"""WITH qi AS (
          |  SELECT vec_id,

@@ -432,6 +432,79 @@ object TextOps {
       .orderBy(col("doc_id"), col("s"), col("anchor_doc"), col("anchor_pos"))
   }
 
+  /** Suffix-array maximal-repeat spans (the Lee et al. "Deduplicating
+    * Training Data" form, beyond fixed-k grams): for EVERY corpus
+    * position, the length of the longest token-substring starting there
+    * that also occurs somewhere else (ANY length ≥ L, not just exactly
+    * k), then per-doc union of the [pos, pos+len) intervals. What the
+    * gram family ([[dupSpans]]/[[maxSpans]]) cannot say — the exact
+    * length and anchor count of each repeated run — this reports
+    * (`max_rep`, `n_anchors`), which is the evidence a
+    * decontamination pass ranks removals by.
+    *
+    * Distributed suffix-array shape (prefix-group + sort, no global SA
+    * build): explode each position's suffix CAPPED at M=40 tokens;
+    * group by the first-L(=10)-token prefix (suffixes with an ≥L match
+    * necessarily share the group; singleton and >1000-member groups are
+    * dropped — the [[dupGramHits]] df-cap discipline); SORT suffixes
+    * within each group and take each one's longest-common-prefix with
+    * its two lexicographic neighbors — by the classic suffix-array
+    * property that the nearest sorted neighbor realizes the maximal
+    * match. LCP is one codegen'd zip_with + array_position (first
+    * mismatch index), O(M) per neighbor pair. Repeats longer than M
+    * report as M (the cap is the scale knob; doubling M doubles shuffle
+    * bytes, never the row count). At 100 TB the suffix payload ships as
+    * (prefix-key, doc, pos) and token windows are fetched by a
+    * co-located join against the tokenized corpus — the sort/LCP per
+    * group is unchanged.
+    *
+    * The span set provably COVERS the gram-based [[dupSpans]] set (every
+    * duplicated 10-gram is a repeat of length ≥ 10 — spec-pinned ⊇ on
+    * the fixture corpus) and every reported anchor is backed by a ≥2×
+    * occurrence (spec re-counts the repeat substring in the raw corpus).
+    */
+  def suffixRepeats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 10; val M = 40
+    def lcp(a: String, b: String): String =
+      s"CASE WHEN $b IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(coalesce(" +
+        s"nullif(array_position(zip_with($a, $b, (x, y) -> x <> y), true), 0) - 1, " +
+        s"least(size($a), size($b))) AS BIGINT) END"
+    val sufs = docWords(s, d).filter(size(col("ws")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $L), i -> struct(" +
+          s"CAST(i AS BIGINT) AS pos, slice(ws, i + 1, $M) AS suf))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.suf").as("suf"))
+      .withColumn("ph", expr(s"xxhash64(slice(suf, 1, $L))"))
+    val keep = sufs.groupBy(col("ph")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 && col("c") <= 1000).select(col("ph"))
+    val wG = Window.partitionBy(col("ph"))
+      .orderBy(col("suf"), col("doc_id"), col("pos"))
+    val marked = sufs.join(keep, Seq("ph"))
+      .withColumn("ps", lag(col("suf"), 1).over(wG))
+      .withColumn("ns", lead(col("suf"), 1).over(wG))
+      .withColumn("ml", greatest(expr(lcp("suf", "ps")), expr(lcp("suf", "ns"))))
+      .filter(col("ml") >= L)
+      .select(col("doc_id"), col("pos"), (col("pos") + col("ml")).as("pe"),
+        col("ml"))
+    // union of variable-length intervals: an island breaks where pos
+    // clears the running max end over all preceding intervals
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMax = max(col("pe"))
+      .over(wD.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("new_span",
+        when(prevMax.isNull || col("pos") > prevMax, lit(1L)).otherwise(lit(0L)))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), max(col("pe")).as("e"),
+        max(col("ml")).as("max_rep"), count(lit(1)).as("n_anchors"))
+      .select(col("doc_id"), col("s"), col("e"),
+        (col("e") - col("s")).as("span_len"), col("max_rep"), col("n_anchors"))
+      .orderBy(col("doc_id"), col("s"))
+  }
+
   /** First-fit-decreasing sequence packing — the no-split alternative to
     * [[packSequences]]: documents stay whole, each assigned to the first
     * 2048-token bin it fits in after sorting the shard's docs by token
@@ -2331,6 +2404,7 @@ object TextOps {
     "tx_dup_spans" -> dupSpans,
     "tx_strip_spans" -> stripSpans,
     "tx_max_spans" -> maxSpans,
+    "tx_suffix_repeats" -> suffixRepeats,
     "pipe_corpus_mix" -> corpusMix
   )
 
@@ -3592,6 +3666,60 @@ object TextOps {
            |FROM grps GROUP BY doc_id, a_doc, a_off, grp
            |ORDER BY doc_id, s, anchor_doc, anchor_pos""".stripMargin,
       // FFD replayed as a recursive CTE: the working set advances one doc
+      // Suffix-array repeat replay: same prefix-group + sort + neighbor
+      // LCP construction; groups key on md5 of the joined prefix where
+      // Spark hashes the slice (internal grouping state — only the
+      // groupings must coincide). The mismatch list runs only to the
+      // shorter suffix, so list_position needs no NULL handling beyond
+      // the not-found→0 quirk (nullif), mirroring Spark's
+      // array_position-returns-0 contract.
+      "tx_suffix_repeats" -> {
+        def dlcp(a: String, b: String): String =
+          s"CASE WHEN $b IS NULL THEN 0 ELSE coalesce(" +
+            s"nullif(list_position([$a[i] <> $b[i] for i in range(1, least(len($a), len($b)) + 1)], true), 0) - 1, " +
+            s"least(len($a), len($b))) END"
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+           |  FROM documents),
+           |sufs AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           |         ws[CAST(i+1 AS INT):CAST(i+40 AS INT)] AS suf,
+           |         ${duckHash("array_to_string(ws[CAST(i+1 AS INT):CAST(i+10 AS INT)], ' ')")} AS ph
+           |  FROM toks, unnest(range(0, len(ws) - 9)) AS t(i)
+           |  WHERE len(ws) >= 10),
+           |keep AS (SELECT ph FROM sufs GROUP BY ph
+           |         HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+           |nb AS (
+           |  SELECT s.doc_id, s.pos, s.suf,
+           |         lag(s.suf) OVER w AS ps, lead(s.suf) OVER w AS ns
+           |  FROM sufs s JOIN keep USING (ph)
+           |  WINDOW w AS (PARTITION BY ph ORDER BY s.suf, s.doc_id, s.pos)),
+           |marked AS (
+           |  SELECT doc_id, pos, pos + ml AS pe, ml FROM (
+           |    SELECT doc_id, pos,
+           |           GREATEST(${dlcp("suf", "ps")}, ${dlcp("suf", "ns")}) AS ml
+           |    FROM nb) WHERE ml >= 10),
+           |islands AS (
+           |  SELECT doc_id, pos, pe, ml,
+           |         CASE WHEN max(pe) OVER preceding IS NULL
+           |               OR pos > max(pe) OVER preceding
+           |              THEN 1 ELSE 0 END AS new_span
+           |  FROM marked
+           |  WINDOW preceding AS (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |spans AS (
+           |  SELECT doc_id, pos, pe, ml,
+           |         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           |  FROM islands)
+           |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s,
+           |       CAST(MAX(pe) AS BIGINT) AS e,
+           |       CAST(MAX(pe) - MIN(pos) AS BIGINT) AS span_len,
+           |       CAST(MAX(ml) AS BIGINT) AS max_rep,
+           |       CAST(COUNT(*) AS BIGINT) AS n_anchors
+           |FROM spans GROUP BY doc_id, span_id
+           |ORDER BY doc_id, s""".stripMargin
+      },
       // (per shard) per iteration, carrying the bin-load list as state.
       // nullif(..., 0): this DuckDB's list_position returns 0 (not NULL)
       // when no element matches.

@@ -289,6 +289,46 @@ object CoreOps {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** S16 — COMPACTION / OPTIMIZE on the V2 filesystem sink
+    * ([[graft.sources.KvSink.optimize]]), closing the table-lifecycle
+    * loop begun by time travel + change feed + vacuum: three appends
+    * leave the table as many small part files (the streaming/CDC
+    * "small files problem"); OPTIMIZE rewrites the live snapshot into 2
+    * bin-packed, KEY-CLUSTERED files published as a new version through
+    * the same truncate-commit every write uses. The query reads BOTH
+    * snapshots through the version log and aggregates each — identical
+    * per-status groups prove the no-data-change guarantee relationally
+    * (and SourceSinkSpec additionally pins the file-count drop, the
+    * disjoint key ranges of the compacted files, and time-travel
+    * survival of the superseded layout).
+    *
+    * Scale shape: compaction is a Spark job (manifest-gated scan →
+    * range shuffle → V2 commit), driver only swaps manifests; a 100 TB
+    * table compacts partition-by-partition with exactly this plan.
+    */
+  def optimizeCompact(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_opt").toString
+    def slice(lo: Long, hi: Long) = Tables.orders(s, d)
+      .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+    slice(-1, 200).write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save() // v1
+    slice(200, 400).write.format("graft.sources.KvSink")
+      .mode("append").option("path", out).save()    // v2
+    slice(400, 600).write.format("graft.sources.KvSink")
+      .mode("append").option("path", out).save()    // v3: many small files
+    val before = graft.sources.KvSink.versions(out).last
+    val after = graft.sources.KvSink.optimize(s, out, bins = 2, cluster = true)
+    def phaseAgg(v: Long, phase: String) = s.read
+      .schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out, v): _*)
+      .groupBy(col("val"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("key_sum"))
+      .select(lit(phase).as("phase"), col("val"), col("n_rows"), col("key_sum"))
+    phaseAgg(before, "before").unionByName(phaseAgg(after, "after"))
+      .orderBy(col("phase"), col("val"))
+  }
+
   /** S12+ — CHANGE DATA FEED between two committed snapshot versions
     * (the Delta CDF / Iceberg changelog-scan surface): with the version
     * log in place, the row-level diff of any two versions is two
@@ -482,6 +522,68 @@ object CoreOps {
     s.table("graft_cat.ns.ord").orderBy(col("k"))
   }
 
+  /** S12c — the same MERGE as [[mergeInto]] through the MERGE-ON-READ
+    * write path ([[graft.sources.MemDeltaOperation]], SupportsDelta): the
+    * `mor` namespace flips the table to delta mode, so Catalyst plans a
+    * WriteDelta instead of ReplaceData — no carried-over rows flow
+    * through the plan, the writer receives per-row update/insert actions
+    * keyed by the declared rowId, and commit appends them to a delta log
+    * the scan reconciles at read time. Same statement, same oracle, same
+    * result as the copy-on-write twin — verified against the identical
+    * desugared LEFT JOIN ∪ ANTI JOIN; RowLevelSpec additionally pins the
+    * plan difference (WriteDelta vs ReplaceData), base-snapshot
+    * immutability, and row-identity between the two paths.
+    *
+    * Scale shape: COW pays the write (rewrite every matched group), MOR
+    * pays the read (merge delta files per scan) — the axis every lake
+    * format exposes (Iceberg MOR, Delta deletion vectors). A MERGE
+    * touching 0.1% of a 100 TB table writes ~0.1% here vs the matched
+    * groups' full bytes under COW.
+    */
+  def mergeMor(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.mor.dim")
+    s.sql("CREATE TABLE graft_cat.mor.dim (k BIGINT NOT NULL, name STRING, bal DECIMAL(12,2))")
+    Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("CAST(0 AS DECIMAL(12,2))").as("bal"))
+      .createOrReplaceTempView("mor_merge_seed")
+    s.sql("INSERT INTO graft_cat.mor.dim SELECT * FROM mor_merge_seed")
+    Tables.customer(s, d)
+      .filter(col("c_custkey") >= 500 && col("c_custkey") <= 1500)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("CAST(c_acctbal AS DECIMAL(12,2))").as("bal"))
+      .createOrReplaceTempView("mor_merge_updates")
+    s.sql(
+      """MERGE INTO graft_cat.mor.dim t USING mor_merge_updates s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
+        |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
+        |""".stripMargin)
+    s.table("graft_cat.mor.dim").orderBy(col("k"))
+  }
+
+  /** S12d — UPDATE and DELETE through the merge-on-read path (see
+    * [[mergeMor]]): RewriteUpdateTable / RewriteDeleteFromTable detect
+    * SupportsDelta and plan WriteDelta — the UPDATE ships only the
+    * touched rows as update actions, the DELETE only the matched keys as
+    * delete actions, and the base snapshot written by the INSERT is
+    * never rewritten. Oracle: the same CASE + filter desugaring as the
+    * COW twin [[sqlUpdateDelete]].
+    */
+  def upddelMor(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.mor.ord")
+    s.sql("CREATE TABLE graft_cat.mor.ord (k BIGINT NOT NULL, status STRING, price DECIMAL(12,2))")
+    Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        expr("CAST(o_totalprice AS DECIMAL(12,2))").as("price"))
+      .createOrReplaceTempView("mor_upddel_seed")
+    s.sql("INSERT INTO graft_cat.mor.ord SELECT * FROM mor_upddel_seed")
+    s.sql("UPDATE graft_cat.mor.ord SET status = 'X' WHERE price > 150000")
+    s.sql("DELETE FROM graft_cat.mor.ord WHERE k % 10 = 3")
+    s.table("graft_cat.mor.ord").orderBy(col("k"))
+  }
+
   /** S14 — PERMISSIVE CSV ingestion with corrupt-record capture: the
     * messy-feed reality every warehouse loader faces. A CSV feed is
     * synthesized from `nation` with every 5th record deliberately
@@ -594,6 +696,9 @@ object CoreOps {
     "s13_partitioned_sink" -> partitionedSink,
     "s12_merge_into" -> mergeInto,
     "s12_update_delete" -> sqlUpdateDelete,
+    "s12_merge_mor" -> mergeMor,
+    "s12_upddel_mor" -> upddelMor,
+    "s16_optimize" -> optimizeCompact,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -608,34 +713,51 @@ object CoreOps {
     "o3_topk" -> topK
   )
 
+  /** COW and MOR are different write paths to the SAME table content —
+    * one desugared oracle verifies both twins. */
+  private val updDelOracle: String =
+    """WITH seed AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey <= 2000)
+      |SELECT k,
+      |       CASE WHEN price > 150000 THEN 'X' ELSE status END AS status,
+      |       price
+      |FROM seed WHERE k % 10 <> 3 ORDER BY k""".stripMargin
+
+  private val mergeOracle: String =
+    """WITH target AS (
+      |  SELECT c_custkey AS k, c_name AS name,
+      |         CAST(0 AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_custkey <= 1000),
+      |source AS (
+      |  SELECT c_custkey AS k, c_name AS name,
+      |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
+      |merged AS (
+      |  SELECT t.k,
+      |         COALESCE(s.name, t.name) AS name,
+      |         COALESCE(s.bal, t.bal) AS bal
+      |  FROM target t LEFT JOIN source s ON t.k = s.k
+      |  UNION ALL
+      |  SELECT s.k, s.name, s.bal
+      |  FROM source s ANTI JOIN target t ON s.k = t.k)
+      |SELECT k, name, bal FROM merged ORDER BY k""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "s12_update_delete" ->
+    "s16_optimize" ->
       """WITH seed AS (
-        |  SELECT o_orderkey AS k, o_orderstatus AS status,
-        |         CAST(o_totalprice AS DECIMAL(12,2)) AS price
-        |  FROM orders WHERE o_orderkey <= 2000)
-        |SELECT k,
-        |       CASE WHEN price > 150000 THEN 'X' ELSE status END AS status,
-        |       price
-        |FROM seed WHERE k % 10 <> 3 ORDER BY k""".stripMargin,
-    "s12_merge_into" ->
-      """WITH target AS (
-        |  SELECT c_custkey AS k, c_name AS name,
-        |         CAST(0 AS DECIMAL(12,2)) AS bal
-        |  FROM customer WHERE c_custkey <= 1000),
-        |source AS (
-        |  SELECT c_custkey AS k, c_name AS name,
-        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
-        |  FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
-        |merged AS (
-        |  SELECT t.k,
-        |         COALESCE(s.name, t.name) AS name,
-        |         COALESCE(s.bal, t.bal) AS bal
-        |  FROM target t LEFT JOIN source s ON t.k = s.k
-        |  UNION ALL
-        |  SELECT s.k, s.name, s.bal
-        |  FROM source s ANTI JOIN target t ON s.k = t.k)
-        |SELECT k, name, bal FROM merged ORDER BY k""".stripMargin,
+        |  SELECT o_orderkey AS key, o_orderstatus AS val
+        |  FROM orders WHERE o_orderkey <= 600),
+        |phases(phase) AS (VALUES ('after'), ('before'))
+        |SELECT phase, val, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(key) AS BIGINT) AS key_sum
+        |FROM phases CROSS JOIN seed
+        |GROUP BY phase, val ORDER BY phase, val""".stripMargin,
+    "s12_merge_mor" -> mergeOracle,
+    "s12_upddel_mor" -> updDelOracle,
+    "s12_update_delete" -> updDelOracle,
+    "s12_merge_into" -> mergeOracle,
     "s11_dsv2_sink" ->
       """SELECT o_orderkey AS key, o_orderstatus AS val
         |FROM orders WHERE o_orderkey <= 500 ORDER BY key""".stripMargin,

@@ -118,6 +118,43 @@ object KvSink {
     }
   }
 
+  /** Compaction (the Delta OPTIMIZE / Iceberg rewrite_data_files shape):
+    * rewrite the CURRENT snapshot's files into `bins` bin-packed outputs
+    * and publish the result as a NEW version through the normal
+    * truncate-commit — a pure metadata+layout operation with a
+    * no-data-change guarantee (AS OF the pre- and post-optimize versions
+    * read the same row multiset; the spec pins hash-identity and the
+    * dropped file count). The superseded small files stay reachable
+    * through the version log until [[vacuum]] — compaction never
+    * destroys time travel.
+    *
+    * `cluster = true` additionally range-clusters rows by key
+    * (repartitionByRange + sortWithinPartitions), so compacted files
+    * cover DISJOINT key ranges — the layout that lets a range-pruned
+    * reader skip whole files, which is the point of OPTIMIZE ... ZORDER
+    * at scale (one clustering dimension here; [[graft.ops.ExtraOps]]'s
+    * x_zorder is the 2-D generalization of the same idea).
+    *
+    * Runs as a SPARK JOB over the committed snapshot (read manifest
+    * paths → shuffle/coalesce → V2 sink commit), not driver-side IO —
+    * exactly how a 100 TB table compacts: the driver only plans bins
+    * and swaps manifests.
+    */
+  def optimize(s: org.apache.spark.sql.SparkSession, path: String,
+      bins: Int, cluster: Boolean = false): Long = {
+    val files = committedPaths(path)
+    require(files.nonEmpty, s"nothing committed at $path")
+    val df = s.read.schema("key LONG, val STRING").csv(files: _*)
+    val packed =
+      if (cluster)
+        df.repartitionByRange(bins, org.apache.spark.sql.functions.col("key"))
+          .sortWithinPartitions("key")
+      else df.coalesce(bins)
+    packed.write.format("graft-kv").mode("overwrite")
+      .option("path", path).save()
+    versions(path).last
+  }
+
   private def parseManifest(manifest: Path): Seq[(String, Long)] =
     new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty).map { line =>

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlread
 import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +65,11 @@ class MemCatalog extends TableCatalog {
   }
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val t = new MemTable(ident, schema)
+    // merge-on-read opt-in: the `mor` namespace (CREATE TABLE
+    // graft_cat.mor.t ...) or TBLPROPERTIES ('write.mode'='merge-on-read')
+    val mor = ident.namespace().headOption.contains("mor") ||
+      properties.asScala.get("write.mode").contains("merge-on-read")
+    val t = new MemTable(ident, schema, mor)
     if (MemCatalog.store.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
     t
@@ -79,16 +83,51 @@ class MemCatalog extends TableCatalog {
 }
 
 object MemCatalog {
-  private[sources] val store = new ConcurrentHashMap[Identifier, MemTable]()
+  private[graft] val store = new ConcurrentHashMap[Identifier, MemTable]()
 }
 
-class MemTable(ident: Identifier, tableSchema: StructType) extends Table
+class MemTable(ident: Identifier, tableSchema: StructType,
+    private[graft] val mor: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
-  /** Current committed snapshot — replaced wholesale on every commit,
-    * never mutated, so scans planned earlier stay consistent.
+  /** Current committed BASE snapshot — replaced wholesale on every
+    * copy-on-write commit, never mutated, so scans planned earlier stay
+    * consistent.
     */
-  @volatile private[sources] var rows: Seq[InternalRow] = Seq.empty
+  @volatile private[graft] var rows: Seq[InternalRow] = Seq.empty
+
+  /** Merge-on-read DELTA LOG: row-level commits on a `mor` table append
+    * actions here and leave the base snapshot untouched — the write-side
+    * saving that defines MOR. Readers pay instead: [[current]]
+    * reconciles base + log at scan-build time (Iceberg's read-side
+    * merge; a file-backed table would do this per matching data file
+    * with position/equality delete files).
+    */
+  @volatile private[graft] var deltaLog: Vector[MemDeltaAction] = Vector.empty
+
+  /** The reconciled row set a new scan serves: base rows with the delta
+    * log replayed in commit order, keyed by the rowId column. Update
+    * keeps the row's base position, insert appends, delete removes —
+    * the same total content a COW rewrite would have produced (and the
+    * spec proves row-identity between the two paths).
+    */
+  private[graft] def current: Seq[InternalRow] = {
+    val log = deltaLog
+    if (log.isEmpty) rows
+    else {
+      val keyType = tableSchema.fields(0).dataType
+      val m = new scala.collection.mutable.LinkedHashMap[Any, InternalRow]
+      rows.foreach { r => m.put(if (r.isNullAt(0)) null else r.get(0, keyType), r) }
+      log.foreach { a =>
+        a.op match {
+          case MemDeltaAction.Delete => m.remove(a.key)
+          case MemDeltaAction.Update => m.put(a.key, a.row)
+          case MemDeltaAction.Insert => m.put(a.key, a.row)
+        }
+      }
+      m.values.toSeq
+    }
+  }
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
@@ -106,14 +145,16 @@ class MemTable(ident: Identifier, tableSchema: StructType) extends Table
     Array(MemTable.GroupColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(rows, tableSchema)
+    new MemScanBuilder(current, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(this)
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new MemRowLevelOperation(this, info.command())
+    () =>
+      if (mor) new MemDeltaOperation(this, info.command())
+      else new MemRowLevelOperation(this, info.command())
 }
 
 object MemTable {
@@ -136,7 +177,7 @@ class MemRowLevelOperation(table: MemTable, cmd: Command)
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column(MemTable.GroupColName))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(table.rows, table.schema())
+    new MemScanBuilder(table.current, table.schema())
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -219,7 +260,10 @@ class MemBatchWrite(table: MemTable, replace: Boolean, writeSchema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.toSeq.collect { case MemCommit(rs) => rs }.flatten
     table.synchronized {
-      table.rows = if (replace) fresh else table.rows ++ fresh
+      if (replace) {
+        table.rows = fresh
+        table.deltaLog = Vector.empty // truncate supersedes pending deltas
+      } else table.rows = table.rows ++ fresh
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -241,20 +285,120 @@ case class MemWriterFactory(
       // (single group), so both overloads store the projected data row
       override def write(metadata: InternalRow, record: InternalRow): Unit =
         write(record)
-      override def write(record: InternalRow): Unit = {
-        val vals: Array[Any] = srcIdx.map { case (i, dt) =>
-          if (record.isNullAt(i)) null
-          else dt match {
-            case org.apache.spark.sql.types.StringType =>
-              record.getUTF8String(i).copy()
-            case org.apache.spark.sql.types.BinaryType =>
-              record.getBinary(i).clone()
-            case _ => record.get(i, dt)
-          }
-        }
-        buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-      }
+      override def write(record: InternalRow): Unit =
+        buf += MemRows.copyToTableLayout(srcIdx, record)
       override def commit(): WriterCommitMessage = MemCommit(buf.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+private[graft] object MemRows {
+  /** Deep-copies an incoming write-schema row into the table column
+    * layout — upstream projections reuse row buffers, so string/binary
+    * fields must be copied, and a row-level write may deliver a wider
+    * row than the table.
+    */
+  def copyToTableLayout(srcIdx: Array[(Int, DataType)],
+      record: InternalRow): InternalRow = {
+    val vals: Array[Any] = srcIdx.map { case (i, dt) =>
+      if (record.isNullAt(i)) null
+      else dt match {
+        case org.apache.spark.sql.types.StringType =>
+          record.getUTF8String(i).copy()
+        case org.apache.spark.sql.types.BinaryType =>
+          record.getBinary(i).clone()
+        case _ => record.get(i, dt)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}
+
+/** One merge-on-read action: op ∈ {Delete, Update, Insert}, the rowId
+  * value it targets, and (for update/insert) the replacement row in
+  * table layout.
+  */
+case class MemDeltaAction(op: Int, key: Any, row: InternalRow)
+object MemDeltaAction {
+  val Delete = 0; val Update = 1; val Insert = 2
+}
+
+/** Merge-on-read row-level operation ([[SupportsDelta]]): Catalyst plans
+  * a WriteDelta instead of ReplaceData — no carried-over rows flow
+  * through the plan, and the writer receives per-row DELETE / UPDATE /
+  * INSERT calls keyed by the declared rowId column. Commit APPENDS the
+  * actions to the table's delta log; the base snapshot is never
+  * rewritten. Readers reconcile base + log at scan build
+  * ([[MemTable.current]]) — the write-cheap / read-pays trade that
+  * defines MOR vs the COW twin ([[MemRowLevelOperation]]); the spec
+  * pins base-unchanged + log-grown and row-identity of the two paths.
+  */
+class MemDeltaOperation(table: MemTable, cmd: Command)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): Command = cmd
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(table.schema().fields(0).name))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(table.current, table.schema())
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new MemDeltaBatchWrite(table, info.schema())
+      }
+    }
+}
+
+case class MemDeltaCommit(actions: Seq[MemDeltaAction]) extends WriterCommitMessage
+
+class MemDeltaBatchWrite(table: MemTable, writeSchema: StructType)
+    extends DeltaBatchWrite {
+  private val tableSchema = table.schema()
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // a DELETE-only command ships no data row — the layout map exists
+    // only when the write schema carries every table column
+    val srcIdx: Option[Array[(Int, DataType)]] =
+      if (tableSchema.fields.forall(tf => writeSchema.fieldNames.contains(tf.name)))
+        Some(tableSchema.fields.map(tf =>
+          (writeSchema.fieldIndex(tf.name), tf.dataType)))
+      else None
+    MemDeltaWriterFactory(srcIdx, tableSchema.fields(0).dataType)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val acts = messages.toSeq.collect { case MemDeltaCommit(as) => as }.flatten
+    table.synchronized { table.deltaLog = table.deltaLog ++ acts }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class MemDeltaWriterFactory(srcIdx: Option[Array[(Int, DataType)]],
+    keyType: DataType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val buf = Seq.newBuilder[MemDeltaAction]
+      // id rows arrive in the rowId projection (single column, pos 0)
+      // and may reuse buffers — copy string keys like data fields
+      private def keyOf(id: InternalRow): Any =
+        if (id.isNullAt(0)) null
+        else keyType match {
+          case StringType => id.getUTF8String(0).copy()
+          case _ => id.get(0, keyType)
+        }
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        buf += MemDeltaAction(MemDeltaAction.Delete, keyOf(id), null)
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        buf += MemDeltaAction(MemDeltaAction.Update, keyOf(id),
+          MemRows.copyToTableLayout(srcIdx.get, row))
+      override def insert(row: InternalRow): Unit = {
+        val r = MemRows.copyToTableLayout(srcIdx.get, row)
+        buf += MemDeltaAction(MemDeltaAction.Insert,
+          if (r.isNullAt(0)) null else r.get(0, keyType), r)
+      }
+      override def commit(): WriterCommitMessage = MemDeltaCommit(buf.result())
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }

@@ -1515,8 +1515,17 @@ class ExtensionSpec extends AnyFunSuite {
     val recalls = brute.keys.toSeq.sorted.map { k =>
       mine(k).intersect(brute(k)).size / 10.0 }
     info(s"graph-ANN recall@10 per query: ${recalls.mkString(", ")}")
-    assert(recalls.sum / recalls.size >= 0.5,
-      s"mean recall@10 collapsed: $recalls")
+    info(s"graph-ANN search cost knobs: beam=${ext.Similarity.G_BEAM} " +
+      s"(efSearch), hops=${ext.Similarity.G_HOPS}, fine degree ≤ " +
+      s"${2 * ext.Similarity.G_K} (sym kNN), hub degree ≤ " +
+      s"${2 * ext.Similarity.G_HUB} + uplink ⇒ ≤ " +
+      s"${ext.Similarity.G_BEAM * (2 * ext.Similarity.G_K + 2 * ext.Similarity.G_HUB + 1) * ext.Similarity.G_HOPS} " +
+      "distance evals/query, corpus-size-independent")
+    // hierarchical graph (symmetric fine + rep↔rep hub + up-links) must
+    // clear the same bar its PQ/RQ siblings pin — the r12 directed
+    // two-layer build sat at 0.72
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"mean recall@10 below hierarchical bar: $recalls")
     // every ranked candidate was VISITED through the graph: it is either
     // the entry node or some node's edge target
     val edgeTargets = {

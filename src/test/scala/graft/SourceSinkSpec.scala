@@ -429,4 +429,105 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(got == twin && got == Seq((2L, "B"), (4L, "D")),
       s"MERGE diverged from the upsert twin: $got vs $twin")
   }
+
+  test("OPTIMIZE: file count drops, snapshots hash-identical, clustered ranges disjoint") {
+    import TestSpark.{sf, spark}
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_optspec").toString
+    def slice(lo: Long, hi: Long) = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+    slice(-1, 100).write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save()
+    slice(100, 200).write.format("graft.sources.KvSink")
+      .mode("append").option("path", out).save()
+    slice(200, 300).write.format("graft.sources.KvSink")
+      .mode("append").option("path", out).save()
+    val before = graft.sources.KvSink.versions(out).last
+    val filesBefore = graft.sources.KvSink.committedFiles(out)
+    val after = graft.sources.KvSink.optimize(spark, out, bins = 2, cluster = true)
+    val filesAfter = graft.sources.KvSink.committedFiles(out)
+    assert(after == before + 1, "optimize publishes exactly one new version")
+    assert(filesAfter.size == 2 && filesAfter.size < filesBefore.size,
+      s"bin-packing must shrink the file count: ${filesBefore.size} -> ${filesAfter.size}")
+    // no-data-change guarantee: AS OF both versions, same sorted row set
+    def snap(v: Long) = spark.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(out, v): _*)
+      .orderBy(col("key")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snap(before) == snap(after),
+      "compaction changed data — the no-data-change guarantee is broken")
+    // clustered layout: each compacted file covers a DISJOINT key range
+    val ranges = graft.sources.KvSink.committedPaths(out, after).map { p =>
+      val keys = scala.io.Source.fromFile(p).getLines()
+        .map(_.takeWhile(_ != ',').toLong).toSeq
+      (keys.min, keys.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"compacted files overlap in key space: $ranges")
+      case _ =>
+    }
+    // time travel survives: the pre-optimize snapshot is still readable
+    // until vacuum reclaims it, then only the compacted layout remains
+    assert(snap(before).size == 301)
+    graft.sources.KvSink.vacuum(out, 1)
+    assert(graft.sources.KvSink.versions(out) == Seq(after))
+    assert(snap(after).size == 301, "vacuum must not touch the live snapshot")
+  }
+
+  test("merge-on-read: WriteDelta plan, base snapshot untouched, row-identical to COW") {
+    import TestSpark.{sf, spark}
+    import spark.implicits._
+    import org.apache.spark.sql.connector.catalog.Identifier
+    // COW twin first — its MERGE must plan a ReplaceData (group rewrite)
+    val cowQe = {
+      spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.ns.morspec")
+      spark.sql("CREATE TABLE graft_cat.ns.morspec (k BIGINT, v STRING)")
+      spark.sql("INSERT INTO graft_cat.ns.morspec VALUES (1,'a'),(2,'b'),(3,'c')")
+      Seq((2L, "B"), (4L, "D")).toDF("k", "v").createOrReplaceTempView("morspec_upd")
+      spark.sql(
+        """MERGE INTO graft_cat.ns.morspec t USING morspec_upd s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+        .queryExecution.toString
+    }
+    assert(cowQe.contains("ReplaceData") && !cowQe.contains("WriteDelta"),
+      "COW MERGE must plan a ReplaceData group rewrite")
+    // MOR table: same statement plans a WriteDelta instead
+    spark.sql("DROP TABLE IF EXISTS graft_cat.mor.morspec")
+    spark.sql("CREATE TABLE graft_cat.mor.morspec (k BIGINT NOT NULL, v STRING)")
+    spark.sql("INSERT INTO graft_cat.mor.morspec VALUES (1,'a'),(2,'b'),(3,'c')")
+    val tbl = graft.sources.MemCatalog.store
+      .get(Identifier.of(Array("mor"), "morspec"))
+    val baseBefore = tbl.rows
+    assert(tbl.mor && tbl.deltaLog.isEmpty && baseBefore.size == 3)
+    val morQe = spark.sql(
+      """MERGE INTO graft_cat.mor.morspec t USING morspec_upd s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+      .queryExecution.toString
+    assert(morQe.contains("WriteDelta") && !morQe.contains("ReplaceData"),
+      "MOR MERGE must plan a WriteDelta, not a group rewrite")
+    // the write-side saving that defines MOR: base snapshot is the SAME
+    // object — nothing was rewritten; only deltas were appended (one
+    // update for k=2, one insert for k=4; carried rows never flow)
+    assert(tbl.rows eq baseBefore, "MOR commit must not rewrite the base")
+    assert(tbl.deltaLog.map(_.op).sorted ==
+      Vector(graft.sources.MemDeltaAction.Update, graft.sources.MemDeltaAction.Insert).sorted,
+      s"expected exactly one update + one insert delta, got ${tbl.deltaLog.map(_.op)}")
+    // read-side reconciliation: MOR result row-identical to the COW twin
+    val morRows = spark.table("graft_cat.mor.morspec").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val cowRows = spark.table("graft_cat.ns.morspec").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(morRows == cowRows &&
+      morRows == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")),
+      s"MOR/COW divergence: $morRows vs $cowRows")
+    // DELETE through the delta path: one delete action, base still shared
+    spark.sql("DELETE FROM graft_cat.mor.morspec WHERE k = 1")
+    assert(tbl.rows eq baseBefore)
+    assert(tbl.deltaLog.count(_.op == graft.sources.MemDeltaAction.Delete) == 1)
+    assert(spark.table("graft_cat.mor.morspec").count() == 3)
+  }
 }
