@@ -150,7 +150,7 @@ object KvSink {
         df.repartitionByRange(bins, org.apache.spark.sql.functions.col("key"))
           .sortWithinPartitions("key")
       else df.coalesce(bins)
-    packed.write.format("graft-kv").mode("overwrite")
+    packed.write.format("graft.sources.KvSink").mode("overwrite")
       .option("path", path).save()
     versions(path).last
   }

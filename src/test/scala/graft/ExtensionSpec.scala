@@ -1492,6 +1492,45 @@ class ExtensionSpec extends AnyFunSuite {
     assert(((d2 - foot) & 1L) == 0L, "sum d^2 and sum |d| must share parity")
   }
 
+  test("suffix repeats: coverage ⊇ gram dup spans, every anchor occurs ≥2×") {
+    val spans = ext.TextOps.suffixRepeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toVector)
+      .toMap
+    // corpus 10-gram occurrence counts, df-capped like the operator
+    val gramCount = scala.collection.mutable.HashMap.empty[Seq[String], Long]
+    docs.values.foreach(_.sliding(10).filter(_.size == 10)
+      .foreach(g => gramCount(g) = gramCount.getOrElse(g, 0L) + 1L))
+    val covered = spans.groupBy(_._1).view
+      .mapValues(_.flatMap(t => t._2 until t._3).toSet).toMap
+    // ⊇: every position under a duplicated (2..1000×) 10-gram — the
+    // tx_dup_spans coverage definition — is inside some suffix span
+    var gramAnchors = 0
+    docs.foreach { case (d, ws) =>
+      ws.sliding(10).zipWithIndex.foreach { case (g, p) =>
+        if (g.size == 10 && gramCount(g) > 1 && gramCount(g) <= 1000) {
+          gramAnchors += 1
+          (p until p + 10).foreach { q =>
+            assert(covered.getOrElse(d, Set.empty).contains(q),
+              s"gram-covered position (doc=$d pos=$q) missing from suffix spans")
+          }
+        }
+      }
+    }
+    assert(gramAnchors > 0, "fixture corpus has no duplicated grams — vacuous test")
+    // ≥2×: each span's leading 10-gram really is duplicated, and the
+    // reported max repeat length respects the L..M contract within the span
+    spans.foreach { case (d, s, e, mr) =>
+      assert(gramCount(docs(d).slice(s.toInt, s.toInt + 10)) >= 2,
+        s"span anchor (doc=$d s=$s) is not a corpus duplicate")
+      assert(mr >= 10 && mr <= 40 && e - s >= mr,
+        s"max_rep out of contract: doc=$d s=$s e=$e max_rep=$mr")
+    }
+    info(s"suffix spans: ${spans.length}, gram anchors covered: $gramAnchors")
+  }
+
   test("graph ANN: beam walk recall vs brute L2, and hops stay on edges") {
     import org.apache.spark.sql.expressions.Window
     val got = ext.Similarity.graphAnn(spark, sf).collect()
