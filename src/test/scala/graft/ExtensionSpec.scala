@@ -1492,6 +1492,36 @@ class ExtensionSpec extends AnyFunSuite {
     assert(((d2 - foot) & 1L) == 0L, "sum d^2 and sum |d| must share parity")
   }
 
+  test("unigram LM: Viterbi segmentations cover exactly, usage mass balances, fertility vs BPE") {
+    // exact cover: every word type's pieces concatenate back to the word
+    val segs = ext.UnigramLM.debugSegments(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    assert(segs.nonEmpty)
+    segs.foreach { case (w, _, ps) =>
+      assert(ps.mkString("") == w, s"segmentation of '$w' is not an exact cover: $ps")
+    }
+    // usage mass: Σ piece usage == Σ word_cnt · pieces_per_word
+    val vocab = ext.UnigramLM.unigramTrain(spark, sf).collect()
+    val usageMass = vocab.map(_.getLong(2)).sum
+    val segMass = segs.map { case (_, c, ps) => c * ps.size }.sum
+    assert(usageMass == segMass,
+      s"M-step usage mass $usageMass != E-step segmentation mass $segMass")
+    assert(vocab.map(_.getString(1)).distinct.length == vocab.length, "duplicate pieces")
+    // encode invariants + fertility comparison vs the BPE encoder
+    val enc = ext.UnigramLM.unigramEncode(spark, sf).collect()
+    enc.foreach { r =>
+      val (nw, nt, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt >= nw && nt <= nc,
+        s"doc ${r.getLong(0)}: tokens $nt outside [words $nw, chars $nc]")
+    }
+    val uFert = enc.map(_.getLong(2)).sum.toDouble / enc.map(_.getLong(1)).sum
+    val bpe = ext.TextOps.bpeEncode(spark, sf).collect()
+    val bFert = bpe.map(_.getAs[Long]("n_tokens")).sum.toDouble /
+      bpe.map(_.getAs[Long]("n_words")).sum
+    info(f"fertility (tokens/word): unigram(top-40, 1 EM round) $uFert%.3f vs BPE(3 merges) $bFert%.3f")
+    assert(uFert >= 1.0 && bFert >= 1.0)
+  }
+
   test("suffix repeats: coverage ⊇ gram dup spans, every anchor occurs ≥2×") {
     val spans = ext.TextOps.suffixRepeats(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))

@@ -49,6 +49,7 @@ class OperatorSpec extends AnyFunSuite {
       "Dedup" -> ext.Dedup.queries.keySet,
       "Similarity" -> ext.Similarity.queries.keySet,
       "TextOps" -> ext.TextOps.queries.keySet,
+      "UnigramLM" -> ext.UnigramLM.queries.keySet,
       "EventOps" -> ext.EventOps.queries.keySet,
       "Multimodal" -> ext.Multimodal.queries.keySet,
       "TemporalOps" -> ext.TemporalOps.queries.keySet,
