@@ -14,11 +14,22 @@ import duckdb
 import pandas as pd
 import numpy as np
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
     for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def run_one(con, files, sql):
+    """One compare attempt: (ok, msg, nrows)."""
+    got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    want = con.execute(sql).fetchdf()
+    ok, msg = compare(got, want)
+    return ok, msg, len(got)
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     # mirror graft.Verify's per-query filter so targeted runs compare
@@ -37,20 +48,29 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-            want = con.execute(sql).fetchdf()
+            ok, msg, nrows = run_one(con, files, sql)
         except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
-            continue
-        ok, msg = compare(got, want)
-        if ok:
-            print(f"PASS {name} ({len(got)} rows)")
-            n_pass += 1
-        else:
+            ok, msg, nrows = False, str(e), -1
+        if not ok:
+            # Known transient: DuckDB under memory pressure right after the
+            # Spark JVM exits can misreport a compare. Retry ONCE on a fresh
+            # connection (fresh views, fresh parquet reads) before reporting.
+            try:
+                con2 = connect(sf_dir)
+                ok2, msg2, nrows2 = run_one(con2, files, sql)
+                con2.close()
+                if ok2:
+                    print(f"PASS {name} ({nrows2} rows; on retry — first attempt: {msg})")
+                    n_pass += 1
+                    continue
+                msg = msg2
+            except Exception as e:
+                msg = str(e)
             print(f"FAIL {name}: {msg}")
             n_fail += 1
+        else:
+            print(f"PASS {name} ({nrows} rows)")
+            n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
