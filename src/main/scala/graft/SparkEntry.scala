@@ -50,6 +50,7 @@ object SparkEntry {
         "st_merge_upsert" -> streaming.StreamOps.mergeUpsertStream,
         "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
         "st_temporal_join" -> streaming.StreamOps.temporalJoinStream,
+        "st_asof_stream" -> streaming.StreamOps.asofStream,
         "st_late_drop" -> streaming.StreamOps.lateDropStream,
         "st_update_mode" -> streaming.StreamOps.updateModeStream,
         "st_session_dynamic" -> streaming.StreamOps.sessionDynamicStream,
@@ -77,6 +78,8 @@ object SparkEntry {
         "st_retract_fold" -> ops.PipelineOps.oracle("pipe_imv"),
         // streaming temporal lookup ≡ batch native merge ≡ batch window
         "st_temporal_join" -> plans.AsOfJoin.oracle("ev_asof_native"),
+        // stream-stream as-of with horizon eviction ≡ the same native oracle
+        "st_asof_stream" -> plans.AsOfJoin.oracle("ev_asof_native"),
         "st_transitions_stream" -> ext.EventOps.oracle("ev_path_transitions"),
         "st_regularity_stream" -> ext.EventOps.oracle("ev_gap_regularity"),
         "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,

@@ -129,7 +129,11 @@ object StatOps {
     * At 100 TB: the fact collapses to distinct score values in one
     * map-side-combined pass; only the value grain is sorted (the ROC
     * curve's own grain — you cannot rank coarser without changing the
-    * statistic).
+    * statistic). That value grain rides ONE unpartitioned window: exact
+    * by necessity, priced by the score cardinality. When the distinct
+    * grain itself outgrows a partition (billions of distinct floats),
+    * switch to [[aucBucketed]] — the same rank identity on a fixed score
+    * grid, error bounded by the reported tie half-width.
     */
   def auc(s: SparkSession, d: String): DataFrame = {
     val v = Tables.orders(s, d)
@@ -147,6 +151,48 @@ object StatOps {
         (col("num2").cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
       .withColumn("auc_gini", lit(2.0) * col("auc") - lit(1.0))
+  }
+
+  /** BUCKETED ROC AUC — [[auc]]'s scale path (the a7 exact/approx
+    * pattern): scores collapse onto a fixed-width grid (cent-scores div
+    * 2^16 ≈ $655 buckets) and the SAME rank identity runs at bucket
+    * grain, which is exactly the trapezoid rule on the bucketed ROC
+    * curve — within-bucket pairs get half credit, i.e. the straight-line
+    * segment between curve points. The window therefore ranks a
+    * bounded-cardinality grid (the grid is chosen, not data-driven) no
+    * matter how many distinct scores the fact carries; everything else
+    * is one map-side-combined scan. `tie_halfwidth` is the EXACT error
+    * bound: true AUC ∈ bucketed ± tie_halfwidth, because each
+    * within-bucket pair contributes between 0 and 1 against the ½
+    * assumed. Use [[auc]] while distinct scores fit a partition (it is
+    * exact); switch here when the value grain itself is the bottleneck —
+    * at any grid a machine can hold, the bound reported tells you
+    * whether the resolution suffices.
+    *
+    * Integer-exact: all sums are BIGINT, the two divisions are single
+    * int64→float64-exempt casts — bit-identical cross-engine, so unlike
+    * a sketch this approximation hash-verifies.
+    */
+  def aucBucketed(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.orders(s, d)
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) div 65536")
+        .as("bucket"),
+        expr("CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT)").as("pos"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("pos")).as("n1"), sum(expr("1 - pos")).as("n0"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    v.withColumn("cum0", coalesce(sum(col("n0")).over(w), lit(0L)))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n1")).as("n_pos"), sum(col("n0")).as("n_neg"),
+        sum(expr("n1 * (2 * cum0 + n0)")).as("num2"),
+        sum(expr("n1 * n0")).as("tie2"))
+      .select(col("n_buckets"), col("n_pos"), col("n_neg"),
+        (col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc_bucketed"),
+        (col("tie2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("tie_halfwidth"))
   }
 
   /** Deterministic Poisson bootstrap CI for the mean order value — the
@@ -350,6 +396,7 @@ object StatOps {
     "x_hits" -> hits,
     "x_autocorr" -> autocorr,
     "x_auc" -> auc,
+    "x_auc_bucketed" -> aucBucketed,
     "x_bootstrap_ci" -> bootstrapCi,
     "x_holt" -> holt,
     "x_collation" -> collation)
@@ -466,6 +513,32 @@ object StatOps {
         |       CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc,
         |       2.0 * (CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) - 1.0
         |         AS auc_gini
+        |FROM t""".stripMargin,
+    "x_auc_bucketed" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) // 65536
+        |           AS bucket,
+        |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT n1, n0,
+        |         COALESCE(CAST(SUM(n0) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS cum0
+        |  FROM v),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |         CAST(SUM(n1) AS BIGINT) AS n_pos,
+        |         CAST(SUM(n0) AS BIGINT) AS n_neg,
+        |         CAST(SUM(n1 * (2 * cum0 + n0)) AS BIGINT) AS num2,
+        |         CAST(SUM(n1 * n0) AS BIGINT) AS tie2
+        |  FROM c)
+        |SELECT n_buckets, n_pos, n_neg,
+        |       CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc_bucketed,
+        |       CAST(tie2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS tie_halfwidth
         |FROM t""".stripMargin,
     "x_bootstrap_ci" -> {
       val u = Hashing.duckHash(

@@ -285,6 +285,180 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** One interleaved click/purchase arrival for the stream-stream as-of
+    * join: both sides of the join travel as ONE keyed stream (the union
+    * encoding every stream-stream join reduces to once the key is
+    * shared), tagged with the side.
+    */
+  case class AsofRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      is_click: Boolean)
+  case class AsofOut(user_id: Long, event_id: Long,
+      purchase_ts: java.sql.Timestamp, last_click_ts: java.sql.Timestamp)
+  /** Per-user as-of join state: the sorted click-time buffer (evicted at
+    * the as-of horizon, see [[asofFold]]) and the purchases still waiting
+    * for their watermark (id + micros, parallel arrays — fixed-width
+    * state encoders, no nested rows).
+    */
+  case class AsofState(clicks: Array[Long], pendId: Array[Long],
+      pendUs: Array[Long])
+
+  private def usOfTs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+  /** The per-key fold of the stream-stream as-of join, factored out so
+    * the spec can drive it directly. Given the buffered state, this
+    * batch's arrivals and the current watermark (µs):
+    *
+    *  1. INGEST — new clicks merge into the sorted buffer; new purchases
+    *     join the pending set.
+    *  2. EMIT — a pending purchase is FINAL once `p_ts ≤ watermark`: the
+    *     watermark contract says no click with `c_ts ≤ p_ts` can still
+    *     arrive, so its backward match (greatest buffered click ≤ p_ts,
+    *     inclusive — the [[graft.plans.AsOfJoin]] contract) is decided.
+    *  3. EVICT at the as-of horizon — let `h` = the greatest click ≤
+    *     watermark. Every pending or future purchase has `p_ts ≥
+    *     watermark ≥ h`, so clicks strictly below `h` are DOMINATED by
+    *     `h` and can never be any answer again: drop them. This is what
+    *     bounds state — per user the buffer holds the horizon click plus
+    *     only clicks inside the watermark delay, regardless of stream
+    *     length.
+    *
+    * Returns (emissions, retained state or None, evicted-click count).
+    */
+  def asofFold(arrivals: Seq[AsofRow], prev: Option[AsofState],
+      wmUs: Long): (Seq[AsofOut], Option[AsofState], Long) = {
+    val st = prev.getOrElse(AsofState(Array.empty, Array.empty, Array.empty))
+    val clicks =
+      (st.clicks ++ arrivals.filter(_.is_click).map(r => usOfTs(r.ts))).sorted
+    val pend = (st.pendId.zip(st.pendUs) ++
+      arrivals.filterNot(_.is_click).map(r => (r.event_id, usOfTs(r.ts))))
+      .sortBy { case (id, us) => (us, id) }
+    val (ripe, wait) = pend.partition { case (_, us) => us <= wmUs }
+    val userId = arrivals.headOption.map(_.user_id)
+    val out = ripe.map { case (id, us) =>
+      // greatest click <= us: index of the first click > us, minus one
+      val i = clicks.indexWhere(_ > us) match {
+        case -1 => clicks.length - 1
+        case j => j - 1
+      }
+      AsofOut(userId.getOrElse(0L), id, tsOf(us),
+        if (i >= 0) tsOf(clicks(i)) else null)
+    }
+    // as-of horizon: keep the greatest click <= wm and everything above
+    val hIdx = clicks.lastIndexWhere(_ <= wmUs)
+    val evict = math.max(hIdx, 0)
+    val keep = clicks.drop(evict)
+    val next =
+      if (wait.isEmpty && keep.isEmpty) None
+      else Some(AsofState(keep, wait.map(_._1).toArray, wait.map(_._2).toArray))
+    (out, next, evict.toLong)
+  }
+
+  /** STREAM-STREAM AS-OF JOIN — both sides streaming, state evicted at
+    * the as-of horizon: the production shape [[temporalJoinStream]]'s
+    * static temporal table approximates. Clicks and purchases arrive as
+    * one keyed stream in three watermark-separated waves (the
+    * [[lateDropStream]] feed protocol: default trigger +
+    * processAllAvailable between file ships, because AvailableNow never
+    * runs the watermark-advancing no-data batches); a
+    * flatMapGroupsWithState with EVENT-TIME TIMEOUT runs [[asofFold]]
+    * per user: purchases finalize when the watermark passes them (set as
+    * the state's timeout, so the key flushes on watermark advance even
+    * with no new arrivals), clicks evict once dominated at the horizon.
+    * A terminal sentinel row (user −1, max ts + 2 h) drives the final
+    * watermark past every purchase, so the drained sink holds EVERY
+    * purchase exactly once — verified against the very same DuckDB
+    * native `ASOF LEFT JOIN` oracle as the batch operator and its window
+    * twin: the fourth execution mode of one as-of algebra.
+    *
+    * At 100 TB: state per user = pending purchases inside the watermark
+    * delay + the horizon click + clicks inside the delay — bounded by
+    * arrival rate × delay, never by history length. That eviction is the
+    * whole point of the watermark contract for stream-stream joins, and
+    * StreamingSpec pins it (evicted + retained = fed, eviction strictly
+    * positive, fold ≡ batch native operator row-for-row).
+    */
+  def asofStreamTelemetry(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val ss = tuned(s)
+    import ss.implicits._
+    val evicted = ss.sparkContext.longAccumulator("graft_asof_evicted")
+    val ev = graft.Tables.events(ss, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("event_type") === "click").as("is_click"))
+    // two arrival waves split mid-range + the final sentinel; ONE bounded
+    // min/max scalar (protocol instants, not data) justifies the collect
+    val Array(r) = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).collect()
+    val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
+    val splitUs = loUs + (hiUs - loUs) / 2
+    val nPurchases = ev.filter(!col("is_click")).count()
+    val feed = java.nio.file.Files.createTempDirectory("graft_asoffeed")
+    def shipOne(df: DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_asofstage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+      val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally part.close()
+      java.nio.file.Files.move(src, feed.resolve(name))
+    }
+    shipOne(ev.filter(unix_micros(col("ts")) <= splitUs), "00_wave1.parquet")
+    val plan = ss.readStream.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("is_click", BooleanType))))
+      .parquet(feed.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[AsofRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[AsofRow], state: GroupState[AsofState]) =>
+          if (userId == -1L) Iterator.empty // the watermark sentinel
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val arrivals = rows.toSeq
+            val (out, next, nEvicted) = asofFold(arrivals, state.getOption, wmUs)
+            evicted.add(nEvicted)
+            next match {
+              case Some(st) =>
+                state.update(st)
+                if (st.pendUs.nonEmpty)
+                  // strictly above the watermark by construction (pending
+                  // purchases all have us > wmUs), so the set is legal and
+                  // the key re-fires on the next watermark advance
+                  state.setTimeoutTimestamp(st.pendUs.min / 1000L + 1L)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator.map(o => o.copy(user_id = userId))
+          }
+      }
+    val q = plan.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_stream_asof").start()
+    try {
+      q.processAllAvailable() // wave 1 + its watermark no-data batch
+      shipOne(ev.filter(unix_micros(col("ts")) > splitUs), "01_wave2.parquet")
+      q.processAllAvailable()
+      shipOne(Seq((-1L, -1L, tsOf(hiUs + 7200L * 1000000L), false))
+        .toDF("user_id", "event_id", "ts", "is_click"), "02_sentinel.parquet")
+      q.processAllAvailable() // sentinel + the final timeout flush batch
+      // the timeout flush rides a no-data batch processAllAvailable does
+      // not always wait for: poll until every purchase has emitted
+      val deadline = System.currentTimeMillis() + 120000L
+      while (ss.table("graft_stream_asof").count() < nPurchases &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200L)
+      }
+    } finally q.stop()
+    (ss.table("graft_stream_asof")
+      .select(col("user_id"), col("event_id"), col("purchase_ts"),
+        col("last_click_ts"))
+      .orderBy(col("event_id")), evicted)
+  }
+
+  def asofStream(s: SparkSession, d: String): DataFrame =
+    asofStreamTelemetry(s, d)._1
+
   /** Streaming CHANGELOG fold with retractions — the streaming twin of
     * [[graft.ops.PipelineOps.imvMaintain]] and the semantics a
     * Flink/Materialize retract stream carries: every record arrives

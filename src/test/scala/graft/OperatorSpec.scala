@@ -1340,4 +1340,18 @@ class OperatorSpec extends AnyFunSuite {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("bucketed ROC AUC: exact AUC inside the reported tie half-width") {
+    val exact = ops.StatOps.auc(spark, sf).collect()(0).getAs[Double]("auc")
+    val b = ops.StatOps.aucBucketed(spark, sf).collect()(0)
+    val (approx, half) =
+      (b.getAs[Double]("auc_bucketed"), b.getAs[Double]("tie_halfwidth"))
+    // the bound is EXACT, not probabilistic: every within-bucket pair
+    // contributes in [0,1] against the ½ the trapezoid assumes
+    assert(math.abs(exact - approx) <= half + 1e-15,
+      s"|${exact} - $approx| > tie half-width $half")
+    assert(half < 0.05, s"grid too coarse to be useful: half-width $half")
+    assert(b.getAs[Long]("n_buckets") > 10,
+      "degenerate grid: the fixture should span many buckets")
+  }
 }

@@ -761,4 +761,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(droppable > 0, "fixture fed no droppable late rows at this sf")
   }
 
+  test("stream-stream as-of join ≡ batch native operator; horizon eviction fires") {
+    val (df, evicted) = graft.streaming.StreamOps.asofStreamTelemetry(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    val want = graft.plans.AsOfJoin.asofNative(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(got.length == want.length,
+      s"row count: stream=${got.length} batch=${want.length}")
+    val firstDiff = got.zip(want).indexWhere { case (a, b) => a != b }
+    assert(firstDiff == -1,
+      s"first divergence at $firstDiff: ${got.lift(firstDiff)} vs ${want.lift(firstDiff)}")
+    // the state bound is real: dominated clicks were evicted mid-stream,
+    // not retained until drain
+    assert(evicted.value > 0, "as-of horizon eviction never fired")
+  }
+
+  test("asofFold algebra: inclusive backward match, dominated-click eviction, conservation") {
+    import graft.streaming.StreamOps.{asofFold, AsofRow, AsofState}
+    def t(ms: Long) = new Timestamp(ms)
+    val arrivals = Seq(
+      AsofRow(7, 900, t(10), true), AsofRow(7, 901, t(20), true),
+      AsofRow(7, 902, t(30), true),
+      AsofRow(7, 1, t(20), false), // tie with the click at 20 → inclusive
+      AsofRow(7, 2, t(40), false)) // above the watermark → pends
+    val (out1, st1, ev1) = asofFold(arrivals, None, 25L * 1000)
+    assert(out1.map(o => (o.event_id, Option(o.last_click_ts).map(_.getTime))) ==
+      Seq((1L, Some(20L))), s"inclusive tie must match its own instant: $out1")
+    assert(ev1 == 1, "exactly the dominated click (t=10) evicts at horizon 20")
+    assert(st1.get.clicks.toSeq == Seq(20000L, 30000L) &&
+      st1.get.pendId.toSeq == Seq(2L), s"retained state wrong: $st1")
+    // watermark passes the pending purchase: it emits against click 30,
+    // click 20 is now dominated and evicts
+    val (out2, st2, ev2) = asofFold(Nil, st1, 50L * 1000)
+    assert(out2.map(o => (o.event_id, Option(o.last_click_ts).map(_.getTime))) ==
+      Seq((2L, Some(30L))))
+    assert(ev2 == 1 && st2.get.clicks.toSeq == Seq(30000L) &&
+      st2.get.pendId.isEmpty)
+    // conservation: every fed click is accounted for exactly once
+    assert(ev1 + ev2 + st2.get.clicks.length == 3)
+    // a purchase with no admissible click emits null, state fully clears
+    val (out3, st3, _) =
+      asofFold(Seq(AsofRow(8, 3, t(5), false)), None, 50L * 1000)
+    assert(out3.map(o => (o.event_id, Option(o.last_click_ts))) ==
+      Seq((3L, None)) && st3.isEmpty)
+  }
+
 }
