@@ -1419,7 +1419,61 @@ object EventOps {
       .orderBy(col("stage"))
   }
 
+  /** KAPLAN-MEIER SURVIVAL CURVE with right-censoring — the integral
+    * sibling of [[hazard]] (hazard is the per-interval rate; KM is the
+    * cumulative product of its complements) and the retention curve's
+    * statistically honest form: users whose observation simply ENDS
+    * (active within 14 days of the horizon) are CENSORED — they leave
+    * the risk set without counting as churn, which naive retention gets
+    * wrong. Ŝ(t) = Π_{t'≤t} (1 − d_t'/n_t') is a product of rationals,
+    * so the exact cross-engine representation is its LOG: the shared
+    * fixed-point log2 ([[FixLog]]) folds Σ (lg(n−d) − lg(n)) as BIGINTs
+    * — km_log2_fp is exact in both engines, the bits column one
+    * int64→float64 cast. An absorbed tail (n = d, Ŝ hits 0) takes the
+    * −10⁹ sentinel both engines compare identically (the [[UnigramLM]]
+    * NEG discipline).
+    *
+    * At 100 TB: one user-grain aggregate (map-side combined), then all
+    * windows run at LIFETIME-DAY grain — rows = distinct observed
+    * lifetimes (≤ horizon days), bounded by the calendar, not the
+    * corpus.
+    */
+  def survivalKm(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val dayUs = 86400000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val byUser = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val gmax = ev.agg(max(col("us")).as("gmax"))
+    val lives = byUser.crossJoin(broadcast(gmax))
+      .select(expr(s"(last_us - first_us) div $dayUs").as("t_days"),
+        (col("last_us") < col("gmax") - lit(14L * dayUs)).cast("long")
+          .as("churn"))
+    val byDay = lives.groupBy(col("t_days"))
+      .agg(sum(col("churn")).as("d_churn"),
+        sum(expr("1 - churn")).as("c_censored"))
+    val tot = byDay.agg(sum(expr("d_churn + c_censored")).as("n_all"))
+    val wPrev = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDay.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_all") -
+        coalesce(sum(expr("d_churn + c_censored")).over(wPrev), lit(0L)))
+      .withColumn("term", expr(
+        s"CASE WHEN n_risk > d_churn THEN ${lgS("(n_risk - d_churn)")} - ${lgS("n_risk")} " +
+          "ELSE CAST(-1000000000 AS BIGINT) END"))
+      .withColumn("km_log2_fp", sum(col("term")).over(wRun))
+      .select(col("t_days"), col("n_risk"), col("d_churn"),
+        col("c_censored"), col("km_log2_fp"))
+      .withColumn("km_log2_bits",
+        col("km_log2_fp").cast("double") / lit(65536.0))
+      .orderBy(col("t_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival_km" -> survivalKm,
     "ev_funnel_windowed" -> funnelWindowed,
     "ev_seasonal_decompose" -> seasonalDecompose,
     "ev_match_recognize" -> matchRecognize,
@@ -1464,6 +1518,39 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_survival_km" -> {
+      import graft.ext.FixLog.lgD
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |u AS (SELECT user_id, MIN(us) AS first_us, MAX(us) AS last_us
+         |      FROM e GROUP BY 1),
+         |g AS (SELECT MAX(us) AS gmax FROM e),
+         |l AS (SELECT (last_us - first_us) // 86400000000 AS t_days,
+         |             CASE WHEN last_us < gmax - 1209600000000
+         |                  THEN 1 ELSE 0 END AS churn
+         |      FROM u, g),
+         |b AS (SELECT t_days, CAST(SUM(churn) AS BIGINT) AS d_churn,
+         |             CAST(SUM(1 - churn) AS BIGINT) AS c_censored
+         |      FROM l GROUP BY 1),
+         |r AS (SELECT t_days, d_churn, c_censored,
+         |             CAST(SUM(d_churn + c_censored) OVER () AS BIGINT)
+         |               - COALESCE(CAST(SUM(d_churn + c_censored) OVER (
+         |                   ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+         |                   AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+         |      FROM b),
+         |t AS (SELECT t_days, n_risk, d_churn, c_censored,
+         |             CASE WHEN n_risk > d_churn
+         |                  THEN ${lgD("(n_risk - d_churn)")} - ${lgD("n_risk")}
+         |                  ELSE CAST(-1000000000 AS BIGINT) END AS term
+         |      FROM r),
+         |f AS (SELECT t_days, n_risk, d_churn, c_censored,
+         |             CAST(SUM(term) OVER (ORDER BY t_days
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS BIGINT) AS km_log2_fp
+         |      FROM t)
+         |SELECT t_days, n_risk, d_churn, c_censored, km_log2_fp,
+         |       CAST(km_log2_fp AS DOUBLE) / 65536.0 AS km_log2_bits
+         |FROM f ORDER BY t_days""".stripMargin
+    },
     "ev_funnel_windowed" ->
       """WITH t1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

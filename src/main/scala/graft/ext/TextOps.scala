@@ -2341,7 +2341,77 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document CHARACTER-LEVEL SHANNON ENTROPY in bits — the
+    * random-bytes / encrypted-blob / base64-spew filter every corpus
+    * cleaner runs (natural language sits ~3.5–4.5 bits/char; machine
+    * noise pushes toward lg(alphabet)): H is hash-verified EXACTLY via
+    * the shared fixed-point log2 ([[FixLog]]) — the primitive the
+    * unigram tokenizer introduced — with the metric DEFINED as
+    * h_fp = lg(n) − (Σ cᵢ·lg(cᵢ)) div n over truncated 2^16 fixed-point
+    * logs, so both engines compute the same integer and the single
+    * int64→float64 division to bits is exemption-safe. (ln-based
+    * entropy could never hash-verify; this is the same move that opened
+    * Hellinger to the correctly-rounded-float family.)
+    *
+    * At 100 TB: one explode to (doc, char) grain with map-side combine,
+    * one doc-grain fold — no window, no shuffle beyond the two
+    * aggregations; the log runs inside codegen on the (doc, char) grain
+    * whose cardinality is ≤ alphabet × docs.
+    */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    chars.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(expr(s"c * ${FixLog.lgS("c")}")).as("slg"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        expr(s"${FixLog.lgS("n_chars")} - (slg div n_chars)").as("h_fp"))
+      .withColumn("h_bits", col("h_fp").cast("double") / lit(65536.0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MOJIBAKE (encoding-damage) detection — the UTF-8-read-as-Latin-1
+    * double-encoding scan (ftfy's core heuristic) a web corpus needs
+    * before any text metric is trustworthy: damaged text carries
+    * signature digraphs ("Ã©" for é, "â€™" for ’, "Â " before NBSP)
+    * that are individually rare in clean prose. The fixture seeds
+    * deterministic damage (doc_id-keyed, mirroring the NFC fixture's
+    * approach) so both the hit and the clean path are verified; both
+    * engines count non-overlapping matches of the IDENTICAL literal
+    * alternation left-to-right, so the count is dialect-safe (no regex
+    * metacharacters). At 100 TB this is a pure per-row scan inside
+    * codegen — no shuffle at all; the trailing doc_id sort is the
+    * verify-gate tail.
+    */
+  /** Signature digraphs of Latin-1 mis-decoded UTF-8 (\u00E9 \u00E8 \u00FC \u2019 \u201C NBSP)
+    * and the two seeded damage fragments \u2014 shared verbatim with the
+    * oracle so the count replays exactly. Literal alternation only: no
+    * regex metacharacters, so Java regex and RE2 agree.
+    */
+  private val mojiPat = "\u00C3\u00A9|\u00C3\u00A8|\u00C3\u00BC|" +
+    "\u00E2\u0080\u0099|\u00E2\u0080\u009C|\u00C2\u00A0"
+  private val mojiCafe = " caf\u00C3\u00A9"    // "caf\u00E9" mis-decoded
+  private val mojiQuote = " it\u00E2\u0080\u0099s" // "it's" mis-decoded
+
+  def mojibake(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(mojiCafe)).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(mojiQuote)).otherwise(lit("")))
+          .as("raw"))
+      .select(col("doc_id"), length(col("raw")).as("n_chars"),
+        size(expr(s"regexp_extract_all(raw, '$mojiPat', 0)")).cast("long")
+          .as("n_moji"))
+      .withColumn("clean", col("n_moji") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_char_entropy" -> charEntropy,
+    "tx_mojibake" -> mojibake,
     "tx_burstiness" -> burstiness,
     "tx_heaps_curve" -> heapsCurve,
     "pipe_cu_seqlens" -> cuSeqlens,
@@ -2453,6 +2523,37 @@ object TextOps {
       // DuckDB's native UAX #15 implementation replays the JVM
       // Normalizer byte-for-byte; chr() builds the same decomposed
       // combining sequences the Spark literal carries.
+      "tx_char_entropy" ->
+        s"""WITH ch AS (
+           |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+           |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+           |cc AS (
+           |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM ch GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           |         CAST(SUM(c * ${FixLog.lgD("c")}) AS BIGINT) AS slg
+           |  FROM cc GROUP BY 1),
+           |f AS (
+           |  SELECT doc_id, n_chars, n_distinct,
+           |         ${FixLog.lgD("n_chars")} - (slg // n_chars) AS h_fp
+           |  FROM agg)
+           |SELECT doc_id, n_chars, n_distinct, h_fp,
+           |       CAST(h_fp AS DOUBLE) / 65536.0 AS h_bits
+           |FROM f ORDER BY doc_id""".stripMargin,
+      "tx_mojibake" ->
+        s"""WITH r AS (
+           |  SELECT doc_id, text
+           |    || CASE WHEN doc_id % 3 = 0 THEN '$mojiCafe' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN '$mojiQuote' ELSE '' END
+           |      AS raw
+           |  FROM documents)
+           |SELECT doc_id, CAST(length(raw) AS INT) AS n_chars,
+           |       CAST(len(regexp_extract_all(raw, '$mojiPat')) AS BIGINT)
+           |         AS n_moji,
+           |       len(regexp_extract_all(raw, '$mojiPat')) = 0 AS clean
+           |FROM r ORDER BY doc_id""".stripMargin,
       "tx_nfc_normalize" ->
         """WITH r AS (
           |  SELECT doc_id,

@@ -51,15 +51,9 @@ object UnigramLM {
   private val VTOP = 40  // seed vocab cap (single chars always kept)
   private val NEG = "CAST(-1000000000 AS BIGINT)" // not-in-vocab score
 
-  // ---- fixed-point log2 (16 fractional bits), Spark side ---------------
+  // ---- fixed-point log2 (16 fractional bits) — shared in [[FixLog]] ----
 
-  private def lgS(c: String): String = {
-    val m0 = s"((($c) * 65536L) div shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1)) * 4294967296L"
-    val sq = "((s div 4294967296L) * (s div 4294967296L)) div 65536L"
-    s"((length(bin($c)) - 1) * 65536L + (aggregate(sequence(1, 16), CAST($m0 AS BIGINT), (s, i) -> " +
-      s"CASE WHEN $sq >= 131072L THEN (($sq) div 2L) * 4294967296L + ((s % 4294967296L) * 2L + 1L) " +
-      s"ELSE ($sq) * 4294967296L + (s % 4294967296L) * 2L END) % 4294967296L))"
-  }
+  private def lgS(c: String): String = FixLog.lgS(c)
 
   /** Word types with corpus counts (the only pass over raw text). */
   private def wordTypes(s: SparkSession, d: String): DataFrame =
@@ -226,14 +220,7 @@ object UnigramLM {
 
   // ---- DuckDB replay ----------------------------------------------------
 
-  private def lgD(c: String): String = {
-    val m0 = s"((($c) * 65536) // (1 << (length(bin($c)) - 1))) * 4294967296"
-    val sq = "((s // 4294967296) * (s // 4294967296)) // 65536"
-    s"((length(bin($c)) - 1) * 65536 + (list_reduce(list_prepend(CAST($m0 AS BIGINT), " +
-      "[CAST(0 AS BIGINT) for i in range(16)]), (s, x) -> " +
-      s"CASE WHEN $sq >= 131072 THEN (($sq) // 2) * 4294967296 + ((s % 4294967296) * 2 + 1) " +
-      s"ELSE ($sq) * 4294967296 + (s % 4294967296) * 2 END) % 4294967296))"
-  }
+  private def lgD(c: String): String = FixLog.lgD(c)
 
   private def dWt(pos: String, l: Int): String =
     s"coalesce(vm[substr(w, $pos, $l)][1], $NEG)"

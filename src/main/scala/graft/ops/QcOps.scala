@@ -856,7 +856,52 @@ object QcOps {
       .orderBy(col("tbl"), col("col_name"))
   }
 
+  /** KL DIVERGENCE IN BITS between two categorical distributions — the
+    * drift metric the Hellinger gate couldn't reach (KL needs logs, and
+    * ln/exp are not correctly rounded cross-engine): the shared
+    * fixed-point log2 ([[graft.ext.FixLog]]) makes it EXACT. The metric
+    * is defined over truncated logs — kl_fp = (Σ nᵢ·((lg nᵢ − lg N) −
+    * (lg mᵢ − lg M))) div N, per-sample bits in 2^16 fixed point — so
+    * both engines compute the same integer; the only doubles are final
+    * int64→float64 casts. Compared: the event-type mix of the month's
+    * FIRST half vs SECOND half, renormalized to the SHARED support
+    * (KL is undefined where q=0; the inner join makes the gate
+    * well-posed, and a support change would already fail
+    * qc_schema_contract-style category checks upstream). Both
+    * directions are emitted — KL is asymmetric, and which side is
+    * "reference" matters operationally (P||Q spikes when new mass
+    * appears where Q was thin).
+    *
+    * At 100 TB: two map-side-combined counts at category grain, one
+    * category-grain join, one fold — the raw stream is touched twice
+    * and shuffles only 8-byte-key counts.
+    */
+  def klBits(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), (dayofmonth(col("ts")) <= 15).as("fh"))
+    val p = ev.filter(col("fh")).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = ev.filter(!col("fh")).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"))
+    val j = p.join(q, Seq("event_type"))
+    val tot = j.agg(sum(col("n")).as("np"), sum(col("m")).as("nq"))
+    j.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_types"),
+        max(col("np")).as("n_p"), max(col("nq")).as("n_q"),
+        sum(expr(s"n * ((${lgS("n")} - ${lgS("np")}) - (${lgS("m")} - ${lgS("nq")}))"))
+          .as("num_pq"),
+        sum(expr(s"m * ((${lgS("m")} - ${lgS("nq")}) - (${lgS("n")} - ${lgS("np")}))"))
+          .as("num_qp"))
+      .select(col("n_types"), col("n_p"), col("n_q"),
+        expr("num_pq div n_p").as("kl_pq_fp"),
+        expr("num_qp div n_q").as("kl_qp_fp"))
+      .withColumn("kl_pq_bits", col("kl_pq_fp").cast("double") / lit(65536.0))
+      .withColumn("kl_qp_bits", col("kl_qp_fp").cast("double") / lit(65536.0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_kl_bits" -> klBits,
     "qc_schema_contract" -> schemaContract,
     "x_observe_gates" -> observeGates,
     "qc_hellinger_drift" -> hellingerDrift,
@@ -914,6 +959,33 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc_kl_bits" -> {
+      import graft.ext.FixLog.lgD
+      s"""WITH e AS (
+         |  SELECT event_type, day(ts) <= 15 AS fh FROM events),
+         |p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM e WHERE fh GROUP BY 1),
+         |q AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m
+         |      FROM e WHERE NOT fh GROUP BY 1),
+         |j AS (SELECT p.event_type, n, m FROM p JOIN q USING (event_type)),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS np,
+         |             CAST(SUM(m) AS BIGINT) AS nq FROM j),
+         |f AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         MAX(np) AS n_p, MAX(nq) AS n_q,
+         |         CAST(SUM(n * ((${lgD("n")} - ${lgD("np")})
+         |                     - (${lgD("m")} - ${lgD("nq")}))) AS BIGINT)
+         |           AS num_pq,
+         |         CAST(SUM(m * ((${lgD("m")} - ${lgD("nq")})
+         |                     - (${lgD("n")} - ${lgD("np")}))) AS BIGINT)
+         |           AS num_qp
+         |  FROM j, t)
+         |SELECT n_types, n_p, n_q,
+         |       num_pq // n_p AS kl_pq_fp, num_qp // n_q AS kl_qp_fp,
+         |       CAST(num_pq // n_p AS DOUBLE) / 65536.0 AS kl_pq_bits,
+         |       CAST(num_qp // n_q AS DOUBLE) / 65536.0 AS kl_qp_bits
+         |FROM f""".stripMargin
+    },
     // string_agg(h, '' ORDER BY child key) replays Spark's sorted
     // struct-collect concatenation exactly (the proven-identical pair).
     "qc_merkle_tree" ->
