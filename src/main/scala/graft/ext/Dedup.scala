@@ -995,7 +995,54 @@ object Dedup {
     perK.reduce(_ unionByName _).orderBy(col("k"), col("pair_class"))
   }
 
+  private val CDC_K = 3   // rolling window (words) for the boundary test
+  private val CDC_DIV = 8 // boundary divisor → mean chunk ≈ CDC_DIV words
+
+  /** CONTENT-DEFINED CHUNKING dedup (the rsync/FastCDC/casync family,
+    * at word grain): a chunk boundary falls AFTER position i wherever
+    * the rolling K-word window hash ≡ 0 (mod D) — so boundaries are a
+    * function of local CONTENT, not position, and an insertion near a
+    * doc's head shifts NO boundary beyond the window it touches. That
+    * shift-resistance is what fixed-width chunking ([[graft.ext.TextOps
+    * .chunkDedup]]) fundamentally lacks: there, one inserted word
+    * re-frames every later chunk and dedup finds nothing. Emits each
+    * chunk fingerprint seen ≥ 2 times with its document reach,
+    * occurrence count, and width — the storage-dedup ledger (and the
+    * sub-document near-dup signal gram sets blur away).
+    *
+    * At 100 TB: boundaries and chunks are per-row array work inside
+    * codegen (no shuffle); only 8-byte chunk fingerprints + widths
+    * shuffle to the groupBy — chunk TEXT never travels, the dup-gram
+    * wire discipline. Mean chunk width is the divisor D: the knob that
+    * trades ledger size against dedup resolution.
+    */
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val gramHash = sparkHash(s"concat_ws(' ', slice(ws, i - ${CDC_K - 1}, $CDC_K))")
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("bs", expr(
+        s"filter(transform(sequence(1, size(ws)), i -> " +
+          s"CASE WHEN i >= $CDC_K AND i < size(ws) AND $gramHash % $CDC_DIV = 0 " +
+          "THEN i END), x -> x IS NOT NULL)"))
+      .withColumn("starts", expr("concat(array(1), transform(bs, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bs, array(size(ws)))"))
+      .withColumn("j", explode(expr("sequence(1, size(starts))")))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', slice(ws, element_at(starts, j), " +
+          "element_at(ends, j) - element_at(starts, j) + 1))").as("chunk"),
+        expr("CAST(element_at(ends, j) - element_at(starts, j) + 1 AS BIGINT)")
+          .as("lw"))
+      .select(col("doc_id"), expr(sparkHash("chunk")).as("h"), col("lw"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), max(col("lw")).as("len_words"))
+      .filter(col("n_occ") >= 2)
+      .orderBy(col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cdc_chunks" -> cdcChunks,
     "dd_shingle_sweep" -> shingleSweep,
     "dd_edit_blocked" -> editBlocked,
     "dd_band_planner" -> bandPlanner,
@@ -1049,6 +1096,32 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_cdc_chunks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE length(text) > 0),
+         |b AS (
+         |  SELECT doc_id, ws,
+         |    list_filter([CASE WHEN i >= $CDC_K AND i < len(ws)
+         |        AND ${duckHash(s"array_to_string(ws[CAST(i AS INT) - ${CDC_K - 1}:CAST(i AS INT)], ' ')")} % $CDC_DIV = 0
+         |      THEN i END for i in range(1, len(ws) + 1)],
+         |      x -> x IS NOT NULL) AS bs
+         |  FROM w),
+         |sp AS (
+         |  SELECT doc_id, ws,
+         |         list_prepend(CAST(1 AS BIGINT), [x + 1 for x in bs]) AS starts,
+         |         list_append(bs, CAST(len(ws) AS BIGINT)) AS ends
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id,
+         |         array_to_string(ws[CAST(starts[CAST(j AS INT)] AS INT):CAST(ends[CAST(j AS INT)] AS INT)], ' ') AS chunk,
+         |         ends[CAST(j AS INT)] - starts[CAST(j AS INT)] + 1 AS lw
+         |  FROM sp, unnest(range(1, len(starts) + 1)) AS t(j))
+         |SELECT ${duckHash("chunk")} AS h,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |       CAST(MAX(lw) AS BIGINT) AS len_words
+         |FROM ch GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY h""".stripMargin,
     "dd_band_planner" -> {
       val simList = plannerSims.map(_.toString).mkString("[", ", ", "]")
       val branches = plannerConfigs.map { case (b, r) =>

@@ -1580,7 +1580,69 @@ object Multimodal {
       .orderBy(col("source"), col("mime"))
   }
 
+  /** WARC RECORD PARSING — the container format of the web-crawl corpus
+    * (Common Crawl ships as WARC; every LLM data pipeline starts by
+    * walking these records): the fixture serializes documents into
+    * spec-shaped WARC/1.0 records (version line, named headers,
+    * Content-Length octet framing, double-CRLF header terminator,
+    * double-CRLF record separator, an md5 WARC-Payload-Digest) grouped
+    * three records to a file, then the PARSER recovers everything from
+    * the serialized string alone: record framing by version-line split,
+    * header/payload split at the first blank line, Content-Length-driven
+    * payload extraction, and digest + length integrity checks — the two
+    * gates a crawl ingester runs before trusting a record. The payload
+    * fixture is pure ASCII so octet == char; a production corpus frames
+    * by byte offsets on the raw stream (this is the semantics layer,
+    * the [[mm_mp4_atoms]] byte-walker is the binary-framing twin).
+    *
+    * At 100 TB: WARC files are embarrassingly record-parallel — all
+    * parsing here is per-row string work inside codegen, no shuffle
+    * until the final order-for-verify; a real ingester splits multi-GB
+    * WARC files by scanning for the version magic, exactly the split
+    * this parser's framing rule defines.
+    */
+  def warcRecords(s: SparkSession, d: String): DataFrame = {
+    val crlf = "\r\n"
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 60)
+      .select(col("doc_id"),
+        expr("substr(text, 1, CAST(80 + doc_id % 40 AS INT))").as("payload"))
+      .withColumn("rec", concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://corpus.local/doc/"),
+        col("doc_id").cast("string"), lit(crlf),
+        lit("WARC-Payload-Digest: md5:"), md5(col("payload")), lit(crlf),
+        lit("Content-Length: "), expr("octet_length(payload)").cast("string"),
+        lit(crlf + crlf), col("payload"), lit(crlf + crlf)))
+    val warcs = docs.withColumn("warc_id", expr("doc_id div 3"))
+      .groupBy(col("warc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(doc_id, rec))), x -> x.rec), '')").as("warc"))
+    // parse back — every output column derives from `warc` alone
+    warcs
+      .withColumn("recs", split(col("warc"), "WARC/1\\.0" + crlf))
+      .withColumn("recs", expr("slice(recs, 2, size(recs))"))
+      .select(col("warc_id"), posexplode(col("recs")).as(Seq("rec_idx", "rec")))
+      .withColumn("hdr_end", instr(col("rec"), crlf + crlf))
+      .withColumn("headers", expr("substr(rec, 1, hdr_end - 1)"))
+      .withColumn("content_length", regexp_extract(col("headers"),
+        "Content-Length: ([0-9]+)", 1).cast("long"))
+      .withColumn("uri", regexp_extract(col("headers"),
+        "WARC-Target-URI: ([0-9a-z:/.]+)", 1))
+      .withColumn("declared", regexp_extract(col("headers"),
+        "WARC-Payload-Digest: md5:([0-9a-f]+)", 1))
+      .withColumn("payload",
+        expr("substr(rec, hdr_end + 4, CAST(content_length AS INT))"))
+      .select(col("warc_id"), col("rec_idx").cast("long").as("rec_idx"),
+        col("uri"), col("content_length"),
+        (md5(col("payload")) === col("declared")).as("digest_ok"),
+        (expr("octet_length(payload)") === col("content_length").cast("int"))
+          .as("length_ok"))
+      .orderBy(col("warc_id"), col("rec_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_warc_records" -> warcRecords,
     "mm_magic_sniff" -> magicSniff,
     "mm_exif_meta" -> exifMeta,
     "mm_srt_captions" -> srtCaptions,
@@ -1611,6 +1673,56 @@ object Multimodal {
     s"CAST('0x' || substr(sha256(text), ${2 * i + 1}, 2) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "mm_warc_records" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, CAST(80 + doc_id % 40 AS INT)) AS payload
+        |  FROM documents WHERE length(text) >= 60),
+        |r AS (
+        |  SELECT doc_id, doc_id // 3 AS warc_id,
+        |         'WARC/1.0' || chr(13)||chr(10)
+        |         || 'WARC-Type: response' || chr(13)||chr(10)
+        |         || 'WARC-Target-URI: http://corpus.local/doc/'
+        |           || CAST(doc_id AS VARCHAR) || chr(13)||chr(10)
+        |         || 'WARC-Payload-Digest: md5:' || md5(payload)
+        |           || chr(13)||chr(10)
+        |         || 'Content-Length: '
+        |           || CAST(strlen(payload) AS VARCHAR)
+        |           || chr(13)||chr(10) || chr(13)||chr(10)
+        |         || payload || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+        |  FROM p),
+        |w AS (SELECT warc_id, string_agg(rec, '' ORDER BY doc_id) AS warc
+        |      FROM r GROUP BY 1),
+        |x AS (
+        |  SELECT warc_id,
+        |    unnest(string_split(warc, 'WARC/1.0' || chr(13)||chr(10))) AS rec,
+        |    generate_subscripts(
+        |      string_split(warc, 'WARC/1.0' || chr(13)||chr(10)), 1) AS k
+        |  FROM w),
+        |y AS (
+        |  SELECT warc_id, CAST(k - 2 AS BIGINT) AS rec_idx, rec,
+        |         instr(rec, chr(13)||chr(10)||chr(13)||chr(10)) AS hdr_end
+        |  FROM x WHERE k >= 2),
+        |h AS (
+        |  SELECT warc_id, rec_idx, rec, hdr_end,
+        |         substr(rec, 1, CAST(hdr_end - 1 AS INT)) AS headers
+        |  FROM y),
+        |f AS (
+        |  SELECT warc_id, rec_idx,
+        |    regexp_extract(headers, 'WARC-Target-URI: ([0-9a-z:/.]+)', 1)
+        |      AS uri,
+        |    CAST(regexp_extract(headers, 'Content-Length: ([0-9]+)', 1)
+        |      AS BIGINT) AS content_length,
+        |    regexp_extract(headers, 'WARC-Payload-Digest: md5:([0-9a-f]+)', 1)
+        |      AS declared,
+        |    substr(rec, CAST(hdr_end + 4 AS INT),
+        |      CAST(regexp_extract(headers, 'Content-Length: ([0-9]+)', 1)
+        |        AS INT)) AS payload
+        |  FROM h)
+        |SELECT warc_id, rec_idx, uri, content_length,
+        |       md5(payload) = declared AS digest_ok,
+        |       strlen(payload) = content_length AS length_ok
+        |FROM f ORDER BY warc_id, rec_idx""".stripMargin,
     // Closed forms of the MP4 fixture (6 boxes: ftyp, moov, mvhd, trak,
     // tkhd, mdat; duration = timescale·secs so duration_ms = secs·1000);
     // the engine side reads every value out of the container bytes only.

@@ -323,7 +323,58 @@ object PipelineOps {
         sum(col("k")).as("sum_k"))
       .orderBy(col("route"))
 
+  /** FILL-IN-THE-MIDDLE TRANSFORM (Bavarian et al., the code-model
+    * pretraining staple): a hash-gated half of the corpus is rewritten
+    * as sentinel-delimited (prefix, suffix, middle) permutations — PSM
+    * or SPM order, itself hash-chosen — with the two cut points drawn
+    * from independent 60-bit hashes of the doc id, so the "random"
+    * augmentation is REPLAYABLE: the same doc always cuts at the same
+    * points in any run, any engine (the no-rand() discipline every
+    * pipe_* operator carries). Cuts guarantee non-empty prefix, middle,
+    * and suffix. The verified surface is the full decision (mode, cut
+    * points, word count) plus the md5 and length of the transformed
+    * text — the oracle rebuilds the exact output string.
+    *
+    * At 100 TB: pure per-row projection inside codegen; nothing
+    * shuffles but the verify-gate sort.
+    */
+  def fimTransform(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Hashing.sparkHash
+    val h0 = sparkHash("concat(CAST(doc_id AS STRING), ':fim0')")
+    val h1 = sparkHash("concat(CAST(doc_id AS STRING), ':fim1')")
+    val h2 = sparkHash("concat(CAST(doc_id AS STRING), ':fim2')")
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_words", expr("CAST(size(ws) AS BIGINT)"))
+      .withColumn("mode", expr(
+        s"CASE WHEN n_words < 4 OR $h0 % 2 = 1 THEN 'none' " +
+          s"WHEN $h0 % 4 = 0 THEN 'spm' ELSE 'psm' END"))
+      .withColumn("cut_i", expr(
+        s"CASE WHEN mode = 'none' THEN 0L ELSE 1 + $h1 % (n_words - 2) END"))
+      .withColumn("cut_j", expr(
+        s"CASE WHEN mode = 'none' THEN 0L " +
+          s"ELSE cut_i + 1 + $h2 % (n_words - cut_i - 1) END"))
+      .withColumn("out", expr(
+        """CASE WHEN mode = 'none' THEN concat_ws(' ', ws)
+          |WHEN mode = 'psm' THEN
+          |  concat('<fim_prefix>', concat_ws(' ', slice(ws, 1, CAST(cut_i AS INT))),
+          |    '<fim_suffix>', concat_ws(' ', slice(ws, CAST(cut_j + 1 AS INT), CAST(n_words - cut_j AS INT))),
+          |    '<fim_middle>', concat_ws(' ', slice(ws, CAST(cut_i + 1 AS INT), CAST(cut_j - cut_i AS INT))))
+          |ELSE
+          |  concat('<fim_suffix>', concat_ws(' ', slice(ws, CAST(cut_j + 1 AS INT), CAST(n_words - cut_j AS INT))),
+          |    '<fim_prefix>', concat_ws(' ', slice(ws, 1, CAST(cut_i AS INT))),
+          |    '<fim_middle>', concat_ws(' ', slice(ws, CAST(cut_i + 1 AS INT), CAST(cut_j - cut_i AS INT))))
+          |END""".stripMargin))
+      .select(col("doc_id"), col("mode"), col("n_words"),
+        col("cut_i"), col("cut_j"),
+        md5(col("out")).as("out_digest"),
+        length(col("out")).as("len_out"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_fim_transform" -> fimTransform,
     "pipe_dlq" -> dlqRouting,
     "pipe_imv" -> imvMaintain,
     "pipe_epoch_shuffle" -> epochShuffle,
@@ -339,6 +390,52 @@ object PipelineOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipe_fim_transform" -> {
+      import graft.ext.Hashing.duckHash
+      val h0 = duckHash("CAST(doc_id AS VARCHAR) || ':fim0'")
+      val h1 = duckHash("CAST(doc_id AS VARCHAR) || ':fim1'")
+      val h2 = duckHash("CAST(doc_id AS VARCHAR) || ':fim2'")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM documents WHERE length(text) > 0),
+         |m AS (
+         |  SELECT doc_id, ws, n_words,
+         |    CASE WHEN n_words < 4 OR $h0 % 2 = 1 THEN 'none'
+         |         WHEN $h0 % 4 = 0 THEN 'spm' ELSE 'psm' END AS mode
+         |  FROM w),
+         |c AS (
+         |  SELECT *, CASE WHEN mode = 'none' THEN CAST(0 AS BIGINT)
+         |                 ELSE 1 + $h1 % (n_words - 2) END AS cut_i
+         |  FROM m),
+         |c2 AS (
+         |  SELECT *, CASE WHEN mode = 'none' THEN CAST(0 AS BIGINT)
+         |                 ELSE cut_i + 1 + $h2 % (n_words - cut_i - 1) END
+         |              AS cut_j
+         |  FROM c),
+         |o AS (
+         |  SELECT doc_id, mode, n_words, cut_i, cut_j,
+         |    CASE WHEN mode = 'none' THEN array_to_string(ws, ' ')
+         |         WHEN mode = 'psm' THEN
+         |           '<fim_prefix>'
+         |           || array_to_string(ws[1:CAST(cut_i AS INT)], ' ')
+         |           || '<fim_suffix>'
+         |           || array_to_string(ws[CAST(cut_j + 1 AS INT):CAST(n_words AS INT)], ' ')
+         |           || '<fim_middle>'
+         |           || array_to_string(ws[CAST(cut_i + 1 AS INT):CAST(cut_j AS INT)], ' ')
+         |         ELSE
+         |           '<fim_suffix>'
+         |           || array_to_string(ws[CAST(cut_j + 1 AS INT):CAST(n_words AS INT)], ' ')
+         |           || '<fim_prefix>'
+         |           || array_to_string(ws[1:CAST(cut_i AS INT)], ' ')
+         |           || '<fim_middle>'
+         |           || array_to_string(ws[CAST(cut_i + 1 AS INT):CAST(cut_j AS INT)], ' ')
+         |    END AS out
+         |  FROM c2)
+         |SELECT doc_id, mode, n_words, cut_i, cut_j,
+         |       md5(out) AS out_digest, CAST(length(out) AS INT) AS len_out
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
     "pipe_dlq" ->
       """WITH c AS (
         |  SELECT event_id,
