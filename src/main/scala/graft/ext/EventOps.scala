@@ -1472,7 +1472,90 @@ object EventOps {
       .orderBy(col("t_days"))
   }
 
+  /** KLEINBERG BURST DETECTION (the 2-state infinite-automaton form,
+    * "Bursty and Hierarchical Structure in Streams", KDD'02) — the
+    * trending-topic / incident-window segmentation a naive threshold
+    * gets wrong, because a single quiet hour inside a burst should NOT
+    * split it: the state machine pays a transition toll γ to ENTER the
+    * burst state, so the optimal segmentation smooths over dips. Hourly
+    * counts are scored under two Poisson rates (base λ = hourly mean,
+    * burst 2λ); the shared k! term cancels between states, so the
+    * per-hour emission cost is the EXACT integer λ_s·⌊65536·log₂e⌋ −
+    * k·lg(λ_s) in fixed-point bits ([[FixLog]]) — because lg is the
+    * truncated binary log, lg(2λ) − lg(λ) = 65536 EXACTLY, so the
+    * burst-vs-base margin is k·1bit against (λ·log₂e + amortized γ):
+    * bursts are sustained stretches above ≈1.44λ.
+    *
+    * Decoding is Viterbi via the forward+backward min-plus identity:
+    * state(t) = argmin_s (F(t,s) + B(t,s)) with ties to base — two
+    * linear folds instead of a path backtrack, each an aggregate() over
+    * the hour-count array (the [[graft.ext.UnigramLM]] fold discipline;
+    * a withColumn chain would blow up under CollapseProject). The
+    * DuckDB oracle replays both folds as RECURSIVE CTEs — engine-exact
+    * because every quantity is BIGINT.
+    *
+    * At 100 TB: the corpus folds map-side to the HOUR grain (≤ 8760
+    * rows/year); the DP runs on one bounded array. The calendar, not
+    * the event volume, prices this operator.
+    */
+  def burstKleinberg(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val LOG2E = 94548L // ⌊65536·log2(e)⌋ — a defined constant of the metric
+    val GAMMA = 262144L // 4-bit toll to enter the burst state
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(expr(s"unix_micros(ts) div $hourUs").as("h"))
+    val counts = ev.groupBy(col("h")).agg(count(lit(1)).as("k"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val series = bounds.select(explode(expr("sequence(h0, h1)")).as("h"))
+      .join(counts, Seq("h"), "left").na.fill(0L, Seq("k"))
+      .agg(sort_array(collect_list(struct(col("h"), col("k")))).as("hs"))
+      .select(col("hs"), expr("transform(hs, x -> x.k)").as("ks"),
+        expr("CAST(size(hs) AS BIGINT)").as("hn"))
+      .withColumn("total",
+        expr("aggregate(ks, 0L, (a, x) -> a + x)"))
+      .withColumn("lam0", expr("greatest(1L, total div hn)"))
+      .withColumn("lam1", expr("lam0 * 2"))
+      .withColumn("lg0", expr(lgS("lam0")))
+      .withColumn("lg1", expr(lgS("lam1")))
+    series
+      .withColumn("fwd", expr(
+        s"""aggregate(ks, CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>),
+           |  (acc, k) -> CASE WHEN size(acc) = 0
+           |    THEN array(named_struct(
+           |      'a', lam0 * $LOG2E - k * lg0,
+           |      'b', lam1 * $LOG2E - k * lg1 + $GAMMA))
+           |    ELSE concat(acc, array(named_struct(
+           |      'a', lam0 * $LOG2E - k * lg0 +
+           |           least(element_at(acc, -1).a, element_at(acc, -1).b),
+           |      'b', lam1 * $LOG2E - k * lg1 +
+           |           least(element_at(acc, -1).a + $GAMMA, element_at(acc, -1).b))))
+           |  END)""".stripMargin))
+      .withColumn("bwd", expr(
+        s"""reverse(aggregate(reverse(ks),
+           |  CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT, k: BIGINT>>),
+           |  (acc, k) -> CASE WHEN size(acc) = 0
+           |    THEN array(named_struct('a', 0L, 'b', 0L, 'k', k))
+           |    ELSE concat(acc, array(named_struct(
+           |      'a', least(
+           |        lam0 * $LOG2E - element_at(acc, -1).k * lg0 + element_at(acc, -1).a,
+           |        $GAMMA + lam1 * $LOG2E - element_at(acc, -1).k * lg1 + element_at(acc, -1).b),
+           |      'b', least(
+           |        lam0 * $LOG2E - element_at(acc, -1).k * lg0 + element_at(acc, -1).a,
+           |        lam1 * $LOG2E - element_at(acc, -1).k * lg1 + element_at(acc, -1).b),
+           |      'k', k)))
+           |  END))""".stripMargin))
+      .withColumn("t", explode(expr("sequence(1, CAST(hn AS INT))")))
+      .select(
+        expr(s"timestamp_micros(element_at(hs, t).h * $hourUs)").as("hour_start"),
+        expr("element_at(ks, t)").as("n_events"),
+        (expr("element_at(fwd, t).b + element_at(bwd, t).b") <
+          expr("element_at(fwd, t).a + element_at(bwd, t).a")).as("burst"))
+      .orderBy(col("hour_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_burst_kleinberg" -> burstKleinberg,
     "ev_survival_km" -> survivalKm,
     "ev_funnel_windowed" -> funnelWindowed,
     "ev_seasonal_decompose" -> seasonalDecompose,
@@ -1518,6 +1601,50 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_burst_kleinberg" -> {
+      import graft.ext.FixLog.lgD
+      s"""WITH RECURSIVE e AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+         |bnd AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+         |cnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1),
+         |ser AS (
+         |  SELECT CAST(x - h0 AS BIGINT) AS t, CAST(x AS BIGINT) AS h,
+         |         COALESCE(k, CAST(0 AS BIGINT)) AS k
+         |  FROM bnd, unnest(range(h0, h1 + 1)) AS u(x) LEFT JOIN cnt ON x = cnt.h),
+         |par AS (
+         |  SELECT hn, total, lam0, lam0 * 2 AS lam1,
+         |         ${lgD("lam0")} AS lg0, ${lgD("lam0 * 2")} AS lg1
+         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS hn,
+         |               CAST(SUM(k) AS BIGINT) AS total,
+         |               greatest(CAST(1 AS BIGINT),
+         |                 CAST(SUM(k) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+         |                 AS lam0
+         |        FROM ser)),
+         |fwd(t, a, b) AS (
+         |  SELECT CAST(0 AS BIGINT),
+         |         lam0 * 94548 - k * lg0,
+         |         lam1 * 94548 - k * lg1 + 262144
+         |  FROM ser, par WHERE t = 0
+         |  UNION ALL
+         |  SELECT s.t,
+         |         lam0 * 94548 - s.k * lg0 + least(f.a, f.b),
+         |         lam1 * 94548 - s.k * lg1 + least(f.a + 262144, f.b)
+         |  FROM fwd f JOIN ser s ON s.t = f.t + 1, par),
+         |bwd(t, a, b) AS (
+         |  SELECT hn - 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM par
+         |  UNION ALL
+         |  SELECT w.t - 1,
+         |         least(lam0 * 94548 - sn.k * lg0 + w.a,
+         |               262144 + lam1 * 94548 - sn.k * lg1 + w.b),
+         |         least(lam0 * 94548 - sn.k * lg0 + w.a,
+         |               lam1 * 94548 - sn.k * lg1 + w.b)
+         |  FROM bwd w JOIN ser sn ON sn.t = w.t, par WHERE w.t >= 1)
+         |SELECT make_timestamp(s.h * 3600000000) AS hour_start,
+         |       s.k AS n_events,
+         |       (f.b + w.b) < (f.a + w.a) AS burst
+         |FROM ser s JOIN fwd f ON f.t = s.t JOIN bwd w ON w.t = s.t
+         |ORDER BY hour_start""".stripMargin
+    },
     "ev_survival_km" -> {
       import graft.ext.FixLog.lgD
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -809,6 +809,51 @@ object TextOps {
         sum(col("rh").cast("decimal(30,0)")).cast("string").as("checksum"))
       .orderBy(col("shard"))
 
+  /** DATA-LOADER RESUME PLAN — the checkpoint-restart arithmetic every
+    * large training run performs: shards ([[shardManifest]]'s hash
+    * assignment) are consumed in shard order, docs within a shard in
+    * doc_id order, and a run that checkpointed after R samples (here the
+    * fixed 60% rule, R = 3·total div 5) must resume EXACTLY at sample
+    * R+1 — off by one and the loss curve silently replays or skips data.
+    * Per shard: docs consumed, whether the resume point lands here, the
+    * in-shard offset, and the concrete doc_id training resumes on — all
+    * integer, so the oracle proves the pointer, not an estimate of it.
+    *
+    * Scale shape: one scan to the 16-row shard frame; the cumulative
+    * window runs at shard grain (bounded by the shard count you chose,
+    * never by corpus size); the resume doc_id rides a per-shard sorted
+    * list only for the ONE shard that needs it — at production shard
+    * widths that lookup is an ORDER BY LIMIT 1 OFFSET k against the
+    * resume shard alone, not a collect of the corpus.
+    */
+  def resumeOffsets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byShard = Tables.documents(s, d)
+      .withColumn("shard",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 16"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+    val tot = byShard.agg(sum(col("n_docs")).as("total"))
+    val w = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byShard.crossJoin(broadcast(tot))
+      .withColumn("cum_before", coalesce(sum(col("n_docs")).over(w), lit(0L)))
+      .withColumn("r", expr("(total * 3) div 5"))
+      .withColumn("consumed", expr(
+        "greatest(0L, least(n_docs, r - cum_before))"))
+      .withColumn("resume_here",
+        col("cum_before") <= col("r") && col("r") < col("cum_before") + col("n_docs"))
+      .withColumn("resume_offset",
+        when(col("resume_here"), col("r") - col("cum_before")).otherwise(lit(-1L)))
+      .withColumn("resume_doc_id",
+        when(col("resume_here"),
+          expr("element_at(ids, CAST(resume_offset + 1 AS INT))")))
+      .select(col("shard"), col("n_docs"), col("cum_before"), col("consumed"),
+        col("resume_here"), col("resume_offset"), col("resume_doc_id"))
+      .orderBy(col("shard"))
+  }
+
   /** Per-worker token skew across data-parallel fan-outs — the
     * straggler audit every distributed-training run wants before it
     * launches: shards ([[shardManifest]]'s hash assignment) deal to W
@@ -2457,6 +2502,7 @@ object TextOps {
     "tx_hapax" -> hapax,
     "tx_simpson" -> simpson,
     "pipe_shard_manifest" -> shardManifest,
+    "pipe_resume_offsets" -> resumeOffsets,
     "pipe_worker_balance" -> workerBalance,
     "pipe_provenance" -> provenance,
     "tx_fertility" -> fertility,
@@ -2523,6 +2569,31 @@ object TextOps {
       // DuckDB's native UAX #15 implementation replays the JVM
       // Normalizer byte-for-byte; chr() builds the same decomposed
       // combining sequences the Spark literal carries.
+      "pipe_resume_offsets" ->
+        s"""WITH s AS (
+           |  SELECT ${duckHash("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+           |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         list_sort(list(doc_id)) AS ids
+           |  FROM documents GROUP BY 1),
+           |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM s),
+           |c AS (
+           |  SELECT shard, n_docs, ids, total,
+           |         COALESCE(CAST(SUM(n_docs) OVER (ORDER BY shard
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |           AS BIGINT), 0) AS cum_before,
+           |         (total * 3) // 5 AS r
+           |  FROM s, t)
+           |SELECT shard, n_docs, cum_before,
+           |       greatest(CAST(0 AS BIGINT), least(n_docs, r - cum_before))
+           |         AS consumed,
+           |       cum_before <= r AND r < cum_before + n_docs AS resume_here,
+           |       CASE WHEN cum_before <= r AND r < cum_before + n_docs
+           |            THEN r - cum_before ELSE CAST(-1 AS BIGINT) END
+           |         AS resume_offset,
+           |       CASE WHEN cum_before <= r AND r < cum_before + n_docs
+           |            THEN ids[CAST(r - cum_before + 1 AS INT)] END
+           |         AS resume_doc_id
+           |FROM c ORDER BY shard""".stripMargin,
       "tx_char_entropy" ->
         s"""WITH ch AS (
            |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch

@@ -900,7 +900,60 @@ object QcOps {
       .withColumn("kl_qp_bits", col("kl_qp_fp").cast("double") / lit(65536.0))
   }
 
+  /** SHEWHART CONTROL CHART on the daily revenue series — the
+    * statistical-process-control gate an ops team runs on every KPI
+    * feed: center line and ±3σ control limits from the series' own
+    * population moments, per-day out-of-control flags (rule 1: beyond
+    * 3σ) and the Western-Electric rule-2 early warning (≥2 of the last
+    * 3 days beyond 2σ on the SAME side — catches drifts rule 1 misses).
+    *
+    * Exactness: daily revenue folds to BIGINT cents; Σx² rides
+    * DECIMAL(38,0) (the wide-decimal discipline) so the variance
+    * numerator n·Σx² − (Σx)² is exact, reaches double through ONE
+    * string cast (correctly-rounded parse), and σ is one correctly-
+    * rounded √ over it — identical doubles both engines, hence
+    * identical FLAGS, which is what a gate must guarantee (a 1-ulp σ
+    * disagreement would flip a boundary day).
+    *
+    * At 100 TB: the fact folds map-side to day grain; moments and
+    * flags run on the bounded calendar frame.
+    */
+  def controlChart(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+        .as("rev_cents"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("rev_cents")).as("sx"),
+        sum(expr("CAST(rev_cents AS DECIMAL(18,0)) * CAST(rev_cents AS DECIMAL(18,0))"))
+          .as("sxx"))
+      .select(col("n"), col("sx"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS STRING)")
+          .as("dev2_str"))
+      .select(col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("cl"),
+        (sqrt(expr("CAST(dev2_str AS DOUBLE)")) / col("n").cast("double"))
+          .as("sigma"))
+    val w3 = Window.orderBy(col("day")).rowsBetween(-2, 0)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("x", col("rev_cents").cast("double"))
+      .withColumn("ucl", col("cl") + lit(3.0) * col("sigma"))
+      .withColumn("lcl", col("cl") - lit(3.0) * col("sigma"))
+      .withColumn("hi2", (col("x") > col("cl") + lit(2.0) * col("sigma"))
+        .cast("long"))
+      .withColumn("lo2", (col("x") < col("cl") - lit(2.0) * col("sigma"))
+        .cast("long"))
+      .withColumn("beyond_3sigma", col("x") > col("ucl") || col("x") < col("lcl"))
+      .withColumn("rule2_high", sum(col("hi2")).over(w3) >= 2)
+      .withColumn("rule2_low", sum(col("lo2")).over(w3) >= 2)
+      .select(col("day"), col("rev_cents"), col("ucl"), col("lcl"),
+        col("beyond_3sigma"), col("rule2_high"), col("rule2_low"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_control_chart" -> controlChart,
     "qc_kl_bits" -> klBits,
     "qc_schema_contract" -> schemaContract,
     "x_observe_gates" -> observeGates,
@@ -959,6 +1012,42 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc_control_chart" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(rev_cents) AS BIGINT) AS sx,
+        |         SUM(CAST(rev_cents AS HUGEINT) * CAST(rev_cents AS HUGEINT))
+        |           AS sxx
+        |  FROM daily),
+        |pr AS (
+        |  SELECT n,
+        |         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cl,
+        |         sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx
+        |             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR)
+        |           AS DOUBLE)) / CAST(n AS DOUBLE) AS sigma
+        |  FROM st),
+        |f AS (
+        |  SELECT day, rev_cents, CAST(rev_cents AS DOUBLE) AS x, cl, sigma,
+        |         cl + 3.0 * sigma AS ucl, cl - 3.0 * sigma AS lcl,
+        |         CASE WHEN CAST(rev_cents AS DOUBLE) > cl + 2.0 * sigma
+        |              THEN 1 ELSE 0 END AS hi2,
+        |         CASE WHEN CAST(rev_cents AS DOUBLE) < cl - 2.0 * sigma
+        |              THEN 1 ELSE 0 END AS lo2
+        |  FROM daily, pr)
+        |SELECT day, rev_cents, ucl, lcl,
+        |       x > ucl OR x < lcl AS beyond_3sigma,
+        |       CAST(SUM(hi2) OVER (ORDER BY day
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) >= 2
+        |         AS rule2_high,
+        |       CAST(SUM(lo2) OVER (ORDER BY day
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) >= 2
+        |         AS rule2_low
+        |FROM f ORDER BY day""".stripMargin,
     "qc_kl_bits" -> {
       import graft.ext.FixLog.lgD
       s"""WITH e AS (
