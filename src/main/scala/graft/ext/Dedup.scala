@@ -1016,9 +1016,13 @@ object Dedup {
     * wire discipline. Mean chunk width is the divisor D: the knob that
     * trades ledger size against dedup resolution.
     */
-  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+  /** The per-document chunking pass of [[cdcChunks]], factored over any
+    * (doc_id, text) frame so the spec can prove shift-resistance on
+    * hand-built twins. Returns (doc_id, h, lw) chunk rows.
+    */
+  def cdcChunkify(docs: DataFrame): DataFrame = {
     val gramHash = sparkHash(s"concat_ws(' ', slice(ws, i - ${CDC_K - 1}, $CDC_K))")
-    Tables.documents(s, d)
+    docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("bs", expr(
@@ -1034,14 +1038,76 @@ object Dedup {
         expr("CAST(element_at(ends, j) - element_at(starts, j) + 1 AS BIGINT)")
           .as("lw"))
       .select(col("doc_id"), expr(sparkHash("chunk")).as("h"), col("lw"))
+  }
+
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunkify(Tables.documents(s, d))
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"), max(col("lw")).as("len_words"))
       .filter(col("n_occ") >= 2)
       .orderBy(col("h"))
+
+  /** URL CANONICALIZATION dedup — the crawl-frontier normalizer that
+    * runs BEFORE any content dedup (the same page fetched as
+    * `HTTP://Host:80/p/?b=2&a=1#frag` and `http://host/p?a=1&b=2` would
+    * otherwise be crawled, stored, and deduped twice at full content
+    * cost): scheme/host lowercasing, default-port stripping (:80 for
+    * http, :443 for https), fragment removal, trailing-slash
+    * normalization, and query-parameter sorting — each a pure string
+    * rewrite both engines express identically (split_part / regexp
+    * anchors / array sort). The fixture mints four deterministic
+    * variants per URL group, three of which must collapse (case, port,
+    * fragment, slash, param order) while the https variant must NOT
+    * (scheme changes identity). Emits the canonical-URL ledger with raw
+    * variant counts.
+    *
+    * At 100 TB: canonicalization is per-row codegen string work; only
+    * canonical keys shuffle to the groupBy — the frontier-dedup shape.
+    */
+  def urlCanonical(s: SparkSession, d: String): DataFrame = {
+    val urls = Tables.documents(s, d)
+      .select(col("doc_id"), expr("CAST(doc_id div 7 AS STRING)").as("k"))
+      .select(col("doc_id"), expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN concat('http://www.example.com/Docs/', k, '/page?a=1&b=2')
+          |  WHEN 1 THEN concat('HTTP://WWW.EXAMPLE.COM:80/Docs/', k, '/page?b=2&a=1#sec')
+          |  WHEN 2 THEN concat('http://www.example.com:80/Docs/', k, '/page/?a=1&b=2')
+          |  ELSE concat('https://www.example.com/Docs/', k, '/page?a=1&b=2')
+          |END""".stripMargin).as("url"))
+    urls
+      .withColumn("nofrag", expr("split_part(url, '#', 1)"))
+      .withColumn("scheme", expr("lower(split_part(nofrag, '://', 1))"))
+      .withColumn("rest", expr(
+        "substr(nofrag, length(split_part(nofrag, '://', 1)) + 4)"))
+      .withColumn("hostport", expr("lower(split_part(rest, '/', 1))"))
+      .withColumn("host", expr(
+        """CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+          |     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+          |     ELSE hostport END""".stripMargin))
+      .withColumn("pathq", expr(
+        "CASE WHEN length(rest) = length(hostport) THEN '/' " +
+          "ELSE substr(rest, length(hostport) + 1) END"))
+      .withColumn("path", expr("split_part(pathq, '?', 1)"))
+      .withColumn("path2", expr(
+        "CASE WHEN path <> '/' THEN regexp_replace(path, '/$', '') ELSE path END"))
+      .withColumn("q", expr(
+        "CASE WHEN instr(pathq, '?') = 0 THEN '' " +
+          "ELSE substr(pathq, instr(pathq, '?') + 1) END"))
+      .withColumn("q2", expr(
+        "CASE WHEN q = '' THEN '' " +
+          "ELSE array_join(array_sort(split(q, '&')), '&') END"))
+      .withColumn("canonical", expr(
+        "concat(scheme, '://', host, path2, " +
+          "CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END)"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw_variants"))
+      .orderBy(col("canonical"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_url_canonical" -> urlCanonical,
     "dd_cdc_chunks" -> cdcChunks,
     "dd_shingle_sweep" -> shingleSweep,
     "dd_edit_blocked" -> editBlocked,
@@ -1096,6 +1162,65 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'http://www.example.com/Docs/'
+        |        || CAST(doc_id // 7 AS VARCHAR) || '/page?a=1&b=2'
+        |      WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM:80/Docs/'
+        |        || CAST(doc_id // 7 AS VARCHAR) || '/page?b=2&a=1#sec'
+        |      WHEN 2 THEN 'http://www.example.com:80/Docs/'
+        |        || CAST(doc_id // 7 AS VARCHAR) || '/page/?a=1&b=2'
+        |      ELSE 'https://www.example.com/Docs/'
+        |        || CAST(doc_id // 7 AS VARCHAR) || '/page?a=1&b=2'
+        |    END AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT url, split_part(url, '#', 1) AS nofrag FROM u),
+        |p2 AS (
+        |  SELECT url, nofrag,
+        |         lower(split_part(nofrag, '://', 1)) AS scheme,
+        |         substr(nofrag, length(split_part(nofrag, '://', 1)) + 4)
+        |           AS rest
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT url, scheme, rest,
+        |         lower(split_part(rest, '/', 1)) AS hostport
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT url, scheme,
+        |         CASE WHEN scheme = 'http'
+        |                THEN regexp_replace(hostport, ':80$', '')
+        |              WHEN scheme = 'https'
+        |                THEN regexp_replace(hostport, ':443$', '')
+        |              ELSE hostport END AS host,
+        |         CASE WHEN length(rest) = length(hostport) THEN '/'
+        |              ELSE substr(rest, length(hostport) + 1) END AS pathq
+        |  FROM p3),
+        |p5 AS (
+        |  SELECT url, scheme, host,
+        |         split_part(pathq, '?', 1) AS path,
+        |         CASE WHEN instr(pathq, '?') = 0 THEN ''
+        |              ELSE substr(pathq, CAST(instr(pathq, '?') + 1 AS INT))
+        |         END AS q
+        |  FROM p4),
+        |p6 AS (
+        |  SELECT url, scheme, host,
+        |         CASE WHEN path <> '/' THEN regexp_replace(path, '/$', '')
+        |              ELSE path END AS path2,
+        |         CASE WHEN q = '' THEN ''
+        |              ELSE array_to_string(list_sort(string_split(q, '&')), '&')
+        |         END AS q2
+        |  FROM p5),
+        |c AS (
+        |  SELECT url, scheme || '://' || host || path2
+        |           || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+        |           AS canonical
+        |  FROM p6)
+        |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM c GROUP BY 1 ORDER BY canonical""".stripMargin,
     "dd_cdc_chunks" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS ws

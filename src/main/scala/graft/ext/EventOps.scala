@@ -1554,7 +1554,40 @@ object EventOps {
       .orderBy(col("hour_start"))
   }
 
+  /** ENGAGEMENT-SEGMENT MIGRATION MATRIX — the cohort-movement view
+    * behind every retention dashboard: each user is tiered by activity
+    * in the month's first half and again in the second (FIXED count
+    * thresholds — none/low/mid/high — not ntile, so a user's tier is a
+    * function of their own behavior alone and the two halves are
+    * comparable), and the matrix counts users per (from → to) cell with
+    * exact per-row shares in ppm. Upgrades, downgrades, churn-to-none
+    * and resurrection all read directly off the off-diagonals.
+    *
+    * At 100 TB: ONE user-grain conditional aggregation (no self-join of
+    * two halves), then a cell-grain matrix — the window runs on ≤16
+    * rows.
+    */
+  def segmentMigration(s: SparkSession, d: String): DataFrame = {
+    val seg = (c: String) =>
+      s"CASE WHEN $c = 0 THEN 'none' WHEN $c < 30 THEN 'low' " +
+        s"WHEN $c < 37 THEN 'mid' ELSE 'high' END"
+    val users = Tables.events(s, d)
+      .select(col("user_id"),
+        (dayofmonth(col("ts")) <= 15).cast("long").as("fh"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("fh")).as("n1"), sum(expr("1 - fh")).as("n2"))
+      .select(expr(seg("n1")).as("seg_from"), expr(seg("n2")).as("seg_to"))
+    val cells = users.groupBy(col("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy(col("seg_from"))
+    cells
+      .withColumn("row_total", sum(col("n_users")).over(w))
+      .withColumn("share_ppm", expr("(n_users * 1000000) div row_total"))
+      .orderBy(col("seg_from"), col("seg_to"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_segment_migration" -> segmentMigration,
     "ev_burst_kleinberg" -> burstKleinberg,
     "ev_survival_km" -> survivalKm,
     "ev_funnel_windowed" -> funnelWindowed,
@@ -1601,6 +1634,31 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_segment_migration" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)
+        |           AS BIGINT) AS n2
+        |  FROM events GROUP BY 1),
+        |seg AS (
+        |  SELECT CASE WHEN n1 = 0 THEN 'none' WHEN n1 < 30 THEN 'low'
+        |              WHEN n1 < 37 THEN 'mid' ELSE 'high' END AS seg_from,
+        |         CASE WHEN n2 = 0 THEN 'none' WHEN n2 < 30 THEN 'low'
+        |              WHEN n2 < 37 THEN 'mid' ELSE 'high' END AS seg_to
+        |  FROM u),
+        |c AS (
+        |  SELECT seg_from, seg_to, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM seg GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg_from, seg_to, n_users,
+        |         CAST(SUM(n_users) OVER (PARTITION BY seg_from) AS BIGINT)
+        |           AS row_total
+        |  FROM c)
+        |SELECT seg_from, seg_to, n_users, row_total,
+        |       (n_users * 1000000) // row_total AS share_ppm
+        |FROM r ORDER BY seg_from, seg_to""".stripMargin,
     "ev_burst_kleinberg" -> {
       import graft.ext.FixLog.lgD
       s"""WITH RECURSIVE e AS (

@@ -2403,8 +2403,15 @@ object TextOps {
     * aggregations; the log runs inside codegen on the (doc, char) grain
     * whose cardinality is ≤ alphabet × docs.
     */
-  def charEntropy(s: SparkSession, d: String): DataFrame = {
-    val chars = Tables.documents(s, d)
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    charEntropyOf(Tables.documents(s, d))
+
+  /** [[charEntropy]] over any (doc_id, text) frame — factored so the
+    * spec can pin the exact closed forms (uniform 16-char alphabet ⇒
+    * exactly 4.0 bits, single-char ⇒ 0.0).
+    */
+  def charEntropyOf(docs: DataFrame): DataFrame = {
+    val chars = docs
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(length(col("ch")) === 1)
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
@@ -2454,7 +2461,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CODE-VS-PROSE DETECTION — the curation router that decides whether
+    * a document joins the code or natural-language mix (mis-routing
+    * either way measurably hurts both domains): two cheap, exact
+    * signals — density of code punctuation ({}();=<>) in ppm and
+    * keyword hits on word boundaries (def/return/class/import/...) —
+    * with fixed thresholds, the Gopher-rules shape. The fixture seeds a
+    * deterministic code fragment into every 11th doc so both router
+    * outcomes are verified. `\\b` is identical in Java regex and RE2;
+    * the symbol class carries no dialect-sensitive metacharacters.
+    *
+    * At 100 TB: two regex scans per row inside codegen, no shuffle.
+    */
+  def codeDetect(s: SparkSession, d: String): DataFrame = {
+    val codeFrag = " def f(x): { return x * 2; } import os; const y = 3;"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(codeFrag)).otherwise(lit("")))
+          .as("raw"))
+      .select(col("doc_id"), length(col("raw")).as("n_chars"),
+        size(expr("regexp_extract_all(raw, '[{}();=<>]', 0)")).cast("long")
+          .as("n_sym"),
+        size(expr(
+          "regexp_extract_all(raw, " +
+            "'\\\\b(def|return|class|import|function|var|const)\\\\b', 0)"))
+          .cast("long").as("kw_hits"))
+      .withColumn("sym_ppm",
+        expr("(n_sym * 1000000) div CAST(n_chars AS BIGINT)"))
+      .withColumn("looks_code",
+        col("sym_ppm") > 20000L || col("kw_hits") >= 2L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_code_detect" -> codeDetect,
     "tx_char_entropy" -> charEntropy,
     "tx_mojibake" -> mojibake,
     "tx_burstiness" -> burstiness,
@@ -2569,6 +2610,26 @@ object TextOps {
       // DuckDB's native UAX #15 implementation replays the JVM
       // Normalizer byte-for-byte; chr() builds the same decomposed
       // combining sequences the Spark literal carries.
+      "tx_code_detect" ->
+        """WITH r AS (
+          |  SELECT doc_id, text
+          |    || CASE WHEN doc_id % 11 = 0
+          |         THEN ' def f(x): { return x * 2; } import os; const y = 3;'
+          |         ELSE '' END AS raw
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, CAST(length(raw) AS INT) AS n_chars,
+          |    CAST(len(regexp_extract_all(raw, '[{}();=<>]')) AS BIGINT)
+          |      AS n_sym,
+          |    CAST(len(regexp_extract_all(raw,
+          |      '\b(def|return|class|import|function|var|const)\b'))
+          |      AS BIGINT) AS kw_hits
+          |  FROM r)
+          |SELECT doc_id, n_chars, n_sym, kw_hits,
+          |       (n_sym * 1000000) // CAST(n_chars AS BIGINT) AS sym_ppm,
+          |       (n_sym * 1000000) // CAST(n_chars AS BIGINT) > 20000
+          |         OR kw_hits >= 2 AS looks_code
+          |FROM f ORDER BY doc_id""".stripMargin,
       "pipe_resume_offsets" ->
         s"""WITH s AS (
            |  SELECT ${duckHash("CAST(doc_id AS VARCHAR)")} % 16 AS shard,

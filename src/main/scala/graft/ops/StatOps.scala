@@ -111,6 +111,46 @@ object StatOps {
       .orderBy(col("lag"))
   }
 
+  /** LOG-LOG PRICE ELASTICITY OF DEMAND — the econometric regression
+    * (slope of lg quantity on lg unit price across parts) that ln-based
+    * pipelines can never hash-verify: both logs are the EXACT fixed-
+    * point binary log ([[graft.ext.FixLog]]), and because elasticity is
+    * a RATIO of log-differences, the 2^16 scale and the log base cancel
+    * — the slope is d log q / d log p in any base, the economist's
+    * elasticity. Per part: integer unit price (revenue cents div
+    * quantity, a defined metric) and total quantity; OLS moments are
+    * exact BIGINT sums routed to double through DECIMAL(38)/HUGEINT
+    * string casts (the wide-decimal discipline), one division each.
+    *
+    * At 100 TB: one map-side-combined fold to part grain, one fold to
+    * the moment row — the classic two-pass-free regression shape; no
+    * window, no data-grain shuffle beyond the part aggregation.
+    */
+  def elasticity(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val parts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"),
+        sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+          .as("rev_cents"))
+      .filter(col("q") >= 1 && col("rev_cents") >= col("q"))
+      .select(expr("rev_cents div q").as("p_cents"), col("q"))
+      .select(expr(lgS("p_cents")).as("x"), expr(lgS("q")).as("y"))
+    val dec = "DECIMAL(38,0)"
+    parts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"),
+        (expr(s"CAST(CAST(CAST(n AS $dec) * CAST(sxy AS $dec) - " +
+          s"CAST(sx AS $dec) * CAST(sy AS $dec) AS STRING) AS DOUBLE)") /
+          expr(s"CAST(CAST(CAST(n AS $dec) * CAST(sxx AS $dec) - " +
+            s"CAST(sx AS $dec) * CAST(sx AS $dec) AS STRING) AS DOUBLE)"))
+          .as("elasticity"))
+      .select(col("n").as("n_parts"), col("elasticity"),
+        ((col("sy").cast("double") - col("elasticity") * col("sx").cast("double"))
+          / col("n").cast("double") / lit(65536.0)).as("intercept_bits"))
+  }
+
   /** Exact ROC AUC of "total price predicts urgency" — the
     * classifier-evaluation primitive (ranking quality of a score against
     * a binary label), computed by the rank identity
@@ -395,6 +435,7 @@ object StatOps {
     "x_welch_t" -> welchT,
     "x_hits" -> hits,
     "x_autocorr" -> autocorr,
+    "x_elasticity" -> elasticity,
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
     "x_bootstrap_ci" -> bootstrapCi,
@@ -402,6 +443,36 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_elasticity" -> {
+      import graft.ext.FixLog.lgD
+      s"""WITH pp AS (
+         |  SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+         |           AS BIGINT)) AS BIGINT) AS rev_cents
+         |  FROM lineitem GROUP BY l_partkey
+         |  HAVING q >= 1 AND rev_cents >= q),
+         |xy AS (
+         |  SELECT ${lgD("(rev_cents // q)")} AS x, ${lgD("q")} AS y FROM pp),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |         CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM xy),
+         |f AS (
+         |  SELECT n, sx, sy,
+         |         CAST(CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+         |             - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS VARCHAR)
+         |           AS DOUBLE)
+         |         / CAST(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+         |             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR)
+         |           AS DOUBLE) AS elasticity
+         |  FROM m)
+         |SELECT n AS n_parts, elasticity,
+         |       (CAST(sy AS DOUBLE) - elasticity * CAST(sx AS DOUBLE))
+         |         / CAST(n AS DOUBLE) / 65536.0 AS intercept_bits
+         |FROM f""".stripMargin
+    },
     "x_welch_t" ->
       """WITH arms AS (
         |  SELECT o_orderpriority AS arm,

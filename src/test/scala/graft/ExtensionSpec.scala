@@ -1612,4 +1612,79 @@ class ExtensionSpec extends AnyFunSuite {
     assert(edgeTargets >= 5L)
   }
 
+  test("CDC chunking is shift-resistant: an insertion changes no chunk past its window") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val shifted = ("w0 " + words) // insert one word at the front
+    val docs = Seq((1L, words), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = ext.Dedup.cdcChunkify(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("h")).toSeq }
+    val (a, b) = (chunks(1L), chunks(2L))
+    // fixed-width chunking would share ZERO chunks after a head insertion;
+    // content-defined boundaries must re-align: every chunk of the
+    // original except (at most) the first must reappear in the shifted doc
+    val shared = a.toSet.intersect(b.toSet)
+    assert(a.size >= 3, s"fixture degenerate: only ${a.size} chunks")
+    assert(shared.size >= a.size - 1,
+      s"insertion broke re-alignment: ${shared.size} of ${a.size} chunks survive")
+    // and the damage is real: the first chunk (which absorbed the insert)
+    // must differ
+    assert(a.toSet != b.toSet)
+  }
+
+  test("char entropy closed forms: uniform 16-alphabet = 4.0 bits, constant = 0.0") {
+    import spark.implicits._
+    val uniform = "0123456789abcdef" * 4 // 64 chars, each exactly 4 times
+    val docs = Seq((1L, uniform), (2L, "aaaaaaaa")).toDF("doc_id", "text")
+    val got = ext.TextOps.charEntropyOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("h_bits")).toMap
+    // exact, not approximate: lg(16k) - lg(k) = 4·65536 under the
+    // truncated fixed-point log because the mantissa bits are identical
+    assert(got(1L) == 4.0, s"uniform entropy: ${got(1L)}")
+    assert(got(2L) == 0.0, s"constant entropy: ${got(2L)}")
+  }
+
+  test("Kleinberg bursts sit on sustained high counts and smooth over dips") {
+    val rows = ext.EventOps.burstKleinberg(spark, sf).collect()
+    val bursts = rows.filter(_.getAs[Boolean]("burst"))
+    val base = rows.filterNot(_.getAs[Boolean]("burst"))
+    assert(bursts.nonEmpty, "fixture produced no bursts")
+    val lam0 = math.max(1L,
+      rows.map(_.getAs[Long]("n_events")).sum / rows.length)
+    // burst hours beat the base rate ON AVERAGE — individual dip hours
+    // inside a burst may sit at base rate (that retention IS the
+    // smoothing; exiting and re-entering would cost the toll twice)
+    val burstMean = bursts.map(_.getAs[Long]("n_events")).sum.toDouble / bursts.length
+    assert(burstMean > lam0.toDouble,
+      s"burst segments do not exceed the base rate on average: $burstMean vs $lam0")
+    // smoothing evidence: the decision is NOT a pure threshold — some
+    // count value appears on both sides (inside a burst via toll
+    // amortization, outside as an isolated spike)
+    val bSet = bursts.map(_.getAs[Long]("n_events")).toSet
+    val nSet = base.map(_.getAs[Long]("n_events")).toSet
+    assert(bSet.intersect(nSet).nonEmpty,
+      "decode degenerated to a pure per-hour threshold on this fixture")
+  }
+
+  test("URL canonicalization collapses case/port/fragment/slash/params but never scheme") {
+    val rows = ext.Dedup.urlCanonical(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_urls")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val canon = r.getAs[String]("canonical")
+      val raws = r.getAs[Long]("n_raw_variants")
+      assert(canon == canon.toLowerCase || canon.contains("?"),
+        s"case survived canonicalization: $canon")
+      assert(!canon.contains(":80") && !canon.contains("#"),
+        s"port/fragment survived: $canon")
+      if (canon.startsWith("https://"))
+        assert(raws == 1L, s"https absorbed foreign variants: $r")
+      else assert(raws >= 1L && raws <= 3L, s"unexpected variant count: $r")
+    }
+    // the three http spellings of a full group really do collapse
+    assert(rows.exists(r => r.getAs[String]("canonical").startsWith("http://")
+      && r.getAs[Long]("n_raw_variants") == 3L),
+      "no full http group collapsed 3 raw spellings")
+  }
 }
