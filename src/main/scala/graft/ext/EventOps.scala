@@ -1586,7 +1586,111 @@ object EventOps {
       .orderBy(col("seg_from"), col("seg_to"))
   }
 
+  // ---- Markov-chain attribution ----------------------------------------
+  // Channel states are the fixture's non-converting event types; purchase
+  // is the absorbing conversion. Fixture-dependent the way the stopword
+  // lists are — a production run derives the state list upfront.
+  private val MKV_CHANNELS = Seq("click", "error", "signup", "view")
+  private val MKV_ITERS = 30
+
+  /** MARKOV-CHAIN ATTRIBUTION with removal effects — the data-driven
+    * alternative to the positional rules ([[attribution]]'s first/last/
+    * linear/U-shape): build the journey transition matrix (start →
+    * channels → conv/null, absorbing at FIRST purchase), compute the
+    * chain's conversion probability by bounded value iteration, and
+    * credit each channel by its REMOVAL EFFECT — how much conversion
+    * drops when every path into that channel is cut (Anderl et al.'s
+    * framework). Unlike last-touch, a channel that only ever feeds
+    * other channels still earns credit.
+    *
+    * Everything is integer-exact: transition probabilities are ppm
+    * (count·10⁶ div out-degree), each of the 30 value-iteration steps is
+    * a BIGINT dot product with one truncating div, and removal runs pin
+    * the removed channel's value to zero — stepwise monotone, so
+    * removal ≤ full holds exactly despite truncation. Spark runs the
+    * iteration as one aggregate() fold over a broadcast 30-entry ppm
+    * map; the DuckDB oracle replays it as five RECURSIVE CTEs (full +
+    * one per removal).
+    *
+    * At 100 TB: journeys fold to transition COUNTS (map-side combined,
+    * state-space grain ≈ channels²); the iteration runs on one row.
+    * The only event-grain work is the per-user ordering window —
+    * partitioned by user, the same shape every sessionizer pays.
+    */
+  def markovAttribution(s: SparkSession, d: String): DataFrame = {
+    val wPos = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("pos", row_number().over(wPos))
+    val ppos = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("pos")).as("ppos"))
+    val j = ev.join(ppos, Seq("user_id"), "left")
+    val kept = j.filter(col("ppos").isNull || col("pos") < col("ppos"))
+    val wKept = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+    val mid = kept
+      .withColumn("nxt", lead(col("event_type"), 1).over(wKept))
+      .select(col("event_type").as("f"),
+        coalesce(col("nxt"),
+          when(col("ppos").isNotNull, lit("conv")).otherwise(lit("nullend")))
+          .as("t"))
+    val starts = j.filter(col("pos") === 1)
+      .select(lit("start").as("f"),
+        when(col("ppos") === 1, lit("conv")).otherwise(col("event_type"))
+          .as("t"))
+    val cnt = mid.unionByName(starts).groupBy(col("f"), col("t"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("f")).agg(sum(col("n")).as("tn"))
+    val onerow = cnt.join(tot, Seq("f"))
+      .select(concat_ws("_", col("f"), col("t")).as("k"),
+        expr("(n * 1000000) div tn").as("ppm"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("ppm"))))
+        .as("m"))
+    def mk(f: String, t: String) = s"coalesce(element_at(m, '${f}_$t'), 0L)"
+    def rowOf(f: String, removed: Option[String]): String = {
+      val dot = MKV_CHANNELS.map { c =>
+        val pc = if (removed.contains(c)) "0L" else s"acc.$c"
+        s"${mk(f, c)} * $pc"
+      }.mkString(" + ")
+      s"($dot + ${mk(f, "conv")} * 1000000L) div 1000000L"
+    }
+    def fold(removed: Option[String]): String = {
+      val init = MKV_CHANNELS.map(c => s"'$c', 0L").mkString(", ")
+      val step = MKV_CHANNELS.map { c =>
+        val v = if (removed.contains(c)) "0L" else rowOf(c, removed)
+        s"'$c', $v"
+      }.mkString(", ")
+      s"aggregate(sequence(1, $MKV_ITERS), named_struct($init), " +
+        s"(acc, i) -> named_struct($step))"
+    }
+    // one column per scenario, then explode to channel rows
+    val withP = MKV_CHANNELS.foldLeft(
+      onerow.withColumn("fin_f", expr(fold(None)))
+        .withColumn("p_full_ppm", expr(
+          s"(${MKV_CHANNELS.map(c => s"${mk("start", c)} * fin_f.$c").mkString(" + ")} " +
+            s"+ ${mk("start", "conv")} * 1000000L) div 1000000L"))) { (df, ch) =>
+      df.withColumn(s"fin_$ch", expr(fold(Some(ch))))
+        .withColumn(s"p_no_$ch", expr(
+          s"(${MKV_CHANNELS.map(c =>
+            if (c == ch) "0L"
+            else s"${mk("start", c)} * fin_$ch.$c").mkString(" + ")} " +
+            s"+ ${mk("start", "conv")} * 1000000L) div 1000000L"))
+    }
+    val arr = MKV_CHANNELS.map(c =>
+      s"named_struct('channel', '$c', 'p_removed_ppm', p_no_$c)")
+      .mkString(", ")
+    withP
+      .select(col("p_full_ppm"), explode(expr(s"array($arr)")).as("x"))
+      .select(col("x.channel").as("channel"), col("p_full_ppm"),
+        col("x.p_removed_ppm").as("p_removed_ppm"))
+      .withColumn("removal_ppm", col("p_full_ppm") - col("p_removed_ppm"))
+      .withColumn("share_ppm", expr(
+        "(removal_ppm * 1000000) div greatest(1L, sum(removal_ppm) over ())"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov_attribution" -> markovAttribution,
     "ev_segment_migration" -> segmentMigration,
     "ev_burst_kleinberg" -> burstKleinberg,
     "ev_survival_km" -> survivalKm,
@@ -1634,6 +1738,85 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_markov_attribution" -> {
+      val chans = MKV_CHANNELS
+      val allF = "start" +: chans
+      val allT = chans :+ "conv"
+      val mcols = (for { f <- allF; t <- allT } yield
+        s"CAST(COALESCE(SUM(CASE WHEN f = '$f' AND t = '$t' THEN ppm END), 0) AS BIGINT) AS m_${f}_$t")
+        .mkString(",\n         ")
+      def stepRow(f: String, removed: Option[String]): String =
+        chans.map(c =>
+          if (removed.contains(c)) "0"
+          else s"m_${f}_$c * p_$c").mkString(" + ") +
+          s" + m_${f}_conv * 1000000"
+      def itCte(nm: String, removed: Option[String]): String = {
+        val cols = chans.map(c => s"p_$c").mkString(", ")
+        val init = chans.map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+        val step = chans.map(c =>
+          if (removed.contains(c)) "CAST(0 AS BIGINT)"
+          else s"(${stepRow(c, removed)}) // 1000000").mkString(",\n           ")
+        s"""$nm(k, $cols) AS (
+           |  SELECT CAST(0 AS BIGINT), $init
+           |  UNION ALL
+           |  SELECT k + 1,
+           |           $step
+           |  FROM $nm, m WHERE k < $MKV_ITERS)"""
+      }
+      def pStart(nm: String, removed: Option[String]): String =
+        s"(SELECT (${chans.map(c =>
+          if (removed.contains(c)) "0"
+          else s"m_start_$c * p_$c").mkString(" + ")} " +
+          s"+ m_start_conv * 1000000) // 1000000 FROM $nm, m WHERE k = $MKV_ITERS)"
+      val its = (itCte("it_full", None) +:
+        chans.map(c => itCte(s"it_no_$c", Some(c)))).mkString(",\n")
+      val fins = (s"${pStart("it_full", None)} AS p_full" +:
+        chans.map(c => s"${pStart(s"it_no_$c", Some(c))} AS p_no_$c"))
+        .mkString(",\n  ")
+      val caseRemoved = "CASE channel " + chans.map(c =>
+        s"WHEN '$c' THEN p_no_$c").mkString(" ") + " END"
+      val values = chans.map(c => s"('$c')").mkString(", ")
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, event_type,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS pos
+         |  FROM events),
+         |pp AS (SELECT user_id, MIN(pos) AS ppos FROM ev
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |jj AS (SELECT e.*, ppos FROM ev e LEFT JOIN pp USING (user_id)),
+         |kept AS (SELECT * FROM jj WHERE ppos IS NULL OR pos < ppos),
+         |mid AS (
+         |  SELECT event_type AS f,
+         |         COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+         |             ORDER BY pos),
+         |           CASE WHEN ppos IS NOT NULL THEN 'conv'
+         |                ELSE 'nullend' END) AS t
+         |  FROM kept),
+         |st AS (SELECT 'start' AS f,
+         |         CASE WHEN ppos = 1 THEN 'conv' ELSE event_type END AS t
+         |       FROM jj WHERE pos = 1),
+         |tr AS (SELECT f, t FROM mid UNION ALL SELECT f, t FROM st),
+         |cn AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM tr GROUP BY 1, 2),
+         |tt AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tn FROM cn GROUP BY 1),
+         |pm AS (SELECT cn.f, cn.t, (n * 1000000) // tn AS ppm
+         |       FROM cn JOIN tt ON cn.f = tt.f),
+         |m AS (SELECT $mcols FROM pm),
+         |$its,
+         |fin AS (SELECT
+         |  $fins),
+         |f2 AS (
+         |  SELECT channel, p_full AS p_full_ppm,
+         |         $caseRemoved AS p_removed_ppm
+         |  FROM (VALUES $values) c(channel), fin)
+         |SELECT channel, p_full_ppm, p_removed_ppm,
+         |       p_full_ppm - p_removed_ppm AS removal_ppm,
+         |       ((p_full_ppm - p_removed_ppm) * 1000000)
+         |         // greatest(CAST(1 AS BIGINT),
+         |              CAST(SUM(p_full_ppm - p_removed_ppm) OVER ()
+         |                AS BIGINT)) AS share_ppm
+         |FROM f2 ORDER BY channel""".stripMargin
+    },
     "ev_segment_migration" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -1667,6 +1667,24 @@ class ExtensionSpec extends AnyFunSuite {
       "decode degenerated to a pure per-hour threshold on this fixture")
   }
 
+  test("Markov attribution: removal never exceeds full conversion, shares partition credit") {
+    val rows = ext.EventOps.markovAttribution(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"))
+    val pFull = rows.head.getAs[Long]("p_full_ppm")
+    assert(pFull > 0L && pFull <= 1000000L)
+    rows.foreach { r =>
+      // stepwise monotonicity under shared truncation — the invariant
+      // that makes removal effects well-defined integers
+      assert(r.getAs[Long]("p_removed_ppm") <= pFull, s"removal gained: $r")
+      assert(r.getAs[Long]("removal_ppm") ==
+        pFull - r.getAs[Long]("p_removed_ppm"))
+    }
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - rows.length,
+      s"shares must partition credit up to truncation: ${shares.toSeq}")
+  }
+
   test("URL canonicalization collapses case/port/fragment/slash/params but never scheme") {
     val rows = ext.Dedup.urlCanonical(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_urls")).sum ==
