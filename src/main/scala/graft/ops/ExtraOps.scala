@@ -1059,6 +1059,47 @@ object ExtraOps {
       .limit(15)
   }
 
+  /** CONDUCTANCE of each LPA community — the CUT-quality metric beside
+    * [[graphModularity]]'s density metric (a partition can score high Q
+    * yet leak badly at its boundary; conductance φ(C) = cut(C) /
+    * min(vol(C), 2m − vol(C)) is what spectral clustering bounds and
+    * what a partitioner minimizes when placing a graph across
+    * executors). Cut edges, volumes, and 2m are exact BIGINTs; φ is
+    * emitted in exact ppm (·10⁶ truncating div), so boundary quality
+    * hash-verifies with no float in sight.
+    *
+    * Scale shape: identical to modularity — two keyed joins of the edge
+    * list against the label frame, then |communities|-sized algebra.
+    */
+  def graphConductance(s: SparkSession, d: String): DataFrame = {
+    val (edges, labels0) = lpaGraph(s, d)
+    val lbl = labels0.localCheckpoint()
+    val lab = edges
+      .join(lbl.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+      .localCheckpoint() // read by both cut rollups
+    val cut = lab.filter(col("lu") =!= col("lv"))
+      .select(col("lu").as("community"))
+      .union(lab.filter(col("lu") =!= col("lv")).select(col("lv")))
+      .groupBy(col("community")).agg(count(lit(1)).as("cut_edges"))
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val per = deg.join(lbl, Seq("node"))
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("deg")).as("volume"), count(lit(1)).as("n_members"))
+      .join(cut, Seq("community"), "left")
+      .na.fill(0L, Seq("cut_edges"))
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    per.crossJoin(broadcast(m))
+      .withColumn("conductance_ppm", expr(
+        "(cut_edges * 1000000) div greatest(1L, least(volume, 2 * m_edges - volume))"))
+      .select(col("community"), col("n_members"), col("cut_edges"),
+        col("volume"), col("conductance_ppm"))
+      .orderBy(desc("n_members"), col("community"))
+      .limit(15)
+  }
+
   /** Bounded-hop BFS over the sparse co-purchase graph — the
     * distance/reachability member of the graph family (structure =
     * triangles, centrality = pagerank, communities = LPA, connectivity =
@@ -2399,6 +2440,7 @@ object ExtraOps {
     "x_ols2" -> ols2,
     "x_random_walk" -> randomWalk,
     "x_graph_modularity" -> graphModularity,
+    "x_graph_conductance" -> graphConductance,
     "x_mann_whitney" -> mannWhitney,
     "x_mann_kendall" -> mannKendall,
     "x_kendall_tau" -> kendallTau,
@@ -2519,6 +2561,52 @@ object ExtraOps {
          |       CAST(4 * m_edges * sum_intra - sum_d2 AS DOUBLE)
          |         / CAST(4 * m_edges * m_edges AS DOUBLE) AS modularity
          |FROM per CROSS JOIN m CROSS JOIN tot
+         |ORDER BY n_members DESC, community LIMIT 15""".stripMargin
+    },
+    "x_graph_conductance" -> {
+      def it(prev: String, out: String): String =
+        s"""$out AS (SELECT node, lbl FROM (
+           |  SELECT a.node, p.lbl, COUNT(*) AS cnt,
+           |         ROW_NUMBER() OVER (PARTITION BY a.node
+           |           ORDER BY COUNT(*) DESC, p.lbl) AS rn
+           |  FROM adj a JOIN $prev p ON a.nbr = p.node
+           |  GROUP BY a.node, p.lbl) WHERE rn = 1)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem
+         |            WHERE l_partkey % 4 = 0 AND l_orderkey % 2 = 0),
+         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |${it("l0", "l1")},
+         |${it("l1", "l2")},
+         |${it("l2", "l3")},
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+         |lab AS (SELECT lu.lbl AS lu, lv.lbl AS lv
+         |        FROM e JOIN l3 lu ON e.u = lu.node
+         |               JOIN l3 lv ON e.v = lv.node),
+         |cut AS (
+         |  SELECT community, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM (
+         |    SELECT lu AS community FROM lab WHERE lu <> lv
+         |    UNION ALL SELECT lv FROM lab WHERE lu <> lv) GROUP BY 1),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM adj GROUP BY 1),
+         |per AS (
+         |  SELECT dc.community, dc.n_members, dc.volume,
+         |         COALESCE(c.cut_edges, 0) AS cut_edges
+         |  FROM (SELECT l.lbl AS community,
+         |               CAST(SUM(d.deg) AS BIGINT) AS volume,
+         |               CAST(COUNT(*) AS BIGINT) AS n_members
+         |        FROM deg d JOIN l3 l ON d.node = l.node GROUP BY 1) dc
+         |  LEFT JOIN cut c ON dc.community = c.community)
+         |SELECT community, n_members, CAST(cut_edges AS BIGINT) AS cut_edges,
+         |       volume,
+         |       (cut_edges * 1000000)
+         |         // greatest(CAST(1 AS BIGINT),
+         |                    least(volume, 2 * m_edges - volume))
+         |         AS conductance_ppm
+         |FROM per CROSS JOIN m
          |ORDER BY n_members DESC, community LIMIT 15""".stripMargin
     },
     "x_random_walk" ->
