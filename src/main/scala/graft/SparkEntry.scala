@@ -51,6 +51,7 @@ object SparkEntry {
         "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
         "st_temporal_join" -> streaming.StreamOps.temporalJoinStream,
         "st_asof_stream" -> streaming.StreamOps.asofStream,
+        "st_asof_tolerance" -> streaming.StreamOps.asofToleranceStream,
         "st_late_drop" -> streaming.StreamOps.lateDropStream,
         "st_update_mode" -> streaming.StreamOps.updateModeStream,
         "st_session_dynamic" -> streaming.StreamOps.sessionDynamicStream,
@@ -80,6 +81,7 @@ object SparkEntry {
         "st_temporal_join" -> plans.AsOfJoin.oracle("ev_asof_native"),
         // stream-stream as-of with horizon eviction ≡ the same native oracle
         "st_asof_stream" -> plans.AsOfJoin.oracle("ev_asof_native"),
+        "st_asof_tolerance" -> plans.AsOfJoin.oracle("ev_asof_tolerance"),
         "st_transitions_stream" -> ext.EventOps.oracle("ev_path_transitions"),
         "st_regularity_stream" -> ext.EventOps.oracle("ev_gap_regularity"),
         "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,

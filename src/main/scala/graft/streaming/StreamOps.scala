@@ -326,7 +326,20 @@ object StreamOps {
     * Returns (emissions, retained state or None, evicted-click count).
     */
   def asofFold(arrivals: Seq[AsofRow], prev: Option[AsofState],
-      wmUs: Long): (Seq[AsofOut], Option[AsofState], Long) = {
+      wmUs: Long): (Seq[AsofOut], Option[AsofState], Long) =
+    asofFoldTol(arrivals, prev, wmUs, -1L)
+
+  /** [[asofFold]] with the TOLERANCE knob (pandas merge_asof /
+    * [[graft.plans.AsOfJoin.asofTolerance]]'s conversion-window
+    * semantics): a matched click older than `tolUs` microseconds is
+    * rejected and the purchase emits null. Because the fold keeps only
+    * the LATEST admissible candidate anyway, bounding is a pure
+    * post-filter on the emitted match — the same equivalence the batch
+    * operator's oracle certifies — so eviction is UNCHANGED (the
+    * horizon argument never depended on the tolerance).
+    */
+  def asofFoldTol(arrivals: Seq[AsofRow], prev: Option[AsofState],
+      wmUs: Long, tolUs: Long): (Seq[AsofOut], Option[AsofState], Long) = {
     val st = prev.getOrElse(AsofState(Array.empty, Array.empty, Array.empty))
     val clicks =
       (st.clicks ++ arrivals.filter(_.is_click).map(r => usOfTs(r.ts))).sorted
@@ -341,8 +354,9 @@ object StreamOps {
         case -1 => clicks.length - 1
         case j => j - 1
       }
+      val admissible = i >= 0 && (tolUs < 0L || clicks(i) >= us - tolUs)
       AsofOut(userId.getOrElse(0L), id, tsOf(us),
-        if (i >= 0) tsOf(clicks(i)) else null)
+        if (admissible) tsOf(clicks(i)) else null)
     }
     // as-of horizon: keep the greatest click <= wm and everything above
     val hIdx = clicks.lastIndexWhere(_ <= wmUs)
@@ -379,6 +393,10 @@ object StreamOps {
     * positive, fold ≡ batch native operator row-for-row).
     */
   def asofStreamTelemetry(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) =
+    asofStreamTol(s, d, -1L, "graft_stream_asof")
+
+  def asofStreamTol(s: SparkSession, d: String, tolUs: Long, sink: String)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val ss = tuned(s)
     import ss.implicits._
@@ -418,7 +436,8 @@ object StreamOps {
           else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val arrivals = rows.toSeq
-            val (out, next, nEvicted) = asofFold(arrivals, state.getOption, wmUs)
+            val (out, next, nEvicted) =
+              asofFoldTol(arrivals, state.getOption, wmUs, tolUs)
             evicted.add(nEvicted)
             next match {
               case Some(st) =>
@@ -434,7 +453,7 @@ object StreamOps {
           }
       }
     val q = plan.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName("graft_stream_asof").start()
+      .format("memory").queryName(sink).start()
     try {
       q.processAllAvailable() // wave 1 + its watermark no-data batch
       shipOne(ev.filter(unix_micros(col("ts")) > splitUs), "01_wave2.parquet")
@@ -445,12 +464,12 @@ object StreamOps {
       // the timeout flush rides a no-data batch processAllAvailable does
       // not always wait for: poll until every purchase has emitted
       val deadline = System.currentTimeMillis() + 120000L
-      while (ss.table("graft_stream_asof").count() < nPurchases &&
+      while (ss.table(sink).count() < nPurchases &&
         System.currentTimeMillis() < deadline) {
         q.processAllAvailable(); Thread.sleep(200L)
       }
     } finally q.stop()
-    (ss.table("graft_stream_asof")
+    (ss.table(sink)
       .select(col("user_id"), col("event_id"), col("purchase_ts"),
         col("last_click_ts"))
       .orderBy(col("event_id")), evicted)
@@ -458,6 +477,17 @@ object StreamOps {
 
   def asofStream(s: SparkSession, d: String): DataFrame =
     asofStreamTelemetry(s, d)._1
+
+  /** 30th real streaming query — the stream-stream as-of join under a
+    * 30-minute TOLERANCE (conversion-window semantics): identical feed,
+    * state, and eviction as [[asofStream]]; a match older than the
+    * window emits null. Verified against the SAME post-filtered native
+    * ASOF oracle as the batch tolerance operator, so the
+    * bounding ≡ post-filter equivalence is certified in the streaming
+    * execution mode too.
+    */
+  def asofToleranceStream(s: SparkSession, d: String): DataFrame =
+    asofStreamTol(s, d, 30L * 60L * 1000000L, "graft_stream_asof_tol")._1
 
   /** Streaming CHANGELOG fold with retractions — the streaming twin of
     * [[graft.ops.PipelineOps.imvMaintain]] and the semantics a
