@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Compare two per-query bench maps (builder archives).
+
+Usage: python3 tools/bench_compare.py <old.json> <new.json>
+Prints shared-query median ratio, the worst regressions, and totals.
+"""
+import json
+import sys
+
+
+def main(old_path, new_path):
+    old = json.load(open(old_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+    shared = sorted(set(old) & set(new))
+    ratios = sorted((new[q] / old[q], q) for q in shared if old[q] > 0)
+    med = ratios[len(ratios) // 2][0] if ratios else float("nan")
+    print(f"shared {len(shared)}  old-only {len(set(old)-set(new))}  "
+          f"new-only {len(set(new)-set(old))}")
+    print(f"median ratio new/old: {med:.3f}")
+    print("worst 10 regressions (ratio, new_s, old_s, query):")
+    for r, q in ratios[-10:][::-1]:
+        print(f"  {r:6.2f}  {new[q]:7.3f}  {old[q]:7.3f}  {q}")
+    big = [(r, q) for r, q in ratios if r > 2.0 and new[q] > 1.0]
+    print(f">2x regressions with new>1s: {len(big)}")
+    print("10 most expensive new-run queries:")
+    for q in sorted(new, key=new.get, reverse=True)[:10]:
+        print(f"  {new[q]:7.3f}  {q}")
+    tot_old = sum(old.values())
+    tot_new = sum(new.values())
+    print(f"totals: old {tot_old:.1f}s/{len(old)} = {tot_old/len(old):.3f} "
+          f"s/q   new {tot_new:.1f}s/{len(new)} = {tot_new/len(new):.3f} s/q")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
