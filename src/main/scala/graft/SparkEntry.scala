@@ -20,7 +20,7 @@ object SparkEntry {
       ops.PipelineOps.queries ++ ops.ExtraOps.queries ++ ops.TpchOps.queries ++
       ops.QcOps.queries ++ ops.StatOps.queries ++ ops.FeatureOps.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++ ext.TextOps.queries ++
-      ext.UnigramLM.queries ++
+      ext.UnigramLM.queries ++ ext.WordPiece.queries ++
       ext.EventOps.queries ++ ext.Multimodal.queries ++ ext.TemporalOps.queries ++
       ext.MapOps.queries ++ ext.CountMinAgg.queries ++ ext.HyperLogLog.queries ++
       ext.BloomFilter.queries ++ plans.TopKPerKey.queries ++
@@ -67,7 +67,7 @@ object SparkEntry {
       ops.PipelineOps.oracle ++ ops.ExtraOps.oracle ++ ops.TpchOps.oracle ++
       ops.QcOps.oracle ++ ops.StatOps.oracle ++ ops.FeatureOps.oracle ++
       ext.Dedup.oracle ++ ext.Similarity.oracle ++ ext.TextOps.oracle ++
-      ext.UnigramLM.oracle ++
+      ext.UnigramLM.oracle ++ ext.WordPiece.oracle ++
       ext.EventOps.oracle ++ ext.Multimodal.oracle ++ ext.TemporalOps.oracle ++
       ext.MapOps.oracle ++ ext.CountMinAgg.oracle ++ ext.HyperLogLog.oracle ++
       ext.BloomFilter.oracle ++ plans.TopKPerKey.oracle ++

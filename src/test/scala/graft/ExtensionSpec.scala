@@ -1667,6 +1667,27 @@ class ExtensionSpec extends AnyFunSuite {
       "decode degenerated to a pure per-hour threshold on this fixture")
   }
 
+  test("WordPiece encoding: token counts bounded by words and chars across the corpus") {
+    val wp = ext.WordPiece.wordpieceEncode(spark, sf).collect()
+    assert(wp.nonEmpty)
+    wp.foreach { r =>
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"))
+      // every word yields >= 1 piece; pieces never outnumber characters
+      // (single chars are the fallback, so greedy can't exceed char count)
+      assert(t >= w && t <= c, s"fertility out of bounds: $r")
+      assert(r.getAs[Double]("fertility") == t.toDouble / w)
+    }
+    // the greedy walk must actually merge: corpus-wide fertility strictly
+    // below the chars/words ceiling (char-level tokenization)
+    val (tw, tt, tc) = wp.foldLeft((0L, 0L, 0L)) { case ((a, b, c), r) =>
+      (a + r.getAs[Long]("n_words"), b + r.getAs[Long]("n_tokens"),
+        c + r.getAs[Long]("n_chars"))
+    }
+    assert(tt < tc, s"greedy never matched a multi-char piece: $tt vs $tc")
+    assert(tt > tw, "degenerate: every word became exactly one piece")
+  }
+
   test("Markov attribution: removal never exceeds full conversion, shares partition credit") {
     val rows = ext.EventOps.markovAttribution(spark, sf).collect()
     assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ==

@@ -50,6 +50,7 @@ class OperatorSpec extends AnyFunSuite {
       "Similarity" -> ext.Similarity.queries.keySet,
       "TextOps" -> ext.TextOps.queries.keySet,
       "UnigramLM" -> ext.UnigramLM.queries.keySet,
+      "WordPiece" -> ext.WordPiece.queries.keySet,
       "EventOps" -> ext.EventOps.queries.keySet,
       "Multimodal" -> ext.Multimodal.queries.keySet,
       "TemporalOps" -> ext.TemporalOps.queries.keySet,
