@@ -235,6 +235,45 @@ object StatOps {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("tie_halfwidth"))
   }
 
+  /** PAGE-HINKLEY DRIFT DETECTION on the daily revenue series — the
+    * sequential change detector the streaming-drift literature ships
+    * (Gama et al.): PH_t = m_t − min_{s≤t} m_s where m_t accumulates
+    * deviations from the global mean beyond a slack δ; an alarm fires
+    * when the statistic clears λ. Everything is INTEGER: deviations are
+    * scaled by n (x_i·n − Σx − δ·n avoids the mean division), both the
+    * running sum and its prefix minimum are windows over the bounded
+    * calendar grain, and the alarm threshold compares scaled BIGINTs —
+    * so the alarm DAYS are engine-identical, which is the point of a
+    * drift gate. δ = 2% and λ = 40% of mean daily revenue (both exact
+    * integer multiples of Σx).
+    *
+    * vs [[graft.ops.QcOps.controlChart]]: Shewhart flags single
+    * outlier days; Page-Hinkley accumulates small sustained shifts —
+    * the two alarms catch disjoint failure modes.
+    */
+  def pageHinkley(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+        .as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      // dev = (x - mean - delta)·50n in integers: 50·(x·n − sx) − sx·n/mean…
+      // concretely δ = 0.02·mean ⇒ dev·50n = 50·n·x − 50·sx − sx
+      .withColumn("dev", expr("50 * n * x - 51 * sx"))
+      .withColumn("m", sum(col("dev")).over(wRun))
+      .withColumn("m_min", min(col("m")).over(wRun))
+      .withColumn("ph", col("m") - col("m_min"))
+      // λ = 0.40·mean ⇒ compare ph against 0.40·(sx/n)·50n = 20·sx
+      .withColumn("alarm", col("ph") > expr("20 * sx"))
+      .select(col("day"), col("x").as("rev_cents"), col("ph"),
+        col("alarm"))
+      .orderBy(col("day"))
+  }
+
   /** Deterministic Poisson bootstrap CI for the mean order value — the
     * scale-out bootstrap (Chamandy et al., Google 2012): instead of
     * drawing n rows with replacement (which needs global coordination),
@@ -436,6 +475,7 @@ object StatOps {
     "x_hits" -> hits,
     "x_autocorr" -> autocorr,
     "x_elasticity" -> elasticity,
+    "x_page_hinkley" -> pageHinkley,
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
     "x_bootstrap_ci" -> bootstrapCi,
@@ -443,6 +483,28 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx FROM daily),
+        |m AS (
+        |  SELECT day, x,
+        |         CAST(SUM(50 * n * x - 51 * sx) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS m, sx
+        |  FROM daily, t),
+        |p AS (
+        |  SELECT day, x, sx,
+        |         m - CAST(MIN(m) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS ph
+        |  FROM m)
+        |SELECT day, x AS rev_cents, ph, ph > 20 * sx AS alarm
+        |FROM p ORDER BY day""".stripMargin,
     "x_elasticity" -> {
       import graft.ext.FixLog.lgD
       s"""WITH pp AS (
