@@ -274,6 +274,59 @@ object StatOps {
       .orderBy(col("day"))
   }
 
+  /** CROSTON'S METHOD for INTERMITTENT demand — the forecasting family
+    * [[holt]]'s smoothing cannot serve: when most days have ZERO demand
+    * (spare parts, long-tail SKUs), smoothing the raw series drives the
+    * level toward zero and spikes on every order; Croston instead
+    * smooths TWO series — demand SIZE and INTER-ARRIVAL interval — only
+    * on demand days, and forecasts their ratio. Both EWMAs are exact
+    * integer folds (α = 1/8: s' = s + (x − s) div 8, truncating division
+    * identical in both engines, including toward-zero on negatives), so
+    * the full trace hash-verifies: Spark folds the bounded demand-event
+    * array with aggregate(); DuckDB replays it as a RECURSIVE CTE (its
+    * list_reduce cannot carry struct state — the established split).
+    * `rate_ppm` = size/interval in exact ppm is the demand-per-day
+    * forecast after each event.
+    *
+    * At 100 TB: the fact folds map-side to demand-day grain for the one
+    * rare-part family; the fold runs on the bounded event array — the
+    * calendar prices the operator, not the order volume.
+    */
+  def croston(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dem = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 997 === 0)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+    val w = Window.orderBy(col("day"))
+    val ev = dem
+      .withColumn("gap", coalesce(
+        datediff(col("day"), lag(col("day"), 1).over(w)), lit(1))
+        .cast("long"))
+    val arr = ev.agg(sort_array(
+      collect_list(struct(col("day"), col("gap"), col("q")))).as("a"))
+    arr
+      .withColumn("tr", expr(
+        """aggregate(a, CAST(array() AS ARRAY<STRUCT<z: BIGINT, p: BIGINT>>),
+          |  (acc, x) -> CASE WHEN size(acc) = 0
+          |    THEN array(named_struct('z', x.q, 'p', x.gap))
+          |    ELSE concat(acc, array(named_struct(
+          |      'z', element_at(acc, -1).z + (x.q - element_at(acc, -1).z) div 8,
+          |      'p', element_at(acc, -1).p + (x.gap - element_at(acc, -1).p) div 8)))
+          |  END)""".stripMargin))
+      .withColumn("t", explode(expr("sequence(1, size(a))")))
+      .select(expr("element_at(a, t).day").as("day"),
+        expr("element_at(a, t).q").as("demand"),
+        expr("element_at(a, t).gap").as("gap_days"),
+        expr("element_at(tr, t).z").as("z_size"),
+        expr("element_at(tr, t).p").as("p_interval"),
+        expr("(element_at(tr, t).z * 1000000) div " +
+          "greatest(1L, element_at(tr, t).p)").as("rate_ppm"))
+      .orderBy(col("day"))
+  }
+
   /** Deterministic Poisson bootstrap CI for the mean order value — the
     * scale-out bootstrap (Chamandy et al., Google 2012): instead of
     * drawing n rows with replacement (which needs global coordination),
@@ -476,6 +529,7 @@ object StatOps {
     "x_autocorr" -> autocorr,
     "x_elasticity" -> elasticity,
     "x_page_hinkley" -> pageHinkley,
+    "x_croston" -> croston,
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
     "x_bootstrap_ci" -> bootstrapCi,
@@ -483,6 +537,28 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_croston" ->
+      """WITH RECURSIVE dem AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey % 997 = 0 GROUP BY 1),
+        |ev AS (
+        |  SELECT day, q,
+        |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |         CAST(COALESCE(date_diff('day',
+        |           lag(day) OVER (ORDER BY day), day), 1) AS BIGINT) AS gap
+        |  FROM dem),
+        |cr(i, z, p) AS (
+        |  SELECT i, q, gap FROM ev WHERE i = 1
+        |  UNION ALL
+        |  SELECT e.i, c.z + (e.q - c.z) // 8, c.p + (e.gap - c.p) // 8
+        |  FROM cr c JOIN ev e ON e.i = c.i + 1)
+        |SELECT e.day, e.q AS demand, e.gap AS gap_days,
+        |       c.z AS z_size, c.p AS p_interval,
+        |       (c.z * 1000000) // greatest(CAST(1 AS BIGINT), c.p)
+        |         AS rate_ppm
+        |FROM ev e JOIN cr c ON c.i = e.i ORDER BY day""".stripMargin,
     "x_page_hinkley" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
