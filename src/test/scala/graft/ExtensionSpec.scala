@@ -1667,6 +1667,59 @@ class ExtensionSpec extends AnyFunSuite {
       "decode degenerated to a pure per-hour threshold on this fixture")
   }
 
+  test("FixLog: exact on powers of two, monotone, doubling adds exactly 65536") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 2000)
+      .selectExpr("id AS c",
+        s"${ext.FixLog.lgS("id")} AS lg",
+        s"${ext.FixLog.lgS("(id * 2)")} AS lg2")
+      .collect()
+    val byC = df.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // powers of two are EXACT: lg(2^k) = k·65536 with zero fraction error
+    (0 to 10).foreach { k =>
+      val c = 1L << k
+      if (c < 2000) assert(byC(c)._1 == k * 65536L, s"lg($c) = ${byC(c)._1}")
+    }
+    // lg(2c) − lg(c) = 65536 EXACTLY for every c (same mantissa, +1 bit
+    // length) — the identity the Kleinberg margin and entropy forms lean on
+    df.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) == 65536L,
+        s"doubling identity failed at c=${r.getLong(0)}")
+    }
+    // monotone non-decreasing over the range
+    val sorted = df.sortBy(_.getLong(0)).map(_.getLong(1))
+    sorted.sliding(2).foreach(p => assert(p(0) <= p(1)))
+    // truncation bound: lg never exceeds the true log2 and sits within
+    // one fraction ulp below it
+    df.foreach { r =>
+      val (c, lg) = (r.getLong(0), r.getLong(1))
+      val t = math.log(c.toDouble) / math.log(2.0) * 65536.0
+      assert(lg <= t + 1e-6 && lg > t - 2.0, s"lg($c)=$lg vs true $t")
+    }
+  }
+
+  test("Croston trace: level bounded by demand extremes, interval >= 1, rate consistent") {
+    val rows = ops.StatOps.croston(spark, sf).collect()
+    assert(rows.length >= 5, "fixture too thin for a Croston trace")
+    val demands = rows.map(_.getAs[Long]("demand"))
+    rows.foreach { r =>
+      val (z, p) = (r.getAs[Long]("z_size"), r.getAs[Long]("p_interval"))
+      // EWMA of observed demands can never leave their hull
+      assert(z >= demands.min && z <= demands.max, s"level escaped hull: $r")
+      assert(p >= 1L, s"interval estimate below 1 day: $r")
+      assert(r.getAs[Long]("rate_ppm") == z * 1000000L / math.max(1L, p))
+    }
+  }
+
+  test("padding waste: sorted batching strictly beats pow2 strictly beats pad-to-max") {
+    val m = ext.TextOps.paddingWaste(spark, sf).collect()
+      .map(r => r.getAs[String]("strategy") -> r.getAs[Long]("waste_ppm")).toMap
+    assert(m("sorted_batch32") < m("pad_pow2_bucket"),
+      s"sorting must beat bucketing: $m")
+    assert(m("pad_pow2_bucket") < m("pad_to_max128"),
+      s"bucketing must beat fixed max on this corpus: $m")
+  }
+
   test("WordPiece encoding: token counts bounded by words and chars across the corpus") {
     val wp = ext.WordPiece.wordpieceEncode(spark, sf).collect()
     assert(wp.nonEmpty)
