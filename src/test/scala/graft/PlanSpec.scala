@@ -656,4 +656,30 @@ class PlanSpec extends AnyFunSuite {
     assert(serve == twin, s"persisted-index serve diverged: ${serve.size} vs ${twin.size}")
   }
 
+  test("CDC chunking wire discipline: chunk text never enters an Exchange") {
+    val p = planAtScale("dd_cdc_chunks")
+    // the pruned scan reads exactly the two referenced columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to (doc_id, text):\n" + p.take(1200))
+    // every exchange moves only fingerprints + counts — neither the word
+    // array nor the chunk string may appear in any Exchange argument list
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, "expected shuffles for the hash groupBy")
+    exchanges.foreach { l =>
+      assert(!l.contains("chunk#") && !l.contains("ws#") && !l.contains("text#"),
+        s"text crossed the wire: $l")
+    }
+  }
+
+  test("Kleinberg burst DP is a fold, not a window: no WindowExec in the plan") {
+    val p = planAtScale("ev_burst_kleinberg")
+    assert(!p.contains("Window"),
+      "the Viterbi decode must run as aggregate() folds, not windows:\n" +
+        p.take(1200))
+    // the event stream collapses map-side at HOUR grain before any
+    // sequential work: a partial aggregate must precede the exchange
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "hour-grain map-side combine missing:\n" + p.take(1200))
+  }
+
 }
