@@ -327,6 +327,79 @@ object StatOps {
       .orderBy(col("day"))
   }
 
+  /** MUTUAL INFORMATION between the corpus' lang and source labels, in
+    * exact bits — the feature-dependence measure (is source a proxy for
+    * language? does stratifying by one balance the other?) that, like
+    * KL, was closed to hash verification until [[graft.ext.FixLog]]:
+    * H(X) = lg(N) − (Σ nₓ·lg nₓ) div N over truncated fixed-point logs
+    * for each marginal and the joint, then I = H(lang) + H(source) −
+    * H(joint) — every term the same well-defined integer in both
+    * engines (truncation can leave I a few µbits below zero under
+    * independence; the sign convention is part of the metric's
+    * definition, not noise).
+    *
+    * At 100 TB: three map-side-combined counts at label grain; the log
+    * runs on ≤ |langs|·|sources| rows.
+    */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val docs = Tables.documents(s, d)
+    def ent(df: DataFrame, n: String): DataFrame =
+      df.crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+        .agg(max(col("nn")).as("nn"),
+          sum(expr(s"c * ${lgS("c")}")).as("slg"))
+        .select(expr(s"${lgS("nn")} - (slg div nn)").as(n))
+    val hl = ent(docs.groupBy(col("lang")).agg(count(lit(1)).as("c")), "h_lang_fp")
+    val hs = ent(docs.groupBy(col("source")).agg(count(lit(1)).as("c")), "h_source_fp")
+    val hj = ent(docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c")), "h_joint_fp")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(hl)).crossJoin(broadcast(hs)).crossJoin(broadcast(hj))
+      .withColumn("mi_fp",
+        col("h_lang_fp") + col("h_source_fp") - col("h_joint_fp"))
+      .withColumn("mi_bits", col("mi_fp").cast("double") / lit(65536.0))
+  }
+
+  /** DECISION STUMP by exact error count — the weak learner boosting
+    * stacks and the simplest trainable model that hash-verifies: over
+    * the bucketed price grid ([[aucBucketed]]'s 2^16-cent buckets), find
+    * the threshold and side minimizing MISCLASSIFICATIONS of the
+    * urgency label. Error counts are prefix sums of integer bucket
+    * tallies; the argmin tie-breaks on the threshold — no impurity
+    * fractions, no floats, so both engines pick the identical split.
+    * Reported against the majority-class baseline: a stump that can't
+    * beat base rate is the canonical "no signal" gate.
+    */
+  def decisionStump(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, d)
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) div 65536")
+        .as("b"),
+        expr("CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT)").as("pos"))
+      .groupBy(col("b"))
+      .agg(sum(col("pos")).as("n1"), sum(expr("1 - pos")).as("n0"))
+    val tot = g.agg(sum(col("n1")).as("tp"), sum(col("n0")).as("tq"),
+      count(lit(1)).as("n_buckets"))
+    val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    val scored = g.crossJoin(broadcast(tot))
+      .withColumn("p1", sum(col("n1")).over(w))
+      .withColumn("p0", sum(col("n0")).over(w))
+      .withColumn("err_le", col("p0") + col("tp") - col("p1"))
+      .withColumn("err_gt", col("p1") + col("tq") - col("p0"))
+      .withColumn("err", least(col("err_le"), col("err_gt")))
+      .withColumn("side",
+        when(col("err_le") <= col("err_gt"), lit("pos_if_le"))
+          .otherwise(lit("pos_if_gt")))
+    scored
+      .orderBy(col("err"), col("b"))
+      .limit(1)
+      .select(col("b").as("threshold_bucket"), col("side"),
+        col("err").as("errors"), expr("least(tp, tq)").as("base_errors"),
+        col("n_buckets"),
+        expr("((tp + tq - err) * 1000000) div (tp + tq)").as("accuracy_ppm"))
+  }
+
   /** Deterministic Poisson bootstrap CI for the mean order value — the
     * scale-out bootstrap (Chamandy et al., Google 2012): instead of
     * drawing n rows with replacement (which needs global coordination),
@@ -530,6 +603,8 @@ object StatOps {
     "x_elasticity" -> elasticity,
     "x_page_hinkley" -> pageHinkley,
     "x_croston" -> croston,
+    "x_mutual_info" -> mutualInfo,
+    "x_decision_stump" -> decisionStump,
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
     "x_bootstrap_ci" -> bootstrapCi,
@@ -537,6 +612,61 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_mutual_info" -> {
+      import graft.ext.FixLog.lgD
+      def ent(group: String, n: String) =
+        s"""(SELECT ${lgD("nn")} - (slg // nn) AS $n FROM (
+           |  SELECT MAX(nn) AS nn, CAST(SUM(c * ${lgD("c")}) AS BIGINT) AS slg
+           |  FROM (SELECT $group, CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM documents GROUP BY $group) x,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents) t))"""
+          .stripMargin
+      s"""WITH hl AS ${ent("lang", "h_lang_fp")},
+         |hs AS ${ent("source", "h_source_fp")},
+         |hj AS ${ent("lang, source", "h_joint_fp")},
+         |f AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         |         h_lang_fp, h_source_fp, h_joint_fp,
+         |         h_lang_fp + h_source_fp - h_joint_fp AS mi_fp
+         |  FROM hl, hs, hj)
+         |SELECT n_docs, h_lang_fp, h_source_fp, h_joint_fp, mi_fp,
+         |       CAST(mi_fp AS DOUBLE) / 65536.0 AS mi_bits
+         |FROM f""".stripMargin
+    },
+    "x_decision_stump" ->
+      """WITH g AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |           // 65536 AS b,
+        |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                       THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n1) AS BIGINT) AS tp,
+        |             CAST(SUM(n0) AS BIGINT) AS tq,
+        |             CAST(COUNT(*) AS BIGINT) AS n_buckets FROM g),
+        |sc AS (
+        |  SELECT b,
+        |         CAST(SUM(n1) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS p1,
+        |         CAST(SUM(n0) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS p0,
+        |         tp, tq, n_buckets
+        |  FROM g, t),
+        |e AS (
+        |  SELECT b, tp, tq, n_buckets,
+        |         p0 + tp - p1 AS err_le, p1 + tq - p0 AS err_gt
+        |  FROM sc),
+        |f AS (
+        |  SELECT b AS threshold_bucket,
+        |         CASE WHEN err_le <= err_gt THEN 'pos_if_le'
+        |              ELSE 'pos_if_gt' END AS side,
+        |         least(err_le, err_gt) AS errors,
+        |         least(tp, tq) AS base_errors, n_buckets,
+        |         ((tp + tq - least(err_le, err_gt)) * 1000000) // (tp + tq)
+        |           AS accuracy_ppm
+        |  FROM e ORDER BY errors, threshold_bucket LIMIT 1)
+        |SELECT * FROM f""".stripMargin,
     "x_croston" ->
       """WITH RECURSIVE dem AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
