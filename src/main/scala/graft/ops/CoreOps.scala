@@ -497,7 +497,11 @@ object CoreOps {
         |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
         |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
         |""".stripMargin)
-    s.table("graft_cat.ns.dim").orderBy(col("k"))
+    // Verified surface carries no raw DECIMAL: the driver's DuckDB→pandas
+    // bridge shreds DECIMAL to float64 before hashing (values ≤ 1e4 ≪ 2^53,
+    // so the DOUBLE cast is exact). The table itself stays DECIMAL(12,2).
+    s.table("graft_cat.ns.dim")
+      .withColumn("bal", col("bal").cast("double")).orderBy(col("k"))
   }
 
   /** S12b — SQL UPDATE and DELETE statements through the same row-level
@@ -519,7 +523,9 @@ object CoreOps {
     s.sql("INSERT INTO graft_cat.ns.ord SELECT * FROM upddel_seed")
     s.sql("UPDATE graft_cat.ns.ord SET status = 'X' WHERE price > 150000")
     s.sql("DELETE FROM graft_cat.ns.ord WHERE k % 10 = 3")
-    s.table("graft_cat.ns.ord").orderBy(col("k"))
+    // No raw DECIMAL on the verified surface (see mergeInto); exact cast.
+    s.table("graft_cat.ns.ord")
+      .withColumn("price", col("price").cast("double")).orderBy(col("k"))
   }
 
   /** S12c — the same MERGE as [[mergeInto]] through the MERGE-ON-READ
@@ -559,7 +565,9 @@ object CoreOps {
         |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
         |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
         |""".stripMargin)
-    s.table("graft_cat.mor.dim").orderBy(col("k"))
+    // No raw DECIMAL on the verified surface (see mergeInto); exact cast.
+    s.table("graft_cat.mor.dim")
+      .withColumn("bal", col("bal").cast("double")).orderBy(col("k"))
   }
 
   /** S12d — UPDATE and DELETE through the merge-on-read path (see
@@ -581,7 +589,9 @@ object CoreOps {
     s.sql("INSERT INTO graft_cat.mor.ord SELECT * FROM mor_upddel_seed")
     s.sql("UPDATE graft_cat.mor.ord SET status = 'X' WHERE price > 150000")
     s.sql("DELETE FROM graft_cat.mor.ord WHERE k % 10 = 3")
-    s.table("graft_cat.mor.ord").orderBy(col("k"))
+    // No raw DECIMAL on the verified surface (see mergeInto); exact cast.
+    s.table("graft_cat.mor.ord")
+      .withColumn("price", col("price").cast("double")).orderBy(col("k"))
   }
 
   /** S14 — PERMISSIVE CSV ingestion with corrupt-record capture: the
@@ -722,7 +732,7 @@ object CoreOps {
       |  FROM orders WHERE o_orderkey <= 2000)
       |SELECT k,
       |       CASE WHEN price > 150000 THEN 'X' ELSE status END AS status,
-      |       price
+      |       CAST(price AS DOUBLE) AS price
       |FROM seed WHERE k % 10 <> 3 ORDER BY k""".stripMargin
 
   private val mergeOracle: String =
@@ -742,7 +752,7 @@ object CoreOps {
       |  UNION ALL
       |  SELECT s.k, s.name, s.bal
       |  FROM source s ANTI JOIN target t ON s.k = t.k)
-      |SELECT k, name, bal FROM merged ORDER BY k""".stripMargin
+      |SELECT k, name, CAST(bal AS DOUBLE) AS bal FROM merged ORDER BY k""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s16_optimize" ->

@@ -155,6 +155,30 @@ object KvSink {
     versions(path).last
   }
 
+  /** Diagnostic counter: number of commit-time CAS collisions that were
+    * resolved by rebase-and-retry (observability for the concurrency
+    * spec and for production metrics — a hot table shows up here).
+    */
+  val casRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test/observability hook, invoked between the version read and the
+    * CAS attempt of every commit iteration — the window a concurrent
+    * committer can win. Lets a spec interleave two writers
+    * DETERMINISTICALLY instead of racing threads. No-op in production.
+    */
+  @volatile private[graft] var onBeforeCas: () => Unit = () => ()
+
+  /** JVM-wide latest-pointer lock. The version log itself is CAS'd on
+    * the filesystem (createLink is atomic create-exclusive), but the
+    * `_SUCCESS` convenience pointer must be re-derived monotonically —
+    * two winners finishing out of order must not regress it. At scale
+    * this lock is the catalog's conditional update (Delta's LogStore
+    * put-if-absent, Iceberg's atomic swap): pointer publication is the
+    * one step a shared catalog serializes, and it is O(1) regardless of
+    * table size.
+    */
+  private[sources] val pointerLock = new Object
+
   private def parseManifest(manifest: Path): Seq[(String, Long)] =
     new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty).map { line =>
@@ -186,15 +210,19 @@ class KvWriteBuilder(path: String, writeId: String)
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
+    // The optimistic-concurrency READ POINT: the snapshot version this
+    // write was planned against. Commit-time drift from it is how a
+    // concurrent committer is detected.
+    private val baseVersion = KvSink.versions(path).lastOption.getOrElse(0L)
     override def toBatch: BatchWrite =
-      new KvBatchWrite(path, writeId, truncateFirst)
+      new KvBatchWrite(path, writeId, truncateFirst, baseVersion)
   }
 }
 
 case class KvCommit(file: String, rows: Long) extends WriterCommitMessage
 
-class KvBatchWrite(path: String, writeId: String, truncateFirst: Boolean)
-    extends BatchWrite {
+class KvBatchWrite(path: String, writeId: String, truncateFirst: Boolean,
+    baseVersion: Long) extends BatchWrite {
   private val dir = Paths.get(path)
   private val staging = dir.resolve(s".staging-$writeId")
 
@@ -203,39 +231,82 @@ class KvBatchWrite(path: String, writeId: String, truncateFirst: Boolean)
     new KvWriterFactory(staging.toString, writeId)
   }
 
-  /** The commit point. Ordering is the whole story:
-    *  1. staged files move into the root (still invisible — not in the
+  /** The OPTIMISTIC-CONCURRENCY commit point (two concurrent writers
+    * are now first-class). Ordering is the whole story:
+    *  1. conflict check: a TRUNCATE planned against a snapshot that is
+    *     no longer latest would silently erase the interloper's rows —
+    *     it throws ConcurrentModificationException (the Delta
+    *     WriteSerializable rule: overwrite conflicts with everything).
+    *     An APPEND never conflicts: its files are write-id-unique, so
+    *     its file set is provably disjoint from every committed
+    *     snapshot and it commutes with any interleaving — the loser
+    *     REBASES onto the new latest and retries;
+    *  2. staged files move into the root (still invisible — not in the
     *     manifest);
-    *  2. the new snapshot's immutable `manifest-v%06d` lands (the
-    *     time-travel log entry);
-    *  3. the `_SUCCESS` latest pointer is REPLACED atomically — readers
-    *     flip from the old snapshot to the new one in one rename.
-    * A crash before 3 leaves the old snapshot fully intact (at worst an
-    * orphan version manifest the next commit supersedes); a crash after
-    * 3 leaves at most invisible staging leftovers — never a
-    * reader-visible partial state. TRUNCATE does NOT physically delete
-    * the superseded snapshot's files: they remain reachable through the
-    * version log until [[KvSink.vacuum]] reclaims them — the
-    * Delta/Iceberg retention model.
+    *  3. the CAS loop: read the latest version V, rebase `published`
+    *     on V's snapshot, and attempt to publish `manifest-v(V+1)` via
+    *     `Files.createLink` — atomic create-EXCLUSIVE, the filesystem
+    *     compare-and-swap (ATOMIC_MOVE is NOT one: POSIX rename
+    *     replaces an existing target silently). A concurrent winner
+    *     makes the link fail with FileAlreadyExists → re-read, rebase,
+    *     retry. The version log is therefore LINEARIZABLE: every
+    *     version number is claimed by exactly one commit, and each
+    *     manifest extends its immediate predecessor;
+    *  4. the `_SUCCESS` latest pointer is re-derived from the true
+    *     latest manifest under [[KvSink.pointerLock]] — two winners
+    *     finishing out of order cannot regress it.
+    * A crash before 4 leaves the old pointer intact and the new version
+    * reachable through the log (the next commit's pointer refresh
+    * surfaces it); a crash after 4 leaves at most invisible staging
+    * leftovers — never a reader-visible partial state. TRUNCATE does
+    * NOT physically delete the superseded snapshot's files: they remain
+    * reachable through the version log until [[KvSink.vacuum]] reclaims
+    * them — the Delta/Iceberg retention model.
     */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.toSeq.collect { case KvCommit(f, n) => (f, n) }.sortBy(_._1)
-    val prev = KvSink.committedFiles(path)
+    if (truncateFirst &&
+        KvSink.versions(path).lastOption.getOrElse(0L) != baseVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"overwrite of $path planned against version $baseVersion but a " +
+          "concurrent commit advanced the table — retry the whole write")
     fresh.foreach { case (f, _) =>
       Files.move(staging.resolve(f), dir.resolve(f))
     }
-    val published = if (truncateFirst) fresh else prev ++ fresh
-    val manifest = published.map { case (f, n) => s"$f,$n" }
-      .mkString("", "\n", "\n")
-    val nextV = KvSink.versions(path).lastOption.getOrElse(0L) + 1L
-    val vtmp = staging.resolve("manifest.tmp")
-    Files.write(vtmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(vtmp, dir.resolve(f"manifest-v$nextV%06d"),
-      StandardCopyOption.ATOMIC_MOVE)
-    val tmp = staging.resolve("_SUCCESS.tmp")
-    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve("_SUCCESS"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    var committedV = -1L
+    var attempt = 0
+    while (committedV < 0) {
+      val curV = KvSink.versions(path).lastOption.getOrElse(0L)
+      if (truncateFirst && curV != baseVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"overwrite of $path lost the commit race at version $curV")
+      // Rebase: an append extends whatever is latest NOW, not the
+      // snapshot it was planned against — append ∘ append commutes.
+      val prev =
+        if (truncateFirst || curV == 0L) Seq.empty
+        else KvSink.committedFiles(path, curV)
+      val manifest = (prev ++ fresh).map { case (f, n) => s"$f,$n" }
+        .mkString("", "\n", "\n")
+      val vtmp = staging.resolve(s"manifest-attempt-$attempt.tmp")
+      Files.write(vtmp, manifest.getBytes(StandardCharsets.UTF_8))
+      KvSink.onBeforeCas()
+      try {
+        Files.createLink(dir.resolve(f"manifest-v${curV + 1L}%06d"), vtmp)
+        committedV = curV + 1L
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          KvSink.casRetries.incrementAndGet()
+          attempt += 1
+      } finally Files.deleteIfExists(vtmp)
+    }
+    KvSink.pointerLock.synchronized {
+      val latest = KvSink.versions(path).last
+      val tmp = staging.resolve("_SUCCESS.tmp")
+      Files.copy(dir.resolve(f"manifest-v$latest%06d"), tmp,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dir.resolve("_SUCCESS"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
     KvSink.deleteTree(staging)
   }
 

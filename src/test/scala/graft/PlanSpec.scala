@@ -671,6 +671,92 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned V2 catalog: MERGE rewrites only the touched partition's group; siblings carried by reference") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.pdim")
+    spark.sql(
+      """CREATE TABLE graft_cat.ns.pdim (k BIGINT, name STRING, v DOUBLE)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_cat.ns.pdim
+        |SELECT id AS k, concat('n', id) AS name, CAST(id AS DOUBLE) AS v
+        |FROM range(1, 41)""".stripMargin)
+    val tbl = graft.sources.MemCatalog.store.get(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "pdim"))
+    assert(tbl.isPartitioned)
+    val before = tbl.rows
+    assert(before.map(tbl.partitionOf).toSet == Set("b0", "b1", "b2", "b3"))
+    // the source touches ONLY keys ≡ 1 (mod 4): every matched and
+    // inserted row lives in bucket b1
+    spark.sql(
+      """MERGE INTO graft_cat.ns.pdim t
+        |USING (SELECT k, CAST(k * 100 AS DOUBLE) AS v
+        |       FROM (VALUES (1L), (5L), (9L), (101L)) AS s(k)) u
+        |ON t.k = u.k
+        |WHEN MATCHED THEN UPDATE SET t.v = u.v
+        |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (u.k, 'new', u.v)
+        |""".stripMargin)
+    // Catalyst's runtime group filter pruned the rewrite to the ONE
+    // touched partition — the commit replaced exactly {b1}
+    assert(tbl.lastReplacedGroups == Set("b1"),
+      s"expected a b1-only rewrite, got ${tbl.lastReplacedGroups}")
+    val after = tbl.rows
+    // sibling partitions' rows survived AS THE SAME OBJECTS — the
+    // in-memory analogue of "siblings' files untouched on disk"
+    val untouchedBefore = before.filterNot(r => tbl.partitionOf(r) == "b1")
+    val untouchedAfter = after.filterNot(r => tbl.partitionOf(r) == "b1")
+    assert(untouchedBefore.size == 30 && untouchedAfter.size == 30)
+    val afterIds = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[org.apache.spark.sql.catalyst.InternalRow, java.lang.Boolean]())
+    untouchedAfter.foreach(afterIds.add)
+    assert(untouchedBefore.forall(afterIds.contains),
+      "a sibling partition's row was rewritten — COW leaked past the touched group")
+    // and the merged content is right: matched keys rescored, insert
+    // landed (in b1, by recomputed partition), everything else intact
+    val got = spark.sql(
+      "SELECT k, v FROM graft_cat.ns.pdim ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = ((1L to 40L).map(k =>
+      (k, if (k == 1 || k == 5 || k == 9) k * 100.0 else k.toDouble)) :+
+      (101L, 10100.0)).sortBy(_._1)
+    assert(got == want)
+    spark.sql("DROP TABLE graft_cat.ns.pdim")
+  }
+
+  test("partitioned MOR table: delta actions carry partition ids; base untouched") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.mor.pord")
+    spark.sql(
+      """CREATE TABLE graft_cat.mor.pord (k BIGINT NOT NULL, status STRING, v DOUBLE)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_cat.mor.pord
+        |SELECT id AS k, 'O' AS status, CAST(id AS DOUBLE) AS v
+        |FROM range(1, 21)""".stripMargin)
+    val tbl = graft.sources.MemCatalog.store.get(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("mor"), "pord"))
+    val baseBefore = tbl.rows
+    spark.sql("UPDATE graft_cat.mor.pord SET status = 'X' WHERE k IN (2, 6)")
+    spark.sql("DELETE FROM graft_cat.mor.pord WHERE k = 7")
+    assert(tbl.rows eq baseBefore, "MOR must never rewrite the base")
+    // each action is routed to the partition its row belongs to —
+    // the handle a file-backed MOR table uses to colocate delta files
+    val acts = tbl.deltaLog.map(a => (a.op, a.key, a.part)).toSet
+    assert(acts == Set(
+      (graft.sources.MemDeltaAction.Update, 2L, "b2"),
+      (graft.sources.MemDeltaAction.Update, 6L, "b2"),
+      (graft.sources.MemDeltaAction.Delete, 7L, "b3")),
+      s"unexpected delta routing: $acts")
+    // reconciled read is correct
+    val got = spark.sql(
+      "SELECT k, status FROM graft_cat.mor.pord ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (1L to 20L).filterNot(_ == 7L)
+      .map(k => (k, if (k == 2 || k == 6) "X" else "O"))
+    assert(got == want)
+    spark.sql("DROP TABLE graft_cat.mor.pord")
+  }
+
   test("Kleinberg burst DP is a fold, not a window: no WindowExec in the plan") {
     val p = planAtScale("ev_burst_kleinberg")
     assert(!p.contains("Window"),

@@ -388,6 +388,70 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(graft.sources.KvSink.versions(out) == Seq(3L))
   }
 
+  test("V2 sink OCC: interleaved appends rebase-and-retry; conflicting overwrite aborts; log linearizable") {
+    import graft.sources.KvSink
+    val out = tmp("graft_kv_occ")
+    def write(lo: Long, hi: Long, mode: String): Unit =
+      Tables.orders(spark, sf)
+        .filter(col("o_orderkey").between(lo, hi))
+        .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+        .write.format("graft.sources.KvSink")
+        .mode(mode).option("path", out).save()
+    def latestCount(): Long = spark.read.schema("key LONG, val STRING")
+      .csv(KvSink.committedPaths(out): _*).count()
+    val n = (lo: Long, hi: Long) =>
+      Tables.orders(spark, sf).filter(col("o_orderkey").between(lo, hi)).count()
+    write(1, 300, "overwrite") // seed: v1
+    // Deterministic interleave via the commit hook: while the OUTER
+    // append sits in its commit window (version read, CAS not yet
+    // attempted), an INNER append commits and claims the next version —
+    // the exact race two concurrent writers run. The outer commit's CAS
+    // must fail on the claimed version, rebase onto the inner snapshot,
+    // and retry to success: append ∘ append commutes, nobody loses.
+    val retries0 = KvSink.casRetries.get()
+    @volatile var fired = false
+    KvSink.onBeforeCas = () => if (!fired) { fired = true; write(400, 500, "append") }
+    try write(600, 700, "append")
+    finally KvSink.onBeforeCas = () => ()
+    assert(fired, "interleave hook never ran")
+    assert(KvSink.casRetries.get() == retries0 + 1,
+      "outer append must lose exactly one CAS and retry")
+    assert(KvSink.versions(out) == Seq(1L, 2L, 3L))
+    // both writers' rows are present — the rebase lost nothing
+    assert(latestCount() == n(1, 300) + n(400, 500) + n(600, 700))
+    // LINEARIZABLE log: every manifest strictly extends its predecessor
+    // (v2 = inner append on v1, v3 = outer append rebased on v2)
+    val f1 = KvSink.committedFiles(out, 1L).map(_._1).toSet
+    val f2 = KvSink.committedFiles(out, 2L).map(_._1).toSet
+    val f3 = KvSink.committedFiles(out, 3L).map(_._1).toSet
+    assert(f1.subsetOf(f2) && f2.subsetOf(f3) &&
+      f1.size < f2.size && f2.size < f3.size,
+      s"version log must be a chain of extensions: $f1 / $f2 / $f3")
+    // pointer agrees with the newest log entry
+    assert(KvSink.committedFiles(out).toSet ==
+      KvSink.committedFiles(out, 3L).toSet)
+    // OVERWRITE vs concurrent commit does NOT commute: the overwrite
+    // planned its truncation against a snapshot that is no longer
+    // latest — it must DETECT the conflict and abort, never silently
+    // erase the interloper's rows (Delta's WriteSerializable rule).
+    fired = false
+    KvSink.onBeforeCas = () => if (!fired) { fired = true; write(800, 850, "append") }
+    val thrown = intercept[Exception] {
+      try write(900, 950, "overwrite")
+      finally KvSink.onBeforeCas = () => ()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(thrown).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"overwrite loser must abort with ConcurrentModificationException, got: $thrown")
+    // the survivor is the inner append's snapshot — v4, intact
+    assert(KvSink.versions(out) == Seq(1L, 2L, 3L, 4L))
+    assert(latestCount() ==
+      n(1, 300) + n(400, 500) + n(600, 700) + n(800, 850),
+      "failed overwrite must leave the concurrent append's commit intact")
+  }
+
   test("V2 sink: orphan files are invisible to the manifest-gated read") {
     val out = java.nio.file.Files.createTempDirectory("graft_kv_orphan").toString
     val n = ops.CoreOps.dsv2SinkTo(spark, sf, out).count()
