@@ -115,6 +115,26 @@ object Bench {
         else math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / 100.0 / dt)
       if (ok) Some(Window(dt, ext, load)) else None
     }
+    // Fixed-cost CALIBRATION probe (cross-run drift normalizer): a
+    // constant 4×10^8-row range-sum at pinned parallelism (64 slices,
+    // independent of shuffle conf) — pure codegen'd long arithmetic, no
+    // IO, no shuffle, so its wall time measures only what the BOX gives
+    // this JVM. Identical code across rounds ⇒ calib ratio between two
+    // archives ≈ the box-speed ratio; tools/bench_compare.py divides it
+    // out so per-query ratios read as code, not contention. Measured at
+    // start AND end (min of 3 each) because drift mid-run is the
+    // documented failure mode (r13: 1.18× uniform drift in 100 min).
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 400000000L, 1L, 64)
+          .selectExpr("sum(id % 97)").queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm (codegen compile)
+      Seq(once(), once(), once()).min
+    }
+    val calibStart = calibrate()
     names.foreach(materialize) // warmup pass
     System.gc()
     val pass1 = names.map(n => n -> timed(n)).toMap
@@ -142,6 +162,8 @@ object Bench {
       val ws = windows(n)
       n -> (if (ws.isEmpty) -1.0 else ws.map(_.sec).min)
     }
+    val calibEnd = calibrate()
+    val calibS = math.min(calibStart, calibEnd)
     val loadEnd = loadavg1m()
     def fmt(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -160,7 +182,7 @@ object Bench {
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
     val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStart)},"calib_end_s":${fmt(calibEnd)},"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     println(detail) // full detail early — safe to truncate, bench.json has it too
@@ -174,6 +196,6 @@ object Bench {
     //     spark.stop() so no shutdown logging lands below it).
     def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     println(s"""{"qv_order":"sorted_names","n":${results.size},"qv":[${results.map(r => fmt2(r._2)).mkString(",")}]}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"n_queries":${results.size},"loadavg_1m_at_start":$loadStart,"remeasured_n":${remeasured.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"n_queries":${results.size},"calib_s":${fmt(calibS)},"loadavg_1m_at_start":$loadStart,"remeasured_n":${remeasured.size},"sf":"$sfDir"}""")
   }
 }

@@ -1106,7 +1106,71 @@ object Dedup {
       .orderBy(col("canonical"))
   }
 
+  /** PER-HOST CRAWL POLITENESS audit — the scheduling half the crawl
+    * family (WARC parse → URL canonicalization → CDC chunking) was
+    * missing: given a request log, simulate each REGISTERED DOMAIN's
+    * token bucket (capacity 3 requests, refill one per crawl-delay) and
+    * report how many requests the budget would have served vs rejected.
+    * Host → registered domain is the one-label strip the
+    * [[urlCanonical]] split discipline gives (a production crawler
+    * swaps in the public-suffix list); the per-domain crawl delay is
+    * derived from the domain itself, standing in for robots.txt
+    * `Crawl-delay`.
+    *
+    * The bucket is an integer FOLD in millisecond credits — capacity
+    * 3·delay, refill = elapsed ms, serve costs `delay`, a request that
+    * finds < delay credits is a violation and consumes nothing. All
+    * arithmetic is BIGINT ms, so Spark's `aggregate()` fold and the
+    * oracle's recursive CTE replay the same trajectory exactly; the
+    * result is also tie-order invariant (equal timestamps contribute
+    * identical gap sequences in any order).
+    *
+    * At 100 TB: requests shuffle ONCE at registered-domain grain; the
+    * fold is O(requests per domain) sequential inside the group —
+    * politeness state is inherently per-domain-sequential, and a
+    * production scheduler bounds the group by simulating per
+    * (domain, day) window with carry-in credits. Hot domains are the
+    * skew axis; the day split is the salting.
+    */
+  def crawlPoliteness(s: SparkSession, d: String): DataFrame = {
+    val reqs = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_millis(ts)").as("t"))
+      .select(expr(
+        """concat(CASE CAST(user_id % 3 AS INT)
+          |          WHEN 0 THEN 'www' WHEN 1 THEN 'img' ELSE 'api' END,
+          |        '.domain', CAST(user_id % 8 AS STRING), '.com')""".stripMargin)
+        .as("host"), col("t"))
+      .withColumn("reg_domain", expr("substr(host, instr(host, '.') + 1)"))
+      .withColumn("delay_ms", expr(
+        "CAST(600000 * (1 + CAST(regexp_replace(reg_domain, '[^0-9]', '') " +
+          "AS BIGINT) % 5) AS BIGINT)"))
+    val cap = "3 * delay_ms"
+    val refill = s"least($cap, acc.credits + (t - acc.last))"
+    reqs.groupBy(col("reg_domain"), col("delay_ms"))
+      .agg(sort_array(collect_list(col("t"))).as("tss"),
+        countDistinct(col("host")).as("n_hosts"))
+      .withColumn("viol", expr(
+        s"""aggregate(tss,
+           |  struct(CAST($cap AS BIGINT) AS credits,
+           |         element_at(tss, 1) AS last,
+           |         CAST(0 AS BIGINT) AS viol),
+           |  (acc, t) -> struct(
+           |    CASE WHEN $refill >= delay_ms THEN $refill - delay_ms
+           |         ELSE $refill END AS credits,
+           |    t AS last,
+           |    acc.viol + CASE WHEN $refill >= delay_ms
+           |      THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS viol),
+           |  acc -> acc.viol)""".stripMargin))
+      .select(col("reg_domain"), col("delay_ms"), col("n_hosts"),
+        expr("CAST(size(tss) AS BIGINT)").as("n_requests"),
+        expr("CAST(size(tss) AS BIGINT) - viol").as("n_served"),
+        col("viol").as("n_violations"),
+        expr("element_at(tss, -1) - element_at(tss, 1)").as("span_ms"))
+      .orderBy(col("reg_domain"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_crawl_politeness" -> crawlPoliteness,
     "dd_url_canonical" -> urlCanonical,
     "dd_cdc_chunks" -> cdcChunks,
     "dd_shingle_sweep" -> shingleSweep,
@@ -1162,6 +1226,52 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_crawl_politeness" ->
+      """WITH RECURSIVE req AS (
+        |  SELECT concat(CASE CAST(user_id % 3 AS INT)
+        |                  WHEN 0 THEN 'www' WHEN 1 THEN 'img' ELSE 'api' END,
+        |                '.domain', CAST(user_id % 8 AS VARCHAR), '.com') AS host,
+        |         epoch_ms(ts) AS t
+        |  FROM events),
+        |lab AS (
+        |  SELECT host, substr(host, position('.' IN host) + 1) AS reg_domain, t
+        |  FROM req),
+        |del AS (
+        |  SELECT reg_domain,
+        |         CAST(600000 * (1 + CAST(regexp_replace(reg_domain, '[^0-9]', '', 'g')
+        |           AS BIGINT) % 5) AS BIGINT) AS delay_ms,
+        |         host, t
+        |  FROM lab),
+        |ordered AS (
+        |  SELECT reg_domain, delay_ms, t,
+        |         row_number() OVER (PARTITION BY reg_domain ORDER BY t) AS rn,
+        |         count(*) OVER (PARTITION BY reg_domain) AS n
+        |  FROM del),
+        |sim AS (
+        |  SELECT reg_domain, delay_ms, n, rn, t AS last,
+        |         2 * delay_ms AS credits, CAST(0 AS BIGINT) AS viol
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+  |  SELECT s.reg_domain, s.delay_ms, s.n, o.rn, o.t,
+        |         CASE WHEN least(3 * s.delay_ms, s.credits + (o.t - s.last)) >= s.delay_ms
+        |              THEN least(3 * s.delay_ms, s.credits + (o.t - s.last)) - s.delay_ms
+        |              ELSE least(3 * s.delay_ms, s.credits + (o.t - s.last)) END,
+        |         s.viol + CASE WHEN least(3 * s.delay_ms, s.credits + (o.t - s.last)) >= s.delay_ms
+        |                       THEN 0 ELSE 1 END
+        |  FROM sim s JOIN ordered o
+        |    ON o.reg_domain = s.reg_domain AND o.rn = s.rn + 1),
+        |hosts AS (
+        |  SELECT reg_domain, CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |         min(t) AS t0, max(t) AS t1
+        |  FROM del GROUP BY 1)
+        |SELECT s.reg_domain, s.delay_ms, h.n_hosts,
+        |       CAST(s.n AS BIGINT) AS n_requests,
+        |       CAST(s.n - s.viol AS BIGINT) AS n_served,
+        |       s.viol AS n_violations,
+        |       h.t1 - h.t0 AS span_ms
+        |FROM sim s JOIN hosts h USING (reg_domain)
+        |WHERE s.rn = s.n
+        |ORDER BY reg_domain""".stripMargin,
     "dd_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,

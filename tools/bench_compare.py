@@ -9,14 +9,25 @@ import sys
 
 
 def main(old_path, new_path):
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old_doc = json.load(open(old_path))
+    new_doc = json.load(open(new_path))
+    old = old_doc["queries"]
+    new = new_doc["queries"]
+    # Box-speed normalization: calib_s times an identical fixed-cost probe
+    # in both runs, so new_calib/old_calib is the box drift between them.
+    # Ratios are divided by it so they read as CODE change, not contention.
+    calib = 1.0
+    if old_doc.get("calib_s", 0) > 0 and new_doc.get("calib_s", 0) > 0:
+        calib = new_doc["calib_s"] / old_doc["calib_s"]
+        print(f"calib_s old {old_doc['calib_s']:.3f}  new "
+              f"{new_doc['calib_s']:.3f}  box drift {calib:.3f}x "
+              f"(per-query ratios below are divided by it)")
     shared = sorted(set(old) & set(new))
-    ratios = sorted((new[q] / old[q], q) for q in shared if old[q] > 0)
+    ratios = sorted((new[q] / old[q] / calib, q) for q in shared if old[q] > 0)
     med = ratios[len(ratios) // 2][0] if ratios else float("nan")
     print(f"shared {len(shared)}  old-only {len(set(old)-set(new))}  "
           f"new-only {len(set(new)-set(old))}")
-    print(f"median ratio new/old: {med:.3f}")
+    print(f"median calib-normalized ratio new/old: {med:.3f}")
     print("worst 10 regressions (ratio, new_s, old_s, query):")
     for r, q in ratios[-10:][::-1]:
         print(f"  {r:6.2f}  {new[q]:7.3f}  {old[q]:7.3f}  {q}")
