@@ -1641,7 +1641,113 @@ object Multimodal {
       .orderBy(col("warc_id"), col("rec_idx"))
   }
 
+  /** TAR / WebDataset SHARD parsing — the other archive format training
+    * pipelines actually ingest (WebDataset shards ARE plain ustar
+    * files; lab corpora ship as tar). Each document becomes a POSIX
+    * ustar member (NUL-padded name, 11-digit octal size, space-seeded
+    * header checksum, `ustar` magic, 512-byte blocking); members
+    * concatenate into per-shard archives closed by two NUL blocks; the
+    * parser then walks the archive BY ITS OWN HEADERS — octal size →
+    * next member offset — and re-derives every output column from the
+    * blob alone: member name (scan to the NUL terminator byte-by-byte,
+    * not by substring search — a name ending in '0' would false-match
+    * '00' across hex-pair boundaries), declared vs recomputed checksum
+    * (sum of the 512 header bytes with the checksum field as spaces),
+    * magic validity, and a payload digest.
+    *
+    * Bytes are carried as HEX TEXT: DuckDB VARCHARs cannot hold NUL
+    * bytes, and tar is NUL-padded everywhere, so the hex plane is the
+    * one representation both engines manipulate byte-exactly (the mm
+    * family's established codec-stub discipline; a production reader
+    * holds binary and the same offsets).
+    *
+    * At 100 TB: member walking is per-shard sequential BY FORMAT (tar
+    * has no central directory — that is WHY WebDataset shards are kept
+    * at ~1 GB and listed in an external manifest); shards parallelize
+    * perfectly, and the fold is one pass over each. Headers shuffle
+    * nothing; payloads reduce to digests before any exchange.
+    */
+  def tarEntries(s: SparkSession, d: String): DataFrame = {
+    // --- build side: hex-encoded ustar members -------------------------
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 60)
+      .select(col("doc_id"), expr("doc_id div 4").as("tar_id"),
+        expr("substr(text, 1, CAST(60 + doc_id % 50 AS INT))").as("payload"),
+        concat(lit("doc"), col("doc_id").cast("string"), lit(".txt")).as("name"))
+      .withColumn("sizeb", expr("CAST(octet_length(payload) AS BIGINT)"))
+      .withColumn("h0", expr(
+        """concat(
+          |  hex(name), repeat('00', 100 - length(name)),
+          |  hex('0000644'), '00',
+          |  hex('0000000'), '00',
+          |  hex('0000000'), '00',
+          |  hex(lpad(conv(sizeb, 10, 8), 11, '0')), '00',
+          |  hex('00000000000'), '00',
+          |  repeat('20', 8),
+          |  '30',
+          |  repeat('00', 100),
+          |  '757374617200', '3030',
+          |  repeat('00', 247))""".stripMargin))
+      .withColumn("cks", expr(
+        """aggregate(sequence(0, 511), CAST(0 AS BIGINT), (a, i) ->
+          |  a + CAST(conv(substr(h0, 2 * i + 1, 2), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("mh", expr(
+        """concat(substr(h0, 1, 296),
+          |  hex(lpad(conv(cks, 10, 8), 6, '0')), '00', '20',
+          |  substr(h0, 313),
+          |  hex(payload),
+          |  repeat('00', CAST((512 - sizeb % 512) % 512 AS INT)))""".stripMargin))
+    val tars = docs.groupBy(col("tar_id"))
+      .agg(concat(expr(
+        "array_join(transform(array_sort(collect_list(struct(doc_id, mh)))," +
+          " x -> x.mh), '')"),
+        expr("repeat('00', 1024)")).as("tar"))
+    // --- parse side: everything below reads only `tar` -----------------
+    val szAt = "aggregate(sequence(0, 10), CAST(0 AS BIGINT), (a2, i2) -> " +
+      "a2 * 8 + CAST(substr(tar, CAST(o2 * 2 + 250 + 2 * i2 AS INT), 1) AS BIGINT))"
+    tars
+      .withColumn("offs", expr(
+        s"""aggregate(sequence(1, 16),
+           |  struct(CAST(0 AS BIGINT) AS off, CAST(array() AS ARRAY<BIGINT>) AS es),
+           |  (acc, z) -> CASE
+           |    WHEN substr(tar, CAST(acc.off * 2 + 1 AS INT), 2) = '00' THEN acc
+           |    ELSE struct(
+           |      acc.off + 512 + 512 * ((${szAt.replace("o2", "acc.off")} + 511) div 512) AS off,
+           |      concat(acc.es, array(acc.off)) AS es) END,
+           |  acc -> acc.es)""".stripMargin))
+      .select(col("tar_id"), col("tar"),
+        posexplode(col("offs")).as(Seq("entry_idx", "off")))
+      .withColumn("size_bytes",
+        expr(szAt.replace("o2", "off")))
+      .withColumn("namelen", expr(
+        """aggregate(sequence(0, 99), -1, (a, i) ->
+          |  CASE WHEN a >= 0 THEN a
+          |       WHEN substr(tar, CAST(off * 2 + 2 * i + 1 AS INT), 2) = '00' THEN i
+          |       ELSE a END)""".stripMargin))
+      .withColumn("name", expr(
+        "decode(unhex(substr(tar, CAST(off * 2 + 1 AS INT), namelen * 2)), 'UTF-8')"))
+      .withColumn("cks_declared", expr(
+        """aggregate(sequence(0, 5), CAST(0 AS BIGINT), (a, i) ->
+          |  a * 8 + CAST(substr(tar, CAST(off * 2 + 298 + 2 * i AS INT), 1) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("cks_computed", expr(
+        """aggregate(sequence(0, 511), CAST(0 AS BIGINT), (a, i) ->
+          |  a + CASE WHEN i >= 148 AND i < 156 THEN CAST(32 AS BIGINT)
+          |      ELSE CAST(conv(substr(tar, CAST(off * 2 + 2 * i + 1 AS INT), 2), 16, 10) AS BIGINT) END)"""
+          .stripMargin))
+      .select(col("tar_id"), col("entry_idx").cast("long").as("entry_idx"),
+        col("name"), col("size_bytes"),
+        (col("cks_declared") === col("cks_computed")).as("chksum_ok"),
+        (expr("substr(tar, CAST(off * 2 + 515 AS INT), 12)") === lit("757374617200"))
+          .as("magic_ok"),
+        md5(expr("substr(tar, CAST((off + 512) * 2 + 1 AS INT), CAST(size_bytes * 2 AS INT))"))
+          .as("payload_md5"))
+      .orderBy(col("tar_id"), col("entry_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tar_entries" -> tarEntries,
     "mm_warc_records" -> warcRecords,
     "mm_magic_sniff" -> magicSniff,
     "mm_exif_meta" -> exifMeta,
@@ -1673,6 +1779,84 @@ object Multimodal {
     s"CAST('0x' || substr(sha256(text), ${2 * i + 1}, 2) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "mm_tar_entries" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id, doc_id // 4 AS tar_id,
+        |         substr(text, 1, CAST(60 + doc_id % 50 AS INT)) AS payload,
+        |         'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name
+        |  FROM documents WHERE length(text) >= 60),
+        |m2 AS (
+        |  SELECT *, CAST(strlen(payload) AS BIGINT) AS sizeb FROM m),
+        |hdr0 AS (
+        |  SELECT *,
+        |    hex(name) || repeat('00', CAST(100 - length(name) AS INT))
+        |    || hex('0000644') || '00'
+        |    || hex('0000000') || '00'
+        |    || hex('0000000') || '00'
+        |    || hex(lpad(to_base(sizeb, 8), 11, '0')) || '00'
+        |    || hex('00000000000') || '00'
+        |    || repeat('20', 8)
+        |    || '30'
+        |    || repeat('00', 100)
+        |    || '757374617200' || '3030'
+        |    || repeat('00', 247) AS h0
+        |  FROM m2),
+        |hsum AS (
+        |  SELECT *, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST('0x' || substr(h0, 2 * i + 1, 2) AS BIGINT)
+        |     for i in range(0, 512)]), (a, v) -> a + v) AS cks
+        |  FROM hdr0),
+        |mem AS (
+        |  SELECT tar_id, doc_id,
+        |    substr(h0, 1, 296)
+        |    || hex(lpad(to_base(cks, 8), 6, '0')) || '00' || '20'
+        |    || substr(h0, 313)
+        |    || hex(payload)
+        |    || repeat('00', CAST((512 - sizeb % 512) % 512 AS INT)) AS mh
+        |  FROM hsum),
+        |tars AS (
+        |  SELECT tar_id,
+        |         string_agg(mh, '' ORDER BY doc_id) || repeat('00', 1024) AS tar
+        |  FROM mem GROUP BY 1),
+        |walk AS (
+        |  SELECT tar_id, tar, CAST(0 AS BIGINT) AS off, CAST(0 AS BIGINT) AS idx
+        |  FROM tars
+        |  UNION ALL
+        |  SELECT tar_id, tar, nxt, idx + 1 FROM (
+        |    SELECT tar_id, tar, idx,
+        |      off + 512 + 512 * ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(substr(tar, CAST(off * 2 + 250 + 2 * i AS INT), 1) AS BIGINT)
+        |         for i in range(0, 11)]), (a, v) -> a * 8 + v) + 511) // 512) AS nxt
+        |    FROM walk) w
+        |  WHERE substr(tar, CAST(nxt * 2 + 1 AS INT), 2) <> '00'),
+        |ent AS (
+        |  SELECT tar_id, idx AS entry_idx, tar, off,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(substr(tar, CAST(off * 2 + 250 + 2 * i AS INT), 1) AS BIGINT)
+        |       for i in range(0, 11)]), (a, v) -> a * 8 + v) AS size_bytes,
+        |    list_reduce(list_prepend(CAST(-1 AS BIGINT),
+        |      [CAST(i AS BIGINT) for i in range(0, 100)]), (a, i) ->
+        |      CASE WHEN a >= 0 THEN a
+        |           WHEN substr(tar, CAST(off * 2 + 2 * i + 1 AS INT), 2) = '00' THEN i
+        |           ELSE a END) AS namelen,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(substr(tar, CAST(off * 2 + 298 + 2 * i AS INT), 1) AS BIGINT)
+        |       for i in range(0, 6)]), (a, v) -> a * 8 + v) AS cks_declared,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(i AS BIGINT) for i in range(0, 512)]), (a, i) ->
+        |      a + CASE WHEN i >= 148 AND i < 156 THEN 32
+        |          ELSE CAST('0x' || substr(tar, CAST(off * 2 + 2 * i + 1 AS INT), 2) AS BIGINT) END)
+        |      AS cks_computed
+        |  FROM walk)
+        |SELECT tar_id, entry_idx,
+        |       decode(unhex(substr(tar, CAST(off * 2 + 1 AS INT),
+        |         CAST(namelen * 2 AS INT)))) AS name,
+        |       size_bytes,
+        |       cks_declared = cks_computed AS chksum_ok,
+        |       substr(tar, CAST(off * 2 + 515 AS INT), 12) = '757374617200' AS magic_ok,
+        |       md5(substr(tar, CAST((off + 512) * 2 + 1 AS INT),
+        |         CAST(size_bytes * 2 AS INT))) AS payload_md5
+        |FROM ent ORDER BY tar_id, entry_idx""".stripMargin,
     "mm_warc_records" ->
       """WITH p AS (
         |  SELECT doc_id,

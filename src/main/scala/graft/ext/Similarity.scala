@@ -1138,6 +1138,59 @@ object Similarity {
     * replays the identical greedy recursion as a recursive CTE over the
     * same pair table — every pick hash-verified, ties broken by cid.
     */
+  /** BORDA-COUNT RANK FUSION — the hybrid-retrieval combiner (dense +
+    * lexical, or here two dense metrics) in its integer-exact form:
+    * each ranker contributes `K+1−rank` points to its top-K (K=50)
+    * candidates, fused score = point sum, final order by points with
+    * id tie-break. Reciprocal-rank fusion's 1/(60+r) weights are
+    * non-dyadic rationals that hash-verify poorly; Borda is the same
+    * union-of-rankers shape with BIGINT arithmetic end to end — the
+    * verified surface carries only ids, ranks, and points.
+    *
+    * The two rankers deliberately disagree: cosine (angle) vs Euclidean
+    * (angle + magnitude) over the same candidates, so the fused list is
+    * a genuine compromise, not a copy of either input.
+    *
+    * At 100 TB: ONE corpus scan computes both scores (query side
+    * broadcast); per-query top-K via the windowed rank the native
+    * top-k-per-key operator rewrites; fusion itself joins two
+    * (queries × K)-row lists — trivially small whatever the corpus.
+    */
+  def bordaFusion(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = q.hint("broadcast").join(corpus)
+      .withColumn("cosine", expr(cos(s, "qv", "cv")))
+      .withColumn("l2", expr(
+        """aggregate(zip_with(qv, cv, (x, y) ->
+          |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+          |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+    val ra = scored.withColumn("r", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("cid"))))
+      .filter(col("r") <= 50)
+      .select(col("qid"), col("cid"), (lit(51L) - col("r")).as("pts_cos"))
+    val rb = scored.withColumn("r", row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("l2"), col("cid"))))
+      .filter(col("r") <= 50)
+      .select(col("qid"), col("cid"), (lit(51L) - col("r")).as("pts_l2"))
+    ra.join(rb, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        coalesce(col("pts_cos"), lit(0L)).as("pts_cos"),
+        coalesce(col("pts_l2"), lit(0L)).as("pts_l2"))
+      .withColumn("pts_total", col("pts_cos") + col("pts_l2"))
+      .withColumn("rank_fused", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(desc("pts_total"), col("cid"))).cast("long"))
+      .filter(col("rank_fused") <= 10)
+      .select(col("qid"), col("cid"), col("rank_fused"),
+        col("pts_total"), col("pts_cos"), col("pts_l2"))
+      .orderBy(col("qid"), col("rank_fused"))
+  }
+
   def mmrRerank(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 3)
@@ -2041,6 +2094,7 @@ object Similarity {
     "sim_pq_distortion" -> pqDistortion,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
+    "sim_borda_fusion" -> bordaFusion,
     "sim_label_centroids" -> labelCentroids,
     "sim_silhouette" -> silhouette,
     "sim_centroid_separation" -> centroidSeparation,
@@ -2603,6 +2657,41 @@ object Similarity {
          |  FROM scored)
          |SELECT qid, vec_id, rank, score_sq FROM ranked
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_borda_fusion" ->
+      s"""WITH sc AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS cid,
+         |         (${duckCos("q.embedding", "e.embedding")}) AS cosine,
+         |         list_reduce(list_prepend(0.0,
+         |           [(CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) *
+         |            (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+         |            for i in range(1, len(q.embedding) + 1)]),
+         |           (acc, v) -> acc + v) AS l2
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id < 5 AND e.vec_id >= 5),
+         |ra AS (
+         |  SELECT qid, cid, 51 - r AS pts_cos FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, cid) AS r FROM sc)
+         |  WHERE r <= 50),
+         |rb AS (
+         |  SELECT qid, cid, 51 - r AS pts_l2 FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY l2 ASC, cid) AS r FROM sc)
+         |  WHERE r <= 50),
+         |f AS (
+         |  SELECT COALESCE(ra.qid, rb.qid) AS qid,
+         |         COALESCE(ra.cid, rb.cid) AS cid,
+         |         CAST(COALESCE(pts_cos, 0) AS BIGINT) AS pts_cos,
+         |         CAST(COALESCE(pts_l2, 0) AS BIGINT) AS pts_l2
+         |  FROM ra FULL JOIN rb ON ra.qid = rb.qid AND ra.cid = rb.cid),
+         |rk AS (
+         |  SELECT qid, cid, pts_cos, pts_l2,
+         |         pts_cos + pts_l2 AS pts_total,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY pts_cos + pts_l2 DESC, cid) AS BIGINT) AS rank_fused
+         |  FROM f)
+         |SELECT qid, cid, rank_fused, pts_total, pts_cos, pts_l2
+         |FROM rk WHERE rank_fused <= 10 ORDER BY qid, rank_fused""".stripMargin,
     "sim_mmr" ->
       s"""WITH RECURSIVE
          |cand0 AS (

@@ -594,6 +594,46 @@ object CoreOps {
       .withColumn("price", col("price").cast("double")).orderBy(col("k"))
   }
 
+  /** S17 — MERGE INTO a PARTITIONED V2 table: the same row-level
+    * machinery as [[mergeInto]], but the table declares
+    * `PARTITIONED BY (bucket(8, k))`, so the partition id is the
+    * copy-on-write group id and Catalyst's runtime group filter prunes
+    * the rewrite to the buckets the source actually touches (the source
+    * is restricted to k % 8 ∈ {1, 3} — six of eight partitions are
+    * carried by reference, never rewritten; PlanSpec proves the
+    * object-identity version of that claim). The oracle is the same
+    * partition-agnostic LEFT JOIN ∪ ANTI JOIN desugaring: partitioning
+    * must change the WRITE COST, never the result.
+    *
+    * Scale shape: this is the Iceberg/Delta production MERGE — a
+    * statement touching 2/8 of the key space rewrites 2/8 of the bytes
+    * under partitioned COW vs 100% on the r13 unpartitioned table.
+    */
+  def partitionedMerge(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.ns.pmerge")
+    s.sql(
+      """CREATE TABLE graft_cat.ns.pmerge (k BIGINT, name STRING, bal DOUBLE)
+        |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    Tables.customer(s, d).filter(col("c_custkey") <= 1200)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        lit(0.0).as("bal"))
+      .createOrReplaceTempView("pmerge_seed")
+    s.sql("INSERT INTO graft_cat.ns.pmerge SELECT * FROM pmerge_seed")
+    Tables.customer(s, d)
+      .filter(col("c_custkey").between(600, 1800) &&
+        (col("c_custkey") % 8 === 1 || col("c_custkey") % 8 === 3))
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").cast("double").as("bal"))
+      .createOrReplaceTempView("pmerge_updates")
+    s.sql(
+      """MERGE INTO graft_cat.ns.pmerge t USING pmerge_updates s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
+        |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
+        |""".stripMargin)
+    s.table("graft_cat.ns.pmerge").orderBy(col("k"))
+  }
+
   /** S14 — PERMISSIVE CSV ingestion with corrupt-record capture: the
     * messy-feed reality every warehouse loader faces. A CSV feed is
     * synthesized from `nation` with every 5th record deliberately
@@ -709,6 +749,7 @@ object CoreOps {
     "s12_merge_mor" -> mergeMor,
     "s12_upddel_mor" -> upddelMor,
     "s16_optimize" -> optimizeCompact,
+    "s17_partitioned_merge" -> partitionedMerge,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -768,6 +809,25 @@ object CoreOps {
     "s12_upddel_mor" -> updDelOracle,
     "s12_update_delete" -> updDelOracle,
     "s12_merge_into" -> mergeOracle,
+    "s17_partitioned_merge" ->
+      """WITH target AS (
+        |  SELECT c_custkey AS k, c_name AS name, CAST(0 AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey <= 1200),
+        |source AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |         CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM customer
+        |  WHERE c_custkey BETWEEN 600 AND 1800
+        |    AND (c_custkey % 8 = 1 OR c_custkey % 8 = 3)),
+        |merged AS (
+        |  SELECT t.k,
+        |         COALESCE(s.name, t.name) AS name,
+        |         COALESCE(s.bal, t.bal) AS bal
+        |  FROM target t LEFT JOIN source s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.name, s.bal
+        |  FROM source s ANTI JOIN target t ON s.k = t.k)
+        |SELECT k, name, bal FROM merged ORDER BY k""".stripMargin,
     "s11_dsv2_sink" ->
       """SELECT o_orderkey AS key, o_orderstatus AS val
         |FROM orders WHERE o_orderkey <= 500 ORDER BY key""".stripMargin,

@@ -360,6 +360,72 @@ object StatOps {
       .withColumn("mi_bits", col("mi_fp").cast("double") / lit(65536.0))
   }
 
+  /** MULTINOMIAL NAIVE BAYES language classifier, trained and scored in
+    * exact FixLog bits — the CCNet/fastText-style classifier gate every
+    * pretraining pipeline runs (quality/language filtering), made
+    * hash-verifiable: train on doc_id % 5 ≠ 0, score the held-out fifth,
+    * emit the confusion matrix. Laplace-smoothed log-likelihoods are
+    * DEFINED over the truncated fixed-point log2
+    * ([[graft.ext.FixLog]]): score(L | doc) = lg(docs_L) − lg(N) −
+    * m·lg(tokens_L + V) + Σ_w lg(c(w,L)+1), all BIGINT, so both engines
+    * compute the identical integer and pick the identical argmax (ties
+    * break on label order — deterministic).
+    *
+    * Honest read of the output: this synthetic corpus draws every
+    * language's text from the SAME vocabulary, so the label carries no
+    * lexical signal and a correct NB collapses to the class prior — the
+    * confusion matrix shows exactly that majority-class behavior
+    * (accuracy = base rate 0.42). What the gate verifies is the
+    * estimator itself: smoothed counts, log-priors, per-token
+    * likelihoods, and argmax agree bit-for-bit across engines, which is
+    * the property that matters when this classifier gates real data.
+    *
+    * At 100 TB: training is one token-grain map-side-combined count
+    * (the word-type attribute domain, Heaps-sublinear); scoring joins
+    * test tokens to the count table keyed by word — the same
+    * broadcast-or-shuffle-by-key shape as the tokenizer encoders. The
+    * per-label cross is ×|labels| (constant 5), never ×vocab.
+    */
+  def naiveBayes(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val trainTok = train
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val counts = trainTok.groupBy(col("lang").as("lang_cand"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val cand = trainTok.groupBy(col("lang").as("lang_cand"))
+      .agg(count(lit(1)).as("toks"))
+      .join(train.groupBy(col("lang").as("lang_cand"))
+        .agg(count(lit(1)).as("nd")), "lang_cand")
+      .crossJoin(broadcast(trainTok.agg(
+        countDistinct(col("w")).as("v"))))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
+    val testTok = test
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    testTok.crossJoin(broadcast(cand))
+      .join(counts, Seq("lang_cand", "w"), "left")
+      .withColumn("cw1", coalesce(col("cw"), lit(0L)) + lit(1L))
+      .withColumn("term", expr(lgS("cw1")))
+      .groupBy(col("doc_id"), col("lang_true"), col("lang_cand"),
+        col("toks"), col("nd"), col("v"), col("n"))
+      .agg(count(lit(1)).as("m"), sum(col("term")).as("sumlg"))
+      .withColumn("score", expr(
+        s"${lgS("nd")} - ${lgS("n")} - m * ${lgS("toks + v")} + sumlg"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("lang_cand"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang_true"), col("lang_cand").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
   /** DECISION STUMP by exact error count — the weak learner boosting
     * stacks and the simplest trainable model that hash-verifies: over
     * the bucketed price grid ([[aucBucketed]]'s 2^16-cent buckets), find
@@ -398,6 +464,54 @@ object StatOps {
         col("err").as("errors"), expr("least(tp, tq)").as("base_errors"),
         col("n_buckets"),
         expr("((tp + tq - err) * 1000000) div (tp + tq)").as("accuracy_ppm"))
+  }
+
+  /** ISOTONIC REGRESSION (probability calibration) by the exact minimax
+    * form — the calibrator every scored-data pipeline runs between a
+    * classifier and a threshold (Platt's rival; sklearn's
+    * IsotonicRegression): fit the least-squares NON-DECREASING curve of
+    * P(urgent | price bucket) over [[aucBucketed]]'s 2^16-cent grid.
+    * Instead of the sequential pool-adjacent-violators stack (a
+    * while-merge no SQL lambda can express), the fit uses PAVA's minimax
+    * characterization iso(i) = max_{j≤i} min_{k≥i} mean(j..k): prefix
+    * sums make every interval mean one subtraction, the suffix-min per
+    * start point is a window, the max per end point an aggregation. All
+    * means divide exact BIGINT prefix differences (≪ 2^53), so both
+    * engines produce bit-identical doubles and the SAME fit.
+    *
+    * At 100 TB: the O(grid²) pair join is over the BOUNDED bucket grid
+    * (≤ ~800 rows here, fixed by the price domain — never
+    * data-proportional); the corpus contributes one map-side-combined
+    * count per bucket. The grid is the state, facts stream through.
+    */
+  def isotonic(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, d)
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) div 65536")
+        .as("b"),
+        expr("CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT)").as("pos"))
+      .groupBy(col("b"))
+      .agg(sum(col("pos")).as("n1"), count(lit(1)).as("n"))
+    val cum = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    val pr = g.withColumn("cp", sum(col("n1")).over(cum))
+      .withColumn("cc", sum(col("n")).over(cum))
+    val j = pr.select(col("b").as("jb"), col("n1").as("jn1"), col("n").as("jn"),
+      col("cp").as("jcp"), col("cc").as("jcc"))
+    val k = pr.select(col("b").as("kb"), col("cp").as("kcp"), col("cc").as("kcc"))
+    val pairs = j.join(k, col("jb") <= col("kb"))
+      .withColumn("mean", expr(
+        "CAST(kcp - (jcp - jn1) AS DOUBLE) / CAST(kcc - (jcc - jn) AS DOUBLE)"))
+    // suffix min over k within each start j, then max over starts per end
+    val sufMin = Window.partitionBy(col("jb")).orderBy(col("kb").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairs.withColumn("mj", min(col("mean")).over(sufMin))
+      .groupBy(col("kb").as("b"))
+      .agg(max(col("mj")).as("iso_fit"))
+      .join(g, "b")
+      .select(col("b"), col("n"), col("n1"),
+        expr("(n1 * 1000000) div n").as("raw_rate_ppm"), col("iso_fit"))
+      .orderBy(col("b"))
   }
 
   /** Deterministic Poisson bootstrap CI for the mean order value — the
@@ -604,6 +718,8 @@ object StatOps {
     "x_page_hinkley" -> pageHinkley,
     "x_croston" -> croston,
     "x_mutual_info" -> mutualInfo,
+    "x_naive_bayes" -> naiveBayes,
+    "x_isotonic" -> isotonic,
     "x_decision_stump" -> decisionStump,
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
@@ -612,6 +728,56 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_naive_bayes" -> {
+      import graft.ext.FixLog.lgD
+      s"""WITH train AS (
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+         |test AS (
+         |  SELECT doc_id, lang AS lang_true, text FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |ttok AS (
+         |  SELECT lang, w FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM train)
+         |  WHERE w <> ''),
+         |counts AS (
+         |  SELECT lang AS lang_cand, w, CAST(COUNT(*) AS BIGINT) AS cw
+         |  FROM ttok GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT l.lang_cand, l.toks, dd.nd, v.v, nt.n
+         |  FROM (SELECT lang AS lang_cand, CAST(COUNT(*) AS BIGINT) AS toks
+         |        FROM ttok GROUP BY 1) l
+         |  JOIN (SELECT lang AS lang_cand, CAST(COUNT(*) AS BIGINT) AS nd
+         |        FROM train GROUP BY 1) dd USING (lang_cand),
+         |       (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM ttok) v,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train) nt),
+         |tetok AS (
+         |  SELECT doc_id, lang_true, w FROM (
+         |    SELECT doc_id, lang_true, unnest(string_split(text, ' ')) AS w
+         |    FROM test)
+         |  WHERE w <> ''),
+         |terms AS (
+         |  SELECT p.doc_id, p.lang_true, c.lang_cand, c.toks, c.nd, c.v, c.n,
+         |         COALESCE(cn.cw, 0) + 1 AS cw1
+         |  FROM tetok p CROSS JOIN cand c
+         |  LEFT JOIN counts cn ON cn.lang_cand = c.lang_cand AND cn.w = p.w),
+         |ds AS (
+         |  SELECT doc_id, lang_true, lang_cand, toks, nd, v, n,
+         |         CAST(COUNT(*) AS BIGINT) AS m,
+         |         CAST(SUM(${lgD("cw1")}) AS BIGINT) AS sumlg
+         |  FROM terms GROUP BY 1, 2, 3, 4, 5, 6, 7),
+         |sc AS (
+         |  SELECT doc_id, lang_true, lang_cand,
+         |         ${lgD("nd")} - ${lgD("n")} - m * ${lgD("toks + v")} + sumlg
+         |           AS score
+         |  FROM ds),
+         |pred AS (
+         |  SELECT doc_id, lang_true, lang_cand AS lang_pred,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, lang_cand) AS rk
+         |  FROM sc)
+         |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "x_mutual_info" -> {
       import graft.ext.FixLog.lgD
       def ent(group: String, n: String) =
@@ -633,6 +799,36 @@ object StatOps {
          |       CAST(mi_fp AS DOUBLE) / 65536.0 AS mi_bits
          |FROM f""".stripMargin
     },
+    "x_isotonic" ->
+      """WITH g AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |           // 65536 AS b,
+        |         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |pr AS (
+        |  SELECT b, n1, n,
+        |         CAST(SUM(n1) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+        |         CAST(SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+        |  FROM g),
+        |pairs AS (
+        |  SELECT j.b AS jb, k.b AS kb,
+        |         CAST(k.cp - (j.cp - j.n1) AS DOUBLE)
+        |           / CAST(k.cc - (j.cc - j.n) AS DOUBLE) AS mean
+        |  FROM pr j JOIN pr k ON j.b <= k.b),
+        |sm AS (
+        |  SELECT jb, kb,
+        |         MIN(mean) OVER (PARTITION BY jb ORDER BY kb DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mj
+        |  FROM pairs),
+        |iso AS (
+        |  SELECT kb AS b, MAX(mj) AS iso_fit FROM sm GROUP BY 1)
+        |SELECT g.b, g.n, g.n1, (g.n1 * 1000000) // g.n AS raw_rate_ppm,
+        |       iso.iso_fit
+        |FROM g JOIN iso ON g.b = iso.b ORDER BY g.b""".stripMargin,
     "x_decision_stump" ->
       """WITH g AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)

@@ -110,4 +110,26 @@ class PropertySpec extends AnyFunSuite {
       assert(got == reference(xs), s"case $i (n=${xs.length})")
     }
   }
+
+  test("isotonic fit is monotone non-decreasing and mass-conserving (PAVA invariants)") {
+    // The minimax form iso(i) = max_{j<=i} min_{k>=i} mean(j..k) must
+    // reproduce PAVA's two defining invariants on real data: the fitted
+    // curve never decreases, and pooling preserves total mass
+    // (Σ iso_i·n_i = Σ n1_i exactly, modulo one rounding per segment).
+    val rows = graft.ops.StatOps.isotonic(spark, TestSpark.sf)
+      .select("b", "n", "n1", "iso_fit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.length > 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-15,
+        s"fit decreased at bucket ${b._1}: ${a._4} -> ${b._4}")
+    }
+    val massIso = rows.map(r => r._2 * r._4).sum
+    val massRaw = rows.map(_._3).sum.toDouble
+    assert(math.abs(massIso - massRaw) <= 1e-6 * massRaw,
+      s"pooling must conserve mass: $massIso vs $massRaw")
+    // and it is a genuine POOLING: far fewer distinct levels than buckets
+    assert(rows.map(_._4).distinct.length < rows.length / 4)
+  }
 }
