@@ -1169,7 +1169,78 @@ object Dedup {
       .orderBy(col("reg_domain"))
   }
 
+  /** ROBOTS.TXT RULE MATCHING (RFC 9309 / Google REP) — the admission
+    * check between the frontier ([[urlCanonical]]) and the scheduler
+    * ([[crawlPoliteness]]): per-domain robots.txt files are synthesized
+    * as real `User-agent / Disallow / Allow` line protocol, PARSED back
+    * line-by-line (split, prefix-strip — nothing consumed from the
+    * generator side), and every candidate URL path is matched under the
+    * standard's precedence: the LONGEST matching rule wins, Allow beats
+    * Disallow at equal length, no match ⇒ allowed. The report counts
+    * per (domain, verdict, winning rule) so a crawl operator can see
+    * exactly which rule eats which share of the frontier.
+    *
+    * At 100 TB: rule sets are per-domain KBs (broadcast side);
+    * frontier URLs stream partitioned and join rules on domain —
+    * prefix match and argmax-by-length are per-row codegen; one
+    * shuffle at (domain, rule) grain for the report.
+    */
+  def robotsRules(s: SparkSession, d: String): DataFrame = {
+    val nl = "\n"
+    // per-domain robots.txt: one disallowed subtree, one re-allowed
+    // child, one disallowed file pattern — the shape real sites ship
+    val robots = Tables.documents(s, d)
+      .select(expr("doc_id % 8").as("dom")).distinct()
+      .withColumn("txt", expr(
+        s"""concat('User-agent: *', '$nl',
+           |  'Disallow: /private', '$nl',
+           |  'Allow: /private/pub', CAST(dom AS STRING), '$nl',
+           |  'Disallow: /tmp', CAST(dom AS STRING), '/', '$nl',
+           |  'Allow: ', '$nl')""".stripMargin))
+    val rules = robots
+      .select(col("dom"), posexplode(split(col("txt"), nl)).as(Seq("ln", "line")))
+      .filter(col("line").startsWith("Disallow: ") || col("line").startsWith("Allow: "))
+      .select(col("dom"),
+        expr("split_part(line, ': ', 1)").as("verdict"),
+        expr("split_part(line, ': ', 2)").as("prefix"))
+      .filter(col("prefix") =!= "") // empty pattern matches nothing (REP)
+    val urls = Tables.documents(s, d)
+      .select(col("doc_id"), expr("doc_id % 8").as("dom"),
+        expr("""CASE CAST(doc_id % 5 AS INT)
+            |  WHEN 0 THEN concat('/private/pub', CAST(doc_id % 8 AS STRING), '/a')
+            |  WHEN 1 THEN concat('/private/x', CAST(doc_id AS STRING))
+            |  WHEN 2 THEN concat('/tmp', CAST(doc_id % 8 AS STRING), '/f')
+            |  WHEN 3 THEN concat('/public/', CAST(doc_id AS STRING))
+            |  ELSE '/'
+            |END""".stripMargin).as("path"))
+    val cand = urls.join(rules, Seq("dom"))
+      .filter(expr("substr(path, 1, length(prefix)) = prefix"))
+    val won = cand
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dom"), col("doc_id"))
+          .orderBy(expr("length(prefix)").desc,
+            // 'Allow' < 'Disallow' lexically — Allow wins length ties (REP)
+            col("verdict"), col("prefix"))))
+      .filter(col("rk") === 1)
+      .select(col("dom"), col("doc_id"),
+        when(col("verdict") === "Allow", lit("allow")).otherwise(lit("block"))
+          .as("decision"),
+        concat(col("verdict"), lit(" "), col("prefix")).as("rule"))
+    // URLs no rule matches are allowed by default (RFC 9309 §2.2.2)
+    val defaults = urls
+      .join(won.select(col("dom"), col("doc_id")), Seq("dom", "doc_id"),
+        "left_anti")
+      .select(col("dom"), col("doc_id"),
+        lit("allow").as("decision"), lit("(default)").as("rule"))
+    won.unionByName(defaults)
+      .groupBy(col("dom"), col("decision"), col("rule"))
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy(col("dom"), col("decision"), col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_robots_rules" -> robotsRules,
     "dd_crawl_politeness" -> crawlPoliteness,
     "dd_url_canonical" -> urlCanonical,
     "dd_cdc_chunks" -> cdcChunks,
@@ -1226,6 +1297,54 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_robots_rules" ->
+      """WITH doms AS (SELECT DISTINCT doc_id % 8 AS dom FROM documents),
+        |rob AS (
+        |  SELECT dom,
+        |    'User-agent: *' || chr(10) ||
+        |    'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/pub' || CAST(dom AS VARCHAR) || chr(10) ||
+        |    'Disallow: /tmp' || CAST(dom AS VARCHAR) || '/' || chr(10) ||
+        |    'Allow: ' || chr(10) AS txt
+        |  FROM doms),
+        |lines AS (
+        |  SELECT dom, unnest(string_split(txt, chr(10))) AS line FROM rob),
+        |rules AS (
+        |  SELECT dom, split_part(line, ': ', 1) AS verdict,
+        |         split_part(line, ': ', 2) AS prefix
+        |  FROM lines
+        |  WHERE (line LIKE 'Disallow: %' OR line LIKE 'Allow: %')
+        |    AND split_part(line, ': ', 2) <> ''),
+        |urls AS (
+        |  SELECT doc_id, doc_id % 8 AS dom,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '/private/pub' || CAST(doc_id % 8 AS VARCHAR) || '/a'
+        |      WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/tmp' || CAST(doc_id % 8 AS VARCHAR) || '/f'
+        |      WHEN 3 THEN '/public/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/'
+        |    END AS path
+        |  FROM documents),
+        |cand AS (
+        |  SELECT u.dom, u.doc_id, r.verdict, r.prefix
+        |  FROM urls u JOIN rules r
+        |    ON u.dom = r.dom AND substr(u.path, 1, length(r.prefix)) = r.prefix),
+        |won AS (
+        |  SELECT dom, doc_id,
+        |         CASE WHEN verdict = 'Allow' THEN 'allow' ELSE 'block' END
+        |           AS decision,
+        |         verdict || ' ' || prefix AS rule
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY dom, doc_id
+        |          ORDER BY length(prefix) DESC, verdict, prefix) AS rk
+        |        FROM cand)
+        |  WHERE rk = 1),
+        |defaults AS (
+        |  SELECT u.dom, u.doc_id, 'allow' AS decision, '(default)' AS rule
+        |  FROM urls u ANTI JOIN won w
+        |    ON u.dom = w.dom AND u.doc_id = w.doc_id),
+        |allr AS (SELECT * FROM won UNION ALL SELECT * FROM defaults)
+        |SELECT dom, decision, rule, CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM allr GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "dd_crawl_politeness" ->
       """WITH RECURSIVE req AS (
         |  SELECT concat(CASE CAST(user_id % 3 AS INT)

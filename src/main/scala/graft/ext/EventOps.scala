@@ -1689,7 +1689,59 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** SHAPLEY-VALUE CHANNEL ATTRIBUTION — the coalition-game twin of
+    * [[markovAttribution]]'s removal effects, and the other attribution
+    * every marketing-science stack ships. Characteristic function
+    * v(S) = converting users whose touched channel set ⊆ S (a user
+    * converts when the sampled journey contains a purchase; the four
+    * non-purchase event types are the channels). With n = 4 channels
+    * the 16 coalitions enumerate exactly, and the Shapley weights
+    * |S|!·(n−1−|S|)!/n! become INTEGERS after scaling by n! = 24 —
+    * φ_c·24 = Σ_{S∌c} |S|!(3−|S|)!·(v(S∪c)−v(S)), all BIGINT, so both
+    * engines compute the identical attribution and the efficiency
+    * axiom (Σφ·24 = 24·(v(full)−v(∅))) holds exactly.
+    *
+    * At 100 TB: the corpus collapses to a 16-row (mask → conversions)
+    * table in one map-side-combined pass (bit_or per user, then count
+    * per mask); the coalition enumeration runs on that constant-size
+    * frame. Journeys are SAMPLED (event_id % 23) so masks vary — dense
+    * logs make every user touch everything and Shapley degenerates to
+    * the uniform split.
+    */
+  def shapley(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_id") % 23 === 0)
+    val users = ev.groupBy(col("user_id"))
+      .agg(
+        expr("""CAST(bit_or(CASE event_type
+            |  WHEN 'click' THEN 1 WHEN 'error' THEN 2
+            |  WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT)"""
+          .stripMargin).as("mask"),
+        expr("CAST(max(CAST(event_type = 'purchase' AS INT)) AS BIGINT)")
+          .as("conv"))
+    val masks = users.groupBy(col("mask")).agg(sum(col("conv")).as("convs"))
+    val coalitions = masks.sparkSession.range(0, 16).toDF("s")
+    val vS = coalitions.join(masks, expr("(mask & s) = mask"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("convs")), lit(0L)).as("v"))
+    val channels = masks.sparkSession
+      .createDataFrame(Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+        ("view", 8L)))
+      .toDF("channel", "bit")
+    // w(|S|) = |S|!·(3−|S|)! for n=4: 6, 2, 2, 6
+    channels
+      .join(vS.select(col("s"), col("v")), expr("(bit & s) = 0"))
+      .join(vS.select(col("s").as("s2"), col("v").as("v2")),
+        expr("s2 = s + bit"))
+      .withColumn("w", expr(
+        "CAST(element_at(array(6, 2, 2, 6), CAST(bit_count(s) + 1 AS INT)) AS BIGINT)"))
+      .groupBy(col("channel"))
+      .agg(sum(expr("w * (v2 - v)")).as("phi_x24"))
+      .withColumn("phi", expr("CAST(phi_x24 AS DOUBLE) / 24.0D"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_shapley" -> shapley,
     "ev_markov_attribution" -> markovAttribution,
     "ev_segment_migration" -> segmentMigration,
     "ev_burst_kleinberg" -> burstKleinberg,
@@ -1738,6 +1790,39 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_shapley" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type FROM events WHERE event_id % 23 = 0),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(bit_or(CASE event_type
+        |      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT)
+        |      AS mask,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM ev GROUP BY 1),
+        |masks AS (
+        |  SELECT mask, CAST(SUM(conv) AS BIGINT) AS convs
+        |  FROM users GROUP BY 1),
+        |co AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 16)),
+        |vs AS (
+        |  SELECT s, CAST(COALESCE(SUM(convs), 0) AS BIGINT) AS v
+        |  FROM co LEFT JOIN masks ON (mask & s) = mask
+        |  GROUP BY 1),
+        |ch(channel, bit) AS (
+        |  VALUES ('click', CAST(1 AS BIGINT)), ('error', 2), ('signup', 4),
+        |         ('view', 8)),
+        |contrib AS (
+        |  SELECT c.channel,
+        |         CAST([6, 2, 2, 6][CAST(bit_count(a.s) + 1 AS INT)] AS BIGINT)
+        |           * (b.v - a.v) AS t
+        |  FROM ch c
+        |  JOIN vs a ON (c.bit & a.s) = 0
+        |  JOIN vs b ON b.s = a.s + c.bit)
+        |SELECT channel, CAST(SUM(t) AS BIGINT) AS phi_x24,
+        |       CAST(CAST(SUM(t) AS BIGINT) AS DOUBLE) / 24.0 AS phi
+        |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_markov_attribution" -> {
       val chans = MKV_CHANNELS
       val allF = "start" +: chans
