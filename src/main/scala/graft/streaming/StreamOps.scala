@@ -478,6 +478,139 @@ object StreamOps {
   def asofStream(s: SparkSession, d: String): DataFrame =
     asofStreamTelemetry(s, d)._1
 
+  case class PolRow(reg_domain: String, host: String, t: Long,
+      ts: java.sql.Timestamp)
+  case class PolState(credits: Long, last: Long, viol: Long, served: Long,
+      hosts: Array[String], tFirst: Long, tLast: Long,
+      pendT: Array[Long], pendHost: Array[String])
+  case class PolOut(reg_domain: String, delay_ms: Long, n_hosts: Long,
+      n_requests: Long, n_served: Long, n_violations: Long, span_ms: Long)
+
+  /** 31st real streaming query — CRAWL POLITENESS ONLINE: the exact
+    * token-bucket fold of [[graft.ext.Dedup.crawlPoliteness]] run as a
+    * live per-domain scheduler audit. Requests arrive out of order
+    * within the watermark; each registered domain BUFFERS pending
+    * requests in state and replays them through the bucket in event-time
+    * order only once the watermark passes them (EventTimeTimeout set to
+    * the earliest pending request, so keys flush on watermark advance
+    * with no new arrivals — the [[asofStream]] protocol). Every flush
+    * that consumes requests emits a monotone snapshot row; the drained
+    * sink's final snapshot per domain is verified against the SAME
+    * recursive-CTE oracle as the batch operator — the second execution
+    * mode of one politeness algebra, and the operational one: a real
+    * crawler needs this number while the crawl runs, not after.
+    *
+    * At 100 TB (of crawl log): state per domain = bucket scalars + the
+    * ≤3-host set + requests inside the watermark delay — bounded by
+    * arrival rate × delay, never history. Domains are the natural key
+    * partitioning; the hot-domain skew axis is the same one the batch
+    * note documents.
+    */
+  def politenessStream(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    import ss.implicits._
+    val ev = graft.Tables.events(ss, d)
+      .select(expr(
+        """concat(CASE CAST(user_id % 3 AS INT)
+          |          WHEN 0 THEN 'www' WHEN 1 THEN 'img' ELSE 'api' END,
+          |        '.domain', CAST(user_id % 8 AS STRING), '.com')""".stripMargin)
+        .as("host"), expr("unix_millis(ts)").as("t"), col("ts"))
+      .withColumn("reg_domain", expr("substr(host, instr(host, '.') + 1)"))
+      .select(col("reg_domain"), col("host"), col("t"), col("ts"))
+    val Array(r) = ev.agg(min(col("t")), max(col("t"))).collect()
+    val (loMs, hiMs) = (r.getLong(0), r.getLong(1))
+    val splitMs = loMs + (hiMs - loMs) / 2
+    val expected = ev.count()
+    val feed = java.nio.file.Files.createTempDirectory("graft_polfeed")
+    def shipOne(df: DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_polstage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+      val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally part.close()
+      java.nio.file.Files.move(src, feed.resolve(name))
+    }
+    shipOne(ev.filter(col("t") <= splitMs), "00_wave1.parquet")
+    val plan = ss.readStream.schema(StructType(Seq(
+        StructField("reg_domain", StringType), StructField("host", StringType),
+        StructField("t", LongType), StructField("ts", TimestampType))))
+      .parquet(feed.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[PolRow]
+      .groupByKey(_.reg_domain)
+      .flatMapGroupsWithState[PolState, PolOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (dom: String, rows: Iterator[PolRow], state: GroupState[PolState]) =>
+          if (dom == "~sentinel") Iterator.empty
+          else {
+            val delay = 600000L * (1L + dom.filter(_.isDigit).toLong % 5L)
+            val cap = 3L * delay
+            val wmMs = state.getCurrentWatermarkMs()
+            val st0 = state.getOption.getOrElse(
+              PolState(-1L, -1L, 0L, 0L, Array.empty, -1L, -1L,
+                Array.empty, Array.empty))
+            val all = (st0.pendT.zip(st0.pendHost) ++
+              rows.map(p => (p.t, p.host))).sortBy(_._1)
+            val (ripe, wait) = all.partition(_._1 <= wmMs)
+            var (credits, last) =
+              if (st0.last < 0L && ripe.nonEmpty) (cap, ripe.head._1)
+              else (st0.credits, st0.last)
+            var viol = st0.viol; var served = st0.served
+            var hosts = st0.hosts.toSet
+            var tFirst = st0.tFirst; var tLast = st0.tLast
+            ripe.foreach { case (t, h) =>
+              val refill = math.min(cap, credits + (t - last))
+              if (refill >= delay) { credits = refill - delay; served += 1 }
+              else { credits = refill; viol += 1 }
+              last = t
+              hosts = hosts + h
+              if (tFirst < 0L) tFirst = t
+              tLast = t
+            }
+            val next = PolState(credits, last, viol, served,
+              hosts.toArray.sorted, tFirst, tLast,
+              wait.map(_._1), wait.map(_._2))
+            state.update(next)
+            if (wait.nonEmpty)
+              state.setTimeoutTimestamp(wait.map(_._1).min + 1L)
+            if (ripe.nonEmpty)
+              Iterator.single(PolOut(dom, delay, hosts.size.toLong,
+                served + viol, served, viol, tLast - tFirst))
+            else Iterator.empty
+          }
+      }
+    val q = plan.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_stream_politeness").start()
+    try {
+      q.processAllAvailable()
+      shipOne(ev.filter(col("t") > splitMs), "01_wave2.parquet")
+      q.processAllAvailable()
+      shipOne(Seq(("~sentinel", "~sentinel", hiMs + 7200000L,
+        new java.sql.Timestamp(hiMs + 7200000L)))
+        .toDF("reg_domain", "host", "t", "ts"), "02_sentinel.parquet")
+      q.processAllAvailable()
+      // the final timeout flush rides a no-data batch — poll until the
+      // per-domain final snapshots account for every shipped request
+      val sink = () => ss.table("graft_stream_politeness")
+        .groupBy(col("reg_domain")).agg(max(col("n_requests")).as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (sink() < expected && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200L)
+      }
+    } finally q.stop()
+    // final snapshot per domain = the monotone max-n_requests row
+    ss.table("graft_stream_politeness")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("reg_domain"))
+          .orderBy(col("n_requests").desc)))
+      .filter(col("rk") === 1)
+      .select(col("reg_domain"), col("delay_ms"), col("n_hosts"),
+        col("n_requests"), col("n_served"), col("n_violations"),
+        col("span_ms"))
+      .orderBy(col("reg_domain"))
+  }
+
   /** 30th real streaming query — the stream-stream as-of join under a
     * 30-minute TOLERANCE (conversion-window semantics): identical feed,
     * state, and eviction as [[asofStream]]; a match older than the
