@@ -466,6 +466,93 @@ object StatOps {
         expr("((tp + tq - err) * 1000000) div (tp + tq)").as("accuracy_ppm"))
   }
 
+  /** BOOSTING BY MAJORITY with multiplicative weights — the ensemble
+    * extension of [[decisionStump]], in the integer-exact variant
+    * (misclassified weights DOUBLE each round — Littlestone-style ×2,
+    * no AdaBoost exponentials): three rounds, each fitting the
+    * weighted-error-optimal stump on the current weights, then a
+    * majority vote. Weights, errors, prefix sums, and votes are all
+    * BIGINT; weights start at the bucket counts and at most ×8 after
+    * three rounds (≪ 2^53), so both engines replay the identical
+    * training trajectory. Output: per round, the chosen stump, its
+    * weighted error, and the ensemble's EXACT training-error count
+    * after that round's vote joins (majority of r votes, ties → the
+    * negative class — a defined rule, not an accident).
+    *
+    * The target is the INTERVAL concept (positive ⇔ mid-price band,
+    * buckets 229..457) — the canonical label NO single threshold stump
+    * can express (every round's weighted error stays ≥ the minority
+    * mass) but a majority of edge stumps CAN: round 1 falls back to
+    * the majority class, the doubled positives pull round 2 to the
+    * upper edge and round 3 to the lower, and the three votes land the
+    * ensemble's training error at EXACTLY ZERO — boosting visibly
+    * beating every weak learner it is built from, all in integers
+    * (OperatorSpec pins the zero and the per-stump floor).
+    *
+    * The three stump params collected to the driver are 9 scalars — the
+    * bounded-artifact discipline (model parameters, not data).
+    *
+    * At 100 TB: each round is one pass over the BOUNDED bucket grid
+    * (the corpus collapsed to per-bucket counts once, map-side); the
+    * sequential dependency is across 3 rounds, not across rows.
+    */
+  def boostMajority(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, d)
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) div 65536")
+        .as("b"))
+      .select(col("b"),
+        expr("CAST(b BETWEEN 229 AND 457 AS BIGINT)").as("pos"))
+      .groupBy(col("b"))
+      .agg(sum(col("pos")).as("n1"), sum(expr("1 - pos")).as("n0"))
+      .localCheckpoint()
+    val cum = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    def bestStump(w: DataFrame): (Long, String, Long) = {
+      val t = w.agg(sum(col("w1")).as("tp"), sum(col("w0")).as("tq"))
+      val row = w.crossJoin(broadcast(t))
+        .withColumn("p1", sum(col("w1")).over(cum))
+        .withColumn("p0", sum(col("w0")).over(cum))
+        .withColumn("err_le", col("p0") + col("tp") - col("p1"))
+        .withColumn("err_gt", col("p1") + col("tq") - col("p0"))
+        .withColumn("err", least(col("err_le"), col("err_gt")))
+        .withColumn("side",
+          when(col("err_le") <= col("err_gt"), lit("pos_if_le"))
+            .otherwise(lit("pos_if_gt")))
+        .orderBy(col("err"), col("b")).limit(1)
+        .select(col("b"), col("side"), col("err")).collect()(0)
+      (row.getLong(0), row.getString(1), row.getLong(2))
+    }
+    var w = g.select(col("b"), col("n1").as("w1"), col("n0").as("w0"))
+    val stumps = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (_ <- 1 to 3) {
+      val st = bestStump(w)
+      stumps += st
+      val predPos =
+        if (st._2 == "pos_if_le") col("b") <= lit(st._1)
+        else col("b") > lit(st._1)
+      w = w.select(col("b"),
+        when(predPos, col("w1")).otherwise(col("w1") * 2L).as("w1"),
+        when(predPos, col("w0") * 2L).otherwise(col("w0")).as("w0"))
+        .localCheckpoint()
+    }
+    // ensemble training error after each round: majority of the first r
+    // votes (+1 pos / −1 neg per stump), ties to the negative class
+    def voteCol(st: (Long, String, Long)) =
+      when(if (st._2 == "pos_if_le") col("b") <= lit(st._1)
+           else col("b") > lit(st._1), lit(1L)).otherwise(lit(-1L))
+    val rows = (1 to 3).map { r =>
+      val votes = stumps.take(r).map(voteCol).reduce(_ + _)
+      val err = g.select(
+        sum(when(votes > 0, col("n0")).otherwise(col("n1"))).as("e"))
+        .collect()(0).getLong(0)
+      (r.toLong, stumps(r - 1)._1, stumps(r - 1)._2, stumps(r - 1)._3, err)
+    }
+    s.createDataFrame(rows).toDF(
+      "round", "threshold_bucket", "side", "weighted_err", "ensemble_err")
+      .orderBy(col("round"))
+  }
+
   /** ISOTONIC REGRESSION (probability calibration) by the exact minimax
     * form — the calibrator every scored-data pipeline runs between a
     * classifier and a threshold (Platt's rival; sklearn's
@@ -720,6 +807,7 @@ object StatOps {
     "x_mutual_info" -> mutualInfo,
     "x_naive_bayes" -> naiveBayes,
     "x_isotonic" -> isotonic,
+    "x_boost_majority" -> boostMajority,
     "x_decision_stump" -> decisionStump,
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
@@ -728,6 +816,77 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_boost_majority" -> {
+      def stumpCte(wt: String, name: String) =
+        s"""$name AS (
+           |  SELECT b, side, err FROM (
+           |    SELECT b,
+           |      least(p0 + tp - p1, p1 + tq - p0) AS err,
+           |      CASE WHEN p0 + tp - p1 <= p1 + tq - p0
+           |           THEN 'pos_if_le' ELSE 'pos_if_gt' END AS side
+           |    FROM (
+           |      SELECT b,
+           |        CAST(SUM(w1) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+           |          PRECEDING AND CURRENT ROW) AS BIGINT) AS p1,
+           |        CAST(SUM(w0) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+           |          PRECEDING AND CURRENT ROW) AS BIGINT) AS p0,
+           |        tp, tq
+           |      FROM $wt, (SELECT CAST(SUM(w1) AS BIGINT) AS tp,
+           |                        CAST(SUM(w0) AS BIGINT) AS tq FROM $wt) t))
+           |  ORDER BY err, b LIMIT 1)"""
+      def updCte(wt: String, st: String, name: String) =
+        s"""$name AS (
+           |  SELECT w.b,
+           |    CASE WHEN (s.side = 'pos_if_le' AND w.b <= s.b)
+           |           OR (s.side = 'pos_if_gt' AND w.b > s.b)
+           |         THEN w.w1 ELSE w.w1 * 2 END AS w1,
+           |    CASE WHEN (s.side = 'pos_if_le' AND w.b <= s.b)
+           |           OR (s.side = 'pos_if_gt' AND w.b > s.b)
+           |         THEN w.w0 * 2 ELSE w.w0 END AS w0
+           |  FROM $wt w, $st s)"""
+      def vote(st: String) =
+        s"""CASE WHEN ($st.side = 'pos_if_le' AND g.b <= $st.b)
+           |       OR ($st.side = 'pos_if_gt' AND g.b > $st.b)
+           |     THEN 1 ELSE -1 END""".stripMargin
+      s"""WITH g0 AS (
+         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+         |           // 65536 AS b
+         |  FROM orders),
+         |g AS (
+         |  SELECT b,
+         |         CAST(SUM(CASE WHEN b BETWEEN 229 AND 457
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(SUM(CASE WHEN b BETWEEN 229 AND 457
+         |                       THEN 0 ELSE 1 END) AS BIGINT) AS n0
+         |  FROM g0 GROUP BY 1),
+         |w1t AS (SELECT b, n1 AS w1, n0 AS w0 FROM g),
+         |${stumpCte("w1t", "s1")},
+         |${updCte("w1t", "s1", "w2t")},
+         |${stumpCte("w2t", "s2")},
+         |${updCte("w2t", "s2", "w3t")},
+         |${stumpCte("w3t", "s3")},
+         |ens AS (
+         |  SELECT g.n1, g.n0,
+         |    ${vote("s1")} AS v1, ${vote("s2")} AS v2, ${vote("s3")} AS v3
+         |  FROM g, s1, s2, s3)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, s1.b AS threshold_bucket,
+         |         s1.side, s1.err AS weighted_err,
+         |         (SELECT CAST(SUM(CASE WHEN v1 > 0 THEN n0 ELSE n1 END)
+         |            AS BIGINT) FROM ens) AS ensemble_err
+         |  FROM s1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), s2.b, s2.side, s2.err,
+         |         (SELECT CAST(SUM(CASE WHEN v1 + v2 > 0 THEN n0 ELSE n1 END)
+         |            AS BIGINT) FROM ens)
+         |  FROM s2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), s3.b, s3.side, s3.err,
+         |         (SELECT CAST(SUM(CASE WHEN v1 + v2 + v3 > 0 THEN n0 ELSE n1 END)
+         |            AS BIGINT) FROM ens)
+         |  FROM s3)
+         |ORDER BY round""".stripMargin
+    },
     "x_naive_bayes" -> {
       import graft.ext.FixLog.lgD
       s"""WITH train AS (

@@ -1355,4 +1355,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_buckets") > 10,
       "degenerate grid: the fixture should span many buckets")
   }
+
+  test("boost-by-majority beats every stump it is built from (interval concept)") {
+    val rows = ops.StatOps.boostMajority(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.length == 3)
+    // no single stump can express the interval: every round's weighted
+    // error stays positive and substantial
+    rows.foreach { case (round, werr, _) =>
+      assert(werr > 0, s"round $round stump must not be perfect") }
+    val minStumpErr = rows.map(_._2).min
+    // the 3-vote majority expresses the interval exactly: training
+    // error hits ZERO while every constituent stump errs heavily
+    assert(rows.last._3 == 0L,
+      s"ensemble must reach zero training error, got ${rows.last._3}")
+    assert(minStumpErr > 100L,
+      s"fixture degenerated: best single stump err $minStumpErr too small")
+  }
 }
