@@ -553,6 +553,61 @@ object StatOps {
       .orderBy(col("round"))
   }
 
+  /** OFFLINE BANDIT POLICY EVALUATION by the replay method (Li et al.,
+    * WSDM'11) — the counterfactual evaluator every recommendation /
+    * data-selection loop needs before deploying a policy: replay the
+    * logged stream in event-time order; whenever the candidate policy's
+    * choice equals the LOGGED arm, the event counts as a pull and its
+    * reward feeds the policy's state, otherwise it is skipped
+    * (unbiased under uniform logging — and this log is a uniform
+    * event_id % 11 sample). The policy is Laplace-smoothed greedy:
+    * argmax (rewards+1)/(pulls+2), ties to the smaller arm index —
+    * fraction compares are BIGINT cross-multiplications, rewards are
+    * integer threshold indicators, so the whole trajectory is exact
+    * and the oracle replays it as one recursive CTE.
+    *
+    * At 100 TB: replay is inherently SEQUENTIAL over the logged
+    * stream — that is the estimator's definition, not an
+    * implementation accident — so production evaluates on a uniform
+    * sample (exactly what the % 11 gate is) or shards by user segment
+    * into independent replays. The fold is one pass; state is 10
+    * integers.
+    */
+  def banditReplay(s: SparkSession, d: String): DataFrame = {
+    val log = Tables.events(s, d).filter(col("event_id") % 11 === 0)
+      .select(expr("unix_micros(ts)").as("t"), col("event_id"),
+        expr("""CASE event_type WHEN 'click' THEN 0L WHEN 'error' THEN 1L
+            |  WHEN 'purchase' THEN 2L WHEN 'signup' THEN 3L ELSE 4L END"""
+          .stripMargin).as("arm"),
+        expr("CAST(value > 50.0D AS BIGINT)").as("rw"))
+    val folded = log
+      .agg(sort_array(collect_list(struct(col("t"), col("event_id"),
+        col("arm"), col("rw")))).as("lg"))
+      .withColumn("st", expr(
+        """aggregate(lg,
+          |  transform(sequence(0, 9), j -> CAST(0 AS BIGINT)),
+          |  (acc, e) -> CASE WHEN aggregate(sequence(0, 4), CAST(0 AS BIGINT), (b, i) ->
+          |      CASE WHEN (element_at(acc, CAST(i + 6 AS INT)) + 1L) *
+          |                (element_at(acc, CAST(b + 1 AS INT)) + 2L) >
+          |                (element_at(acc, CAST(b + 6 AS INT)) + 1L) *
+          |                (element_at(acc, CAST(i + 1 AS INT)) + 2L)
+          |           THEN i ELSE b END) = e.arm
+          |    THEN transform(sequence(0, 9), j ->
+          |      CASE WHEN j = e.arm THEN element_at(acc, CAST(j + 1 AS INT)) + 1L
+          |           WHEN j = e.arm + 5 THEN element_at(acc, CAST(j + 1 AS INT)) + e.rw
+          |           ELSE element_at(acc, CAST(j + 1 AS INT)) END)
+          |    ELSE acc END)""".stripMargin))
+    val arms = s.createDataFrame(Seq((0L, "click"), (1L, "error"),
+      (2L, "purchase"), (3L, "signup"), (4L, "view"))).toDF("arm", "arm_name")
+    arms.crossJoin(broadcast(folded.select(col("st"))))
+      .select(col("arm_name"),
+        expr("element_at(st, CAST(arm + 1 AS INT))").as("pulls"),
+        expr("element_at(st, CAST(arm + 6 AS INT))").as("rewards"))
+      .withColumn("reward_ppm", expr(
+        "CASE WHEN pulls > 0 THEN (rewards * 1000000) div pulls ELSE 0L END"))
+      .orderBy(col("arm_name"))
+  }
+
   /** ISOTONIC REGRESSION (probability calibration) by the exact minimax
     * form — the calibrator every scored-data pipeline runs between a
     * classifier and a threshold (Platt's rival; sklearn's
@@ -808,6 +863,7 @@ object StatOps {
     "x_naive_bayes" -> naiveBayes,
     "x_isotonic" -> isotonic,
     "x_boost_majority" -> boostMajority,
+    "x_bandit_replay" -> banditReplay,
     "x_decision_stump" -> decisionStump,
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
@@ -816,6 +872,50 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_bandit_replay" ->
+      """WITH RECURSIVE log0 AS (
+        |  SELECT epoch_us(ts) AS t, event_id,
+        |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS arm,
+        |    CAST(value > 50.0 AS BIGINT) AS rw
+        |  FROM events WHERE event_id % 11 = 0),
+        |lg AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY t, event_id) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM log0),
+        |sim AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn,
+        |         [CAST(0 AS BIGINT) for i in range(0, 5)] AS p,
+        |         [CAST(0 AS BIGINT) for i in range(0, 5)] AS r,
+        |         n
+        |  FROM (SELECT DISTINCT n FROM lg)
+        |  UNION ALL
+        |  SELECT l.rn,
+        |    CASE WHEN s.best = l.arm
+        |         THEN [CASE WHEN j = l.arm THEN s.p[j + 1] + 1
+        |                    ELSE s.p[j + 1] END for j in range(0, 5)]
+        |         ELSE s.p END,
+        |    CASE WHEN s.best = l.arm
+        |         THEN [CASE WHEN j = l.arm THEN s.r[j + 1] + l.rw
+        |                    ELSE s.r[j + 1] END for j in range(0, 5)]
+        |         ELSE s.r END,
+        |    s.n
+        |  FROM (SELECT *, list_reduce([0, 1, 2, 3, 4], (b, i) ->
+        |          CASE WHEN (r[i + 1] + 1) * (p[b + 1] + 2) >
+        |                    (r[b + 1] + 1) * (p[i + 1] + 2)
+        |               THEN i ELSE b END) AS best
+        |        FROM sim) s
+        |  JOIN lg l ON l.rn = s.rn + 1),
+        |fin AS (SELECT p, r FROM sim WHERE rn = n),
+        |ch(arm, arm_name) AS (
+        |  VALUES (0, 'click'), (1, 'error'), (2, 'purchase'),
+        |         (3, 'signup'), (4, 'view'))
+        |SELECT arm_name, CAST(p[arm + 1] AS BIGINT) AS pulls,
+        |       CAST(r[arm + 1] AS BIGINT) AS rewards,
+        |       CASE WHEN p[arm + 1] > 0
+        |            THEN (r[arm + 1] * 1000000) // p[arm + 1]
+        |            ELSE CAST(0 AS BIGINT) END AS reward_ppm
+        |FROM ch, fin ORDER BY arm_name""".stripMargin,
     "x_boost_majority" -> {
       def stumpCte(wt: String, name: String) =
         s"""$name AS (
