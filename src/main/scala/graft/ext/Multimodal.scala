@@ -1688,25 +1688,40 @@ object Multimodal {
           |  repeat('00', 100),
           |  '757374617200', '3030',
           |  repeat('00', 247))""".stripMargin))
-      .withColumn("cks", expr(
-        """aggregate(sequence(0, 511), CAST(0 AS BIGINT), (a, i) ->
-          |  a + CAST(conv(substr(h0, 2 * i + 1, 2), 16, 10) AS BIGINT))"""
-          .stripMargin))
+    // Header checksum sum, RELATIONALLY (the 100 TB shape, and the
+    // codegen one: a 512-step fold inside a higher-order-function
+    // lambda runs interpreted and cost ~20 ms/member; the pair split is
+    // one codegen'd regexp pass, the sum a keyed aggregation)
+    val bsum = docs
+      .select(col("doc_id"), explode(expr(
+        "split(regexp_replace(h0, '(..)', '$1,'), ',')")).as("pair"))
+      .filter(col("pair") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("CAST(conv(pair, 16, 10) AS BIGINT)")).as("cks"))
+    val members = docs.join(bsum, "doc_id")
       .withColumn("mh", expr(
         """concat(substr(h0, 1, 296),
           |  hex(lpad(conv(cks, 10, 8), 6, '0')), '00', '20',
           |  substr(h0, 313),
           |  hex(payload),
           |  repeat('00', CAST((512 - sizeb % 512) % 512 AS INT)))""".stripMargin))
-    val tars = docs.groupBy(col("tar_id"))
+    val tars = members.groupBy(col("tar_id"))
       .agg(concat(expr(
         "array_join(transform(array_sort(collect_list(struct(doc_id, mh)))," +
           " x -> x.mh), '')"),
         expr("repeat('00', 1024)")).as("tar"))
+      // the parse side fans out into two branches (entry fields + the
+      // relational checksum) that JOIN back — materialize the built
+      // shards once instead of synthesizing them twice
+      .localCheckpoint()
     // --- parse side: everything below reads only `tar` -----------------
-    val szAt = "aggregate(sequence(0, 10), CAST(0 AS BIGINT), (a2, i2) -> " +
-      "a2 * 8 + CAST(substr(tar, CAST(o2 * 2 + 250 + 2 * i2 AS INT), 1) AS BIGINT))"
-    tars
+    // Octal-field parse as ONE codegen-friendly expression instead of a
+    // per-digit fold: every octal digit d is the hex pair "3d" (bytes
+    // 0x30..0x37), so stripping the leading '3' of each pair yields the
+    // octal numeral directly — conv(·, 8, 10) finishes the job.
+    val szAt = "CAST(conv(regexp_replace(substr(tar, CAST(o2 * 2 + 249 AS INT), 22), " +
+      "'3(.)', '$1'), 8, 10) AS BIGINT)"
+    val ents = tars
       .withColumn("offs", expr(
         s"""aggregate(sequence(1, 16),
            |  struct(CAST(0 AS BIGINT) AS off, CAST(array() AS ARRAY<BIGINT>) AS es),
@@ -1718,24 +1733,40 @@ object Multimodal {
            |  acc -> acc.es)""".stripMargin))
       .select(col("tar_id"), col("tar"),
         posexplode(col("offs")).as(Seq("entry_idx", "off")))
+      // entry fields and the relational checksum both read this frame —
+      // materialize the walked offsets once
+      .localCheckpoint()
       .withColumn("size_bytes",
         expr(szAt.replace("o2", "off")))
+      // NUL-terminator scan as one codegen'd instr, parity-corrected:
+      // the first '00' in the name zone starts either AT the NUL pair
+      // (odd 1-based index 2k+1) or one nibble early (even 2k, when the
+      // name's last byte ends in nibble 0, e.g. digit '0' = 0x30, and
+      // the NUL's leading 0 completes the match — bytes 0x0Y never
+      // occur INSIDE a name, so no earlier false positive exists).
+      // Both cases: name length k = index div 2.
       .withColumn("namelen", expr(
-        """aggregate(sequence(0, 99), -1, (a, i) ->
-          |  CASE WHEN a >= 0 THEN a
-          |       WHEN substr(tar, CAST(off * 2 + 2 * i + 1 AS INT), 2) = '00' THEN i
-          |       ELSE a END)""".stripMargin))
+        "instr(substr(tar, CAST(off * 2 + 1 AS INT), 200), '00') div 2"))
       .withColumn("name", expr(
         "decode(unhex(substr(tar, CAST(off * 2 + 1 AS INT), namelen * 2)), 'UTF-8')"))
       .withColumn("cks_declared", expr(
-        """aggregate(sequence(0, 5), CAST(0 AS BIGINT), (a, i) ->
-          |  a * 8 + CAST(substr(tar, CAST(off * 2 + 298 + 2 * i AS INT), 1) AS BIGINT))"""
-          .stripMargin))
-      .withColumn("cks_computed", expr(
-        """aggregate(sequence(0, 511), CAST(0 AS BIGINT), (a, i) ->
-          |  a + CASE WHEN i >= 148 AND i < 156 THEN CAST(32 AS BIGINT)
-          |      ELSE CAST(conv(substr(tar, CAST(off * 2 + 2 * i + 1 AS INT), 2), 16, 10) AS BIGINT) END)"""
-          .stripMargin))
+        "CAST(conv(regexp_replace(substr(tar, CAST(off * 2 + 297 AS INT), 12), " +
+          "'3(.)', '$1'), 8, 10) AS BIGINT)"))
+    // recompute the header checksum relationally (see the build-side
+    // note): slice the 512-byte header, pair-split with one codegen'd
+    // regexp pass, sum with the checksum field replaced by spaces
+    val psum = ents
+      .select(col("tar_id"), col("entry_idx"),
+        posexplode(expr(
+          "split(regexp_replace(substr(tar, CAST(off * 2 + 1 AS INT), 1024), " +
+            "'(..)', '$1,'), ',')")).as(Seq("pos", "pair")))
+      .filter(col("pair") =!= "")
+      .groupBy(col("tar_id"), col("entry_idx"))
+      .agg(sum(expr(
+        """CASE WHEN pos >= 148 AND pos < 156 THEN CAST(32 AS BIGINT)
+          |     ELSE CAST(conv(pair, 16, 10) AS BIGINT) END""".stripMargin))
+        .as("cks_computed"))
+    ents.join(psum, Seq("tar_id", "entry_idx"))
       .select(col("tar_id"), col("entry_idx").cast("long").as("entry_idx"),
         col("name"), col("size_bytes"),
         (col("cks_declared") === col("cks_computed")).as("chksum_ok"),
