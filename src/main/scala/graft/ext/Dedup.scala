@@ -1147,8 +1147,11 @@ object Dedup {
     val cap = "3 * delay_ms"
     val refill = s"least($cap, acc.credits + (t - acc.last))"
     reqs.groupBy(col("reg_domain"), col("delay_ms"))
+      // collect_set, not countDistinct: distinct-count planning expands
+      // into a second (domain, host)-grain shuffle; the host set is ≤3
+      // by construction, so one grouped pass carries it for free
       .agg(sort_array(collect_list(col("t"))).as("tss"),
-        countDistinct(col("host")).as("n_hosts"))
+        expr("CAST(size(collect_set(host)) AS BIGINT)").as("n_hosts"))
       .withColumn("viol", expr(
         s"""aggregate(tss,
            |  struct(CAST($cap AS BIGINT) AS credits,

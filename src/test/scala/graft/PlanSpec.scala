@@ -757,6 +757,46 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.mor.pord")
   }
 
+  test("crawl politeness: one shuffle at domain grain, pruned scan, fold not window") {
+    val p = planAtScale("dd_crawl_politeness")
+    // the scan reads exactly the two columns the simulation needs
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
+      "scan must prune to (ts, user_id):\n" + p.take(1200))
+    // the token bucket is an aggregate() fold over the collected list,
+    // never a per-request window
+    assert(!p.contains("Window"), "politeness must not window raw requests")
+    // shuffles: the domain-grain groupBy plus the deterministic tail sort
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected domain groupBy + final sort only, got:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("naive Bayes: corpus scan pruned; count table joined by word key, not crossed") {
+    val p = planAtScale("x_naive_bayes")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      "scan must prune to (doc_id, text, lang):\n" + p.take(1200))
+    // the ×|labels| expansion is a broadcast of the 5-row candidate
+    // frame — the token×vocab count table must NEVER cartesian the corpus
+    assert(!p.contains("CartesianProduct"),
+      "label expansion must broadcast, not cartesian")
+  }
+
+  test("tar shards: octal fields parse without per-digit folds; checksum is a real aggregate") {
+    // the build side sits behind the eager localCheckpoint, so this plan
+    // covers the PARSE side — where the r14 perf lesson lives: header
+    // checksums and octal fields are codegen'd regexp/conv expressions +
+    // a relational sum; the interpreted 512-step lambda fold must not
+    // come back (it cost 100 s at sf0.1). The 16-step member walk is the
+    // one fold that belongs.
+    val p = planAtScale("mm_tar_entries")
+    assert(!p.contains("sequence(0, 511)"),
+      "byte-grain lambda fold reappeared in the plan:\n" +
+        p.linesIterator.filter(_.contains("sequence")).take(5).mkString("\n"))
+    assert(p.contains("partial_sum"),
+      "the checksum must sum relationally (map-side combined):\n" + p.take(1200))
+  }
+
   test("Kleinberg burst DP is a fold, not a window: no WindowExec in the plan") {
     val p = planAtScale("ev_burst_kleinberg")
     assert(!p.contains("Window"),
