@@ -634,6 +634,36 @@ object CoreOps {
     s.table("graft_cat.ns.pmerge").orderBy(col("k"))
   }
 
+  /** S18 — SCHEMA EVOLUTION at the catalog, composed with row-level
+    * SQL: ADD COLUMNS is a pure metadata operation on
+    * [[graft.sources.MemCatalog]] (zero data IO — the spec proves the
+    * stored base rows are the SAME OBJECTS after the ALTER), old rows
+    * null-backfill at scan time by ordinal, and a subsequent UPDATE
+    * rewrites pre-evolution rows through the evolved schema — the
+    * Iceberg/Delta add-column contract end to end, one statement each.
+    * The reference's only evolution story is re-writing whole outputs
+    * (etl.py mode('overwrite')); `s8_schema_evolution` covers the
+    * file-level mergeSchema analogue — this is the catalog-level one.
+    */
+  def alterEvolution(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.ns.evo")
+    s.sql("CREATE TABLE graft_cat.ns.evo (k BIGINT, name STRING)")
+    Tables.customer(s, d).filter(col("c_custkey") <= 500)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      .createOrReplaceTempView("evo_seed")
+    s.sql("INSERT INTO graft_cat.ns.evo SELECT * FROM evo_seed")
+    s.sql("ALTER TABLE graft_cat.ns.evo ADD COLUMNS (bal DOUBLE)")
+    Tables.customer(s, d)
+      .filter(col("c_custkey") >= 501 && col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_acctbal").cast("double").as("bal"))
+      .createOrReplaceTempView("evo_wide")
+    s.sql("INSERT INTO graft_cat.ns.evo SELECT * FROM evo_wide")
+    s.sql("UPDATE graft_cat.ns.evo SET bal = CAST(-1.0 AS DOUBLE) WHERE k <= 100")
+    s.table("graft_cat.ns.evo").orderBy(col("k"))
+  }
+
   /** S14 — PERMISSIVE CSV ingestion with corrupt-record capture: the
     * messy-feed reality every warehouse loader faces. A CSV feed is
     * synthesized from `nation` with every 5th record deliberately
@@ -750,6 +780,7 @@ object CoreOps {
     "s12_upddel_mor" -> upddelMor,
     "s16_optimize" -> optimizeCompact,
     "s17_partitioned_merge" -> partitionedMerge,
+    "s18_alter_evolution" -> alterEvolution,
     "a8_flagship" -> flagship,
     "s1_multi_parquet" -> multiPathScan,
     "s5_sql_view" -> sqlOverView,
@@ -809,6 +840,17 @@ object CoreOps {
     "s12_upddel_mor" -> updDelOracle,
     "s12_update_delete" -> updDelOracle,
     "s12_merge_into" -> mergeOracle,
+    "s18_alter_evolution" ->
+      """WITH old AS (
+        |  SELECT c_custkey AS k, c_name AS name, CAST(NULL AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey <= 500),
+        |wide AS (
+        |  SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey BETWEEN 501 AND 1000),
+        |u AS (SELECT * FROM old UNION ALL SELECT * FROM wide)
+        |SELECT k, name,
+        |       CASE WHEN k <= 100 THEN CAST(-1.0 AS DOUBLE) ELSE bal END AS bal
+        |FROM u ORDER BY k""".stripMargin,
     "s17_partitioned_merge" ->
       """WITH target AS (
         |  SELECT c_custkey AS k, c_name AS name, CAST(0 AS DOUBLE) AS bal

@@ -75,12 +75,37 @@ class MemCatalog extends TableCatalog {
       throw new TableAlreadyExistsException(ident)
     t
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** SCHEMA EVOLUTION at the catalog (the lakehouse leg `parquet
+    * mergeSchema` only approximates): ADD COLUMNS appends nullable
+    * fields to the live schema WITHOUT rewriting any stored row — old
+    * rows are physically shorter and the scan null-backfills them by
+    * ordinal (exactly Iceberg/Delta's add-column contract: a metadata
+    * operation, zero data IO). Row-level operations compose: a MERGE /
+    * UPDATE after evolution projects old rows through the new schema.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = MemCatalog.store.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "only top-level ADD COLUMN is supported")
+        t.evolveAdd(StructField(add.fieldNames()(0), add.dataType(),
+          nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported: $other")
+    }
+    t
+  }
   override def dropTable(ident: Identifier): Boolean =
     MemCatalog.store.remove(ident) != null
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE not supported")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val t = MemCatalog.store.get(oldIdent)
+    if (t == null) throw new NoSuchTableException(oldIdent)
+    if (MemCatalog.store.putIfAbsent(newIdent, t) != null)
+      throw new TableAlreadyExistsException(newIdent)
+    MemCatalog.store.remove(oldIdent)
+  }
 }
 
 object MemCatalog {
@@ -176,11 +201,21 @@ private[graft] object MemPartitioning {
   }
 }
 
-class MemTable(ident: Identifier, tableSchema: StructType,
+class MemTable(ident: Identifier, initialSchema: StructType,
     private[graft] val mor: Boolean = false,
     partSpec: Option[InternalRow => String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
+  /** Live schema — ADD COLUMNS appends here; stored rows keep their
+    * write-time width and the reader null-backfills by ordinal.
+    */
+  @volatile private var tableSchema: StructType = initialSchema
+
+  private[graft] def evolveAdd(f: StructField): Unit = synchronized {
+    require(!tableSchema.fieldNames.contains(f.name),
+      s"column ${f.name} already exists")
+    tableSchema = tableSchema.add(f)
+  }
   /** Row → copy-on-write group id. Unpartitioned tables keep the single
     * `all` group (whole-table COW, the original semantics); partitioned
     * tables derive the group from the PARTITIONED BY transforms — the
@@ -396,7 +431,9 @@ case class MemReaderFactory(tableSchema: StructType, required: StructType)
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           fields.map { case (i, dt) =>
             if (i < 0) groupVal
-            else if (cur.isNullAt(i)) null
+            // rows written before an ADD COLUMN are physically shorter:
+            // null-backfill evolved ordinals (the add-column contract)
+            else if (i >= cur.numFields || cur.isNullAt(i)) null
             else cur.get(i, dt)
           }.asInstanceOf[Array[Any]])
       override def close(): Unit = ()

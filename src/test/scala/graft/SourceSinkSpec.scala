@@ -452,6 +452,40 @@ class SourceSinkSpec extends AnyFunSuite {
       "failed overwrite must leave the concurrent append's commit intact")
   }
 
+  test("catalog schema evolution: ADD COLUMNS is metadata-only; RENAME re-keys the table") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.evospec")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.evospec2")
+    spark.sql("CREATE TABLE graft_cat.ns.evospec (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft_cat.ns.evospec VALUES (1, 'a'), (2, 'b')")
+    val tbl = graft.sources.MemCatalog.store.get(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "evospec"))
+    val before = tbl.rows
+    spark.sql("ALTER TABLE graft_cat.ns.evospec ADD COLUMNS (score DOUBLE)")
+    // zero data IO: the stored rows are the SAME objects, just shorter
+    // than the new schema — the scan null-backfills them by ordinal
+    assert(tbl.rows eq before, "ADD COLUMNS must not touch stored rows")
+    assert(tbl.schema().fieldNames.toSeq == Seq("k", "name", "score"))
+    spark.sql("INSERT INTO graft_cat.ns.evospec VALUES (3, 'c', 9.5)")
+    val got = spark.sql(
+      "SELECT k, name, score FROM graft_cat.ns.evospec ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(9.5))))
+    // duplicate column rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.evospec ADD COLUMNS (score DOUBLE)")
+    }
+    // rename: same table object under the new identifier, old name gone
+    // (the RENAME TO target is CATALOG-RELATIVE — a catalog-qualified
+    // target would land under a ['graft_cat','ns'] namespace verbatim)
+    spark.sql("ALTER TABLE graft_cat.ns.evospec RENAME TO ns.evospec2")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.evospec2")
+      .collect()(0).getLong(0) == 3L)
+    intercept[Exception] { spark.table("graft_cat.ns.evospec").collect() }
+    spark.sql("DROP TABLE graft_cat.ns.evospec2")
+  }
+
   test("V2 sink: orphan files are invisible to the manifest-gated read") {
     val out = java.nio.file.Files.createTempDirectory("graft_kv_orphan").toString
     val n = ops.CoreOps.dsv2SinkTo(spark, sf, out).count()
