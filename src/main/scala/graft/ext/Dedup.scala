@@ -1242,7 +1242,64 @@ object Dedup {
       .orderBy(col("dom"), col("decision"), col("rule"))
   }
 
+  /** SITEMAP.XML PARSING — the crawl DISCOVERY leg between
+    * [[robotsRules]] (admission) and [[urlCanonical]] (frontier):
+    * per-domain sitemaps are synthesized as real
+    * `<urlset><url><loc/><lastmod/><priority/></url>…</urlset>` XML and
+    * parsed back FROM THE DOCUMENT ALONE — `<url>` blocks via a
+    * non-greedy regexp_extract_all (lazy quantifiers work identically
+    * in Java regex and RE2), fields via anchored group extracts,
+    * priority decoded to an exact integer percentage. The per-domain
+    * report carries URL counts, host-consistency checks, the lastmod
+    * range, mean priority, and an order-canonical md5 fingerprint of
+    * the URL set — what a crawl scheduler diffs between fetches to
+    * detect sitemap churn.
+    *
+    * At 100 TB: sitemap documents are per-domain KBs; parsing is
+    * per-row codegen regex; one shuffle at domain grain for the report
+    * (the fingerprint collects only `loc` strings, never documents).
+    */
+  def sitemapParse(s: SparkSession, d: String): DataFrame = {
+    val entries = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), expr("doc_id % 8").as("dom"))
+      .withColumn("entry", expr(
+        """concat('<url><loc>https://domain', CAST(dom AS STRING), '.com/p/',
+          |  CAST(doc_id AS STRING), '</loc><lastmod>2024-01-',
+          |  lpad(CAST(2 + doc_id % 27 AS STRING), 2, '0'),
+          |  '</lastmod><priority>0.', CAST(1 + doc_id % 9 AS STRING),
+          |  '</priority></url>')""".stripMargin))
+    val sitemaps = entries.groupBy(col("dom"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(doc_id, entry))), x -> x.entry), '')"),
+        lit("</urlset>")).as("xml"))
+    // parse side: everything below reads only `xml`
+    sitemaps
+      .select(col("dom"), col("xml"),
+        explode(expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)")).as("u"))
+      .select(col("dom"),
+        expr("regexp_extract(u, '<loc>([^<]*)</loc>', 1)").as("loc"),
+        expr("regexp_extract(u, '<lastmod>([^<]*)</lastmod>', 1)").as("lastmod"),
+        expr("CAST(split_part(regexp_extract(u, " +
+          "'<priority>([^<]*)</priority>', 1), '.', 2) AS BIGINT) * 10")
+          .as("prio_pct"))
+      .groupBy(col("dom"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(expr(
+          "CAST(substr(loc, 1, instr(loc, '/p/') - 1) = " +
+            "concat('https://domain', CAST(dom AS STRING), '.com') AS BIGINT)"))
+          .as("n_host_ok"),
+        min(col("lastmod")).as("lastmod_min"),
+        max(col("lastmod")).as("lastmod_max"),
+        expr("sum(prio_pct) div count(1)").as("prio_mean_pct"),
+        md5(expr("array_join(sort_array(collect_list(loc)), '|')"))
+          .as("urlset_md5"))
+      .orderBy(col("dom"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_sitemap_parse" -> sitemapParse,
     "dd_robots_rules" -> robotsRules,
     "dd_crawl_politeness" -> crawlPoliteness,
     "dd_url_canonical" -> urlCanonical,
@@ -1300,6 +1357,40 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_sitemap_parse" ->
+      """WITH e AS (
+        |  SELECT doc_id, doc_id % 8 AS dom,
+        |    '<url><loc>https://domain' || CAST(doc_id % 8 AS VARCHAR) ||
+        |    '.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |    '</loc><lastmod>2024-01-' ||
+        |    lpad(CAST(2 + doc_id % 27 AS VARCHAR), 2, '0') ||
+        |    '</lastmod><priority>0.' || CAST(1 + doc_id % 9 AS VARCHAR) ||
+        |    '</priority></url>' AS entry
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sm AS (
+        |  SELECT dom,
+        |    '<?xml version="1.0"?><urlset>' ||
+        |    string_agg(entry, '' ORDER BY doc_id) || '</urlset>' AS xml
+        |  FROM e GROUP BY 1),
+        |u AS (
+        |  SELECT dom,
+        |    unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS b
+        |  FROM sm),
+        |f AS (
+        |  SELECT dom,
+        |    regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+        |    regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+        |    CAST(split_part(regexp_extract(b, '<priority>([^<]*)</priority>', 1),
+        |      '.', 2) AS BIGINT) * 10 AS prio_pct
+        |  FROM u)
+        |SELECT dom, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(CASE WHEN substr(loc, 1, position('/p/' IN loc) - 1) =
+        |    'https://domain' || CAST(dom AS VARCHAR) || '.com'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_host_ok,
+        |  min(lastmod) AS lastmod_min, max(lastmod) AS lastmod_max,
+        |  CAST(SUM(prio_pct) AS BIGINT) // COUNT(*) AS prio_mean_pct,
+        |  md5(string_agg(loc, '|' ORDER BY loc)) AS urlset_md5
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_robots_rules" ->
       """WITH doms AS (SELECT DISTINCT doc_id % 8 AS dom FROM documents),
         |rob AS (
