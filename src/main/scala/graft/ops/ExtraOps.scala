@@ -2426,7 +2426,45 @@ object ExtraOps {
       .orderBy(col("abc"), col("xyz"))
   }
 
+  /** NATIVE `WITH RECURSIVE` (Spark 4's SQL recursion, SPARK-24497) —
+    * the SAME SQL TEXT runs in Spark and in the DuckDB oracle, byte for
+    * byte: a bounded-depth walk enumeration over a deterministic
+    * 2-out-degree graph derived from `nation`, reporting per node the
+    * minimum hop count from node 0 and the number of ≤6-hop walks.
+    * Every recursive oracle in this repo replays a Spark fold as a
+    * DuckDB recursive CTE; this query closes the loop from the other
+    * side — Spark executes the recursion natively (each iteration is a
+    * distributed join against the edge set), and
+    * [[recursiveChain]] remains the iterative-DataFrame twin of the
+    * same idea for engines without SQL recursion.
+    *
+    * At 100 TB: recursion depth is the bounded knob (6); each step is
+    * one keyed join — the BFS frontier shape x_bfs_hops documents.
+    */
+  private val recursiveCteSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+      |         CAST((n_nationkey * 7 + 3) % 25 AS BIGINT) AS dst FROM nation
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey AS BIGINT),
+      |         CAST((n_nationkey * 11 + 5) % 25 AS BIGINT) FROM nation),
+      |r(node, hop) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT e.dst, r.hop + 1
+      |  FROM r JOIN e ON e.src = r.node
+      |  WHERE r.hop < 6)
+      |SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hops,
+      |       CAST(COUNT(*) AS BIGINT) AS n_walks
+      |FROM r GROUP BY node ORDER BY node""".stripMargin
+
+  def recursiveCteSqlQuery(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(recursiveCteSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_recursive_cte_sql" -> recursiveCteSqlQuery,
     "x_abc_xyz" -> abcXyz,
     "x_hdr_histogram" -> hdrHistogram,
     "x_rolling_corr" -> rollingCorr,
@@ -2519,6 +2557,8 @@ object ExtraOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // literally the same SQL text Spark executes — see recursiveCteSql
+    "x_recursive_cte_sql" -> recursiveCteSql,
     "x_graph_modularity" -> {
       def it(prev: String, out: String): String =
         s"""$out AS (SELECT node, lbl FROM (
