@@ -1740,7 +1740,63 @@ object EventOps {
       .orderBy(col("channel"))
   }
 
+  /** QINI / UPLIFT CURVE — the evaluation that tells a targeting model
+    * whether it finds PERSUADABLE users rather than merely likely
+    * converters (what [[graft.ops.ExtraOps.liftCurve]] measures): users
+    * are ranked by a targeting score (click volume here — engagement as
+    * the persuadability proxy), cut into deciles, and each cumulative
+    * prefix reports incremental treated conversions over the
+    * control-scaled expectation, Q(k) = X_t(k) − X_c(k)·N_t(k)/N_c(k).
+    * The same deterministic arm split as [[abtestMetrics]]
+    * (user_id parity) keeps treated/control membership reproducible.
+    *
+    * Cross-engine determinism: the curve is carried in integer
+    * micro-units — the control-scaled term is one truncating DIV — and
+    * the decile cut is ntile over a fully-keyed order (score desc,
+    * user_id), so both engines assign identical buckets; per-decile
+    * uplift ships as exact ppm differences of integer ratios.
+    *
+    * At 100 TB: one keyed per-user aggregation (map-side combined), ONE
+    * bounded window for the decile cut over the user-grain frame — at
+    * full scale the cut becomes a quantile-sketch bucketing exactly like
+    * [[graft.ops.StatOps.aucBucketed]]'s — and a 10-row cumulative fold.
+    */
+  def qini(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("score"))
+      .withColumn("treated", (col("user_id") % 2 =!= 0).cast("long"))
+      .withColumn("converted", (col("n_purch") >= 14).cast("long"))
+    val ranked = users.withColumn("decile",
+      ntile(10).over(Window.orderBy(desc("score"), col("user_id")))
+        .cast("long"))
+    val byDec = ranked.groupBy(col("decile")).agg(
+      sum(col("treated")).as("n_t"),
+      sum(lit(1L) - col("treated")).as("n_c"),
+      sum(col("treated") * col("converted")).as("x_t"),
+      sum((lit(1L) - col("treated")) * col("converted")).as("x_c"))
+    val wcum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .withColumn("cum_nt", sum(col("n_t")).over(wcum))
+      .withColumn("cum_nc", sum(col("n_c")).over(wcum))
+      .withColumn("cum_xt", sum(col("x_t")).over(wcum))
+      .withColumn("cum_xc", sum(col("x_c")).over(wcum))
+      .withColumn("uplift_ppm", expr(
+        "(x_t * 1000000) DIV n_t - (x_c * 1000000) DIV n_c"))
+      .withColumn("qini_micro", expr(
+        "cum_xt * 1000000 - (cum_xc * cum_nt * 1000000) DIV cum_nc"))
+      .select(col("decile"), col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+        col("uplift_ppm"), col("cum_xt"), col("cum_xc"), col("qini_micro"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_qini" -> qini,
     "ev_shapley" -> shapley,
     "ev_markov_attribution" -> markovAttribution,
     "ev_segment_migration" -> segmentMigration,
@@ -1790,6 +1846,38 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_qini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score
+        |  FROM events GROUP BY user_id),
+        |armed AS (
+        |  SELECT CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END AS treated,
+        |         CASE WHEN n_purch >= 14 THEN 1 ELSE 0 END AS converted,
+        |         CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT)
+        |           AS decile
+        |  FROM u),
+        |dec AS (
+        |  SELECT decile,
+        |         CAST(SUM(treated) AS BIGINT) AS n_t,
+        |         CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+        |         CAST(SUM(treated * converted) AS BIGINT) AS x_t,
+        |         CAST(SUM((1 - treated) * converted) AS BIGINT) AS x_c
+        |  FROM armed GROUP BY decile),
+        |cum AS (
+        |  SELECT *,
+        |    CAST(SUM(n_t) OVER (ORDER BY decile) AS BIGINT) AS cum_nt,
+        |    CAST(SUM(n_c) OVER (ORDER BY decile) AS BIGINT) AS cum_nc,
+        |    CAST(SUM(x_t) OVER (ORDER BY decile) AS BIGINT) AS cum_xt,
+        |    CAST(SUM(x_c) OVER (ORDER BY decile) AS BIGINT) AS cum_xc
+        |  FROM dec)
+        |SELECT decile, n_t, n_c, x_t, x_c,
+        |       (x_t * 1000000) // n_t - (x_c * 1000000) // n_c AS uplift_ppm,
+        |       cum_xt, cum_xc,
+        |       cum_xt * 1000000 - (cum_xc * cum_nt * 1000000) // cum_nc
+        |         AS qini_micro
+        |FROM cum ORDER BY decile""".stripMargin,
     "ev_shapley" ->
       """WITH ev AS (
         |  SELECT user_id, event_type FROM events WHERE event_id % 23 = 0),

@@ -2463,7 +2463,78 @@ object ExtraOps {
     s.sql(recursiveCteSql)
   }
 
+  /** CRITICAL-PATH METHOD (CPM) — project/job-DAG scheduling: earliest
+    * start, latest start, slack, and the critical chain for every task,
+    * from the longest-path algebra over a precedence DAG. Tasks are the
+    * nation dimension with deterministic data-derived durations; the
+    * precedence edges (n DIV 2 → n, and n−3 → n on every third task)
+    * are id-ascending by construction, hence acyclic. This is the
+    * max-plus dual of [[bfsHops]]' min-plus: ES(v) = max over
+    * predecessors (ES(p) + dur(p)), LS(v) = makespan − longest tail
+    * from v, slack = LS − ES, and slack-0 tasks form the critical path
+    * — what a pipeline scheduler (or an Airflow DAG audit) computes to
+    * know which task delays propagate to the deadline.
+    *
+    * The longest-path closure is built by POINTER-DOUBLING on the edge
+    * relation — 5 unrolled squarings C' = C ∪ max-join(C, C) cover
+    * paths of ≤ 2^5 = 32 hops ≥ the 24-hop diameter bound — so the
+    * plan is log-depth, not diameter-depth. All arithmetic is BIGINT
+    * max-plus; the DuckDB oracle replays the same 5 squarings
+    * bit-identically.
+    *
+    * At 100 TB: task graphs are metadata-grain (thousands of tasks, not
+    * corpus rows), so the closure is a broadcast-sized frame however
+    * large the fact tables are; for deeper DAGs the squaring stays
+    * log-rounds while a naive frontier walk pays one round per level.
+    */
+  def criticalPath(s: SparkSession, d: String): DataFrame = {
+    val tasks = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("task"),
+        col("n_name").as("name"),
+        expr("CAST((n_nationkey * 7 + 13) % 40 + length(n_name) AS BIGINT)")
+          .as("dur"))
+      .localCheckpoint() // read by edges, ES, tail, and the report
+    val durOf = tasks.select(col("task"), col("dur"))
+    val edges = tasks.filter(col("task") >= 1)
+      .select(expr("task DIV 2").as("src"), col("task").as("dst"))
+      .union(tasks.filter(col("task") >= 3 && col("task") % 3 === 0)
+        .select((col("task") - 3).as("src"), col("task")))
+      .filter(col("src") =!= col("dst"))
+      .join(durOf.select(col("task").as("src"), col("dur").as("w")), Seq("src"))
+      .select(col("src"), col("dst"), col("w"))
+    var c = edges
+    for (_ <- 1 to 5) {
+      val sq = c.select(col("src"), col("dst").as("mid"), col("w").as("w1"))
+        .join(c.select(col("src").as("mid"), col("dst"), col("w").as("w2")),
+          Seq("mid"))
+        .select(col("src"), col("dst"), (col("w1") + col("w2")).as("w"))
+      c = c.union(sq).groupBy(col("src"), col("dst"))
+        .agg(max(col("w")).as("w"))
+    }
+    val closure = c.localCheckpoint() // read by ES and by the tail
+    val es = closure.groupBy(col("dst").as("task"))
+      .agg(max(col("w")).as("es"))
+    val tail = closure
+      .join(durOf.select(col("task").as("dst"), col("dur").as("dd")),
+        Seq("dst"))
+      .groupBy(col("src").as("task"))
+      .agg(max(col("w") + col("dd")).as("tail_via"))
+    val sched = tasks
+      .join(es, Seq("task"), "left").na.fill(0L, Seq("es"))
+      .join(tail, Seq("task"), "left")
+      .withColumn("tail", greatest(col("dur"), coalesce(col("tail_via"), lit(0L))))
+      .withColumn("ef", col("es") + col("dur"))
+    val makespan = sched.agg(max(col("es") + col("tail")).as("t_end"))
+    sched.crossJoin(broadcast(makespan)) // 1-row project horizon
+      .withColumn("ls", col("t_end") - col("tail"))
+      .withColumn("slack", col("ls") - col("es"))
+      .select(col("task"), col("name"), col("dur"), col("es"), col("ef"),
+        col("ls"), col("slack"), (col("slack") === 0).as("critical"))
+      .orderBy(col("es"), col("task"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_critical_path" -> criticalPath,
     "x_recursive_cte_sql" -> recursiveCteSqlQuery,
     "x_abc_xyz" -> abcXyz,
     "x_hdr_histogram" -> hdrHistogram,
@@ -2557,6 +2628,45 @@ object ExtraOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_critical_path" -> {
+      def sq(prev: String, out: String): String =
+        s"""$out AS (SELECT src, dst, MAX(w) AS w FROM (
+           |  SELECT src, dst, w FROM $prev
+           |  UNION ALL
+           |  SELECT a.src, b.dst, a.w + b.w
+           |  FROM $prev a JOIN $prev b ON a.dst = b.src) GROUP BY src, dst)""".stripMargin
+      s"""WITH tasks AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS task, n_name AS name,
+         |         CAST((n_nationkey * 7 + 13) % 40 + length(n_name) AS BIGINT)
+         |           AS dur
+         |  FROM nation),
+         |edges0 AS (
+         |  SELECT task // 2 AS src, task AS dst FROM tasks WHERE task >= 1
+         |  UNION ALL
+         |  SELECT task - 3, task FROM tasks WHERE task >= 3 AND task % 3 = 0),
+         |c0 AS (
+         |  SELECT e.src, e.dst, t.dur AS w
+         |  FROM edges0 e JOIN tasks t ON t.task = e.src WHERE e.src <> e.dst),
+         |${sq("c0", "c1")},
+         |${sq("c1", "c2")},
+         |${sq("c2", "c3")},
+         |${sq("c3", "c4")},
+         |${sq("c4", "c5")},
+         |es AS (SELECT dst AS task, MAX(w) AS es FROM c5 GROUP BY dst),
+         |tl AS (SELECT src AS task, MAX(c5.w + t.dur) AS tail_via
+         |       FROM c5 JOIN tasks t ON t.task = c5.dst GROUP BY src),
+         |sched AS (
+         |  SELECT t.task, t.name, t.dur,
+         |         CAST(COALESCE(es.es, 0) AS BIGINT) AS es,
+         |         CAST(GREATEST(t.dur, COALESCE(tl.tail_via, 0)) AS BIGINT)
+         |           AS tail
+         |  FROM tasks t LEFT JOIN es USING (task) LEFT JOIN tl USING (task)),
+         |ms AS (SELECT MAX(es + tail) AS t_end FROM sched)
+         |SELECT task, name, dur, es, es + dur AS ef,
+         |       t_end - tail AS ls, t_end - tail - es AS slack,
+         |       (t_end - tail - es) = 0 AS critical
+         |FROM sched CROSS JOIN ms ORDER BY es, task""".stripMargin
+    },
     // literally the same SQL text Spark executes — see recursiveCteSql
     "x_recursive_cte_sql" -> recursiveCteSql,
     "x_graph_modularity" -> {

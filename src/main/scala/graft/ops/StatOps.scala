@@ -852,7 +852,67 @@ object StatOps {
         col("t"), col("df"), col("cohens_d"))
   }
 
+  /** RANK-1 ALTERNATING LEAST SQUARES — the collaborative-filtering
+    * training loop (Koren et al.'s matrix factorization, the
+    * Spark-MLlib ALS shape) at the smallest honest rank: customers and
+    * parts each get ONE latent factor, alternately refit in closed form
+    * — u ← Σ_p r·v / Σ_p v², then v ← Σ_u r·u / Σ_u u² — which is two
+    * rounds of power iteration toward the rating matrix's principal
+    * singular pair. Complements [[graft.ops.ExtraOps]]'s item-item CF
+    * (`x_item_cf`, neighborhood method) with the model-based method.
+    *
+    * Cross-engine determinism: factors live in integer milli-units and
+    * each closed-form refit is one truncating DIV of two non-negative
+    * BIGINT sums — overflow-audited (uf ≤ ~10^5, Σuf² ≤ ~10^12,
+    * ·10^6 ≤ ~10^14 « 2^63) — so DuckDB replays the whole training
+    * trajectory bit-identically; model fit ships as exact global MAE in
+    * micro-units, no float ever enters.
+    *
+    * At 100 TB: each half-step is ONE keyed join of the rating triples
+    * against the small side's factor column plus a map-side-combined
+    * aggregation at the other side's grain — the classic ALS shuffle
+    * pattern (ratings bucketed by the join key once, factors the small
+    * mutating side). Nothing materializes at user×item grain except the
+    * rating triples the input already has.
+    */
+  def alsRank1(s: SparkSession, d: String): DataFrame = {
+    val ratings = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 5 === 0)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .localCheckpoint() // the loop-invariant triple store, read 4×
+    val v0 = ratings.select(col("p")).distinct()
+      .withColumn("vf", lit(1000L))
+    def userStep(v: DataFrame): DataFrame = ratings.join(v, Seq("p"))
+      .groupBy(col("u"))
+      .agg(sum(col("r") * col("vf")).as("rv"),
+        sum(col("vf") * col("vf")).as("vv"))
+      .select(col("u"), expr("(rv * 1000000) DIV vv").as("uf"))
+    def itemStep(u: DataFrame): DataFrame = ratings.join(u, Seq("u"))
+      .groupBy(col("p"))
+      .agg(sum(col("r") * col("uf")).as("ru"),
+        sum(col("uf") * col("uf")).as("uu"))
+      .select(col("p"), expr("(ru * 1000000) DIV uu").as("vf"))
+    val u1 = userStep(v0)
+    val v1 = itemStep(u1)
+    val u2 = userStep(v1)
+    val mae = ratings.join(u2, Seq("u")).join(v1, Seq("p"))
+      .agg(expr("sum(abs(r * 1000000 - uf * vf)) DIV count(1)")
+        .as("mae_micro"))
+    ratings.groupBy(col("p"))
+      .agg(count(lit(1)).as("n_raters"), sum(col("r")).as("r_sum"))
+      .join(v1, Seq("p"))
+      .crossJoin(broadcast(mae)) // 1-row model-fit frame
+      .select(col("p").as("part_id"), col("n_raters"), col("r_sum"),
+        col("vf").as("v_milli"), col("mae_micro"))
+      .orderBy(desc("v_milli"), col("part_id"))
+      .limit(15)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_als_rank1" -> alsRank1,
     "x_welch_t" -> welchT,
     "x_hits" -> hits,
     "x_autocorr" -> autocorr,
@@ -872,6 +932,34 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_als_rank1" ->
+      """WITH ratings AS (
+        |  SELECT o_custkey AS u, l_partkey AS p,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_partkey % 5 = 0
+        |  GROUP BY 1, 2),
+        |u1 AS (
+        |  SELECT u, (SUM(r * 1000) * 1000000) // SUM(CAST(1000000 AS BIGINT))
+        |           AS uf
+        |  FROM ratings GROUP BY u),
+        |v1 AS (
+        |  SELECT p, (SUM(r * uf) * 1000000) // SUM(uf * uf) AS vf
+        |  FROM ratings JOIN u1 USING (u) GROUP BY p),
+        |u2 AS (
+        |  SELECT u, (SUM(r * vf) * 1000000) // SUM(vf * vf) AS uf
+        |  FROM ratings JOIN v1 USING (p) GROUP BY u),
+        |mae AS (
+        |  SELECT CAST(SUM(abs(r * 1000000 - uf * vf)) // COUNT(*) AS BIGINT)
+        |           AS mae_micro
+        |  FROM ratings JOIN u2 USING (u) JOIN v1 USING (p))
+        |SELECT p AS part_id, CAST(COUNT(*) AS BIGINT) AS n_raters,
+        |       CAST(SUM(r) AS BIGINT) AS r_sum,
+        |       CAST(MAX(vf) AS BIGINT) AS v_milli,
+        |       CAST(MAX(mae_micro) AS BIGINT) AS mae_micro
+        |FROM ratings JOIN v1 USING (p) CROSS JOIN mae
+        |GROUP BY p
+        |ORDER BY v_milli DESC, part_id LIMIT 15""".stripMargin,
     "x_bandit_replay" ->
       """WITH RECURSIVE log0 AS (
         |  SELECT epoch_us(ts) AS t, event_id,
