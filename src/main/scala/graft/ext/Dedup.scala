@@ -1298,7 +1298,77 @@ object Dedup {
       .orderBy(col("dom"))
   }
 
+  /** REDIRECT-CYCLE DETECTION BY POINTER DOUBLING — the crawl-frontier
+    * hygiene pass that finds HTTP-redirect loops (A→B→…→A chains a
+    * fetcher would spin on) and, for every page, the loop its redirect
+    * chain terminates in. Each page has exactly ONE redirect target, so
+    * the page set under "follow the redirect" is a FUNCTIONAL GRAPH:
+    * disjoint ρ-shapes — trees (redirect chains) hanging off cycles
+    * (loops). Here the successor is the deterministic quadratic map
+    * r → (r² + 17) mod n over the ranked page domain (the Pollard-rho
+    * shape: realistic tail/cycle mixture), derived from `documents`.
+    *
+    * The algorithm is K=12 rounds of POINTER DOUBLING — the classic
+    * list-ranking primitive (Wyllie '79), new in this repo next to
+    * `dd_components`' O(log n) star-contraction: each round composes the
+    * successor with itself (succ ← succ∘succ) while folding the minimum
+    * rank seen along the traversed prefix (pmin ← min(pmin, pmin∘succ)),
+    * so after K rounds succ = f^(2^K) and pmin = min over the first 2^K
+    * orbit nodes. With 2^K = 4096 ≥ n (the page domain is capped at
+    * 4096 by construction):
+    *  - f^(2^K)(v) is always ON the cycle (any tail is shorter than n),
+    *    and a node is cyclic IFF it is in the IMAGE of f^(2^K) — a tail
+    *    node at depth d would need a preimage at depth d + 2^K > n;
+    *  - pmin evaluated AT f^(2^K)(v) is the minimum over a full lap of
+    *    the cycle — a canonical cycle id every member agrees on.
+    * Report: one row per loop with its length, attached-tail mass
+    * (pages whose chains drain into it), and basin total.
+    *
+    * At 100 TB (billions of URLs): each doubling round is ONE keyed
+    * equi-join carrying 3 BIGINTs per node — log₂(diameter) rounds
+    * total, vs. diameter rounds for naive frontier walking; state never
+    * grows (contrast transitive-closure squaring, which explodes the
+    * relation). The per-round localCheckpoint is the same
+    * materialization discipline a cluster job would use to stop plan
+    * blowup on iterated self-joins.
+    */
+  def redirectCycles(s: SparkSession, d: String): DataFrame = {
+    val pages = Tables.documents(s, d)
+      .select(expr("doc_id % 4096").as("pid")).distinct()
+    val n1 = pages.agg(count(lit(1)).as("n"))
+    val rk = pages
+      .withColumn("r", expr("CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT)"))
+      .crossJoin(broadcast(n1))
+      .localCheckpoint() // rank domain: read by t0 and the final report
+    var t = rk.select(col("r").as("node"), expr("(r * r + 17) % n").as("succ"),
+      col("r").as("pmin"))
+    for (_ <- 1 to 12) {
+      t = t.as("a")
+        .join(t.select(col("node").as("s2"), col("succ").as("succ_n"),
+          col("pmin").as("pmin_n")), col("a.succ") === col("s2"))
+        .select(col("node"), col("succ_n").as("succ"),
+          least(col("pmin"), col("pmin_n")).as("pmin"))
+        .localCheckpoint() // stop 2^k plan blowup on the self-join
+    }
+    val cyc = t.select(col("succ").as("node")).distinct()
+      .withColumn("is_c", lit(1L))
+    val labeled = t.as("v")
+      .join(t.select(col("node").as("s2"), col("pmin").as("cycle_rank")),
+        col("v.succ") === col("s2"))
+      .join(cyc, Seq("node"), "left").na.fill(0L, Seq("is_c"))
+    labeled.groupBy(col("cycle_rank"))
+      .agg(sum(col("is_c")).as("cycle_len"),
+        sum(lit(1L) - col("is_c")).as("n_tail"))
+      .join(rk.select(col("r").as("cycle_rank"), col("pid").as("cycle_pid")),
+        Seq("cycle_rank"))
+      .crossJoin(broadcast(n1.select(col("n").as("n_pages"))))
+      .select(col("cycle_pid"), col("cycle_len"), col("n_tail"),
+        (col("cycle_len") + col("n_tail")).as("basin"), col("n_pages"))
+      .orderBy(desc("basin"), col("cycle_pid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_redirect_cycles" -> redirectCycles,
     "dd_sitemap_parse" -> sitemapParse,
     "dd_robots_rules" -> robotsRules,
     "dd_crawl_politeness" -> crawlPoliteness,
@@ -1357,6 +1427,37 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_redirect_cycles" -> {
+      // MATERIALIZED is load-bearing: each doubling round references its
+      // predecessor twice, and DuckDB inlines plain CTEs — 12 rounds
+      // would inline t0 (and its parquet scan) 2^12 times.
+      def dbl(prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (SELECT a.node, b.succ, LEAST(a.pmin, b.pmin) AS pmin
+           |FROM $prev a JOIN $prev b ON a.succ = b.node)""".stripMargin
+      val rounds = (1 to 12)
+        .map(k => dbl(s"t${k - 1}", s"t$k")).mkString(",\n")
+      s"""WITH pages AS MATERIALIZED (SELECT DISTINCT doc_id % 4096 AS pid FROM documents),
+         |rk AS MATERIALIZED (SELECT pid,
+         |         CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS r,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM pages) AS n
+         |       FROM pages),
+         |t0 AS MATERIALIZED (SELECT r AS node, (r * r + 17) % n AS succ, r AS pmin FROM rk),
+         |$rounds,
+         |cyc AS MATERIALIZED (SELECT DISTINCT succ AS node FROM t12),
+         |lab AS (
+         |  SELECT v.node, b.pmin AS cycle_rank,
+         |    CASE WHEN cyc.node IS NULL THEN 0 ELSE 1 END AS is_c
+         |  FROM t12 v JOIN t12 b ON v.succ = b.node
+         |  LEFT JOIN cyc ON cyc.node = v.node)
+         |SELECT rk.pid AS cycle_pid,
+         |       CAST(SUM(is_c) AS BIGINT) AS cycle_len,
+         |       CAST(SUM(1 - is_c) AS BIGINT) AS n_tail,
+         |       CAST(SUM(is_c) + SUM(1 - is_c) AS BIGINT) AS basin,
+         |       CAST(MAX(rk.n) AS BIGINT) AS n_pages
+         |FROM lab JOIN rk ON rk.r = lab.cycle_rank
+         |GROUP BY rk.pid
+         |ORDER BY basin DESC, cycle_pid""".stripMargin
+    },
     "dd_sitemap_parse" ->
       """WITH e AS (
         |  SELECT doc_id, doc_id % 8 AS dom,

@@ -1777,7 +1777,133 @@ object Multimodal {
       .orderBy(col("tar_id"), col("entry_idx"))
   }
 
+  /** ZIP SHARD PARSING VIA THE CENTRAL DIRECTORY — the random-access
+    * counterpart to [[tarEntries]], and the reason zip-style shard
+    * formats exist at all: tar has no index (member walking is
+    * sequential BY FORMAT), while zip appends a CENTRAL DIRECTORY whose
+    * trailing End-Of-Central-Directory record gives entry count and
+    * directory offset in O(1) — a reader seeks to the EOCD, walks the
+    * KB-scale directory, and then fetches ONLY the members it needs by
+    * their recorded local-header offsets. That is the layout every
+    * random-access training-shard reader (and Parquet's footer) copies.
+    *
+    * Build side synthesizes hex-encoded STORED (method 0) archives from
+    * `documents` — per-member local headers with little-endian fields,
+    * central-directory entries carrying each member's local-header
+    * offset, and the EOCD — all deterministic string expressions
+    * (offsets are one partitioned cumulative window per archive).
+    * Parse side reads ONLY the archive blob: EOCD sig check → entry
+    * count + directory offset → bounded directory walk (an aggregate
+    * fold over at most 12 slots, like the tar walk) → per entry: name,
+    * sizes, local-header offset → SEEK to the local header, cross-check
+    * its redundant name/size fields against the directory (the
+    * integrity check unzip -t performs), and digest the payload.
+    *
+    * At 100 TB: the directory walk touches metadata only (≈50 bytes ×
+    * members), never payload bytes; payloads reduce to digests before
+    * any exchange, and a production reader fetches members by byte
+    * range without scanning the shard — the entire point of the format.
+    * Little-endian field codecs are per-row codegen string ops.
+    */
+  def zipEntries(s: SparkSession, d: String): DataFrame = {
+    // little-endian hex writers/readers over the hex-string blob
+    def le2(e: String) =
+      s"concat(substr(lpad(hex($e), 4, '0'), 3, 2), substr(lpad(hex($e), 4, '0'), 1, 2))"
+    def le4(e: String) =
+      s"concat(substr(lpad(hex($e), 8, '0'), 7, 2), substr(lpad(hex($e), 8, '0'), 5, 2), " +
+        s"substr(lpad(hex($e), 8, '0'), 3, 2), substr(lpad(hex($e), 8, '0'), 1, 2))"
+    def pairAt(off: String) = s"substr(zip, CAST(($off) * 2 + 1 AS INT), 2)"
+    def le2At(off: String) =
+      s"CAST(conv(concat(${pairAt(s"($off) + 1")}, ${pairAt(off)}), 16, 10) AS BIGINT)"
+    def le4At(off: String) =
+      s"CAST(conv(concat(${pairAt(s"($off) + 3")}, ${pairAt(s"($off) + 2")}, " +
+        s"${pairAt(s"($off) + 1")}, ${pairAt(off)}), 16, 10) AS BIGINT)"
+    // --- build side: hex-encoded stored-method archives ---------------
+    val members = Tables.documents(s, d)
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), expr("doc_id div 6").as("zip_id"),
+        expr("substr(text, 1, CAST(40 + doc_id % 60 AS INT))").as("payload"),
+        concat(lit("doc"), col("doc_id").cast("string"), lit(".txt")).as("name"))
+      .withColumn("usize", expr("CAST(octet_length(payload) AS BIGINT)"))
+      .withColumn("namelen", expr("CAST(octet_length(name) AS BIGINT)"))
+      .withColumn("block_len", expr("30 + namelen + usize"))
+      .withColumn("local_hex", expr(
+        s"""concat('504B0304', '1400', '0000', '0000', '0000', '0000',
+           |  '00000000', ${le4("usize")}, ${le4("usize")},
+           |  ${le2("namelen")}, '0000', hex(name), hex(payload))""".stripMargin))
+    val wZip = Window.partitionBy(col("zip_id"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val placed = members
+      .withColumn("lho", coalesce(sum(col("block_len")).over(wZip), lit(0L)))
+      .withColumn("cd_hex", expr(
+        s"""concat('504B0102', '1400', '1400', '0000', '0000', '0000', '0000',
+           |  '00000000', ${le4("usize")}, ${le4("usize")},
+           |  ${le2("namelen")}, '0000', '0000', '0000', '0000', '00000000',
+           |  ${le4("lho")}, hex(name))""".stripMargin))
+    val zips = placed.groupBy(col("zip_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(doc_id, local_hex))), x -> x.local_hex), '')").as("lsec"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(doc_id, cd_hex))), x -> x.cd_hex), '')").as("cdsec"),
+        sum(col("block_len")).as("cd_off"),
+        sum(lit(46L) + col("namelen")).as("cd_size"),
+        count(lit(1)).as("nmem"))
+      .withColumn("zip", expr(
+        s"""concat(lsec, cdsec, '504B0506', '0000', '0000',
+           |  ${le2("nmem")}, ${le2("nmem")}, ${le4("cd_size")},
+           |  ${le4("cd_off")}, '0000')""".stripMargin))
+      .select(col("zip_id"), col("zip"))
+      // build once: the parse side fans out (EOCD, directory walk,
+      // local-header cross-check) over this frame
+      .localCheckpoint()
+    // --- parse side: everything below reads only `zip` ----------------
+    val eocd = zips
+      .withColumn("eo", expr("CAST(length(zip) DIV 2 - 22 AS BIGINT)"))
+      .withColumn("eocd_ok",
+        expr("substr(zip, CAST(eo * 2 + 1 AS INT), 8)") === lit("504B0506"))
+      .withColumn("n_entries", expr(le2At("eo + 10")))
+      .withColumn("cd_off", expr(le4At("eo + 16")))
+    val walked = eocd
+      .withColumn("offs", expr(
+        s"""aggregate(sequence(1, 12),
+           |  struct(cd_off AS o, CAST(array() AS ARRAY<BIGINT>) AS es),
+           |  (acc, z) -> CASE
+           |    WHEN substr(zip, CAST(acc.o * 2 + 1 AS INT), 8) <> '504B0102'
+           |      THEN acc
+           |    ELSE struct(acc.o + 46 + ${le2At("acc.o + 28")} AS o,
+           |                concat(acc.es, array(acc.o)) AS es) END,
+           |  acc -> acc.es)""".stripMargin))
+      .select(col("zip_id"), col("zip"), col("eocd_ok"), col("n_entries"),
+        posexplode(col("offs")).as(Seq("entry_idx", "o")))
+      .localCheckpoint() // directory fields + local cross-check both read it
+    walked
+      .withColumn("cd_namelen", expr(le2At("o + 28")))
+      .withColumn("cd_usize", expr(le4At("o + 24")))
+      .withColumn("lho", expr(le4At("o + 42")))
+      .withColumn("name", expr(
+        "decode(unhex(substr(zip, CAST((o + 46) * 2 + 1 AS INT), " +
+          "CAST(cd_namelen * 2 AS INT))), 'UTF-8')"))
+      .withColumn("local_sig_ok",
+        expr("substr(zip, CAST(lho * 2 + 1 AS INT), 8)") === lit("504B0304"))
+      .withColumn("l_namelen", expr(le2At("lho + 26")))
+      .withColumn("l_usize", expr(le4At("lho + 22")))
+      .withColumn("local_match",
+        col("l_namelen") === col("cd_namelen") &&
+          col("l_usize") === col("cd_usize") &&
+          expr("substr(zip, CAST((lho + 30) * 2 + 1 AS INT), CAST(l_namelen * 2 AS INT))")
+            === expr("substr(zip, CAST((o + 46) * 2 + 1 AS INT), CAST(cd_namelen * 2 AS INT))"))
+      .withColumn("payload_md5", md5(expr(
+        "substr(zip, CAST((lho + 30 + l_namelen) * 2 + 1 AS INT), CAST(l_usize * 2 AS INT))")))
+      .select(col("zip_id"), col("entry_idx").cast("long").as("entry_idx"),
+        col("name"), col("cd_usize").as("size_bytes"), col("lho"),
+        col("n_entries"), col("eocd_ok"), col("local_sig_ok"),
+        col("local_match"), col("payload_md5"))
+      .orderBy(col("zip_id"), col("entry_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_zip_entries" -> zipEntries,
     "mm_tar_entries" -> tarEntries,
     "mm_warc_records" -> warcRecords,
     "mm_magic_sniff" -> magicSniff,
@@ -1810,6 +1936,107 @@ object Multimodal {
     s"CAST('0x' || substr(sha256(text), ${2 * i + 1}, 2) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "mm_zip_entries" -> {
+      def le2(e: String) =
+        s"(substr(lpad(to_base($e, 16), 4, '0'), 3, 2) || substr(lpad(to_base($e, 16), 4, '0'), 1, 2))"
+      def le4(e: String) =
+        s"(substr(lpad(to_base($e, 16), 8, '0'), 7, 2) || substr(lpad(to_base($e, 16), 8, '0'), 5, 2) || " +
+          s"substr(lpad(to_base($e, 16), 8, '0'), 3, 2) || substr(lpad(to_base($e, 16), 8, '0'), 1, 2))"
+      def pairAt(off: String) = s"substr(zip, CAST(($off) * 2 + 1 AS INT), 2)"
+      def le2At(off: String) =
+        s"CAST('0x' || ${pairAt(s"($off) + 1")} || ${pairAt(off)} AS BIGINT)"
+      def le4At(off: String) =
+        s"CAST('0x' || ${pairAt(s"($off) + 3")} || ${pairAt(s"($off) + 2")} || " +
+          s"${pairAt(s"($off) + 1")} || ${pairAt(off)} AS BIGINT)"
+      s"""WITH RECURSIVE m AS (
+         |  SELECT doc_id, doc_id // 6 AS zip_id,
+         |         substr(text, 1, CAST(40 + doc_id % 60 AS INT)) AS payload,
+         |         'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name
+         |  FROM documents WHERE length(text) >= 40),
+         |m2 AS (
+         |  SELECT *, CAST(strlen(payload) AS BIGINT) AS usize,
+         |         CAST(strlen(name) AS BIGINT) AS namelen,
+         |         30 + CAST(strlen(name) AS BIGINT)
+         |            + CAST(strlen(payload) AS BIGINT) AS block_len
+         |  FROM m),
+         |placed AS (
+         |  SELECT *, CAST(COALESCE(SUM(block_len) OVER (PARTITION BY zip_id
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS lho
+         |  FROM m2),
+         |lh AS (
+         |  SELECT *,
+         |    '504B0304' || '1400' || '0000' || '0000' || '0000' || '0000'
+         |      || '00000000' || ${le4("usize")} || ${le4("usize")}
+         |      || ${le2("namelen")} || '0000' || hex(name) || hex(payload)
+         |      AS local_hex,
+         |    '504B0102' || '1400' || '1400' || '0000' || '0000' || '0000'
+         |      || '0000' || '00000000' || ${le4("usize")} || ${le4("usize")}
+         |      || ${le2("namelen")} || '0000' || '0000' || '0000' || '0000'
+         |      || '00000000' || ${le4("lho")} || hex(name) AS cd_hex
+         |  FROM placed),
+         |z AS (
+         |  SELECT zip_id,
+         |         string_agg(local_hex, '' ORDER BY doc_id) AS lsec,
+         |         string_agg(cd_hex, '' ORDER BY doc_id) AS cdsec,
+         |         CAST(SUM(block_len) AS BIGINT) AS cd_off,
+         |         CAST(SUM(46 + namelen) AS BIGINT) AS cd_size,
+         |         CAST(COUNT(*) AS BIGINT) AS nmem
+         |  FROM lh GROUP BY zip_id),
+         |zips AS (
+         |  SELECT zip_id,
+         |         lsec || cdsec || '504B0506' || '0000' || '0000'
+         |           || ${le2("nmem")} || ${le2("nmem")} || ${le4("cd_size")}
+         |           || ${le4("cd_off")} || '0000' AS zip
+         |  FROM z),
+         |e2 AS (
+         |  SELECT zip_id, zip,
+         |         CAST(strlen(zip) // 2 - 22 AS BIGINT) AS eo
+         |  FROM zips),
+         |e3 AS (
+         |  SELECT zip_id, zip,
+         |         substr(zip, CAST(eo * 2 + 1 AS INT), 8) = '504B0506' AS eocd_ok,
+         |         ${le2At("eo + 10")} AS n_entries,
+         |         ${le4At("eo + 16")} AS cd_off
+         |  FROM e2),
+         |walk AS (
+         |  SELECT zip_id, zip, eocd_ok, n_entries, cd_off AS o,
+         |         CAST(0 AS BIGINT) AS idx
+         |  FROM e3
+         |  WHERE substr(zip, CAST(cd_off * 2 + 1 AS INT), 8) = '504B0102'
+         |  UNION ALL
+         |  SELECT zip_id, zip, eocd_ok, n_entries, nxt, idx + 1 FROM (
+         |    SELECT zip_id, zip, eocd_ok, n_entries, idx,
+         |           o + 46 + ${le2At("o + 28")} AS nxt
+         |    FROM walk) w
+         |  WHERE substr(zip, CAST(nxt * 2 + 1 AS INT), 8) = '504B0102'),
+         |ent AS (
+         |  SELECT zip_id, zip, eocd_ok, n_entries, idx AS entry_idx, o,
+         |         ${le2At("o + 28")} AS cd_namelen,
+         |         ${le4At("o + 24")} AS cd_usize,
+         |         ${le4At("o + 42")} AS lho
+         |  FROM walk),
+         |loc AS (
+         |  SELECT *,
+         |         substr(zip, CAST(lho * 2 + 1 AS INT), 8) = '504B0304'
+         |           AS local_sig_ok,
+         |         ${le2At("lho + 26")} AS l_namelen,
+         |         ${le4At("lho + 22")} AS l_usize
+         |  FROM ent)
+         |SELECT zip_id, entry_idx,
+         |       decode(unhex(substr(zip, CAST((o + 46) * 2 + 1 AS INT),
+         |         CAST(cd_namelen * 2 AS INT)))) AS name,
+         |       cd_usize AS size_bytes, lho, n_entries, eocd_ok, local_sig_ok,
+         |       (l_namelen = cd_namelen AND l_usize = cd_usize AND
+         |        substr(zip, CAST((lho + 30) * 2 + 1 AS INT),
+         |          CAST(l_namelen * 2 AS INT))
+         |        = substr(zip, CAST((o + 46) * 2 + 1 AS INT),
+         |          CAST(cd_namelen * 2 AS INT))) AS local_match,
+         |       md5(substr(zip, CAST((lho + 30 + l_namelen) * 2 + 1 AS INT),
+         |         CAST(l_usize * 2 AS INT))) AS payload_md5
+         |FROM loc
+         |ORDER BY zip_id, entry_idx""".stripMargin
+    },
     "mm_tar_entries" ->
       """WITH RECURSIVE m AS (
         |  SELECT doc_id, doc_id // 4 AS tar_id,

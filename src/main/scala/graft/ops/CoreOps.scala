@@ -329,6 +329,73 @@ object CoreOps {
       .orderBy(col("phase"), col("val"))
   }
 
+  /** S19 — WRITE-AUDIT-PUBLISH on the V2 sink (the Iceberg WAP / "audit
+    * branch" workflow): a candidate batch commits to a BRANCH
+    * (`.option("branch", ...)`) that main readers cannot see; an audit
+    * job reads main ∪ branch and runs QC gates (row-count floor +
+    * key-uniqueness here — the [[graft.pipeline.StarSchema]] gate
+    * discipline applied PRE-publish); only a passing batch is
+    * published, as a metadata-only fast-forward
+    * ([[graft.sources.KvSink.publish]] — one CAS'd manifest append, no
+    * data rewritten). The query then stages a SECOND, bad batch
+    * (duplicate keys) whose gate fails → [[graft.sources.KvSink
+    * .dropBranch]] reclaims it and main provably never changes. Three
+    * phases of the main table are reported: during the first audit
+    * (branch invisible), after publish, and after the rejected batch is
+    * dropped — the oracle recomputes all three from the source rows, so
+    * what's verified is that unaudited data NEVER leaked into main.
+    *
+    * At 100 TB this is the nightly-load pattern: the branch commit is
+    * the same distributed write as any other (files land once); audit
+    * and publish touch manifests, not data — publish cost is O(KB)
+    * whatever the batch size.
+    */
+  def wapBranch(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_kv_wap").toString
+    def slice(lo: Long, hi: Long) = Tables.orders(s, d)
+      .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("val"))
+    def readPaths(paths: Seq[String]) = s.read
+      .schema("key LONG, val STRING").csv(paths: _*)
+    def phaseAgg(phase: String, df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("val"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("key_sum"))
+        .select(lit(phase).as("phase"), col("val"), col("n_rows"),
+          col("key_sum"))
+    import graft.sources.KvSink
+    slice(-1, 300).write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", out).save() // main v1
+    slice(300, 500).write.format("graft.sources.KvSink")
+      .mode("append").option("path", out)
+      .option("branch", "audit").save() // staged, invisible to main
+    val staged = phaseAgg("staged", readPaths(KvSink.committedPaths(out)))
+    // audit gate on the PREVIEW (main ∪ branch): nonempty + unique keys
+    val preview = readPaths(
+      KvSink.committedPaths(out) ++ KvSink.branchPaths(out, "audit"))
+    val Array(nPrev, nKeys) = preview
+      .agg(count(lit(1)), countDistinct(col("key"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray // bounded: two QC scalars
+    require(nPrev > 0 && nPrev == nKeys,
+      s"audit gate must pass for the good batch ($nPrev rows, $nKeys keys)")
+    KvSink.publish(out, "audit")
+    val published = phaseAgg("published", readPaths(KvSink.committedPaths(out)))
+    // bad batch: keys 401..500 AGAIN → duplicate keys in the preview
+    slice(400, 500).write.format("graft.sources.KvSink")
+      .mode("append").option("path", out)
+      .option("branch", "audit2").save()
+    val preview2 = readPaths(
+      KvSink.committedPaths(out) ++ KvSink.branchPaths(out, "audit2"))
+    val Array(nPrev2, nKeys2) = preview2
+      .agg(count(lit(1)), countDistinct(col("key"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray // bounded: two QC scalars
+    require(nPrev2 != nKeys2,
+      "audit gate must fail for the duplicate-key batch")
+    KvSink.dropBranch(out, "audit2")
+    val fin = phaseAgg("final", readPaths(KvSink.committedPaths(out)))
+    staged.unionByName(published).unionByName(fin)
+      .orderBy(col("phase"), col("val"))
+  }
+
   /** S12+ — CHANGE DATA FEED between two committed snapshot versions
     * (the Delta CDF / Iceberg changelog-scan surface): with the version
     * log in place, the row-level diff of any two versions is two
@@ -779,6 +846,7 @@ object CoreOps {
     "s12_merge_mor" -> mergeMor,
     "s12_upddel_mor" -> upddelMor,
     "s16_optimize" -> optimizeCompact,
+    "s19_wap_branch" -> wapBranch,
     "s17_partitioned_merge" -> partitionedMerge,
     "s18_alter_evolution" -> alterEvolution,
     "a8_flagship" -> flagship,
@@ -827,6 +895,19 @@ object CoreOps {
       |SELECT k, name, CAST(bal AS DOUBLE) AS bal FROM merged ORDER BY k""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s19_wap_branch" ->
+      """WITH seed AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS val
+        |  FROM orders WHERE o_orderkey <= 500),
+        |ph AS (
+        |  SELECT 'staged' AS phase, key, val FROM seed WHERE key <= 300
+        |  UNION ALL
+        |  SELECT 'published', key, val FROM seed
+        |  UNION ALL
+        |  SELECT 'final', key, val FROM seed)
+        |SELECT phase, val, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(key) AS BIGINT) AS key_sum
+        |FROM ph GROUP BY phase, val ORDER BY phase, val""".stripMargin,
     "s16_optimize" ->
       """WITH seed AS (
         |  SELECT o_orderkey AS key, o_orderstatus AS val

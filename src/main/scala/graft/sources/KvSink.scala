@@ -161,6 +161,115 @@ object KvSink {
     */
   val casRetries = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // ---- WRITE-AUDIT-PUBLISH branches (the Iceberg WAP / Delta shallow
+  // branch shape). A write with `.option("branch", name)` commits into a
+  // BRANCH-LOCAL version log (`manifest-<name>-v%06d`) whose entries
+  // list only the branch's own files: main readers (`_SUCCESS` / the
+  // main log) never see them. An audit job reads main ∪ branch, runs its
+  // QC gates, and then either [[publish]]es (fast-forward: one CAS'd
+  // main-log append naming the already-landed files — a metadata-only
+  // O(1) operation, no data is rewritten) or [[dropBranch]]es (the
+  // staged files are reclaimed; main never changed). This is the
+  // pattern that makes bad data UNPUBLISHABLE rather than merely
+  // detectable-after-the-fact.
+
+  /** Committed version numbers of a branch, ascending. */
+  def branchVersions(path: String, branch: String): Seq[Long] = {
+    val dir = Paths.get(path)
+    val prefix = s"branch-$branch-v"
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val listing = Files.list(dir)
+      try listing.toArray.toSeq.map(_.asInstanceOf[Path])
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith(prefix) =>
+          n.stripPrefix(prefix).toLong
+        }.sorted
+      finally listing.close()
+    }
+  }
+
+  /** The branch's staged files (latest branch snapshot) — what an audit
+    * job reads IN ADDITION to the main snapshot before deciding.
+    */
+  def branchFiles(path: String, branch: String): Seq[(String, Long)] =
+    branchVersions(path, branch).lastOption match {
+      case None => Seq.empty
+      case Some(v) =>
+        parseManifest(Paths.get(path, f"branch-$branch-v$v%06d"))
+    }
+
+  /** Absolute paths of the branch's staged files. */
+  def branchPaths(path: String, branch: String): Seq[String] =
+    branchFiles(path, branch).map { case (f, _) =>
+      Paths.get(path, f).toString
+    }
+
+  /** PUBLISH (fast-forward): append the audited branch's files to the
+    * main snapshot as one new CAS'd version — metadata-only, O(manifest)
+    * regardless of data volume, linearized through the same
+    * create-exclusive version log as every other commit (a concurrent
+    * append simply makes the publish rebase and retry). The branch log
+    * is consumed. Returns the published main version.
+    */
+  def publish(path: String, branch: String): Long = {
+    val staged = branchFiles(path, branch)
+    require(staged.nonEmpty, s"branch $branch of $path has nothing to publish")
+    val dir = Paths.get(path)
+    var committedV = -1L
+    var attempt = 0
+    while (committedV < 0) {
+      val curV = versions(path).lastOption.getOrElse(0L)
+      val prev = if (curV == 0L) Seq.empty else committedFiles(path, curV)
+      val manifest = (prev ++ staged).map { case (f, n) => s"$f,$n" }
+        .mkString("", "\n", "\n")
+      val vtmp = dir.resolve(s".publish-$branch-$attempt.tmp")
+      Files.write(vtmp, manifest.getBytes(StandardCharsets.UTF_8))
+      onBeforeCas()
+      try {
+        Files.createLink(dir.resolve(f"manifest-v${curV + 1L}%06d"), vtmp)
+        committedV = curV + 1L
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          casRetries.incrementAndGet()
+          attempt += 1
+      } finally Files.deleteIfExists(vtmp)
+    }
+    pointerLock.synchronized {
+      val latest = versions(path).last
+      val tmp = dir.resolve(s".publish-$branch-success.tmp")
+      Files.copy(dir.resolve(f"manifest-v$latest%06d"), tmp,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dir.resolve("_SUCCESS"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    branchVersions(path, branch).foreach { v =>
+      Files.deleteIfExists(dir.resolve(f"branch-$branch-v$v%06d"))
+    }
+    committedV
+  }
+
+  /** REJECT: delete the branch log and reclaim its files (unless a main
+    * snapshot also references them — never possible for a branch's own
+    * write-id-unique files, but checked anyway). Main is untouched; the
+    * bad batch never existed as far as any reader is concerned. Returns
+    * the reclaimed file names.
+    */
+  def dropBranch(path: String, branch: String): Seq[String] = {
+    val dir = Paths.get(path)
+    val live: Set[String] =
+      (versions(path).flatMap(v => committedFiles(path, v)) ++
+        committedFiles(path)).map(_._1).toSet
+    val doomedParts = branchVersions(path, branch)
+      .flatMap(v => parseManifest(dir.resolve(f"branch-$branch-v$v%06d")))
+      .map(_._1).distinct.filterNot(live)
+    val doomedManifests =
+      branchVersions(path, branch).map(v => f"branch-$branch-v$v%06d")
+    (doomedParts ++ doomedManifests).map { f =>
+      Files.deleteIfExists(dir.resolve(f)); f
+    }
+  }
+
   /** Test/observability hook, invoked between the version read and the
     * CAS attempt of every commit iteration — the window a concurrent
     * committer can win. Lets a spec interleave two writers
@@ -202,10 +311,11 @@ class KvTable(path: String) extends Table with SupportsWrite {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new KvWriteBuilder(path, info.queryId())
+    new KvWriteBuilder(path, info.queryId(),
+      Option(info.options.get("branch")))
 }
 
-class KvWriteBuilder(path: String, writeId: String)
+class KvWriteBuilder(path: String, writeId: String, branch: Option[String])
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -215,14 +325,14 @@ class KvWriteBuilder(path: String, writeId: String)
     // concurrent committer is detected.
     private val baseVersion = KvSink.versions(path).lastOption.getOrElse(0L)
     override def toBatch: BatchWrite =
-      new KvBatchWrite(path, writeId, truncateFirst, baseVersion)
+      new KvBatchWrite(path, writeId, truncateFirst, baseVersion, branch)
   }
 }
 
 case class KvCommit(file: String, rows: Long) extends WriterCommitMessage
 
 class KvBatchWrite(path: String, writeId: String, truncateFirst: Boolean,
-    baseVersion: Long) extends BatchWrite {
+    baseVersion: Long, branch: Option[String] = None) extends BatchWrite {
   private val dir = Paths.get(path)
   private val staging = dir.resolve(s".staging-$writeId")
 
@@ -263,8 +373,49 @@ class KvBatchWrite(path: String, writeId: String, truncateFirst: Boolean,
     * reachable through the version log until [[KvSink.vacuum]] reclaims
     * them — the Delta/Iceberg retention model.
     */
+  /** Branch-scoped commit (write-audit-publish, [[KvSink.publish]]):
+    * staged files land in the table root exactly like a main commit —
+    * they are data-at-rest the moment they move — but the manifest CAS
+    * targets the BRANCH-LOCAL log (`manifest-<branch>-v%06d`) and the
+    * `_SUCCESS` pointer is never touched, so main readers cannot see
+    * the batch until an audit job publishes it. Branch appends rebase
+    * within the branch log; a branch overwrite resets only the branch.
+    */
+  private def commitToBranch(name: String,
+      fresh: Seq[(String, Long)]): Unit = {
+    fresh.foreach { case (f, _) =>
+      Files.move(staging.resolve(f), dir.resolve(f))
+    }
+    var committedV = -1L
+    var attempt = 0
+    while (committedV < 0) {
+      val curV = KvSink.branchVersions(path, name).lastOption.getOrElse(0L)
+      val prev =
+        if (truncateFirst || curV == 0L) Seq.empty
+        else KvSink.branchFiles(path, name)
+      val manifest = (prev ++ fresh).map { case (f, n) => s"$f,$n" }
+        .mkString("", "\n", "\n")
+      val vtmp = staging.resolve(s"manifest-attempt-$attempt.tmp")
+      Files.write(vtmp, manifest.getBytes(StandardCharsets.UTF_8))
+      KvSink.onBeforeCas()
+      try {
+        Files.createLink(dir.resolve(f"branch-$name-v${curV + 1L}%06d"), vtmp)
+        committedV = curV + 1L
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          KvSink.casRetries.incrementAndGet()
+          attempt += 1
+      } finally Files.deleteIfExists(vtmp)
+    }
+    KvSink.deleteTree(staging)
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.toSeq.collect { case KvCommit(f, n) => (f, n) }.sortBy(_._1)
+    branch match {
+      case Some(name) => commitToBranch(name, fresh); return
+      case None =>
+    }
     if (truncateFirst &&
         KvSink.versions(path).lastOption.getOrElse(0L) != baseVersion)
       throw new java.util.ConcurrentModificationException(

@@ -1779,4 +1779,67 @@ class ExtensionSpec extends AnyFunSuite {
       && r.getAs[Long]("n_raw_variants") == 3L),
       "no full http group collapsed 3 raw spellings")
   }
+
+  test("redirect cycles: pointer-doubling labels match a driver-side brute force of the same map") {
+    // The oracle replays the doubling bit-for-bit; this pins the CYCLE
+    // SEMANTICS independently: walk the functional map f(r) = (r²+17) mod n
+    // exhaustively in plain Scala, find the true cycles and basins, and
+    // require the operator's report to match exactly.
+    val pids = Tables.documents(spark, sf)
+      .select(expr("doc_id % 4096").as("pid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val n = pids.length
+    val f = Array.tabulate(n)(r => ((r.toLong * r + 17) % n).toInt)
+    // cyclic nodes: iterate n steps from every node; landing set = cycles
+    val onCycle = Array.fill(n)(false)
+    for (start <- 0 until n) {
+      var cur = start
+      for (_ <- 0 until n) cur = f(cur)
+      onCycle(cur) = true
+    }
+    // cycle id = min rank on the cycle; basin via one more walk-to-cycle
+    def cycleId(c: Int): Int = {
+      var cur = f(c); var m = c
+      while (cur != c) { m = math.min(m, cur); cur = f(cur) }
+      m
+    }
+    val basinOf = Array.tabulate(n) { v =>
+      var cur = v
+      while (!onCycle(cur)) cur = f(cur)
+      cycleId(cur)
+    }
+    val expected = (0 until n).groupBy(basinOf)
+      .map { case (cid, members) =>
+        (pids(cid), members.count(onCycle(_)).toLong,
+          members.count(!onCycle(_)).toLong)
+      }.toSet
+    val got = ext.Dedup.redirectCycles(spark, sf)
+      .select("cycle_pid", "cycle_len", "n_tail").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"cycle report mismatch: got $got want $expected")
+  }
+
+  test("zip central directory: every entry cross-checks its local header; EOCD counts agree") {
+    val rows = ext.Multimodal.zipEntries(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // format integrity: EOCD found, every directory entry's seek landed on
+    // a local header whose redundant name/size fields agree (unzip -t)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("eocd_ok"), s"EOCD sig missing: $r")
+      assert(r.getAs[Boolean]("local_sig_ok"), s"bad local header seek: $r")
+      assert(r.getAs[Boolean]("local_match"), s"CD/local divergence: $r")
+      assert(r.getAs[String]("name").matches("doc\\d+\\.txt"), s"bad name: $r")
+    }
+    // the EOCD entry count equals the directory walk's yield per archive
+    rows.groupBy(_.getAs[Long]("zip_id")).foreach { case (z, es) =>
+      assert(es.head.getAs[Long]("n_entries") == es.length.toLong,
+        s"zip $z: EOCD says ${es.head.getAs[Long]("n_entries")}, walked ${es.length}")
+    }
+    // random access: local-header offsets are strictly increasing per
+    // archive and distinct entries digest distinct payload slices
+    rows.groupBy(_.getAs[Long]("zip_id")).foreach { case (_, es) =>
+      val offs = es.sortBy(_.getAs[Long]("entry_idx")).map(_.getAs[Long]("lho"))
+      assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
+    }
+  }
 }

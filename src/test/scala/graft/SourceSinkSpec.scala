@@ -628,4 +628,51 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(tbl.deltaLog.count(_.op == graft.sources.MemDeltaAction.Delete) == 1)
     assert(spark.table("graft_cat.mor.morspec").count() == 3)
   }
+
+  test("WAP branches: staged commits invisible to main; publish is a metadata fast-forward; drop reclaims") {
+    import graft.sources.KvSink
+    val dir = tmp("graft_kv_wapspec")
+    def write(lo: Long, hi: Long, mode: String, branch: Option[String] = None): Unit = {
+      val w = spark.range(lo, hi)
+        .select(col("id").as("key"), concat(lit("v"), col("id")).as("val"))
+        .write.format("graft.sources.KvSink").mode(mode).option("path", dir)
+      branch.fold(w)(b => w.option("branch", b)).save()
+    }
+    def mainRead() = spark.read.schema("key LONG, val STRING")
+      .csv(KvSink.committedPaths(dir): _*)
+    write(0, 100, "overwrite")                      // main v1
+    assert(KvSink.versions(dir) == Seq(1L))
+    write(100, 150, "append", Some("audit"))        // staged
+    // 1. invisibility: the branch commit created NO main version and the
+    //    main read is unchanged
+    assert(KvSink.versions(dir) == Seq(1L), "branch write must not advance main")
+    assert(mainRead().count() == 100)
+    assert(KvSink.branchFiles(dir, "audit").map(_._2).sum == 50)
+    // 2. branch appends rebase within the branch log
+    write(150, 170, "append", Some("audit"))
+    assert(KvSink.branchFiles(dir, "audit").map(_._2).sum == 70)
+    assert(KvSink.versions(dir) == Seq(1L))
+    // 3. publish: exactly one new main version; content = main ∪ branch;
+    //    branch log consumed; no data files moved or rewritten
+    val filesBefore = KvSink.branchPaths(dir, "audit").toSet
+    val v = KvSink.publish(dir, "audit")
+    assert(v == 2L && KvSink.versions(dir) == Seq(1L, 2L))
+    assert(mainRead().count() == 170)
+    assert(KvSink.branchVersions(dir, "audit").isEmpty, "publish consumes the branch")
+    assert(filesBefore.subsetOf(KvSink.committedPaths(dir).toSet),
+      "publish must reference the already-landed branch files, not copies")
+    // 4. reject: a second branch drops without touching main; its files
+    //    are physically reclaimed
+    write(200, 260, "append", Some("bad"))
+    val badFiles = KvSink.branchPaths(dir, "bad")
+    assert(badFiles.nonEmpty && mainRead().count() == 170)
+    KvSink.dropBranch(dir, "bad")
+    assert(KvSink.branchVersions(dir, "bad").isEmpty)
+    assert(badFiles.forall(f => !java.nio.file.Files.exists(java.nio.file.Paths.get(f))),
+      "dropBranch must reclaim the staged files")
+    assert(mainRead().count() == 170 && KvSink.versions(dir) == Seq(1L, 2L))
+    // 5. time travel still works across the publish boundary
+    assert(spark.read.schema("key LONG, val STRING")
+      .csv(KvSink.committedPaths(dir, 1L): _*).count() == 100)
+  }
 }
