@@ -1367,7 +1367,72 @@ object Dedup {
       .orderBy(desc("basin"), col("cycle_pid"))
   }
 
+  /** OPIC FRONTIER PRIORITIZATION (Abiteboul et al., WWW'03 — "Adaptive
+    * On-Line Page Importance Computation") — the crawl scheduler's
+    * "what to fetch next", completing the family whose other legs
+    * answer "may I" ([[robotsRules]]) and "how fast" ([[crawlPoliteness]]):
+    * every host starts with equal CASH; a fetch banks the host's cash
+    * into its HISTORY and redistributes it across out-links
+    * proportionally to link weight; importance ≈ history + cash, and
+    * the frontier is drained in that priority order. Unlike PageRank
+    * (ExtraOps.pagerank — offline, normalized, iterate-to-convergence),
+    * OPIC is ONLINE: cash is conserved, never normalized, and the
+    * estimate is usable after any prefix of fetches — why crawlers use
+    * it. Three synchronous fetch rounds here, host-grain, with
+    * link weights from page counts.
+    *
+    * Integer-exact: cash/history are micro-units; each edge carries
+    * cash·w DIV W (truncating), and the truncation REMAINDER stays at
+    * the host — cash conservation holds exactly, so the DuckDB replay
+    * is bit-identical and the total (64·10⁹) is auditable at any round.
+    *
+    * At 100 TB: page→host collapse is one map-side-combined rollup; each
+    * round is one keyed join of host-grain cash against the host-graph
+    * edge list (both tiny relative to the corpus) — the corpus is
+    * touched exactly once, the iteration runs on the registered-domain
+    * grain, same as every crawl-side operator in this family.
+    */
+  def frontierOpic(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = docs
+      .select(expr("doc_id % 64").as("h"),
+        expr("(doc_id div 64 * 7 + 3 + doc_id % 5) % 64").as("t"))
+      .filter(col("h") =!= col("t"))
+      .groupBy(col("h"), col("t")).agg(count(lit(1)).as("lw"))
+      .localCheckpoint() // the host graph: read by every round twice
+    val wh = w.groupBy(col("h").as("host")).agg(sum(col("lw")).as("wtot"))
+    val nd = docs.select(expr("doc_id % 64").as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_pages"))
+      .join(wh, Seq("host"), "left").na.fill(0L, Seq("wtot"))
+    var st = nd.withColumn("cash", lit(1000000000L))
+      .withColumn("hist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val flows = st.join(w, st("host") === w("h"))
+        .select(col("t"), col("h"), expr("cash * lw DIV wtot").as("f"))
+        .localCheckpoint() // reused: inflow by target, outflow by source
+      val inflow = flows.groupBy(col("t").as("host"))
+        .agg(sum(col("f")).as("inf"))
+      val outflow = flows.groupBy(col("h").as("host"))
+        .agg(sum(col("f")).as("outf"))
+      st = st
+        .join(inflow, Seq("host"), "left").na.fill(0L, Seq("inf"))
+        .join(outflow, Seq("host"), "left").na.fill(0L, Seq("outf"))
+        .withColumn("hist2", col("hist") + col("cash"))
+        // truncation remainder (cash − outf) stays home: conservation
+        .withColumn("cash2", col("inf") + col("cash") - col("outf"))
+        .select(col("host"), col("n_pages"), col("wtot"),
+          col("cash2").as("cash"), col("hist2").as("hist"))
+        .localCheckpoint()
+    }
+    st.select(col("host"), col("n_pages"), col("wtot").as("w_out"),
+      col("hist").as("history_micro"), col("cash").as("cash_micro"),
+      (col("hist") + col("cash")).as("priority"))
+      .orderBy(desc("priority"), col("host"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_frontier_opic" -> frontierOpic,
     "dd_redirect_cycles" -> redirectCycles,
     "dd_sitemap_parse" -> sitemapParse,
     "dd_robots_rules" -> robotsRules,
@@ -1427,6 +1492,47 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_frontier_opic" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT p.host, p.n_pages, p.wtot,
+           |         COALESCE(i.inf, 0) + p.cash - COALESCE(o.outf, 0) AS cash,
+           |         p.hist + p.cash AS hist
+           |  FROM $prev p
+           |  LEFT JOIN (SELECT w.t AS host, SUM(p2.cash * w.lw // p2.wtot) AS inf
+           |             FROM $prev p2 JOIN w ON w.h = p2.host
+           |             GROUP BY w.t) i USING (host)
+           |  LEFT JOIN (SELECT w.h AS host, SUM(p2.cash * w.lw // p2.wtot) AS outf
+           |             FROM $prev p2 JOIN w ON w.h = p2.host
+           |             GROUP BY w.h) o USING (host))""".stripMargin
+      s"""WITH l2 AS (
+         |  SELECT doc_id % 64 AS h,
+         |         (doc_id // 64 * 7 + 3 + doc_id % 5) % 64 AS t
+         |  FROM documents),
+         |w AS MATERIALIZED (
+         |  SELECT h, t, CAST(COUNT(*) AS BIGINT) AS lw
+         |  FROM l2 WHERE h <> t GROUP BY h, t),
+         |wh AS (SELECT h AS host, CAST(SUM(lw) AS BIGINT) AS wtot
+         |       FROM w GROUP BY h),
+         |nd AS (
+         |  SELECT hosts.host, hosts.n_pages, COALESCE(wh.wtot, 0) AS wtot
+         |  FROM (SELECT doc_id % 64 AS host,
+         |               CAST(COUNT(*) AS BIGINT) AS n_pages
+         |        FROM documents GROUP BY 1) hosts
+         |  LEFT JOIN wh USING (host)),
+         |s0 AS MATERIALIZED (
+         |  SELECT host, n_pages, wtot, CAST(1000000000 AS BIGINT) AS cash,
+         |         CAST(0 AS BIGINT) AS hist
+         |  FROM nd),
+         |${round("s0", "s1")},
+         |${round("s1", "s2")},
+         |${round("s2", "s3")}
+         |SELECT host, n_pages, wtot AS w_out,
+         |       CAST(hist AS BIGINT) AS history_micro,
+         |       CAST(cash AS BIGINT) AS cash_micro,
+         |       CAST(hist + cash AS BIGINT) AS priority
+         |FROM s3 ORDER BY priority DESC, host""".stripMargin
+    },
     "dd_redirect_cycles" -> {
       // MATERIALIZED is load-bearing: each doubling round references its
       // predecessor twice, and DuckDB inlines plain CTEs — 12 rounds

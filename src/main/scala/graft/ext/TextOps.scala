@@ -2541,7 +2541,50 @@ object TextOps {
     a.unionByName(b).unionByName(c).orderBy(col("strategy"))
   }
 
+  /** MULTI-PATTERN BLOCKLIST MATCHING BY JOIN — the content-policy scan
+    * (banned terms, toxicity lists, compliance lexicons) done the way
+    * that survives a 100k-entry list: tokenize once and JOIN the token
+    * stream against the broadcast blocklist, instead of compiling the
+    * list into one mega-regex alternation (O(len·patterns) per row,
+    * and most regex engines refuse the pattern long before 100k
+    * branches). The blocklist here is derived deterministically from
+    * the corpus vocabulary (60-bit md5 ≡ 0 mod 5, length ≥ 2 — a
+    * pseudo-lexicon of ~vocab/5 terms on this synthetic corpus) so the oracle can rebuild it;
+    * a real deployment swaps in its curated list, same plan.
+    *
+    * Report: per banned term its document reach and raw hit count, with
+    * the corpus-wide flagged-document total attached — the numbers a
+    * policy dashboard tracks per release.
+    *
+    * At 100 TB: ONE tokenize pass (the same scan every tx_ op shares),
+    * a broadcast hash join against the KB-scale list (no shuffle of the
+    * token stream for membership), then a map-side-combinable rollup at
+    * matched-term grain — matches only, never the full stream — plus
+    * one distinct-doc count over matched (doc, term) pairs.
+    */
+  def blocklistJoin(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val block = toks.select(col("token")).distinct()
+      .filter(expr(s"${Hashing.sparkHash("token")} % 5 = 0") &&
+        length(col("token")) >= 2)
+    val matched = toks.join(broadcast(block), Seq("token"))
+      .localCheckpoint() // read by the per-term rollup AND the doc total
+    val flagged = matched.agg(
+      countDistinct(col("doc_id")).as("n_flagged_docs"))
+    matched.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(flagged)) // 1-row corpus total
+      .select(col("token"), col("n_docs"), col("n_hits"),
+        col("n_flagged_docs"))
+      .orderBy(desc("n_hits"), col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_blocklist_join" -> blocklistJoin,
     "pipe_padding_waste" -> paddingWaste,
     "tx_code_detect" -> codeDetect,
     "tx_char_entropy" -> charEntropy,
@@ -2655,6 +2698,24 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_blocklist_join" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           |  FROM documents),
+           |t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+           |block AS (
+           |  SELECT DISTINCT token FROM t2
+           |  WHERE ${Hashing.duckHash("token")} % 5 = 0
+           |    AND length(token) >= 2),
+           |m AS (SELECT t2.doc_id, t2.token FROM t2 JOIN block USING (token)),
+           |g AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+           |        AS n_flagged_docs FROM m)
+           |SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |       CAST(COUNT(*) AS BIGINT) AS n_hits,
+           |       CAST(MAX(n_flagged_docs) AS BIGINT) AS n_flagged_docs
+           |FROM m CROSS JOIN g
+           |GROUP BY token
+           |ORDER BY n_hits DESC, token""".stripMargin,
       // DuckDB's native UAX #15 implementation replays the JVM
       // Normalizer byte-for-byte; chr() builds the same decomposed
       // combining sequences the Spark literal carries.

@@ -911,7 +911,67 @@ object StatOps {
       .limit(15)
   }
 
+  /** DYNAMIC TIME WARPING between the daily click and purchase curves —
+    * the alignment distance that tolerates LAG (clicks lead purchases by
+    * checkout latency): DTW(i,j) = |a_i−b_j| + min(↑, ←, ↖) over the
+    * 30×30 day grid, reported next to the lock-step L1 distance; the
+    * gap between them is exactly what warping buys, i.e. how much of
+    * the curves' divergence is timing rather than shape. The DP is a
+    * BOUNDED-GRID FOLD in the repo's Kleinberg/Viterbi discipline: the
+    * corpus collapses map-side to day-grain counts FIRST, then the
+    * O(W²)=900-cell recurrence runs as one nested codegen-input
+    * aggregate over two 30-element arrays — never a row-expanded
+    * window. All costs are BIGINT counts, so the DuckDB oracle replays
+    * the identical 870-step cell trajectory (recursive CTE carrying the
+    * sliding DP row as a list) bit-for-bit.
+    *
+    * At 100 TB: the only corpus-grain work is the day-grain count
+    * (map-side combined); the quadratic lives on the fixed calendar
+    * grid — 900 integer ops per series PAIR, so even all-pairs DTW over
+    * thousands of series is centroid-scale work, not fact-scale.
+    */
+  def dtw(s: SparkSession, d: String): DataFrame = {
+    val W = 30
+    val wk = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("t"),
+        expr("datediff(to_date(ts), DATE '2024-01-01')").as("dday"))
+      .groupBy(col("t"), col("dday")).agg(count(lit(1)).as("c"))
+    def series(t: String, name: String) = wk.filter(col("t") === t)
+      .agg(map_from_entries(collect_list(struct(col("dday"), col("c"))))
+        .as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${W - 1}), i -> coalesce(element_at(m, i), 0L))")
+        .as(name))
+    val both = series("click", "a").crossJoin(series("purchase", "b"))
+    // DP row 1: prefix sums of |a₁ − b_j|
+    val r0 =
+      s"""aggregate(sequence(2, $W),
+         |  array(abs(element_at(a, 1) - element_at(b, 1))),
+         |  (acc, j) -> concat(acc, array(abs(element_at(a, 1) - element_at(b, j))
+         |    + element_at(acc, j - 1))))""".stripMargin
+    // rows 2..W: each row folds over columns with the sliding previous row
+    val dp =
+      s"""aggregate(sequence(2, $W), $r0,
+         |  (prev, i) -> aggregate(sequence(2, $W),
+         |    array(abs(element_at(a, i) - element_at(b, 1)) + element_at(prev, 1)),
+         |    (cur, j) -> concat(cur, array(abs(element_at(a, i) - element_at(b, j))
+         |      + least(element_at(prev, j), element_at(prev, j - 1),
+         |              element_at(cur, j - 1))))))""".stripMargin
+    both.select(
+      expr(s"element_at($dp, $W)").as("dtw_cost"),
+      expr(s"aggregate(sequence(1, $W), 0L, " +
+        "(acc, i) -> acc + abs(element_at(a, i) - element_at(b, i)))")
+        .as("l1_cost"),
+      expr("aggregate(a, 0L, (acc, v) -> acc + v)").as("sum_clicks"),
+      expr("aggregate(b, 0L, (acc, v) -> acc + v)").as("sum_purchases"),
+      lit(W.toLong).as("n_days"))
+      .withColumn("warp_gain", col("l1_cost") - col("dtw_cost"))
+      .orderBy(col("n_days"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dtw" -> dtw,
     "x_als_rank1" -> alsRank1,
     "x_welch_t" -> welchT,
     "x_hits" -> hits,
@@ -932,6 +992,49 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_dtw" ->
+      """WITH RECURSIVE wk AS (
+        |  SELECT event_type AS t,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dday,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |ga AS (SELECT g.i AS dday, COALESCE(k.c, 0) AS c
+        |       FROM range(0, 30) g(i)
+        |       LEFT JOIN wk k ON k.t = 'click' AND k.dday = g.i),
+        |gb AS (SELECT g.i AS dday, COALESCE(k.c, 0) AS c
+        |       FROM range(0, 30) g(i)
+        |       LEFT JOIN wk k ON k.t = 'purchase' AND k.dday = g.i),
+        |ab AS (SELECT (SELECT array_agg(c ORDER BY dday) FROM ga) AS a,
+        |              (SELECT array_agg(c ORDER BY dday) FROM gb) AS b),
+        |r0 AS (SELECT a, b, array_agg(s ORDER BY jj) AS row0 FROM (
+        |  SELECT a, b, jj,
+        |         SUM(abs(a[1] - b[jj])) OVER (ORDER BY jj) AS s
+        |  FROM ab, range(1, 31) r(jj)) GROUP BY a, b),
+        |walk AS (
+        |  SELECT 0 AS s, CAST([] AS BIGINT[]) AS prev, row0 AS cur, a, b
+        |  FROM r0
+        |  UNION ALL
+        |  SELECT s + 1,
+        |    CASE WHEN (s % 30) = 0 THEN cur ELSE prev END,
+        |    CASE WHEN (s % 30) = 0
+        |      THEN [abs(a[2 + s // 30] - b[1]) + cur[1]]
+        |      ELSE list_append(cur,
+        |             abs(a[2 + s // 30] - b[1 + (s % 30)])
+        |             + least(prev[1 + (s % 30)], prev[s % 30], cur[s % 30]))
+        |    END,
+        |    a, b
+        |  FROM walk WHERE s < 870)
+        |SELECT CAST(cur[30] AS BIGINT) AS dtw_cost,
+        |       (SELECT CAST(SUM(abs(a[jj] - b[jj])) AS BIGINT)
+        |        FROM range(1, 31) r(jj)) AS l1_cost,
+        |       (SELECT CAST(SUM(c) AS BIGINT) FROM ga) AS sum_clicks,
+        |       (SELECT CAST(SUM(c) AS BIGINT) FROM gb) AS sum_purchases,
+        |       CAST(30 AS BIGINT) AS n_days,
+        |       (SELECT CAST(SUM(abs(a[jj] - b[jj])) AS BIGINT)
+        |        FROM range(1, 31) r(jj)) - CAST(cur[30] AS BIGINT) AS warp_gain
+        |FROM walk WHERE s = 870
+        |ORDER BY n_days""".stripMargin,
     "x_als_rank1" ->
       """WITH ratings AS (
         |  SELECT o_custkey AS u, l_partkey AS p,

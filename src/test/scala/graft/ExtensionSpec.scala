@@ -1842,4 +1842,17 @@ class ExtensionSpec extends AnyFunSuite {
       assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
     }
   }
+
+  test("OPIC: cash is conserved exactly across rounds; history banks 3 full rounds") {
+    // The defining invariant of On-line Page Importance Computation —
+    // cash is never created or normalized away, truncation remainders
+    // stay home — checked as exact BIGINT equalities.
+    val rows = ext.Dedup.frontierOpic(spark, sf)
+      .select("cash_micro", "history_micro").collect()
+    val total = 64L * 1000000000L
+    assert(rows.map(_.getLong(0)).sum == total,
+      "cash must be conserved exactly (remainders stay at the host)")
+    assert(rows.map(_.getLong(1)).sum == 3L * total,
+      "each synchronous round banks the full circulating cash into history")
+  }
 }
