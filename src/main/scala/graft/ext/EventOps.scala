@@ -1795,7 +1795,55 @@ object EventOps {
       .orderBy(col("decile"))
   }
 
+  /** WALD'S SEQUENTIAL PROBABILITY RATIO TEST — the always-valid monitor
+    * an experimentation platform runs INSTEAD of fixed-horizon tests
+    * when it must peek daily: is the purchase share p₀ = 1/5 (H₀, the
+    * 5-type base rate) or p₁ = 1/3 (H₁)? Each day contributes
+    * k·lg(p₁/p₀) + (n−k)·lg(q₁/q₀) to the cumulative log-likelihood
+    * ratio; the trajectory decides the moment it crosses Wald's
+    * boundaries ±lg((1−β)/α) (α = β = 1/20 → ±lg 19), and the daily
+    * `decision` column is exactly the dashboard an on-call analyst
+    * watches. Completes the testing family next to [[abtestMetrics]]
+    * (fixed-horizon z) and [[powerMde]] (planning).
+    *
+    * Every term is [[graft.ext.FixLog]] 16-bit fixed-point log2 —
+    * lg(5/3) and lg(5/6) as differences of truncated primitives, the
+    * boundary as lg(19) — so the whole LLR trajectory is BIGINT
+    * arithmetic and the DuckDB oracle replays it bit-identically
+    * (libm ln() never hash-verifies; see FixLog's contract).
+    *
+    * At 100 TB: one map-side-combined day-grain rollup touches the
+    * events once; the LLR fold and boundary compare run on the bounded
+    * calendar grid (30 rows) — the same fold-on-the-grid discipline as
+    * [[burstKleinberg]].
+    */
+  def sprt(s: SparkSession, d: String): DataFrame = {
+    val lg5 = FixLog.lgS("CAST(5 AS BIGINT)")
+    val lg3 = FixLog.lgS("CAST(3 AS BIGINT)")
+    val lg6 = FixLog.lgS("CAST(6 AS BIGINT)")
+    val lg19 = FixLog.lgS("CAST(19 AS BIGINT)")
+    val day = Tables.events(s, d)
+      .select(expr("datediff(to_date(ts), DATE '2024-01-01')").as("dday"),
+        (col("event_type") === "purchase").cast("long").as("x"))
+      .groupBy(col("dday")).agg(sum(col("x")).as("k"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("dday"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day
+      .withColumn("llr_day",
+        expr(s"k * (($lg5) - ($lg3)) + (n - k) * (($lg5) - ($lg6))"))
+      .withColumn("llr_cum", sum(col("llr_day")).over(w))
+      .withColumn("bound_fp", expr(lg19))
+      .withColumn("decision",
+        when(col("llr_cum") >= col("bound_fp"), "accept_h1")
+          .when(col("llr_cum") <= -col("bound_fp"), "accept_h0")
+          .otherwise("continue"))
+      .select(col("dday"), col("k"), col("n"), col("llr_day"),
+        col("llr_cum"), col("bound_fp"), col("decision"))
+      .orderBy(col("dday"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sprt" -> sprt,
     "ev_qini" -> qini,
     "ev_shapley" -> shapley,
     "ev_markov_attribution" -> markovAttribution,
@@ -1846,6 +1894,35 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_sprt" -> {
+      val lg5 = FixLog.lgD("CAST(5 AS BIGINT)")
+      val lg3 = FixLog.lgD("CAST(3 AS BIGINT)")
+      val lg6 = FixLog.lgD("CAST(6 AS BIGINT)")
+      val lg19 = FixLog.lgD("CAST(19 AS BIGINT)")
+      s"""WITH day AS (
+         |  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |           AS INT) AS dday,
+         |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS k,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1),
+         |t AS (
+         |  SELECT dday, k, n,
+         |         k * (($lg5) - ($lg3)) + (n - k) * (($lg5) - ($lg6)) AS llr_day,
+         |         CAST($lg19 AS BIGINT) AS bound_fp
+         |  FROM day),
+         |c AS (
+         |  SELECT *, CAST(SUM(llr_day) OVER (ORDER BY dday
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS llr_cum
+         |  FROM t)
+         |SELECT dday, k, n, CAST(llr_day AS BIGINT) AS llr_day, llr_cum,
+         |       bound_fp,
+         |       CASE WHEN llr_cum >= bound_fp THEN 'accept_h1'
+         |            WHEN llr_cum <= -bound_fp THEN 'accept_h0'
+         |            ELSE 'continue' END AS decision
+         |FROM c ORDER BY dday""".stripMargin
+    },
     "ev_qini" ->
       """WITH u AS (
         |  SELECT user_id,

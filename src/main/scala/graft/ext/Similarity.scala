@@ -2080,7 +2080,78 @@ object Similarity {
       .orderBy(col("source"))
   }
 
+  /** TEAM-DRAFT INTERLEAVING — the ONLINE ranker comparison that A/B
+    * bucket splits waste traffic on: both rankers' lists are interleaved
+    * into ONE result page (teams draft alternately, each taking its
+    * highest-ranked not-yet-picked item), every user sees the merged
+    * list, and clicks credit the team that drafted the clicked item —
+    * an order-of-magnitude more sensitive than interleaving-free A/B
+    * (Chapelle et al. 2012). Complements [[bordaFusion]]/[[hybridRrf]]
+    * (which MERGE rankers) with the operator that JUDGES them. Ranker A
+    * orders parts by revenue, ranker B by unit volume; the click model
+    * is the deterministic md5 gate the oracle replays (a production run
+    * substitutes logged clicks — same plan).
+    *
+    * Determinism: the draft is the A-first deterministic variant (the
+    * randomized coin is exactly what could never hash-verify), ties in
+    * both rankers break on part id, and the draft itself is a bounded
+    * 10-round fold over two 10-element arrays (`try_element_at` over a
+    * filtered list = "highest-ranked not yet picked").
+    *
+    * At 100 TB: rankers are entity-grain rollups (map-side combined);
+    * the draft folds two top-k ARRAYS — constant work per query
+    * whatever the corpus; credits are one bounded window.
+    */
+  def interleaving(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 3 === 0)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 " +
+        "AS DECIMAL(19,0))) AS BIGINT)").as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .localCheckpoint() // both rankers rank the same rollup
+    def topArr(ord: Seq[org.apache.spark.sql.Column], name: String) =
+      stats.withColumn("rk", row_number().over(Window.orderBy(ord: _*)))
+        .filter(col("rk") <= 10)
+        .agg(expr("transform(array_sort(collect_list(struct(rk, pk))), x -> x.pk)")
+          .as(name))
+    val ab = topArr(Seq(desc("rev"), col("pk")), "a")
+      .crossJoin(topArr(Seq(desc("qty"), col("pk")), "b"))
+    val aPick = "try_element_at(filter(a, x -> NOT array_contains(acc.pks, x)), 1)"
+    val bPick = "try_element_at(filter(b, x -> NOT array_contains(" +
+      s"concat(acc.pks, CASE WHEN $aPick IS NULL THEN CAST(array() AS ARRAY<BIGINT>) " +
+      s"ELSE array($aPick) END), x)), 1)"
+    def maybe(e: String, tpe: String, v: String) =
+      s"CASE WHEN $e IS NULL THEN CAST(array() AS ARRAY<$tpe>) ELSE array($v) END"
+    val drafted = ab.select(posexplode(expr(
+      s"""aggregate(sequence(1, 10),
+         |  named_struct('pks', CAST(array() AS ARRAY<BIGINT>),
+         |               'teams', CAST(array() AS ARRAY<STRING>)),
+         |  (acc, r) -> named_struct(
+         |    'pks', concat(acc.pks, ${maybe(aPick, "BIGINT", aPick)},
+         |                  ${maybe(bPick, "BIGINT", bPick)}),
+         |    'teams', concat(acc.teams, ${maybe(aPick, "STRING", "'A'")},
+         |                    ${maybe(bPick, "STRING", "'B'")})),
+         |  acc -> arrays_zip(acc.pks, acc.teams))""".stripMargin))
+      .as(Seq("pos0", "e")))
+      .select((col("pos0") + 1).cast("long").as("pos"),
+        col("e.pks").as("part_id"), col("e.teams").as("team"))
+      .withColumn("clicked",
+        expr(s"${Hashing.sparkHash("CAST(part_id AS STRING)")} % 4 = 0"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    drafted
+      .withColumn("credit_a", sum(when(col("team") === "A" && col("clicked"), 1L)
+        .otherwise(0L)).over(wAll))
+      .withColumn("credit_b", sum(when(col("team") === "B" && col("clicked"), 1L)
+        .otherwise(0L)).over(wAll))
+      .select(col("pos"), col("part_id"), col("team"), col("clicked"),
+        col("credit_a"), col("credit_b"))
+      .orderBy(col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_interleaving" -> interleaving,
     "sim_source_diversity" -> sourceDiversity,
     "sim_ivf_recall_curve" -> ivfRecallCurve,
     "sim_hybrid_rrf" -> hybridRrf,
@@ -2470,6 +2541,58 @@ object Similarity {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_interleaving" ->
+      s"""WITH RECURSIVE stats AS (
+         |  SELECT l_partkey AS pk,
+         |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+         |           AS DECIMAL(19,0))) AS BIGINT) AS rev,
+         |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY 1),
+         |a1 AS (SELECT array_agg(pk ORDER BY rk) AS a FROM (
+         |  SELECT pk, row_number() OVER (ORDER BY rev DESC, pk) AS rk
+         |  FROM stats) WHERE rk <= 10),
+         |b1 AS (SELECT array_agg(pk ORDER BY rk) AS b FROM (
+         |  SELECT pk, row_number() OVER (ORDER BY qty DESC, pk) AS rk
+         |  FROM stats) WHERE rk <= 10),
+         |ab AS (SELECT a, b FROM a1, b1),
+         |draft AS (
+         |  SELECT 0 AS r, CAST([] AS BIGINT[]) AS pks,
+         |         CAST([] AS VARCHAR[]) AS teams, a, b
+         |  FROM ab
+         |  UNION ALL
+         |  SELECT r + 1,
+         |    list_concat(list_concat(pks,
+         |      CASE WHEN ap IS NULL THEN CAST([] AS BIGINT[]) ELSE [ap] END),
+         |      CASE WHEN bp IS NULL THEN CAST([] AS BIGINT[]) ELSE [bp] END),
+         |    list_concat(list_concat(teams,
+         |      CASE WHEN ap IS NULL THEN CAST([] AS VARCHAR[]) ELSE ['A'] END),
+         |      CASE WHEN bp IS NULL THEN CAST([] AS VARCHAR[]) ELSE ['B'] END),
+         |    a, b
+         |  FROM (
+         |    SELECT *, list_filter(b, x -> NOT list_contains(
+         |        list_concat(pks, CASE WHEN ap IS NULL THEN CAST([] AS BIGINT[])
+         |                         ELSE [ap] END), x))[1] AS bp
+         |    FROM (SELECT *, list_filter(a, x -> NOT list_contains(pks, x))[1]
+         |            AS ap FROM draft) z) w
+         |  WHERE r < 10),
+         |fin AS (SELECT pks, teams FROM draft WHERE r = 10),
+         |r0 AS (SELECT unnest(generate_series(1, len(pks))) AS pos, pks, teams
+         |       FROM fin),
+         |r1 AS (
+         |  SELECT CAST(pos AS BIGINT) AS pos, pks[pos] AS part_id,
+         |         teams[pos] AS team,
+         |         (${graft.ext.Hashing.duckHash("CAST(pks[pos] AS VARCHAR)")})
+         |           % 4 = 0 AS clicked
+         |  FROM r0),
+         |g AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN team = 'A' AND clicked THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS credit_a,
+         |    CAST(SUM(CASE WHEN team = 'B' AND clicked THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS credit_b
+         |  FROM r1)
+         |SELECT pos, part_id, team, clicked, credit_a, credit_b
+         |FROM r1 CROSS JOIN g ORDER BY pos""".stripMargin,
     "sim_source_diversity" ->
       s"""WITH e AS (
          |  SELECT d.source, em.vec_id, em.embedding

@@ -970,7 +970,75 @@ object StatOps {
       .orderBy(col("n_days"))
   }
 
+  /** HOLT-WINTERS TRIPLE EXPONENTIAL SMOOTHING (additive, weekly
+    * season) — completing the forecasting ladder [[graft.ext.EventOps
+    * .forecastNaive]] → [[croston]] (intermittent) → [[holt]]
+    * (level+trend) with the seasonal component: daily click volume has
+    * a strong day-of-week cycle, and HW carries level, trend, AND a
+    * 7-slot seasonal register, updating the slot of each day's weekday:
+    *   lvl ← α(y−s) + (1−α)(lvl+trd);  trd ← β(Δlvl) + (1−β)trd;
+    *   s   ← γ(y−lvl) + (1−γ)s                (α=β=γ=1/4)
+    * initialized from the first week (lvl₀ = week-1 mean, s₀ = offsets).
+    * Per day 7..29 it reports the one-step-ahead forecast lvl+trd+s
+    * BEFORE updating — honest backtest residuals, the number a
+    * capacity-planning dashboard actually shows.
+    *
+    * Integer-exact in milli-counts: every smoothing step is
+    * (x + 3·state) DIV 4 on BIGINTs; seasonals go negative and both
+    * engines truncate toward zero, so the DuckDB recursive-CTE replay
+    * is bit-identical. The whole recurrence is ONE bounded fold over a
+    * 30-element array (the Kleinberg/Viterbi fold discipline) — the
+    * corpus collapses to day grain map-side first.
+    */
+  def holtWinters(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(expr("datediff(to_date(ts), DATE '2024-01-01')").as("dday"))
+      .groupBy(col("dday")).agg(count(lit(1)).as("c"))
+    val grid = wk
+      .agg(map_from_entries(collect_list(struct(col("dday"), col("c"))))
+        .as("m"))
+      .select(expr(
+        "transform(sequence(0, 29), i -> coalesce(element_at(m, i), 0L) * 1000)")
+        .as("a"))
+      .withColumn("lvl0", expr("aggregate(slice(a, 1, 7), 0L, (x, v) -> x + v) DIV 7"))
+      .withColumn("s0", expr("transform(slice(a, 1, 7), v -> v - lvl0)"))
+    grid.select(explode(expr(
+      """aggregate(sequence(7, 29),
+        |  named_struct('lvl', lvl0, 'trd', CAST(0 AS BIGINT), 's', s0,
+        |    'out', CAST(array() AS ARRAY<STRUCT<dday: INT, y: BIGINT,
+        |      lvl: BIGINT, trd: BIGINT, fit: BIGINT, err: BIGINT>>)),
+        |  (acc, i) -> named_struct(
+        |    'lvl', ((element_at(a, i + 1) - element_at(acc.s, CAST(i % 7 + 1 AS INT)))
+        |            + 3 * (acc.lvl + acc.trd)) DIV 4,
+        |    'trd', ((((element_at(a, i + 1) - element_at(acc.s, CAST(i % 7 + 1 AS INT)))
+        |              + 3 * (acc.lvl + acc.trd)) DIV 4 - acc.lvl)
+        |            + 3 * acc.trd) DIV 4,
+        |    's', transform(sequence(0, 6), k -> IF(k = i % 7,
+        |           ((element_at(a, i + 1)
+        |             - (((element_at(a, i + 1) - element_at(acc.s, CAST(i % 7 + 1 AS INT)))
+        |                 + 3 * (acc.lvl + acc.trd)) DIV 4))
+        |            + 3 * element_at(acc.s, CAST(k + 1 AS INT))) DIV 4,
+        |           element_at(acc.s, CAST(k + 1 AS INT)))),
+        |    'out', array_append(acc.out, named_struct(
+        |      'dday', CAST(i AS INT), 'y', element_at(a, i + 1),
+        |      'lvl', ((element_at(a, i + 1) - element_at(acc.s, CAST(i % 7 + 1 AS INT)))
+        |              + 3 * (acc.lvl + acc.trd)) DIV 4,
+        |      'trd', ((((element_at(a, i + 1) - element_at(acc.s, CAST(i % 7 + 1 AS INT)))
+        |                + 3 * (acc.lvl + acc.trd)) DIV 4 - acc.lvl)
+        |              + 3 * acc.trd) DIV 4,
+        |      'fit', acc.lvl + acc.trd + element_at(acc.s, CAST(i % 7 + 1 AS INT)),
+        |      'err', element_at(a, i + 1)
+        |             - (acc.lvl + acc.trd + element_at(acc.s, CAST(i % 7 + 1 AS INT)))))),
+        |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.dday").as("dday"), col("r.y").as("y_milli"),
+        col("r.lvl").as("level_milli"), col("r.trd").as("trend_milli"),
+        col("r.fit").as("forecast_milli"), col("r.err").as("resid_milli"))
+      .orderBy(col("dday"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_holt_winters" -> holtWinters,
     "x_dtw" -> dtw,
     "x_als_rank1" -> alsRank1,
     "x_welch_t" -> welchT,
@@ -992,6 +1060,47 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_holt_winters" ->
+      """WITH RECURSIVE wk AS (
+        |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dday,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |grid AS (
+        |  SELECT g.i AS dday, COALESCE(k.c, 0) * 1000 AS y
+        |  FROM range(0, 30) g(i) LEFT JOIN wk k ON k.dday = g.i),
+        |arr AS (SELECT array_agg(y ORDER BY dday) AS a FROM grid),
+        |init AS (
+        |  SELECT a,
+        |         (a[1] + a[2] + a[3] + a[4] + a[5] + a[6] + a[7]) // 7 AS lvl0
+        |  FROM arr),
+        |i2 AS (
+        |  SELECT a, lvl0,
+        |         [a[k + 1] - lvl0 FOR k IN range(0, 7)] AS s0
+        |  FROM init),
+        |hw AS (
+        |  SELECT 6 AS i, lvl0 AS lvl, CAST(0 AS BIGINT) AS trd, s0 AS s,
+        |         CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS fit,
+        |         CAST(0 AS BIGINT) AS err, a
+        |  FROM i2
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    ((a[i + 2] - s[(i + 1) % 7 + 1]) + 3 * (lvl + trd)) // 4,
+        |    (((((a[i + 2] - s[(i + 1) % 7 + 1]) + 3 * (lvl + trd)) // 4) - lvl)
+        |      + 3 * trd) // 4,
+        |    [CASE WHEN k = (i + 1) % 7
+        |          THEN ((a[i + 2]
+        |                 - (((a[i + 2] - s[(i + 1) % 7 + 1])
+        |                     + 3 * (lvl + trd)) // 4))
+        |                + 3 * s[k + 1]) // 4
+        |          ELSE s[k + 1] END FOR k IN range(0, 7)],
+        |    a[i + 2],
+        |    lvl + trd + s[(i + 1) % 7 + 1],
+        |    a[i + 2] - (lvl + trd + s[(i + 1) % 7 + 1]),
+        |    a
+        |  FROM hw WHERE i < 29)
+        |SELECT CAST(i AS INT) AS dday, y AS y_milli, lvl AS level_milli,
+        |       trd AS trend_milli, fit AS forecast_milli, err AS resid_milli
+        |FROM hw WHERE i >= 7 ORDER BY dday""".stripMargin,
     "x_dtw" ->
       """WITH RECURSIVE wk AS (
         |  SELECT event_type AS t,
