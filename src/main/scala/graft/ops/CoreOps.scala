@@ -329,6 +329,57 @@ object CoreOps {
       .orderBy(col("phase"), col("val"))
   }
 
+  /** S18b — DROP / RENAME COLUMN as metadata-only evolution (completing
+    * the ALTER TABLE surface next to [[alterEvolution]]'s ADD): the
+    * catalog detaches the live schema from the append-only physical
+    * layout through a name→slot mapping, so DROP orphans its storage
+    * slot without rewriting a single stored row, RENAME re-keys the
+    * mapping in place, and — the contract worth testing — RE-ADDING a
+    * dropped column's name claims a FRESH slot: the old values are
+    * gone from every read, never resurrected (Iceberg's field-id rule;
+    * the bug class where a re-added column leaks deleted data is a
+    * real-world compliance incident). The query drops `seg`, renames
+    * `name`, inserts through both shapes, re-adds `seg`, runs an
+    * UPDATE through the evolved schema, and reads back; the oracle
+    * recomputes what the surviving data must be from the source rows.
+    *
+    * At 100 TB all four ALTERs are O(1) catalog operations — zero data
+    * IO at any table size; only the rows inserted after each change
+    * carry the new physical width.
+    */
+  def dropRenameEvolution(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.ns.evo2")
+    s.sql("CREATE TABLE graft_cat.ns.evo2 (k BIGINT, name STRING, seg STRING)")
+    Tables.customer(s, d).filter(col("c_custkey") <= 500)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("evo2_seed")
+    s.sql("INSERT INTO graft_cat.ns.evo2 SELECT * FROM evo2_seed")
+    s.sql("ALTER TABLE graft_cat.ns.evo2 DROP COLUMN seg")
+    s.sql("ALTER TABLE graft_cat.ns.evo2 RENAME COLUMN name TO cust_name")
+    Tables.customer(s, d)
+      .filter(col("c_custkey") >= 501 && col("c_custkey") <= 800)
+      .select(col("c_custkey").as("k"), col("c_name").as("cust_name"))
+      .createOrReplaceTempView("evo2_mid")
+    s.sql("INSERT INTO graft_cat.ns.evo2 SELECT * FROM evo2_mid")
+    // re-add the dropped NAME: a fresh slot — old seg values must not
+    // resurrect on any row
+    s.sql("ALTER TABLE graft_cat.ns.evo2 ADD COLUMNS (seg STRING)")
+    Tables.customer(s, d)
+      .filter(col("c_custkey") >= 801 && col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("k"), col("c_name").as("cust_name"),
+        col("c_mktsegment").as("seg"))
+      .createOrReplaceTempView("evo2_tail")
+    s.sql("INSERT INTO graft_cat.ns.evo2 SELECT * FROM evo2_tail")
+    // row-level op through the twice-evolved schema
+    s.sql("UPDATE graft_cat.ns.evo2 SET cust_name = upper(cust_name) " +
+      "WHERE k <= 10")
+    s.table("graft_cat.ns.evo2")
+      .select(col("k"), col("cust_name"), col("seg"))
+      .orderBy(col("k"))
+  }
+
   /** S19 — WRITE-AUDIT-PUBLISH on the V2 sink (the Iceberg WAP / "audit
     * branch" workflow): a candidate batch commits to a BRANCH
     * (`.option("branch", ...)`) that main readers cannot see; an audit
@@ -846,6 +897,7 @@ object CoreOps {
     "s12_merge_mor" -> mergeMor,
     "s12_upddel_mor" -> upddelMor,
     "s16_optimize" -> optimizeCompact,
+    "s18_drop_rename" -> dropRenameEvolution,
     "s19_wap_branch" -> wapBranch,
     "s17_partitioned_merge" -> partitionedMerge,
     "s18_alter_evolution" -> alterEvolution,
@@ -895,6 +947,14 @@ object CoreOps {
       |SELECT k, name, CAST(bal AS DOUBLE) AS bal FROM merged ORDER BY k""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s18_drop_rename" ->
+      """SELECT c_custkey AS k,
+        |       CASE WHEN c_custkey <= 10 THEN upper(c_name) ELSE c_name END
+        |         AS cust_name,
+        |       CASE WHEN c_custkey >= 801 THEN c_mktsegment
+        |            ELSE CAST(NULL AS VARCHAR) END AS seg
+        |FROM customer WHERE c_custkey <= 1000
+        |ORDER BY k""".stripMargin,
     "s19_wap_branch" ->
       """WITH seed AS (
         |  SELECT o_orderkey AS key, o_orderstatus AS val

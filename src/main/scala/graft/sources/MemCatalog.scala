@@ -92,6 +92,14 @@ class MemCatalog extends TableCatalog {
           "only top-level ADD COLUMN is supported")
         t.evolveAdd(StructField(add.fieldNames()(0), add.dataType(),
           nullable = true))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "only top-level DROP COLUMN is supported")
+        t.evolveDrop(del.fieldNames()(0))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "only top-level RENAME COLUMN is supported")
+        t.evolveRename(ren.fieldNames()(0), ren.newName())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: $other")
     }
@@ -211,10 +219,68 @@ class MemTable(ident: Identifier, initialSchema: StructType,
     */
   @volatile private var tableSchema: StructType = initialSchema
 
+  /** PHYSICAL storage slot of each live column. The storage layout is
+    * APPEND-ONLY: ADD claims a fresh slot, DROP orphans its slot (stored
+    * values stay on disk, invisible — re-adding the name claims a NEW
+    * slot, so dropped data is never resurrected: the Iceberg field-id
+    * contract), RENAME re-keys the mapping in place (zero data IO).
+    */
+  @volatile private[graft] var physIdx: Map[String, Int] =
+    initialSchema.fieldNames.zipWithIndex.toMap
+  @volatile private[graft] var physWidth: Int = initialSchema.length
+
   private[graft] def evolveAdd(f: StructField): Unit = synchronized {
     require(!tableSchema.fieldNames.contains(f.name),
       s"column ${f.name} already exists")
     tableSchema = tableSchema.add(f)
+    physIdx += (f.name -> physWidth)
+    physWidth += 1
+  }
+
+  /** DROP COLUMN, metadata-only: the live schema and mapping forget the
+    * column; every stored row keeps its bytes (time travel / rollback
+    * would still see them), and no data is rewritten at any table size.
+    * The physical row-id slot (0) anchors MOR delta keying and COW
+    * carry-back, so dropping it is refused — same as a lake format
+    * refusing to drop its identifier field.
+    */
+  private[graft] def evolveDrop(name: String): Unit = synchronized {
+    require(tableSchema.fieldNames.contains(name), s"no such column: $name")
+    require(physIdx(name) != 0, "cannot drop the row-id column")
+    tableSchema = StructType(tableSchema.filterNot(_.name == name))
+    physIdx -= name
+  }
+
+  /** RENAME COLUMN, metadata-only: the mapping re-keys to the same
+    * physical slot — stored rows untouched, values preserved.
+    */
+  private[graft] def evolveRename(from: String, to: String): Unit =
+    synchronized {
+      require(tableSchema.fieldNames.contains(from), s"no such column: $from")
+      require(!tableSchema.fieldNames.contains(to),
+        s"column $to already exists")
+      val slot = physIdx(from)
+      tableSchema = StructType(tableSchema.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      physIdx = physIdx - from + (to -> slot)
+    }
+
+  /** Physical write template: one entry per storage slot — live columns
+    * point at their write-schema source, orphaned (dropped) slots write
+    * null. Incoming rows always materialize at full physical width so
+    * every stored row resolves by absolute slot.
+    */
+  private[graft] def physTemplate(
+      writeSchema: StructType): Array[(Int, DataType)] = synchronized {
+    val bySlot = physIdx.map(_.swap)
+    val live = tableSchema.fields.map(f => f.name -> f).toMap
+    (0 until physWidth).map { slot =>
+      bySlot.get(slot) match {
+        case Some(name) =>
+          (writeSchema.fieldIndex(name), live(name).dataType)
+        case None => (-1, org.apache.spark.sql.types.NullType: DataType)
+      }
+    }.toArray
   }
   /** Row → copy-on-write group id. Unpartitioned tables keep the single
     * `all` group (whole-table COW, the original semantics); partitioned
@@ -285,7 +351,7 @@ class MemTable(ident: Identifier, initialSchema: StructType,
     Array(MemTable.GroupColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(current, tableSchema, partitionOf)
+    new MemScanBuilder(current, tableSchema, physIdx, partitionOf)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(this)
@@ -335,8 +401,8 @@ class MemRowLevelOperation(table: MemTable, cmd: Command)
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column(MemTable.GroupColName))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(table.current, table.schema(), table.partitionOf,
-      rowLevel = Some(this))
+    new MemScanBuilder(table.current, table.schema(), table.physIdx,
+      table.partitionOf, rowLevel = Some(this))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -348,20 +414,20 @@ class MemRowLevelOperation(table: MemTable, cmd: Command)
 }
 
 class MemScanBuilder(snapshot: Seq[InternalRow], tableSchema: StructType,
-    groupOf: InternalRow => String,
+    physIdx: Map[String, Int], groupOf: InternalRow => String,
     rowLevel: Option[MemRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new MemGroupScan(snapshot, tableSchema, required, groupOf, rowLevel)
+    new MemGroupScan(snapshot, physIdx, required, groupOf, rowLevel)
 }
 
 /** One COW group per input partition; row-level scans are runtime-
   * group-filterable on `_group` (see [[MemRowLevelOperation]]).
   */
-class MemGroupScan(snapshot: Seq[InternalRow], tableSchema: StructType,
+class MemGroupScan(snapshot: Seq[InternalRow], physIdx: Map[String, Int],
     required: StructType, groupOf: InternalRow => String,
     rowLevel: Option[MemRowLevelOperation])
     extends Scan with Batch
@@ -407,21 +473,21 @@ class MemGroupScan(snapshot: Seq[InternalRow], tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MemReaderFactory(tableSchema, required)
+    MemReaderFactory(physIdx, required)
 }
 
 /** Serves the requested schema from table-layout rows: data columns by
   * position, the `_group` metadata column synthesized from the input
   * partition's COW group id.
   */
-case class MemReaderFactory(tableSchema: StructType, required: StructType)
+case class MemReaderFactory(physIdx: Map[String, Int], required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[MemPartition]
     val groupVal = org.apache.spark.unsafe.types.UTF8String.fromString(part.group)
     val fields: Array[(Int, DataType)] = required.fields.map { f =>
       if (f.name == MemTable.GroupColName) (-1, f.dataType)
-      else (tableSchema.fieldIndex(f.name), f.dataType)
+      else (physIdx(f.name), f.dataType)
     }
     new PartitionReader[InternalRow] {
       private val it = part.rows.iterator
@@ -462,12 +528,10 @@ class MemBatchWrite(table: MemTable, replace: Boolean, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // incoming rows follow the WRITE schema (for row-level operations it
-    // need not be the table layout); map each table column to its source
-    // position once, on the driver
-    val srcIdx = tableSchema.fields.map { tf =>
-      (writeSchema.fieldIndex(tf.name), tf.dataType)
-    }
-    MemWriterFactory(srcIdx)
+    // need not be the table layout); map each PHYSICAL storage slot to
+    // its write-schema source once, on the driver (orphaned slots of
+    // dropped columns write null)
+    MemWriterFactory(table.physTemplate(writeSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -527,7 +591,7 @@ private[graft] object MemRows {
   def copyToTableLayout(srcIdx: Array[(Int, DataType)],
       record: InternalRow): InternalRow = {
     val vals: Array[Any] = srcIdx.map { case (i, dt) =>
-      if (record.isNullAt(i)) null
+      if (i < 0 || record.isNullAt(i)) null
       else dt match {
         case org.apache.spark.sql.types.StringType =>
           record.getUTF8String(i).copy()
@@ -576,7 +640,8 @@ class MemDeltaOperation(table: MemTable, cmd: Command)
     if (table.isPartitioned) Array(Expressions.column(MemTable.GroupColName))
     else Array.empty
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(table.current, table.schema(), table.partitionOf)
+    new MemScanBuilder(table.current, table.schema(), table.physIdx,
+      table.partitionOf)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
@@ -593,11 +658,11 @@ class MemDeltaBatchWrite(table: MemTable, writeSchema: StructType)
   private val tableSchema = table.schema()
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     // a DELETE-only command ships no data row — the layout map exists
-    // only when the write schema carries every table column
+    // only when the write schema carries every table column (physical
+    // slots, so delta rows align with evolved base rows)
     val srcIdx: Option[Array[(Int, DataType)]] =
       if (tableSchema.fields.forall(tf => writeSchema.fieldNames.contains(tf.name)))
-        Some(tableSchema.fields.map(tf =>
-          (writeSchema.fieldIndex(tf.name), tf.dataType)))
+        Some(table.physTemplate(writeSchema))
       else None
     MemDeltaWriterFactory(srcIdx, tableSchema.fields(0).dataType,
       metaHasGroup = table.isPartitioned,

@@ -675,4 +675,38 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(spark.read.schema("key LONG, val STRING")
       .csv(KvSink.committedPaths(dir, 1L): _*).count() == 100)
   }
+
+  test("DROP/RENAME COLUMN: metadata-only, values survive rename, re-add never resurrects") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.evospec")
+    spark.sql("CREATE TABLE graft_cat.ns.evospec (k BIGINT, a STRING, b STRING)")
+    spark.sql("INSERT INTO graft_cat.ns.evospec VALUES (1, 'a1', 'b1'), (2, 'a2', 'b2')")
+    val tbl = graft.sources.MemCatalog.store
+      .get(Identifier.of(Array("ns"), "evospec"))
+    val baseBefore = tbl.rows
+    // DROP is metadata-only: the committed snapshot is the SAME object
+    spark.sql("ALTER TABLE graft_cat.ns.evospec DROP COLUMN b")
+    assert(tbl.rows eq baseBefore, "DROP COLUMN must not rewrite any row")
+    assert(spark.table("graft_cat.ns.evospec").columns.toSeq == Seq("k", "a"))
+    // RENAME keeps the physical slot: values visible under the new name,
+    // still zero rewrites
+    spark.sql("ALTER TABLE graft_cat.ns.evospec RENAME COLUMN a TO aa")
+    assert(tbl.rows eq baseBefore, "RENAME COLUMN must not rewrite any row")
+    assert(spark.table("graft_cat.ns.evospec").orderBy("k")
+      .collect().map(_.getString(1)).toSeq == Seq("a1", "a2"))
+    // re-adding the dropped NAME claims a fresh slot: old b values are
+    // unreachable on every row, old and new
+    spark.sql("ALTER TABLE graft_cat.ns.evospec ADD COLUMNS (b STRING)")
+    spark.sql("INSERT INTO graft_cat.ns.evospec VALUES (3, 'a3', 'b3')")
+    val got = spark.table("graft_cat.ns.evospec").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq((1L, "a1", None), (2L, "a2", None),
+      (3L, "a3", Some("b3"))),
+      s"dropped values resurrected or new write misrouted: ${got.toSeq}")
+    // the row-id slot is protected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.evospec DROP COLUMN k")
+    }
+  }
 }
