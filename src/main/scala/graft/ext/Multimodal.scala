@@ -1902,7 +1902,96 @@ object Multimodal {
       .orderBy(col("zip_id"), col("entry_idx"))
   }
 
+  /** PROTOBUF WIRE-FORMAT ROUND-TRIP — the serialization layer under
+    * TFRecord/tf.Example and most ML data interchange, parsed at the
+    * byte level: each document encodes as a 4-field message (VARINT id,
+    * LEN-delimited name, VARINT size, zigzag SINT delta — one of each
+    * wire shape that matters), and the parse side reads ONLY the message
+    * bytes: tag → wire type → base-128 varint decode (a bounded 5-step
+    * fold per field, each byte contributing 7 payload bits until the
+    * continuation bit clears), LEN field by declared length, zigzag
+    * back to signed. `wire_ok` pins the framing: every expected tag at
+    * its computed offset and the final cursor exactly at message end.
+    *
+    * Determinism: varints are integer CASE arithmetic and the decode
+    * fold is byte-exact, so the DuckDB oracle replays encode AND decode
+    * bit-identically (its fold packs (value, len, done) into one BIGINT
+    * — same trajectory, different carrier).
+    *
+    * At 100 TB: encode/decode are per-row expressions inside one scan —
+    * embarrassingly parallel, no shuffle until the verify tail; a real
+    * TFRecord reader adds the outer length-framed record walk, which is
+    * [[tarEntries]]' sequential-walk shape per shard.
+    */
+  def protobufVarint(s: SparkSession, d: String): DataFrame = {
+    // base-128 varint of a non-negative BIGINT < 2^28, as hex pairs
+    def varint(e: String): String =
+      s"""CASE
+         |  WHEN ($e) < 128 THEN lpad(hex($e), 2, '0')
+         |  WHEN ($e) < 16384 THEN concat(
+         |    lpad(hex((($e) % 128) + 128), 2, '0'),
+         |    lpad(hex(($e) div 128), 2, '0'))
+         |  WHEN ($e) < 2097152 THEN concat(
+         |    lpad(hex((($e) % 128) + 128), 2, '0'),
+         |    lpad(hex(((($e) div 128) % 128) + 128), 2, '0'),
+         |    lpad(hex(($e) div 16384), 2, '0'))
+         |  ELSE concat(
+         |    lpad(hex((($e) % 128) + 128), 2, '0'),
+         |    lpad(hex(((($e) div 128) % 128) + 128), 2, '0'),
+         |    lpad(hex(((($e) div 16384) % 128) + 128), 2, '0'),
+         |    lpad(hex(($e) div 2097152), 2, '0'))
+         |END""".stripMargin
+    // varint decode at byte offset `off`: (value, consumed) as a struct
+    def varU(off: String): String = {
+      def byteAt(i: String) =
+        s"CAST(conv(substr(msg, CAST((($off) + $i) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)"
+      s"""aggregate(sequence(0, 4),
+         |  named_struct('v', CAST(0 AS BIGINT), 'n', 0, 'done', false),
+         |  (acc, i) -> CASE WHEN acc.done THEN acc ELSE named_struct(
+         |    'v', acc.v + (${byteAt("i")} % 128)
+         |         * shiftleft(CAST(1 AS BIGINT), 7 * i),
+         |    'n', i + 1,
+         |    'done', ${byteAt("i")} < 128) END)""".stripMargin
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        concat(lit("doc"), col("doc_id").cast("string")).as("nm"))
+      .withColumn("delta", expr("doc_id % 200 - 100"))
+      .withColumn("zz", expr(
+        "CASE WHEN delta >= 0 THEN 2 * delta ELSE -2 * delta - 1 END"))
+      .withColumn("msg", expr(
+        s"""concat('08', ${varint("doc_id")},
+           |  '12', ${varint("octet_length(nm)")}, hex(nm),
+           |  '18', ${varint("n_chars")},
+           |  '20', ${varint("zz")})""".stripMargin))
+      // ---- parse side: everything below reads only `msg` -------------
+      .withColumn("p1", expr(varU("1")))
+      .withColumn("o2", expr("1 + p1.n"))
+      .withColumn("pl", expr(varU("o2 + 1")))
+      .withColumn("name_parsed", expr(
+        "decode(unhex(substr(msg, CAST((o2 + 1 + pl.n) * 2 + 1 AS INT), " +
+          "CAST(pl.v * 2 AS INT))), 'UTF-8')"))
+      .withColumn("o3", expr("o2 + 1 + pl.n + pl.v"))
+      .withColumn("p3", expr(varU("o3 + 1")))
+      .withColumn("o4", expr("o3 + 1 + p3.n"))
+      .withColumn("p4", expr(varU("o4 + 1")))
+      .withColumn("delta_parsed", expr(
+        "CASE WHEN p4.v % 2 = 0 THEN p4.v DIV 2 ELSE -((p4.v + 1) DIV 2) END"))
+      .withColumn("wire_ok", expr(
+        """substr(msg, 1, 2) = '08'
+          |AND substr(msg, CAST(o2 * 2 + 1 AS INT), 2) = '12'
+          |AND substr(msg, CAST(o3 * 2 + 1 AS INT), 2) = '18'
+          |AND substr(msg, CAST(o4 * 2 + 1 AS INT), 2) = '20'
+          |AND o4 + 1 + p4.n = length(msg) DIV 2""".stripMargin))
+      .select(col("doc_id"), expr("p1.v").as("id_parsed"), col("name_parsed"),
+        expr("p3.v").as("size_parsed"), col("delta_parsed"),
+        expr("CAST(length(msg) DIV 2 AS BIGINT)").as("msg_bytes"),
+        col("wire_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_protobuf_varint" -> protobufVarint,
     "mm_zip_entries" -> zipEntries,
     "mm_tar_entries" -> tarEntries,
     "mm_warc_records" -> warcRecords,
@@ -1936,6 +2025,75 @@ object Multimodal {
     s"CAST('0x' || substr(sha256(text), ${2 * i + 1}, 2) AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "mm_protobuf_varint" -> {
+      def vi(e: String): String =
+        s"""CASE
+           |  WHEN ($e) < 128 THEN lpad(to_base($e, 16), 2, '0')
+           |  WHEN ($e) < 16384 THEN
+           |    lpad(to_base((($e) % 128) + 128, 16), 2, '0')
+           |    || lpad(to_base(($e) // 128, 16), 2, '0')
+           |  WHEN ($e) < 2097152 THEN
+           |    lpad(to_base((($e) % 128) + 128, 16), 2, '0')
+           |    || lpad(to_base(((($e) // 128) % 128) + 128, 16), 2, '0')
+           |    || lpad(to_base(($e) // 16384, 16), 2, '0')
+           |  ELSE
+           |    lpad(to_base((($e) % 128) + 128, 16), 2, '0')
+           |    || lpad(to_base(((($e) // 128) % 128) + 128, 16), 2, '0')
+           |    || lpad(to_base(((($e) // 16384) % 128) + 128, 16), 2, '0')
+           |    || lpad(to_base(($e) // 2097152, 16), 2, '0')
+           |END""".stripMargin.linesIterator.mkString(" ")
+      // packed fold state: value*16 + consumed*2 + done
+      def varU(off: String): String = {
+        val b = s"CAST('0x' || substr(msg, CAST((($off) + i) * 2 + 1 AS INT), 2) AS BIGINT)"
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  [CAST(j AS BIGINT) FOR j IN range(0, 5)]), (s, i) ->
+           |  CASE WHEN s % 2 = 1 THEN s
+           |       ELSE (s // 16 + ($b % 128)
+           |             * (CAST(1 AS BIGINT) << CAST(7 * i AS INT))) * 16
+           |            + ((s // 2) % 8 + 1) * 2
+           |            + CASE WHEN $b < 128 THEN 1 ELSE 0 END END)"""
+          .stripMargin.linesIterator.mkString(" ")
+      }
+      s"""WITH d0 AS (
+         |  SELECT doc_id, n_chars, 'doc' || CAST(doc_id AS VARCHAR) AS nm,
+         |         doc_id % 200 - 100 AS delta
+         |  FROM documents),
+         |d1 AS (
+         |  SELECT *, CASE WHEN delta >= 0 THEN 2 * delta
+         |                 ELSE -2 * delta - 1 END AS zz
+         |  FROM d0),
+         |enc AS (
+         |  SELECT doc_id,
+         |    '08' || ${vi("doc_id")}
+         |    || '12' || ${vi("CAST(strlen(nm) AS BIGINT)")} || hex(nm)
+         |    || '18' || ${vi("n_chars")}
+         |    || '20' || ${vi("zz")} AS msg
+         |  FROM d1),
+         |p1 AS (SELECT *, ${varU("1")} AS s1 FROM enc),
+         |p2 AS (SELECT *, 1 + (s1 // 2) % 8 AS o2 FROM p1),
+         |p3 AS (SELECT *, ${varU("o2 + 1")} AS sl FROM p2),
+         |p4 AS (
+         |  SELECT *, o2 + 1 + (sl // 2) % 8 + sl // 16 AS o3,
+         |    decode(unhex(substr(msg,
+         |      CAST((o2 + 1 + (sl // 2) % 8) * 2 + 1 AS INT),
+         |      CAST((sl // 16) * 2 AS INT)))) AS name_parsed
+         |  FROM p3),
+         |p5 AS (SELECT *, ${varU("o3 + 1")} AS s3 FROM p4),
+         |p6 AS (SELECT *, o3 + 1 + (s3 // 2) % 8 AS o4 FROM p5),
+         |p7 AS (SELECT *, ${varU("o4 + 1")} AS s4 FROM p6)
+         |SELECT doc_id, CAST(s1 // 16 AS BIGINT) AS id_parsed, name_parsed,
+         |       CAST(s3 // 16 AS BIGINT) AS size_parsed,
+         |       CAST(CASE WHEN (s4 // 16) % 2 = 0 THEN (s4 // 16) // 2
+         |                 ELSE -(((s4 // 16) + 1) // 2) END AS BIGINT)
+         |         AS delta_parsed,
+         |       CAST(strlen(msg) // 2 AS BIGINT) AS msg_bytes,
+         |       (substr(msg, 1, 2) = '08'
+         |        AND substr(msg, CAST(o2 * 2 + 1 AS INT), 2) = '12'
+         |        AND substr(msg, CAST(o3 * 2 + 1 AS INT), 2) = '18'
+         |        AND substr(msg, CAST(o4 * 2 + 1 AS INT), 2) = '20'
+         |        AND o4 + 1 + (s4 // 2) % 8 = strlen(msg) // 2) AS wire_ok
+         |FROM p7 ORDER BY doc_id""".stripMargin
+    },
     "mm_zip_entries" -> {
       def le2(e: String) =
         s"(substr(lpad(to_base($e, 16), 4, '0'), 3, 2) || substr(lpad(to_base($e, 16), 4, '0'), 1, 2))"

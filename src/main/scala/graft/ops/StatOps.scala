@@ -1037,7 +1037,62 @@ object StatOps {
       .orderBy(col("dday"))
   }
 
+  /** MONDRIAN SPLIT CONFORMAL PREDICTION — the distribution-free
+    * uncertainty wrapper every deployed point-predictor should ship
+    * with: hold out a calibration split, take the ⌈(n+1)(1−α)⌉-th
+    * smallest absolute residual as the interval half-width q, and
+    * pred ± q covers a fresh point with probability ≥ 1−α, NO
+    * distributional assumptions (Vovk; Lei et al.). Group-conditional
+    * ("Mondrian") per order priority, so each segment gets its own
+    * honest width — the per-cohort guarantee product teams actually
+    * need. α = 1/10; the base predictor is the calibration group mean
+    * (any model slots in; conformal wraps it unchanged). Reported per
+    * group: calibration size, point prediction, q, and the EMPIRICAL
+    * coverage on the disjoint test split as exact counts + ppm.
+    *
+    * Integer-exact: money in cents, the quantile is an ORDER STATISTIC
+    * (rank ⌈(n+1)·9/10⌉ via one partitioned window, fully keyed
+    * order), coverage is a count — nothing floats, the oracle replays
+    * rank and counts bit-identically.
+    *
+    * At 100 TB: one scan splits calibration/test by key hash; the
+    * rank runs per GROUP (partitioned window over the calibration
+    * split — at extreme group sizes swap in the bucketed-histogram
+    * quantile exactly like x_auc_bucketed); coverage is a
+    * map-side-combined rollup.
+    */
+  def conformal(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("g"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+        .as("y"),
+      col("o_orderkey").as("key"))
+    val cal = o.filter(col("key") % 4 === 1)
+    val tst = o.filter(col("key") % 4 === 2)
+    val pred = cal.groupBy(col("g"))
+      .agg(expr("SUM(y) DIV COUNT(1)").as("pred"),
+        count(lit(1)).as("n_cal"))
+    val resid = cal.join(pred, Seq("g"))
+      .select(col("g"), abs(col("y") - col("pred")).as("r"), col("key"),
+        col("n_cal"))
+    val ranked = resid.withColumn("rn", row_number()
+      .over(Window.partitionBy(col("g")).orderBy(col("r"), col("key"))))
+    val q = ranked.filter(col("rn") === expr("((n_cal + 1) * 9 + 9) DIV 10"))
+      .select(col("g"), col("r").as("q_cents"))
+    tst.join(pred, Seq("g")).join(q, Seq("g"))
+      .groupBy(col("g"))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("pred")).as("pred_cents"),
+        max(col("q_cents")).as("q_cents"), count(lit(1)).as("n_test"),
+        sum(when(abs(col("y") - col("pred")) <= col("q_cents"), 1L)
+          .otherwise(0L)).as("covered"))
+      .withColumn("coverage_ppm", expr("(covered * 1000000) DIV n_test"))
+      .select(col("g"), col("n_cal"), col("pred_cents"), col("q_cents"),
+        col("n_test"), col("covered"), col("coverage_ppm"))
+      .orderBy(col("g"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_conformal" -> conformal,
     "x_holt_winters" -> holtWinters,
     "x_dtw" -> dtw,
     "x_als_rank1" -> alsRank1,
@@ -1060,6 +1115,37 @@ object StatOps {
     "x_collation" -> collation)
 
   def oracle: Map[String, String] = Map(
+    "x_conformal" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS g,
+        |         CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |           AS y,
+        |         o_orderkey AS key
+        |  FROM orders),
+        |cal AS (SELECT * FROM o WHERE key % 4 = 1),
+        |tst AS (SELECT * FROM o WHERE key % 4 = 2),
+        |pred AS (
+        |  SELECT g, CAST(SUM(y) // COUNT(*) AS BIGINT) AS pred,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cal
+        |  FROM cal GROUP BY g),
+        |ranked AS (
+        |  SELECT cal.g, abs(y - pred) AS r, n_cal,
+        |         row_number() OVER (PARTITION BY cal.g
+        |           ORDER BY abs(y - pred), key) AS rn
+        |  FROM cal JOIN pred USING (g)),
+        |q AS (
+        |  SELECT g, r AS q_cents FROM ranked
+        |  WHERE rn = ((n_cal + 1) * 9 + 9) // 10)
+        |SELECT g, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+        |       CAST(MAX(pred) AS BIGINT) AS pred_cents,
+        |       CAST(MAX(q_cents) AS BIGINT) AS q_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_test,
+        |       CAST(SUM(CASE WHEN abs(y - pred) <= q_cents THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS covered,
+        |       (CAST(SUM(CASE WHEN abs(y - pred) <= q_cents THEN 1 ELSE 0 END)
+        |         AS BIGINT) * 1000000) // COUNT(*) AS coverage_ppm
+        |FROM tst JOIN pred USING (g) JOIN q USING (g)
+        |GROUP BY g ORDER BY g""".stripMargin,
     "x_holt_winters" ->
       """WITH RECURSIVE wk AS (
         |  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dday,
