@@ -46,6 +46,7 @@ object SparkEntry {
         "st_quantile_stream" -> streaming.StreamOps.quantileStream,
         "st_checksum_stream" -> streaming.StreamOps.checksumStream,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSink,
+        "st_wap" -> streaming.StreamOps.wapStream,
         "st_dsv2_stream" -> streaming.StreamOps.dsv2Stream,
         "st_merge_upsert" -> streaming.StreamOps.mergeUpsertStream,
         "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
@@ -114,6 +115,7 @@ object SparkEntry {
         "st_quantile_stream" -> streaming.StreamOps.quantileStreamOracle,
         "st_checksum_stream" -> streaming.StreamOps.checksumStreamOracle,
         "st_foreach_batch" -> streaming.StreamOps.foreachBatchSinkOracle,
+        "st_wap" -> streaming.StreamOps.wapStreamOracle,
         "st_dsv2_stream" ->
           """SELECT i % 7 AS mod7, CAST(COUNT(*) AS BIGINT) AS n,
             |       CAST(SUM(i * i) AS BIGINT) AS sum_sq

@@ -1842,7 +1842,47 @@ object EventOps {
       .orderBy(col("dday"))
   }
 
+  /** EVENT STUDY around each user's first signup — the leads-and-lags
+    * picture behind every difference-in-differences claim
+    * ([[diffInDiff]] reports ONE number; the event study shows the
+    * whole dynamic path and exposes pre-trends that would invalidate
+    * it): for each user with a signup, purchases are bucketed by
+    * RELATIVE day r ∈ [−7, +7] around the first signup; each r reports
+    * exposed users, purchase volume, the per-user-day rate in ppm, and
+    * the EFFECT vs. the user's own pre-period baseline (mean rate over
+    * r ∈ [−7, −1]) — the r<0 effects hovering near zero IS the
+    * pre-trend check. All integer: rates are count·10⁶ DIV user-days.
+    *
+    * At 100 TB: first-signup is one partitioned window at user grain;
+    * bucketing is a per-row subtraction; the study frame is 15 rows.
+    */
+  def eventStudy(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("datediff(to_date(ts), DATE '2024-01-01')").as("dday"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("dday")).as("s0"))
+    val rel = ev.join(signup, Seq("user_id"))
+      .withColumn("r", col("dday") - col("s0"))
+      .filter(col("r").between(-7, 7))
+      .localCheckpoint() // read by the per-r rollup AND the baseline
+    val byR = rel.groupBy(col("r"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+      .withColumn("rate_ppm", expr("(purchases * 1000000) DIV n_users"))
+    val base = byR.filter(col("r") < 0)
+      .agg(expr("SUM(purchases * 1000000) DIV SUM(n_users)")
+        .as("base_rate_ppm"))
+    byR.crossJoin(broadcast(base)) // 1-row pre-period baseline
+      .withColumn("effect_ppm", col("rate_ppm") - col("base_rate_ppm"))
+      .select(col("r"), col("n_users"), col("purchases"), col("rate_ppm"),
+        col("base_rate_ppm"), col("effect_ppm"))
+      .orderBy(col("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_event_study" -> eventStudy,
     "ev_sprt" -> sprt,
     "ev_qini" -> qini,
     "ev_shapley" -> shapley,
@@ -1894,6 +1934,33 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_event_study" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           AS INT) AS dday
+        |  FROM events),
+        |signup AS (
+        |  SELECT user_id, MIN(dday) AS s0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |rel AS (
+        |  SELECT ev.user_id, ev.event_type, ev.dday - s.s0 AS r
+        |  FROM ev JOIN signup s USING (user_id)
+        |  WHERE ev.dday - s.s0 BETWEEN -7 AND 7),
+        |byr AS (
+        |  SELECT r, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS purchases
+        |  FROM rel GROUP BY r),
+        |b2 AS (SELECT *, (purchases * 1000000) // n_users AS rate_ppm FROM byr),
+        |base AS (
+        |  SELECT CAST(SUM(purchases * 1000000) // SUM(n_users) AS BIGINT)
+        |           AS base_rate_ppm
+        |  FROM byr WHERE r < 0)
+        |SELECT CAST(r AS INT) AS r, n_users, purchases,
+        |       CAST(rate_ppm AS BIGINT) AS rate_ppm, base_rate_ppm,
+        |       CAST(rate_ppm - base_rate_ppm AS BIGINT) AS effect_ppm
+        |FROM b2 CROSS JOIN base ORDER BY r""".stripMargin,
     "ev_sprt" -> {
       val lg5 = FixLog.lgD("CAST(5 AS BIGINT)")
       val lg3 = FixLog.lgD("CAST(3 AS BIGINT)")

@@ -1652,6 +1652,71 @@ object StreamOps {
     * file contents, not an in-memory stream. StreamingSpec replays the
     * query over the same checkpoint to prove no duplicate rows land.
     */
+  /** STREAMING WRITE-AUDIT-PUBLISH — the composition of the streaming
+    * ingest path with [[graft.sources.KvSink]]'s WAP branches: every
+    * micro-batch appends to the `ingest` BRANCH (invisible to main),
+    * the foreachBatch hook then audits the WOULD-BE table (main ∪
+    * branch: nonempty, key-unique) and only a passing batch is
+    * published — a metadata-only fast-forward. Main is therefore never
+    * observable in a state that hasn't passed the gate, at any drain
+    * point — the continuous-ingestion version of the nightly WAP
+    * pattern (s19_wap_branch), with the reject path spec-pinned in
+    * SourceSinkSpec. The drained table must equal the batch projection
+    * of everything ingested, which the DuckDB oracle checks.
+    *
+    * At 100 TB: the branch write is the same distributed append as any
+    * commit; audit reads manifests + the new files; publish is one
+    * CAS'd manifest append per micro-batch — O(KB) however large the
+    * batch.
+    */
+  def wapStream(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.KvSink
+    val ss = tuned(s)
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stwap_${Integer.toHexString(d.hashCode)}").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val tbl = s"$root/table"
+    def readPaths(paths: Seq[String]) =
+      if (paths.isEmpty) ss.emptyDataFrame.select(
+        expr("CAST(NULL AS BIGINT)").as("key"),
+        expr("CAST(NULL AS STRING)").as("val")).filter(lit(false))
+      else ss.read.schema("key LONG, val STRING").csv(paths: _*)
+    val writer = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long) => {
+      if (!batch.isEmpty) {
+        batch.select(col("event_id").as("key"), col("event_type").as("val"))
+          .write.format("graft.sources.KvSink").mode("append")
+          .option("path", tbl).option("branch", "ingest").save()
+        // the audit gate, BEFORE anything becomes reader-visible
+        val preview = readPaths(
+          KvSink.committedPaths(tbl) ++ KvSink.branchPaths(tbl, "ingest"))
+        val Seq(n, k) = preview
+          .agg(count(lit(1)), countDistinct(col("key"))).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]) // bounded: two QC scalars
+        require(n > 0 && n == k,
+          s"streaming audit gate failed at batch $batchId: $n rows, $k keys")
+        KvSink.publish(tbl, "ingest"): Unit
+      }
+    }: Unit
+    val q = eventsStream(ss, d)
+      .select(col("event_id"), col("event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .foreachBatch(writer)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    readPaths(KvSink.committedPaths(tbl))
+      .groupBy(col("val"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("key")).as("key_sum"))
+      .orderBy(col("val"))
+  }
+
+  val wapStreamOracle: String =
+    """SELECT event_type AS val, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(event_id) AS BIGINT) AS key_sum
+      |FROM events GROUP BY 1 ORDER BY val""".stripMargin
+
   def foreachBatchSink(s: SparkSession, d: String): DataFrame = {
     val ss = tuned(s)
     // one REUSED sink root per dataset (keyed by source path) instead of a
