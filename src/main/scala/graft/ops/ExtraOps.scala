@@ -2510,6 +2510,7 @@ object ExtraOps {
         .select(col("src"), col("dst"), (col("w1") + col("w2")).as("w"))
       c = c.union(sq).groupBy(col("src"), col("dst"))
         .agg(max(col("w")).as("w"))
+        .localCheckpoint() // each round reads c twice: stop 3^k plan blowup
     }
     val closure = c.localCheckpoint() // read by ES and by the tail
     val es = closure.groupBy(col("dst").as("task"))
@@ -2533,7 +2534,71 @@ object ExtraOps {
       .orderBy(col("es"), col("task"))
   }
 
+  /** CONSISTENT HASHING vs MOD-HASH REBALANCING — the partitioner
+    * decision under every sharded system (crawl frontiers to fetchers,
+    * keys to cache nodes, partitions to executors): when the worker
+    * pool grows 4 → 5, mod-hash reassigns ~4/5 of all keys while a
+    * hash RING with virtual nodes moves only ~1/5 (Karger et al. '97).
+    * Both strategies are computed exactly over the customer key space —
+    * ring positions are the replayable 60-bit md5 of `worker:vnode`
+    * (16 vnodes each), a key's owner is the first vnode clockwise from
+    * its hash (wrapping to the ring minimum) — and the report gives
+    * per-strategy moved keys, moved ppm, and post-move load spread
+    * (max−min per-worker load, the vnode count's smoothing effect).
+    *
+    * At 100 TB: the ring is KB-scale metadata (workers × vnodes),
+    * broadcast as one sorted array; ownership is a bounded fold per key
+    * inside the row projection — no shuffle at all until the per-worker
+    * rollup. This is exactly how a frontier router assigns domains to
+    * fetcher tasks without a coordination service.
+    */
+  def consistentHash(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Hashing
+    // the rings are computed ONCE (workers × 16 md5s total) and attached
+    // as a broadcast 1-row frame — never per key row
+    def ringFrame(workers: Int, name: String) = s.range(0, workers.toLong)
+      .select(col("id").cast("int").as("w"))
+      .crossJoin(s.range(0, 16L).select(col("id").cast("int").as("v")))
+      .select(expr(Hashing.sparkHash("concat('w', w, ':', v)")).as("pos"),
+        col("w").as("wk"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("wk")))).as(name))
+    // owner = first vnode clockwise (pos >= h), wrapping to ring min
+    def ownerOf(ring: String, h: String): String =
+      s"""coalesce(
+         |  aggregate($ring, CAST(NULL AS INT),
+         |    (acc, e) -> CASE WHEN acc IS NOT NULL THEN acc
+         |                     WHEN e.pos >= $h THEN e.wk
+         |                     ELSE acc END),
+         |  element_at($ring, 1).wk)""".stripMargin
+    val keys = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"),
+        expr(Hashing.sparkHash("CAST(c_custkey AS STRING)")).as("h"))
+      .crossJoin(broadcast(ringFrame(4, "ring4")))
+      .crossJoin(broadcast(ringFrame(5, "ring5")))
+      .withColumn("own_ring4", expr(ownerOf("ring4", "h")))
+      .withColumn("own_ring5", expr(ownerOf("ring5", "h")))
+      .withColumn("own_mod4", expr("CAST(h % 4 AS INT)"))
+      .withColumn("own_mod5", expr("CAST(h % 5 AS INT)"))
+      .localCheckpoint() // read by both strategies' rollups
+    def report(strategy: String, before: String, after: String) = {
+      val load = keys.groupBy(col(after).as("wk"))
+        .agg(count(lit(1)).as("n"))
+        .agg((max(col("n")) - min(col("n"))).as("load_spread"))
+      keys.agg(count(lit(1)).as("n_keys"),
+        sum(when(col(before) =!= col(after), 1L).otherwise(0L))
+          .as("n_moved"))
+        .crossJoin(broadcast(load)) // 1-row spread frame
+        .select(lit(strategy).as("strategy"), col("n_keys"), col("n_moved"),
+          expr("(n_moved * 1000000) DIV n_keys").as("moved_ppm"),
+          col("load_spread"))
+    }
+    report("mod_hash", "own_mod4", "own_mod5")
+      .unionByName(report("ring_16vnodes", "own_ring4", "own_ring5"))
+      .orderBy(col("strategy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_consistent_hash" -> consistentHash,
     "x_critical_path" -> criticalPath,
     "x_recursive_cte_sql" -> recursiveCteSqlQuery,
     "x_abc_xyz" -> abcXyz,
@@ -2628,6 +2693,49 @@ object ExtraOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_consistent_hash" -> {
+      import graft.ext.Hashing
+      def ring(n: Int, name: String) =
+        s"""$name AS (SELECT t.w AS wk,
+           |  ${Hashing.duckHash("'w' || t.w || ':' || u.v")} AS pos
+           |  FROM range(0, $n) t(w), range(0, 16) u(v))""".stripMargin
+      def owner(r: String) =
+        s"""COALESCE(
+           |  (SELECT wk FROM $r WHERE pos >= h ORDER BY pos, wk LIMIT 1),
+           |  (SELECT wk FROM $r ORDER BY pos, wk LIMIT 1))""".stripMargin
+      s"""WITH ${ring(4, "r4")},
+         |${ring(5, "r5")},
+         |keys AS (
+         |  SELECT c_custkey AS k,
+         |         ${Hashing.duckHash("CAST(c_custkey AS VARCHAR)")} AS h
+         |  FROM customer),
+         |own AS MATERIALIZED (
+         |  SELECT k, h,
+         |         ${owner("r4")} AS own_ring4,
+         |         ${owner("r5")} AS own_ring5,
+         |         h % 4 AS own_mod4, h % 5 AS own_mod5
+         |  FROM keys),
+         |rep AS (
+         |  SELECT 'mod_hash' AS strategy,
+         |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |         CAST(SUM(CASE WHEN own_mod4 <> own_mod5 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_moved,
+         |         (SELECT CAST(MAX(n) - MIN(n) AS BIGINT) FROM (
+         |            SELECT COUNT(*) AS n FROM own GROUP BY own_mod5))
+         |           AS load_spread
+         |  FROM own
+         |  UNION ALL
+         |  SELECT 'ring_16vnodes',
+         |         CAST(COUNT(*) AS BIGINT),
+         |         CAST(SUM(CASE WHEN own_ring4 <> own_ring5 THEN 1 ELSE 0 END)
+         |           AS BIGINT),
+         |         (SELECT CAST(MAX(n) - MIN(n) AS BIGINT) FROM (
+         |            SELECT COUNT(*) AS n FROM own GROUP BY own_ring5))
+         |  FROM own)
+         |SELECT strategy, n_keys, n_moved,
+         |       (n_moved * 1000000) // n_keys AS moved_ppm, load_spread
+         |FROM rep ORDER BY strategy""".stripMargin
+    },
     "x_critical_path" -> {
       def sq(prev: String, out: String): String =
         s"""$out AS (SELECT src, dst, MAX(w) AS w FROM (
