@@ -2583,7 +2583,63 @@ object TextOps {
       .orderBy(desc("n_hits"), col("token"))
   }
 
+  /** ROUGE-L — the summarization/eval metric family's LCS member (Lin
+    * 2004): longest common SUBSEQUENCE between candidate and reference
+    * token streams, reported as precision/recall/F against the two
+    * lengths (F = 2·LCS/(na+nb) exactly, since β=1 cancels the
+    * harmonic denominators). Paired here over adjacent documents
+    * (candidate i vs reference i+1, first 25 tokens each) — a
+    * production eval joins model outputs to references by example id,
+    * same plan. The LCS recurrence is the DTW discipline
+    * ([[graft.ops.StatOps.dtw]]) pointed at text: a row-major integer
+    * DP over a bounded ≤25×25 grid as ONE nested fold per pair, no row
+    * explosion; the DuckDB oracle walks the identical cell trajectory
+    * in a recursive CTE (all pairs advance in lockstep, one row each).
+    *
+    * At 100 TB: pairs are keyed joins; each pair costs ≤625 integer
+    * ops inside its row projection — eval over millions of
+    * (candidate, reference) pairs is one scan, no shuffle beyond the
+    * pairing join.
+    */
+  def rougeL(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        "slice(filter(split(lower(text), ' '), x -> x <> ''), 1, 25)")
+        .as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("doc_a"), col("toks").as("a"))
+      .join(docs.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"), col("toks").as("b")), Seq("doc_a"))
+    // LCS row 1: running max of "a₁ seen among b₁..j"
+    val r0 =
+      """aggregate(sequence(2, CAST(size(b) AS INT)),
+        |  array(IF(element_at(a, 1) = element_at(b, 1), 1L, 0L)),
+        |  (acc, j) -> concat(acc, array(greatest(
+        |    element_at(acc, j - 1),
+        |    IF(element_at(a, 1) = element_at(b, j), 1L, 0L)))))""".stripMargin
+    val dp =
+      s"""aggregate(sequence(2, CAST(size(a) AS INT)), $r0,
+         |  (prev, i) -> aggregate(sequence(2, CAST(size(b) AS INT)),
+         |    array(IF(element_at(a, i) = element_at(b, 1), 1L,
+         |             element_at(prev, 1))),
+         |    (cur, j) -> concat(cur, array(
+         |      IF(element_at(a, i) = element_at(b, j),
+         |         element_at(prev, j - 1) + 1,
+         |         greatest(element_at(prev, j), element_at(cur, j - 1)))))))""".stripMargin
+    pairs
+      .withColumn("na", expr("CAST(size(a) AS BIGINT)"))
+      .withColumn("nb", expr("CAST(size(b) AS BIGINT)"))
+      .withColumn("lcs", expr(s"element_at($dp, CAST(size(b) AS INT))"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("lcs"),
+        expr("(lcs * 1000000) DIV nb").as("recall_ppm"),
+        expr("(lcs * 1000000) DIV na").as("precision_ppm"),
+        expr("(2 * lcs * 1000000) DIV (na + nb)").as("f_ppm"))
+      .orderBy(col("doc_a"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_rouge_l" -> rougeL,
     "tx_blocklist_join" -> blocklistJoin,
     "pipe_padding_waste" -> paddingWaste,
     "tx_code_detect" -> codeDetect,
@@ -2698,6 +2754,52 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_rouge_l" ->
+        """WITH RECURSIVE docs AS (
+          |  SELECT doc_id,
+          |         list_filter(string_split(lower(text), ' '),
+          |                     x -> x <> '')[1:25] AS toks
+          |  FROM documents),
+          |d2 AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 2),
+          |pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |         a.toks AS a, b.toks AS b
+          |  FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id + 1
+          |  WHERE a.doc_id % 7 = 0),
+          |r0 AS (
+          |  SELECT doc_a, doc_b, a, b, array_agg(mx ORDER BY j) AS row0
+          |  FROM (
+          |    SELECT doc_a, doc_b, a, b, j,
+          |      CAST(MAX(CASE WHEN a[1] = b[j] THEN 1 ELSE 0 END)
+          |        OVER (PARTITION BY doc_a ORDER BY j) AS BIGINT) AS mx
+          |    FROM (SELECT *, unnest(generate_series(1, len(b))) AS j
+          |          FROM pairs))
+          |  GROUP BY doc_a, doc_b, a, b),
+          |walk AS (
+          |  SELECT doc_a, doc_b, a, b, 0 AS s,
+          |         CAST([] AS BIGINT[]) AS prev, row0 AS cur
+          |  FROM r0
+          |  UNION ALL
+          |  SELECT doc_a, doc_b, a, b, s + 1,
+          |    CASE WHEN s % len(b) = 0 THEN cur ELSE prev END,
+          |    CASE WHEN s % len(b) = 0
+          |      THEN [CASE WHEN a[2 + s // len(b)] = b[1]
+          |                 THEN CAST(1 AS BIGINT) ELSE cur[1] END]
+          |      ELSE list_append(cur,
+          |        CASE WHEN a[2 + s // len(b)] = b[1 + (s % len(b))]
+          |             THEN prev[s % len(b)] + 1
+          |             ELSE greatest(prev[1 + (s % len(b))], cur[s % len(b)])
+          |        END)
+          |    END
+          |  FROM walk WHERE s < (len(a) - 1) * len(b))
+          |SELECT doc_a, doc_b,
+          |       CAST(len(a) AS BIGINT) AS na, CAST(len(b) AS BIGINT) AS nb,
+          |       CAST(cur[len(b)] AS BIGINT) AS lcs,
+          |       (cur[len(b)] * 1000000) // len(b) AS recall_ppm,
+          |       (cur[len(b)] * 1000000) // len(a) AS precision_ppm,
+          |       (2 * cur[len(b)] * 1000000) // (len(a) + len(b)) AS f_ppm
+          |FROM walk WHERE s = (len(a) - 1) * len(b)
+          |ORDER BY doc_a""".stripMargin,
       "tx_blocklist_join" ->
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

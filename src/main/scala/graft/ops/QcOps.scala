@@ -952,7 +952,48 @@ object QcOps {
       .orderBy(col("day"))
   }
 
+  /** SLO ERROR-BUDGET BURN RATE — the SRE-workbook alerting arithmetic
+    * (multi-window burn) applied to the event stream: against a 25%
+    * error-budget SLO for this noisy synthetic feed, each day reports
+    * its error rate, the burn MULTIPLE in centi-units (100 = consuming
+    * budget exactly at the sustainable rate), the 3-day rolling burn,
+    * and the cumulative budget fraction consumed; the alert fires only
+    * when the short AND long windows both burn above budget — the
+    * two-window AND that suppresses blips while catching sustained
+    * burns, per the published SRE practice. Completes the ops-telemetry
+    * corner next to [[controlChart]] (point anomalies) and
+    * `x_page_hinkley` (drift): burn rate is the BUDGET view.
+    *
+    * All integer: rates in ppm, burns in centi-multiples via truncating
+    * DIV, rolling sums over the bounded day grid.
+    */
+  def sloBurn(s: SparkSession, d: String): DataFrame = {
+    val day = Tables.events(s, d)
+      .select(expr("datediff(to_date(ts), DATE '2024-01-01')").as("dday"),
+        (col("event_type") === "error").cast("long").as("e"))
+      .groupBy(col("dday"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("n_err"))
+    day
+      .withColumn("err_ppm", expr("(n_err * 1000000) DIV n"))
+      .withColumn("burn_centi_1d", expr("(n_err * 1000000) DIV n DIV 2500"))
+      .withColumn("burn_centi_3d", expr(
+        "(sum(n_err) OVER (ORDER BY dday ROWS BETWEEN 2 PRECEDING AND " +
+          "CURRENT ROW) * 1000000) DIV (sum(n) OVER (ORDER BY dday ROWS " +
+          "BETWEEN 2 PRECEDING AND CURRENT ROW)) DIV 2500"))
+      .withColumn("budget_pct_cum", expr(
+        "(sum(n_err) OVER (ORDER BY dday ROWS BETWEEN UNBOUNDED PRECEDING " +
+          "AND CURRENT ROW) * 1000000) DIV (sum(n) OVER (ORDER BY dday " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) DIV 2500"))
+      .withColumn("alert",
+        col("burn_centi_1d") >= 100 && col("burn_centi_3d") >= 100)
+      .select(col("dday"), col("n"), col("n_err"), col("err_ppm"),
+        col("burn_centi_1d"), col("burn_centi_3d"), col("budget_pct_cum"),
+        col("alert"))
+      .orderBy(col("dday"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc_slo_burn" -> sloBurn,
     "qc_control_chart" -> controlChart,
     "qc_kl_bits" -> klBits,
     "qc_schema_contract" -> schemaContract,
@@ -1012,6 +1053,34 @@ object QcOps {
        |  UNION ALL SELECT 'size_ge_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "qc_slo_burn" ->
+      """WITH day AS (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           AS INT) AS dday,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_err
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT *,
+        |    (n_err * 1000000) // n AS err_ppm,
+        |    (n_err * 1000000) // n // 2500 AS burn_centi_1d,
+        |    (CAST(SUM(n_err) OVER (ORDER BY dday ROWS BETWEEN 2 PRECEDING
+        |       AND CURRENT ROW) AS BIGINT) * 1000000)
+        |      // CAST(SUM(n) OVER (ORDER BY dday ROWS BETWEEN 2 PRECEDING
+        |       AND CURRENT ROW) AS BIGINT) // 2500 AS burn_centi_3d,
+        |    (CAST(SUM(n_err) OVER (ORDER BY dday ROWS BETWEEN UNBOUNDED
+        |       PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000)
+        |      // CAST(SUM(n) OVER (ORDER BY dday ROWS BETWEEN UNBOUNDED
+        |       PRECEDING AND CURRENT ROW) AS BIGINT) // 2500
+        |      AS budget_pct_cum
+        |  FROM day)
+        |SELECT dday, n, n_err, CAST(err_ppm AS BIGINT) AS err_ppm,
+        |       CAST(burn_centi_1d AS BIGINT) AS burn_centi_1d,
+        |       CAST(burn_centi_3d AS BIGINT) AS burn_centi_3d,
+        |       CAST(budget_pct_cum AS BIGINT) AS budget_pct_cum,
+        |       (burn_centi_1d >= 100 AND burn_centi_3d >= 100) AS alert
+        |FROM b ORDER BY dday""".stripMargin,
     "qc_control_chart" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
