@@ -2597,7 +2597,114 @@ object ExtraOps {
       .orderBy(col("strategy"))
   }
 
+  /** GALE-SHAPLEY STABLE MATCHING (deferred acceptance) — the
+    * market-design algorithm under residency match, ad-auction pairing,
+    * and task-to-worker assignment with two-sided preferences: 8
+    * proposers × 8 receivers with deterministic md5-derived preference
+    * lists; at each step the lowest-indexed free proposer proposes to
+    * its next choice, the receiver holds the better of current and
+    * proposer (by HER list), the jilted side re-enters the pool. 64
+    * steps bound the run (total possible proposals); the fixed point is
+    * the proposer-optimal stable matching. The output carries the
+    * STABILITY CERTIFICATE computed relationally: the count of blocking
+    * pairs — (p, b) who each prefer the other to their assignment —
+    * which MUST be zero, verified in both engines over the full
+    * preference grid, not asserted.
+    *
+    * Integer-exact throughout (ids, ranks, array folds), so the DuckDB
+    * recursive CTE replays the proposal sequence step-identically.
+    *
+    * At 100 TB: preference lists and the match state are KB-scale
+    * market metadata (the fold runs once, driver-free, inside a 1-row
+    * projection); what scales is the PAIR GRID the certificate scans —
+    * one keyed join per side, the same shape as the repo's blocked
+    * linkage joins. Real markets shard by region/specialty and run one
+    * fold per shard.
+    */
+  def stableMatching(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Hashing
+    val n = 8
+    // preference lists from the nation dimension's key space: proposer p
+    // ranks receivers by H('p:p:b') desc; receiver b ranks proposers by
+    // H('r:b:p') desc — deterministic, replayable, and deliberately
+    // uncorrelated sides
+    val grid = Tables.nation(s, d).filter(col("n_nationkey") < n)
+      .select(col("n_nationkey").cast("int").as("p"))
+      .crossJoin(Tables.nation(s, d).filter(col("n_nationkey") < n)
+        .select(col("n_nationkey").cast("int").as("b")))
+      .withColumn("ps", expr(Hashing.sparkHash("concat('p', p, ':', b)")))
+      .withColumn("rs", expr(Hashing.sparkHash("concat('r', b, ':', p)")))
+      .localCheckpoint() // pref lists AND the stability grid read it
+    val pp = grid.groupBy(col("p"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "struct(-ps AS np, b))), x -> x.b)").as("lst"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, lst)))," +
+        " x -> x.lst)").as("pp"))
+    val rr = grid.groupBy(col("b"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "struct(-rs AS np, p))), x -> x.p)").as("lst"))
+      .agg(expr("transform(array_sort(collect_list(struct(b, lst)))," +
+        " x -> x.lst)").as("rr"))
+    val fp = "aggregate(sequence(0, 7), -1, (a2, i) -> " +
+      "IF(a2 = -1 AND element_at(acc.eng, i + 1) = -1 " +
+      "AND element_at(acc.nxt, i + 1) < 8, i, a2))"
+    val bb = s"element_at(element_at(pp, ($fp) + 1), " +
+      s"element_at(acc.nxt, ($fp) + 1) + 1)"
+    val cur = s"element_at(acc.hold, ($bb) + 1)"
+    val accept = s"CASE WHEN ($cur) = -1 THEN true ELSE " +
+      s"array_position(element_at(rr, ($bb) + 1), $fp) < " +
+      s"array_position(element_at(rr, ($bb) + 1), $cur) END"
+    val step =
+      s"""CASE WHEN ($fp) = -1 THEN acc ELSE named_struct(
+         |  'eng', transform(sequence(0, 7), i -> CASE
+         |    WHEN i = ($fp) AND ($accept) THEN ($bb)
+         |    WHEN ($accept) AND ($cur) <> -1 AND i = ($cur) THEN -1
+         |    ELSE element_at(acc.eng, i + 1) END),
+         |  'nxt', transform(sequence(0, 7), i ->
+         |    IF(i = ($fp), element_at(acc.nxt, i + 1) + 1,
+         |       element_at(acc.nxt, i + 1))),
+         |  'hold', transform(sequence(0, 7), j ->
+         |    IF(j = ($bb) AND ($accept), ($fp),
+         |       element_at(acc.hold, j + 1)))) END""".stripMargin
+    val matched = pp.crossJoin(rr)
+      .withColumn("st", expr(
+        s"""aggregate(sequence(1, 64),
+           |  named_struct(
+           |    'eng', transform(sequence(0, 7), i -> -1),
+           |    'nxt', transform(sequence(0, 7), i -> 0),
+           |    'hold', transform(sequence(0, 7), i -> -1)),
+           |  (acc, t) -> $step)""".stripMargin))
+      .select(col("pp"), col("rr"),
+        posexplode(expr("st.eng")).as(Seq("p", "b")))
+      .select(col("p"), col("b"),
+        expr("CAST(array_position(element_at(pp, p + 1), b) AS BIGINT)")
+          .as("proposer_rank"),
+        expr("CAST(array_position(element_at(rr, b + 1), p) AS BIGINT)")
+          .as("receiver_rank"))
+      .localCheckpoint() // read by the report AND the certificate join
+    // blocking pair: p strictly prefers b' to match(p) AND b' strictly
+    // prefers p to match(b') — over the full grid, must be empty
+    val mp = matched.select(col("p"), col("proposer_rank"))
+    val mb = matched.select(col("b"), col("receiver_rank"))
+    val blocking = grid
+      .crossJoin(pp.crossJoin(rr)) // 1-row pref-list frames
+      .withColumn("p_rank_of_b",
+        expr("CAST(array_position(element_at(pp, p + 1), b) AS BIGINT)"))
+      .withColumn("b_rank_of_p",
+        expr("CAST(array_position(element_at(rr, b + 1), p) AS BIGINT)"))
+      .join(mp, Seq("p")).join(mb, Seq("b"))
+      .filter(col("p_rank_of_b") < col("proposer_rank") &&
+        col("b_rank_of_p") < col("receiver_rank"))
+      .agg(count(lit(1)).as("blocking_pairs"))
+    matched.crossJoin(broadcast(blocking)) // 1-row certificate
+      .select(col("p").cast("long").as("proposer"),
+        col("b").cast("long").as("receiver"),
+        col("proposer_rank"), col("receiver_rank"), col("blocking_pairs"))
+      .orderBy(col("proposer"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_stable_matching" -> stableMatching,
     "x_consistent_hash" -> consistentHash,
     "x_critical_path" -> criticalPath,
     "x_recursive_cte_sql" -> recursiveCteSqlQuery,
@@ -2693,6 +2800,79 @@ object ExtraOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_stable_matching" -> {
+      import graft.ext.Hashing
+      s"""WITH RECURSIVE g AS (
+         |  SELECT pi.i AS p, bi.i AS b,
+         |         ${Hashing.duckHash("'p' || pi.i || ':' || bi.i")} AS ps,
+         |         ${Hashing.duckHash("'r' || bi.i || ':' || pi.i")} AS rs
+         |  FROM range(0, 8) pi(i), range(0, 8) bi(i)),
+         |ppt AS (SELECT array_agg(lst ORDER BY p) AS pp FROM (
+         |  SELECT p, array_agg(CAST(b AS INT) ORDER BY ps DESC, b) AS lst
+         |  FROM g GROUP BY p)),
+         |rrt AS (SELECT array_agg(lst ORDER BY b) AS rr FROM (
+         |  SELECT b, array_agg(CAST(p AS INT) ORDER BY rs DESC, p) AS lst
+         |  FROM g GROUP BY b)),
+         |walk AS (
+         |  SELECT 0 AS t,
+         |         [CAST(-1 AS INT) FOR i IN range(0, 8)] AS eng,
+         |         [CAST(0 AS INT) FOR i IN range(0, 8)] AS nxt,
+         |         [CAST(-1 AS INT) FOR i IN range(0, 8)] AS hold,
+         |         pp, rr
+         |  FROM ppt, rrt
+         |  UNION ALL
+         |  SELECT t + 1,
+         |    CASE WHEN fp = -1 THEN eng ELSE
+         |      [CASE WHEN i = fp AND acc THEN bb
+         |            WHEN acc AND cur <> -1 AND i = cur THEN CAST(-1 AS INT)
+         |            ELSE eng[i + 1] END FOR i IN range(0, 8)] END,
+         |    CASE WHEN fp = -1 THEN nxt ELSE
+         |      [CASE WHEN i = fp THEN nxt[i + 1] + 1
+         |            ELSE nxt[i + 1] END FOR i IN range(0, 8)] END,
+         |    CASE WHEN fp = -1 THEN hold ELSE
+         |      [CASE WHEN j = bb AND acc THEN fp
+         |            ELSE hold[j + 1] END FOR j IN range(0, 8)] END,
+         |    pp, rr
+         |  FROM (
+         |    SELECT *, CASE WHEN cur = -1 THEN true
+         |                   ELSE list_position(rr[bb + 1], fp)
+         |                        < list_position(rr[bb + 1], cur) END AS acc
+         |    FROM (
+         |      SELECT *, CASE WHEN fp = -1 THEN -1
+         |                     ELSE hold[bb + 1] END AS cur
+         |      FROM (
+         |        SELECT *, CASE WHEN fp = -1 THEN -1
+         |                       ELSE pp[fp + 1][nxt[fp + 1] + 1] END AS bb
+         |        FROM (
+         |          SELECT *, list_reduce(
+         |            list_prepend(CAST(-1 AS INT),
+         |              [CAST(i AS INT) FOR i IN range(0, 8)]),
+         |            (a2, i) -> CASE WHEN a2 = -1 AND eng[i + 1] = -1
+         |                                AND nxt[i + 1] < 8
+         |                            THEN i ELSE a2 END) AS fp
+         |          FROM walk) z1) z2) z3) z4
+         |  WHERE t < 64),
+         |fin AS (SELECT eng, pp, rr FROM walk WHERE t = 64),
+         |m1 AS (SELECT unnest(generate_series(0, 7)) AS p, eng, pp, rr
+         |       FROM fin),
+         |m2 AS (
+         |  SELECT CAST(p AS INT) AS p, eng[p + 1] AS b,
+         |         CAST(list_position(pp[p + 1], eng[p + 1]) AS BIGINT)
+         |           AS proposer_rank,
+         |         CAST(list_position(rr[eng[p + 1] + 1], CAST(p AS INT))
+         |           AS BIGINT) AS receiver_rank
+         |  FROM m1),
+         |blk AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS blocking_pairs
+         |  FROM g CROSS JOIN ppt CROSS JOIN rrt
+         |  JOIN (SELECT p, proposer_rank FROM m2) mp ON mp.p = g.p
+         |  JOIN (SELECT b, receiver_rank FROM m2) mb ON mb.b = g.b
+         |  WHERE list_position(pp[g.p + 1], CAST(g.b AS INT)) < proposer_rank
+         |    AND list_position(rr[g.b + 1], CAST(g.p AS INT)) < receiver_rank)
+         |SELECT CAST(p AS BIGINT) AS proposer, CAST(b AS BIGINT) AS receiver,
+         |       proposer_rank, receiver_rank, blocking_pairs
+         |FROM m2 CROSS JOIN blk ORDER BY proposer""".stripMargin
+    },
     "x_consistent_hash" -> {
       import graft.ext.Hashing
       def ring(n: Int, name: String) =
