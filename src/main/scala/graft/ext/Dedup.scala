@@ -1431,7 +1431,95 @@ object Dedup {
       .orderBy(desc("priority"), col("host"))
   }
 
+  /** FELLEGI-SUNTER PROBABILISTIC RECORD LINKAGE — the decision-theoretic
+    * layer above [[recordLinkage]]'s deterministic rules (Fellegi &
+    * Sunter 1969, the model under Splink/dedupe.io): each blocked
+    * candidate pair gets a comparison vector γ = (name within 2
+    * edits, brand equal, type equal); every field contributes
+    * lg(m/u) bits when it agrees and lg((1−m)/(1−u)) when it disagrees
+    * (m = P(agree | match), u = P(agree | non-match)), and the summed
+    * log-likelihood ratio classifies the pair. The fixture PLANTS
+    * ground truth — every 10th record gets a twin with a last-character
+    * name perturbation and controlled brand/type noise — so m is
+    * estimated on the planted matches, u on the blocked non-matches
+    * (the comparison space, standard practice), both Laplace-smoothed,
+    * and the report at PATTERN grain (2³ rows) carries pair counts,
+    * true-match counts, the fixed-point score, and the decision — the
+    * operator audits its own confusion structure.
+    *
+    * All weights are [[FixLog]] fixed-point bits of integer-count
+    * ratios (lg(n+1) − lg(d+2) differences), so the DuckDB oracle
+    * replays estimation, scoring, and classification bit-identically —
+    * an EM-free FS that is exactly the E-step scoring every EM round
+    * performs.
+    *
+    * At 100 TB: blocking bounds the pair space (the [[recordLinkage]]
+    * discipline); parameter estimation is ONE map-side-combined rollup
+    * of the pair frame to a 1-row counts frame; scoring joins pairs to
+    * broadcast weights — never a second pass over records.
+    */
+  def fellegiSunter(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d).filter(col("p_partkey") <= 4000)
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("name"),
+        col("p_brand").as("brand"), col("p_type").as("typ"))
+    val twins = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 100000).as("id"),
+        expr("concat(substr(name, 1, length(name) - 1), 'x')").as("name"),
+        when(col("id") % 30 === 0, lit("Brand#99")).otherwise(col("brand"))
+          .as("brand"),
+        when(col("id") % 20 === 0, lit("PERTURBED")).otherwise(col("typ"))
+          .as("typ"))
+    // block on the FIRST name word: the twin's last-character edit never
+    // touches it, and unrelated same-block parts differ in the other
+    // four words (edit distance >> 2) — a discriminative comparator
+    val univ = base.unionByName(twins)
+      .withColumn("blk", expr("split_part(name, ' ', 1)"))
+      .localCheckpoint() // both sides of the blocked self-join
+    val pairs = univ.select(col("blk"), col("id").as("id_a"),
+        col("name").as("name_a"), col("brand").as("brand_a"),
+        col("typ").as("typ_a"))
+      .join(univ.select(col("blk"), col("id").as("id_b"),
+        col("name").as("name_b"), col("brand").as("brand_b"),
+        col("typ").as("typ_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        (levenshtein(col("name_a"), col("name_b")) <= 2).as("g1"),
+        (col("brand_a") === col("brand_b")).as("g2"),
+        (col("typ_a") === col("typ_b")).as("g3"),
+        (col("id_b") - col("id_a") === 100000).as("is_match"))
+      .localCheckpoint() // read by estimation AND by the pattern report
+    val counts = pairs.agg(
+      sum(when(col("is_match"), 1L).otherwise(0L)).as("md"),
+      sum(when(!col("is_match"), 1L).otherwise(0L)).as("ud"),
+      sum(when(col("is_match") && col("g1"), 1L).otherwise(0L)).as("m1"),
+      sum(when(col("is_match") && col("g2"), 1L).otherwise(0L)).as("m2"),
+      sum(when(col("is_match") && col("g3"), 1L).otherwise(0L)).as("m3"),
+      sum(when(!col("is_match") && col("g1"), 1L).otherwise(0L)).as("u1"),
+      sum(when(!col("is_match") && col("g2"), 1L).otherwise(0L)).as("u2"),
+      sum(when(!col("is_match") && col("g3"), 1L).otherwise(0L)).as("u3"))
+    def lg(e: String) = FixLog.lgS(s"CAST($e AS BIGINT)")
+    def wA(k: Int) =
+      s"(${lg(s"m$k + 1")}) - (${lg("md + 2")}) - (${lg(s"u$k + 1")}) + (${lg("ud + 2")})"
+    def wD(k: Int) =
+      s"(${lg(s"md - m$k + 1")}) - (${lg("md + 2")}) - (${lg(s"ud - u$k + 1")}) + (${lg("ud + 2")})"
+    val weights = counts.select(
+      expr(wA(1)).as("wa1"), expr(wD(1)).as("wd1"),
+      expr(wA(2)).as("wa2"), expr(wD(2)).as("wd2"),
+      expr(wA(3)).as("wa3"), expr(wD(3)).as("wd3"))
+    pairs.groupBy(col("g1"), col("g2"), col("g3"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true_match"))
+      .crossJoin(broadcast(weights)) // 1-row trained model
+      .withColumn("score_fp", expr(
+        "IF(g1, wa1, wd1) + IF(g2, wa2, wd2) + IF(g3, wa3, wd3)"))
+      .withColumn("decision", col("score_fp") > 0)
+      .select(col("g1"), col("g2"), col("g3"), col("n_pairs"),
+        col("n_true_match"), col("score_fp"), col("decision"))
+      .orderBy(col("g1"), col("g2"), col("g3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_fellegi_sunter" -> fellegiSunter,
     "dd_frontier_opic" -> frontierOpic,
     "dd_redirect_cycles" -> redirectCycles,
     "dd_sitemap_parse" -> sitemapParse,
@@ -1492,6 +1580,60 @@ object Dedup {
   private val shingCte = shingCteFor("documents", "shing")
 
   val oracle: Map[String, String] = Map(
+    "dd_fellegi_sunter" -> {
+      def lg(e: String) = FixLog.lgD(s"CAST($e AS BIGINT)")
+      def wA(k: Int) =
+        s"(${lg(s"m$k + 1")}) - (${lg("md + 2")}) - (${lg(s"u$k + 1")}) + (${lg("ud + 2")})"
+      def wD(k: Int) =
+        s"(${lg(s"md - m$k + 1")}) - (${lg("md + 2")}) - (${lg(s"ud - u$k + 1")}) + (${lg("ud + 2")})"
+      s"""WITH base AS (
+         |  SELECT p_partkey AS id, lower(p_name) AS name,
+         |         p_brand AS brand, p_type AS typ
+         |  FROM part WHERE p_partkey <= 4000),
+         |twins AS (
+         |  SELECT id + 100000 AS id,
+         |         substr(name, 1, CAST(length(name) - 1 AS INT)) || 'x' AS name,
+         |         CASE WHEN id % 30 = 0 THEN 'Brand#99' ELSE brand END AS brand,
+         |         CASE WHEN id % 20 = 0 THEN 'PERTURBED' ELSE typ END AS typ
+         |  FROM base WHERE id % 10 = 0),
+         |univ AS (
+         |  SELECT *, split_part(name, ' ', 1) AS blk FROM (
+         |    SELECT * FROM base UNION ALL SELECT * FROM twins)),
+         |pairs AS MATERIALIZED (
+         |  SELECT levenshtein(a.name, b.name) <= 2 AS g1,
+         |         a.brand = b.brand AS g2, a.typ = b.typ AS g3,
+         |         b.id - a.id = 100000 AS is_match
+         |  FROM univ a JOIN univ b ON a.blk = b.blk AND a.id < b.id),
+         |counts AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS md,
+         |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS ud,
+         |    CAST(SUM(CASE WHEN is_match AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         |    CAST(SUM(CASE WHEN is_match AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+         |    CAST(SUM(CASE WHEN is_match AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+         |    CAST(SUM(CASE WHEN NOT is_match AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+         |    CAST(SUM(CASE WHEN NOT is_match AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+         |    CAST(SUM(CASE WHEN NOT is_match AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS u3
+         |  FROM pairs),
+         |weights AS (
+         |  SELECT ${wA(1)} AS wa1, ${wD(1)} AS wd1,
+         |         ${wA(2)} AS wa2, ${wD(2)} AS wd2,
+         |         ${wA(3)} AS wa3, ${wD(3)} AS wd3
+         |  FROM counts),
+         |pat AS (
+         |  SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_true_match
+         |  FROM pairs GROUP BY g1, g2, g3)
+         |SELECT g1, g2, g3, n_pairs, n_true_match,
+         |       CAST(CASE WHEN g1 THEN wa1 ELSE wd1 END
+         |          + CASE WHEN g2 THEN wa2 ELSE wd2 END
+         |          + CASE WHEN g3 THEN wa3 ELSE wd3 END AS BIGINT) AS score_fp,
+         |       (CASE WHEN g1 THEN wa1 ELSE wd1 END
+         |          + CASE WHEN g2 THEN wa2 ELSE wd2 END
+         |          + CASE WHEN g3 THEN wa3 ELSE wd3 END) > 0 AS decision
+         |FROM pat CROSS JOIN weights ORDER BY g1, g2, g3""".stripMargin
+    },
     "dd_frontier_opic" -> {
       def round(prev: String, out: String): String =
         s"""$out AS MATERIALIZED (
