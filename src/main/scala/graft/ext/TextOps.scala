@@ -2562,7 +2562,11 @@ object TextOps {
     * matched-term grain — matches only, never the full stream — plus
     * one distinct-doc count over matched (doc, term) pairs.
     */
-  def blocklistJoin(s: SparkSession, d: String): DataFrame = {
+  /** The operator's matching core (pre-materialization) — split out so
+    * PlanSpec can pin the broadcast membership join, which the
+    * localCheckpoint below would otherwise hide from the final plan.
+    */
+  private[graft] def blocklistMatched(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("token"))
@@ -2570,7 +2574,11 @@ object TextOps {
     val block = toks.select(col("token")).distinct()
       .filter(expr(s"${Hashing.sparkHash("token")} % 5 = 0") &&
         length(col("token")) >= 2)
-    val matched = toks.join(broadcast(block), Seq("token"))
+    toks.join(broadcast(block), Seq("token"))
+  }
+
+  def blocklistJoin(s: SparkSession, d: String): DataFrame = {
+    val matched = blocklistMatched(s, d)
       .localCheckpoint() // read by the per-term rollup AND the doc total
     val flagged = matched.agg(
       countDistinct(col("doc_id")).as("n_flagged_docs"))

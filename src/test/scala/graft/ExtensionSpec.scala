@@ -1855,4 +1855,42 @@ class ExtensionSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == 3L * total,
       "each synchronous round banks the full circulating cash into history")
   }
+
+  test("DTW: warped cost within its algebraic envelope (endpoints to lock-step)") {
+    // lock-step L1 is one admissible warping path, so DTW <= L1; every
+    // path visits (1,1) and (W,W), so DTW >= |a1-b1| + |aW-bW|.
+    val r = ops.StatOps.dtw(spark, sf).collect()(0)
+    val (dtw, l1) = (r.getAs[Long]("dtw_cost"), r.getAs[Long]("l1_cost"))
+    assert(dtw >= 0 && dtw <= l1, s"DTW $dtw outside [0, L1=$l1]")
+    assert(r.getAs[Long]("warp_gain") == l1 - dtw)
+  }
+
+  test("stable matching: certificate is zero, matching is perfect, ranks are valid") {
+    val rows = ops.ExtraOps.stableMatching(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("blocking_pairs") == 0L),
+      "Gale-Shapley output must be stable")
+    assert(rows.map(_.getAs[Long]("receiver")).toSet.size == 8,
+      "every receiver matched exactly once")
+    assert(rows.forall { r =>
+      val pr = r.getAs[Long]("proposer_rank"); val rr = r.getAs[Long]("receiver_rank")
+      pr >= 1 && pr <= 8 && rr >= 1 && rr <= 8
+    })
+  }
+
+  test("conformal: empirical coverage brackets the 90% guarantee per group") {
+    // split conformal guarantees coverage >= 1 - alpha in expectation;
+    // finite-sample noise at n_test ~ 750/group motivates the bracket.
+    val rows = ops.StatOps.conformal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // marginal-in-expectation guarantee; at the test SF calibration
+    // groups are ~75 rows, so per-group noise is ±3σ ≈ ±0.10
+    rows.foreach { r =>
+      val c = r.getAs[Long]("coverage_ppm")
+      assert(c >= 700000L && c <= 995000L,
+        s"group ${r.getAs[String]("g")} coverage $c outside the 90% bracket")
+    }
+    val mean = rows.map(_.getAs[Long]("coverage_ppm")).sum / rows.length
+    assert(mean >= 800000L && mean <= 970000L, s"mean coverage $mean drifted")
+  }
 }

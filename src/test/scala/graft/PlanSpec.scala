@@ -808,4 +808,24 @@ class PlanSpec extends AnyFunSuite {
       "hour-grain map-side combine missing:\n" + p.take(1200))
   }
 
+
+  test("blocklist matching: the lexicon broadcasts; the token stream never shuffles for membership") {
+    // pin the pre-materialization core: the operator checkpoints the
+    // matched frame (read twice downstream), which hides the join from
+    // the final plan
+    val p = ext.TextOps.blocklistMatched(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the blocklist side must broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+      "the token stream must not shuffle for membership:\n" + p.take(1500))
+  }
+
+  test("Fellegi-Sunter: the candidate join stays keyed on the block") {
+    val p = planAtScale("dd_fellegi_sunter")
+    assert(!p.contains("CartesianProduct"),
+      "blocked self-join degenerated to a cartesian:\n" + p.take(1500))
+  }
 }
