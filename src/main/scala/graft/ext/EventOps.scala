@@ -1881,7 +1881,87 @@ object EventOps {
       .orderBy(col("r"))
   }
 
+  /** ELO ONLINE RATINGS — the sequential skill-rating update under
+    * chess federations, matchmaking, and model-arena leaderboards
+    * (LLM arena rankings are Elo over pairwise judgments): each day the
+    * two most-active roster users "play" (winner = more purchases,
+    * equal = draw) and ratings update r ← r + K·(S − E) with K = 32.
+    * The expected score E uses the TABULATED logistic — a 9-bucket
+    * lookup on the ±400-clamped rating difference, exactly how FIDE's
+    * handbook publishes it — so the whole trajectory is BIGINT
+    * arithmetic in per-mille units and the DuckDB oracle replays every
+    * game bit-identically (the analytic 1/(1+10^(−d/400)) never
+    * hash-verifies; the table IS the production form). Truncation
+    * toward zero on ±(K·(S−E)) keeps the update exactly ZERO-SUM —
+    * Σ ratings = 8·1500 after any prefix, spec-pinned.
+    *
+    * At 100 TB: the corpus collapses map-side to (day, player) grain;
+    * the game log is calendar-bounded and the fold runs once over it.
+    * Real matchmaking shards the fold per league/pool — ratings are
+    * per-pool sequential BY DEFINITION, the same honesty note as the
+    * bandit replay.
+    */
+  def elo(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '2024-01-01')").as("dday"),
+        (col("event_type") === "purchase").cast("long").as("pur"))
+    val roster = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("n"), col("user_id"))))
+      .filter(col("rk") <= 8)
+      .select(col("user_id"), (col("rk") - 1).cast("long").as("idx"))
+      .localCheckpoint() // read by the daily join and the final report
+    val daily = ev.join(roster, Seq("user_id"))
+      .groupBy(col("dday"), col("idx"))
+      .agg(count(lit(1)).as("n_day"), sum(col("pur")).as("np"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("dday"))
+        .orderBy(desc("n_day"), col("idx"))))
+      .filter(col("rn") <= 2)
+    val games = daily.groupBy(col("dday"))
+      .agg(max(when(col("rn") === 1, col("idx"))).as("ia"),
+        max(when(col("rn") === 2, col("idx"))).as("ib"),
+        max(when(col("rn") === 1, col("np"))).as("pa"),
+        max(when(col("rn") === 2, col("np"))).as("pb"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 2)
+      .withColumn("s_pm",
+        when(col("pa") > col("pb"), 1000L)
+          .when(col("pa") < col("pb"), 0L).otherwise(500L))
+      .localCheckpoint() // read by the fold AND the per-player rollups
+    // FIDE-style tabulated logistic at 100-point buckets of the clamped diff
+    val eTab = "array(91L, 151L, 240L, 360L, 500L, 640L, 760L, 849L, 909L)"
+    val eExp = s"element_at($eTab, CAST((greatest(-400L, least(400L, " +
+      "element_at(r, CAST(g.ia + 1 AS INT)) - element_at(r, CAST(g.ib + 1 AS INT)))) + 400) DIV 100 + 1 AS INT))"
+    val delta = s"(32 * (g.s_pm - ($eExp))) DIV 1000"
+    val ratings = games
+      .agg(expr("array_sort(collect_list(struct(dday, ia, ib, s_pm)))")
+        .as("gs"))
+      .select(posexplode(expr(
+        s"""aggregate(gs, transform(sequence(0, 7), i -> 1500L),
+           |  (r, g) -> transform(sequence(0, 7), i -> CASE
+           |    WHEN i = g.ia THEN element_at(r, CAST(i + 1 AS INT)) + ($delta)
+           |    WHEN i = g.ib THEN element_at(r, CAST(i + 1 AS INT)) - ($delta)
+           |    ELSE element_at(r, CAST(i + 1 AS INT)) END))""".stripMargin))
+        .as(Seq("i", "rating")))
+      .select(col("i").cast("long").as("idx"), col("rating"))
+    val perPlayer = games.select(col("ia").as("idx"),
+        (col("s_pm") === 1000L).cast("long").as("w"))
+      .unionByName(games.select(col("ib").as("idx"),
+        (col("s_pm") === 0L).cast("long").as("w")))
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("n_games"), sum(col("w")).as("n_wins"))
+    ratings.join(roster, Seq("idx"))
+      .join(perPlayer, Seq("idx"), "left")
+      .na.fill(0L, Seq("n_games", "n_wins"))
+      .select(col("user_id").as("player"), col("idx"), col("rating"),
+        col("n_games"), col("n_wins"))
+      .orderBy(desc("rating"), col("player"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_elo" -> elo,
     "ev_event_study" -> eventStudy,
     "ev_sprt" -> sprt,
     "ev_qini" -> qini,
@@ -1934,6 +2014,74 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_elo" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           AS INT) AS dday,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+        |  FROM events),
+        |roster AS (
+        |  SELECT user_id, CAST(rk - 1 AS BIGINT) AS idx FROM (
+        |    SELECT user_id,
+        |           row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+        |    FROM ev GROUP BY user_id) WHERE rk <= 8),
+        |daily AS (
+        |  SELECT dday, idx, COUNT(*) AS n_day,
+        |         CAST(SUM(pur) AS BIGINT) AS np,
+        |         row_number() OVER (PARTITION BY dday
+        |           ORDER BY COUNT(*) DESC, idx) AS rn
+        |  FROM ev JOIN roster USING (user_id) GROUP BY dday, idx),
+        |g0 AS (
+        |  SELECT dday,
+        |         MAX(CASE WHEN rn = 1 THEN idx END) AS ia,
+        |         MAX(CASE WHEN rn = 2 THEN idx END) AS ib,
+        |         MAX(CASE WHEN rn = 1 THEN np END) AS pa,
+        |         MAX(CASE WHEN rn = 2 THEN np END) AS pb,
+        |         COUNT(*) AS cnt
+        |  FROM daily WHERE rn <= 2 GROUP BY dday),
+        |games AS MATERIALIZED (
+        |  SELECT dday, ia, ib,
+        |         CAST(CASE WHEN pa > pb THEN 1000 WHEN pa < pb THEN 0
+        |              ELSE 500 END AS BIGINT) AS s_pm
+        |  FROM g0 WHERE cnt = 2),
+        |gord AS (SELECT *, row_number() OVER (ORDER BY dday) AS gi
+        |         FROM games),
+        |walk AS (
+        |  SELECT 0 AS gi, [CAST(1500 AS BIGINT) FOR i IN range(0, 8)] AS r
+        |  UNION ALL
+        |  SELECT z.gi,
+        |    [CASE WHEN i = z.ia THEN z.r[i + 1] + z.d
+        |          WHEN i = z.ib THEN z.r[i + 1] - z.d
+        |          ELSE z.r[i + 1] END FOR i IN range(0, 8)]
+        |  FROM (
+        |    SELECT g.gi, w.r, g.ia, g.ib,
+        |      (32 * (g.s_pm -
+        |        [CAST(91 AS BIGINT), 151, 240, 360, 500, 640, 760, 849, 909]
+        |          [CAST((greatest(-400, least(400,
+        |             w.r[CAST(g.ia + 1 AS INT)] - w.r[CAST(g.ib + 1 AS INT)]))
+        |             + 400) // 100 + 1 AS INT)])) // 1000 AS d
+        |    FROM walk w JOIN gord g ON g.gi = w.gi + 1) z),
+        |fin AS (SELECT r FROM walk
+        |        WHERE gi = (SELECT COUNT(*) FROM games)),
+        |rat AS (SELECT unnest(generate_series(0, 7)) AS idx, r FROM fin),
+        |r2 AS (SELECT CAST(idx AS BIGINT) AS idx,
+        |              CAST(r[CAST(idx + 1 AS INT)] AS BIGINT) AS rating
+        |       FROM rat),
+        |pp AS (
+        |  SELECT idx, CAST(COUNT(*) AS BIGINT) AS n_games,
+        |         CAST(SUM(w) AS BIGINT) AS n_wins
+        |  FROM (
+        |    SELECT ia AS idx, CASE WHEN s_pm = 1000 THEN 1 ELSE 0 END AS w
+        |    FROM games
+        |    UNION ALL
+        |    SELECT ib, CASE WHEN s_pm = 0 THEN 1 ELSE 0 END FROM games)
+        |  GROUP BY idx)
+        |SELECT roster.user_id AS player, r2.idx, rating,
+        |       COALESCE(n_games, 0) AS n_games,
+        |       COALESCE(n_wins, 0) AS n_wins
+        |FROM r2 JOIN roster USING (idx) LEFT JOIN pp USING (idx)
+        |ORDER BY rating DESC, player""".stripMargin,
     "ev_event_study" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

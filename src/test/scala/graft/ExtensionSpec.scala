@@ -1893,4 +1893,13 @@ class ExtensionSpec extends AnyFunSuite {
     val mean = rows.map(_.getAs[Long]("coverage_ppm")).sum / rows.length
     assert(mean >= 800000L && mean <= 970000L, s"mean coverage $mean drifted")
   }
+
+  test("Elo: truncation-symmetric updates keep the pool exactly zero-sum") {
+    val rows = ext.EventOps.elo(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("rating")).sum == 8L * 1500L,
+      "every update adds +d/-d with the same truncated d: sum must hold")
+    assert(rows.map(_.getAs[Long]("n_wins")).sum <=
+      rows.map(_.getAs[Long]("n_games")).sum / 2 + 1)
+  }
 }
