@@ -2703,7 +2703,90 @@ object ExtraOps {
       .orderBy(col("proposer"))
   }
 
+  /** WALKER/VOSE ALIAS TABLE — the O(1) weighted sampler every
+    * importance-weighted data loader and negative sampler sits on: n
+    * buckets, each holding its own outcome up to `prob` units and an
+    * `alias` outcome for the remainder, built by repeatedly pairing an
+    * under-full outcome with an over-full one. Constructed here over
+    * the per-nation order counts ENTIRELY in integers — units are
+    * w_i·n against bucket capacity W = Σw — because the alias method
+    * is EXACT: after construction, outcome i's total mass across all
+    * buckets (own prob + donated remainders) equals its original
+    * w_i·n to the unit. That identity ships as the `mass_ok` column,
+    * recomputed RELATIONALLY in both engines — the table proves itself.
+    * Deterministic pairing (lowest-index under-full with lowest-index
+    * over-full) makes the whole construction replayable; 2n bounded
+    * fold steps.
+    *
+    * At 100 TB: the table is |outcomes|-sized metadata built from one
+    * map-side-combined weight rollup; samplers broadcast it and draw
+    * with two random accesses per sample — why it beats binary search
+    * over a CDF at loader throughput.
+    */
+  def aliasTable(s: SparkSession, d: String): DataFrame = {
+    val n = 25
+    val w = Tables.orders(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nat"))
+      .agg(count(lit(1)).as("w"))
+    val seed = w
+      .agg(expr("transform(array_sort(collect_list(struct(nat, w)))," +
+        s" x -> x.w * $n)").as("u0"),
+        expr(s"sum(w)").as("cap"))
+      .localCheckpoint() // the fold and the report both read it
+    def first(cond: String) =
+      s"aggregate(sequence(0, ${n - 1}), -1, (f, i) -> " +
+        s"IF(f = -1 AND element_at(acc.p, i + 1) = -1 AND $cond, i, f))"
+    val sSmall = first("element_at(acc.u, i + 1) < cap")
+    val lLarge = first("element_at(acc.u, i + 1) > cap")
+    val sEven = first("element_at(acc.u, i + 1) = cap")
+    val step =
+      s"""CASE
+         |  WHEN ($sSmall) >= 0 AND ($lLarge) >= 0 THEN named_struct(
+         |    'u', transform(sequence(0, ${n - 1}), i ->
+         |      IF(i = ($lLarge), element_at(acc.u, i + 1)
+         |           - (cap - element_at(acc.u, ($sSmall) + 1)),
+         |         element_at(acc.u, i + 1))),
+         |    'p', transform(sequence(0, ${n - 1}), i ->
+         |      IF(i = ($sSmall), element_at(acc.u, i + 1),
+         |         element_at(acc.p, i + 1))),
+         |    'a', transform(sequence(0, ${n - 1}), i ->
+         |      IF(i = ($sSmall), CAST(($lLarge) AS BIGINT),
+         |         element_at(acc.a, i + 1))))
+         |  WHEN ($sEven) >= 0 THEN named_struct(
+         |    'u', acc.u,
+         |    'p', transform(sequence(0, ${n - 1}), i ->
+         |      IF(i = ($sEven), cap, element_at(acc.p, i + 1))),
+         |    'a', transform(sequence(0, ${n - 1}), i ->
+         |      IF(i = ($sEven), CAST(i AS BIGINT), element_at(acc.a, i + 1))))
+         |  ELSE acc END""".stripMargin
+    val built = seed.select(col("u0"), col("cap"), expr(
+      s"""aggregate(sequence(1, ${2 * n}),
+         |  named_struct(
+         |    'u', u0,
+         |    'p', transform(sequence(0, ${n - 1}), i -> CAST(-1 AS BIGINT)),
+         |    'a', transform(sequence(0, ${n - 1}), i -> CAST(-1 AS BIGINT))),
+         |  (acc, t) -> $step)""".stripMargin).as("st"))
+    val rows = built
+      .select(col("cap"), posexplode(expr(
+        "arrays_zip(u0, st.p, st.a)")).as(Seq("bucket", "e")))
+      .select(col("bucket").cast("long").as("bucket"),
+        expr("e.u0").as("u_units"), expr("e.p").as("prob_units"),
+        expr("e.a").as("alias"), col("cap"))
+      .localCheckpoint() // read twice by the conservation check
+    val donated = rows.groupBy(col("alias").as("bucket"))
+      .agg(sum(col("cap") - col("prob_units")).as("donated"))
+    rows.join(donated, Seq("bucket"), "left").na.fill(0L, Seq("donated"))
+      .withColumn("mass_ok",
+        col("prob_units") + col("donated") === col("u_units"))
+      .select(col("bucket"), col("u_units"), col("prob_units"), col("alias"),
+        col("donated"), col("mass_ok"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_alias_table" -> aliasTable,
     "x_stable_matching" -> stableMatching,
     "x_consistent_hash" -> consistentHash,
     "x_critical_path" -> criticalPath,
@@ -2800,6 +2883,71 @@ object ExtraOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_alias_table" -> {
+      def first(cond: String) =
+        s"list_reduce(list_prepend(-1, [i FOR i IN range(0, 25)]), (f, i) -> " +
+          s"CASE WHEN f = -1 AND p[i + 1] = -1 AND $cond THEN i ELSE f END)"
+      s"""WITH RECURSIVE w AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+         |         CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1),
+         |seed AS (SELECT array_agg(w * 25 ORDER BY nat) AS u0,
+         |                CAST(SUM(w) AS BIGINT) AS cap FROM w),
+         |walk AS (
+         |  SELECT 0 AS t, u0 AS u,
+         |         [CAST(-1 AS BIGINT) FOR i IN range(0, 25)] AS p,
+         |         [CAST(-1 AS BIGINT) FOR i IN range(0, 25)] AS a,
+         |         u0, cap
+         |  FROM seed
+         |  UNION ALL
+         |  SELECT t + 1,
+         |    CASE WHEN ss >= 0 AND ll >= 0 THEN
+         |      [CASE WHEN i = ll THEN u[i + 1] - (cap - u[ss + 1])
+         |            ELSE u[i + 1] END FOR i IN range(0, 25)]
+         |    ELSE u END,
+         |    CASE WHEN ss >= 0 AND ll >= 0 THEN
+         |      [CASE WHEN i = ss THEN u[i + 1] ELSE p[i + 1] END
+         |       FOR i IN range(0, 25)]
+         |    WHEN se >= 0 THEN
+         |      [CASE WHEN i = se THEN cap ELSE p[i + 1] END
+         |       FOR i IN range(0, 25)]
+         |    ELSE p END,
+         |    CASE WHEN ss >= 0 AND ll >= 0 THEN
+         |      [CASE WHEN i = ss THEN CAST(ll AS BIGINT) ELSE a[i + 1] END
+         |       FOR i IN range(0, 25)]
+         |    WHEN se >= 0 THEN
+         |      [CASE WHEN i = se THEN CAST(i AS BIGINT) ELSE a[i + 1] END
+         |       FOR i IN range(0, 25)]
+         |    ELSE a END,
+         |    u0, cap
+         |  FROM (
+         |    SELECT *,
+         |      ${first("u[i + 1] < cap")} AS ss,
+         |      ${first("u[i + 1] > cap")} AS ll,
+         |      ${first("u[i + 1] = cap")} AS se
+         |    FROM walk) z
+         |  WHERE t < 50),
+         |fin AS (SELECT u0, p, a, cap FROM walk WHERE t = 50),
+         |rows0 AS (
+         |  SELECT unnest(generate_series(0, 24)) AS bucket, u0, p, a, cap
+         |  FROM fin),
+         |rows1 AS (
+         |  SELECT CAST(bucket AS BIGINT) AS bucket,
+         |         u0[CAST(bucket + 1 AS INT)] AS u_units,
+         |         p[CAST(bucket + 1 AS INT)] AS prob_units,
+         |         a[CAST(bucket + 1 AS INT)] AS alias, cap
+         |  FROM rows0),
+         |don AS (
+         |  SELECT alias AS bucket, CAST(SUM(cap - prob_units) AS BIGINT)
+         |           AS donated
+         |  FROM rows1 GROUP BY alias)
+         |SELECT r.bucket, r.u_units, r.prob_units, r.alias,
+         |       COALESCE(d.donated, 0) AS donated,
+         |       r.prob_units + COALESCE(d.donated, 0) = r.u_units AS mass_ok
+         |FROM rows1 r LEFT JOIN don d USING (bucket)
+         |ORDER BY r.bucket""".stripMargin
+    },
     "x_stable_matching" -> {
       import graft.ext.Hashing
       s"""WITH RECURSIVE g AS (
