@@ -2646,7 +2646,57 @@ object TextOps {
       .orderBy(col("doc_a"))
   }
 
+  /** BLEU COMPONENT COUNTS (Papineni 2002) — the other half of the
+    * generation-eval pair beside [[rougeL]]: per (candidate, reference)
+    * pair, the CLIPPED n-gram matches for orders 1..4 (each candidate
+    * gram credits at most its reference count — the clipping that stops
+    * "the the the" from scoring) plus candidate/reference lengths and
+    * the brevity ratio. All EXACT integers: modified precisions ship as
+    * ppm ratios and the geometric mean + exp brevity penalty are left
+    * to the consumer (both need libm; the counts are the verifiable
+    * substance, and corpus-BLEU sums exactly these counts before any
+    * float). Same pairing as ROUGE-L; at 25-token caps the clipped
+    * counting is ≤O(n²) per order inside the pair's row projection.
+    */
+  def bleuCounts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        "slice(filter(split(lower(text), ' '), x -> x <> ''), 1, 25)")
+        .as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val pairs = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("doc_a"), col("toks").as("a"))
+      .join(docs.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"), col("toks").as("b")), Seq("doc_a"))
+    def grams(arr: String, k: Int) =
+      s"transform(sequence(1, CAST(size($arr) - ${k - 1} AS INT)), " +
+        s"i -> concat_ws(' ', slice($arr, i, $k)))"
+    def clipped(k: Int) =
+      s"""aggregate(
+         |  transform(array_distinct(${grams("a", k)}), g -> least(
+         |    size(filter(${grams("a", k)}, x -> x = g)),
+         |    size(filter(${grams("b", k)}, x -> x = g)))),
+         |  0L, (acc, v) -> acc + v)""".stripMargin
+        .linesIterator.mkString(" ")
+    var out = pairs
+      .withColumn("c_len", expr("CAST(size(a) AS BIGINT)"))
+      .withColumn("r_len", expr("CAST(size(b) AS BIGINT)"))
+    for (k <- 1 to 4) {
+      out = out
+        .withColumn(s"m$k", expr(clipped(k)))
+        .withColumn(s"t$k", expr(s"CAST(size(a) - ${k - 1} AS BIGINT)"))
+        .withColumn(s"p${k}_ppm", expr(s"(m$k * 1000000) DIV t$k"))
+    }
+    out.withColumn("brevity_ppm", expr("(c_len * 1000000) DIV r_len"))
+      .select(col("doc_a"), col("doc_b"), col("c_len"), col("r_len"),
+        col("m1"), col("m2"), col("m3"), col("m4"),
+        col("p1_ppm"), col("p2_ppm"), col("p3_ppm"), col("p4_ppm"),
+        col("brevity_ppm"))
+      .orderBy(col("doc_a"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bleu_counts" -> bleuCounts,
     "tx_rouge_l" -> rougeL,
     "tx_blocklist_join" -> blocklistJoin,
     "pipe_padding_waste" -> paddingWaste,
@@ -2762,6 +2812,44 @@ object TextOps {
     def score(l: String) =
       s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
     Map(
+      "tx_bleu_counts" -> {
+        def grams(arr: String, k: Int) =
+          s"[array_to_string($arr[i:i + ${k - 1}], ' ') " +
+            s"FOR i IN range(1, len($arr) - ${k - 2})]"
+        def clipped(k: Int) =
+          s"CAST(list_sum(list_transform(list_distinct(${grams("a", k)}), " +
+            s"g -> least(len(list_filter(${grams("a", k)}, x -> x = g)), " +
+            s"len(list_filter(${grams("b", k)}, x -> x = g))))) AS BIGINT)"
+        s"""WITH docs AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(lower(text), ' '),
+           |                     x -> x <> '')[1:25] AS toks
+           |  FROM documents),
+           |d2 AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 5),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.toks AS a, b.toks AS b
+           |  FROM d2 a JOIN d2 b ON b.doc_id = a.doc_id + 1
+           |  WHERE a.doc_id % 7 = 0),
+           |m AS (
+           |  SELECT doc_a, doc_b,
+           |         CAST(len(a) AS BIGINT) AS c_len,
+           |         CAST(len(b) AS BIGINT) AS r_len,
+           |         ${clipped(1)} AS m1, ${clipped(2)} AS m2,
+           |         ${clipped(3)} AS m3, ${clipped(4)} AS m4,
+           |         CAST(len(a) AS BIGINT) AS t1,
+           |         CAST(len(a) - 1 AS BIGINT) AS t2,
+           |         CAST(len(a) - 2 AS BIGINT) AS t3,
+           |         CAST(len(a) - 3 AS BIGINT) AS t4
+           |  FROM pairs)
+           |SELECT doc_a, doc_b, c_len, r_len, m1, m2, m3, m4,
+           |       (m1 * 1000000) // t1 AS p1_ppm,
+           |       (m2 * 1000000) // t2 AS p2_ppm,
+           |       (m3 * 1000000) // t3 AS p3_ppm,
+           |       (m4 * 1000000) // t4 AS p4_ppm,
+           |       (c_len * 1000000) // r_len AS brevity_ppm
+           |FROM m ORDER BY doc_a""".stripMargin
+      },
       "tx_rouge_l" ->
         """WITH RECURSIVE docs AS (
           |  SELECT doc_id,
