@@ -1901,7 +1901,13 @@ object EventOps {
     * per-pool sequential BY DEFINITION, the same honesty note as the
     * bandit replay.
     */
-  def elo(s: SparkSession, d: String): DataFrame = {
+  /** Shared contest fixture for the rating family ([[elo]] online,
+    * [[bradleyTerry]] batch MLE): the 8-user roster by activity and the
+    * daily contests between each day's two most-active roster users,
+    * scored in per-mille (win 1000 / draw 500 / loss 0).
+    */
+  private[ext] def eloFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d)
       .select(col("user_id"),
         expr("datediff(to_date(ts), DATE '2024-01-01')").as("dday"),
@@ -1930,6 +1936,11 @@ object EventOps {
         when(col("pa") > col("pb"), 1000L)
           .when(col("pa") < col("pb"), 0L).otherwise(500L))
       .localCheckpoint() // read by the fold AND the per-player rollups
+    (roster, games)
+  }
+
+  def elo(s: SparkSession, d: String): DataFrame = {
+    val (roster, games) = eloFixture(s, d)
     // FIDE-style tabulated logistic at 100-point buckets of the clamped diff
     val eTab = "array(91L, 151L, 240L, 360L, 500L, 640L, 760L, 849L, 909L)"
     val eExp = s"element_at($eTab, CAST((greatest(-400L, least(400L, " +
@@ -1960,7 +1971,65 @@ object EventOps {
       .orderBy(desc("rating"), col("player"))
   }
 
+  /** BRADLEY-TERRY-LUCE STRENGTHS via Hunter's MM updates — the batch
+    * maximum-likelihood counterpart to [[elo]]'s online pass, and the
+    * model actually fit under pairwise-judgment leaderboards (LLM
+    * arenas report "Elo" but fit BTL): P(i beats j) = πᵢ/(πᵢ+πⱼ), and
+    * each minorize-maximize round sets πᵢ ← Wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ)
+    * (Hunter 2004), which monotonically climbs the likelihood. Three
+    * unrolled rounds over the same contest log as Elo; wins carry in
+    * halves (win 2, draw 1) with one pseudo-draw per player (the
+    * standard regularizer that keeps winless players off zero).
+    *
+    * Integer-exact: strengths live in micro-units; each MM term is
+    * nᵢⱼ·10¹² DIV (πᵢ+πⱼ) summed per player, and the update is one
+    * more truncating DIV — the DuckDB oracle replays all three rounds
+    * bit-identically (a float MLE never would).
+    *
+    * At 100 TB: the pairwise count matrix is |roster|²-bounded
+    * metadata; each round is one keyed join of the pair frame against
+    * the strength column — arenas with millions of judgments collapse
+    * to the same per-pair counts in one map-side-combined pass.
+    */
+  def bradleyTerry(s: SparkSession, d: String): DataFrame = {
+    val (roster, games) = eloFixture(s, d)
+    val pairsDir = games.select(col("ia").as("i"), col("ib").as("j"))
+      .unionByName(games.select(col("ib").as("i"), col("ia").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // loop-invariant pair counts, read 3×
+    val w2 = games.select(col("ia").as("idx"),
+        when(col("s_pm") === 1000L, 2L).when(col("s_pm") === 500L, 1L)
+          .otherwise(0L).as("w"))
+      .unionByName(games.select(col("ib").as("idx"),
+        when(col("s_pm") === 0L, 2L).when(col("s_pm") === 500L, 1L)
+          .otherwise(0L).as("w")))
+      .groupBy(col("idx"))
+      .agg((sum(col("w")) + 1L).as("w2"), count(lit(1)).as("n_games"))
+    val base = roster.join(w2, Seq("idx"), "left")
+      .na.fill(Map("w2" -> 1L, "n_games" -> 0L))
+      .localCheckpoint() // loop-invariant (player, wins) frame
+    var pi = base.select(col("idx"), lit(1000000L).as("pi"))
+    for (_ <- 1 to 3) {
+      val denom = pairsDir
+        .join(pi.select(col("idx").as("i"), col("pi").as("pi_i")), Seq("i"))
+        .join(pi.select(col("idx").as("j"), col("pi").as("pi_j")), Seq("j"))
+        .select(col("i").as("idx"),
+          expr("(nij * 1000000000000L) DIV (pi_i + pi_j)").as("term"))
+        .groupBy(col("idx")).agg(sum(col("term")).as("den"))
+      pi = base.join(denom, Seq("idx"), "left")
+        .select(col("idx"),
+          expr("CASE WHEN den IS NULL THEN 1000000L " +
+            "ELSE (w2 * 1000000000000L) DIV (2 * den) END").as("pi"))
+        .localCheckpoint() // each round reads pi twice (both join sides)
+    }
+    base.join(pi, Seq("idx"))
+      .select(col("user_id").as("player"), col("idx"), col("w2"),
+        col("n_games"), col("pi").as("strength_micro"))
+      .orderBy(desc("strength_micro"), col("player"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_bradley_terry" -> bradleyTerry,
     "ev_elo" -> elo,
     "ev_event_study" -> eventStudy,
     "ev_sprt" -> sprt,
@@ -2014,6 +2083,77 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_bradley_terry" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT b.idx, CASE WHEN d.den IS NULL THEN CAST(1000000 AS BIGINT)
+           |         ELSE CAST((b.w2 * 1000000000000) // (2 * d.den) AS BIGINT)
+           |         END AS pi
+           |  FROM base b LEFT JOIN (
+           |    SELECT pd.i AS idx,
+           |           SUM((pd.nij * 1000000000000) // (pi_i.pi + pi_j.pi))
+           |             AS den
+           |    FROM pd JOIN $prev pi_i ON pi_i.idx = pd.i
+           |            JOIN $prev pi_j ON pi_j.idx = pd.j
+           |    GROUP BY pd.i) d USING (idx))""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT user_id,
+         |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+         |           AS INT) AS dday,
+         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+         |  FROM events),
+         |roster AS (
+         |  SELECT user_id, CAST(rk - 1 AS BIGINT) AS idx FROM (
+         |    SELECT user_id,
+         |           row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+         |    FROM ev GROUP BY user_id) WHERE rk <= 8),
+         |daily AS (
+         |  SELECT dday, idx, COUNT(*) AS n_day,
+         |         CAST(SUM(pur) AS BIGINT) AS np,
+         |         row_number() OVER (PARTITION BY dday
+         |           ORDER BY COUNT(*) DESC, idx) AS rn
+         |  FROM ev JOIN roster USING (user_id) GROUP BY dday, idx),
+         |g0 AS (
+         |  SELECT dday,
+         |         MAX(CASE WHEN rn = 1 THEN idx END) AS ia,
+         |         MAX(CASE WHEN rn = 2 THEN idx END) AS ib,
+         |         MAX(CASE WHEN rn = 1 THEN np END) AS pa,
+         |         MAX(CASE WHEN rn = 2 THEN np END) AS pb,
+         |         COUNT(*) AS cnt
+         |  FROM daily WHERE rn <= 2 GROUP BY dday),
+         |games AS MATERIALIZED (
+         |  SELECT dday, ia, ib,
+         |         CAST(CASE WHEN pa > pb THEN 1000 WHEN pa < pb THEN 0
+         |              ELSE 500 END AS BIGINT) AS s_pm
+         |  FROM g0 WHERE cnt = 2),
+         |pd AS MATERIALIZED (
+         |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+         |    SELECT ia AS i, ib AS j FROM games
+         |    UNION ALL SELECT ib, ia FROM games) GROUP BY i, j),
+         |w2t AS (
+         |  SELECT idx, CAST(SUM(w) + 1 AS BIGINT) AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS n_games
+         |  FROM (
+         |    SELECT ia AS idx, CASE WHEN s_pm = 1000 THEN 2
+         |           WHEN s_pm = 500 THEN 1 ELSE 0 END AS w FROM games
+         |    UNION ALL
+         |    SELECT ib, CASE WHEN s_pm = 0 THEN 2
+         |           WHEN s_pm = 500 THEN 1 ELSE 0 END FROM games)
+         |  GROUP BY idx),
+         |base AS MATERIALIZED (
+         |  SELECT roster.user_id, roster.idx,
+         |         COALESCE(w2t.w2, 1) AS w2,
+         |         COALESCE(w2t.n_games, 0) AS n_games
+         |  FROM roster LEFT JOIN w2t USING (idx)),
+         |p0 AS (SELECT idx, CAST(1000000 AS BIGINT) AS pi FROM base),
+         |${round("p0", "p1")},
+         |${round("p1", "p2")},
+         |${round("p2", "p3")}
+         |SELECT user_id AS player, idx, CAST(w2 AS BIGINT) AS w2, n_games,
+         |       CAST(pi AS BIGINT) AS strength_micro
+         |FROM base JOIN p3 USING (idx)
+         |ORDER BY strength_micro DESC, player""".stripMargin
+    },
     "ev_elo" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id,
