@@ -2655,8 +2655,18 @@ object TextOps {
     * ppm ratios and the geometric mean + exp brevity penalty are left
     * to the consumer (both need libm; the counts are the verifiable
     * substance, and corpus-BLEU sums exactly these counts before any
-    * float). Same pairing as ROUGE-L; at 25-token caps the clipped
-    * counting is ≤O(n²) per order inside the pair's row projection.
+    * float). Same pairing as ROUGE-L.
+    *
+    * Clipped counting is RELATIONAL, not per-row HOFs: each side's
+    * grams (orders 1..4 in one flatten) explode to rows ONCE, roll up
+    * to (pair, order, gram) counts with map-side combine, and an
+    * equi-join on the gram aligns candidate with reference so the clip
+    * is a single `least` under a sum — Σ_g min(c_g, r_g) per order.
+    * The earlier per-row form re-filtered the full gram array once per
+    * DISTINCT gram per order (interpreted lambda, O(n²) string
+    * compares per pair); this shape does each gram exactly one hash +
+    * one join probe, all inside codegen, and scales linearly in total
+    * gram volume no matter the per-doc cap.
     */
   def bleuCounts(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -2664,27 +2674,39 @@ object TextOps {
         "slice(filter(split(lower(text), ' '), x -> x <> ''), 1, 25)")
         .as("toks"))
       .filter(size(col("toks")) >= 5)
-    val pairs = docs.filter(col("doc_id") % 7 === 0)
+    val cand = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id").as("doc_a"), col("toks").as("a"))
-      .join(docs.select((col("doc_id") - 1).as("doc_a"),
-        col("doc_id").as("doc_b"), col("toks").as("b")), Seq("doc_a"))
-    def grams(arr: String, k: Int) =
-      s"transform(sequence(1, CAST(size($arr) - ${k - 1} AS INT)), " +
-        s"i -> concat_ws(' ', slice($arr, i, $k)))"
-    def clipped(k: Int) =
-      s"""aggregate(
-         |  transform(array_distinct(${grams("a", k)}), g -> least(
-         |    size(filter(${grams("a", k)}, x -> x = g)),
-         |    size(filter(${grams("b", k)}, x -> x = g)))),
-         |  0L, (acc, v) -> acc + v)""".stripMargin
-        .linesIterator.mkString(" ")
-    var out = pairs
-      .withColumn("c_len", expr("CAST(size(a) AS BIGINT)"))
-      .withColumn("r_len", expr("CAST(size(b) AS BIGINT)"))
+    val ref = docs
+      .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+        col("toks").as("b"))
+      .filter(col("doc_a") % 7 === 0)
+    val pairs = cand.join(ref, Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(size(a) AS BIGINT)").as("c_len"),
+        expr("CAST(size(b) AS BIGINT)").as("r_len"))
+    // One explode per side: all four orders' grams as (k, g) rows.
+    def gramCounts(side: DataFrame, arr: String, cnt: String): DataFrame =
+      side.select(col("doc_a"), explode(expr(
+        s"""flatten(transform(sequence(1, 4), k ->
+           |  transform(sequence(1, CAST(size($arr) - k + 1 AS INT)),
+           |    i -> named_struct('k', k,
+           |      'g', concat_ws(' ', slice($arr, i, k))))))"""
+          .stripMargin.linesIterator.mkString(" "))).as("e"))
+        .select(col("doc_a"), col("e.k").as("k"), col("e.g").as("g"))
+        .groupBy(col("doc_a"), col("k"), col("g"))
+        .agg(count(lit(1)).as(cnt))
+    val ms = (1 to 4).map(k =>
+      sum(when(col("k") === k,
+        least(col("c_cnt"), col("r_cnt")))).as(s"m$k"))
+    val matched = gramCounts(cand, "a", "c_cnt")
+      .join(gramCounts(ref, "b", "r_cnt"), Seq("doc_a", "k", "g"))
+      .groupBy(col("doc_a"))
+      .agg(ms.head, ms.tail: _*)
+    var out = pairs.join(matched, Seq("doc_a"), "left")
     for (k <- 1 to 4) {
       out = out
-        .withColumn(s"m$k", expr(clipped(k)))
-        .withColumn(s"t$k", expr(s"CAST(size(a) - ${k - 1} AS BIGINT)"))
+        .withColumn(s"m$k", coalesce(col(s"m$k"), lit(0L)))
+        .withColumn(s"t$k", expr(s"c_len - ${k - 1}"))
         .withColumn(s"p${k}_ppm", expr(s"(m$k * 1000000) DIV t$k"))
     }
     out.withColumn("brevity_ppm", expr("(c_len * 1000000) DIV r_len"))
