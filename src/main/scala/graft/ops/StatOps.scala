@@ -660,11 +660,21 @@ object StatOps {
     * scale-out bootstrap (Chamandy et al., Google 2012): instead of
     * drawing n rows with replacement (which needs global coordination),
     * each row enters replicate b with weight ~ Poisson(1), approximated
-    * here by the inverse-CDF of a 60-bit md5 hash of (b, orderkey) —
-    * fully deterministic, embarrassingly parallel, and replayable by the
-    * oracle because both engines compute the identical hash
-    * ([[graft.ext.Hashing]]) and compare it against the identical
-    * integer thresholds ⌊10⁶·CDF_Poisson(1)(k)⌋.
+    * by inverse-CDF over a deterministic per-(key, b) uniform — fully
+    * deterministic, embarrassingly parallel, and replayable by the
+    * oracle ([[graft.ext.Hashing]]).
+    *
+    * The uniform is COUNTER-BASED, not hash-per-pair: ONE md5 of the
+    * orderkey yields two independent 60-bit slices (a, c); replicate b
+    * then draws u_b = (a·(b+1) + c) mod 999983 — the Carter–Wegman
+    * affine family over the largest prime < 10⁶, pairwise-independent
+    * across replicates, all integer ops bounded ≪ 2⁶³ (ANSI-safe in
+    * both engines). The earlier form hashed md5(b:key) per (replicate,
+    * row) — 40 md5s/row; this is 1 md5 + 40 integer mixes, and the md5
+    * runs BEFORE the ×B explode so the exploded rows carry only two
+    * longs. Weights compare u_b against ⌊10⁶·CDF_Poisson(1)(k)⌋; the
+    * modulus being 999983 rather than 10⁶ shifts each weight's
+    * probability by a factor 1.000017 — noise at bootstrap precision.
     *
     * Exactness: per-replicate Σw·x and Σw are BIGINT (cents × weight ≤
     * 6, n ≤ 10^6 at bench scale → ≪ 2^53); each replicate mean is ONE
@@ -677,20 +687,22 @@ object StatOps {
     * materializes, and the ranking runs on a B-row frame.
     */
   def bootstrapCi(s: SparkSession, d: String): DataFrame = {
-    val u = Hashing.sparkHash(
-      "concat(CAST(b AS STRING), ':', CAST(o_orderkey AS STRING))")
+    val a = Hashing.sparkHashSlice("CAST(o_orderkey AS STRING)", 1, 15)
+    val c = Hashing.sparkHashSlice("CAST(o_orderkey AS STRING)", 16, 15)
     val reps = Tables.orders(s, d)
       .select(col("o_orderkey"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("x"))
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("x"),
+        expr(s"$a % 999983").as("ha"), expr(s"$c % 999983").as("hc"))
       .withColumn("b", explode(expr("sequence(0, 39)")))
+      .withColumn("u", expr("(ha * (b + 1) + hc) % 999983"))
       .withColumn("w", expr(
-        s"""CASE WHEN $u % 1000000 < 367879 THEN 0
-           |     WHEN $u % 1000000 < 735758 THEN 1
-           |     WHEN $u % 1000000 < 919698 THEN 2
-           |     WHEN $u % 1000000 < 981011 THEN 3
-           |     WHEN $u % 1000000 < 996340 THEN 4
-           |     WHEN $u % 1000000 < 999405 THEN 5
-           |     ELSE 6 END""".stripMargin))
+        """CASE WHEN u < 367879 THEN 0
+          |     WHEN u < 735758 THEN 1
+          |     WHEN u < 919698 THEN 2
+          |     WHEN u < 981011 THEN 3
+          |     WHEN u < 996340 THEN 4
+          |     WHEN u < 999405 THEN 5
+          |     ELSE 6 END""".stripMargin))
       .groupBy(col("b"))
       .agg(sum(expr("w * x")).as("swx"), sum(col("w")).as("sw"))
       .withColumn("mean_b", col("swx").cast("double") / col("sw"))
@@ -1721,8 +1733,8 @@ object StatOps {
         |       CAST(tie2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS tie_halfwidth
         |FROM t""".stripMargin,
     "x_bootstrap_ci" -> {
-      val u = Hashing.duckHash(
-        "CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+      val a = Hashing.duckHashSlice("CAST(o_orderkey AS VARCHAR)", 1, 15)
+      val c = Hashing.duckHashSlice("CAST(o_orderkey AS VARCHAR)", 16, 15)
       s"""WITH reps AS (
          |  SELECT b,
          |         CAST(SUM(w * x) AS BIGINT) AS swx,
@@ -1730,12 +1742,18 @@ object StatOps {
          |  FROM (
          |    SELECT g.b, o.o_orderkey,
          |           CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
-         |           CASE WHEN $u % 1000000 < 367879 THEN 0
-         |                WHEN $u % 1000000 < 735758 THEN 1
-         |                WHEN $u % 1000000 < 919698 THEN 2
-         |                WHEN $u % 1000000 < 981011 THEN 3
-         |                WHEN $u % 1000000 < 996340 THEN 4
-         |                WHEN $u % 1000000 < 999405 THEN 5
+         |           CASE WHEN (($a % 999983) * (g.b + 1)
+         |                      + ($c % 999983)) % 999983 < 367879 THEN 0
+         |                WHEN (($a % 999983) * (g.b + 1)
+         |                      + ($c % 999983)) % 999983 < 735758 THEN 1
+         |                WHEN (($a % 999983) * (g.b + 1)
+         |                      + ($c % 999983)) % 999983 < 919698 THEN 2
+         |                WHEN (($a % 999983) * (g.b + 1)
+         |                      + ($c % 999983)) % 999983 < 981011 THEN 3
+         |                WHEN (($a % 999983) * (g.b + 1)
+         |                      + ($c % 999983)) % 999983 < 996340 THEN 4
+         |                WHEN (($a % 999983) * (g.b + 1)
+         |                      + ($c % 999983)) % 999983 < 999405 THEN 5
          |                ELSE 6 END AS w
          |    FROM orders o CROSS JOIN generate_series(0, 39) AS g(b))
          |  GROUP BY b),
