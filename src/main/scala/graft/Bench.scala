@@ -134,7 +134,37 @@ object Bench {
       once() // warm (codegen compile)
       Seq(once(), once(), once()).min
     }
+    // Second, EXCHANGE-BEARING probe (r14 verdict: the CPU probe
+    // under-corrects shuffle contention — a box can be arithmetic-fast
+    // and exchange-slow when other tenants hammer disk/page cache). A
+    // fixed 10^7-row hash repartition into a PINNED 64 partitions (user
+    // repartition ⇒ AQE never coalesces it) followed by a
+    // partition-local groupBy on the same key — exactly ONE exchange of
+    // constant volume, identical code every round. bench_compare.py
+    // normalizes exchange-bearing queries by THIS ratio and
+    // exchange-free ones by the CPU ratio.
+    def calibrateShuffle(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 10000000L, 1L, 64)
+          .selectExpr("id AS k")
+          .repartition(64, org.apache.spark.sql.functions.col("k"))
+          .groupBy("k").count()
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm (codegen compile)
+      Seq(once(), once(), once()).min
+    }
     val calibStart = calibrate()
+    val calibShufStart = calibrateShuffle()
+    // Which queries carry an exchange (planning only, no execution):
+    // drives the per-query choice of normalizer in bench_compare.py.
+    val exchangeBearing: Set[String] = names.filter { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString.contains("Exchange")
+      catch { case _: Throwable => false }
+    }.toSet
     names.foreach(materialize) // warmup pass
     System.gc()
     val pass1 = names.map(n => n -> timed(n)).toMap
@@ -163,7 +193,9 @@ object Bench {
       n -> (if (ws.isEmpty) -1.0 else ws.map(_.sec).min)
     }
     val calibEnd = calibrate()
+    val calibShufEnd = calibrateShuffle()
     val calibS = math.min(calibStart, calibEnd)
+    val calibShufS = math.min(calibShufStart, calibShufEnd)
     val loadEnd = loadavg1m()
     def fmt(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -181,8 +213,10 @@ object Bench {
     // total — say so in the JSON so no tooling compares it across rounds.
     val filtered = if (only.isDefined) ""","filtered":true""" else ""
     val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val exch = names.filter(exchangeBearing)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStart)},"calib_end_s":${fmt(calibEnd)},"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStart)},"calib_end_s":${fmt(calibEnd)},"calib_shuffle_s":${fmt(calibShufS)},"calib_shuffle_start_s":${fmt(calibShufStart)},"calib_shuffle_end_s":${fmt(calibShufEnd)},"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"exchange_bearing":$exch,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     println(detail) // full detail early — safe to truncate, bench.json has it too
@@ -196,6 +230,6 @@ object Bench {
     //     spark.stop() so no shutdown logging lands below it).
     def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     println(s"""{"qv_order":"sorted_names","n":${results.size},"qv":[${results.map(r => fmt2(r._2)).mkString(",")}]}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"n_queries":${results.size},"calib_s":${fmt(calibS)},"loadavg_1m_at_start":$loadStart,"remeasured_n":${remeasured.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"n_queries":${results.size},"calib_s":${fmt(calibS)},"calib_shuffle_s":${fmt(calibShufS)},"loadavg_1m_at_start":$loadStart,"remeasured_n":${remeasured.size},"sf":"$sfDir"}""")
   }
 }

@@ -13,19 +13,41 @@ def main(old_path, new_path):
     new_doc = json.load(open(new_path))
     old = old_doc["queries"]
     new = new_doc["queries"]
-    # Box-speed normalization: calib_s times an identical fixed-cost probe
-    # in both runs, so new_calib/old_calib is the box drift between them.
-    # Ratios are divided by it so they read as CODE change, not contention.
-    calib = 1.0
+    # Box-speed normalization: calib_s times an identical fixed-cost CPU
+    # probe in both runs, so new_calib/old_calib is the box drift between
+    # them. calib_shuffle_s (r15+) times an identical one-exchange probe —
+    # the honest normalizer for queries that shuffle, since disk/page-cache
+    # contention moves exchanges without moving pure arithmetic. Each
+    # query's ratio is divided by the drift of the probe matching its own
+    # plan (exchange_bearing list, emitted by Bench from the physical
+    # plan) so ratios read as CODE change, not contention.
+    cpu_drift = 1.0
     if old_doc.get("calib_s", 0) > 0 and new_doc.get("calib_s", 0) > 0:
-        calib = new_doc["calib_s"] / old_doc["calib_s"]
+        cpu_drift = new_doc["calib_s"] / old_doc["calib_s"]
         print(f"calib_s old {old_doc['calib_s']:.3f}  new "
-              f"{new_doc['calib_s']:.3f}  box drift {calib:.3f}x "
-              f"(per-query ratios below are divided by it)")
+              f"{new_doc['calib_s']:.3f}  cpu box drift {cpu_drift:.3f}x")
+    shuf_drift = cpu_drift
+    if (old_doc.get("calib_shuffle_s", 0) > 0
+            and new_doc.get("calib_shuffle_s", 0) > 0):
+        shuf_drift = new_doc["calib_shuffle_s"] / old_doc["calib_shuffle_s"]
+        print(f"calib_shuffle_s old {old_doc['calib_shuffle_s']:.3f}  new "
+              f"{new_doc['calib_shuffle_s']:.3f}  shuffle box drift "
+              f"{shuf_drift:.3f}x")
+    # A query normalizes by the shuffle probe when EITHER run planned an
+    # exchange for it (plan changes between runs shouldn't flip silently).
+    shuffley = set(old_doc.get("exchange_bearing", [])) \
+        | set(new_doc.get("exchange_bearing", []))
+
+    def drift(q):
+        return shuf_drift if q in shuffley else cpu_drift
+
     shared = sorted(set(old) & set(new))
-    ratios = sorted((new[q] / old[q] / calib, q) for q in shared if old[q] > 0)
+    ratios = sorted((new[q] / old[q] / drift(q), q)
+                    for q in shared if old[q] > 0)
     med = ratios[len(ratios) // 2][0] if ratios else float("nan")
-    print(f"shared {len(shared)}  old-only {len(set(old)-set(new))}  "
+    n_shuf = sum(1 for q in shared if q in shuffley)
+    print(f"shared {len(shared)} ({n_shuf} exchange-bearing)  "
+          f"old-only {len(set(old)-set(new))}  "
           f"new-only {len(set(new)-set(old))}")
     print(f"median calib-normalized ratio new/old: {med:.3f}")
     print("worst 10 regressions (ratio, new_s, old_s, query):")
