@@ -154,6 +154,170 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** THE END-TO-END PRETRAIN FLAGSHIP — the full curation DAG a real
+    * pretraining run ships, composed as one checkpointed chain:
+    *
+    *   raw → Gopher quality gate → exact dedup → MinHash-LSH near-dup
+    *   removal → benchmark decontamination (eval = doc_id % 11 ≡ 0,
+    *   ≥20% shingle overlap drops the train doc) → temperature mix
+    *   (τ=2 over langs) → BPE tokenizer TRAINED ON THE CURATED CORPUS
+    *   → per-doc tokenization → per-shard sequence packing (2048) →
+    *   90/5/5 split → dataset-card manifest.
+    *
+    * Every leg is the exact rule its standalone query pins
+    * ([[gopherRules]], [[graft.ext.Dedup.lshPairsOf]],
+    * [[graft.ext.Dedup.contamination]], [[temperatureMix]],
+    * [[bpeEncode]], [[packSequences]], [[trainSplit]]) — this query
+    * verifies that the STAGE BOUNDARIES compose: each survivor frame is
+    * localCheckpoint'ed once and feeds both its successor stage and the
+    * attrition funnel, so the corpus is scanned O(stages) times (each
+    * stage reads its predecessor's materialization, never re-derives the
+    * chain), not O(consumers).
+    *
+    * Output is one uniform manifest frame: the funnel section (docs
+    * surviving each stage), the per-(source, split) card (docs + BPE
+    * tokens), and the per-shard packing section (docs, tokens, packed
+    * 2048-token sequences). The oracle replays the ENTIRE DAG in one
+    * DuckDB query — quality predicate through BPE rounds to the packing
+    * window — so a drift in any stage's semantics fails the hash.
+    *
+    * At 100 TB: the chain is monotonically shrinking; the wide
+    * operations are the ones the standalone legs already bound (LSH
+    * band joins never broadcast the corpus, mix plan is a |langs|-row
+    * broadcast, BPE counts shuffle word TYPES only, packing windows are
+    * per-shard). Checkpoints at stage boundaries are exactly the
+    * persisted intermediate tables a production pipeline writes.
+    */
+  def e2ePretrain(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // Stage 1: Gopher quality gate (the gopherRules predicate).
+    val quality = raw
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_words"))
+      .withColumn("symr",
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double")
+          / length(col("text")))
+      .withColumn("alphar",
+        expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("double")
+          / col("n_words"))
+      .withColumn("n_stop",
+        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("long"))
+      .filter(col("n_words") >= 20 && col("n_words") <= 500
+        && col("mwl") >= 3.0 && col("mwl") <= 10.0 && col("symr") <= 0.1
+        && col("alphar") >= 0.8 && col("n_stop") >= 2L)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint()
+    // Stage 2: exact dedup — keep the smallest doc_id per md5(text).
+    val exact = quality
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint()
+    // Stage 3: near-dup removal (keep-smallest, the corpusClean policy).
+    val dupIds = Dedup.lshPairsOf(exact.select(col("doc_id"), col("text")))
+      .select(col("ib").as("doc_id")).distinct()
+    val neardup = exact.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // Stage 4: decontamination — eval docs come from the RAW table (the
+    // benchmark exists regardless of curation); survivors that ARE eval
+    // docs leave the corpus, and train docs sharing ≥ 20% of any eval
+    // doc's shingles leave too (the contamination() rule).
+    val ev = Dedup.shingledOf(raw.filter(col("doc_id") % Dedup.EVAL_MOD === 0))
+      .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
+        explode(col("shashes")).as("sh"))
+    val tr = Dedup.shingledOf(neardup.filter(col("doc_id") % Dedup.EVAL_MOD =!= 0))
+      .select(col("doc_id").as("tid"), explode(col("shashes")).as("sh"))
+    val contaminated = ev.join(tr, "sh")
+      .groupBy(col("tid"), col("eid"), col("en"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / col("en") >= 0.2)
+      .select(col("tid").as("doc_id")).distinct()
+    val decontam = neardup.filter(col("doc_id") % Dedup.EVAL_MOD =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // Stage 5: temperature mix (τ=2 over langs, the temperatureMix plan).
+    val counts = decontam.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("n_total"),
+      expr(
+        """aggregate(
+          |  transform(array_sort(collect_list(
+          |    struct(lang, sqrt(CAST(n_docs AS DOUBLE)) AS w))), x -> x.w),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("w_total"))
+    val th = counts.crossJoin(broadcast(tot))
+      .withColumn("target",
+        floor(sqrt(col("n_docs").cast("double")) / col("w_total")
+          * expr("CAST(n_total DIV 2 AS DOUBLE)")).cast("long"))
+      .withColumn("th",
+        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
+          * lit(10000.0)).cast("long"))
+      .select(col("lang"), col("th"))
+    val mixed = decontam
+      .join(broadcast(th), Seq("lang"))
+      .filter(expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 10000")
+        < col("th"))
+      .localCheckpoint()
+    // Stage 6: BPE tokenizer trained on the curated corpus; tokenize.
+    val (_, vocab) = bpeTrainOf(mixed)
+    val symCounts = vocab.select(col("w"), expr(
+      "size(filter(split(seg, concat(chr(1), chr(1))), x -> x != ''))")
+      .cast("long").as("n_sym"))
+    val docTokens = mixed
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("\u0001"))
+      .join(broadcast(symCounts), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("bpe_tokens"))
+    val docLevel = mixed.select(col("doc_id"), col("source"))
+      .join(docTokens, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("bpe_tokens"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint()
+    // Stage 7: per-shard sequence packing at 2048 tokens.
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shards = docLevel
+      .withColumn("shard", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 8"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (max(expr("start_tok DIV 2048")) + 1L).as("n_seqs"))
+    // Stage 8: 90/5/5 split → per-(source, split) manifest.
+    val manifest = docLevel
+      .withColumn("bucket",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    // Attrition funnel over the checkpointed stage frames.
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit("0_funnel").as("section"), lit(stage).as("k"),
+          col("n_docs"), lit(0L).as("n_tokens"), lit(0L).as("n_seqs"))
+    val funnel = cnt(raw, "00_raw")
+      .unionByName(cnt(quality, "01_quality"))
+      .unionByName(cnt(exact, "02_exact"))
+      .unionByName(cnt(neardup, "03_neardup"))
+      .unionByName(cnt(decontam, "04_decontam"))
+      .unionByName(cnt(mixed, "05_mixed"))
+    funnel
+      .unionByName(manifest.select(lit("1_manifest").as("section"),
+        concat_ws("/", col("source"), col("split")).as("k"),
+        col("n_docs"), col("n_tokens"), lit(0L).as("n_seqs")))
+      .unionByName(shards.select(lit("2_shards").as("section"),
+        concat(lit("shard_"), col("shard").cast("string")).as("k"),
+        col("n_docs"), col("n_tokens"), col("n_seqs")))
+      .orderBy(col("section"), col("k"))
+  }
+
   /** Filter-attrition funnel: the per-rule survivor/dropped report every
     * corpus-curation pipeline publishes alongside the cleaned data (which
     * rule costs how many documents). One full-scan aggregate computes ALL
@@ -1642,8 +1806,16 @@ object TextOps {
     * table) and [[bpeEncode]] (tokenization with those merges): returns
     * (merge table, final segmented word-type vocab).
     */
-  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    var words = Tables.documents(s, d)
+  private def bpeTrain(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpeTrainOf(Tables.documents(s, d))
+
+  /** [[bpeTrain]] over an arbitrary (text, …) frame — lets the e2e
+    * pretrain flagship train its tokenizer on the CURATED corpus rather
+    * than the raw table (the production ordering: clean first, then fit
+    * the tokenizer to what will actually be trained on).
+    */
+  private def bpeTrainOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    var words = docs
       .select(explode(split(lower(col("text")), " ")).as("w"))
       // the chr(1) sentinel below assumes no word contains \x01 — a word
       // carrying it would corrupt segmentation boundaries silently, so
@@ -2782,6 +2954,7 @@ object TextOps {
     "pipe_token_budget" -> tokenBudget,
     "pipe_curriculum" -> curriculum,
     "pipe_corpus_clean" -> corpusClean,
+    "pipe_e2e_pretrain" -> e2ePretrain,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
     "pipe_pack_bestfit" -> packBestFit,
@@ -2816,10 +2989,15 @@ object TextOps {
     * by the pipe_bpe_merges and pipe_bpe_encode oracles; w3 carries the
     * final segmented vocab, b1..b3 the learned merges.
     */
-  private def bpeTrainCtes: String =
+  private def bpeTrainCtes: String = bpeTrainCtesFor("documents")
+
+  /** [[bpeTrainCtes]] over an arbitrary source CTE — the oracle twin of
+    * [[bpeTrainOf]].
+    */
+  private def bpeTrainCtesFor(src: String): String =
     s"""vocab AS (
        |  SELECT w, COUNT(*) AS cnt
-       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM $src)
        |  WHERE len(w) > 0 AND NOT contains(w, chr(1)) GROUP BY w),
        |w0 AS (
        |  SELECT w, cnt,
@@ -4122,6 +4300,137 @@ object TextOps {
            |  stop_ratio
            |FROM clean WHERE doc_id NOT IN (SELECT ib FROM dups)
            |ORDER BY doc_id""".stripMargin,
+      "pipe_e2e_pretrain" ->
+        s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
+           |q AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT doc_id, text, lang, source,
+           |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS mwl,
+           |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+           |        / length(text) AS symr,
+           |      CAST(len(list_filter(string_split(lower(text), ' '),
+           |                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS alphar,
+           |      ${score("en")} AS n_stop
+           |    FROM documents) f
+           |  WHERE n_words >= 20 AND n_words <= 500 AND mwl >= 3.0
+           |    AND mwl <= 10.0 AND symr <= 0.1 AND alphar >= 0.8
+           |    AND n_stop >= 2),
+           |ex AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+           |    FROM q) g
+           |  WHERE doc_id = keep_id),
+           |${Dedup.shingCteFor("ex", "shing_e")},
+           |${Dedup.sigCteFor("shing_e", "sig_e")},
+           |${Dedup.bandCteFor("sig_e", "bands_e")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+           |  FROM bands_e a JOIN bands_e b
+           |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |dups AS (
+           |  SELECT DISTINCT ib FROM (
+           |    SELECT cand.ib,
+           |      CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+           |        / (len(sa.shashes) + len(sb.shashes)
+           |           - len(list_intersect(sa.shashes, sb.shashes))) AS j
+           |    FROM cand JOIN shing_e sa ON cand.ia = sa.doc_id
+           |              JOIN shing_e sb ON cand.ib = sb.doc_id) sc
+           |  WHERE j >= 0.5),
+           |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT ib FROM dups)),
+           |evdocs AS (SELECT doc_id, text FROM raw
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} = 0),
+           |${Dedup.shingCteFor("evdocs", "shing_ev")},
+           |trdocs AS (SELECT doc_id, text FROM nd
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} <> 0),
+           |${Dedup.shingCteFor("trdocs", "shing_tr")},
+           |contam AS (
+           |  SELECT DISTINCT tid FROM (
+           |    SELECT tr.tid, ev.eid, ev.en, COUNT(*) AS shared
+           |    FROM (SELECT doc_id AS eid, len(shashes) AS en,
+           |                 unnest(shashes) AS sh FROM shing_ev) ev
+           |    JOIN (SELECT doc_id AS tid, unnest(shashes) AS sh
+           |          FROM shing_tr) tr USING (sh)
+           |    GROUP BY 1, 2, 3) o
+           |  WHERE CAST(shared AS DOUBLE) / en >= 0.2),
+           |dc AS (SELECT * FROM nd WHERE doc_id % ${Dedup.EVAL_MOD} <> 0
+           |       AND doc_id NOT IN (SELECT tid FROM contam)),
+           |counts AS (SELECT lang, COUNT(*) AS n_docs FROM dc GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+           |        list_reduce(list_prepend(0.0,
+           |          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+           |          (acc, v) -> acc + v) AS w_total
+           |        FROM counts),
+           |th AS (SELECT lang,
+           |         CAST(floor(least(CAST(1 AS DOUBLE),
+           |           CAST(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / w_total
+           |                * CAST(n_total // 2 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+           |           / n_docs) * CAST(10000 AS DOUBLE)) AS BIGINT) AS th
+           |       FROM counts CROSS JOIN tot),
+           |mixed AS (
+           |  SELECT dc.* FROM dc JOIN th USING (lang)
+           |  WHERE ${duckHash("CAST(doc_id AS VARCHAR)")} % 10000 < th),
+           |${bpeTrainCtesFor("mixed")},
+           |vs AS (
+           |  SELECT w, CAST(len(list_filter(string_split(seg, chr(1)||chr(1)),
+           |                                 x -> x <> '')) AS BIGINT) AS n_sym
+           |  FROM w3),
+           |dw AS (
+           |  SELECT doc_id, w
+           |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |        FROM mixed) u
+           |  WHERE len(w) > 0 AND NOT contains(w, chr(1))),
+           |dtok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+           |         FROM dw JOIN vs USING (w) GROUP BY doc_id),
+           |doclevel AS (
+           |  SELECT m.doc_id, m.source,
+           |         CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens
+           |  FROM mixed m LEFT JOIN dtok d USING (doc_id)),
+           |pk AS (
+           |  SELECT shard, doc_id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      - n_tokens AS start_tok
+           |  FROM (SELECT doc_id, n_tokens,
+           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |        FROM doclevel) z),
+           |shards AS (
+           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |         CAST(MAX(start_tok // 2048) + 1 AS BIGINT) AS n_seqs
+           |  FROM pk GROUP BY shard),
+           |man AS (
+           |  SELECT source,
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS split,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+           |  FROM (SELECT source, n_tokens,
+           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+           |        FROM doclevel) z
+           |  GROUP BY 1, 2),
+           |funnel AS (
+           |  SELECT '00_raw' AS k, (SELECT COUNT(*) FROM raw) AS n
+           |  UNION ALL SELECT '01_quality', (SELECT COUNT(*) FROM q)
+           |  UNION ALL SELECT '02_exact', (SELECT COUNT(*) FROM ex)
+           |  UNION ALL SELECT '03_neardup', (SELECT COUNT(*) FROM nd)
+           |  UNION ALL SELECT '04_decontam', (SELECT COUNT(*) FROM dc)
+           |  UNION ALL SELECT '05_mixed', (SELECT COUNT(*) FROM mixed))
+           |SELECT section, k, n_docs, n_tokens, n_seqs FROM (
+           |  SELECT '0_funnel' AS section, k, CAST(n AS BIGINT) AS n_docs,
+           |         CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_seqs
+           |  FROM funnel
+           |  UNION ALL
+           |  SELECT '1_manifest', source || '/' || split, n_docs, n_tokens,
+           |         CAST(0 AS BIGINT)
+           |  FROM man
+           |  UNION ALL
+           |  SELECT '2_shards', 'shard_' || CAST(shard AS VARCHAR), n_docs,
+           |         n_tokens, n_seqs
+           |  FROM shards) out
+           |ORDER BY section, k""".stripMargin,
       "pipe_pack_sequences" ->
         s"""WITH toks AS (
            |  SELECT doc_id,
