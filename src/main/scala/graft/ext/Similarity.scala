@@ -1404,8 +1404,15 @@ object Similarity {
     * build and served to every query batch (ExtensionSpec pins the
     * parquet round-trip: serving from reloaded codes ≡ end-to-end).
     */
-  private[graft] def pqEncode(s: SparkSession, d: String): DataFrame = {
-    val sub = pqCodebook(s, d)
+  private[graft] def pqEncode(s: SparkSession, d: String): DataFrame =
+    pqEncodeWith(quantized(s, d).filter(col("vec_id") >= 5), pqCodebook(s, d))
+
+  /** [[pqEncode]] over an arbitrary pre-quantized frame with an explicit
+    * codebook — the form the INCREMENTAL index path uses to encode a new
+    * vector batch against frozen codebook entries.
+    */
+  private def pqEncodeWith(qv: DataFrame,
+      sub: (Int, Int) => String): DataFrame = {
     // per-subspace argmin fold over the 16 codebook entries (strictly
     // better replaces → ties keep the smaller code, same rule as assign)
     def codeExpr(m: Int): String = {
@@ -1419,8 +1426,7 @@ object Similarity {
     }
     val mcStructs = (0 until PQ_M).map(m =>
       s"struct($m AS m, ${codeExpr(m)} AS c)").mkString("array(", ", ", ")")
-    quantized(s, d).filter(col("vec_id") >= 5)
-      .select(col("vec_id"), explode(expr(mcStructs)).as("mc"))
+    qv.select(col("vec_id"), explode(expr(mcStructs)).as("mc"))
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.c").as("c"))
   }
 
@@ -1896,6 +1902,175 @@ object Similarity {
     (centDir.toString, assignDir.toString)
   }
 
+  // ------------------------------------------------------------------
+  // INCREMENTAL index maintenance: append a vector batch to the
+  // persisted IVF+PQ store WITHOUT retraining.
+  // ------------------------------------------------------------------
+
+  /** The held-out "new batch" predicate: arrives AFTER the base index is
+    * built. vec_id ≥ 20 keeps the deterministic training inits (Lloyd
+    * seeds vec_id < 10, PQ codebook vec_id < 16) and the query set
+    * (vec_id < 5) inside the base corpus.
+    */
+  private[graft] val IncNewPred = "vec_id >= 20 AND vec_id % 10 = 9"
+
+  /** Codebook-subvector literal accessor from collected (vec_id, iv)
+    * rows — shared by the in-plan, store-loaded, and incremental paths.
+    */
+  private def codebookSubOf(
+      rows: Array[(Long, Seq[Long])]): (Int, Int) => String = {
+    require(rows.length == PQ_KS,
+      s"codebook has ${rows.length} entries, expected $PQ_KS")
+    (m: Int, c: Int) =>
+      rows(c)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        .map(v => s"${v}L").mkString("array(", ",", ")")
+  }
+
+  private def loadCodebookSub(s: SparkSession,
+      dir: String): (Int, Int) => String =
+    codebookSubOf(s.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1))
+
+  /** Committed-manifest plumbing (the KvSink discipline in miniature):
+    * a version file lists the live batch directories; commit is a
+    * `Files.createLink` of a fully-written temp file onto the next
+    * version name — atomic, and a CAS (the link FAILS if a concurrent
+    * writer claimed the version first), so readers only ever see a
+    * complete batch list and old batch files are never rewritten.
+    */
+  private def commitManifest(dir: java.io.File, version: Int,
+      batches: Seq[String]): Unit = {
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, s".tmp_v${version}_${System.nanoTime}")
+    java.nio.file.Files.writeString(tmp.toPath, batches.mkString("\n"))
+    java.nio.file.Files.createLink(
+      new java.io.File(dir, f"v$version%05d.txt").toPath, tmp.toPath)
+    tmp.delete()
+  }
+
+  private def readManifest(dir: java.io.File): Option[Seq[String]] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("v\\d{5}\\.txt")).sortBy(_.getName)
+      .lastOption
+      .map(f => java.nio.file.Files.readString(f.toPath)
+        .split("\n").toSeq.filter(_.nonEmpty))
+
+  private[graft] def ivfpqIncRoot(s: SparkSession, d: String): java.io.File = {
+    val emb = new java.io.File(s"$d/embeddings.parquet")
+    val fpSrc =
+      s"$d|${emb.length}|${emb.lastModified}|ivfpq_inc|$QSCALE|$PQ_M|$PQ_KS"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(fpSrc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivfpq_inc_$fp")
+  }
+
+  /** Build the BASE index if absent: centroids trained (Lloyd) on the
+    * base corpus only, codebook from the deterministic first-KS init,
+    * base assignment + codes written as `batch_00000`, manifest v0
+    * committed.
+    */
+  private[graft] def ivfpqIncEnsureBase(s: SparkSession,
+      d: String): java.io.File = {
+    val root = ivfpqIncRoot(s, d)
+    val man = new java.io.File(root, "manifest")
+    if (readManifest(man).isEmpty) {
+      val qvb = quantizedOf(
+        Tables.embeddings(s, d).filter(expr(s"NOT ($IncNewPred)")))
+        .localCheckpoint()
+      val cent = trainedCentroids(s, qvb)
+      cent.write.mode("overwrite")
+        .parquet(new java.io.File(root, "centroids").toString)
+      qvb.filter(col("vec_id") < PQ_KS).write.mode("overwrite")
+        .parquet(new java.io.File(root, "codebook").toString)
+      val corpus0 = qvb.filter(col("vec_id") >= 5)
+      val sub = loadCodebookSub(s, new java.io.File(root, "codebook").toString)
+      assign(corpus0, cent).select(col("vec_id"), col("cid").as("bucket"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(root, "assign/batch_00000").toString)
+      pqEncodeWith(corpus0, sub).write.mode("overwrite")
+        .parquet(new java.io.File(root, "codes/batch_00000").toString)
+      commitManifest(man, 0, Seq("batch_00000"))
+    }
+    root
+  }
+
+  /** The incremental act: append the new batch to the persisted store
+    * WITHOUT retraining. New vectors are assigned to the FROZEN stored
+    * centroids and encoded against the FROZEN stored codebook; their
+    * assignment and codes land in NEW files (`batch_00001`), and the
+    * manifest advances by one committed version. `batch_00000`'s files
+    * are never opened for write (ExtensionSpec pins their size+mtime
+    * across the append).
+    */
+  private[graft] def ivfpqIncAppend(s: SparkSession,
+      d: String): java.io.File = {
+    val root = ivfpqIncEnsureBase(s, d)
+    val man = new java.io.File(root, "manifest")
+    val cur = readManifest(man).get
+    if (!cur.contains("batch_00001")) {
+      val cent = s.read.parquet(new java.io.File(root, "centroids").toString)
+      val sub = loadCodebookSub(s, new java.io.File(root, "codebook").toString)
+      val newQ = quantizedOf(Tables.embeddings(s, d).filter(expr(IncNewPred)))
+        .localCheckpoint()
+      assign(newQ, cent).select(col("vec_id"), col("cid").as("bucket"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(root, "assign/batch_00001").toString)
+      pqEncodeWith(newQ, sub).write.mode("overwrite")
+        .parquet(new java.io.File(root, "codes/batch_00001").toString)
+      commitManifest(man, 1, cur :+ "batch_00001")
+    }
+    root
+  }
+
+  /** Serve the query batch from the INCREMENTALLY-EXTENDED store: load
+    * the committed manifest, union every live batch's assignment and
+    * codes (the inverted lists + code table now cover base ∪ appended),
+    * and run the standard probe → ADC → re-rank tail against the frozen
+    * centroids/codebook.
+    *
+    * The frozen-training contract is the point: an incremental append
+    * answers queries EXACTLY as a one-shot index built over the union
+    * with the same training data would (spec-pinned row identity vs
+    * [[ivfpqIncRebuild]]) — the append mechanics (new files, manifest
+    * commit, multi-batch read) change nothing about results. Retraining
+    * on the union is a DIFFERENT index by design; production runs it as
+    * a periodic rebuild when [[ivfBalance]]/[[pqDistortion]] drift, with
+    * this append path absorbing growth in between.
+    *
+    * At 100 TB: the append touches only the new batch (assign is a
+    * broadcast-centroid fold, encode a per-row argmin — the base corpus
+    * is never read), and serving reads the union of skinny batch files
+    * exactly like a FAISS IndexShards/Iceberg table reads its manifests.
+    */
+  def ivfpqIncServe(s: SparkSession, d: String): DataFrame = {
+    val root = ivfpqIncAppend(s, d)
+    val man = readManifest(new java.io.File(root, "manifest")).get
+    def unionOf(kind: String): DataFrame = man
+      .map(b => s.read.parquet(new java.io.File(root, s"$kind/$b").toString))
+      .reduce(_.unionByName(_))
+    val cent = s.read.parquet(new java.io.File(root, "centroids").toString)
+    val sub = loadCodebookSub(s, new java.io.File(root, "codebook").toString)
+    ivfpqServe(s, d, cent, unionOf("assign"), unionOf("codes"), sub)
+  }
+
+  /** The from-scratch parity twin: one-shot assign+encode of the UNION
+    * corpus against the same frozen base-trained centroids/codebook, no
+    * store involved. ExtensionSpec pins row identity with
+    * [[ivfpqIncServe]].
+    */
+  private[graft] def ivfpqIncRebuild(s: SparkSession, d: String): DataFrame = {
+    val qvb = quantizedOf(
+      Tables.embeddings(s, d).filter(expr(s"NOT ($IncNewPred)")))
+      .localCheckpoint()
+    val cent = trainedCentroids(s, qvb)
+    val sub = codebookSubOf(qvb.filter(col("vec_id") < PQ_KS).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1))
+    val all = quantized(s, d).filter(col("vec_id") >= 5)
+    ivfpqServe(s, d, cent,
+      assign(all, cent).select(col("vec_id"), col("cid").as("bucket")),
+      pqEncodeWith(all, sub), sub)
+  }
+
   /** Exact full-dimension integer L2 top-10 on the same quantized grid —
     * the baseline that isolates PQ's quantization loss from any metric
     * mismatch (ExtensionSpec recall pin; not registered as a query).
@@ -2162,6 +2337,7 @@ object Similarity {
     "sim_pq_serve" -> pqServeFromStore,
     "sim_graph_ann" -> graphAnn,
     "sim_ivfpq_serve" -> ivfpqServeFromStore,
+    "sim_ivfpq_append" -> ivfpqIncServe,
     "sim_pq_distortion" -> pqDistortion,
     "sim_sq8_topk" -> sq8TopK,
     "sim_mmr" -> mmrRerank,
@@ -2204,13 +2380,21 @@ object Similarity {
     * converges to bit-identical centroids. Iterations are unrolled as
     * CTEs. Shared by the trained-IVF and SemDeDup oracles.
     */
-  private def ivfAssignCtes: String = {
+  private def ivfAssignCtes: String = ivfAssignCtesWhere("TRUE")
+
+  /** [[ivfAssignCtes]] with the Lloyd TRAINING iterations restricted to
+    * `trainWhere` (the final `assigned` still covers every vector) —
+    * the oracle twin of the incremental path's frozen base-trained
+    * centroids.
+    */
+  private def ivfAssignCtesWhere(trainWhere: String): String = {
     val iters = (1 to ITERS).map { k =>
       s"""assign$k AS (SELECT vec_id, iv, cid FROM (
          |  SELECT q.vec_id, q.iv, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY ${duckCosID("q.iv", "c.cv")} DESC, c.cid) AS arn
-         |  FROM qv q CROSS JOIN cent${k - 1} c) WHERE arn = 1),
+         |  FROM qv q CROSS JOIN cent${k - 1} c
+         |  WHERE $trainWhere) WHERE arn = 1),
          |cent$k AS (
          |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
          |    SELECT cid, pos, CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
@@ -2489,8 +2673,14 @@ object Similarity {
     * composed with the PQ encode/table/ADC replay, candidates restricted
     * to each query's NPROBE probed buckets.
     */
-  private def ivfpqOracle: String =
-    s"""WITH $ivfAssignCtes,
+  private def ivfpqOracle: String = ivfpqOracleWhere("TRUE")
+
+  /** [[ivfpqOracle]] with Lloyd training restricted to `trainWhere` —
+    * replays the incremental store's frozen-training contract (assign
+    * and encode still cover the full union).
+    */
+  private def ivfpqOracleWhere(trainWhere: String): String =
+    s"""WITH ${ivfAssignCtesWhere(trainWhere)},
        |pqcb AS (SELECT vec_id AS c, iv AS cv FROM qv WHERE vec_id < $PQ_KS),
        |ms AS (SELECT unnest([${(0 until PQ_M).mkString(", ")}]) AS m),
        |enc AS (
@@ -2694,6 +2884,7 @@ object Similarity {
          |FROM f QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sim_ivfpq_topk" -> ivfpqOracle,
     "sim_ivfpq_serve" -> ivfpqOracle,
+    "sim_ivfpq_append" -> ivfpqOracleWhere(s"NOT ($IncNewPred)"),
     "sim_pq_topk" -> pqOracle,
     "sim_rq_topk" -> rqOracle,
     "sim_hamming_topk" ->

@@ -206,6 +206,47 @@ class ExtensionSpec extends AnyFunSuite {
       "stored codes must fully determine the answers")
   }
 
+  test("incremental IVF+PQ append: old batch files untouched, probe ≡ frozen-training rebuild") {
+    // Fresh store: the root is fingerprinted by corpus identity, so a
+    // prior run's store would skip the build — delete it first.
+    val root = ext.Similarity.ivfpqIncRoot(spark, sf)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+      f.delete()
+    }
+    rmrf(root)
+    ext.Similarity.ivfpqIncEnsureBase(spark, sf)
+    def snap(kind: String): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(root, s"$kind/batch_00000")
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+    }
+    val codesBefore = snap("codes")
+    val assignBefore = snap("assign")
+    assert(codesBefore.nonEmpty && assignBefore.nonEmpty)
+    ext.Similarity.ivfpqIncAppend(spark, sf)
+    // the incremental contract, half 1: base files are never rewritten —
+    // the new batch lands ONLY in new files plus a new manifest version
+    assert(snap("codes") == codesBefore,
+      "append must not rewrite the base codes files")
+    assert(snap("assign") == assignBefore,
+      "append must not rewrite the base assignment files")
+    assert(new java.io.File(root, "codes/batch_00001").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    assert(new java.io.File(root, "manifest/v00001.txt").exists())
+    // half 2: probe-result identity — serving from the incrementally-
+    // extended store answers exactly like a one-shot frozen-training
+    // index built over the union (the append mechanics change nothing)
+    val inc = ext.Similarity.ivfpqIncServe(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val reb = ext.Similarity.ivfpqIncRebuild(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty)
+    assert(inc == reb,
+      "incremental append must answer exactly like the frozen-training rebuild")
+  }
+
   test("DF_CAP pressure: hot shingles are pruned, misses obey the shared-prefix-capped bound, candidate volume collapses") {
     import spark.implicits._
     // Fixture built to push shingle df ABOVE the cap (the synthetic
