@@ -752,6 +752,79 @@ object CoreOps {
     s.table("graft_cat.ns.pmerge").orderBy(col("k"))
   }
 
+  /** S20 — table-level CHECK constraints ENFORCED AT WRITE on the V2
+    * catalog (the Delta-style write-time contract; the QC suite audits
+    * after the fact — this refuses bad data before it lands):
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` stores the
+    * constraint on [[graft.sources.MemTable]] and the table REPORTS it
+    * through `constraints()`, so Spark's ResolveTableConstraints rule
+    * wraps every subsequent write — plain INSERT and MERGE's ReplaceData
+    * alike — in CheckInvariant guards that throw on the first violating
+    * row. The write's tasks fail BEFORE any commit message reaches the
+    * table, so a violating statement aborts ATOMICALLY: no partial
+    * commit even when most of its rows were clean (SourceSinkSpec pins
+    * abort + no-partial-visibility + clean-write-lands).
+    *
+    * The query drives the full lifecycle: constrain → clean seed lands
+    * → violating append aborts whole → clean MERGE lands → violating
+    * MERGE aborts whole → final state. The oracle replays only the
+    * committed statements (seed + MERGE desugared to LEFT JOIN ∪ ANTI
+    * JOIN); the aborted ones must contribute NOTHING, which is exactly
+    * what the hash compare verifies.
+    *
+    * At 100 TB: the guard is a per-row predicate inside the write
+    * projection (no extra scan, no shuffle); abort cost is the failed
+    * task's, and atomicity is the V2 commit protocol's — same as here.
+    */
+  def constrainedMerge(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.ns.acct")
+    s.sql("CREATE TABLE graft_cat.ns.acct (k BIGINT, name STRING, bal DECIMAL(12,2))")
+    s.sql("ALTER TABLE graft_cat.ns.acct ADD CONSTRAINT bal_nonneg CHECK (bal >= 0)")
+    s.sql("ALTER TABLE graft_cat.ns.acct ADD CONSTRAINT k_present CHECK (k IS NOT NULL)")
+    // clean seed: balances clamped non-negative — lands
+    Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("CAST(greatest(c_acctbal, 0) AS DECIMAL(12,2))").as("bal"))
+      .createOrReplaceTempView("acct_seed")
+    s.sql("INSERT INTO graft_cat.ns.acct SELECT * FROM acct_seed")
+    // violating append: raw TPC-H balances go negative — the whole
+    // statement must abort (its clean rows too)
+    Tables.customer(s, d)
+      .filter(col("c_custkey") > 1000 && col("c_custkey") <= 1100)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("CAST(c_acctbal AS DECIMAL(12,2))").as("bal"))
+      .createOrReplaceTempView("acct_bad_append")
+    val appendAborted =
+      try { s.sql("INSERT INTO graft_cat.ns.acct SELECT * FROM acct_bad_append"); false }
+      catch { case _: Exception => true }
+    require(appendAborted, "violating append must abort")
+    // clean MERGE through the constrained table — lands
+    Tables.customer(s, d)
+      .filter(col("c_custkey") >= 500 && col("c_custkey") <= 1500)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"),
+        expr("CAST(greatest(c_acctbal, 0) AS DECIMAL(12,2))").as("bal"))
+      .createOrReplaceTempView("acct_updates")
+    s.sql(
+      """MERGE INTO graft_cat.ns.acct t USING acct_updates s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
+        |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
+        |""".stripMargin)
+    // violating MERGE: pushes every matched balance below zero — aborts
+    val mergeAborted =
+      try {
+        s.sql(
+          """MERGE INTO graft_cat.ns.acct t USING acct_updates s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET t.bal = CAST(-1 AS DECIMAL(12,2))
+            |""".stripMargin)
+        false
+      } catch { case _: Exception => true }
+    require(mergeAborted, "violating MERGE must abort")
+    // No raw DECIMAL on the verified surface (see mergeInto); exact cast.
+    s.table("graft_cat.ns.acct")
+      .withColumn("bal", col("bal").cast("double")).orderBy(col("k"))
+  }
+
   /** S18 — SCHEMA EVOLUTION at the catalog, composed with row-level
     * SQL: ADD COLUMNS is a pure metadata operation on
     * [[graft.sources.MemCatalog]] (zero data IO — the spec proves the
@@ -893,6 +966,7 @@ object CoreOps {
     "s12_change_feed" -> changeFeed,
     "s13_partitioned_sink" -> partitionedSink,
     "s12_merge_into" -> mergeInto,
+    "s20_constrained_merge" -> constrainedMerge,
     "s12_update_delete" -> sqlUpdateDelete,
     "s12_merge_mor" -> mergeMor,
     "s12_upddel_mor" -> upddelMor,
@@ -981,6 +1055,25 @@ object CoreOps {
     "s12_upddel_mor" -> updDelOracle,
     "s12_update_delete" -> updDelOracle,
     "s12_merge_into" -> mergeOracle,
+    "s20_constrained_merge" ->
+      """WITH target AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |         CAST(greatest(c_acctbal, 0) AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_custkey <= 1000),
+        |source AS (
+        |  SELECT c_custkey AS k, c_name AS name,
+        |         CAST(greatest(c_acctbal, 0) AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
+        |merged AS (
+        |  SELECT t.k,
+        |         COALESCE(s.name, t.name) AS name,
+        |         COALESCE(s.bal, t.bal) AS bal
+        |  FROM target t LEFT JOIN source s ON t.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.name, s.bal
+        |  FROM source s ANTI JOIN target t ON t.k = s.k)
+        |SELECT k, name, CAST(bal AS DOUBLE) AS bal
+        |FROM merged ORDER BY k""".stripMargin,
     "s18_alter_evolution" ->
       """WITH old AS (
         |  SELECT c_custkey AS k, c_name AS name, CAST(NULL AS DOUBLE) AS bal

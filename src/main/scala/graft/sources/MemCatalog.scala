@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableCatalogCapability, TableChange}
+import org.apache.spark.sql.connector.catalog.constraints.Constraint
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -100,11 +101,20 @@ class MemCatalog extends TableCatalog {
         require(ren.fieldNames().length == 1,
           "only top-level RENAME COLUMN is supported")
         t.evolveRename(ren.fieldNames()(0), ren.newName())
+      case ac: TableChange.AddConstraint =>
+        t.addConstraint(ac.constraint())
+      case dc: TableChange.DropConstraint =>
+        t.dropConstraint(dc.name(), dc.ifExists())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: $other")
     }
     t
   }
+  // Advertise ALTER TABLE ... ADD CONSTRAINT support (the analyzer
+  // refuses the statement against catalogs that don't declare it).
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def dropTable(ident: Identifier): Boolean =
     MemCatalog.store.remove(ident) != null
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -228,6 +238,32 @@ class MemTable(ident: Identifier, initialSchema: StructType,
   @volatile private[graft] var physIdx: Map[String, Int] =
     initialSchema.fieldNames.zipWithIndex.toMap
   @volatile private[graft] var physWidth: Int = initialSchema.length
+
+  /** Table-level constraints (the Delta-style WRITE-TIME contract):
+    * stored here, REPORTED through [[constraints]], and enforced by the
+    * engine — Spark's ResolveTableConstraints rule wraps every V2 write
+    * against this table (append, overwrite, MERGE's ReplaceData, MOR's
+    * WriteDelta) in CheckInvariant guards that throw on the first
+    * violating row, so the write's tasks fail BEFORE any commit message
+    * reaches [[MemBatchWrite.commit]] — atomic abort, no partial
+    * visibility (SourceSinkSpec pins both halves).
+    */
+  @volatile private var tableConstraints: Seq[Constraint] = Seq.empty
+
+  private[graft] def addConstraint(c: Constraint): Unit = synchronized {
+    require(!tableConstraints.exists(_.name() == c.name()),
+      s"constraint ${c.name()} already exists")
+    tableConstraints :+= c
+  }
+
+  private[graft] def dropConstraint(name: String, ifExists: Boolean): Unit =
+    synchronized {
+      require(ifExists || tableConstraints.exists(_.name() == name),
+        s"no such constraint: $name")
+      tableConstraints = tableConstraints.filterNot(_.name() == name)
+    }
+
+  override def constraints(): Array[Constraint] = tableConstraints.toArray
 
   private[graft] def evolveAdd(f: StructField): Unit = synchronized {
     require(!tableSchema.fieldNames.contains(f.name),

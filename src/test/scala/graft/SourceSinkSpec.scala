@@ -528,6 +528,46 @@ class SourceSinkSpec extends AnyFunSuite {
       s"MERGE diverged from the upsert twin: $got vs $twin")
   }
 
+  test("CHECK constraints: violating writes abort whole, clean writes land, DROP re-permits") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.cons")
+    spark.sql("CREATE TABLE graft_cat.ns.cons (k BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE graft_cat.ns.cons ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    // clean write lands
+    spark.sql("INSERT INTO graft_cat.ns.cons VALUES (1, 10), (2, 20)")
+    assert(spark.table("graft_cat.ns.cons").count() == 2)
+    // violating append aborts ATOMICALLY: the batch's clean rows (3, 30)
+    // and (5, 50) must not land either — no partial visibility
+    val before = spark.table("graft_cat.ns.cons").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_cat.ns.cons VALUES (3, 30), (4, -1), (5, 50)")
+    }
+    val after = spark.table("graft_cat.ns.cons").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before, s"violating append leaked rows: $after")
+    // violating MERGE aborts whole too (ReplaceData path)
+    Seq((1L, -5L), (9L, 90L)).toDF("k", "v").createOrReplaceTempView("cons_upd")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_cat.ns.cons t USING cons_upd s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+    assert(spark.table("graft_cat.ns.cons").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == before,
+      "violating MERGE must leave the table untouched (clean insert row too)")
+    // duplicate constraint name is refused; DROP CONSTRAINT re-permits
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.cons ADD CONSTRAINT v_pos CHECK (v >= 10)")
+    }
+    spark.sql("ALTER TABLE graft_cat.ns.cons DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO graft_cat.ns.cons VALUES (4, -1)")
+    assert(spark.table("graft_cat.ns.cons").count() == 3,
+      "after DROP CONSTRAINT the formerly-violating write must land")
+  }
+
   test("OPTIMIZE: file count drops, snapshots hash-identical, clustered ranges disjoint") {
     import TestSpark.{sf, spark}
     val out = java.nio.file.Files.createTempDirectory("graft_kv_optspec").toString
