@@ -206,6 +206,50 @@ class ExtensionSpec extends AnyFunSuite {
       "stored codes must fully determine the answers")
   }
 
+  test("politeness sessionized fold: exact vs reference bucket, hot domain trips the cap loudly") {
+    import spark.implicits._
+    // hot domain: 60 requests spaced 5ms apart (gap < cap=30 ⇒ ONE busy
+    // session); polite domain: bursts of 4 separated by ≥cap idle gaps
+    // (sessionizes into 5 sessions, bucket provably refills at each gap)
+    val delay = 10L
+    val hot = (0 until 60).map(i => ("h.hot.com", "hot.com", delay, i * 5L))
+    val polite = (0 until 20).map { i =>
+      ("w.nice.com", "nice.com", delay, (i / 4) * 1000L + (i % 4) * 5L)
+    }
+    val reqs = (hot ++ polite).toDF("host", "reg_domain", "delay_ms", "t")
+    // reference: the literal token bucket, one pass per domain
+    def bucket(ts: Seq[Long]): Long = {
+      val cap = 3 * delay
+      var credits = cap; var last = ts.head; var viol = 0L
+      ts.foreach { t =>
+        val refill = math.min(cap, credits + (t - last))
+        if (refill >= delay) credits = refill - delay
+        else { credits = refill; viol += 1 }
+        last = t
+      }
+      viol
+    }
+    val got = ext.Dedup.crawlPolitenessOf(reqs, sessionCap = 1 << 20)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val want = Map(
+      "hot.com" -> bucket(hot.map(_._4).sorted),
+      "nice.com" -> bucket(polite.map(_._4).sorted))
+    assert(got == want,
+      s"sessionized fold diverged from the reference bucket: $got vs $want")
+    assert(want("hot.com") > 0 && want("nice.com") == 0,
+      "fixture must exercise both served and violating traffic")
+    // the documented bound: a busy session larger than the cap fails the
+    // plan loudly instead of silently collecting an unbounded array
+    val e = intercept[Exception] {
+      ext.Dedup.crawlPolitenessOf(reqs, sessionCap = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("politeness")),
+      s"expected the politeness cap message, got: ${messages(e)}")
+  }
+
   test("incremental IVF+PQ append: old batch files untouched, probe ≡ frozen-training rebuild") {
     // Fresh store: the root is fingerprinted by corpus identity, so a
     // prior run's store would skip the build — delete it first.

@@ -757,18 +757,26 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.mor.pord")
   }
 
-  test("crawl politeness: one shuffle at domain grain, pruned scan, fold not window") {
+  test("crawl politeness: one shuffle at domain grain, pruned scan, bounded sessions") {
     val p = planAtScale("dd_crawl_politeness")
     // the scan reads exactly the two columns the simulation needs
     assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"),
       "scan must prune to (ts, user_id):\n" + p.take(1200))
-    // the token bucket is an aggregate() fold over the collected list,
-    // never a per-request window
-    assert(!p.contains("Window"), "politeness must not window raw requests")
-    // shuffles: the domain-grain groupBy plus the deterministic tail sort
+    // sessionization windows at domain grain: lag (row frame [-1,-1])
+    // and the running session count (unbounded-preceding frame) plan as
+    // two Window nodes over the SAME partitioning and sort — sort-based,
+    // spillable, the boundedness mechanism, and zero extra exchanges;
+    // the token bucket itself stays an aggregate() fold over each
+    // session's bounded list
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2,
+      s"expected exactly the two sessionization windows, got $windows:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // shuffles: the domain-grain exchange (window + session groupBy +
+    // domain rollup all reuse it) plus the deterministic tail sort
     val exchanges = p.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("Reused"))
-    assert(exchanges <= 2, s"expected domain groupBy + final sort only, got:\n" +
+    assert(exchanges <= 2, s"expected domain exchange + final sort only, got:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
