@@ -1902,6 +1902,156 @@ object Multimodal {
       .orderBy(col("zip_id"), col("entry_idx"))
   }
 
+  /** SAFETENSORS CONTAINER ROUND-TRIP — the tensor-interchange leg of
+    * the container family ([[tarEntries]]/[[zipEntries]]' build→parse→
+    * verify discipline pointed at the format checkpoints and activation
+    * dumps actually ship in): each file is the real safetensors layout —
+    * an 8-byte little-endian u64 header length, a JSON header mapping
+    * tensor names to {dtype, shape, data_offsets} (plus `__metadata__`),
+    * space-padded to 8-byte alignment, then the raw tensor payload the
+    * offsets index into. Tensors are I64 rows of the quantized embedding
+    * grid (biased +2²⁰ so every stored word is positive — exact, and
+    * keeps both engines' hex→int casts inside signed range), truncated
+    * to 32/48/64 elements so the offset arithmetic is non-trivial.
+    *
+    * The parse side reads ONLY the file hex: header length word → JSON
+    * slice → per-tensor dtype/shape/data_offsets (Spark `from_json` as a
+    * map; the oracle walks `json_keys` + dynamic-path extracts — two
+    * independent JSON readers agreeing on the same header), then
+    * VERIFIES the geometry the way the reference safetensors loader
+    * does: byte span = Πshape × 8 (`size_ok`), spans tile the payload
+    * contiguously from 0 (`contiguous`, lag window over begins) and
+    * cover it exactly (`payload_covered`), header padding 8-aligned.
+    * A malformed length word (header overrunning the file) fails the
+    * plan LOUDLY via raise_error instead of decoding garbage
+    * (ExtensionSpec corrupts one and pins the refusal). The decoded
+    * slice cross-check is genuine: first/last elements decode from the
+    * payload bytes and must equal the SOURCE embedding's quantized
+    * values (`slice_ok` joins back to the embeddings table).
+    *
+    * At 100 TB: files parallelize perfectly (header walk is per-row
+    * expression work, payloads never shuffle — digests and two decoded
+    * words flow on); this is exactly how a training job validates a
+    * sharded checkpoint directory before trusting it.
+    */
+  def safetensors(s: SparkSession, d: String): DataFrame = {
+    val BIAS = 1L << 20
+    // little-endian 8-byte hex writer/reader over the hex plane
+    def le8(e: String) = (0 until 8)
+      .map(i => s"substr(lpad(hex($e), 16, '0'), ${15 - 2 * i}, 2)")
+      .mkString("concat(", ", ", ")")
+    def pairAt(off: String) = s"substr(st, CAST(($off) * 2 + 1 AS INT), 2)"
+    def le8At(off: String) = s"CAST(conv(concat(${(0 until 8).reverse
+      .map(i => pairAt(s"($off) + $i")).mkString(", ")}), 16, 10) AS BIGINT)"
+    // --- build side ----------------------------------------------------
+    val tensors = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("vec_id DIV 8").as("st_id"),
+        expr(s"""transform(
+           |  slice(embedding, 1, CAST(32 + (vec_id % 3) * 16 AS INT)),
+           |  x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT) + $BIAS)"""
+          .stripMargin).as("iv"))
+      .withColumn("n", expr("CAST(size(iv) AS BIGINT)"))
+      .withColumn("nbytes", expr("n * 8"))
+      .withColumn("data_hex",
+        expr(s"array_join(transform(iv, v -> ${le8("v")}), '')"))
+    val wSt = Window.partitionBy(col("st_id")).orderBy(col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = tensors
+      .withColumn("begin", coalesce(sum(col("nbytes")).over(wSt), lit(0L)))
+      .withColumn("hdr_frag", expr(
+        """concat('"emb', CAST(vec_id AS STRING), '":{"dtype":"I64","shape":[',
+          |  CAST(n AS STRING), '],"data_offsets":[', CAST(begin AS STRING),
+          |  ',', CAST(begin + nbytes AS STRING), ']}')""".stripMargin))
+    val files = placed.groupBy(col("st_id"))
+      .agg(
+        expr("""concat('{"__metadata__":{"writer":"graft"},',
+          |  array_join(transform(array_sort(collect_list(
+          |    struct(vec_id, hdr_frag))), x -> x.hdr_frag), ','), '}')"""
+          .stripMargin).as("hdr"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(vec_id, data_hex))), x -> x.data_hex), '')").as("payload"))
+      .withColumn("pad", expr("(8 - octet_length(hdr) % 8) % 8"))
+      .withColumn("hlen", expr("CAST(octet_length(hdr) + pad AS BIGINT)"))
+      .withColumn("st", expr(
+        s"concat(${le8("hlen")}, hex(hdr), repeat('20', pad), payload)"))
+      .select(col("st_id"), col("st"))
+      // build once; the parse fan-out below reads only `st`
+      .localCheckpoint()
+    safetensorsParse(s, d, files)
+  }
+
+  /** The parse+verify tail of [[safetensors]] over an arbitrary
+    * (st_id, st) file frame — split out so the spec can feed it a file
+    * with a corrupted header length word and pin the loud refusal.
+    */
+  private[graft] def safetensorsParse(s: SparkSession, d: String,
+      files: DataFrame): DataFrame = {
+    val BIAS = 1L << 20
+    def pairAt(off: String) = s"substr(st, CAST(($off) * 2 + 1 AS INT), 2)"
+    def le8At(off: String) = s"CAST(conv(concat(${(0 until 8).reverse
+      .map(i => pairAt(s"($off) + $i")).mkString(", ")}), 16, 10) AS BIGINT)"
+    // --- parse side: everything below reads only `st` ------------------
+    val hdrs = files
+      .withColumn("file_bytes", expr("CAST(length(st) DIV 2 AS BIGINT)"))
+      .withColumn("hlen", expr(le8At("0")))
+      // malformed length word ⇒ the header "overruns" the file: refuse
+      // loudly rather than decode garbage offsets against a short payload
+      .withColumn("hlen", expr(
+        """CASE WHEN hlen + 8 <= file_bytes THEN hlen
+          |  ELSE CAST(raise_error(concat('safetensors: header length ',
+          |    CAST(hlen AS STRING), ' overruns the ',
+          |    CAST(file_bytes AS STRING), '-byte file ',
+          |    CAST(st_id AS STRING))) AS BIGINT) END""".stripMargin))
+      .withColumn("hdr",
+        expr("decode(unhex(substr(st, 17, CAST(hlen * 2 AS INT))), 'UTF-8')"))
+      .withColumn("pad_ok", expr("hlen % 8 = 0"))
+      .withColumn("payload_bytes", expr("file_bytes - 8 - hlen"))
+    val parsed = hdrs
+      .withColumn("m", expr(
+        """from_json(hdr, 'map<string, struct<dtype: string,
+          |  shape: array<bigint>, data_offsets: array<bigint>>>')"""
+          .stripMargin))
+      .select(col("st_id"), col("st"), col("hlen"), col("pad_ok"),
+        col("payload_bytes"), explode(col("m")).as(Seq("tname", "info")))
+      .filter(col("tname") =!= "__metadata__")
+      .withColumn("dtype", col("info.dtype"))
+      .withColumn("n_elems", expr(
+        "aggregate(info.shape, CAST(1 AS BIGINT), (a, v) -> a * v)"))
+      .withColumn("begin", expr("element_at(info.data_offsets, 1)"))
+      .withColumn("fin", expr("element_at(info.data_offsets, 2)"))
+    val wTile = Window.partitionBy(col("st_id")).orderBy(col("begin"))
+    val wFile = Window.partitionBy(col("st_id"))
+    val checked = parsed
+      .withColumn("size_ok", expr("fin - begin = n_elems * 8"))
+      .withColumn("contiguous",
+        col("begin") === coalesce(lag(col("fin"), 1).over(wTile), lit(0L)))
+      .withColumn("payload_covered",
+        max(col("fin")).over(wFile) === col("payload_bytes") &&
+          sum(col("fin") - col("begin")).over(wFile) === col("payload_bytes"))
+      .withColumn("v_first", expr(le8At("8 + hlen + begin")) - BIAS)
+      .withColumn("v_last", expr(le8At("8 + hlen + fin - 8")) - BIAS)
+      .withColumn("payload_md5", md5(expr(
+        "substr(st, CAST((8 + hlen + begin) * 2 + 1 AS INT), " +
+          "CAST((fin - begin) * 2 AS INT))")))
+    // cross-check the decoded slice against the SOURCE embeddings
+    val src = Tables.embeddings(s, d)
+      .select(expr("vec_id").as("src_id"), expr(
+        """transform(slice(embedding, 1, CAST(32 + (vec_id % 3) * 16 AS INT)),
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT))"""
+          .stripMargin).as("src_iv"))
+    checked
+      .withColumn("src_id", expr("CAST(substr(tname, 4) AS BIGINT)"))
+      .join(src, Seq("src_id"))
+      .withColumn("slice_ok",
+        col("v_first") === expr("element_at(src_iv, 1)") &&
+          col("v_last") === expr("element_at(src_iv, -1)"))
+      .select(col("st_id"), col("tname"), col("dtype"), col("n_elems"),
+        col("begin"), col("fin"), col("hlen"), col("pad_ok"),
+        col("size_ok"), col("contiguous"), col("payload_covered"),
+        col("v_first"), col("v_last"), col("slice_ok"), col("payload_md5"))
+      .orderBy(col("st_id"), col("begin"))
+  }
+
   /** PROTOBUF WIRE-FORMAT ROUND-TRIP — the serialization layer under
     * TFRecord/tf.Example and most ML data interchange, parsed at the
     * byte level: each document encodes as a 4-field message (VARINT id,
@@ -1992,6 +2142,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_protobuf_varint" -> protobufVarint,
+    "mm_safetensors" -> safetensors,
     "mm_zip_entries" -> zipEntries,
     "mm_tar_entries" -> tarEntries,
     "mm_warc_records" -> warcRecords,
@@ -2093,6 +2244,103 @@ object Multimodal {
          |        AND substr(msg, CAST(o4 * 2 + 1 AS INT), 2) = '20'
          |        AND o4 + 1 + (s4 // 2) % 8 = strlen(msg) // 2) AS wire_ok
          |FROM p7 ORDER BY doc_id""".stripMargin
+    },
+    "mm_safetensors" -> {
+      val bias = 1L << 20
+      def le8(e: String) = (0 until 8)
+        .map(i => s"substr(lpad(to_base($e, 16), 16, '0'), ${15 - 2 * i}, 2)")
+        .mkString(" || ")
+      def pairAt(off: String) = s"substr(st, CAST(($off) * 2 + 1 AS INT), 2)"
+      def le8At(off: String) = s"CAST('0x' || ${(0 until 8).reverse
+        .map(i => pairAt(s"($off) + $i")).mkString(" || ")} AS BIGINT)"
+      def jx(field: String) =
+        s"json_extract_string(hdr, '$$.' || tname || '.$field')"
+      s"""WITH t AS (
+         |  SELECT vec_id, vec_id // 8 AS st_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT) + $bias
+         |     for x in embedding[1:CAST(32 + (vec_id % 3) * 16 AS INT)]] AS iv
+         |  FROM embeddings),
+         |t2 AS (
+         |  SELECT *, CAST(len(iv) AS BIGINT) AS n,
+         |         CAST(len(iv) * 8 AS BIGINT) AS nbytes,
+         |         list_reduce(list_prepend('', [${le8("v")} for v in iv]),
+         |                     (a, x) -> a || x) AS data_hex
+         |  FROM t),
+         |placed AS (
+         |  SELECT *, CAST(COALESCE(SUM(nbytes) OVER (PARTITION BY st_id
+         |    ORDER BY vec_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS begin
+         |  FROM t2),
+         |frags AS (
+         |  SELECT *, '"emb' || CAST(vec_id AS VARCHAR)
+         |    || '":{"dtype":"I64","shape":[' || CAST(n AS VARCHAR)
+         |    || '],"data_offsets":[' || CAST(begin AS VARCHAR) || ','
+         |    || CAST(begin + nbytes AS VARCHAR) || ']}' AS hdr_frag
+         |  FROM placed),
+         |f AS (
+         |  SELECT st_id,
+         |    '{"__metadata__":{"writer":"graft"},'
+         |      || string_agg(hdr_frag, ',' ORDER BY vec_id) || '}' AS hdr0,
+         |    string_agg(data_hex, '' ORDER BY vec_id) AS payload
+         |  FROM frags GROUP BY st_id),
+         |f2 AS (
+         |  SELECT st_id,
+         |    CAST((8 - strlen(hdr0) % 8) % 8 AS BIGINT) AS pad,
+         |    CAST(strlen(hdr0) + (8 - strlen(hdr0) % 8) % 8 AS BIGINT) AS hl,
+         |    hdr0, payload
+         |  FROM f),
+         |files AS (
+         |  SELECT st_id,
+         |    ${le8("hl")} || hex(hdr0) || repeat('20', CAST(pad AS INT))
+         |      || payload AS st
+         |  FROM f2),
+         |hdrs AS (
+         |  SELECT st_id, st,
+         |    CAST(strlen(st) // 2 AS BIGINT) AS file_bytes,
+         |    ${le8At("0")} AS hlen
+         |  FROM files),
+         |h2 AS (
+         |  SELECT *,
+         |    decode(unhex(substr(st, 17, CAST(hlen * 2 AS INT)))) AS hdr,
+         |    hlen % 8 = 0 AS pad_ok,
+         |    file_bytes - 8 - hlen AS payload_bytes
+         |  FROM hdrs),
+         |names AS (
+         |  SELECT st_id, st, hlen, pad_ok, payload_bytes, hdr,
+         |         unnest(json_keys(hdr)) AS tname
+         |  FROM h2),
+         |parsed AS (
+         |  SELECT st_id, st, hlen, pad_ok, payload_bytes, tname,
+         |    ${jx("dtype")} AS dtype,
+         |    CAST(${jx("shape[0]")} AS BIGINT) AS n_elems,
+         |    CAST(${jx("data_offsets[0]")} AS BIGINT) AS begin,
+         |    CAST(${jx("data_offsets[1]")} AS BIGINT) AS fin
+         |  FROM names WHERE tname <> '__metadata__'),
+         |checked AS (
+         |  SELECT *,
+         |    fin - begin = n_elems * 8 AS size_ok,
+         |    begin = COALESCE(LAG(fin) OVER (PARTITION BY st_id
+         |      ORDER BY begin), 0) AS contiguous,
+         |    (MAX(fin) OVER (PARTITION BY st_id) = payload_bytes AND
+         |     SUM(fin - begin) OVER (PARTITION BY st_id) = payload_bytes)
+         |      AS payload_covered,
+         |    ${le8At("8 + hlen + begin")} - $bias AS v_first,
+         |    ${le8At("8 + hlen + fin - 8")} - $bias AS v_last,
+         |    md5(substr(st, CAST((8 + hlen + begin) * 2 + 1 AS INT),
+         |        CAST((fin - begin) * 2 AS INT))) AS payload_md5
+         |  FROM parsed),
+         |src AS (
+         |  SELECT vec_id AS src_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)
+         |     for x in embedding[1:CAST(32 + (vec_id % 3) * 16 AS INT)]]
+         |      AS src_iv
+         |  FROM embeddings)
+         |SELECT st_id, tname, dtype, n_elems, begin, fin, hlen, pad_ok,
+         |       size_ok, contiguous, payload_covered, v_first, v_last,
+         |       (v_first = src_iv[1] AND v_last = src_iv[-1]) AS slice_ok,
+         |       payload_md5
+         |FROM checked JOIN src ON src_id = CAST(substr(tname, 4) AS BIGINT)
+         |ORDER BY st_id, begin""".stripMargin
     },
     "mm_zip_entries" -> {
       def le2(e: String) =

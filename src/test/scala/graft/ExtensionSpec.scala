@@ -206,6 +206,31 @@ class ExtensionSpec extends AnyFunSuite {
       "stored codes must fully determine the answers")
   }
 
+  test("safetensors: corrupted header length word is refused loudly") {
+    import spark.implicits._
+    // a real (valid) single-tensor file, then the same file with its
+    // 8-byte length word blown up past the file size
+    val good = ext.Multimodal.safetensors(spark, sf)
+    assert(good.limit(1).count() == 1) // the build+parse path works at all
+    val hdr = """{"emb0":{"dtype":"I64","shape":[1],"data_offsets":[0,8]}}"""
+    val pad = (8 - hdr.length % 8) % 8
+    val hlen = hdr.length + pad
+    def le8(v: Long): String =
+      (0 until 8).map(i => f"${(v >> (8 * i)) & 0xff}%02X").mkString
+    val hex = hdr.getBytes("UTF-8").map("%02X".format(_)).mkString
+    val goodFile = le8(hlen) + hex + "20" * pad + "00000000000FFF00".reverse
+    val corrupt = le8(1 << 30) + goodFile.drop(16) // length overruns file
+    val e = intercept[Exception] {
+      ext.Multimodal.safetensorsParse(spark, sf,
+        Seq((0L, corrupt)).toDF("st_id", "st")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("safetensors")),
+      s"expected the safetensors refusal, got: ${messages(e)}")
+  }
+
   test("politeness sessionized fold: exact vs reference bucket, hot domain trips the cap loudly") {
     import spark.implicits._
     // hot domain: 60 requests spaced 5ms apart (gap < cap=30 ⇒ ONE busy
