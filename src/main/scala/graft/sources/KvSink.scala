@@ -211,8 +211,16 @@ object KvSink {
     * create-exclusive version log as every other commit (a concurrent
     * append simply makes the publish rebase and retry). The branch log
     * is consumed. Returns the published main version.
+    *
+    * IDEMPOTENT and serialized (r14 advice): a crash after the main-log
+    * CAS but before the branch-log cleanup leaves the branch
+    * re-publishable — the retry skips staged files the latest main
+    * manifest already references instead of appending them twice
+    * (duplicate rows). The whole operation holds [[pointerLock]] so a
+    * concurrent [[dropBranch]] of the same branch cannot delete part
+    * files between this publish's staged-files read and its CAS.
     */
-  def publish(path: String, branch: String): Long = {
+  def publish(path: String, branch: String): Long = pointerLock.synchronized {
     val staged = branchFiles(path, branch)
     require(staged.nonEmpty, s"branch $branch of $path has nothing to publish")
     val dir = Paths.get(path)
@@ -221,21 +229,29 @@ object KvSink {
     while (committedV < 0) {
       val curV = versions(path).lastOption.getOrElse(0L)
       val prev = if (curV == 0L) Seq.empty else committedFiles(path, curV)
-      val manifest = (prev ++ staged).map { case (f, n) => s"$f,$n" }
-        .mkString("", "\n", "\n")
-      val vtmp = dir.resolve(s".publish-$branch-$attempt.tmp")
-      Files.write(vtmp, manifest.getBytes(StandardCharsets.UTF_8))
-      onBeforeCas()
-      try {
-        Files.createLink(dir.resolve(f"manifest-v${curV + 1L}%06d"), vtmp)
-        committedV = curV + 1L
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          casRetries.incrementAndGet()
-          attempt += 1
-      } finally Files.deleteIfExists(vtmp)
+      val prevNames = prev.map(_._1).toSet
+      val fresh = staged.filterNot { case (f, _) => prevNames(f) }
+      if (fresh.isEmpty) {
+        // everything already landed (a retried publish after a crash in
+        // the cleanup window) — nothing to append, just finish cleanup
+        committedV = curV
+      } else {
+        val manifest = (prev ++ fresh).map { case (f, n) => s"$f,$n" }
+          .mkString("", "\n", "\n")
+        val vtmp = dir.resolve(s".publish-$branch-$attempt.tmp")
+        Files.write(vtmp, manifest.getBytes(StandardCharsets.UTF_8))
+        onBeforeCas()
+        try {
+          Files.createLink(dir.resolve(f"manifest-v${curV + 1L}%06d"), vtmp)
+          committedV = curV + 1L
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            casRetries.incrementAndGet()
+            attempt += 1
+        } finally Files.deleteIfExists(vtmp)
+      }
     }
-    pointerLock.synchronized {
+    {
       val latest = versions(path).last
       val tmp = dir.resolve(s".publish-$branch-success.tmp")
       Files.copy(dir.resolve(f"manifest-v$latest%06d"), tmp,
@@ -253,9 +269,11 @@ object KvSink {
     * snapshot also references them — never possible for a branch's own
     * write-id-unique files, but checked anyway). Main is untouched; the
     * bad batch never existed as far as any reader is concerned. Returns
-    * the reclaimed file names.
+    * the reclaimed file names. Serialized on [[pointerLock]] against a
+    * concurrent [[publish]] of the same branch (see there).
     */
-  def dropBranch(path: String, branch: String): Seq[String] = {
+  def dropBranch(path: String, branch: String): Seq[String] =
+    pointerLock.synchronized {
     val dir = Paths.get(path)
     val live: Set[String] =
       (versions(path).flatMap(v => committedFiles(path, v)) ++
@@ -268,7 +286,7 @@ object KvSink {
     (doomedParts ++ doomedManifests).map { f =>
       Files.deleteIfExists(dir.resolve(f)); f
     }
-  }
+    }
 
   /** Test/observability hook, invoked between the version read and the
     * CAS attempt of every commit iteration — the window a concurrent

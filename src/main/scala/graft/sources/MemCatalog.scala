@@ -197,11 +197,20 @@ private[graft] object MemPartitioning {
     * None for an unpartitioned table (single `all` group — the original
     * whole-table-COW behavior, unchanged).
     */
+  /** Returns the compiled row→group function AND the physical slot
+    * indices of the transforms' SOURCE columns (recorded at CREATE time —
+    * slots are append-only, so they stay valid across every later ADD /
+    * RENAME). [[MemTable.evolveDrop]] refuses to drop any slot the spec
+    * references: after such a drop new rows would write null into the
+    * orphaned slot and routing would silently key off dead data — the
+    * same reason Iceberg refuses dropping a field of the active
+    * partition spec.
+    */
   def parse(transforms: Array[Transform],
-      schema: StructType): Option[InternalRow => String] = {
+      schema: StructType): Option[(InternalRow => String, Set[Int])] = {
     if (transforms == null || transforms.isEmpty) None
     else Some {
-      val fns = transforms.toSeq.map { t =>
+      val compiled = transforms.toSeq.map { t =>
         val refs = t.references()
         require(refs.length == 1,
           s"partition transform ${t.name()} must reference exactly one column")
@@ -211,17 +220,19 @@ private[graft] object MemPartitioning {
               if l.value() != null && l.dataType().isInstanceOf[IntegerType] =>
             l.value().asInstanceOf[Int]
         }.getOrElse(0)
-        compile(t.name().toLowerCase(java.util.Locale.ROOT), width, idx,
-          schema.fields(idx).dataType)
+        (compile(t.name().toLowerCase(java.util.Locale.ROOT), width, idx,
+          schema.fields(idx).dataType), idx)
       }
-      (r: InternalRow) => fns.map(_(r)).mkString("/")
+      val fns = compiled.map(_._1)
+      ((r: InternalRow) => fns.map(_(r)).mkString("/"),
+        compiled.map(_._2).toSet)
     }
   }
 }
 
 class MemTable(ident: Identifier, initialSchema: StructType,
     private[graft] val mor: Boolean = false,
-    partSpec: Option[InternalRow => String] = None) extends Table
+    partSpec: Option[(InternalRow => String, Set[Int])] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsMetadataColumns {
   /** Live schema — ADD COLUMNS appends here; stored rows keep their
@@ -283,6 +294,12 @@ class MemTable(ident: Identifier, initialSchema: StructType,
   private[graft] def evolveDrop(name: String): Unit = synchronized {
     require(tableSchema.fieldNames.contains(name), s"no such column: $name")
     require(physIdx(name) != 0, "cannot drop the row-id column")
+    // Iceberg contract: a field the ACTIVE partition spec reads cannot
+    // be dropped — new rows would write null into the orphaned slot and
+    // partition routing would silently key off dead data (or, after a
+    // re-add claimed a fresh slot, off the wrong one).
+    require(!partSlots.contains(physIdx(name)),
+      s"cannot drop column $name: referenced by the partition spec")
     tableSchema = StructType(tableSchema.filterNot(_.name == name))
     physIdx -= name
   }
@@ -325,7 +342,9 @@ class MemTable(ident: Identifier, initialSchema: StructType,
     * stored (hidden partitioning).
     */
   private[graft] val partitionOf: InternalRow => String =
-    partSpec.getOrElse((_: InternalRow) => "all")
+    partSpec.map(_._1).getOrElse((_: InternalRow) => "all")
+  /** CREATE-time physical slots the partition transforms read. */
+  private val partSlots: Set[Int] = partSpec.map(_._2).getOrElse(Set.empty)
   private[graft] def isPartitioned: Boolean = partSpec.isDefined
 
   /** Observability for specs and ops: the group set the last row-level

@@ -528,6 +528,30 @@ class SourceSinkSpec extends AnyFunSuite {
       s"MERGE diverged from the upsert twin: $got vs $twin")
   }
 
+  test("DROP COLUMN refuses a partition-spec source column (Iceberg contract)") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.ns.pdrop")
+    spark.sql(
+      """CREATE TABLE graft_cat.ns.pdrop (k BIGINT, part_key BIGINT, v STRING)
+        |PARTITIONED BY (bucket(4, part_key))""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.ns.pdrop VALUES (1, 10, 'a'), (2, 11, 'b')")
+    // dropping the transform's source would orphan its slot and leave
+    // routing keyed off dead data — must be refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.pdrop DROP COLUMN part_key")
+    }
+    assert(e.getMessage.contains("partition spec"),
+      s"expected the partition-spec refusal, got: ${e.getMessage}")
+    // a non-partition column still drops fine, and writes keep routing
+    spark.sql("ALTER TABLE graft_cat.ns.pdrop DROP COLUMN v")
+    spark.sql("INSERT INTO graft_cat.ns.pdrop VALUES (3, 12)")
+    assert(spark.table("graft_cat.ns.pdrop").count() == 3)
+    // rename of the partition source keeps the slot — routing unaffected
+    spark.sql("ALTER TABLE graft_cat.ns.pdrop RENAME COLUMN part_key TO pk")
+    spark.sql("INSERT INTO graft_cat.ns.pdrop VALUES (4, 13)")
+    assert(spark.table("graft_cat.ns.pdrop").count() == 4)
+  }
+
   test("CHECK constraints: violating writes abort whole, clean writes land, DROP re-permits") {
     import spark.implicits._
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.MemCatalog")
@@ -714,6 +738,26 @@ class SourceSinkSpec extends AnyFunSuite {
     // 5. time travel still works across the publish boundary
     assert(spark.read.schema("key LONG, val STRING")
       .csv(KvSink.committedPaths(dir, 1L): _*).count() == 100)
+    // 6. publish is IDEMPOTENT across the crash window: simulate a crash
+    //    after the main-log CAS but before branch-log cleanup by staging
+    //    a branch, saving its manifest bytes, publishing, then restoring
+    //    the manifest (the branch looks re-publishable) — the retried
+    //    publish must NOT append the same files to main again
+    write(300, 340, "append", Some("crashy"))
+    val bv = KvSink.branchVersions(dir, "crashy").last
+    val bman = java.nio.file.Paths.get(dir, f"branch-crashy-v$bv%06d")
+    val savedManifest = java.nio.file.Files.readAllBytes(bman)
+    val v3 = KvSink.publish(dir, "crashy")
+    assert(mainRead().count() == 210)
+    java.nio.file.Files.write(bman, savedManifest) // "crash" left it behind
+    val vRetry = KvSink.publish(dir, "crashy")
+    assert(vRetry == v3, s"retried publish re-appended: version $vRetry")
+    assert(KvSink.versions(dir).last == v3,
+      "retried publish must not create a new main version")
+    assert(mainRead().count() == 210,
+      "retried publish must not duplicate the branch's rows")
+    assert(KvSink.branchVersions(dir, "crashy").isEmpty,
+      "retried publish must still consume the leftover branch log")
   }
 
   test("DROP/RENAME COLUMN: metadata-only, values survive rename, re-add never resurrects") {
