@@ -1980,6 +1980,122 @@ object Multimodal {
     safetensorsParse(s, d, files)
   }
 
+  /** NPY CONTAINER ROUND-TRIP — the other tensor interchange format
+    * ([[safetensors]]' elder sibling: numpy's on-disk array): magic
+    * `\\x93NUMPY`, version (1, 0), a 2-byte little-endian header length,
+    * the Python-dict header `{'descr': '<i8', 'fortran_order': False,
+    * 'shape': (n,), }` space-padded so magic+version+len+header is
+    * 64-byte aligned and newline-terminated (the numpy writer contract),
+    * then raw `<i8` data. One tensor per file, 32..64 elements, values
+    * from the biased quantized embedding grid.
+    *
+    * Parse reads only the file hex: MAGIC IS VERIFIED FIRST and a
+    * corrupted one fails the plan loudly via raise_error — decoding a
+    * header at the wrong offsets is how loaders turn one flipped byte
+    * into silent garbage (ExtensionSpec corrupts the magic and pins the
+    * refusal). Then version, length word, dict fields by regexp
+    * (descr/fortran_order/shape — two independent regex engines across
+    * the engines), alignment + trailing-newline checks, data size =
+    * Πshape × 8, and the first/last elements decode and must equal the
+    * source embedding's quantized values.
+    */
+  def npyHeader(s: SparkSession, d: String): DataFrame = {
+    val BIAS = 1L << 20
+    def le8(e: String) = (0 until 8)
+      .map(i => s"substr(lpad(hex($e), 16, '0'), ${15 - 2 * i}, 2)")
+      .mkString("concat(", ", ", ")")
+    def le2(e: String) =
+      s"concat(substr(lpad(hex($e), 4, '0'), 3, 2), substr(lpad(hex($e), 4, '0'), 1, 2))"
+    def pairAt(off: String) = s"substr(np, CAST(($off) * 2 + 1 AS INT), 2)"
+    def le2At(off: String) =
+      s"CAST(conv(concat(${pairAt(s"($off) + 1")}, ${pairAt(off)}), 16, 10) AS BIGINT)"
+    def le8At(off: String) = s"CAST(conv(concat(${(0 until 8).reverse
+      .map(i => pairAt(s"($off) + $i")).mkString(", ")}), 16, 10) AS BIGINT)"
+    // --- build side ----------------------------------------------------
+    val files = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(s"""transform(
+           |  slice(embedding, 1, CAST(32 + (vec_id % 5) * 8 AS INT)),
+           |  x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT) + $BIAS)"""
+        .stripMargin).as("iv"))
+      .withColumn("n", expr("CAST(size(iv) AS BIGINT)"))
+      .withColumn("dict", expr(
+        """concat("{'descr': '<i8', 'fortran_order': False, ",
+          |  "'shape': (", CAST(n AS STRING), ",), }")""".stripMargin))
+      // pad so 6 (magic) + 2 (version) + 2 (len) + hlen ≡ 0 (mod 64),
+      // with the final header byte a newline (the numpy writer contract)
+      .withColumn("pad",
+        expr("(64 - (10 + octet_length(dict) + 1) % 64) % 64"))
+      .withColumn("hlen", expr("CAST(octet_length(dict) + pad + 1 AS BIGINT)"))
+      .withColumn("np", expr(
+        s"""concat('934E554D5059', '0100', ${le2("hlen")}, hex(dict),
+           |  repeat('20', pad), '0A',
+           |  array_join(transform(iv, v -> ${le8("v")}), ''))"""
+          .stripMargin))
+      .select(col("vec_id"), col("np"))
+      .localCheckpoint()
+    npyParse(s, d, files)
+  }
+
+  /** The parse+verify tail of [[npyHeader]] over an arbitrary
+    * (vec_id, np) file frame — split out so the spec can feed it a file
+    * with a corrupted magic and pin the loud refusal.
+    */
+  private[graft] def npyParse(s: SparkSession, d: String,
+      files: DataFrame): DataFrame = {
+    val BIAS = 1L << 20
+    def pairAt(off: String) = s"substr(np, CAST(($off) * 2 + 1 AS INT), 2)"
+    def le2At(off: String) =
+      s"CAST(conv(concat(${pairAt(s"($off) + 1")}, ${pairAt(off)}), 16, 10) AS BIGINT)"
+    def le8At(off: String) = s"CAST(conv(concat(${(0 until 8).reverse
+      .map(i => pairAt(s"($off) + $i")).mkString(", ")}), 16, 10) AS BIGINT)"
+    // --- parse side: everything below reads only `np` ------------------
+    val parsed = files
+      .withColumn("magic", expr("substr(np, 1, 12)"))
+      .withColumn("magic", expr(
+        """CASE WHEN magic = '934E554D5059' THEN magic
+          |  ELSE raise_error(concat('npy: bad magic ', magic,
+          |    ' in file ', CAST(vec_id AS STRING),
+          |    ' — refusing to decode a header at unknown offsets'))
+          |END""".stripMargin))
+      .withColumn("ver_major", expr(s"${le2At("6")} % 256"))
+      .withColumn("ver_minor", expr(s"${le2At("6")} DIV 256"))
+      // route the length read through the verified magic so the check
+      // cannot be pruned as unused — every downstream field depends on it
+      .withColumn("hlen", expr(
+        s"CASE WHEN magic = '934E554D5059' THEN ${le2At("8")} END"))
+      .withColumn("hdr",
+        expr("decode(unhex(substr(np, 21, CAST(hlen * 2 AS INT))), 'UTF-8')"))
+      .withColumn("descr", regexp_extract(col("hdr"), "'descr': '([^']+)'", 1))
+      .withColumn("fortran",
+        regexp_extract(col("hdr"), "'fortran_order': (\\w+)", 1))
+      .withColumn("n_elems",
+        regexp_extract(col("hdr"), "'shape': \\((\\d+),\\)", 1).cast("long"))
+      .withColumn("align_ok", expr("(10 + hlen) % 64 = 0"))
+      .withColumn("newline_ok",
+        expr("substr(hdr, CAST(hlen AS INT), 1) = '\\n'"))
+      .withColumn("data_bytes", expr("CAST(length(np) DIV 2 AS BIGINT) - 10 - hlen"))
+      .withColumn("size_ok", expr("data_bytes = n_elems * 8"))
+      .withColumn("v_first", expr(le8At("10 + hlen")) - BIAS)
+      .withColumn("v_last",
+        expr(le8At("10 + hlen + (n_elems - 1) * 8")) - BIAS)
+      .withColumn("payload_md5", md5(expr(
+        "substr(np, CAST((10 + hlen) * 2 + 1 AS INT), CAST(data_bytes * 2 AS INT))")))
+    val src = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        """transform(slice(embedding, 1, CAST(32 + (vec_id % 5) * 8 AS INT)),
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT))"""
+          .stripMargin).as("src_iv"))
+    parsed.join(src, Seq("vec_id"))
+      .withColumn("slice_ok",
+        col("v_first") === expr("element_at(src_iv, 1)") &&
+          col("v_last") === expr("element_at(src_iv, -1)"))
+      .select(col("vec_id"), col("ver_major"), col("ver_minor"), col("hlen"),
+        col("descr"), col("fortran"), col("n_elems"), col("align_ok"),
+        col("newline_ok"), col("size_ok"), col("v_first"), col("v_last"),
+        col("slice_ok"), col("payload_md5"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The parse+verify tail of [[safetensors]] over an arbitrary
     * (st_id, st) file frame — split out so the spec can feed it a file
     * with a corrupted header length word and pin the loud refusal.
@@ -2143,6 +2259,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_protobuf_varint" -> protobufVarint,
     "mm_safetensors" -> safetensors,
+    "mm_npy" -> npyHeader,
     "mm_zip_entries" -> zipEntries,
     "mm_tar_entries" -> tarEntries,
     "mm_warc_records" -> warcRecords,
@@ -2244,6 +2361,81 @@ object Multimodal {
          |        AND substr(msg, CAST(o4 * 2 + 1 AS INT), 2) = '20'
          |        AND o4 + 1 + (s4 // 2) % 8 = strlen(msg) // 2) AS wire_ok
          |FROM p7 ORDER BY doc_id""".stripMargin
+    },
+    "mm_npy" -> {
+      val bias = 1L << 20
+      def le8(e: String) = (0 until 8)
+        .map(i => s"substr(lpad(to_base($e, 16), 16, '0'), ${15 - 2 * i}, 2)")
+        .mkString(" || ")
+      def le2(e: String) =
+        s"(substr(lpad(to_base($e, 16), 4, '0'), 3, 2) || substr(lpad(to_base($e, 16), 4, '0'), 1, 2))"
+      def pairAt(off: String) = s"substr(np, CAST(($off) * 2 + 1 AS INT), 2)"
+      def le2At(off: String) =
+        s"CAST('0x' || ${pairAt(s"($off) + 1")} || ${pairAt(off)} AS BIGINT)"
+      def le8At(off: String) = s"CAST('0x' || ${(0 until 8).reverse
+        .map(i => pairAt(s"($off) + $i")).mkString(" || ")} AS BIGINT)"
+      s"""WITH t AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT) + $bias
+         |     for x in embedding[1:CAST(32 + (vec_id % 5) * 8 AS INT)]] AS iv
+         |  FROM embeddings),
+         |t2 AS (
+         |  SELECT *, CAST(len(iv) AS BIGINT) AS n,
+         |    '{''descr'': ''<i8'', ''fortran_order'': False, ''shape'': ('
+         |      || CAST(len(iv) AS VARCHAR) || ',), }' AS dict
+         |  FROM t),
+         |t3 AS (
+         |  SELECT *, CAST((64 - (10 + strlen(dict) + 1) % 64) % 64 AS BIGINT)
+         |              AS pad,
+         |         CAST(strlen(dict) + (64 - (10 + strlen(dict) + 1) % 64) % 64
+         |              + 1 AS BIGINT) AS hl
+         |  FROM t2),
+         |files AS (
+         |  SELECT vec_id,
+         |    '934E554D5059' || '0100' || ${le2("hl")} || hex(dict)
+         |      || repeat('20', CAST(pad AS INT)) || '0A'
+         |      || list_reduce(list_prepend('', [${le8("v")} for v in iv]),
+         |                     (a, x) -> a || x) AS np
+         |  FROM t3),
+         |parsed AS (
+         |  SELECT vec_id, np,
+         |    ${le2At("6")} % 256 AS ver_major,
+         |    ${le2At("6")} // 256 AS ver_minor,
+         |    ${le2At("8")} AS hlen
+         |  FROM files
+         |  WHERE substr(np, 1, 12) = '934E554D5059'),
+         |p2 AS (
+         |  SELECT *,
+         |    decode(unhex(substr(np, 21, CAST(hlen * 2 AS INT)))) AS hdr,
+         |    CAST(strlen(np) // 2 AS BIGINT) - 10 - hlen AS data_bytes
+         |  FROM parsed),
+         |p3 AS (
+         |  SELECT *,
+         |    regexp_extract(hdr, '''descr'': ''([^'']+)''', 1) AS descr,
+         |    regexp_extract(hdr, '''fortran_order'': (\\w+)', 1) AS fortran,
+         |    CAST(regexp_extract(hdr, '''shape'': \\((\\d+),\\)', 1) AS BIGINT)
+         |      AS n_elems,
+         |    (10 + hlen) % 64 = 0 AS align_ok,
+         |    substr(hdr, CAST(hlen AS INT), 1) = chr(10) AS newline_ok
+         |  FROM p2),
+         |src AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)
+         |     for x in embedding[1:CAST(32 + (vec_id % 5) * 8 AS INT)]]
+         |      AS src_iv
+         |  FROM embeddings)
+         |SELECT p3.vec_id, ver_major, ver_minor, hlen, descr, fortran,
+         |       n_elems, align_ok, newline_ok,
+         |       data_bytes = n_elems * 8 AS size_ok,
+         |       ${le8At("10 + hlen")} - $bias AS v_first,
+         |       ${le8At("10 + hlen + (n_elems - 1) * 8")} - $bias AS v_last,
+         |       (${le8At("10 + hlen")} - $bias = src_iv[1] AND
+         |        ${le8At("10 + hlen + (n_elems - 1) * 8")} - $bias
+         |          = src_iv[-1]) AS slice_ok,
+         |       md5(substr(np, CAST((10 + hlen) * 2 + 1 AS INT),
+         |           CAST(data_bytes * 2 AS INT))) AS payload_md5
+         |FROM p3 JOIN src ON p3.vec_id = src.vec_id
+         |ORDER BY p3.vec_id""".stripMargin
     },
     "mm_safetensors" -> {
       val bias = 1L << 20

@@ -231,6 +231,31 @@ class ExtensionSpec extends AnyFunSuite {
       s"expected the safetensors refusal, got: ${messages(e)}")
   }
 
+  test("npy: corrupted magic is refused loudly") {
+    import spark.implicits._
+    val good = ext.Multimodal.npyHeader(spark, sf)
+    assert(good.limit(1).count() == 1)
+    // a syntactically fine file whose magic is one byte off — the loader
+    // must refuse rather than read a header at unknown offsets
+    val dict = "{'descr': '<i8', 'fortran_order': False, 'shape': (1,), }"
+    val pad = (64 - (10 + dict.length + 1) % 64) % 64
+    val hlen = dict.length + pad + 1
+    def le2(v: Int): String = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    val hdrHex = dict.getBytes("UTF-8").map("%02X".format(_)).mkString +
+      "20" * pad + "0A"
+    val data = "0000000000001000".reverse // any 8 bytes
+    val corrupt = "924E554D5059" + "0100" + le2(hlen) + hdrHex + data
+    val e = intercept[Exception] {
+      ext.Multimodal.npyParse(spark, sf,
+        Seq((0L, corrupt)).toDF("vec_id", "np")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("npy: bad magic")),
+      s"expected the npy magic refusal, got: ${messages(e)}")
+  }
+
   test("politeness sessionized fold: exact vs reference bucket, hot domain trips the cap loudly") {
     import spark.implicits._
     // hot domain: 60 requests spaced 5ms apart (gap < cap=30 ⇒ ONE busy
