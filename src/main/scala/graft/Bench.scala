@@ -158,14 +158,21 @@ object Bench {
     }
     val calibStart = calibrate()
     val calibShufStart = calibrateShuffle()
-    // Which queries carry an exchange (planning only, no execution):
-    // drives the per-query choice of normalizer in bench_compare.py.
-    val exchangeBearing: Set[String] = names.filter { n =>
-      try SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.executedPlan.toString.contains("Exchange")
-      catch { case _: Throwable => false }
-    }.toSet
-    names.foreach(materialize) // warmup pass
+    // Which queries carry an exchange — drives the per-query choice of
+    // normalizer in bench_compare.py. Captured during the WARMUP pass
+    // (plan inspection is free there; a separate construction pass would
+    // re-run the eager queries' build-side jobs).
+    val exchangeBearing = collection.mutable.Set.empty[String]
+    names.foreach { n => // warmup pass + exchange detection
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (df.queryExecution.executedPlan.toString.contains("Exchange"))
+          exchangeBearing += n
+        df.queryExecution.toRdd.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $n warmup failed: ${e.getMessage}")
+      }
+    }
     System.gc()
     val pass1 = names.map(n => n -> timed(n)).toMap
     val pass2 = names.reverse.map(n => n -> timed(n)).toMap
