@@ -788,16 +788,19 @@ object CoreOps {
         expr("CAST(greatest(c_acctbal, 0) AS DECIMAL(12,2))").as("bal"))
       .createOrReplaceTempView("acct_seed")
     s.sql("INSERT INTO graft_cat.ns.acct SELECT * FROM acct_seed")
-    // violating append: raw TPC-H balances go negative — the whole
-    // statement must abort (its clean rows too)
-    Tables.customer(s, d)
-      .filter(col("c_custkey") > 1000 && col("c_custkey") <= 1100)
-      .select(col("c_custkey").as("k"), col("c_name").as("name"),
-        expr("CAST(c_acctbal AS DECIMAL(12,2))").as("bal"))
-      .createOrReplaceTempView("acct_bad_append")
+    // violating append: mostly-clean rows with every 50th balance forced
+    // negative (fixture-independent — customer key ranges shrink with
+    // SF) — the whole statement must abort, its clean rows too
     val appendAborted =
-      try { s.sql("INSERT INTO graft_cat.ns.acct SELECT * FROM acct_bad_append"); false }
-      catch { case _: Exception => true }
+      try {
+        s.sql(
+          """INSERT INTO graft_cat.ns.acct
+            |SELECT k + 1000000, name,
+            |       CASE WHEN k % 50 = 0 THEN CAST(-1 AS DECIMAL(12,2))
+            |            ELSE bal END
+            |FROM acct_seed""".stripMargin)
+        false
+      } catch { case _: Exception => true }
     require(appendAborted, "violating append must abort")
     // clean MERGE through the constrained table — lands
     Tables.customer(s, d)
@@ -810,11 +813,12 @@ object CoreOps {
         |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.bal = s.bal
         |WHEN NOT MATCHED THEN INSERT (k, name, bal) VALUES (s.k, s.name, s.bal)
         |""".stripMargin)
-    // violating MERGE: pushes every matched balance below zero — aborts
+    // violating MERGE: pushes every matched balance below zero — the
+    // source is the seed itself, so matches exist at every SF — aborts
     val mergeAborted =
       try {
         s.sql(
-          """MERGE INTO graft_cat.ns.acct t USING acct_updates s ON t.k = s.k
+          """MERGE INTO graft_cat.ns.acct t USING acct_seed s ON t.k = s.k
             |WHEN MATCHED THEN UPDATE SET t.bal = CAST(-1 AS DECIMAL(12,2))
             |""".stripMargin)
         false
