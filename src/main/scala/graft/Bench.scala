@@ -166,7 +166,13 @@ object Bench {
     names.foreach { n => // warmup pass + exchange detection
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
-        if (df.queryExecution.executedPlan.toString.contains("Exchange"))
+        // Only HASH-partitioning exchanges count: every registered query
+        // ends in a deterministic orderBy (a rangepartitioning exchange
+        // over a bounded result) and many carry broadcast or
+        // single-partition exchanges — counting those would classify the
+        // whole registry as shuffle-bound and kill the CPU normalizer.
+        if (df.queryExecution.executedPlan.toString
+            .contains("Exchange hashpartitioning"))
           exchangeBearing += n
         df.queryExecution.toRdd.count()
       } catch { case e: Throwable =>

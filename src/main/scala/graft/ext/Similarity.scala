@@ -1826,13 +1826,7 @@ object Similarity {
     */
   def pqServeFromStore(s: SparkSession, d: String): DataFrame = {
     val (codesDir, cbDir) = pqEnsureIndex(s, d)
-    val cbRows = s.read.parquet(cbDir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
-    require(cbRows.length == PQ_KS, s"persisted codebook has ${cbRows.length} entries")
-    val sub = (m: Int, c: Int) =>
-      cbRows(c)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB)
-        .map(v => s"${v}L").mkString("array(", ",", ")")
-    pqServeWith(s, d, s.read.parquet(codesDir), sub)
+    pqServeWith(s, d, s.read.parquet(codesDir), loadCodebookSub(s, cbDir))
   }
 
   /** Build-if-absent for the two PQ index artifacts. The directory name
@@ -1871,14 +1865,8 @@ object Similarity {
   def ivfpqServeFromStore(s: SparkSession, d: String): DataFrame = {
     val (centDir, assignDir) = ivfEnsureIndex(s, d)
     val (codesDir, cbDir) = pqEnsureIndex(s, d)
-    val cbRows = s.read.parquet(cbDir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
-    require(cbRows.length == PQ_KS, s"persisted codebook has ${cbRows.length} entries")
-    val sub = (m: Int, c: Int) =>
-      cbRows(c)._2.slice(m * PQ_SUB, (m + 1) * PQ_SUB)
-        .map(v => s"${v}L").mkString("array(", ",", ")")
     ivfpqServe(s, d, s.read.parquet(centDir), s.read.parquet(assignDir),
-      s.read.parquet(codesDir), sub)
+      s.read.parquet(codesDir), loadCodebookSub(s, cbDir))
   }
 
   /** Build-if-absent for the IVF artifacts (trained centroids + corpus

@@ -229,8 +229,14 @@ object KvSink {
     while (committedV < 0) {
       val curV = versions(path).lastOption.getOrElse(0L)
       val prev = if (curV == 0L) Seq.empty else committedFiles(path, curV)
-      val prevNames = prev.map(_._1).toSet
-      val fresh = staged.filterNot { case (f, _) => prevNames(f) }
+      // A staged file that appears in ANY committed version was already
+      // published once (branch file names are write-id-unique): checking
+      // only the latest manifest would let a crash-leftover branch
+      // RE-publish after an intervening overwrite truncated main —
+      // resurrecting rows the overwrite deliberately removed.
+      val everCommitted = versions(path)
+        .flatMap(v => committedFiles(path, v)).map(_._1).toSet
+      val fresh = staged.filterNot { case (f, _) => everCommitted(f) }
       if (fresh.isEmpty) {
         // everything already landed (a retried publish after a crash in
         // the cleanup window) — nothing to append, just finish cleanup

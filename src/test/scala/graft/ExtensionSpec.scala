@@ -2022,21 +2022,30 @@ class ExtensionSpec extends AnyFunSuite {
     val rows = ops.StatOps.conformal(spark, sf).collect()
     assert(rows.nonEmpty)
     val p = 0.9
+    // coverage varies with BOTH draws: the test binomial (p(1-p)/n_test)
+    // AND the calibration quantile (≈ p(1-p)/n_cal, Beta order-statistic
+    // variance) — with the fixture's equal-sized splits the total sd is
+    // ~sqrt(2) of the test term alone, so fold n_cal in explicitly.
+    def sigmaPpm(r: org.apache.spark.sql.Row): Double = {
+      val nT = r.getAs[Long]("n_test").toDouble
+      val nC = r.getAs[Long]("n_cal").toDouble
+      math.sqrt(p * (1 - p) * (1 / nT + 1 / nC)) * 1e6
+    }
     rows.foreach { r =>
       val c = r.getAs[Long]("coverage_ppm")
-      val n = r.getAs[Long]("n_test").toDouble
-      val sigmaPpm = math.sqrt(p * (1 - p) / n) * 1e6
-      val lo = (p * 1e6 - 4 * sigmaPpm).toLong
-      val hi = math.min(1e6, p * 1e6 + 4 * sigmaPpm).toLong
+      val s4 = 4 * sigmaPpm(r)
+      val lo = (p * 1e6 - s4).toLong
+      val hi = math.min(1e6, p * 1e6 + s4).toLong
       assert(c >= lo && c <= hi,
-        s"group ${r.getAs[String]("g")} coverage $c outside " +
-          s"[$lo, $hi] (n_test = ${n.toLong})")
+        s"group ${r.getAs[String]("g")} coverage $c outside [$lo, $hi]")
     }
-    // pooled mean: tighter band from the pooled n
+    // pooled mean: tighter band from the pooled counts
     val nTot = rows.map(_.getAs[Long]("n_test")).sum.toDouble
+    val nCalTot = rows.map(_.getAs[Long]("n_cal")).sum.toDouble
     val mean = rows.map(r =>
       r.getAs[Long]("coverage_ppm") * r.getAs[Long]("n_test")).sum / nTot
-    val pooledSigma = math.sqrt(p * (1 - p) / nTot) * 1e6
+    val pooledSigma =
+      math.sqrt(p * (1 - p) * (1 / nTot + 1 / nCalTot)) * 1e6
     assert(math.abs(mean - p * 1e6) <= 4 * pooledSigma,
       s"pooled coverage $mean drifted beyond 4 sigma ($pooledSigma ppm)")
   }
