@@ -318,6 +318,106 @@ object TextOps {
       .orderBy(col("section"), col("k"))
   }
 
+  /** THE POST-TRAINING (SFT) DATA FLAGSHIP — [[e2ePretrain]]'s sibling
+    * for the instruction-tuning side of the house, composed as one
+    * checkpointed chain:
+    *
+    *   assemble 4-turn conversations (the chat-template shape) →
+    *   quality gate (enough assistant tokens to train on) → exact
+    *   conversation dedup → benchmark decontamination (a conversation
+    *   QUOTING an eval document leaves — detected by shingle content,
+    *   not provenance flags) → 90/5/5 split → per-(source, split)
+    *   manifest with the loss-masking economics (user tokens are
+    *   masked, assistant tokens are what the model trains on).
+    *
+    * The funnel rows carry the token sums too, so the report shows not
+    * just conversation attrition but TRAINABLE-TOKEN attrition — the
+    * number an SFT run actually budgets. Decontamination is genuinely
+    * content-based: eval docs (doc_id % 11 ≡ 0, the [[graft.ext.Dedup]]
+    * convention) appear verbatim inside some assembled conversations,
+    * and the shingle-overlap join finds them there (≥ 50% of the eval
+    * doc's shingles shared). The oracle replays the whole DAG.
+    *
+    * At 100 TB: assembly is one source-grain window; the gate and dedup
+    * shrink monotonically; decontamination shuffles 60-bit shingle
+    * hashes with the (small) eval side broadcastable; the manifest is a
+    * |sources|×3 rollup.
+    */
+  def e2eSft(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val assembled = Tables.documents(s, d)
+      .withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("conv_id", expr("rn DIV 4"))
+      .withColumn("turn", col("rn") % 4)
+      .withColumn("role",
+        when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+      .withColumn("nw",
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long"))
+      .groupBy(col("source"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", col("nw")).otherwise(0L))
+          .as("n_user_tokens"),
+        sum(when(col("role") === "assistant", col("nw")).otherwise(0L))
+          .as("n_assistant_tokens"),
+        expr(
+          """array_join(
+            |  transform(array_sort(collect_list(struct(turn,
+            |    concat('<|', role, '|>', text) AS seg))), x -> x.seg),
+            |  chr(10))""".stripMargin).as("conv_text"))
+      .filter(col("n_turns") === 4)
+      .withColumn("conv_key",
+        expr(sparkHash("concat(source, ':', CAST(conv_id AS STRING))")))
+      .localCheckpoint()
+    // no checkpoint: a plain filter over the checkpointed assembly —
+    // both consumers (exact's window, the funnel count) recompute it
+    // from memory cheaper than a materialization barrier costs
+    val gated = assembled.filter(col("n_assistant_tokens") >= 80)
+    val exact = gated
+      .withColumn("keep",
+        min(col("conv_key")).over(Window.partitionBy(md5(col("conv_text")))))
+      .filter(col("conv_key") === col("keep")).drop("keep")
+      .localCheckpoint()
+    val ev = Dedup.shingledOf(Tables.documents(s, d)
+        .filter(col("doc_id") % Dedup.EVAL_MOD === 0))
+      .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
+        explode(col("shashes")).as("sh"))
+    val tr = Dedup.shingledOf(exact.select(col("conv_key").as("doc_id"),
+        col("conv_text").as("text")))
+      .select(col("doc_id").as("conv_key"), explode(col("shashes")).as("sh"))
+    val contaminated = ev.join(tr, "sh")
+      .groupBy(col("conv_key"), col("eid"), col("en"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / col("en") >= 0.5)
+      .select(col("conv_key")).distinct()
+    val clean = exact.join(contaminated, Seq("conv_key"), "left_anti")
+    val manifest = clean
+      .withColumn("bucket",
+        expr(s"${sparkHash("CAST(conv_key AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_convs"),
+        sum(col("n_user_tokens")).as("n_user_tokens"),
+        sum(col("n_assistant_tokens")).as("n_assistant_tokens"))
+    def cnt(df: DataFrame, stage: String): DataFrame = df
+      .agg(count(lit(1)).as("n_convs"),
+        coalesce(sum(col("n_user_tokens")), lit(0L)).as("n_user_tokens"),
+        coalesce(sum(col("n_assistant_tokens")), lit(0L))
+          .as("n_assistant_tokens"))
+      .select(lit("0_funnel").as("section"), lit(stage).as("k"),
+        col("n_convs"), col("n_user_tokens"), col("n_assistant_tokens"))
+    cnt(assembled, "10_assembled")
+      .unionByName(cnt(gated, "20_quality"))
+      .unionByName(cnt(exact, "30_exact"))
+      .unionByName(cnt(clean, "40_decontam"))
+      .unionByName(manifest.select(lit("1_manifest").as("section"),
+        concat_ws("/", col("source"), col("split")).as("k"),
+        col("n_convs"), col("n_user_tokens"), col("n_assistant_tokens")))
+      .orderBy(col("section"), col("k"))
+  }
+
   /** Filter-attrition funnel: the per-rule survivor/dropped report every
     * corpus-curation pipeline publishes alongside the cleaned data (which
     * rule costs how many documents). One full-scan aggregate computes ALL
@@ -2955,6 +3055,7 @@ object TextOps {
     "pipe_curriculum" -> curriculum,
     "pipe_corpus_clean" -> corpusClean,
     "pipe_e2e_pretrain" -> e2ePretrain,
+    "pipe_e2e_sft" -> e2eSft,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
     "pipe_pack_bestfit" -> packBestFit,
@@ -4300,6 +4401,93 @@ object TextOps {
            |  stop_ratio
            |FROM clean WHERE doc_id NOT IN (SELECT ib FROM dups)
            |ORDER BY doc_id""".stripMargin,
+      "pipe_e2e_sft" ->
+        s"""WITH d2 AS (
+           |  SELECT source, doc_id, text,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |                         w -> len(w) > 0)) AS BIGINT) AS nw,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+           |      AS rn
+           |  FROM documents),
+           |turns AS (
+           |  SELECT source, text, nw, rn // 4 AS conv_id, rn % 4 AS turn,
+           |    CASE WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+           |  FROM d2),
+           |asm AS (
+           |  SELECT source, conv_id,
+           |    CAST(COUNT(*) AS BIGINT) AS n_turns,
+           |    CAST(SUM(CASE WHEN role = 'user' THEN nw ELSE 0 END)
+           |      AS BIGINT) AS n_user_tokens,
+           |    CAST(SUM(CASE WHEN role = 'assistant' THEN nw ELSE 0 END)
+           |      AS BIGINT) AS n_assistant_tokens,
+           |    string_agg('<|' || role || '|>' || text, chr(10)
+           |               ORDER BY turn) AS conv_text
+           |  FROM turns GROUP BY 1, 2),
+           |a2 AS (
+           |  SELECT *,
+           |    ${Hashing.duckHash("source || ':' || CAST(conv_id AS VARCHAR)")}
+           |      AS conv_key
+           |  FROM asm WHERE n_turns = 4),
+           |gated AS (SELECT * FROM a2 WHERE n_assistant_tokens >= 80),
+           |ex AS (
+           |  SELECT * FROM (
+           |    SELECT *, MIN(conv_key) OVER (PARTITION BY md5(conv_text))
+           |      AS keep
+           |    FROM gated) g
+           |  WHERE conv_key = keep),
+           |evdocs AS (SELECT doc_id, text FROM documents
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} = 0),
+           |${Dedup.shingCteFor("evdocs", "shing_ev")},
+           |trdocs AS (SELECT conv_key AS doc_id, conv_text AS text FROM ex),
+           |${Dedup.shingCteFor("trdocs", "shing_tr")},
+           |contam AS (
+           |  SELECT DISTINCT tid FROM (
+           |    SELECT tr.tid, ev.eid, ev.en, COUNT(*) AS shared
+           |    FROM (SELECT doc_id AS eid, len(shashes) AS en,
+           |                 unnest(shashes) AS sh FROM shing_ev) ev
+           |    JOIN (SELECT doc_id AS tid, unnest(shashes) AS sh
+           |          FROM shing_tr) tr USING (sh)
+           |    GROUP BY 1, 2, 3) o
+           |  WHERE CAST(shared AS DOUBLE) / en >= 0.5),
+           |clean AS (SELECT * FROM ex
+           |          WHERE conv_key NOT IN (SELECT tid FROM contam)),
+           |man AS (
+           |  SELECT source,
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS split,
+           |    CAST(COUNT(*) AS BIGINT) AS n_convs,
+           |    CAST(SUM(n_user_tokens) AS BIGINT) AS n_user_tokens,
+           |    CAST(SUM(n_assistant_tokens) AS BIGINT) AS n_assistant_tokens
+           |  FROM (SELECT *,
+           |          ${Hashing.duckHash("CAST(conv_key AS VARCHAR)")} % 100
+           |            AS b
+           |        FROM clean) z
+           |  GROUP BY 1, 2),
+           |funnel AS (
+           |  SELECT '10_assembled' AS k,
+           |    (SELECT COUNT(*) FROM a2) AS c,
+           |    (SELECT COALESCE(SUM(n_user_tokens), 0) FROM a2) AS u,
+           |    (SELECT COALESCE(SUM(n_assistant_tokens), 0) FROM a2) AS a
+           |  UNION ALL SELECT '20_quality', (SELECT COUNT(*) FROM gated),
+           |    (SELECT COALESCE(SUM(n_user_tokens), 0) FROM gated),
+           |    (SELECT COALESCE(SUM(n_assistant_tokens), 0) FROM gated)
+           |  UNION ALL SELECT '30_exact', (SELECT COUNT(*) FROM ex),
+           |    (SELECT COALESCE(SUM(n_user_tokens), 0) FROM ex),
+           |    (SELECT COALESCE(SUM(n_assistant_tokens), 0) FROM ex)
+           |  UNION ALL SELECT '40_decontam', (SELECT COUNT(*) FROM clean),
+           |    (SELECT COALESCE(SUM(n_user_tokens), 0) FROM clean),
+           |    (SELECT COALESCE(SUM(n_assistant_tokens), 0) FROM clean))
+           |SELECT section, k, n_convs, n_user_tokens, n_assistant_tokens
+           |FROM (
+           |  SELECT '0_funnel' AS section, k, CAST(c AS BIGINT) AS n_convs,
+           |         CAST(u AS BIGINT) AS n_user_tokens,
+           |         CAST(a AS BIGINT) AS n_assistant_tokens
+           |  FROM funnel
+           |  UNION ALL
+           |  SELECT '1_manifest', source || '/' || split, n_convs,
+           |         n_user_tokens, n_assistant_tokens
+           |  FROM man) out
+           |ORDER BY section, k""".stripMargin,
       "pipe_e2e_pretrain" ->
         s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
            |q AS (
