@@ -656,6 +656,50 @@ object StatOps {
       .orderBy(col("b"))
   }
 
+  /** DETERMINISTIC WEIGHTED RESERVOIR SAMPLE (Efraimidis–Spirakis A-Res,
+    * 2006): each document draws priority u^(1/w) — here ordered by the
+    * equivalent log key lg(u)/w — and the sample IS the top-k priorities.
+    * The training-data use: draw a fixed-size quality-weighted sample
+    * (w = word count, so substantive documents over-represent) that is
+    * REPRODUCIBLE across runs, engines, and cluster layouts, with any
+    * document's inclusion auditable — the same no-rand() discipline as
+    * the split/mix gates, pointed at sampling without replacement.
+    *
+    * Exactness: u is the md5 hash gate (1..10⁶); lg(u) − lg(10⁶) is the
+    * exact fixed-point [[graft.ext.FixLog]] log2 (both engines compute
+    * the identical BIGINT), and the priority is ONE int64→float64-safe
+    * division of that integer by the integer weight — a single correctly
+    * rounded IEEE op, identical cross-engine, tie-broken on doc_id. The
+    * fixed-point truncation perturbs each priority < 2⁻¹⁶ in the
+    * exponent — a deterministic, documented quantization of the A-Res
+    * key, not a different sampler.
+    *
+    * At 100 TB: top-k by priority plans as TakeOrderedAndProject — one
+    * scan, per-partition heaps, k rows to the driver, NO shuffle of the
+    * corpus. That plan shape is the entire point of A-Res: a weighted
+    * sample without replacement that never materializes or sorts the
+    * population.
+    */
+  def reservoir(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val u = s"(${Hashing.sparkHash("CAST(doc_id AS STRING)")} % 1000000 + 1)"
+    Tables.documents(s, d)
+      .withColumn("w",
+        expr("size(filter(split(text, ' '), x -> length(x) > 0))")
+          .cast("long"))
+      .filter(col("w") >= 1)
+      .withColumn("u", expr(s"CAST($u AS BIGINT)"))
+      .withColumn("prio", expr(
+        s"CAST(${lgS("u")} - ${lgS("1000000")} AS DOUBLE) / CAST(w AS DOUBLE)"))
+      .orderBy(desc("prio"), col("doc_id"))
+      .limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("prio"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("w"),
+        col("u"), col("prio"))
+      .orderBy(col("rank"))
+  }
+
   /** Deterministic Poisson bootstrap CI for the mean order value — the
     * scale-out bootstrap (Chamandy et al., Google 2012): instead of
     * drawing n rows with replacement (which needs global coordination),
@@ -1123,6 +1167,7 @@ object StatOps {
     "x_auc" -> auc,
     "x_auc_bucketed" -> aucBucketed,
     "x_bootstrap_ci" -> bootstrapCi,
+    "x_reservoir" -> reservoir,
     "x_holt" -> holt,
     "x_collation" -> collation)
 
@@ -1732,6 +1777,30 @@ object StatOps {
         |       CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc_bucketed,
         |       CAST(tie2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS tie_halfwidth
         |FROM t""".stripMargin,
+    "x_reservoir" -> {
+      import graft.ext.FixLog.lgD
+      val u =
+        s"(${Hashing.duckHash("CAST(doc_id AS VARCHAR)")} % 1000000 + 1)"
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |                         x -> len(x) > 0)) AS BIGINT) AS w,
+         |    CAST($u AS BIGINT) AS u
+         |  FROM documents
+         |  WHERE len(list_filter(string_split(text, ' '),
+         |                        x -> len(x) > 0)) >= 1),
+         |p AS (
+         |  SELECT *,
+         |    CAST(${lgD("u")} - ${lgD("CAST(1000000 AS BIGINT)")} AS DOUBLE)
+         |      / CAST(w AS DOUBLE) AS prio
+         |  FROM t),
+         |r AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id)
+         |    AS BIGINT) AS rank, doc_id, source, w, u, prio
+         |  FROM p)
+         |SELECT rank, doc_id, source, w, u, prio FROM r
+         |WHERE rank <= 50 ORDER BY rank""".stripMargin
+    },
     "x_bootstrap_ci" -> {
       val a = Hashing.duckHashSlice("CAST(o_orderkey AS VARCHAR)", 1, 15)
       val c = Hashing.duckHashSlice("CAST(o_orderkey AS VARCHAR)", 16, 15)

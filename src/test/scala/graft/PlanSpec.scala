@@ -757,6 +757,18 @@ class PlanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.mor.pord")
   }
 
+  test("weighted reservoir: top-k plans as TakeOrdered, population never sorts or shuffles") {
+    val p = planAtScale("x_reservoir")
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-Res selection must be per-partition heaps + driver merge:\n" +
+        p.take(1200))
+    // the only exchange the query may carry is TakeOrdered's own
+    // single-partition gather of k rows — never a population-wide sort
+    assert(!p.contains("Exchange rangepartitioning"),
+      "population must not range-shuffle for a k-row sample:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("crawl politeness: one shuffle at domain grain, pruned scan, bounded sessions") {
     val p = planAtScale("dd_crawl_politeness")
     // the scan reads exactly the two columns the simulation needs
