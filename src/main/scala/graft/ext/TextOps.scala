@@ -418,6 +418,87 @@ object TextOps {
       .orderBy(col("section"), col("k"))
   }
 
+  /** PII DETECTION + LUHN VALIDATION — the governance scan every corpus
+    * ships through before training: emails, phone numbers, IPv4
+    * addresses, and 16-digit card candidates are detected by pattern,
+    * and card candidates are VALIDATED with the Luhn mod-10 checksum (an
+    * exact integer fold — the step that separates a real card number
+    * from a random 16-digit string, which is what keeps a PII pass's
+    * false-positive rate usable). The fixture plants each PII type
+    * deterministically from doc_id — including cards where only the
+    * doc_id % 6 ≡ 0 half carries a CORRECT check digit, so the validator
+    * must genuinely compute the checksum (detection alone scores both
+    * halves identically). The redacted text's md5 pins that the
+    * replacement composes over all four patterns.
+    *
+    * Build and parse use OPPOSITE formulations of Luhn (construction
+    * solves for the check digit over the first 15; validation folds all
+    * 16), and the DuckDB oracle replays both — four independent
+    * implementations agreeing is the verification.
+    *
+    * At 100 TB: pure per-row regexp + integer folds inside one scan — no
+    * shuffle, no UDF; exactly how a production PII pass runs at corpus
+    * scale.
+    */
+  def piiDetect(s: SparkSession, d: String): DataFrame = {
+    val h = sparkHash("CAST(doc_id AS STRING)")
+    // 15 base digits; check digit solves Luhn (positions 1,3,..,15 of a
+    // 16-digit number are doubled); % 6 = 3 docs get it off by one
+    val d15 = s"lpad(CAST($h % 1000000000000000 AS STRING), 15, '0')"
+    val s15 =
+      s"""aggregate(sequence(1, 15), CAST(0 AS BIGINT), (acc, i) ->
+         |  acc + CASE WHEN i % 2 = 1
+         |    THEN IF(2 * CAST(substr($d15, i, 1) AS BIGINT) > 9,
+         |            2 * CAST(substr($d15, i, 1) AS BIGINT) - 9,
+         |            2 * CAST(substr($d15, i, 1) AS BIGINT))
+         |    ELSE CAST(substr($d15, i, 1) AS BIGINT) END)""".stripMargin
+    val injected = Tables.documents(s, d)
+      .withColumn("text2", expr(
+        s"""concat(text,
+           |  CASE WHEN doc_id % 3 = 1 THEN concat(' user',
+           |    CAST(doc_id AS STRING), '@ex', CAST(doc_id % 7 AS STRING),
+           |    '.com') ELSE '' END,
+           |  CASE WHEN doc_id % 4 = 0 THEN concat(' +1-555-',
+           |    lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,
+           |  CASE WHEN doc_id % 5 = 0 THEN concat(' 10.',
+           |    CAST(doc_id % 256 AS STRING), '.',
+           |    CAST((doc_id * 7) % 256 AS STRING), '.',
+           |    CAST((doc_id * 13) % 256 AS STRING)) ELSE '' END,
+           |  CASE WHEN doc_id % 3 = 0 THEN concat(' ', $d15,
+           |    CAST((10 - $s15 % 10 + CASE WHEN doc_id % 6 = 0 THEN 0
+           |                                ELSE 1 END) % 10 AS STRING))
+           |  ELSE '' END)""".stripMargin))
+      .select(col("doc_id"), col("text2"))
+    // --- detection reads only text2 -------------------------------------
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[a-z]{2,}"
+    val phonePat = "\\\\+1-555-[0-9]{4}"
+    val ipPat = "\\\\b10\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"
+    val cardPat = "\\\\b[0-9]{16}\\\\b"
+    def luhn16(c: String) =
+      s"""aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, i) ->
+         |  acc + CASE WHEN i % 2 = 1
+         |    THEN IF(2 * CAST(substr($c, i, 1) AS BIGINT) > 9,
+         |            2 * CAST(substr($c, i, 1) AS BIGINT) - 9,
+         |            2 * CAST(substr($c, i, 1) AS BIGINT))
+         |    ELSE CAST(substr($c, i, 1) AS BIGINT) END) % 10 = 0"""
+        .stripMargin.linesIterator.mkString(" ")
+    injected
+      .withColumn("n_emails", expr(s"regexp_count(text2, '$emailPat')").cast("long"))
+      .withColumn("n_phones", expr(s"regexp_count(text2, '$phonePat')").cast("long"))
+      .withColumn("n_ips", expr(s"regexp_count(text2, '$ipPat')").cast("long"))
+      .withColumn("cards", expr(s"regexp_extract_all(text2, '$cardPat', 0)"))
+      .withColumn("n_cards", size(col("cards")).cast("long"))
+      .withColumn("n_cards_valid",
+        expr(s"size(filter(cards, c -> ${luhn16("c")}))").cast("long"))
+      .withColumn("redacted_md5", md5(expr(
+        s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |  text2, '$cardPat', '<CARD>'), '$emailPat', '<EMAIL>'),
+           |  '$phonePat', '<PHONE>'), '$ipPat', '<IP>')""".stripMargin)))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("n_cards"), col("n_cards_valid"), col("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Filter-attrition funnel: the per-rule survivor/dropped report every
     * corpus-curation pipeline publishes alongside the cleaned data (which
     * rule costs how many documents). One full-scan aggregate computes ALL
@@ -3056,6 +3137,7 @@ object TextOps {
     "pipe_corpus_clean" -> corpusClean,
     "pipe_e2e_pretrain" -> e2ePretrain,
     "pipe_e2e_sft" -> e2eSft,
+    "tx_pii_detect" -> piiDetect,
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
     "pipe_pack_bestfit" -> packBestFit,
@@ -4401,6 +4483,64 @@ object TextOps {
            |  stop_ratio
            |FROM clean WHERE doc_id NOT IN (SELECT ib FROM dups)
            |ORDER BY doc_id""".stripMargin,
+      "tx_pii_detect" -> {
+        val h = duckHash("CAST(doc_id AS VARCHAR)")
+        val d15 = s"lpad(CAST($h % 1000000000000000 AS VARCHAR), 15, '0')"
+        val s15 =
+          s"""list_sum([CASE WHEN i % 2 = 1
+             |  THEN CASE WHEN 2 * CAST(substr($d15, i, 1) AS BIGINT) > 9
+             |    THEN 2 * CAST(substr($d15, i, 1) AS BIGINT) - 9
+             |    ELSE 2 * CAST(substr($d15, i, 1) AS BIGINT) END
+             |  ELSE CAST(substr($d15, i, 1) AS BIGINT) END
+             |  for i in range(1, 16)])""".stripMargin
+        // DuckDB string literals do not process backslash escapes —
+        // single-backslash regex, and regexp_replace needs the 'g' flag
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[a-z]{2,}"
+        val phonePat = "\\+1-555-[0-9]{4}"
+        val ipPat = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val cardPat = "\\b[0-9]{16}\\b"
+        def luhn16(c: String) =
+          s"""list_sum([CASE WHEN i % 2 = 1
+             |  THEN CASE WHEN 2 * CAST(substr($c, i, 1) AS BIGINT) > 9
+             |    THEN 2 * CAST(substr($c, i, 1) AS BIGINT) - 9
+             |    ELSE 2 * CAST(substr($c, i, 1) AS BIGINT) END
+             |  ELSE CAST(substr($c, i, 1) AS BIGINT) END
+             |  for i in range(1, 17)]) % 10 = 0""".stripMargin
+        s"""WITH inj AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 3 = 1 THEN ' user'
+           |      || CAST(doc_id AS VARCHAR) || '@ex'
+           |      || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 4 = 0 THEN ' +1-555-'
+           |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |      ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' 10.'
+           |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+           |      || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+           |      || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' ' || $d15
+           |      || CAST((10 - ($s15) % 10 + CASE WHEN doc_id % 6 = 0
+           |            THEN 0 ELSE 1 END) % 10 AS VARCHAR)
+           |    ELSE '' END AS text2
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text2, '$emailPat')) AS BIGINT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(text2, '$phonePat')) AS BIGINT)
+           |    AS n_phones,
+           |  CAST(len(regexp_extract_all(text2, '$ipPat')) AS BIGINT)
+           |    AS n_ips,
+           |  CAST(len(regexp_extract_all(text2, '$cardPat')) AS BIGINT)
+           |    AS n_cards,
+           |  CAST(len(list_filter(regexp_extract_all(text2, '$cardPat'),
+           |    c -> ${luhn16("c")})) AS BIGINT) AS n_cards_valid,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(
+           |    regexp_replace(text2, '$cardPat', '<CARD>', 'g'),
+           |    '$emailPat', '<EMAIL>', 'g'),
+           |    '$phonePat', '<PHONE>', 'g'),
+           |    '$ipPat', '<IP>', 'g')) AS redacted_md5
+           |FROM inj ORDER BY doc_id""".stripMargin
+      },
       "pipe_e2e_sft" ->
         s"""WITH d2 AS (
            |  SELECT source, doc_id, text,
