@@ -163,10 +163,15 @@ object Bench {
     // (plan inspection is free there; a separate construction pass would
     // re-run the eager queries' build-side jobs).
     val exchangeBearing = collection.mutable.Set.empty[String]
+    val warmupFailed = collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n => // warmup pass + exchange detection
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
-        // Only HASH-partitioning exchanges count: every registered query
+        df.queryExecution.toRdd.count()
+        // Inspect the plan AFTER execution so AQE has resolved to the
+        // FINAL plan (the initial plan can both over-count exchanges AQE
+        // later elides and miss ones AQE introduces). Only
+        // HASH-partitioning exchanges count: every registered query
         // ends in a deterministic orderBy (a rangepartitioning exchange
         // over a bounded result) and many carry broadcast or
         // single-partition exchanges — counting those would classify the
@@ -174,8 +179,12 @@ object Bench {
         if (df.queryExecution.executedPlan.toString
             .contains("Exchange hashpartitioning"))
           exchangeBearing += n
-        df.queryExecution.toRdd.count()
       } catch { case e: Throwable =>
+        // A warmup failure means the query was never classified — record
+        // it in the JSON so bench_compare.py can exclude it instead of
+        // silently normalizing a possibly shuffle-bound query by the CPU
+        // probe.
+        warmupFailed += n
         System.err.println(s"[bench] $n warmup failed: ${e.getMessage}")
       }
     }
@@ -228,8 +237,9 @@ object Bench {
     val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val exch = names.filter(exchangeBearing)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wfail = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStart)},"calib_end_s":${fmt(calibEnd)},"calib_shuffle_s":${fmt(calibShufS)},"calib_shuffle_start_s":${fmt(calibShufStart)},"calib_shuffle_end_s":${fmt(calibShufEnd)},"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"exchange_bearing":$exch,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStart)},"calib_end_s":${fmt(calibEnd)},"calib_shuffle_s":${fmt(calibShufS)},"calib_shuffle_start_s":${fmt(calibShufStart)},"calib_shuffle_end_s":${fmt(calibShufEnd)},"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"exchange_bearing":$exch,"warmup_failed":$wfail,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     println(detail) // full detail early — safe to truncate, bench.json has it too

@@ -761,9 +761,15 @@ object Dedup {
     * broadcastable one at scale. Output = each contaminated train doc's
     * worst eval match (max overlap, tie → smallest eval id).
     */
-  def contamination(s: SparkSession, d: String): DataFrame = {
+  def contamination(s: SparkSession, d: String): DataFrame =
+    contaminationOf(shingled(s, d))
+
+  /** [[contamination]] over an arbitrary pre-shingled frame — the spec
+    * feeds this the same fixtures as [[ngramContaminationOf]] to pin
+    * where the two decontamination rules disagree.
+    */
+  private[graft] def contaminationOf(sh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingled(s, d)
     val ev = sh.filter(col("doc_id") % EVAL_MOD === 0)
       .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
         explode(col("shashes")).as("sh"))
@@ -781,6 +787,67 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("tid").as("doc_id"), col("eid").as("contaminated_by"),
         col("shared"), col("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 13-GRAM EXACT-MATCH DECONTAMINATION — the rule most published
+    * eval-decontamination pipelines actually apply (GPT-3/PaLM/Llama
+    * lineage): a training document is contaminated iff it shares ANY
+    * exact 13-token n-gram with an eval document. This sits beside the
+    * [[contamination]] shingle-overlap rule deliberately — the two
+    * disagree in both directions (ExtensionSpec pins a fixture for each):
+    * a 13-token verbatim quote inside a long train doc trips this rule
+    * but stays under the 20% shingle-overlap bar, while a doc built from
+    * an eval doc's 3-grams REARRANGED trips the overlap rule but never
+    * assembles 13 consecutive matching tokens.
+    *
+    * Relational shape: tokenize once per doc, hash every 13-gram to a
+    * 60-bit long (O(n·13) per doc — the window slide), explode, and
+    * equi-join train grams against eval grams. The eval side is a
+    * benchmark suite — small BY DEFINITION at any corpus scale — so it
+    * broadcasts; cost is one scan of the corpus plus shared-gram volume,
+    * never |train| × |eval|. Output = each contaminated train doc's worst
+    * eval match (most shared 13-grams, tie → smallest eval id).
+    */
+  def ngramContamination(s: SparkSession, d: String): DataFrame =
+    ngramContaminationOf(Tables.documents(s, d), 13)
+
+  /** [[ngramContamination]] over an arbitrary (doc_id, text) frame with a
+    * parameterized gram length — the spec feeds this the
+    * quote-vs-rearrangement fixtures.
+    */
+  private[graft] def ngramContaminationOf(docs: DataFrame,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= n)
+      // greatest(…, 1): the size filter already excludes short docs, but
+      // codegen subexpression elimination can evaluate this expression
+      // EAGERLY (it is shared between the projection and the
+      // explode-inferred non-empty constraint), i.e. on rows the filter
+      // will drop — sequence(1, 0) would descend through 0 and blow up
+      // slice(). The clamp makes the expression total; clamped rows never
+      // survive the filter.
+      .select(col("doc_id"), expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(ws) - ${n - 1}, 1)),
+           |  i -> ${sparkHash(s"array_join(slice(ws, i, $n), ' ')")}))"""
+          .stripMargin).as("ghashes"))
+    val ev = grams.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("doc_id").as("eid"), explode(col("ghashes")).as("gh"))
+    val tr = grams.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .select(col("doc_id").as("tid"), explode(col("ghashes")).as("gh"))
+    val w = Window.partitionBy(col("tid"))
+      .orderBy(desc("n_grams_shared"), col("eid"))
+    tr.join(broadcast(ev), "gh")
+      .groupBy(col("tid"), col("eid"))
+      .agg(count(lit(1)).as("n_grams_shared"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tid").as("doc_id"), col("eid").as("contaminated_by"),
+        col("n_grams_shared"))
       .orderBy(col("doc_id"))
   }
 
@@ -1590,6 +1657,7 @@ object Dedup {
     "dd_minhash_accuracy" -> minhashAccuracy,
     "dd_band_stats" -> bandStats,
     "dd_contamination" -> contamination,
+    "dd_contamination_ngram" -> ngramContamination,
     "dd_exact" -> exactDedup,
     "pipe_dedup_impact" -> dedupImpact,
     "dd_ngram_jaccard" -> ngramJaccard,
@@ -2049,6 +2117,28 @@ object Dedup {
          |  FROM ov WHERE overlap >= 0.2)
          |SELECT doc_id, contaminated_by, shared, overlap FROM best
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dd_contamination_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         list_distinct([${duckHash("array_to_string(ws[i:i+12], ' ')")}
+         |                        for i in range(1, len(ws) - 11)]) AS gh
+         |  FROM t WHERE len(ws) >= 13),
+         |ev AS (SELECT doc_id AS eid, unnest(gh) AS gh FROM g
+         |       WHERE doc_id % $EVAL_MOD = 0),
+         |tr AS (SELECT doc_id AS tid, unnest(gh) AS gh FROM g
+         |       WHERE doc_id % $EVAL_MOD <> 0),
+         |j AS (SELECT tid, eid, CAST(COUNT(*) AS BIGINT) AS n_grams_shared
+         |      FROM tr JOIN ev USING (gh) GROUP BY 1, 2),
+         |r AS (SELECT tid, eid, n_grams_shared,
+         |             ROW_NUMBER() OVER (PARTITION BY tid
+         |               ORDER BY n_grams_shared DESC, eid) AS rn
+         |      FROM j)
+         |SELECT tid AS doc_id, eid AS contaminated_by, n_grams_shared
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)

@@ -2127,6 +2127,17 @@ object Multimodal {
         """from_json(hdr, 'map<string, struct<dtype: string,
           |  shape: array<bigint>, data_offsets: array<bigint>>>')"""
           .stripMargin))
+      // an IN-RANGE corrupted length word decodes garbage "JSON":
+      // from_json returns null and every tensor in the file would
+      // silently vanish from the explode below — refuse loudly instead,
+      // mirroring the npy magic check (fail-loudly contract)
+      .withColumn("m", expr(
+        """CASE WHEN substr(hdr, 1, 1) = '{' AND m IS NOT NULL
+          |            AND size(map_keys(m)) > 0 THEN m
+          |  ELSE raise_error(concat('safetensors: header of file ',
+          |    CAST(st_id AS STRING), ' is not a JSON object (corrupt ',
+          |    'length word or payload misread as header)')) END"""
+          .stripMargin))
       .select(col("st_id"), col("st"), col("hlen"), col("pad_ok"),
         col("payload_bytes"), explode(col("m")).as(Seq("tname", "info")))
       .filter(col("tname") =!= "__metadata__")

@@ -1930,10 +1930,23 @@ object Similarity {
       batches: Seq[String]): Unit = {
     dir.mkdirs()
     val tmp = new java.io.File(dir, s".tmp_v${version}_${System.nanoTime}")
-    java.nio.file.Files.writeString(tmp.toPath, batches.mkString("\n"))
-    java.nio.file.Files.createLink(
-      new java.io.File(dir, f"v$version%05d.txt").toPath, tmp.toPath)
-    tmp.delete()
+    try {
+      java.nio.file.Files.writeString(tmp.toPath, batches.mkString("\n"))
+      try
+        java.nio.file.Files.createLink(
+          new java.io.File(dir, f"v$version%05d.txt").toPath, tmp.toPath)
+      catch {
+        // Lost the CAS race. If the winner committed the SAME batch list
+        // (an idempotent re-run of this append), that is success; a
+        // genuinely different committed list is a real conflict and the
+        // caller must re-read and retry at the next version.
+        case e: java.nio.file.FileAlreadyExistsException =>
+          val committed = java.nio.file.Files.readString(
+            new java.io.File(dir, f"v$version%05d.txt").toPath)
+            .split("\n").toSeq.filter(_.nonEmpty)
+          if (committed != batches) throw e
+      }
+    } finally tmp.delete() // never leak the temp file, even on a throw
   }
 
   private def readManifest(dir: java.io.File): Option[Seq[String]] =

@@ -154,6 +154,109 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- e2e pretrain stage bodies — shared VERBATIM by the in-memory
+  // flagship ([[e2ePretrain]], localCheckpoint stage boundaries) and the
+  // persisted publish run ([[e2ePublish]], parquet stage boundaries), so
+  // the two can never drift semantically. ------------------------------
+
+  /** Stage 1: the Gopher quality gate (the gopherRules predicate). */
+  private def stgQuality(raw: DataFrame): DataFrame = raw
+    .withColumn("ws", split(lower(col("text")), " "))
+    .withColumn("n_words", size(col("ws")).cast("long"))
+    .withColumn("mwl",
+      length(regexp_replace(col("text"), " ", "")).cast("double")
+        / col("n_words"))
+    .withColumn("symr",
+      regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double")
+        / length(col("text")))
+    .withColumn("alphar",
+      expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("double")
+        / col("n_words"))
+    .withColumn("n_stop",
+      expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("long"))
+    .filter(col("n_words") >= 20 && col("n_words") <= 500
+      && col("mwl") >= 3.0 && col("mwl") <= 10.0 && col("symr") <= 0.1
+      && col("alphar") >= 0.8 && col("n_stop") >= 2L)
+    .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  /** Stage 2: exact dedup — keep the smallest doc_id per md5(text). */
+  private def stgExact(quality: DataFrame): DataFrame = quality
+    .withColumn("keep_id",
+      min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+    .filter(col("doc_id") === col("keep_id"))
+    .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  /** Stage 3: LSH near-dup removal (keep-smallest, the corpusClean
+    * policy).
+    */
+  private def stgNeardup(exact: DataFrame): DataFrame = {
+    val dupIds = Dedup.lshPairsOf(exact.select(col("doc_id"), col("text")))
+      .select(col("ib").as("doc_id")).distinct()
+    exact.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4: benchmark decontamination — eval docs come from the RAW
+    * table; survivors that ARE eval docs leave, and train docs sharing
+    * ≥ 20% of any eval doc's shingles leave too.
+    */
+  private def stgDecontam(raw: DataFrame, neardup: DataFrame): DataFrame = {
+    val ev = Dedup.shingledOf(raw.filter(col("doc_id") % Dedup.EVAL_MOD === 0))
+      .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
+        explode(col("shashes")).as("sh"))
+    val tr = Dedup.shingledOf(neardup.filter(col("doc_id") % Dedup.EVAL_MOD =!= 0))
+      .select(col("doc_id").as("tid"), explode(col("shashes")).as("sh"))
+    val contaminated = ev.join(tr, "sh")
+      .groupBy(col("tid"), col("eid"), col("en"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") / col("en") >= 0.2)
+      .select(col("tid").as("doc_id")).distinct()
+    neardup.filter(col("doc_id") % Dedup.EVAL_MOD =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 5: temperature mix (τ=2 over langs, the temperatureMix plan). */
+  private def stgMixed(decontam: DataFrame): DataFrame = {
+    val counts = decontam.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("n_total"),
+      expr(
+        """aggregate(
+          |  transform(array_sort(collect_list(
+          |    struct(lang, sqrt(CAST(n_docs AS DOUBLE)) AS w))), x -> x.w),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("w_total"))
+    val th = counts.crossJoin(broadcast(tot))
+      .withColumn("target",
+        floor(sqrt(col("n_docs").cast("double")) / col("w_total")
+          * expr("CAST(n_total DIV 2 AS DOUBLE)")).cast("long"))
+      .withColumn("th",
+        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
+          * lit(10000.0)).cast("long"))
+      .select(col("lang"), col("th"))
+    decontam
+      .join(broadcast(th), Seq("lang"))
+      .filter(expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 10000")
+        < col("th"))
+  }
+
+  /** Stage 6: BPE trained on the curated corpus; per-doc token counts. */
+  private def stgDocLevel(mixed: DataFrame): DataFrame = {
+    val (_, vocab) = bpeTrainOf(mixed)
+    val symCounts = vocab.select(col("w"), expr(
+      "size(filter(split(seg, concat(chr(1), chr(1))), x -> x != ''))")
+      .cast("long").as("n_sym"))
+    val docTokens = mixed
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains("\u0001"))
+      .join(broadcast(symCounts), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("bpe_tokens"))
+    mixed.select(col("doc_id"), col("source"))
+      .join(docTokens, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("bpe_tokens"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   /** THE END-TO-END PRETRAIN FLAGSHIP — the full curation DAG a real
     * pretraining run ships, composed as one checkpointed chain:
     *
@@ -192,93 +295,20 @@ object TextOps {
     val raw = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     // Stage 1: Gopher quality gate (the gopherRules predicate).
-    val quality = raw
-      .withColumn("ws", split(lower(col("text")), " "))
-      .withColumn("n_words", size(col("ws")).cast("long"))
-      .withColumn("mwl",
-        length(regexp_replace(col("text"), " ", "")).cast("double")
-          / col("n_words"))
-      .withColumn("symr",
-        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("double")
-          / length(col("text")))
-      .withColumn("alphar",
-        expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("double")
-          / col("n_words"))
-      .withColumn("n_stop",
-        expr(s"size(filter(ws, w -> w IN ${inList(stop("en"))}))").cast("long"))
-      .filter(col("n_words") >= 20 && col("n_words") <= 500
-        && col("mwl") >= 3.0 && col("mwl") <= 10.0 && col("symr") <= 0.1
-        && col("alphar") >= 0.8 && col("n_stop") >= 2L)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .localCheckpoint()
+    val quality = stgQuality(raw).localCheckpoint()
     // Stage 2: exact dedup — keep the smallest doc_id per md5(text).
-    val exact = quality
-      .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .localCheckpoint()
+    val exact = stgExact(quality).localCheckpoint()
     // Stage 3: near-dup removal (keep-smallest, the corpusClean policy).
-    val dupIds = Dedup.lshPairsOf(exact.select(col("doc_id"), col("text")))
-      .select(col("ib").as("doc_id")).distinct()
-    val neardup = exact.join(dupIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val neardup = stgNeardup(exact).localCheckpoint()
     // Stage 4: decontamination — eval docs come from the RAW table (the
     // benchmark exists regardless of curation); survivors that ARE eval
     // docs leave the corpus, and train docs sharing ≥ 20% of any eval
     // doc's shingles leave too (the contamination() rule).
-    val ev = Dedup.shingledOf(raw.filter(col("doc_id") % Dedup.EVAL_MOD === 0))
-      .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
-        explode(col("shashes")).as("sh"))
-    val tr = Dedup.shingledOf(neardup.filter(col("doc_id") % Dedup.EVAL_MOD =!= 0))
-      .select(col("doc_id").as("tid"), explode(col("shashes")).as("sh"))
-    val contaminated = ev.join(tr, "sh")
-      .groupBy(col("tid"), col("eid"), col("en"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared").cast("double") / col("en") >= 0.2)
-      .select(col("tid").as("doc_id")).distinct()
-    val decontam = neardup.filter(col("doc_id") % Dedup.EVAL_MOD =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+    val decontam = stgDecontam(raw, neardup).localCheckpoint()
     // Stage 5: temperature mix (τ=2 over langs, the temperatureMix plan).
-    val counts = decontam.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val tot = counts.agg(
-      sum(col("n_docs")).as("n_total"),
-      expr(
-        """aggregate(
-          |  transform(array_sort(collect_list(
-          |    struct(lang, sqrt(CAST(n_docs AS DOUBLE)) AS w))), x -> x.w),
-          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
-        .as("w_total"))
-    val th = counts.crossJoin(broadcast(tot))
-      .withColumn("target",
-        floor(sqrt(col("n_docs").cast("double")) / col("w_total")
-          * expr("CAST(n_total DIV 2 AS DOUBLE)")).cast("long"))
-      .withColumn("th",
-        floor(least(lit(1.0), col("target").cast("double") / col("n_docs"))
-          * lit(10000.0)).cast("long"))
-      .select(col("lang"), col("th"))
-    val mixed = decontam
-      .join(broadcast(th), Seq("lang"))
-      .filter(expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 10000")
-        < col("th"))
-      .localCheckpoint()
+    val mixed = stgMixed(decontam).localCheckpoint()
     // Stage 6: BPE tokenizer trained on the curated corpus; tokenize.
-    val (_, vocab) = bpeTrainOf(mixed)
-    val symCounts = vocab.select(col("w"), expr(
-      "size(filter(split(seg, concat(chr(1), chr(1))), x -> x != ''))")
-      .cast("long").as("n_sym"))
-    val docTokens = mixed
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(length(col("w")) > 0 && !col("w").contains("\u0001"))
-      .join(broadcast(symCounts), Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n_sym")).as("bpe_tokens"))
-    val docLevel = mixed.select(col("doc_id"), col("source"))
-      .join(docTokens, Seq("doc_id"), "left")
-      .withColumn("n_tokens", coalesce(col("bpe_tokens"), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
-      .localCheckpoint()
+    val docLevel = stgDocLevel(mixed).localCheckpoint()
     // Stage 7: per-shard sequence packing at 2048 tokens.
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -904,6 +934,80 @@ object TextOps {
         col("max_bin_tokens"), col("min_bin_tokens"), col("waste_ffd"),
         col("occupancy_ffd"), col("bins_seq"))
       .orderBy(col("shard"))
+  }
+
+  /** RELATIONAL first-fit-decreasing packing — [[packBestFit]]'s
+    * algorithm re-expressed as a pure SQL `aggregate()` fold so the
+    * DuckDB oracle replays the EXACT packing trajectory (the
+    * flatMapGroups packer can only be spec-checked; this one
+    * hash-verifies, and OperatorSpec additionally pins that the two
+    * independent implementations assign every doc the same bin). Docs
+    * rank descending by token count within their shard (tie → doc_id),
+    * then fold through a bin-load table: each doc takes the FIRST bin
+    * with ≥ its token count of room, or opens a new one — all exact
+    * BIGINT arithmetic, no floats.
+    *
+    * Output is the per-doc packing manifest a shard writer consumes
+    * (shard, doc, tokens, bin) with the per-shard padding-waste
+    * comparison carried alongside: waste_ffd = bins·2048 − Σtokens vs
+    * waste_concat = ⌈Σtokens/2048⌉·2048 − Σtokens (the running-offset
+    * [[packSequences]] baseline, which wastes only the final partial
+    * sequence but splits documents across attention boundaries). The
+    * FFD−concat waste gap is the price of document integrity — the
+    * number a training-efficiency review asks for.
+    *
+    * At 100 TB: the fold is per shard (one hash exchange); the collected
+    * state is (token count, id) pairs only — never text — so the shard
+    * count P is the scale knob exactly as in [[packBestFit]]. A doc
+    * longer than the 2048 cap opens its own overfull bin (standard FFD).
+    */
+  def packFfd(s: SparkSession, d: String): DataFrame = {
+    val cap = 2048L
+    def ff(loads: String, t: String) =
+      s"""IF(size($loads) = 0, -1,
+         |  aggregate(sequence(0, size($loads) - 1), -1,
+         |    (a, i) -> CASE WHEN a >= 0 THEN a
+         |      WHEN element_at($loads, i + 1) + $t <= $cap THEN i
+         |      ELSE -1 END))""".stripMargin
+    val fold =
+      s"""aggregate(docs,
+         |  named_struct(
+         |    'loads', array_repeat(CAST(0 AS BIGINT), 0),
+         |    'asg', array_repeat(named_struct('id', CAST(0 AS BIGINT),
+         |      'nt', CAST(0 AS BIGINT), 'bin', CAST(0 AS BIGINT)), 0)),
+         |  (st, dc) -> element_at(transform(array(${ff("st.loads", "dc.nt")}),
+         |    fi -> named_struct(
+         |      'loads', CASE WHEN fi >= 0
+         |        THEN transform(st.loads, (l, i) -> IF(i = fi, l + dc.nt, l))
+         |        ELSE concat(st.loads, array(dc.nt)) END,
+         |      'asg', concat(st.asg, array(named_struct('id', dc.id,
+         |        'nt', dc.nt,
+         |        'bin', CAST(IF(fi >= 0, fi, size(st.loads)) AS BIGINT)))))),
+         |    1))""".stripMargin
+    Tables.documents(s, d)
+      .withColumn("re_tokens",
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long"))
+      .withColumn("shard",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 8"))
+      .groupBy(col("shard"))
+      .agg(expr(
+        """array_sort(collect_list(named_struct(
+          |  's', -re_tokens, 'id', doc_id, 'nt', re_tokens)))""".stripMargin)
+        .as("docs"))
+      .withColumn("st", expr(fold))
+      .withColumn("total", expr(
+        "aggregate(st.loads, CAST(0 AS BIGINT), (a, l) -> a + l)"))
+      .withColumn("waste_ffd",
+        expr(s"CAST(size(st.loads) AS BIGINT) * $cap - total"))
+      .withColumn("waste_concat",
+        expr(s"((total + ${cap - 1}) DIV $cap) * $cap - total"))
+      .select(col("shard"), explode(col("st.asg")).as("a"),
+        col("waste_ffd"), col("waste_concat"))
+      .select(col("shard"), col("a.id").as("doc_id"),
+        col("a.nt").as("re_tokens"), col("a.bin").as("bin"),
+        col("waste_ffd"), col("waste_concat"))
+      .orderBy(col("shard"), col("doc_id"))
   }
 
   /** Corpus mixing: sample each source at its own rate — the data-mixing
@@ -2594,6 +2698,104 @@ object TextOps {
         col("r_symbol"), col("r_alpha"), col("r_stop"), col("gopher_ok"))
       .orderBy(col("doc_id"))
 
+  /** QUALITY-SCORE ENSEMBLE WITH PER-RULE ABLATION — the composed
+    * verdict a real curation stack publishes from its independent quality
+    * signals, plus the governance table that justifies each gate. Three
+    * signals the corpus already carries, each with its own failure mode:
+    *
+    *  - `gopher` — the [[gopherRules]] heuristic conjunction (surface
+    *    statistics: word counts, symbol ratio, stopword floor);
+    *  - `lm` — the [[lmScore]] trained-bigram-LM perplexity keep (read
+    *    from the per-session score store, NOT retrained — the
+    *    localCheckpointed `lmScored` pattern);
+    *  - `nb` — Naive-Bayes language agreement (the [[graft.ops.StatOps
+    *    x_naive_bayes]] estimator, trained on the doc_id % 5 ≠ 0 split,
+    *    scoring EVERY doc over a bounded 50-token prefix — the prefix is
+    *    how production language-ID bounds its cost per document).
+    *
+    * Verdict = fixed linear combination 2·gopher + 2·lm + 1·nb ≥ 3, so
+    * the two content gates dominate and the language gate breaks their
+    * disagreement. The ablation section reports, per rule, the docs it
+    * rejects and the docs it UNIQUELY rejects (fails this rule, passes
+    * both others) — the number that tells a curation review which gate
+    * is actually earning its false-negative budget.
+    *
+    * At 100 TB: gopher is one codegen scan; the LM score is a persisted
+    * table read; NB adds one token-grain count (training) and a
+    * prefix-bounded score join; the verdict join is doc-keyed; both
+    * report sections aggregate the same checkpointed verdict frame.
+    */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.FixLog.lgS
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gop = gopherRules(s, d).select(col("doc_id"), col("gopher_ok"))
+    val lm = lmScored(s, d).select(col("doc_id"), col("keep").as("lm_keep"))
+    // NB language-agreement signal (the x_naive_bayes estimator verbatim,
+    // scored over a 50-token prefix of EVERY doc instead of the held-out
+    // fifth's full text)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val trainTok = train
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val counts = trainTok.groupBy(col("lang").as("lang_cand"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val cand = trainTok.groupBy(col("lang").as("lang_cand"))
+      .agg(count(lit(1)).as("toks"))
+      .join(train.groupBy(col("lang").as("lang_cand"))
+        .agg(count(lit(1)).as("nd")), "lang_cand")
+      .crossJoin(broadcast(trainTok.agg(countDistinct(col("w")).as("v"))))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n"))))
+    val prefTok = docs.select(col("doc_id"), col("lang").as("lang_true"),
+      explode(expr("slice(filter(split(text, ' '), w -> w <> ''), 1, 50)"))
+        .as("w"))
+    val nb = prefTok.crossJoin(broadcast(cand))
+      .join(counts, Seq("lang_cand", "w"), "left")
+      .withColumn("cw1", coalesce(col("cw"), lit(0L)) + lit(1L))
+      .withColumn("term", expr(lgS("cw1")))
+      .groupBy(col("doc_id"), col("lang_true"), col("lang_cand"),
+        col("toks"), col("nd"), col("v"), col("n"))
+      .agg(count(lit(1)).as("m"), sum(col("term")).as("sumlg"))
+      .withColumn("score", expr(
+        s"${lgS("nd")} - ${lgS("n")} - m * ${lgS("toks + v")} + sumlg"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang_cand"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), (col("lang_cand") === col("lang_true")).as("nb_ok"))
+    // verdict frame: checkpointed once, read by both report sections
+    val joined = docs.select(col("doc_id"))
+      .join(gop, Seq("doc_id"))
+      .join(lm, Seq("doc_id"), "left")
+      .join(nb, Seq("doc_id"), "left")
+      .withColumn("lm_keep", coalesce(col("lm_keep"), lit(false)))
+      .withColumn("nb_ok", coalesce(col("nb_ok"), lit(false)))
+      .withColumn("pass", expr(
+        """2 * CAST(gopher_ok AS INT) + 2 * CAST(lm_keep AS INT)
+          |  + CAST(nb_ok AS INT) >= 3""".stripMargin))
+      .localCheckpoint()
+    val verdict = joined.groupBy(col("pass"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("0_verdict").as("section"),
+        when(col("pass"), lit("pass")).otherwise(lit("fail")).as("k"),
+        col("n_docs"), lit(0L).as("n_unique"))
+    val abl = joined
+      .select(explode(expr(
+        """array(
+          |  named_struct('rule', 'gopher', 'rej', NOT gopher_ok,
+          |    'uniq', NOT gopher_ok AND lm_keep AND nb_ok),
+          |  named_struct('rule', 'lm', 'rej', NOT lm_keep,
+          |    'uniq', NOT lm_keep AND gopher_ok AND nb_ok),
+          |  named_struct('rule', 'nb', 'rej', NOT nb_ok,
+          |    'uniq', NOT nb_ok AND gopher_ok AND lm_keep))""".stripMargin))
+        .as("r"))
+      .groupBy(col("r.rule").as("k"))
+      .agg(sum(when(col("r.rej"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("r.uniq"), 1L).otherwise(0L)).as("n_unique"))
+      .select(lit("1_ablation").as("section"), col("k"), col("n_docs"),
+        col("n_unique"))
+    verdict.unionByName(abl).orderBy(col("section"), col("k"))
+  }
+
   /** Per-source quota capping (the CommonCrawl per-domain cap): keep at
     * most 150 docs per source, chosen by deterministic hash rank so the
     * sample is stable across runs and partitionings. One window over the
@@ -3091,6 +3293,7 @@ object TextOps {
     "tx_surprisal" -> surprisal,
     "tx_lm_score" -> lmScore,
     "tx_gopher_rules" -> gopherRules,
+    "tx_quality_ensemble" -> qualityEnsemble,
     "pipe_source_cap" -> sourceCap,
     "tx_tfidf" -> tfidf,
     "tx_bm25" -> bm25,
@@ -3141,6 +3344,7 @@ object TextOps {
     "pipe_filter_funnel" -> filterFunnel,
     "pipe_pack_sequences" -> packSequences,
     "pipe_pack_bestfit" -> packBestFit,
+    "pipe_pack_ffd" -> packFfd,
     "tx_dup_spans" -> dupSpans,
     "tx_strip_spans" -> stripSpans,
     "tx_max_spans" -> maxSpans,
@@ -3535,6 +3739,138 @@ object TextOps {
           |       CAST((10 * cum + n_docs - 1) // n_docs AS INT) <= 7 AS keep
           |FROM sc JOIN cum USING (milli_bits) CROSS JOIN tot
           |ORDER BY doc_id""".stripMargin,
+      "tx_quality_ensemble" -> {
+        import graft.ext.FixLog.lgD
+        s"""WITH docs AS (SELECT doc_id, lang, text FROM documents),
+           |gop AS (
+           |  SELECT doc_id,
+           |    (n_words >= 20 AND n_words <= 500)
+           |      AND (mwl >= 3.0 AND mwl <= 10.0)
+           |      AND symr <= 0.1 AND alphar >= 0.8 AND n_stop >= 2
+           |      AS gopher_ok
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS mwl,
+           |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+           |        / length(text) AS symr,
+           |      CAST(len(list_filter(string_split(lower(text), ' '),
+           |                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS alphar,
+           |      ${score("en")} AS n_stop
+           |    FROM documents) f),
+           |ws0 AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+           |  FROM documents),
+           |w2 AS (SELECT doc_id, ws FROM ws0 WHERE len(ws) >= 2),
+           |lmpairs AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, len(ws)),
+           |                i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+           |  FROM w2),
+           |pf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM lmpairs),
+           |pc AS (SELECT w1, w2, COUNT(*) AS pc FROM pf GROUP BY 1, 2),
+           |cc AS (SELECT w1, CAST(SUM(pc) AS BIGINT) AS cc FROM pc GROUP BY 1),
+           |lmsc AS (
+           |  SELECT doc_id, COUNT(*) AS n_pairs,
+           |         CAST(SUM(length(bin(cc)) - length(bin(pc.pc))) AS BIGINT)
+           |           AS lm_bits
+           |  FROM pf JOIN pc USING (w1, w2) JOIN cc USING (w1)
+           |  GROUP BY doc_id),
+           |lmq AS (SELECT doc_id, lm_bits * 1000 // n_pairs AS milli_bits
+           |        FROM lmsc),
+           |hist AS (SELECT milli_bits, COUNT(*) AS h FROM lmq GROUP BY 1),
+           |cum AS (SELECT milli_bits,
+           |               SUM(h) OVER (ORDER BY milli_bits) AS cum FROM hist),
+           |lmtot AS (SELECT COUNT(*) AS n_docs FROM lmq),
+           |lmk AS (
+           |  SELECT lmq.doc_id,
+           |         CAST((10 * cum + n_docs - 1) // n_docs AS INT) <= $LM_KEEP_DECILE
+           |           AS lm_keep
+           |  FROM lmq JOIN cum USING (milli_bits) CROSS JOIN lmtot),
+           |train AS (SELECT doc_id, lang, text FROM documents
+           |          WHERE doc_id % 5 <> 0),
+           |ttok AS (
+           |  SELECT lang, w FROM (
+           |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM train)
+           |  WHERE w <> ''),
+           |counts AS (
+           |  SELECT lang AS lang_cand, w, CAST(COUNT(*) AS BIGINT) AS cw
+           |  FROM ttok GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT l.lang_cand, l.toks, dd.nd, v.v, nt.n
+           |  FROM (SELECT lang AS lang_cand, CAST(COUNT(*) AS BIGINT) AS toks
+           |        FROM ttok GROUP BY 1) l
+           |  JOIN (SELECT lang AS lang_cand, CAST(COUNT(*) AS BIGINT) AS nd
+           |        FROM train GROUP BY 1) dd USING (lang_cand),
+           |       (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM ttok) v,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train) nt),
+           |ptok AS (
+           |  SELECT doc_id, lang_true, unnest(pws) AS w FROM (
+           |    SELECT doc_id, lang AS lang_true,
+           |           list_filter(string_split(text, ' '), w -> w <> '')[1:50] AS pws
+           |    FROM docs)),
+           |terms AS (
+           |  SELECT p.doc_id, p.lang_true, c.lang_cand, c.toks, c.nd, c.v, c.n,
+           |         COALESCE(cn.cw, 0) + 1 AS cw1
+           |  FROM ptok p CROSS JOIN cand c
+           |  LEFT JOIN counts cn ON cn.lang_cand = c.lang_cand AND cn.w = p.w),
+           |ds AS (
+           |  SELECT doc_id, lang_true, lang_cand, toks, nd, v, n,
+           |         CAST(COUNT(*) AS BIGINT) AS m,
+           |         CAST(SUM(${lgD("cw1")}) AS BIGINT) AS sumlg
+           |  FROM terms GROUP BY 1, 2, 3, 4, 5, 6, 7),
+           |scn AS (
+           |  SELECT doc_id, lang_true, lang_cand,
+           |         ${lgD("nd")} - ${lgD("n")} - m * ${lgD("toks + v")} + sumlg
+           |           AS score
+           |  FROM ds),
+           |nb AS (
+           |  SELECT doc_id, lang_cand = lang_true AS nb_ok FROM (
+           |    SELECT doc_id, lang_true, lang_cand,
+           |           row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY score DESC, lang_cand) AS rk
+           |    FROM scn) z
+           |  WHERE rk = 1),
+           |j AS (
+           |  SELECT d.doc_id, g.gopher_ok,
+           |         COALESCE(l.lm_keep, FALSE) AS lm_keep,
+           |         COALESCE(nb.nb_ok, FALSE) AS nb_ok
+           |  FROM docs d JOIN gop g USING (doc_id)
+           |  LEFT JOIN lmk l USING (doc_id)
+           |  LEFT JOIN nb USING (doc_id)),
+           |v AS (
+           |  SELECT *, 2 * CAST(gopher_ok AS INT) + 2 * CAST(lm_keep AS INT)
+           |            + CAST(nb_ok AS INT) >= 3 AS pass
+           |  FROM j)
+           |SELECT section, k, n_docs, n_unique FROM (
+           |  SELECT '0_verdict' AS section,
+           |         CASE WHEN pass THEN 'pass' ELSE 'fail' END AS k,
+           |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(0 AS BIGINT) AS n_unique
+           |  FROM v GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT '1_ablation', 'gopher',
+           |         CAST(SUM(CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END) AS BIGINT),
+           |         CAST(SUM(CASE WHEN NOT gopher_ok AND lm_keep AND nb_ok
+           |                       THEN 1 ELSE 0 END) AS BIGINT)
+           |  FROM v
+           |  UNION ALL
+           |  SELECT '1_ablation', 'lm',
+           |         CAST(SUM(CASE WHEN NOT lm_keep THEN 1 ELSE 0 END) AS BIGINT),
+           |         CAST(SUM(CASE WHEN NOT lm_keep AND gopher_ok AND nb_ok
+           |                       THEN 1 ELSE 0 END) AS BIGINT)
+           |  FROM v
+           |  UNION ALL
+           |  SELECT '1_ablation', 'nb',
+           |         CAST(SUM(CASE WHEN NOT nb_ok THEN 1 ELSE 0 END) AS BIGINT),
+           |         CAST(SUM(CASE WHEN NOT nb_ok AND gopher_ok AND lm_keep
+           |                       THEN 1 ELSE 0 END) AS BIGINT)
+           |  FROM v) out
+           |ORDER BY section, k""".stripMargin
+      },
       "tx_gopher_rules" ->
         s"""WITH f AS (
            |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
@@ -4759,6 +5095,51 @@ object TextOps {
            |         n_tokens, n_seqs
            |  FROM shards) out
            |ORDER BY section, k""".stripMargin,
+      "pipe_pack_ffd" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS nt,
+           |    ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |  FROM documents),
+           |g AS (
+           |  SELECT shard,
+           |    list({'loads': [nt],
+           |          'asg': [{'id': doc_id, 'nt': nt, 'b': CAST(0 AS BIGINT)}]}
+           |         ORDER BY nt DESC, doc_id) AS docs
+           |  FROM toks GROUP BY shard),
+           |f AS (
+           |  SELECT shard, list_reduce(list_prepend(
+           |    {'loads': []::BIGINT[],
+           |     'asg': []::STRUCT(id BIGINT, nt BIGINT, b BIGINT)[]},
+           |    docs),
+           |    (st, dc) -> list_transform(
+           |      [COALESCE([i for i in range(1, len(st.loads) + 1)
+           |                 if st.loads[i] + dc.loads[1] <= 2048][1],
+           |                CAST(0 AS BIGINT))],
+           |      fi -> {'loads': CASE WHEN fi >= 1
+           |               THEN [CASE WHEN i = fi THEN st.loads[i] + dc.loads[1]
+           |                          ELSE st.loads[i] END
+           |                     for i in range(1, len(st.loads) + 1)]
+           |               ELSE list_append(st.loads, dc.loads[1]) END,
+           |             'asg': list_append(st.asg,
+           |               {'id': dc.asg[1].id, 'nt': dc.loads[1],
+           |                'b': CASE WHEN fi >= 1 THEN fi - 1
+           |                          ELSE CAST(len(st.loads) AS BIGINT) END})}
+           |    )[1]) AS st
+           |  FROM g),
+           |w AS (
+           |  SELECT shard, st,
+           |    CAST(list_sum(st.loads) AS BIGINT) AS total,
+           |    CAST(len(st.loads) AS BIGINT) * 2048
+           |      - CAST(list_sum(st.loads) AS BIGINT) AS waste_ffd,
+           |    ((CAST(list_sum(st.loads) AS BIGINT) + 2047) // 2048) * 2048
+           |      - CAST(list_sum(st.loads) AS BIGINT) AS waste_concat
+           |  FROM f)
+           |SELECT shard, a.id AS doc_id, a.nt AS re_tokens,
+           |       CAST(a.b AS BIGINT) AS bin, waste_ffd, waste_concat
+           |FROM (SELECT shard, unnest(st.asg) AS a, waste_ffd, waste_concat
+           |      FROM w) z
+           |ORDER BY shard, doc_id""".stripMargin,
       "pipe_pack_sequences" ->
         s"""WITH toks AS (
            |  SELECT doc_id,

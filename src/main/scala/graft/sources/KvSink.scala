@@ -226,16 +226,25 @@ object KvSink {
     val dir = Paths.get(path)
     var committedV = -1L
     var attempt = 0
+    // Committed manifests are IMMUTABLE once their version number is
+    // claimed, so each version's file set is read at most once across the
+    // whole retry loop — a retry only incorporates versions that appeared
+    // since (r15 advice: the previous form re-read every manifest on every
+    // CAS attempt, O(versions × files) per retry on a hot table).
+    val fileSetByVersion =
+      collection.mutable.Map.empty[Long, Seq[(String, Long)]]
+    def filesOf(v: Long): Seq[(String, Long)] =
+      fileSetByVersion.getOrElseUpdate(v, committedFiles(path, v))
     while (committedV < 0) {
-      val curV = versions(path).lastOption.getOrElse(0L)
-      val prev = if (curV == 0L) Seq.empty else committedFiles(path, curV)
+      val vs = versions(path)
+      val curV = vs.lastOption.getOrElse(0L)
+      val prev = if (curV == 0L) Seq.empty else filesOf(curV)
       // A staged file that appears in ANY committed version was already
       // published once (branch file names are write-id-unique): checking
       // only the latest manifest would let a crash-leftover branch
       // RE-publish after an intervening overwrite truncated main —
       // resurrecting rows the overwrite deliberately removed.
-      val everCommitted = versions(path)
-        .flatMap(v => committedFiles(path, v)).map(_._1).toSet
+      val everCommitted = vs.flatMap(filesOf).map(_._1).toSet
       val fresh = staged.filterNot { case (f, _) => everCommitted(f) }
       if (fresh.isEmpty) {
         // everything already landed (a retried publish after a crash in

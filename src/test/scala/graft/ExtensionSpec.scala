@@ -979,6 +979,92 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("relational FFD fold: bin-identical to reference FFD, padding trade vs concat") {
+    val rel = ext.TextOps.packFfd(spark, sf).collect()
+    assert(rel.nonEmpty)
+    val byShard = rel.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (shard, rows) =>
+      // independent plain-Scala FFD reference over the same (id, tokens)
+      val docs = rows.map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[Long]("re_tokens")))
+        .sortBy { case (id, t) => (-t, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val want = docs.map { case (id, t) =>
+        var i = 0
+        while (i < loads.length && loads(i) + t > 2048L) i += 1
+        if (i == loads.length) loads += t else loads(i) += t
+        id -> i.toLong
+      }.toMap
+      val got = rows.map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+      assert(got == want, s"shard $shard diverged from the reference FFD")
+      // capped bins (no fixture doc exceeds the 2048 cap, so no bin may)
+      val binLoads = rows.groupBy(_.getAs[Long]("bin"))
+        .map { case (b, rs) => b -> rs.map(_.getAs[Long]("re_tokens")).sum }
+      binLoads.foreach { case (b, l) =>
+        assert(l <= 2048L, s"shard $shard bin $b over cap: $l") }
+      val total = rows.map(_.getAs[Long]("re_tokens")).sum
+      assert(rows.head.getAs[Long]("waste_ffd") ==
+        binLoads.size * 2048L - total)
+      assert(rows.head.getAs[Long]("waste_concat") ==
+        ((total + 2047L) / 2048L) * 2048L - total)
+      // document integrity costs padding: a no-split packer can never
+      // waste LESS than the doc-splitting concat baseline (which pads
+      // only the final partial sequence)
+      assert(rows.head.getAs[Long]("waste_ffd") >=
+        rows.head.getAs[Long]("waste_concat"), s"shard $shard")
+    }
+    // two independent implementations agree: the SQL fold's bin count
+    // matches the flatMapGroups packer's
+    val imp = ext.TextOps.packBestFit(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("bins_ffd")).toMap
+    val relBins = byShard.map { case (sh, rs) =>
+      sh -> (rs.map(_.getAs[Long]("bin")).max + 1) }
+    assert(relBins == imp,
+      "relational fold and flatMapGroups packer disagree on bin counts")
+  }
+
+  test("decontamination rules disagree by design: 13-gram catches the verbatim quote, shingle-overlap the rearrangement") {
+    import spark.implicits._
+    val evalWords = (0 until 80).map(i => s"tok$i")
+    // rearranged: 6-word chunks in reversed order — 3-grams inside each
+    // chunk survive (52 of the eval doc's 78 shingles ≈ 67% > the 20%
+    // bar) but no 13 consecutive tokens do (max preserved run = 6)
+    val rearranged = evalWords.grouped(6).toSeq.reverse.flatten.mkString(" ")
+    // quote: 13 verbatim eval tokens inside otherwise-unique text — one
+    // shared 13-gram, but only 11 of 78 eval shingles (14% < 20%)
+    val quote = ((0 until 40).map(i => s"ba$i") ++ evalWords.slice(10, 23)
+      ++ (0 until 40).map(i => s"bz$i")).mkString(" ")
+    // doc 0 % 11 == 0 → eval; 1 and 2 are train
+    val docs = Seq((0L, evalWords.mkString(" ")), (1L, rearranged),
+      (2L, quote)).toDF("doc_id", "text")
+    val ngram = ext.Dedup.ngramContaminationOf(docs, 13)
+      .collect().map(_.getLong(0)).toSet
+    val shingle = ext.Dedup.contaminationOf(ext.Dedup.shingledOf(docs))
+      .collect().map(_.getLong(0)).toSet
+    assert(ngram == Set(2L),
+      s"13-gram rule must flag exactly the quoting doc, got $ngram")
+    assert(shingle == Set(1L),
+      s"shingle-overlap rule must flag exactly the rearranged doc, got $shingle")
+  }
+
+  test("quality ensemble: verdict partitions the corpus, ablation bounds hold") {
+    val rep = ext.TextOps.qualityEnsemble(spark, sf).collect()
+    val verdict = rep.filter(_.getString(0) == "0_verdict")
+    val total = verdict.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count(),
+      "verdict rows must partition the corpus")
+    val abl = rep.filter(_.getString(0) == "1_ablation")
+    assert(abl.map(_.getString(1)).toSet == Set("gopher", "lm", "nb"))
+    abl.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_docs"), r.toString)
+      assert(r.getAs[Long]("n_docs") <= total, r.toString)
+    }
+    // a uniquely-rejected doc passes both other rules, so it is counted
+    // by exactly one rule's unique tally
+    assert(abl.map(_.getAs[Long]("n_unique")).sum <= total)
+  }
+
   test("DSIR importance resampling: likelihood-ratio structure and sample bounds") {
     val rep = ext.TextOps.importanceResample(spark, sf).collect()
     val nSources = Tables.documents(spark, sf)

@@ -37,8 +37,18 @@ def main(old_path, new_path):
     # exchange for it (plan changes between runs shouldn't flip silently).
     shuffley = set(old_doc.get("exchange_bearing", [])) \
         | set(new_doc.get("exchange_bearing", []))
+    # A query whose warmup failed was never classified — normalize it by
+    # the CONSERVATIVE (larger) drift so an unclassified shuffle-bound
+    # query can't masquerade as a code regression, and say so.
+    unclassified = set(old_doc.get("warmup_failed", [])) \
+        | set(new_doc.get("warmup_failed", []))
+    if unclassified:
+        print(f"warmup-failed (classified by max drift): "
+              f"{sorted(unclassified)}")
 
     def drift(q):
+        if q in unclassified and q not in shuffley:
+            return max(shuf_drift, cpu_drift)
         return shuf_drift if q in shuffley else cpu_drift
 
     shared = sorted(set(old) & set(new))
