@@ -27,4 +27,17 @@ object ShardWriter {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard").parquet(dir)
+
+  /** [[writeShards]] for docs that ALREADY carry a `shard` column —
+    * the publish path, where shard membership was assigned upstream by
+    * the packing hash and must be written as-is (re-deriving it here
+    * would silently decouple the shard files from the packing manifest).
+    */
+  def writeShardsPre(docs: DataFrame, dir: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    docs.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard").parquet(dir)
 }

@@ -348,6 +348,176 @@ object TextOps {
       .orderBy(col("section"), col("k"))
   }
 
+  /** Per-doc packed rows from a doc-level (doc_id, source, n_tokens)
+    * frame: shard, running start offset, sequence index, split — the
+    * publishable training-shard payload (stages 7+8's per-doc form).
+    */
+  private def packedOf(docLevel: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docLevel
+      .withColumn("shard", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 8"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_idx", expr("start_tok DIV 2048"))
+      .withColumn("bucket", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .select(col("shard"), col("doc_id"), col("source"), col("n_tokens"),
+        col("start_tok"), col("seq_idx"), col("split"))
+  }
+
+  /** Manifest sections (1_manifest per source/split, 2_shards per shard)
+    * from a packed-rows frame — used twice by the publish round trip:
+    * once on the pipeline frame (what gets committed) and once on the
+    * shard files READ BACK (what proves the write).
+    */
+  private def manifestSectionsOf(packed: DataFrame): DataFrame = {
+    val p = packed.withColumn("shard", col("shard").cast("long"))
+    val man = p.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(lit("1_manifest").as("section"),
+        concat_ws("/", col("source"), col("split")).as("k"),
+        col("n_docs"), col("n_tokens"), lit(0L).as("n_seqs"))
+    val sh = p.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (max(expr("start_tok DIV 2048")) + 1L).as("n_seqs"))
+      .select(lit("2_shards").as("section"),
+        concat(lit("shard_"), col("shard").cast("string")).as("k"),
+        col("n_docs"), col("n_tokens"), col("n_seqs"))
+    man.unionByName(sh)
+  }
+
+  /** Store root for the persisted publish run, fingerprinted by corpus
+    * identity (the ivfpqIncRoot convention) so reruns resume and a
+    * different corpus gets a fresh store.
+    */
+  private[graft] def e2ePublishRoot(s: SparkSession, d: String): java.io.File = {
+    val docs = new java.io.File(s"$d/documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${docs.length}|${docs.lastModified}|e2e_publish_v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_e2e_pub_$fp")
+  }
+
+  /** Run — or RESUME — the persisted publish pipeline: every stage
+    * materializes to parquet under `root` and is SKIPPED when its
+    * `_SUCCESS` marker already exists, so a killed run continues from
+    * the last completed stage without re-deriving (or re-scanning) its
+    * predecessors. `failAfter` is the spec's kill switch: throw right
+    * after the named stage persists, simulating a mid-pipeline crash.
+    *
+    * Tail: the per-doc packed rows are written as partitioned parquet
+    * shards ([[ShardWriter.writeShardsPre]]), then the manifest rows are
+    * committed through the [[graft.sources.KvSink]] OCC V2 sink — the
+    * atomic publish point. The manifest is computed from the PIPELINE
+    * frame; [[e2ePublish]] recomputes it from the shard files read back
+    * and the equality of the two is the round-trip proof.
+    */
+  private[graft] def e2ePublishRun(s: SparkSession, d: String,
+      root: java.io.File, failAfter: Option[String] = None): Unit = {
+    def checkKill(name: String): Unit =
+      if (failAfter.contains(name))
+        throw new IllegalStateException(
+          s"e2e_publish: killed after stage $name (test hook)")
+    def stage(name: String)(compute: => DataFrame): DataFrame = {
+      val dir = new java.io.File(root, name)
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        compute.write.mode("overwrite").parquet(dir.toString)
+      checkKill(name)
+      s.read.parquet(dir.toString)
+    }
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    stage("00_raw_count")(raw.agg(count(lit(1)).as("n_docs")))
+    val quality = stage("01_quality")(stgQuality(raw))
+    val exact = stage("02_exact")(stgExact(quality))
+    val neardup = stage("03_neardup")(stgNeardup(exact))
+    val decontam = stage("04_decontam")(stgDecontam(raw, neardup))
+    val mixed = stage("05_mixed")(stgMixed(decontam))
+    val docLevel = stage("06_doclevel")(stgDocLevel(mixed))
+    val shardsDir = new java.io.File(root, "07_shards")
+    if (!new java.io.File(shardsDir, "_SUCCESS").exists())
+      ShardWriter.writeShardsPre(packedOf(docLevel), shardsDir.toString)
+    checkKill("07_shards")
+    val kvDir = new java.io.File(root, "kv_manifest").toString
+    if (graft.sources.KvSink.committedFiles(kvDir).isEmpty) {
+      // ~20 manifest rows: the single-partition row_number is fine here
+      val w = Window.orderBy(col("section"), col("k"))
+      manifestSectionsOf(packedOf(docLevel))
+        .withColumn("key", row_number().over(w).cast("long"))
+        .select(col("key"), concat_ws("|", col("section"), col("k"),
+          col("n_docs"), col("n_tokens"), col("n_seqs")).as("val"))
+        .write.format("graft.sources.KvSink")
+        .mode("overwrite").option("path", kvDir).save()
+    }
+    checkKill("08_kv_manifest")
+  }
+
+  /** SHIP THE BYTES — the publish tail the pretrain flagship was
+    * missing: [[e2ePretrain]]'s DAG re-run with DURABLE parquet stage
+    * boundaries (the persisted intermediates a production run writes —
+    * restart-resumable, SourceSinkSpec kills it mid-pipeline and proves
+    * the resume never re-scans raw), the per-doc packed sequences
+    * WRITTEN as partitioned shard parquet, and the manifest committed
+    * atomically through the OCC V2 sink.
+    *
+    * The output is the verification, not a copy of the input: sections
+    * 1 and 2 are recomputed FROM THE SHARD FILES READ BACK (token sums,
+    * sequence counts over what is actually on disk), the funnel from
+    * the persisted stage artifacts, and the `3_publish` row compares
+    * the read-back manifest to the OCC-committed one row by row —
+    * n_tokens carries the mismatch count, which the oracle pins to 0.
+    * Equality with [[e2ePretrain]]'s oracle-replayed DAG is therefore a
+    * full write→commit→read round-trip proof.
+    *
+    * At 100 TB: stage parquet = the lakehouse tables between pipeline
+    * legs; the shard write is one partitionBy pass; the manifest commit
+    * is O(manifest) regardless of data volume; re-runs are no-ops.
+    */
+  def e2ePublish(s: SparkSession, d: String): DataFrame = {
+    val root = e2ePublishRoot(s, d)
+    e2ePublishRun(s, d, root)
+    def rd(name: String) = s.read.parquet(new java.io.File(root, name).toString)
+    val recomputed = manifestSectionsOf(rd("07_shards"))
+    val kvDir = new java.io.File(root, "kv_manifest").toString
+    val committed = s.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(kvDir): _*)
+      .select(split(col("val"), "\\|").as("f"))
+      .select(col("f").getItem(0).as("section"), col("f").getItem(1).as("k"),
+        col("f").getItem(2).cast("long").as("c_docs"),
+        col("f").getItem(3).cast("long").as("c_tokens"),
+        col("f").getItem(4).cast("long").as("c_seqs"))
+    val mismatch = recomputed.join(committed, Seq("section", "k"), "full_outer")
+      .filter(
+        coalesce(col("n_docs"), lit(-1L)) =!= coalesce(col("c_docs"), lit(-2L))
+          || coalesce(col("n_tokens"), lit(-1L))
+            =!= coalesce(col("c_tokens"), lit(-2L))
+          || coalesce(col("n_seqs"), lit(-1L))
+            =!= coalesce(col("c_seqs"), lit(-2L)))
+      .agg(count(lit(1)).as("n_mismatch"))
+    val publishRow = committed.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(mismatch)) // two 1-row aggregates
+      .select(lit("3_publish").as("section"), lit("roundtrip").as("k"),
+        col("n_rows").as("n_docs"), col("n_mismatch").as("n_tokens"),
+        lit(0L).as("n_seqs"))
+    def cnt(name: String, key: String): DataFrame =
+      rd(name).agg(count(lit(1)).as("n_docs"))
+        .select(lit("0_funnel").as("section"), lit(key).as("k"),
+          col("n_docs"), lit(0L).as("n_tokens"), lit(0L).as("n_seqs"))
+    val funnel = rd("00_raw_count")
+      .select(lit("0_funnel").as("section"), lit("00_raw").as("k"),
+        col("n_docs"), lit(0L).as("n_tokens"), lit(0L).as("n_seqs"))
+      .unionByName(cnt("01_quality", "01_quality"))
+      .unionByName(cnt("02_exact", "02_exact"))
+      .unionByName(cnt("03_neardup", "03_neardup"))
+      .unionByName(cnt("04_decontam", "04_decontam"))
+      .unionByName(cnt("05_mixed", "05_mixed"))
+    funnel.unionByName(recomputed).unionByName(publishRow)
+      .orderBy(col("section"), col("k"))
+  }
+
   /** THE POST-TRAINING (SFT) DATA FLAGSHIP — [[e2ePretrain]]'s sibling
     * for the instruction-tuning side of the house, composed as one
     * checkpointed chain:
@@ -3339,6 +3509,7 @@ object TextOps {
     "pipe_curriculum" -> curriculum,
     "pipe_corpus_clean" -> corpusClean,
     "pipe_e2e_pretrain" -> e2ePretrain,
+    "pipe_e2e_publish" -> e2ePublish,
     "pipe_e2e_sft" -> e2eSft,
     "tx_pii_detect" -> piiDetect,
     "pipe_filter_funnel" -> filterFunnel,
@@ -3394,6 +3565,154 @@ object TextOps {
        |${bpeRound(1, "w0")},
        |${bpeRound(2, "w1")},
        |${bpeRound(3, "w2")}"""
+
+  /** DuckDB replay of the full pretrain curation DAG. With `publish` the
+    * final SELECT also carries the `3_publish` round-trip row: committed
+    * manifest rows = |man| + |shards| and ZERO mismatches — the values
+    * the Spark side must reproduce from the shard files read back, which
+    * is what makes the oracle pass a write→commit→read proof.
+    */
+  private def e2ePretrainOracle(publish: Boolean): String = {
+    def score(l: String) =
+      s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
+    val publishRow =
+      if (!publish) ""
+      else "\n           |  UNION ALL" +
+        "\n           |  SELECT '3_publish', 'roundtrip'," +
+        "\n           |         CAST((SELECT COUNT(*) FROM man)" +
+        " + (SELECT COUNT(*) FROM shards) AS BIGINT)," +
+        "\n           |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)"
+    s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
+           |q AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT doc_id, text, lang, source,
+           |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS mwl,
+           |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+           |        / length(text) AS symr,
+           |      CAST(len(list_filter(string_split(lower(text), ' '),
+           |                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS alphar,
+           |      ${score("en")} AS n_stop
+           |    FROM documents) f
+           |  WHERE n_words >= 20 AND n_words <= 500 AND mwl >= 3.0
+           |    AND mwl <= 10.0 AND symr <= 0.1 AND alphar >= 0.8
+           |    AND n_stop >= 2),
+           |ex AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+           |    FROM q) g
+           |  WHERE doc_id = keep_id),
+           |${Dedup.shingCteFor("ex", "shing_e")},
+           |${Dedup.sigCteFor("shing_e", "sig_e")},
+           |${Dedup.bandCteFor("sig_e", "bands_e")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+           |  FROM bands_e a JOIN bands_e b
+           |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |dups AS (
+           |  SELECT DISTINCT ib FROM (
+           |    SELECT cand.ib,
+           |      CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+           |        / (len(sa.shashes) + len(sb.shashes)
+           |           - len(list_intersect(sa.shashes, sb.shashes))) AS j
+           |    FROM cand JOIN shing_e sa ON cand.ia = sa.doc_id
+           |              JOIN shing_e sb ON cand.ib = sb.doc_id) sc
+           |  WHERE j >= 0.5),
+           |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT ib FROM dups)),
+           |evdocs AS (SELECT doc_id, text FROM raw
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} = 0),
+           |${Dedup.shingCteFor("evdocs", "shing_ev")},
+           |trdocs AS (SELECT doc_id, text FROM nd
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} <> 0),
+           |${Dedup.shingCteFor("trdocs", "shing_tr")},
+           |contam AS (
+           |  SELECT DISTINCT tid FROM (
+           |    SELECT tr.tid, ev.eid, ev.en, COUNT(*) AS shared
+           |    FROM (SELECT doc_id AS eid, len(shashes) AS en,
+           |                 unnest(shashes) AS sh FROM shing_ev) ev
+           |    JOIN (SELECT doc_id AS tid, unnest(shashes) AS sh
+           |          FROM shing_tr) tr USING (sh)
+           |    GROUP BY 1, 2, 3) o
+           |  WHERE CAST(shared AS DOUBLE) / en >= 0.2),
+           |dc AS (SELECT * FROM nd WHERE doc_id % ${Dedup.EVAL_MOD} <> 0
+           |       AND doc_id NOT IN (SELECT tid FROM contam)),
+           |counts AS (SELECT lang, COUNT(*) AS n_docs FROM dc GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+           |        list_reduce(list_prepend(0.0,
+           |          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+           |          (acc, v) -> acc + v) AS w_total
+           |        FROM counts),
+           |th AS (SELECT lang,
+           |         CAST(floor(least(CAST(1 AS DOUBLE),
+           |           CAST(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / w_total
+           |                * CAST(n_total // 2 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+           |           / n_docs) * CAST(10000 AS DOUBLE)) AS BIGINT) AS th
+           |       FROM counts CROSS JOIN tot),
+           |mixed AS (
+           |  SELECT dc.* FROM dc JOIN th USING (lang)
+           |  WHERE ${duckHash("CAST(doc_id AS VARCHAR)")} % 10000 < th),
+           |${bpeTrainCtesFor("mixed")},
+           |vs AS (
+           |  SELECT w, CAST(len(list_filter(string_split(seg, chr(1)||chr(1)),
+           |                                 x -> x <> '')) AS BIGINT) AS n_sym
+           |  FROM w3),
+           |dw AS (
+           |  SELECT doc_id, w
+           |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |        FROM mixed) u
+           |  WHERE len(w) > 0 AND NOT contains(w, chr(1))),
+           |dtok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+           |         FROM dw JOIN vs USING (w) GROUP BY doc_id),
+           |doclevel AS (
+           |  SELECT m.doc_id, m.source,
+           |         CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens
+           |  FROM mixed m LEFT JOIN dtok d USING (doc_id)),
+           |pk AS (
+           |  SELECT shard, doc_id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      - n_tokens AS start_tok
+           |  FROM (SELECT doc_id, n_tokens,
+           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |        FROM doclevel) z),
+           |shards AS (
+           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |         CAST(MAX(start_tok // 2048) + 1 AS BIGINT) AS n_seqs
+           |  FROM pk GROUP BY shard),
+           |man AS (
+           |  SELECT source,
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS split,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+           |  FROM (SELECT source, n_tokens,
+           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+           |        FROM doclevel) z
+           |  GROUP BY 1, 2),
+           |funnel AS (
+           |  SELECT '00_raw' AS k, (SELECT COUNT(*) FROM raw) AS n
+           |  UNION ALL SELECT '01_quality', (SELECT COUNT(*) FROM q)
+           |  UNION ALL SELECT '02_exact', (SELECT COUNT(*) FROM ex)
+           |  UNION ALL SELECT '03_neardup', (SELECT COUNT(*) FROM nd)
+           |  UNION ALL SELECT '04_decontam', (SELECT COUNT(*) FROM dc)
+           |  UNION ALL SELECT '05_mixed', (SELECT COUNT(*) FROM mixed))
+           |SELECT section, k, n_docs, n_tokens, n_seqs FROM (
+           |  SELECT '0_funnel' AS section, k, CAST(n AS BIGINT) AS n_docs,
+           |         CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_seqs
+           |  FROM funnel
+           |  UNION ALL
+           |  SELECT '1_manifest', source || '/' || split, n_docs, n_tokens,
+           |         CAST(0 AS BIGINT)
+           |  FROM man
+           |  UNION ALL
+           |  SELECT '2_shards', 'shard_' || CAST(shard AS VARCHAR), n_docs,
+           |         n_tokens, n_seqs
+           |  FROM shards$publishRow) out
+           |ORDER BY section, k""".stripMargin
+  }
 
   val oracle: Map[String, String] = {
     def score(l: String) =
@@ -4964,137 +5283,12 @@ object TextOps {
            |         n_user_tokens, n_assistant_tokens
            |  FROM man) out
            |ORDER BY section, k""".stripMargin,
-      "pipe_e2e_pretrain" ->
-        s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
-           |q AS (
-           |  SELECT doc_id, text, lang, source FROM (
-           |    SELECT doc_id, text, lang, source,
-           |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
-           |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
-           |        / len(string_split(lower(text), ' ')) AS mwl,
-           |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
-           |        / length(text) AS symr,
-           |      CAST(len(list_filter(string_split(lower(text), ' '),
-           |                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-           |        / len(string_split(lower(text), ' ')) AS alphar,
-           |      ${score("en")} AS n_stop
-           |    FROM documents) f
-           |  WHERE n_words >= 20 AND n_words <= 500 AND mwl >= 3.0
-           |    AND mwl <= 10.0 AND symr <= 0.1 AND alphar >= 0.8
-           |    AND n_stop >= 2),
-           |ex AS (
-           |  SELECT doc_id, text, lang, source FROM (
-           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-           |    FROM q) g
-           |  WHERE doc_id = keep_id),
-           |${Dedup.shingCteFor("ex", "shing_e")},
-           |${Dedup.sigCteFor("shing_e", "sig_e")},
-           |${Dedup.bandCteFor("sig_e", "bands_e")},
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-           |  FROM bands_e a JOIN bands_e b
-           |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |dups AS (
-           |  SELECT DISTINCT ib FROM (
-           |    SELECT cand.ib,
-           |      CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
-           |        / (len(sa.shashes) + len(sb.shashes)
-           |           - len(list_intersect(sa.shashes, sb.shashes))) AS j
-           |    FROM cand JOIN shing_e sa ON cand.ia = sa.doc_id
-           |              JOIN shing_e sb ON cand.ib = sb.doc_id) sc
-           |  WHERE j >= 0.5),
-           |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT ib FROM dups)),
-           |evdocs AS (SELECT doc_id, text FROM raw
-           |           WHERE doc_id % ${Dedup.EVAL_MOD} = 0),
-           |${Dedup.shingCteFor("evdocs", "shing_ev")},
-           |trdocs AS (SELECT doc_id, text FROM nd
-           |           WHERE doc_id % ${Dedup.EVAL_MOD} <> 0),
-           |${Dedup.shingCteFor("trdocs", "shing_tr")},
-           |contam AS (
-           |  SELECT DISTINCT tid FROM (
-           |    SELECT tr.tid, ev.eid, ev.en, COUNT(*) AS shared
-           |    FROM (SELECT doc_id AS eid, len(shashes) AS en,
-           |                 unnest(shashes) AS sh FROM shing_ev) ev
-           |    JOIN (SELECT doc_id AS tid, unnest(shashes) AS sh
-           |          FROM shing_tr) tr USING (sh)
-           |    GROUP BY 1, 2, 3) o
-           |  WHERE CAST(shared AS DOUBLE) / en >= 0.2),
-           |dc AS (SELECT * FROM nd WHERE doc_id % ${Dedup.EVAL_MOD} <> 0
-           |       AND doc_id NOT IN (SELECT tid FROM contam)),
-           |counts AS (SELECT lang, COUNT(*) AS n_docs FROM dc GROUP BY 1),
-           |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
-           |        list_reduce(list_prepend(0.0,
-           |          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
-           |          (acc, v) -> acc + v) AS w_total
-           |        FROM counts),
-           |th AS (SELECT lang,
-           |         CAST(floor(least(CAST(1 AS DOUBLE),
-           |           CAST(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / w_total
-           |                * CAST(n_total // 2 AS DOUBLE)) AS BIGINT) AS DOUBLE)
-           |           / n_docs) * CAST(10000 AS DOUBLE)) AS BIGINT) AS th
-           |       FROM counts CROSS JOIN tot),
-           |mixed AS (
-           |  SELECT dc.* FROM dc JOIN th USING (lang)
-           |  WHERE ${duckHash("CAST(doc_id AS VARCHAR)")} % 10000 < th),
-           |${bpeTrainCtesFor("mixed")},
-           |vs AS (
-           |  SELECT w, CAST(len(list_filter(string_split(seg, chr(1)||chr(1)),
-           |                                 x -> x <> '')) AS BIGINT) AS n_sym
-           |  FROM w3),
-           |dw AS (
-           |  SELECT doc_id, w
-           |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-           |        FROM mixed) u
-           |  WHERE len(w) > 0 AND NOT contains(w, chr(1))),
-           |dtok AS (SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_tokens
-           |         FROM dw JOIN vs USING (w) GROUP BY doc_id),
-           |doclevel AS (
-           |  SELECT m.doc_id, m.source,
-           |         CAST(COALESCE(d.n_tokens, 0) AS BIGINT) AS n_tokens
-           |  FROM mixed m LEFT JOIN dtok d USING (doc_id)),
-           |pk AS (
-           |  SELECT shard, doc_id, n_tokens,
-           |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           |      - n_tokens AS start_tok
-           |  FROM (SELECT doc_id, n_tokens,
-           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
-           |        FROM doclevel) z),
-           |shards AS (
-           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-           |         CAST(MAX(start_tok // 2048) + 1 AS BIGINT) AS n_seqs
-           |  FROM pk GROUP BY shard),
-           |man AS (
-           |  SELECT source,
-           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
-           |         ELSE 'test' END AS split,
-           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-           |  FROM (SELECT source, n_tokens,
-           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
-           |        FROM doclevel) z
-           |  GROUP BY 1, 2),
-           |funnel AS (
-           |  SELECT '00_raw' AS k, (SELECT COUNT(*) FROM raw) AS n
-           |  UNION ALL SELECT '01_quality', (SELECT COUNT(*) FROM q)
-           |  UNION ALL SELECT '02_exact', (SELECT COUNT(*) FROM ex)
-           |  UNION ALL SELECT '03_neardup', (SELECT COUNT(*) FROM nd)
-           |  UNION ALL SELECT '04_decontam', (SELECT COUNT(*) FROM dc)
-           |  UNION ALL SELECT '05_mixed', (SELECT COUNT(*) FROM mixed))
-           |SELECT section, k, n_docs, n_tokens, n_seqs FROM (
-           |  SELECT '0_funnel' AS section, k, CAST(n AS BIGINT) AS n_docs,
-           |         CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_seqs
-           |  FROM funnel
-           |  UNION ALL
-           |  SELECT '1_manifest', source || '/' || split, n_docs, n_tokens,
-           |         CAST(0 AS BIGINT)
-           |  FROM man
-           |  UNION ALL
-           |  SELECT '2_shards', 'shard_' || CAST(shard AS VARCHAR), n_docs,
-           |         n_tokens, n_seqs
-           |  FROM shards) out
-           |ORDER BY section, k""".stripMargin,
+      "pipe_e2e_pretrain" -> e2ePretrainOracle(publish = false),
+      // the publish run re-executes the identical DAG with durable stage
+      // boundaries, writes the shards, and proves the round trip: the
+      // oracle is the same DAG replay plus the publish row — committed
+      // manifest rows = |man| + |shards|, mismatches pinned to 0
+      "pipe_e2e_publish" -> e2ePretrainOracle(publish = true),
       "pipe_pack_ffd" ->
         s"""WITH toks AS (
            |  SELECT doc_id,

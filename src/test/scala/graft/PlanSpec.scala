@@ -849,60 +849,20 @@ class PlanSpec extends AnyFunSuite {
       "blocked self-join degenerated to a cartesian:\n" + p.take(1500))
   }
 
-  /** FileSourceScan occurrences on the raw documents path across one
-    * executed plan, descending through AQE wrappers and query stages.
-    */
-  private def rawDocScans(
-      p: org.apache.spark.sql.execution.SparkPlan): Long = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val here = p match {
-      case f: FileSourceScanExec if f.relation.location.rootPaths
-        .exists(_.toString.contains("documents.parquet")) => 1L
-      case _ => 0L
-    }
-    val inner = p match {
-      case a: AdaptiveSparkPlanExec => rawDocScans(a.executedPlan)
-      case s: QueryStageExec => rawDocScans(s.plan)
-      case _ => 0L
-    }
-    here + inner + p.children.map(rawDocScans).sum
-  }
-
   test("pipe_e2e_pretrain scans the raw corpus O(stages)-bounded: at most 3 executed FileScans (gate, eval side, funnel count)") {
     // PLANS.md's 13-frame walk is prose; this EXECUTES the flagship and
     // counts FileSourceScan nodes on the raw documents path across every
     // action (the checkpoint materializations and the final collect). A
     // future edit that silently re-derives the chain from raw instead of
     // reading its predecessor's checkpoint turns this red.
-    val counter = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        counter.addAndGet(rawDocScans(qe.executedPlan))
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
+    val n = ScanCount.during(spark, "documents.parquet") {
       val out = ext.TextOps.e2ePretrain(spark, sf).collect()
       assert(out.nonEmpty, "flagship must produce the manifest")
-      // QueryExecutionListener events post asynchronously on the shared
-      // listener bus — drain it before reading the counter.
-      // (listenerBus is private[spark] in source but public in bytecode.)
-      val lb = spark.sparkContext.getClass.getMethod("listenerBus")
-        .invoke(spark.sparkContext)
-      lb.getClass.getMethods
-        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
-        .get.invoke(lb)
-      val n = counter.get
-      assert(n <= 3, s"raw documents scanned $n times — a stage is " +
-        "re-deriving the chain instead of reading its checkpoint")
-      assert(n >= 2, s"fixture sanity: expected at least the quality gate" +
-        s" and eval-side scans to be observed, saw $n (did checkpoint " +
-        "actions stop firing the listener?)")
-    } finally spark.listenerManager.unregister(listener)
+    }
+    assert(n <= 3, s"raw documents scanned $n times — a stage is " +
+      "re-deriving the chain instead of reading its checkpoint")
+    assert(n >= 2, s"fixture sanity: expected at least the quality gate" +
+      s" and eval-side scans to be observed, saw $n (did checkpoint " +
+      "actions stop firing the listener?)")
   }
 }

@@ -793,4 +793,47 @@ class SourceSinkSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft_cat.ns.evospec DROP COLUMN k")
     }
   }
+
+  test("e2e publish: kill mid-pipeline, resume from persisted stages WITHOUT re-scanning raw; round trip proven") {
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+      f.delete()
+    }
+    val root = ext.TextOps.e2ePublishRoot(spark, sf)
+    rmrf(root)
+    // run 1: crashes right after the mixed stage persists — shards and
+    // manifest never written
+    intercept[IllegalStateException] {
+      ext.TextOps.e2ePublishRun(spark, sf, root, failAfter = Some("05_mixed"))
+    }
+    assert(new java.io.File(root, "05_mixed/_SUCCESS").exists(),
+      "the killed run must leave its completed stages durable")
+    assert(!new java.io.File(root, "07_shards/_SUCCESS").exists(),
+      "the kill must land BEFORE the shard write")
+    assert(graft.sources.KvSink.committedFiles(
+      new java.io.File(root, "kv_manifest").toString).isEmpty,
+      "nothing may be committed by a crashed run")
+    // run 2 (the resume): every stage ≤ 05 reads back from its parquet;
+    // raw documents is needed only by stages 00/01/04, all already
+    // persisted — the resume must therefore NEVER touch the raw corpus
+    var resumed: Array[org.apache.spark.sql.Row] = Array.empty
+    val rawScans = ScanCount.during(spark, "documents.parquet") {
+      resumed = ext.TextOps.e2ePublish(spark, sf).collect()
+    }
+    assert(rawScans == 0,
+      s"resume re-scanned the raw corpus $rawScans times instead of " +
+        "reading the persisted intermediates")
+    // the committed-vs-read-back manifest comparison reports 0 mismatches
+    val pub = resumed.filter(_.getString(0) == "3_publish")
+    assert(pub.length == 1)
+    assert(pub.head.getAs[Long]("n_tokens") == 0L,
+      s"round-trip mismatches: ${pub.head}")
+    assert(pub.head.getAs[Long]("n_docs") > 8L,
+      "committed manifest must carry the source/split rows plus 8 shards")
+    // and the resumed output is identical to a from-scratch run
+    rmrf(root)
+    val fresh = ext.TextOps.e2ePublish(spark, sf).collect()
+    assert(resumed.map(_.toString).toSeq == fresh.map(_.toString).toSeq,
+      "resumed run diverged from the from-scratch run")
+  }
 }
