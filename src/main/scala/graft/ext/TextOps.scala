@@ -199,8 +199,16 @@ object TextOps {
     * table; survivors that ARE eval docs leave, and train docs sharing
     * ≥ 20% of any eval doc's shingles leave too.
     */
-  private def stgDecontam(raw: DataFrame, neardup: DataFrame): DataFrame = {
-    val ev = Dedup.shingledOf(raw.filter(col("doc_id") % Dedup.EVAL_MOD === 0))
+  private def stgDecontam(raw: DataFrame, neardup: DataFrame): DataFrame =
+    stgDecontamEval(raw.filter(col("doc_id") % Dedup.EVAL_MOD === 0), neardup)
+
+  /** [[stgDecontam]] against an explicit benchmark frame (doc_id, text,
+    * …) — the incremental pipeline passes the FULL fixed eval set here,
+    * independent of which snapshot the surrounding run curates.
+    */
+  private def stgDecontamEval(evalDocs: DataFrame,
+      neardup: DataFrame): DataFrame = {
+    val ev = Dedup.shingledOf(evalDocs)
       .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
         explode(col("shashes")).as("sh"))
     val tr = Dedup.shingledOf(neardup.filter(col("doc_id") % Dedup.EVAL_MOD =!= 0))
@@ -516,6 +524,191 @@ object TextOps {
       .unionByName(cnt("05_mixed", "05_mixed"))
     funnel.unionByName(recomputed).unionByName(publishRow)
       .orderBy(col("section"), col("k"))
+  }
+
+  /** Store root for the incremental-curation state, fingerprinted by
+    * corpus identity (the [[e2ePublishRoot]] convention).
+    */
+  private[graft] def e2eIncRoot(s: SparkSession, d: String): java.io.File = {
+    val docs = new java.io.File(s"$d/documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${docs.length}|${docs.lastModified}|e2e_inc_v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_e2e_inc_$fp")
+  }
+
+  /** The house token count (regex token rule) — the FROZEN tokenizer of
+    * the incremental pipeline: token counts must not change when new
+    * data arrives, or every seen doc would need re-tokenizing.
+    */
+  private def reTokens: org.apache.spark.sql.Column =
+    regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+      .cast("long")
+
+  /** Build snapshot-1's persisted curation state: the corpus is split at
+    * T = (8·max_id) DIV 10 (seen ≤ T, the new crawl batch > T), the seen
+    * slice runs quality → exact → LSH near-dup → decontamination, and
+    * what lands on disk is exactly what the incremental update needs —
+    * NEVER the seen text:
+    *
+    *  - `t`             — the split point (1 row);
+    *  - `seen_quality_md5` — md5 set of seen QUALITY survivors (the
+    *    exact-dedup membership probe for new docs);
+    *  - `seen_sigs`     — (doc_id, shashes, sig) of seen EXACT survivors
+    *    (the LSH signature store new docs band-join against; exact
+    *    survivors, not final ones, because the full-recompute pair set
+    *    is defined over exact survivors);
+    *  - `seen_final`    — (doc_id, lang, source, n_tokens) of seen FINAL
+    *    survivors (the manifest's seen half).
+    *
+    * Decontamination uses the FULL fixed benchmark (doc_id % 11 ≡ 0 over
+    * the whole table — the eval suite exists before either snapshot), so
+    * every per-doc decision is prefix-stable: curate(seen ∪ batch)
+    * restricted to seen ids ≡ curate(seen), which is what makes the
+    * incremental manifest provably equal the full recompute.
+    */
+  private[graft] def e2eIncBuildState(s: SparkSession, d: String,
+      root: java.io.File): Unit = {
+    def stage(name: String)(compute: => DataFrame): DataFrame = {
+      val dir = new java.io.File(root, name)
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        compute.write.mode("overwrite").parquet(dir.toString)
+      s.read.parquet(dir.toString)
+    }
+    val rawAll = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val t = stage("t")(
+      rawAll.agg(expr("CAST(max(doc_id) * 8 DIV 10 AS BIGINT)").as("t")))
+      .head().getLong(0)
+    if (new java.io.File(root, "seen_final/_SUCCESS").exists()) return
+    val seen = rawAll.filter(col("doc_id") <= t)
+    val quality = stgQuality(seen).localCheckpoint()
+    stage("seen_quality_md5")(
+      quality.select(md5(col("text")).as("h")).distinct())
+    val exact = stgExact(quality).localCheckpoint()
+    stage("seen_sigs")(Dedup.signaturesOf(
+      Dedup.shingledOf(exact.select(col("doc_id"), col("text")))))
+    val dupIds = Dedup.lshPairsOf(exact.select(col("doc_id"), col("text")))
+      .select(col("ib").as("doc_id")).distinct()
+    val neardup = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val evalAll = rawAll.filter(col("doc_id") % Dedup.EVAL_MOD === 0)
+      .select(col("doc_id"), col("text"))
+    stage("seen_final")(
+      stgDecontamEval(evalAll, neardup)
+        .withColumn("n_tokens", reTokens)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens")))
+  }
+
+  /** The incremental act: one new crawl batch flows through the curation
+    * DAG against the PERSISTED state — quality gate on the batch, exact
+    * dedup as an md5 anti-join against the seen store (plus keep-smallest
+    * within the batch), near-dup as a band join of the batch's signatures
+    * against the signature STORE (new × seen; seen ids are smaller by
+    * construction, so a verified pair always drops the new doc) plus the
+    * batch's own pairs, decontamination against the fixed benchmark, and
+    * the frozen-tokenizer count. The seen corpus contributes ONLY its
+    * persisted signatures and final manifest rows — its text is never
+    * read, let alone re-shingled (SourceSinkSpec feeds this function
+    * slices copied OUT of the corpus and pins zero documents.parquet
+    * scans during the update).
+    *
+    * At 100 TB this is the operational shape of curation: per-batch cost
+    * scales with the batch plus shared-signature volume, never with the
+    * corpus; the store grows by appending the batch's own signatures.
+    */
+  private[graft] def e2eIncUpdate(s: SparkSession, root: java.io.File,
+      newBatch: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def store(name: String) =
+      s.read.parquet(new java.io.File(root, name).toString)
+    val qualityN = stgQuality(newBatch).localCheckpoint()
+    val exactN = qualityN
+      .withColumn("h", md5(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .join(store("seen_quality_md5"), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint()
+    val sigN = Dedup.signaturesOf(
+      Dedup.shingledOf(exactN.select(col("doc_id"), col("text"))))
+      .localCheckpoint()
+    val seenSigs = store("seen_sigs")
+    val bandsN = Dedup.bandsOf(sigN)
+    val bandsSeen = Dedup.bandsOf(seenSigs)
+    // new × seen: every seen id < every new id, so the seen side is
+    // always the keeper; new × new: keep-smallest within the batch
+    val candNS = bandsN.as("n")
+      .join(bandsSeen.as("sn"), col("n.band") === col("sn.band")
+        && col("n.bh") === col("sn.bh"))
+      .select(col("sn.doc_id").as("ia"), col("n.doc_id").as("ib"))
+    val candNN = bandsN.as("a")
+      .join(bandsN.as("b"), col("a.band") === col("b.band")
+        && col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    val sets = seenSigs.select(col("doc_id"), col("shashes"))
+      .unionByName(sigN.select(col("doc_id"), col("shashes")))
+    val dropIds = candNS.unionByName(candNN).dropDuplicates("ia", "ib")
+      .join(sets.select(col("doc_id").as("ia"), col("shashes").as("sha")),
+        Seq("ia"))
+      .join(sigN.select(col("doc_id").as("ib"), col("shashes").as("shb")),
+        Seq("ib"))
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= expr(Dedup.JT))
+      .select(col("ib").as("doc_id")).distinct()
+    val neardupN = exactN.join(dropIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val decontamN = stgDecontamEval(evalDocs, neardupN)
+      .withColumn("n_tokens", reTokens)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      .localCheckpoint()
+    val finalAll = store("seen_final").unionByName(decontamN)
+    val manifest = finalAll
+      .withColumn("bucket",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit("0_batch").as("section"), lit(stage).as("k"),
+          col("n_docs"), lit(0L).as("n_tokens"))
+    cnt(newBatch, "00_arrived")
+      .unionByName(cnt(qualityN, "10_quality"))
+      .unionByName(cnt(exactN, "20_exact"))
+      .unionByName(cnt(neardupN, "30_neardup"))
+      .unionByName(cnt(decontamN, "40_decontam"))
+      .unionByName(manifest.select(lit("1_manifest").as("section"),
+        concat_ws("/", col("source"), col("split")).as("k"),
+        col("n_docs"), col("n_tokens")))
+      .orderBy(col("section"), col("k"))
+  }
+
+  /** INCREMENTAL E2E CURATION — the 100 TB operational reality: a new
+    * crawl batch (doc_id > T) flows through the DAG against snapshot-1's
+    * PERSISTED state ([[e2eIncBuildState]] / [[e2eIncUpdate]]), and the
+    * updated manifest must equal the FULL RECOMPUTE over the union —
+    * which is exactly what the DuckDB oracle replays (it never sees T in
+    * the manifest: the equality holds because every stage rule is
+    * prefix-stable under "new ids are larger"). The strong verification
+    * discipline of `pipe_imv`, applied to the whole curation DAG.
+    */
+  def e2eIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = e2eIncRoot(s, d)
+    e2eIncBuildState(s, d, root)
+    val t = s.read.parquet(new java.io.File(root, "t").toString)
+      .head().getLong(0)
+    val rawAll = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    e2eIncUpdate(s, root,
+      rawAll.filter(col("doc_id") > t),
+      rawAll.filter(col("doc_id") % Dedup.EVAL_MOD === 0)
+        .select(col("doc_id"), col("text")))
   }
 
   /** THE POST-TRAINING (SFT) DATA FLAGSHIP — [[e2ePretrain]]'s sibling
@@ -3510,6 +3703,7 @@ object TextOps {
     "pipe_corpus_clean" -> corpusClean,
     "pipe_e2e_pretrain" -> e2ePretrain,
     "pipe_e2e_publish" -> e2ePublish,
+    "pipe_e2e_incremental" -> e2eIncremental,
     "pipe_e2e_sft" -> e2eSft,
     "tx_pii_detect" -> piiDetect,
     "pipe_filter_funnel" -> filterFunnel,
@@ -5281,6 +5475,104 @@ object TextOps {
            |  UNION ALL
            |  SELECT '1_manifest', source || '/' || split, n_convs,
            |         n_user_tokens, n_assistant_tokens
+           |  FROM man) out
+           |ORDER BY section, k""".stripMargin,
+      // full recompute over the UNION — no T anywhere: the incremental
+      // run must land on the same manifest because every stage rule is
+      // prefix-stable; the batch funnel restricts the full-DAG stages to
+      // doc_id > T = (8·max) DIV 10, the same split the Spark side uses
+      "pipe_e2e_incremental" ->
+        s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
+           |tt AS (SELECT (MAX(doc_id) * 8) // 10 AS t FROM raw),
+           |q AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT doc_id, text, lang, source,
+           |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS mwl,
+           |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+           |        / length(text) AS symr,
+           |      CAST(len(list_filter(string_split(lower(text), ' '),
+           |                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS alphar,
+           |      ${score("en")} AS n_stop
+           |    FROM documents) f
+           |  WHERE n_words >= 20 AND n_words <= 500 AND mwl >= 3.0
+           |    AND mwl <= 10.0 AND symr <= 0.1 AND alphar >= 0.8
+           |    AND n_stop >= 2),
+           |ex AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+           |    FROM q) g
+           |  WHERE doc_id = keep_id),
+           |${Dedup.shingCteFor("ex", "shing_e")},
+           |${Dedup.sigCteFor("shing_e", "sig_e")},
+           |${Dedup.bandCteFor("sig_e", "bands_e")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+           |  FROM bands_e a JOIN bands_e b
+           |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |dups AS (
+           |  SELECT DISTINCT ib FROM (
+           |    SELECT cand.ib,
+           |      CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+           |        / (len(sa.shashes) + len(sb.shashes)
+           |           - len(list_intersect(sa.shashes, sb.shashes))) AS j
+           |    FROM cand JOIN shing_e sa ON cand.ia = sa.doc_id
+           |              JOIN shing_e sb ON cand.ib = sb.doc_id) sc
+           |  WHERE j >= ${Dedup.JT}),
+           |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT ib FROM dups)),
+           |evdocs AS (SELECT doc_id, text FROM raw
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} = 0),
+           |${Dedup.shingCteFor("evdocs", "shing_ev")},
+           |trdocs AS (SELECT doc_id, text FROM nd
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} <> 0),
+           |${Dedup.shingCteFor("trdocs", "shing_tr")},
+           |contam AS (
+           |  SELECT DISTINCT tid FROM (
+           |    SELECT tr.tid, ev.eid, ev.en, COUNT(*) AS shared
+           |    FROM (SELECT doc_id AS eid, len(shashes) AS en,
+           |                 unnest(shashes) AS sh FROM shing_ev) ev
+           |    JOIN (SELECT doc_id AS tid, unnest(shashes) AS sh
+           |          FROM shing_tr) tr USING (sh)
+           |    GROUP BY 1, 2, 3) o
+           |  WHERE CAST(shared AS DOUBLE) / en >= 0.2),
+           |dc AS (SELECT * FROM nd WHERE doc_id % ${Dedup.EVAL_MOD} <> 0
+           |       AND doc_id NOT IN (SELECT tid FROM contam)),
+           |fin AS (
+           |  SELECT doc_id, lang, source,
+           |    CAST(len(regexp_extract_all(lower(text),
+           |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           |  FROM dc),
+           |man AS (
+           |  SELECT source,
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS split,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+           |  FROM (SELECT source, n_tokens,
+           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+           |        FROM fin) z
+           |  GROUP BY 1, 2)
+           |SELECT section, k, n_docs, n_tokens FROM (
+           |  SELECT '0_batch' AS section, '00_arrived' AS k,
+           |    CAST((SELECT COUNT(*) FROM raw, tt WHERE doc_id > t) AS BIGINT)
+           |      AS n_docs,
+           |    CAST(0 AS BIGINT) AS n_tokens
+           |  UNION ALL SELECT '0_batch', '10_quality',
+           |    CAST((SELECT COUNT(*) FROM q, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '0_batch', '20_exact',
+           |    CAST((SELECT COUNT(*) FROM ex, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '0_batch', '30_neardup',
+           |    CAST((SELECT COUNT(*) FROM nd, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '0_batch', '40_decontam',
+           |    CAST((SELECT COUNT(*) FROM dc, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '1_manifest', source || '/' || split,
+           |    n_docs, n_tokens
            |  FROM man) out
            |ORDER BY section, k""".stripMargin,
       "pipe_e2e_pretrain" -> e2ePretrainOracle(publish = false),

@@ -836,4 +836,43 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(resumed.map(_.toString).toSeq == fresh.map(_.toString).toSeq,
       "resumed run diverged from the from-scratch run")
   }
+
+  test("incremental curation: the update reads ONLY persisted signatures + the batch — seen text is never touched") {
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+      f.delete()
+    }
+    val root = ext.TextOps.e2eIncRoot(spark, sf)
+    rmrf(root)
+    ext.TextOps.e2eIncBuildState(spark, sf, root)
+    // the state stores carry signatures and manifest metadata, NEVER text
+    for (store <- Seq("seen_quality_md5", "seen_sigs", "seen_final")) {
+      val cols = spark.read
+        .parquet(new java.io.File(root, store).toString).columns.toSet
+      assert(!cols.contains("text"), s"$store leaked raw text: $cols")
+    }
+    // copy the update's two legitimate inputs OUT of the corpus table so
+    // the measured phase can prove it never opens documents.parquet
+    val t = spark.read.parquet(new java.io.File(root, "t").toString)
+      .head().getLong(0)
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val side = tmp("graft_inc_inputs")
+    raw.filter(col("doc_id") > t).write.parquet(s"$side/batch")
+    raw.filter(col("doc_id") % 11 === 0).select(col("doc_id"), col("text"))
+      .write.parquet(s"$side/eval")
+    var viaStore: Array[org.apache.spark.sql.Row] = Array.empty
+    val rawScans = ScanCount.during(spark, "documents.parquet") {
+      viaStore = ext.TextOps.e2eIncUpdate(spark, root,
+        spark.read.parquet(s"$side/batch"),
+        spark.read.parquet(s"$side/eval")).collect()
+    }
+    assert(rawScans == 0,
+      s"the incremental update opened the corpus table $rawScans times — " +
+        "seen state must come from the signature store alone")
+    // and the store-fed run is identical to the declared query (which
+    // slices the same batch/eval straight from the table)
+    val declared = ext.TextOps.e2eIncremental(spark, sf).collect()
+    assert(viaStore.map(_.toString).toSeq == declared.map(_.toString).toSeq)
+  }
 }
