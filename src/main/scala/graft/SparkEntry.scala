@@ -57,6 +57,7 @@ object SparkEntry {
         "st_update_mode" -> streaming.StreamOps.updateModeStream,
         "st_session_dynamic" -> streaming.StreamOps.sessionDynamicStream,
         "st_crawl_politeness" -> streaming.StreamOps.politenessStream,
+        "st_politeness_tws" -> streaming.StreamOps.politenessTws,
         // rows-only BY DESIGN: state-store telemetry is engine-internal
         // (StreamingSpec pins the invariants)
         "st_observability" -> streaming.StreamOps.observabilityFrame)
@@ -86,6 +87,8 @@ object SparkEntry {
         "st_asof_tolerance" -> plans.AsOfJoin.oracle("ev_asof_tolerance"),
         // online token bucket ≡ the batch politeness recursive-CTE oracle
         "st_crawl_politeness" -> ext.Dedup.oracle("dd_crawl_politeness"),
+        // the transformWithState port lands on the SAME batch oracle
+        "st_politeness_tws" -> ext.Dedup.oracle("dd_crawl_politeness"),
         "st_transitions_stream" -> ext.EventOps.oracle("ev_path_transitions"),
         "st_regularity_stream" -> ext.EventOps.oracle("ev_gap_regularity"),
         "st_topk_stream" -> streaming.StreamOps.topkStreamOracle,

@@ -611,6 +611,204 @@ object StreamOps {
       .orderBy(col("reg_domain"))
   }
 
+  /** One closed politeness SESSION: the bucket provably refills to full
+    * across any gap ≥ 3·delay (the batch sessionization insight), so a
+    * domain's state is safe to DROP at such a gap and the final totals
+    * are the per-session sums.
+    */
+  case class PolSessOut(reg_domain: String, delay_ms: Long,
+      hosts: Array[String], n_requests: Long, n_served: Long,
+      n_violations: Long, t0: Long, t1: Long)
+
+  /** The politeness scheduler as a Spark 4 `StatefulProcessor` — the
+    * [[politenessStream]] fold ported to the transformWithState API (the
+    * forward path for the stateful family: named state variables, an
+    * explicit timer surface, TTL-capable handles). Three deliberate
+    * upgrades over the flatMapGroupsWithState twin:
+    *
+    *  - pending requests and the bucket live in a NAMED ValueState; the
+    *    registered timer is tracked in a second one so re-registration
+    *    can delete its predecessor (timers are multi-shot in this API);
+    *  - sessions CLOSE in the state store: when the watermark passes
+    *    `last + 3·delay` with nothing pending, the session row is
+    *    emitted and the key's state is CLEARED — per-key state is freed
+    *    the moment it is reconstructible, which StreamingSpec pins via
+    *    the final progress's numRowsTotal = 0;
+    *  - output rows are per closed session; the drained-sink rollup
+    *    (sum counters, min/max span, distinct hosts) equals the batch
+    *    operator exactly — same DuckDB recursive-CTE oracle.
+    */
+  private class PolitenessProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, PolRow, PolSessOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var bucket: ValueState[PolState] = _
+    @transient private var timerAt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bucket = getHandle.getValueState[PolState]("bucket",
+        Encoders.product[PolState], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def delayOf(dom: String): Long =
+      600000L * (1L + dom.filter(_.isDigit).toLong % 5L)
+    private val Empty = PolState(-1L, -1L, 0L, 0L, Array.empty, -1L, -1L,
+      Array.empty, Array.empty)
+    /** Shared step for both arrival and timer paths: replay ripe
+      * requests in event-time order, closing (and emitting) a session at
+      * every ≥ cap gap; buffer the rest; keep exactly one live timer —
+      * earliest pending + 1 while buffering, else the session-close
+      * deadline `last + cap`.
+      */
+    private def step(dom: String, arrivals: Seq[(Long, String)],
+        wmMs: Long): Iterator[PolSessOut] = {
+      val delay = delayOf(dom)
+      val cap = 3L * delay
+      val st0 = if (bucket.exists) bucket.get else Empty
+      val all = (st0.pendT.zip(st0.pendHost) ++ arrivals).sortBy(_._1)
+      val (ripe, wait) = all.partition(_._1 <= wmMs)
+      var out = List.empty[PolSessOut]
+      var (credits, last) = (st0.credits, st0.last)
+      var viol = st0.viol; var served = st0.served
+      var hosts = st0.hosts.toSet
+      var tFirst = st0.tFirst; var tLast = st0.tLast
+      def close(): Unit = {
+        out = out :+ PolSessOut(dom, delay, hosts.toArray.sorted,
+          served + viol, served, viol, tFirst, tLast)
+        credits = -1L; last = -1L; viol = 0L; served = 0L
+        hosts = Set.empty; tFirst = -1L; tLast = -1L
+      }
+      ripe.foreach { case (t, h) =>
+        if (last >= 0L && t - last >= cap) close() // bucket provably full
+        if (last < 0L) { credits = cap; last = t }
+        val refill = math.min(cap, credits + (t - last))
+        if (refill >= delay) { credits = refill - delay; served += 1 }
+        else { credits = refill; viol += 1 }
+        last = t
+        hosts = hosts + h
+        if (tFirst < 0L) tFirst = t
+        tLast = t
+      }
+      if (timerAt.exists) { getHandle.deleteTimer(timerAt.get); timerAt.clear() }
+      if (wait.isEmpty && last >= 0L && wmMs - last >= cap) {
+        // idle past the refill horizon: close the session and FREE the key
+        close()
+        bucket.clear()
+      } else if (wait.isEmpty && last < 0L) {
+        bucket.clear() // nothing buffered, nothing open
+      } else {
+        bucket.update(PolState(credits, last, viol, served,
+          hosts.toArray.sorted, tFirst, tLast,
+          wait.map(_._1).toArray, wait.map(_._2).toArray))
+        val target = if (wait.nonEmpty) wait.map(_._1).min + 1L else last + cap
+        getHandle.registerTimer(target)
+        timerAt.update(target)
+      }
+      out.iterator
+    }
+    override def handleInputRows(dom: String, rows: Iterator[PolRow],
+        tv: TimerValues): Iterator[PolSessOut] =
+      if (dom == "~sentinel") { rows.foreach(_ => ()); Iterator.empty }
+      else step(dom, rows.map(p => (p.t, p.host)).toSeq,
+        tv.getCurrentWatermarkInMs())
+    override def handleExpiredTimer(dom: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[PolSessOut] = {
+      timerAt.clear() // the firing timer consumed itself
+      step(dom, Seq.empty, tv.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** 33rd real streaming query — [[politenessStream]] under
+    * `transformWithState`: identical final per-domain numbers (the same
+    * batch recursive-CTE oracle), emitted as per-session rows with
+    * per-key state freed at every provable session boundary. Returns the
+    * drained rollup plus the final state-store row count (0 = every key
+    * cleaned up — the spec's pin).
+    */
+  def politenessTwsTelemetry(s: SparkSession, d: String): (DataFrame, Long) = {
+    val ss = tuned(s)
+    import ss.implicits._
+    // transformWithState requires the RocksDB state store provider
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = graft.Tables.events(ss, d)
+      .select(expr(
+        """concat(CASE CAST(user_id % 3 AS INT)
+          |          WHEN 0 THEN 'www' WHEN 1 THEN 'img' ELSE 'api' END,
+          |        '.domain', CAST(user_id % 8 AS STRING), '.com')""".stripMargin)
+        .as("host"), expr("unix_millis(ts)").as("t"), col("ts"))
+      .withColumn("reg_domain", expr("substr(host, instr(host, '.') + 1)"))
+      .select(col("reg_domain"), col("host"), col("t"), col("ts"))
+    val Array(r) = ev.agg(min(col("t")), max(col("t"))).collect()
+    val (loMs, hiMs) = (r.getLong(0), r.getLong(1))
+    val splitMs = loMs + (hiMs - loMs) / 2
+    val expected = ev.count()
+    val feed = java.nio.file.Files.createTempDirectory("graft_poltwsfeed")
+    def shipOne(df: DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_poltwsstage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+      val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally part.close()
+      java.nio.file.Files.move(src, feed.resolve(name))
+    }
+    shipOne(ev.filter(col("t") <= splitMs), "00_wave1.parquet")
+    val plan = ss.readStream.schema(StructType(Seq(
+        StructField("reg_domain", StringType), StructField("host", StringType),
+        StructField("t", LongType), StructField("ts", TimestampType))))
+      .parquet(feed.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[PolRow]
+      .groupByKey(_.reg_domain)
+      .transformWithState(new PolitenessProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    val sinkName = "graft_stream_politeness_tws"
+    val q = plan.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(sinkName).start()
+    var stateRows = -1L
+    try {
+      q.processAllAvailable()
+      shipOne(ev.filter(col("t") > splitMs), "01_wave2.parquet")
+      q.processAllAvailable()
+      // sentinel far enough past max(t) to cross every domain's session-
+      // close horizon (max cap = 3 × 5 × 600 s = 2.5 h): +6 h
+      shipOne(Seq(("~sentinel", "~sentinel", hiMs + 21600000L,
+        new java.sql.Timestamp(hiMs + 21600000L)))
+        .toDF("reg_domain", "host", "t", "ts"), "02_sentinel.parquet")
+      q.processAllAvailable()
+      // session-close flushes ride no-data batches: poll until every
+      // shipped request is accounted for by a CLOSED session row
+      val sink = () => ss.table(sinkName)
+        .agg(coalesce(sum(col("n_requests")), lit(0L))).collect()(0).getLong(0)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (sink() < expected && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200L)
+      }
+      stateRows = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(-1L)
+    } finally q.stop()
+    val rollup = ss.table(sinkName)
+      .groupBy(col("reg_domain"))
+      .agg(max(col("delay_ms")).as("delay_ms"),
+        expr("CAST(size(array_distinct(flatten(collect_list(hosts)))) AS BIGINT)")
+          .as("n_hosts"),
+        sum(col("n_requests")).as("n_requests"),
+        sum(col("n_served")).as("n_served"),
+        sum(col("n_violations")).as("n_violations"),
+        (max(col("t1")) - min(col("t0"))).as("span_ms"))
+      .select(col("reg_domain"), col("delay_ms"), col("n_hosts"),
+        col("n_requests"), col("n_served"), col("n_violations"),
+        col("span_ms"))
+      .orderBy(col("reg_domain"))
+    (rollup, stateRows)
+  }
+
+  def politenessTws(s: SparkSession, d: String): DataFrame =
+    politenessTwsTelemetry(s, d)._1
+
   /** 30th real streaming query — the stream-stream as-of join under a
     * 30-minute TOLERANCE (conversion-window semantics): identical feed,
     * state, and eviction as [[asofStream]]; a match older than the

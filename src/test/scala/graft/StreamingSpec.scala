@@ -903,6 +903,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("transformWithState politeness: identical to the batch operator AND every key's state cleaned up on timeout") {
+    // The Spark-4 state API port (r15 ask #6): the per-session
+    // StatefulProcessor must land on exactly the batch operator's
+    // numbers, and — the thing the new API makes first-class — free each
+    // domain's state the moment the watermark proves the session closed
+    // (timer-driven clear; numRowsTotal over the final progress is the
+    // machine check that no key leaked).
+    val (tws, stateRows) =
+      graft.streaming.StreamOps.politenessTwsTelemetry(spark, sf)
+    val got = tws.collect().map(_.toString).toSeq
+    val want = graft.ext.Dedup.crawlPoliteness(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got == want,
+      s"transformWithState rollup diverged from the batch operator:\n" +
+        s"got  $got\nwant $want")
+    assert(stateRows == 0L,
+      s"$stateRows state rows survived the final watermark — timer-driven " +
+        "cleanup must clear every closed session's key")
+  }
 }
 
 /** Per-key running-count state for the repartition-handoff spec (top
