@@ -569,7 +569,7 @@ object TextOps {
     * incremental manifest provably equal the full recompute.
     */
   private[graft] def e2eIncBuildState(s: SparkSession, d: String,
-      root: java.io.File): Unit = {
+      root: java.io.File, tenths: Int = 8): Unit = {
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       val dir = new java.io.File(root, name)
       if (!new java.io.File(dir, "_SUCCESS").exists())
@@ -579,7 +579,7 @@ object TextOps {
     val rawAll = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val t = stage("t")(
-      rawAll.agg(expr("CAST(max(doc_id) * 8 DIV 10 AS BIGINT)").as("t")))
+      rawAll.agg(expr(s"CAST(max(doc_id) * $tenths DIV 10 AS BIGINT)").as("t")))
       .head().getLong(0)
     if (new java.io.File(root, "seen_final/_SUCCESS").exists()) return
     val seen = rawAll.filter(col("doc_id") <= t)
@@ -618,7 +618,8 @@ object TextOps {
     * corpus; the store grows by appending the batch's own signatures.
     */
   private[graft] def e2eIncUpdate(s: SparkSession, root: java.io.File,
-      newBatch: DataFrame, evalDocs: DataFrame): DataFrame = {
+      newBatch: DataFrame, evalDocs: DataFrame,
+      appendState: Boolean = false): DataFrame = {
     def store(name: String) =
       s.read.parquet(new java.io.File(root, name).toString)
     val qualityN = stgQuality(newBatch).localCheckpoint()
@@ -678,7 +679,7 @@ object TextOps {
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit("0_batch").as("section"), lit(stage).as("k"),
           col("n_docs"), lit(0L).as("n_tokens"))
-    cnt(newBatch, "00_arrived")
+    val report = cnt(newBatch, "00_arrived")
       .unionByName(cnt(qualityN, "10_quality"))
       .unionByName(cnt(exactN, "20_exact"))
       .unionByName(cnt(neardupN, "30_neardup"))
@@ -687,6 +688,24 @@ object TextOps {
         concat_ws("/", col("source"), col("split")).as("k"),
         col("n_docs"), col("n_tokens")))
       .orderBy(col("section"), col("k"))
+    if (!appendState) report
+    else {
+      // Absorb the batch into the store so the NEXT batch is incremental
+      // too: materialize the report first (its seen_final read must see
+      // the PRE-append store), then append the batch's artifacts under
+      // the same semantics each store declares — quality-survivor md5s,
+      // EXACT survivors' signatures, FINAL survivors' manifest rows.
+      val out = report.localCheckpoint()
+      def appendTo(name: String, df: DataFrame): Unit =
+        df.write.mode("append")
+          .parquet(new java.io.File(root, name).toString)
+      appendTo("seen_quality_md5",
+        qualityN.select(md5(col("text")).as("h")).distinct())
+      appendTo("seen_sigs",
+        sigN.select(col("doc_id"), col("shashes"), col("sig")))
+      appendTo("seen_final", decontamN)
+      out
+    }
   }
 
   /** INCREMENTAL E2E CURATION — the 100 TB operational reality: a new

@@ -875,4 +875,41 @@ class SourceSinkSpec extends AnyFunSuite {
     val declared = ext.TextOps.e2eIncremental(spark, sf).collect()
     assert(viaStore.map(_.toString).toSeq == declared.map(_.toString).toSeq)
   }
+
+  test("incremental curation COMPOSES: two sequential batches with store append land on the full recompute") {
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+      f.delete()
+    }
+    // private root so this run's 60/20/20 split can't collide with the
+    // declared query's 80/20 store
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_inc2").toFile, "store")
+    ext.TextOps.e2eIncBuildState(spark, sf, root, tenths = 6)
+    val t1 = spark.read.parquet(new java.io.File(root, "t").toString)
+      .head().getLong(0)
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+    val t2 = maxId * 8 / 10
+    val evalDocs = raw.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"))
+    // batch 1 (60%..80%]: processed AND absorbed into the store
+    ext.TextOps.e2eIncUpdate(spark, root,
+      raw.filter(col("doc_id") > t1 && col("doc_id") <= t2), evalDocs,
+      appendState = true).collect()
+    // batch 2 (80%..]: processed against the UPDATED store
+    val after2 = ext.TextOps.e2eIncUpdate(spark, root,
+      raw.filter(col("doc_id") > t2), evalDocs).collect()
+    // the manifest after two incremental batches must equal the one the
+    // declared single-batch query lands on — both ARE the full recompute
+    val manifest2 = after2.filter(_.getString(0) == "1_manifest")
+      .map(_.toString).sorted.toSeq
+    val manifestFull = ext.TextOps.e2eIncremental(spark, sf).collect()
+      .filter(_.getString(0) == "1_manifest").map(_.toString).sorted.toSeq
+    assert(manifest2 == manifestFull,
+      s"two-batch incremental diverged from the full recompute:\n" +
+        s"got  $manifest2\nwant $manifestFull")
+    rmrf(root.getParentFile)
+  }
 }
