@@ -851,6 +851,78 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** 13-GRAM DECONTAMINATION BY SPLICING — the surgical alternative to
+    * [[ngramContamination]]'s doc-drop: instead of losing a whole train
+    * document over one quoted benchmark passage, remove exactly the
+    * contaminated token spans (every 13-gram colliding with an eval
+    * doc, occurrences merged into maximal intervals) and keep the rest.
+    * The report prices the policy choice: `removed_tokens` is what
+    * splicing costs, `tokens_saved` is what doc-dropping would have
+    * destroyed on top — the trade a curation review decides with. The
+    * spliced text's md5 pins the surgery byte-for-byte cross-engine.
+    *
+    * Relational shape: positioned 13-gram hashes (O(13·n) per doc inside
+    * the scan), eval grams broadcast, interval merge as the standard
+    * gaps-and-islands window at doc grain (input = hit positions only),
+    * splice as one codegen'd filter-by-span lambda — the corpus text
+    * never shuffles, only hit positions and span lists do.
+    */
+  def decontamSplice(s: SparkSession, d: String): DataFrame =
+    decontamSpliceOf(Tables.documents(s, d)).drop("clean_text")
+
+  /** [[decontamSplice]] over an arbitrary (doc_id, text) frame, with the
+    * spliced text carried alongside — the spec re-runs 13-gram detection
+    * on it to pin that the surgery removes EVERY collision (idempotence).
+    */
+  private[graft] def decontamSpliceOf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 13
+    val toks = docsIn
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= n)
+    // greatest(…, 0): total under codegen CSE (the ngramContamination
+    // lesson) — sequence(0, 0) on a to-be-filtered short row is harmless
+    val grams = toks.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, greatest(size(ws) - $n, 0)),
+           |  i -> struct(CAST(i AS BIGINT) AS pos,
+           |    ${sparkHash(s"array_join(slice(ws, i + 1, $n), ' ')")} AS gh))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val evalGh = grams.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("gh")).distinct()
+    val hits = grams.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .join(broadcast(evalGh), Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span_id", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + n).as("e"))
+    val spanList = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        collect_list(struct(col("s"), col("e"))).as("sp"))
+    toks.join(spanList, Seq("doc_id")) // inner: only contaminated docs
+      .withColumn("kept", expr(
+        """filter(transform(ws, (w, i) -> struct(w, CAST(i AS BIGINT) AS i)),
+          |  x -> NOT exists(sp, r -> x.i >= r.s AND x.i < r.e))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        col("n_spans"),
+        (size(col("ws")) - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        size(col("kept")).cast("long").as("tokens_saved"),
+        md5(expr("array_join(transform(kept, x -> x.w), ' ')"))
+          .as("clean_md5"),
+        expr("array_join(transform(kept, x -> x.w), ' ')").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LSH band-bucket statistics — the tuning report for the (B, R)
     * banding parameters: per band, how many buckets exist, how big the
     * largest is, and how many candidate pairs Σ sz·(sz−1)/2 the band
@@ -1658,6 +1730,7 @@ object Dedup {
     "dd_band_stats" -> bandStats,
     "dd_contamination" -> contamination,
     "dd_contamination_ngram" -> ngramContamination,
+    "dd_decontam_splice" -> decontamSplice,
     "dd_exact" -> exactDedup,
     "pipe_dedup_impact" -> dedupImpact,
     "dd_ngram_jaccard" -> ngramJaccard,
@@ -2139,6 +2212,48 @@ object Dedup {
          |      FROM j)
          |SELECT tid AS doc_id, eid AS contaminated_by, n_grams_shared
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dd_decontam_splice" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 13),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    ${duckHash("array_to_string(ws[CAST(i+1 AS INT):CAST(i+13 AS INT)], ' ')")} AS gh
+         |  FROM t2, unnest(range(0, len(ws) - 12)) AS u(i)),
+         |evg AS (SELECT DISTINCT gh FROM g WHERE doc_id % $EVAL_MOD = 0),
+         |hits AS (SELECT doc_id, pos FROM g
+         |         WHERE doc_id % $EVAL_MOD <> 0
+         |           AND gh IN (SELECT gh FROM evg)),
+         |sp0 AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              <= 13 THEN 0 ELSE 1 END AS ns
+         |  FROM hits),
+         |sp1 AS (
+         |  SELECT doc_id, pos,
+         |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+         |                  ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM sp0),
+         |spans AS (SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + 13 AS e
+         |          FROM sp1 GROUP BY 1, 2),
+         |sl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |              list({'s': s, 'e': e}) AS sp
+         |       FROM spans GROUP BY doc_id),
+         |j AS (SELECT t2.doc_id, ws, n_spans, sp FROM t2 JOIN sl USING (doc_id)),
+         |k AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, n_spans,
+         |    list_transform(list_filter(list_transform(range(1, len(ws)+1),
+         |      i -> {'w': ws[i], 'j': CAST(i AS BIGINT) - 1}),
+         |      x -> len([r for r in sp
+         |                if x.j >= r.s AND x.j < r.e]) = 0), x -> x.w) AS kept
+         |  FROM j)
+         |SELECT doc_id, n_words, n_spans,
+         |       CAST(n_words - len(kept) AS BIGINT) AS removed_tokens,
+         |       CAST(len(kept) AS BIGINT) AS tokens_saved,
+         |       md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
         |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)

@@ -1048,6 +1048,29 @@ class ExtensionSpec extends AnyFunSuite {
       s"shingle-overlap rule must flag exactly the rearranged doc, got $shingle")
   }
 
+  test("decontamination splice is complete: spliced docs share ZERO 13-grams with eval") {
+    // run the splice on the real corpus, then re-run 13-gram detection
+    // over (eval docs ∪ spliced train docs): a single surviving collision
+    // means the interval merge or the span-removal lambda missed tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val spliced = ext.Dedup.decontamSpliceOf(docs)
+    assert(spliced.count() > 0, "fixture must contain contaminated docs")
+    val recheck = docs.filter(col("doc_id") % 11 === 0)
+      .unionByName(spliced.select(col("doc_id"),
+        col("clean_text").as("text")))
+    val residual = ext.Dedup.ngramContaminationOf(recheck, 13).collect()
+    assert(residual.isEmpty,
+      s"splice left collisions behind: ${residual.mkString(", ")}")
+    // accounting: removed + saved = original, every span costs ≥ 13 tokens
+    spliced.collect().foreach { r =>
+      assert(r.getAs[Long]("removed_tokens") + r.getAs[Long]("tokens_saved")
+        == r.getAs[Long]("n_words"), r.toString)
+      assert(r.getAs[Long]("removed_tokens") >= 13L * r.getAs[Long]("n_spans")
+        || r.getAs[Long]("tokens_saved") == 0L, r.toString)
+    }
+  }
+
   test("quality ensemble: verdict partitions the corpus, ablation bounds hold") {
     val rep = ext.TextOps.qualityEnsemble(spark, sf).collect()
     val verdict = rep.filter(_.getString(0) == "0_verdict")
