@@ -830,11 +830,16 @@ object Dedup {
       // will drop — sequence(1, 0) would descend through 0 and blow up
       // slice(). The clamp makes the expression total; clamped rows never
       // survive the filter.
+      //
+      // gh is INTERNAL grouping state (never surfaced — the output is doc
+      // ids and counts), so the engines only need identical GROUPINGS,
+      // not identical hash values: Spark uses codegen'd xxhash64 over the
+      // word slice (no string building) while the oracle md5-hashes the
+      // joined words — the tx_dup_spans discipline, same collision bound.
       .select(col("doc_id"), expr(
         s"""array_distinct(transform(
            |  sequence(1, greatest(size(ws) - ${n - 1}, 1)),
-           |  i -> ${sparkHash(s"array_join(slice(ws, i, $n), ' ')")}))"""
-          .stripMargin).as("ghashes"))
+           |  i -> xxhash64(slice(ws, i, $n))))""".stripMargin).as("ghashes"))
     val ev = grams.filter(col("doc_id") % EVAL_MOD === 0)
       .select(col("doc_id").as("eid"), explode(col("ghashes")).as("gh"))
     val tr = grams.filter(col("doc_id") % EVAL_MOD =!= 0)
@@ -882,11 +887,13 @@ object Dedup {
         expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
       .filter(size(col("ws")) >= n)
     // greatest(…, 0): total under codegen CSE (the ngramContamination
-    // lesson) — sequence(0, 0) on a to-be-filtered short row is harmless
+    // lesson) — sequence(0, 0) on a to-be-filtered short row is harmless.
+    // gh is internal join state: xxhash64 over the slice, no strings (the
+    // tx_dup_spans discipline; the oracle groups on md5 of joined words).
     val grams = toks.select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, greatest(size(ws) - $n, 0)),
            |  i -> struct(CAST(i AS BIGINT) AS pos,
-           |    ${sparkHash(s"array_join(slice(ws, i + 1, $n), ' ')")} AS gh))"""
+           |    xxhash64(slice(ws, i + 1, $n)) AS gh))"""
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
     val evalGh = grams.filter(col("doc_id") % EVAL_MOD === 0)

@@ -3131,15 +3131,27 @@ object TextOps {
     val prefTok = docs.select(col("doc_id"), col("lang").as("lang_true"),
       explode(expr("slice(filter(split(text, ' '), w -> w <> ''), 1, 50)"))
         .as("w"))
-    val nb = prefTok.crossJoin(broadcast(cand))
-      .join(counts, Seq("lang_cand", "w"), "left")
-      .withColumn("cw1", coalesce(col("cw"), lit(0L)) + lit(1L))
-      .withColumn("term", expr(lgS("cw1")))
-      .groupBy(col("doc_id"), col("lang_true"), col("lang_cand"),
-        col("toks"), col("nd"), col("v"), col("n"))
-      .agg(count(lit(1)).as("m"), sum(col("term")).as("sumlg"))
+    // The 16-step FixLog fold runs once per (word TYPE, lang) on the
+    // count table and once per lang on the 5-row candidate frame — never
+    // per scored token (the r16 bench showed the per-token form costing
+    // 8.5 s; unseen (w, lang) pairs contribute lg(0+1) = 0 exactly, so
+    // the sparse sum plus a zero-fill is the identical integer).
+    val termVec = counts.withColumn("term", expr(lgS("cw + 1")))
+      .select(col("lang_cand"), col("w"), col("term"))
+    val candLg = cand
+      .withColumn("lg_nd", expr(lgS("nd")))
+      .withColumn("lg_n", expr(lgS("n")))
+      .withColumn("lg_tv", expr(lgS("toks + v")))
+      .select(col("lang_cand"), col("lg_nd"), col("lg_n"), col("lg_tv"))
+    val docM = prefTok.groupBy(col("doc_id"), col("lang_true"))
+      .agg(count(lit(1)).as("m"))
+    val sparse = prefTok.join(termVec, Seq("w"))
+      .groupBy(col("doc_id"), col("lang_cand"))
+      .agg(sum(col("term")).as("sumlg"))
+    val nb = docM.crossJoin(broadcast(candLg))
+      .join(sparse, Seq("doc_id", "lang_cand"), "left")
       .withColumn("score", expr(
-        s"${lgS("nd")} - ${lgS("n")} - m * ${lgS("toks + v")} + sumlg"))
+        "lg_nd - lg_n - m * lg_tv + coalesce(sumlg, CAST(0 AS BIGINT))"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("lang_cand"))))
       .filter(col("rk") === 1)

@@ -408,15 +408,28 @@ object StatOps {
       .select(col("doc_id"), col("lang").as("lang_true"),
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-    testTok.crossJoin(broadcast(cand))
-      .join(counts, Seq("lang_cand", "w"), "left")
-      .withColumn("cw1", coalesce(col("cw"), lit(0L)) + lit(1L))
-      .withColumn("term", expr(lgS("cw1")))
-      .groupBy(col("doc_id"), col("lang_true"), col("lang_cand"),
-        col("toks"), col("nd"), col("v"), col("n"))
-      .agg(count(lit(1)).as("m"), sum(col("term")).as("sumlg"))
+    // The 16-step FixLog fold runs per (word TYPE, label) on the count
+    // table and per label on the 5-row candidate frame — never per
+    // scored token: an unseen (w, label) contributes lg(0+1) = 0
+    // exactly, so the sparse per-label sum plus a zero-fill is the
+    // identical integer the per-token form computed (r16 perf pass;
+    // same oracle).
+    val termVec = counts.withColumn("term", expr(lgS("cw + 1")))
+      .select(col("lang_cand"), col("w"), col("term"))
+    val candLg = cand
+      .withColumn("lg_nd", expr(lgS("nd")))
+      .withColumn("lg_n", expr(lgS("n")))
+      .withColumn("lg_tv", expr(lgS("toks + v")))
+      .select(col("lang_cand"), col("lg_nd"), col("lg_n"), col("lg_tv"))
+    val docM = testTok.groupBy(col("doc_id"), col("lang_true"))
+      .agg(count(lit(1)).as("m"))
+    val sparse = testTok.join(termVec, Seq("w"))
+      .groupBy(col("doc_id"), col("lang_cand"))
+      .agg(sum(col("term")).as("sumlg"))
+    docM.crossJoin(broadcast(candLg))
+      .join(sparse, Seq("doc_id", "lang_cand"), "left")
       .withColumn("score", expr(
-        s"${lgS("nd")} - ${lgS("n")} - m * ${lgS("toks + v")} + sumlg"))
+        "lg_nd - lg_n - m * lg_tv + coalesce(sumlg, CAST(0 AS BIGINT))"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("lang_cand"))))
