@@ -39,6 +39,7 @@ object SparkEntry {
         "st_semi_join" -> streaming.StreamOps.semiJoinStream,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichStream,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStream,
+        "st_sessionize_tws" -> streaming.StreamOps.sessionizeTws,
         "st_session_builtin" -> streaming.StreamOps.sessionBuiltinStream,
         "st_dedup_stream" -> streaming.StreamOps.dedupStream,
         "st_hll_stream" -> streaming.StreamOps.hllStream,
@@ -111,6 +112,8 @@ object SparkEntry {
         "st_semi_join" -> streaming.StreamOps.semiJoinOracle,
         "st_static_enrich" -> streaming.StreamOps.staticEnrichOracle,
         "st_sessionize_state" -> streaming.StreamOps.sessionizeStreamOracle,
+        // the TimeMode.None transformWithState twin — same fold, same oracle
+        "st_sessionize_tws" -> streaming.StreamOps.sessionizeStreamOracle,
         "st_session_builtin" -> streaming.StreamOps.sessionBuiltinOracle,
         "st_dedup_stream" -> streaming.StreamOps.dedupStreamOracle,
         "st_hll_stream" -> streaming.StreamOps.hllStreamOracle,

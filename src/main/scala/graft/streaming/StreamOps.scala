@@ -1536,6 +1536,57 @@ object StreamOps {
       }
   }
 
+  /** [[sessionize]]'s fold as a Spark 4 `StatefulProcessor` — the second
+    * transformWithState port (beside [[PolitenessProcessor]]'s
+    * event-time/timer form, this is the TimeMode.None twin): proves the
+    * flatMapGroupsWithState-era stateful family ports MECHANICALLY — the
+    * shared [[foldSessions]] algebra is untouched, only the state
+    * plumbing changes (named ValueState via the handle instead of the
+    * GroupState argument).
+    */
+  private class SessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessState]("open",
+        Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
+      val prev = if (open.exists) Some(open.get) else None
+      val (closed, st) = foldSessions(userId, sorted, prev)
+      open.update(st)
+      closed.iterator
+    }
+  }
+
+  /** [[sessionizeStream]] under transformWithState — identical closed
+    * sessions, same batch oracle.
+    */
+  def sessionizeTws(s: SparkSession, d: String): DataFrame = {
+    val ss = tuned(s)
+    import ss.implicits._
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = eventsStream(ss, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev]
+    val q = evs.groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("graft_stream_sessionize_tws")
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table("graft_stream_sessionize_tws")
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Per-user last-event state for the streaming transition extractor:
     * one fixed-width record per user, no event buffering.
     */
