@@ -617,9 +617,14 @@ object TextOps {
     * scales with the batch plus shared-signature volume, never with the
     * corpus; the store grows by appending the batch's own signatures.
     */
-  private[graft] def e2eIncUpdate(s: SparkSession, root: java.io.File,
-      newBatch: DataFrame, evalDocs: DataFrame,
-      appendState: Boolean = false): DataFrame = {
+  /** The incremental legs shared by the update report, the store append,
+    * and the incremental-publish shard write: (quality, exact, sigs,
+    * neardup, decontam-finals) of the NEW batch — the seen corpus
+    * contributes only its persisted stores throughout.
+    */
+  private def e2eIncLegs(s: SparkSession, root: java.io.File,
+      newBatch: DataFrame, evalDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     def store(name: String) =
       s.read.parquet(new java.io.File(root, name).toString)
     val qualityN = stgQuality(newBatch).localCheckpoint()
@@ -666,6 +671,16 @@ object TextOps {
       .withColumn("n_tokens", reTokens)
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
       .localCheckpoint()
+    (qualityN, exactN, sigN, neardupN, decontamN)
+  }
+
+  private[graft] def e2eIncUpdate(s: SparkSession, root: java.io.File,
+      newBatch: DataFrame, evalDocs: DataFrame,
+      appendState: Boolean = false): DataFrame = {
+    def store(name: String) =
+      s.read.parquet(new java.io.File(root, name).toString)
+    val (qualityN, exactN, sigN, neardupN, decontamN) =
+      e2eIncLegs(s, root, newBatch, evalDocs)
     val finalAll = store("seen_final").unionByName(decontamN)
     val manifest = finalAll
       .withColumn("bucket",
@@ -729,6 +744,154 @@ object TextOps {
       rawAll.filter(col("doc_id") % Dedup.EVAL_MOD === 0)
         .select(col("doc_id"), col("text")))
   }
+
+  /** Store root for the incremental-PUBLISH loop. */
+  private[graft] def e2eIncPubRoot(s: SparkSession, d: String): java.io.File = {
+    val docs = new java.io.File(s"$d/documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${docs.length}|${docs.lastModified}|e2e_incpub_v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_e2e_incpub_$fp")
+  }
+
+  /** Final-survivor rows → publishable shard rows (doc-grain metadata,
+    * deterministic shard + split assignment).
+    */
+  private def shardRowsOf(fin: DataFrame): DataFrame = fin
+    .withColumn("shard", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 8"))
+    .withColumn("bucket", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+    .withColumn("split",
+      when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise(lit("test")))
+    .select(col("shard"), col("doc_id"), col("lang"), col("source"),
+      col("n_tokens"), col("split"))
+
+  /** (source, split) manifest rows from shard-grain rows. */
+  private def incPubManifestOf(rows: DataFrame): DataFrame = rows
+    .groupBy(col("source"), col("split"))
+    .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Commit (truncate) the given manifest frame as the NEXT version of
+    * the KV manifest log at `kvDir` — skipped if `expectVersion` is
+    * already committed (idempotent re-runs).
+    */
+  private def incPubCommit(s: SparkSession, kvDir: String,
+      man: DataFrame, expectVersion: Long): Unit = {
+    if (graft.sources.KvSink.versions(kvDir).lastOption.getOrElse(0L)
+        >= expectVersion) return
+    val w = Window.orderBy(col("source"), col("split"))
+    man.withColumn("key", row_number().over(w).cast("long"))
+      .select(col("key"), concat_ws("|", col("source"), col("split"),
+        col("n_docs"), col("n_tokens")).as("val"))
+      .write.format("graft.sources.KvSink")
+      .mode("overwrite").option("path", kvDir).save()
+  }
+
+  /** Parse committed KV manifest lines back to typed rows. */
+  private def incPubReadVersion(s: SparkSession, kvDir: String,
+      version: Long): DataFrame =
+    s.read.schema("key LONG, val STRING")
+      .csv(graft.sources.KvSink.committedPaths(kvDir, version): _*)
+      .select(split(col("val"), "\\|").as("f"))
+      .select(col("f").getItem(0).as("source"), col("f").getItem(1).as("split"),
+        col("f").getItem(2).cast("long").as("n_docs"),
+        col("f").getItem(3).cast("long").as("n_tokens"))
+
+  /** THE OPERATIONAL LOOP, CLOSED — incremental curation FEEDING a
+    * versioned publish: snapshot 1 curates the seen corpus, writes its
+    * shard files (`shards/batch_00000`), and truncate-commits manifest
+    * version 1 through the OCC V2 sink; the new crawl batch then flows
+    * through [[e2eIncUpdate]] (signature-store dedup — seen text never
+    * re-read), its survivors land in NEW shard files ONLY
+    * (`shards/batch_00001` — SourceSinkSpec pins batch_00000's files
+    * byte-untouched, the [[graft.ext.Similarity]] append discipline),
+    * and version 2 commits the UNION manifest while version 1 stays
+    * readable through the log (time travel).
+    *
+    * The output is the proof set: the incremental batch funnel, the
+    * union manifest recomputed FROM ALL SHARD FILES READ BACK, and a
+    * `2_versions` section — per committed version its row count, the
+    * v2-vs-readback mismatch count (0), and the v1-vs-seen-store
+    * mismatch count (0, the time-travel check). The oracle replays the
+    * full recompute (manifest + funnel, no T in the manifest) plus the
+    * version rows computed from the same DAG — so one hash compare
+    * covers incremental correctness, append-only shard growth, and
+    * version-log integrity together.
+    *
+    * At 100 TB: each batch costs batch-scale curation + one shard write
+    * + an O(manifest) commit; history stays readable until vacuum.
+    */
+  def e2eIncPublish(s: SparkSession, d: String): DataFrame = {
+    val root = e2eIncPubRoot(s, d)
+    // share the incremental state store (same fingerprint inputs)
+    e2eIncBuildState(s, d, root)
+    val t = s.read.parquet(new java.io.File(root, "t").toString)
+      .head().getLong(0)
+    val rawAll = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val evalDocs = rawAll.filter(col("doc_id") % Dedup.EVAL_MOD === 0)
+      .select(col("doc_id"), col("text"))
+    val kvDir = new java.io.File(root, "kv_manifest").toString
+    // ---- snapshot 1 publish ------------------------------------------
+    val shard0 = new java.io.File(root, "shards/batch_00000")
+    if (!new java.io.File(shard0, "_SUCCESS").exists())
+      ShardWriter.writeShardsPre(
+        shardRowsOf(s.read.parquet(new java.io.File(root, "seen_final").toString)),
+        shard0.toString)
+    incPubCommit(s, kvDir,
+      incPubManifestOf(s.read.parquet(shard0.toString)), 1L)
+    // ---- the batch: incremental curation → NEW shard files → v2 ------
+    val batchReport = e2eIncUpdate(s, root,
+      rawAll.filter(col("doc_id") > t), evalDocs).localCheckpoint()
+    val shard1 = new java.io.File(root, "shards/batch_00001")
+    if (!new java.io.File(shard1, "_SUCCESS").exists()) {
+      // re-derive the batch's final rows for the shard write — the legs
+      // are batch-scale (the seen corpus still contributes only stores)
+      val batchFin = e2eIncBatchFinals(s, root,
+        rawAll.filter(col("doc_id") > t), evalDocs)
+      ShardWriter.writeShardsPre(shardRowsOf(batchFin), shard1.toString)
+    }
+    val allShards = s.read.parquet(shard0.toString, shard1.toString)
+    incPubCommit(s, kvDir, incPubManifestOf(allShards), 2L)
+    // ---- proof set ---------------------------------------------------
+    val readBack = incPubManifestOf(allShards)
+    val v2 = incPubReadVersion(s, kvDir, 2L)
+    val v1 = incPubReadVersion(s, kvDir, 1L)
+    val seenMan = incPubManifestOf(
+      shardRowsOf(s.read.parquet(new java.io.File(root, "seen_final").toString)))
+    def mismatches(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b.select(col("source"), col("split"),
+          col("n_docs").as("b_docs"), col("n_tokens").as("b_tokens")),
+          Seq("source", "split"), "full_outer")
+        .filter(coalesce(col("n_docs"), lit(-1L))
+            =!= coalesce(col("b_docs"), lit(-2L))
+          || coalesce(col("n_tokens"), lit(-1L))
+            =!= coalesce(col("b_tokens"), lit(-2L)))
+        .agg(count(lit(1)).as("n"))
+    val versions = v2.agg(count(lit(1)).as("v2_rows"))
+      .crossJoin(broadcast(v1.agg(count(lit(1)).as("v1_rows"))))
+      .crossJoin(broadcast(mismatches(readBack, v2)
+        .select(col("n").as("v2_mismatch"))))
+      .crossJoin(broadcast(mismatches(seenMan, v1)
+        .select(col("n").as("v1_mismatch"))))
+      .select(
+        lit("2_versions").as("section"), lit("log").as("k"),
+        col("v1_rows").as("n_docs"),
+        (col("v2_rows") * 1000L + col("v2_mismatch") * 10L
+          + col("v1_mismatch")).as("n_tokens"))
+    batchReport
+      .unionByName(versions)
+      .orderBy(col("section"), col("k"))
+  }
+
+  /** The batch's FINAL survivor rows (doc_id, lang, source, n_tokens) —
+    * [[e2eIncLegs]]'s decontam leg, re-derived for the shard write
+    * (batch-scale cost; the seen corpus still contributes only stores).
+    */
+  private def e2eIncBatchFinals(s: SparkSession, root: java.io.File,
+      newBatch: DataFrame, evalDocs: DataFrame): DataFrame =
+    e2eIncLegs(s, root, newBatch, evalDocs)._5
 
   /** THE POST-TRAINING (SFT) DATA FLAGSHIP — [[e2ePretrain]]'s sibling
     * for the instruction-tuning side of the house, composed as one
@@ -3735,6 +3898,7 @@ object TextOps {
     "pipe_e2e_pretrain" -> e2ePretrain,
     "pipe_e2e_publish" -> e2ePublish,
     "pipe_e2e_incremental" -> e2eIncremental,
+    "pipe_e2e_inc_publish" -> e2eIncPublish,
     "pipe_e2e_sft" -> e2eSft,
     "tx_pii_detect" -> piiDetect,
     "pipe_filter_funnel" -> filterFunnel,
@@ -3937,6 +4101,122 @@ object TextOps {
            |         n_tokens, n_seqs
            |  FROM shards$publishRow) out
            |ORDER BY section, k""".stripMargin
+  }
+
+  /** DuckDB replay of the incremental-curation DAG (full recompute over
+    * the union, batch funnel at T = (8·max) DIV 10). With `publish` the
+    * final SELECT also carries the `2_versions` row: v1 rows = seen-half
+    * manifest groups, and the packed n_tokens = |union manifest|·1000 +
+    * v2-vs-readback mismatches·10 + v1-vs-seen-store mismatches — both
+    * mismatch digits pinned to 0.
+    */
+  private def e2eIncOracle(publish: Boolean): String = {
+    def score(l: String) =
+      s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ${inList(stop(l))})) AS BIGINT)"
+    val pubRow =
+      if (!publish) ""
+      else "\n           |  UNION ALL SELECT '2_versions', 'log'," +
+        "\n           |    CAST((SELECT COUNT(*) FROM (SELECT DISTINCT source," +
+        "\n           |      CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'" +
+        "\n           |           ELSE 'test' END AS split" +
+        "\n           |      FROM (SELECT source," +
+        s"\n           |              ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b" +
+        "\n           |            FROM fin, tt WHERE doc_id <= t) z1) z2) AS BIGINT)," +
+        "\n           |    CAST((SELECT COUNT(*) FROM man) AS BIGINT) * 1000"
+        s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
+           |tt AS (SELECT (MAX(doc_id) * 8) // 10 AS t FROM raw),
+           |q AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT doc_id, text, lang, source,
+           |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS mwl,
+           |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+           |        / length(text) AS symr,
+           |      CAST(len(list_filter(string_split(lower(text), ' '),
+           |                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           |        / len(string_split(lower(text), ' ')) AS alphar,
+           |      ${score("en")} AS n_stop
+           |    FROM documents) f
+           |  WHERE n_words >= 20 AND n_words <= 500 AND mwl >= 3.0
+           |    AND mwl <= 10.0 AND symr <= 0.1 AND alphar >= 0.8
+           |    AND n_stop >= 2),
+           |ex AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+           |    FROM q) g
+           |  WHERE doc_id = keep_id),
+           |${Dedup.shingCteFor("ex", "shing_e")},
+           |${Dedup.sigCteFor("shing_e", "sig_e")},
+           |${Dedup.bandCteFor("sig_e", "bands_e")},
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+           |  FROM bands_e a JOIN bands_e b
+           |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |dups AS (
+           |  SELECT DISTINCT ib FROM (
+           |    SELECT cand.ib,
+           |      CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
+           |        / (len(sa.shashes) + len(sb.shashes)
+           |           - len(list_intersect(sa.shashes, sb.shashes))) AS j
+           |    FROM cand JOIN shing_e sa ON cand.ia = sa.doc_id
+           |              JOIN shing_e sb ON cand.ib = sb.doc_id) sc
+           |  WHERE j >= ${Dedup.JT}),
+           |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT ib FROM dups)),
+           |evdocs AS (SELECT doc_id, text FROM raw
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} = 0),
+           |${Dedup.shingCteFor("evdocs", "shing_ev")},
+           |trdocs AS (SELECT doc_id, text FROM nd
+           |           WHERE doc_id % ${Dedup.EVAL_MOD} <> 0),
+           |${Dedup.shingCteFor("trdocs", "shing_tr")},
+           |contam AS (
+           |  SELECT DISTINCT tid FROM (
+           |    SELECT tr.tid, ev.eid, ev.en, COUNT(*) AS shared
+           |    FROM (SELECT doc_id AS eid, len(shashes) AS en,
+           |                 unnest(shashes) AS sh FROM shing_ev) ev
+           |    JOIN (SELECT doc_id AS tid, unnest(shashes) AS sh
+           |          FROM shing_tr) tr USING (sh)
+           |    GROUP BY 1, 2, 3) o
+           |  WHERE CAST(shared AS DOUBLE) / en >= 0.2),
+           |dc AS (SELECT * FROM nd WHERE doc_id % ${Dedup.EVAL_MOD} <> 0
+           |       AND doc_id NOT IN (SELECT tid FROM contam)),
+           |fin AS (
+           |  SELECT doc_id, lang, source,
+           |    CAST(len(regexp_extract_all(lower(text),
+           |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           |  FROM dc),
+           |man AS (
+           |  SELECT source,
+           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+           |         ELSE 'test' END AS split,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+           |  FROM (SELECT source, n_tokens,
+           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+           |        FROM fin) z
+           |  GROUP BY 1, 2)
+           |SELECT section, k, n_docs, n_tokens FROM (
+           |  SELECT '0_batch' AS section, '00_arrived' AS k,
+           |    CAST((SELECT COUNT(*) FROM raw, tt WHERE doc_id > t) AS BIGINT)
+           |      AS n_docs,
+           |    CAST(0 AS BIGINT) AS n_tokens
+           |  UNION ALL SELECT '0_batch', '10_quality',
+           |    CAST((SELECT COUNT(*) FROM q, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '0_batch', '20_exact',
+           |    CAST((SELECT COUNT(*) FROM ex, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '0_batch', '30_neardup',
+           |    CAST((SELECT COUNT(*) FROM nd, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '0_batch', '40_decontam',
+           |    CAST((SELECT COUNT(*) FROM dc, tt WHERE doc_id > t) AS BIGINT),
+           |    CAST(0 AS BIGINT)
+           |  UNION ALL SELECT '1_manifest', source || '/' || split,
+           |    n_docs, n_tokens
+           |  FROM man$pubRow) out
+           |ORDER BY section, k""".stripMargin
+
   }
 
   val oracle: Map[String, String] = {
@@ -5512,100 +5792,10 @@ object TextOps {
       // run must land on the same manifest because every stage rule is
       // prefix-stable; the batch funnel restricts the full-DAG stages to
       // doc_id > T = (8·max) DIV 10, the same split the Spark side uses
-      "pipe_e2e_incremental" ->
-        s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
-           |tt AS (SELECT (MAX(doc_id) * 8) // 10 AS t FROM raw),
-           |q AS (
-           |  SELECT doc_id, text, lang, source FROM (
-           |    SELECT doc_id, text, lang, source,
-           |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
-           |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
-           |        / len(string_split(lower(text), ' ')) AS mwl,
-           |      CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
-           |        / length(text) AS symr,
-           |      CAST(len(list_filter(string_split(lower(text), ' '),
-           |                           w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-           |        / len(string_split(lower(text), ' ')) AS alphar,
-           |      ${score("en")} AS n_stop
-           |    FROM documents) f
-           |  WHERE n_words >= 20 AND n_words <= 500 AND mwl >= 3.0
-           |    AND mwl <= 10.0 AND symr <= 0.1 AND alphar >= 0.8
-           |    AND n_stop >= 2),
-           |ex AS (
-           |  SELECT doc_id, text, lang, source FROM (
-           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
-           |    FROM q) g
-           |  WHERE doc_id = keep_id),
-           |${Dedup.shingCteFor("ex", "shing_e")},
-           |${Dedup.sigCteFor("shing_e", "sig_e")},
-           |${Dedup.bandCteFor("sig_e", "bands_e")},
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-           |  FROM bands_e a JOIN bands_e b
-           |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |dups AS (
-           |  SELECT DISTINCT ib FROM (
-           |    SELECT cand.ib,
-           |      CAST(len(list_intersect(sa.shashes, sb.shashes)) AS DOUBLE)
-           |        / (len(sa.shashes) + len(sb.shashes)
-           |           - len(list_intersect(sa.shashes, sb.shashes))) AS j
-           |    FROM cand JOIN shing_e sa ON cand.ia = sa.doc_id
-           |              JOIN shing_e sb ON cand.ib = sb.doc_id) sc
-           |  WHERE j >= ${Dedup.JT}),
-           |nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT ib FROM dups)),
-           |evdocs AS (SELECT doc_id, text FROM raw
-           |           WHERE doc_id % ${Dedup.EVAL_MOD} = 0),
-           |${Dedup.shingCteFor("evdocs", "shing_ev")},
-           |trdocs AS (SELECT doc_id, text FROM nd
-           |           WHERE doc_id % ${Dedup.EVAL_MOD} <> 0),
-           |${Dedup.shingCteFor("trdocs", "shing_tr")},
-           |contam AS (
-           |  SELECT DISTINCT tid FROM (
-           |    SELECT tr.tid, ev.eid, ev.en, COUNT(*) AS shared
-           |    FROM (SELECT doc_id AS eid, len(shashes) AS en,
-           |                 unnest(shashes) AS sh FROM shing_ev) ev
-           |    JOIN (SELECT doc_id AS tid, unnest(shashes) AS sh
-           |          FROM shing_tr) tr USING (sh)
-           |    GROUP BY 1, 2, 3) o
-           |  WHERE CAST(shared AS DOUBLE) / en >= 0.2),
-           |dc AS (SELECT * FROM nd WHERE doc_id % ${Dedup.EVAL_MOD} <> 0
-           |       AND doc_id NOT IN (SELECT tid FROM contam)),
-           |fin AS (
-           |  SELECT doc_id, lang, source,
-           |    CAST(len(regexp_extract_all(lower(text),
-           |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
-           |  FROM dc),
-           |man AS (
-           |  SELECT source,
-           |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
-           |         ELSE 'test' END AS split,
-           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-           |  FROM (SELECT source, n_tokens,
-           |          ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
-           |        FROM fin) z
-           |  GROUP BY 1, 2)
-           |SELECT section, k, n_docs, n_tokens FROM (
-           |  SELECT '0_batch' AS section, '00_arrived' AS k,
-           |    CAST((SELECT COUNT(*) FROM raw, tt WHERE doc_id > t) AS BIGINT)
-           |      AS n_docs,
-           |    CAST(0 AS BIGINT) AS n_tokens
-           |  UNION ALL SELECT '0_batch', '10_quality',
-           |    CAST((SELECT COUNT(*) FROM q, tt WHERE doc_id > t) AS BIGINT),
-           |    CAST(0 AS BIGINT)
-           |  UNION ALL SELECT '0_batch', '20_exact',
-           |    CAST((SELECT COUNT(*) FROM ex, tt WHERE doc_id > t) AS BIGINT),
-           |    CAST(0 AS BIGINT)
-           |  UNION ALL SELECT '0_batch', '30_neardup',
-           |    CAST((SELECT COUNT(*) FROM nd, tt WHERE doc_id > t) AS BIGINT),
-           |    CAST(0 AS BIGINT)
-           |  UNION ALL SELECT '0_batch', '40_decontam',
-           |    CAST((SELECT COUNT(*) FROM dc, tt WHERE doc_id > t) AS BIGINT),
-           |    CAST(0 AS BIGINT)
-           |  UNION ALL SELECT '1_manifest', source || '/' || split,
-           |    n_docs, n_tokens
-           |  FROM man) out
-           |ORDER BY section, k""".stripMargin,
+      "pipe_e2e_incremental" -> e2eIncOracle(publish = false),
+      // the incremental-PUBLISH loop: same DAG replay plus the version-log
+      // row (v1 = seen manifest, v2 = union manifest, zero mismatches)
+      "pipe_e2e_inc_publish" -> e2eIncOracle(publish = true),
       "pipe_e2e_pretrain" -> e2ePretrainOracle(publish = false),
       // the publish run re-executes the identical DAG with durable stage
       // boundaries, writes the shards, and proves the round trip: the
