@@ -2130,10 +2130,11 @@ object Multimodal {
       // an IN-RANGE corrupted length word decodes garbage "JSON":
       // from_json returns null and every tensor in the file would
       // silently vanish from the explode below — refuse loudly instead,
-      // mirroring the npy magic check (fail-loudly contract)
+      // mirroring the npy magic check (fail-loudly contract). A
+      // SUCCESSFULLY parsed empty header '{}' is valid safetensors,
+      // though: it passes and simply yields zero tensor rows.
       .withColumn("m", expr(
-        """CASE WHEN substr(hdr, 1, 1) = '{' AND m IS NOT NULL
-          |            AND size(map_keys(m)) > 0 THEN m
+        """CASE WHEN substr(hdr, 1, 1) = '{' AND m IS NOT NULL THEN m
           |  ELSE raise_error(concat('safetensors: header of file ',
           |    CAST(st_id AS STRING), ' is not a JSON object (corrupt ',
           |    'length word or payload misread as header)')) END"""

@@ -852,7 +852,12 @@ object TextOps {
         rawAll.filter(col("doc_id") > t), evalDocs)
       ShardWriter.writeShardsPre(shardRowsOf(batchFin), shard1.toString)
     }
-    val allShards = s.read.parquet(shard0.toString, shard1.toString)
+    // Each batch is its own partitionBy("shard") root; one multi-path
+    // read would make partition discovery assert a single base path
+    // (CONFLICTING_DIRECTORY_STRUCTURES). Read per batch and union —
+    // `shard` is a partition column in both, so schemas line up.
+    val allShards = s.read.parquet(shard0.toString)
+      .unionByName(s.read.parquet(shard1.toString))
     incPubCommit(s, kvDir, incPubManifestOf(allShards), 2L)
     // ---- proof set ---------------------------------------------------
     val readBack = incPubManifestOf(allShards)
@@ -878,8 +883,8 @@ object TextOps {
       .select(
         lit("2_versions").as("section"), lit("log").as("k"),
         col("v1_rows").as("n_docs"),
-        (col("v2_rows") * 1000L + col("v2_mismatch") * 10L
-          + col("v1_mismatch")).as("n_tokens"))
+        (col("v2_rows") * 1000L + least(col("v2_mismatch"), lit(9L)) * 10L
+          + least(col("v1_mismatch"), lit(9L))).as("n_tokens"))
     batchReport
       .unionByName(versions)
       .orderBy(col("section"), col("k"))

@@ -726,12 +726,32 @@ object StreamOps {
     * drained rollup plus the final state-store row count (0 = every key
     * cleaned up — the spec's pin).
     */
+  /** Runs `body` with the RocksDB state-store provider set
+    * (`transformWithState` requires it), restoring the previous provider
+    * afterwards — without the restore, every streaming query that runs
+    * LATER in the same session would silently switch provider
+    * (order-dependent behavior + bench drift for the other st_* queries).
+    */
+  private def withRocksDb[T](ss: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = ss.conf.getOption(key)
+    ss.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => ss.conf.set(key, v)
+      case None    => ss.conf.unset(key)
+    }
+  }
+
   def politenessTwsTelemetry(s: SparkSession, d: String): (DataFrame, Long) = {
     val ss = tuned(s)
+    withRocksDb(ss)(politenessTwsRun(ss, d))
+  }
+
+  /** [[politenessTwsTelemetry]]'s body, run with RocksDB in force. */
+  private def politenessTwsRun(ss: SparkSession, d: String): (DataFrame, Long) = {
     import ss.implicits._
-    // transformWithState requires the RocksDB state store provider
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ev = graft.Tables.events(ss, d)
       .select(expr(
         """concat(CASE CAST(user_id % 3 AS INT)
@@ -1568,9 +1588,12 @@ object StreamOps {
     */
   def sessionizeTws(s: SparkSession, d: String): DataFrame = {
     val ss = tuned(s)
+    withRocksDb(ss)(sessionizeTwsRun(ss, d))
+  }
+
+  /** [[sessionizeTws]]'s body, run with RocksDB in force. */
+  private def sessionizeTwsRun(ss: SparkSession, d: String): DataFrame = {
     import ss.implicits._
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val evs = eventsStream(ss, d)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
