@@ -37,10 +37,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** External cores of non-bench CPU above which a window is contended.
-    * 1.5 cores ≈ the verdict's "loadavg > ~1.5" bar, but self-load-free.
+    * r16 lesson: 1.5 cores let a run whose loadavg rose 0.6→2.85 finish
+    * with `remeasured: []` — too deaf. 0.75 external cores re-arms the
+    * retry while staying above the box's idle daemon noise (~0.1-0.3).
     */
-  private val ExtCpuThreshold = 1.5
+  private val ExtCpuThreshold = 0.75
   private val MaxRetries = 2
+
+  /** Measurement slots between interleaved calibration probes. r16's
+    * archive took probes only at the two ends and they disagreed 2.7× —
+    * end-point normalization is meaningless when the box drifts mid-run.
+    * Every ~64 slots (~2×537 slots/run ⇒ ~17 probes) keeps each query
+    * within a few minutes of a probe it can be normalized by.
+    */
+  private val ProbeEvery = 64
 
   /** (busy jiffies summed over all cpus, jiffies of this process incl. all
     * threads). USER_HZ is 100 on every Linux this targets; only deltas are
@@ -67,8 +77,17 @@ object Bench {
     .readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
   catch { case _: Throwable => -1.0 }
 
-  /** One measurement window: (wall sec, external cores, loadavg_1m). */
-  private case class Window(sec: Double, extCores: Double, load: Double)
+  /** One measurement window: (wall sec, external cores, loadavg_1m,
+    * global measurement-slot index — the key that picks this window's
+    * nearest calibration probe).
+    */
+  private case class Window(sec: Double, extCores: Double, load: Double,
+      slot: Long)
+
+  /** One interleaved calibration probe: taken at measurement slot
+    * `slot`, CPU-probe seconds and shuffle-probe seconds.
+    */
+  private case class Probe(slot: Long, cpu: Double, shuf: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,33 +116,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    def timed(name: String): Option[Window] = {
-      val load = loadavg1m()
-      val (busy0, self0) = cpuSnap()
-      val t0 = System.nanoTime()
-      val ok = materialize(name)
-      // Snapshot the elapsed time BEFORE the gc: the collection happens
-      // on this query's dime conceptually, but it drains debt produced
-      // here so it must not land inside the NEXT query's wall time —
-      // and a full-heap System.gc() pause (~0.3-0.5 s on this heap) in
-      // the measured region would tax all 270 queries.
-      val dt = (System.nanoTime() - t0) / 1e9
-      val (busy1, self1) = cpuSnap()
-      System.gc()
-      val ext =
-        if (busy0 < 0 || busy1 < 0 || dt <= 0) -1.0
-        else math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / 100.0 / dt)
-      if (ok) Some(Window(dt, ext, load)) else None
-    }
     // Fixed-cost CALIBRATION probe (cross-run drift normalizer): a
     // constant 4×10^8-row range-sum at pinned parallelism (64 slices,
     // independent of shuffle conf) — pure codegen'd long arithmetic, no
     // IO, no shuffle, so its wall time measures only what the BOX gives
     // this JVM. Identical code across rounds ⇒ calib ratio between two
     // archives ≈ the box-speed ratio; tools/bench_compare.py divides it
-    // out so per-query ratios read as code, not contention. Measured at
-    // start AND end (min of 3 each) because drift mid-run is the
-    // documented failure mode (r13: 1.18× uniform drift in 100 min).
+    // out so per-query ratios read as code, not contention.
+    var calibWarmed = false
     def calibrate(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -131,8 +131,8 @@ object Bench {
           .selectExpr("sum(id % 97)").queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm (codegen compile)
-      Seq(once(), once(), once()).min
+      if (!calibWarmed) once() // warm (codegen compile), first probe only
+      Seq(once(), once()).min
     }
     // Second, EXCHANGE-BEARING probe (r14 verdict: the CPU probe
     // under-corrects shuffle contention — a box can be arithmetic-fast
@@ -153,11 +153,43 @@ object Bench {
           .queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm (codegen compile)
-      Seq(once(), once(), once()).min
+      if (!calibWarmed) once() // warm (codegen compile), first probe only
+      val r = Seq(once(), once()).min
+      calibWarmed = true
+      r
     }
-    val calibStart = calibrate()
-    val calibShufStart = calibrateShuffle()
+    // INTERLEAVED probe series (r16 verdict: the archive's two end-point
+    // probes disagreed 2.7×, so end-point normalization was meaningless
+    // when the box drifted mid-run). A probe fires before measurement
+    // slot 0, then every ProbeEvery slots, then once after the last
+    // retry — each query's kept window is normalized by its NEAREST
+    // probe (bench_compare.py), so mid-run drift moves the probe the
+    // query is divided by, not the cross-round verdict.
+    val probes = collection.mutable.ArrayBuffer.empty[Probe]
+    var slotCounter = 0L
+    def takeProbe(): Unit =
+      probes += Probe(slotCounter, calibrate(), calibrateShuffle())
+    def timed(name: String): Option[Window] = {
+      if (slotCounter % ProbeEvery == 0) takeProbe()
+      val slot = slotCounter
+      slotCounter += 1
+      val load = loadavg1m()
+      val (busy0, self0) = cpuSnap()
+      val t0 = System.nanoTime()
+      val ok = materialize(name)
+      // Snapshot the elapsed time BEFORE the gc: the collection happens
+      // on this query's dime conceptually, but it drains debt produced
+      // here so it must not land inside the NEXT query's wall time —
+      // and a full-heap System.gc() pause (~0.3-0.5 s on this heap) in
+      // the measured region would tax all 270 queries.
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (busy1, self1) = cpuSnap()
+      System.gc()
+      val ext =
+        if (busy0 < 0 || busy1 < 0 || dt <= 0) -1.0
+        else math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / 100.0 / dt)
+      if (ok) Some(Window(dt, ext, load, slot)) else None
+    }
     // Which queries carry an exchange — drives the per-query choice of
     // normalizer in bench_compare.py. Captured during the WARMUP pass
     // (plan inspection is free there; a separate construction pass would
@@ -214,10 +246,13 @@ object Bench {
       val ws = windows(n)
       n -> (if (ws.isEmpty) -1.0 else ws.map(_.sec).min)
     }
-    val calibEnd = calibrate()
-    val calibShufEnd = calibrateShuffle()
-    val calibS = math.min(calibStart, calibEnd)
-    val calibShufS = math.min(calibShufStart, calibShufEnd)
+    takeProbe() // close the series after the last retry window
+    val calibStart = probes.head.cpu
+    val calibEnd = probes.last.cpu
+    val calibShufStart = probes.head.shuf
+    val calibShufEnd = probes.last.shuf
+    val calibS = probes.map(_.cpu).min
+    val calibShufS = probes.map(_.shuf).min
     val loadEnd = loadavg1m()
     def fmt(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -230,6 +265,16 @@ object Bench {
       val kept = if (ws.isEmpty) None else Some(ws.minBy(_.sec))
       "\"" + n + "\":" + fmt(kept.map(_.extCores).getOrElse(-1.0))
     }.mkString("{", ",", "}")
+    // The probe series + each kept window's slot — bench_compare.py
+    // normalizes each query by its NEAREST probe, not the end points.
+    val series = probes.map(p =>
+        s"""{"slot":${p.slot},"cpu":${fmt(p.cpu)},"shuf":${fmt(p.shuf)}}""")
+      .mkString("[", ",", "]")
+    val qSlot = names.map { n =>
+      val ws = windows(n)
+      val kept = if (ws.isEmpty) -1L else ws.minBy(_.sec).slot
+      "\"" + n + "\":" + kept
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // A SPARK_GRAFT_ONLY-restricted run is a partial sum, not the suite
     // total — say so in the JSON so no tooling compares it across rounds.
@@ -239,7 +284,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val wfail = warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStart)},"calib_end_s":${fmt(calibEnd)},"calib_shuffle_s":${fmt(calibShufS)},"calib_shuffle_start_s":${fmt(calibShufStart)},"calib_shuffle_end_s":${fmt(calibShufEnd)},"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"queries":$qs,"ext_cpu_cores":$ext,"exchange_bearing":$exch,"warmup_failed":$wfail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$filtered,"calib_s":${fmt(calibS)},"calib_start_s":${fmt(calibStart)},"calib_end_s":${fmt(calibEnd)},"calib_shuffle_s":${fmt(calibShufS)},"calib_shuffle_start_s":${fmt(calibShufStart)},"calib_shuffle_end_s":${fmt(calibShufEnd)},"loadavg_1m_at_start":$loadStart,"loadavg_1m_at_end":$loadEnd,"ext_cpu_threshold":$ExtCpuThreshold,"remeasured":$remeas,"calib_series":$series,"q_slot":$qSlot,"queries":$qs,"ext_cpu_cores":$ext,"exchange_bearing":$exch,"warmup_failed":$wfail,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), detail + "\n")
     println(detail) // full detail early — safe to truncate, bench.json has it too

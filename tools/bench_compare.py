@@ -46,10 +46,43 @@ def main(old_path, new_path):
         print(f"warmup-failed (classified by max drift): "
               f"{sorted(unclassified)}")
 
+    # r17+: archives carry an INTERLEAVED probe series (calib_series) and
+    # each kept window's measurement slot (q_slot). When both runs have
+    # them, each query is normalized by its NEAREST probe in each run —
+    # mid-run box drift then moves the probe the query is divided by, not
+    # the verdict. Falls back to the global (min-over-series) drift.
+    def nearest_probe_fn(doc):
+        series, qslot = doc.get("calib_series"), doc.get("q_slot")
+        if not series or not qslot:
+            return None
+        def nearest(q):
+            s = qslot.get(q, -1)
+            if s < 0:
+                return None
+            return min(series, key=lambda p: abs(p["slot"] - s))
+        return nearest
+    old_near, new_near = nearest_probe_fn(old_doc), nearest_probe_fn(new_doc)
+    for name, doc in (("old", old_doc), ("new", new_doc)):
+        series = doc.get("calib_series")
+        if series:
+            cpus = [p["cpu"] for p in series]
+            shufs = [p["shuf"] for p in series]
+            print(f"{name} probe series: {len(series)} probes  "
+                  f"cpu [{min(cpus):.3f}..{max(cpus):.3f}]  "
+                  f"shuf [{min(shufs):.3f}..{max(shufs):.3f}]")
+
     def drift(q):
-        if q in unclassified and q not in shuffley:
+        kind_shuf = q in shuffley
+        if old_near and new_near:
+            po, pn = old_near(q), new_near(q)
+            if po and pn:
+                key = "shuf" if kind_shuf else "cpu"
+                if q in unclassified and not kind_shuf:
+                    return max(pn["shuf"] / po["shuf"], pn["cpu"] / po["cpu"])
+                return pn[key] / po[key]
+        if q in unclassified and not kind_shuf:
             return max(shuf_drift, cpu_drift)
-        return shuf_drift if q in shuffley else cpu_drift
+        return shuf_drift if kind_shuf else cpu_drift
 
     shared = sorted(set(old) & set(new))
     ratios = sorted((new[q] / old[q] / drift(q), q)
