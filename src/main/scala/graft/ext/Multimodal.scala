@@ -1226,6 +1226,256 @@ object Multimodal {
     (nBoxes, brand, timescale, duration * 1000L / timescale, w, h, mdat)
   }
 
+  /** AVI fixture params per doc: (fps, n_frames, width, height). Small
+    * frame counts keep the per-doc decode cost bounded; dims reuse the
+    * JPEG fixture ranges so the JDK codec tolerance bound
+    * ([[JPEG_TOL]]) carries over unchanged.
+    */
+  def aviFixtureParams(docId: Long): (Int, Int, Int, Int) = (
+    5 + (docId % 20).toInt, 4 + (docId % 9).toInt,
+    16 + ((docId * 29) % 48).toInt, 16 + ((docId * 19) % 40).toInt)
+
+  /** Per-(doc, frame) solid color — varies with the FRAME index so a
+    * chunk walk that misattributes frame boundaries decodes the wrong
+    * color and fails `color_ok`, rather than passing by accident.
+    */
+  def aviFrameColor(docId: Long, idx: Int): (Int, Int, Int) = (
+    ((docId + idx * 37L) % 256).toInt,
+    ((docId * 7L + idx * 57L) % 256).toInt,
+    ((docId * 13L + idx * 17L) % 256).toInt)
+
+  /** Genuine MJPEG-in-AVI container: RIFF 'AVI ' with a full header
+    * list (`avih` main header, `strl` with `strh` 'vids'/'MJPG' +
+    * `strf` BITMAPINFOHEADER), a `movi` list of one `00dc` chunk per
+    * frame (each a REAL JDK-encoded JPEG from [[jpegBytes]],
+    * word-aligned per the RIFF rule), and a trailing `idx1` index —
+    * the classic pre-OpenDML AVI layout
+    * (reference repo has no video path; layout per the public
+    * AVI RIFF spec, mirrored from this file's WAV builder at
+    * [[wavBytes]]).
+    */
+  def aviBytes(docId: Long): Array[Byte] = {
+    val (fps, n, w, h) = aviFixtureParams(docId)
+    val frames = (0 until n).map { i =>
+      val (r, g, b) = aviFrameColor(docId, i)
+      jpegBytes(w, h, r, g, b)
+    }
+    val framesPadded = frames.map(f => if (f.length % 2 == 0) f.length
+      else f.length + 1)
+    val moviSize = 4 + framesPadded.map(_ + 8).sum // 'movi' + chunks
+    val idx1Size = n * 16
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(t: String): Unit = buf.put(t.getBytes("US-ASCII"))
+    val maxFrame = frames.map(_.length).max
+    tag("RIFF"); buf.putInt(riffSize); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps) // dwMicroSecPerFrame
+    buf.putInt(0).putInt(0)   // dwMaxBytesPerSec, dwPaddingGranularity
+    buf.putInt(0x10)          // dwFlags = AVIF_HASINDEX
+    buf.putInt(n)             // dwTotalFrames
+    buf.putInt(0)             // dwInitialFrames
+    buf.putInt(1)             // dwStreams
+    buf.putInt(maxFrame)      // dwSuggestedBufferSize
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
+    tag("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); tag("strl")
+    tag("strh"); buf.putInt(56)
+    tag("vids"); tag("MJPG")
+    buf.putInt(0)                       // dwFlags
+    buf.putShort(0).putShort(0)         // wPriority, wLanguage
+    buf.putInt(0)                       // dwInitialFrames
+    buf.putInt(1).putInt(fps)           // dwScale, dwRate → fps = rate/scale
+    buf.putInt(0)                       // dwStart
+    buf.putInt(n)                       // dwLength (frames)
+    buf.putInt(maxFrame)                // dwSuggestedBufferSize
+    buf.putInt(-1)                      // dwQuality (default)
+    buf.putInt(0)                       // dwSampleSize
+    buf.putShort(0).putShort(0)         // rcFrame left, top
+    buf.putShort(w.toShort).putShort(h.toShort) // rcFrame right, bottom
+    tag("strf"); buf.putInt(40)
+    buf.putInt(40)                      // biSize
+    buf.putInt(w).putInt(h)
+    buf.putShort(1).putShort(24)        // biPlanes, biBitCount
+    tag("MJPG")                         // biCompression
+    buf.putInt(w * h * 3)               // biSizeImage
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // ppm + clr fields
+    val moviStart = buf.position() + 8 // position of the 'movi' fourcc
+    tag("LIST"); buf.putInt(moviSize); tag("movi")
+    val offsets = frames.map { f =>
+      val off = buf.position() - moviStart // offset of ckid within movi
+      tag("00dc"); buf.putInt(f.length); buf.put(f)
+      if (f.length % 2 != 0) buf.put(0.toByte) // RIFF word alignment
+      off
+    }
+    tag("idx1"); buf.putInt(idx1Size)
+    frames.zip(offsets).foreach { case (f, off) =>
+      tag("00dc"); buf.putInt(0x10) // AVIIF_KEYFRAME
+      buf.putInt(off); buf.putInt(f.length)
+    }
+    require(buf.position() == buf.capacity(),
+      s"AVI layout math off: ${buf.position()} != ${buf.capacity()}")
+    buf.array()
+  }
+
+  /** Parsed AVI surface: stream fps (dwRate/dwScale), declared frame
+    * count, dims, and the absolute (offset, size) of every `00dc`
+    * frame chunk in file order.
+    */
+  case class AviMeta(fps: Int, nFrames: Int, width: Int, height: Int,
+      frames: Seq[(Int, Int)])
+
+  /** GENUINE RIFF/AVI chunk walk — magic checks on 'RIFF'/'AVI ',
+    * `avih`/`strh`/`strf` field parses, `movi` frame-chunk collection
+    * honoring the word-alignment rule, and `idx1` cross-check: the
+    * declared total (avih), the stream length (strh), the walked
+    * `00dc` count, and the index entry count must all agree, and the
+    * avih dims must match the strf BITMAPINFOHEADER. Refuses non-AVI
+    * payloads and out-of-range chunk sizes loudly (the [[parseMp4]] /
+    * [[parseWav]] fail-loudly contract).
+    */
+  def parseAvi(bytes: Array[Byte]): AviMeta = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "not a RIFF container")
+    val riffSize = buf.getInt
+    require(riffSize + 8 <= bytes.length,
+      s"RIFF size $riffSize overruns the ${bytes.length}-byte payload")
+    require(tag4() == "AVI ", "RIFF payload is not AVI")
+    var fps = 0; var avihFrames = -1; var strhFrames = -1
+    var avihW = 0; var avihH = 0; var strfW = 0; var strfH = 0
+    var sawVids = false; var idxCount = -1
+    val frames = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val ck = tag4()
+        val sz = buf.getInt
+        val dataStart = buf.position()
+        require(sz >= 0 && dataStart + sz <= end,
+          s"corrupt chunk size $sz for '$ck' at ${dataStart - 8}")
+        ck match {
+          case "LIST" =>
+            val lt = tag4()
+            lt match {
+              case "hdrl" | "strl" | "movi" => walk(dataStart + sz)
+              case _ => // skip unknown list
+            }
+          case "avih" =>
+            buf.getInt; buf.getInt; buf.getInt; buf.getInt // usec..flags
+            avihFrames = buf.getInt
+            buf.getInt; buf.getInt; buf.getInt // initial, streams, bufsize
+            avihW = buf.getInt; avihH = buf.getInt
+          case "strh" =>
+            val fcc = tag4(); val handler = tag4()
+            require(fcc == "vids", s"stream type '$fcc' is not video")
+            require(handler == "MJPG", s"codec '$handler' is not MJPG")
+            sawVids = true
+            buf.getInt; buf.getShort; buf.getShort; buf.getInt // flags..init
+            val scale = buf.getInt; val rate = buf.getInt
+            require(scale > 0, s"strh dwScale $scale must be positive")
+            fps = rate / scale
+            buf.getInt // dwStart
+            strhFrames = buf.getInt
+          case "strf" =>
+            buf.getInt // biSize
+            strfW = buf.getInt; strfH = buf.getInt
+          case "00dc" =>
+            frames += ((dataStart, sz))
+          case "idx1" =>
+            require(sz % 16 == 0, s"idx1 size $sz not entry-aligned")
+            idxCount = sz / 16
+          case _ => // skip unknown leaf
+        }
+        // RIFF chunks are word-aligned: odd sizes carry one pad byte
+        buf.position(dataStart + sz + (sz % 2))
+      }
+    }
+    walk(8 + riffSize)
+    require(sawVids, "no vids stream header found")
+    require(avihFrames >= 0 && avihFrames == strhFrames
+        && avihFrames == frames.size && avihFrames == idxCount,
+      s"frame-count disagreement: avih=$avihFrames strh=$strhFrames " +
+        s"movi=${frames.size} idx1=$idxCount")
+    require(avihW == strfW && avihH == strfH,
+      s"dims disagree: avih ${avihW}x$avihH vs strf ${strfW}x$strfH")
+    AviMeta(fps, avihFrames, avihW, avihH, frames.toSeq)
+  }
+
+  case class AviFrame(doc_id: Long, frame_idx: Int, n_frames: Int,
+      fps: Int, width: Int, height: Int, color_ok: Boolean)
+
+  /** THE REAL VIDEO DECODE LEG (retires the [[frameSample]] stub's
+    * claim to be the video path): per-partition batched parse of
+    * genuine MJPEG-in-AVI payloads, every 2nd frame sampled and
+    * decoded through the JDK JPEG reader, per-frame channel means
+    * certified within [[JPEG_TOL]] of the fixture color. fps and
+    * frame count come from the parsed headers (cross-checked four
+    * ways in [[parseAvi]]), so the oracle's closed-form fixture
+    * arithmetic only matches if the container walk is right.
+    *
+    * At 100 TB: payloads would arrive via the binaryFile source
+    * ([[binaryIngest]]) and never shuffle — parse+decode is
+    * partition-local, only the fixed-width feature rows move.
+    */
+  def aviFramesRaw(s: SparkSession, d: String): Dataset[AviFrame] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(32).flatMap { batch =>
+        imageIoNoDiskCache
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        try batch.flatMap { id =>
+          val payload = aviBytes(id)
+          val meta = parseAvi(payload)
+          meta.frames.zipWithIndex.filter(_._2 % 2 == 0).map {
+            case ((off, len), idx) =>
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload, off, len))
+              reader.setInput(iis)
+              val img = try reader.read(0) finally iis.close()
+              require(img != null, s"undecodable frame $idx of doc $id")
+              require(img.getWidth == meta.width
+                  && img.getHeight == meta.height,
+                s"frame $idx dims ${img.getWidth}x${img.getHeight} " +
+                  s"disagree with header ${meta.width}x${meta.height}")
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val px = img.getRGB(x, y)
+                  sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff
+                  sb += px & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = img.getWidth.toLong * img.getHeight
+              val (r0, g0, b0) = aviFrameColor(id, idx)
+              val ok = math.abs(sr / n - r0) <= JPEG_TOL &&
+                math.abs(sg / n - g0) <= JPEG_TOL &&
+                math.abs(sb / n - b0) <= JPEG_TOL
+              AviFrame(id, idx, meta.nFrames, meta.fps,
+                meta.width, meta.height, ok)
+          }
+        } finally reader.dispose()
+      }
+    }
+  }
+
+  /** Declared form of [[aviFramesRaw]] for the verification registry. */
+  def aviFrames(s: SparkSession, d: String): DataFrame =
+    aviFramesRaw(s, d).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("fps"),
+        col("width"), col("height"), col("color_ok"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Deterministic EXIF fixture params per doc: orientation cycles the 8
     * legal values, maker cycles 4 strings ("LG" packs
     * inline — 3 bytes with NUL — the rest go via data-area offsets).
@@ -2295,7 +2545,8 @@ object Multimodal {
     "mm_wav_tone" -> wavTone,
     "dd_audio_fingerprint" -> audioFingerprint,
     "mm_resize" -> resizePlan,
-    "mm_frame_sample" -> frameSample
+    "mm_frame_sample" -> frameSample,
+    "mm_avi_frames" -> aviFrames
   )
 
   /** DuckDB replay of the stub decode: byte i of sha256(text) is
@@ -3126,6 +3377,19 @@ object Multimodal {
         |       sha256(text) AS digest,
         |       substring(to_base64(encode(text)), 1, 24) AS b64_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_avi_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(5 + doc_id % 20 AS INT) AS fps,
+        |         CAST(4 + doc_id % 9 AS INT) AS n_frames,
+        |         CAST(16 + (doc_id * 29) % 48 AS INT) AS width,
+        |         CAST(16 + (doc_id * 19) % 40 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx, n_frames, fps,
+        |       width, height, TRUE AS color_ok
+        |FROM p, unnest(range(0, n_frames)) AS t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |       substring(text, CAST(i*32+1 AS INT), 32) AS frame

@@ -630,6 +630,57 @@ class ExtensionSpec extends AnyFunSuite {
       == ((w, h, r, g, b)))
   }
 
+  test("AVI fixture is a real MJPEG container: parse cross-checks headers, corrupt headers refused") {
+    val payload = ext.Multimodal.aviBytes(7L)
+    val (fps, n, w, h) = ext.Multimodal.aviFixtureParams(7L)
+    val meta = ext.Multimodal.parseAvi(payload)
+    assert((meta.fps, meta.nFrames, meta.width, meta.height)
+      == ((fps, n, w, h)))
+    assert(meta.frames.size == n)
+    // every movi chunk is a REAL JPEG the JDK codec accepts, carrying
+    // the per-frame fixture color within the lossy-roundtrip bound
+    meta.frames.zipWithIndex.foreach { case ((off, len), i) =>
+      assert((payload(off) & 0xff) == 0xff && (payload(off + 1) & 0xff) == 0xd8,
+        s"frame $i chunk does not start at a JPEG SOI marker")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload, off, len))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      val (r0, g0, b0) = ext.Multimodal.aviFrameColor(7L, i)
+      val px = img.getRGB(w / 2, h / 2)
+      assert(math.abs(((px >> 16) & 0xff) - r0) <= ext.Multimodal.JPEG_TOL
+        && math.abs(((px >> 8) & 0xff) - g0) <= ext.Multimodal.JPEG_TOL
+        && math.abs((px & 0xff) - b0) <= ext.Multimodal.JPEG_TOL,
+        s"frame $i decoded color drifted past tolerance")
+    }
+    // corrupted RIFF magic is refused loudly
+    val badMagic = payload.clone(); badMagic(8) = 'X'.toByte // 'AVI ' → 'XVI '
+    val e1 = intercept[IllegalArgumentException](
+      ext.Multimodal.parseAvi(badMagic))
+    assert(e1.getMessage.contains("not AVI"))
+    // a frame-count lie in avih (the header the fps/count output reads)
+    // is caught by the idx1/movi cross-check, not silently reported
+    val badCount = payload.clone()
+    val avihFramesOff = 12 + 12 + 8 + 16 // RIFF hdr + LIST hdr + avih hdr + 4 dwords
+    badCount(avihFramesOff) = (badCount(avihFramesOff) + 1).toByte
+    val e2 = intercept[IllegalArgumentException](
+      ext.Multimodal.parseAvi(badCount))
+    assert(e2.getMessage.contains("frame-count disagreement"))
+    // an overrunning chunk size is refused before any decode
+    val badSize = payload.clone()
+    badSize(16) = 0x7f.toByte; badSize(17) = 0x7f.toByte // avih size word
+    intercept[IllegalArgumentException](ext.Multimodal.parseAvi(badSize))
+    // distributed decode: every sampled frame of every doc certified
+    val rows = ext.Multimodal.aviFramesRaw(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (efps, en, ew, eh) = ext.Multimodal.aviFixtureParams(r.doc_id)
+      assert((r.fps, r.n_frames, r.width, r.height) == ((efps, en, ew, eh)),
+        s"header fields for doc ${r.doc_id}")
+      assert(r.frame_idx % 2 == 0, s"unsampled frame ${r.frame_idx} leaked")
+      assert(r.color_ok, s"frame ${r.frame_idx} of doc ${r.doc_id} drifted")
+    }
+  }
+
   test("JPEG fixture is a real container: decode recovers dims exactly, color within tolerance") {
     val payload = ext.Multimodal.jpegBytes(37, 21, 200, 100, 50)
     // real JPEG magic: SOI marker FF D8
