@@ -2956,6 +2956,70 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Ids → text: the INVERSE of [[tokenizeIds]], the inspection/debug
+    * path every training pipeline needs next to its encoder. The decode
+    * side reads ONLY the encoded stream — (doc_id, pos, id) — and joins
+    * the inverted vocab (id → token; the pinned OOV policy maps id 0 to
+    * `<unk>`), re-assembling token order with the same sorted-struct
+    * trick as the encoder. `round_trip` certifies the inverse per doc:
+    * the decoded text must equal the original token stream with each
+    * out-of-vocab token replaced by `<unk>` — so on a fully in-vocab
+    * document, `detok(encode(x)) == x` exactly (spec-pinned), and on an
+    * OOV-bearing one the lossy positions are exactly the declared OOV
+    * policy, nothing else. Vocab is ≤100 rows by construction → both
+    * joins broadcast; the corpus never shuffles for the decode itself
+    * (one groupBy doc re-assembles, same as the encoder).
+    */
+  def detokenize(s: SparkSession, d: String): DataFrame =
+    detokenizeOf(Tables.documents(s, d))
+
+  /** [[detokenize]] over an arbitrary (doc_id, text) frame — the vocab
+    * is fit on the SAME frame (the [[tokenizeIds]] convention), which
+    * also lets the spec feed an OOV-bearing fixture to pin the `<unk>`
+    * policy non-vacuously (the sf0.001 corpus is fully in-vocab).
+    */
+  def detokenizeOf(docs: DataFrame): DataFrame = {
+    val vocabIds = docs
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(100)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("freq"), col("token"))).cast("int"))
+      .select(col("token"), col("id"))
+    // --- encode (the [[tokenizeIds]] contract): (doc_id, pos, id) -----
+    val enc = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
+        .as(Seq("pos", "token")))
+      .join(broadcast(vocabIds), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(0)).as("id"),
+        // carried ONLY for the round-trip certification column — the
+        // decode join below never reads it
+        when(col("id").isNull, lit("<unk>")).otherwise(col("token"))
+          .as("expected_token"))
+    // --- decode: ids join the INVERTED vocab ---------------------------
+    val invVocab = vocabIds.select(col("id"), col("token").as("dec_token"))
+    enc.join(broadcast(invVocab), Seq("id"), "left")
+      .withColumn("dec_token",
+        when(col("id") === 0, lit("<unk>")).otherwise(col("dec_token")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, dec_token)))," +
+            " x -> x.dec_token)"), " ").as("detok_text"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, expected_token)))," +
+            " x -> x.expected_token)"), " ").as("expected_text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        col("detok_text"),
+        (col("detok_text") === col("expected_text")).as("round_trip"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T5-style span corruption — the denoising-objective example builder:
     * length-2 word spans are replaced by `<extra_id_k>` sentinels in the
     * input and emitted (sentinel-prefixed) as the target sequence. Spans
@@ -3860,6 +3924,7 @@ object TextOps {
     "tx_tfidf" -> tfidf,
     "tx_bm25" -> bm25,
     "pipe_tokenize_ids" -> tokenizeIds,
+    "pipe_detokenize" -> detokenize,
     "pipe_span_corruption" -> spanCorruption,
     "tx_chunk_tokens" -> chunkTokens,
     "tx_chunk_dedup" -> chunkDedup,
@@ -4822,6 +4887,35 @@ object TextOps {
           |       array_to_string(list(CAST(COALESCE(id, 0) AS VARCHAR) ORDER BY pos), ',') AS ids_str
           |FROM toks LEFT JOIN vocab USING (token)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "pipe_detokenize" ->
+        """WITH freq AS (
+          |  SELECT token, COUNT(*) AS freq
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          |        FROM documents)
+          |  WHERE len(token) > 0 GROUP BY 1),
+          |vocab AS (
+          |  SELECT token,
+          |         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS id
+          |  FROM freq ORDER BY id LIMIT 100),
+          |toks AS (
+          |  SELECT doc_id, unnest(ws) AS token,
+          |         generate_subscripts(ws, 1) AS pos
+          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          |        FROM documents)),
+          |enc AS (
+          |  SELECT doc_id, pos, COALESCE(id, 0) AS id,
+          |         CASE WHEN id IS NULL THEN '<unk>' ELSE token END AS etok
+          |  FROM toks LEFT JOIN vocab USING (token)),
+          |dec AS (
+          |  SELECT e.doc_id, e.pos, e.id, e.etok,
+          |         CASE WHEN e.id = 0 THEN '<unk>' ELSE v.token END AS dtok
+          |  FROM enc e LEFT JOIN vocab v ON e.id = v.id)
+          |SELECT doc_id, COUNT(*) AS n_tokens,
+          |       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |       array_to_string(list(dtok ORDER BY pos), ' ') AS detok_text,
+          |       (array_to_string(list(dtok ORDER BY pos), ' ')
+          |         = array_to_string(list(etok ORDER BY pos), ' ')) AS round_trip
+          |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "tx_chunk_tokens" ->
         """WITH w AS (
           |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

@@ -585,6 +585,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(m.map(_.getAs[String]("checksum")).distinct.length == m.length)
   }
 
+  test("detokenize inverts encode: detok(encode(x)) == x on the in-vocab corpus") {
+    val rows = ext.TextOps.detokenize(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("round_trip"),
+        s"doc ${r.getAs[Long]("doc_id")}: decode disagrees with the declared OOV policy")
+      // on a FULLY in-vocab document the inverse is exact: detok == the
+      // space-rejoined original token stream, character for character
+      if (r.getAs[Long]("n_oov") == 0L) {
+        val orig = docs(r.getAs[Long]("doc_id")).split(" ", -1).mkString(" ")
+        assert(r.getAs[String]("detok_text") == orig,
+          s"doc ${r.getAs[Long]("doc_id")}: lossless round-trip broken")
+      }
+    }
+    // the exact-inverse pin above is non-vacuous on this fixture
+    assert(rows.exists(_.getAs[Long]("n_oov") == 0L),
+      "fixture has no fully in-vocab doc — exact-inverse pin is vacuous")
+    // sf0.001 is fully in-vocab (<100 token types), so pin the <unk>
+    // policy on a 101-type fixture where exactly one type must fall out
+    import spark.implicits._
+    // 100 singleton types + 'common' = 101 types → exactly one falls out
+    val synth = (1L to 100L).map(i => (i, s"tok$i common")).toDF("doc_id", "text")
+    val srows = ext.TextOps.detokenizeOf(synth).collect()
+    assert(srows.forall(_.getAs[Boolean]("round_trip")),
+      "OOV fixture: decode disagrees with the declared <unk> policy")
+    val oov = srows.filter(_.getAs[Long]("n_oov") > 0L)
+    assert(oov.length == 1, s"expected exactly one OOV doc, got ${oov.length}")
+    assert(oov.head.getAs[String]("detok_text").contains("<unk>"),
+      "OOV position must decode to the pinned <unk> sentinel")
+  }
+
   test("curriculum order is a permutation grouped by contiguous stages") {
     val rows = ext.TextOps.curriculum(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()
