@@ -53,6 +53,7 @@ object SparkEntry {
         "st_retract_fold" -> streaming.StreamOps.retractFoldStream,
         "st_temporal_join" -> streaming.StreamOps.temporalJoinStream,
         "st_asof_stream" -> streaming.StreamOps.asofStream,
+        "st_asof_tws" -> streaming.StreamOps.asofTws,
         "st_asof_tolerance" -> streaming.StreamOps.asofToleranceStream,
         "st_late_drop" -> streaming.StreamOps.lateDropStream,
         "st_update_mode" -> streaming.StreamOps.updateModeStream,
@@ -85,6 +86,8 @@ object SparkEntry {
         "st_temporal_join" -> plans.AsOfJoin.oracle("ev_asof_native"),
         // stream-stream as-of with horizon eviction ≡ the same native oracle
         "st_asof_stream" -> plans.AsOfJoin.oracle("ev_asof_native"),
+        // the ListState transformWithState port lands on the same oracle
+        "st_asof_tws" -> plans.AsOfJoin.oracle("ev_asof_native"),
         "st_asof_tolerance" -> plans.AsOfJoin.oracle("ev_asof_tolerance"),
         // online token bucket ≡ the batch politeness recursive-CTE oracle
         "st_crawl_politeness" -> ext.Dedup.oracle("dd_crawl_politeness"),

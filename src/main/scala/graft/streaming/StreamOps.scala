@@ -478,6 +478,171 @@ object StreamOps {
   def asofStream(s: SparkSession, d: String): DataFrame =
     asofStreamTelemetry(s, d)._1
 
+  /** A pending purchase buffered in [[AsofTwsProcessor]]'s ListState —
+    * one typed element per purchase instead of [[AsofState]]'s parallel
+    * arrays, so append is O(1) per arrival (no whole-value rewrite).
+    */
+  case class PendPur(id: Long, us: Long)
+
+  /** [[asofStreamTol]]'s per-key fold under the `transformWithState`
+    * API, exercising LIST state (both r16 ports were ValueState-only):
+    * the click buffer and the pending-purchase buffer each live in a
+    * `ListState` — new arrivals APPEND (O(1) per element in RocksDB's
+    * merge-op encoding, vs rewriting a whole serialized array value on
+    * every batch), and eviction rewrites only at horizon advances. Same
+    * algebra as [[asofFoldTol]] (tolerance -1 = unbounded), same
+    * event-time timer discipline as [[PolitenessProcessor]]: one live
+    * timer per key at the earliest pending purchase + 1 ms, so ripe
+    * purchases flush on watermark advance even with no new arrivals.
+    */
+  private class AsofTwsProcessor(
+      evicted: org.apache.spark.util.LongAccumulator)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AsofRow, AsofOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var clicks: ListState[Long] = _
+    @transient private var pending: ListState[PendPur] = _
+    @transient private var timerAt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      clicks = getHandle.getListState[Long]("clicks",
+        Encoders.scalaLong, TTLConfig.NONE)
+      pending = getHandle.getListState[PendPur]("pending",
+        Encoders.product[PendPur], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def step(userId: Long, arrivals: Seq[AsofRow],
+        wmUs: Long): Iterator[AsofOut] = {
+      // the batch's clicks APPEND to list state; the sorted view is
+      // materialized only here, at fold time
+      arrivals.filter(_.is_click)
+        .foreach(r => clicks.appendValue(usOfTs(r.ts)))
+      val clicksNow = clicks.get().toSeq.sorted
+      val pendAll = (pending.get().toSeq.map(p => (p.id, p.us)) ++
+        arrivals.filterNot(_.is_click)
+          .map(r => (r.event_id, usOfTs(r.ts))))
+        .sortBy { case (id, us) => (us, id) }
+      val (ripe, wait) = pendAll.partition { case (_, us) => us <= wmUs }
+      val out = ripe.map { case (id, us) =>
+        val i = clicksNow.indexWhere(_ > us) match {
+          case -1 => clicksNow.length - 1
+          case j => j - 1
+        }
+        AsofOut(userId, id, tsOf(us),
+          if (i >= 0) tsOf(clicksNow(i)) else null)
+      }
+      // as-of horizon: keep the greatest click <= wm and everything above
+      val hIdx = clicksNow.lastIndexWhere(_ <= wmUs)
+      val evictN = math.max(hIdx, 0)
+      evicted.add(evictN.toLong)
+      val keep = clicksNow.drop(evictN)
+      if (timerAt.exists) { getHandle.deleteTimer(timerAt.get); timerAt.clear() }
+      if (wait.isEmpty && keep.isEmpty) {
+        clicks.clear(); pending.clear()
+      } else {
+        // the click list is rewritten ONLY when the horizon moved (or to
+        // restore sort order after appends); the pending list only when
+        // membership changed — both bounded by the watermark-delay window
+        clicks.clear()
+        if (keep.nonEmpty) clicks.put(keep.toArray)
+        pending.clear()
+        if (wait.nonEmpty)
+          pending.put(wait.map { case (id, us) => PendPur(id, us) }.toArray)
+        if (wait.nonEmpty) {
+          // strictly above the watermark by construction, so the set is
+          // legal and the key re-fires on the next watermark advance
+          val target = wait.map(_._2).min / 1000L + 1L
+          getHandle.registerTimer(target)
+          timerAt.update(target)
+        }
+      }
+      out.iterator
+    }
+    override def handleInputRows(userId: Long, rows: Iterator[AsofRow],
+        tv: TimerValues): Iterator[AsofOut] =
+      if (userId == -1L) { rows.foreach(_ => ()); Iterator.empty }
+      else step(userId, rows.toSeq, tv.getCurrentWatermarkInMs() * 1000L)
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AsofOut] = {
+      timerAt.clear() // the firing timer consumed itself
+      step(userId, Seq.empty, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** Third `transformWithState` port — [[asofStream]] under the new
+    * API with LIST state (see [[AsofTwsProcessor]]): identical feed
+    * protocol, identical output, verified against the SAME DuckDB
+    * native ASOF oracle as the other three execution modes of the
+    * as-of algebra.
+    */
+  def asofTwsTelemetry(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val ss = tuned(s)
+    withRocksDb(ss)(asofTwsRun(ss, d))
+  }
+
+  /** [[asofTwsTelemetry]]'s body, run with RocksDB in force. */
+  private def asofTwsRun(ss: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    import ss.implicits._
+    val evicted = ss.sparkContext.longAccumulator("graft_asof_tws_evicted")
+    val ev = graft.Tables.events(ss, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("event_type") === "click").as("is_click"))
+    val Array(r) = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).collect()
+    val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
+    val splitUs = loUs + (hiUs - loUs) / 2
+    val nPurchases = ev.filter(!col("is_click")).count()
+    val feed = java.nio.file.Files.createTempDirectory("graft_asoftwsfeed")
+    def shipOne(df: DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft_asoftwsstage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage)
+      val src = try part.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get() finally part.close()
+      java.nio.file.Files.move(src, feed.resolve(name))
+    }
+    shipOne(ev.filter(unix_micros(col("ts")) <= splitUs), "00_wave1.parquet")
+    val sink = "graft_stream_asof_tws"
+    val plan = ss.readStream.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("is_click", BooleanType))))
+      .parquet(feed.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[AsofRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofTwsProcessor(evicted),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    val q = plan.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(sink).start()
+    try {
+      q.processAllAvailable() // wave 1 + its watermark no-data batch
+      shipOne(ev.filter(unix_micros(col("ts")) > splitUs), "01_wave2.parquet")
+      q.processAllAvailable()
+      shipOne(Seq((-1L, -1L, tsOf(hiUs + 7200L * 1000000L), false))
+        .toDF("user_id", "event_id", "ts", "is_click"), "02_sentinel.parquet")
+      q.processAllAvailable() // sentinel + the final timer flush batch
+      // timer flushes ride no-data batches processAllAvailable does not
+      // always wait for: poll until every purchase has emitted
+      val deadline = System.currentTimeMillis() + 120000L
+      while (ss.table(sink).count() < nPurchases &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(200L)
+      }
+    } finally q.stop()
+    (ss.table(sink)
+      .select(col("user_id"), col("event_id"), col("purchase_ts"),
+        col("last_click_ts"))
+      .orderBy(col("event_id")), evicted)
+  }
+
+  def asofTws(s: SparkSession, d: String): DataFrame =
+    asofTwsTelemetry(s, d)._1
+
   case class PolRow(reg_domain: String, host: String, t: Long,
       ts: java.sql.Timestamp)
   case class PolState(credits: Long, last: Long, viol: Long, served: Long,

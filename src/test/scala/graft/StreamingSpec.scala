@@ -777,6 +777,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(evicted.value > 0, "as-of horizon eviction never fired")
   }
 
+  test("transformWithState as-of port (ListState): ≡ batch native operator, horizon eviction fires") {
+    val (df, evicted) = graft.streaming.StreamOps.asofTwsTelemetry(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    val want = graft.plans.AsOfJoin.asofNative(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(got.length == want.length,
+      s"row count: tws=${got.length} batch=${want.length}")
+    val firstDiff = got.zip(want).indexWhere { case (a, b) => a != b }
+    assert(firstDiff == -1,
+      s"first divergence at $firstDiff: ${got.lift(firstDiff)} vs ${want.lift(firstDiff)}")
+    // the ListState bound is real: dominated clicks were evicted from
+    // list state mid-stream, not retained until drain
+    assert(evicted.value > 0, "as-of horizon eviction never fired in ListState")
+  }
+
   test("asofFold algebra: inclusive backward match, dominated-click eviction, conservation") {
     import graft.streaming.StreamOps.{asofFold, AsofRow, AsofState}
     def t(ms: Long) = new Timestamp(ms)
