@@ -1395,17 +1395,35 @@ object TextOps {
       s"CASE WHEN $b IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(coalesce(" +
         s"nullif(array_position(zip_with($a, $b, (x, y) -> x <> y), true), 0) - 1, " +
         s"least(size($a), size($b))) AS BIGINT) END"
-    val sufs = docWords(s, d).filter(size(col("ws")) >= L)
+    val words = docWords(s, d).filter(size(col("ws")) >= L)
+    // Pass 1 is LEAN: only (ph, doc_id, pos) triples enter the shuffle —
+    // the prefix hash is computed in place, the 40-token window is NOT
+    // materialized for the overwhelmingly-singleton position stream
+    // (this is the documented 100 TB shape: suffix payload ships as
+    // (prefix-key, doc, pos); windows are fetched later, survivors only)
+    val sufs = words
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(ws) - $L), i -> struct(" +
-          s"CAST(i AS BIGINT) AS pos, slice(ws, i + 1, $M) AS suf))")).as("x"))
-      .select(col("doc_id"), col("x.pos").as("pos"), col("x.suf").as("suf"))
-      .withColumn("ph", expr(s"xxhash64(slice(suf, 1, $L))"))
+          s"CAST(i AS BIGINT) AS pos, xxhash64(slice(ws, i + 1, $L)) AS ph))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.ph").as("ph"))
     val keep = sufs.groupBy(col("ph")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1 && col("c") <= 1000).select(col("ph"))
+    // Pass 2 fetches the M-token window for SURVIVORS only: survivor
+    // positions roll up per doc (a lean (doc, pos-list) frame) and join
+    // the tokenized corpus on doc_id — co-located with the scan at
+    // 100 TB (bucket by doc_id), and never wider than the survivor set
+    val posPerDoc = sufs.join(keep, Seq("ph"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("poss"))
+    val windows = words.join(posPerDoc, Seq("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(poss, p -> struct(p AS pos, " +
+          s"slice(ws, CAST(p + 1 AS INT), $M) AS suf))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.suf").as("suf"))
+      .withColumn("ph", expr(s"xxhash64(slice(suf, 1, $L))"))
     val wG = Window.partitionBy(col("ph"))
       .orderBy(col("suf"), col("doc_id"), col("pos"))
-    val marked = sufs.join(keep, Seq("ph"))
+    val marked = windows
       .withColumn("ps", lag(col("suf"), 1).over(wG))
       .withColumn("ns", lead(col("suf"), 1).over(wG))
       .withColumn("ml", greatest(expr(lcp("suf", "ps")), expr(lcp("suf", "ns"))))
