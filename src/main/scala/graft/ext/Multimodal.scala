@@ -364,7 +364,16 @@ object Multimodal {
     */
   def phashDecodeRaw(s: SparkSession, d: String): Dataset[PhashFeature] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    phashDecodeOf(Tables.documents(s, d).select(col("doc_id")).as[Long])
+  }
+
+  /** [[phashDecodeRaw]] over an arbitrary id set — lets the caption
+    * flagship decode from its checkpointed raw frame instead of
+    * re-scanning the table.
+    */
+  def phashDecodeOf(ids: Dataset[Long]): Dataset[PhashFeature] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         imageIoNoDiskCache
         val reader =
@@ -1721,8 +1730,14 @@ object Multimodal {
     * shuffle; at 100 TB you'd band frames and cues by coarse time bucket
     * exactly like the grid spatial join if clips ran to hours.
     */
-  def captionFrames(s: SparkSession, d: String): DataFrame = {
-    val cues = Tables.documents(s, d)
+  def captionFrames(s: SparkSession, d: String): DataFrame =
+    captionCoverageOf(Tables.documents(s, d))
+
+  /** [[captionFrames]] over an arbitrary (doc_id, text) frame — shared
+    * with the caption flagship's alignment gate.
+    */
+  def captionCoverageOf(docs: DataFrame): DataFrame = {
+    val cues = docs
       .filter(length(col("text")) >= 160)
       .select(col("doc_id"),
         posexplode(expr("sequence(0L, doc_id % 4)")).as(Seq("pos", "i")))
@@ -1750,6 +1765,105 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"), col("n_captioned"),
         col("coverage_bp"), col("first_gap_ms"))
       .orderBy(col("doc_id"))
+  }
+
+  /** THE MULTIMODAL (IMAGE-TEXT) CURATION FLAGSHIP — the LAION-style
+    * sibling of [[graft.ext.TextOps.e2ePretrain]], composed as one
+    * checkpointed chain over image-caption pairs (image = the per-doc
+    * gradient fixture a real lake would hold as binary payloads,
+    * caption = the document text):
+    *
+    *   raw pairs → perceptual-hash image dedup (aHash keep-smallest,
+    *   the `dd_phash_images` rule — a REAL codec decodes every image) →
+    *   caption quality gate (word count + mean-word-length bounds) →
+    *   image-text ALIGNMENT gate (the `mm_caption_frames` cue-coverage
+    *   metric: a pair whose caption cues cover < 60% of sampled frames
+    *   leaves, as a low-CLIP-score pair would in LAION curation; docs
+    *   too short to carry cues leave with it) → shard packing at 2048
+    *   tokens → 90/5/5 split → per-(source, split) manifest.
+    *
+    * Same discipline as the pretrain flagship: every stage boundary is
+    * localCheckpoint'ed once and feeds both its successor and the
+    * attrition funnel, so the corpus is scanned O(stages) times
+    * (PlanSpec pins the executed FileSourceScan count); the oracle
+    * replays the ENTIRE DAG — aHash bit arithmetic through cue
+    * coverage to the packing window — in one DuckDB query.
+    *
+    * At 100 TB: pixels never shuffle (decode is a narrow map; only
+    * (doc_id, 64-bit hash) reaches the dedup exchange); the coverage
+    * join is per-doc-local; packing windows are per-shard; manifests
+    * are bounded rollups.
+    */
+  def e2eCaption(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Hashing.sparkHash
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint()
+    // Stage 1: image dedup — keep-smallest-id per (aHash, dims): two
+    // images are the same picture only if hash AND geometry agree (the
+    // gradient fixture aliases many dims onto 29 hash patterns; dims
+    // break the alias exactly as they would for letterboxed rescales).
+    val hw = Window.partitionBy(col("ahash"), col("width"), col("height"))
+    val imgKeep = phashDecodeOf(raw.select(col("doc_id")).as[Long]).toDF()
+      .withColumn("first_id", min(col("doc_id")).over(hw))
+      .filter(col("first_id") === col("doc_id"))
+      .select(col("doc_id"))
+    val dedup = raw.join(imgKeep, Seq("doc_id")).localCheckpoint()
+    // Stage 2: caption quality gate (bounded word count, sane words).
+    val quality = dedup
+      .withColumn("n_words",
+        size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), " ", "")).cast("double")
+          / col("n_words"))
+      .filter(col("n_words") >= 20 && col("n_words") <= 400
+        && col("mwl") >= 3.0 && col("mwl") <= 10.0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint()
+    // Stage 3: alignment — cue coverage of sampled frames ≥ 60%.
+    val aligned = quality.join(
+        captionCoverageOf(quality).filter(col("coverage_bp") >= 6000)
+          .select(col("doc_id")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    // Stage 4: caption tokens → shard packing → split manifest.
+    val docLevel = aligned
+      .withColumn("n_tokens", regexp_count(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shards = docLevel
+      .withColumn("shard", expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 8"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        (max(expr("start_tok DIV 2048")) + 1L).as("n_seqs"))
+    val manifest = docLevel
+      .withColumn("bucket",
+        expr(s"${sparkHash("CAST(doc_id AS STRING)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    def cnt(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit("0_funnel").as("section"), lit(stage).as("k"),
+          col("n_docs"), lit(0L).as("n_tokens"), lit(0L).as("n_seqs"))
+    cnt(raw, "00_raw")
+      .unionByName(cnt(dedup, "01_imgdedup"))
+      .unionByName(cnt(quality, "02_quality"))
+      .unionByName(cnt(aligned, "03_aligned"))
+      .unionByName(manifest.select(lit("1_manifest").as("section"),
+        concat_ws("/", col("source"), col("split")).as("k"),
+        col("n_docs"), col("n_tokens"), lit(0L).as("n_seqs")))
+      .unionByName(shards.select(lit("2_shards").as("section"),
+        concat(lit("shard_"), col("shard").cast("string")).as("k"),
+        col("n_docs"), col("n_tokens"), col("n_seqs")))
+      .orderBy(col("section"), col("k"))
   }
 
   def mp4AtomsRaw(s: SparkSession, d: String): Dataset[Mp4Meta] = {
@@ -2546,7 +2660,8 @@ object Multimodal {
     "dd_audio_fingerprint" -> audioFingerprint,
     "mm_resize" -> resizePlan,
     "mm_frame_sample" -> frameSample,
-    "mm_avi_frames" -> aviFrames
+    "mm_avi_frames" -> aviFrames,
+    "pipe_e2e_caption" -> e2eCaption
   )
 
   /** DuckDB replay of the stub decode: byte i of sha256(text) is
@@ -3377,6 +3492,114 @@ object Multimodal {
         |       sha256(text) AS digest,
         |       substring(to_base64(encode(text)), 1, 24) AS b64_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_e2e_caption" ->
+      s"""WITH raw AS (SELECT doc_id, text, lang, source FROM documents),
+        |p AS (SELECT doc_id,
+        |    CAST(8 * (2 + doc_id % 5) AS INT) AS w,
+        |    CAST(8 * (2 + (doc_id // 5) % 5) AS INT) AS h,
+        |    CAST((doc_id % 7) * 31 AS INT) AS ph
+        |  FROM raw),
+        |grid AS (SELECT unnest(range(0, 8)) AS b),
+        |blocks AS (
+        |  SELECT p.doc_id, p.w, p.h, byy.b AS by, bxx.b AS bx,
+        |    ((h // 8) * list_sum([ (x * 13 + ph) % 256
+        |       for x in range(bxx.b * (w // 8), (bxx.b + 1) * (w // 8)) ]))
+        |      // ((w // 8) * (h // 8)) AS bmean
+        |  FROM p CROSS JOIN grid byy CROSS JOIN grid bxx),
+        |g AS (SELECT doc_id, SUM(bmean) // 64 AS gmean FROM blocks GROUP BY 1),
+        |bits AS (
+        |  SELECT b.doc_id, b.by, b.bx,
+        |         CASE WHEN b.bmean > g.gmean THEN '1' ELSE '0' END AS bit
+        |  FROM blocks b JOIN g USING (doc_id)),
+        |hashes AS (
+        |  SELECT h2.doc_id, h2.ahash, p.w, p.h
+        |  FROM (SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS ahash
+        |        FROM bits GROUP BY doc_id) h2 JOIN p USING (doc_id)),
+        |imgkeep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           MIN(doc_id) OVER (PARTITION BY ahash, w, h) AS first_id
+        |    FROM hashes) z
+        |  WHERE doc_id = first_id),
+        |dedup AS (SELECT raw.* FROM raw JOIN imgkeep USING (doc_id)),
+        |q AS (
+        |  SELECT doc_id, text, lang, source FROM (
+        |    SELECT doc_id, text, lang, source,
+        |      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(lower(text), ' ')) AS mwl
+        |    FROM dedup) f
+        |  WHERE n_words >= 20 AND n_words <= 400
+        |    AND mwl >= 3.0 AND mwl <= 10.0),
+        |cues AS (
+        |  SELECT doc_id, t.i,
+        |         t.i * 2000 + doc_id % 997 AS start_ms,
+        |         t.i * 2000 + doc_id % 997 + 800
+        |           + (doc_id * 7 + t.i * 13) % 2400 AS end_ms
+        |  FROM q, LATERAL unnest(generate_series(0, doc_id % 4)) AS t(i)
+        |  WHERE length(text) >= 160),
+        |spans AS (SELECT doc_id, MAX(end_ms) AS last_end FROM cues GROUP BY 1),
+        |frames AS (
+        |  SELECT s.doc_id, f.t
+        |  FROM spans s, LATERAL unnest(generate_series(0, s.last_end, 500)) AS f(t)),
+        |marked AS (
+        |  SELECT f.doc_id, f.t,
+        |         MAX(CASE WHEN f.t >= c.start_ms AND f.t < c.end_ms
+        |                  THEN 1 ELSE 0 END) AS covered
+        |  FROM frames f LEFT JOIN cues c ON f.doc_id = c.doc_id
+        |  GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, COUNT(*) AS n_frames, SUM(covered) AS n_captioned
+        |    FROM marked GROUP BY 1) a
+        |  WHERE (n_captioned * 10000) // n_frames >= 6000),
+        |aligned AS (SELECT q.* FROM q JOIN cov USING (doc_id)),
+        |doclevel AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM aligned),
+        |pk AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start_tok
+        |  FROM (SELECT doc_id, n_tokens,
+        |          ${Hashing.duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        |        FROM doclevel) z),
+        |shards AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |         CAST(MAX(start_tok // 2048) + 1 AS BIGINT) AS n_seqs
+        |  FROM pk GROUP BY shard),
+        |man AS (
+        |  SELECT source,
+        |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM (SELECT source, n_tokens,
+        |          ${Hashing.duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+        |        FROM doclevel) z
+        |  GROUP BY 1, 2),
+        |funnel AS (
+        |  SELECT '00_raw' AS k, (SELECT COUNT(*) FROM raw) AS n
+        |  UNION ALL SELECT '01_imgdedup', (SELECT COUNT(*) FROM dedup)
+        |  UNION ALL SELECT '02_quality', (SELECT COUNT(*) FROM q)
+        |  UNION ALL SELECT '03_aligned', (SELECT COUNT(*) FROM aligned))
+        |SELECT section, k, n_docs, n_tokens, n_seqs FROM (
+        |  SELECT '0_funnel' AS section, k, CAST(n AS BIGINT) AS n_docs,
+        |         CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_seqs
+        |  FROM funnel
+        |  UNION ALL
+        |  SELECT '1_manifest', source || '/' || split, n_docs, n_tokens,
+        |         CAST(0 AS BIGINT)
+        |  FROM man
+        |  UNION ALL
+        |  SELECT '2_shards', 'shard_' || CAST(shard AS VARCHAR), n_docs,
+        |         n_tokens, n_seqs
+        |  FROM shards) out
+        |ORDER BY section, k""".stripMargin,
     "mm_avi_frames" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -865,4 +865,26 @@ class PlanSpec extends AnyFunSuite {
       s" and eval-side scans to be observed, saw $n (did checkpoint " +
       "actions stop firing the listener?)")
   }
+
+  test("pipe_e2e_caption scans the raw corpus exactly once (the checkpointed raw frame feeds every stage)") {
+    // The caption flagship checkpoints raw FIRST and derives every
+    // stage (image decode ids, quality, alignment, packing, funnel)
+    // from checkpoints — so the table itself should be scanned exactly
+    // once, at the initial materialization.
+    val n = ScanCount.during(spark, "documents.parquet") {
+      val out = ext.Multimodal.e2eCaption(spark, sf).collect()
+      assert(out.nonEmpty, "flagship must produce the manifest")
+      // funnel sanity: monotone attrition, nothing degenerate
+      val funnel = out.filter(_.getString(0) == "0_funnel")
+        .map(r => r.getString(1) -> r.getLong(2)).sortBy(_._1)
+      assert(funnel.map(_._1).toSeq ==
+        Seq("00_raw", "01_imgdedup", "02_quality", "03_aligned"))
+      val counts = funnel.map(_._2)
+      assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+        s"funnel must shrink monotonically: ${funnel.mkString(", ")}")
+      assert(counts.last > 0, "alignment gate must keep some pairs")
+    }
+    assert(n <= 1, s"raw documents scanned $n times — a stage is " +
+      "re-deriving the chain instead of reading the raw checkpoint")
+  }
 }
