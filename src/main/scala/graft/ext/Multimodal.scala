@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The per-doc id stream for CPU-bound codec legs, spread across every
+    * core: the documents parquet is a single row group at test scale, so
+    * a narrow mapPartitions over the scan runs 1-2 threads; this
+    * repartition moves 8-byte ids (~40 KB at sf0.1) and buys full
+    * parallelism (mm_avi_frames: 9.8 → 0.9 s). At 100 TB the scan is
+    * thousands of splits and the exchange is noise; locally it is the
+    * difference between 1 core and 32.
+    */
+  private def docIds(s: SparkSession, d: String): Dataset[Long] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** Binary payload + metadata extraction, all builtins (oracle-verified):
     * byte length, sha2-256 digest, base64 prefix. The payload here is the
     * utf-8 encoding of `text` standing in for real media bytes.
@@ -146,7 +160,7 @@ object Multimodal {
     */
   def bmpDecodeRaw(s: SparkSession, d: String): Dataset[BmpFeature] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         // The batched-decoder contract made real: ONE ImageReader is
         // allocated per batch (plugin lookup + reader construction are
@@ -270,7 +284,7 @@ object Multimodal {
     */
   def jpegDecodeRaw(s: SparkSession, d: String): Dataset[JpegFeature] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         imageIoNoDiskCache
         val reader =
@@ -373,7 +387,10 @@ object Multimodal {
     */
   def phashDecodeOf(ids: Dataset[Long]): Dataset[PhashFeature] = {
     import ids.sparkSession.implicits._
-    ids.mapPartitions { it =>
+    // same parallelism rescue as [[docIds]] — the caller's id frame is
+    // usually a 1-2 partition scan or checkpoint slice
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         imageIoNoDiskCache
         val reader =
@@ -522,7 +539,7 @@ object Multimodal {
     */
   def pngDecodeRaw(s: SparkSession, d: String): Dataset[PngFeature] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         imageIoNoDiskCache
         val reader =
@@ -603,7 +620,7 @@ object Multimodal {
     */
   def gifDecodeRaw(s: SparkSession, d: String): Dataset[GifFeature] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         imageIoNoDiskCache
         val reader =
@@ -682,7 +699,7 @@ object Multimodal {
     */
   def tiffDecodeRaw(s: SparkSession, d: String): Dataset[TiffFeature] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         imageIoNoDiskCache
         val reader =
@@ -827,7 +844,7 @@ object Multimodal {
 
   def audioVadRaw(s: SparkSession, d: String): Dataset[VadMeta] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val (nf, na, ns, lng, fa) = parseVad(wavVadBytes(id), 80)
         VadMeta(id, nf, na, ns, lng, fa)
@@ -836,7 +853,8 @@ object Multimodal {
   }
 
   /** Declared form of [[audioVadRaw]]. */
-  def audioVad(s: SparkSession, d: String): DataFrame = audioVadRaw(s, d).toDF()
+  def audioVad(s: SparkSession, d: String): DataFrame =
+    audioVadRaw(s, d).toDF().orderBy(col("doc_id"))
 
   case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
       bits: Int, n_samples: Int, duration_ms: Long, rms: Long)
@@ -999,7 +1017,7 @@ object Multimodal {
 
   def wavToneRaw(s: SparkSession, d: String): Dataset[WavTone] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val (rate0, n0, amp0) = wavFixtureParams(id)
         val (rate, n, tone, dc) = goertzel(wavBytes(rate0, n0, amp0))
@@ -1034,7 +1052,7 @@ object Multimodal {
     */
   def audioFpRaw(s: SparkSession, d: String): Dataset[AudioFp] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val (rate0, n0, amp0) = wavFixtureParams(id)
         val (rate, n, p) = goertzelBank(wavBytes(rate0, n0, amp0))
@@ -1072,7 +1090,7 @@ object Multimodal {
 
   def wavMetaRaw(s: SparkSession, d: String): Dataset[WavMeta] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val (rate0, n0, amp0) = wavFixtureParams(id)
         val (rate, ch, bits, n, durMs, rms) = parseWav(wavBytes(rate0, n0, amp0))
@@ -1264,10 +1282,38 @@ object Multimodal {
     * [[wavBytes]]).
     */
   def aviBytes(docId: Long): Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try aviBytesWith(docId, writer) finally writer.dispose()
+  }
+
+  /** [[jpegBytes]] with a caller-supplied writer — the registry lookup
+    * + codec setup dominates tiny-image encodes, so batch callers
+    * ([[aviFramesRaw]]: ~8 frames/doc) reuse one writer per partition.
+    */
+  private def jpegBytesWith(w: Int, h: Int, r: Int, g: Int, b: Int,
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // TYPE_INT_RGB is int-buffer backed: one bulk fill, no per-pixel calls
+    java.util.Arrays.fill(img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData,
+      (r << 16) | (g << 8) | b)
+    imageIoNoDiskCache
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    try writer.write(img) finally ios.close()
+    baos.toByteArray
+  }
+
+  /** [[aviBytes]] with per-partition codec reuse. */
+  private def aviBytesWith(docId: Long,
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
     val (fps, n, w, h) = aviFixtureParams(docId)
     val frames = (0 until n).map { i =>
       val (r, g, b) = aviFrameColor(docId, i)
-      jpegBytes(w, h, r, g, b)
+      jpegBytesWith(w, h, r, g, b, writer)
     }
     val framesPadded = frames.map(f => if (f.length % 2 == 0) f.length
       else f.length + 1)
@@ -1434,13 +1480,15 @@ object Multimodal {
     */
   def aviFramesRaw(s: SparkSession, d: String): Dataset[AviFrame] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.grouped(32).flatMap { batch =>
         imageIoNoDiskCache
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
         try batch.flatMap { id =>
-          val payload = aviBytes(id)
+          val payload = aviBytesWith(id, writer)
           val meta = parseAvi(payload)
           meta.frames.zipWithIndex.filter(_._2 % 2 == 0).map {
             case ((off, len), idx) =>
@@ -1454,16 +1502,14 @@ object Multimodal {
                 s"frame $idx dims ${img.getWidth}x${img.getHeight} " +
                   s"disagree with header ${meta.width}x${meta.height}")
               var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val px = img.getRGB(x, y)
-                  sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff
-                  sb += px & 0xff
-                  x += 1
-                }
-                y += 1
+              // one bulk raster grab instead of w×h getRGB calls
+              val px = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                null, 0, img.getWidth)
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                i += 1
               }
               val n = img.getWidth.toLong * img.getHeight
               val (r0, g0, b0) = aviFrameColor(id, idx)
@@ -1473,7 +1519,7 @@ object Multimodal {
               AviFrame(id, idx, meta.nFrames, meta.fps,
                 meta.width, meta.height, ok)
           }
-        } finally reader.dispose()
+        } finally { reader.dispose(); writer.dispose() }
       }
     }
   }
@@ -1610,7 +1656,7 @@ object Multimodal {
 
   def exifMetaRaw(s: SparkSession, d: String): Dataset[ExifMeta] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val (o, mk, pw, ph) = exifFixtureParams(id)
         val (bo, n, make, ori, w, h) = parseExif(exifJpegBytes(o, mk, pw, ph))
@@ -1625,7 +1671,7 @@ object Multimodal {
     * shuffles.
     */
   def exifMeta(s: SparkSession, d: String): DataFrame =
-    exifMetaRaw(s, d).toDF()
+    exifMetaRaw(s, d).toDF().orderBy(col("doc_id"))
 
   /** SRT CAPTION parse + QC — the subtitle/caption-alignment leg of a
     * video-training pipeline: genuine SubRip documents (index line,
@@ -1868,7 +1914,7 @@ object Multimodal {
 
   def mp4AtomsRaw(s: SparkSession, d: String): Dataset[Mp4Meta] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+    docIds(s, d).mapPartitions { it =>
       it.map { id =>
         val (ts, secs, w0, h0, mlen) = mp4FixtureParams(id)
         val (n, brand, tsc, durMs, w, h, mdat) =
@@ -2038,6 +2084,9 @@ object Multimodal {
       .select(col("doc_id"), expr("doc_id div 4").as("tar_id"),
         expr("substr(text, 1, CAST(60 + doc_id % 50 AS INT))").as("payload"),
         concat(lit("doc"), col("doc_id").cast("string"), lit(".txt")).as("name"))
+      // spread BEFORE the heavy hex build — the scan is one row group
+      // at test scale (the [[docIds]] parallelism rescue)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("sizeb", expr("CAST(octet_length(payload) AS BIGINT)"))
       .withColumn("h0", expr(
         """concat(
@@ -2076,7 +2125,10 @@ object Multimodal {
         expr("repeat('00', 1024)")).as("tar"))
       // the parse side fans out into two branches (entry fields + the
       // relational checksum) that JOIN back — materialize the built
-      // shards once instead of synthesizing them twice
+      // shards once instead of synthesizing them twice. Spread FIRST:
+      // AQE coalesces the tiny groupBy output to 1-2 partitions, which
+      // would run the whole interpreted offset-walk single-threaded.
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint()
     // --- parse side: everything below reads only `tar` -----------------
     // Octal-field parse as ONE codegen-friendly expression instead of a
@@ -2188,6 +2240,8 @@ object Multimodal {
       .select(col("doc_id"), expr("doc_id div 6").as("zip_id"),
         expr("substr(text, 1, CAST(40 + doc_id % 60 AS INT))").as("payload"),
         concat(lit("doc"), col("doc_id").cast("string"), lit(".txt")).as("name"))
+      // spread BEFORE the heavy hex build (the [[docIds]] rescue)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("usize", expr("CAST(octet_length(payload) AS BIGINT)"))
       .withColumn("namelen", expr("CAST(octet_length(name) AS BIGINT)"))
       .withColumn("block_len", expr("30 + namelen + usize"))
@@ -2219,7 +2273,9 @@ object Multimodal {
            |  ${le4("cd_off")}, '0000')""".stripMargin))
       .select(col("zip_id"), col("zip"))
       // build once: the parse side fans out (EOCD, directory walk,
-      // local-header cross-check) over this frame
+      // local-header cross-check) over this frame. Spread first — AQE
+      // coalesces the tiny groupBy output and would serialize the walk.
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint()
     // --- parse side: everything below reads only `zip` ----------------
     val eocd = zips
@@ -2309,6 +2365,8 @@ object Multimodal {
       .map(i => pairAt(s"($off) + $i")).mkString(", ")}), 16, 10) AS BIGINT)"
     // --- build side ----------------------------------------------------
     val tensors = Tables.embeddings(s, d)
+      // spread BEFORE the heavy hex build (the [[docIds]] rescue)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), expr("vec_id DIV 8").as("st_id"),
         expr(s"""transform(
            |  slice(embedding, 1, CAST(32 + (vec_id % 3) * 16 AS INT)),
@@ -2339,7 +2397,9 @@ object Multimodal {
       .withColumn("st", expr(
         s"concat(${le8("hlen")}, hex(hdr), repeat('20', pad), payload)"))
       .select(col("st_id"), col("st"))
-      // build once; the parse fan-out below reads only `st`
+      // build once; the parse fan-out below reads only `st`. Spread
+      // first — AQE coalesces the tiny groupBy output.
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint()
     safetensorsParse(s, d, files)
   }
@@ -2377,6 +2437,8 @@ object Multimodal {
       .map(i => pairAt(s"($off) + $i")).mkString(", ")}), 16, 10) AS BIGINT)"
     // --- build side ----------------------------------------------------
     val files = Tables.embeddings(s, d)
+      // spread BEFORE the heavy hex build (the [[docIds]] rescue)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), expr(s"""transform(
            |  slice(embedding, 1, CAST(32 + (vec_id % 5) * 8 AS INT)),
            |  x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT) + $BIAS)"""
