@@ -72,6 +72,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Spread a CPU-bound stage's input across the session's cores WHEN the
+    * incoming plan under-parallelizes it. The driver test corpus is a
+    * single parquet row group, so scans of it are 1-partition and every
+    * narrow per-row pipeline downstream (shingle+md5, tokenize, decode)
+    * runs on one core of 32; on a properly split production input the
+    * scan already carries ≥ defaultParallelism partitions and this helper
+    * is the IDENTITY — it never adds a shuffle at scale. (The physical
+    * partition probe builds the RDD DAG but runs no job.)
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
 }
 
 /** Determinism helpers for the DuckDB-oracle differential harness

@@ -78,7 +78,7 @@ object Dedup {
     * stage the incremental path runs on just the new batch.
     */
   def shingledOf(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs) // md5-per-shingle is CPU-bound; see Tables.spread
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       // 3-grams via two shifted zip_with passes: O(n) per doc, vs the

@@ -57,7 +57,7 @@ object UnigramLM {
 
   /** Word types with corpus counts (the only pass over raw text). */
   private def wordTypes(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0 && length(col("w")) <= MAXW)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -66,9 +66,9 @@ object UnigramLM {
     * occurrence count, capped to the top VTOP by count (single chars
     * always survive — they guarantee every word stays encodable).
     */
-  private def seedVocab(s: SparkSession, d: String): DataFrame = {
+  private def seedVocabOf(words: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seeds = wordTypes(s, d)
+    val seeds = words
       .select(col("cnt"), explode(expr(
         s"flatten(transform(sequence(1, $PLEN), l -> " +
           s"filter(transform(sequence(1, $MAXW), i -> " +
@@ -156,19 +156,24 @@ object UnigramLM {
 
   /** Spec hook: each word type with its Viterbi segmentation under the
     * seed vocabulary (the E-step's raw output). */
-  private[graft] def debugSegments(s: SparkSession, d: String): DataFrame =
+  private[graft] def debugSegments(s: SparkSession, d: String): DataFrame = {
+    val words = wordTypes(s, d)
     backtrackChain(dpChain(
-      wordTypes(s, d).crossJoin(broadcast(weightMap(seedVocab(s, d))))))
+      words.crossJoin(broadcast(weightMap(seedVocabOf(words))))))
       .select(col("w"), col("cnt"), col("pieces"))
+  }
 
   /** Trained vocabulary after one hard-EM round: Viterbi-usage counts,
     * pruned to used pieces ∪ single chars (chars keep the corpus
-    * encodable; unused chars carry usage 0).
+    * encodable; unused chars carry usage 0). Takes the word-type frame
+    * as input so the ONE corpus pass is shared across train/encode —
+    * the unoptimized form re-derived it (scan + explode + groupBy) once
+    * per consumer, 4 corpus scans per encode query.
     */
-  private def trainedVocab(s: SparkSession, d: String): DataFrame = {
-    val vocab0 = seedVocab(s, d)
+  private def trainedVocabOf(words: DataFrame): DataFrame = {
+    val vocab0 = seedVocabOf(words)
     val segs = backtrackChain(dpChain(
-      wordTypes(s, d).crossJoin(broadcast(weightMap(vocab0)))))
+      words.crossJoin(broadcast(weightMap(vocab0)))))
     val usage = segs.select(col("cnt"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
     val chars = vocab0.filter(length(col("piece")) === 1)
@@ -182,7 +187,9 @@ object UnigramLM {
     */
   def unigramTrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    trainedVocab(s, d)
+    // word types are Heaps-law sublinear in corpus size — the persisted
+    // intermediate a production tokenizer train materializes anyway
+    trainedVocabOf(wordTypes(s, d).localCheckpoint())
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("usage"), col("piece")))
           .cast("long"))
@@ -196,12 +203,13 @@ object UnigramLM {
     * (tokens per word), the metric a tokenizer swap is judged by.
     */
   def unigramEncode(s: SparkSession, d: String): DataFrame = {
-    val vf = trainedVocab(s, d)
+    val words = wordTypes(s, d).localCheckpoint()
+    val vf = trainedVocabOf(words)
       .select(col("piece"), greatest(col("usage"), lit(1L)).as("c"))
     val kmap = dpChain(
-      wordTypes(s, d).crossJoin(broadcast(weightMap(vf))))
+      words.crossJoin(broadcast(weightMap(vf))))
       .select(col("w"), expr(kExpr).as("k"))
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0 && length(col("w")) <= MAXW)
       .join(broadcast(kmap), Seq("w"))

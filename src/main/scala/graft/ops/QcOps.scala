@@ -649,14 +649,19 @@ object QcOps {
     // to integer basis points FIRST (correctly-rounded decimal casts,
     // identical in both engines), then one exact integer DIV sheds the
     // 10^8 scale — the ev_gap_regularity fixed-point discipline
+    // The triple product runs in BIGINT, not DECIMAL(38,0): price_micro
+    // ≤ ~1.1e9, the two basis-point factors ≤ ~1.1e4 each, so the
+    // product is ≤ ~1.4e17 — 60× under BIGINT overflow — while a
+    // DECIMAL(38,0) chain forces the BigDecimal slow path on every row
+    // (the Det width-policy lesson). Same exact integers, same DIV.
     val lineMicro = expr(
       """CAST(
         |  (CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
-        |        AS DECIMAL(19,0)) AS DECIMAL(38,0))
-        |   * (10000 - CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000
-        |              AS DECIMAL(9,0)))
-        |   * (10000 + CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000
-        |              AS DECIMAL(9,0))))
+        |        AS DECIMAL(19,0)) AS BIGINT)
+        |   * (10000L - CAST(CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000
+        |               AS DECIMAL(9,0)) AS BIGINT))
+        |   * (10000L + CAST(CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000
+        |               AS DECIMAL(9,0)) AS BIGINT)))
         |  DIV 100000000 AS BIGINT)""".stripMargin)
     val child = graft.Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("o_orderkey"))

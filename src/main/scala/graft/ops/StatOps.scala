@@ -58,8 +58,18 @@ object StatOps {
     def hubFrom(a: DataFrame): DataFrame = norm(
       edges.join(a, Seq("sup"))
         .groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
-    val a1 = authFrom(h0); val h1 = hubFrom(a1)
-    val a2 = authFrom(h1); val h2 = hubFrom(a2)
+    // Checkpoint each round's score frame: norm() references its input
+    // twice (rows + the 1-row total) and every round references the
+    // previous round's frame through both, so the UNchained plan
+    // re-executes round r's subtree 2^(rounds−r) times — 314 Exchanges /
+    // 88 SortMergeJoins in the r17 before-plan. Scores are node-grain
+    // (the same per-iteration frame a production run persists), so each
+    // checkpoint is dimension-sized; the after-plan joins each round
+    // exactly once.
+    val a1 = authFrom(h0).localCheckpoint()
+    val h1 = hubFrom(a1).localCheckpoint()
+    val a2 = authFrom(h1).localCheckpoint()
+    val h2 = hubFrom(a2)
     a2.select(lit("authority").as("node_type"), col("sup").as("node_id"),
         col("a").as("score"))
       .unionAll(h2.select(lit("hub").as("node_type"), col("c").as("node_id"),
