@@ -83,6 +83,20 @@ object Tables {
     * partition probe builds the RDD DAG but runs no job.)
     */
   def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // no physical-partition probe on streams
+    // The probe (toRdd.getNumPartitions) is free ONLY on scan-, filter-,
+    // or checkpoint-rooted frames; on an exchange-bearing plan AQE's
+    // doExecute would materialize the shuffle stages eagerly (running the
+    // query's jobs twice). Frames whose logical plan already contains an
+    // exchange-inducing operator keep their partitioning: AQE sizes those
+    // stages itself.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val exchangeBearing = df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate => (); case _: Join => (); case _: Window => ()
+      case _: Sort => (); case _: Distinct => (); case _: Deduplicate => ()
+      case _: RepartitionOperation => (); case _: GlobalLimit => ()
+    }.isDefined
+    if (exchangeBearing) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
     else df

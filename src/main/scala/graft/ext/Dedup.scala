@@ -727,7 +727,7 @@ object Dedup {
     * bytes, still one small shuffle, whole-stage codegen throughout.
     */
   def simhashValues(s: SparkSession, d: String): DataFrame = {
-    val wordHashes = Tables.documents(s, d)
+    val wordHashes = Tables.spread(Tables.documents(s, d)) // md5 per word
       .select(col("doc_id"),
         explode(expr("array_distinct(split(lower(text), ' '))")).as("w"))
       .select(col("doc_id"), expr(sparkHash("w")).as("h"))

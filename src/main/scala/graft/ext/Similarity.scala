@@ -368,7 +368,8 @@ object Similarity {
     * mergeable either way.
     */
   def covariance(s: SparkSession, d: String): DataFrame = {
-    val qv = Tables.embeddings(s, d).select(expr(quantExpr).as("q"))
+    val qv = Tables.spread(Tables.embeddings(s, d))
+      .select(expr(quantExpr).as("q"))
     val (cross, mom) = momentStats(qv)
     cross
       .join(broadcast(mom.select(col("i"), col("sx").as("sxi"), col("n"))), Seq("i"))
@@ -404,7 +405,7 @@ object Similarity {
     * eigensolve driver-side) up to d ~ 10⁴.
     */
   def pcaProject(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.spread(Tables.embeddings(s, d))
     val qv = e.select(col("vec_id"), col("label"), expr(quantExpr).as("q"))
     val (cross, mom) = momentStats(qv.select(col("q")))
     val sx = new Array[Long](65)
@@ -562,7 +563,9 @@ object Similarity {
     * and the probe phase.
     */
   private def quantized(s: SparkSession, d: String): DataFrame =
-    quantizedOf(Tables.embeddings(s, d)).localCheckpoint()
+    // spread: the k-means folds against inlined centroid literals are
+    // per-row CPU work over this checkpoint — see Tables.spread
+    quantizedOf(Tables.spread(Tables.embeddings(s, d))).localCheckpoint()
 
   /** argmax-cosine assignment of each vector to a centroid; tie-break on
     * centroid id. The KC centroids (10 rows × 64 doubles) are collected to

@@ -1199,7 +1199,9 @@ object TextOps {
     */
   /** (doc_id, ws) word arrays shared by the dup-span family. */
   private def docWords(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // spread: the span/suffix consumers hash every n-gram window of every
+    // doc in place — CPU-bound on a 1-partition test scan (Tables.spread)
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
 
@@ -3610,7 +3612,7 @@ object TextOps {
     * exactly 4.0 bits, single-char ⇒ 0.0).
     */
   def charEntropyOf(docs: DataFrame): DataFrame = {
-    val chars = docs
+    val chars = Tables.spread(docs) // per-char explode is CPU-bound
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(length(col("ch")) === 1)
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
@@ -3809,7 +3811,9 @@ object TextOps {
     * pairing join.
     */
   def rougeL(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // spread: the ≤625-cell LCS fold per pair is an interpreted HOF —
+    // 2.11 s on the 1-partition scan, 0.58 s across cores (r17 opt)
+    val docs = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), expr(
         "slice(filter(split(lower(text), ' '), x -> x <> ''), 1, 25)")
         .as("toks"))

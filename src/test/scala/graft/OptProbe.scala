@@ -55,6 +55,36 @@ object OptProbe {
             })
           mat("lshPairsOf (full)")(ext.Dedup.lshPairsOf(docs))
           mat("componentsStars (full)")(ext.Dedup.componentsStars(spark, d))
+        case "scan" =>
+          for (t <- Seq("lineitem", "orders", "events", "documents",
+              "embeddings", "customer", "part"))
+            println(s"[probe] $t parts=" +
+              Tables.load(spark, d, t).queryExecution.toRdd.getNumPartitions)
+          // is a spread worth it for lineitem-scan expression queries?
+          val li = Tables.lineitem(spark, d)
+          mat("x_try_funcs-core as-is")(
+            li.withColumn("unit_price",
+              expr("try_divide(l_extendedprice, l_quantity - 25)"))
+              .withColumn("qty_int", expr(
+                "try_cast(concat(cast(cast(l_quantity AS INT) AS STRING), " +
+                  "CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS INT)"))
+              .groupBy(col("l_returnflag"))
+              .agg(count(lit(1)).as("n"), count(col("unit_price")),
+                sum(col("qty_int").cast("long"))))
+          mat("x_try_funcs-core spread")(
+            Tables.spread(li).withColumn("unit_price",
+              expr("try_divide(l_extendedprice, l_quantity - 25)"))
+              .withColumn("qty_int", expr(
+                "try_cast(concat(cast(cast(l_quantity AS INT) AS STRING), " +
+                  "CASE WHEN l_returnflag = 'R' THEN 'x' ELSE '' END) AS INT)"))
+              .groupBy(col("l_returnflag"))
+              .agg(count(lit(1)).as("n"), count(col("unit_price")),
+                sum(col("qty_int").cast("long"))))
+          mat("sim_pca_project")(SparkEntry.queries("sim_pca_project")(spark, d))
+          mat("sim_covariance")(SparkEntry.queries("sim_covariance")(spark, d))
+          mat("tx_char_entropy")(SparkEntry.queries("tx_char_entropy")(spark, d))
+          mat("dd_semdedup")(SparkEntry.queries("dd_semdedup")(spark, d))
+          mat("mm_safetensors")(SparkEntry.queries("mm_safetensors")(spark, d))
         case "uni" =>
           import ext.UnigramLM
           val m = UnigramLM.getClass.getDeclaredMethods
