@@ -72,13 +72,16 @@ object Dedup {
     * longs, distinct per doc. All dedup set math runs on these longs.
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    shingledOf(Tables.documents(s, d))
+    shingledOf(Tables.spread(Tables.documents(s, d))) // md5 is CPU-bound
 
   /** [[shingled]] over an arbitrary (doc_id, text, …) frame — the same
     * stage the incremental path runs on just the new batch.
     */
   def shingledOf(docs: DataFrame): DataFrame =
-    Tables.spread(docs) // md5-per-shingle is CPU-bound; see Tables.spread
+    // NOTE: no spread here — batch-scale pipeline legs (e2e incremental,
+    // corpus-clean) pass tiny mid-pipeline frames where a repartition is
+    // pure tax; CORPUS-scale callers spread their raw scan themselves
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       // 3-grams via two shifted zip_with passes: O(n) per doc, vs the
@@ -259,6 +262,10 @@ object Dedup {
     val sh = shing.select(col("doc_id"), size(col("shashes")).as("n"),
       explode(col("shashes")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // NOT checkpointed: a materialization barrier here measured SLOWER
+    // (3.80 → 4.18 s in-suite) than letting exchange reuse carry the
+    // probe and index sides — the exploded frame is wide enough that
+    // writing it once costs more than the reused re-read saves.
     val withDf = sh.join(dfreq, Seq("sh"))
     val probe = withDf
       .withColumn("rn", row_number().over(
@@ -336,7 +343,7 @@ object Dedup {
     * bucket-join for candidates, exact-Jaccard verification at ≥ 0.5.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    lshPairsOf(Tables.documents(s, d)).orderBy(col("ia"), col("ib"))
+    lshPairsOf(Tables.spread(Tables.documents(s, d))).orderBy(col("ia"), col("ib"))
 
   /** WHERE the duplication flows from — [[minhashLsh]]'s verified pairs
     * aggregated into a (source, source) matrix with pair counts and mean
@@ -351,7 +358,7 @@ object Dedup {
     */
   def dupSources(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    lshPairsOf(Tables.documents(s, d))
+    lshPairsOf(Tables.spread(Tables.documents(s, d)))
       .join(docs.select(col("doc_id").as("ia"), col("source").as("sa")), "ia")
       .join(docs.select(col("doc_id").as("ib"), col("source").as("sb")), "ib")
       .withColumn("source_a", least(col("sa"), col("sb")))
@@ -486,7 +493,7 @@ object Dedup {
   def componentsStars(s: SparkSession, d: String): DataFrame = {
     // lshPairsOf, not minhashLsh: the pair sort the public query ends
     // with would be discarded by the distinct() reshuffle anyway
-    val pairs = lshPairsOf(Tables.documents(s, d)).select(col("ia"), col("ib"))
+    val pairs = lshPairsOf(Tables.spread(Tables.documents(s, d))).select(col("ia"), col("ib"))
     // canonical (u > v) undirected edges; pairs arrive as ia < ib
     var edges = pairs.select(col("ib").as("u"), col("ia").as("v"))
       .distinct().localCheckpoint()
@@ -619,7 +626,8 @@ object Dedup {
     * deterministic seen/new split.
     */
   def incremental(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = Tables.spread(Tables.documents(s, d)) // corpus-scale shingling
+      .select(col("doc_id"), col("text"))
     val seen = docs.filter(col("doc_id") % SEEN_MOD =!= 0)
     // new batch: held-out docs plus injected exact copies of a few seen
     // docs (doc_id offset by 1e6) so the exact path has real positives

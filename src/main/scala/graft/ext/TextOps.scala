@@ -958,8 +958,8 @@ object TextOps {
         min(col("conv_key")).over(Window.partitionBy(md5(col("conv_text")))))
       .filter(col("conv_key") === col("keep")).drop("keep")
       .localCheckpoint()
-    val ev = Dedup.shingledOf(Tables.documents(s, d)
-        .filter(col("doc_id") % Dedup.EVAL_MOD === 0))
+    val ev = Dedup.shingledOf(Tables.spread(Tables.documents(s, d)
+        .filter(col("doc_id") % Dedup.EVAL_MOD === 0)))
       .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
         explode(col("shashes")).as("sh"))
     val tr = Dedup.shingledOf(exact.select(col("conv_key").as("doc_id"),
@@ -3233,34 +3233,21 @@ object TextOps {
     * and the result hash-verifies. At 100 TB: two corpus-wide shuffles
     * (pair counts, doc re-agg), one bounded histogram, zero global sorts.
     */
-  /** One-trained-LM-per-run store: [[lmScored]]'s result, skinny (five
-    * columns, one row per doc), localCheckpointed on first use and shared
-    * by every later consumer in the same session — the persisted-score
-    * pattern of `Dedup.incremental`, in-memory because the verdict is per
-    * run. Without this the suite trains the bigram LM twice (standalone
-    * `tx_lm_score` + the funnel's final stage), and LM training is the
-    * expensive part: two corpus-wide shuffles. Keyed per (session, dir)
-    * because a DataFrame is session-bound; the checkpoint blocks are a few
-    * KB per corpus. At 100 TB the same role is played by writing the
-    * verdict table once and reading it downstream.
-    *
-    * STALENESS ASSUMPTION (deliberate): entries are never evicted, which
-    * pins the checkpoint blocks for the process lifetime and would serve
-    * stale scores if the files under `dir` were regenerated inside one
-    * session. Both are fine in this harness (one session per run,
-    * immutable testdata); a long-lived service would key by (dir,
-    * snapshot-version) or clear entries on session stop.
+  /** [[lmTrain]]'s verdict frame, checkpointed WITHIN the calling query
+    * (it feeds several joins there). r17 opt note: this was a
+    * module-level (session, dir)-keyed memo shared ACROSS queries, which
+    * made every timed run after the first reuse a result computed during
+    * warmup — a cross-run result cache, exactly what the optimization
+    * contract forbids. Each query now trains the LM from the parquet
+    * inputs on every invocation; at 100 TB the cross-QUERY sharing is a
+    * verdict table written once and read downstream, which is a
+    * different (durable, auditable) mechanism than a process-local memo.
     */
-  private val lmMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def lmScored(s: SparkSession, d: String): DataFrame =
-    lmMemo.computeIfAbsent((s, d), { _ =>
-      lmTrain(s, d)
-        .select(col("doc_id"), col("n_pairs"), col("lm_bits"),
-          col("decile"), col("keep"))
-        .localCheckpoint()
-    })
+    lmTrain(s, d)
+      .select(col("doc_id"), col("n_pairs"), col("lm_bits"),
+        col("decile"), col("keep"))
+      .localCheckpoint()
 
   private def lmTrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3307,7 +3294,8 @@ object TextOps {
     * transparency the funnel aggregates away. Single scan, all codegen.
     */
   def gopherRules(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // spread: two regexp passes + per-word rlike filters per row
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("ws"))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("mean_word_len",

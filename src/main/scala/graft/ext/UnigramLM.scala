@@ -86,14 +86,18 @@ object UnigramLM {
   /** One-column frame holding the piece→weight broadcast map, where
     * weight = lg(count) − lg(total) in 2^16 fixed point (≤ 0).
     */
-  private def weightMap(vocab: DataFrame): DataFrame = {
-    val tot = vocab.agg(sum(col("c")).as("t"))
-    vocab.crossJoin(broadcast(tot))
-      .select(col("piece"),
-        (expr(lgS("c")) - expr(lgS("t"))).as("wt"))
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("wt"))))
-        .as("vm"))
-  }
+  private def weightMap(vocab: DataFrame): DataFrame =
+    // ONE aggregate: collect (piece, c) and Σc together, then compute
+    // each entry's lg(c) − lg(t) inside the 1-row projection — the
+    // crossJoin(broadcast(tot)) form cost two extra stages per call for
+    // the same integers (r17 opt; the fold is vocabulary-grain).
+    vocab
+      .agg(collect_list(struct(col("piece"), col("c"))).as("pc"),
+        sum(col("c")).as("t"))
+      .select(expr(
+        s"""map_from_entries(transform(pc,
+           |  x -> struct(x.piece, (${lgS("x.c")}) - (${lgS("t")}))))"""
+          .stripMargin).as("vm"))
 
   private def wtLookup(pos: String, l: Int): String =
     s"coalesce(element_at(vm, substring(w, $pos, $l)), $NEG)"

@@ -503,6 +503,11 @@ object ExtraOps {
     // traversal starts from.
     val byCust = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // NOTE (r17 opt): a size-adaptive broadcast hint on this view was
+    // measured SLOWER (4.11 → 5.02 s matched A/B): the recursion's SMJ
+    // keeps the successor side's exchange+sort as a ReusedExchange
+    // across all ~15 rounds, while a broadcast relation is rebuilt per
+    // round. The stats-less checkpoint + SMJ is already the right plan.
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         lead(col("o_orderkey"), 1).over(byCust).as("next_key"),
@@ -526,7 +531,9 @@ object ExtraOps {
     * output pins both the NULL and the parsed-value paths.
     */
   def tryFuncs(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // spread: try_cast over a built string per row is CPU-bound and the
+    // 3-partition lineitem scan pins it to 3 cores (1.71 -> 1.04 s)
+    Tables.spread(Tables.lineitem(s, d))
       .withColumn("unit_price",
         expr("try_divide(l_extendedprice, l_quantity - 25)"))
       .withColumn("qty_int", expr(
@@ -1403,7 +1410,10 @@ object ExtraOps {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     var alive = nodes
     for (_ <- 1 to 4)
+      // per-round checkpoint: coreDegrees joins `alive` on BOTH edge
+      // endpoints, so unchained peel rounds re-execute 2^(4−r)×
       alive = coreDegrees(alive).filter(col("deg") >= 10).select(col("node"))
+        .localCheckpoint()
     val finalDeg = coreDegrees(alive)
     nodes
       .join(alive.withColumn("alive", lit(true)), Seq("node"), "left")

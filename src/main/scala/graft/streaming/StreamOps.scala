@@ -466,7 +466,7 @@ object StreamOps {
       val deadline = System.currentTimeMillis() + 120000L
       while (ss.table(sink).count() < nPurchases &&
         System.currentTimeMillis() < deadline) {
-        q.processAllAvailable(); Thread.sleep(200L)
+        q.processAllAvailable(); Thread.sleep(50L)
       }
     } finally q.stop()
     (ss.table(sink)
@@ -631,7 +631,7 @@ object StreamOps {
       val deadline = System.currentTimeMillis() + 120000L
       while (ss.table(sink).count() < nPurchases &&
         System.currentTimeMillis() < deadline) {
-        q.processAllAvailable(); Thread.sleep(200L)
+        q.processAllAvailable(); Thread.sleep(50L)
       }
     } finally q.stop()
     (ss.table(sink)
@@ -761,7 +761,7 @@ object StreamOps {
         .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
       val deadline = System.currentTimeMillis() + 120000L
       while (sink() < expected && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable(); Thread.sleep(200L)
+        q.processAllAvailable(); Thread.sleep(50L)
       }
     } finally q.stop()
     // final snapshot per domain = the monotone max-n_requests row
@@ -969,7 +969,7 @@ object StreamOps {
         .agg(coalesce(sum(col("n_requests")), lit(0L))).collect()(0).getLong(0)
       val deadline = System.currentTimeMillis() + 120000L
       while (sink() < expected && System.currentTimeMillis() < deadline) {
-        q.processAllAvailable(); Thread.sleep(200L)
+        q.processAllAvailable(); Thread.sleep(50L)
       }
       stateRows = Option(q.lastProgress)
         .flatMap(p => p.stateOperators.headOption)

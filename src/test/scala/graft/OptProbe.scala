@@ -55,6 +55,30 @@ object OptProbe {
             })
           mat("lshPairsOf (full)")(ext.Dedup.lshPairsOf(docs))
           mat("componentsStars (full)")(ext.Dedup.componentsStars(spark, d))
+        case "cb" =>
+          val shing = ext.Dedup.shingledOf(Tables.documents(spark, d))
+          val sh0 = time("shingled ckpt")(shing.localCheckpoint())
+          import org.apache.spark.sql.expressions.Window
+          val sh = sh0.select(col("doc_id"), size(col("shashes")).as("n"),
+            explode(col("shashes")).as("sh"))
+          val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          mat("dfreq")(dfreq)
+          val withDf = sh.join(dfreq, Seq("sh"))
+          mat("withDf join")(withDf)
+          val probe = withDf
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+            .filter(col("rn") <= expr("n DIV 2 + 1"))
+            .select(col("doc_id").as("ia"), col("sh"))
+          mat("probe window")(probe)
+          val idx = withDf.filter(col("df") <= 16)
+            .select(col("doc_id").as("ib"), col("sh"))
+          val cand = probe.join(idx, Seq("sh"))
+            .filter(col("ia") =!= col("ib"))
+            .select(col("ia"), col("ib")).distinct()
+          mat("cand join+distinct")(cand)
+          mat("full dd_containment_banded")(
+            SparkEntry.queries("dd_containment_banded")(spark, d))
         case "scan" =>
           for (t <- Seq("lineitem", "orders", "events", "documents",
               "embeddings", "customer", "part"))
