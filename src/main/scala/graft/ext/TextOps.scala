@@ -300,6 +300,8 @@ object TextOps {
     * persisted intermediate tables a production pipeline writes.
     */
   def e2ePretrain(s: SparkSession, d: String): DataFrame = {
+    // (r17 opt: a spread here measured +0.9 s in-suite — the chain's
+    // checkpoints repartition anyway and the extra exchange is pure tax)
     val raw = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     // Stage 1: Gopher quality gate (the gopherRules predicate).
@@ -962,8 +964,9 @@ object TextOps {
         .filter(col("doc_id") % Dedup.EVAL_MOD === 0)))
       .select(col("doc_id").as("eid"), size(col("shashes")).as("en"),
         explode(col("shashes")).as("sh"))
-    val tr = Dedup.shingledOf(exact.select(col("conv_key").as("doc_id"),
-        col("conv_text").as("text")))
+    val tr = Dedup.shingledOf(Tables.spread(
+        exact.select(col("conv_key").as("doc_id"),
+          col("conv_text").as("text"))))
       .select(col("doc_id").as("conv_key"), explode(col("shashes")).as("sh"))
     val contaminated = ev.join(tr, "sh")
       .groupBy(col("conv_key"), col("eid"), col("en"))
@@ -1094,7 +1097,7 @@ object TextOps {
     // corpus scan plus one doc_id-keyed join of 9-byte rows.
     val lmKeep = lmScored(s, d).select(col("doc_id"),
       col("keep").cast("int").as("c5"))
-    val base = Tables.documents(s, d)
+    val base = Tables.spread(Tables.documents(s, d)) // regexp+stopword rules
       .select(col("doc_id"), col("lang"), col("text"),
         split(lower(col("text")), " ").as("ws"))
       .join(lmKeep, Seq("doc_id"), "left")
@@ -3251,7 +3254,7 @@ object TextOps {
 
   private def lmTrain(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
+    val toks = Tables.spread(Tables.documents(s, d)) // bigram explode is CPU-bound
       .select(col("doc_id"),
         expr("filter(split(lower(text), ' '), w -> length(w) > 0)").as("ws"))
       .filter(size(col("ws")) >= 2)

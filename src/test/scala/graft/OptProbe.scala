@@ -55,6 +55,42 @@ object OptProbe {
             })
           mat("lshPairsOf (full)")(ext.Dedup.lshPairsOf(docs))
           mat("componentsStars (full)")(ext.Dedup.componentsStars(spark, d))
+        case "rec" =>
+          import org.apache.spark.sql.expressions.Window
+          val byCust = Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+          Tables.orders(spark, d)
+            .select(col("o_custkey"), col("o_orderkey"),
+              lead(col("o_orderkey"), 1).over(byCust).as("next_key"),
+              row_number().over(byCust).as("rn"))
+            .localCheckpoint()
+            .createOrReplaceTempView("graft_rec_nxt")
+          mat("1-hop recursion (current)")(spark.sql(
+            """WITH RECURSIVE
+              |walk(o_custkey, o_orderkey, next_key, hop) AS (
+              |  SELECT o_custkey, o_orderkey, next_key, 1 FROM graft_rec_nxt WHERE rn = 1
+              |  UNION ALL
+              |  SELECT n.o_custkey, n.o_orderkey, n.next_key, w.hop + 1
+              |  FROM walk w JOIN graft_rec_nxt n ON n.o_orderkey = w.next_key)
+              |SELECT o_custkey, o_orderkey, hop
+              |FROM walk ORDER BY o_custkey, hop""".stripMargin))
+          mat("2-hop recursion (variant)")(spark.sql(
+            """WITH RECURSIVE
+              |walk(o_custkey, o_orderkey, next_key, hop, frontier) AS (
+              |  SELECT o_custkey, o_orderkey, next_key, 1, true FROM graft_rec_nxt WHERE rn = 1
+              |  UNION ALL
+              |  SELECT n.o_custkey, n.o_orderkey, n.next_key, w.hop + d.s,
+              |         d.s = 2 AND n.next_key IS NOT NULL
+              |  FROM walk w
+              |  JOIN graft_rec_nxt n1 ON w.frontier AND n1.o_orderkey = w.next_key
+              |  LEFT JOIN graft_rec_nxt n2 ON n2.o_orderkey = n1.next_key
+              |  JOIN LATERAL (SELECT explode(CASE WHEN n2.o_orderkey IS NULL
+              |        THEN array(1) ELSE array(1, 2) END) AS s) d
+              |  JOIN graft_rec_nxt n
+              |    ON n.o_orderkey = CASE WHEN d.s = 1 THEN n1.o_orderkey
+              |                           ELSE n2.o_orderkey END)
+              |SELECT o_custkey, o_orderkey, hop
+              |FROM walk ORDER BY o_custkey, hop""".stripMargin))
         case "cb" =>
           val shing = ext.Dedup.shingledOf(Tables.documents(spark, d))
           val sh0 = time("shingled ckpt")(shing.localCheckpoint())
